@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import graft.sources.{CheckpointStore, IncrementalReader}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The end-to-end report pipeline: load sources (FULL or INC) as temp
+  * views, run the transform SQL, write the CSV report, render + send
+  * the notification email — graft's analog of the reference's
+  * `load_hudi_tables` + `main` orchestration
+  * (reference: template.py:297-322, 470-516).
+  */
+class ReportPipeline(
+    spark: SparkSession,
+    checkpointRoot: String,
+    emailSender: EmailSender = new LoggingEmailSender) {
+
+  private lazy val store = new CheckpointStore(checkpointRoot, spark.sparkContext.hadoopConfiguration)
+  private lazy val incremental = new IncrementalReader(spark, store)
+
+  /** Register every source as a temp view (reference: template.py:300-317). */
+  def loadSources(spec: PipelineSpec): Unit =
+    spec.sources.foreach { src =>
+      val df: DataFrame = src.mode match {
+        case LoadMode.Full =>
+          graft.sources.TableLoader.normalizeNanos(spark.read.parquet(src.path), src.commitColumn)
+        case LoadMode.Incremental => incremental.read(src.tableName, src.path, src.commitColumn)
+      }
+      df.createOrReplaceTempView(src.tableName)
+    }
+
+  /** Run the transform SQL over the registered views. */
+  def transform(spec: PipelineSpec): DataFrame = {
+    loadSources(spec)
+    spark.sql(spec.transform.query)
+  }
+
+  /** Full run: transform → CSV report → download URL → email.
+    * Returns the result DataFrame and the report handle.
+    */
+  def run(spec: PipelineSpec): (DataFrame, Option[ReportHandle]) = {
+    val result = transform(spec)
+    val handle = spec.report.map { rs =>
+      val writer = new ReportWriter(rs.reportRoot)
+      val h = writer.write(result, rs.fileExpiresInSeconds)
+      emailSender.send(EmailMessage(
+        sender = rs.senderEmail,
+        recipient = rs.recipientEmail,
+        subject = rs.subject,
+        htmlBody = DownloadReportEmailTemplate(h.url).render()))
+      h
+    }
+    (result, handle)
+  }
+}

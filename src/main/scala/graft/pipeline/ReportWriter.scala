@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+import java.util.UUID
+
+/** CSV report sink with a date-partitioned layout and a download-URL
+  * token — the graft analog of the reference's pandas→S3 CSV upload +
+  * presigned URL (reference: template.py:451-467).
+  *
+  * Layout matches the reference:
+  * `<root>/reports/year=Y/month=M/day=D/<uuid>.csv`.
+  *
+  * Unlike the reference (which funnels the whole result through
+  * `toPandas()` on the driver), the write is distributed: Spark's CSV
+  * sink writes partitions in parallel. For the email-a-single-file
+  * use case `singleFile=true` coalesces to one part and renames it —
+  * the right call for human-sized reports, explicitly NOT for bulk
+  * exports (leave singleFile=false and hand out the directory).
+  */
+final case class ReportHandle(path: String, url: String, expiresAt: Instant)
+
+class ReportWriter(reportRoot: String, clock: () => Instant = () => Instant.now()) {
+
+  def datedKey(today: LocalDate, id: UUID): String =
+    s"reports/year=${today.getYear}/month=${today.getMonthValue}/day=${today.getDayOfMonth}/$id.csv"
+
+  /** Write `df` as a CSV report; returns the path plus a
+    * file://-scheme download URL with an expiry timestamp — the
+    * local-FS stand-in for a presigned URL (the expiry is carried in
+    * the handle; enforcement belongs to whatever serves the file).
+    */
+  def write(df: DataFrame, expiresInSeconds: Long = 86400L, singleFile: Boolean = true): ReportHandle = {
+    val now = clock()
+    val key = datedKey(LocalDate.ofInstant(now, ZoneOffset.UTC), UUID.randomUUID())
+    val target = s"$reportRoot/$key"
+
+    if (singleFile) {
+      // Write a 1-part directory, then promote the part file to the
+      // final .csv name. Coalesce(1) is deliberate and documented:
+      // a report emailed to a human is small by construction.
+      val tmpDir = s"$target._dir"
+      df.coalesce(1).write.option("header", "true").mode("overwrite").csv(tmpDir)
+      val fs = new Path(tmpDir).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new Path(s"$tmpDir/part-*"))(0).getPath
+      fs.rename(part, new Path(target))
+      fs.delete(new Path(tmpDir), true)
+    } else {
+      df.write.option("header", "true").mode("overwrite").csv(target)
+    }
+
+    ReportHandle(target, s"file://$target", now.plusSeconds(expiresInSeconds))
+  }
+}
