@@ -296,6 +296,206 @@ object Queries {
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin))
 
   // ---------------------------------------------------------------
+  // Streaming surface
+  // ---------------------------------------------------------------
+
+  /** #22 Streaming windowed aggregation (hourly, watermarked,
+    * AvailableNow); batch-equivalent oracle via date_trunc.
+    */
+  val qStreamWindow: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.runToBatch(
+        s, s"$dir/events.parquet",
+        queryName = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")),
+    oracle = Some(
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin))
+
+  // ---------------------------------------------------------------
+  // LLM-data-pipeline surface
+  // ---------------------------------------------------------------
+
+  private val enStops = graft.operators.TextAnalysis.Stopwords.toMap.apply("en")
+  private def duckList(words: Seq[String]): String = words.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def duckHits(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> list_contains(${duckList(words)}, x)))"
+
+  /** #32 Token counting: whitespace and BPE-ish regex tokens. */
+  val qTextTokens: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.TextAnalysis.withTokenCounts(t(s, dir, "documents"))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("bpe_ish_tokens").cast("long").as("bpe_ish_tokens")),
+    oracle = Some(
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents""".stripMargin))
+
+  /** #31 Quality scoring: length/token/stopword metrics + composite. */
+  val qTextQuality: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.TextAnalysis.withQuality(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("avg_token_len"), col("stopword_ratio"), col("quality_score")),
+    oracle = Some(
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    length(text) AS nc,
+         |    len(string_split(text, ' ')) AS nt,
+         |    ${duckHits(enStops)} AS hits
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(nc AS BIGINT) AS n_chars,
+         |  CAST(nt AS BIGINT) AS n_tokens,
+         |  CAST(nc - (nt - 1) AS DOUBLE) / nt AS avg_token_len,
+         |  CAST(hits AS DOUBLE) / nt AS stopword_ratio,
+         |  least(1.0, (CAST(nt AS DOUBLE) / 100) * 0.5 + ((CAST(hits AS DOUBLE) / nt) * 5) * 0.5) AS quality_score
+         |FROM q""".stripMargin))
+
+  /** #30 Language ID by stopword voting; deterministic tie-break. */
+  val qTextLangid: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.TextAnalysis.withLangId(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("lang_pred")),
+    oracle = {
+      val hits = graft.operators.TextAnalysis.Stopwords
+        .map { case (code, words) => s"${duckHits(words)} AS c_$code" }
+        .mkString(",\n    ")
+      val codes = graft.operators.TextAnalysis.Stopwords.map(_._1)
+      val whens = codes.map(c => s"WHEN c_$c = m THEN '$c'").mkString(" ")
+      Some(
+        s"""WITH h AS (
+           |  SELECT doc_id, lang, $hits
+           |  FROM documents
+           |), m AS (
+           |  SELECT *, greatest(${codes.map("c_" + _).mkString(", ")}) AS m FROM h
+           |)
+           |SELECT doc_id, lang,
+           |  CASE WHEN m = 0 THEN 'und' $whens ELSE 'und' END AS lang_pred
+           |FROM m""".stripMargin)
+    })
+
+  /** #33 Fingerprint: 64-bit FNV-1a rolling hash (custom codegen'd
+    * expression) — not SQL-expressible, rows-only + spec.
+    */
+  val qTextFingerprint: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.TextAnalysis.withFingerprint(t(s, dir, "documents"))
+        .select(col("doc_id"), col("fingerprint")),
+    oracle = None)
+
+  /** #23 Exact dedup: lowest doc_id survives per identical text. */
+  val qDedupExact: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Dedup.exact(t(s, dir, "documents"), "text", "doc_id"),
+    oracle = Some(
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents
+        |) WHERE rn = 1""".stripMargin))
+
+  /** #26 Word-5-gram Jaccard near-dup pairs (inverted-index join). */
+  val qDedupNgramJaccard: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), s AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))) AS sh
+        |  FROM t
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS nsh FROM s GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5""".stripMargin))
+
+  /** #24 MinHash LSH near-dup pairs (approximate recall, exact
+    * verification) — seeded hashing, rows-only + recall spec.
+    */
+  val qDedupMinhashLsh: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"),
+    oracle = None)
+
+  /** #25 SimHash near-dup pairs (Hamming <= 3 via 16-bit banding). */
+  val qDedupSimhash: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text"),
+    oracle = None)
+
+  /** #27 Embedding near-dup pairs: cosine >= 0.45 (exact kernel;
+    * DuckDB list_dot_product verified bit-identical to the codegen'd
+    * sequential loop).
+    */
+  private val cosSql =
+    "list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))"
+
+  val qDedupEmbedding: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Similarity.embeddingNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45),
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, round($cosSql, 9) AS sim
+         |FROM p WHERE $cosSql >= 0.45""".stripMargin))
+
+  /** #28 Brute-force cosine top-k: queries vec_id < 10, k = 5. */
+  val qSimBruteforceTopk: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS va, q.v AS vb
+         |  FROM e c, e q WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, $cosSql AS sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY $cosSql DESC, neighbor_id) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rk AS BIGINT) AS "rank", neighbor_id, round(sim, 9) AS sim
+         |FROM r WHERE rk <= 5""".stripMargin))
+
+  /** #29 LSH-bucketed approximate top-k — rows-only + recall spec. */
+  val qSimLshTopk: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, numPlanes = 4)
+    },
+    oracle = None)
+
+  /** #34 Multimodal plumbing: binary payloads -> batch decode stub ->
+    * feature columns (deterministic fake codec) — rows-only + spec.
+    */
+  val qMmFeatures: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      graft.operators.Multimodal.decodeStub(media).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"), col("width"),
+          col("height"), col("n_frames"), col("byte_entropy"))
+    },
+    oracle = None)
+
+  // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
 
@@ -311,5 +511,18 @@ object Queries {
     "q5_star_join" -> q5StarJoin,
     "q_window_running" -> qWindowRunning,
     "q_topk_per_group" -> qTopkPerGroup,
-    "q_anti_join" -> qAntiJoin)
+    "q_anti_join" -> qAntiJoin,
+    "q_stream_window" -> qStreamWindow,
+    "text_tokens" -> qTextTokens,
+    "text_quality" -> qTextQuality,
+    "text_langid" -> qTextLangid,
+    "text_fingerprint" -> qTextFingerprint,
+    "dedup_exact" -> qDedupExact,
+    "dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "dedup_simhash" -> qDedupSimhash,
+    "dedup_embedding" -> qDedupEmbedding,
+    "sim_bruteforce_topk" -> qSimBruteforceTopk,
+    "sim_lsh_topk" -> qSimLshTopk,
+    "mm_features" -> qMmFeatures)
 }

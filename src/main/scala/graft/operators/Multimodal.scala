@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with
+  * typed metadata, processed per-partition in batches.
+  *
+  * The Spark side is real — schema, partitioning, batch-shaped
+  * per-partition processing, feature columns. The codec itself is a
+  * STUB (this container ships no image/audio libs): `decodeStub`
+  * derives deterministic pseudo-features from the bytes, exactly
+  * where a JNI/FFI decoder (libjpeg, ffmpeg) would plug in. The
+  * plumbing — one decoder init per partition, streaming iteration,
+  * no per-row setup cost — is the part that matters at 100 TB.
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      media_id: Long,
+      modality: String, // image | audio | video
+      content: Array[Byte],
+      source: String,
+      n_bytes: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      width: Int,       // stub-decoded "dimensions"
+      height: Int,
+      n_frames: Int,    // video frame-sample count; 1 otherwise
+      byte_entropy: Double,
+      feature: Array[Float]) // stub 8-dim content embedding
+
+  /** Manufacture a media table from the documents table: payload =
+    * UTF-8 bytes of the text (a deterministic opaque blob), modality
+    * assigned round-robin. Stands in for `binary` columns read from
+    * parquet/object storage.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")), (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("content"),
+      col("source"),
+      length(col("text")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  /** Batch decode: one "decoder" per partition, rows streamed through
+    * it. Replace the body of `decodeOne` with the real codec.
+    */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // >>> real impl: init decoder/codec context ONCE here <<<
+      it.map(decodeOne)
+    }
+  }
+
+  /** Deterministic stand-in for codec output: dimensions, frame
+    * count, entropy and an 8-dim feature vector derived only from the
+    * payload bytes — stable across runs/engines for testing.
+    */
+  private[operators] def decodeOne(m: MediaRecord): MediaFeatures = {
+    val bytes = m.content
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < bytes.length) { hist(bytes(i) & 0xff) += 1; i += 1 }
+    val n = math.max(bytes.length, 1).toDouble
+    var entropy = 0.0
+    var j = 0
+    while (j < 256) {
+      if (hist(j) > 0) { val p = hist(j) / n; entropy -= p * math.log(p) / math.log(2) }
+      j += 1
+    }
+    val h = graft.functions.GraftHash.fnv1a64(bytes)
+    val width = 64 + (math.abs(h) % 1024).toInt
+    val height = 64 + (math.abs(h >>> 17) % 1024).toInt
+    val frames = if (m.modality == "video") 1 + (math.abs(h >>> 31) % 32).toInt else 1
+    val feature = Array.tabulate(8) { d =>
+      val hd = graft.functions.GraftHash.fnv1a64(bytes ++ Array(d.toByte))
+      (hd.toDouble / Long.MaxValue.toDouble).toFloat
+    }
+    MediaFeatures(m.media_id, m.modality, bytes.length.toLong, width, height, frames, entropy, feature)
+  }
+
+  /** Frame sampling stub for video: expand each video row into
+    * `n_frames` (media_id, frame_idx) rows — the shuffle/shape of a
+    * real frame extractor.
+    */
+  def sampleFrames(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF()
+      .filter(col("modality") === "video")
+      .select(col("media_id"), explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+}

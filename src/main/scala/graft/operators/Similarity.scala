@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.{TopKFunctions, VectorFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteForceTopK` is the exact baseline: broadcast the (small)
+  * query set against the corpus, one codegen'd cosine per
+  * (query, corpus) pair, and a bounded top-k heap aggregate — the
+  * corpus is scanned once, never shuffled, and only k rows per query
+  * survive the map side.
+  *
+  * `lshTopK` is the 100 TB path: random-hyperplane LSH buckets the
+  * corpus by sign pattern; each query probes only its own bucket
+  * (plus optional multi-probe neighbors), so per-query work stays
+  * ~constant as the corpus grows. Recall < 1 by design; the spec
+  * measures it against the brute-force baseline.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query vector, the k most similar
+    * corpus vectors (excluding itself), deterministic tie-break on id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", VectorFunctions.cosine(col("cvec"), col("qvec")))
+    scored
+      .groupBy(col("qid"))
+      .agg(TopKFunctions.top_k(col("sim"), col("cid"), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(
+        col("qid").as("query_id"),
+        (col("pos") + 1).as("rank"),
+        col("hit.id").as("neighbor_id"),
+        round(col("hit.score"), 9).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component h[d] of plane
+    * p derived from xxhash64(p, d) scaled to [-1, 1). Seeded — stable
+    * across runs and engines.
+    */
+  private def hyperplaneSign(vec: org.apache.spark.sql.Column, plane: Int): org.apache.spark.sql.Column = {
+    // dot(vec, h_p) where h_p[d] = scaled hash — computed via
+    // aggregate over the element index, all codegen'd.
+    val dims = size(vec)
+    val dotExpr = aggregate(
+      zip_with(vec, sequence(lit(0), dims - 1),
+        (x, d) => x * (xxhash64(lit(plane), d).cast("double") / lit(Long.MaxValue.toDouble))),
+      lit(0.0), (acc, x) => acc + x)
+    when(dotExpr >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** LSH bucket key: sign pattern across `numPlanes` hyperplanes. */
+  def withLshBucket(df: DataFrame, numPlanes: Int = 8): DataFrame = {
+    val bits = (0 until numPlanes).map(p => hyperplaneSign(col("embedding"), p) * (1 << p))
+    df.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** Approximate top-k: candidates share the query's LSH bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+    val c = withLshBucket(corpus, numPlanes)
+      .select(col("bucket"), col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val q = withLshBucket(queries, numPlanes)
+      .select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", VectorFunctions.cosine(col("cvec"), col("qvec")))
+    scored
+      .groupBy(col("qid"))
+      .agg(TopKFunctions.top_k(col("sim"), col("cid"), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(
+        col("qid").as("query_id"),
+        (col("pos") + 1).as("rank"),
+        col("hit.id").as("neighbor_id"),
+        round(col("hit.score"), 9).as("sim"))
+  }
+
+  /** Embedding near-dup pairs: all (a < b) with cosine >= threshold.
+    * Exact kernel over the full pair space — correct at verify scale;
+    * the LSH bucket join above is the same operator's scale path.
+    */
+  def embeddingNearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 9).as("sim"))
+  }
+}

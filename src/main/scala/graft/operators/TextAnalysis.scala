@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, all built
+  * from codegen'd native functions (no UDFs): token counting,
+  * quality scoring, stopword-based language ID, fingerprinting.
+  *
+  * Every arithmetic step is chosen to be bit-reproducible in ANSI SQL
+  * (integer counts, single double divisions) so the SQL-expressible
+  * ones carry DuckDB oracles.
+  */
+object TextAnalysis {
+
+  /** Public, tiny per-language stopword lists (frequency-top function
+    * words) for the heuristic language scorer. Alphabetical by code;
+    * the tie-break order of `langId` follows this ordering.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "uno", "por", "como", "pero"),
+    "fr" -> Seq("le", "les", "et", "est", "que", "pour", "dans", "avec", "sur", "pas"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"))
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(words), t)))
+
+  /** Whitespace + BPE-ish (letter-run / digit-run / symbol) token counts. */
+  def withTokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("ws_tokens", size(toks))
+      .withColumn("bpe_ish_tokens", regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+  }
+
+  /** Length / token-shape / stopword-density quality metrics plus a
+    * composite score in [0,1]. Single-division doubles throughout.
+    */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nChars = length(col(textCol))
+    val nTokens = size(toks)
+    val alphaChars = nChars - (nTokens - lit(1)) // text is space-joined; non-space chars
+    val hits = stopwordHits(toks, Stopwords.toMap.apply("en"))
+    df.withColumn("n_chars", nChars.cast("long"))
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("avg_token_len", alphaChars.cast("double") / nTokens)
+      .withColumn("stopword_ratio", hits.cast("double") / nTokens)
+      .withColumn("quality_score",
+        least(lit(1.0), (nTokens.cast("double") / 100) * 0.5 + (hits.cast("double") / nTokens) * 5 * 0.5))
+  }
+
+  /** Stopword-count language ID: score each language by function-word
+    * hits; winner = max count, ties to the alphabetically-first code,
+    * zero hits => "und" (undetermined). Deterministic by construction.
+    */
+  def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val counted = Stopwords.foldLeft(df) { case (acc, (code, words)) =>
+      acc.withColumn(s"hits_$code", stopwordHits(toks, words))
+    }
+    val best = Stopwords.map(_._1).map(c => col(s"hits_$c")).reduce(greatest(_, _))
+    val pick = Stopwords.map(_._1).foldRight(lit("und")) { case (code, els) =>
+      when(col(s"hits_$code") === best, lit(code)).otherwise(els)
+    }
+    counted
+      .withColumn("lang_pred", when(best === 0, lit("und")).otherwise(pick))
+      .drop(Stopwords.map(c => s"hits_${c._1}"): _*)
+  }
+
+  /** 64-bit FNV-1a rolling fingerprint of the normalized text
+    * (lowercased, whitespace collapsed) — dedup/lineage key.
+    */
+  def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val normalized = regexp_replace(lower(col(textCol)), lit("\\s+"), lit(" "))
+    df.withColumn("fingerprint", HashFunctions.fingerprint64(normalized))
+  }
+}
