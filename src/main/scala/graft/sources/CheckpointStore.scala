@@ -41,12 +41,21 @@ class CheckpointStore(root: String, hadoopConf: Configuration) {
     }
   }
 
+  /** Write via temp file + rename so a torn write never corrupts the
+    * live metadata file. (Hadoop local rename won't clobber, so the
+    * old file is deleted first; a crash in that window leaves no
+    * checkpoint — which re-reads from the beginning, the safe side.)
+    */
   def write(cp: Checkpoint): Unit = {
     val p = metaPath(cp.tableName)
     val f = fs(p)
-    val out = f.create(p, true)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = f.create(tmp, true)
     try out.write(render(cp).getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"checkpoint swap failed for $p")
   }
 
   def delete(tableName: String): Unit = {
@@ -68,10 +77,26 @@ class CheckpointStore(root: String, hadoopConf: Configuration) {
   private def render(cp: Checkpoint): String =
     s"""{"table_name": "${esc(cp.tableName)}", "last_processed_commit": "${esc(cp.lastProcessedCommit)}", "path": "${esc(cp.path)}"}"""
 
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'   => sb.append('\n')
+          case other => sb.append(other) // \" and \\ (and identity for the rest)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private val Field = """"([^"]+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
 
   private def parse(json: String): Option[Checkpoint] = {
-    val kv = Field.findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toMap
+    val kv = Field.findAllMatchIn(json).map(m => m.group(1) -> unesc(m.group(2))).toMap
     for {
       t <- kv.get("table_name")
       c <- kv.get("last_processed_commit")

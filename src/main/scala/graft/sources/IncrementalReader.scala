@@ -33,21 +33,47 @@ class IncrementalReader(spark: SparkSession, store: CheckpointStore) {
   def readSince(df: DataFrame, commitColumn: String, begin: String): DataFrame =
     df.filter(col(commitColumn) > toCommit(df, commitColumn, begin))
 
-  /** One incremental pull: read new rows since the stored checkpoint
-    * (or from the beginning on first run) and advance the checkpoint.
+  /** One incremental pull WITHOUT advancing the checkpoint: returns
+    * the increment plus the watermark it ends at (None when empty).
+    *
+    * The increment is bounded on BOTH sides — `begin < commit <= end`
+    * — with `end` pinned to the MAX observed at pull time, so files
+    * landing in the directory between the pull and a later action
+    * cannot leak rows above the watermark the caller will commit.
+    * Both bounds are plain Catalyst predicates pushed to the scan.
     */
-  def read(tableName: String, path: String, commitColumn: String): DataFrame = {
+  def pull(tableName: String, path: String, commitColumn: String): (DataFrame, Option[String]) = {
     val df = spark.read.parquet(path)
-    val increment = store.read(tableName) match {
+    val sinceCheckpoint = store.read(tableName) match {
       case Some(cp) => df.filter(col(commitColumn) > toCommit(df, commitColumn, cp.lastProcessedCommit))
       case None     => df // first run: from the beginning, like the reference's begin_commit-1
     }
     // Driver-side O(1): a single MAX over the increment decides the
-    // next checkpoint; empty increment → checkpoint unchanged.
-    val maxCommit = increment.agg(max(col(commitColumn)).cast("string")).collect()(0)
-    if (!maxCommit.isNullAt(0)) {
-      store.write(Checkpoint(tableName, maxCommit.getString(0), path))
+    // next watermark; empty increment → no watermark to advance.
+    val maxCommit = sinceCheckpoint.agg(max(col(commitColumn)).cast("string")).collect()(0)
+    if (maxCommit.isNullAt(0)) (sinceCheckpoint, None)
+    else {
+      val end = maxCommit.getString(0)
+      (sinceCheckpoint.filter(col(commitColumn) <= toCommit(df, commitColumn, end)), Some(end))
     }
+  }
+
+  /** Persist a processed watermark — the caller invokes this AFTER
+    * materializing the increment, giving at-least-once delivery.
+    */
+  def commit(tableName: String, path: String, watermark: String): Unit =
+    store.write(Checkpoint(tableName, watermark, path))
+
+  /** Reference-fidelity one-shot read: pull and immediately advance
+    * the checkpoint, exactly like `HUDIIncrementalReader.read`
+    * (reference: template.py:197-217). NOTE this is at-most-once —
+    * the checkpoint advances before the caller materializes the
+    * increment, so a downstream failure skips it. Callers that need
+    * at-least-once use `pull` + `commit`.
+    */
+  def read(tableName: String, path: String, commitColumn: String): DataFrame = {
+    val (increment, watermark) = pull(tableName, path, commitColumn)
+    watermark.foreach(commit(tableName, path, _))
     increment
   }
 

@@ -54,10 +54,63 @@ object UpsertWriter {
       .drop("_graft_rn")
   }
 
-  /** Upsert `updates` into the table at `targetPath`: union existing
-    * data (if any) with updates, merge latest-wins, write back
-    * copy-on-write. Optional hive-style partitioning and clustering
-    * (sort-within-partitions on `clusterBy`).
+  // -----------------------------------------------------------------
+  // Versioned copy-on-write table layout (the graft timeline):
+  //
+  //   targetPath/
+  //     v00000001/ ... parquet files ... _graft_commit
+  //     v00000002/ ... parquet files ... _graft_commit
+  //
+  // Versions are IMMUTABLE; a version exists for readers iff its
+  // `_graft_commit` marker file exists, and the marker is written only
+  // after the parquet write completes. A crash mid-write therefore
+  // leaves an ignorable uncommitted directory — readers always resolve
+  // a complete previous version, and there is no delete/rename window
+  // with no live table (the flaw of swap-in-place COW). This mirrors
+  // the reference's Hudi timeline + cleaner
+  // (generate_hudi_table.py:158-176: CLEANER_POLICY KEEP_LATEST_COMMITS).
+  // -----------------------------------------------------------------
+
+  private val CommitMarker = "_graft_commit"
+  private val VersionRe = """v(\d{8})""".r
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def committedVersions(fs: FileSystem, target: Path): Seq[(Int, Path)] =
+    if (!fs.exists(target)) Nil
+    else
+      fs.listStatus(target).toIndexedSeq
+        .filter(_.isDirectory)
+        .flatMap { st =>
+          st.getPath.getName match {
+            case VersionRe(num) if fs.exists(new Path(st.getPath, CommitMarker)) =>
+              Some(num.toInt -> st.getPath)
+            case _ => None
+          }
+        }
+        .sortBy(_._1)
+
+  /** Latest committed version directory, if the table exists. */
+  def latestVersion(spark: org.apache.spark.sql.SparkSession, targetPath: String): Option[String] = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, target).lastOption.map(_._2.toString)
+  }
+
+  /** Snapshot read of the latest committed version. Falls back to a
+    * plain parquet read for non-versioned (external) directories.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, targetPath: String): DataFrame =
+    latestVersion(spark, targetPath) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None      => spark.read.parquet(targetPath)
+    }
+
+  /** Upsert `updates` into the table at `targetPath`: union the latest
+    * committed version (if any) with updates, merge latest-wins, write
+    * a NEW immutable version, commit it with a marker file, then clean
+    * versions beyond `keepVersions`. Optional hive-style partitioning
+    * and clustering (sort-within-partitions on `clusterBy`).
     */
   def upsert(
       updates: DataFrame,
@@ -65,34 +118,37 @@ object UpsertWriter {
       recordKeys: Seq[String],
       precombine: String,
       partitionBy: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): Unit = {
-    import org.apache.hadoop.fs.Path
+      clusterBy: Seq[String] = Nil,
+      keepVersions: Int = 2): Unit = {
     val spark = updates.sparkSession
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, target)
 
     // Updates win over existing rows at equal precombine values.
-    val merged =
-      if (fs.exists(target)) {
-        val existing = spark.read.parquet(targetPath).withColumn("_graft_src", lit(0))
+    val merged = versions.lastOption match {
+      case Some((_, latest)) =>
+        val existing = spark.read.parquet(latest.toString).withColumn("_graft_src", lit(0))
         val tagged = updates.withColumn("_graft_src", lit(1)).unionByName(existing)
         merge(tagged, recordKeys, precombine, tiebreakers = Seq("_graft_src")).drop("_graft_src")
-      } else {
+      case None =>
         merge(updates, recordKeys, precombine)
-      }
+    }
 
     val clustered =
       if (clusterBy.nonEmpty) merged.sortWithinPartitions(clusterBy.map(col): _*)
       else merged
 
-    // Copy-on-write: materialize the new version beside the old one,
-    // then swap — never overwrite a path the plan is still reading.
-    val tmp = new Path(targetPath + "._graft_cow_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val nextNum = versions.lastOption.map(_._1 + 1).getOrElse(1)
+    val versionDir = new Path(target, f"v$nextNum%08d")
+    if (fs.exists(versionDir)) fs.delete(versionDir, true) // uncommitted debris from a crash
     val writer = clustered.write.mode(SaveMode.Overwrite)
     val partitioned = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
-    partitioned.parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+    partitioned.parquet(versionDir.toString)
+    fs.create(new Path(versionDir, CommitMarker), true).close() // commit point
+
+    // Cleaner: drop committed versions beyond the retention window.
+    val committed = committedVersions(fs, target)
+    committed.dropRight(keepVersions).foreach { case (_, dir) => fs.delete(dir, true) }
   }
 }

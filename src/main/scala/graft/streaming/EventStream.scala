@@ -27,7 +27,10 @@ object EventStream {
     */
   def hourlyAgg(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.readStream.schema(rawSchema).parquet(path)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    // Watermarks require TIMESTAMP (not NTZ); the session runs UTC so
+    // the instant equals the NTZ wall-clock. Cast back to NTZ on the
+    // way out for parity with the batch tables.
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -35,8 +38,30 @@ object EventStream {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
       .select(
-        col("w.start").as("window_start"),
+        col("w.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Spark's file stream source lists a DIRECTORY; the driver testdata
+    * is one bare parquet file per table. Stage a file path into a
+    * scratch directory (one hardlink/copy) so `readStream` can consume
+    * it; real directories pass through untouched. Cluster deployments
+    * stream directories natively — this shim only exists for the
+    * single-file test layout.
+    */
+  def streamableDir(spark: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val p = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (fs.getFileStatus(p).isDirectory) path
+    else {
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream-stage-")
+      stage.toFile.deleteOnExit()
+      val dst = new Path(stage.toUri.toString, p.getName)
+      FileUtil.copy(fs, p, dst.getFileSystem(conf), dst, false, conf)
+      stage.toUri.toString
+    }
   }
 
   /** Run the streaming agg to completion over the (finite) directory
@@ -45,7 +70,7 @@ object EventStream {
     * trailing windows that append-mode watermarking would hold back.
     */
   def runToBatch(spark: SparkSession, path: String, queryName: String = "graft_stream_out"): DataFrame = {
-    val q = hourlyAgg(spark, path).writeStream
+    val q = hourlyAgg(spark, streamableDir(spark, path)).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
