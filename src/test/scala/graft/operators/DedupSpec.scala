@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  // A planted corpus: 1=2 identical, 3 near-dup of 1 (one word differs),
+  // 4 unrelated, 5 shorter than the shingle width, 6 empty-ish.
+  private def corpus = docsDf(Seq(
+    1L -> "the quick brown fox jumps over the lazy dog again and again today",
+    2L -> "the quick brown fox jumps over the lazy dog again and again today",
+    3L -> "the quick brown fox jumps over the lazy cat again and again today",
+    4L -> "completely different words in this one nothing shared with others here",
+    5L -> "too few words",
+    6L -> "x"))
+
+  test("shingles: n-grams, dedup, short docs yield empty (no crash)") {
+    val out = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 5).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).head == "the quick brown fox jumps")
+    assert(out(1L).size == 13 - 4)
+    assert(out(5L).isEmpty) // 3 tokens < n=5: the ADVICE regression
+    assert(out(6L).isEmpty)
+  }
+
+  test("hashedShingles sets mirror string shingle sets in size") {
+    val both = corpus.select(
+      size(Dedup.shingles(col("text"), 5)).as("ns"),
+      size(Dedup.hashedShingles(col("text"), 5)).as("nh"))
+    assert(both.filter(col("ns") =!= col("nh")).count() == 0)
+  }
+
+  test("exact: lowest id survives per identical content") {
+    val out = Dedup.exact(corpus, "text", "doc_id")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 3L, 4L, 5L, 6L))) // 2 collapsed into 1
+  }
+
+  test("ngramJaccardPairs: identical=1.0, near-dup high, unrelated absent") {
+    // docs 1/3 differ at one token inside 13: 4 of 9+9 shingles shared
+    // -> Jaccard 4/14 ≈ 0.286
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 5, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(math.abs(pairs((1L, 3L)) - 4.0 / 14.0) < 1e-12)
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashLshPairs: exact on candidates, full recall on planted dups") {
+    val exactPairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 5, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", n = 5, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // no false positives (verified), and the planted high-sim pairs recalled
+    assert(lsh.map(_._1).toSet.subsetOf(exactPairs))
+    assert(lsh.map(_._1).toSet.contains((1L, 2L)))
+    assert(lsh.collect { case ((1L, 2L), j) => j }.head == 1.0)
+  }
+
+  test("minhashLshPairs recall vs exact on the sf0.001 documents table") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification kills false positives
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("simhashPairs: identical docs at hamming 0; unrelated absent") {
+    val out = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
+    assert(out((1L, 2L)) == 0L)
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}

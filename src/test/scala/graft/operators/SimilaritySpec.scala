@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TopKBuffer, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("cosine expression: known geometry, zero-vector safe") {
+    val df = vecs(
+      1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(2f, 0f), 4L -> Seq(0f, 0f))
+    val self = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(self((1L, 3L)) - 1.0) < 1e-12) // parallel
+    assert(math.abs(self((1L, 2L))) < 1e-12)       // orthogonal
+    assert(self((4L, 1L)) == 0.0)                  // zero vector -> 0, not NaN
+  }
+
+  test("bruteForceTopK: exact ranks with id tie-break, self excluded") {
+    val df = vecs(
+      1L -> Seq(1f, 0f),
+      2L -> Seq(1f, 0f),   // identical to 1 -> sim 1.0
+      3L -> Seq(0.9f, 0.1f),
+      4L -> Seq(0f, 1f))
+    val out = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 1), k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.sameElements(Array((1, 2L), (2, 3L))))
+  }
+
+  test("lshTopK: same-bucket neighbors recalled; output is subset of brute force") {
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2 planes -> ~1/4 of the corpus probed per query; recall well above
+    // the random-candidate floor but below exact by design
+    val lsh = Similarity.lshTopK(emb, queries, k = 10, numPlanes = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    val recall = (lsh intersect brute).size.toDouble / brute.size
+    assert(recall > 0.25, s"lsh recall $recall")
+  }
+
+  test("embeddingNearDupPairs: threshold filter, a<b ordering") {
+    val df = vecs(1L -> Seq(1f, 0f), 2L -> Seq(1f, 0.01f), 3L -> Seq(0f, 1f))
+    val out = Similarity.embeddingNearDupPairs(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sameElements(Array((1L, 2L))))
+  }
+
+  test("TopKBuffer: bounded, merge-correct, deterministic under ties") {
+    val b1 = new TopKBuffer(3)
+    Seq(0.5 -> 10L, 0.9 -> 3L, 0.9 -> 2L, 0.1 -> 7L, 0.7 -> 1L)
+      .foreach { case (s, i) => b1.insert(s, i) }
+    assert(b1.sortedDesc.toSeq == Seq((0.9, 2L), (0.9, 3L), (0.7, 1L)))
+
+    val b2 = new TopKBuffer(3)
+    Seq(0.95 -> 99L, 0.05 -> 98L).foreach { case (s, i) => b2.insert(s, i) }
+    b1.mergeFrom(b2)
+    assert(b1.sortedDesc.toSeq == Seq((0.95, 99L), (0.9, 2L), (0.9, 3L)))
+
+    val rt = TopKBuffer.fromBytes(b1.toBytes)
+    assert(rt.sortedDesc.toSeq == b1.sortedDesc.toSeq)
+  }
+}

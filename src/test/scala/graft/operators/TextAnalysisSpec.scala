@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.GraftHash
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = docsDf(Seq(1L -> "the cat sat", 2L -> "hello, world 42!"))
+    val out = TextAnalysis.withTokenCounts(df)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == ((3, 3)))
+    // "hello, world 42!" -> hello | , | world | 42 | !  = 5 BPE-ish tokens
+    assert(out(2L) == ((3, 5)))
+  }
+
+  test("quality metrics: ratios in range, stopword-rich text scores higher") {
+    val df = docsDf(Seq(
+      1L -> "the of and to in is that it was for",
+      2L -> "zx qv wk jm pl nt rs bg df hc"))
+    val out = TextAnalysis.withQuality(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality_score"))).toMap
+    assert(out(1L) > out(2L))
+    assert(out.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("language id votes by stopwords, deterministic, und when no hits") {
+    val df = docsDf(Seq(
+      1L -> "the cat is in the house and it was for sale",
+      2L -> "le chat est dans la maison et les oiseaux pour pas",
+      3L -> "der hund ist nicht mit der katze und das haus",
+      4L -> "zzz qqq www"))
+    val out = TextAnalysis.withLangId(df)
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("lang_pred"))).toMap
+    assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "de" && out(4L) == "und")
+  }
+
+  test("fingerprint: normalization collapses case/whitespace; FNV vector stable") {
+    val df = docsDf(Seq(1L -> "Hello  World", 2L -> "hello world", 3L -> "other"))
+    val fps = TextAnalysis.withFingerprint(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("fingerprint"))).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    // documented FNV-1a-with-base-31 kernel is locked to a known value
+    assert(fps(2L) == GraftHash.fnv1a64("hello world".getBytes("UTF-8")))
+  }
+
+  test("simhash kernel: identical token arrays hash identically, codegen == interpreted") {
+    val df = docsDf(Seq(1L -> "a b c d e f", 2L -> "a b c d e f"))
+    val sigs = df.select(graft.functions.HashFunctions.simhash64(split(col("text"), " ")))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    val toks = "a b c d e f".split(" ").iterator.map(_.getBytes("UTF-8"))
+    assert(sigs(0) == GraftHash.simhash64(toks))
+  }
+}

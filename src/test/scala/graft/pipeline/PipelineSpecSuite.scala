@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.time.Instant
+
+class PipelineSpecSuite extends SparkSpec {
+
+  test("ReportWriter: date-partitioned single CSV, lossless roundtrip, expiring URL") {
+    val fixed = Instant.parse("2026-03-05T10:00:00Z")
+    val writer = new ReportWriter(tmpDir("graft-report-"), clock = () => fixed)
+    val df = graft.sources.TableLoader.table(spark, sfDir, "orders").limit(100)
+    val handle = writer.write(df, expiresInSeconds = 3600)
+
+    assert(handle.path.contains("reports/year=2026/month=3/day=5/"))
+    assert(handle.path.endsWith(".csv"))
+    assert(handle.url == s"file://${handle.path}")
+    assert(handle.expiresAt == fixed.plusSeconds(3600))
+
+    val back = spark.read.schema(df.schema).option("header", "true").csv(handle.path)
+    assert(back.count() == 100)
+    assert(df.exceptAll(back).isEmpty)
+  }
+
+  test("email template renders the reference card with the download link") {
+    val html = DownloadReportEmailTemplate("file:///tmp/r.csv").render()
+    assert(html.contains("""<a href="file:///tmp/r.csv""""))
+    assert(html.contains("Download Report"))
+    assert(html.contains("Thank you for using our service"))
+  }
+
+  test("ReportPipeline.run: FULL + INC sources -> SQL -> CSV -> email") {
+    val sender = new LoggingEmailSender
+    val pipeline = new ReportPipeline(spark, tmpDir("graft-pipe-ckpt-"), sender)
+    val spec = PipelineSpec(
+      sources = Seq(
+        SourceSpec("orders", s"$sfDir/orders.parquet"),
+        SourceSpec("customer", s"$sfDir/customer.parquet"),
+        SourceSpec("events", s"$sfDir/events.parquet", mode = LoadMode.Incremental, commitColumn = "ts")),
+      transform = TransformSpec(
+        """SELECT o.o_orderkey, c.c_name
+          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin),
+      report = Some(ReportSpec("from@x", "to@x", "Your report", tmpDir("graft-pipe-report-"))))
+
+    val (result, handle) = pipeline.run(spec)
+    assert(result.count() > 0)
+    assert(handle.nonEmpty)
+    assert(sender.sent.map(_.subject) == Seq("Your report"))
+    assert(sender.sent.head.htmlBody.contains(handle.get.url))
+    // INC source registered too: second load yields an empty increment view
+    pipeline.loadSources(spec)
+    assert(spark.table("events").count() == 0)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+class UpsertWriterSpec extends SparkSpec {
+
+  private def df(rows: (Long, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("k", "ver", "payload")
+  }
+
+  test("merge: latest precombine wins, deterministic on ties via tiebreakers") {
+    val in = df((1L, 1L, "old"), (1L, 2L, "new"), (2L, 1L, "only"))
+    val out = UpsertWriter.merge(in, Seq("k"), "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "new", 2L -> "only"))
+
+    // tie on ver: tiebreaker column decides, not input order
+    val tie = df((1L, 1L, "a"), (1L, 1L, "b"))
+      .withColumn("src", org.apache.spark.sql.functions.expr("CASE WHEN payload='b' THEN 1 ELSE 0 END"))
+    val won = UpsertWriter.merge(tie, Seq("k"), "ver", tiebreakers = Seq("src"))
+      .collect().map(_.getString(2))
+    assert(won.sameElements(Array("b")))
+  }
+
+  test("merge equals the window-based oracle shape on sf0.001 events") {
+    val events = TableLoader.table(spark, sfDir, "events")
+    val a = UpsertWriter.merge(events, Seq("user_id"), "ts", Seq("event_id"))
+    val b = UpsertWriter.mergeViaWindow(events, Seq("user_id"), "ts", Seq("event_id"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("upsert: immutable versions, latest-read, updates win, cleaner retains") {
+    val table = tmpDir("graft-upsert-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "v1"), (2L, 1L, "x")), table, Seq("k"), "ver")
+    assert(UpsertWriter.latestVersion(spark, table).get.endsWith("v00000001"))
+
+    // second upsert: same key, same precombine — the UPDATE must win
+    UpsertWriter.upsert(df((1L, 1L, "v2")), table, Seq("k"), "ver")
+    val out = UpsertWriter.read(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "v2", 2L -> "x"))
+    assert(UpsertWriter.latestVersion(spark, table).get.endsWith("v00000002"))
+
+    // a third upsert triggers the cleaner (keepVersions=2): v1 is gone
+    UpsertWriter.upsert(df((3L, 1L, "y")), table, Seq("k"), "ver")
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(table, "v00000001")))
+    assert(fs.exists(new Path(table, "v00000002")))
+    assert(UpsertWriter.read(spark, table).count() == 3)
+  }
+
+  test("crash safety: an uncommitted version directory is invisible") {
+    val table = tmpDir("graft-upsert-crash-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "good")), table, Seq("k"), "ver")
+    // simulate a writer that died before its commit marker
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(table, "v00000002"))
+    assert(UpsertWriter.latestVersion(spark, table).get.endsWith("v00000001"))
+    assert(UpsertWriter.read(spark, table).count() == 1)
+    // and the next upsert reclaims the debris dir
+    UpsertWriter.upsert(df((2L, 1L, "next")), table, Seq("k"), "ver")
+    assert(UpsertWriter.read(spark, table).count() == 2)
+  }
+
+  test("hive-style partitioned + clustered write") {
+    val table = tmpDir("graft-upsert-part-") + "/t"
+    val s = spark
+    import s.implicits._
+    val in = Seq((1L, 1L, "a", "p1"), (2L, 1L, "b", "p2")).toDF("k", "ver", "payload", "part")
+    UpsertWriter.upsert(in, table, Seq("k"), "ver", partitionBy = Seq("part"), clusterBy = Seq("k"))
+    val vdir = UpsertWriter.latestVersion(spark, table).get
+    val fs = new Path(vdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(vdir, "part=p1")) && fs.exists(new Path(vdir, "part=p2")))
+    assert(UpsertWriter.read(spark, table).count() == 2)
+  }
+}
