@@ -109,15 +109,16 @@ object Dedup {
     // of skipping empty shingle sets.
     val sh = df.select(col(idCol).as("doc"), explode(hashedShingles(col(textCol), n)).as("h"))
 
-    // Signature row per doc: min over the doc's shingles of the s-th
-    // permutation hash xxhash64(s, h). One hash aggregate.
-    val minCols = (0 until numHashes).map(s => min(xxhash64(lit(s), col("h"))).as(s"_m$s"))
-    val sigs = sh.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
+    // Signature row per doc: all `numHashes` permutation minima in ONE
+    // imperative aggregate (map-side combine; see MinHashAggregate for
+    // why not numHashes separate min() columns).
+    val sigs = sh.groupBy(col("doc"))
+      .agg(graft.functions.MinHashFunctions.minhash(col("h"), numHashes).as("sig"))
 
-    // Band key = hash of (band index, that band's slice of signature
-    // columns); docs sharing any band key become candidates.
+    // Band key = hash of (band index, that band's slice of the
+    // signature); docs sharing any band key become candidates.
     val bandKeys = (0 until bands).map { b =>
-      val slice = (b * rows until (b + 1) * rows).map(i => col(s"_m$i"))
+      val slice = (b * rows until (b + 1) * rows).map(i => col("sig").getItem(i))
       xxhash64((lit(b) +: slice): _*)
     }
     val banded = sigs.select(col("doc"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
