@@ -280,6 +280,27 @@ object Queries {
         |  FROM orders
         |) WHERE rk <= 3""".stripMargin))
 
+  /** #19b Top-k per group via the bounded-heap aggregate — identical
+    * result (and oracle) to the window variant, but the scale-correct
+    * plan: O(k) state per group with map-side combine instead of a
+    * full partition sort. Same SQL oracle as q_topk_per_group.
+    */
+  val qTopkHeap: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ord = t(s, dir, "orders")
+      ord.groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKFunctions.top_k(col("o_totalprice"), col("o_orderkey"), 3).as("hits"))
+        .select(col("o_custkey"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("o_custkey"), col("hit.id").as("o_orderkey"),
+          col("hit.score").as("o_totalprice"), (col("pos") + 1).cast("int").as("rk"))
+    },
+    oracle = Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |) WHERE rk <= 3""".stripMargin))
+
   /** #20 Anti join: customers with no big-ticket order (NOT EXISTS).
     * The threshold keeps the result non-empty at every SF so the
     * check actually exercises rows.
@@ -483,6 +504,48 @@ object Queries {
     },
     oracle = None)
 
+  /** #35 End-to-end corpus curation: quality scoring → language ID →
+    * quality/length filter → exact dedup, the composed
+    * training-data-prep pipeline over the documents table. Every stage
+    * is one of the already-oracled operators; this query checks the
+    * COMPOSITION against a single SQL oracle.
+    */
+  val qCurateDocs: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(t(s, dir, "documents")))
+      val filtered = scored.filter(col("quality_score") >= 0.45 && col("n_tokens") >= 20)
+      Dedup.exact(filtered, "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("lang_pred"), col("n_tokens"), col("quality_score"))
+    },
+    oracle = {
+      val hits = graft.operators.TextAnalysis.Stopwords
+        .map { case (code, words) => s"${duckHits(words)} AS c_$code" }
+        .mkString(",\n    ")
+      val codes = graft.operators.TextAnalysis.Stopwords.map(_._1)
+      val whens = codes.map(c => s"WHEN c_$c = m THEN '$c'").mkString(" ")
+      Some(
+        s"""WITH h AS (
+           |  SELECT doc_id, lang, text,
+           |    len(string_split(text, ' ')) AS nt,
+           |    $hits
+           |  FROM documents
+           |), m AS (
+           |  SELECT *, greatest(${codes.map("c_" + _).mkString(", ")}) AS m FROM h
+           |), scored AS (
+           |  SELECT doc_id, lang, text,
+           |    CAST(nt AS BIGINT) AS n_tokens,
+           |    least(1.0, (CAST(nt AS DOUBLE) / 100) * 0.5 + ((CAST(c_en AS DOUBLE) / nt) * 5) * 0.5) AS quality_score,
+           |    CASE WHEN m = 0 THEN 'und' $whens ELSE 'und' END AS lang_pred
+           |  FROM m
+           |), filtered AS (
+           |  SELECT * FROM scored WHERE quality_score >= 0.45 AND n_tokens >= 20
+           |), dedup AS (
+           |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM filtered
+           |)
+           |SELECT doc_id, lang, lang_pred, n_tokens, quality_score FROM dedup WHERE rn = 1""".stripMargin)
+    })
+
   /** #34 Multimodal plumbing: binary payloads -> batch decode stub ->
     * feature columns (deterministic fake codec) — rows-only + spec.
     */
@@ -511,6 +574,8 @@ object Queries {
     "q5_star_join" -> q5StarJoin,
     "q_window_running" -> qWindowRunning,
     "q_topk_per_group" -> qTopkPerGroup,
+    "q_topk_heap" -> qTopkHeap,
+    "curate_docs" -> qCurateDocs,
     "q_anti_join" -> qAntiJoin,
     "q_stream_window" -> qStreamWindow,
     "text_tokens" -> qTextTokens,
