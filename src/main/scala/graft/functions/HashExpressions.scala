@@ -25,6 +25,40 @@ object GraftHash {
     h
   }
 
+  /** Distinct hashed word n-grams of a token array, sorted ascending:
+    * per-word FNV hash once, then an order-sensitive mix-chain over
+    * each n-window — no shingle strings are ever materialized (the
+    * equivalent `transform(sequence, slice+concat_ws+xxhash64)` HOF
+    * chain is interpreted and allocates a slice array plus a joined
+    * string per shingle). Sorted+distinct so set semantics are
+    * explicit and downstream intersects see ordered input.
+    */
+  def hashedShingles(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      wh(i) = if (words.isNullAt(i)) 0L else fnv1a64(words.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val k = m - n + 1
+    val vals = new Array[Long](k)
+    var p = 0
+    while (p < k) {
+      var h = Offset
+      var j = p
+      while (j < p + n) { h = MinHashMix.mix(h ^ wh(j), n); j += 1 }
+      vals(p) = h
+      p += 1
+    }
+    java.util.Arrays.sort(vals)
+    var uniq = 1
+    var q = 1
+    while (q < k) { if (vals(q) != vals(q - 1)) { vals(uniq) = vals(q); uniq += 1 }; q += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(java.util.Arrays.copyOf(vals, uniq))
+  }
+
   /** SimHash64: per-token FNV hash; each of 64 bit positions votes
     * +1/-1 per token; sign of the tally becomes the output bit. */
   def simhash64(tokens: Iterator[Array[Byte]]): Long = {
@@ -95,7 +129,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** hashed_shingles(array<string>, n) -> sorted distinct array<long> */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.hashedShingles(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.hashedShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashFunctions {
   def fingerprint64(c: Column): Column = toColumn(Fingerprint64(toExpr(c)))
   def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpr(tokens)))
+  def hashedShingles(words: Column, n: Int): Column = toColumn(HashedShingles(toExpr(words), n))
 }

@@ -41,6 +41,59 @@ object MinHashMix {
       s += 1
     }
   }
+
+  /** Full signature of one shingle-hash set (the per-doc kernel the
+    * scalar expression and the aggregate must agree on).
+    */
+  def signature(hashes: Array[Long], numHashes: Int): Array[Long] = {
+    val buf = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) { updateAll(buf, hashes(i)); i += 1 }
+    buf
+  }
+
+  /** Banded LSH keys of one shingle-hash set: signature + per-band key
+    * folding in ONE pass — per-doc scalar work, no shuffle required to
+    * build signatures (a groupBy would shuffle every exploded shingle).
+    */
+  def bandKeys(arr: org.apache.spark.sql.catalyst.util.ArrayData, numHashes: Int, bands: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val rows = numHashes / bands
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) { updateAll(sig, arr.getLong(i)); i += 1 }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = mix(b.toLong, numHashes) // band-distinct seed
+      var j = b * rows
+      while (j < (b + 1) * rows) { k = mix(k ^ sig(j), j); j += 1 }
+      keys(b) = k
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+}
+
+/** `lsh_band_keys(shingleHashes, numHashes, bands)` -> array<long>
+  * of length `bands`. Scalar (no aggregation): two docs are LSH
+  * candidates iff they share key value at any band position.
+  */
+case class LshBandKeys(child: Expression, numHashes: Int, bands: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashMix.bandKeys(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes, bands)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashMix.bandKeys($c, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class MinHashAggregate(
@@ -91,4 +144,8 @@ object MinHashFunctions {
   /** Column API: `minhash(shingleHash, numHashes)` aggregate -> array<long>. */
   def minhash(shingleHash: Column, numHashes: Int): Column =
     toColumn(MinHashAggregate(toExpr(shingleHash), numHashes).toAggregateExpression())
+
+  /** Column API: `lsh_band_keys(shingleHashArray, numHashes, bands)`. */
+  def lshBandKeys(shingleHashes: Column, numHashes: Int, bands: Int): Column =
+    toColumn(LshBandKeys(toExpr(shingleHashes), numHashes, bands))
 }

@@ -46,13 +46,11 @@ object Dedup {
     * smaller shuffles, codegen'd equality, and set sizes identical to
     * the string shingle sets up to 64-bit collisions (~(k²/2⁶⁵) per
     * corpus of k distinct shingles — negligible below billions).
+    * One codegen'd kernel (`GraftHash.hashedShingles`): per-word hash
+    * once, mix-chain per window — no shingle strings materialized.
     */
-  def hashedShingles(text: Column, n: Int): Column = {
-    val w = split(text, " ")
-    val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(w, i, lit(n))))))
-  }
+  def hashedShingles(text: Column, n: Int): Column =
+    HashFunctions.hashedShingles(split(text, " "), n)
 
   /** Pairs (doc_a < doc_b) with n-gram Jaccard >= threshold, via an
     * inverted-index join: explode HASHED shingles, join on the 64-bit
@@ -63,7 +61,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
     val sh = df.select(col(idCol).as("doc"), explode(hashedShingles(col(textCol), n)).as("h"))
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("nsh"))
+    // set size is a per-doc projection (the shingle array is already
+    // distinct) — NOT an explode+groupBy, which would shuffle every
+    // shingle row just to count them
+    val sizes = df.select(col(idCol).as("doc"), size(hashedShingles(col(textCol), n)).as("nsh"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -102,26 +103,21 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
 
-    // (doc, shingle-hash) — computed once; docs shorter than n tokens
-    // have no shingles and drop out here, like the reference behavior
-    // of skipping empty shingle sets.
-    val sh = df.select(col(idCol).as("doc"), explode(hashedShingles(col(textCol), n)).as("h"))
+    // Per-doc shingle-hash set as a projection; docs shorter than n
+    // tokens have an empty set and drop out, like the reference
+    // behavior of skipping empty shingle sets.
+    val docsH = df.select(col(idCol).as("doc"), hashedShingles(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
 
-    // Signature row per doc: all `numHashes` permutation minima in ONE
-    // imperative aggregate (map-side combine; see MinHashAggregate for
-    // why not numHashes separate min() columns).
-    val sigs = sh.groupBy(col("doc"))
-      .agg(graft.functions.MinHashFunctions.minhash(col("h"), numHashes).as("sig"))
-
-    // Band key = hash of (band index, that band's slice of the
-    // signature); docs sharing any band key become candidates.
-    val bandKeys = (0 until bands).map { b =>
-      val slice = (b * rows until (b + 1) * rows).map(i => col("sig").getItem(i))
-      xxhash64((lit(b) +: slice): _*)
-    }
-    val banded = sigs.select(col("doc"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    // Banded LSH keys per doc in ONE scalar pass (signature + band
+    // folding inside LshBandKeys — no shuffle to build signatures;
+    // compare the groupBy-the-exploded-shingles alternative, which
+    // shuffles every (doc, shingle) row first).
+    val banded = docsH.select(
+      col("doc"),
+      posexplode(graft.functions.MinHashFunctions.lshBandKeys(col("hs"), numHashes, bands))
+        .as(Seq("band", "bkey")))
 
     val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc") < col("b.doc"))
@@ -130,8 +126,7 @@ object Dedup {
 
     // Exact verification on the candidate set only: shingle-hash sets
     // are ~doc-length longs, joined to the (small) candidate list.
-    val sets = sh.groupBy(col("doc"))
-      .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("nsh"))
+    val sets = docsH.select(col("doc"), col("hs"), size(col("hs")).as("nsh"))
     val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
     val union = (col("nsh_a") + col("nsh_b")).cast("double") - inter
     candidates
