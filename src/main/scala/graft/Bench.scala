@@ -26,6 +26,17 @@ object Bench {
       val w = spark.read.parquet(s"$sfDir/nation.parquet")
       w.join(w.selectExpr("n_nationkey as k"), w("n_nationkey") === org.apache.spark.sql.functions.col("k"))
         .groupBy("n_regionkey").count().collect()
+      // Structured Streaming machinery (micro-batch engine, state
+      // store, file source) loads lazily — absorb it here too.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-warm-")
+      tmp.toFile.deleteOnExit()
+      spark.range(10L).write.mode("overwrite").parquet(tmp.toString)
+      val q = spark.readStream.schema("id LONG").parquet(tmp.toString)
+        .groupBy().count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_bench_warmup_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
     } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

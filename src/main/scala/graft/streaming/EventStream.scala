@@ -70,13 +70,28 @@ object EventStream {
     * trailing windows that append-mode watermarking would hold back.
     */
   def runToBatch(spark: SparkSession, path: String, queryName: String = "graft_stream_out"): DataFrame = {
-    val q = hourlyAgg(spark, streamableDir(spark, path)).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful-agg parallelism is pinned per query at plan time from
+    // spark.sql.shuffle.partitions; windowed-agg state here is tiny
+    // (one row per (window, type)), so fewer state stores means fewer
+    // per-batch checkpoint commits. Scoped to this query: the session
+    // conf is restored afterwards.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = hourlyAgg(spark, streamableDir(spark, path)).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
     spark.table(queryName)
   }
 }
