@@ -39,7 +39,8 @@ final case class ReportSpec(
     recipientEmail: String,
     subject: String,
     reportRoot: String,
-    fileExpiresInSeconds: Long = 86400L)
+    fileExpiresInSeconds: Long = 86400L,
+    notifyTopic: Option[String] = None)
 
 final case class PipelineSpec(
     sources: Seq[SourceSpec],

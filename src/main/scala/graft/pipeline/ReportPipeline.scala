@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class ReportPipeline(
     spark: SparkSession,
     checkpointRoot: String,
-    emailSender: EmailSender = new LoggingEmailSender) {
+    emailSender: EmailSender = new LoggingEmailSender,
+    notifier: Notifier = new LoggingNotifier) {
 
   private lazy val store = new CheckpointStore(checkpointRoot, spark.sparkContext.hadoopConfiguration)
   private lazy val incremental = new IncrementalReader(spark, store)
@@ -34,8 +35,10 @@ class ReportPipeline(
     spark.sql(spec.transform.query)
   }
 
-  /** Full run: transform → CSV report → download URL → email.
-    * Returns the result DataFrame and the report handle.
+  /** Full run: transform → CSV report → download URL → email, plus an
+    * optional topic notification (the reference's "SNS OR SES" — both
+    * channels carry the download link). Returns the result DataFrame
+    * and the report handle.
     */
   def run(spec: PipelineSpec): (DataFrame, Option[ReportHandle]) = {
     val result = transform(spec)
@@ -47,6 +50,10 @@ class ReportPipeline(
         recipient = rs.recipientEmail,
         subject = rs.subject,
         htmlBody = DownloadReportEmailTemplate(h.url).render()))
+      rs.notifyTopic.foreach { topic =>
+        notifier.publish(Notification(topic, rs.subject,
+          s"Report ready: ${h.url} (expires ${h.expiresAt})"))
+      }
       h
     }
     (result, handle)

@@ -30,9 +30,10 @@ class PipelineSpecSuite extends SparkSpec {
     assert(html.contains("Thank you for using our service"))
   }
 
-  test("ReportPipeline.run: FULL + INC sources -> SQL -> CSV -> email") {
+  test("ReportPipeline.run: FULL + INC sources -> SQL -> CSV -> email + topic") {
     val sender = new LoggingEmailSender
-    val pipeline = new ReportPipeline(spark, tmpDir("graft-pipe-ckpt-"), sender)
+    val notifier = new LoggingNotifier
+    val pipeline = new ReportPipeline(spark, tmpDir("graft-pipe-ckpt-"), sender, notifier)
     val spec = PipelineSpec(
       sources = Seq(
         SourceSpec("orders", s"$sfDir/orders.parquet"),
@@ -42,13 +43,16 @@ class PipelineSpecSuite extends SparkSpec {
         """SELECT o.o_orderkey, c.c_name
           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
           |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin),
-      report = Some(ReportSpec("from@x", "to@x", "Your report", tmpDir("graft-pipe-report-"))))
+      report = Some(ReportSpec("from@x", "to@x", "Your report", tmpDir("graft-pipe-report-"),
+        notifyTopic = Some("graft-reports"))))
 
     val (result, handle) = pipeline.run(spec)
     assert(result.count() > 0)
     assert(handle.nonEmpty)
     assert(sender.sent.map(_.subject) == Seq("Your report"))
     assert(sender.sent.head.htmlBody.contains(handle.get.url))
+    assert(notifier.published.map(_.topic) == Seq("graft-reports"))
+    assert(notifier.published.head.message.contains(handle.get.url))
     // INC source registered too: second load yields an empty increment view
     pipeline.loadSources(spec)
     assert(spark.table("events").count() == 0)
