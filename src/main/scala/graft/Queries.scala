@@ -59,7 +59,9 @@ object Queries {
   val qIncLoad: QueryDef = QueryDef(
     run = (s, dir) => {
       val rdr = new IncrementalReader(s, null) // readSince needs no store
-      rdr.readSince(t(s, dir, "events"), "ts", incWatermark)
+      // filter the RAW nanos column so the watermark is a pushed
+      // parquet predicate, then normalize (see readSinceNanos)
+      rdr.readSinceNanos(s.read.parquet(s"$dir/events.parquet"), "ts", incWatermark)
     },
     oracle = Some(s"SELECT * FROM events WHERE ts > TIMESTAMP '$incWatermark'"))
 

@@ -21,12 +21,16 @@ class ReportPipeline(
   /** Register every source as a temp view (reference: template.py:300-317). */
   def loadSources(spec: PipelineSpec): Unit =
     spec.sources.foreach { src =>
+      // Pipeline convention: a LONG commit column is epoch nanos and is
+      // presented to the transform SQL as TIMESTAMP_NTZ. The
+      // incremental filter runs on the raw column (pushed to the scan)
+      // BEFORE this normalization.
       val df: DataFrame = src.mode match {
-        case LoadMode.Full =>
-          graft.sources.TableLoader.normalizeNanos(spark.read.parquet(src.path), src.commitColumn)
+        case LoadMode.Full => spark.read.parquet(src.path)
         case LoadMode.Incremental => incremental.read(src.tableName, src.path, src.commitColumn)
       }
-      df.createOrReplaceTempView(src.tableName)
+      graft.sources.TableLoader.normalizeNanos(df, src.commitColumn)
+        .createOrReplaceTempView(src.tableName)
     }
 
   /** Run the transform SQL over the registered views. */

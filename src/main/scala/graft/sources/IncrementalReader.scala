@@ -33,6 +33,22 @@ class IncrementalReader(spark: SparkSession, store: CheckpointStore) {
   def readSince(df: DataFrame, commitColumn: String, begin: String): DataFrame =
     df.filter(col(commitColumn) > toCommit(df, commitColumn, begin))
 
+  /** Pushdown-preserving variant for tables whose commit column is a
+    * raw nanos-since-epoch long (the testdata `events.ts` shape): the
+    * timestamp watermark is converted to epoch nanos and applied to
+    * the RAW column — so it reaches the parquet scan as a pushed
+    * predicate (`PushedFilters: GreaterThan(ts, …)`) and prunes row
+    * groups — THEN the column is normalized to TIMESTAMP_NTZ. The
+    * values are micro-aligned, so raw-nanos > watermark-nanos is
+    * exactly the normalized-timestamp comparison. Falls back to the
+    * generic post-normalization filter for non-long columns.
+    */
+  def readSinceNanos(raw: DataFrame, commitColumn: String, begin: String): DataFrame =
+    if (raw.schema(commitColumn).dataType == org.apache.spark.sql.types.LongType)
+      TableLoader.normalizeNanos(
+        raw.filter(col(commitColumn) > lit(TableLoader.toEpochNanos(begin))), commitColumn)
+    else readSince(raw, commitColumn, begin)
+
   /** One incremental pull WITHOUT advancing the checkpoint: returns
     * the increment plus the watermark it ends at (None when empty).
     *

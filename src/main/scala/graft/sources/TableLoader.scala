@@ -35,6 +35,17 @@ object TableLoader {
       df.withColumn(column, timestamp_micros(expr(s"$column div 1000")).cast("timestamp_ntz"))
     else df
 
+  /** Epoch nanos of a UTC wall-clock timestamp string — for pushing a
+    * timestamp watermark down onto a RAW nanos-long column (a filter
+    * on the normalized column is post-scan; a filter on the raw long
+    * reaches the parquet reader as a pushed predicate).
+    */
+  def toEpochNanos(timestamp: String): Long = {
+    val t = java.time.LocalDateTime.parse(timestamp.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+    t.getEpochSecond * 1000000000L + t.getNano
+  }
+
   /** Read a table and register it as a temp view under its own name,
     * mirroring the reference's `createOrReplaceTempView(table_name)`.
     */

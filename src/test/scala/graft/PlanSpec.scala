@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.{IncrementalReader, TableLoader}
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression tests: the scale properties SURVEY §5 claims
+  * (pushdown, broadcast dimensions, partial aggregation) asserted
+  * against the actual physical plans, so a refactor that silently
+  * de-optimizes a plan fails CI — not just the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.treeString
+
+  test("incremental watermark is a pushed parquet predicate (raw nanos column)") {
+    val df = Queries.qIncLoad.run(spark, sfDir)
+    assert(plan(df).contains("GreaterThan(ts"), "watermark must reach the scan")
+    // and raw-column filtering is semantically the normalized filter
+    val viaNormalized = new IncrementalReader(spark, null)
+      .readSince(TableLoader.table(spark, sfDir, "events"), "ts", Queries.incWatermark)
+    assert(df.count() == viaNormalized.count())
+  }
+
+  test("star join (q5): every dimension joins broadcast, never sort-merge") {
+    val p = plan(Queries.q5StarJoin.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("flagship report join is a broadcast hash join") {
+    val p = plan(Queries.qReportUrgent.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1 aggregate is partial+final hash aggregation (map-side combine)") {
+    val p = plan(Queries.q1Agg.run(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("partial_"))
+  }
+
+  test("upsert merge: single shuffle, partial+final aggregate, no window") {
+    val p = plan(graft.sources.UpsertWriter.merge(
+      TableLoader.table(spark, sfDir, "events"), Seq("event_id"), "ts"))
+    // argmax of a whole row has a struct buffer, so Spark plans a
+    // SortAggregate (per-partition sorts) — the properties that matter
+    // at scale are: exactly ONE exchange, map-side partial combine,
+    // and no Window operator (which would also sort but can't combine
+    // map-side, shuffling every duplicate).
+    assert(p.contains("partial_max_by"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(!p.contains("Window"))
+  }
+
+  test("brute-force top-k broadcasts the query side; corpus is never shuffled") {
+    val emb = TableLoader.table(spark, sfDir, "embeddings")
+    val p = plan(graft.operators.Similarity.bruteForceTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // the only exchange is for the final top-k merge of partial heaps
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+  }
+}
