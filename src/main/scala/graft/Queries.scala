@@ -247,6 +247,33 @@ object Queries {
         |  AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
         |GROUP BY r_name, n_name""".stripMargin))
 
+  /** #17b Fact⋈part-dimension share-of-revenue (TPC-H Q14 shape):
+    * ECONOMY-type share of discounted revenue per p_brand. Part is
+    * broadcast; conditional aggregation in one pass over lineitem.
+    */
+  val q14PromoShare: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val discPrice = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(when(col("p_type") === "ECONOMY", discPrice).otherwise(lit(0).cast("decimal(28,6)"))).cast("double").as("economy_revenue"),
+          sum(discPrice).cast("double").as("total_revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    oracle = Some(
+      """SELECT p_brand,
+        |  CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))
+        |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS economy_revenue,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin))
+
   /** #18 Window functions: per-customer running spend + order rank. */
   val qWindowRunning: QueryDef = QueryDef(
     run = (s, dir) => {
@@ -574,6 +601,7 @@ object Queries {
     "q1_agg" -> q1Agg,
     "q3_top_orders" -> q3TopOrders,
     "q5_star_join" -> q5StarJoin,
+    "q14_promo_share" -> q14PromoShare,
     "q_window_running" -> qWindowRunning,
     "q_topk_per_group" -> qTopkPerGroup,
     "q_topk_heap" -> qTopkHeap,

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{GraftHash, MinHashMix, TopKBuffer}
+
+import scala.util.Random
+
+/** Randomized-property checks for the imperative kernels: each is
+  * compared to an obviously-correct reference implementation over many
+  * seeded-random inputs (seeded → reproducible failures).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def trials(n: Int)(body: Random => Unit): Unit =
+    (1 to n).foreach(i => body(new Random(i * 7919L)))
+
+  test("TopKBuffer equals sort-take-k on random inputs, incl. serialization") {
+    trials(200) { rnd =>
+      val xs = List.fill(rnd.nextInt(40))((rnd.nextInt(2000) / 2.0 - 500, rnd.nextInt(50).toLong))
+      val k = 1 + rnd.nextInt(8)
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (s, i) => buf.insert(s, i) }
+      val viaHeap = TopKBuffer.fromBytes(buf.toBytes).sortedDesc.toSeq
+      val reference = xs.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(viaHeap == reference, s"k=$k xs=$xs")
+    }
+  }
+
+  test("TopKBuffer merge is equivalent to inserting both streams") {
+    trials(200) { rnd =>
+      def stream() = List.fill(rnd.nextInt(30))((rnd.nextInt(200).toDouble, rnd.nextInt(20).toLong))
+      val (a, b) = (stream(), stream())
+      val merged = new TopKBuffer(5)
+      a.foreach { case (s, i) => merged.insert(s, i) }
+      val other = new TopKBuffer(5)
+      b.foreach { case (s, i) => other.insert(s, i) }
+      merged.mergeFrom(other)
+      val direct = new TopKBuffer(5)
+      (a ++ b).foreach { case (s, i) => direct.insert(s, i) }
+      assert(merged.sortedDesc.toSeq == direct.sortedDesc.toSeq)
+    }
+  }
+
+  test("hashedShingles kernel equals the naive n-gram set") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Vector("a", "b", "c", "dd", "e1", "longword")
+    trials(300) { rnd =>
+      val words = List.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+      val n = 1 + rnd.nextInt(6)
+      val arr = new GenericArrayData(words.map(w => UTF8String.fromString(w)).toArray[Any])
+      val out = GraftHash.hashedShingles(arr, n)
+      val kernel = (0 until out.numElements()).map(out.getLong).toSeq
+      val naive = words.sliding(n).filter(_.size == n).toSeq
+        .map { gram =>
+          var h = GraftHash.Offset
+          gram.foreach { w => h = MinHashMix.mix(h ^ GraftHash.fnv1a64(w.getBytes("UTF-8")), n) }
+          h
+        }
+        .distinct.sorted
+      assert(kernel == naive, s"words=$words n=$n")
+    }
+  }
+
+  test("MinHash signature is order-insensitive and monotone under union") {
+    trials(200) { rnd =>
+      val hs = List.fill(1 + rnd.nextInt(50))(rnd.nextLong())
+      val sig = MinHashMix.signature(hs.toArray, 16).toSeq
+      val shuffled = MinHashMix.signature(rnd.shuffle(hs).toArray, 16).toSeq
+      assert(sig == shuffled) // set semantics
+      val withMore = MinHashMix.signature((hs ++ List(42L, 43L)).toArray, 16).toSeq
+      assert(withMore.zip(sig).forall { case (a, b) => a <= b }) // mins only decrease
+    }
+  }
+
+  test("checkpoint values round-trip for arbitrary strings") {
+    val store = new graft.sources.CheckpointStore(
+      tmpDir("graft-prop-ckpt-"), spark.sparkContext.hadoopConfiguration)
+    val pieces = Vector("\"", "\\", "\n", "\\n", "a\"b", "\\\"", "x\\\\y", "plain", "12:34", "")
+    trials(50) { rnd =>
+      val s = List.fill(rnd.nextInt(6))(pieces(rnd.nextInt(pieces.size))).mkString
+      store.write(graft.sources.Checkpoint("t", s, "/p"))
+      assert(store.read("t").get.lastProcessedCommit == s, s"value=${s.map(_.toInt)}")
+    }
+  }
+
+  test("upsert merge equals window-merge on random key collisions") {
+    val s = spark
+    import s.implicits._
+    trials(10) { rnd =>
+      val rows = List.fill(200)((rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000)))
+      val df = rows.toDF("k", "ver", "payload")
+      val a = graft.sources.UpsertWriter.merge(df, Seq("k"), "ver", Seq("payload"))
+      val b = graft.sources.UpsertWriter.mergeViaWindow(df, Seq("k"), "ver", Seq("payload"))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+}
