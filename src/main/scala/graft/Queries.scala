@@ -525,11 +525,13 @@ object Queries {
          |SELECT query_id, CAST(rk AS BIGINT) AS "rank", neighbor_id, round(sim, 9) AS sim
          |FROM r WHERE rk <= 5""".stripMargin))
 
-  /** #29 LSH-bucketed approximate top-k — rows-only + recall spec. */
+  /** #29 LSH-bucketed approximate top-k (multi-probe radius 1) —
+    * rows-only + recall spec. */
   val qSimLshTopk: QueryDef = QueryDef(
     run = (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      graft.operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, numPlanes = 4)
+      graft.operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        numPlanes = 4, probeRadius = 1)
     },
     oracle = None)
 

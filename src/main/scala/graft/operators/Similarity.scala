@@ -61,12 +61,28 @@ object Similarity {
     df.withColumn("bucket", bits.reduce(_ + _))
   }
 
-  /** Approximate top-k: candidates share the query's LSH bucket. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+  /** Approximate top-k: candidates share the query's LSH bucket.
+    *
+    * `probeRadius = 1` enables multi-probe: each QUERY also probes the
+    * `numPlanes` buckets one sign-flip away (the likeliest homes of
+    * near neighbors that landed across a hyperplane). Multi-probe
+    * multiplies only the tiny query side — the corpus stays bucketed
+    * exactly once, which is what keeps this shape viable at 100 TB
+    * (the standard alternative, replicating the corpus into every
+    * nearby bucket, multiplies the big side instead).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8,
+      probeRadius: Int = 0): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1, "probeRadius 0 or 1")
     val c = withLshBucket(corpus, numPlanes)
       .select(col("bucket"), col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val q = withLshBucket(queries, numPlanes)
-      .select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qBase = withLshBucket(queries, numPlanes)
+    val probes =
+      if (probeRadius == 0) array(col("bucket"))
+      else array((col("bucket") +: (0 until numPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+    val q = qBase
+      .select(explode(probes).as("bucket"), col("vec_id").as("qid"), col("embedding").as("qvec"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("sim", VectorFunctions.cosine(col("cvec"), col("qvec")))

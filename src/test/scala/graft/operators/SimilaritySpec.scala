@@ -50,6 +50,13 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
     val recall = (lsh intersect brute).size.toDouble / brute.size
     assert(recall > 0.25, s"lsh recall $recall")
+    // multi-probe (radius 1) probes each one-flip bucket too: recall
+    // must not drop, and candidate coverage strictly widens
+    val probed = Similarity.lshTopK(emb, queries, k = 10, numPlanes = 2, probeRadius = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probedRecall = (probed intersect brute).size.toDouble / brute.size
+    assert(probedRecall >= recall, s"multi-probe recall $probedRecall < $recall")
   }
 
   test("embeddingNearDupPairs: threshold filter, a<b ordering") {
