@@ -10,7 +10,12 @@ import org.apache.spark.sql.types._
 import java.nio.ByteBuffer
 
 /** All `numHashes` MinHash permutation minima in ONE aggregate:
-  * `minhash(shingleHash, n)` -> `array<long>` of length n.
+  * `minhash(shingleHash, n)` -> `array<long>` of length n — for inputs
+  * that arrive as (group, shingle-hash) ROWS (pre-exploded or
+  * streaming shapes). When the shingle set is already an array column,
+  * prefer the scalar `LshBandKeys`/`MinHashMix.signature` kernel below,
+  * which needs no aggregation at all; `Dedup.minhashLshPairs` uses
+  * that path. Both must agree — MinHashSpec asserts it.
   *
   * Why not n separate `min(hash(s, h))` aggregate expressions? The
   * generated HashAggregate code for 64 buffers × (partial, final) ×
@@ -81,6 +86,9 @@ object MinHashMix {
   */
 case class LshBandKeys(child: Expression, numHashes: Int, bands: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+    s"bands ($bands) must divide numHashes ($numHashes); bands>numHashes would " +
+      "give every doc the same keys and degenerate the bucket join to O(n²)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

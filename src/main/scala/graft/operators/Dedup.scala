@@ -85,14 +85,15 @@ object Dedup {
     * verified with true shingle-set Jaccard, so the output contains
     * no false positives — only recall is approximate.
     *
-    * Shape chosen for codegen, not elegance: an earlier variant built
-    * the signature as a nested higher-order-function projection, and
-    * CollapseProject inlined that (interpreted) expression into every
-    * band key — a ~32× recompute. Here the signature is one flat
-    * hash-aggregate over exploded shingle hashes (`numHashes` min()
-    * columns, map-side partial combine), band keys are plain xxhash64
-    * over those columns, and the whole pipeline stays inside
-    * whole-stage codegen.
+    * Shape chosen for codegen and shuffle count, not elegance. Two
+    * earlier variants were measured and discarded: (1) a nested
+    * higher-order-function signature projection, which CollapseProject
+    * inlined into every band key (~32× interpreted recompute); (2)
+    * `numHashes` separate min() aggregate columns, whose generated
+    * code cost tens of seconds of Janino compilation. The shipped
+    * shape computes signature AND band keys in one scalar kernel per
+    * doc (`LshBandKeys`, codegen'd) over the hashed-shingle array —
+    * zero shuffles before the band-bucket self-join.
     */
   def minhashLshPairs(
       df: DataFrame,

@@ -18,8 +18,28 @@ class ReportPipeline(
   private lazy val store = new CheckpointStore(checkpointRoot, spark.sparkContext.hadoopConfiguration)
   private lazy val incremental = new IncrementalReader(spark, store)
 
-  /** Register every source as a temp view (reference: template.py:300-317). */
-  def loadSources(spec: PipelineSpec): Unit =
+  /** Watermarks pulled but not yet persisted — committed by `run`
+    * AFTER the report is written, so a failed run replays its
+    * increment instead of silently dropping it (at-least-once).
+    */
+  @volatile private var pending: Seq[(String, String, String)] = Nil
+  def pendingCommits: Seq[(String, String, String)] = pending
+
+  /** Persist the watermarks of the last `loadSources`/`transform`.
+    * Call after the increment has been durably processed.
+    */
+  def commitPending(): Unit = {
+    pending.foreach { case (table, path, wm) => incremental.commit(table, path, wm) }
+    pending = Nil
+  }
+
+  /** Register every source as a temp view (reference: template.py:300-317).
+    * Incremental checkpoints are NOT advanced here — they accumulate in
+    * `pendingCommits` until `commitPending()` (which `run` invokes after
+    * the report write succeeds).
+    */
+  def loadSources(spec: PipelineSpec): Unit = {
+    val commits = Seq.newBuilder[(String, String, String)]
     spec.sources.foreach { src =>
       // Pipeline convention: a LONG commit column is epoch nanos and is
       // presented to the transform SQL as TIMESTAMP_NTZ. The
@@ -27,13 +47,20 @@ class ReportPipeline(
       // BEFORE this normalization.
       val df: DataFrame = src.mode match {
         case LoadMode.Full => spark.read.parquet(src.path)
-        case LoadMode.Incremental => incremental.read(src.tableName, src.path, src.commitColumn)
+        case LoadMode.Incremental =>
+          val (inc, wm) = incremental.pull(src.tableName, src.path, src.commitColumn)
+          wm.foreach(w => commits += ((src.tableName, src.path, w)))
+          inc
       }
       graft.sources.TableLoader.normalizeNanos(df, src.commitColumn)
         .createOrReplaceTempView(src.tableName)
     }
+    pending = commits.result()
+  }
 
-  /** Run the transform SQL over the registered views. */
+  /** Run the transform SQL over the registered views. The caller owns
+    * `commitPending()` when consuming increments directly.
+    */
   def transform(spec: PipelineSpec): DataFrame = {
     loadSources(spec)
     spark.sql(spec.transform.query)
@@ -60,6 +87,11 @@ class ReportPipeline(
       }
       h
     }
+    // Watermarks advance only after the report is durably written — a
+    // failure above leaves the checkpoints untouched and the next run
+    // replays the increment (at-least-once; the reference's own order
+    // is advance-on-read, i.e. at-most-once).
+    commitPending()
     (result, handle)
   }
 }

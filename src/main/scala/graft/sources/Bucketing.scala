@@ -27,23 +27,34 @@ object Bucketing {
       buckets: Int,
       sortBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    // The warehouse directory outlives the in-memory catalog: a table
-    // written by a previous session leaves an orphaned location that
-    // blocks CREATE. Drop both the entry and the location.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = spark.sessionState.catalog.defaultTablePath(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
-    val p = new org.apache.hadoop.fs.Path(loc)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
 
+    def dropWithLocation(name: String): Unit = {
+      // The warehouse directory outlives the in-memory catalog: a table
+      // written by a previous session leaves an orphaned location that
+      // blocks CREATE. Drop both the entry and the location.
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val loc = spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
+    // Write the replacement COMPLETELY under a staging name, then swap
+    // — a failed write never takes down the existing table (the only
+    // exposure is the instant between drop and rename, and the staged
+    // data survives either way).
+    val staging = table + "_graft_staging"
+    dropWithLocation(staging)
     val sorted = if (sortBy.nonEmpty) sortBy else keys
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(sorted.head, sorted.tail: _*)
-      .saveAsTable(table)
+      .saveAsTable(staging)
+    dropWithLocation(table)
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

@@ -57,10 +57,15 @@ class ObjectStore(bucketRoot: String, hadoopConf: Configuration) {
   /** delete_object (reference: template.py:114-117). */
   def delete(key: String): Boolean = fs.delete(keyPath(key), false)
 
-  /** get_all_keys (reference: template.py:119-137): recursive listing
-    * under a prefix, returned as bucket-relative keys. */
+  /** get_all_keys (reference: template.py:119-137): keys starting with
+    * `prefix`, S3-style — the prefix is a STRING prefix of the key,
+    * not a directory ("reports/2026/ja" matches "reports/2026/jan.csv").
+    * The walk starts at the deepest directory ancestor of the prefix,
+    * so only the matching subtree is listed.
+    */
   def listKeys(prefix: String = ""): Seq[String] = {
-    val start = if (prefix.isEmpty) root else keyPath(prefix)
+    val slash = prefix.lastIndexOf('/')
+    val start = if (slash < 0) root else keyPath(prefix.substring(0, slash))
     if (!fs.exists(start)) Nil
     else {
       val it = fs.listFiles(start, true)
@@ -68,7 +73,8 @@ class ObjectStore(bucketRoot: String, hadoopConf: Configuration) {
       val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
       while (it.hasNext) {
         val st = it.next()
-        buf += st.getPath.toUri.getPath.stripPrefix(rootUri)
+        val key = st.getPath.toUri.getPath.stripPrefix(rootUri)
+        if (key.startsWith(prefix)) buf += key
       }
       buf.toSeq.sorted
     }

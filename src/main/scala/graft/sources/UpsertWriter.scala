@@ -120,6 +120,7 @@ object UpsertWriter {
       partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil,
       keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 1, "keepVersions must retain at least the live version")
     val spark = updates.sparkSession
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -49,19 +49,25 @@ object EventStream {
     * stream directories natively — this shim only exists for the
     * single-file test layout.
     */
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def streamableDir(spark: SparkSession, path: String): String = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val p = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     if (fs.getFileStatus(p).isDirectory) path
-    else {
+    else stageCache.computeIfAbsent(path, { _ =>
+      // one staged copy per source path per JVM (repeated bench/verify
+      // invocations reuse it); both dir and file registered for exit
+      // cleanup, deepest-first so the dir is empty when removed
       val stage = java.nio.file.Files.createTempDirectory("graft-stream-stage-")
-      stage.toFile.deleteOnExit()
       val dst = new Path(stage.toUri.toString, p.getName)
       FileUtil.copy(fs, p, dst.getFileSystem(conf), dst, false, conf)
+      new java.io.File(stage.toFile, p.getName).deleteOnExit()
+      stage.toFile.deleteOnExit()
       stage.toUri.toString
-    }
+    })
   }
 
   /** Run the streaming agg to completion over the (finite) directory

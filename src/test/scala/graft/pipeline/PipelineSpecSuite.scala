@@ -57,4 +57,28 @@ class PipelineSpecSuite extends SparkSpec {
     pipeline.loadSources(spec)
     assert(spark.table("events").count() == 0)
   }
+
+  test("a failed run leaves checkpoints untouched; the increment replays") {
+    val failing = new EmailSender {
+      override def send(m: EmailMessage): Boolean = throw new RuntimeException("smtp down")
+    }
+    val ckpt = tmpDir("graft-pipe-replay-")
+    val spec = PipelineSpec(
+      sources = Seq(
+        SourceSpec("events", s"$sfDir/events.parquet", mode = LoadMode.Incremental, commitColumn = "ts")),
+      transform = TransformSpec("SELECT count(*) AS n FROM events"),
+      report = Some(ReportSpec("f@x", "t@x", "r", tmpDir("graft-pipe-replay-rep-"))))
+
+    val broken = new ReportPipeline(spark, ckpt, failing)
+    intercept[RuntimeException](broken.run(spec))
+    assert(broken.pendingCommits.nonEmpty) // watermark pulled but NOT persisted
+
+    // a healthy pipeline over the same checkpoint root sees the FULL increment
+    val healthy = new ReportPipeline(spark, ckpt)
+    val (result, _) = healthy.run(spec)
+    assert(result.head.getLong(0) > 0)
+    // and now the watermark is committed: next pull is empty
+    healthy.loadSources(spec)
+    assert(spark.table("events").count() == 0)
+  }
 }

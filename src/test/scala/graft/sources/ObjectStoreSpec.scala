@@ -34,6 +34,8 @@ class ObjectStoreSpec extends SparkSpec {
     os.putString("metadata/t.json", "c")
     assert(os.listKeys().size == 3)
     assert(os.listKeys("reports").map(_.split('/').last).sorted == Seq("feb.csv", "jan.csv"))
+    // S3 semantics: a prefix is a string prefix of the key, not a dir
+    assert(os.listKeys("reports/2026/ja") == Seq("reports/2026/jan.csv"))
     assert(os.findSimilarKeys("\\.json$") == Seq("metadata/t.json"))
     assert(os.listKeys("nope").isEmpty)
   }
