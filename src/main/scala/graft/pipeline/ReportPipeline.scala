@@ -38,7 +38,7 @@ class ReportPipeline(
     * `pendingCommits` until `commitPending()` (which `run` invokes after
     * the report write succeeds).
     */
-  def loadSources(spec: PipelineSpec): Unit = {
+  def loadSources(spec: PipelineSpec): Unit = this.synchronized {
     val commits = Seq.newBuilder[(String, String, String)]
     spec.sources.foreach { src =>
       // Pipeline convention: a LONG commit column is epoch nanos and is
@@ -71,7 +71,7 @@ class ReportPipeline(
     * channels carry the download link). Returns the result DataFrame
     * and the report handle.
     */
-  def run(spec: PipelineSpec): (DataFrame, Option[ReportHandle]) = {
+  def run(spec: PipelineSpec): (DataFrame, Option[ReportHandle]) = this.synchronized {
     val result = transform(spec)
     val handle = spec.report.map { rs =>
       val writer = new ReportWriter(rs.reportRoot)
@@ -90,8 +90,10 @@ class ReportPipeline(
     // Watermarks advance only after the report is durably written — a
     // failure above leaves the checkpoints untouched and the next run
     // replays the increment (at-least-once; the reference's own order
-    // is advance-on-read, i.e. at-most-once).
-    commitPending()
+    // is advance-on-read, i.e. at-most-once). With no report spec,
+    // nothing was materialized here, so the CALLER owns
+    // commitPending() after consuming the returned DataFrame.
+    if (spec.report.nonEmpty) commitPending()
     (result, handle)
   }
 }

@@ -44,12 +44,13 @@ class ReportWriter(reportRoot: String, clock: () => Instant = () => Instant.now(
       val tmpDir = s"$target._dir"
       df.coalesce(1).write.option("header", "true").mode("overwrite").csv(tmpDir)
       val fs = new Path(tmpDir).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      val parts = fs.globStatus(new Path(s"$tmpDir/part-*"))
-      if (parts.isEmpty)
-        throw new java.io.IOException(s"CSV write produced no part file under $tmpDir")
-      if (!fs.rename(parts(0).getPath, new Path(target)))
-        throw new java.io.IOException(s"failed to promote ${parts(0).getPath} to $target")
-      fs.delete(new Path(tmpDir), true)
+      try {
+        val parts = fs.globStatus(new Path(s"$tmpDir/part-*"))
+        if (parts.isEmpty)
+          throw new java.io.IOException(s"CSV write produced no part file under $tmpDir")
+        if (!fs.rename(parts(0).getPath, new Path(target)))
+          throw new java.io.IOException(s"failed to promote ${parts(0).getPath} to $target")
+      } finally fs.delete(new Path(tmpDir), true) // no ._dir debris in the report tree
     } else {
       df.write.option("header", "true").mode("overwrite").csv(target)
     }

@@ -60,21 +60,29 @@ class ObjectStore(bucketRoot: String, hadoopConf: Configuration) {
   /** get_all_keys (reference: template.py:119-137): keys starting with
     * `prefix`, S3-style — the prefix is a STRING prefix of the key,
     * not a directory ("reports/2026/ja" matches "reports/2026/jan.csv").
-    * The walk starts at the deepest directory ancestor of the prefix,
-    * so only the matching subtree is listed.
+    * The walk descends from the deepest directory ancestor of the
+    * prefix and only into children whose name matches the remaining
+    * prefix segment — never a full-bucket listing. Leading slashes are
+    * normalized away (S3 keys have none).
     */
   def listKeys(prefix: String = ""): Seq[String] = {
-    val slash = prefix.lastIndexOf('/')
-    val start = if (slash < 0) root else keyPath(prefix.substring(0, slash))
+    val norm = prefix.dropWhile(_ == '/')
+    val slash = norm.lastIndexOf('/')
+    val (start, rest) =
+      if (slash < 0) (root, norm)
+      else (keyPath(norm.substring(0, slash)), norm.substring(slash + 1))
     if (!fs.exists(start)) Nil
     else {
-      val it = fs.listFiles(start, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
-      while (it.hasNext) {
-        val st = it.next()
-        val key = st.getPath.toUri.getPath.stripPrefix(rootUri)
-        if (key.startsWith(prefix)) buf += key
+      def key(p: Path): String = p.toUri.getPath.stripPrefix(rootUri)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      fs.listStatus(start).foreach { st =>
+        if (st.getPath.getName.startsWith(rest)) {
+          if (st.isDirectory) {
+            val it = fs.listFiles(st.getPath, true)
+            while (it.hasNext) buf += key(it.next().getPath)
+          } else buf += key(st.getPath)
+        }
       }
       buf.toSeq.sorted
     }

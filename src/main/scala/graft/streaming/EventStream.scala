@@ -57,17 +57,23 @@ object EventStream {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     if (fs.getFileStatus(p).isDirectory) path
-    else stageCache.computeIfAbsent(path, { _ =>
-      // one staged copy per source path per JVM (repeated bench/verify
-      // invocations reuse it); both dir and file registered for exit
-      // cleanup, deepest-first so the dir is empty when removed
-      val stage = java.nio.file.Files.createTempDirectory("graft-stream-stage-")
-      val dst = new Path(stage.toUri.toString, p.getName)
-      FileUtil.copy(fs, p, dst.getFileSystem(conf), dst, false, conf)
-      new java.io.File(stage.toFile, p.getName).deleteOnExit()
-      stage.toFile.deleteOnExit()
-      stage.toUri.toString
-    })
+    else {
+      // cache key includes (mtime, length) so a rewritten source file
+      // re-stages instead of serving a stale snapshot
+      val st = fs.getFileStatus(p)
+      val cacheKey = s"$path@${st.getModificationTime}:${st.getLen}"
+      stageCache.computeIfAbsent(cacheKey, { _ =>
+        val stage = java.nio.file.Files.createTempDirectory("graft-stream-stage-")
+        val dst = new Path(stage.toUri.toString, p.getName)
+        FileUtil.copy(fs, p, dst.getFileSystem(conf), dst, false, conf)
+        // deleteOnExit runs LIFO: register the dir FIRST so the files
+        // (incl. the Hadoop .crc sidecar) are deleted before it
+        stage.toFile.deleteOnExit()
+        new java.io.File(stage.toFile, p.getName).deleteOnExit()
+        new java.io.File(stage.toFile, s".${p.getName}.crc").deleteOnExit()
+        stage.toUri.toString
+      })
+    }
   }
 
   /** Run the streaming agg to completion over the (finite) directory

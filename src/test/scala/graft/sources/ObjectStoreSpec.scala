@@ -36,6 +36,8 @@ class ObjectStoreSpec extends SparkSpec {
     assert(os.listKeys("reports").map(_.split('/').last).sorted == Seq("feb.csv", "jan.csv"))
     // S3 semantics: a prefix is a string prefix of the key, not a dir
     assert(os.listKeys("reports/2026/ja") == Seq("reports/2026/jan.csv"))
+    assert(os.listKeys("repo").size == 2) // partial top-level segment
+    assert(os.listKeys("/reports").size == 2) // leading slash normalized
     assert(os.findSimilarKeys("\\.json$") == Seq("metadata/t.json"))
     assert(os.listKeys("nope").isEmpty)
   }
