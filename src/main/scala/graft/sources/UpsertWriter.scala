@@ -119,8 +119,10 @@ object UpsertWriter {
       precombine: String,
       partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil,
-      keepVersions: Int = 2): Unit = {
+      keepVersions: Int = 2,
+      targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
     require(keepVersions >= 1, "keepVersions must retain at least the live version")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
     val spark = updates.sparkSession
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -136,9 +138,28 @@ object UpsertWriter {
         merge(updates, recordKeys, precombine)
     }
 
+    // File sizing — the analog of hoodie.parquet.max.file.size +
+    // small.file.limit bin-packing (generate_hudi_table.py:163-167):
+    // size the version at ~targetFileBytes per file. Small tables
+    // collapse to ONE file instead of one per shuffle partition (the
+    // small-file problem); large tables cap per-file size. Partitioned
+    // writes co-locate rows of a partition so each task writes whole
+    // files for few partitions. The estimate = previous version's
+    // on-disk bytes + the updates plan's size estimate (the merged
+    // AGGREGATE's own stats are useless — Catalyst size-only stats
+    // collapse after an aggregate).
+    val existingBytes = versions.lastOption
+      .map { case (_, dir) => fs.getContentSummary(dir).getLength }
+      .getOrElse(0L)
+    val estBytes = BigInt(existingBytes) +
+      BigInt(updates.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+    val nFiles = ((estBytes + targetFileBytes - 1) / targetFileBytes).max(1).min(100000).toInt
+    val sized =
+      if (partitionBy.nonEmpty) merged.repartition(nFiles, partitionBy.map(col): _*)
+      else merged.repartition(nFiles)
     val clustered =
-      if (clusterBy.nonEmpty) merged.sortWithinPartitions(clusterBy.map(col): _*)
-      else merged
+      if (clusterBy.nonEmpty) sized.sortWithinPartitions(clusterBy.map(col): _*)
+      else sized
 
     val nextNum = versions.lastOption.map(_._1 + 1).getOrElse(1)
     val versionDir = new Path(target, f"v$nextNum%08d")

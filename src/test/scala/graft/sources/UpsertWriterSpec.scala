@@ -65,6 +65,22 @@ class UpsertWriterSpec extends SparkSpec {
     assert(UpsertWriter.read(spark, table).count() == 2)
   }
 
+  test("file sizing: small tables bin-pack to one file, tiny targets split") {
+    val events = TableLoader.table(spark, sfDir, "events")
+    val one = tmpDir("graft-upsert-size1-") + "/t"
+    UpsertWriter.upsert(events, one, Seq("event_id"), "ts") // default 512MB target
+    val fs = new Path(one).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(table: String): Int = {
+      val vdir = new Path(UpsertWriter.latestVersion(spark, table).get)
+      fs.listStatus(vdir).count(_.getPath.getName.startsWith("part-"))
+    }
+    assert(partFiles(one) == 1) // no small-file spray
+
+    val many = tmpDir("graft-upsert-size2-") + "/t"
+    UpsertWriter.upsert(events, many, Seq("event_id"), "ts", targetFileBytes = 4 * 1024)
+    assert(partFiles(many) > 1) // tiny target caps per-file size
+  }
+
   test("hive-style partitioned + clustered write") {
     val table = tmpDir("graft-upsert-part-") + "/t"
     val s = spark
