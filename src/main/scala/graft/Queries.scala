@@ -345,6 +345,34 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin))
 
+  /** #22b Gap-based sessionization (native session_window): per-user
+    * sessions with a 30-minute inactivity gap. Oracle is the classic
+    * lag()/cumsum formulation — two different algorithms must agree.
+    */
+  val qSessionize: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Sessionize.sessions(t(s, dir, "events"), "user_id", "ts", "value"),
+    oracle = Some(
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g
+        |), n AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sess_seq
+        |  FROM s
+        |)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM n GROUP BY user_id, sess_seq""".stripMargin))
+
   // ---------------------------------------------------------------
   // Streaming surface
   // ---------------------------------------------------------------
@@ -610,6 +638,7 @@ object Queries {
     "curate_docs" -> qCurateDocs,
     "q_anti_join" -> qAntiJoin,
     "q_stream_window" -> qStreamWindow,
+    "q_sessionize" -> qSessionize,
     "text_tokens" -> qTextTokens,
     "text_quality" -> qTextQuality,
     "text_langid" -> qTextLangid,
