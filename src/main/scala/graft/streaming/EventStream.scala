@@ -42,6 +42,47 @@ object EventStream {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming gap-based sessionization: the same merging
+    * session_window as the batch operator (operators.Sessionize), with
+    * the watermark bounding open-session state — a session is emitted
+    * (append mode) once the watermark passes its end, and its state is
+    * dropped. State per key = open sessions only; the watermark is
+    * what keeps that bounded on an unbounded stream.
+    */
+  def sessionAgg(spark: SparkSession, path: String, gap: String = "30 minutes"): DataFrame = {
+    val raw = spark.readStream.schema(rawSchema).parquet(path)
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("sw.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Run the streaming sessionization over a finite directory
+    * (append mode): emits exactly the sessions the final watermark
+    * passed. Trailing sessions remain in (discarded) state — that is
+    * append-mode semantics, asserted against the batch operator in
+    * EventStreamSpec.
+    */
+  def runSessionsToBatch(spark: SparkSession, path: String, gap: String = "30 minutes",
+      queryName: String = "graft_stream_sessions"): DataFrame = {
+    val q = sessionAgg(spark, streamableDir(spark, path), gap).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Spark's file stream source lists a DIRECTORY; the driver testdata
     * is one bare parquet file per table. Stage a file path into a
     * scratch directory (one hardlink/copy) so `readStream` can consume

@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 class EventStreamSpec extends SparkSpec {
 
+  test("streaming sessionization emits exactly the watermark-passed batch sessions") {
+    val streamed = EventStream.runSessionsToBatch(spark, s"$sfDir/events.parquet",
+      queryName = "spec_sessions")
+    val events = graft.sources.TableLoader.table(spark, sfDir, "events")
+    val batch = graft.operators.Sessionize.sessions(events, "user_id", "ts", "value")
+
+    // final watermark = max event time - 1h; append emits sessions the
+    // watermark passed, holds the trailing ones in (discarded) state
+    val cutoff = events.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0).minusHours(1)
+    val emitted = batch.filter(col("session_end") <= lit(cutoff))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty) // nothing invented
+    assert(emitted.exceptAll(streamed).isEmpty, "every watermark-passed session emitted")
+  }
+
   test("streaming hourly agg equals the batch equivalent") {
     val streamed = EventStream.runToBatch(spark, s"$sfDir/events.parquet", queryName = "spec_stream")
     val batch = graft.sources.TableLoader.table(spark, sfDir, "events")
