@@ -28,7 +28,7 @@ class ReportPipeline(
   /** Persist the watermarks of the last `loadSources`/`transform`.
     * Call after the increment has been durably processed.
     */
-  def commitPending(): Unit = {
+  def commitPending(): Unit = this.synchronized {
     pending.foreach { case (table, path, wm) => incremental.commit(table, path, wm) }
     pending = Nil
   }

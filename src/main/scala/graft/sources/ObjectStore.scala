@@ -84,7 +84,11 @@ class ObjectStore(bucketRoot: String, hadoopConf: Configuration) {
           } else buf += key(st.getPath)
         }
       }
-      buf.toSeq.sorted
+      // belt-and-braces: when the prefix's directory ancestor is
+      // actually a FILE ("a" exists, prefix "a/"), listStatus returns
+      // the file itself though its key lacks the prefix — filter on
+      // the full key like S3 would
+      buf.toSeq.filter(_.startsWith(norm)).sorted
     }
   }
 

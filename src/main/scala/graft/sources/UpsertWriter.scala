@@ -153,9 +153,23 @@ object UpsertWriter {
       .getOrElse(0L)
     val estBytes = BigInt(existingBytes) +
       BigInt(updates.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+    // Catalyst size-only stats are garbage for some plans (LogicalRDD
+    // defaults to Long.MaxValue; joins multiply): treat anything above
+    // 1 PiB as "unknown" and skip sizing rather than spraying the
+    // nFiles cap worth of tiny files.
+    val statsUsable = estBytes < BigInt(1L << 50)
     val nFiles = ((estBytes + targetFileBytes - 1) / targetFileBytes).max(1).min(100000).toInt
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
     val sized =
-      if (partitionBy.nonEmpty) merged.repartition(nFiles, partitionBy.map(col): _*)
+      if (!statsUsable) merged
+      else if (partitionBy.nonEmpty) {
+        // hash on (partition cols, salt) so a huge hive-partition still
+        // splits into ~target-size files instead of one file per task
+        // holding the whole partition; small tables get salt ≡ 0 and
+        // stay one file per hive partition
+        val salt = pmod(xxhash64(col(precombine)), lit(nFiles.toLong)).cast("int")
+        merged.repartition(nFiles, (partitionBy.map(col) :+ salt): _*)
+      } else if (nFiles <= shufflePartitions) merged.coalesce(nFiles) // shrink without a shuffle
       else merged.repartition(nFiles)
     val clustered =
       if (clusterBy.nonEmpty) sized.sortWithinPartitions(clusterBy.map(col): _*)

@@ -52,17 +52,12 @@ object EventStream {
   def sessionAgg(spark: SparkSession, path: String, gap: String = "30 minutes"): DataFrame = {
     val raw = spark.readStream.schema(rawSchema).parquet(path)
     val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    events
-      .withWatermark("ts", "1 hour")
-      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
-      .select(
-        col("user_id"),
-        col("sw.start").cast("timestamp_ntz").as("session_start"),
-        col("sw.end").cast("timestamp_ntz").as("session_end"),
-        col("n_events"), col("sum_value"))
+    // ONE session definition: delegate to the batch operator — the
+    // watermark on ts rides through its session_window groupBy.
+    graft.operators.Sessionize
+      .sessions(events.withWatermark("ts", "1 hour"), "user_id", "ts", "value", gap)
+      .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+      .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
   }
 
   /** Run the streaming sessionization over a finite directory
@@ -72,9 +67,13 @@ object EventStream {
     * EventStreamSpec.
     */
   def runSessionsToBatch(spark: SparkSession, path: String, gap: String = "30 minutes",
-      queryName: String = "graft_stream_sessions"): DataFrame = {
-    val q = sessionAgg(spark, streamableDir(spark, path), gap).writeStream
-      .outputMode("append")
+      queryName: String = "graft_stream_sessions"): DataFrame =
+    collectToMemory(spark, sessionAgg(spark, streamableDir(spark, path), gap), "append", queryName)
+
+  private def collectToMemory(spark: SparkSession, df: DataFrame,
+      mode: String, queryName: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -131,20 +130,12 @@ object EventStream {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "8")
-    try {
-      val q = hourlyAgg(spark, streamableDir(spark, path)).writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
+    try collectToMemory(spark, hourlyAgg(spark, streamableDir(spark, path)), "complete", queryName)
+    finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
       }
     }
-    spark.table(queryName)
   }
 }

@@ -11,9 +11,11 @@ class EventStreamSpec extends SparkSpec {
     val events = graft.sources.TableLoader.table(spark, sfDir, "events")
     val batch = graft.operators.Sessionize.sessions(events, "user_id", "ts", "value")
 
-    // final watermark = max event time - 1h; append emits sessions the
-    // watermark passed, holds the trailing ones in (discarded) state
-    val cutoff = events.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0).minusHours(1)
+    // final watermark = max event time (MILLISECOND-truncated, as the
+    // engine tracks it) - 1h; append emits sessions the watermark
+    // passed, holds the trailing ones in (discarded) state
+    val cutoff = events.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+      .truncatedTo(java.time.temporal.ChronoUnit.MILLIS).minusHours(1)
     val emitted = batch.filter(col("session_end") <= lit(cutoff))
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty) // nothing invented
