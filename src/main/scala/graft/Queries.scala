@@ -605,6 +605,15 @@ object Queries {
            |SELECT doc_id, lang, lang_pred, n_tokens, quality_score FROM dedup WHERE rn = 1""".stripMargin)
     })
 
+  /** #29b IVF (KMeans coarse quantizer) approximate top-k — rows-only
+    * + recall spec against brute force. */
+  val qSimIvfTopk: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    oracle = None)
+
   /** #34 Multimodal plumbing: binary payloads -> batch decode stub ->
     * feature columns (deterministic fake codec) — rows-only + spec.
     */
@@ -650,5 +659,6 @@ object Queries {
     "dedup_embedding" -> qDedupEmbedding,
     "sim_bruteforce_topk" -> qSimBruteforceTopk,
     "sim_lsh_topk" -> qSimLshTopk,
+    "sim_ivf_topk" -> qSimIvfTopk,
     "mm_features" -> qMmFeatures)
 }

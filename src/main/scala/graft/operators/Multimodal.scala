@@ -97,4 +97,27 @@ object Multimodal {
     features.toDF()
       .filter(col("modality") === "video")
       .select(col("media_id"), explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+
+  /** Resize stage stub: cap decoded dimensions to a bounding box
+    * preserving aspect ratio — the per-partition batch shape of a real
+    * resampler (one resizer context per partition, rows streamed). The
+    * arithmetic is the real letterbox math; only the pixel work is
+    * stubbed out with the rest of the codec.
+    */
+  def resizeStub(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.mapPartitions { it =>
+      // >>> real impl: init resampler context ONCE here <<<
+      it.map { f =>
+        if (f.width <= maxW && f.height <= maxH) f
+        else {
+          val scale = math.min(maxW.toDouble / f.width, maxH.toDouble / f.height)
+          f.copy(
+            width = math.max(1, math.round(f.width * scale).toInt),
+            height = math.max(1, math.round(f.height * scale).toInt))
+        }
+      }
+    }
+  }
 }

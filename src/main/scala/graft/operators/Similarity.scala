@@ -97,6 +97,65 @@ object Similarity {
         round(col("hit.score"), 9).as("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN
+    * scale path beside hyperplane LSH: a KMeans coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells (by the same L2 geometry the quantizer
+    * assigns with) and brute-forces only those. Candidate work per
+    * query ≈ nprobe/nlist of the corpus, independent of corpus growth
+    * when nlist scales with it. Seeded — deterministic across runs.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val corpusV = corpus.withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(corpusV)
+    val assigned = model.transform(corpusV)
+      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+    // nlist is small: centroids ship as a broadcast table; per-query
+    // cell ranking by ||c||² - 2·q·c (the ||q||² term is constant per
+    // query), matching the quantizer's L2 assignment geometry.
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum)
+    }.toSeq.toDF("cell", "centroid", "cnorm2")
+
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("d", col("cnorm2") - lit(2.0) * VectorFunctions.dot(col("qvec"), col("centroid")))
+      .withColumn("rk", row_number().over(Window.partitionBy("qid").orderBy(col("d"), col("cell"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("cell"), col("qid"), col("qvec"))
+
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", VectorFunctions.cosine(col("cvec"), col("qvec")))
+    topKPerQuery(scored, k)
+  }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("qid"))
+      .agg(TopKFunctions.top_k(col("sim"), col("cid"), k).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(
+        col("qid").as("query_id"),
+        (col("pos") + 1).as("rank"),
+        col("hit.id").as("neighbor_id"),
+        round(col("hit.score"), 9).as("sim"))
+
   /** Embedding near-dup pairs: all (a < b) with cosine >= threshold.
     * Exact kernel over the full pair space — correct at verify scale;
     * the LSH bucket join above is the same operator's scale path.

@@ -26,6 +26,20 @@ class MultimodalSpec extends SparkSpec {
     assert(f.byte_entropy == 0.0)
   }
 
+  test("resize caps dimensions inside the box, preserves aspect ratio") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents").limit(40)
+    val feats = Multimodal.decodeStub(Multimodal.mediaFromDocuments(docs))
+    val resized = Multimodal.resizeStub(feats, 256, 256).collect()
+    assert(resized.forall(f => f.width <= 256 && f.height <= 256))
+    val orig = feats.collect().map(f => f.media_id -> f).toMap
+    resized.filter(f => orig(f.media_id).width > 256 || orig(f.media_id).height > 256).foreach { f =>
+      val o = orig(f.media_id)
+      val ratioBefore = o.width.toDouble / o.height
+      val ratioAfter = f.width.toDouble / f.height
+      assert(math.abs(ratioBefore - ratioAfter) / ratioBefore < 0.05, s"media ${f.media_id}")
+    }
+  }
+
   test("frame sampling expands videos to n_frames rows") {
     val docs = graft.sources.TableLoader.table(spark, sfDir, "documents").limit(30)
     val feats = Multimodal.decodeStub(Multimodal.mediaFromDocuments(docs))

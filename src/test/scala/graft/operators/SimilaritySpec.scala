@@ -59,6 +59,21 @@ class SimilaritySpec extends SparkSpec {
     assert(probedRecall >= recall, s"multi-probe recall $probedRecall < $recall")
   }
 
+  test("ivfTopK: deterministic, no invented neighbors, decent recall") {
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run()
+    assert(ivf == run()) // seeded: stable across runs
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall > 0.3, s"ivf recall $recall") // nprobe/nlist = 1/4 of corpus probed
+  }
+
   test("embeddingNearDupPairs: threshold filter, a<b ordering") {
     val df = vecs(1L -> Seq(1f, 0f), 2L -> Seq(1f, 0.01f), 3L -> Seq(0f, 1f))
     val out = Similarity.embeddingNearDupPairs(df, threshold = 0.9)
