@@ -104,6 +104,15 @@ object Similarity {
     * assigns with) and brute-forces only those. Candidate work per
     * query ≈ nprobe/nlist of the corpus, independent of corpus growth
     * when nlist scales with it. Seeded — deterministic across runs.
+    *
+    * The quantizer trains on a bounded, hash-ordered SAMPLE collected
+    * to the driver (standard IVF practice — centroid quality needs
+    * thousands of points, not the corpus): one top-N pass over the
+    * corpus, Lloyd's locally, done. Cell assignment is then a pure
+    * codegen'd projection (nlist dot products + argmin per row) — no
+    * iterative cluster jobs, no per-row model UDF, no extra shuffle.
+    * An earlier MLlib-KMeans variant was measured and discarded: fit +
+    * transform cost tens of seconds of full-corpus passes per call.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -111,38 +120,78 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-    import spark.implicits._
+      seed: Long = 42L,
+      trainSample: Int = 4096,
+      lloydIters: Int = 10): DataFrame = {
+    // --- train: deterministic sample (top-N by seeded hash = one
+    // TakeOrdered pass, no full sort) → Lloyd's on the driver.
+    val sample: Array[Array[Double]] = corpus
+      .select(col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(trainSample)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = lloyd(sample, nlist, lloydIters)
 
-    val corpusV = corpus.withColumn("fv", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(corpusV)
-    val assigned = model.transform(corpusV)
-      .select(col("cell"), col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // --- assign: ||c||² - 2·q·c per centroid (||q||² constant per row)
+    // matches L2 geometry; argmin via array_min over (d, i) structs —
+    // lexicographic struct order breaks ties to the lowest cell id.
+    def distStructs(vec: org.apache.spark.sql.Column) =
+      centroids.zipWithIndex.map { case (c, i) =>
+        val cnorm2 = c.map(x => x * x).sum
+        struct(
+          (lit(cnorm2) - lit(2.0) * VectorFunctions.dot(vec, typedLit(c.map(_.toFloat).toSeq))).as("d"),
+          lit(i).as("i"))
+      }
 
-    // nlist is small: centroids ship as a broadcast table; per-query
-    // cell ranking by ||c||² - 2·q·c (the ||q||² term is constant per
-    // query), matching the quantizer's L2 assignment geometry.
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum)
-    }.toSeq.toDF("cell", "centroid", "cnorm2")
+    val assigned = corpus.select(
+      array_min(array(distStructs(col("embedding")): _*)).getField("i").as("cell"),
+      col("vec_id").as("cid"), col("embedding").as("cvec"))
 
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("d", col("cnorm2") - lit(2.0) * VectorFunctions.dot(col("qvec"), col("centroid")))
-      .withColumn("rk", row_number().over(Window.partitionBy("qid").orderBy(col("d"), col("cell"))))
-      .filter(col("rk") <= nprobe)
-      .select(col("cell"), col("qid"), col("qvec"))
+    val probed = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        slice(array_sort(array(distStructs(col("embedding")): _*)), 1, nprobe).as("probes"))
+      .select(col("qid"), col("qvec"), explode(col("probes")).as("probe"))
+      .select(col("qid"), col("qvec"), col("probe.i").as("cell"))
 
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("sim", VectorFunctions.cosine(col("cvec"), col("qvec")))
     topKPerQuery(scored, k)
+  }
+
+  /** Plain Lloyd's iterations on an in-memory sample. Deterministic:
+    * init = first k sample points (the sample is already hash-shuffled),
+    * fixed iteration count, empty clusters keep their previous center.
+    */
+  private[operators] def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "IVF training sample is empty")
+    val dim = points(0).length
+    var centers = Array.tabulate(math.min(k, points.length))(i => points(i).clone())
+    // fewer distinct points than k: duplicate the first so shapes hold
+    if (centers.length < k) centers = centers ++ Array.fill(k - centers.length)(points(0).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c)
+        else { val s = sums(c); Array.tabulate(dim)(j => s(j) / counts(c)) }
+      }
+    }
+    centers
   }
 
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
