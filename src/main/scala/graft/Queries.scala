@@ -345,6 +345,116 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin))
 
+  /** #18b Hierarchical rollup aggregation: order value by
+    * (priority, status) with subtotals per priority and a grand total,
+    * plus grouping_id to tell the levels apart. One shuffle — Spark
+    * expands the grouping sets map-side.
+    */
+  val qRollup: QueryDef = QueryDef(
+    run = (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"),
+          grouping_id().as("gid")),
+    oracle = Some(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+        |  GROUPING(o_orderpriority, o_orderstatus) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin))
+
+  /** #18c Pivot: order value by status × priority, priorities as
+    * columns. Values enumerated explicitly — a pivot without them
+    * costs a driver-side distinct pass, which is not a 100 TB shape.
+    */
+  private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  val qPivot: QueryDef = QueryDef(
+    run = (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .agg(dsum(col("o_totalprice"))),
+    oracle = Some(
+      s"""SELECT o_orderstatus,
+         |${priorities.map(p =>
+              s"""  CAST(sum(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(28,6)) END) AS DOUBLE) AS "$p"""")
+            .mkString(",\n")}
+         |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
+  /** #18d Exact interpolated percentiles per group. Integral doubles
+    * (l_quantity) keep the lo + frac·(hi-lo) interpolation
+    * bit-identical across engines.
+    */
+  val qPercentiles: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ps = Seq(0.25, 0.5, 0.75, 0.9)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"),
+          array(ps.map(lit): _*)).as("_p"))
+        .select(col("l_returnflag") +:
+          ps.zipWithIndex.map { case (p, i) =>
+            element_at(col("_p"), i + 1).as(s"p${(p * 100).toInt}") }: _*)
+    },
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.50) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.90) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
+  /** #20b As-of join: each purchase picks up the user's most recent
+    * click at-or-before it (union+window shape — see AsOfJoin).
+    * Oracle is DuckDB's native ASOF LEFT JOIN: two different
+    * algorithms must agree. Deterministic because (user_id, ts) is
+    * unique within clicks.
+    */
+  val qAsofJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin.asof(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightPayload = Seq("ts", "event_id"))
+        .withColumnRenamed("asof_ts", "click_ts")
+        .withColumnRenamed("asof_event_id", "click_event_id")
+    },
+    oracle = Some(
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       c.ts AS click_ts, c.event_id AS click_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin))
+
+  /** #10b Snapshot diff (CDC): old = events, new = upsert-merged
+    * events with doubled purchases (updates) and re-keyed clicks
+    * (inserts). The diff must emit exactly those as
+    * update/insert rows with new-side values.
+    */
+  val qSnapshotDiff: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val base = t(s, dir, "events")
+      val updates = base.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      val inserts = base.filter(col("event_type") === "click")
+        .withColumn("event_id", col("event_id") + 10000000L)
+      val next = UpsertWriter.merge(
+        base.unionByName(updates).unionByName(inserts), Seq("event_id"), "ts")
+      graft.operators.SnapshotDiff.diff(base, next, keys = Seq("event_id"))
+    },
+    oracle = Some(
+      """SELECT event_id, 'update' AS change_type, ts + INTERVAL 1 HOUR AS ts,
+        |       user_id, event_type, value * 2 AS value, props
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id + 10000000, 'insert', ts, user_id, event_type, value, props
+        |FROM events WHERE event_type = 'click'""".stripMargin))
+
   /** #22b Gap-based sessionization (native session_window): per-user
     * sessions with a 30-minute inactivity gap. Oracle is the classic
     * lag()/cumsum formulation — two different algorithms must agree.
@@ -605,6 +715,118 @@ object Queries {
            |SELECT doc_id, lang, lang_pred, n_tokens, quality_score FROM dedup WHERE rn = 1""".stripMargin)
     })
 
+  /** #37 Document chunking: 50-token chunks, stride 40 (10-token
+    * overlap) — the doc→training-sample splitter.
+    */
+  val qTextChunk: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.TextAnalysis.chunk(t(s, dir, "documents"), chunkTokens = 50, stride = 40)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"), col("chunk_tokens")),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, w,
+        |    1 + greatest(0, CAST(ceil((len(w) - 50) / 40.0) AS INT)) AS nch
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, w, unnest(range(0, nch)) AS i FROM c
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  array_to_string(w[i*40 + 1 : i*40 + 50], ' ') AS chunk_text,
+        |  CAST(least(50, len(w) - i*40) AS BIGINT) AS chunk_tokens
+        |FROM e""".stripMargin))
+
+  /** #38 PII redaction over text with synthesized PII (the corpus has
+    * none): an email, a phone, and an IP derived from doc_id are
+    * appended identically on both engines, then scrubbed. Counts come
+    * from the pre-redaction text.
+    */
+  val qTextRedact: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-000-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")))
+      graft.operators.TextAnalysis.redact(withPii)
+        .select(col("doc_id"), col("redacted"), col("n_email"), col("n_phone"), col("n_ipv4"))
+    },
+    oracle = {
+      val Seq(email, phone, ipv4) = graft.operators.TextAnalysis.RedactPatterns.map(_._2)
+      Some(
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || doc_id || '@example.com or +1-555-000-' ||
+           |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |    ' from 10.0.' || (doc_id % 256) || '.7' AS text
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$email', '[EMAIL]', 'g'),
+           |    '$phone', '[PHONE]', 'g'),
+           |    '$ipv4', '[IPV4]', 'g') AS redacted,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+           |  CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4
+           |FROM p""".stripMargin)
+    })
+
+  /** #39 Near-dup clusters: connected components (min-label
+    * propagation) over the n-gram Jaccard pairs. Oracle computes the
+    * same components with a recursive CTE — two very different
+    * algorithms must agree on every cluster assignment.
+    */
+  val qDedupClusters: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5)
+      graft.operators.Dedup.clusters(pairs, "doc_a", "doc_b")
+    },
+    oracle = Some(
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), s AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))) AS sh
+        |  FROM t
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS nsh FROM s GROUP BY doc_id
+        |), cnt AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cnt
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin))
+
+  /** #40 Mergeable approximate distinct (HyperLogLog++): distinct
+    * users per event type. Implementation-defined sketch values →
+    * rows-only + a spec bounding error vs exact.
+    */
+  val qApproxDistinct: QueryDef = QueryDef(
+    run = (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n_events")),
+    oracle = None)
+
   /** #29b IVF (KMeans coarse quantizer) approximate top-k — rows-only
     * + recall spec against brute force. */
   val qSimIvfTopk: QueryDef = QueryDef(
@@ -641,6 +863,12 @@ object Queries {
     "q3_top_orders" -> q3TopOrders,
     "q5_star_join" -> q5StarJoin,
     "q14_promo_share" -> q14PromoShare,
+    "q_rollup" -> qRollup,
+    "q_pivot" -> qPivot,
+    "q_percentiles" -> qPercentiles,
+    "q_asof_join" -> qAsofJoin,
+    "q_snapshot_diff" -> qSnapshotDiff,
+    "q_approx_distinct" -> qApproxDistinct,
     "q_window_running" -> qWindowRunning,
     "q_topk_per_group" -> qTopkPerGroup,
     "q_topk_heap" -> qTopkHeap,
@@ -652,6 +880,9 @@ object Queries {
     "text_quality" -> qTextQuality,
     "text_langid" -> qTextLangid,
     "text_fingerprint" -> qTextFingerprint,
+    "text_chunk" -> qTextChunk,
+    "text_redact" -> qTextRedact,
+    "dedup_clusters" -> qDedupClusters,
     "dedup_exact" -> qDedupExact,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "dedup_minhash_lsh" -> qDedupMinhashLsh,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the single most recent right row
+  * (by `rightTs <= leftTs`, per join key). The time-series join the
+  * analytics surface of the reference's SQL layer can't express
+  * without a correlated subquery.
+  *
+  * Scale design — the "union trick", not an inequality join: tag both
+  * sides, union, and run ONE window sorted by (key, ts) where
+  * `last(right-payload, ignoreNulls)` carries the latest right row
+  * forward onto each left row. A plain `l.ts >= r.ts` theta-join
+  * explodes to O(|L|·|R|) per key before a row_number prunes it; the
+  * union shape is a single hash-shuffle + per-partition sort of
+  * |L| + |R| rows — the same cost as any keyed window, and it holds
+  * at 100 TB where per-key event counts reach millions.
+  */
+object AsOfJoin {
+
+  /** Left-outer as-of join.
+    *
+    * @param rightPayload right columns to carry onto the left rows
+    *                     (emitted as `asof_<name>`, null when no right
+    *                     row is at-or-before the left timestamp)
+    * @param inclusive    true: right rows at exactly leftTs match
+    *                     (DuckDB `ASOF JOIN ... ON l.ts >= r.ts`);
+    *                     false: strictly-earlier only.
+    * Among right rows tied on (key, ts), the one with the greatest
+    * payload tuple wins — deterministic regardless of input order.
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      inclusive: Boolean = true): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    val pay = struct(rightPayload.map(right(_)): _*)
+    // side ordering at equal ts decides inclusivity: right-before-left
+    // (0 < 1) makes a tied right row visible to the left row.
+    val (rSide, lSide) = if (inclusive) (0, 1) else (1, 0)
+    val r = right.select(
+      keys.map(right(_)) ++ Seq(
+        right(rightTs).as("_graft_ts"),
+        lit(rSide).as("_graft_side"),
+        pay.as("_graft_pay")): _*)
+    val l = left
+      .withColumn("_graft_ts", col(leftTs))
+      .withColumn("_graft_side", lit(lSide))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_graft_ts") +: col("_graft_side") +: Seq(col("_graft_pay")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("_graft_match", last(col("_graft_pay"), ignoreNulls = true).over(w))
+      .filter(col("_graft_side") === lSide)
+    val leftCols = left.columns.map(col).toIndexedSeq
+    val payCols = rightPayload.map(p => col(s"_graft_match.$p").as(s"asof_$p"))
+    matched.select(leftCols ++ payCols: _*)
+  }
+}

@@ -138,6 +138,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list: every node gets
+    * the minimum id reachable through any chain of pairs — turning
+    * pairwise "A is a near-dup of B" into dedup CLUSTERS (keep one doc
+    * per cluster, drop the rest), which is what a curation pipeline
+    * actually consumes.
+    *
+    * Algorithm: distributed min-label propagation. Each round joins
+    * current labels across the (symmetrized) edge list and takes the
+    * elementwise min; converges in O(graph diameter) rounds — near-dup
+    * graphs are overwhelmingly small dense cliques, so a handful. Each
+    * round is two hash-shuffles of |E| + |V| rows; nothing is ever
+    * collected. The driver only evaluates a scalar changed-count per
+    * round (the standard convergence check; a large-star/small-star
+    * variant would cut pathological-chain rounds to O(log n) but
+    * pessimizes the clique-dominated common case).
+    */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String, maxRounds: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    // localCheckpoint (not cache) after every round: iterative
+    // self-reference otherwise compounds the LOGICAL plan round over
+    // round until plan construction itself OOMs the driver — lineage
+    // must be truncated, not just the computation memoized.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // min over (own label, neighbors' labels) — the self-edge union
+      // keeps isolated-from-this-round nodes and makes labels monotone
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = viaNeighbors.unionByName(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash over word tokens, banded
     * into 4 × 16-bit chunks (any equal chunk => candidate, catching
     * all pairs with Hamming distance <= 3 by pigeonhole... candidates

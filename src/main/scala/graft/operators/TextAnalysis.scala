@@ -72,6 +72,58 @@ object TextAnalysis {
       .drop(Stopwords.map(c => s"hits_${c._1}"): _*)
   }
 
+  /** Fixed-size token chunking with overlap — the document→training-
+    * sample splitter. Chunk i covers tokens [1 + i·stride,
+    * 1 + i·stride + chunkTokens); the last chunk may be short; a doc
+    * shorter than chunkTokens yields exactly one chunk. Pure per-row
+    * projection + explode: no shuffle, parallel over input partitions.
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 50,
+      stride: Int = 40): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val w = tokens(col(textCol))
+    val n = size(w)
+    // chunks past the first exist only for tokens beyond chunkTokens
+    val nChunks = lit(1) + greatest(lit(0),
+      ceil((n - chunkTokens).cast("double") / stride).cast("int"))
+    df.select(col(idCol), w.as("_w"), posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_id", "_i")))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(slice(col("_w"), col("_i") * stride + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens), size(col("_w")) - col("_i") * stride).cast("long").as("chunk_tokens"))
+  }
+
+  /** PII redaction patterns: (tag, Java+RE2-compatible regex). The
+    * same literals feed the Spark operator and the DuckDB oracle so
+    * the two sides can never drift.
+    */
+  val RedactPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "PHONE" -> "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "IPV4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** Scrub PII-shaped substrings, replacing each match with its
+    * `[TAG]`, and count matches per pattern (`n_<tag>` columns, from
+    * the PRE-redaction text). Chained codegen'd regexp ops — order
+    * matters (emails are matched before the IP pattern could eat a
+    * dotted fragment), so patterns apply in declaration order.
+    */
+  def redact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = RedactPatterns.foldLeft(df) { case (acc, (tag, re)) =>
+      acc.withColumn(s"n_${tag.toLowerCase}", regexp_count(col(textCol), lit(re)).cast("long"))
+    }
+    val redacted = RedactPatterns.foldLeft(col(textCol)) { case (acc, (tag, re)) =>
+      regexp_replace(acc, lit(re), lit(s"[$tag]"))
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
   /** 64-bit FNV-1a rolling fingerprint of the normalized text
     * (lowercased, whitespace collapsed) — dedup/lineage key.
     */

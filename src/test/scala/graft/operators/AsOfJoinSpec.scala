@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    // left: (id, key, ts)   right: (rid, key, ts)
+    val left = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "c", 7L))
+      .toDF("id", "key", "ts")
+    val right = Seq((100L, "a", 5L), (101L, "a", 10L), (102L, "a", 15L), (103L, "b", 9L))
+      .toDF("rid", "key", "ts")
+    (left, right)
+  }
+
+  test("asof inclusive: latest right row at-or-before each left ts; no match -> null") {
+    val (left, right) = fixture
+    val out = AsOfJoin.asof(left, right, Seq("key"), "ts", "ts", Seq("rid"))
+      .select("id", "asof_rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(
+      1L -> Some(101L), // tie at ts=10 matches (inclusive)
+      2L -> Some(102L), // latest of 5/10/15
+      3L -> None,       // only right row for b is later
+      4L -> None))      // key with no right rows at all
+  }
+
+  test("asof exclusive: a right row at exactly left ts does not match") {
+    val (left, right) = fixture
+    val out = AsOfJoin.asof(left, right, Seq("key"), "ts", "ts", Seq("rid"), inclusive = false)
+      .select("id", "asof_rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) == Some(100L)) // ts=10 row excluded, falls back to ts=5
+    assert(out(2L) == Some(102L))
+  }
+
+  test("asof: deterministic winner among right rows tied on (key, ts)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "a", 10L)).toDF("id", "key", "ts")
+    val right = Seq((7L, "a", 10L), (9L, "a", 10L), (8L, "a", 10L)).toDF("rid", "key", "ts")
+    val out = AsOfJoin.asof(left, right, Seq("key"), "ts", "ts", Seq("rid"))
+      .select("asof_rid").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(9L)) // greatest payload tuple wins the tie
+  }
+
+  test("asof matches the theta-join + argmax oracle on real events") {
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val c = ev.filter(col("event_type") === "click").select(
+      col("event_id").as("cid"), col("user_id").as("cuser"), col("ts").as("cts"))
+    val viaAsof = AsOfJoin.asof(p, c.withColumnRenamed("cuser", "user_id"),
+        Seq("user_id"), "ts", "cts", Seq("cid"))
+      .select("event_id", "asof_cid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val viaTheta = p.join(c, p("user_id") === c("cuser") && c("cts") <= p("ts"), "left")
+      .groupBy(p("event_id")).agg(max_by(col("cid"), col("cts")).as("cid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaAsof == viaTheta)
+  }
+}

@@ -79,4 +79,28 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == 0L)
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("clusters: chain and clique collapse to min-id components") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (transitive), clique 10-11-12, pair 20-21
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusters: long path needs propagation rounds, still converges") {
+    val s = spark
+    import s.implicits._
+    val n = 30L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs, "doc_a", "doc_b", maxRounds = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n.toInt && out.values.forall(_ == 1L))
+  }
 }

@@ -54,4 +54,35 @@ class TextAnalysisSpec extends SparkSpec {
     val toks = "a b c d e f".split(" ").iterator.map(_.getBytes("UTF-8"))
     assert(sigs(0) == GraftHash.simhash64(toks))
   }
+
+  test("chunk: short doc = one chunk; boundaries and overlap are exact") {
+    val words = (1 to 95).map(i => s"w$i")
+    val df = docsDf(Seq(1L -> "a b c", 2L -> words.mkString(" ")))
+    val out = TextAnalysis.chunk(df, chunkTokens = 50, stride = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out((1L, 0)) == ("a b c", 3L))
+    // 95 tokens -> chunks at 1..50, 41..90, 81..95
+    assert(out((2L, 0))._1 == words.slice(0, 50).mkString(" "))
+    assert(out((2L, 1))._1 == words.slice(40, 90).mkString(" "))
+    assert(out((2L, 2)) == (words.slice(80, 95).mkString(" "), 15L))
+    assert(!out.contains((2L, 3)))
+  }
+
+  test("chunk: exact-multiple lengths do not produce an empty tail chunk") {
+    val words = (1 to 90).map(i => s"w$i") // 50 + stride 40 exactly
+    val out = TextAnalysis.chunk(docsDf(Seq(1L -> words.mkString(" "))), chunkTokens = 50, stride = 40)
+      .collect().map(r => (r.getInt(1), r.getLong(3)))
+    assert(out.toSet == Set((0, 50L), (1, 50L)))
+  }
+
+  test("redact: scrubs email/phone/ip in order and counts pre-redaction matches") {
+    val df = docsDf(Seq(
+      1L -> "mail a.b+c@ex-ample.org then call +1-555-123-4567 at 192.168.0.1 twice x@y.io",
+      2L -> "clean text with no pii at all"))
+    val out = TextAnalysis.redact(df)
+      .select("doc_id", "redacted", "n_email", "n_phone", "n_ipv4")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("mail [EMAIL] then call [PHONE] at [IPV4] twice [EMAIL]", 2L, 1L, 1L)))
+    assert(out(2L) == (("clean text with no pii at all", 0L, 0L, 0L)))
+  }
 }
