@@ -455,6 +455,58 @@ object Queries {
         |SELECT event_id + 10000000, 'insert', ts, user_id, event_type, value, props
         |FROM events WHERE event_type = 'click'""".stripMargin))
 
+  /** #20c Set operations: BUILDING-segment customers split by whether
+    * they ever placed an URGENT order — INTERSECT and EXCEPT branches
+    * tagged and unioned.
+    */
+  val qSetOps: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      building.intersect(urgent).withColumn("tag", lit("building_urgent"))
+        .unionByName(building.except(urgent).withColumn("tag", lit("building_no_urgent")))
+    },
+    oracle = Some(
+      """WITH building AS (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), urgent AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT custkey, 'building_urgent' AS tag FROM (SELECT * FROM building INTERSECT SELECT * FROM urgent)
+        |UNION ALL
+        |SELECT custkey, 'building_no_urgent' AS tag FROM (SELECT * FROM building EXCEPT SELECT * FROM urgent)""".stripMargin))
+
+  /** #20d Range join: every click inside a purchase's 30-minute
+    * attribution window, per user — binned equi-join (see RangeJoin),
+    * checked against DuckDB's plain inequality join. Timestamps
+    * compared at microsecond precision (both engines' parquet reads
+    * truncate the nanos column identically).
+    */
+  val qRangeJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), us.as("click_us"))
+      val windowUs = 30L * 60 * 1000 * 1000
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          us.as("win_start"), (us + windowUs).as("win_end"))
+      graft.operators.RangeJoin.pointInInterval(
+        clicks, purchases, keys = Seq("user_id"),
+        pointCol = "click_us", startCol = "win_start", endCol = "win_end",
+        binWidth = windowUs)
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+    },
+    oracle = Some(
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE""".stripMargin))
+
   /** #22b Gap-based sessionization (native session_window): per-user
     * sessions with a 30-minute inactivity gap. Oracle is the classic
     * lag()/cumsum formulation — two different algorithms must agree.
@@ -500,6 +552,17 @@ object Queries {
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** #22d Streaming dedup with watermark-bounded key state: the input
+    * directory is staged DOUBLED (every file twice); the deduped
+    * stream must equal a single copy.
+    */
+  val qStreamDedup: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.runDedupToBatch(
+        s, s"$dir/events.parquet",
+        queryName = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")),
+    oracle = Some("SELECT * FROM events"))
 
   // ---------------------------------------------------------------
   // LLM-data-pipeline surface
@@ -874,7 +937,10 @@ object Queries {
     "q_topk_heap" -> qTopkHeap,
     "curate_docs" -> qCurateDocs,
     "q_anti_join" -> qAntiJoin,
+    "q_set_ops" -> qSetOps,
+    "q_range_join" -> qRangeJoin,
     "q_stream_window" -> qStreamWindow,
+    "q_stream_dedup" -> qStreamDedup,
     "q_sessionize" -> qSessionize,
     "text_tokens" -> qTextTokens,
     "text_quality" -> qTextQuality,

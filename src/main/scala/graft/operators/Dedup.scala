@@ -166,21 +166,28 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // decimal sum: long-sum overflow at billions of large ids would
+    // break the monotone-sum convergence test
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var converged = false
     var round = 0
+    var prevSum = labelSum(labels)
     while (!converged && round < maxRounds) {
       // min over (own label, neighbors' labels) — the self-edge union
       // keeps isolated-from-this-round nodes and makes labels monotone
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = viaNeighbors.unionByName(labels)
+      labels = viaNeighbors.unionByName(labels)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
-      converged = changed == 0
+      // labels only ever decrease (min-propagation is monotone), so
+      // "no label changed" ⟺ "the label sum is unchanged" — a scalar
+      // aggregate per round instead of a join-against-previous
+      val nextSum = labelSum(labels)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       round += 1
     }
     edges.unpersist()

@@ -116,6 +116,58 @@ object EventStream {
     }
   }
 
+  /** Streaming dedup on the record key with watermark-bounded state:
+    * `dropDuplicatesWithinWatermark` keeps each key's state only until
+    * the watermark passes it (an unbounded plain dropDuplicates would
+    * accumulate every key ever seen — not a 100 TB shape). Duplicates
+    * arriving after the watermark are dropped as late data, so each
+    * event_id still emits exactly once.
+    */
+  def dedupStream(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.readStream.schema(rawSchema).parquet(path)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+
+  /** Run the streaming dedup over the directory DOUBLED (two copies of
+    * every file): the output must equal one copy. AvailableNow +
+    * append-mode memory sink.
+    */
+  def runDedupToBatch(spark: SparkSession, path: String,
+      queryName: String = "graft_stream_dedup"): DataFrame = {
+    val dir = streamableDir(spark, path)
+    collectToMemory(spark, dedupStream(spark, doubledDir(spark, dir)), "append", queryName)
+  }
+
+  /** Stage a directory's parquet files twice (suffix-renamed copies)
+    * into a scratch dir — a deterministic duplicate-bearing stream
+    * input for exercising dedup.
+    */
+  def doubledDir(spark: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val p = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("."))
+    val key = s"doubled:$path@" + files.map(st => s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}").sorted.mkString(",")
+    stageCache.computeIfAbsent(key, { _ =>
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream-double-")
+      stage.toFile.deleteOnExit()
+      files.foreach { st =>
+        Seq("copy1_", "copy2_").foreach { prefix =>
+          val dst = new Path(stage.toUri.toString, prefix + st.getPath.getName)
+          FileUtil.copy(fs, st.getPath, dst.getFileSystem(conf), dst, false, conf)
+          new java.io.File(stage.toFile, prefix + st.getPath.getName).deleteOnExit()
+          new java.io.File(stage.toFile, s".${prefix}${st.getPath.getName}.crc").deleteOnExit()
+        }
+      }
+      stage.toUri.toString
+    })
+  }
+
   /** Run the streaming agg to completion over the (finite) directory
     * with AvailableNow, collecting via a complete-mode memory sink,
     * and return the result as a batch DataFrame. Complete mode emits

@@ -60,4 +60,26 @@ class PlanSpec extends SparkSpec {
     // the only exchange is for the final top-k merge of partial heaps
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
   }
+
+  test("as-of join: one hash exchange + sort, never an inequality join") {
+    val ev = TableLoader.table(spark, sfDir, "events")
+    val c = org.apache.spark.sql.functions.col _
+    val p = plan(graft.operators.AsOfJoin.asof(
+      ev.filter(c("event_type") === "purchase"),
+      ev.filter(c("event_type") === "click"),
+      Seq("user_id"), "ts", "ts", Seq("event_id")))
+    // the union trick: no join operator at all — one keyed window pass
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("IVF assignment is a projection: no iterative jobs, one broadcast join") {
+    val emb = TableLoader.table(spark, sfDir, "embeddings")
+    val p = plan(graft.operators.Similarity.ivfTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), k = 5))
+    assert(p.contains("BroadcastHashJoin"))
+    // corpus side: scan -> project(cell) -> join, never an exchange
+    // before the join; the only hash exchange merges top-k heaps
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
+  }
 }

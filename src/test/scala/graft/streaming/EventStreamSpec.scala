@@ -31,4 +31,11 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming dedup over a doubled directory equals a single copy") {
+    val streamed = EventStream.runDedupToBatch(spark, s"$sfDir/events.parquet", queryName = "spec_dedup")
+    val batch = graft.sources.TableLoader.table(spark, sfDir, "events")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
