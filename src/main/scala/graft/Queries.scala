@@ -507,6 +507,71 @@ object Queries {
         |  ON c.user_id = p.user_id
         | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE""".stripMargin))
 
+  /** #41 Column profiling: one-pass stats over orders (row count,
+    * nulls, exact distinct, min/max). Columns chosen so stringified
+    * min/max render identically in both engines (no raw doubles).
+    */
+  private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+  val qProfile: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Profiler.profile(t(s, dir, "orders"), profileCols),
+    oracle = Some(profileCols.map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM orders""".stripMargin).mkString("\nUNION ALL\n")))
+
+  /** #42 Declarative data-quality gate: expectations over
+    * orders/lineitem/customer; the discount range check is chosen to
+    * FAIL so the violation path is exercised end-to-end.
+    */
+  val qQualityChecks: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.operators.QualityChecks._
+      val ord = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      run(Seq(
+        notNull(ord, "o_custkey", "orders_custkey_not_null"),
+        unique(ord, Seq("o_orderkey"), "orders_orderkey_unique"),
+        acceptedValues(ord, "o_orderstatus", Seq("O", "F", "P"), "orders_status_domain"),
+        inRange(li, "l_discount", 0.0, 0.05, "lineitem_discount_range"),
+        referential(ord, "o_custkey", t(s, dir, "customer"), "c_custkey", "orders_customer_fk")))
+    },
+    oracle = Some(
+      """WITH r AS (
+        |  SELECT 'orders_custkey_not_null' AS "check", count(*) FILTER (o_custkey IS NULL) AS n_violations FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique', coalesce(sum(c) FILTER (c > 1), 0)
+        |    FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'orders_status_domain', count(*) FILTER (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range', count(*) FILTER (l_discount < 0.0 OR l_discount > 0.05) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_customer_fk', (SELECT count(*) FROM orders o
+        |    WHERE o.o_custkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |)
+        |SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
+        |       n_violations = 0 AS passed FROM r""".stripMargin))
+
+  /** #43 Group-stable train/val/test split (user_id modulo 80/10/10);
+    * per-split-and-type counts. The seeded-hash production variant is
+    * spec-tested (no cross-engine hash to oracle against).
+    */
+  val qSplit: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Sampling.modSplit(t(s, dir, "events"), "user_id", 10,
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users")),
+    oracle = Some(
+      """SELECT CASE WHEN user_id % 10 < 8 THEN 'train'
+        |            WHEN user_id % 10 < 9 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin))
+
   /** #22b Gap-based sessionization (native session_window): per-user
     * sessions with a 30-minute inactivity gap. Oracle is the classic
     * lag()/cumsum formulation — two different algorithms must agree.
@@ -890,6 +955,55 @@ object Queries {
           count(lit(1)).as("n_events")),
     oracle = None)
 
+  /** #44 Vocabulary build: top-200 terms by frequency with document
+    * frequency and deterministic token ids.
+    */
+  val qTextVocab: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.TextAnalysis.vocab(t(s, dir, "documents"), topK = 200),
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), agg AS (
+        |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        |), top AS (
+        |  SELECT *, row_number() OVER (ORDER BY tf DESC, term) AS token_id FROM agg
+        |)
+        |SELECT CAST(token_id AS BIGINT) AS token_id, term, tf, df
+        |FROM top WHERE token_id <= 200""".stripMargin))
+
+  /** #28b Per-label embedding centroids: elementwise mean via
+    * posexplode + one hash aggregate — map-side partial combine
+    * collapses the exploded rows to labels × dims before the shuffle.
+    * Accumulation is FIXED-POINT (floor(v·1e9) summed as longs): an
+    * order-independent, rounding-mode-free quantization — decimal
+    * casts of a dyadic float differ between engines (Spark HALF_UP vs
+    * DuckDB HALF_EVEN at the cut digit), while floor after an exact
+    * float→double widen is bit-defined everywhere. 1e-9 resolution
+    * dwarfs float32 input precision.
+    */
+  val qEmbCentroids: QueryDef = QueryDef(
+    run = (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(
+          (sum(floor(col("v").cast("double") * 1e9).cast("long")).cast("double")
+            / count(lit(1)) / 1e9).as("centroid"),
+          count(lit(1)).as("n_vectors"))
+        .withColumn("pos", col("pos").cast("long")),
+    oracle = Some(
+      """WITH e AS (
+        |  SELECT label,
+        |         unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(pos AS BIGINT) AS pos,
+        |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1000000000.0 AS centroid,
+        |  count(*) AS n_vectors
+        |FROM e GROUP BY label, pos""".stripMargin))
+
   /** #29b IVF (KMeans coarse quantizer) approximate top-k — rows-only
     * + recall spec against brute force. */
   val qSimIvfTopk: QueryDef = QueryDef(
@@ -932,6 +1046,9 @@ object Queries {
     "q_asof_join" -> qAsofJoin,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_profile" -> qProfile,
+    "q_quality_checks" -> qQualityChecks,
+    "q_split" -> qSplit,
     "q_window_running" -> qWindowRunning,
     "q_topk_per_group" -> qTopkPerGroup,
     "q_topk_heap" -> qTopkHeap,
@@ -954,6 +1071,8 @@ object Queries {
     "dedup_minhash_lsh" -> qDedupMinhashLsh,
     "dedup_simhash" -> qDedupSimhash,
     "dedup_embedding" -> qDedupEmbedding,
+    "text_vocab" -> qTextVocab,
+    "emb_centroids" -> qEmbCentroids,
     "sim_bruteforce_topk" -> qSimBruteforceTopk,
     "sim_lsh_topk" -> qSimLshTopk,
     "sim_ivf_topk" -> qSimIvfTopk,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the "what's in this table" pass every pipeline
+  * run wants before trusting a source (the reference trusts its Glue
+  * catalog; graft computes the facts).
+  *
+  * One aggregate pass over the table produces every column's stats,
+  * then a local explode unpivots the single summary row into one row
+  * per column. The exact-distinct counts make Spark plan an Expand
+  * (one input row fans to #cols+1 aggregation lanes) — still ONE
+  * shuffle, with partial aggregation per lane; swap `count_distinct`
+  * for `approx_count_distinct` when a ±2% answer is enough at 100 TB
+  * (that variant needs no Expand at all).
+  */
+object Profiler {
+
+  /** Per-column stats: row count, nulls, exact distinct, min/max
+    * (stringified so heterogeneous column types share one schema).
+    */
+  def profile(df: DataFrame, cols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_nn_$c"),
+        (if (exactDistinct) count_distinct(col(c)) else approx_count_distinct(col(c))).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val summary = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_value"),
+        col(s"_max_$c").as("max_value"))
+    }
+    summary
+      .select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.*"))
+  }
+}

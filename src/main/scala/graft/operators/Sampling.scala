@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset splitting for training pipelines.
+  *
+  * Both variants are GROUP-STABLE: the split is a pure function of a
+  * key column, so every row of a user (or document, or session) lands
+  * in the same fold — the property that prevents train/test leakage
+  * when entities span many rows. Re-running on new data never moves
+  * an existing key between folds (unlike `randomSplit`, which is
+  * order- and partitioning-sensitive).
+  *
+  * Scale: a projection — no shuffle, no state, embarrassingly
+  * parallel; the split column pushes into partition pruning when the
+  * output is written partitioned by it.
+  */
+object Sampling {
+
+  /** Production path: seeded-hash split. Buckets the key's xxhash64
+    * into `resolution` slots and cuts them by cumulative fraction.
+    * Fractions must sum to <= 1; keys hashing past the last cut get
+    * the `rest` label (use it as holdout, or make fractions sum to 1).
+    */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Seq[(String, Double)],
+      seed: Long = 42L,
+      rest: String = "rest",
+      resolution: Int = 1000000): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val slot = pmod(xxhash64(col(keyCol), lit(seed)), lit(resolution))
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr = fractions.zip(cuts).foldRight(lit(rest): org.apache.spark.sql.Column) {
+      case (((name, _), cut), els) =>
+        when(slot < math.round(cut * resolution), lit(name)).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** SQL-expressible variant (key modulo `buckets` against cumulative
+    * bucket counts) — same group-stability, reproducible in any
+    * engine; used by the cross-engine oracle. Prefer `hashSplit` in
+    * production: modulo inherits any periodicity in key assignment.
+    */
+  def modSplit(
+      df: DataFrame,
+      keyCol: String,
+      buckets: Int,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.map(_._2).sum == buckets, "bucket counts must sum to buckets")
+    val m = pmod(col(keyCol), lit(buckets))
+    val cum = cuts.scanLeft(0) { case (acc, (_, n)) => acc + n }.tail
+    val expr = cuts.zip(cum).foldRight(lit(cuts.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), cut), els) => when(m < cut, lit(name)).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -99,6 +99,26 @@ object TextAnalysis {
         least(lit(chunkTokens), size(col("_w")) - col("_i") * stride).cast("long").as("chunk_tokens"))
   }
 
+  /** Vocabulary build: top-K terms by corpus frequency with document
+    * frequency — the first pass of any tokenizer/BPE training run.
+    * Distributed explode + hash-aggregate; only the bounded top-K ever
+    * leaves the aggregation (TakeOrdered), and the final token-id
+    * numbering is a window over just those K rows. Deterministic
+    * tie-break: (tf desc, term asc).
+    */
+  def vocab(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      topK: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("_doc"), explode(tokens(col(textCol))).as("term"))
+    terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("_doc")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(topK)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("tf").desc, col("term"))).cast("long"))
+      .select(col("token_id"), col("term"), col("tf"), col("df"))
+  }
+
   /** PII redaction patterns: (tag, Java+RE2-compatible regex). The
     * same literals feed the Spark operator and the DuckDB oracle so
     * the two sides can never drift.

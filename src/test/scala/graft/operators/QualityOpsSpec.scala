@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityOpsSpec extends SparkSpec {
+
+  test("profiler: nulls, distinct, min/max per column in one pass") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "name")
+    val out = Profiler.profile(df, Seq("id", "name"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(out("name") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("quality checks: each kind counts its violations") {
+    val s = spark
+    import s.implicits._
+    val child = Seq((1L, Some(10L), "x"), (1L, Some(20L), "y"), (2L, Some(99L), "z"),
+      (3L, None, "w")).toDF("id", "fk", "v")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val out = QualityChecks.run(Seq(
+      QualityChecks.notNull(child, "fk", "fk_not_null"),
+      QualityChecks.unique(child, Seq("id"), "id_unique"),
+      QualityChecks.acceptedValues(child, "v", Seq("x", "y"), "v_domain"),
+      QualityChecks.referential(child, "fk", parent, "pk", "fk_exists")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out("fk_not_null") == ((1L, false)))
+    assert(out("id_unique") == ((2L, false))) // both rows of the dup key
+    assert(out("v_domain") == ((2L, false))) // z and w
+    assert(out("fk_exists") == ((1L, false))) // 99 has no parent
+  }
+
+  test("hashSplit: deterministic, group-stable, fractions roughly honored") {
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    def run() = Sampling.hashSplit(ev, "user_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val a = run().groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = run().groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b) // seeded: stable across runs
+    // group-stability: every user maps to exactly one split
+    val multi = run().groupBy("user_id").agg(count_distinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(multi == 0)
+    // ~150 users; binomial slack is wide but train must dominate
+    val n = a.values.sum.toDouble
+    assert(a.getOrElse("train", 0L) / n > 0.6, a.toString)
+    assert(a.keySet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("modSplit covers all rows with the declared labels") {
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    val out = Sampling.modSplit(ev, "user_id", 10, Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    assert(out.count() == ev.count())
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
+  }
+}
