@@ -629,6 +629,41 @@ object Queries {
         queryName = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")),
     oracle = Some("SELECT * FROM events"))
 
+  /** #22e Streaming upsert ingestion: the doubled events stream is
+    * micro-batch-upserted (one file per trigger) into a versioned
+    * table; the final snapshot read must equal the deduplicated
+    * events — the full ingest→timeline→snapshot path under one oracle.
+    */
+  val qStreamUpsert: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("stream-upsert")
+      val src = graft.streaming.EventStream.doubledDir(
+        s, graft.streaming.EventStream.streamableDir(s, s"$dir/events.parquet"))
+      graft.streaming.EventStream.streamUpsert(
+        s, src, target, Seq("event_id"), "ts",
+        queryName = "graft_stream_upsert_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some("SELECT * FROM events"))
+
+  /** #5b Correlated scalar subquery through the SQL transform surface:
+    * orders more than twice their customer's (decimal-exact) average.
+    * Catalyst de-correlates this into an aggregate + join — the plan
+    * spec asserts no cartesian shape survives.
+    */
+  val corrSubquerySql: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice > 2 * (
+      |  SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin
+
+  val qCorrSubquery: QueryDef = QueryDef(
+    run = (s, dir) => new ReportPipeline(s, scratch("ckpt-corr")).transform(PipelineSpec(
+      sources = Seq(SourceSpec("orders", s"$dir/orders.parquet")),
+      transform = TransformSpec(corrSubquerySql))),
+    oracle = Some(corrSubquerySql))
+
   // ---------------------------------------------------------------
   // LLM-data-pipeline surface
   // ---------------------------------------------------------------
@@ -1058,6 +1093,8 @@ object Queries {
     "q_range_join" -> qRangeJoin,
     "q_stream_window" -> qStreamWindow,
     "q_stream_dedup" -> qStreamDedup,
+    "q_stream_upsert" -> qStreamUpsert,
+    "q_corr_subquery" -> qCorrSubquery,
     "q_sessionize" -> qSessionize,
     "text_tokens" -> qTextTokens,
     "text_quality" -> qTextQuality,

@@ -141,6 +141,37 @@ object EventStream {
     collectToMemory(spark, dedupStream(spark, doubledDir(spark, dir)), "append", queryName)
   }
 
+  /** Streaming ingestion into the versioned upsert table — the graft
+    * analog of Hudi streaming ingest (the reference's tables are fed
+    * by exactly this shape: micro-batches upserted by record key with
+    * latest-wins precombine). Each micro-batch lands as one committed
+    * table version; readers always see a complete snapshot; a crashed
+    * batch leaves only an uncommitted directory. `maxFilesPerTrigger=1`
+    * forces multiple micro-batches so the merge-across-batches path
+    * actually runs.
+    */
+  def streamUpsert(
+      spark: SparkSession,
+      path: String,
+      targetPath: String,
+      recordKeys: Seq[String],
+      precombine: String,
+      queryName: String = "graft_stream_upsert"): Unit = {
+    val raw = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+    val events = raw.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.UpsertWriter.upsert(batch.toDF(), targetPath, recordKeys, precombine)
+      }
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stage a directory's parquet files twice (suffix-renamed copies)
     * into a scratch dir — a deterministic duplicate-bearing stream
     * input for exercising dedup.

@@ -82,4 +82,11 @@ class PlanSpec extends SparkSpec {
     // before the join; the only hash exchange merges top-k heaps
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
   }
+
+  test("correlated scalar subquery de-correlates: aggregate + join, no cartesian") {
+    TableLoader.register(spark, sfDir, "orders")
+    val p = plan(spark.sql(graft.Queries.corrSubquerySql))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Aggregate") || p.contains("HashAggregate"))
+  }
 }
