@@ -133,12 +133,31 @@ object EventStream {
 
   /** Run the streaming dedup over the directory DOUBLED (two copies of
     * every file): the output must equal one copy. AvailableNow +
-    * append-mode memory sink.
+    * append-mode memory sink. Dedup state stores are pinned to few
+    * partitions for the same reason as runToBatch: state here is keys
+    * within one watermark, and 32 stores × per-batch commits cost more
+    * than the state they hold.
     */
   def runDedupToBatch(spark: SparkSession, path: String,
       queryName: String = "graft_stream_dedup"): DataFrame = {
     val dir = streamableDir(spark, path)
-    collectToMemory(spark, dedupStream(spark, doubledDir(spark, dir)), "append", queryName)
+    withFewStatePartitions(spark) {
+      collectToMemory(spark, dedupStream(spark, doubledDir(spark, dir)), "append", queryName)
+    }
+  }
+
+  /** Scoped shuffle-partition override (stateful-stream parallelism is
+    * pinned at plan time from this conf); restores the session conf.
+    */
+  private def withFewStatePartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Streaming ingestion into the versioned upsert table — the graft
@@ -204,21 +223,10 @@ object EventStream {
     * and return the result as a batch DataFrame. Complete mode emits
     * trailing windows that append-mode watermarking would hold back.
     */
-  def runToBatch(spark: SparkSession, path: String, queryName: String = "graft_stream_out"): DataFrame = {
-    // Stateful-agg parallelism is pinned per query at plan time from
-    // spark.sql.shuffle.partitions; windowed-agg state here is tiny
-    // (one row per (window, type)), so fewer state stores means fewer
-    // per-batch checkpoint commits. Scoped to this query: the session
-    // conf is restored afterwards.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "8")
-    try collectToMemory(spark, hourlyAgg(spark, streamableDir(spark, path)), "complete", queryName)
-    finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+  def runToBatch(spark: SparkSession, path: String, queryName: String = "graft_stream_out"): DataFrame =
+    // Windowed-agg state is tiny (one row per (window, type)); fewer
+    // state stores means fewer per-batch checkpoint commits.
+    withFewStatePartitions(spark) {
+      collectToMemory(spark, hourlyAgg(spark, streamableDir(spark, path)), "complete", queryName)
     }
-  }
 }
