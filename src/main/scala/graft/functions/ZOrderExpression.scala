@@ -36,7 +36,10 @@ object ZOrderUtil {
 case class InterleaveBits(children: Seq[Expression]) extends Expression {
   require(children.nonEmpty && children.size <= 8, "interleave_bits takes 1..8 columns")
 
-  val bitsPer: Int = 64 / children.size
+  // capped at 31: inputs are ints (31 value bits), and an int shift
+  // by >= 32 is mod-32 in JVM semantics — bitsPer 64 for a single
+  // column would silently read garbage bits
+  val bitsPer: Int = math.min(64 / children.size, 31)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false

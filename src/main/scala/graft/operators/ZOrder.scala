@@ -31,7 +31,10 @@ object ZOrder {
       Seq(min(col(c)).cast("double").as(s"mn_$c"), max(col(c)).cast("double").as(s"mx_$c")))
     val row = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
     val stats = cols.zipWithIndex.map { case (c, i) =>
-      c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      // empty/all-null column: stats come back null; any constant
+      // range works (every row scales to the same bucket)
+      if (row.isNullAt(2 * i)) c -> (0.0, 1.0)
+      else c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
     }.toMap
     val scaled = cols.map { c =>
       val (mn, mx) = stats(c)

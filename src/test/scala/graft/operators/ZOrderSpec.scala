@@ -22,7 +22,7 @@ class ZOrderSpec extends SparkSpec {
     val out = df.select(graft.functions.ZOrderFunctions.interleaveBits(
       Seq(col("a"), col("b"))).as("z")).collect().map(_.getLong(0))
     val expect = Seq((3, 5), (0xffff, 0), (7, 7)).map { case (a, b) =>
-      ZOrderUtil.interleave(Array(a, b), 32) }
+      ZOrderUtil.interleave(Array(a, b), 31) } // expression caps bitsPer at 31
     assert(out.toSeq == expect)
   }
 
@@ -47,5 +47,21 @@ class ZOrderSpec extends SparkSpec {
     assert(zSpan < linSpan * 0.8, s"z $zSpan vs linear $linSpan")
     // and the layout is only a reordering
     assert(zed.count() == ev.count())
+  }
+
+  test("single-column expression returns the value itself (31-bit cap)") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(12345, 0, 0x7fff).toDF("a")
+      .select(graft.functions.ZOrderFunctions.interleaveBits(Seq(col("a"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(12345L, 0L, 0x7fffL))
+  }
+
+  test("withZValue tolerates an all-null column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, None: Option[Int]), (2, None)).toDF("a", "b")
+    assert(ZOrder.withZValue(df, Seq("a", "b")).count() == 2)
   }
 }
