@@ -44,7 +44,10 @@ object AsOfJoin {
     // side ordering at equal ts decides inclusivity: right-before-left
     // (0 < 1) makes a tied right row visible to the left row.
     val (rSide, lSide) = if (inclusive) (0, 1) else (1, 0)
-    val r = right.select(
+    // a NULL right timestamp can never be "at or before" anything
+    // (ASOF comparison semantics) — and unfiltered it would sort to
+    // the partition front and masquerade as a match for matchless rows
+    val r = right.filter(right(rightTs).isNotNull).select(
       keys.map(right(_)) ++ Seq(
         right(rightTs).as("_graft_ts"),
         lit(rSide).as("_graft_side"),

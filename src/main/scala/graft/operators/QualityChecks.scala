@@ -49,7 +49,10 @@ object QualityChecks {
       name: String): DataFrame =
     one(name,
       child.filter(col(childKey).isNotNull)
-        .join(parent.select(col(parentKey)), col(childKey) === col(parentKey), "left_anti")
+        // parent key renamed so childKey == parentKey can't turn the
+        // anti-join condition into an ambiguous self-comparison
+        .join(parent.select(col(parentKey).as("_graft_pk")),
+          col(childKey) === col("_graft_pk"), "left_anti")
         .agg(count(lit(1)).as("n")))
 
   /** Union the checks and flag passes. */

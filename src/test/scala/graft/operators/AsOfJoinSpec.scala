@@ -61,4 +61,15 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(viaAsof == viaTheta)
   }
+
+  test("null right timestamps never match; null left ts keeps the row with no match") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "a", Some(10L)), (2L, "a", None)).toDF("id", "key", "ts")
+    val right = Seq((100L, "a", None: Option[Long]), (101L, "a", Some(4L))).toDF("rid", "key", "ts")
+    val out = AsOfJoin.asof(left, right, Seq("key"), "ts", "ts", Seq("rid"))
+      .select("id", "asof_rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(1L -> Some(101L), 2L -> None))
+  }
 }

@@ -56,4 +56,14 @@ class QualityOpsSpec extends SparkSpec {
     assert(out.count() == ev.count())
     assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
   }
+
+  test("referential works when child and parent key share a name") {
+    val s = spark
+    import s.implicits._
+    val child = Seq(1L, 2L, 9L).toDF("k")
+    val parent = Seq(1L, 2L).toDF("k")
+    val out = QualityChecks.run(Seq(QualityChecks.referential(child, "k", parent, "k", "fk")))
+      .collect()(0)
+    assert(out.getLong(1) == 1L && !out.getBoolean(2))
+  }
 }
