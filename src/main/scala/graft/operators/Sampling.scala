@@ -40,6 +40,31 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Stratified deterministic sampling: keep a per-stratum fraction
+    * of keys (e.g. downsample 'en' to 10% while keeping all 'de').
+    * Same seeded-hash mechanics as hashSplit — repeatable, group-
+    * stable, pure projection; the way a corpus gets rebalanced without
+    * a shuffle or an RNG whose draw depends on row order.
+    */
+  def stratified(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0,
+      seed: Long = 42L,
+      resolution: Int = 1000000): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val slot = pmod(xxhash64(col(keyCol), lit(seed)), lit(resolution))
+    val cut = fractions.toSeq.sortBy(_._1).foldRight(
+        lit(math.round(defaultFraction * resolution)): org.apache.spark.sql.Column) {
+      case ((stratum, f), els) =>
+        when(col(strataCol) === stratum, lit(math.round(f * resolution))).otherwise(els)
+    }
+    df.filter(slot < cut)
+  }
+
   /** SQL-expressible variant (key modulo `buckets` against cumulative
     * bucket counts) — same group-stability, reproducible in any
     * engine; used by the cross-engine oracle. Prefer `hashSplit` in

@@ -89,4 +89,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Aggregate") || p.contains("HashAggregate"))
   }
+
+  test("rollup: one shuffle (grouping sets expand map-side, partial agg)") {
+    val p = plan(graft.Queries.qRollup.run(spark, sfDir))
+    assert(p.contains("Expand"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_"))
+  }
+
+  test("profiler: one pass — a single shuffle for all columns' stats") {
+    val p = plan(graft.operators.Profiler.profile(
+      TableLoader.table(spark, sfDir, "orders"), Seq("o_orderkey", "o_orderstatus")))
+    assert("Exchange".r.findAllIn(p).size <= 2, p) // expand lanes + final single-group merge
+    assert(p.contains("partial_"))
+  }
+
+  test("snapshot diff: one join, no window, no cartesian") {
+    val ev = TableLoader.table(spark, sfDir, "events")
+    val p = plan(graft.operators.SnapshotDiff.diff(ev, ev, Seq("event_id")))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    assert("Join".r.findAllIn(p).size >= 1)
+  }
 }

@@ -66,4 +66,19 @@ class QualityOpsSpec extends SparkSpec {
       .collect()(0)
     assert(out.getLong(1) == 1L && !out.getBoolean(2))
   }
+
+  test("stratified: per-stratum fractions, deterministic, group-stable") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+    def run() = Sampling.stratified(docs, "lang", "doc_id",
+      Map("en" -> 0.3), defaultFraction = 1.0)
+    val a = run(); val b = run()
+    assert(a.count() == b.count()) // seeded determinism
+    val byLang = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-en strata fully kept
+    byLang.filterNot(_._1 == "en").foreach { case (l, n) => assert(kept.getOrElse(l, 0L) == n, l) }
+    // en downsampled to roughly 30% (wide slack: small corpus)
+    val en = kept.getOrElse("en", 0L).toDouble / byLang("en")
+    assert(en > 0.1 && en < 0.6, s"en kept $en")
+  }
 }
