@@ -664,6 +664,22 @@ object Queries {
       transform = TransformSpec(corrSubquerySql))),
     oracle = Some(corrSubquerySql))
 
+  /** #22f Custom arbitrary state (flatMapGroupsWithState): every-10th-
+    * event milestones per user; oracle is the row_number formulation.
+    */
+  val qStreamMilestones: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.runMilestonesToBatch(
+        s, s"$dir/events.parquet", every = 10,
+        queryName = "graft_stream_ms_" + java.util.UUID.randomUUID().toString.replace("-", "")),
+    oracle = Some(
+      """SELECT user_id, CAST(rn // 10 AS BIGINT) AS milestone,
+        |       CAST(rn AS BIGINT) AS n_events, ts
+        |FROM (SELECT user_id, ts, event_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn % 10 = 0""".stripMargin))
+
   // ---------------------------------------------------------------
   // LLM-data-pipeline surface
   // ---------------------------------------------------------------
@@ -1094,6 +1110,7 @@ object Queries {
     "q_stream_window" -> qStreamWindow,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_upsert" -> qStreamUpsert,
+    "q_stream_milestones" -> qStreamMilestones,
     "q_corr_subquery" -> qCorrSubquery,
     "q_sessionize" -> qSessionize,
     "text_tokens" -> qTextTokens,

@@ -160,6 +160,63 @@ object EventStream {
     }
   }
 
+  /** A typed event row for the custom-state operators (ts as an
+    * instant so watermarks and state timeouts apply).
+    */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+
+  final case class Milestone(user_id: Long, milestone: Long, n_events: Long, ts: java.sql.Timestamp)
+
+  /** Custom arbitrary-state streaming via `flatMapGroupsWithState`:
+    * emit a row each time a user crosses an every-`every`-events
+    * milestone. State per key is ONE long (events seen so far) — the
+    * canonical shape for logic the built-in windowed/session
+    * aggregates can't express (milestones depend on the full history
+    * count, not any window).
+    *
+    * Within a micro-batch the group iterator is unordered, so events
+    * are sorted by (ts, event_id) before counting — memory per
+    * (key, batch) is the batch's rows for that key, which trigger
+    * sizing bounds. Batches themselves arrive in file order, so
+    * event-time-ordered inputs get exact milestone timestamps.
+    */
+  def milestones(spark: SparkSession, path: String, every: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(every > 0, "every must be positive")
+    val raw = spark.readStream.schema(rawSchema).parquet(path)
+    val events = raw
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[Event]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[Long]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var n = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Milestone]
+          sorted.foreach { e =>
+            n += 1
+            if (n % every == 0) out += Milestone(user, n / every, n, e.ts)
+          }
+          state.update(n)
+          out.result().iterator
+      }
+      .toDF()
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+
+  /** Run milestone detection over a finite directory (AvailableNow,
+    * append memory sink).
+    */
+  def runMilestonesToBatch(spark: SparkSession, path: String, every: Int = 10,
+      queryName: String = "graft_stream_milestones"): DataFrame =
+    withFewStatePartitions(spark) {
+      collectToMemory(spark,
+        milestones(spark, streamableDir(spark, path), every), "append", queryName)
+    }
+
   /** Streaming ingestion into the versioned upsert table — the graft
     * analog of Hudi streaming ingest (the reference's tables are fed
     * by exactly this shape: micro-batches upserted by record key with

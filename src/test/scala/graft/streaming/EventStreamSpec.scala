@@ -38,4 +38,67 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("milestone state carries across micro-batches (two time-split files)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    val cut = ev.agg(expr("percentile(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft-ms-batches-")
+    dir.toFile.deleteOnExit()
+    val us = unix_micros(col("ts").cast("timestamp"))
+    // raw nanos back in a LONG column so the stream reader's rawSchema applies
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.withColumn("ts", (us * 1000).cast("long"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    dump(ev.filter(us <= cut), "a_first")
+    Thread.sleep(1100) // distinct mtimes: oldest-first file ordering
+    dump(ev.filter(us > cut), "b_second")
+    val stageDir = dir.toString
+    val files = new java.io.File(stageDir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(f => f.getName.endsWith(".parquet"))
+    val flat = java.nio.file.Files.createTempDirectory("graft-ms-flat-")
+    flat.toFile.deleteOnExit()
+    files.sortBy(_.getParentFile.getName).zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath, flat.resolve(f"part$i%02d.parquet"))
+      Thread.sleep(1100)
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val raw = spark.readStream.schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val streamed = {
+      val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[EventStream.Event]
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val q = events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, it: Iterator[EventStream.Event], state: GroupState[Long]) =>
+            val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var n = state.getOption.getOrElse(0L)
+            val out = Seq.newBuilder[EventStream.Milestone]
+            sorted.foreach { e =>
+              n += 1
+              if (n % 10 == 0) out += EventStream.Milestone(user, n / 10, n, e.ts)
+            }
+            state.update(n)
+            out.result().iterator
+        }.toDF().withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("spec_ms_batches")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table("spec_ms_batches")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") % 10 === 0)
+      .select(col("user_id"), (col("rn") / 10).cast("long").as("milestone"),
+        col("rn").cast("long").as("n_events"), col("ts"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
