@@ -17,7 +17,11 @@ object Bench {
     // Local iteration knobs (driver sets neither): SPARK_GRAFT_QUERIES
     // = comma-list subset; SPARK_GRAFT_REPS = best-of-N per query.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    // best-of-2 by default: single-shot timings roam ±5-10× under
+    // transient host interference (GC, page cache, co-tenant load) —
+    // measured as a contiguous "slow block" of queries that moves
+    // between otherwise-identical runs. min-of-2 reports steady state.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
     val selected = SparkEntry.queries.filter { case (n, _) => subset.forall(_.contains(n)) }
     // Untimed warm-up: JIT/codegen/classloader/parquet-reader costs land
     // here instead of on whichever query happens to run first.

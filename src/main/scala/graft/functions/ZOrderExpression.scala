@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -36,6 +37,17 @@ object ZOrderUtil {
 case class InterleaveBits(children: Seq[Expression]) extends Expression {
   require(children.nonEmpty && children.size <= 8, "interleave_bits takes 1..8 columns")
 
+  // analysis-time type check — without it a non-int child fails LATE:
+  // ClassCastException in eval or a Janino compile error in generated
+  // code. (ExpectsInputTypes isn't usable outside org.apache.spark.sql
+  // — AbstractDataType is private[sql] — so check explicitly.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.zipWithIndex.find(_._1.dataType != IntegerType) match {
+      case None => TypeCheckResult.TypeCheckSuccess
+      case Some((c, i)) => TypeCheckResult.TypeCheckFailure(
+        s"interleave_bits requires INT arguments, but argument ${i + 1} is ${c.dataType.catalogString}")
+    }
+
   // capped at 31: inputs are ints (31 value bits), and an int shift
   // by >= 32 is mod-32 in JVM semantics — bitsPer 64 for a single
   // column would silently read garbage bits
@@ -65,10 +77,14 @@ case class InterleaveBits(children: Seq[Expression]) extends Expression {
     val evals = children.map(_.genCode(ctx))
     val arr = ctx.freshName("zvals")
     val maxV = if (bitsPer >= 31) Int.MaxValue else (1 << bitsPer) - 1
+    // ctx.freshName for the per-child temporaries: a fixed `v$i` would
+    // collide when two InterleaveBits land in one generated function
+    // (duplicate local → Janino error → whole-stage-codegen fallback)
     val fill = evals.zipWithIndex.map { case (e, i) =>
+      val v = ctx.freshName(s"zv$i")
       s"""${e.code}
-         |int v$i = ${e.isNull} ? 0 : ${e.value};
-         |$arr[$i] = v$i < 0 ? 0 : (v$i > $maxV ? $maxV : v$i);""".stripMargin
+         |int $v = ${e.isNull} ? 0 : ${e.value};
+         |$arr[$i] = $v < 0 ? 0 : ($v > $maxV ? $maxV : $v);""".stripMargin
     }.mkString("\n")
     ev.copy(
       code = code"""

@@ -167,13 +167,17 @@ object Dedup {
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     // decimal sum: long-sum overflow at billions of large ids would
-    // break the monotone-sum convergence test
+    // break the monotone-sum convergence test. Null-safe: sum over
+    // zero rows is NULL — an empty pair list must converge on round
+    // one, not NPE.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var converged = false
     var round = 0
     var prevSum = labelSum(labels)
     while (!converged && round < maxRounds) {
+      val prevLabels = labels
       // min over (own label, neighbors' labels) — the self-edge union
       // keeps isolated-from-this-round nodes and makes labels monotone
       val viaNeighbors = edges
@@ -189,10 +193,34 @@ object Dedup {
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       round += 1
+      // the new round is checkpointed (materialized) — the previous
+      // round's blocks are dead weight from here on. Freeing them
+      // eagerly matters: ContextCleaner only reclaims checkpoint
+      // blocks after a driver GC notices the dropped reference, and a
+      // long-running session accumulates O(rounds) block leakage
+      // meanwhile.
+      unpersistCheckpoint(prevLabels)
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Dedup.clusters stopped after maxRounds=$maxRounds without converging: " +
+          "component diameter exceeds the round budget and the returned " +
+          "cluster assignments are NOT final. Raise maxRounds (rounds needed " +
+          "~= largest component diameter).")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
+
+  /** Free the blocks behind an eagerly-localCheckpointed DataFrame.
+    * `Dataset.unpersist` only consults the CacheManager, which knows
+    * nothing about checkpoint RDD blocks — the checkpointed data hangs
+    * off the LogicalRDD leaf, so unpersist that RDD directly.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** SimHash near-dup pairs: 64-bit simhash over word tokens, banded
     * into 4 × 16-bit chunks (any equal chunk => candidate, catching

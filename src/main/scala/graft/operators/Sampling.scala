@@ -31,6 +31,9 @@ object Sampling {
       rest: String = "rest",
       resolution: Int = 1000000): DataFrame = {
     require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    // a negative fraction would make the cumulative cuts non-monotone —
+    // rows silently land in the wrong split instead of failing here
+    require(fractions.forall(_._2 >= 0), "fractions must be non-negative")
     val slot = pmod(xxhash64(col(keyCol), lit(seed)), lit(resolution))
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val expr = fractions.zip(cuts).foldRight(lit(rest): org.apache.spark.sql.Column) {

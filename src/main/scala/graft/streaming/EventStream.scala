@@ -141,23 +141,22 @@ object EventStream {
   def runDedupToBatch(spark: SparkSession, path: String,
       queryName: String = "graft_stream_dedup"): DataFrame = {
     val dir = streamableDir(spark, path)
-    withFewStatePartitions(spark) {
-      collectToMemory(spark, dedupStream(spark, doubledDir(spark, dir)), "append", queryName)
+    withFewStatePartitions(spark) { s =>
+      collectToMemory(s, dedupStream(s, doubledDir(s, dir)), "append", queryName)
     }
   }
 
   /** Scoped shuffle-partition override (stateful-stream parallelism is
-    * pinned at plan time from this conf); restores the session conf.
+    * pinned at plan time from this conf). Runs the body against a
+    * CLONED session (`newSession()` shares the SparkContext but owns
+    * its SQLConf), so concurrent batch queries on the caller's session
+    * never observe the override — mutating the shared conf and
+    * restoring it around `awaitTermination` would race with them.
     */
-  private def withFewStatePartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, n.toString)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+  private def withFewStatePartitions[T](spark: SparkSession, n: Int = 8)(body: SparkSession => T): T = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(scoped)
   }
 
   /** A typed event row for the custom-state operators (ts as an
@@ -212,9 +211,9 @@ object EventStream {
     */
   def runMilestonesToBatch(spark: SparkSession, path: String, every: Int = 10,
       queryName: String = "graft_stream_milestones"): DataFrame =
-    withFewStatePartitions(spark) {
-      collectToMemory(spark,
-        milestones(spark, streamableDir(spark, path), every), "append", queryName)
+    withFewStatePartitions(spark) { s =>
+      collectToMemory(s,
+        milestones(s, streamableDir(s, path), every), "append", queryName)
     }
 
   /** Streaming ingestion into the versioned upsert table — the graft
@@ -283,7 +282,7 @@ object EventStream {
   def runToBatch(spark: SparkSession, path: String, queryName: String = "graft_stream_out"): DataFrame =
     // Windowed-agg state is tiny (one row per (window, type)); fewer
     // state stores means fewer per-batch checkpoint commits.
-    withFewStatePartitions(spark) {
-      collectToMemory(spark, hourlyAgg(spark, streamableDir(spark, path)), "complete", queryName)
+    withFewStatePartitions(spark) { s =>
+      collectToMemory(s, hourlyAgg(s, streamableDir(s, path)), "complete", queryName)
     }
 }

@@ -103,4 +103,13 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size == n.toInt && out.values.forall(_ == 1L))
   }
+
+  test("clusters: empty pair list yields an empty result, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs, "doc_a", "doc_b")
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_rep"))
+    assert(out.count() == 0L)
+  }
 }

@@ -50,6 +50,13 @@ class QualityOpsSpec extends SparkSpec {
     assert(a.keySet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("hashSplit rejects negative fractions instead of mis-cutting") {
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ev, "user_id", Seq("train" -> 0.9, "val" -> -0.1, "test" -> 0.1))
+    }
+  }
+
   test("modSplit covers all rows with the declared labels") {
     val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
     val out = Sampling.modSplit(ev, "user_id", 10, Seq("train" -> 8, "val" -> 1, "test" -> 1))

@@ -26,6 +26,33 @@ class ZOrderSpec extends SparkSpec {
     assert(out.toSeq == expect)
   }
 
+  test("two interleave_bits in one projection don't collide in codegen") {
+    val s = spark
+    import s.implicits._
+    // pre-freshName codegen declared fixed locals v0/v1 — two
+    // expressions in one generated function produced duplicate
+    // declarations and forced a whole-stage-codegen fallback
+    val df = Seq((3, 5), (7, 2)).toDF("a", "b")
+    val out = df.select(
+      graft.functions.ZOrderFunctions.interleaveBits(Seq(col("a"), col("b"))).as("z1"),
+      graft.functions.ZOrderFunctions.interleaveBits(Seq(col("b"), col("a"))).as("z2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = Seq((3, 5), (7, 2)).map { case (a, b) =>
+      (ZOrderUtil.interleave(Array(a, b), 31), ZOrderUtil.interleave(Array(b, a), 31)) }
+    assert(out.toSeq == expect)
+  }
+
+  test("non-integer input fails analysis with a type error, not at runtime") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("x", 1)).toDF("a", "b")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.ZOrderFunctions.interleaveBits(
+        Seq(col("a"), col("b"))).as("z")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("interleave_bits"))
+  }
+
   test("z-order layout bounds BOTH columns per partition; linear sort only one") {
     val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
       .select(col("user_id"), col("value"))

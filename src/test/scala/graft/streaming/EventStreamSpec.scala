@@ -39,6 +39,28 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stateful runs never mutate the caller session's shuffle partitions") {
+    // the few-state-partitions override must be scoped to a cloned
+    // session: a concurrent observer of the SHARED session conf must
+    // never see the pinned value, even mid-run
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    @volatile var done = false
+    val seen = scala.collection.mutable.Set[String]()
+    val observer = new Thread(() => {
+      while (!done) { seen.synchronized { seen += spark.conf.get(key) }; Thread.sleep(5) }
+    })
+    observer.start()
+    try {
+      val out = EventStream.runDedupToBatch(spark, s"$sfDir/events.parquet",
+        queryName = "spec_dedup_conf")
+      assert(out.count() > 0)
+    } finally { done = true; observer.join() }
+    assert(spark.conf.get(key) == before)
+    assert(seen.synchronized(seen.toSet) == Set(before),
+      s"shared conf observed mid-run: $seen")
+  }
+
   test("milestone state carries across micro-batches (two time-split files)") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
