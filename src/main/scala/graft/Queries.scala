@@ -507,6 +507,34 @@ object Queries {
         |  ON c.user_id = p.user_id
         | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE""".stripMargin))
 
+  /** #20e Automatic range-join optimization: the SAME attribution
+    * query as q_range_join, but written as a PLAIN inequality join —
+    * graft.plans.BinnedRangeJoinRule (installed via
+    * SparkSessionExtensions) rewrites it into the binned equi-join at
+    * optimization time. Runs on a cloned session so the opt-in
+    * binWidth conf never leaks into sibling queries; the oracle is
+    * identical to q_range_join's, so the rule's output is checked
+    * bit-for-bit against DuckDB's plain inequality join.
+    */
+  val qRangeJoinAuto: QueryDef = QueryDef(
+    run = (s0, dir) => {
+      val windowUs = 30L * 60 * 1000 * 1000
+      val s = s0.newSession()
+      s.conf.set(graft.plans.BinnedRangeJoinRule.binWidthKey, windowUs.toString)
+      val ev = t(s, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), us.as("click_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          us.as("win_start"), (us + windowUs).as("win_end"))
+      clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("click_us") >= col("win_start") && col("click_us") <= col("win_end"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+    },
+    oracle = qRangeJoin.oracle)
+
   /** #41 Column profiling: one-pass stats over orders (row count,
     * nulls, exact distinct, min/max). Columns chosen so stringified
     * min/max render identically in both engines (no raw doubles).
@@ -1107,6 +1135,7 @@ object Queries {
     "q_anti_join" -> qAntiJoin,
     "q_set_ops" -> qSetOps,
     "q_range_join" -> qRangeJoin,
+    "q_range_join_auto" -> qRangeJoinAuto,
     "q_stream_window" -> qStreamWindow,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_upsert" -> qStreamUpsert,
