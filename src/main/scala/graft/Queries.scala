@@ -364,6 +364,25 @@ object Queries {
         |FROM orders
         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin))
 
+  /** #18f Cube aggregation: order value by every subset of
+    * (priority, status) — all four grouping sets in ONE shuffle
+    * (Spark expands grouping sets map-side, same as rollup), with
+    * grouping_id separating the levels.
+    */
+  val qCube: QueryDef = QueryDef(
+    run = (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"),
+          grouping_id().as("gid")),
+    oracle = Some(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+        |  GROUPING(o_orderpriority, o_orderstatus) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin))
+
   /** #18c Pivot: order value by status × priority, priorities as
     * columns. Values enumerated explicitly — a pivot without them
     * costs a driver-side distinct pass, which is not a 100 TB shape.
@@ -1050,6 +1069,65 @@ object Queries {
         |SELECT CAST(token_id AS BIGINT) AS token_id, term, tf, df
         |FROM top WHERE token_id <= 200""".stripMargin))
 
+  /** #42 TF-IDF top-3 terms per document (rational idf for
+    * cross-engine bit-exactness — see TextAnalysis.tfIdf).
+    */
+  val qTextTfidf: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.TextAnalysis.tfIdf(t(s, dir, "documents"), topK = 3),
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, rk, term, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored
+        |) WHERE rk <= 3""".stripMargin))
+
+  /** #43 Language-balanced capping: at most 60 docs per language,
+    * deterministically by doc_id — rebalances the en-heavy corpus.
+    * The seeded-hash order variant is spec-tested (no cross-engine
+    * hash to oracle against); doc_id order IS the oracle-able one.
+    */
+  val qLangBalance: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Sampling.capPerGroup(
+        t(s, dir, "documents"), groupCol = "lang", orderCol = "doc_id", k = 60,
+        seqCol = "lang_seq")
+        .select(col("doc_id"), col("lang"), col("lang_seq")),
+    oracle = Some(
+      """SELECT doc_id, lang, lang_seq FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS lang_seq
+        |  FROM documents
+        |) WHERE lang_seq <= 60""".stripMargin))
+
+  /** #44 Source-blocklist filtering: drop documents from denylisted
+    * sources via broadcast anti join (the blocklist is a TABLE — see
+    * Curation.dropBlockedSources).
+    */
+  private val blockedSources = Seq("src3", "src7", "src13")
+  val qBlocklist: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import s.implicits._
+      val block = blockedSources.toDF("blocked_source")
+      graft.operators.Curation.dropBlockedSources(
+        t(s, dir, "documents"), "source", block, "blocked_source")
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+    oracle = Some(
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE source NOT IN (${blockedSources.map(b => s"'$b'").mkString(", ")})""".stripMargin))
+
   /** #28b Per-label embedding centroids: elementwise mean via
     * posexplode + one hash aggregate — map-side partial combine
     * collapses the exploded rows to labels × dims before the shuffle.
@@ -1120,6 +1198,7 @@ object Queries {
     "q5_star_join" -> q5StarJoin,
     "q14_promo_share" -> q14PromoShare,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
     "q_asof_join" -> qAsofJoin,
@@ -1155,6 +1234,9 @@ object Queries {
     "dedup_simhash" -> qDedupSimhash,
     "dedup_embedding" -> qDedupEmbedding,
     "text_vocab" -> qTextVocab,
+    "text_tfidf" -> qTextTfidf,
+    "q_lang_balance" -> qLangBalance,
+    "q_blocklist" -> qBlocklist,
     "emb_centroids" -> qEmbCentroids,
     "sim_bruteforce_topk" -> qSimBruteforceTopk,
     "sim_lsh_topk" -> qSimLshTopk,

@@ -68,6 +68,28 @@ object Sampling {
     df.filter(slot < cut)
   }
 
+  /** Group-balanced capping: keep at most `k` rows per group,
+    * deterministically by `orderCol` — how a skewed corpus gets
+    * rebalanced (cap the over-represented language/source) without an
+    * RNG whose draw depends on row order. One shuffle on the group
+    * key; the per-group rank streams, so groups larger than a
+    * partition never materialize. For k small and groups huge,
+    * TopKAggregate (O(k) state, map-side combine) computes the same
+    * set — see q_topk_heap for that plan shape.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      k: Int,
+      seqCol: String = "grp_seq"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(seqCol,
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(col(orderCol))))
+      .filter(col(seqCol) <= k)
+  }
+
   /** SQL-expressible variant (key modulo `buckets` against cumulative
     * bucket counts) — same group-stability, reproducible in any
     * engine; used by the cross-engine oracle. Prefer `hashSplit` in

@@ -119,6 +119,35 @@ object TextAnalysis {
       .select(col("token_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** TF-IDF top terms per document — the keyword-extraction /
+    * relevance-weighting pass. Term frequencies and document
+    * frequencies are two hash aggregations over the exploded tokens;
+    * the df side is vocabulary-sized, so the join back onto (doc,
+    * term) broadcasts under AQE (runtime size, not the
+    * garbage-post-aggregate estimate) and only the per-doc top-K
+    * survives the rank.
+    *
+    * The idf is the RATIONAL variant (n_docs/df, not log(n_docs/df)):
+    * IEEE-754 division is correctly rounded, so scores are
+    * bit-identical across engines, while log goes through platform
+    * libm. Swapping in a log idf changes only this projection.
+    */
+  def tfIdf(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** PII redaction patterns: (tag, Java+RE2-compatible regex). The
     * same literals feed the Spark operator and the DuckDB oracle so
     * the two sides can never drift.

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Batch-curation operators: blocklist filtering, group-balanced
+  * capping, TF-IDF keyword extraction.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("dropBlockedSources equals the literal NOT IN filter and is an anti join") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "srcA"), (2L, "srcB"), (3L, "srcA"), (4L, "srcC"))
+      .toDF("doc_id", "source")
+    val block = Seq("srcA").toDF("b")
+    val out = Curation.dropBlockedSources(docs, "source", block, "b")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    assert(out.queryExecution.executedPlan.treeString.contains("LeftAnti"))
+  }
+
+  test("capPerGroup keeps exactly min(k, group size) rows, lowest order keys first") {
+    val s = spark; import s.implicits._
+    val df = Seq(("en", 5L), ("en", 1L), ("en", 3L), ("de", 9L), ("de", 2L))
+      .toDF("lang", "doc_id")
+    val out = Sampling.capPerGroup(df, "lang", "doc_id", k = 2)
+      .select("lang", "doc_id", "grp_seq")
+      .as[(String, Long, Int)].collect().toSet
+    assert(out == Set(("en", 1L, 1), ("en", 3L, 2), ("de", 2L, 1), ("de", 9L, 2)))
+  }
+
+  test("capPerGroup rejects non-positive k") {
+    val s = spark; import s.implicits._
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(Seq(("a", 1L)).toDF("g", "id"), "g", "id", k = 0)
+    }
+  }
+
+  test("tfIdf: hand-computed scores, deterministic tie-break on term") {
+    val docs = docsDf(Seq((1L, "a b a"), (2L, "a c"), (3L, "c c d")))
+    val out = TextAnalysis.tfIdf(docs, topK = 2)
+      .select("doc_id", "rk", "term", "tfidf")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    // n=3; df: a=2 b=1 c=2 d=1. Ties (3.0) break on term asc.
+    assert(out == Set(
+      (1L, 1, "a", 3.0), (1L, 2, "b", 3.0),
+      (2L, 1, "a", 1.5), (2L, 2, "c", 1.5),
+      (3L, 1, "c", 3.0), (3L, 2, "d", 3.0)))
+  }
+
+  test("cube emits all four grouping sets over the rollup's three") {
+    val cube = graft.Queries.qCube.run(spark, sfDir)
+    val rollup = graft.Queries.qRollup.run(spark, sfDir)
+    // gid bit order: (priority, status) -> status-only subtotal has gid 2
+    val statusOnly = cube.filter(col("gid") === 2)
+    assert(statusOnly.count() > 0)
+    assert(cube.count() == rollup.count() + statusOnly.count())
+  }
+}
