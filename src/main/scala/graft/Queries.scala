@@ -1128,6 +1128,84 @@ object Queries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE source NOT IN (${blockedSources.map(b => s"'$b'").mkString(", ")})""".stripMargin))
 
+  /** #45 Benchmark decontamination: training docs (doc_id % 10 != 9)
+    * sharing any 8-gram with the holdout (doc_id % 10 == 9). Spark
+    * joins on 64-bit hashed shingles (codegen'd kernel, 8-byte
+    * shuffle); the oracle joins raw n-gram strings — identical
+    * results barring a 2^-64 hash collision.
+    */
+  val qDecontam: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      val test = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+      graft.operators.Curation.decontaminate(train, test, n = 8)
+    },
+    oracle = Some(
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), tr AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS sh
+        |  FROM w WHERE doc_id % 10 != 9
+        |), te AS (
+        |  SELECT DISTINCT doc_id AS test_id,
+        |         unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS sh
+        |  FROM w WHERE doc_id % 10 = 9
+        |)
+        |SELECT tr.doc_id,
+        |       count(DISTINCT sh) AS n_shared_ngrams,
+        |       count(DISTINCT test_id) AS n_test_docs
+        |FROM tr JOIN te USING (sh)
+        |GROUP BY tr.doc_id""".stripMargin))
+
+  /** #46 Sequence packing: per-language concatenate-and-cut into
+    * 512-token packs (see Curation.pack) — the doc→training-batch
+    * layout step.
+    */
+  val qTextPack: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val withTok = graft.operators.TextAnalysis.withTokenCounts(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("ws_tokens").cast("long").as("n_tokens"))
+      graft.operators.Curation.pack(withTok,
+        partitionCol = "lang", orderCol = "doc_id", weightCol = "n_tokens", budget = 512L)
+    },
+    oracle = Some(
+      """WITH tkn AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tkn
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_off
+        |FROM c""".stripMargin))
+
+  /** #47 Repetition metrics: within-doc duplicate 3-gram signals
+    * (see TextAnalysis.repetitionMetrics).
+    */
+  val qTextRepetition: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.TextAnalysis.repetitionMetrics(t(s, dir, "documents"), n = 3),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS g
+        |  FROM t WHERE len(w) >= 3
+        |), c AS (
+        |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |  count(*) AS n_distinct,
+        |  CAST(max(c) AS BIGINT) AS max_rep,
+        |  CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_ratio
+        |FROM c GROUP BY doc_id""".stripMargin))
+
   /** #28b Per-label embedding centroids: elementwise mean via
     * posexplode + one hash aggregate — map-side partial combine
     * collapses the exploded rows to labels × dims before the shuffle.
@@ -1237,6 +1315,9 @@ object Queries {
     "text_tfidf" -> qTextTfidf,
     "q_lang_balance" -> qLangBalance,
     "q_blocklist" -> qBlocklist,
+    "decontam_ngram" -> qDecontam,
+    "text_pack" -> qTextPack,
+    "text_repetition" -> qTextRepetition,
     "emb_centroids" -> qEmbCentroids,
     "sim_bruteforce_topk" -> qSimBruteforceTopk,
     "sim_lsh_topk" -> qSimLshTopk,

@@ -23,4 +23,54 @@ object Curation {
       blocklist: DataFrame,
       blockCol: String): DataFrame =
     df.join(broadcast(blocklist), df(sourceCol) === blocklist(blockCol), "left_anti")
+
+  /** Benchmark decontamination: find training documents sharing any
+    * word n-gram with the evaluation set. Both sides trade on 64-bit
+    * hashed shingles (the codegen'd GraftHash kernel, distinct per
+    * doc by construction) — the join shuffles 8-byte longs, never
+    * n-word strings, which is what survives at 100 TB. Returns one
+    * row per CONTAMINATED training doc: the count of distinct shared
+    * n-grams and of distinct test docs hit; anti-join against this to
+    * scrub.
+    */
+  def decontaminate(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val tr = train.select(col(idCol).as("doc_id"),
+      explode(Dedup.hashedShingles(col(textCol), n)).as("_sh"))
+    val te = test.select(col(idCol).as("_test_id"),
+      explode(Dedup.hashedShingles(col(textCol), n)).as("_sh"))
+    tr.join(te, "_sh")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("_sh")).as("n_shared_ngrams"),
+        count_distinct(col("_test_id")).as("n_test_docs"))
+  }
+
+  /** Sequence packing, concatenate-and-cut style: documents are laid
+    * end-to-end per partition (deterministic `orderCol` order) and
+    * the token stream is cut into `budget`-sized packs; each doc gets
+    * the pack containing its first token plus its offset inside that
+    * pack. One running-sum window per partition — at production scale
+    * partition by shard (not a global order) so the sort stays
+    * bounded; the arithmetic is exact long division, never
+    * double-rounded.
+    */
+  def pack(
+      df: DataFrame,
+      partitionCol: String,
+      orderCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_start", sum(col(weightCol).cast("long")).over(w) - col(weightCol))
+      .withColumn("pack_id", expr(s"_start div $budget"))
+      .withColumn("pack_off", expr(s"_start % $budget"))
+      .drop("_start")
+  }
 }

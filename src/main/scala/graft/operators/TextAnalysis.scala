@@ -148,6 +148,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Within-document repetition metrics (Gopher-style duplicate
+    * n-gram quality signals): total and distinct word n-grams, the
+    * hottest n-gram's count, and the duplicate fraction. Docs shorter
+    * than n tokens are dropped (no n-grams to measure). N-grams here
+    * are STRINGS so the cross-engine oracle is exact; the hashed
+    * kernel (HashedShingles) is the production path when this feeds a
+    * filter rather than a report. The single HOF projection feeds
+    * exactly one consumer (the explode), so interpreted-lambda
+    * inlining can't multiply it.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_w"))
+      .filter(size(col("_w")) >= n)
+    val grams = toks.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, size(_w) - $n), i -> concat_ws(' ', slice(_w, i + 1, $n)))")).as("g"))
+    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_ngrams"), count(lit(1)).as("n_distinct"), max(col("c")).as("max_rep"))
+      .withColumn("dup_ratio",
+        (col("n_ngrams") - col("n_distinct")).cast("double") / col("n_ngrams"))
+  }
+
   /** PII redaction patterns: (tag, Java+RE2-compatible regex). The
     * same literals feed the Spark operator and the DuckDB oracle so
     * the two sides can never drift.

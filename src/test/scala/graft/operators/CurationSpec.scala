@@ -47,6 +47,46 @@ class CurationSpec extends SparkSpec {
       (3L, 1, "c", 3.0), (3L, 2, "d", 3.0)))
   }
 
+  test("decontaminate flags exactly the train docs sharing an n-gram with the test set") {
+    val train = docsDf(Seq(
+      (1L, "the quick brown fox jumps over it"), // shares "quick brown fox" with test 100
+      (2L, "completely different words here entirely"),
+      (3L, "quick brown fox quick brown fox again"))) // same shared 3-gram, twice (distinct once)
+    val test = docsDf(Seq(
+      (100L, "a quick brown fox appeared"),
+      (101L, "nothing in common at all")))
+    val out = Curation.decontaminate(train, test, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 3 shares two distinct 3-grams: "quick brown fox" and "brown fox quick"? no —
+    // its grams: [quick brown fox, brown fox quick, fox quick brown, quick brown fox,
+    // brown fox again...]; only "quick brown fox" exists in test 100.
+    assert(out == Set((1L, 1L, 1L), (3L, 1L, 1L)))
+  }
+
+  test("pack lays docs end-to-end and cuts at the budget") {
+    val s = spark; import s.implicits._
+    val df = Seq(("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 100L), ("de", 9L, 600L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val out = Curation.pack(df, "lang", "doc_id", "n_tokens", budget = 512L)
+      .select("doc_id", "pack_id", "pack_off")
+      .as[(Long, Long, Long)].collect().toSet
+    // en stream offsets: doc1@0 -> pack0, doc2@300 -> pack0 off300, doc3@600 -> pack1 off88
+    assert(out == Set((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L), (9L, 0L, 0L)))
+  }
+
+  test("repetitionMetrics: hand-computed duplicate 3-gram counts") {
+    val docs = docsDf(Seq(
+      (1L, "a b a b a b"),  // grams: aba, bab, aba, bab -> 4 total, 2 distinct
+      (2L, "x y"),          // too short: dropped
+      (3L, "p q r s")))     // pqr, qrs -> no dups
+    val out = TextAnalysis.repetitionMetrics(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(out == Set(
+      (1L, 4L, 2L, 2L, 0.5),
+      (3L, 2L, 2L, 1L, 0.0)))
+  }
+
   test("cube emits all four grouping sets over the rollup's three") {
     val cube = graft.Queries.qCube.run(spark, sfDir)
     val rollup = graft.Queries.qRollup.run(spark, sfDir)
