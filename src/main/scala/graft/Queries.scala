@@ -693,6 +693,19 @@ object Queries {
     },
     oracle = Some("SELECT * FROM events"))
 
+  /** #22g Stream-stream interval join: the attribution query as two
+    * live watermarked streams (see EventStream.attributionJoin);
+    * oracle identical to q_range_join's — three very different
+    * algorithms (binned equi-join, optimizer-rewritten inequality
+    * join, stream-stream state join) must agree with DuckDB.
+    */
+  val qStreamAttribution: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.runAttributionToBatch(
+        s, s"$dir/events.parquet",
+        queryName = "graft_stream_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")),
+    oracle = qRangeJoin.oracle)
+
   /** #5b Correlated scalar subquery through the SQL transform surface:
     * orders more than twice their customer's (decimal-exact) average.
     * Catalyst de-correlates this into an aggregate + join — the plan
@@ -1297,6 +1310,7 @@ object Queries {
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_milestones" -> qStreamMilestones,
+    "q_stream_attribution" -> qStreamAttribution,
     "q_corr_subquery" -> qCorrSubquery,
     "q_sessionize" -> qSessionize,
     "text_tokens" -> qTextTokens,

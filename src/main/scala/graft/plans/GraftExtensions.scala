@@ -63,7 +63,14 @@ object GraftExtensions {
     one("graft_simhash64")(SimHash64(_)),
     two("graft_shingle_hashes")((s, n) => HashedShingles(s, litInt(n, "graft_shingle_hashes"))),
     (FunctionIdentifier("graft_interleave_bits"), info("graft_interleave_bits", ""),
-      (args: Seq[Expression]) => InterleaveBits(args)))
+      (args: Seq[Expression]) => InterleaveBits(args)),
+    // Aggregate: the analyzer wraps a bare AggregateFunction in
+    // AggregateExpression(Complete), exactly as for native sum/max.
+    (FunctionIdentifier("graft_top_k"), info("graft_top_k", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_top_k takes (score, id, k)")
+        TopKAggregate(args(0), args(1), litInt(args(2), "graft_top_k"))
+      }))
 }
 
 /** Rewrites an inner join whose condition contains a

@@ -247,6 +247,48 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join: click→purchase attribution as TWO
+    * live streams (the streaming face of q_range_join — same
+    * semantics, same oracle). Both sides carry watermarks and the
+    * join condition bounds click_ts to [purchase_ts, purchase_ts +
+    * window], so the engine can size state from the time-range
+    * analysis: a purchase row is evicted once the click watermark
+    * passes its window end, a click row once the purchase watermark
+    * passes its ts — state is one watermark-width slice of each
+    * stream per key, not the stream's history. Inner-join rows emit
+    * as soon as both sides arrive (no output holdback in append
+    * mode); the watermark only governs eviction.
+    */
+  def attributionJoin(spark: SparkSession, path: String, window: String = "30 minutes"): DataFrame = {
+    def side(eventType: String, prefix: String): DataFrame =
+      spark.readStream.schema(rawSchema).parquet(path)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${prefix}_user_id"),
+          col("event_id").as(s"${prefix}_event_id"),
+          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val clicks = side("click", "c")
+    val purchases = side("purchase", "p")
+    clicks.join(purchases,
+      col("c_user_id") === col("p_user_id") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr(s"INTERVAL $window"))
+      .select(col("c_user_id").as("user_id"),
+        col("p_event_id").as("purchase_id"),
+        col("c_event_id").as("click_id"))
+  }
+
+  /** Run the streaming attribution join over a finite directory
+    * (AvailableNow, append memory sink).
+    */
+  def runAttributionToBatch(spark: SparkSession, path: String,
+      queryName: String = "graft_stream_attr"): DataFrame = {
+    val dir = streamableDir(spark, path)
+    withFewStatePartitions(spark) { s =>
+      collectToMemory(s, attributionJoin(s, dir), "append", queryName)
+    }
+  }
+
   /** Stage a directory's parquet files twice (suffix-renamed copies)
     * into a scratch dir — a deterministic duplicate-bearing stream
     * input for exercising dedup.

@@ -50,6 +50,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(4) == 3) // 3 distinct 2-shingles of 4 tokens
   }
 
+  test("injected SQL aggregate graft_top_k matches the Column API") {
+    val r = spark.sql(
+      """SELECT g, graft_top_k(score, id, 2) AS top
+        |FROM VALUES (1, 1.0D, 10L), (1, 3.0D, 11L), (1, 2.0D, 12L), (2, 5.0D, 20L)
+        |  AS t(g, score, id)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val top1 = r(0).getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1)))
+    assert(top1 == Seq((3.0, 11L), (2.0, 12L)))
+    assert(r(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(20L))
+  }
+
   test("keyless inequality join: rule replaces the nested loop with a bin equi-join") {
     val expected = keyless.collect().map(_.toSeq).toSet // rule off: BNLJ baseline
     assert(physical(keyless).contains("BroadcastNestedLoopJoin"))

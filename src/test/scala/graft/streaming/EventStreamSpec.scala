@@ -32,6 +32,14 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream attribution join equals the batch binned range join") {
+    val streamed = EventStream.runAttributionToBatch(spark, s"$sfDir/events.parquet",
+      queryName = "spec_attr")
+    val batch = graft.Queries.qRangeJoin.run(spark, sfDir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup over a doubled directory equals a single copy") {
     val streamed = EventStream.runDedupToBatch(spark, s"$sfDir/events.parquet", queryName = "spec_dedup")
     val batch = graft.sources.TableLoader.table(spark, sfDir, "events")
