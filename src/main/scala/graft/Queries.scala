@@ -449,6 +449,57 @@ object Queries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin))
 
+  /** #20g As-of join with tolerance (pandas merge_asof semantics):
+    * same purchases→clicks join as q_asof_join, but matches older
+    * than 30 minutes are nulled out. Oracle: DuckDB ASOF LEFT JOIN
+    * with a CASE on the tolerance.
+    */
+  val qAsofTolerance: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin.asofWithin(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightPayload = Seq("ts", "event_id"),
+        tolerance = expr("INTERVAL 30 MINUTE"))
+        .withColumnRenamed("asof_ts", "click_ts")
+        .withColumnRenamed("asof_event_id", "click_event_id")
+    },
+    oracle = Some(
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.ts END AS click_ts,
+        |       CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.event_id END AS click_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin))
+
+  /** #18g Analytic window functions beyond running sums: per-customer
+    * inter-order gap (lag), next order (lead), and spend quartile
+    * (ntile) — ties broken by orderkey so every engine agrees.
+    */
+  val qWindowLag: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wSpend = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      ord.select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (unix_timestamp(col("o_orderdate").cast("timestamp")) -
+          unix_timestamp(lag(col("o_orderdate"), 1).over(w).cast("timestamp"))).as("gap_seconds"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        ntile(4).over(wSpend).as("spend_quartile"))
+    },
+    oracle = Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  date_diff('second', lag(o_orderdate) OVER w, o_orderdate) AS gap_seconds,
+        |  lead(o_orderkey) OVER w AS next_orderkey,
+        |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS spend_quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
+
   /** #10b Snapshot diff (CDC): old = events, new = upsert-merged
     * events with doubled purchases (updates) and re-keyed clicks
     * (inserts). The diff must emit exactly those as
@@ -912,6 +963,35 @@ object Queries {
     },
     oracle = None)
 
+  /** Shared oracle prefix for the curation pipelines: stopword-hit
+    * scoring, language ID, and the quality/length filter as DuckDB
+    * CTEs (`h`/`m`/`scored`/`filtered`) — one definition so the two
+    * curation oracles can never drift from each other.
+    */
+  private lazy val curateFilteredPrefix: String = {
+    val hits = graft.operators.TextAnalysis.Stopwords
+      .map { case (code, words) => s"${duckHits(words)} AS c_$code" }
+      .mkString(",\n    ")
+    val codes = graft.operators.TextAnalysis.Stopwords.map(_._1)
+    val whens = codes.map(c => s"WHEN c_$c = m THEN '$c'").mkString(" ")
+    s"""h AS (
+       |  SELECT doc_id, lang, text,
+       |    len(string_split(text, ' ')) AS nt,
+       |    $hits
+       |  FROM documents
+       |), m AS (
+       |  SELECT *, greatest(${codes.map("c_" + _).mkString(", ")}) AS m FROM h
+       |), scored AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(nt AS BIGINT) AS n_tokens,
+       |    least(1.0, (CAST(nt AS DOUBLE) / 100) * 0.5 + ((CAST(c_en AS DOUBLE) / nt) * 5) * 0.5) AS quality_score,
+       |    CASE WHEN m = 0 THEN 'und' $whens ELSE 'und' END AS lang_pred
+       |  FROM m
+       |), filtered AS (
+       |  SELECT * FROM scored WHERE quality_score >= 0.45 AND n_tokens >= 20
+       |)""".stripMargin
+  }
+
   /** #35 End-to-end corpus curation: quality scoring → language ID →
     * quality/length filter → exact dedup, the composed
     * training-data-prep pipeline over the documents table. Every stage
@@ -926,33 +1006,51 @@ object Queries {
       Dedup.exact(filtered, "text", "doc_id")
         .select(col("doc_id"), col("lang"), col("lang_pred"), col("n_tokens"), col("quality_score"))
     },
-    oracle = {
-      val hits = graft.operators.TextAnalysis.Stopwords
-        .map { case (code, words) => s"${duckHits(words)} AS c_$code" }
-        .mkString(",\n    ")
-      val codes = graft.operators.TextAnalysis.Stopwords.map(_._1)
-      val whens = codes.map(c => s"WHEN c_$c = m THEN '$c'").mkString(" ")
-      Some(
-        s"""WITH h AS (
-           |  SELECT doc_id, lang, text,
-           |    len(string_split(text, ' ')) AS nt,
-           |    $hits
-           |  FROM documents
-           |), m AS (
-           |  SELECT *, greatest(${codes.map("c_" + _).mkString(", ")}) AS m FROM h
-           |), scored AS (
-           |  SELECT doc_id, lang, text,
-           |    CAST(nt AS BIGINT) AS n_tokens,
-           |    least(1.0, (CAST(nt AS DOUBLE) / 100) * 0.5 + ((CAST(c_en AS DOUBLE) / nt) * 5) * 0.5) AS quality_score,
-           |    CASE WHEN m = 0 THEN 'und' $whens ELSE 'und' END AS lang_pred
-           |  FROM m
-           |), filtered AS (
-           |  SELECT * FROM scored WHERE quality_score >= 0.45 AND n_tokens >= 20
-           |), dedup AS (
-           |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM filtered
-           |)
-           |SELECT doc_id, lang, lang_pred, n_tokens, quality_score FROM dedup WHERE rn = 1""".stripMargin)
-    })
+    oracle = Some(
+      s"""WITH $curateFilteredPrefix, dedup AS (
+         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM filtered
+         |)
+         |SELECT doc_id, lang, lang_pred, n_tokens, quality_score FROM dedup WHERE rn = 1""".stripMargin))
+
+  /** #35b Curation with NEAR-dup removal: the same quality/langid
+    * filter, then greedy pair-drop over 5-gram Jaccard >= 0.5 pairs —
+    * every doc appearing as the higher id of a near-dup pair is
+    * dropped (the practical one-pass near-dedup; full transitive
+    * clustering is dedup_clusters). Pairs are computed on the
+    * FILTERED set, exactly as the oracle does.
+    */
+  val qCurateNeardup: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(t(s, dir, "documents")))
+      val filtered = scored.filter(col("quality_score") >= 0.45 && col("n_tokens") >= 20)
+      val losers = Dedup.ngramJaccardPairs(filtered, "doc_id", "text", n = 5, threshold = 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      filtered.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+    },
+    oracle = Some(
+      s"""WITH $curateFilteredPrefix, tkn AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM filtered
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))) AS sh
+         |  FROM tkn
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+         |), cnt AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id
+         |  FROM cnt
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5
+         |)
+         |SELECT doc_id, lang_pred, n_tokens FROM filtered
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin))
 
   /** #37 Document chunking: 50-token chunks, stride 40 (10-token
     * overlap) — the doc→training-sample splitter.
@@ -1293,6 +1391,8 @@ object Queries {
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_tolerance" -> qAsofTolerance,
+    "q_window_lag" -> qWindowLag,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_approx_distinct" -> qApproxDistinct,
     "q_profile" -> qProfile,
@@ -1302,6 +1402,7 @@ object Queries {
     "q_topk_per_group" -> qTopkPerGroup,
     "q_topk_heap" -> qTopkHeap,
     "curate_docs" -> qCurateDocs,
+    "curate_neardup" -> qCurateNeardup,
     "q_anti_join" -> qAntiJoin,
     "q_set_ops" -> qSetOps,
     "q_range_join" -> qRangeJoin,

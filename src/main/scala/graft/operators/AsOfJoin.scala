@@ -67,4 +67,32 @@ object AsOfJoin {
     val payCols = rightPayload.map(p => col(s"_graft_match.$p").as(s"asof_$p"))
     matched.select(leftCols ++ payCols: _*)
   }
+
+  /** As-of join with a match tolerance (pandas `merge_asof(...,
+    * tolerance=)` semantics): a right row older than `leftTs -
+    * tolerance` does not match. Because the plain as-of already picks
+    * the LATEST right row at-or-before, a too-old best match implies
+    * no in-tolerance match exists — so tolerance is a null-out
+    * projection over the union+window result, costing nothing beyond
+    * the base join. `rightTs` must be in `rightPayload` (it carries
+    * the match's timestamp for the check). `tolerance` subtracts from
+    * the left timestamp — an INTERVAL for timestamp domains, a plain
+    * number for numeric ones.
+    */
+  def asofWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      tolerance: Column,
+      inclusive: Boolean = true): DataFrame = {
+    require(rightPayload.contains(rightTs), s"rightPayload must include $rightTs for the tolerance check")
+    val base = asof(left, right, keys, leftTs, rightTs, rightPayload, inclusive)
+    val inTol = col(s"asof_$rightTs") >= col(leftTs) - tolerance
+    rightPayload.foldLeft(base) { (df, p) =>
+      df.withColumn(s"asof_$p", when(inTol, col(s"asof_$p")))
+    }
+  }
 }

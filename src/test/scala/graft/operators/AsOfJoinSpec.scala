@@ -16,6 +16,29 @@ class AsOfJoinSpec extends SparkSpec {
     (left, right)
   }
 
+  test("asofWithin nulls matches older than the tolerance, keeps fresh ones") {
+    val (left, right) = fixture
+    val out = AsOfJoin.asofWithin(left, right, Seq("key"), "ts", "ts", Seq("ts", "rid"),
+        tolerance = lit(5L))
+      .select("id", "asof_rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(
+      1L -> Some(101L), // match at ts=10, left ts=10: age 0 <= 5
+      2L -> Some(102L), // match at 15, left 20: age 5 <= 5 (inclusive bound)
+      3L -> None,
+      4L -> None))
+  }
+
+  test("asofWithin with a tight tolerance drops the stale match") {
+    val (left, right) = fixture
+    val out = AsOfJoin.asofWithin(left, right, Seq("key"), "ts", "ts", Seq("ts", "rid"),
+        tolerance = lit(4L))
+      .select("id", "asof_rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(2L).isEmpty, "age-5 match must be nulled under tolerance 4")
+    assert(out(1L).contains(101L))
+  }
+
   test("asof inclusive: latest right row at-or-before each left ts; no match -> null") {
     val (left, right) = fixture
     val out = AsOfJoin.asof(left, right, Seq("key"), "ts", "ts", Seq("rid"))
