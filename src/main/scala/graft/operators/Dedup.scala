@@ -153,12 +153,33 @@ object Dedup {
     * round (the standard convergence check; a large-star/small-star
     * variant would cut pathological-chain rounds to O(log n) but
     * pessimizes the clique-dominated common case).
+    *
+    * Size-gated hybrid: the edge list is the OUTPUT of a near-dup
+    * filter, vanishingly small relative to the corpus (a 100 TB crawl
+    * yields millions of pairs, not billions of rows). When it fits
+    * under `localEdgeThreshold` (and ids are integral), one collect of
+    * that already-tiny table feeds an exact driver union-find —
+    * no iterative job chain, no convergence budget, guaranteed-final
+    * assignments (the advisor's unconverged-diameter failure mode
+    * cannot occur). Distributed min-label propagation remains the
+    * path for anything larger. Same precedent as the IVF quantizer's
+    * bounded sample: driver work is fine when it is O(result), never
+    * O(corpus).
     */
-  def clusters(pairs: DataFrame, aCol: String, bCol: String, maxRounds: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, aCol: String, bCol: String, maxRounds: Int = 20,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
+    val integralIds = fwd.schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    // count() also materializes the cache every later path needs
+    if (integralIds && edges.count() <= localEdgeThreshold)
+      return localClusters(edges, fwd.schema.head.dataType)
     // localCheckpoint (not cache) after every round: iterative
     // self-reference otherwise compounds the LOGICAL plan round over
     // round until plan construction itself OOMs the driver — lineage
@@ -209,6 +230,36 @@ object Dedup {
           "cluster assignments are NOT final. Raise maxRounds (rounds needed " +
           "~= largest component diameter).")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
+  /** Exact small-graph solve: union-find with "smaller root absorbs"
+    * linking (the component representative IS the min id, no second
+    * pass) plus path compression on find. Input is the symmetrized
+    * distinct edge cache; output schema matches the distributed path.
+    */
+  private def localClusters(edges: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.getAs[Number](0).longValue(); val b = row.getAs[Number](1).longValue()
+      add(a); add(b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    edges.unpersist()
+    val assignments = scala.jdk.CollectionConverters.SetHasAsScala(parent.keySet()).asScala
+      .toSeq.map(id => (id, find(id)))
+    assignments.toDF("doc_id", "cluster_rep")
+      .select(col("doc_id").cast(idType), col("cluster_rep").cast(idType))
   }
 
   /** Free the blocks behind an eagerly-localCheckpointed DataFrame.

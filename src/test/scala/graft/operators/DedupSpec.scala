@@ -80,10 +80,25 @@ class DedupSpec extends SparkSpec {
     assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
-  test("clusters: chain and clique collapse to min-id components") {
+  // localEdgeThreshold = 0 forces the distributed propagation path;
+  // the default (local union-find) is covered by the equality test.
+  test("clusters (distributed): chain and clique collapse to min-id components") {
     val s = spark
     import s.implicits._
     // chain 1-2-3 (transitive), clique 10-11-12, pair 20-21
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs, "doc_a", "doc_b", localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusters (local union-find): same fixture, same assignments") {
+    val s = spark
+    import s.implicits._
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L), (21L, 20L))
       .toDF("doc_a", "doc_b")
     val out = Dedup.clusters(pairs, "doc_a", "doc_b")
@@ -94,14 +109,18 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
-  test("clusters: long path needs propagation rounds, still converges") {
+  test("clusters: long path converges on both paths; local needs no round budget") {
     val s = spark
     import s.implicits._
     val n = 30L
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = Dedup.clusters(pairs, "doc_a", "doc_b", maxRounds = 40)
+    val dist = Dedup.clusters(pairs, "doc_a", "doc_b", maxRounds = 40, localEdgeThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out.size == n.toInt && out.values.forall(_ == 1L))
+    assert(dist.size == n.toInt && dist.values.forall(_ == 1L))
+    // local path: a 30-hop chain is exact regardless of maxRounds
+    val local = Dedup.clusters(pairs, "doc_a", "doc_b", maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
   }
 
   test("clusters: empty pair list yields an empty result, not an NPE") {
@@ -111,5 +130,21 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.clusters(pairs, "doc_a", "doc_b")
     assert(out.columns.toSeq == Seq("doc_id", "cluster_rep"))
     assert(out.count() == 0L)
+    // distributed path agrees on the degenerate input
+    assert(Dedup.clusters(pairs, "doc_a", "doc_b", localEdgeThreshold = 0L).count() == 0L)
+  }
+
+  test("clusters: randomized local-vs-distributed equality") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.clusters(pairs, "doc_a", "doc_b", maxRounds = 60, localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == dist)
   }
 }
