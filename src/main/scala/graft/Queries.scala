@@ -131,6 +131,50 @@ object Queries {
         |)
         |SELECT event_id, ts, user_id, event_type, value, props FROM ranked WHERE rn = 1""".stripMargin))
 
+  /** #11 Hive-partitioned versioned write + partition-pruned read:
+    * events upserted into a table partitioned by event_type, read
+    * back filtered to ONE partition — the scan must touch only that
+    * partition's files (PlanSpec asserts the PartitionFilters), and
+    * the round-trip must be lossless vs the raw table.
+    */
+  val qPartitionPrune: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("upsert-partitioned")
+      UpsertWriter.upsert(t(s, dir, "events"), target,
+        recordKeys = Seq("event_id"), precombine = "ts",
+        partitionBy = Seq("event_type"))
+      UpsertWriter.read(s, target)
+        .filter(col("event_type") === "click")
+        // partition columns come back string-typed and appended last;
+        // restore the original column order and keep the value as-is
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    },
+    oracle = Some("SELECT * FROM events WHERE event_type = 'click'"))
+
+  /** #12b Bucketed co-located join: orders and lineitem bucketed on
+    * the join key — the join plans with ZERO exchanges (PlanSpec
+    * asserts it); this query checks the bucketed storage path is also
+    * CORRECT end-to-end against the plain-join oracle.
+    */
+  val qBucketedJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "orders"), "graft_q_orders_b", Seq("o_orderkey"), buckets = 8)
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "lineitem"), "graft_q_lineitem_b", Seq("l_orderkey"), buckets = 8)
+      graft.sources.Bucketing.table(s, "graft_q_orders_b")
+        .join(graft.sources.Bucketing.table(s, "graft_q_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)")).cast("double").as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin))
+
   /** #13/#21 KV/JSON scan: typed extraction from the events.props
     * JSON column (reference: template.py:284-294), then an aggregate
     * over the extracted field — no UDF, fully codegen'd from_json.
@@ -1381,6 +1425,8 @@ object Queries {
     "q_report_urgent" -> qReportUrgent,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_upsert_merge" -> qUpsertMerge,
+    "q_partition_prune" -> qPartitionPrune,
+    "q_bucketed_join" -> qBucketedJoin,
     "q_json_extract" -> qJsonExtract,
     "q1_agg" -> q1Agg,
     "q3_top_orders" -> q3TopOrders,

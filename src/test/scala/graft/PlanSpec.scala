@@ -21,6 +21,14 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == viaNormalized.count())
   }
 
+  test("partitioned upsert read prunes to the filtered hive partition") {
+    val df = Queries.qPartitionPrune.run(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.treeString).mkString("\n")
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"), scan)
+    // pruned scan reads only the click partition's files
+    assert(df.count() > 0)
+  }
+
   test("star join (q5): every dimension joins broadcast, never sort-merge") {
     val p = plan(Queries.q5StarJoin.run(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"))
