@@ -129,10 +129,18 @@ object UpsertWriter {
     val versions = committedVersions(fs, target)
 
     // Updates win over existing rows at equal precombine values.
+    // allowMissingColumns = additive schema evolution (the Hudi
+    // behavior: generate_hudi_table.py tables evolve by re-running
+    // with new fields): a column new in the updates back-fills null
+    // for existing rows, a column the updates dropped keeps its
+    // existing values and the updates' rows get null. Record-key and
+    // precombine columns must exist on both sides or the merge itself
+    // fails analysis — nothing silently degrades.
     val merged = versions.lastOption match {
       case Some((_, latest)) =>
         val existing = spark.read.parquet(latest.toString).withColumn("_graft_src", lit(0))
-        val tagged = updates.withColumn("_graft_src", lit(1)).unionByName(existing)
+        val tagged = updates.withColumn("_graft_src", lit(1))
+          .unionByName(existing, allowMissingColumns = true)
         merge(tagged, recordKeys, precombine, tiebreakers = Seq("_graft_src")).drop("_graft_src")
       case None =>
         merge(updates, recordKeys, precombine)

@@ -260,9 +260,12 @@ object EventStream {
     * mode); the watermark only governs eviction.
     */
   def attributionJoin(spark: SparkSession, path: String, window: String = "30 minutes"): DataFrame = {
+    // ONE file source, self-joined: both branches share the source's
+    // offset tracking and file listing (a second readStream would
+    // re-list and re-index every file per micro-batch).
+    val raw = spark.readStream.schema(rawSchema).parquet(path)
     def side(eventType: String, prefix: String): DataFrame =
-      spark.readStream.schema(rawSchema).parquet(path)
-        .filter(col("event_type") === eventType)
+      raw.filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user_id"),
           col("event_id").as(s"${prefix}_event_id"),
           timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))

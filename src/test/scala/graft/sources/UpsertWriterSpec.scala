@@ -52,6 +52,27 @@ class UpsertWriterSpec extends SparkSpec {
     assert(UpsertWriter.read(spark, table).count() == 3)
   }
 
+  test("additive schema evolution: new update column back-fills null for old rows") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-upsert-evo-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "a"), (2L, 1L, "b")), table, Seq("k"), "ver")
+    // v2 updates arrive with a NEW column
+    val evolved = Seq((2L, 2L, "b2", "fresh")).toDF("k", "ver", "payload", "tag")
+    UpsertWriter.upsert(evolved, table, Seq("k"), "ver")
+    val out = UpsertWriter.read(spark, table)
+      .select("k", "payload", "tag")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(out == Map(1L -> ("a", None), 2L -> ("b2", Some("fresh"))))
+
+    // and updates MISSING a column keep the table's values for other rows
+    UpsertWriter.upsert(df((3L, 1L, "c")), table, Seq("k"), "ver")
+    val out2 = UpsertWriter.read(spark, table)
+      .select("k", "tag")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out2 == Map(1L -> None, 2L -> Some("fresh"), 3L -> None))
+  }
+
   test("crash safety: an uncommitted version directory is invisible") {
     val table = tmpDir("graft-upsert-crash-") + "/t"
     UpsertWriter.upsert(df((1L, 1L, "good")), table, Seq("k"), "ver")
