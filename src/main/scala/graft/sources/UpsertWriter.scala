@@ -97,6 +97,32 @@ object UpsertWriter {
     committedVersions(fs, target).lastOption.map(_._2.toString)
   }
 
+  /** All committed version numbers, ascending — the table's timeline
+    * (Hudi `.hoodie` timeline analog; the cleaner trims it to the
+    * retained window).
+    */
+  def versions(spark: org.apache.spark.sql.SparkSession, targetPath: String): Seq[Int] = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, target).map(_._1)
+  }
+
+  /** Time travel: snapshot read of a specific committed version
+    * (within the cleaner's retained window). Together with
+    * SnapshotDiff this gives change capture between any two retained
+    * versions: diff(readVersion(v1), readVersion(v2)).
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, targetPath: String, version: Int): DataFrame = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, target).find(_._1 == version) match {
+      case Some((_, dir)) => spark.read.parquet(dir.toString)
+      case None => throw new IllegalArgumentException(
+        s"version $version not in the retained timeline for $targetPath " +
+          s"(have: ${committedVersions(fs, target).map(_._1).mkString(", ")})")
+    }
+  }
+
   /** Snapshot read of the latest committed version. Falls back to a
     * plain parquet read for non-versioned (external) directories.
     */

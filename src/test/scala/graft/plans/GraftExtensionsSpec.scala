@@ -120,4 +120,42 @@ class GraftExtensionsSpec extends SparkSpec {
   test("rule is inert without the conf") {
     assert(physical(keyless).contains("BroadcastNestedLoopJoin"))
   }
+
+  test("rule skips non-integral domains and same-side bounds") {
+    val s = spark; import s.implicits._
+    withBinWidth(16) {
+      // double domain: not rewritten (binning only defined for int/long)
+      val pts = Seq((1L, 2.5)).toDF("pid", "p")
+      val ivs = Seq((1L, 1.0, 3.0)).toDF("iid", "lo", "hi")
+      val q1 = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(!physical(q1).contains("Generate explode"))
+      assert(q1.count() == 1)
+      // bounds on the SAME side as the point: a filter, not a range join
+      val t1 = Seq((5L, 1L, 9L)).toDF("x", "xlo", "xhi")
+      val t2 = Seq(42L).toDF("y")
+      val q2 = t1.join(t2, col("x") >= col("xlo") && col("x") <= col("xhi"))
+      assert(!physical(q2).contains("Generate explode"))
+      assert(q2.count() == 1)
+    }
+  }
+
+  test("randomized equivalence: rule on vs off over fuzzed intervals and widths") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val w = Seq(3L, 17L, 1000L)(trial - 1)
+      val pts = Seq.fill(150)((rnd.nextInt(10), rnd.nextInt(4000) - 2000L))
+        .zipWithIndex.map { case ((k, p), i) => (k, i.toLong, p) }
+        .toDF("k", "pid", "p")
+      val ivs = Seq.fill(40)((rnd.nextInt(10), rnd.nextInt(4000) - 2000L, rnd.nextInt(200) - 20L))
+        .zipWithIndex.map { case ((k, lo, len), i) => (k, i.toLong, lo, lo + len) } // some reversed
+        .toDF("k", "iid", "lo", "hi")
+      def q = pts.join(ivs, Seq("k")).filter(col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iid")
+      val expected = q.collect().map(_.toSeq).toSet
+      withBinWidth(w) {
+        assert(q.collect().map(_.toSeq).toSet == expected, s"width $w diverged")
+      }
+    }
+  }
 }

@@ -73,6 +73,29 @@ class UpsertWriterSpec extends SparkSpec {
     assert(out2 == Map(1L -> None, 2L -> Some("fresh"), 3L -> None))
   }
 
+  test("time travel: read a past version; diff between versions is the upsert's change") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-upsert-tt-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "a"), (2L, 1L, "b")), table, Seq("k"), "ver", keepVersions = 3)
+    UpsertWriter.upsert(df((2L, 2L, "b2"), (3L, 1L, "c")), table, Seq("k"), "ver", keepVersions = 3)
+    assert(UpsertWriter.versions(spark, table) == Seq(1, 2))
+
+    val v1 = UpsertWriter.readVersion(spark, table, 1)
+    assert(v1.collect().map(r => r.getLong(0) -> r.getString(2)).toMap == Map(1L -> "a", 2L -> "b"))
+
+    // CDC between retained versions: exactly the second upsert's changes
+    val changes = graft.operators.SnapshotDiff.diff(
+        v1, UpsertWriter.readVersion(spark, table, 2), keys = Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes == Set((2L, "update"), (3L, "insert")))
+
+    // beyond the retained window / unknown version: loud failure
+    intercept[IllegalArgumentException] {
+      UpsertWriter.readVersion(spark, table, 7)
+    }
+  }
+
   test("crash safety: an uncommitted version directory is invisible") {
     val table = tmpDir("graft-upsert-crash-") + "/t"
     UpsertWriter.upsert(df((1L, 1L, "good")), table, Seq("k"), "ver")
