@@ -42,7 +42,20 @@ final case class ReportSpec(
     fileExpiresInSeconds: Long = 86400L,
     notifyTopic: Option[String] = None)
 
+/** Declarative data-quality gate on the transform result: builds the
+  * expectation frames (operators.QualityChecks.*) from the result;
+  * any failed expectation aborts the run BEFORE the report is written
+  * or watermarks advance — a bad increment replays after the fix
+  * instead of shipping a bad report.
+  */
 final case class PipelineSpec(
     sources: Seq[SourceSpec],
     transform: TransformSpec,
-    report: Option[ReportSpec] = None)
+    report: Option[ReportSpec] = None,
+    qualityGate: Option[org.apache.spark.sql.DataFrame => Seq[org.apache.spark.sql.DataFrame]] = None)
+
+/** Raised when the quality gate rejects a run; carries one
+  * `name=violations` entry per failed expectation.
+  */
+final class QualityGateFailed(val failures: Seq[String])
+  extends RuntimeException(s"quality gate failed: ${failures.mkString(", ")}")

@@ -73,6 +73,14 @@ class ReportPipeline(
     */
   def run(spec: PipelineSpec): (DataFrame, Option[ReportHandle]) = this.synchronized {
     val result = transform(spec)
+    // Gate before anything is materialized: the verdict table is
+    // O(expectations) rows, so the collect is bounded by config size.
+    spec.qualityGate.foreach { gate =>
+      val verdicts = graft.operators.QualityChecks.run(gate(result)).collect()
+      val failed = verdicts.filterNot(_.getAs[Boolean]("passed"))
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}")
+      if (failed.nonEmpty) throw new QualityGateFailed(failed.toSeq)
+    }
     val handle = spec.report.map { rs =>
       val writer = new ReportWriter(rs.reportRoot)
       val h = writer.write(result, rs.fileExpiresInSeconds)

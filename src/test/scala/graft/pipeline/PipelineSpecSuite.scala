@@ -58,6 +58,32 @@ class PipelineSpecSuite extends SparkSpec {
     assert(spark.table("events").count() == 0)
   }
 
+  test("quality gate: failing expectation aborts before report/email/watermark") {
+    import graft.operators.QualityChecks._
+    val sender = new LoggingEmailSender
+    val ckpt = tmpDir("graft-pipe-gate-")
+    def spec(maxPrice: Double) = PipelineSpec(
+      sources = Seq(
+        SourceSpec("orders", s"$sfDir/orders.parquet"),
+        SourceSpec("events", s"$sfDir/events.parquet", mode = LoadMode.Incremental, commitColumn = "ts")),
+      transform = TransformSpec("SELECT o_orderkey, o_totalprice FROM orders"),
+      report = Some(ReportSpec("f@x", "t@x", "r", tmpDir("graft-pipe-gate-rep-"))),
+      qualityGate = Some(result => Seq(
+        notNull(result, "o_orderkey", "key_not_null"),
+        inRange(result, "o_totalprice", 0.0, maxPrice, "price_range"))))
+
+    val pipeline = new ReportPipeline(spark, ckpt, sender)
+    val e = intercept[QualityGateFailed](pipeline.run(spec(maxPrice = 1.0)))
+    assert(e.failures.exists(_.startsWith("price_range=")))
+    assert(sender.sent.isEmpty, "no email on a gated run")
+    assert(pipeline.pendingCommits.nonEmpty, "watermark must not be persisted")
+
+    // relaxed gate: same checkpoint root still sees the full increment, then ships
+    val (result, handle) = new ReportPipeline(spark, ckpt, sender).run(spec(maxPrice = 1e9))
+    assert(result.count() > 0 && handle.nonEmpty)
+    assert(sender.sent.size == 1)
+  }
+
   test("a failed run leaves checkpoints untouched; the increment replays") {
     val failing = new EmailSender {
       override def send(m: EmailMessage): Boolean = throw new RuntimeException("smtp down")
