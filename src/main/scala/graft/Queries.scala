@@ -1401,6 +1401,28 @@ object Queries {
         |  count(*) AS n_vectors
         |FROM e GROUP BY label, pos""".stripMargin))
 
+  /** #28c Int8 scalar quantization of embeddings (bounded to
+    * vec_id < 200 for the dump; the operator is corpus-generic) —
+    * floor-based so codes are bit-identical across engines.
+    */
+  val qEmbQuantize: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Similarity.scalarQuantize(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200)),
+    oracle = Some(
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |         CAST(list_max(embedding) AS DOUBLE) AS mx,
+        |         unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM embeddings WHERE vec_id < 200
+        |)
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(CASE WHEN mx = mn THEN 0
+        |       ELSE least(255, floor((CAST(v AS DOUBLE) - mn) * 255 / (mx - mn))) END AS INT) AS code
+        |FROM e""".stripMargin))
+
   /** #29b IVF (KMeans coarse quantizer) approximate top-k — rows-only
     * + recall spec against brute force. */
   val qSimIvfTopk: QueryDef = QueryDef(
@@ -1487,6 +1509,7 @@ object Queries {
     "text_pack" -> qTextPack,
     "text_repetition" -> qTextRepetition,
     "emb_centroids" -> qEmbCentroids,
+    "emb_quantize" -> qEmbQuantize,
     "sim_bruteforce_topk" -> qSimBruteforceTopk,
     "sim_lsh_topk" -> qSimLshTopk,
     "sim_ivf_topk" -> qSimIvfTopk,

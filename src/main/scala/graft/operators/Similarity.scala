@@ -209,6 +209,35 @@ object Similarity {
     * Exact kernel over the full pair space — correct at verify scale;
     * the LSH bucket join above is the same operator's scale path.
     */
+  /** Per-vector scalar quantization to `levels` codes (int8 = 256):
+    * code = floor((v - min) · (levels-1) / (max - min)), clamped at
+    * levels-1 for the max element, 0 for constant vectors — the
+    * memory-compression step in front of a large ANN index (4× over
+    * float32). Every step (min/max, widen, subtract, multiply,
+    * divide, floor) is correctly rounded and rounding-MODE-free, so
+    * codes are bit-identical across engines — `round()` would not be
+    * (HALF_UP vs HALF_EVEN). Emits one row per (vector, position):
+    * explode-then-scalar keeps the arithmetic in whole-stage codegen
+    * (an array-level HOF lambda would be interpreted and re-inlined
+    * per consumer).
+    */
+  def scalarQuantize(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", levels: Int = 256): DataFrame = {
+    require(levels >= 2, "levels must be >= 2")
+    val top = lit(levels - 1)
+    val exploded = df.select(
+      col(idCol),
+      array_min(col(vecCol)).cast("double").as("_mn"),
+      array_max(col(vecCol)).cast("double").as("_mx"),
+      posexplode(col(vecCol)).as(Seq("pos", "_v")))
+    exploded.select(
+      col(idCol), col("pos").cast("long").as("pos"),
+      when(col("_mx") === col("_mn"), lit(0))
+        .otherwise(least(top,
+          floor((col("_v").cast("double") - col("_mn")) * top / (col("_mx") - col("_mn")))))
+        .cast("int").as("code"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
     val a = df.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val b = df.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))

@@ -81,6 +81,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sameElements(Array((1L, 2L))))
   }
 
+  test("scalarQuantize: exact codes, constant-vector guard, reconstruction bound") {
+    val df = vecs(
+      1L -> Seq(0f, 1f, 2f, 4f),   // mn=0 mx=4: codes floor(v*255/4)
+      2L -> Seq(3f, 3f, 3f, 3f),   // constant: all 0
+      3L -> Seq(-2f, 0f, 2f))      // negative domain
+    val out = Similarity.scalarQuantize(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 0L)) == 0 && out((1L, 1L)) == 63 && out((1L, 2L)) == 127 && out((1L, 3L)) == 255)
+    assert(Seq(0L, 1L, 2L, 3L).forall(p => out((2L, p)) == 0))
+    assert(out((3L, 0L)) == 0 && out((3L, 1L)) == 127 && out((3L, 2L)) == 255)
+    // dequantization error bounded by one step: |v - (mn + code*step)| <= step
+    val step = 4.0 / 255
+    Seq(0f, 1f, 2f, 4f).zipWithIndex.foreach { case (v, p) =>
+      val deq = out((1L, p.toLong)) * step
+      assert(math.abs(v - deq) <= step + 1e-9, s"pos $p: $v vs $deq")
+    }
+  }
+
   test("TopKBuffer: bounded, merge-correct, deterministic under ties") {
     val b1 = new TopKBuffer(3)
     Seq(0.5 -> 10L, 0.9 -> 3L, 0.9 -> 2L, 0.1 -> 7L, 0.7 -> 1L)
