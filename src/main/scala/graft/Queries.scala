@@ -1368,6 +1368,27 @@ object Queries {
         |  CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_ratio
         |FROM c GROUP BY doc_id""".stripMargin))
 
+  /** #48 Heavy-hitter terms (share >= 0.5%): Misra-Gries candidates +
+    * exact verification (see HeavyHitters) — the oracle is the plain
+    * exact HAVING query, which the sketch-pruned plan must reproduce
+    * EXACTLY by the survival guarantee.
+    */
+  val qHeavyTerms: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val tokens = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+      graft.operators.HeavyHitters.frequent(tokens, "term", minShare = 0.005)
+    },
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), n AS (
+        |  SELECT count(*) AS n_total FROM tok
+        |)
+        |SELECT term, count(*) AS n, (SELECT n_total FROM n) AS n_total
+        |FROM tok GROUP BY term
+        |HAVING count(*) >= 0.005 * (SELECT n_total FROM n)""".stripMargin))
+
   /** #28b Per-label embedding centroids: elementwise mean via
     * posexplode + one hash aggregate — map-side partial combine
     * collapses the exploded rows to labels × dims before the shuffle.
@@ -1502,6 +1523,7 @@ object Queries {
     "dedup_simhash" -> qDedupSimhash,
     "dedup_embedding" -> qDedupEmbedding,
     "text_vocab" -> qTextVocab,
+    "q_heavy_terms" -> qHeavyTerms,
     "text_tfidf" -> qTextTfidf,
     "q_lang_balance" -> qLangBalance,
     "q_blocklist" -> qBlocklist,
