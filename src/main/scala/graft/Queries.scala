@@ -182,6 +182,26 @@ object Queries {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus""".stripMargin))
 
+  /** #10d Time travel: two upserts build a two-version timeline;
+    * reading VERSION 1 must return the pre-update snapshot exactly
+    * (the raw events — event_id is unique, so the first merge is an
+    * identity), while the latest read reflects the update. The latest
+    * read is q_upsert_merge's territory; here the oracle pins the
+    * archived version.
+    */
+  val qTimeTravel: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("upsert-timetravel")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(base, target, Seq("event_id"), "ts", keepVersions = 3)
+      val updates = base.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      UpsertWriter.upsert(updates, target, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.readVersion(s, target, 1)
+    },
+    oracle = Some("SELECT * FROM events"))
+
   /** #13/#21 KV/JSON scan: typed extraction from the events.props
     * JSON column (reference: template.py:284-294), then an aggregate
     * over the extracted field — no UDF, fully codegen'd from_json.
@@ -1476,6 +1496,7 @@ object Queries {
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_upsert_merge" -> qUpsertMerge,
     "q_partition_prune" -> qPartitionPrune,
+    "q_time_travel" -> qTimeTravel,
     "q_bucketed_join" -> qBucketedJoin,
     "q_json_extract" -> qJsonExtract,
     "q1_agg" -> q1Agg,

@@ -70,6 +70,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 3, "graft_top_k takes (score, id, k)")
         TopKAggregate(args(0), args(1), litInt(args(2), "graft_top_k"))
+      }),
+    (FunctionIdentifier("graft_freq_sketch"), info("graft_freq_sketch", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_freq_sketch takes (value, capacity)")
+        FreqSketchAggregate(args(0), litInt(args(1), "graft_freq_sketch"))
       }))
 }
 

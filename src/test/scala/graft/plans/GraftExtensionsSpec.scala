@@ -61,6 +61,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(20L))
   }
 
+  test("injected SQL aggregate graft_freq_sketch tracks the hot value") {
+    val r = spark.sql(
+      """SELECT graft_freq_sketch(v, 2) AS sk
+        |FROM VALUES ('a'), ('a'), ('a'), ('b'), ('c') AS t(v)""".stripMargin).head()
+    val top = r.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    assert(top.contains("a"))
+  }
+
   test("keyless inequality join: rule replaces the nested loop with a bin equi-join") {
     val expected = keyless.collect().map(_.toSeq).toSet // rule off: BNLJ baseline
     assert(physical(keyless).contains("BroadcastNestedLoopJoin"))
