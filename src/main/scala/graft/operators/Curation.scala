@@ -39,6 +39,7 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 8): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
     val tr = train.select(col(idCol).as("doc_id"),
       explode(Dedup.hashedShingles(col(textCol), n)).as("_sh"))
     val te = test.select(col(idCol).as("_test_id"),

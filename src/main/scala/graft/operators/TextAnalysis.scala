@@ -134,6 +134,7 @@ object TextAnalysis {
     */
   def tfIdf(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       topK: Int = 3): DataFrame = {
+    require(topK > 0, "topK must be positive")
     import org.apache.spark.sql.expressions.Window
     val terms = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -160,6 +161,7 @@ object TextAnalysis {
     */
   def repetitionMetrics(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
     val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_w"))
       .filter(size(col("_w")) >= n)
     val grams = toks.select(col("doc_id"),
