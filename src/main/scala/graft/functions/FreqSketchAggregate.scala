@@ -95,7 +95,12 @@ case class FreqSketchAggregate(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.forEach { (k, v) => out.writeUTF(k); out.writeLong(v) }
+    // length-prefixed UTF-8 bytes, not writeUTF: a pathological
+    // "token" past 64 KiB must round-trip, not throw UTFDataFormat
+    buf.forEach { (k, v) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -105,7 +110,13 @@ case class FreqSketchAggregate(
     val n = in.readInt()
     val buf = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -125,11 +125,17 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble, DoubleType)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(binWidthKey, "0").toLong
+    // a malformed conf value must not take down optimization
+    val w = scala.util.Try(conf.getConfString(binWidthKey, "0").toLong).getOrElse(0L)
     if (w <= 0) return plan
     plan.transformUp {
+      // never rewrite streaming joins: the raw time-range condition is
+      // what the micro-batch planner analyzes for watermark-based
+      // state eviction — hiding it behind a Generate would change the
+      // state lifecycle
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if !(left.output ++ right.output).exists(_.name.startsWith(binPrefix)) =>
+          if !j.isStreaming &&
+            !(left.output ++ right.output).exists(_.name.startsWith(binPrefix)) =>
         rewrite(j, left, right, cond, hint, w).getOrElse(j)
     }
   }
