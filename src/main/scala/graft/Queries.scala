@@ -1409,6 +1409,29 @@ object Queries {
         |FROM tok GROUP BY term
         |HAVING count(*) >= 0.005 * (SELECT n_total FROM n)""".stripMargin))
 
+  /** #49 Token-id encoding against the built vocabulary (top-200
+    * covers the corpus; OOV stays null by LEFT-join semantics).
+    */
+  val qTextEncode: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.encode(
+        docs, graft.operators.TextAnalysis.vocab(docs, topK = 200))
+    },
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS term FROM t
+        |), agg AS (
+        |  SELECT term, count(*) AS tf FROM tok GROUP BY term
+        |), vocab AS (
+        |  SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS token_id FROM agg
+        |  QUALIFY token_id <= 200
+        |)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, v.token_id
+        |FROM tok LEFT JOIN vocab v USING (term)""".stripMargin))
+
   /** #28b Per-label embedding centroids: elementwise mean via
     * posexplode + one hash aggregate — map-side partial combine
     * collapses the exploded rows to labels × dims before the shuffle.
@@ -1545,6 +1568,7 @@ object Queries {
     "dedup_embedding" -> qDedupEmbedding,
     "text_vocab" -> qTextVocab,
     "q_heavy_terms" -> qHeavyTerms,
+    "text_encode" -> qTextEncode,
     "text_tfidf" -> qTextTfidf,
     "q_lang_balance" -> qLangBalance,
     "q_blocklist" -> qBlocklist,

@@ -173,6 +173,20 @@ object TextAnalysis {
         (col("n_ngrams") - col("n_distinct")).cast("double") / col("n_ngrams"))
   }
 
+  /** Encode documents to token ids against a vocabulary (the
+    * corpus→tensor step): one row per (doc, position), id null for
+    * out-of-vocabulary terms so downstream can count OOV or remap to
+    * an UNK id. The vocab is top-K bounded, so the join broadcasts —
+    * the corpus explodes but never shuffles.
+    */
+  def encode(df: DataFrame, vocabDf: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    toks.join(broadcast(vocabDf.select(col("term"), col("token_id"))), Seq("term"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))
+  }
+
   /** PII redaction patterns: (tag, Java+RE2-compatible regex). The
     * same literals feed the Spark operator and the DuckDB oracle so
     * the two sides can never drift.
