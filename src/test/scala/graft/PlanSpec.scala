@@ -112,6 +112,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"))
   }
 
+  test("decontamination joins on 8-byte hashed shingles, never strings") {
+    val df = Queries.qDecontam.run(spark, sfDir)
+    val p = plan(df)
+    // the join key is the exploded hash column (long), and both sides
+    // aggregate AFTER the join — no string shingle ever shuffles
+    assert(p.contains("_sh"))
+    assert(!p.toLowerCase.contains("cartesian"))
+  }
+
+  test("tf-idf and encode: vocab-sized side broadcasts, corpus never shuffles for the join") {
+    assert(plan(Queries.qTextEncode.run(spark, sfDir)).contains("BroadcastHashJoin"))
+    // tfIdf's df side is joined post-aggregation; AQE decides at runtime,
+    // so assert on the executed adaptive plan after an action
+    val tfidf = Queries.qTextTfidf.run(spark, sfDir)
+    tfidf.count()
+    assert(tfidf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("heavy hitters: candidates broadcast back; exact count aggregates only matches") {
+    val df = Queries.qHeavyTerms.run(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("freqsketchaggregate") || p.toLowerCase.contains("freqsketch"), p)
+  }
+
   test("snapshot diff: one join, no window, no cartesian") {
     val ev = TableLoader.table(spark, sfDir, "events")
     val p = plan(graft.operators.SnapshotDiff.diff(ev, ev, Seq("event_id")))
