@@ -520,6 +520,25 @@ object Queries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin))
 
+  /** #36 Skew-salted join, oracled: enrich every event with its
+    * user's total event count through SkewJoin.salted (big side
+    * scattered over 8 sub-keys, small side replicated) — the result
+    * must be byte-identical to the plain join the oracle runs.
+    */
+  val qSkewJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ev = t(s, dir, "events")
+      val userCounts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_user_events"))
+      graft.operators.SkewJoin.salted(
+        ev.select("event_id", "user_id", "event_type"), userCounts,
+        keys = Seq("user_id"), salt = 8)
+    },
+    oracle = Some(
+      """SELECT e.event_id, e.user_id, e.event_type, u.n_user_events
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS n_user_events FROM events GROUP BY user_id) u
+        |  ON e.user_id = u.user_id""".stripMargin))
+
   /** #20g As-of join with tolerance (pandas merge_asof semantics):
     * same purchases→clicks join as q_asof_join, but matches older
     * than 30 minutes are nulled out. Oracle: DuckDB ASOF LEFT JOIN
@@ -1544,6 +1563,7 @@ object Queries {
     "curate_docs" -> qCurateDocs,
     "curate_neardup" -> qCurateNeardup,
     "q_anti_join" -> qAntiJoin,
+    "q_skew_join" -> qSkewJoin,
     "q_set_ops" -> qSetOps,
     "q_range_join" -> qRangeJoin,
     "q_range_join_auto" -> qRangeJoinAuto,
