@@ -847,6 +847,44 @@ object Queries {
         queryName = "graft_stream_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")),
     oracle = qRangeJoin.oracle)
 
+  /** #22c Streaming sessionization, oracled: append mode emits
+    * exactly the sessions whose end the FINAL watermark passed
+    * (max event time, millisecond-truncated as the engine tracks it,
+    * minus the 1-hour delay) — and that emission rule is itself SQL:
+    * the batch lag/cumsum sessions filtered to
+    * `session_end <= watermark`. Watermark SEMANTICS under oracle,
+    * not just containment specs.
+    */
+  val qStreamSessions: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.runSessionsToBatch(
+        s, s"$dir/events.parquet",
+        queryName = "graft_stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")),
+    oracle = Some(
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g
+        |), n AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sess_seq
+        |  FROM s
+        |), sess AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |         max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |  FROM n GROUP BY user_id, sess_seq
+        |), wm AS (
+        |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w FROM events
+        |)
+        |SELECT user_id, session_start, session_end, n_events, sum_value
+        |FROM sess, wm WHERE session_end <= w""".stripMargin))
+
   /** #5b Correlated scalar subquery through the SQL transform surface:
     * orders more than twice their customer's (decimal-exact) average.
     * Catalyst de-correlates this into an aggregate + join — the plan
@@ -1574,6 +1612,7 @@ object Queries {
     "q_stream_attribution" -> qStreamAttribution,
     "q_corr_subquery" -> qCorrSubquery,
     "q_sessionize" -> qSessionize,
+    "q_stream_sessions" -> qStreamSessions,
     "text_tokens" -> qTextTokens,
     "text_quality" -> qTextQuality,
     "text_langid" -> qTextLangid,
