@@ -162,15 +162,20 @@ object Queries {
       // table prep is ingest (one-time DDL per source dir), not the
       // query — memoize like the streaming dir staging, so reps and
       // repeat runs measure the exchange-free join itself
+      // table names carry a dir hash: two source dirs in one JVM must
+      // not share (or clobber) each other's bucketed tables
+      val tag = java.lang.Long.toHexString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir).hashCode().toLong & 0xffffffffL)
+      val (ordersTbl, lineitemTbl) = (s"graft_q_orders_b_$tag", s"graft_q_lineitem_b_$tag")
       bucketedFor.computeIfAbsent(dir, { _ =>
         graft.sources.Bucketing.writeBucketed(
-          t(s, dir, "orders"), "graft_q_orders_b", Seq("o_orderkey"), buckets = 8)
+          t(s, dir, "orders"), ordersTbl, Seq("o_orderkey"), buckets = 8)
         graft.sources.Bucketing.writeBucketed(
-          t(s, dir, "lineitem"), "graft_q_lineitem_b", Seq("l_orderkey"), buckets = 8)
+          t(s, dir, "lineitem"), lineitemTbl, Seq("l_orderkey"), buckets = 8)
         true
       })
-      graft.sources.Bucketing.table(s, "graft_q_orders_b")
-        .join(graft.sources.Bucketing.table(s, "graft_q_lineitem_b"),
+      graft.sources.Bucketing.table(s, ordersTbl)
+        .join(graft.sources.Bucketing.table(s, lineitemTbl),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
@@ -1364,8 +1369,10 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("source"))
     },
     oracle = Some(
+      // `IS NULL OR NOT IN` matches left-anti semantics: the anti join
+      // KEEPS null sources, plain NOT IN would drop them
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE source NOT IN (${blockedSources.map(b => s"'$b'").mkString(", ")})""".stripMargin))
+         |WHERE source IS NULL OR source NOT IN (${blockedSources.map(b => s"'$b'").mkString(", ")})""".stripMargin))
 
   /** #45 Benchmark decontamination: training docs (doc_id % 10 != 9)
     * sharing any 8-gram with the holdout (doc_id % 10 == 9). Spark

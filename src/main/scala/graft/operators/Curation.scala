@@ -69,7 +69,11 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_start", sum(col(weightCol).cast("long")).over(w) - col(weightCol))
+    // cast ONCE and use the long in both the sum and the subtraction:
+    // a fractional weight column must not promote _start to double
+    // (the div/% below would then truncate through an implicit cast)
+    val wgt = col(weightCol).cast("long")
+    df.withColumn("_start", sum(wgt).over(w) - wgt)
       .withColumn("pack_id", expr(s"_start div $budget"))
       .withColumn("pack_off", expr(s"_start % $budget"))
       .drop("_start")

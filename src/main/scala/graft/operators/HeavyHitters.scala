@@ -27,12 +27,16 @@ object HeavyHitters {
     require(minShare > 0 && minShare < 1, "minShare must be in (0, 1)")
     require(capacity > 1 / minShare,
       s"capacity $capacity must exceed 1/minShare=${1 / minShare} or heavy values may be pruned")
-    val candidates = df
+    // shares are measured against the NON-NULL population: the sketch
+    // and the candidate join both skip nulls, so the denominator must
+    // too, or a null-heavy column silently raises the threshold
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val candidates = nonNull
       .agg(FreqSketchFunctions.freq_sketch(col(valueCol), capacity).as("_sk"))
       .select(explode(col("_sk")).as("_hit"))
       .select(col("_hit.value").as(valueCol))
-    val total = df.agg(count(lit(1)).as("n_total"))
-    df.join(broadcast(candidates), valueCol)
+    val total = nonNull.agg(count(lit(1)).as("n_total"))
+    nonNull.join(broadcast(candidates), valueCol)
       .groupBy(col(valueCol))
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))

@@ -76,17 +76,25 @@ object Sampling {
     * partition never materialize. For k small and groups huge,
     * TopKAggregate (O(k) state, map-side combine) computes the same
     * set — see q_topk_heap for that plan shape.
+    *
+    * Determinism contract: `(orderCol, tiebreakCols...)` must be
+    * UNIQUE within each group — row_number over a tied order is
+    * partitioning-dependent, so duplicate order values without a
+    * tiebreaker give an unstable kept-set across runs. Pass the
+    * table's unique key as a tiebreaker when `orderCol` alone can tie.
     */
   def capPerGroup(
       df: DataFrame,
       groupCol: String,
       orderCol: String,
       k: Int,
-      seqCol: String = "grp_seq"): DataFrame = {
+      seqCol: String = "grp_seq",
+      tiebreakCols: Seq[String] = Nil): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
+    val order = (orderCol +: tiebreakCols).map(col)
     df.withColumn(seqCol,
-        row_number().over(Window.partitionBy(col(groupCol)).orderBy(col(orderCol))))
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(order: _*)))
       .filter(col(seqCol) <= k)
   }
 
