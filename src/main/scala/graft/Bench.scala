@@ -44,16 +44,24 @@ object Bench {
       q.awaitTermination()
     } catch { case _: Throwable => () }
     // A failed query must be visible in the JSON (-1), never reported
-    // as its (fast) time-to-exception.
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+    // as its (fast) time-to-exception. Reps run as INTERLEAVED passes
+    // over the whole suite (pass 1 all queries, pass 2 all queries…):
+    // host interference arrives as a contiguous multi-second slow
+    // block, so back-to-back reps of one query can both land inside
+    // it — minutes-apart reps almost never do.
+    val names = selected.keys.toSeq
+    val timesByName = collection.mutable.Map(names.map(_ -> List.empty[Double]): _*)
+    for (_ <- 1 to reps; name <- names) {
+      val fn = selected(name)
+      val t0 = System.nanoTime()
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
-      }
-      val ok = times.filter(_ >= 0)
-      name -> (if (ok.nonEmpty) ok.min else -1.0)
+      timesByName(name) = t :: timesByName(name)
     }
+    val results = names.map { name =>
+      val ok = timesByName(name).filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total = successes only; -1 sentinels stay visible per-query but
