@@ -620,6 +620,31 @@ object Queries {
         |SELECT event_id + 10000000, 'insert', ts, user_id, event_type, value, props
         |FROM events WHERE event_type = 'click'""".stripMargin))
 
+  /** #10e SCD2 history build: each user's event_type stream becomes
+    * [valid_from, valid_to) attribute intervals — consecutive
+    * unchanged types collapse, the open interval carries is_current.
+    * One shuffle (both windows share the per-user sort); the oracle
+    * is the classic lag/lead SQL formulation.
+    */
+  val qScd2: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Scd2.fromChangeLog(
+        t(s, dir, "events"), "user_id", "ts",
+        attrCols = Seq("event_type"), tiebreakCols = Seq("event_id")),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM ch""".stripMargin))
+
   /** #20c Set operations: BUILDING-segment customers split by whether
     * they ever placed an URGENT order — INTERSECT and EXCEPT branches
     * tagged and unioned.
@@ -1598,6 +1623,7 @@ object Queries {
     "q_asof_tolerance" -> qAsofTolerance,
     "q_window_lag" -> qWindowLag,
     "q_snapshot_diff" -> qSnapshotDiff,
+    "q_scd2" -> qScd2,
     "q_approx_distinct" -> qApproxDistinct,
     "q_profile" -> qProfile,
     "q_quality_checks" -> qQualityChecks,
