@@ -915,6 +915,24 @@ object Queries {
         |SELECT user_id, session_start, session_end, n_events, sum_value
         |FROM sess, wm WHERE session_end <= w""".stripMargin))
 
+  /** #22h Stream-static enrichment join: streaming events decorated
+    * with customer + nation attributes per micro-batch (broadcast
+    * static side, stateless append). Oracle is the plain batch join —
+    * enrichment must be exactly batch-equivalent.
+    */
+  val qStreamEnrich: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.runEnrichToBatch(
+        s, s"$dir/events.parquet",
+        customer = t(s, dir, "customer"), nation = t(s, dir, "nation"),
+        queryName = "graft_stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")),
+    oracle = Some(
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |       c.c_name AS customer_name, n.n_name AS nation_name
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin))
+
   /** #5b Correlated scalar subquery through the SQL transform surface:
     * orders more than twice their customer's (decimal-exact) average.
     * Catalyst de-correlates this into an aggregate + join — the plan
@@ -1643,6 +1661,7 @@ object Queries {
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_milestones" -> qStreamMilestones,
     "q_stream_attribution" -> qStreamAttribution,
+    "q_stream_enrich" -> qStreamEnrich,
     "q_corr_subquery" -> qCorrSubquery,
     "q_sessionize" -> qSessionize,
     "q_stream_sessions" -> qStreamSessions,

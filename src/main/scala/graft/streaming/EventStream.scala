@@ -292,6 +292,38 @@ object EventStream {
     }
   }
 
+  /** Stream-static enrichment: every streaming event picks up its
+    * user's dimension attributes by joining the micro-batch against a
+    * STATIC DataFrame — the streaming face of the flagship report
+    * join. Stateless: no watermark, no state store; the static side
+    * is explicitly broadcast, so each micro-batch enriches with a
+    * map-side hash join (the dimension is read/planned once and
+    * reused across batches, never shuffled against the stream).
+    */
+  def enriched(spark: SparkSession, path: String, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame = {
+    val raw = spark.readStream.schema(rawSchema).parquet(path)
+    val events = raw.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+  }
+
+  /** Run the enrichment over a finite directory (AvailableNow, append
+    * memory sink): events decorated with customer name + nation name.
+    */
+  def runEnrichToBatch(spark: SparkSession, path: String,
+      customer: DataFrame, nation: DataFrame,
+      queryName: String = "graft_stream_enrich"): DataFrame = {
+    val dim = customer.join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name").as("customer_name"),
+        col("n_name").as("nation_name"))
+    val out = enriched(spark, streamableDir(spark, path), dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("customer_name"), col("nation_name"))
+    collectToMemory(spark, out, "append", queryName)
+  }
+
   /** Stage a directory's parquet files twice (suffix-renamed copies)
     * into a scratch dir — a deterministic duplicate-bearing stream
     * input for exercising dedup.

@@ -40,6 +40,27 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static enrichment equals the batch join and plans stateless") {
+    val customer = graft.sources.TableLoader.table(spark, sfDir, "customer")
+    val nation = graft.sources.TableLoader.table(spark, sfDir, "nation")
+    val streamed = EventStream.runEnrichToBatch(spark, s"$sfDir/events.parquet",
+      customer, nation, queryName = "spec_enrich")
+    val batch = graft.sources.TableLoader.table(spark, sfDir, "events")
+      .join(customer, col("user_id") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name").as("customer_name"), col("n_name").as("nation_name"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // stateless: a per-batch broadcast join — no watermark, no
+    // stateful operator in the logical plan
+    val plan = EventStream.enriched(spark,
+      EventStream.streamableDir(spark, s"$sfDir/events.parquet"),
+      customer.select(col("c_custkey"), col("c_name")), "user_id", "c_custkey")
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("EventTimeWatermark") && !plan.contains("Deduplicate"), plan)
+  }
+
   test("streaming dedup over a doubled directory equals a single copy") {
     val streamed = EventStream.runDedupToBatch(spark, s"$sfDir/events.parquet", queryName = "spec_dedup")
     val batch = graft.sources.TableLoader.table(spark, sfDir, "events")
