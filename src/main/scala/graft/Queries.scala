@@ -740,6 +740,37 @@ object Queries {
          |  CAST(max($c) AS VARCHAR) AS max_value
          |FROM orders""".stripMargin).mkString("\nUNION ALL\n")))
 
+  /** #14f Tukey IQR outlier fences per event_type. Values go through
+    * round(value·100) — integral cents — so quartile interpolation is
+    * quarter-exact and the k·IQR fence dyadic-exact on both engines
+    * (2-decimal money·100 never lands on .5, so the rounding-mode
+    * divergence between engines can't bite).
+    */
+  val qOutlierFence: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Profiler.iqrOutliers(
+        t(s, dir, "events").withColumn("cents", round(col("value") * 100)),
+        "event_type", "cents"),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT event_type, round(value * 100) AS cents FROM events
+        |), q AS (
+        |  SELECT event_type,
+        |    quantile_cont(cents, 0.25) AS p25,
+        |    quantile_cont(cents, 0.75) AS p75
+        |  FROM c GROUP BY event_type
+        |), f AS (
+        |  SELECT *, p25 - 1.5 * (p75 - p25) AS fence_lo,
+        |            p75 + 1.5 * (p75 - p25) AS fence_hi
+        |  FROM q
+        |)
+        |SELECT c.event_type, f.p25, f.p75, f.fence_lo, f.fence_hi,
+        |  sum(CASE WHEN c.cents < f.fence_lo OR c.cents > f.fence_hi
+        |           THEN 1 ELSE 0 END) AS n_outliers,
+        |  count(*) AS n_total
+        |FROM c JOIN f USING (event_type)
+        |GROUP BY c.event_type, f.p25, f.p75, f.fence_lo, f.fence_hi""".stripMargin))
+
   /** #42 Declarative data-quality gate: expectations over
     * orders/lineitem/customer; the discount range check is chosen to
     * FAIL so the violation path is exercised end-to-end.
@@ -1398,6 +1429,25 @@ object Queries {
         |  FROM documents
         |) WHERE lang_seq <= 60""".stripMargin))
 
+  /** #43b Deterministic corpus shuffle + sharding: multiplicative-
+    * hash pseudo-random order, reproducible engine-to-engine (the
+    * oracle runs the identical integer formula) — training-data read
+    * order without `ORDER BY rand()` or a global sort.
+    */
+  val qShuffleShard: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Sampling.shuffleShard(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", shards = 8),
+    oracle = Some(
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS hv
+        |  FROM documents
+        |)
+        |SELECT doc_id, hv % 8 AS shard,
+        |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+        |FROM h""".stripMargin))
+
   /** #44 Source-blocklist filtering: drop documents from denylisted
     * sources via broadcast anti join (the blocklist is a TABLE — see
     * Curation.dropBlockedSources).
@@ -1682,6 +1732,8 @@ object Queries {
     "text_encode" -> qTextEncode,
     "text_tfidf" -> qTextTfidf,
     "q_lang_balance" -> qLangBalance,
+    "q_shuffle_shard" -> qShuffleShard,
+    "q_outlier_fence" -> qOutlierFence,
     "q_blocklist" -> qBlocklist,
     "decontam_ngram" -> qDecontam,
     "text_pack" -> qTextPack,

@@ -43,4 +43,37 @@ object Profiler {
       .select(explode(array(perCol: _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Tukey IQR outlier fences per group: quartiles, the
+    * [p25 - k·IQR, p75 + k·IQR] fence, and how many rows fall
+    * outside it — the robust "is this batch's distribution sane"
+    * check (fixed thresholds drift; quartile fences track the data).
+    *
+    * Plan: one grouped percentile pass (shuffle on the group key),
+    * fence table broadcast back onto the input, one counting pass —
+    * the input is scanned twice but never joined shuffle-to-shuffle.
+    * Cross-engine exactness: feed an INTEGRAL-valued double column
+    * (counts, cents) — quartile interpolation lands on exact
+    * quarters, and k·IQR stays dyadic-exact for dyadic k (1.5 default).
+    */
+  def iqrOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val v = col(valueCol)
+    val fences = df
+      .groupBy(col(groupCol))
+      .agg(percentile(v, array(lit(0.25), lit(0.75))).as("_q"))
+      .select(col(groupCol),
+        element_at(col("_q"), 1).as("p25"),
+        element_at(col("_q"), 2).as("p75"))
+      .withColumn("fence_lo", col("p25") - lit(k) * (col("p75") - col("p25")))
+      .withColumn("fence_hi", col("p75") + lit(k) * (col("p75") - col("p25")))
+    df.join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol), col("p25"), col("p75"), col("fence_lo"), col("fence_hi"))
+      .agg(
+        sum(when(v < col("fence_lo") || v > col("fence_hi"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+  }
 }

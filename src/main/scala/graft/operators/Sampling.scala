@@ -116,4 +116,39 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic corpus shuffle + sharding: training data wants a
+    * pseudo-random READ ORDER that is reproducible run-to-run and
+    * engine-to-engine — never `ORDER BY rand()` (row-order-dependent)
+    * and never one global sort. Each row gets a Knuth multiplicative
+    * hash of its key; `shard = h % shards` scatters neighbors, and
+    * the within-shard position ranks by `(h, key)`.
+    *
+    * Scale: one shuffle on the shard key and a PER-SHARD sort of
+    * 8-byte hashes — shards are written/consumed independently, so no
+    * global ordering step ever exists. Pure integer arithmetic
+    * (key reduced mod 2^31 keeps the product under 2^63), so any
+    * engine reproduces the exact same order — the SQL oracle runs the
+    * same formula.
+    *
+    * Keys must be unique and non-negative (the (h, key) order is then
+    * a total order; negative keys would diverge on `%` semantics
+    * across engines).
+    */
+  def shuffleShard(
+      df: DataFrame,
+      keyCol: String,
+      shards: Int,
+      shardCol: String = "shard",
+      posCol: String = "pos"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val m = 2147483648L // 2^31
+    val h = pmod(pmod(col(keyCol), lit(m)) * lit(2654435761L), lit(m))
+    df.withColumn("_h", h)
+      .withColumn(shardCol, pmod(col("_h"), lit(shards)))
+      .withColumn(posCol,
+        row_number().over(Window.partitionBy(col(shardCol)).orderBy(col("_h"), col(keyCol))))
+      .drop("_h")
+  }
 }

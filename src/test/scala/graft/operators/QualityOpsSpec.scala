@@ -74,6 +74,40 @@ class QualityOpsSpec extends SparkSpec {
     assert(out.getLong(1) == 1L && !out.getBoolean(2))
   }
 
+  test("iqrOutliers: fences and counts on a planted distribution") {
+    val s = spark
+    import s.implicits._
+    // group g: 1..9 plus one far outlier
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val row = Profiler.iqrOutliers(df, "grp", "v").collect()(0)
+    val (p25, p75) = (row.getDouble(1), row.getDouble(2))
+    // interpolated quartiles over 10 sorted values: idx 2.25 and 6.75
+    assert(p25 == 3.25 && p75 == 7.75, s"$p25/$p75")
+    assert(row.getDouble(3) == 3.25 - 1.5 * 4.5) // fence_lo
+    assert(row.getDouble(4) == 7.75 + 1.5 * 4.5) // fence_hi
+    assert(row.getLong(5) == 1L && row.getLong(6) == 10L) // only 1000.0 is out
+  }
+
+  test("shuffleShard: deterministic, covers all rows, per-shard dense positions") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents").select("doc_id")
+    def run() = Sampling.shuffleShard(docs, "doc_id", 8)
+    val a = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val b = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(a.sameElements(b), "run-to-run deterministic")
+    assert(a.length == docs.count())
+    // positions are 1..n_shard within each shard (dense ranking)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length), s"shard $shard")
+    }
+    // the order is actually scrambled: sharded order != key order
+    val firstShard = a.filter(_._2 == a(0)._2).sortBy(_._3).map(_._1)
+    assert(!firstShard.sameElements(firstShard.sorted), "hash order must not equal key order")
+    // and no global sort in the plan: the only Sort is shard-partitioned
+    val plan = run().queryExecution.executedPlan.treeString
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("stratified: per-stratum fractions, deterministic, group-stable") {
     val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
     def run() = Sampling.stratified(docs, "lang", "doc_id",
