@@ -106,6 +106,21 @@ object Queries {
     },
     oracle = Some(reportSql))
 
+  /** #6b JSON-lines report sink roundtrip: the flagship transform
+    * written through ReportWriter as JSONL and read back with the
+    * declared schema — same losslessness contract as the CSV path
+    * (doubles survive via shortest-round-trip serialization; NTZ
+    * timestamps via the declared read schema).
+    */
+  val qJsonlRoundtrip: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val result = new ReportPipeline(s, scratch("ckpt-jsonl")).transform(reportSpec(dir))
+      val writer = new ReportWriter(scratch("report-root-jsonl"))
+      val handle = writer.write(result, format = "json")
+      s.read.schema(result.schema).json(handle.path)
+    },
+    oracle = Some(reportSql))
+
   /** #10 Upsert merge: latest-wins by (record key, precombine)
     * (reference: generate_hudi_table.py:86-214). Purchases get a
     * doubled value one hour later; the merge must surface exactly
@@ -1674,6 +1689,7 @@ object Queries {
     "q_inc_load" -> qIncLoad,
     "q_report_urgent" -> qReportUrgent,
     "q_csv_roundtrip" -> qCsvRoundtrip,
+    "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_upsert_merge" -> qUpsertMerge,
     "q_partition_prune" -> qPartitionPrune,
     "q_time_travel" -> qTimeTravel,

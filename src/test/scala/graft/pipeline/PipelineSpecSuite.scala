@@ -23,6 +23,19 @@ class PipelineSpecSuite extends SparkSpec {
     assert(df.exceptAll(back).isEmpty)
   }
 
+  test("ReportWriter: JSON-lines format shares the layout and stays lossless") {
+    val fixed = Instant.parse("2026-03-05T10:00:00Z")
+    val writer = new ReportWriter(tmpDir("graft-report-json-"), clock = () => fixed)
+    val df = graft.sources.TableLoader.table(spark, sfDir, "orders").limit(100)
+    val handle = writer.write(df, format = "json")
+    assert(handle.path.contains("reports/year=2026/month=3/day=5/"))
+    assert(handle.path.endsWith(".json"))
+    val back = spark.read.schema(df.schema).json(handle.path)
+    assert(back.count() == 100)
+    assert(df.exceptAll(back).isEmpty && back.exceptAll(df).isEmpty)
+    intercept[IllegalArgumentException] { writer.write(df, format = "xml") }
+  }
+
   test("email template renders the reference card with the download link") {
     val html = DownloadReportEmailTemplate("file:///tmp/r.csv").render()
     assert(html.contains("""<a href="file:///tmp/r.csv""""))
