@@ -1121,6 +1121,41 @@ object Queries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5""".stripMargin))
 
+  /** #26b Edit-distance near-dup pairs: shingle-Jaccard candidates
+    * (>= 0.2) verified by bounded Levenshtein (<= 30). Spark trades
+    * hashed 8-byte shingles and short-circuits the DP at the
+    * threshold; the oracle re-runs BOTH defining filters on raw
+    * strings.
+    */
+  val qDedupEditdist: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text"),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+        |), s AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))) AS sh
+        |  FROM t
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS nsh FROM s GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.2
+        |)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_dist
+        |FROM cand c
+        |JOIN t ta ON ta.doc_id = c.doc_a
+        |JOIN t tb ON tb.doc_id = c.doc_b
+        |WHERE levenshtein(ta.text, tb.text) <= 30""".stripMargin))
+
   /** #24 MinHash LSH near-dup pairs (approximate recall, exact
     * verification) — seeded hashing, rows-only + recall spec.
     */
@@ -1740,6 +1775,7 @@ object Queries {
     "dedup_clusters" -> qDedupClusters,
     "dedup_exact" -> qDedupExact,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "dedup_editdist" -> qDedupEditdist,
     "dedup_minhash_lsh" -> qDedupMinhashLsh,
     "dedup_simhash" -> qDedupSimhash,
     "dedup_embedding" -> qDedupEmbedding,

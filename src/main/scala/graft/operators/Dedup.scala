@@ -77,6 +77,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Edit-distance near-dup pairs: shingle-Jaccard CANDIDATES,
+    * verified by exact bounded Levenshtein — `jaccard >= candidate
+    * threshold AND editdist <= maxDist` is the operator's definition
+    * (both filters are semantics, not heuristics, so the result is
+    * SQL-oracle-able).
+    *
+    * Why not edit distance directly: even length-banded blocking
+    * leaves O(n²/bands) candidate pairs, each costing O(L·maxDist)
+    * DP — measured 160s in vectorized C++ at sf0.1. The shingle join
+    * trades on 8-byte hashes and emits only genuinely-overlapping
+    * pairs (O(result), not O(corpus²)); the DP then runs on that
+    * small pair list, with Spark's threshold variant short-circuiting
+    * rows that blow past `maxDist`. Contract: ASCII-safe only — Spark
+    * counts Unicode codepoints where some engines count bytes.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      candidateJaccard: Double = 0.2,
+      maxDist: Int = 30): DataFrame = {
+    val texts = df.select(col(idCol).as("_ed_id"), col(textCol).as("_ed_text"))
+    val cands = ngramJaccardPairs(df, idCol, textCol, n, candidateJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    // the pair list is the output of a near-dup filter — broadcast it
+    // (and the pair-sized intermediate) so the corpus never shuffles
+    val withA = broadcast(cands)
+      .join(texts, col("doc_a") === col("_ed_id"))
+      .withColumnRenamed("_ed_text", "_text_a").drop("_ed_id")
+    broadcast(withA)
+      .join(texts, col("doc_b") === col("_ed_id"))
+      .withColumn("edit_dist", levenshtein(col("_text_a"), col("_ed_text"), maxDist))
+      .filter(col("edit_dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
+
   /** MinHash LSH near-dup candidate pairs, verified by exact Jaccard.
     *
     * bands × rowsPerBand = signature length. Two docs collide if any

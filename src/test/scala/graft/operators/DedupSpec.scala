@@ -49,6 +49,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("editDistancePairs: exact bounded distances on candidates; corpus never shuffles for the text join") {
+    // 1=2 identical (dist 0); 3 differs from 1 by one word dog->cat
+    // (dist 3); 4 shares no shingles -> never even a candidate
+    val out = Dedup.editDistancePairs(corpus, "doc_id", "text",
+      candidateJaccard = 0.25, maxDist = 2)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(!pairs.contains((1L, 3L)), "dist 3 must be cut by maxDist=2")
+    val loose = Dedup.editDistancePairs(corpus, "doc_id", "text",
+      candidateJaccard = 0.25, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(loose((1L, 3L)) == 3)
+    // both text joins broadcast the pair-sized side
+    val plan = out.queryExecution.executedPlan.treeString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("minhashLshPairs: exact on candidates, full recall on planted dups") {
     val exactPairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 5, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
