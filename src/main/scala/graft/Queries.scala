@@ -786,6 +786,33 @@ object Queries {
         |FROM c JOIN f USING (event_type)
         |GROUP BY c.event_type, f.p25, f.p75, f.fence_lo, f.fence_hi""".stripMargin))
 
+  /** #14g Equi-width histogram per event_type over integral cents:
+    * bin edges derived in pure integer arithmetic (width =
+    * ceil(span/bins) as (span+bins-1) div bins), so both engines
+    * compute identical sparse histograms.
+    */
+  val qHistogram: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Profiler.histogram(
+        t(s, dir, "events").withColumn("cents", round(col("value") * 100)),
+        "event_type", "cents", bins = 20),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |), st AS (
+        |  SELECT event_type, min(cents) AS vmin, max(cents) AS vmax
+        |  FROM c GROUP BY event_type
+        |), w AS (
+        |  SELECT *, greatest(1, (vmax - vmin + 20) // 20) AS width FROM st
+        |)
+        |SELECT c.event_type,
+        |  (c.cents - w.vmin) // w.width AS bin,
+        |  w.vmin + ((c.cents - w.vmin) // w.width) * w.width AS bin_lo,
+        |  w.vmin + ((c.cents - w.vmin) // w.width + 1) * w.width - 1 AS bin_hi,
+        |  count(*) AS n
+        |FROM c JOIN w USING (event_type)
+        |GROUP BY 1, 2, 3, 4""".stripMargin))
+
   /** #42 Declarative data-quality gate: expectations over
     * orders/lineitem/customer; the discount range check is chosen to
     * FAIL so the violation path is exercised end-to-end.
@@ -1156,6 +1183,40 @@ object Queries {
         |JOIN t tb ON tb.doc_id = c.doc_b
         |WHERE levenshtein(ta.text, tb.text) <= 30""".stripMargin))
 
+  /** #26c Containment near-dup pairs (one-sided Jaccard >= 0.8):
+    * ordered "a mostly inside b" — the metric that catches
+    * quote-and-expand duplication symmetric Jaccard misses.
+    */
+  val qDedupContainment: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Dedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), s AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))) AS sh
+        |  FROM t
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS nsh FROM s GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT da, db, common, sa.nsh AS nsh_a, sb.nsh AS nsh_b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = da
+        |             JOIN sizes sb ON sb.doc_id = db
+        |), dirs AS (
+        |  SELECT da AS doc_a, db AS doc_b,
+        |         CAST(common AS DOUBLE) / nsh_a AS containment FROM j
+        |  UNION ALL
+        |  SELECT db, da, CAST(common AS DOUBLE) / nsh_b FROM j
+        |)
+        |SELECT doc_a, doc_b, containment FROM dirs
+        |WHERE containment >= 0.8""".stripMargin))
+
   /** #24 MinHash LSH near-dup pairs (approximate recall, exact
     * verification) — seeded hashing, rows-only + recall spec.
     */
@@ -1337,6 +1398,26 @@ object Queries {
     * appended identically on both engines, then scrubbed. Counts come
     * from the pre-redaction text.
     */
+  /** #32b Canonical normalization: a deliberately-messied projection
+    * of the corpus (injected case, tabs, padding) must normalize
+    * identically on both engines — character-class regexes only, so
+    * the semantics can't drift between regex dialects.
+    */
+  val qTextNormalize: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.TextAnalysis.normalized(
+        t(s, dir, "documents").withColumn("messy",
+          concat(lit("  "), upper(expr("substring(text, 1, 50)")),
+            lit("\t\t"), expr("substring(text, 51)"))),
+        "messy", "text_norm")
+        .select(col("doc_id"), col("text_norm")),
+    oracle = Some(
+      """SELECT doc_id,
+        |  lower(trim(regexp_replace(regexp_replace(
+        |    '  ' || upper(substr(text, 1, 50)) || chr(9) || chr(9) || substr(text, 51),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), '[ \t\n\r]+', ' ', 'g'))) AS text_norm
+        |FROM documents""".stripMargin))
+
   val qTextRedact: QueryDef = QueryDef(
     run = (s, dir) => {
       val withPii = t(s, dir, "documents").withColumn("text",
@@ -1776,6 +1857,9 @@ object Queries {
     "dedup_exact" -> qDedupExact,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "dedup_editdist" -> qDedupEditdist,
+    "dedup_containment" -> qDedupContainment,
+    "q_histogram" -> qHistogram,
+    "text_normalize" -> qTextNormalize,
     "dedup_minhash_lsh" -> qDedupMinhashLsh,
     "dedup_simhash" -> qDedupSimhash,
     "dedup_embedding" -> qDedupEmbedding,

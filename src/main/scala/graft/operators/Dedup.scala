@@ -77,6 +77,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Containment near-dup pairs: ordered (a, b) where
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold — "a is
+    * (mostly) contained in b". Symmetric Jaccard MISSES quote-and-
+    * expand duplication (a 100-word doc pasted into a 2000-word doc
+    * has Jaccard ~0.05 but containment ~1.0); containment is the
+    * standard corpus answer.
+    *
+    * Same single shuffle as ngramJaccardPairs (the unordered common-
+    * count join), then each unordered pair fans out to its two
+    * ordered directions locally — no second join, no second shuffle.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      threshold: Double = 0.9): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), explode(hashedShingles(col(textCol), n)).as("h"))
+    val sizes = df.select(col(idCol).as("doc"), size(hashedShingles(col(textCol), n)).as("nsh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b, col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("da"), col("b.doc").as("db"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc", "da").withColumnRenamed("nsh", "nsh_a"), "da")
+      .join(sizes.withColumnRenamed("doc", "db").withColumnRenamed("nsh", "nsh_b"), "db")
+    common
+      .select(explode(array(
+        struct(col("da").as("doc_a"), col("db").as("doc_b"),
+          (col("common").cast("double") / col("nsh_a")).as("containment")),
+        struct(col("db").as("doc_a"), col("da").as("doc_b"),
+          (col("common").cast("double") / col("nsh_b")).as("containment")))).as("p"))
+      .select(col("p.*"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Edit-distance near-dup pairs: shingle-Jaccard CANDIDATES,
     * verified by exact bounded Levenshtein — `jaccard >= candidate
     * threshold AND editdist <= maxDist` is the operator's definition

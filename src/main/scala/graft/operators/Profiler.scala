@@ -44,6 +44,38 @@ object Profiler {
       .select(col("p.*"))
   }
 
+  /** Equi-width histogram per group over an integral-valued column:
+    * per-group min/max fix the range, `width = ceil(span / bins)` in
+    * PURE INTEGER arithmetic ((span + bins - 1) div bins), so every
+    * engine derives identical bin edges — no float division anywhere.
+    *
+    * Plan: one stats pass (shuffle on the group key), stats broadcast
+    * back, one counting pass — same two-scan shape as iqrOutliers.
+    * Empty bins are absent (sparse output), which is what you want at
+    * 100 TB: bins-with-data is O(bins·groups), a dense fill would be
+    * a cross join.
+    */
+  def histogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bins: Int = 20): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val v = col(valueCol).cast("long")
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(v).as("_vmin"), max(v).as("_vmax"))
+      // `div` is integer division (Column./ would be double division)
+      .withColumn("_width",
+        greatest(lit(1L), expr(s"(_vmax - _vmin + $bins) div $bins")))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("_v", v)
+      .withColumn("bin", expr("(_v - _vmin) div _width"))
+      .groupBy(col(groupCol), col("bin"),
+        (col("_vmin") + col("bin") * col("_width")).as("bin_lo"),
+        (col("_vmin") + (col("bin") + 1) * col("_width") - 1).as("bin_hi"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Tukey IQR outlier fences per group: quartiles, the
     * [p25 - k·IQR, p75 + k·IQR] fence, and how many rows fall
     * outside it — the robust "is this batch's distribution sane"

@@ -31,6 +31,20 @@ object TextAnalysis {
     size(filter(toks, t => array_contains(typedlit(words), t)))
 
   /** Whitespace + BPE-ish (letter-run / digit-run / symbol) token counts. */
+  /** Canonical text normalization — the step that runs BEFORE any
+    * hashing/shingling so trivially-different bytes (case, runs of
+    * whitespace, control chars) can't defeat dedup. Deliberately
+    * restricted to transforms with identical regex semantics across
+    * engines (character classes only, no Unicode property classes):
+    * strip control chars, collapse whitespace runs, trim, lowercase.
+    */
+  def normalized(df: DataFrame, textCol: String = "text",
+      outCol: String = "text_norm"): DataFrame =
+    df.withColumn(outCol,
+      lower(trim(regexp_replace(
+        regexp_replace(col(textCol), "[\\x00-\\x1f\\x7f]", " "),
+        "[ \\t\\n\\r]+", " "))))
+
   def withTokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
     df.withColumn("ws_tokens", size(toks))

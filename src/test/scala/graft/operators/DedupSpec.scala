@@ -49,6 +49,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("containmentPairs: quote-and-expand caught one-directionally") {
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      10L -> base, // fully quoted inside 11
+      11L -> (base + " plus lots of extra words that dilute the jaccard number badly " +
+        "more and more filler content keeps arriving here every day"),
+      12L -> "unrelated content entirely about something else with different words"
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", n = 5, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((10L, 11L)) == 1.0, "small doc fully contained in big")
+    assert(!out.contains((11L, 10L)), "big doc is NOT contained in small")
+    assert(!out.keys.exists { case (a, b) => a == 12L || b == 12L })
+    // symmetric jaccard would have missed it
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.9)
+    assert(jac.count() == 0)
+  }
+
   test("editDistancePairs: exact bounded distances on candidates; corpus never shuffles for the text join") {
     // 1=2 identical (dist 0); 3 differs from 1 by one word dog->cat
     // (dist 3); 4 shares no shingles -> never even a candidate

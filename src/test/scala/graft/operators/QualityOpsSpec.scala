@@ -89,6 +89,24 @@ class QualityOpsSpec extends SparkSpec {
     assert(row.getLong(5) == 1L && row.getLong(6) == 10L) // only 1000.0 is out
   }
 
+  test("histogram: integer bin edges, sparse bins, counts cover all rows") {
+    val s = spark
+    import s.implicits._
+    // values 0..99 in one group, 10 bins -> width 10, ten bins of 10
+    val df = (0 until 100).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val out = Profiler.histogram(df, "grp", "v", bins = 10)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 10)
+    (0L to 9L).foreach { b =>
+      assert(out(b) == ((b * 10, b * 10 + 9, 10L)), s"bin $b: ${out(b)}")
+    }
+    // sparse: a far outlier occupies its own bin, middle bins absent
+    val sparse = (Seq(0L, 1L, 2L) :+ 1000L).map(("g", _)).toDF("grp", "v")
+    val bins = Profiler.histogram(sparse, "grp", "v", bins = 10)
+      .collect().map(_.getLong(1)).sorted
+    assert(bins.length < 10 && bins.last == 9L, bins.mkString(","))
+  }
+
   test("shuffleShard: deterministic, covers all rows, per-shard dense positions") {
     val docs = graft.sources.TableLoader.table(spark, sfDir, "documents").select("doc_id")
     def run() = Sampling.shuffleShard(docs, "doc_id", 8)
