@@ -121,6 +121,30 @@ object Queries {
     },
     oracle = Some(reportSql))
 
+  /** #2b Incremental aggregate maintenance: the per-(user, type)
+    * rollup is built from TWO increments split at the incremental
+    * watermark — history is never rescanned on the second refresh —
+    * and must equal the full recompute bit-for-bit (count and decimal
+    * sum are associative and exact).
+    */
+  val qIncAgg: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("inc-agg-state")
+      val ev = t(s, dir, "events")
+      val keys = Seq("user_id", "event_type")
+      graft.operators.IncrementalAgg.refreshTable(
+        s, statePath, ev.filter(col("ts") <= lit(incWatermark).cast("timestamp_ntz")), keys, "value")
+      graft.operators.IncrementalAgg.refreshTable(
+        s, statePath, ev.filter(col("ts") > lit(incWatermark).cast("timestamp_ntz")), keys, "value")
+      graft.operators.IncrementalAgg.read(s, statePath, keys)
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("sum_dec").cast("double").as("sum_value"))
+    },
+    oracle = Some(
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id, event_type""".stripMargin))
+
   /** #10 Upsert merge: latest-wins by (record key, precombine)
     * (reference: generate_hudi_table.py:86-214). Purchases get a
     * doubled value one hour later; the merge must surface exactly
@@ -1803,6 +1827,7 @@ object Queries {
   val all: Map[String, QueryDef] = Map(
     "q_full_load" -> qFullLoad,
     "q_inc_load" -> qIncLoad,
+    "q_inc_agg" -> qIncAgg,
     "q_report_urgent" -> qReportUrgent,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,

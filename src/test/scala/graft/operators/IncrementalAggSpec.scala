@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalAggSpec extends SparkSpec {
+
+  test("three refreshes equal the full recompute; new keys appear, untouched keys persist") {
+    val s = spark
+    import s.implicits._
+    val statePath = tmpDir("graft-inc-agg-")
+    val rows = Seq(
+      // (key, grp, value): key k3 only arrives in the third increment
+      ("k1", "a", 1.25), ("k1", "a", 2.50), ("k2", "b", 10.0),
+      ("k1", "a", 4.25), ("k2", "b", 0.75),
+      ("k3", "a", 7.00), ("k1", "b", 3.00))
+    val df = rows.toDF("k", "grp", "v")
+    val incs = Seq(df.limit(3),
+      df.offset(3).limit(2),
+      df.offset(5))
+    incs.foreach(inc => IncrementalAgg.refreshTable(spark, statePath, inc, Seq("k", "grp"), "v"))
+
+    val got = IncrementalAgg.read(spark, statePath, Seq("k", "grp"))
+      .select(col("k"), col("grp"), col("n"), col("sum_dec").cast("double").as("sum"))
+    val full = df.groupBy("k", "grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,6)")).cast("double").as("sum"))
+    assert(got.count() == 4)
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+    // each refresh commits one new state version (versioned timeline)
+    assert(graft.sources.UpsertWriter.versions(spark, statePath).size >= 2)
+  }
+
+  test("empty increment is a no-op on the rollup") {
+    val s = spark
+    import s.implicits._
+    val statePath = tmpDir("graft-inc-agg-empty-")
+    val df = Seq(("k1", "a", 1.0)).toDF("k", "grp", "v")
+    IncrementalAgg.refreshTable(spark, statePath, df, Seq("k", "grp"), "v")
+    val before = IncrementalAgg.read(spark, statePath, Seq("k", "grp")).collect().toSet
+    IncrementalAgg.refreshTable(spark, statePath, df.filter(lit(false)), Seq("k", "grp"), "v")
+    val after = IncrementalAgg.read(spark, statePath, Seq("k", "grp")).collect().toSet
+    assert(before == after)
+  }
+}
