@@ -933,6 +933,28 @@ object Queries {
         |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** #22i Hopping-window streaming aggregation (1h windows every
+    * 30min): each event fans out to two windows locally before the
+    * aggregation exchange. Oracle explodes the two candidate window
+    * starts per event in SQL.
+    */
+  val qStreamHopping: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.runHoppingToBatch(
+        s, s"$dir/events.parquet",
+        queryName = "graft_stream_hop_" + java.util.UUID.randomUUID().toString.replace("-", "")),
+    oracle = Some(
+      """WITH fan AS (
+        |  SELECT unnest([
+        |           time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+        |           time_bucket(INTERVAL 30 MINUTE, ts)]) AS window_start,
+        |         event_type, value
+        |  FROM events
+        |)
+        |SELECT window_start, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM fan GROUP BY 1, 2""".stripMargin))
+
   /** #22d Streaming dedup with watermark-bounded key state: the input
     * directory is staged DOUBLED (every file twice); the deduped
     * stream must equal a single copy.
@@ -1526,6 +1548,25 @@ object Queries {
           count(lit(1)).as("n_events")),
     oracle = None)
 
+  /** #18f2 Mergeable approximate quantiles (GK sketch via
+    * approx_percentile): the sketch family's quantile member next to
+    * HLL distinct and Misra-Gries frequency. Rows-only (sketch
+    * answers are partitioning-sensitive); the spec bounds the error
+    * against the exact interpolated percentiles.
+    */
+  val qApproxQuantiles: QueryDef = QueryDef(
+    run = (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_percentile(col("l_quantity"),
+            array(lit(0.5), lit(0.9)), lit(1000)).as("_q"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("_q"), 1).as("approx_p50"),
+          element_at(col("_q"), 2).as("approx_p90"),
+          col("n")),
+    oracle = None)
+
   /** #44 Vocabulary build: top-200 terms by frequency with document
     * frequency and deterministic token ids.
     */
@@ -1583,6 +1624,23 @@ object Queries {
         |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS lang_seq
         |  FROM documents
         |) WHERE lang_seq <= 60""".stripMargin))
+
+  /** #41c Engine-reproducible stratified sample: en documents
+    * downsampled to 25% by multiplicative key hash, other strata kept
+    * — the oracle runs the identical integer formula, so the sampled
+    * SET (not just its size) is pinned cross-engine.
+    */
+  val qHashSample: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Sampling.reproducibleStratified(
+        t(s, dir, "documents"), "lang", "doc_id", Map("en" -> 0.25))
+        .select(col("doc_id"), col("lang"), col("source")),
+    oracle = Some(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648
+        |      < CASE WHEN lang = 'en'
+        |             THEN CAST(round(0.25 * 2147483648) AS BIGINT)
+        |             ELSE 2147483648 END""".stripMargin))
 
   /** #43b Deterministic corpus shuffle + sharding: multiplicative-
     * hash pseudo-random order, reproducible engine-to-engine (the
@@ -1850,6 +1908,9 @@ object Queries {
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_scd2" -> qScd2,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_quantiles" -> qApproxQuantiles,
+    "q_hash_sample" -> qHashSample,
+    "q_stream_hopping" -> qStreamHopping,
     "q_profile" -> qProfile,
     "q_quality_checks" -> qQualityChecks,
     "q_split" -> qSplit,

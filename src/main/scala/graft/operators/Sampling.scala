@@ -117,6 +117,31 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Engine-reproducible stratified Bernoulli sample: keep a row iff
+    * its key's multiplicative hash falls under the stratum's cut —
+    * the ORACLE-able twin of `stratified` (whose xxhash64 no other
+    * engine reproduces). Same group-stability and determinism, pure
+    * integer arithmetic, map-side only (a filter projection; no
+    * shuffle, no RNG state).
+    */
+  def reproducibleStratified(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val m = 2147483648L // 2^31
+    val h = pmod(pmod(col(keyCol), lit(m)) * lit(2654435761L), lit(m))
+    val cut = fractions.toSeq.sortBy(_._1).foldRight(
+        lit(math.round(defaultFraction * m)): org.apache.spark.sql.Column) {
+      case ((stratum, f), els) =>
+        when(col(strataCol) === stratum, lit(math.round(f * m))).otherwise(els)
+    }
+    df.filter(h < cut)
+  }
+
   /** Deterministic corpus shuffle + sharding: training data wants a
     * pseudo-random READ ORDER that is reproducible run-to-run and
     * engine-to-engine — never `ORDER BY rand()` (row-order-dependent)

@@ -42,6 +42,37 @@ object EventStream {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Hopping (sliding) windowed aggregation: 1-hour windows every 30
+    * minutes — each event lands in size/hop windows (2 here). State
+    * stays (window, type)-keyed and watermark-bounded like the
+    * tumbling variant; the fan-out is a local projection, not a
+    * shuffle multiplier, because the window expression expands before
+    * the aggregation exchange.
+    */
+  def hoppingAgg(spark: SparkSession, path: String,
+      size: String = "1 hour", hop: String = "30 minutes"): DataFrame = {
+    val raw = spark.readStream.schema(rawSchema).parquet(path)
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), size, hop).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .select(
+        col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Run the hopping agg over a finite directory (complete-mode
+    * memory sink, like runToBatch, so trailing windows emit).
+    */
+  def runHoppingToBatch(spark: SparkSession, path: String,
+      queryName: String = "graft_stream_hopping"): DataFrame =
+    withFewStatePartitions(spark) { s =>
+      collectToMemory(s, hoppingAgg(s, streamableDir(s, path)), "complete", queryName)
+    }
+
   /** Streaming gap-based sessionization: the same merging
     * session_window as the batch operator (operators.Sessionize), with
     * the watermark bounding open-session state — a session is emitted

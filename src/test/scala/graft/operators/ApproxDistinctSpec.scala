@@ -31,4 +31,38 @@ class ApproxDistinctSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(merged == whole)
   }
+
+  test("approx_percentile lands within rank error of the exact percentile") {
+    val li = graft.sources.TableLoader.table(spark, sfDir, "lineitem")
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_percentile(col("l_quantity"), array(lit(0.5), lit(0.9)), lit(1000)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), array(lit(0.5), lit(0.9))).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // accuracy=1000 => rank error <= 1/1000; l_quantity spans 1..50,
+    // so value error on this near-uniform column stays within ~1 unit
+    exact.foreach { case (k, e) =>
+      approx(k).zip(e).foreach { case (a, x) =>
+        assert(math.abs(a - x) <= 1.5, s"$k: approx $a vs exact $x")
+      }
+    }
+  }
+
+  test("reproducibleStratified: exact fraction semantics, run-stable, oracle formula") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+    def run() = Sampling.reproducibleStratified(docs, "lang", "doc_id", Map("en" -> 0.25))
+    assert(run().count() == run().count())
+    // kept set == rows whose multiplicative hash clears the cut —
+    // recomputed independently on the driver
+    val kept = run().select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val m = 2147483648L
+    val expect = all.filter { case (id, lang) =>
+      val h = ((id % m) * 2654435761L) % m
+      h < (if (lang == "en") math.round(0.25 * m) else m)
+    }.map(_._1).toSet
+    assert(kept == expect)
+  }
 }

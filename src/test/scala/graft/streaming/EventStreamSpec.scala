@@ -40,6 +40,24 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("hopping windows equal the exploded-batch equivalent (2 windows per event)") {
+    val streamed = EventStream.runHoppingToBatch(spark, s"$sfDir/events.parquet",
+      queryName = "spec_hopping")
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    val half = expr("INTERVAL 30 MINUTES")
+    val fan = ev.select(
+        explode(array(
+          date_trunc("hour", col("ts")),
+          when(minute(col("ts")) >= 30, date_trunc("hour", col("ts")) + half)
+            .otherwise(date_trunc("hour", col("ts")) - half))).as("window_start"),
+        col("event_type"), col("value"))
+    val batch = fan.groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-static enrichment equals the batch join and plans stateless") {
     val customer = graft.sources.TableLoader.table(spark, sfDir, "customer")
     val nation = graft.sources.TableLoader.table(spark, sfDir, "nation")
