@@ -221,4 +221,47 @@ object UpsertWriter {
     val committed = committedVersions(fs, target)
     committed.dropRight(keepVersions).foreach { case (_, dir) => fs.delete(dir, true) }
   }
+
+  /** Table service: rewrite the LIVE version into ~targetFileBytes
+    * files (optionally re-clustered) as a new committed version —
+    * content-identical, layout-only. The Hudi compaction/clustering
+    * service analog (generate_hudi_table.py:150-167 runs these inline
+    * on write; a table the writers feed with small frequent batches
+    * runs this out-of-band instead). Sizing uses the version's ACTUAL
+    * on-disk bytes — no Catalyst estimate involved — so the file
+    * count is exact; readers keep resolving complete committed
+    * versions throughout (same marker protocol as upsert).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil,
+      keepVersions: Int = 2): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, target)
+    require(versions.nonEmpty, s"no committed versions to compact at $targetPath")
+    val (liveNum, liveDir) = versions.last
+    val df = spark.read.parquet(liveDir.toString)
+    val bytes = fs.getContentSummary(liveDir).getLength
+    val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).max(1).min(100000).toInt
+    val sized =
+      if (partitionBy.nonEmpty) df.repartition(nFiles, partitionBy.map(col): _*)
+      else if (nFiles <= spark.sessionState.conf.numShufflePartitions) df.coalesce(nFiles)
+      else df.repartition(nFiles)
+    val clustered =
+      if (clusterBy.nonEmpty) sized.sortWithinPartitions(clusterBy.map(col): _*)
+      else sized
+    val versionDir = new Path(target, f"v${liveNum + 1}%08d")
+    if (fs.exists(versionDir)) fs.delete(versionDir, true)
+    val writer = clustered.write.mode(SaveMode.Overwrite)
+    val partitioned = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+    partitioned.parquet(versionDir.toString)
+    fs.create(new Path(versionDir, CommitMarker), true).close()
+    committedVersions(fs, target).dropRight(keepVersions)
+      .foreach { case (_, dir) => fs.delete(dir, true) }
+  }
 }

@@ -125,6 +125,27 @@ class UpsertWriterSpec extends SparkSpec {
     assert(partFiles(many) > 1) // tiny target caps per-file size
   }
 
+  test("compact: collapses a small-file version content-identically, as a new version") {
+    val events = TableLoader.table(spark, sfDir, "events")
+    val table = tmpDir("graft-compact-") + "/t"
+    // spray small files deliberately, then compact them away
+    UpsertWriter.upsert(events, table, Seq("event_id"), "ts", targetFileBytes = 4 * 1024)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(): Int = {
+      val vdir = new Path(UpsertWriter.latestVersion(spark, table).get)
+      fs.listStatus(vdir).count(_.getPath.getName.startsWith("part-"))
+    }
+    val before = partFiles()
+    assert(before > 1)
+    val vBefore = UpsertWriter.versions(spark, table).max
+    UpsertWriter.compact(spark, table) // default 512MB target -> 1 file
+    assert(partFiles() == 1)
+    assert(UpsertWriter.versions(spark, table).max == vBefore + 1, "compaction commits a new version")
+    val back = UpsertWriter.read(spark, table)
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+  }
+
   test("hive-style partitioned + clustered write") {
     val table = tmpDir("graft-upsert-part-") + "/t"
     val s = spark
