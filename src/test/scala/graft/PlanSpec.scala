@@ -143,4 +143,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
     assert("Join".r.findAllIn(p).size >= 1)
   }
+
+  test("hash sample is a pure map-side filter: no exchange, no rand") {
+    val p = plan(Queries.qHashSample.run(spark, sfDir))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("rand"), p)
+  }
+
+  test("histogram/outlier fences: stats side broadcasts, never sort-merge") {
+    Seq(Queries.qHistogram, Queries.qOutlierFence).foreach { q =>
+      val p = plan(q.run(spark, sfDir))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+  }
 }
