@@ -170,6 +170,22 @@ object Queries {
         |)
         |SELECT event_id, ts, user_id, event_type, value, props FROM ranked WHERE rn = 1""".stripMargin))
 
+  /** #10f Delete operation on the versioned table (Hudi DELETE
+    * analog): ingest events, tombstone every 'view' event's key, read
+    * the post-delete snapshot. The delete-key batch broadcasts; the
+    * oracle is the surviving set.
+    */
+  val qUpsertDelete: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("upsert-delete")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(base, target, Seq("event_id"), "ts")
+      UpsertWriter.delete(s, target,
+        base.filter(col("event_type") === "view").select("event_id"), Seq("event_id"))
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some("SELECT * FROM events WHERE event_type <> 'view'"))
+
   /** #11 Hive-partitioned versioned write + partition-pruned read:
     * events upserted into a table partitioned by event_type, read
     * back filtered to ONE partition — the scan must touch only that
@@ -634,6 +650,31 @@ object Queries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
 
+  /** #18h RANGE-framed window: per-user trailing 30-minute spend —
+    * the frame is bounded by the ORDER VALUE (epoch micros), not row
+    * counts, so ties share a frame and the result is order-
+    * independent. Decimal running sum keeps it exact on both engines.
+    */
+  val qWindowRange: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("_us"))
+        .rangeBetween(-1800000000L, 0L) // trailing 30 minutes of micros
+      t(s, dir, "events")
+        .withColumn("_us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(28,6)")).over(w)
+            .cast("double").as("trailing_30m"))
+    },
+    oracle = Some(
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_30m
+        |FROM events""".stripMargin))
+
   /** #10b Snapshot diff (CDC): old = events, new = upsert-merged
     * events with doubled purchases (updates) and re-keyed clicks
     * (inserts). The diff must emit exactly those as
@@ -1069,6 +1110,29 @@ object Queries {
       sources = Seq(SourceSpec("orders", s"$dir/orders.parquet")),
       transform = TransformSpec(corrSubquerySql))),
     oracle = Some(corrSubquerySql))
+
+  /** #18b2 GROUPING SETS beyond rollup/cube: two INDEPENDENT subtotal
+    * dimensions ((returnflag), (linestatus)) — not a rollup prefix
+    * chain, one shuffle via Expand. Runs through the SQL transform
+    * surface; grouping_id bit order matches DuckDB's GROUPING().
+    */
+  val qGroupingSets: QueryDef = QueryDef(
+    run = (s, dir) => new ReportPipeline(s, scratch("ckpt-gsets")).transform(PipelineSpec(
+      sources = Seq(SourceSpec("lineitem", s"$dir/lineitem.parquet")),
+      transform = TransformSpec(
+        """SELECT l_returnflag, l_linestatus,
+          |  grouping_id(l_returnflag, l_linestatus) AS gid,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin))),
+    oracle = Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin))
 
   /** #22f Custom arbitrary state (flatMapGroupsWithState): every-10th-
     * event milestones per user; oracle is the row_number formulation.
@@ -1899,6 +1963,9 @@ object Queries {
     "q5_star_join" -> q5StarJoin,
     "q14_promo_share" -> q14PromoShare,
     "q_rollup" -> qRollup,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_window_range" -> qWindowRange,
+    "q_upsert_delete" -> qUpsertDelete,
     "q_cube" -> qCube,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,

@@ -255,9 +255,43 @@ object UpsertWriter {
     val clustered =
       if (clusterBy.nonEmpty) sized.sortWithinPartitions(clusterBy.map(col): _*)
       else sized
-    val versionDir = new Path(target, f"v${liveNum + 1}%08d")
+    commitVersion(fs, target, clustered, liveNum + 1, partitionBy, keepVersions)
+  }
+
+  /** Hudi DELETE-operation analog: drop the rows whose record keys
+    * appear in `deleteKeys`, committed as a new version under the
+    * same marker protocol. The delete-key set is small by
+    * construction (an explicit tombstone batch), so it broadcasts —
+    * the table side anti-joins map-side and never shuffles.
+    */
+  def delete(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      deleteKeys: DataFrame,
+      recordKeys: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      keepVersions: Int = 2): Unit = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, target)
+    require(versions.nonEmpty, s"no committed versions to delete from at $targetPath")
+    val (liveNum, liveDir) = versions.last
+    val live = spark.read.parquet(liveDir.toString)
+    val remaining = live.join(
+      broadcast(deleteKeys.select(recordKeys.map(col): _*)), recordKeys, "left_anti")
+    commitVersion(fs, target, remaining, liveNum + 1, partitionBy, keepVersions)
+  }
+
+  private def commitVersion(
+      fs: FileSystem,
+      target: Path,
+      df: DataFrame,
+      versionNum: Int,
+      partitionBy: Seq[String],
+      keepVersions: Int): Unit = {
+    val versionDir = new Path(target, f"v$versionNum%08d")
     if (fs.exists(versionDir)) fs.delete(versionDir, true)
-    val writer = clustered.write.mode(SaveMode.Overwrite)
+    val writer = df.write.mode(SaveMode.Overwrite)
     val partitioned = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     partitioned.parquet(versionDir.toString)
     fs.create(new Path(versionDir, CommitMarker), true).close()

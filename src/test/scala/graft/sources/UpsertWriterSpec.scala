@@ -146,6 +146,22 @@ class UpsertWriterSpec extends SparkSpec {
     assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
   }
 
+  test("delete: tombstoned keys vanish as a new version; unknown keys are a no-op") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-delete-") + "/t"
+    val in = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")).toDF("k", "ver", "payload")
+    UpsertWriter.upsert(in, table, Seq("k"), "ver")
+    UpsertWriter.delete(spark, table, Seq(2L, 99L).toDF("k"), Seq("k"))
+    val after = UpsertWriter.read(spark, table).select("k").collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 3L))
+    assert(UpsertWriter.versions(spark, table).size == 2, "delete committed a new version")
+    // time travel still sees the pre-delete snapshot
+    val v1 = UpsertWriter.readVersion(spark, table, 1).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(v1 == Set(1L, 2L, 3L))
+  }
+
   test("hive-style partitioned + clustered write") {
     val table = tmpDir("graft-upsert-part-") + "/t"
     val s = spark
