@@ -1706,6 +1706,21 @@ object Queries {
         |             THEN CAST(round(0.25 * 2147483648) AS BIGINT)
         |             ELSE 2147483648 END""".stripMargin))
 
+  /** #43c Deterministic negative sampling: 3 pseudo-random contrast
+    * partners per document from a fixed integer schedule — the oracle
+    * regenerates the identical (doc_id, j, neg_id) triples, so the
+    * training pairs themselves are pinned cross-engine.
+    */
+  val qNegSample: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Sampling.negativeSamples(
+        t(s, dir, "documents"), "doc_id", k = 3),
+    oracle = Some(
+      """SELECT doc_id, j,
+        |  ((doc_id % 2147483648) * 2654435761 + j * 40503) % 2147483648
+        |    % (SELECT count(*) FROM documents) AS neg_id
+        |FROM documents, unnest([1, 2, 3]) AS t(j)""".stripMargin))
+
   /** #43b Deterministic corpus shuffle + sharding: multiplicative-
     * hash pseudo-random order, reproducible engine-to-engine (the
     * oracle runs the identical integer formula) — training-data read
@@ -2022,6 +2037,7 @@ object Queries {
     "text_tfidf" -> qTextTfidf,
     "q_lang_balance" -> qLangBalance,
     "q_shuffle_shard" -> qShuffleShard,
+    "q_neg_sample" -> qNegSample,
     "q_outlier_fence" -> qOutlierFence,
     "q_blocklist" -> qBlocklist,
     "decontam_ngram" -> qDecontam,

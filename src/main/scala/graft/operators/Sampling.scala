@@ -142,6 +142,34 @@ object Sampling {
     df.filter(h < cut)
   }
 
+  /** Deterministic negative sampling for contrastive training: k
+    * pseudo-random partner rows per anchor, reproducible across runs
+    * AND engines (pure integer arithmetic on a dense 0..n-1 id
+    * space). negative_j(d) = (d·A + j·B) mod 2^31 mod n — a fixed
+    * derangement-ish schedule, not an RNG draw, so re-running the
+    * pipeline regenerates byte-identical training pairs.
+    *
+    * Scale: a projection + local explode (k rows per anchor) and one
+    * broadcast of the single-row corpus count — no shuffle at all
+    * until the caller joins the negatives' payloads (which trades on
+    * dense int ids, the cheapest possible join key).
+    */
+  def negativeSamples(
+      df: DataFrame,
+      keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val m = 2147483648L // 2^31
+    val n = df.select(count(lit(1)).as("_n"))
+    df.select(col(keyCol))
+      .crossJoin(broadcast(n))
+      .select(col(keyCol), col("_n"), explode(array((1 to k).map(lit): _*)).as("j"))
+      .withColumn("neg_id",
+        pmod(pmod(pmod(col(keyCol), lit(m)) * lit(2654435761L) + col("j") * lit(40503L), lit(m)),
+          col("_n")))
+      .drop("_n")
+  }
+
   /** Deterministic corpus shuffle + sharding: training data wants a
     * pseudo-random READ ORDER that is reproducible run-to-run and
     * engine-to-engine — never `ORDER BY rand()` (row-order-dependent)

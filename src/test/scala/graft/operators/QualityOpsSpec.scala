@@ -126,6 +126,21 @@ class QualityOpsSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("negativeSamples: k per anchor, in-range, deterministic, shuffle-free") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents").select("doc_id")
+    val n = docs.count()
+    def run() = Sampling.negativeSamples(docs, "doc_id", k = 3)
+    val rows = run().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == n * 3)
+    assert(rows.forall { case (_, _, neg) => neg >= 0 && neg < n })
+    assert(rows.sortBy(t => (t._1, t._2)).sameElements(
+      run().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))))
+    // negatives scatter: anchors don't all map to the same partner
+    assert(rows.map(_._3).distinct.length > n / 10)
+    val plan = run().queryExecution.executedPlan.treeString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("stratified: per-stratum fractions, deterministic, group-stable") {
     val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
     def run() = Sampling.stratified(docs, "lang", "doc_id",
