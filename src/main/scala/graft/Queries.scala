@@ -1647,6 +1647,47 @@ object Queries {
         |SELECT CAST(token_id AS BIGINT) AS token_id, term, tf, df
         |FROM top WHERE token_id <= 200""".stripMargin))
 
+  /** #40b Inverted index (postings) over the top-50 vocab terms:
+    * term → sorted doc-id list + df. Postings sort inside each
+    * aggregation buffer, never globally.
+    */
+  val qTextPostings: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.postings(
+        docs, graft.operators.TextAnalysis.vocab(docs, topK = 50))
+    },
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), agg AS (
+        |  SELECT term, count(*) AS tf FROM tok GROUP BY term
+        |), v AS (
+        |  SELECT term FROM agg ORDER BY tf DESC, term LIMIT 50
+        |), d AS (
+        |  SELECT DISTINCT doc_id, term FROM tok
+        |)
+        |SELECT term, list_sort(list(doc_id)) AS posting, count(*) AS df
+        |FROM d JOIN v USING (term)
+        |GROUP BY term""".stripMargin))
+
+  /** #40c Skip-gram co-occurrence counts (window 2): the word2vec
+    * training-pair table. Oracle slices the token list per position
+    * in SQL.
+    */
+  val qTextSkipgrams: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.TextAnalysis.skipgrams(t(s, dir, "documents"), window = 2),
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), pos AS (
+        |  SELECT unnest(w) AS a, unnest(range(len(w))) AS i, w FROM tok
+        |), pairs AS (
+        |  SELECT a, unnest(w[i + 2:i + 3]) AS b FROM pos
+        |)
+        |SELECT a, b, count(*) AS n FROM pairs GROUP BY a, b""".stripMargin))
+
   /** #42 TF-IDF top-3 terms per document (rational idf for
     * cross-engine bit-exactness — see TextAnalysis.tfIdf).
     */
@@ -2032,6 +2073,8 @@ object Queries {
     "dedup_simhash" -> qDedupSimhash,
     "dedup_embedding" -> qDedupEmbedding,
     "text_vocab" -> qTextVocab,
+    "text_postings" -> qTextPostings,
+    "text_skipgrams" -> qTextSkipgrams,
     "q_heavy_terms" -> qHeavyTerms,
     "text_encode" -> qTextEncode,
     "text_tfidf" -> qTextTfidf,

@@ -113,6 +113,43 @@ object TextAnalysis {
         least(lit(chunkTokens), size(col("_w")) - col("_i") * stride).cast("long").as("chunk_tokens"))
   }
 
+  /** Inverted index over a term list: term → sorted posting list of
+    * doc ids (+ df). Restricted to `terms` (typically the built vocab
+    * — an unrestricted index on a heavy-tailed corpus is dominated by
+    * hapax terms whose postings nobody reads). One shuffle on the
+    * term after a broadcast semi-join prune; postings sort LOCALLY
+    * inside each aggregation buffer (sort_array), never a global
+    * sort. Posting lists are per-term — the classic retrieval layout
+    * where a 100 TB corpus still serves lookups from one term's list.
+    */
+  def postings(df: DataFrame, terms: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      termCol: String = "term"): DataFrame =
+    df.select(col(idCol).as("_doc"), explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .join(broadcast(terms.select(col(termCol).as("term"))), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("_doc"))).as("posting"),
+        count(lit(1)).as("df"))
+
+  /** Skip-gram co-occurrence counts (word2vec/GloVe prep): ordered
+    * pairs (t[i], t[i+d]) for d = 1..window, counted corpus-wide.
+    * The pair fan-out is ONE scalar array expression with a single
+    * consumer (the explode) — the interpreted-HOF inlining trap only
+    * bites when CollapseProject duplicates the lambda into many
+    * consumers — so the corpus shuffles once, as (a, b) pair rows,
+    * already the minimal wire format.
+    */
+  def skipgrams(df: DataFrame, textCol: String = "text", window: Int = 2): DataFrame = {
+    require(window > 0, "window must be positive")
+    df.select(tokens(col(textCol)).as("_w"))
+      .select(explode(expr(
+        s"flatten(transform(_w, (t, i) -> transform(slice(_w, i + 2, $window), u -> struct(t AS a, u AS b))))"))
+        .as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Vocabulary build: top-K terms by corpus frequency with document
     * frequency — the first pass of any tokenizer/BPE training run.
     * Distributed explode + hash-aggregate; only the bounded top-K ever

@@ -85,4 +85,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == (("mail [EMAIL] then call [PHONE] at [IPV4] twice [EMAIL]", 2L, 1L, 1L)))
     assert(out(2L) == (("clean text with no pii at all", 0L, 0L, 0L)))
   }
+
+  test("postings: vocab-restricted, sorted doc lists, df matches list size") {
+    val docs = docsDf(Seq(3L -> "a b a", 1L -> "b c", 2L -> "a d"))
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("a", "b").toDF("term")
+    val out = TextAnalysis.postings(docs, vocab)
+      .collect().map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(out("a") == ((Seq(2L, 3L), 2L)))
+    assert(out("b") == ((Seq(1L, 3L), 2L)))
+    assert(!out.contains("c") && !out.contains("d"))
+  }
+
+  test("skipgrams: window-2 ordered pairs with exact counts") {
+    val docs = docsDf(Seq(1L -> "x y z x"))
+    val out = TextAnalysis.skipgrams(docs, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs: x->y, x->z, y->z, y->x, z->x
+    assert(out == Map(("x", "y") -> 1L, ("x", "z") -> 1L,
+      ("y", "z") -> 1L, ("y", "x") -> 1L, ("z", "x") -> 1L))
+  }
 }
