@@ -1998,6 +1998,31 @@ object Queries {
     },
     oracle = None)
 
+  /** #34b Multimodal metadata rollup, ORACLED: per-modality counts
+    * and byte-size stats computed on the opaque `binary` payload
+    * (length() over binary = payload bytes). The oracle reconstructs
+    * the media table's metadata from documents (payload = UTF-8 text
+    * bytes; the corpus is ASCII, so strlen == octet count — asserted
+    * by the hash match itself).
+    */
+  val qMmMetadata: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      media.toDF()
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(length(col("content"))).as("total_bytes"),
+          min(length(col("content"))).as("min_bytes"),
+          max(length(col("content"))).as("max_bytes"))
+    },
+    oracle = Some(
+      """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  count(*) AS n_media,
+        |  sum(strlen(text)) AS total_bytes,
+        |  CAST(min(strlen(text)) AS INTEGER) AS min_bytes,
+        |  CAST(max(strlen(text)) AS INTEGER) AS max_bytes
+        |FROM documents GROUP BY 1""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
