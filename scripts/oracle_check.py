@@ -6,6 +6,12 @@ Usage: python3 scripts/oracle_check.py <sf_dir> <verify_out_dir>
 For each query dumped by graft.Verify: load the Spark parquet result,
 run the oracle SQL in DuckDB over views named for the sf_dir tables,
 sort columns by name, sort rows, and compare values exactly.
+
+Comparison goes THROUGH PANDAS (.df() + sort_values) deliberately, to
+be dtype-faithful to the driver's gate: DuckDB HUGEINT → float64
+("99.0") mismatches Spark int64 ("99"), and list-valued cells crash
+sort_values — both real driver failures a fetchall()-string compare
+masks (round-5 lesson: q_outlier_fence, text_postings).
 """
 import json, math, sys
 import duckdb
@@ -14,19 +20,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(rel):
+    df = rel.df()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     out = []
-    for r in rows:
+    for row in df.itertuples(index=False):
         vals = []
-        for i in order:
-            v = r[i]
+        for v in row:
             if isinstance(v, float):
                 v = repr(v)
             vals.append(str(v))
         out.append("\x00".join(vals))
     out.sort()
-    return sorted(c for c in cols), out
+    return list(df.columns), out
 
 
 def main(sf_dir, out_dir):
@@ -37,10 +44,8 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            g_cols, g_rows = canon(got.fetchall(), got.columns)
-            exp = con.sql(sql)
-            e_cols, e_rows = canon(exp.fetchall(), exp.columns)
+            g_cols, g_rows = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+            e_cols, e_rows = canon(con.sql(sql))
             if g_cols != e_cols:
                 print(f"FAIL {name}: columns {g_cols} != {e_cols}")
                 n_fail += 1

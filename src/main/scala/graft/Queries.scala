@@ -845,8 +845,8 @@ object Queries {
         |  FROM q
         |)
         |SELECT c.event_type, f.p25, f.p75, f.fence_lo, f.fence_hi,
-        |  sum(CASE WHEN c.cents < f.fence_lo OR c.cents > f.fence_hi
-        |           THEN 1 ELSE 0 END) AS n_outliers,
+        |  CAST(sum(CASE WHEN c.cents < f.fence_lo OR c.cents > f.fence_hi
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  count(*) AS n_total
         |FROM c JOIN f USING (event_type)
         |GROUP BY c.event_type, f.p25, f.p75, f.fence_lo, f.fence_hi""".stripMargin))
@@ -1654,8 +1654,14 @@ object Queries {
   val qTextPostings: QueryDef = QueryDef(
     run = (s, dir) => {
       val docs = t(s, dir, "documents")
+      // The operator's natural output is a list-valued posting column;
+      // the gate needs a scalar per cell (pandas can't hash arrays), so
+      // the query serializes the (already sorted) posting to CSV.
       graft.operators.TextAnalysis.postings(
         docs, graft.operators.TextAnalysis.vocab(docs, topK = 50))
+        .select(col("term"),
+          array_join(col("posting").cast("array<string>"), ",").as("posting"),
+          col("df"))
     },
     oracle = Some(
       """WITH tok AS (
@@ -1667,7 +1673,7 @@ object Queries {
         |), d AS (
         |  SELECT DISTINCT doc_id, term FROM tok
         |)
-        |SELECT term, list_sort(list(doc_id)) AS posting, count(*) AS df
+        |SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS posting, count(*) AS df
         |FROM d JOIN v USING (term)
         |GROUP BY term""".stripMargin))
 
@@ -2018,7 +2024,7 @@ object Queries {
     oracle = Some(
       """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |  count(*) AS n_media,
-        |  sum(strlen(text)) AS total_bytes,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |  CAST(min(strlen(text)) AS INTEGER) AS min_bytes,
         |  CAST(max(strlen(text)) AS INTEGER) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin))
@@ -2116,5 +2122,6 @@ object Queries {
     "sim_bruteforce_topk" -> qSimBruteforceTopk,
     "sim_lsh_topk" -> qSimLshTopk,
     "sim_ivf_topk" -> qSimIvfTopk,
-    "mm_features" -> qMmFeatures)
+    "mm_features" -> qMmFeatures,
+    "q_mm_metadata" -> qMmMetadata)
 }

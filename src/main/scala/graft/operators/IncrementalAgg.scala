@@ -51,11 +51,16 @@ object IncrementalAgg {
     val merged = existing match {
       case Some(e) =>
         // left join FROM the partial: only touched keys appear; the
-        // combine is exact (long + long, decimal + decimal)
-        p.join(e, keys, "left")
-          .select((keys.map(col) :+
-            (col("n") + coalesce(col("_en"), lit(0L))).as("n") :+
-            (col("sum_dec") + coalesce(col("_esum"), lit(BigDecimal(0)).cast("decimal(38,6)")))
+        // combine is exact (long + long, decimal + decimal). Keys join
+        // NULL-SAFELY (<=>) so a null grouping key combines with its
+        // prior state exactly as UpsertWriter.merge groups it, instead
+        // of silently dropping the prior count/sum.
+        val pa = p.alias("_p"); val ea = e.alias("_e")
+        val cond = keys.map(k => col(s"_p.$k") <=> col(s"_e.$k")).reduce(_ && _)
+        pa.join(ea, cond, "left")
+          .select((keys.map(k => col(s"_p.$k").as(k)) :+
+            (col("_p.n") + coalesce(col("_en"), lit(0L))).as("n") :+
+            (col("_p.sum_dec") + coalesce(col("_esum"), lit(BigDecimal(0)).cast("decimal(38,6)")))
               .cast("decimal(38,6)").as("sum_dec")): _*)
       case None => p
     }

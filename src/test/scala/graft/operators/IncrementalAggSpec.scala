@@ -31,6 +31,28 @@ class IncrementalAggSpec extends SparkSpec {
     assert(graft.sources.UpsertWriter.versions(spark, statePath).size >= 2)
   }
 
+  test("null grouping keys combine across refreshes (null-safe state join)") {
+    val s = spark
+    import s.implicits._
+    val statePath = tmpDir("graft-inc-agg-null-")
+    val df = Seq((Some("k1"), "a", 1.0), (None, "a", 2.0), (None, "b", 4.0))
+      .toDF("k", "grp", "v")
+    IncrementalAgg.refreshTable(spark, statePath, df, Seq("k", "grp"), "v")
+    // second increment touches the null key again: prior n/sum must combine,
+    // not reset (the state join is <=> on keys, matching UpsertWriter.merge's
+    // null-keys-group-together semantics)
+    IncrementalAgg.refreshTable(spark, statePath,
+      Seq((Option.empty[String], "a", 3.0)).toDF("k", "grp", "v"),
+      Seq("k", "grp"), "v")
+    val got = IncrementalAgg.read(spark, statePath, Seq("k", "grp"))
+      .select(col("k"), col("grp"), col("n"), col("sum_dec").cast("double").as("sum"))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (Some("k1"), "a", 1L, 1.0),
+      (None, "a", 2L, 5.0),
+      (None, "b", 1L, 4.0)))
+  }
+
   test("empty increment is a no-op on the rollup") {
     val s = spark
     import s.implicits._
