@@ -2029,6 +2029,190 @@ object Queries {
         |  CAST(max(strlen(text)) AS INTEGER) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin))
 
+  /** #14h Winsorization: per-type clamp of integral cents to the
+    * [12.5%, 87.5%] interpolated percentiles. Dyadic percentile
+    * positions (k/2³) over integral values interpolate exactly in
+    * double on both engines — the quartile-fence trick generalized.
+    */
+  val qWinsorize: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Profiler.winsorize(
+        t(s, dir, "events").withColumn("cents", round(col("value") * 100)),
+        "event_type", "cents")
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("clip_lo"), col("clip_hi"), col("cents_clipped")),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT event_id, event_type, round(value * 100) AS cents FROM events
+        |), q AS (
+        |  SELECT event_type,
+        |    quantile_cont(cents, 0.125) AS clip_lo,
+        |    quantile_cont(cents, 0.875) AS clip_hi
+        |  FROM c GROUP BY event_type
+        |)
+        |SELECT c.event_id, c.event_type, c.cents, q.clip_lo, q.clip_hi,
+        |  least(greatest(c.cents, q.clip_lo), q.clip_hi) AS cents_clipped
+        |FROM c JOIN q USING (event_type)""".stripMargin))
+
+  /** #14i Pairwise sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    * per event_type over (cents, props.k) — exact BIGINT sums, so the
+    * derived covariance and OLS slope are single exact-integer
+    * divisions, bit-identical cross-engine (built-in covar_pop runs
+    * order-dependent double accumulation — never oracle-able).
+    */
+  val qPairStats: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Profiler.pairStats(
+        t(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long")),
+        "event_type", "cents", "k"),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    CAST(json_extract(props, 'k') AS BIGINT) AS y
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_x2, CAST(sum(y * y) AS BIGINT) AS sum_y2,
+        |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+        |    / CAST(count(*) * count(*) AS DOUBLE) AS cov_pop,
+        |  CASE WHEN count(*) * sum(x * x) = sum(x) * sum(x) THEN NULL
+        |       ELSE CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+        |              / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+        |  END AS slope
+        |FROM c GROUP BY event_type""".stripMargin))
+
+  /** Deterministic synthetic URL per document (the corpus carries
+    * opaque source ids, not URLs): provenance fields a web corpus
+    * derives from the crawl URL.
+    */
+  private def docUrl: Column =
+    concat(lit("https://www."), col("source"), lit("-mirror.org/"),
+      col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+      lit("?p="), pmod(col("doc_id"), lit(7)).cast("string"))
+
+  /** #50 URL parsing (host/path/query/registered domain) via the
+    * codegen'd parse_url built-in; oracle re-derives the same parts
+    * with regexes.
+    */
+  val qUrlParse: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.WebCuration.parseUrls(
+        t(s, dir, "documents").select(col("doc_id"), docUrl.as("url"))),
+    oracle = Some(
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '-mirror.org/' || lang || '/doc/' || doc_id
+        |      || '?p=' || (doc_id % 7) AS url
+        |  FROM documents
+        |)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS "query",
+        |  regexp_extract(regexp_extract(url, 'https?://([^/?#]+)', 1),
+        |                 '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM u""".stripMargin))
+
+  /** #50b Per-domain quota (C4-style): at most 10 docs per registered
+    * domain, best-first by n_chars (quality proxy), doc_id tiebreak.
+    */
+  val qDomainCap: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.WebCuration.domainCap(
+        graft.operators.WebCuration.parseUrls(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars"), docUrl.as("url"))),
+        k = 10, orderCol = "n_chars")
+        .select(col("doc_id"), col("domain"), col("n_chars"), col("domain_rank")),
+    oracle = Some(
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract('www.' || source || '-mirror.org', '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM documents
+        |)
+        |SELECT doc_id, domain, n_chars, domain_rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY domain
+        |    ORDER BY n_chars DESC, doc_id) AS domain_rank
+        |  FROM p
+        |) WHERE domain_rank <= 10""".stripMargin))
+
+  /** #23b Paragraph-level exact dedup: 10-word chunks deduped
+    * corpus-wide (first (doc, position) wins), docs reassembled from
+    * surviving chunks.
+    */
+  val qDedupParagraph: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Dedup.paragraphs(t(s, dir, "documents"), chunkTokens = 10),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), n AS (
+        |  SELECT doc_id, w, greatest(1, (len(w) + 9) // 10) AS n_chunks FROM t
+        |), c AS (
+        |  SELECT doc_id, n_chunks, unnest(range(n_chunks)) AS idx, w FROM n
+        |), ch AS (
+        |  SELECT doc_id, n_chunks, idx,
+        |    array_to_string(w[idx * 10 + 1 : idx * 10 + 10], ' ') AS chunk
+        |  FROM c
+        |), keep AS (
+        |  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |  FROM ch
+        |)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, count(*) AS n_kept,
+        |       string_agg(chunk, ' ' ORDER BY idx) AS text_kept
+        |FROM keep WHERE rn = 1
+        |GROUP BY doc_id, n_chunks""".stripMargin))
+
+  /** #10g Schema-drift union: two snapshots whose schemas diverged
+    * (one gained a column) merged with unionByName + missing-column
+    * null-fill — the "old files lack the new field" ETL reality.
+    * Oracle is DuckDB's UNION ALL BY NAME, the same semantic.
+    */
+  val qSchemaUnion: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ord = t(s, dir, "orders")
+      val old = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val grown = ord.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      old.unionByName(grown, allowMissingColumns = true)
+    },
+    oracle = Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin))
+
+  /** #22j Streaming incremental-aggregate maintenance: micro-batches
+    * folded into the versioned rollup by foreachBatch →
+    * IncrementalAgg.refreshTable (4 hash-split files, one batch
+    * each). count + decimal sum are associative AND commutative, so
+    * the final state is batch-boundary- and order-independent ==
+    * the batch groupBy bit-for-bit.
+    */
+  val qStreamIncAgg: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("stream-inc-agg-state")
+      val keys = Seq("user_id", "event_type")
+      val split = graft.streaming.EventStream.splitDir(s, s"$dir/events.parquet", 4)
+      graft.streaming.EventStream.streamIncAgg(s, split, statePath, keys, "value",
+        queryName = "graft_stream_inc_agg_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+      graft.operators.IncrementalAgg.read(s, statePath, keys)
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("sum_dec").cast("double").as("sum_value"))
+    },
+    oracle = Some(
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id, event_type""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2123,5 +2307,12 @@ object Queries {
     "sim_lsh_topk" -> qSimLshTopk,
     "sim_ivf_topk" -> qSimIvfTopk,
     "mm_features" -> qMmFeatures,
-    "q_mm_metadata" -> qMmMetadata)
+    "q_mm_metadata" -> qMmMetadata,
+    "q_winsorize" -> qWinsorize,
+    "q_pair_stats" -> qPairStats,
+    "q_url_parse" -> qUrlParse,
+    "q_domain_cap" -> qDomainCap,
+    "dedup_paragraph" -> qDedupParagraph,
+    "q_schema_union" -> qSchemaUnion,
+    "q_stream_inc_agg" -> qStreamIncAgg)
 }

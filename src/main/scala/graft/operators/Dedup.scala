@@ -29,6 +29,51 @@ object Dedup {
       .select(col("_graft_row.*"))
   }
 
+  /** Paragraph-level exact dedup (C4/RefinedWeb-style): chunk every
+    * doc into fixed `chunkTokens`-word paragraphs, drop every repeat
+    * of a paragraph CORPUS-WIDE (first occurrence by (doc, position)
+    * wins), and reassemble each doc from its surviving paragraphs in
+    * order. Boilerplate that repeats across documents disappears from
+    * every copy but the first; docs whose every paragraph is a repeat
+    * vanish entirely.
+    *
+    * Scale shape: explode → ONE shuffle on the 64-bit paragraph hash
+    * (row_number picks the winner inside each hash's group — same
+    * shuffle a groupBy would take, no second join back) → one
+    * shuffle on doc id to reassemble. The shuffle currency is
+    * (hash, doc, idx) longs plus each paragraph string exactly once;
+    * collisions merge paragraphs at ~k²/2⁶⁵ — the established
+    * contract of every hash-keyed dedup here.
+    */
+  def paragraphs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col(textCol), " ")
+    val nChunks = ceil(size(w).cast("double") / chunkTokens).cast("int")
+    val chunks = df
+      .select(col(idCol), w.as("_w"), nChunks.as("n_chunks"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("idx", "_i")))
+      .select(col(idCol), col("n_chunks").cast("long").as("n_chunks"), col("idx"),
+        array_join(slice(col("_w"), col("_i") * chunkTokens + 1, lit(chunkTokens)), " ")
+          .as("chunk"))
+    val keep = Window.partitionBy(xxhash64(col("chunk")))
+      .orderBy(col(idCol), col("idx"))
+    chunks
+      .withColumn("_rn", row_number().over(keep))
+      .filter(col("_rn") === 1)
+      .groupBy(col(idCol), col("n_chunks"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("idx"), col("chunk")))),
+            s => s.getField("chunk")),
+          " ").as("text_kept"))
+  }
+
   /** Word n-gram shingle set per doc: distinct space-joined n-grams.
     * Docs with fewer than n tokens have no shingle (empty array) —
     * the guard matters because `sequence(1, size-(n-1))` would count

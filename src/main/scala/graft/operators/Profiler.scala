@@ -88,6 +88,76 @@ object Profiler {
     * (counts, cents) — quartile interpolation lands on exact
     * quarters, and k·IQR stays dyadic-exact for dyadic k (1.5 default).
     */
+  /** Winsorization: clamp a value column to its per-group
+    * [pLo, pHi] interpolated percentiles — the standard "tame the
+    * tails before training on the feature" step (clipping keeps the
+    * row; the IQR fence above only counts it).
+    *
+    * Cross-engine exactness contract: call it on INTEGRAL values
+    * (e.g. cents) with DYADIC percentiles (defaults 1/8, 7/8). The
+    * interpolation position p·(n-1) is then an exact double, so both
+    * engines land on the identical clamp bounds bit-for-bit — the
+    * same trick as the quartile fences, generalized to any p = k/2^m.
+    *
+    * Plan shape: one stats shuffle per group, bounds broadcast back,
+    * clamp is a pure map-side projection — the fact table never
+    * shuffles. At 100 TB swap the exact percentile for
+    * `approx_percentile` and nothing else changes.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLo: Double = 0.125,
+      pHi: Double = 0.875): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val v = col(valueCol)
+    val bounds = df.groupBy(col(groupCol))
+      .agg(percentile(v, array(lit(pLo), lit(pHi))).as("_q"))
+      .select(col(groupCol),
+        element_at(col("_q"), 1).as("clip_lo"),
+        element_at(col("_q"), 2).as("clip_hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(v.cast("double"), col("clip_lo")), col("clip_hi")))
+  }
+
+  /** Pairwise sufficient statistics per group — the one-pass
+    * (n, Σx, Σy, Σxy, Σx², Σy²) kernel under covariance, correlation
+    * and OLS slope. Inputs must be INTEGRAL longs (scale doubles to
+    * cents first): every sum is then exact in BIGINT, and the derived
+    * covariance/slope are single exact-integer divisions — correctly
+    * rounded doubles, bit-identical on any engine. (Built-ins like
+    * covar_pop accumulate running doubles — order-dependent, so never
+    * cross-engine stable. corr needs a sqrt, which is libm-dependent —
+    * derive it from these sums downstream if ±1 ulp is acceptable.)
+    *
+    * One shuffle on the group key with map-side partial aggregation;
+    * products stay in 63 bits for |x| ≤ ~1e6, |y| ≤ ~1e6, n ≤ ~1e4
+    * per group — scale wider inputs down (or split sums) before use.
+    */
+  def pairStats(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sum_x"), sum(y).as("sum_y"),
+        sum(x * y).as("sum_xy"),
+        sum(x * x).as("sum_x2"), sum(y * y).as("sum_y2"))
+      .withColumn("cov_pop",
+        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double") /
+          (col("n") * col("n")).cast("double"))
+      .withColumn("slope",
+        when(col("n") * col("sum_x2") === col("sum_x") * col("sum_x"), lit(null))
+          .otherwise(
+            (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double") /
+              (col("n") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")))
+  }
+
   def iqrOutliers(
       df: DataFrame,
       groupCol: String,

@@ -355,6 +355,67 @@ object EventStream {
     collectToMemory(spark, out, "append", queryName)
   }
 
+  /** Stage a single parquet file as `nFiles` hash-split parquet files
+    * in a scratch dir — a deterministic multi-micro-batch stream input
+    * (with `maxFilesPerTrigger=1`, each split file becomes one batch).
+    * Split assignment is hash(event_id) — deterministic, and batch
+    * ORDER must not matter to the consumer (commutative merges only).
+    */
+  def splitDir(spark: SparkSession, path: String, nFiles: Int): String = {
+    val st = {
+      import org.apache.hadoop.fs.Path
+      val p = new Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+    }
+    val key = s"split$nFiles:$path@${st.getModificationTime}:${st.getLen}"
+    stageCache.computeIfAbsent(key, { _ =>
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream-split-")
+      stage.toFile.deleteOnExit()
+      spark.read.parquet(path)
+        .repartition(nFiles, col("event_id"))
+        .write.mode("overwrite").parquet(stage.toUri.toString)
+      Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+        .foreach(_.deleteOnExit())
+      stage.toUri.toString
+    })
+  }
+
+  /** Streaming incremental-aggregate maintenance: each micro-batch is
+    * folded into the versioned rollup state table by
+    * `IncrementalAgg.refreshTable` — the streaming face of q_inc_agg
+    * and the graft analog of a continuously-maintained materialized
+    * view. Because the maintained aggregates (count + decimal sum)
+    * are associative AND commutative, the final state is independent
+    * of micro-batch boundaries and order, and equals the batch
+    * groupBy bit-for-bit — which is exactly what the oracle checks.
+    * State per refresh is O(touched keys), never O(history).
+    */
+  def streamIncAgg(
+      spark: SparkSession,
+      path: String,
+      statePath: String,
+      keys: Seq[String],
+      valueCol: String,
+      queryName: String = "graft_stream_inc_agg"): Unit =
+    // the per-batch refresh shuffles a SMALL increment + state table;
+    // scope shuffle partitions down like the stateful streaming ops
+    withFewStatePartitions(spark) { s =>
+      val raw = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+      val events = raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val q = events.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.IncrementalAgg.refreshTable(
+            s, statePath, batch.toDF(), keys, valueCol)
+        }
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** Stage a directory's parquet files twice (suffix-renamed copies)
     * into a scratch dir — a deterministic duplicate-bearing stream
     * input for exercising dedup.

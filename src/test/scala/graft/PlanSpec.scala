@@ -157,4 +157,29 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), p)
     }
   }
+
+  test("winsorize: bounds broadcast back, clamp is map-side (no fact shuffle for the join)") {
+    val p = plan(Queries.qWinsorize.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pair stats: one shuffle with map-side partial aggregation") {
+    val p = plan(Queries.qPairStats.run(spark, sfDir))
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("url parse is a pure projection: zero exchanges, no UDF") {
+    val p = plan(Queries.qUrlParse.run(spark, sfDir))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("paragraph dedup: exactly two exchanges (chunk-hash winner, doc reassembly)") {
+    val p = plan(Queries.qDedupParagraph.run(spark, sfDir))
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), p)
+  }
 }

@@ -184,4 +184,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(local == dist)
   }
+
+  test("paragraphs: corpus-wide chunk dedup, first (doc, position) wins, docs reassemble in order") {
+    // chunkTokens=3: doc 1 = [A B C][D E F], doc 2 repeats [A B C] then
+    // unique [G H I], doc 3 is ALL repeats and must vanish, doc 4
+    // repeats a chunk WITHIN itself (second copy drops)
+    val df = docsDf(Seq(
+      1L -> "a b c d e f",
+      2L -> "a b c g h i",
+      3L -> "d e f a b c",
+      4L -> "j k l j k l"))
+    val out = Dedup.paragraphs(df, chunkTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f")))
+    assert(out(2L) == ((2L, 1L, "g h i")))
+    assert(!out.contains(3L), "all-repeat doc must vanish")
+    assert(out(4L) == ((2L, 1L, "j k l")))
+  }
+
+  test("paragraphs: ragged tail chunk kept; single-chunk docs dedup exactly") {
+    val df = docsDf(Seq(
+      1L -> "a b c d e", // [a b c][d e]
+      2L -> "d e"))      // tail of doc 1 repeated as a whole doc
+    val out = Dedup.paragraphs(df, chunkTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "a b c d e")
+    assert(!out.contains(2L))
+  }
 }

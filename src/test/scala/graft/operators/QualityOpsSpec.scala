@@ -89,6 +89,44 @@ class QualityOpsSpec extends SparkSpec {
     assert(row.getLong(5) == 1L && row.getLong(6) == 10L) // only 1000.0 is out
   }
 
+  test("winsorize: dyadic-percentile bounds, tails clamp, interior unchanged") {
+    val s = spark
+    import s.implicits._
+    // 9 sorted values 10..90: p=1/8 lands exactly on position 1 (=20),
+    // p=7/8 on position 7 (=80)
+    val df = (1 to 9).map(v => ("g", (v * 10).toDouble)).toDF("grp", "v")
+    val out = Profiler.winsorize(df, "grp", "v")
+      .select("v", "clip_lo", "clip_hi", "v_clipped")
+      .collect().map(r => r.getDouble(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(10.0) == ((20.0, 80.0, 20.0))) // low tail clamps up
+    assert(out(90.0)._3 == 80.0)              // high tail clamps down
+    assert(out(50.0)._3 == 50.0)              // interior untouched
+  }
+
+  test("pairStats: exact sums, covariance, slope on a planted line") {
+    val s = spark
+    import s.implicits._
+    // y = 2x + 1 exactly: cov = 2·var(x), slope = 2
+    val df = Seq((1L, 3L), (2L, 5L), (3L, 7L), (4L, 9L))
+      .map { case (x, y) => ("g", x, y) }.toDF("grp", "x", "y")
+    val r = Profiler.pairStats(df, "grp", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("sum_x") == 10L && r.getAs[Long]("sum_y") == 24L)
+    assert(r.getAs[Long]("sum_xy") == 3 + 10 + 21 + 36)
+    assert(r.getAs[Long]("sum_x2") == 30L && r.getAs[Long]("sum_y2") == 164L)
+    // cov_pop = E[xy] - E[x]E[y] = 17.5 - 2.5·6 = 2.5; var(x)=1.25
+    assert(r.getAs[Double]("cov_pop") == 2.5)
+    assert(r.getAs[Double]("slope") == 2.0)
+  }
+
+  test("pairStats: constant x yields null slope, not a division blowup") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 5L, 1L), ("g", 5L, 2L)).toDF("grp", "x", "y")
+    val r = Profiler.pairStats(df, "grp", "x", "y").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("slope")))
+  }
+
   test("histogram: integer bin edges, sparse bins, counts cover all rows") {
     val s = spark
     import s.implicits._

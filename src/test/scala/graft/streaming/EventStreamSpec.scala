@@ -170,4 +170,25 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming incremental agg over split micro-batches equals the batch groupBy") {
+    import org.apache.spark.sql.functions._
+    val statePath = tmpDir("graft-stream-inc-agg-")
+    val split = EventStream.splitDir(spark, s"$sfDir/events.parquet", 4)
+    // genuinely multiple micro-batches (maxFilesPerTrigger=1 per file)
+    assert(new java.io.File(new java.net.URI(split)).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 4)
+    EventStream.streamIncAgg(spark, split, statePath, Seq("event_type"), "value",
+      queryName = "graft_sia_spec")
+    // 4 commits happened (the cleaner trims the timeline to its
+    // retained window, so check the head version id, not the count)
+    assert(graft.sources.UpsertWriter.versions(spark, statePath).max == 4)
+    val got = graft.operators.IncrementalAgg.read(spark, statePath, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("sum_dec").cast("double").as("sum"))
+    val full = graft.sources.TableLoader.table(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum"))
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+  }
 }
