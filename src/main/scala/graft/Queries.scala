@@ -2214,6 +2214,148 @@ object Queries {
         |FROM events GROUP BY user_id, event_type""".stripMargin))
 
   // ---------------------------------------------------------------
+  // Event analytics (funnel / cohort / streaks / coverage / resample)
+  // ---------------------------------------------------------------
+
+  /** #51 Ordered conversion funnel view→click→purchase: stage k
+    * counts users whose earliest stage-k event at-or-after their
+    * stage-(k-1) time exists. One user-keyed agg per stage over the
+    * type-filtered input (the filter prunes at the scan).
+    */
+  val qFunnel: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.funnelCounts(
+      t(s, dir, "events"), Seq("view", "click", "purchase")),
+    oracle = Some(
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id
+        |)
+        |SELECT count(s1.t1) AS n_step1, count(s2.t2) AS n_step2,
+        |       count(s3.t3) AS n_step3
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin))
+
+  /** #52 Cohort retention: cohort = month of first order; cell
+    * (cohort_month, month_offset) counts distinct customers active.
+    * Month offset is explicit 12*Δyear+Δmonth integer arithmetic so
+    * Spark and DuckDB agree by construction.
+    */
+  val qCohort: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.cohortRetention(
+      t(s, dir, "orders"), "o_custkey", "o_orderdate"),
+    oracle = Some(
+      """WITH f AS (
+        |  SELECT o_custkey, min(o_orderdate) AS first_ts FROM orders GROUP BY o_custkey
+        |)
+        |SELECT CAST(date_trunc('month', f.first_ts) AS DATE) AS cohort_month,
+        |       CAST((year(o.o_orderdate) - year(f.first_ts)) * 12 +
+        |            (month(o.o_orderdate) - month(f.first_ts)) AS INT) AS month_offset,
+        |       count(DISTINCT o.o_custkey) AS n_active
+        |FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1, 2""".stripMargin))
+
+  /** #53 Gaps-and-islands order streaks: consecutive orders of one
+    * customer at most 90 days apart form a streak; per-customer
+    * streak count and longest streak. Entity-partitioned windows
+    * only — no global sort.
+    */
+  val qStreaks: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.streaks(
+      t(s, dir, "orders"), "o_custkey", "o_orderdate", maxGapDays = 90),
+    oracle = Some(
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CASE WHEN lag(CAST(o_orderdate AS DATE)) OVER w IS NULL
+        |           OR date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+        |                        CAST(o_orderdate AS DATE)) > 90
+        |         THEN 1 ELSE 0 END AS new_streak
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |), ids AS (
+        |  SELECT o_custkey,
+        |    sum(new_streak) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS streak_id
+        |  FROM flagged
+        |), per_streak AS (
+        |  SELECT o_custkey, streak_id, count(*) AS streak_len
+        |  FROM ids GROUP BY o_custkey, streak_id
+        |)
+        |SELECT o_custkey, count(*) AS n_streaks,
+        |       max(streak_len) AS longest_streak
+        |FROM per_streak GROUP BY o_custkey""".stripMargin))
+
+  /** #54 Merged-interval coverage: each event spans
+    * [ts, ts + floor(value) seconds]; overlapping spans per user
+    * merge; output per-user covered seconds + merged-interval count.
+    * All arithmetic in epoch-micros BIGINT — bit-exact cross-engine.
+    */
+  val qIntervalMerge: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.intervalCoverage(
+      t(s, dir, "events"), "user_id", "ts", col("value")),
+    oracle = Some(
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) + CAST(floor(value) AS BIGINT) * 1000000 AS end_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, start_us, end_us,
+        |    CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR start_us > max(end_us) OVER (PARTITION BY user_id
+        |              ORDER BY start_us, end_us
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS new_island
+        |  FROM iv
+        |), ids AS (
+        |  SELECT user_id, start_us, end_us,
+        |    sum(new_island) OVER (PARTITION BY user_id ORDER BY start_us, end_us) AS island_id
+        |  FROM flagged
+        |), islands AS (
+        |  SELECT user_id, island_id, min(start_us) AS s, max(end_us) AS e
+        |  FROM ids GROUP BY user_id, island_id
+        |)
+        |SELECT user_id,
+        |       CAST(sum(e - s) // 1000000 AS BIGINT) AS covered_seconds,
+        |       count(*) AS n_intervals
+        |FROM islands GROUP BY user_id""".stripMargin))
+
+  /** #55 Daily resample / gap-fill: per user one row per calendar day
+    * from first to last event day; empty days carry n_events = 0 and
+    * forward-filled last_active_day. Spine generated per entity
+    * (sequence+explode), joined on (entity, day) — entity-distributed.
+    */
+  val qResample: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.resampleDaily(
+      t(s, dir, "events"), "user_id", "ts"),
+    oracle = Some(
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events GROUP BY user_id
+        |), spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |         INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds
+        |)
+        |SELECT s.user_id, s.day,
+        |       COALESCE(d.n, 0) AS n_events,
+        |       last_value(CASE WHEN d.n IS NOT NULL THEN s.day END IGNORE NULLS)
+        |         OVER (PARTITION BY s.user_id ORDER BY s.day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_active_day
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin))
+
+  // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
 
@@ -2314,5 +2456,10 @@ object Queries {
     "q_domain_cap" -> qDomainCap,
     "dedup_paragraph" -> qDedupParagraph,
     "q_schema_union" -> qSchemaUnion,
-    "q_stream_inc_agg" -> qStreamIncAgg)
+    "q_stream_inc_agg" -> qStreamIncAgg,
+    "q_funnel" -> qFunnel,
+    "q_cohort" -> qCohort,
+    "q_streaks" -> qStreaks,
+    "q_interval_merge" -> qIntervalMerge,
+    "q_resample" -> qResample)
 }

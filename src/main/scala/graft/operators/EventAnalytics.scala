@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics over the reference's report surface — the
+  * product-analytics queries a report consumer runs on top of the
+  * incremental event feed (reference: template.py:319-322, the SQL
+  * transform slot): conversion funnels, cohort retention, activity
+  * streaks, and merged-interval coverage.
+  *
+  * Scale design: every operator here keys its shuffles on the entity
+  * id (`user_id` / `o_custkey`) and uses only entity-partitioned
+  * windows — no global ordering anywhere, so each works unchanged on
+  * a 1000-executor cluster: state per key is bounded by one user's
+  * events, and AQE handles residual key skew.
+  */
+object EventAnalytics {
+
+  /** Ordered N-step conversion funnel. Step k counts users whose
+    * earliest step-k event at-or-after their step-(k-1) time exists.
+    * One aggregation per step, each keyed on `userCol` — k small
+    * (3-5), so this is k user-keyed shuffles over an
+    * already-filtered (single event type) input, NOT k passes over
+    * the raw log: the per-step filter prunes at the scan.
+    *
+    * Returns one row per user reaching step 1, with `t1..tN`
+    * nullable timestamps of each reached step.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val next = events.filter(col(typeCol) === step)
+        .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+        .filter(col(tsCol) >= col(prev))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
+      // left join keeps users stranded at earlier steps (null later ts)
+      acc.join(next.select(col(userCol), col(cur)), Seq(userCol), "left")
+    }
+  }
+
+  /** Funnel stage totals: one row, `n_step1..n_stepN` user counts. */
+  def funnelCounts(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val perUser = funnel(events, steps, userCol, tsCol, typeCol)
+    val counts = steps.indices.map(i => count(col(s"t${i + 1}")).as(s"n_step${i + 1}"))
+    perUser.agg(counts.head, counts.tail: _*)
+  }
+
+  /** Cohort retention: cohort = month of the entity's first event;
+    * cell (cohort_month, month_offset) counts distinct entities from
+    * that cohort active at that offset. Month offset is explicit
+    * integer arithmetic (`12*Δyear + Δmonth`) so every engine agrees.
+    * Two shuffles: first-event agg on the entity key, then the
+    * (cohort, offset) cell agg — both well-distributed.
+    */
+  def cohortRetention(events: DataFrame, entityCol: String, tsCol: String): DataFrame = {
+    val firstTs = events.groupBy(col(entityCol)).agg(min(col(tsCol)).as("first_ts"))
+    events.select(col(entityCol), col(tsCol))
+      .join(firstTs, Seq(entityCol))
+      .select(
+        date_trunc("month", col("first_ts")).cast("date").as("cohort_month"),
+        ((year(col(tsCol)) - year(col("first_ts"))) * 12 +
+          (month(col(tsCol)) - month(col("first_ts")))).as("month_offset"),
+        col(entityCol))
+      .groupBy(col("cohort_month"), col("month_offset"))
+      .agg(count_distinct(col(entityCol)).as("n_active"))
+  }
+
+  /** Gaps-and-islands activity streaks: consecutive events of one
+    * entity at most `maxGapDays` apart form one streak. Returns one
+    * row per entity with streak count and longest streak (in events).
+    * Entity-partitioned lag + running-sum windows — per-key state
+    * only, no global sort.
+    */
+  def streaks(events: DataFrame, entityCol: String, tsCol: String,
+      maxGapDays: Int): DataFrame = {
+    val byTs = Window.partitionBy(col(entityCol)).orderBy(col(tsCol))
+    val day = col(tsCol).cast("date")
+    val prevDay = lag(day, 1).over(byTs)
+    val newStreak = when(prevDay.isNull.or(datediff(day, prevDay) > maxGapDays), 1L)
+      .otherwise(0L)
+    events
+      .withColumn("streak_id", sum(newStreak).over(byTs))
+      .groupBy(col(entityCol), col("streak_id"))
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_streaks"), max(col("streak_len")).as("longest_streak"))
+  }
+
+  /** Merged-interval coverage: each event spans
+    * `[ts, ts + floor(durSeconds)]`; overlapping spans of one entity
+    * merge, and the result is per-entity total covered seconds and
+    * merged-interval count. All arithmetic in epoch-micros BIGINT —
+    * bit-exact on any engine. Classic sweep as two entity-partitioned
+    * windows (running max of interval end, then island running sum).
+    */
+  def intervalCoverage(events: DataFrame, entityCol: String, tsCol: String,
+      durSeconds: Column): DataFrame = {
+    val byTs = Window.partitionBy(col(entityCol))
+      .orderBy(col("start_us"), col("end_us"))
+    val prevMaxEnd = max(col("end_us"))
+      .over(byTs.rowsBetween(Window.unboundedPreceding, -1))
+    events
+      .select(col(entityCol), unix_micros(col(tsCol).cast("timestamp")).as("start_us"),
+        (unix_micros(col(tsCol).cast("timestamp")) +
+          floor(durSeconds).cast("long") * 1000000L).as("end_us"))
+      .withColumn("new_island",
+        when(prevMaxEnd.isNull.or(col("start_us") > prevMaxEnd), 1L).otherwise(0L))
+      .withColumn("island_id", sum(col("new_island")).over(byTs))
+      .groupBy(col(entityCol), col("island_id"))
+      .agg(min(col("start_us")).as("s"), max(col("end_us")).as("e"))
+      .groupBy(col(entityCol))
+      // integer `div`, not `/`: float division + double→long cast
+      // truncates on Spark but rounds on other engines
+      .agg(expr("sum(e - s) div 1000000").as("covered_seconds"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** Daily resample with gap fill: per entity, one row per calendar
+    * day from its first to its last event day; days without events
+    * get `n_events = 0` and forward-fill `last_active_day` from the
+    * most recent active day. The day spine is generated per entity
+    * (`sequence` + explode) — spine size is bounded by the entity's
+    * own span, and the join back to the daily aggregate is keyed on
+    * (entity, day), so the whole op distributes on the entity key.
+    */
+  def resampleDaily(events: DataFrame, entityCol: String, tsCol: String): DataFrame = {
+    val day = col(tsCol).cast("date")
+    val daily = events.groupBy(col(entityCol), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = events.groupBy(col(entityCol))
+      .agg(min(day).as("d0"), max(day).as("d1"))
+      .select(col(entityCol),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val byDay = Window.partitionBy(col(entityCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(entityCol, "day"), "left")
+      .select(col(entityCol), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(when(col("n").isNotNull, col("day")), ignoreNulls = true)
+          .over(byDay).as("last_active_day"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel: a later step only counts at-or-after the prior step") {
+    val s = spark
+    import s.implicits._
+    // u1 completes in order; u2 clicked BEFORE its first view and
+    // never after → stalls at step 1; u3 never viewed → absent.
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-01 10:00:00")),
+      (3L, "purchase", ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val row = EventAnalytics.funnelCounts(ev, Seq("view", "click", "purchase")).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
+  test("streaks: gap > maxGapDays starts a new streak") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-05 00:00:00")),
+      (1L, ts("2024-03-01 00:00:00")), // 56-day gap → new streak at 30-day cap
+      (2L, ts("2024-01-01 00:00:00"))
+    ).toDF("id", "t")
+    val out = EventAnalytics.streaks(ev, "id", "t", maxGapDays = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 2L))) // two streaks, longest has 2 events
+    assert(out(2L) == ((1L, 1L)))
+  }
+
+  test("intervalCoverage: overlapping spans merge, disjoint ones add") {
+    val s = spark
+    import s.implicits._
+    // [0,60] and [30,90] merge to 90s; [200,260] separate → 150s total
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 60.9),
+      (1L, ts("2024-01-01 00:00:30"), 60.0),
+      (1L, ts("2024-01-01 00:03:20"), 60.0)
+    ).toDF("id", "t", "dur")
+    val row = EventAnalytics.intervalCoverage(ev, "id", "t",
+      org.apache.spark.sql.functions.col("dur")).collect()(0)
+    assert((row.getLong(1), row.getLong(2)) == ((150L, 2L)))
+  }
+
+  test("resampleDaily: fills gap days with zero and forward-fills last active day") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-04 10:00:00"))
+    ).toDF("id", "t")
+    val out = EventAnalytics.resampleDaily(ev, "id", "t")
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2), r.getDate(3).toString))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L, "2024-01-01"),
+      ("2024-01-02", 0L, "2024-01-01"),
+      ("2024-01-03", 0L, "2024-01-01"),
+      ("2024-01-04", 1L, "2024-01-04")))
+  }
+
+  test("cohortRetention: offsets count distinct entities per cohort month") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-15 00:00:00")), (1L, ts("2024-03-02 00:00:00")),
+      (2L, ts("2024-01-20 00:00:00")),
+      (3L, ts("2024-02-01 00:00:00")), (3L, ts("2024-02-28 00:00:00"))
+    ).toDF("id", "t")
+    val out = EventAnalytics.cohortRetention(ev, "id", "t")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out(("2024-01-01", 0)) == 2L) // u1+u2 in their cohort month
+    assert(out(("2024-01-01", 2)) == 1L) // u1 back in March
+    assert(out(("2024-02-01", 0)) == 1L) // u3, twice but distinct
+  }
+}
