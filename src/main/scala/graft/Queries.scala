@@ -2355,6 +2355,72 @@ object Queries {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_active_day
         |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin))
 
+  /** #56 Bloom-pruned fact⋈dim join: a Bloom filter over the urgent
+    * orders' keys drops lineitem rows before the join shuffle; the
+    * exact join after it makes the result identical to the plain
+    * join (false negatives impossible). Oracle IS the plain join.
+    */
+  val qBloomJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.BloomPrune.prunedJoin(
+        li, Seq("l_orderkey"), urgent, Seq("o_orderkey"), expectedKeys = 1L << 16)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin))
+
+  /** #57 Trigram-index substring search: postings intersection over
+    * the needle's character trigrams picks candidates; exact
+    * `contains` verifies. Result ≡ the full-scan LIKE — which is
+    * exactly what the oracle runs.
+    */
+  val qTrigramSearch: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.TrigramIndex.search(
+      t(s, dir, "documents"), "merge batch").select(col("doc_id")),
+    oracle = Some("SELECT doc_id FROM documents WHERE contains(text, 'merge batch')"))
+
+  /** #58 Gopher quality rules: integer-arithmetic word-count /
+    * mean-word-length / alpha-fraction / stopword gates per doc.
+    */
+  val qGopherRules: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.TextAnalysis.gopherRules(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_words"), col("word_chars"),
+        col("rule_word_count"), col("rule_mean_word_len"),
+        col("rule_alpha_words"), col("rule_stopwords"), col("gopher_pass")),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id, len(w) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+        |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+        |    len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+        |        'that', 'it', 'was', 'for'))) AS stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, word_chars,
+        |  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+        |  word_chars >= 3 * n_words AND word_chars <= 10 * n_words AS rule_mean_word_len,
+        |  alpha_words * 10 >= n_words * 8 AS rule_alpha_words,
+        |  stop_hits >= 2 AS rule_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+        |    AND (alpha_words * 10 >= n_words * 8)
+        |    AND (stop_hits >= 2) AS gopher_pass
+        |FROM m""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2461,5 +2527,8 @@ object Queries {
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,
     "q_interval_merge" -> qIntervalMerge,
-    "q_resample" -> qResample)
+    "q_resample" -> qResample,
+    "q_bloom_join" -> qBloomJoin,
+    "q_trigram_search" -> qTrigramSearch,
+    "q_gopher_rules" -> qGopherRules)
 }

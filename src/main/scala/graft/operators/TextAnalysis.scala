@@ -68,6 +68,34 @@ object TextAnalysis {
         least(lit(1.0), (nTokens.cast("double") / 100) * 0.5 + (hits.cast("double") / nTokens) * 5 * 0.5))
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1): word-count bounds, mean-word-length bounds,
+    * minimum fraction of alphabetic words, minimum stopword hits.
+    * Every comparison is INTEGER arithmetic (`3n ≤ chars ≤ 10n`
+    * instead of a float mean) so any engine agrees bit-for-bit.
+    * Pure per-row projection — no shuffle, scales linearly.
+    */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Int = 3, maxMeanLen: Int = 10): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val wordChars = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val alphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = stopwordHits(toks, Stopwords.toMap.apply("en")).cast("long")
+    val rWc = nWords >= minWords && nWords <= maxWords
+    val rMwl = wordChars >= nWords * minMeanLen && wordChars <= nWords * maxMeanLen
+    val rAlpha = alphaWords * 10 >= nWords * 8
+    val rStop = stopHits >= 2
+    df.withColumn("n_words", nWords)
+      .withColumn("word_chars", wordChars)
+      .withColumn("rule_word_count", rWc)
+      .withColumn("rule_mean_word_len", rMwl)
+      .withColumn("rule_alpha_words", rAlpha)
+      .withColumn("rule_stopwords", rStop)
+      .withColumn("gopher_pass", rWc && rMwl && rAlpha && rStop)
+  }
+
   /** Stopword-count language ID: score each language by function-word
     * hits; winner = max count, ties to the alphabetically-first code,
     * zero hits => "und" (undetermined). Deterministic by construction.

@@ -15,6 +15,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((3, 5)))
   }
 
+  test("gopher rules: each gate trips on its own violation") {
+    val good = ("the data " * 30).trim            // 60 words, stopwords, mean len ok
+    val tooShort = "the data pipeline"            // trips word count
+    val longWords = Array.fill(60)("abcdefghijklmnop").mkString(" ") // mean len > 10
+    val noStops = Array.fill(60)("data").mkString(" ")               // 0 stopword hits
+    val df = docsDf(Seq(1L -> good, 2L -> tooShort, 3L -> longWords, 4L -> noStops))
+    val out = TextAnalysis.gopherRules(df)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("rule_word_count"), r.getAs[Boolean]("rule_mean_word_len"),
+          r.getAs[Boolean]("rule_alpha_words"), r.getAs[Boolean]("rule_stopwords"),
+          r.getAs[Boolean]("gopher_pass")))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._5 == false)
+    assert(out(3L)._2 == false && out(3L)._5 == false)
+    assert(out(4L)._4 == false && out(4L)._5 == false)
+  }
+
   test("quality metrics: ratios in range, stopword-rich text scores higher") {
     val df = docsDf(Seq(
       1L -> "the of and to in is that it was for",
