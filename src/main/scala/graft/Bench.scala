@@ -62,12 +62,36 @@ object Bench {
       val ok = timesByName(name).filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // total = successes only; -1 sentinels stay visible per-query but
     // must not shrink the headline number
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the last ~2000 chars of stdout; a JSON
+    // line carrying all ~90 per-query times (~3.6 KB) gets its head
+    // (metric/value) truncated away and the round's bench is recorded
+    // unparsed. So: full per-query map goes to bench_full.json, and
+    // the ONE stdout JSON line carries the headline plus as many of
+    // the slowest queries as fit a 1600-char budget (slowest first —
+    // they're the informative ones), with the rest summarized.
+    val fullQs = names.sorted.map(n => "\"" + n + "\":" + r3(results(n)))
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+    val bySlow = names.sortBy(n => -results(n))
+    val budget = 1600
+    val picked = collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    var full_ = false
+    for (n <- bySlow if !full_) {
+      val ent = "\"" + n + "\":" + r3(results(n))
+      if (used + ent.length + 1 <= budget) { picked += ent; used += ent.length + 1 }
+      else full_ = true // stop at first overflow so picked is a prefix of bySlow
+    }
+    val restN = names.size - picked.size
+    val restSec = bySlow.drop(picked.size).map(results).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"queries":${picked.mkString("{", ",", "}")},"omitted":{"n":$restN,"sec":${r3(restSec)}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

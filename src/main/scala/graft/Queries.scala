@@ -2421,6 +2421,133 @@ object Queries {
         |    AND (stop_hits >= 2) AS gopher_pass
         |FROM m""".stripMargin))
 
+  /** #18i ROWS-framed trailing window: per-customer trailing-7-order
+    * spend. A ROWS frame is order-SENSITIVE, so the window orders by
+    * (o_orderdate, o_orderkey) — a total order both engines agree
+    * on. Integer cents keep the running sum exact.
+    */
+  val qWindowRows: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, 0)
+      t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+          sum(col("cents")).over(w).as("trail7_cents"),
+          count(lit(1)).over(w).as("n_in_frame"))
+    },
+    oracle = Some(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS trail7_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin))
+
+  /** #18j Period-over-period change: monthly revenue (exact integer
+    * cents) with previous-month value and delta via a global-ordered
+    * lag — safe, because the window runs over the 12-row monthly
+    * aggregate, never the raw fact table.
+    */
+  val qMomChange: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("month"))
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+        .select(col("month"), col("rev_cents"),
+          lag(col("rev_cents"), 1).over(w).as("prev_cents"),
+          (col("rev_cents") - lag(col("rev_cents"), 1).over(w)).as("delta_cents"))
+    },
+    oracle = Some(
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT month, rev_cents,
+        |  lag(rev_cents) OVER (ORDER BY month) AS prev_cents,
+        |  rev_cents - lag(rev_cents) OVER (ORDER BY month) AS delta_cents
+        |FROM m""".stripMargin))
+
+  /** #59 Markov next-event transitions: successor pairs per user
+    * (total-ordered by ts, event_id), counted per (from, to), with
+    * the transition probability as exact integer basis points.
+    */
+  val qTransitions: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.transitions(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "event_id"),
+    oracle = Some(
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n_transitions
+        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(n_transitions * 10000 // sum(n_transitions) OVER (PARTITION BY from_type)
+        |       AS BIGINT) AS share_bp
+        |FROM pairs""".stripMargin))
+
+  /** #60 Session path mining: 30-minute gap sessions rendered as
+    * `>`-joined event-type paths, counted per path (min 3 sessions).
+    */
+  val qSessionPaths: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.sessionPaths(
+      t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+      gapMinutes = 30, minCount = 3L),
+    oracle = Some(
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g
+        |), n AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sess_seq
+        |  FROM s
+        |), p AS (
+        |  SELECT user_id, sess_seq,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM n GROUP BY user_id, sess_seq
+        |)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path HAVING count(*) >= 3""".stripMargin))
+
+  /** #14j Exact z-score outliers: |x-mean| > 3σ cross-multiplied into
+    * pure integer arithmetic ((n·x-s)² > 9·(n·ss-s²)) — no division,
+    * no floats, bit-identical flags on any engine. The oracle's
+    * HUGEINT intermediates mirror the decimal(38,0) Spark side.
+    */
+  val qZscoreOutliers: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Profiler.zscoreOutliers(
+        t(s, dir, "events").withColumn("cents", round(col("value") * 100).cast("long")),
+        "event_type", "cents", k = 3)
+      .select(col("event_id"), col("event_type"), col("cents")),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), st AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS HUGEINT) AS ss
+        |  FROM c GROUP BY event_type
+        |)
+        |SELECT c.event_id, c.event_type, c.cents
+        |FROM c JOIN st USING (event_type)
+        |WHERE (n * c.cents - s) * (n * c.cents - s) > 9 * (n * ss - s * s)""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2530,5 +2657,10 @@ object Queries {
     "q_resample" -> qResample,
     "q_bloom_join" -> qBloomJoin,
     "q_trigram_search" -> qTrigramSearch,
-    "q_gopher_rules" -> qGopherRules)
+    "q_gopher_rules" -> qGopherRules,
+    "q_window_rows" -> qWindowRows,
+    "q_mom_change" -> qMomChange,
+    "q_transitions" -> qTransitions,
+    "q_session_paths" -> qSessionPaths,
+    "q_zscore_outliers" -> qZscoreOutliers)
 }

@@ -123,6 +123,61 @@ object EventAnalytics {
         count(lit(1)).as("n_intervals"))
   }
 
+  /** Markov next-event transition matrix: per entity, order events
+    * by (`tsCol`, `tieCol`) — the tiebreak makes the sequence a total
+    * order so every engine derives the same successor — pair each
+    * event with its successor via an entity-partitioned `lead`, and
+    * count (from, to) pairs. `share_bp` is the transition
+    * probability in integer basis points (n*10000 div row-total of
+    * the from-state), exact on any engine. One entity-keyed window
+    * + one (from,to)-keyed agg; the final per-from share window runs
+    * over |types|² rows, not the event log.
+    */
+  def transitions(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val byFrom = Window.partitionBy(col("from_type"))
+    events
+      .select(col(entityCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("share_bp",
+        expr("n_transitions * 10000 div sum(n_transitions) over (partition by from_type)"))
+  }
+
+  /** Session path mining: gap-sessionize (`gapMinutes`) per entity,
+    * render each session's event-type sequence as a `>`-joined path
+    * string (ordered by ts with `tieCol` tiebreak), and count
+    * sessions per path, keeping paths with at least `minCount`
+    * sessions. The collect_list is bounded by one session's events —
+    * the same per-key-state bound streaming sessionization has.
+    */
+  def sessionPaths(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, tieCol: String, gapMinutes: Int, minCount: Long): DataFrame = {
+    val byTs = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val prevTs = lag(col(tsCol), 1).over(byTs)
+    val newSess = when(
+      prevTs.isNull.or(col(tsCol) > prevTs + expr(s"INTERVAL $gapMinutes MINUTE")),
+      1L).otherwise(0L)
+    events
+      .withColumn("sess_seq", sum(newSess).over(byTs))
+      .groupBy(col(entityCol), col("sess_seq"))
+      .agg(array_join(
+        // explicit struct-field aliases: a user column literally named
+        // "_p3" aside, sort order is (ts, tie) and extraction is by
+        // our field name, immune to input column name collisions
+        transform(
+          array_sort(collect_list(struct(
+            col(tsCol).as("_p1"), col(tieCol).as("_p2"), col(typeCol).as("_p3")))),
+          x => x.getField("_p3")),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .filter(col("n_sessions") >= minCount)
+  }
+
   /** Daily resample with gap fill: per entity, one row per calendar
     * day from its first to its last event day; days without events
     * get `n_events = 0` and forward-fill `last_active_day` from the

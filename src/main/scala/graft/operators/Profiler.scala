@@ -158,6 +158,34 @@ object Profiler {
               (col("n") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")))
   }
 
+  /** Z-score outlier flags over an integral column, in EXACT integer
+    * arithmetic: |x - mean| > k·σ is cross-multiplied to
+    * (n·x - s)² > k²·(n·ss - s²) — no division, no floats, so the
+    * flag set is bit-identical on any engine. Sufficient stats
+    * (n, Σx, Σx²) are one map-side-combined agg; the per-row test is
+    * a broadcast join (|groups| rows). decimal(38,0) keeps the
+    * squared terms exact far past BIGINT range (n·x up to ~1e19
+    * before precision loss — a 100 TB event log qualifies).
+    */
+  def zscoreOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 3): DataFrame = {
+    val x = col(valueCol).cast("decimal(38,0)")
+    val stats = df
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(x).as("_s"),
+        sum(x * x).as("_ss"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(
+        (col("_n") * x - col("_s")) * (col("_n") * x - col("_s")) >
+          lit(k * k) * (col("_n") * col("_ss") - col("_s") * col("_s")))
+      .drop("_n", "_s", "_ss")
+  }
+
   def iqrOutliers(
       df: DataFrame,
       groupCol: String,

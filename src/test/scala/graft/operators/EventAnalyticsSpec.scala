@@ -85,4 +85,53 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(("2024-01-01", 2)) == 1L) // u1 back in March
     assert(out(("2024-02-01", 0)) == 1L) // u3, twice but distinct
   }
+
+  test("transitions: successors pair within entity and share_bp sums to ~10000 per from-state") {
+    val s = spark
+    import s.implicits._
+    // u1: a→b→a ; u2: a→b. Transitions: a→b ×2, b→a ×1.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 11:00:00"), "b", 2L),
+      (1L, ts("2024-01-01 12:00:00"), "a", 3L),
+      (2L, ts("2024-01-01 10:00:00"), "a", 4L),
+      (2L, ts("2024-01-01 11:00:00"), "b", 5L)
+    ).toDF("user_id", "t", "typ", "eid")
+    val out = EventAnalytics.transitions(ev, "user_id", "t", "typ", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a", "b")) == ((2L, 10000L)))
+    assert(out(("b", "a")) == ((1L, 10000L)))
+    assert(out.size == 2) // u2's trailing 'b' has no successor
+  }
+
+  test("transitions: tie column decides successor when timestamps collide") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "x", 2L),
+      (1L, ts("2024-01-01 10:00:00"), "y", 1L) // same ts; eid orders y first
+    ).toDF("user_id", "t", "typ", "eid")
+    val out = EventAnalytics.transitions(ev, "user_id", "t", "typ", "eid").collect()
+    assert(out.length == 1)
+    assert((out(0).getString(0), out(0).getString(1)) == (("y", "x")))
+  }
+
+  test("sessionPaths: gap splits sessions; paths keep event order; minCount filters") {
+    val s = spark
+    import s.implicits._
+    // u1 session1: a>b; 40-min gap; session2: a>b. u2: a>b. c alone once.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 10:10:00"), "b", 2L),
+      (1L, ts("2024-01-01 11:00:00"), "a", 3L),
+      (1L, ts("2024-01-01 11:05:00"), "b", 4L),
+      (2L, ts("2024-01-01 10:00:00"), "a", 5L),
+      (2L, ts("2024-01-01 10:20:00"), "b", 6L),
+      (2L, ts("2024-01-02 09:00:00"), "c", 7L)
+    ).toDF("user_id", "t", "typ", "eid")
+    val out = EventAnalytics.sessionPaths(ev, "user_id", "t", "typ", "eid",
+      gapMinutes = 30, minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a>b" -> 3L)) // the lone "c" path (count 1) is filtered
+  }
 }

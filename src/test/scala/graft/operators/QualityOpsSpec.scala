@@ -193,4 +193,25 @@ class QualityOpsSpec extends SparkSpec {
     val en = kept.getOrElse("en", 0L).toDouble / byLang("en")
     assert(en > 0.1 && en < 0.6, s"en kept $en")
   }
+
+  test("zscoreOutliers: flags exactly the >kσ points, integer-exact") {
+    val s = spark
+    import s.implicits._
+    // 100 values of 10 plus one 1000: mean≈19.8, σ≈98.5 → only the
+    // 1000 clears 3σ. All arithmetic stays in decimals — assert the
+    // flag set, which is what the cross-multiplied form guarantees.
+    val df = ((1 to 100).map(i => (i.toLong, "g", 10L)) :+ ((101L, "g", 1000L)))
+      .toDF("id", "grp", "v")
+    val out = Profiler.zscoreOutliers(df, "grp", "v", k = 3).select("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(101L))
+    // with k large enough nothing is flagged
+    assert(Profiler.zscoreOutliers(df, "grp", "v", k = 20).count() == 0L)
+  }
+
+  test("zscoreOutliers: zero-variance group flags nothing") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "g", 5L), (2L, "g", 5L), (3L, "g", 5L)).toDF("id", "grp", "v")
+    assert(Profiler.zscoreOutliers(df, "grp", "v", k = 3).count() == 0L)
+  }
 }
