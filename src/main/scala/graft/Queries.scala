@@ -2548,6 +2548,118 @@ object Queries {
         |FROM c JOIN st USING (event_type)
         |WHERE (n * c.cents - s) * (n * c.cents - s) > 9 * (n * ss - s * s)""".stripMargin))
 
+  /** #10h Merge-on-read table: base snapshot + two delta-log commits
+    * (appendLog writes ONLY the batch — no table rewrite), read-time
+    * merge resolves latest-wins across base and logs. The purchases
+    * are updated twice (log1 then log2) — the second delta must win.
+    */
+  val qMorRead: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("mor-read")
+      val base = t(s, dir, "events")
+      graft.sources.MorTable.writeBase(base, target)
+      graft.sources.MorTable.appendLog(
+        base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")), target)
+      graft.sources.MorTable.appendLog(
+        base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 3)
+          .withColumn("ts", col("ts") + expr("INTERVAL 2 HOUR"))
+          .unionByName(
+            base.filter(col("event_type") === "click")
+              .withColumn("event_id", col("event_id") + 20000000L)), target)
+      graft.sources.MorTable.read(s, target, Seq("event_id"), "ts")
+    },
+    oracle = Some(
+      """WITH log1 AS (
+        |  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+        |         value * 2 AS value, props
+        |  FROM events WHERE event_type = 'purchase'
+        |), log2 AS (
+        |  SELECT event_id, ts + INTERVAL 2 HOUR AS ts, user_id, event_type,
+        |         value * 3 AS value, props
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id + 20000000, ts, user_id, event_type, value, props
+        |  FROM events WHERE event_type = 'click'
+        |), unioned AS (
+        |  SELECT * FROM events UNION ALL SELECT * FROM log1 UNION ALL SELECT * FROM log2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+        |  FROM unioned
+        |)
+        |SELECT event_id, ts, user_id, event_type, value, props
+        |FROM ranked WHERE rn = 1""".stripMargin))
+
+  /** #10i Change data feed with both images: updates emit
+    * update_preimage + update_postimage rows (Delta CDF semantics),
+    * inserts/deletes one row each — a consumer can retract-then-apply
+    * without touching either snapshot. new = events with purchases
+    * updated, errors deleted, clicks re-keyed as inserts.
+    */
+  val qCdcFeed: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val base = t(s, dir, "events")
+      val next = base
+        .filter(col("event_type") =!= "error" && col("event_type") =!= "purchase")
+        .unionByName(base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")))
+        .unionByName(base.filter(col("event_type") === "click")
+          .withColumn("event_id", col("event_id") + 20000000L))
+      graft.operators.SnapshotDiff.changeFeed(base, next, keys = Seq("event_id"))
+    },
+    oracle = Some(
+      """SELECT event_id + 20000000 AS event_id, 'insert' AS change_type,
+        |       ts, user_id, event_type, value, props
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, 'delete', ts, user_id, event_type, value, props
+        |FROM events WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, 'update_preimage', ts, user_id, event_type, value, props
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, 'update_postimage', ts + INTERVAL 1 HOUR, user_id,
+        |       event_type, value * 2, props
+        |FROM events WHERE event_type = 'purchase'""".stripMargin))
+
+  /** #10j Record-index point lookup: the table is hash-bucketed by
+    * record key into partition directories; a lookup reads ONLY the
+    * probed keys' buckets (Catalyst partition pruning — see the
+    * PlanSpec lock), row-identical to `WHERE key IN (...)`.
+    */
+  val lookupKeys = Seq(1L, 42L, 424L, 4242L)
+  val qPointLookup: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("record-index")
+      graft.sources.RecordIndex.write(t(s, dir, "orders"), target, "o_orderkey", nBuckets = 64)
+      graft.sources.RecordIndex.lookup(s, target, "o_orderkey", "bigint", lookupKeys, nBuckets = 64)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+    },
+    oracle = Some(
+      s"""SELECT * FROM orders
+         |WHERE o_orderkey IN (${lookupKeys.mkString(", ")})""".stripMargin))
+
+  /** #10k Zone-map data skipping: a range-layout write (disjoint
+    * per-file ranges), a one-scan min/max stats table, and a range
+    * read that plans over only the overlapping files — row-identical
+    * to the full-scan filter, which is exactly what the oracle runs.
+    */
+  val qZonemapScan: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("zonemap-scan")
+      t(s, dir, "orders")
+        .repartitionByRange(16, col("o_totalprice"))
+        .write.mode("overwrite").parquet(target)
+      val zm = graft.operators.ZoneMaps.build(s, target, "o_totalprice")
+      graft.operators.ZoneMaps.prunedRead(s, target, zm, "o_totalprice", 10000.0, 20000.0)
+    },
+    oracle = Some(
+      "SELECT * FROM orders WHERE o_totalprice BETWEEN 10000.0 AND 20000.0"))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2662,5 +2774,9 @@ object Queries {
     "q_mom_change" -> qMomChange,
     "q_transitions" -> qTransitions,
     "q_session_paths" -> qSessionPaths,
-    "q_zscore_outliers" -> qZscoreOutliers)
+    "q_zscore_outliers" -> qZscoreOutliers,
+    "q_mor_read" -> qMorRead,
+    "q_cdc_feed" -> qCdcFeed,
+    "q_point_lookup" -> qPointLookup,
+    "q_zonemap_scan" -> qZonemapScan)
 }

@@ -45,4 +45,41 @@ object SnapshotDiff {
     joined.filter(keep)
       .select(outKeys ++ Seq(changeType.as("change_type")) ++ outVals: _*)
   }
+
+  /** Full change-data-feed between two versions, with BOTH images for
+    * updates (Delta CDF / Hudi incremental-query semantics): inserts
+    * emit one `insert` row (new values), deletes one `delete` row
+    * (old values), updates TWO rows — `update_preimage` (old values)
+    * and `update_postimage` (new values) — so a downstream consumer
+    * can retract-then-apply without re-reading either snapshot.
+    *
+    * Same single full-outer hash join as `diff`; the pre/post pair
+    * comes from exploding a 1-or-2-element array built per joined
+    * row, not from a second join or pass.
+    */
+  def changeFeed(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = newDf.columns.filterNot(keys.contains).toIndexedSeq
+    require(valueCols.nonEmpty, "changeFeed needs at least one non-key column")
+    val o = oldDf.select(
+      keys.map(c => col(c).as(s"_k_$c")) ++
+        Seq(struct(valueCols.map(col): _*).as("_old")): _*)
+    val n = newDf.select(
+      keys.map(col) ++ Seq(struct(valueCols.map(col): _*).as("_new")): _*)
+    val joinCond = keys.map(c => col(c) <=> col(s"_k_$c")).reduce(_ && _)
+    val joined = n.join(o, joinCond, "full_outer")
+    val keep = col("_old").isNull || col("_new").isNull || !(col("_new") <=> col("_old"))
+    val images = when(col("_old").isNull,
+        array(struct(lit("insert").as("_ct"), col("_new").as("_img"))))
+      .when(col("_new").isNull,
+        array(struct(lit("delete").as("_ct"), col("_old").as("_img"))))
+      .otherwise(array(
+        struct(lit("update_preimage").as("_ct"), col("_old").as("_img")),
+        struct(lit("update_postimage").as("_ct"), col("_new").as("_img"))))
+    val outKeys = keys.map(c => coalesce(col(c), col(s"_k_$c")).as(c))
+    joined.filter(keep)
+      .select(outKeys :+ explode(images).as("_e"): _*)
+      .select(keys.map(col) ++
+        Seq(col("_e._ct").as("change_type")) ++
+        valueCols.map(c => col(s"_e._img.$c").as(c)): _*)
+  }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps (min/max data skipping) — the table-format
+  * side of the reference's clustered layout
+  * (generate_hudi_table.py:150-156: clustering sorts by a column so
+  * Hudi's column-stats index can skip files; Delta/Iceberg keep the
+  * same stats in their metadata).
+  *
+  * Spark's parquet reader already skips ROW GROUPS via footer stats,
+  * but it still has to OPEN every file to learn that. At 100 TB /
+  * millions of files, listing+footer reads dominate point-ish
+  * queries; a zone-map table answers "which files can match" from a
+  * few KB of metadata instead. `build` computes the stats table with
+  * one distributed scan; `prunedRead` intersects it with a range
+  * predicate on the driver (the stats table is tiny — one row per
+  * file) and plans a scan over only the surviving files, then
+  * re-applies the exact predicate for row-level correctness (zone
+  * maps are a superset filter, never a substitute).
+  *
+  * Pruning power tracks layout: on a table clustered by the stats
+  * column (UpsertWriter.clusterBy / ZOrder), file ranges are disjoint
+  * and a point/range predicate touches ~1 file; on a random layout
+  * every file overlaps every range and nothing prunes — same contract
+  * as Hudi/Delta data skipping.
+  */
+object ZoneMaps {
+
+  /** One row per parquet file: (file, n_rows, min, max) of `statsCol`.
+    * One distributed scan, aggregated on the (grouped, pre-combined)
+    * file name — no shuffle pressure: partial aggregation collapses
+    * each task's rows to one row per file before the exchange.
+    */
+  def build(spark: SparkSession, dir: String, statsCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(statsCol)).as("min_v"),
+        max(col(statsCol)).as("max_v"))
+
+  /** Files whose [min,max] zone intersects [lo,hi] — the candidate
+    * set a range predicate must read. Driver-side collect of the
+    * stats table is intentional: it's one small row per file.
+    */
+  def candidateFiles(zoneMap: DataFrame, lo: Any, hi: Any): Seq[String] =
+    zoneMap
+      .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
+      .select("file")
+      .collect()
+      .map(_.getString(0))
+      .toIndexedSeq
+
+  /** Range scan via the zone map: read ONLY the candidate files, then
+    * re-apply the exact predicate. Row-identical to the full scan
+    * with the same predicate; cheaper by however many files the
+    * layout lets the zone map rule out.
+    */
+  def prunedRead(
+      spark: SparkSession,
+      dir: String,
+      zoneMap: DataFrame,
+      statsCol: String,
+      lo: Any,
+      hi: Any): DataFrame = {
+    val files = candidateFiles(zoneMap, lo, hi)
+    val base =
+      if (files.isEmpty)
+        // no file can match: empty frame with the table's schema
+        spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+}

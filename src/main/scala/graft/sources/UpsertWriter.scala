@@ -282,6 +282,26 @@ object UpsertWriter {
     commitVersion(fs, target, remaining, liveNum + 1, partitionBy, keepVersions)
   }
 
+  /** Savepoint restore: re-commit a retained older version's CONTENT
+    * as a brand-new version (Hudi `savepoint` + `restore`; Delta
+    * `RESTORE TABLE ... TO VERSION`). Rolling FORWARD to a new
+    * version — instead of deleting newer ones — keeps the timeline
+    * append-only: incremental consumers see the rollback as one more
+    * commit to replay, never a commit that vanished under them.
+    */
+  def restore(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      version: Int,
+      partitionBy: Seq[String] = Nil,
+      keepVersions: Int = 2): Unit = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshot = readVersion(spark, targetPath, version)
+    val liveNum = committedVersions(fs, target).last._1
+    commitVersion(fs, target, snapshot, liveNum + 1, partitionBy, keepVersions)
+  }
+
   private def commitVersion(
       fs: FileSystem,
       target: Path,

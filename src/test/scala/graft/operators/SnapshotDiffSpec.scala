@@ -42,4 +42,28 @@ class SnapshotDiffSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
     assert(out == Set((2L, "update", "B!"), (4L, "insert", "d")))
   }
+
+  test("changeFeed: updates emit pre+post images; inserts/deletes one row each") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+    val neu = Seq((1L, "a", 10.0), (2L, "b", 99.0), (4L, "d", 40.0)).toDF("id", "name", "v")
+    val out = SnapshotDiff.changeFeed(old, neu, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      (2L, "update_preimage", "b", 20.0),
+      (2L, "update_postimage", "b", 99.0),
+      (3L, "delete", "c", 30.0),
+      (4L, "insert", "d", 40.0))) // id=1 unchanged → absent
+  }
+
+  test("changeFeed: update to NULL keeps a non-null preimage and a null postimage") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, Some("x"))).toDF("id", "name")
+    val neu = Seq((1L, None: Option[String])).toDF("id", "name")
+    val out = SnapshotDiff.changeFeed(old, neu, Seq("id"))
+      .collect().map(r => r.getString(1) -> Option(r.getString(2))).toMap
+    assert(out == Map("update_preimage" -> Some("x"), "update_postimage" -> None))
+  }
 }

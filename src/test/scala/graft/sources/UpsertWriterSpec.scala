@@ -162,6 +162,24 @@ class UpsertWriterSpec extends SparkSpec {
     assert(v1 == Set(1L, 2L, 3L))
   }
 
+  test("restore: an older snapshot re-commits as a NEW version (append-only timeline)") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-restore-") + "/t"
+    UpsertWriter.upsert(Seq((1L, 1L, "v1")).toDF("k", "ver", "p"), table,
+      Seq("k"), "ver", keepVersions = 5)
+    UpsertWriter.upsert(Seq((1L, 2L, "v2"), (2L, 2L, "v2")).toDF("k", "ver", "p"), table,
+      Seq("k"), "ver", keepVersions = 5)
+    UpsertWriter.restore(spark, table, version = 1, keepVersions = 5)
+    // timeline grew to v3; live content == v1's
+    assert(UpsertWriter.versions(spark, table) == Seq(1, 2, 3))
+    val live = UpsertWriter.read(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(live == Set((1L, "v1")))
+    // the rolled-back state is still reachable for incremental diffing
+    assert(UpsertWriter.readVersion(spark, table, 2).count() == 2L)
+  }
+
   test("hive-style partitioned + clustered write") {
     val table = tmpDir("graft-upsert-part-") + "/t"
     val s = spark
