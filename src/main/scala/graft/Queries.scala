@@ -2660,6 +2660,86 @@ object Queries {
     oracle = Some(
       "SELECT * FROM orders WHERE o_totalprice BETWEEN 10000.0 AND 20000.0"))
 
+  /** #61 BPE pair statistics — the ranking one tokenizer-training
+    * iteration runs: weighted adjacent character pairs over the
+    * distinct-word frequency table (never the corpus), top 20 with a
+    * total-order tiebreak. `left`/`right` are SQL keywords → emitted
+    * as lhs/rhs.
+    */
+  val qBpePairs: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.operators.Bpe
+      Bpe.pairCounts(Bpe.toSymbols(Bpe.wordCounts(t(s, dir, "documents"))))
+        .select(col("left").as("lhs"), col("right").as("rhs"), col("pair_n"))
+        .orderBy(col("pair_n").desc, col("lhs"), col("rhs"))
+        .limit(20)
+    },
+    oracle = Some(
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |), wc AS (
+        |  SELECT w, count(*) AS c FROM words WHERE strlen(w) >= 1 GROUP BY w
+        |), pairs AS (
+        |  SELECT substring(w, CAST(i AS INT), 1) AS lhs,
+        |         substring(w, CAST(i AS INT) + 1, 1) AS rhs, c
+        |  FROM wc, unnest(range(1, strlen(w))) AS t(i)
+        |  WHERE strlen(w) >= 2
+        |)
+        |SELECT lhs, rhs, CAST(sum(c) AS BIGINT) AS pair_n
+        |FROM pairs GROUP BY lhs, rhs
+        |ORDER BY pair_n DESC, lhs, rhs LIMIT 20""".stripMargin))
+
+  /** #61b Learned BPE merge table (8 iterations over the word-
+    * frequency table; greedy leftmost apply). Iterative re-
+    * tokenization isn't SQL-expressible → rows-only here; the spec
+    * pins the merges against an independent in-memory reference
+    * implementation.
+    */
+  val qBpeMerges: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Bpe.trainDf(s, t(s, dir, "documents"), iters = 8)
+      .select(col("rank").cast("long").as("rank"),
+        col("left").as("lhs"), col("right").as("rhs"), col("pair_n")),
+    oracle = None)
+
+  /** #62 Fixed-weight linear quality classifier: integer features ×
+    * integer weights vs an integer threshold — the model-based
+    * quality gate, engine-exact (see TextAnalysis.qualityLinear).
+    */
+  val qQualityScore: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.TextAnalysis.qualityLinear(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_words"), col("stop_hits"), col("mwl10"),
+        col("q_score"), col("q_pass")),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+        |        'that', 'it', 'was', 'for'))) AS BIGINT) AS stop_hits
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, n_words, stop_hits,
+        |    CASE WHEN n_words > 0 THEN word_chars * 10 // n_words ELSE 0 END AS mwl10
+        |  FROM m
+        |)
+        |SELECT doc_id, n_words, stop_hits, mwl10,
+        |  2 * least(n_words, 100) + 25 * stop_hits - abs(mwl10 - 50) AS q_score,
+        |  (2 * least(n_words, 100) + 25 * stop_hits - abs(mwl10 - 50)) >= 220 AS q_pass
+        |FROM f""".stripMargin))
+
+  /** #63 Product-quantization approximate top-k (ADC) — rows-only
+    * (quantization error is implementation-defined); the spec bounds
+    * recall against exact inner-product search.
+    */
+  val qSimPqTopk: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    oracle = None)
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2778,5 +2858,9 @@ object Queries {
     "q_mor_read" -> qMorRead,
     "q_cdc_feed" -> qCdcFeed,
     "q_point_lookup" -> qPointLookup,
-    "q_zonemap_scan" -> qZonemapScan)
+    "q_zonemap_scan" -> qZonemapScan,
+    "text_bpe_pairs" -> qBpePairs,
+    "text_bpe_merges" -> qBpeMerges,
+    "q_quality_score" -> qQualityScore,
+    "sim_pq_topk" -> qSimPqTopk)
 }

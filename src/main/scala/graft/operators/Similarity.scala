@@ -238,6 +238,77 @@ object Similarity {
         .cast("int").as("code"))
   }
 
+  /** Product-quantization approximate top-k (ADC — asymmetric
+    * distance computation). The memory-side ANN scale path: each
+    * corpus vector compresses to `m` one-byte codes (64-dim float32 →
+    * 8 bytes, 32× smaller), so a 100 TB embedding corpus's index fits
+    * in RAM where raw vectors never would; PQ composes with the IVF
+    * cell routing above (IVF picks candidate cells, PQ scores inside
+    * them) exactly as in the FAISS IVFPQ design.
+    *
+    * Training mirrors `ivfTopK`: bounded hash-ordered sample to the
+    * driver, Lloyd's per SUBSPACE (m independent k-means over
+    * dim/m-dim slices), codebooks become plan literals. Encoding is a
+    * codegen-friendly projection (per subspace: ksub dot products +
+    * struct-argmin). Search keeps the query side EXACT: approximate
+    * score = Σ_j q_j · c_{j,code_j} — the inner product of the query
+    * with the corpus vector's reconstruction — computed per pair from
+    * the codes; only codes ever leave the corpus scan.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      trainSample: Int = 4096,
+      lloydIters: Int = 10): DataFrame = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(trainSample)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // m independent codebooks, each trained on its own slice
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      lloyd(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, lloydIters)
+    }
+
+    // encode: per subspace, argmin_c ||x_j - c||² = ||c||² - 2·x_j·c
+    // (+ ||x_j||² constant); struct-argmin ties to the lowest code
+    def codeFor(vec: org.apache.spark.sql.Column, j: Int) = {
+      val sub = slice(vec, j * dsub + 1, dsub)
+      array_min(array(codebooks(j).zipWithIndex.map { case (c, i) =>
+        val cnorm2 = c.map(x => x * x).sum
+        struct(
+          (lit(cnorm2) - lit(2.0) * VectorFunctions.dot(sub, typedLit(c.map(_.toFloat).toSeq))).as("d"),
+          lit(i).as("i"))
+      }.toIndexedSeq: _*)).getField("i")
+    }
+    val encoded = corpus.select(
+      col("vec_id").as("cid"),
+      array((0 until m).map(j => codeFor(col("embedding"), j)): _*).as("codes"))
+
+    // ADC score: Σ_j q_j · codebook[j][code_j]; codebook is a plan
+    // literal, so the lookup is element_at + a dsub-wide dot — no
+    // join against a centroid table, no corpus vectors read
+    val cbLit = (j: Int) => typedLit(codebooks(j).map(_.map(_.toFloat).toSeq).toSeq)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val approx = (0 until m).map { j =>
+      VectorFunctions.dot(
+        slice(col("qvec"), j * dsub + 1, dsub),
+        element_at(cbLit(j), col("codes").getItem(j) + 1))
+    }.reduce(_ + _)
+    val scored = encoded.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("sim", approx)
+    topKPerQuery(scored, k)
+  }
+
   def embeddingNearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
     val a = df.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val b = df.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))

@@ -96,6 +96,39 @@ object TextAnalysis {
       .withColumn("gopher_pass", rWc && rMwl && rAlpha && rStop)
   }
 
+  /** Fixed-weight linear quality scorer — the shape of a fastText/
+    * logistic quality classifier's inference pass, with weights
+    * PINNED as integers so the score (and therefore the keep/drop
+    * gate) is bit-identical on any engine: no trained floats, no
+    * sigmoid — the monotone score compares against an integer
+    * threshold directly. Features are the Gopher-style integer
+    * derivations: capped word count, mean word length ×10 (integer
+    * div), English stopword hits.
+    *
+    *   score = 2·min(n_words, 100) + 25·stop_hits − |mwl10 − 50|
+    *   where mwl10 = word_chars·10 div n_words
+    *
+    * One projection, no shuffle, fully codegen'd — at 100 TB this
+    * runs at scan speed.
+    */
+  def qualityLinear(df: DataFrame, textCol: String = "text",
+      threshold: Long = 220L): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val wordChars = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val stopHits = stopwordHits(toks, Stopwords.toMap.apply("en")).cast("long")
+    val wc10 = when(nWords > 0, expr("word_chars * 10 div n_words")).otherwise(lit(0L))
+    df.withColumn("n_words", nWords)
+      .withColumn("word_chars", wordChars)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("mwl10", wc10)
+      .withColumn("q_score",
+        lit(2L) * least(col("n_words"), lit(100L)) +
+          lit(25L) * col("stop_hits") -
+          abs(col("mwl10") - lit(50L)))
+      .withColumn("q_pass", col("q_score") >= threshold)
+  }
+
   /** Stopword-count language ID: score each language by function-word
     * hits; winner = max count, ties to the alphabetically-first code,
     * zero hits => "und" (undetermined). Deterministic by construction.

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  /** Independent in-memory BPE reference: same contract (weighted
+    * pair counts over distinct words, ties to lexicographically
+    * smallest pair, greedy leftmost apply) implemented with plain
+    * collections — the distributed trainer must reproduce it merge
+    * for merge.
+    */
+  private def referenceBpe(words: Map[String, Long], iters: Int): Seq[(Int, String, String, Long)] = {
+    var syms: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector } { case (_, n) => n }(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to iters) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((s, n) <- syms; j <- 0 until s.length - 1)
+        counts((s(j), s(j + 1))) = counts.getOrElse((s(j), s(j + 1)), 0L) + n
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        out += ((i, l, r, n))
+        syms = syms.groupMapReduce { case (s, _) =>
+          val b = Vector.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == l && s(j + 1) == r) { b += (l + r); j += 2 }
+            else { b += s(j); j += 1 }
+          }
+          b.result()
+        } { case (_, n) => n }(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("train matches the in-memory reference merge-for-merge (incl. greedy overlap)") {
+    val s = spark
+    import s.implicits._
+    // 'aaab' stresses greedy leftmost ("aa" merges once in "aaa");
+    // repeated docs stress the weighting
+    val docs = Seq(
+      "low low low lower lower newest newest newest newest widest",
+      "aaab aaab aaab banana low newest",
+      "the the the the bane bane").map(Tuple1(_)).toDF("text")
+    val words = docs.as[String].collect()
+      .flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = referenceBpe(words, 10)
+    val got = Bpe.train(docs, iters = 10)
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
+  test("segment replays merges greedily: leftmost-first on overlapping pairs") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(("aaa", 1L), ("aab", 1L)).toDF("word", "n")
+    val segmented = Bpe.segment(words, Seq((1, "a", "a", 2L)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(segmented("aaa") == Seq("aa", "a")) // NOT a,aa
+    assert(segmented("aab") == Seq("aa", "b"))
+  }
+
+  test("pairCounts weights pairs by word frequency") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(("ab", 5L), ("abc", 2L)).toDF("word", "n")
+    val counts = Bpe.pairCounts(Bpe.toSymbols(words))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(("a", "b") -> 7L, ("b", "c") -> 2L))
+  }
+}

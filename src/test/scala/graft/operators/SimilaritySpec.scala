@@ -74,6 +74,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"ivf recall $recall") // nprobe/nlist = 1/4 of corpus probed
   }
 
+  test("pqTopK: deterministic, self excluded, decent recall vs exact dot product") {
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    // exact inner-product top-10 (PQ/ADC approximates the dot, not
+    // cosine, so that's the right baseline)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d").desc, col("cid"))
+    val exact = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("d", VectorFunctions.dot(col("cvec"), col("qvec")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = run()
+    assert(pq == run()) // seeded: stable across runs
+    assert(pq.size == exact.size)
+    val corpusIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pq.forall { case (q, n) => corpusIds.contains(n) && n != q })
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    // 8 codes of 16 centroids is a coarse sketch — expect imperfect
+    // but far-above-chance recall (chance ≈ 10/500 = 2%)
+    assert(recall > 0.2, s"pq recall $recall")
+  }
+
   test("embeddingNearDupPairs: threshold filter, a<b ordering") {
     val df = vecs(1L -> Seq(1f, 0f), 2L -> Seq(1f, 0.01f), 3L -> Seq(0f, 1f))
     val out = Similarity.embeddingNearDupPairs(df, threshold = 0.9)

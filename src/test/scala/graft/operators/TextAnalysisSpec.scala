@@ -123,4 +123,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(("x", "y") -> 1L, ("x", "z") -> 1L,
       ("y", "z") -> 1L, ("y", "x") -> 1L, ("z", "x") -> 1L))
   }
+
+  test("qualityLinear: hand-computed integer score and gate") {
+    // doc1: 6 words ("the" ×2 stopword hits), word_chars=17 → mwl10=28
+    //   score = 2·6 + 25·2 − |28−50| = 12 + 50 − 22 = 40 → fail
+    val docs = docsDf(Seq(1L -> "the cat sat on the mat"))
+    val r = TextAnalysis.qualityLinear(docs, threshold = 40L).collect()(0)
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getLong(byName("n_words")) == 6L)
+    assert(r.getLong(byName("stop_hits")) == 2L)
+    assert(r.getLong(byName("mwl10")) == 28L)
+    assert(r.getLong(byName("q_score")) == 40L)
+    assert(r.getBoolean(byName("q_pass"))) // == threshold passes
+    val strict = TextAnalysis.qualityLinear(docs, threshold = 41L).collect()(0)
+    assert(!strict.getBoolean(byName("q_pass")))
+  }
 }
