@@ -2740,6 +2740,163 @@ object Queries {
     },
     oracle = None)
 
+  /** #16b Order-priority check (TPC-H Q4 shape, adapted to this
+    * schema's dates): orders with at least one line item shipped
+    * more than 60 days after the order date, counted per priority —
+    * an EXISTS (left-semi join) with an inequality payload condition.
+    */
+  val q4Priority: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > date_add(o("o_orderdate"), 60),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #16c Returned-item revenue report (TPC-H Q10 shape): per-customer
+    * revenue over returned lines, top 20 (total-ordered tiebreak on
+    * custkey). Fact-side filter prunes before the join; the customer
+    * and nation dims broadcast.
+    */
+  val q10Returns: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,6)")
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    oracle = Some(
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  /** #16d Large-volume orders (TPC-H Q18 shape): orders whose total
+    * line quantity exceeds 150, joined back to customer — a HAVING
+    * aggregate feeding a second join, with the quantity rollup as
+    * exact integral-double sums.
+    */
+  val q18LargeOrders: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      t(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+    },
+    oracle = Some(
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin))
+
+  /** #10m Point-in-time temporal join: probes at ts+45min enriched
+    * with the SCD2 dimension state valid at that instant — the
+    * feature-store no-leakage join, executed as an as-of join (no
+    * range join, no interval explosion). The oracle is the literal
+    * `valid_from <= pts < valid_to` LEFT JOIN.
+    */
+  val qTemporalJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = graft.operators.Scd2.fromChangeLog(
+        ev, "user_id", "ts", attrCols = Seq("event_type"), tiebreakCols = Seq("event_id"))
+      val probes = ev.select(col("event_id"), col("user_id"),
+        (col("ts") + expr("INTERVAL 45 MINUTE")).as("pts"))
+      graft.operators.Scd2.temporalJoin(probes, dim, Seq("user_id"), "pts", Seq("event_type"))
+        .select(col("event_id"), col("user_id"), col("pts"),
+          col("asof_event_type").as("type_at"))
+    },
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+        |), dim AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM ch
+        |), p AS (
+        |  SELECT event_id, user_id, ts + INTERVAL 45 MINUTE AS pts FROM events
+        |)
+        |SELECT p.event_id, p.user_id, p.pts, d.event_type AS type_at
+        |FROM p LEFT JOIN dim d
+        |  ON p.user_id = d.user_id
+        | AND d.valid_from <= p.pts
+        | AND (d.valid_to IS NULL OR p.pts < d.valid_to)""".stripMargin))
+
+  /** #17c Nation-pair trade volume (TPC-H Q7 shape): the same nation
+    * dimension joined in TWO roles (customer side, supplier side),
+    * asymmetric pairs only — revenue per (cust_nation, supp_nation).
+    */
+  val q7Volume: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,6)")
+      val custNation = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+      val suppNation = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(custNation, col("c_nationkey") === col("cnk"))
+        .join(suppNation, col("s_nationkey") === col("snk"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+    },
+    oracle = Some(
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE cn.n_name != sn.n_name
+        |GROUP BY cn.n_name, sn.n_name""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2862,5 +3019,10 @@ object Queries {
     "text_bpe_pairs" -> qBpePairs,
     "text_bpe_merges" -> qBpeMerges,
     "q_quality_score" -> qQualityScore,
-    "sim_pq_topk" -> qSimPqTopk)
+    "sim_pq_topk" -> qSimPqTopk,
+    "q4_priority" -> q4Priority,
+    "q10_returns" -> q10Returns,
+    "q18_large_orders" -> q18LargeOrders,
+    "q_temporal_join" -> qTemporalJoin,
+    "q7_volume" -> q7Volume)
 }

@@ -81,4 +81,27 @@ object Scd2 {
     fromChangeLog(touchedLog, keyCol, orderCol, attrCols)
       .unionByName(untouched.select((keyCol +: attrCols ++: Seq("valid_from", "valid_to", "is_current")).map(col): _*))
   }
+
+  /** Point-in-time (temporal) join: enrich each fact row with the
+    * dimension attributes that were valid AT the fact's timestamp —
+    * the feature-store correctness rule (training joins must never
+    * leak a dimension state from after the label event).
+    *
+    * SCD2 intervals are disjoint and contiguous per key, so "the row
+    * with the greatest valid_from at-or-before the fact ts" IS the
+    * containing interval — an as-of join (union + per-key window, no
+    * range join, no interval explosion). Facts before the key's first
+    * interval get nulls, matching the LEFT JOIN
+    * `valid_from <= ts < valid_to` formulation exactly; at an
+    * interval boundary the NEWER interval wins ([from, to)
+    * semantics). Output: fact columns + `asof_<attr>` per attribute.
+    */
+  def temporalJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factTs: String,
+      attrCols: Seq[String]): DataFrame =
+    AsOfJoin.asof(facts, dim, keys, factTs, rightTs = "valid_from",
+        rightPayload = attrCols, inclusive = true)
 }

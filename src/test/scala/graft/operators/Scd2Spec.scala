@@ -57,6 +57,25 @@ class Scd2Spec extends SparkSpec {
       rebuilt.orderBy("k", "valid_from").collect().toSeq)
   }
 
+  test("temporalJoin: each probe gets the interval containing it; [from,to) at boundaries") {
+    val s = spark
+    import s.implicits._
+    // key 1: attr a @ [1, 5), b @ [5, ∞)
+    val log = Seq((1L, 1L, "a"), (1L, 5L, "b")).toDF("k", "seq", "attr")
+    val dim = Scd2.fromChangeLog(log, "k", "seq", Seq("attr"))
+    val probes = Seq((10L, 1L, 0L), (11L, 1L, 1L), (12L, 1L, 4L), (13L, 1L, 5L),
+      (14L, 1L, 99L), (15L, 2L, 3L)).toDF("pid", "k", "pts")
+    val out = Scd2.temporalJoin(probes, dim, Seq("k"), "pts", Seq("attr"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(
+      10L -> None,       // before first interval
+      11L -> Some("a"),  // boundary: interval start is inclusive
+      12L -> Some("a"),
+      13L -> Some("b"),  // boundary: previous interval end is exclusive
+      14L -> Some("b"),  // open-ended current interval
+      15L -> None))      // unknown key
+  }
+
   test("history builds on one exchange (windows share the per-key sort)") {
     val plan = Scd2.fromChangeLog(changeLog(), "k", "seq", Seq("attr"))
       .queryExecution.executedPlan.treeString
