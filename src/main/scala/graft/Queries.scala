@@ -1258,6 +1258,17 @@ object Queries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5""".stripMargin))
 
+  /** #26d Prefix-filtered Jaccard pairs (PPJoin): provably EXACT
+    * result of the full inverted-index join from a fraction of the
+    * candidate space — the oracle is therefore dedup_ngram_jaccard's
+    * oracle verbatim.
+    */
+  val qDedupPrefix: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Dedup.prefixFilteredJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5),
+    oracle = qDedupNgramJaccard.oracle)
+
   /** #26b Edit-distance near-dup pairs: shingle-Jaccard candidates
     * (>= 0.2) verified by bounded Levenshtein (<= 30). Spark trades
     * hashed 8-byte shingles and short-circuits the DP at the
@@ -2897,6 +2908,42 @@ object Queries {
         |WHERE cn.n_name != sn.n_name
         |GROUP BY cn.n_name, sn.n_name""".stripMargin))
 
+  /** #22k Streaming incremental read of the MOR delta log: two delta
+    * commits stream through the file source (one micro-batch each)
+    * into a running aggregate — the Hudi streaming-incremental-query
+    * shape. The base snapshot is NOT re-read; only commit deltas flow.
+    */
+  val qStreamMor: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("stream-mor")
+      val base = t(s, dir, "events")
+      graft.sources.MorTable.writeBase(base, target)
+      graft.sources.MorTable.appendLog(
+        base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")), target)
+      graft.sources.MorTable.appendLog(
+        base.filter(col("event_type") === "click")
+          .withColumn("event_id", col("event_id") + 20000000L), target)
+      graft.streaming.TableStream.runLogAggToBatch(
+        s, target,
+        df => df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value")),
+        queryName = "graft_stream_mor_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+    },
+    oracle = Some(
+      """WITH deltas AS (
+        |  SELECT event_type, value * 2 AS value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_type = 'click'
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM deltas GROUP BY event_type""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3024,5 +3071,7 @@ object Queries {
     "q10_returns" -> q10Returns,
     "q18_large_orders" -> q18LargeOrders,
     "q_temporal_join" -> qTemporalJoin,
-    "q7_volume" -> q7Volume)
+    "q7_volume" -> q7Volume,
+    "q_stream_mor" -> qStreamMor,
+    "dedup_prefix" -> qDedupPrefix)
 }

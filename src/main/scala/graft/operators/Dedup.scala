@@ -122,6 +122,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered Jaccard pairs (PPJoin-style) — EXACT same result
+    * as `ngramJaccardPairs`, with a provably-sufficient fraction of
+    * the index join: order each doc's shingle set by one global total
+    * order; if J(A,B) >= t, A and B must share a shingle within their
+    * first |X| - ceil(t·|X|) + 1 shingles (the "prefix"), so only
+    * prefix shingles enter the candidate join — at t=0.8 that's ~20%
+    * of the index rows, and candidate verification touches only
+    * surviving pairs (size(array_intersect) on the two shingle
+    * arrays, no second index pass).
+    *
+    * Canonical order here is the shingle hash itself (free — the
+    * array sorts once per doc, no global stats). Production corpora
+    * get better pruning from ascending-document-frequency order
+    * (rare shingles first), at the cost of one extra shingle-count
+    * aggregation; the filter stays correct under ANY shared total
+    * order, which is what the spec pins against the unfiltered join.
+    */
+  def prefixFilteredJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val docs = df
+      .select(col(idCol).as("doc"), sort_array(hashedShingles(col(textCol), n)).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .filter(col("nsh") > 0)
+    val prefLen = (col("nsh") - ceil(col("nsh") * lit(threshold)).cast("int") + 1)
+    val pref = docs.select(col("doc"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("h"))
+    val cand = pref.as("a")
+      .join(pref.as("b"), col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc").as("doc_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "doc_a")
+      .join(docs.select(col("doc").as("doc_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("nsh_a") + col("nsh_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Containment near-dup pairs: ordered (a, b) where
     * |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold — "a is
     * (mostly) contained in b". Symmetric Jaccard MISSES quote-and-

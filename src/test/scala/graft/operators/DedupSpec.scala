@@ -49,6 +49,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefixFilteredJaccardPairs equals the unfiltered index join on real docs") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    for (t <- Seq(0.5, 0.8)) {
+      val full = canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = t))
+      val pref = canon(Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", n = 5, threshold = t))
+      assert(pref == full, s"threshold $t: prefix-filtered join diverged")
+    }
+  }
+
+  test("prefixFilteredJaccardPairs: planted near-dups survive the filter") {
+    val pairs = Dedup.prefixFilteredJaccardPairs(corpus, "doc_id", "text", n = 5, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(math.abs(pairs((1L, 3L)) - 4.0 / 14.0) < 1e-12)
+  }
+
   test("containmentPairs: quote-and-expand caught one-directionally") {
     val s = spark
     import s.implicits._

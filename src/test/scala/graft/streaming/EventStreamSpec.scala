@@ -191,4 +191,21 @@ class EventStreamSpec extends SparkSpec {
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum"))
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
   }
+
+  test("TableStream: delta commits stream as input; later commits surface on catch-up") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-tablestream-") + "/t"
+    graft.sources.MorTable.writeBase(Seq((1L, "base")).toDF("k", "v"), table)
+    graft.sources.MorTable.appendLog(Seq((2L, "a"), (3L, "a")).toDF("k", "v"), table)
+    val first = TableStream.runLogAggToBatch(spark, table,
+      df => df.groupBy(col("v")).agg(count(lit(1)).as("n")), "spec_tablestream_1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == Map("a" -> 2L), "base rows must NOT flow through the log stream")
+    graft.sources.MorTable.appendLog(Seq((4L, "b")).toDF("k", "v"), table)
+    val second = TableStream.runLogAggToBatch(spark, table,
+      df => df.groupBy(col("v")).agg(count(lit(1)).as("n")), "spec_tablestream_2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(second == Map("a" -> 2L, "b" -> 1L))
+  }
 }
