@@ -2944,6 +2944,111 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM deltas GROUP BY event_type""".stripMargin))
 
+  /** #14k Value-based quantile binning: quartile fences per group,
+    * rows bucketed 1-4 against them (boundary goes up) — feature
+    * discretization as one agg + broadcast join.
+    */
+  val qQuantileBins: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Profiler.quantileBins(
+        t(s, dir, "events").withColumn("cents", round(col("value") * 100).cast("long")),
+        "event_type", "cents")
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"), max(col("cents")).as("hi")),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |), q AS (
+        |  SELECT event_type,
+        |    quantile_cont(cents, 0.25) AS p25,
+        |    quantile_cont(cents, 0.50) AS p50,
+        |    quantile_cont(cents, 0.75) AS p75
+        |  FROM c GROUP BY event_type
+        |), b AS (
+        |  SELECT c.event_type, cents,
+        |    CASE WHEN cents < p25 THEN 1 WHEN cents < p50 THEN 2
+        |         WHEN cents < p75 THEN 3 ELSE 4 END AS bin
+        |  FROM c JOIN q USING (event_type)
+        |)
+        |SELECT event_type, bin, count(*) AS n, min(cents) AS lo, max(cents) AS hi
+        |FROM b GROUP BY event_type, bin""".stripMargin))
+
+  /** #14l Group-mean null imputation: values nulled on a fixed key
+    * schedule (event_id % 7 = 0 — the corpus has no natural nulls),
+    * then imputed with the exact per-type mean of the survivors.
+    */
+  val qImpute: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Profiler.imputeMean(
+        t(s, dir, "events").withColumn("value",
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null)).otherwise(col("value"))),
+        "event_type", "value", "value_filled")
+      .select(col("event_id"), col("event_type"), col("value"), col("value_filled")),
+    oracle = Some(
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value) AS mean_v
+        |  FROM v WHERE value IS NOT NULL GROUP BY event_type
+        |)
+        |SELECT event_id, v.event_type, value,
+        |       coalesce(value, mean_v) AS value_filled
+        |FROM v LEFT JOIN m USING (event_type)""".stripMargin))
+
+  /** #28d Tensor-column profile: per-dimension n/min/max/fixed-point
+    * mean over the whole embedding corpus — Profiler for an
+    * Array[Float] column (the per-label variant is emb_centroids).
+    */
+  val qEmbProfile: QueryDef = QueryDef(
+    run = (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).cast("double").as("min_v"),
+          max(col("v")).cast("double").as("max_v"),
+          (sum(floor(col("v").cast("double") * 1e9).cast("long")).cast("double")
+            / count(lit(1)) / 1e9).as("mean_v")),
+    oracle = Some(
+      """WITH e AS (
+        |  SELECT unnest(range(len(embedding))) AS pos, unnest(embedding) AS v
+        |  FROM embeddings
+        |)
+        |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+        |  CAST(min(v) AS DOUBLE) AS min_v,
+        |  CAST(max(v) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1000000000.0 AS mean_v
+        |FROM e GROUP BY pos""".stripMargin))
+
+  /** #28e Sparse random projection to 8 dims: the hash-derived
+    * Achlioptas matrix makes the projected coordinates exact integer
+    * sums both engines regenerate bit-identically (bounded to
+    * vec_id < 500 for the dump; the operator is corpus-generic).
+    */
+  val qEmbProject: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Similarity.randomProject(
+      t(s, dir, "embeddings").filter(col("vec_id") < 500), kOut = 8),
+    oracle = Some(
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM embeddings WHERE vec_id < 500
+        |), x AS (
+        |  SELECT vec_id, pos, CAST(floor(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT) AS q,
+        |         unnest(range(8)) AS j
+        |  FROM e
+        |), r AS (
+        |  SELECT vec_id, j, q,
+        |    ((pos % 2147483648) * 2654435761 + j * 40503) % 2147483648 % 6 AS sel
+        |  FROM x
+        |)
+        |SELECT vec_id, j,
+        |  CAST(sum(CASE WHEN sel = 0 THEN q WHEN sel = 1 THEN -q ELSE 0 END) AS BIGINT) AS y_fp
+        |FROM r GROUP BY vec_id, j""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3073,5 +3178,9 @@ object Queries {
     "q_temporal_join" -> qTemporalJoin,
     "q7_volume" -> q7Volume,
     "q_stream_mor" -> qStreamMor,
-    "dedup_prefix" -> qDedupPrefix)
+    "dedup_prefix" -> qDedupPrefix,
+    "q_quantile_bins" -> qQuantileBins,
+    "q_impute" -> qImpute,
+    "q_emb_profile" -> qEmbProfile,
+    "q_emb_project" -> qEmbProject)
 }

@@ -186,6 +186,57 @@ object Profiler {
       .drop("_n", "_s", "_ss")
   }
 
+  /** Value-based quantile binning (feature discretization): per
+    * group, interpolated quartile fences from one percentile
+    * aggregate, then each row labels itself against the broadcast
+    * fences — the QuantileDiscretizer shape without an ML fit/
+    * transform pass. Bucket k means value < p(k/4), bucket 4 is the
+    * rest; boundary rows go UP (v < fence, not <=), which both
+    * engines evaluate identically since the fences are the same
+    * interpolated doubles the oracle computes.
+    */
+  def quantileBins(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val fences = df
+      .groupBy(col(groupCol))
+      .agg(percentile(v, array(lit(0.25), lit(0.5), lit(0.75))).as("_q"))
+      .select(col(groupCol),
+        element_at(col("_q"), 1).as("p25"),
+        element_at(col("_q"), 2).as("p50"),
+        element_at(col("_q"), 3).as("p75"))
+    df.join(broadcast(fences), Seq(groupCol))
+      .withColumn("bin",
+        when(v < col("p25"), 1)
+          .when(v < col("p50"), 2)
+          .when(v < col("p75"), 3)
+          .otherwise(4))
+      .drop("p25", "p50", "p75")
+  }
+
+  /** Group-mean null imputation (feature cleaning): missing values
+    * fill with their group's mean over the PRESENT values, computed
+    * exactly (decimal sum → double ÷ long count, both bit-defined);
+    * an all-null group stays null. One aggregate + a broadcast join —
+    * no window, no second scan.
+    */
+  def imputeMean(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      outCol: String): DataFrame = {
+    val present = df.filter(col(valueCol).isNotNull)
+    val means = present
+      .groupBy(col(groupCol))
+      .agg((sum(col(valueCol).cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("_mean"))
+    df.join(broadcast(means), Seq(groupCol), "left")
+      .withColumn(outCol, coalesce(col(valueCol), col("_mean")))
+      .drop("_mean")
+  }
+
   def iqrOutliers(
       df: DataFrame,
       groupCol: String,

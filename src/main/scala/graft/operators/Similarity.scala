@@ -309,6 +309,34 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Sparse random projection (Achlioptas) to `kOut` dimensions with
+    * a HASH-DERIVED projection matrix: r(i,j) ∈ {+1, −1, 0} with
+    * probabilities (1/6, 1/6, 2/3) comes from the same multiplicative
+    * integer hash the sampling operators use, so the matrix needs no
+    * storage, no broadcast, and ANY engine regenerates it bit-
+    * identically — the output is oracle-able, which a Gaussian RNG
+    * matrix never is. Input values quantize to fixed-point longs
+    * (floor(v·1e9), exact for float32 inputs), so each output
+    * coordinate is an exact ±sum of longs: y(j) = Σ_i r(i,j)·q(v_i).
+    * Johnson–Lindenstrauss applies to the ±1 construction, and the
+    * 2/3 zeros mean only a third of the terms are touched at 100 TB.
+    */
+  def randomProject(df: DataFrame, kOut: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kOut > 0, "kOut must be positive")
+    val q = floor(col("_v").cast("double") * 1e9).cast("long")
+    val h = (col("pos") % 2147483648L) * 2654435761L + col("j") * 40503L
+    val r = when(pmod(h, lit(2147483648L)) % 6 === 0, 1L)
+      .when(pmod(h, lit(2147483648L)) % 6 === 1, -1L)
+      .otherwise(0L)
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .withColumn("pos", col("pos").cast("long"))
+      .crossJoin(broadcast(
+        df.sparkSession.range(kOut).select(col("id").as("j"))))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(r * q).as("y_fp"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
     val a = df.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val b = df.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))

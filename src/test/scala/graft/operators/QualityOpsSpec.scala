@@ -214,4 +214,29 @@ class QualityOpsSpec extends SparkSpec {
     val df = Seq((1L, "g", 5L), (2L, "g", 5L), (3L, "g", 5L)).toDF("id", "grp", "v")
     assert(Profiler.zscoreOutliers(df, "grp", "v", k = 3).count() == 0L)
   }
+
+  test("quantileBins: quartiles of 1..8 bucket evenly; boundary goes up") {
+    val s = spark
+    import s.implicits._
+    // sorted 1..8: p25=2.75, p50=4.5, p75=6.25
+    val df = (1L to 8L).map(("g", _)).toDF("grp", "v")
+    val bins = Profiler.quantileBins(df, "grp", "v")
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(bins == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4))
+  }
+
+  test("imputeMean: nulls fill with the group mean of survivors; all-null group stays null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", None),
+      ("b", None)).toDF("grp", "v")
+    val out = Profiler.imputeMean(df, "grp", "v", "filled")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out == Set(
+      ("a", Some(10.0), Some(10.0)),
+      ("a", Some(20.0), Some(20.0)),
+      ("a", None, Some(15.0)),
+      ("b", None, None)))
+  }
 }

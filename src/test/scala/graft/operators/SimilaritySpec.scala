@@ -102,6 +102,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"pq recall $recall")
   }
 
+  test("randomProject: hand-checkable signs, exact fixed-point sums, deterministic") {
+    val df = vecs(1L -> Seq(1.0f, -2.0f), 2L -> Seq(0f, 0f))
+    val out = Similarity.randomProject(df, kOut = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // regenerate the hash matrix the operator defines
+    def sel(pos: Long, j: Long): Long = ((pos % 2147483648L) * 2654435761L + j * 40503L) % 2147483648L % 6
+    def r(pos: Long, j: Long): Long = sel(pos, j) match { case 0 => 1L; case 1 => -1L; case _ => 0L }
+    def q(v: Double): Long = math.floor(v * 1e9).toLong
+    for (j <- 0L to 1L) {
+      assert(out((1L, j)) == r(0, j) * q(1.0) + r(1, j) * q(-2.0))
+      assert(out((2L, j)) == 0L) // zero vector projects to zero
+    }
+    // ±1 entries exist at the expected 1/3 density over a wider matrix
+    val nonzero = (for (p <- 0L until 64L; j <- 0L until 8L) yield r(p, j)).count(_ != 0L)
+    assert(nonzero > 100 && nonzero < 250, s"density off: $nonzero of 512")
+  }
+
   test("embeddingNearDupPairs: threshold filter, a<b ordering") {
     val df = vecs(1L -> Seq(1f, 0f), 2L -> Seq(1f, 0.01f), 3L -> Seq(0f, 1f))
     val out = Similarity.embeddingNearDupPairs(df, threshold = 0.9)
