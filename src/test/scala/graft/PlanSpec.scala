@@ -182,4 +182,38 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 2, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q6: every predicate reaches the parquet scan; no join; partial agg") {
+    val df = Queries.q6Forecast.run(spark, sfDir)
+    val p = plan(df)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.treeString).mkString
+    assert(scan.contains("l_shipdate") && scan.contains("l_quantity"), scan)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("TPC-H dims broadcast: q9/q16/q17/q19 never sort-merge against part/supplier") {
+    Seq(Queries.q9Profit, Queries.q16Variety, Queries.q17SmallQty, Queries.q19Bands)
+      .foreach { q =>
+        val p = plan(q.run(spark, sfDir))
+        assert(p.contains("BroadcastHashJoin"), p)
+      }
+    // q19's shared quantity bound (1..30 across the OR bands) must not
+    // defeat pushdown of the part-side join entirely: the filter stays
+    // post-join but the part dim still broadcasts (asserted above)
+  }
+
+  test("q21: the EXISTS/NOT EXISTS pair plans as semi + anti joins") {
+    val p = plan(Queries.q21Waiting.run(spark, sfDir))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q13: zero-order customers survive the left join") {
+    val df = Queries.q13Custdist.run(spark, sfDir)
+    val zero = df.filter(org.apache.spark.sql.functions.col("c_count") === 0).count()
+    assert(zero >= 0) // presence of the c_count=0 bucket is data-dependent;
+    // the structural lock is the OUTER join in the plan:
+    assert(plan(df).contains("LeftOuter"), plan(df))
+  }
 }
