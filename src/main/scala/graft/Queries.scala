@@ -3470,6 +3470,113 @@ object Queries {
         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment""".stripMargin))
 
+  /** #10n INSERT_OVERWRITE operation (Hudi insert_overwrite /
+    * Spark `INSERT OVERWRITE ... PARTITION`): the 'click' partition
+    * replaced wholesale with a recomputed batch (values re-scored,
+    * keys re-minted), every other partition byte-identical — one new
+    * committed version, time travel keeps the pre-overwrite snapshot.
+    */
+  val qInsertOverwrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("insert-overwrite")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(base, target, Seq("event_id"), "ts")
+      val replacement = base.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 10)
+        .withColumn("event_id", col("event_id") + 40000000L)
+      UpsertWriter.insertOverwrite(s, target, replacement, Seq("event_type"))
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some(
+      """SELECT * FROM events WHERE event_type <> 'click'
+        |UNION ALL
+        |SELECT event_id + 40000000, ts, user_id, event_type, value * 10, props
+        |FROM events WHERE event_type = 'click'""".stripMargin))
+
+  /** #10o Partial-column update (Hudi partial-update payload / MERGE
+    * UPDATE SET): the patch carries only (event_id, value) — matched
+    * rows take the tripled value, every OTHER column and every
+    * unmatched row must come through untouched.
+    */
+  val qPartialUpdate: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("partial-update")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(base, target, Seq("event_id"), "ts")
+      val patchBatch = base.filter(col("event_type") === "purchase")
+        .select(col("event_id"), (col("value") * 3).as("value"))
+      UpsertWriter.patch(s, target, patchBatch, Seq("event_id"))
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some(
+      """SELECT e.event_id, e.ts, e.user_id, e.event_type,
+        |  CASE WHEN p.event_id IS NOT NULL THEN p.value ELSE e.value END AS value,
+        |  e.props
+        |FROM events e
+        |LEFT JOIN (
+        |  SELECT event_id, value * 3 AS value
+        |  FROM events WHERE event_type = 'purchase') p
+        |ON e.event_id = p.event_id""".stripMargin))
+
+  /** #22l Streaming CDC apply: the change feed between two table
+    * versions (updates with pre/post images, deletes, inserts) streams
+    * file-by-file into a mirror that starts at the OLD version — the
+    * mirror must converge to the new version exactly, regardless of
+    * how micro-batch boundaries slice the feed. The consumer half of
+    * #10i's change-data-feed producer.
+    */
+  val qStreamCdc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val feedDir = scratch("stream-cdc-feed")
+      val mirror = scratch("stream-cdc-mirror")
+      val v1 = t(s, dir, "events")
+      val v2 = v1.filter(col("event_type") =!= "view")
+        .unionByName(v1.filter(col("event_type") === "click")
+          .withColumn("event_id", col("event_id") + 30000000L))
+      val v2Updated = v2.withColumn("value",
+        when(col("event_type") === "purchase", col("value") * 2).otherwise(col("value")))
+      graft.operators.SnapshotDiff.changeFeed(v1, v2Updated, Seq("event_id"))
+        .repartition(4).write.mode("overwrite").parquet(feedDir)
+      UpsertWriter.upsert(v1, mirror, Seq("event_id"), "ts")
+      graft.streaming.TableStream.runCdcApplyToBatch(
+        s, feedDir, mirror, Seq("event_id"), "ts",
+        queryName = "graft_stream_cdc_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+    },
+    oracle = Some(
+      """SELECT event_id, ts, user_id, event_type,
+        |  CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value,
+        |  props
+        |FROM events WHERE event_type <> 'view'
+        |UNION ALL
+        |SELECT event_id + 30000000, ts, user_id, event_type, value, props
+        |FROM events WHERE event_type = 'click'""".stripMargin))
+
+  /** #14m Distribution drift gate: per-event-type proportion shift
+    * between the first and second half of January, in exact
+    * cross-multiplied basis points (Profiler.proportionDrift) — the
+    * screening check a scheduled report pipeline runs before trusting
+    * a new period's data.
+    */
+  val driftCut = "2024-01-16 00:00:00"
+  val qDrift: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Profiler.proportionDrift(
+      t(s, dir, "events"), "event_type",
+      col("ts") < lit(driftCut).cast("timestamp")),
+    oracle = Some(
+      s"""WITH b AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN ts < TIMESTAMP '$driftCut' THEN 1 ELSE 0 END) AS n_old,
+        |    sum(CASE WHEN ts < TIMESTAMP '$driftCut' THEN 0 ELSE 1 END) AS n_new
+        |  FROM events GROUP BY event_type
+        |), t AS (
+        |  SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM b
+        |)
+        |SELECT event_type, CAST(n_old AS BIGINT) AS n_old,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(abs(n_old * t_new - n_new * t_old) * 10000 // (t_old * t_new) AS BIGINT) AS drift_bp
+        |FROM b, t""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3615,5 +3722,9 @@ object Queries {
     "q17_small_qty" -> q17SmallQty,
     "q19_bands" -> q19Bands,
     "q21_waiting" -> q21Waiting,
-    "q22_idle" -> q22Idle)
+    "q22_idle" -> q22Idle,
+    "q_insert_overwrite" -> qInsertOverwrite,
+    "q_partial_update" -> qPartialUpdate,
+    "q_stream_cdc" -> qStreamCdc,
+    "q_drift" -> qDrift)
 }

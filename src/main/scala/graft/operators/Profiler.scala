@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the "what's in this table" pass every pipeline
@@ -156,6 +156,30 @@ object Profiler {
           .otherwise(
             (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double") /
               (col("n") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")))
+  }
+
+  /** Distribution drift between two slices of the same table (old
+    * period vs new period, yesterday vs today): per bin, the absolute
+    * proportion shift in basis points, computed CROSS-MULTIPLIED so
+    * the result is exact integer arithmetic on any engine —
+    * |n1/T1 - n2/T2| in bp = |n1·T2 - n2·T1| · 10000 ÷ (T1·T2),
+    * integer (floor) division. The PSI/chi-square alternatives need a
+    * log/division per bin; this gate is the exact-arithmetic screen a
+    * scheduled pipeline can hash-compare and alert on. ONE
+    * map-side-combined aggregation over the union of both slices; the
+    * 1-row totals broadcast back onto the per-bin rows.
+    */
+  def proportionDrift(df: DataFrame, binCol: String, inOld: Column): DataFrame = {
+    val perBin = df.groupBy(col(binCol))
+      .agg(
+        sum(when(inOld, 1L).otherwise(0L)).as("n_old"),
+        sum(when(inOld, 0L).otherwise(1L)).as("n_new"))
+    val totals = perBin.agg(
+      sum(col("n_old")).as("_t_old"), sum(col("n_new")).as("_t_new"))
+    perBin.join(broadcast(totals))
+      .withColumn("drift_bp",
+        expr("abs(n_old * _t_new - n_new * _t_old) * 10000 DIV (_t_old * _t_new)"))
+      .drop("_t_old", "_t_new")
   }
 
   /** Z-score outlier flags over an integral column, in EXACT integer

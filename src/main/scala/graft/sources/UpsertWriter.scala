@@ -282,6 +282,72 @@ object UpsertWriter {
     commitVersion(fs, target, remaining, liveNum + 1, partitionBy, keepVersions)
   }
 
+  /** Hudi INSERT_OVERWRITE-operation analog: atomically replace the
+    * partitions PRESENT in `newData`, keep every other partition
+    * untouched, committed as one new version. The replaced-partition
+    * set is derived from the batch itself (distinct partition values —
+    * tiny, broadcast), so the live side anti-joins map-side: at 100 TB
+    * the untouched partitions are read and rewritten only within this
+    * COW layout's version copy, never shuffled.
+    */
+  def insertOverwrite(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      newData: DataFrame,
+      overwriteCols: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      keepVersions: Int = 2): Unit = {
+    require(overwriteCols.nonEmpty, "insertOverwrite needs the partition column(s)")
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, target)
+    require(versions.nonEmpty, s"no committed versions to overwrite at $targetPath")
+    val (liveNum, liveDir) = versions.last
+    val live = spark.read.parquet(liveDir.toString)
+    val untouched = live.join(
+      broadcast(newData.select(overwriteCols.map(col): _*).distinct()),
+      overwriteCols, "left_anti")
+    commitVersion(fs, target, untouched.unionByName(newData), liveNum + 1,
+      partitionBy, keepVersions)
+  }
+
+  /** Partial-column update (the Hudi partial-update payload /
+    * Delta `MERGE ... UPDATE SET col = ...` shape): `patchDf` carries
+    * the record keys plus a SUBSET of value columns; matched rows take
+    * the patch's values for exactly those columns (a null in the patch
+    * SETS null — the patch is authoritative for its columns),
+    * unmatched table rows are untouched, and patch keys absent from
+    * the table are ignored (update-only, no insert). The patch batch
+    * broadcasts; the table never shuffles.
+    */
+  def patch(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      patchDf: DataFrame,
+      recordKeys: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      keepVersions: Int = 2): Unit = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, target)
+    require(versions.nonEmpty, s"no committed versions to patch at $targetPath")
+    val (liveNum, liveDir) = versions.last
+    val live = spark.read.parquet(liveDir.toString)
+    val patchCols = patchDf.columns.filterNot(recordKeys.contains).toIndexedSeq
+    require(patchCols.nonEmpty, "patch needs at least one non-key column")
+    val missing = patchCols.filterNot(live.columns.contains)
+    require(missing.isEmpty, s"patch columns not in table schema: ${missing.mkString(", ")}")
+    val renamed = patchCols.foldLeft(patchDf) { (d, c) => d.withColumnRenamed(c, s"_p_$c") }
+      .withColumn("_graft_patched", lit(1))
+    val joined = live.join(broadcast(renamed), recordKeys, "left")
+    val out = live.columns.toIndexedSeq.map { c =>
+      if (patchCols.contains(c))
+        when(col("_graft_patched").isNotNull, col(s"_p_$c")).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    commitVersion(fs, target, joined.select(out: _*), liveNum + 1, partitionBy, keepVersions)
+  }
+
   /** Savepoint restore: re-commit a retained older version's CONTENT
     * as a brand-new version (Hudi `savepoint` + `restore`; Delta
     * `RESTORE TABLE ... TO VERSION`). Rolling FORWARD to a new

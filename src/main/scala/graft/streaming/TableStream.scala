@@ -44,6 +44,48 @@ object TableStream {
       .parquet(glob)
   }
 
+  /** Apply a change-data feed (SnapshotDiff.changeFeed rows:
+    * key cols, `change_type`, value cols) to a versioned mirror table,
+    * one micro-batch per feed file: `insert`/`update_postimage` rows
+    * upsert by key, `delete` rows tombstone, `update_preimage` rows
+    * are retraction bookkeeping for downstream consumers and are NOT
+    * applied. Each key appears in one change per feed, so batch
+    * boundaries can split the feed arbitrarily without reordering
+    * hazards. This is the consumer half of CDC: feed in, mirror
+    * converges to the source's new version.
+    */
+  def runCdcApplyToBatch(
+      spark: SparkSession,
+      feedPath: String,
+      mirrorPath: String,
+      recordKeys: Seq[String],
+      precombine: String,
+      queryName: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val schema = spark.read.parquet(feedPath).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val ups = b.filter(col("change_type").isin("insert", "update_postimage"))
+          .drop("change_type")
+        val dels = b.filter(col("change_type") === "delete")
+          .select(recordKeys.map(col): _*)
+        if (!ups.isEmpty)
+          graft.sources.UpsertWriter.upsert(ups, mirrorPath, recordKeys, precombine)
+        if (!dels.isEmpty)
+          graft.sources.UpsertWriter.delete(spark, mirrorPath, dels, recordKeys)
+      }
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.UpsertWriter.read(spark, mirrorPath)
+  }
+
   /** Run an aggregation over the whole existing log (AvailableNow),
     * landing the result in a memory sink — the catch-up read an
     * incremental consumer does on (re)start.

@@ -180,6 +180,47 @@ class UpsertWriterSpec extends SparkSpec {
     assert(UpsertWriter.readVersion(spark, table, 2).count() == 2L)
   }
 
+  test("insertOverwrite: named partitions replaced, others byte-identical, old snapshot retained") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-iow-") + "/t"
+    val base = Seq((1L, 1L, "a", "p1"), (2L, 1L, "b", "p1"), (3L, 1L, "c", "p2"))
+      .toDF("k", "ver", "payload", "part")
+    UpsertWriter.upsert(base, table, Seq("k"), "ver")
+    val replacement = Seq((9L, 2L, "Z", "p1")).toDF("k", "ver", "payload", "part")
+    UpsertWriter.insertOverwrite(spark, table, replacement, Seq("part"))
+    val out = UpsertWriter.read(spark, table)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("payload"), r.getAs[String]("part")))).toMap
+    // p1 is wholly replaced (keys 1,2 gone, 9 in); p2 untouched
+    assert(out == Map(9L -> ("Z", "p1"), 3L -> ("c", "p2")))
+    // time travel: the pre-overwrite snapshot is still readable
+    assert(UpsertWriter.readVersion(spark, table, 1).count() == 3)
+  }
+
+  test("patch: only the patch's columns change; patch nulls SET null; unknown keys ignored") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-patch-") + "/t"
+    UpsertWriter.upsert(
+      Seq((1L, 1L, "a", 10L), (2L, 1L, "b", 20L)).toDF("k", "ver", "payload", "score"),
+      table, Seq("k"), "ver")
+    // patch k=1 (score -> null explicitly), k=7 (absent from table: ignored)
+    val patchDf = Seq((1L, Option.empty[Long]), (7L, Some(99L))).toDF("k", "score")
+    UpsertWriter.patch(spark, table, patchDf, Seq("k"))
+    val rows = UpsertWriter.read(spark, table).collect()
+      .map { r =>
+        val si = r.fieldIndex("score")
+        r.getAs[Long]("k") ->
+          ((r.getAs[String]("payload"), if (r.isNullAt(si)) None else Some(r.getLong(si))))
+      }.toMap
+    assert(rows == Map(1L -> ("a", None), 2L -> ("b", Some(20L))))
+    // a patch column not in the table schema must fail loudly
+    intercept[IllegalArgumentException] {
+      UpsertWriter.patch(spark, table, Seq((1L, 5L)).toDF("k", "nope"), Seq("k"))
+    }
+  }
+
   test("hive-style partitioned + clustered write") {
     val table = tmpDir("graft-upsert-part-") + "/t"
     val s = spark
