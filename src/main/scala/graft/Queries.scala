@@ -3577,6 +3577,112 @@ object Queries {
         |  CAST(abs(n_old * t_new - n_new * t_old) * 10000 // (t_old * t_new) AS BIGINT) AS drift_bp
         |FROM b, t""".stripMargin))
 
+  /** #76 k-NN classification via exact cosine top-10 + majority vote
+    * (deterministic tiebreak: votes desc, then smallest label) — the
+    * label-propagation / weak-labeling step of a curation pipeline,
+    * composed from the ANN kernel and one window over the tiny vote
+    * table.
+    */
+  val qSimKnnClassify: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.knnClassify(emb, emb.filter(col("vec_id") < 50), k = 10)
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cid, c.label AS label,
+         |         c.v AS va, q.v AS vb
+         |  FROM e c, e q WHERE q.vec_id < 50 AND c.vec_id != q.vec_id
+         |), r AS (
+         |  SELECT query_id, cid, label,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY $cosSql DESC, cid) AS rk
+         |  FROM scored
+         |), v AS (
+         |  SELECT query_id, label, count(*) AS votes FROM r WHERE rk <= 10
+         |  GROUP BY query_id, label
+         |), w AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS wrk
+         |  FROM v
+         |)
+         |SELECT query_id, label AS pred_label, votes FROM w WHERE wrk = 1""".stripMargin))
+
+  /** #63b PQ + exact re-rank: compressed-domain candidates (4·k per
+    * query), full vectors fetched only for those, exact cosine
+    * ordering on top — rows-only (PQ codebooks are k-means trained;
+    * the recall-vs-brute spec is the quality contract).
+    */
+  val qSimPqRerank: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    oracle = None)
+
+  /** #77 Unigram inverse-frequency surprisal (LM-perplexity proxy in
+    * exact integer arithmetic): per-token decimal magnitude of
+    * total/tf, per-doc fixed-point mean — see TextAnalysis.surprisal.
+    */
+  val qTextSurprisal: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.TextAnalysis.surprisal(t(s, dir, "documents")),
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT term, count(*) AS tf FROM tok GROUP BY term
+        |), t AS (
+        |  SELECT sum(tf) AS total FROM tf
+        |), b AS (
+        |  SELECT doc_id, CAST(length(CAST(total // tf AS VARCHAR)) - 1 AS BIGINT) AS bucket
+        |  FROM tok JOIN tf USING (term), t
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(bucket) AS BIGINT) AS sum_bucket,
+        |  CAST(sum(bucket) * 10000 // count(*) AS BIGINT) AS surprisal_x10000
+        |FROM b GROUP BY doc_id""".stripMargin))
+
+  /** #78 Deterministic mixture resampling: per-source epoch weights
+    * (src0×2.5, src1×0.25, src2×1.75, src3 dropped, rest ×1.0)
+    * realized as floor(w) copies + a multiplicative-hash extra — the
+    * training-data mixing step, byte-identical on every engine (the
+    * SAMPLE/epoch SET is oracled, not just its size).
+    */
+  val qMixture: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Sampling.mixtureResample(
+        t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.75, "src3" -> 0.0))
+      .select(col("doc_id"), col("source"), col("epoch")),
+    oracle = Some(
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 1
+        |                WHEN 'src3' THEN 0 ELSE 1 END
+        |    + CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 <
+        |        CASE source WHEN 'src0' THEN 1073741824 WHEN 'src1' THEN 536870912
+        |                    WHEN 'src2' THEN 1610612736 WHEN 'src3' THEN 0 ELSE 0 END
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id, source, unnest(range(copies)) AS epoch FROM w WHERE copies > 0
+        |)
+        |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM x""".stripMargin))
+
+  /** #61c BPE encode: the trained merge list replayed over the word
+    * table — each word's production symbol sequence. Rows-only (the
+    * train+apply loop is iterative, not SQL); BpeSpec pins the
+    * semantics against a reference scalar implementation.
+    */
+  val qBpeEncode: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, iters = 20)
+      graft.operators.Bpe.segment(graft.operators.Bpe.wordCounts(docs), merges)
+        .select(col("word"), col("n"), array_join(col("syms"), " ").as("pieces"))
+    },
+    oracle = None)
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3726,5 +3832,10 @@ object Queries {
     "q_insert_overwrite" -> qInsertOverwrite,
     "q_partial_update" -> qPartialUpdate,
     "q_stream_cdc" -> qStreamCdc,
-    "q_drift" -> qDrift)
+    "q_drift" -> qDrift,
+    "sim_knn_classify" -> qSimKnnClassify,
+    "sim_pq_rerank" -> qSimPqRerank,
+    "text_surprisal" -> qTextSurprisal,
+    "q_mixture" -> qMixture,
+    "text_bpe_encode" -> qBpeEncode)
 }

@@ -142,6 +142,41 @@ object Sampling {
     df.filter(h < cut)
   }
 
+  /** Deterministic mixture resampling (the data-mixing step of a
+    * multi-source training corpus): each source gets an epoch weight
+    * w — every row is repeated floor(w) times, plus one more iff its
+    * key's multiplicative hash falls under frac(w)·2³¹ (the same
+    * integer-hash cut `reproducibleStratified` uses) — so the
+    * realized mixture converges to the target weights with ZERO
+    * randomness: re-running regenerates byte-identical epochs on any
+    * engine. Upsampling (w > 1) emits an `epoch` column so downstream
+    * shuffling can spread the copies; w < 1 is plain deterministic
+    * downsampling; w = 0 drops the source.
+    *
+    * Scale: a projection + local explode — no shuffle, no RNG state,
+    * no driver-side sampling pass.
+    */
+  def mixtureResample(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0), "weights must be >= 0")
+    val m = 2147483648L // 2^31
+    val h = pmod(pmod(col(keyCol), lit(m)) * lit(2654435761L), lit(m))
+    def caseOver(f: Double => Long): org.apache.spark.sql.Column =
+      weights.toSeq.sortBy(_._1).foldRight(lit(f(defaultWeight)): org.apache.spark.sql.Column) {
+        case ((src, wgt), els) => when(col(sourceCol) === src, lit(f(wgt))).otherwise(els)
+      }
+    val base = caseOver(w => math.floor(w).toLong)
+    val cut = caseOver(w => math.round((w - math.floor(w)) * m))
+    df.withColumn("_copies", base + when(h < cut, 1L).otherwise(0L))
+      .filter(col("_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
+
   /** Deterministic negative sampling for contrastive training: k
     * pseudo-random partner rows per anchor, reproducible across runs
     * AND engines (pure integer arithmetic on a dense 0..n-1 id

@@ -194,6 +194,60 @@ object Similarity {
     centers
   }
 
+  /** k-NN classification: each query labeled by majority vote of its
+    * k exact-cosine nearest labeled neighbors — deterministic winner:
+    * highest vote count, ties to the smallest label. The vote table
+    * is k·|queries| rows —
+    * tiny — so the winner pick is one window over it; the corpus-side
+    * cost is exactly bruteForceTopK's (one scan, no shuffle). The
+    * labels come back via a join of the tiny hit list against the
+    * corpus — at 100 TB that join broadcasts the hits, never the
+    * corpus.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val labeled = corpus.select(col("vec_id").as("neighbor_id"), col(labelCol))
+      .join(broadcast(hits), "neighbor_id")
+    val votes = labeled.groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col(labelCol))
+    votes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col(labelCol).as("pred_label"), col("votes"))
+  }
+
+  /** PQ candidates + exact re-rank: the standard two-stage ANN — the
+    * compressed-domain ADC score surfaces `candMult·k` candidates per
+    * query (pqTopK), then ONLY those rows fetch their full vectors
+    * for an exact cosine and the true top-k ordering. At 100 TB the
+    * candidate list (candMult·k·|queries| ids) broadcasts into the
+    * corpus scan, so full vectors are read for a vanishing fraction
+    * of the corpus and the rerank output order is exact over
+    * whatever the first stage surfaced.
+    */
+  def pqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      candMult: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val cand = pqTopK(corpus, queries, k * candMult, m, ksub, seed)
+      .select(col("query_id"), col("neighbor_id"))
+    val withVecs = corpus
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .join(broadcast(cand), col("cid") === col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = withVecs.join(broadcast(q), col("query_id") === col("qid"))
+      .withColumn("sim", VectorFunctions.cosine(col("cvec"), col("qvec")))
+    topKPerQuery(scored, k)
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("qid"))

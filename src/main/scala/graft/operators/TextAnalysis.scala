@@ -261,6 +261,32 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Unigram inverse-frequency surprisal score — the language-model
+    * perplexity PROXY a pure-SQL pipeline can compute exactly: each
+    * token's surprisal bucket is the decimal magnitude of its inverse
+    * corpus frequency, digits(total_tokens DIV tf) − 1 ≈
+    * floor(log10(total/tf)), and a document scores the fixed-point
+    * mean bucket (×10000, floor division). Rare-token-heavy (high-
+    * surprisal) documents score high, boilerplate scores low — the
+    * usual "train a 5-gram LM, filter by perplexity" screen, reduced
+    * to integer arithmetic that is bit-identical on any engine (a
+    * real log-prob LM needs libm log, which is not).
+    *
+    * Scale: one corpus-wide term-frequency aggregation, one token→tf
+    * shuffle join (the TF-IDF cost), a broadcast 1-row total.
+    */
+  def surprisal(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("_total"))
+    tok.join(tf, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", (length(expr("CAST(_total DIV tf AS STRING)")) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bucket")).as("sum_bucket"))
+      .withColumn("surprisal_x10000", expr("sum_bucket * 10000 DIV n_tokens"))
+  }
+
   /** Within-document repetition metrics (Gopher-style duplicate
     * n-gram quality signals): total and distinct word n-grams, the
     * hottest n-gram's count, and the duplicate fraction. Docs shorter

@@ -194,6 +194,42 @@ class QualityOpsSpec extends SparkSpec {
     assert(en > 0.1 && en < 0.6, s"en kept $en")
   }
 
+  test("mixtureResample: floor copies + hash extra, w=0 drops, deterministic") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def run() = Sampling.mixtureResample(docs, "source", "doc_id",
+      Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val out = run()
+    assert(out == run()) // deterministic
+    // integer weight: exactly 2 copies of every src0 row, epochs 0 and 1
+    val src0 = out.filter(_._2 == "src0")
+    assert(src0.size == 50 && src0.count(_._3 == 1L) == 25)
+    // w=0 drops the source entirely
+    assert(!out.exists(_._2 == "src2"))
+    // fractional: the kept src1 set matches the hash formula exactly
+    val expected = (0L until 100L).filter(_ % 4 == 1)
+      .filter(k => ((k % 2147483648L) * 2654435761L) % 2147483648L < 1073741824L).toSet
+    assert(out.filter(_._2 == "src1").map(_._1) == expected)
+    // default weight 1.0: every src3 row exactly once
+    assert(out.count(_._2 == "src3") == 25)
+  }
+
+  test("surprisal: digit buckets and fixed-point mean are hand-checkable") {
+    val s2 = spark
+    import s2.implicits._
+    // corpus: "a" ×9, "b" ×1 → total=10; bucket(a)=digits(10 DIV 9)-1=0,
+    // bucket(b)=digits(10 DIV 1)-1=1
+    val docs = Seq(
+      (1L, "a a a a a a a a a"), // 9 tokens, all common → surprisal 0
+      (2L, "b")                  // 1 rare token → bucket 1, score 10000
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.surprisal(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((9L, 0L, 0L)), 2L -> ((1L, 1L, 10000L))))
+  }
+
   test("zscoreOutliers: flags exactly the >kσ points, integer-exact") {
     val s = spark
     import s.implicits._

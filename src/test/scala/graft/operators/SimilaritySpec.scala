@@ -102,6 +102,56 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"pq recall $recall")
   }
 
+  test("pqRerankTopK: rerank never hurts recall vs raw PQ; exact order over candidates") {
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (s intersect brute).size.toDouble / brute.size
+    }
+    val pqRecall = recallOf(Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16))
+    val rerank = Similarity.pqRerankTopK(emb, queries, k = 10, candMult = 4, m = 8, ksub = 16)
+    val rrRecall = recallOf(rerank)
+    // with 4x candidates + exact scoring, rerank must do at least as
+    // well as the raw compressed-domain ranking
+    assert(rrRecall >= pqRecall, s"rerank $rrRecall < pq $pqRecall")
+    // and within each query the output order must be exactly by sim
+    val rows = rerank.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, g.mkString(","))
+    }
+  }
+
+  test("knnClassify: unanimous neighborhoods get the neighborhood label; ties break low") {
+    val s2 = spark
+    import s2.implicits._
+    // two tight clusters far apart: queries inside each cluster must
+    // take that cluster's label
+    def jitter(base: Seq[Float], eps: Float) = base.zipWithIndex.map {
+      case (v, i) => v + (if (i % 2 == 0) eps else -eps)
+    }
+    val a = Seq(1f, 0f, 1f, 0f); val b = Seq(0f, 1f, 0f, 1f)
+    val corpus = (0 until 6).map(i => (i.toLong, jitter(a, 0.01f * i), 7L)) ++
+      (6 until 12).map(i => (i.toLong, jitter(b, 0.01f * (i - 6)), 3L))
+    val df = corpus.toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, a, 0L), (101L, b, 0L)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(df, queries, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(100L -> 7L, 101L -> 3L))
+    // exact 2-2 vote tie: k=4 over two 2-element clusters → smaller label wins
+    val tieCorpus = Seq(
+      (0L, a, 9L), (1L, a, 9L), (2L, a, 4L), (3L, a, 4L)).toDF("vec_id", "embedding", "label")
+    val tie = Similarity.knnClassify(tieCorpus, Seq((100L, a, 0L)).toDF("vec_id", "embedding", "label"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tie == Map(100L -> 4L))
+  }
+
   test("randomProject: hand-checkable signs, exact fixed-point sums, deterministic") {
     val df = vecs(1L -> Seq(1.0f, -2.0f), 2L -> Seq(0f, 0f))
     val out = Similarity.randomProject(df, kOut = 2)
