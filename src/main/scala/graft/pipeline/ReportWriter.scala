@@ -34,7 +34,8 @@ class ReportWriter(reportRoot: String, clock: () => Instant = () => Instant.now(
     */
   def write(df: DataFrame, expiresInSeconds: Long = 86400L, singleFile: Boolean = true,
       format: String = "csv"): ReportHandle = {
-    require(format == "csv" || format == "json", s"unsupported report format: $format")
+    require(format == "csv" || format == "json" || format == "orc" || format == "parquet",
+      s"unsupported report format: $format")
     val now = clock()
     val key = datedKey(LocalDate.ofInstant(now, ZoneOffset.UTC), UUID.randomUUID(), ext = format)
     val target = s"$reportRoot/$key"
@@ -43,6 +44,10 @@ class ReportWriter(reportRoot: String, clock: () => Instant = () => Instant.now(
       format match {
         case "csv" => w.option("header", "true").csv(path)
         case "json" => w.json(path) // JSON lines: one object per row, self-describing
+        // columnar handoffs: not for the emailed link, for the
+        // downstream system the report also lands in
+        case "orc" => w.orc(path)
+        case "parquet" => w.parquet(path)
       }
 
     if (singleFile) {

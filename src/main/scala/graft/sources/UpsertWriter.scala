@@ -282,6 +282,35 @@ object UpsertWriter {
     commitVersion(fs, target, remaining, liveNum + 1, partitionBy, keepVersions)
   }
 
+  /** Apply upserts AND deletes as ONE committed version — the
+    * change-batch application a CDC consumer wants (two separate
+    * upsert()+delete() calls would rewrite the table twice per
+    * micro-batch; at any scale the COW rewrite dominates, so halving
+    * the commits halves the apply cost). Either side may be empty.
+    */
+  def applyChanges(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      upserts: DataFrame,
+      deleteKeys: DataFrame,
+      recordKeys: Seq[String],
+      precombine: String,
+      partitionBy: Seq[String] = Nil,
+      keepVersions: Int = 2): Unit = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, target)
+    require(versions.nonEmpty, s"no committed versions to apply changes to at $targetPath")
+    val (liveNum, liveDir) = versions.last
+    val live = spark.read.parquet(liveDir.toString).withColumn("_graft_src", lit(0))
+    val upserted = merge(
+      upserts.withColumn("_graft_src", lit(1)).unionByName(live, allowMissingColumns = true),
+      recordKeys, precombine, tiebreakers = Seq("_graft_src")).drop("_graft_src")
+    val remaining = upserted.join(
+      broadcast(deleteKeys.select(recordKeys.map(col): _*)), recordKeys, "left_anti")
+    commitVersion(fs, target, remaining, liveNum + 1, partitionBy, keepVersions)
+  }
+
   /** Hudi INSERT_OVERWRITE-operation analog: atomically replace the
     * partitions PRESENT in `newData`, keep every other partition
     * untouched, committed as one new version. The replaced-partition

@@ -323,6 +323,48 @@ object EventStream {
     }
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase emits —
+    * with its click when one lands inside [p_ts, p_ts + window],
+    * null-padded otherwise. Matched rows emit as soon as both sides
+    * arrive; an UNMATCHED purchase can only emit once the watermark
+    * proves no future click can match (wm past p_ts + window) — so
+    * append-mode output is matches ∪ {unmatched with p_ts + window
+    * below the final watermark}, and that emission rule is itself
+    * SQL (the oracle states it literally). State bounds exactly as
+    * the inner join: one watermark-width slice per side.
+    */
+  def leftAttributionJoin(spark: SparkSession, path: String,
+      window: String = "30 minutes"): DataFrame = {
+    val raw = spark.readStream.schema(rawSchema).parquet(path)
+    def side(eventType: String, prefix: String): DataFrame =
+      raw.filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${prefix}_user_id"),
+          col("event_id").as(s"${prefix}_event_id"),
+          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val clicks = side("click", "c")
+    val purchases = side("purchase", "p")
+    purchases.join(clicks,
+      col("c_user_id") === col("p_user_id") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("p_user_id").as("user_id"),
+        col("p_event_id").as("purchase_id"),
+        col("c_event_id").as("click_id"))
+  }
+
+  /** Run the streaming left-outer attribution over a finite directory
+    * (AvailableNow, append memory sink).
+    */
+  def runLeftAttributionToBatch(spark: SparkSession, path: String,
+      queryName: String = "graft_stream_left_attr"): DataFrame = {
+    val dir = streamableDir(spark, path)
+    withFewStatePartitions(spark) { s =>
+      collectToMemory(s, leftAttributionJoin(s, dir), "append", queryName)
+    }
+  }
+
   /** Stream-static enrichment: every streaming event picks up its
     * user's dimension attributes by joining the micro-batch against a
     * STATIC DataFrame — the streaming face of the flagship report

@@ -74,10 +74,9 @@ object TableStream {
           .drop("change_type")
         val dels = b.filter(col("change_type") === "delete")
           .select(recordKeys.map(col): _*)
-        if (!ups.isEmpty)
-          graft.sources.UpsertWriter.upsert(ups, mirrorPath, recordKeys, precombine)
-        if (!dels.isEmpty)
-          graft.sources.UpsertWriter.delete(spark, mirrorPath, dels, recordKeys)
+        // one committed version per micro-batch, not one per side
+        graft.sources.UpsertWriter.applyChanges(
+          spark, mirrorPath, ups, dels, recordKeys, precombine)
       }
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
