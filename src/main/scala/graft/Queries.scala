@@ -2763,7 +2763,7 @@ object Queries {
         .select(col("l_orderkey"), col("l_shipdate"))
       o.join(li,
           o("o_orderkey") === li("l_orderkey") &&
-            li("l_shipdate") > date_add(o("o_orderdate"), 60),
+            li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
           "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
@@ -3222,7 +3222,7 @@ object Queries {
       val o = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
       li.join(o, li("l_orderkey") === o("o_orderkey") &&
-          li("l_shipdate") > date_add(o("o_orderdate"), 30))
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"))
         .groupBy(col("l_linestatus"))
         .agg(
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
@@ -3400,7 +3400,7 @@ object Queries {
       val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       val late = t(s, dir, "lineitem")
         .join(o, col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > date_add(col("o_orderdate"), 45))
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"))
       val others = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
       val lateOthers = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
@@ -3574,7 +3574,10 @@ object Queries {
         |)
         |SELECT event_type, CAST(n_old AS BIGINT) AS n_old,
         |  CAST(n_new AS BIGINT) AS n_new,
-        |  CAST(abs(n_old * t_new - n_new * t_old) * 10000 // (t_old * t_new) AS BIGINT) AS drift_bp
+        |  CASE WHEN t_old = 0 OR t_new = 0 THEN CAST(10000 AS BIGINT)
+        |       ELSE CAST(abs(CAST(n_old AS HUGEINT) * t_new - CAST(n_new AS HUGEINT) * t_old) * 10000
+        |                 // (CAST(t_old AS HUGEINT) * t_new) AS BIGINT)
+        |  END AS drift_bp
         |FROM b, t""".stripMargin))
 
   /** #76 k-NN classification via exact cosine top-10 + majority vote

@@ -168,6 +168,15 @@ object Profiler {
     * scheduled pipeline can hash-compare and alert on. ONE
     * map-side-combined aggregation over the union of both slices; the
     * 1-row totals broadcast back onto the per-bin rows.
+    *
+    * The cross products are computed in decimal(38,0): with BIGINT
+    * arithmetic, n·T·10000 wraps silently past ~3e7-row slices (ANSI
+    * off), and a drift gate that returns negative garbage at scale is
+    * worse than no gate. decimal(38,0) is exact up to T ≈ 1e17 rows
+    * per slice — comfortably past a 100 TB table. An EMPTY slice
+    * (T_old = 0 or T_new = 0) is a full distribution shift by
+    * definition, so every bin reports the 10000 bp maximum instead of
+    * a silent null — the gate alarms rather than passes vacuously.
     */
   def proportionDrift(df: DataFrame, binCol: String, inOld: Column): DataFrame = {
     val perBin = df.groupBy(col(binCol))
@@ -178,7 +187,12 @@ object Profiler {
       sum(col("n_old")).as("_t_old"), sum(col("n_new")).as("_t_new"))
     perBin.join(broadcast(totals))
       .withColumn("drift_bp",
-        expr("abs(n_old * _t_new - n_new * _t_old) * 10000 DIV (_t_old * _t_new)"))
+        when(col("_t_old") === 0L || col("_t_new") === 0L, lit(10000L))
+          .otherwise(expr(
+            """CAST(abs(CAST(n_old AS DECIMAL(38,0)) * _t_new
+              |         - CAST(n_new AS DECIMAL(38,0)) * _t_old) * 10000
+              |     DIV (CAST(_t_old AS DECIMAL(38,0)) * _t_new) AS BIGINT)"""
+              .stripMargin)))
       .drop("_t_old", "_t_new")
   }
 

@@ -163,6 +163,18 @@ object Sampling {
       weights: Map[String, Double],
       defaultWeight: Double = 1.0): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0), "weights must be >= 0")
+    // The operator ADDS epoch (and a transient _copies) — refuse to
+    // silently clobber an input column of either name, and the hash
+    // cut needs an integral key for pmod to be exact.
+    require(!df.columns.contains("epoch") && !df.columns.contains("_copies"),
+      "mixtureResample emits an `epoch` column; input already has `epoch`/`_copies`")
+    val keyType = df.schema(keyCol).dataType
+    require(
+      Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType
+      ).contains(keyType),
+      s"mixtureResample keyCol `$keyCol` must be integral, got $keyType")
     val m = 2147483648L // 2^31
     val h = pmod(pmod(col(keyCol), lit(m)) * lit(2654435761L), lit(m))
     def caseOver(f: Double => Long): org.apache.spark.sql.Column =

@@ -333,9 +333,13 @@ object UpsertWriter {
     require(versions.nonEmpty, s"no committed versions to overwrite at $targetPath")
     val (liveNum, liveDir) = versions.last
     val live = spark.read.parquet(liveDir.toString)
-    val untouched = live.join(
-      broadcast(newData.select(overwriteCols.map(col): _*).distinct()),
-      overwriteCols, "left_anti")
+    // Null-safe equality (<=>): with a plain equi-anti-join, live rows
+    // whose partition value is NULL never match, so a null partition
+    // would be retained AND re-inserted — duplicates instead of a
+    // replace. <=> makes the null partition overwritable like any other.
+    val parts = broadcast(newData.select(overwriteCols.map(col): _*).distinct())
+    val sameParts = overwriteCols.map(c => live(c) <=> parts(c)).reduce(_ && _)
+    val untouched = live.join(parts, sameParts, "left_anti")
     commitVersion(fs, target, untouched.unionByName(newData), liveNum + 1,
       partitionBy, keepVersions)
   }
@@ -364,6 +368,14 @@ object UpsertWriter {
     val live = spark.read.parquet(liveDir.toString)
     val patchCols = patchDf.columns.filterNot(recordKeys.contains).toIndexedSeq
     require(patchCols.nonEmpty, "patch needs at least one non-key column")
+    // A patch batch with duplicate keys would fan out matched table
+    // rows through the left join (Hudi's partial-update payload
+    // precombines first). The patch batch is small by contract
+    // (it broadcasts), so one job to reject duplicates is cheap.
+    val dupKeys = patchDf.groupBy(recordKeys.map(col): _*)
+      .count().filter(col("count") > 1L).limit(1).count()
+    require(dupKeys == 0L,
+      "patch batch has duplicate record keys; precombine it before patch()")
     val missing = patchCols.filterNot(live.columns.contains)
     require(missing.isEmpty, s"patch columns not in table schema: ${missing.mkString(", ")}")
     val renamed = patchCols.foldLeft(patchDf) { (d, c) => d.withColumnRenamed(c, s"_p_$c") }
