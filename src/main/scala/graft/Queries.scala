@@ -1372,6 +1372,19 @@ object Queries {
          |SELECT id_a, id_b, round($cosSql, 9) AS sim
          |FROM p WHERE $cosSql >= 0.45""".stripMargin))
 
+  /** #27b Embedding near-dup pairs, LSH-banded (the scale path for
+    * #27): cosine only within shared random-hyperplane buckets, L
+    * independent tables for recall amplification — rows-only + recall
+    * spec vs the exact kernel, which stays the oracle baseline.
+    * (b=2, L=8) suits this LOOSE 0.45 threshold: per-plane separation
+    * p ≈ 0.35 ⇒ per-table collision 0.65² ≈ 0.42 ⇒ recall ≈ 0.99.
+    */
+  val qDedupEmbeddingLsh: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Similarity.embeddingNearDupPairsLsh(
+        t(s, dir, "embeddings"), threshold = 0.45, numTables = 8, planesPerTable = 2),
+    oracle = None)
+
   /** #28 Brute-force cosine top-k: queries vec_id < 10, k = 5. */
   val qSimBruteforceTopk: QueryDef = QueryDef(
     run = (s, dir) => {
@@ -3760,6 +3773,7 @@ object Queries {
     "dedup_minhash_lsh" -> qDedupMinhashLsh,
     "dedup_simhash" -> qDedupSimhash,
     "dedup_embedding" -> qDedupEmbedding,
+    "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "text_vocab" -> qTextVocab,
     "text_postings" -> qTextPostings,
     "text_skipgrams" -> qTextSkipgrams,

@@ -399,4 +399,56 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 9).as("sim"))
   }
+
+  /** Embedding near-dup pairs, LSH-banded — the 100 TB path for the
+    * exact kernel above, same OR-of-ANDs amplification as
+    * `Dedup.minhashLshPairs`: `numTables` independent hash tables,
+    * each keyed by the sign pattern of `planesPerTable` random
+    * hyperplanes (distinct planes per table). A pair is a candidate
+    * iff it collides in AT LEAST ONE table, so for a pair at angle θ
+    * (separation probability p = θ/π per plane) the recall is
+    * 1 − (1 − (1−p)^b)^L — tunable arbitrarily close to 1 while
+    * cosine runs only within buckets: the pair space is
+    * Σ_tables Σ_buckets |bucket|², an equi-join on (table, bucket),
+    * never an all-pairs nested loop. A pair colliding in several
+    * tables is scored per collision and collapsed by `.distinct()`
+    * on the (id_a, id_b, sim) OUTPUT (sim is deterministic, so the
+    * rows are bit-identical; candidates are smaller on the wire than
+    * vectors would be in a pre-score dedup).
+    *
+    * Tuning at scale: buckets per table = 2^b, so b must grow with
+    * the corpus for per-bucket pair counts to stay bounded (b ≈
+    * log2(n/targetBucketSize)), and L grows with b to hold recall:
+    * L ≈ ln(1/missRate) / (1−p)^b. The defaults suit a HIGH
+    * threshold (0.9 ⇒ p ≈ 0.14, b = 8 ⇒ per-table 0.29, L = 16 ⇒
+    * recall ≈ 0.996); looser thresholds need smaller b / larger L —
+    * the spec measures 0.45 with (b=2, L=8) against the exact kernel,
+    * which stays the oracle baseline.
+    */
+  def embeddingNearDupPairsLsh(
+      df: DataFrame,
+      threshold: Double,
+      numTables: Int = 16,
+      planesPerTable: Int = 8): DataFrame = {
+    require(numTables >= 1 && planesPerTable >= 1, "need >=1 table and >=1 plane")
+    // table t uses planes [t*b, (t+1)*b) — xxhash64 on the global
+    // plane index makes every table's hyperplanes independent
+    val tableBucket = (t: Int) =>
+      (0 until planesPerTable)
+        .map(j => hyperplaneSign(col("embedding"), t * planesPerTable + j) * (1 << j))
+        .reduce(_ + _)
+    val indexed = df.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array((0 until numTables).map(tableBucket): _*)).as(Seq("tbl", "bucket")))
+    val a = indexed.select(
+      col("tbl"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = indexed.select(
+      col("tbl"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 9).as("sim"))
+      .distinct()
+  }
 }

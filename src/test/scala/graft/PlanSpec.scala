@@ -91,6 +91,16 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
   }
 
+  test("embeddingNearDupPairsLsh: equi-join on (table, bucket) — no nested loop, no cartesian") {
+    val emb = TableLoader.table(spark, sfDir, "embeddings")
+    val p = plan(graft.operators.Similarity.embeddingNearDupPairsLsh(
+      emb, 0.45, numTables = 8, planesPerTable = 2))
+    // the whole point of the LSH path: the pair space is an equi-join
+    // on the (table, bucket) key, never an all-pairs nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("bucket"), p)
+  }
+
   test("correlated scalar subquery de-correlates: aggregate + join, no cartesian") {
     TableLoader.register(spark, sfDir, "orders")
     val p = plan(spark.sql(graft.Queries.corrSubquerySql))

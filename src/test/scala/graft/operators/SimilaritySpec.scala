@@ -176,6 +176,46 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sameElements(Array((1L, 2L))))
   }
 
+  test("embeddingNearDupPairsLsh: subset of exact, once per pair, more tables widen, recall") {
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.embeddingNearDupPairs(emb, 0.45))
+    assert(exact.nonEmpty, "fixture has no exact near-dup pairs — recall is vacuous")
+
+    val few = Similarity.embeddingNearDupPairsLsh(emb, 0.45, numTables = 2, planesPerTable = 2)
+    val fewRows = few.collect()
+    val fewSet = pairSet(few)
+    // never invents a pair, and each qualifying pair is emitted exactly
+    // once (multi-table collisions collapse in the distinct)
+    assert(fewSet.subsetOf(exact), s"LSH invented pairs: ${fewSet -- exact}")
+    assert(fewRows.length == fewSet.size, "duplicate pair rows")
+
+    // tables 0..L-1 are a prefix of 0..L'-1 (plane index = t*b + j), so
+    // adding tables can only ADD collisions — the pair set is monotone
+    val many = pairSet(
+      Similarity.embeddingNearDupPairsLsh(emb, 0.45, numTables = 8, planesPerTable = 2))
+    assert(many.subsetOf(exact))
+    assert(fewSet.subsetOf(many), "more tables must only widen the pair set")
+    // (b=2, L=8) at this loose threshold: per-pair recall ≈
+    // 1-(1-0.65²)⁸ ≈ 0.99 — deterministic for the seeded planes
+    val recall = (many intersect exact).size.toDouble / exact.size
+    assert(recall > 0.7, s"banded recall $recall vs exact ${exact.size} pairs")
+  }
+
+  test("embeddingNearDupPairsLsh: planted identical vectors always recalled") {
+    // Identical vectors share every hyperplane sign, hence every
+    // bucket in every table — recall of TRUE duplicates is 1.0 at any
+    // (b, L).
+    val df = vecs(
+      1L -> Seq(0.3f, -1.2f, 0.7f, 2f), 2L -> Seq(0.3f, -1.2f, 0.7f, 2f),
+      3L -> Seq(-5f, 0.1f, 0f, 1f), 4L -> Seq(-5f, 0.1f, 0f, 1f),
+      5L -> Seq(1f, 1f, 1f, 1f))
+    val out = Similarity.embeddingNearDupPairsLsh(df, 0.999, numTables = 1, planesPerTable = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("scalarQuantize: exact codes, constant-vector guard, reconstruction bound") {
     val df = vecs(
       1L -> Seq(0f, 1f, 2f, 4f),   // mn=0 mx=4: codes floor(v*255/4)
