@@ -2764,6 +2764,20 @@ object Queries {
     },
     oracle = None)
 
+  /** #63c IVFPQ approximate top-k — IVF cell routing composed with PQ
+    * ADC scoring (the FAISS IVFPQ design): candidates come only from
+    * each query's nprobe nearest cells, scored from 1-byte codes.
+    * Rows-only; the spec bounds recall and proves the candidate set
+    * shrinks to ~nprobe/nlist of the corpus.
+    */
+  val qSimIvfPqTopk: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfPqTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 16, nprobe = 4)
+    },
+    oracle = None)
+
   /** #16b Order-priority check (TPC-H Q4 shape, adapted to this
     * schema's dates): orders with at least one line item shipped
     * more than 60 days after the order date, counted per priority —
@@ -3823,6 +3837,7 @@ object Queries {
     "text_bpe_merges" -> qBpeMerges,
     "q_quality_score" -> qQualityScore,
     "sim_pq_topk" -> qSimPqTopk,
+    "sim_ivfpq_topk" -> qSimIvfPqTopk,
     "q4_priority" -> q4Priority,
     "q10_returns" -> q10Returns,
     "q18_large_orders" -> q18LargeOrders,

@@ -125,40 +125,63 @@ object Similarity {
       lloydIters: Int = 10): DataFrame = {
     // --- train: deterministic sample (top-N by seeded hash = one
     // TakeOrdered pass, no full sort) → Lloyd's on the driver.
-    val sample: Array[Array[Double]] = corpus
-      .select(col("embedding"))
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
-      .limit(trainSample)
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = sampleVecs(corpus, seed, trainSample)
     val centroids = lloyd(sample, nlist, lloydIters)
 
-    // --- assign: ||c||² - 2·q·c per centroid (||q||² constant per row)
-    // matches L2 geometry; argmin via array_min over (d, i) structs —
-    // lexicographic struct order breaks ties to the lowest cell id.
-    def distStructs(vec: org.apache.spark.sql.Column) =
-      centroids.zipWithIndex.map { case (c, i) =>
-        val cnorm2 = c.map(x => x * x).sum
-        struct(
-          (lit(cnorm2) - lit(2.0) * VectorFunctions.dot(vec, typedLit(c.map(_.toFloat).toSeq))).as("d"),
-          lit(i).as("i"))
-      }
-
     val assigned = corpus.select(
-      array_min(array(distStructs(col("embedding")): _*)).getField("i").as("cell"),
+      array_min(array(centroidDistStructs(col("embedding"), centroids): _*))
+        .getField("i").as("cell"),
       col("vec_id").as("cid"), col("embedding").as("cvec"))
 
-    val probed = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        slice(array_sort(array(distStructs(col("embedding")): _*)), 1, nprobe).as("probes"))
-      .select(col("qid"), col("qvec"), explode(col("probes")).as("probe"))
-      .select(col("qid"), col("qvec"), col("probe.i").as("cell"))
+    val probed = probedCells(queries, centroids, nprobe)
 
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("sim", VectorFunctions.cosine(col("cvec"), col("qvec")))
     topKPerQuery(scored, k)
   }
+
+  /** Deterministic training sample: top-N by seeded hash — one
+    * TakeOrdered pass over the corpus, no full sort, no RNG.
+    */
+  private def sampleVecs(corpus: DataFrame, seed: Long, n: Int): Array[Array[Double]] =
+    corpus
+      .select(col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Per-centroid L2 structs: ||c||² - 2·v·c (||v||² constant per row)
+    * matches L2 geometry; argmin via array_min over (d, i) structs —
+    * lexicographic struct order breaks ties to the lowest cell id.
+    * Centroids are plan literals: assignment is a pure codegen'd
+    * projection, no centroid table join.
+    */
+  private def centroidDistStructs(
+      vec: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]]): Seq[org.apache.spark.sql.Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val cnorm2 = c.map(x => x * x).sum
+      struct(
+        (lit(cnorm2) - lit(2.0) * VectorFunctions.dot(vec, typedLit(c.map(_.toFloat).toSeq))).as("d"),
+        lit(i).as("i"))
+    }.toIndexedSeq
+
+  /** Queries exploded to their `nprobe` nearest cells:
+    * (qid, qvec, cell) — the tiny side that broadcasts into the
+    * cell-partitioned corpus.
+    */
+  private def probedCells(
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame =
+    queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        slice(array_sort(array(centroidDistStructs(col("embedding"), centroids): _*)),
+          1, nprobe).as("probes"))
+      .select(col("qid"), col("qvec"), explode(col("probes")).as("probe"))
+      .select(col("qid"), col("qvec"), col("probe.i").as("cell"))
 
   /** Plain Lloyd's iterations on an in-memory sample. Deterministic:
     * init = first k sample points (the sample is already hash-shuffled),
@@ -318,24 +341,43 @@ object Similarity {
       seed: Long = 42L,
       trainSample: Int = 4096,
       lloydIters: Int = 10): DataFrame = {
-    val sample: Array[Array[Double]] = corpus
-      .select(col("embedding"))
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
-      .limit(trainSample)
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = sampleVecs(corpus, seed, trainSample)
+    val (codebooks, dsub) = trainPqCodebooks(sample, m, ksub, lloydIters)
+    val encoded = corpus.select(
+      col("vec_id").as("cid"),
+      pqCodes(col("embedding"), codebooks, dsub).as("codes"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = encoded.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("sim", adcScore(col("qvec"), col("codes"), codebooks, dsub))
+    topKPerQuery(scored, k)
+  }
+
+  /** m independent codebooks, each trained on its own dim/m slice of
+    * the sample. Returns (codebooks, dsub).
+    */
+  private def trainPqCodebooks(
+      sample: Array[Array[Double]],
+      m: Int,
+      ksub: Int,
+      lloydIters: Int): (Array[Array[Array[Double]]], Int) = {
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    // m independent codebooks, each trained on its own slice
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+    val codebooks = Array.tabulate(m) { j =>
       lloyd(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, lloydIters)
     }
+    (codebooks, dsub)
+  }
 
-    // encode: per subspace, argmin_c ||x_j - c||² = ||c||² - 2·x_j·c
-    // (+ ||x_j||² constant); struct-argmin ties to the lowest code
-    def codeFor(vec: org.apache.spark.sql.Column, j: Int) = {
+  /** PQ encoding: per subspace, argmin_c ||x_j - c||² = ||c||² - 2·x_j·c
+    * (+ ||x_j||² constant); struct-argmin ties to the lowest code.
+    */
+  private def pqCodes(
+      vec: org.apache.spark.sql.Column,
+      codebooks: Array[Array[Array[Double]]],
+      dsub: Int): org.apache.spark.sql.Column =
+    array(codebooks.indices.map { j =>
       val sub = slice(vec, j * dsub + 1, dsub)
       array_min(array(codebooks(j).zipWithIndex.map { case (c, i) =>
         val cnorm2 = c.map(x => x * x).sum
@@ -343,23 +385,67 @@ object Similarity {
           (lit(cnorm2) - lit(2.0) * VectorFunctions.dot(sub, typedLit(c.map(_.toFloat).toSeq))).as("d"),
           lit(i).as("i"))
       }.toIndexedSeq: _*)).getField("i")
-    }
-    val encoded = corpus.select(
-      col("vec_id").as("cid"),
-      array((0 until m).map(j => codeFor(col("embedding"), j)): _*).as("codes"))
+    }: _*)
 
-    // ADC score: Σ_j q_j · codebook[j][code_j]; codebook is a plan
-    // literal, so the lookup is element_at + a dsub-wide dot — no
-    // join against a centroid table, no corpus vectors read
-    val cbLit = (j: Int) => typedLit(codebooks(j).map(_.map(_.toFloat).toSeq).toSeq)
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val approx = (0 until m).map { j =>
+  /** ADC score: Σ_j q_j · codebook[j][code_j] — the inner product of
+    * the query with the corpus vector's reconstruction. Codebooks are
+    * plan literals, so the lookup is element_at + a dsub-wide dot —
+    * no join against a centroid table, no corpus vectors read.
+    */
+  private def adcScore(
+      qvec: org.apache.spark.sql.Column,
+      codes: org.apache.spark.sql.Column,
+      codebooks: Array[Array[Array[Double]]],
+      dsub: Int): org.apache.spark.sql.Column =
+    codebooks.indices.map { j =>
       VectorFunctions.dot(
-        slice(col("qvec"), j * dsub + 1, dsub),
-        element_at(cbLit(j), col("codes").getItem(j) + 1))
+        slice(qvec, j * dsub + 1, dsub),
+        element_at(typedLit(codebooks(j).map(_.map(_.toFloat).toSeq).toSeq),
+          codes.getItem(j) + 1))
     }.reduce(_ + _)
-    val scored = encoded.join(broadcast(q), col("cid") =!= col("qid"))
-      .withColumn("sim", approx)
+
+  /** IVFPQ approximate top-k — the FAISS IVF+PQ composition, and the
+    * shape that actually holds at 100 TB: the IVF coarse quantizer
+    * routes each query to its `nprobe` nearest cells, and the PQ ADC
+    * score runs ONLY over the codes inside those cells — candidate
+    * work per query ≈ nprobe/nlist of the corpus (vs `pqTopK`'s full
+    * compressed-domain scan), while only 1-byte codes ever leave the
+    * corpus scan (vs `ivfTopK` shipping raw vectors into the join).
+    * Codes here quantize the RAW vectors, not the cell residuals
+    * (FAISS `by_residual=false`): residual encoding would need a
+    * per-row centroid lookup inside the encode expression for a
+    * precision gain the recall spec doesn't require — the simpler
+    * form keeps both train and encode identical to `pqTopK`, so the
+    * two stages compose without retraining.
+    *
+    * Training is one driver pass (bounded hash-ordered sample) for
+    * BOTH quantizers; cell assignment and PQ encoding are codegen'd
+    * projections over one corpus scan; the exploded (qid, cell) probe
+    * list broadcasts.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      trainSample: Int = 4096,
+      lloydIters: Int = 10): DataFrame = {
+    val sample = sampleVecs(corpus, seed, trainSample)
+    val centroids = lloyd(sample, nlist, lloydIters)
+    val (codebooks, dsub) = trainPqCodebooks(sample, m, ksub, lloydIters)
+    val encoded = corpus.select(
+      array_min(array(centroidDistStructs(col("embedding"), centroids): _*))
+        .getField("i").as("cell"),
+      col("vec_id").as("cid"),
+      pqCodes(col("embedding"), codebooks, dsub).as("codes"))
+    val probed = probedCells(queries, centroids, nprobe)
+    val scored = encoded.join(broadcast(probed), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", adcScore(col("qvec"), col("codes"), codebooks, dsub))
     topKPerQuery(scored, k)
   }
 

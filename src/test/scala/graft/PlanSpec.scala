@@ -91,6 +91,16 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1)
   }
 
+  test("ivfPqTopK: probe list broadcast-hash-joins on cell — never a nested-loop scan") {
+    val emb = TableLoader.table(spark, sfDir, "embeddings")
+    val p = plan(graft.operators.Similarity.ivfPqTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), k = 5))
+    // the composition's point vs flat PQ: candidates come from an
+    // equi-join on the routed cell, not a full-corpus conditional scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("embeddingNearDupPairsLsh: equi-join on (table, bucket) — no nested loop, no cartesian") {
     val emb = TableLoader.table(spark, sfDir, "embeddings")
     val p = plan(graft.operators.Similarity.embeddingNearDupPairsLsh(

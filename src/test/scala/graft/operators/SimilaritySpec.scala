@@ -102,6 +102,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"pq recall $recall")
   }
 
+  test("ivfPqTopK: deterministic, self excluded, recall holds with cell routing") {
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    // exact inner-product baseline — ADC approximates the dot product
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d").desc, col("cid"))
+    val exact = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("d", VectorFunctions.dot(col("cvec"), col("qvec")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def setOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = setOf(
+      Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 16))
+    val ivfpq = run()
+    assert(ivfpq == run()) // seeded: stable across runs
+    val corpusIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivfpq.forall { case (q, n) => corpusIds.contains(n) && n != q })
+    val recall = (ivfpq intersect exact).size.toDouble / exact.size
+    // probing 1/4 of cells must still beat the chance floor by far
+    // (chance ≈ 10/500 = 2%); the flat-PQ spec above demands > 0.2
+    // over the FULL corpus scan — routing keeps the same bar
+    assert(recall > 0.2, s"ivfpq recall $recall")
+    // nprobe = nlist degenerates to flat PQ's candidate set: the
+    // routed result must be a subset of what the full scan finds at
+    // the same codebooks... and at full probe width, identical to it
+    val full = setOf(
+      Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 16, nprobe = 16, m = 8, ksub = 16))
+    val flat = setOf(Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16))
+    assert(full == flat, "nprobe=nlist must reduce IVFPQ to the flat PQ scan")
+  }
+
   test("pqRerankTopK: rerank never hurts recall vs raw PQ; exact order over candidates") {
     val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
