@@ -186,6 +186,25 @@ object Queries {
     },
     oracle = Some("SELECT * FROM events WHERE event_type <> 'view'"))
 
+  /** #14n Catalog sync (the reference's hive_sync,
+    * generate_hudi_table.py:121-130): upsert events into a versioned
+    * table with catalog registration, then read it back BY NAME via
+    * `spark.table` — no temp view, no path. Oracled as the full
+    * snapshot: what the catalog name resolves to must be exactly the
+    * committed version's content.
+    */
+  val qCatalogRead: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("catalog-read")
+      UpsertWriter.upsert(t(s, dir, "events"), target,
+        recordKeys = Seq("event_id"), precombine = "ts",
+        syncTable = Some("graft_catalog_events"))
+      s.catalog.refreshTable("graft_catalog_events")
+      s.table("graft_catalog_events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    },
+    oracle = Some("SELECT * FROM events"))
+
   /** #11 Hive-partitioned versioned write + partition-pruned read:
     * events upserted into a table partitioned by event_type, read
     * back filtered to ONE partition — the scan must touch only that
@@ -3737,6 +3756,7 @@ object Queries {
     "q_grouping_sets" -> qGroupingSets,
     "q_window_range" -> qWindowRange,
     "q_upsert_delete" -> qUpsertDelete,
+    "q_catalog_read" -> qCatalogRead,
     "q_cube" -> qCube,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,

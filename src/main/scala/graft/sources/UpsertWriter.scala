@@ -146,14 +146,34 @@ object UpsertWriter {
       partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil,
       keepVersions: Int = 2,
-      targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      syncTable: Option[String] = None): Unit = {
     require(keepVersions >= 1, "keepVersions must retain at least the live version")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val spark = updates.sparkSession
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = committedVersions(fs, target)
+    val nextNum = versions.lastOption.map(_._1 + 1).getOrElse(1)
+    mergeAndCommit(updates, spark, fs, target, versions, nextNum,
+      recordKeys, precombine, partitionBy, clusterBy, keepVersions, targetFileBytes)
+    // hive_sync analog: re-point the catalog name at the new commit
+    syncTable.foreach(name => CatalogSync.sync(spark, name, targetPath))
+  }
 
+  private def mergeAndCommit(
+      updates: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      fs: FileSystem,
+      target: Path,
+      versions: Seq[(Int, Path)],
+      nextNum: Int,
+      recordKeys: Seq[String],
+      precombine: String,
+      partitionBy: Seq[String],
+      clusterBy: Seq[String],
+      keepVersions: Int,
+      targetFileBytes: Long): Unit = {
     // Updates win over existing rows at equal precombine values.
     // allowMissingColumns = additive schema evolution (the Hudi
     // behavior: generate_hudi_table.py tables evolve by re-running
@@ -209,7 +229,6 @@ object UpsertWriter {
       if (clusterBy.nonEmpty) sized.sortWithinPartitions(clusterBy.map(col): _*)
       else sized
 
-    val nextNum = versions.lastOption.map(_._1 + 1).getOrElse(1)
     val versionDir = new Path(target, f"v$nextNum%08d")
     if (fs.exists(versionDir)) fs.delete(versionDir, true) // uncommitted debris from a crash
     val writer = clustered.write.mode(SaveMode.Overwrite)
@@ -220,6 +239,101 @@ object UpsertWriter {
     // Cleaner: drop committed versions beyond the retention window.
     val committed = committedVersions(fs, target)
     committed.dropRight(keepVersions).foreach { case (_, dir) => fs.delete(dir, true) }
+  }
+
+  // -----------------------------------------------------------------
+  // Optimistic concurrency control — the analog of the reference's
+  // hoodie.write.concurrency.mode=optimistic_concurrency_control +
+  // lock provider (generate_hudi_table.py:174-180). Writers race to
+  // CLAIM the next version number; the claim is an exclusive file
+  // (`vNNNNNNNN_claim`) in the table root, doubling as a same-process
+  // lock via a JVM-wide claim registry (Hudi's InProcessLockProvider
+  // composed with its FileSystem lock). The loser re-reads the
+  // timeline — so its merge base includes the winner's commit — and
+  // retries on the NEXT version: both updates land, the timeline is
+  // linear, no lost update. A claim whose version never committed and
+  // whose file is older than `claimStaleMs` is a crashed writer; it
+  // is broken and re-taken (the lock-provider TTL). Claim files of
+  // COMMITTED versions are kept as tombstones: a late writer that
+  // read the timeline before the commit landed must fail its claim
+  // and re-base, never overwrite.
+  // -----------------------------------------------------------------
+
+  private val jvmClaims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def claimPath(target: Path, n: Int) = new Path(target, f"v$n%08d" + "_claim")
+
+  private def tryClaim(fs: FileSystem, target: Path, n: Int, staleMs: Long): Boolean = {
+    val key = s"${target.toUri}#v$n"
+    if (!jvmClaims.add(key)) return false // same-process writer holds it
+    val claim = claimPath(target, n)
+    val ok =
+      try {
+        // a version already committed (possibly by a non-OCC writer,
+        // which leaves no claim file) is never re-claimable
+        if (fs.exists(new Path(target, f"v$n%08d/$CommitMarker"))) false
+        else if (fs.exists(claim)) {
+          val age = System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+          if (age < staleMs) false
+          else { // crashed writer: break the stale claim and take it
+            fs.delete(claim, false)
+            fs.createNewFile(claim)
+          }
+        } else fs.createNewFile(claim)
+      } catch { case _: java.io.IOException => false }
+    if (!ok) jvmClaims.remove(key)
+    ok
+  }
+
+  /** Multi-writer upsert: same semantics as `upsert`, safe to run
+    * concurrently against one table from several threads or JVMs
+    * sharing the filesystem. Each attempt re-reads the committed
+    * timeline, so a retry merges ON TOP of the competing commit.
+    */
+  def upsertConcurrent(
+      updates: DataFrame,
+      targetPath: String,
+      recordKeys: Seq[String],
+      precombine: String,
+      partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil,
+      keepVersions: Int = 2,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      maxAttempts: Int = 20,
+      claimStaleMs: Long = 10L * 60 * 1000,
+      syncTable: Option[String] = None): Unit = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    val spark = updates.sparkSession
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val versions = committedVersions(fs, target)
+      val nextNum = versions.lastOption.map(_._1 + 1).getOrElse(1)
+      if (tryClaim(fs, target, nextNum, claimStaleMs)) {
+        try {
+          mergeAndCommit(updates, spark, fs, target, versions, nextNum,
+            recordKeys, precombine, partitionBy, clusterBy, keepVersions, targetFileBytes)
+          syncTable.foreach(name => CatalogSync.sync(spark, name, targetPath))
+          return
+        } catch {
+          case e: Throwable =>
+            // failed write: release so another writer (or our caller's
+            // retry) can take this number — nothing was committed
+            fs.delete(claimPath(target, nextNum), false)
+            jvmClaims.remove(s"${target.toUri}#v$nextNum")
+            throw e
+        }
+      }
+      attempt += 1
+      // competing writer holds the next slot: wait for its commit to
+      // land, then rebase on it (linear backoff, bounded)
+      Thread.sleep(math.min(50L * attempt, 1000L))
+    }
+    throw new IllegalStateException(
+      s"upsertConcurrent: gave up after $maxAttempts attempts on $targetPath " +
+        "(writer contention or a stale claim within claimStaleMs)")
   }
 
   /** Table service: rewrite the LIVE version into ~targetFileBytes

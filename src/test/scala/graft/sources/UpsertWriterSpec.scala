@@ -232,4 +232,59 @@ class UpsertWriterSpec extends SparkSpec {
     assert(fs.exists(new Path(vdir, "part=p1")) && fs.exists(new Path(vdir, "part=p2")))
     assert(UpsertWriter.read(spark, table).count() == 2)
   }
+
+  test("upsertConcurrent: two racing writers — both rows land, linear timeline, no lost update") {
+    val table = tmpDir("graft-occ-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "base")), table, Seq("k"), "ver", keepVersions = 5)
+
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(rows: (Long, Long, String)*): Runnable = () => {
+      start.await()
+      try UpsertWriter.upsertConcurrent(df(rows: _*), table, Seq("k"), "ver", keepVersions = 5)
+      catch { case t: Throwable => failures.add(t) }
+    }
+    pool.submit(writer((2L, 1L, "from-A")))
+    pool.submit(writer((3L, 1L, "from-B")))
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers did not finish")
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek()).map(_.toString)}")
+
+    // no lost update: the loser rebased on the winner's commit
+    val rows = UpsertWriter.read(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows == Map(1L -> "base", 2L -> "from-A", 3L -> "from-B"))
+    // linear timeline: base v1, then exactly one version per writer
+    assert(UpsertWriter.versions(spark, table) == Seq(1, 2, 3))
+  }
+
+  test("upsertConcurrent: stale claim from a crashed writer is broken and re-taken") {
+    val table = tmpDir("graft-occ-stale-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "base")), table, Seq("k"), "ver", keepVersions = 5)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed writer claimed v2 (from ANOTHER process — no JVM entry)
+    // and never committed; its claim goes stale after claimStaleMs
+    fs.createNewFile(new Path(table, "v00000002_claim"))
+    Thread.sleep(30)
+    UpsertWriter.upsertConcurrent(df((2L, 1L, "after-crash")), table, Seq("k"), "ver",
+      keepVersions = 5, claimStaleMs = 10)
+    assert(UpsertWriter.versions(spark, table) == Seq(1, 2))
+    assert(UpsertWriter.read(spark, table).count() == 2)
+  }
+
+  test("upsertConcurrent: live contention exhausts maxAttempts loudly") {
+    val table = tmpDir("graft-occ-contend-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "base")), table, Seq("k"), "ver", keepVersions = 5)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a LIVE competing claim (fresh mtime, never commits): the writer
+    // must give up after maxAttempts instead of spinning forever
+    fs.createNewFile(new Path(table, "v00000002_claim"))
+    intercept[IllegalStateException] {
+      UpsertWriter.upsertConcurrent(df((2L, 1L, "blocked")), table, Seq("k"), "ver",
+        keepVersions = 5, maxAttempts = 2)
+    }
+  }
 }
