@@ -67,33 +67,121 @@ object Bpe {
             .otherwise(concat(acc, array(x)))))
   }
 
+  /** Adjacent triples of a symbol array: (a, b, c) structs. */
+  private def zipTriples(syms: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val k = size(syms) - 2
+    zip_with(
+      zip_with(slice(syms, lit(1), k), slice(syms, lit(2), k),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+      slice(syms, lit(3), k),
+      (ab, c) => struct(ab.getField("a").as("a"), ab.getField("b").as("b"), c.as("c")))
+  }
+
+  /** One job per training PASS: the weighted pair counts joined with
+    * each pair's NEW-PAIR BOUND — the largest weighted count of any
+    * adjacent triple containing the pair. Merging (l,r) can only
+    * create pairs of the forms (x, lr) and (lr, y), and every
+    * occurrence of such a pair corresponds to a pre-pass triple
+    * occurrence (x,l,r) / (l,r,y), so max over those triple counts
+    * bounds every pair the merge can create — the driver uses it to
+    * decide how far down the sorted pair list a batch stays exactly
+    * sequential. Returns the top `topK` pairs in selection order
+    * (count desc, then lexicographic).
+    */
+  private def topPairsWithBounds(
+      symbols: DataFrame, topK: Int): Array[(String, String, Long, Long)] = {
+    val trip = symbols.filter(size(col("syms")) >= 3)
+      .select(col("n"), explode(zipTriples(col("syms"))).as("t"))
+      .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      .agg(sum(col("n")).as("tn"))
+    val bounds = trip.select(col("b").as("left"), col("c").as("right"), col("tn"))
+      .unionAll(trip.select(col("a").as("left"), col("b").as("right"), col("tn")))
+      .groupBy(col("left"), col("right"))
+      .agg(max(col("tn")).as("new_bound"))
+    pairCounts(symbols)
+      .join(bounds, Seq("left", "right"), "left")
+      .orderBy(col("pair_n").desc, col("left"), col("right"))
+      .limit(topK)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
+  }
+
+  /** Greedy prefix of the sorted pair list that is provably the exact
+    * sequential pick order:
+    *  - pairwise SYMBOL-DISJOINT — merging p_j then cannot change any
+    *    later p_i's count (overlapping pairs only ever lose
+    *    occurrences, so the first overlap ends the batch), and the
+    *    recorded counts equal sequential's at-selection counts;
+    *  - every candidate's count stays STRICTLY above the largest
+    *    new-pair bound of the merges selected before it — a pair
+    *    created mid-pass can therefore never outrank (or lex-tie)
+    *    the next selection.
+    * Pairs beyond the collected topK rank below every candidate by
+    * sortedness and cannot interfere.
+    */
+  private def selectBatch(
+      cands: Array[(String, String, Long, Long)],
+      maxBatch: Int): Seq[(String, String, Long, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    var newBound = -1L
+    val out = Seq.newBuilder[(String, String, Long, Long)]
+    var taken = 0
+    var i = 0
+    var stop = false
+    while (i < cands.length && taken < maxBatch && !stop) {
+      val c @ (l, r, n, b) = cands(i)
+      if (used(l) || used(r) || newBound >= n) stop = true
+      else {
+        out += c
+        used += l; used += r
+        newBound = math.max(newBound, b)
+        taken += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Train `iters` merges. Returns the merge table:
     * (rank, left, right, pair_n). Deterministic: best pair = highest
     * weighted count, ties to the lexicographically smallest
-    * (left, right).
+    * (left, right) — BYTE-IDENTICAL to one-merge-at-a-time training.
+    *
+    * Merges are learned in BATCHES (`selectBatch`): each pass runs
+    * ONE pair-stats job and commits every leading pair the
+    * disjointness + new-pair-bound rules prove the sequential
+    * algorithm would pick next, then applies them in rank order. A
+    * production 32k-merge vocabulary thus costs hundreds of Spark
+    * jobs instead of 32k — the difference between a tractable and an
+    * absurd driver loop at corpus scale — while the gate's output
+    * stays exactly sequential (BpeSpec checks merge-for-merge against
+    * an independent in-memory reference).
     */
-  def train(docs: DataFrame, iters: Int, textCol: String = "text"): Seq[(Int, String, String, Long)] = {
+  def train(docs: DataFrame, iters: Int, textCol: String = "text",
+      maxBatch: Int = 32): Seq[(Int, String, String, Long)] = {
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     // materialize the word table ONCE — otherwise every early
     // iteration's pair-count job re-scans and re-tokenizes the whole
     // corpus (measured 9.4s → 4.9s for 8 merges at sf0.1)
     var symbols = toSymbols(wordCounts(docs, textCol)).localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var i = 0
+    var rank = 0
     var exhausted = false
-    while (i < iters && !exhausted) {
-      val top = pairCounts(symbols)
-        .orderBy(col("pair_n").desc, col("left"), col("right"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true
+    while (rank < iters && !exhausted) {
+      val cands = topPairsWithBounds(symbols, topK = math.max(64, maxBatch * 4))
+      if (cands.isEmpty) exhausted = true
       else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((i + 1, l, r, n))
-        symbols = applyMerge(symbols, l, r)
-        // bound lineage: each merge stacks a HOF projection; every few
-        // iterations materialize and truncate the plan
-        if ((i + 1) % 4 == 0) symbols = symbols.localCheckpoint(true)
-        i += 1
+        val batch = selectBatch(cands, math.min(maxBatch, iters - rank))
+        batch.foreach { case (l, r, n, _) =>
+          rank += 1
+          merges += ((rank, l, r, n))
+        }
+        // apply in rank order (greedy leftmost per merge), then
+        // truncate lineage: each merge stacks one HOF projection
+        symbols = batch.foldLeft(symbols) { case (acc, (l, r, _, _)) =>
+          applyMerge(acc, l, r)
+        }.localCheckpoint(true)
       }
     }
     merges.result()

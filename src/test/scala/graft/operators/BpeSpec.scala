@@ -51,6 +51,25 @@ class BpeSpec extends SparkSpec {
     assert(got == expected, s"\ngot:      $got\nexpected: $expected")
   }
 
+  test("batched training is byte-identical to one-merge-at-a-time, deep into the vocab") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "low low low lower lower newest newest newest newest widest",
+      "aaab aaab aaab banana low newest",
+      "the the the the bane bane",
+      "lowest newer wider widest bananas").map(Tuple1(_)).toDF("text")
+    val words = docs.as[String].collect()
+      .flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // 40 merges exhausts most of this tiny corpus — batches must stay
+    // exact through conflicts, ties, and the exhaustion tail
+    val expected = referenceBpe(words, 40)
+    val sequential = Bpe.train(docs, iters = 40, maxBatch = 1)
+    val batched = Bpe.train(docs, iters = 40, maxBatch = 32)
+    assert(sequential == expected)
+    assert(batched == expected, s"\ngot:      $batched\nexpected: $expected")
+  }
+
   test("segment replays merges greedily: leftmost-first on overlapping pairs") {
     val s = spark
     import s.implicits._
