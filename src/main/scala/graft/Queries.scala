@@ -1236,13 +1236,48 @@ object Queries {
     })
 
   /** #33 Fingerprint: 64-bit FNV-1a rolling hash (custom codegen'd
-    * expression) — not SQL-expressible, rows-only + spec.
+    * expression), fully oracled: the hash is deterministic integer
+    * arithmetic, so DuckDB re-derives it from first principles —
+    * normalize, expand codepoints to UTF-8 bytes (1–4 byte
+    * sequences), then fold h = (h XOR byte) · prime in HUGEINT with
+    * an explicit mod-2⁶⁴ wrap (the XOR only ever touches the low
+    * byte, so it runs in BIGINT on acc%256), and re-sign the result
+    * into BIGINT range at the end.
     */
   val qTextFingerprint: QueryDef = QueryDef(
     run = (s, dir) =>
       graft.operators.TextAnalysis.withFingerprint(t(s, dir, "documents"))
         .select(col("doc_id"), col("fingerprint")),
-    oracle = None)
+    oracle = Some(
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s FROM documents
+        |), by AS (
+        |  SELECT doc_id, flatten(list_transform(range(1, length(s)+1), i -> CASE
+        |    WHEN unicode(s[i]) < 128 THEN [unicode(s[i])]
+        |    WHEN unicode(s[i]) < 2048 THEN
+        |      [192 + unicode(s[i]) // 64, 128 + unicode(s[i]) % 64]
+        |    WHEN unicode(s[i]) < 65536 THEN
+        |      [224 + unicode(s[i]) // 4096, 128 + (unicode(s[i]) // 64) % 64,
+        |       128 + unicode(s[i]) % 64]
+        |    ELSE
+        |      [240 + unicode(s[i]) // 262144, 128 + (unicode(s[i]) // 4096) % 64,
+        |       128 + (unicode(s[i]) // 64) % 64, 128 + unicode(s[i]) % 64]
+        |  END)) AS bs
+        |  FROM norm
+        |), fp AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                 list_transform(bs, b -> CAST(b AS HUGEINT))),
+        |    (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                 * 1099511628211) % 18446744073709551616
+        |  ) AS h
+        |  FROM by
+        |)
+        |SELECT doc_id,
+        |  CAST(h - CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                THEN CAST(18446744073709551616 AS HUGEINT)
+        |                ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fingerprint
+        |FROM fp""".stripMargin))
 
   /** #23 Exact dedup: lowest doc_id survives per identical text. */
   val qDedupExact: QueryDef = QueryDef(
