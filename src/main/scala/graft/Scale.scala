@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: replays the headline operators at ~10× the bench
+  * scale (an sf1 approximation) to substantiate the 100 TB design
+  * claims with measurements rather than assertions.
+  *
+  * The driver ships no sf1 dataset, so one is DERIVED from sf0.1:
+  * fact tables are replicated `copies` times with shifted surrogate
+  * keys; text gets a per-epoch marker token (so near-dup structure is
+  * preserved within an epoch instead of every document gaining 9
+  * exact clones); embeddings get a per-epoch perturbation of one
+  * coordinate (same geometry, distinct vectors). Dimension tables are
+  * NOT scaled — facts grow, dims don't, which is exactly the shape
+  * that keeps broadcast joins broadcastable at 100 TB.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.Scale [copies]"
+  * Prints one JSON line per query: {"query":…,"sf01_sec":…,"sf1_sec":…}.
+  */
+object Scale {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val outRoot = "/root/repo/target/scale-sf1"
+    val f = new java.io.File(outRoot)
+    if (!f.exists()) {
+      f.mkdirs()
+      buildScaled(spark, sfDir, outRoot, copies)
+    }
+
+    def t01(name: String) = sources.TableLoader.table(spark, sfDir, name)
+    def t1(name: String) =
+      sources.TableLoader.normalizeNanos(
+        spark.read.parquet(s"$outRoot/$name.parquet"), "ts")
+
+    // headline operators: one thunk per (name, docs-input)
+    val runs: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "dedup_exact" -> ((docs: DataFrame) =>
+        operators.Dedup.exact(docs, "text", "doc_id")),
+      "dedup_minhash_lsh" -> ((docs: DataFrame) =>
+        operators.Dedup.minhashLshPairs(docs, "doc_id", "text")),
+      "dedup_prefix" -> ((docs: DataFrame) =>
+        operators.Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)),
+      "text_tfidf" -> ((docs: DataFrame) =>
+        operators.TextAnalysis.tfIdf(docs)),
+      "decontam_ngram" -> ((docs: DataFrame) =>
+        operators.Curation.decontaminate(
+          docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 8)),
+      "curate_docs" -> ((docs: DataFrame) => {
+        val scored = operators.TextAnalysis.withLangId(
+          operators.TextAnalysis.withQuality(docs))
+        operators.Dedup.exact(
+          scored.filter(col("quality_score") >= 0.45 && col("n_tokens") >= 20),
+          "text", "doc_id")
+      }))
+
+    val embRuns: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "dedup_embedding_lsh" -> ((emb: DataFrame) =>
+        operators.Similarity.embeddingNearDupPairsLsh(
+          emb, threshold = 0.45, numTables = 8, planesPerTable = 2)),
+      "sim_pq_topk" -> ((emb: DataFrame) =>
+        operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)),
+      "sim_ivfpq_topk" -> ((emb: DataFrame) =>
+        operators.Similarity.ivfPqTopK(
+          emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 64, nprobe = 8)))
+
+    def q1Shape(li: DataFrame): DataFrame =
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+
+    val out = Seq.newBuilder[String]
+    def rehearse(name: String, small: => DataFrame, big: => DataFrame): Unit = {
+      val (_, tSmall) = timed(small.write.mode("overwrite").format("noop").save())
+      val (_, tBig) = timed(big.write.mode("overwrite").format("noop").save())
+      out += f"""{"query":"$name","sf01_sec":$tSmall%.3f,"sf1_sec":$tBig%.3f,"ratio":${tBig / tSmall}%.2f}"""
+      println(out.result().last)
+    }
+
+    val docs01 = t01("documents"); val docs1 = spark.read.parquet(s"$outRoot/documents.parquet")
+    runs.foreach { case (n, q) => rehearse(n, q(docs01), q(docs1)) }
+    val emb01 = t01("embeddings"); val emb1 = spark.read.parquet(s"$outRoot/embeddings.parquet")
+    embRuns.foreach { case (n, q) => rehearse(n, q(emb01), q(emb1)) }
+
+    val li01 = t01("lineitem"); val li1 = spark.read.parquet(s"$outRoot/lineitem.parquet")
+    rehearse("q1_agg", q1Shape(li01), q1Shape(li1))
+
+    // star join: scaled facts, UNSCALED broadcast dims
+    rehearse("q5_star_join", starJoin(spark, t01("lineitem"), t01("orders"), sfDir),
+      starJoin(spark, li1, spark.read.parquet(s"$outRoot/orders.parquet"), sfDir))
+
+    // streaming windowed agg over the scaled events table
+    rehearse("q_window_running",
+      windowRunning(t01("events")), windowRunning(t1("events")))
+
+    println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
+    spark.stop()
+  }
+
+  private def windowRunning(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("value"),
+      sum(col("value")).over(w).as("running_value"),
+      row_number().over(w).as("rn"))
+  }
+
+  private def starJoin(spark: SparkSession, li: DataFrame, o: DataFrame, sfDir: String): DataFrame = {
+    val c = sources.TableLoader.table(spark, sfDir, "customer")
+    val n = sources.TableLoader.table(spark, sfDir, "nation")
+    val r = sources.TableLoader.table(spark, sfDir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+  }
+
+  /** Derive the ~10× dataset: shifted keys, per-epoch text marker,
+    * per-epoch embedding perturbation; dims untouched (read from the
+    * source dir at run time).
+    */
+  private def buildScaled(spark: SparkSession, sfDir: String, outRoot: String, copies: Int): Unit = {
+    def epochs(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    epochs(docs, (d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+        .withColumn("text",
+          if (i == 0) col("text") else concat(col("text"), lit(s" epoch$i"))))
+      .repartition(32).write.mode("overwrite").parquet(s"$outRoot/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    epochs(emb, (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else transform(col("embedding"), (x, idx) =>
+            when(idx === 0, x + lit(i * 1e-3f)).otherwise(x))))
+      .repartition(32).write.mode("overwrite").parquet(s"$outRoot/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    epochs(li, (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+      .repartition(32).write.mode("overwrite").parquet(s"$outRoot/lineitem.parquet")
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    epochs(orders, (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L)))
+      .repartition(32).write.mode("overwrite").parquet(s"$outRoot/orders.parquet")
+
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    epochs(events, (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+      .repartition(32).write.mode("overwrite").parquet(s"$outRoot/events.parquet")
+  }
+}

@@ -129,8 +129,8 @@ object Similarity {
     val centroids = lloyd(sample, nlist, lloydIters)
 
     val assigned = corpus.select(
-      array_min(array(centroidDistStructs(col("embedding"), centroids): _*))
-        .getField("i").as("cell"),
+      graft.functions.CentroidFunctions.nearestCells(col("embedding"), centroids, 1)
+        .getItem(0).as("cell"),
       col("vec_id").as("cid"), col("embedding").as("cvec"))
 
     val probed = probedCells(queries, centroids, nprobe)
@@ -152,25 +152,12 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-  /** Per-centroid L2 structs: ||c||² - 2·v·c (||v||² constant per row)
-    * matches L2 geometry; argmin via array_min over (d, i) structs —
-    * lexicographic struct order breaks ties to the lowest cell id.
-    * Centroids are plan literals: assignment is a pure codegen'd
-    * projection, no centroid table join.
-    */
-  private def centroidDistStructs(
-      vec: org.apache.spark.sql.Column,
-      centroids: Array[Array[Double]]): Seq[org.apache.spark.sql.Column] =
-    centroids.zipWithIndex.map { case (c, i) =>
-      val cnorm2 = c.map(x => x * x).sum
-      struct(
-        (lit(cnorm2) - lit(2.0) * VectorFunctions.dot(vec, typedLit(c.map(_.toFloat).toSeq))).as("d"),
-        lit(i).as("i"))
-    }.toIndexedSeq
-
   /** Queries exploded to their `nprobe` nearest cells:
     * (qid, qvec, cell) — the tiny side that broadcasts into the
-    * cell-partitioned corpus.
+    * cell-partitioned corpus. Cell routing is the `NearestCells`
+    * kernel: centroids ride the plan as a reference object, so the
+    * generated code stays constant-size however large nlist grows
+    * (the expanded-struct alternative killed Janino at nlist = 64).
     */
   private def probedCells(
       queries: DataFrame,
@@ -178,10 +165,8 @@ object Similarity {
       nprobe: Int): DataFrame =
     queries
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        slice(array_sort(array(centroidDistStructs(col("embedding"), centroids): _*)),
-          1, nprobe).as("probes"))
-      .select(col("qid"), col("qvec"), explode(col("probes")).as("probe"))
-      .select(col("qid"), col("qvec"), col("probe.i").as("cell"))
+        explode(graft.functions.CentroidFunctions.nearestCells(
+          col("embedding"), centroids, nprobe)).as("cell"))
 
   /** Plain Lloyd's iterations on an in-memory sample. Deterministic:
     * init = first k sample points (the sample is already hash-shuffled),
@@ -371,21 +356,15 @@ object Similarity {
   }
 
   /** PQ encoding: per subspace, argmin_c ||x_j - c||² = ||c||² - 2·x_j·c
-    * (+ ||x_j||² constant); struct-argmin ties to the lowest code.
+    * (+ ||x_j||² constant), ties to the lowest code — the `PqEncode`
+    * kernel, codebooks as a plan reference object (constant-size
+    * generated code at any m × ksub; real indexes use ksub = 256).
     */
   private def pqCodes(
       vec: org.apache.spark.sql.Column,
       codebooks: Array[Array[Array[Double]]],
       dsub: Int): org.apache.spark.sql.Column =
-    array(codebooks.indices.map { j =>
-      val sub = slice(vec, j * dsub + 1, dsub)
-      array_min(array(codebooks(j).zipWithIndex.map { case (c, i) =>
-        val cnorm2 = c.map(x => x * x).sum
-        struct(
-          (lit(cnorm2) - lit(2.0) * VectorFunctions.dot(sub, typedLit(c.map(_.toFloat).toSeq))).as("d"),
-          lit(i).as("i"))
-      }.toIndexedSeq: _*)).getField("i")
-    }: _*)
+    graft.functions.CentroidFunctions.pqEncode(vec, codebooks, dsub)
 
   /** ADC score: Σ_j q_j · codebook[j][code_j] — the inner product of
     * the query with the corpus vector's reconstruction. Codebooks are
@@ -438,8 +417,8 @@ object Similarity {
     val centroids = lloyd(sample, nlist, lloydIters)
     val (codebooks, dsub) = trainPqCodebooks(sample, m, ksub, lloydIters)
     val encoded = corpus.select(
-      array_min(array(centroidDistStructs(col("embedding"), centroids): _*))
-        .getField("i").as("cell"),
+      graft.functions.CentroidFunctions.nearestCells(col("embedding"), centroids, 1)
+        .getItem(0).as("cell"),
       col("vec_id").as("cid"),
       pqCodes(col("embedding"), codebooks, dsub).as("codes"))
     val probed = probedCells(queries, centroids, nprobe)
