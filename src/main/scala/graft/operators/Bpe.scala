@@ -77,68 +77,94 @@ object Bpe {
       (ab, c) => struct(ab.getField("a").as("a"), ab.getField("b").as("b"), c.as("c")))
   }
 
-  /** One job per training PASS: the weighted pair counts joined with
-    * each pair's NEW-PAIR BOUND — the largest weighted count of any
-    * adjacent triple containing the pair. Merging (l,r) can only
-    * create pairs of the forms (x, lr) and (lr, y), and every
+  /** Two jobs per training PASS: (1) the top `topK` weighted pair
+    * counts (a TakeOrdered, same cost as the old one-merge pick), then
+    * (2) each collected pair's NEW-PAIR BOUND — the largest weighted
+    * count of any adjacent triple containing the pair. Merging (l,r)
+    * can only create pairs of the forms (x, lr) and (lr, y), and every
     * occurrence of such a pair corresponds to a pre-pass triple
     * occurrence (x,l,r) / (l,r,y), so max over those triple counts
     * bounds every pair the merge can create — the driver uses it to
     * decide how far down the sorted pair list a batch stays exactly
-    * sequential. Returns the top `topK` pairs in selection order
-    * (count desc, then lexicographic).
+    * sequential. The triple aggregation is FILTERED to triples
+    * touching a collected pair (broadcast semi-joins on the tiny
+    * candidate list) so the heavy all-triples shuffle never happens.
+    * Returns the top pairs in selection order (count desc, lex).
     */
-  private def topPairsWithBounds(
-      symbols: DataFrame, topK: Int): Array[(String, String, Long, Long)] = {
+  /** New-pair bounds for a small candidate set — the largest weighted
+    * count of any adjacent triple containing each pair, with the
+    * triple aggregation FILTERED to the candidates (broadcast
+    * semi-joins on the tiny pair list), so the heavy all-triples
+    * shuffle never happens.
+    */
+  private def newPairBounds(
+      symbols: DataFrame,
+      cands: Seq[(String, String)]): Map[(String, String), Long] = {
+    val spark = symbols.sparkSession
+    import spark.implicits._
+    val cand = broadcast(cands.toDF("_cl", "_cr"))
     val trip = symbols.filter(size(col("syms")) >= 3)
       .select(col("n"), explode(zipTriples(col("syms"))).as("t"))
-      .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
-      .agg(sum(col("n")).as("tn"))
-    val bounds = trip.select(col("b").as("left"), col("c").as("right"), col("tn"))
-      .unionAll(trip.select(col("a").as("left"), col("b").as("right"), col("tn")))
-      .groupBy(col("left"), col("right"))
+      .select(col("n"), col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+    def sideBound(lc: String, rc: String) = trip
+      .join(cand, col(lc) === col("_cl") && col(rc) === col("_cr"), "left_semi")
+      .groupBy(col("a"), col("b"), col("c")).agg(sum(col("n")).as("tn"))
+      .groupBy(col(lc).as("left"), col(rc).as("right"))
       .agg(max(col("tn")).as("new_bound"))
-    pairCounts(symbols)
-      .join(bounds, Seq("left", "right"), "left")
-      .orderBy(col("pair_n").desc, col("left"), col("right"))
-      .limit(topK)
+    sideBound("b", "c").unionAll(sideBound("a", "b"))
+      .groupBy(col("left"), col("right")).agg(max(col("new_bound")).as("new_bound"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        if (r.isNullAt(3)) 0L else r.getLong(3)))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
   }
 
-  /** Greedy prefix of the sorted pair list that is provably the exact
-    * sequential pick order:
-    *  - pairwise SYMBOL-DISJOINT — merging p_j then cannot change any
-    *    later p_i's count (overlapping pairs only ever lose
-    *    occurrences, so the first overlap ends the batch), and the
-    *    recorded counts equal sequential's at-selection counts;
-    *  - every candidate's count stays STRICTLY above the largest
-    *    new-pair bound of the merges selected before it — a pair
-    *    created mid-pass can therefore never outrank (or lex-tie)
-    *    the next selection.
-    * Pairs beyond the collected topK rank below every candidate by
-    * sortedness and cannot interfere.
+  /** Longest SYMBOL-DISJOINT prefix of the sorted pair list — merging
+    * p_j then cannot change any later p_i's count (overlapping pairs
+    * only ever lose occurrences, so the first overlap ends the
+    * batch), and the recorded counts equal sequential's at-selection
+    * counts. Pairs beyond the collected topK rank below every
+    * candidate by sortedness and cannot interfere.
     */
-  private def selectBatch(
-      cands: Array[(String, String, Long, Long)],
-      maxBatch: Int): Seq[(String, String, Long, Long)] = {
+  private def disjointPrefix(
+      cands: Array[(String, String, Long)],
+      maxBatch: Int): Seq[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String]
-    var newBound = -1L
-    val out = Seq.newBuilder[(String, String, Long, Long)]
+    val out = Seq.newBuilder[(String, String, Long)]
     var taken = 0
     var i = 0
     var stop = false
     while (i < cands.length && taken < maxBatch && !stop) {
-      val c @ (l, r, n, b) = cands(i)
-      if (used(l) || used(r) || newBound >= n) stop = true
+      val c @ (l, r, _) = cands(i)
+      if (used(l) || used(r)) stop = true
       else {
         out += c
         used += l; used += r
-        newBound = math.max(newBound, b)
         taken += 1
       }
       i += 1
+    }
+    out.result()
+  }
+
+  /** Cut the disjoint prefix at the first candidate whose count does
+    * NOT stay strictly above the largest new-pair bound of the merges
+    * before it — a pair created mid-pass can therefore never outrank
+    * (or lex-tie) the next selection, so the batch is provably the
+    * exact sequential pick order.
+    */
+  private def boundCut(
+      prefix: Seq[(String, String, Long)],
+      bounds: Map[(String, String), Long]): Seq[(String, String, Long)] = {
+    var newBound = -1L
+    val out = Seq.newBuilder[(String, String, Long)]
+    var stop = false
+    prefix.foreach { case c @ (l, r, n) =>
+      if (!stop) {
+        if (newBound >= n) stop = true
+        else {
+          out += c
+          newBound = math.max(newBound, bounds.getOrElse((l, r), 0L))
+        }
+      }
     }
     out.result()
   }
@@ -159,29 +185,56 @@ object Bpe {
     * an independent in-memory reference).
     */
   def train(docs: DataFrame, iters: Int, textCol: String = "text",
-      maxBatch: Int = 32): Seq[(Int, String, String, Long)] = {
+      maxBatch: Int = 32,
+      batchThreshold: Int = 4): Seq[(Int, String, String, Long)] = {
     require(maxBatch >= 1, "maxBatch must be >= 1")
+    require(batchThreshold >= 2, "batchThreshold must be >= 2")
     // materialize the word table ONCE — otherwise every early
     // iteration's pair-count job re-scans and re-tokenizes the whole
     // corpus (measured 9.4s → 4.9s for 8 merges at sf0.1)
     var symbols = toSymbols(wordCounts(docs, textCol)).localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
+    var sinceCheckpoint = 0
     var exhausted = false
     while (rank < iters && !exhausted) {
-      val cands = topPairsWithBounds(symbols, topK = math.max(64, maxBatch * 4))
+      val budget = math.min(maxBatch, iters - rank)
+      // job 1 (same cost as the old one-merge pick): top pairs
+      val cands = pairCounts(symbols)
+        .orderBy(col("pair_n").desc, col("left"), col("right"))
+        .limit(math.max(64, maxBatch * 4))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (cands.isEmpty) exhausted = true
       else {
-        val batch = selectBatch(cands, math.min(maxBatch, iters - rank))
-        batch.foreach { case (l, r, n, _) =>
+        val prefix = disjointPrefix(cands, budget)
+        // the bounds job only pays for itself when the pass can batch
+        // SUBSTANTIALLY: early char-level passes conflict heavily
+        // (top pairs share letters, prefixes of 1-3) and a 2-merge
+        // batch costs more in triple stats than it saves in passes —
+        // measured 3.8s vs 2.0s for 20 merges at sf0.1. Below the
+        // cutoff the pass takes the single top merge at exactly the
+        // sequential per-merge cost; large-vocab passes (disjoint
+        // word-level tokens) clear it and amortize.
+        val batch =
+          if (prefix.length < batchThreshold) prefix.take(1)
+          else boundCut(prefix, newPairBounds(symbols, prefix.map(p => (p._1, p._2))))
+        if (sys.props.contains("graft.bpe.debug"))
+          println(s"BPEPASS prefix=${prefix.length} batch=${batch.length}")
+        batch.foreach { case (l, r, n) =>
           rank += 1
           merges += ((rank, l, r, n))
         }
-        // apply in rank order (greedy leftmost per merge), then
-        // truncate lineage: each merge stacks one HOF projection
-        symbols = batch.foldLeft(symbols) { case (acc, (l, r, _, _)) =>
+        // apply in rank order (greedy leftmost per merge); truncate
+        // lineage every few merges — each stacks one HOF projection
+        symbols = batch.foldLeft(symbols) { case (acc, (l, r, _)) =>
           applyMerge(acc, l, r)
-        }.localCheckpoint(true)
+        }
+        sinceCheckpoint += batch.length
+        if (sinceCheckpoint >= 4 && rank < iters) {
+          symbols = symbols.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
       }
     }
     merges.result()

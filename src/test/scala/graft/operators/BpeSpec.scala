@@ -66,8 +66,13 @@ class BpeSpec extends SparkSpec {
     val expected = referenceBpe(words, 40)
     val sequential = Bpe.train(docs, iters = 40, maxBatch = 1)
     val batched = Bpe.train(docs, iters = 40, maxBatch = 32)
+    // threshold 2 forces the bound-cut path onto the small disjoint
+    // prefixes this char-level fixture produces — the provable-exact
+    // batching logic must hold there too, not just at the default
+    val aggressive = Bpe.train(docs, iters = 40, maxBatch = 32, batchThreshold = 2)
     assert(sequential == expected)
     assert(batched == expected, s"\ngot:      $batched\nexpected: $expected")
+    assert(aggressive == expected, s"\ngot:      $aggressive\nexpected: $expected")
   }
 
   test("segment replays merges greedily: leftmost-first on overlapping pairs") {
