@@ -186,6 +186,57 @@ object Queries {
     },
     oracle = Some("SELECT * FROM events WHERE event_type <> 'view'"))
 
+  /** #12d Compaction table service, oracled end-to-end: the events
+    * table committed as many small files, compacted to target size as
+    * a NEW version — the read-back must be content-identical to the
+    * source (layout-only change; the file-count property is
+    * spec-locked separately).
+    */
+  val qCompact: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("compact-svc")
+      UpsertWriter.upsert(t(s, dir, "events"), target,
+        recordKeys = Seq("event_id"), precombine = "ts",
+        targetFileBytes = 64L * 1024) // force a small-file version
+      UpsertWriter.compact(s, target, targetFileBytes = 512L * 1024 * 1024)
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some("SELECT * FROM events"))
+
+  /** #10l Savepoint restore, oracled end-to-end: v1 = events, v2
+    * doubles purchase values, restore(v1) re-commits v1's CONTENT as
+    * v3 — the live read must equal the original table (append-only
+    * timeline; the timeline shape is spec-locked separately).
+    */
+  val qRestore: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("restore-svc")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(base, target, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.upsert(
+        base.withColumn("value",
+          when(col("event_type") === "purchase", col("value") * 2).otherwise(col("value"))),
+        target, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.restore(s, target, version = 1, keepVersions = 3)
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some("SELECT * FROM events"))
+
+  /** #12 Clustered (sorted-within-partition) file layout, oracled as
+    * a lossless round-trip: clustering is layout-only, so the
+    * read-back equals the source table (the per-file value-span
+    * property is spec-locked separately).
+    */
+  val qClusteredRead: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("clustered-read")
+      UpsertWriter.upsert(t(s, dir, "events"), target,
+        recordKeys = Seq("event_id"), precombine = "ts",
+        clusterBy = Seq("value"))
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some("SELECT * FROM events"))
+
   /** #14n Catalog sync (the reference's hive_sync,
     * generate_hudi_table.py:121-130): upsert events into a versioned
     * table with catalog registration, then read it back BY NAME via
@@ -1437,6 +1488,16 @@ object Queries {
     run = (s, dir) =>
       graft.operators.Similarity.embeddingNearDupPairsLsh(
         t(s, dir, "embeddings"), threshold = 0.45, numTables = 8, planesPerTable = 2),
+    oracle = None)
+
+  /** #27c SemDeDup semantic dedup: k-means cells + within-cell min-id
+    * cosine pruning — rows-only (the quantizer isn't SQL-expressible);
+    * the spec pins planted duplicates and the drop rule.
+    */
+  val qDedupSemantic: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Similarity.semanticDedup(
+        t(s, dir, "embeddings"), threshold = 0.45, nclusters = 16),
     oracle = None)
 
   /** #28 Brute-force cosine top-k: queries vec_id < 10, k = 5. */
@@ -2832,6 +2893,18 @@ object Queries {
     },
     oracle = None)
 
+  /** #63d IVFPQ + exact re-rank — the full FAISS production shape:
+    * routed compressed candidates, full vectors only for the 4·k
+    * survivors. Rows-only; spec bounds recall ≥ raw IVFPQ.
+    */
+  val qSimIvfPqRerank: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfPqRerankTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 16, nprobe = 4)
+    },
+    oracle = None)
+
   /** #16b Order-priority check (TPC-H Q4 shape, adapted to this
     * schema's dates): orders with at least one line item shipped
     * more than 60 days after the order date, counted per priority —
@@ -3792,6 +3865,9 @@ object Queries {
     "q_window_range" -> qWindowRange,
     "q_upsert_delete" -> qUpsertDelete,
     "q_catalog_read" -> qCatalogRead,
+    "q_compact" -> qCompact,
+    "q_restore" -> qRestore,
+    "q_clustered_read" -> qClusteredRead,
     "q_cube" -> qCube,
     "q_pivot" -> qPivot,
     "q_percentiles" -> qPercentiles,
@@ -3843,6 +3919,7 @@ object Queries {
     "dedup_simhash" -> qDedupSimhash,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
+    "dedup_semantic" -> qDedupSemantic,
     "text_vocab" -> qTextVocab,
     "text_postings" -> qTextPostings,
     "text_skipgrams" -> qTextSkipgrams,
@@ -3893,6 +3970,7 @@ object Queries {
     "q_quality_score" -> qQualityScore,
     "sim_pq_topk" -> qSimPqTopk,
     "sim_ivfpq_topk" -> qSimIvfPqTopk,
+    "sim_ivfpq_rerank" -> qSimIvfPqRerank,
     "q4_priority" -> q4Priority,
     "q10_returns" -> q10Returns,
     "q18_large_orders" -> q18LargeOrders,

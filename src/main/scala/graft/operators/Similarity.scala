@@ -244,9 +244,40 @@ object Similarity {
       candMult: Int = 4,
       m: Int = 8,
       ksub: Int = 16,
-      seed: Long = 42L): DataFrame = {
-    val cand = pqTopK(corpus, queries, k * candMult, m, ksub, seed)
-      .select(col("query_id"), col("neighbor_id"))
+      seed: Long = 42L): DataFrame =
+    rerank(corpus, queries,
+      pqTopK(corpus, queries, k * candMult, m, ksub, seed), k)
+
+  /** IVFPQ candidates + exact re-rank — the full FAISS production
+    * shape: cell routing bounds the candidate work (`ivfPqTopK`),
+    * ADC compression bounds the scan's memory, and only the
+    * `candMult·k · |queries|` surviving rows ever read their full
+    * vectors, for an exact cosine ordering over what the index
+    * surfaced.
+    */
+  def ivfPqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      candMult: Int = 4,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L): DataFrame =
+    rerank(corpus, queries,
+      ivfPqTopK(corpus, queries, k * candMult, nlist, nprobe, m, ksub, seed), k)
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) candidate
+    * list: the tiny candidate set broadcasts INTO the corpus scan, so
+    * full vectors are read for a vanishing fraction of the corpus.
+    */
+  private def rerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int): DataFrame = {
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
     val withVecs = corpus
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       .join(broadcast(cand), col("cid") === col("neighbor_id"))
@@ -426,6 +457,46 @@ object Similarity {
       .filter(col("cid") =!= col("qid"))
       .withColumn("sim", adcScore(col("qvec"), col("codes"), codebooks, dsub))
     topKPerQuery(scored, k)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    * corpus is partitioned into k-means cells (bounded-sample Lloyd
+    * quantizer, cell assignment via the constant-size `NearestCells`
+    * kernel), and WITHIN each cell a row is dropped iff some
+    * smaller-id row of the same cell has cosine ≥ threshold — the
+    * deterministic min-id variant of the paper's keep-one-per-group
+    * rule (pruning chains transitively: b dropped by a can itself
+    * drop c). Pairwise cosine runs only inside cells, so the pair
+    * space is Σ|cell|² with |cells| scaling as nclusters grows with
+    * the corpus — the same contract as the paper's clustered
+    * implementation, never an all-pairs join.
+    *
+    * Returns the SURVIVORS with their cell id (for audit); rows in
+    * singleton cells always survive.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      threshold: Double,
+      nclusters: Int = 64,
+      seed: Long = 42L,
+      trainSample: Int = 4096,
+      lloydIters: Int = 10): DataFrame = {
+    val centroids = lloyd(sampleVecs(df, seed, trainSample), nclusters, lloydIters)
+    val assigned = df.select(
+      graft.functions.CentroidFunctions.nearestCells(col("embedding"), centroids, 1)
+        .getItem(0).as("cell"),
+      col("vec_id"), col("embedding"))
+    val a = assigned.select(
+      col("cell"), col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = assigned.select(
+      col("cell"), col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
   }
 
   /** Sparse random projection (Achlioptas) to `kOut` dimensions with

@@ -336,6 +336,30 @@ object UpsertWriter {
         "(writer contention or a stale claim within claimStaleMs)")
   }
 
+  /** Async cleaner table service: drop committed versions beyond the
+    * retention window, OUT-OF-BAND from writers — the reference runs
+    * its Hudi cleaner async for exactly this reason
+    * (generate_hudi_table.py:126-133: `hoodie.clean.automatic` +
+    * async): on a hot table, inline cleaning adds listing + delete
+    * latency to every commit. Writers opt out of inline cleaning by
+    * passing a large `keepVersions`, and a scheduled clean() enforces
+    * the real retention. Safe under the marker protocol: only
+    * COMMITTED versions strictly older than the retained window are
+    * deleted, so snapshot readers of the latest version and claim
+    * tombstones are untouched.
+    */
+  def clean(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      keepVersions: Int): Seq[Int] = {
+    require(keepVersions >= 1, "clean must retain at least the live version")
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = committedVersions(fs, target).dropRight(keepVersions)
+    doomed.foreach { case (_, dir) => fs.delete(dir, true) }
+    doomed.map(_._1)
+  }
+
   /** Table service: rewrite the LIVE version into ~targetFileBytes
     * files (optionally re-clustered) as a new committed version —
     * content-identical, layout-only. The Hudi compaction/clustering

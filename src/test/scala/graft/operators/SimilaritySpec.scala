@@ -138,6 +138,30 @@ class SimilaritySpec extends SparkSpec {
     assert(full == flat, "nprobe=nlist must reduce IVFPQ to the flat PQ scan")
   }
 
+  test("ivfPqRerankTopK: exact re-rank never hurts recall vs raw IVFPQ") {
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (s intersect brute).size.toDouble / brute.size
+    }
+    val raw = recallOf(
+      Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 16, nprobe = 4))
+    val rr = Similarity.ivfPqRerankTopK(
+      emb, queries, k = 10, candMult = 4, nlist = 16, nprobe = 4)
+    assert(recallOf(rr) >= raw, s"rerank ${recallOf(rr)} < raw ivfpq $raw")
+    // within each query the output order must be exactly by sim desc
+    rr.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+      .groupBy(_._1).values.foreach { g =>
+        val byRank = g.sortBy(_._2).map(_._3)
+        assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      }
+  }
+
   test("pqRerankTopK: rerank never hurts recall vs raw PQ; exact order over candidates") {
     val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
@@ -250,6 +274,38 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.embeddingNearDupPairsLsh(df, 0.999, numTables = 1, planesPerTable = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("semanticDedup: planted duplicates pruned to min id; drop rule holds on the corpus") {
+    // identical vectors share every centroid distance, hence a cell:
+    // only the smallest id of each planted group may survive
+    val planted = vecs(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(1f, 0f, 0f, 0f), 3L -> Seq(1f, 0f, 0f, 0f),
+      10L -> Seq(0f, 1f, 0f, 0f), 11L -> Seq(0f, 1f, 0f, 0f),
+      20L -> Seq(0f, 0f, 1f, 0f))
+    val kept = Similarity.semanticDedup(planted, threshold = 0.999, nclusters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 20L), s"got $kept")
+
+    // real corpus: survivors+drops partition it, and every drop has a
+    // smaller-id same-cell witness at >= threshold
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    val out = Similarity.semanticDedup(emb, threshold = 0.45, nclusters = 8)
+    val cells = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cells.keySet.subsetOf(all))
+    val survivors = emb.join(out, Seq("vec_id"), "left_semi")
+    // no surviving pair within one cell at >= threshold with a<b
+    val sOut = out.withColumnRenamed("vec_id", "id")
+    val sa = emb.join(sOut, col("vec_id") === col("id")).select(
+      col("cell"), col("vec_id").as("ia"), col("embedding").as("va"))
+    val sb = emb.join(sOut, col("vec_id") === col("id")).select(
+      col("cell"), col("vec_id").as("ib"), col("embedding").as("vb"))
+    val bad = sa.join(sb, Seq("cell")).filter(col("ia") < col("ib"))
+      .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb")) >= 0.45)
+      .count()
+    assert(bad == 0L, s"$bad surviving same-cell near-dup pairs")
+    assert(survivors.count() == cells.size)
   }
 
   test("scalarQuantize: exact codes, constant-vector guard, reconstruction bound") {

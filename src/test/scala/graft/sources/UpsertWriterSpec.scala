@@ -233,6 +233,23 @@ class UpsertWriterSpec extends SparkSpec {
     assert(UpsertWriter.read(spark, table).count() == 2)
   }
 
+  test("clean: out-of-band retention; latest snapshot untouched") {
+    val table = tmpDir("graft-clean-") + "/t"
+    // writers opt out of inline cleaning with a large keepVersions
+    UpsertWriter.upsert(df((1L, 1L, "a")), table, Seq("k"), "ver", keepVersions = 99)
+    UpsertWriter.upsert(df((1L, 2L, "b")), table, Seq("k"), "ver", keepVersions = 99)
+    UpsertWriter.upsert(df((1L, 3L, "c")), table, Seq("k"), "ver", keepVersions = 99)
+    assert(UpsertWriter.versions(spark, table) == Seq(1, 2, 3))
+    // the async service enforces the real retention
+    val dropped = UpsertWriter.clean(spark, table, keepVersions = 1)
+    assert(dropped == Seq(1, 2))
+    assert(UpsertWriter.versions(spark, table) == Seq(3))
+    assert(UpsertWriter.read(spark, table)
+      .collect().map(_.getString(2)).sameElements(Array("c")))
+    // idempotent: nothing left beyond retention
+    assert(UpsertWriter.clean(spark, table, keepVersions = 1).isEmpty)
+  }
+
   test("upsertConcurrent: two racing writers — both rows land, linear timeline, no lost update") {
     val table = tmpDir("graft-occ-") + "/t"
     UpsertWriter.upsert(df((1L, 1L, "base")), table, Seq("k"), "ver", keepVersions = 5)
