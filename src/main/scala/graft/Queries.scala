@@ -1500,6 +1500,58 @@ object Queries {
         t(s, dir, "embeddings"), threshold = 0.45, nclusters = 16),
     oracle = None)
 
+  /** #28f Hard-negative mining: per anchor (vec_id < 10), the top-5
+    * most-similar corpus rows with a DIFFERENT label — exact kernel,
+    * fully oracled like the other exact-cosine queries.
+    */
+  val qSimHardNegatives: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS va, q.v AS vb
+         |  FROM e c, e q
+         |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id AND c.label != q.label
+         |), r AS (
+         |  SELECT query_id, neighbor_id, $cosSql AS sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY $cosSql DESC, neighbor_id) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, CAST(rk AS BIGINT) AS "rank", neighbor_id, round(sim, 9) AS sim
+         |FROM r WHERE rk <= 5""".stripMargin))
+
+  /** #28g Embedding L2 normalization (ingest step that turns cosine
+    * into plain dot at scale), oracled exactly: both engines fold the
+    * norm sequentially and quantize each normalized coordinate to
+    * fixed-point, so the projection is hash-matched coordinate by
+    * coordinate.
+    */
+  val qEmbNormalize: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Similarity.normalizeEmbeddings(t(s, dir, "embeddings"))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          floor(col("x") * lit(1e9d)).cast("long").as("x_fp")),
+    oracle = Some(
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v), (acc, x) -> acc + x*x)) AS nrm
+        |  FROM n
+        |), ex AS (
+        |  SELECT vec_id, unnest(range(0, length(v))) AS pos, v, nrm FROM m
+        |)
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(floor((CASE WHEN nrm = 0 THEN v[CAST(pos+1 AS INT)]
+        |                   ELSE v[CAST(pos+1 AS INT)]/nrm END) * 1e9) AS BIGINT) AS x_fp
+        |FROM ex""".stripMargin))
+
   /** #28 Brute-force cosine top-k: queries vec_id < 10, k = 5. */
   val qSimBruteforceTopk: QueryDef = QueryDef(
     run = (s, dir) => {
@@ -3936,6 +3988,8 @@ object Queries {
     "text_repetition" -> qTextRepetition,
     "emb_centroids" -> qEmbCentroids,
     "emb_quantize" -> qEmbQuantize,
+    "emb_normalize" -> qEmbNormalize,
+    "sim_hard_negatives" -> qSimHardNegatives,
     "sim_bruteforce_topk" -> qSimBruteforceTopk,
     "sim_lsh_topk" -> qSimLshTopk,
     "sim_ivf_topk" -> qSimIvfTopk,

@@ -459,6 +459,48 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the k most similar corpus rows with a DIFFERENT label — the
+    * negatives that actually move a contrastive loss, as opposed to
+    * the uniform-random partners `Sampling.negativeSamples` draws.
+    * Same scale contract as `bruteForceTopK`: anchors broadcast into
+    * one corpus scan, a bounded top-k heap per anchor, and only
+    * k·|anchors| rows survive the map side; swap the scan for the
+    * IVFPQ route when the corpus outgrows it.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(
+      col("vec_id").as("cid"), col("embedding").as("cvec"), col(labelCol).as("_clabel"))
+    val q = anchors.select(
+      col("vec_id").as("qid"), col("embedding").as("qvec"), col(labelCol).as("_qlabel"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid") && col("_clabel") =!= col("_qlabel"))
+      .withColumn("sim", VectorFunctions.cosine(col("cvec"), col("qvec")))
+    topKPerQuery(scored, k)
+  }
+
+  /** L2 normalization of the embedding column — the ingest-time step
+    * that turns every later cosine into a plain dot product (ANN at
+    * scale normalizes ONCE instead of re-deriving two norms per pair;
+    * see `DotProduct`). Zero vectors pass through unchanged rather
+    * than dividing by zero. Pure projection: no shuffle, no UDF,
+    * the norm is one sequential `aggregate` fold so the result is
+    * reproducible cross-engine.
+    */
+  def normalizeEmbeddings(
+      df: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val norm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x))
+    df.withColumn(vecCol,
+      when(norm === 0.0d, v.cast("array<double>"))
+        .otherwise(transform(v, x => x.cast("double") / norm)))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): the
     * corpus is partitioned into k-means cells (bounded-sample Lloyd
     * quantizer, cell assignment via the constant-size `NearestCells`

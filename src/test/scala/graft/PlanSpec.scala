@@ -101,6 +101,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("semanticDedup: pair space is an equi-join on the k-means cell — no nested loop") {
+    val emb = TableLoader.table(spark, sfDir, "embeddings")
+    val p = plan(graft.operators.Similarity.semanticDedup(emb, 0.45, nclusters = 8))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("cell"), p)
+  }
+
   test("embeddingNearDupPairsLsh: equi-join on (table, bucket) — no nested loop, no cartesian") {
     val emb = TableLoader.table(spark, sfDir, "embeddings")
     val p = plan(graft.operators.Similarity.embeddingNearDupPairsLsh(

@@ -276,6 +276,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("hardNegatives: same-label rows never surface; known geometry") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1f, 0f), "a"),
+      (2L, Seq(1f, 0.01f), "a"), // most similar to 1 but SAME label
+      (3L, Seq(0.9f, 0.3f), "b"),
+      (4L, Seq(0f, 1f), "b")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df, df.filter($"vec_id" === 1), k = 2)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // negatives for anchor 1 ("a"): only label-b rows, by similarity
+    assert(out.sameElements(Array((1, 3L), (2, 4L))))
+  }
+
+  test("normalizeEmbeddings: unit norms, zero vector untouched, direction preserved") {
+    val df = vecs(1L -> Seq(3f, 4f), 2L -> Seq(0f, 0f), 3L -> Seq(-2f, 0f))
+    val out = Similarity.normalizeEmbeddings(df)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L).map(x => math.abs(x)).sum > 0)
+    assert(math.abs(out(1L)(0) - 0.6) < 1e-12 && math.abs(out(1L)(1) - 0.8) < 1e-12)
+    assert(out(2L) == Seq(0.0, 0.0)) // zero vector: no division by zero
+    assert(out(3L) == Seq(-1.0, 0.0))
+  }
+
   test("semanticDedup: planted duplicates pruned to min id; drop rule holds on the corpus") {
     // identical vectors share every centroid distance, hence a cell:
     // only the smallest id of each planted group may survive
