@@ -40,26 +40,17 @@ object Similarity {
         round(col("hit.score"), 9).as("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component h[d] of plane
-    * p derived from xxhash64(p, d) scaled to [-1, 1). Seeded — stable
-    * across runs and engines.
+  /** LSH bucket key: sign pattern across `numPlanes` deterministic
+    * pseudo-random hyperplanes (component h[d] of plane p =
+    * xxhash64(p, d) scaled to [-1, 1); seeded — stable across runs).
+    * One codegen'd kernel (`LshBuckets`) with the plane matrix cached
+    * per dimension — the earlier per-plane `zip_with`/`aggregate` HOF
+    * chain was evaluated interpreted, re-hashing every (row, plane,
+    * dim) triple.
     */
-  private def hyperplaneSign(vec: org.apache.spark.sql.Column, plane: Int): org.apache.spark.sql.Column = {
-    // dot(vec, h_p) where h_p[d] = scaled hash — computed via
-    // aggregate over the element index, all codegen'd.
-    val dims = size(vec)
-    val dotExpr = aggregate(
-      zip_with(vec, sequence(lit(0), dims - 1),
-        (x, d) => x * (xxhash64(lit(plane), d).cast("double") / lit(Long.MaxValue.toDouble))),
-      lit(0.0), (acc, x) => acc + x)
-    when(dotExpr >= 0, lit(1)).otherwise(lit(0))
-  }
-
-  /** LSH bucket key: sign pattern across `numPlanes` hyperplanes. */
-  def withLshBucket(df: DataFrame, numPlanes: Int = 8): DataFrame = {
-    val bits = (0 until numPlanes).map(p => hyperplaneSign(col("embedding"), p) * (1 << p))
-    df.withColumn("bucket", bits.reduce(_ + _))
-  }
+  def withLshBucket(df: DataFrame, numPlanes: Int = 8): DataFrame =
+    df.withColumn("bucket",
+      graft.functions.LshFunctions.lshBuckets(col("embedding"), 1, numPlanes).getItem(0))
 
   /** Approximate top-k: candidates share the query's LSH bucket.
     *
@@ -609,15 +600,13 @@ object Similarity {
       numTables: Int = 16,
       planesPerTable: Int = 8): DataFrame = {
     require(numTables >= 1 && planesPerTable >= 1, "need >=1 table and >=1 plane")
-    // table t uses planes [t*b, (t+1)*b) — xxhash64 on the global
-    // plane index makes every table's hyperplanes independent
-    val tableBucket = (t: Int) =>
-      (0 until planesPerTable)
-        .map(j => hyperplaneSign(col("embedding"), t * planesPerTable + j) * (1 << j))
-        .reduce(_ + _)
+    // table t uses planes [t*b, (t+1)*b) — hashing the global plane
+    // index makes every table's hyperplanes independent; all tables'
+    // buckets come from ONE kernel evaluation per row
     val indexed = df.select(
       col("vec_id"), col("embedding"),
-      posexplode(array((0 until numTables).map(tableBucket): _*)).as(Seq("tbl", "bucket")))
+      posexplode(graft.functions.LshFunctions.lshBuckets(
+        col("embedding"), numTables, planesPerTable)).as(Seq("tbl", "bucket")))
     val a = indexed.select(
       col("tbl"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val b = indexed.select(
