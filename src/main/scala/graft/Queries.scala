@@ -1451,11 +1451,58 @@ object Queries {
       graft.operators.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"),
     oracle = None)
 
-  /** #25 SimHash near-dup pairs (Hamming <= 3 via 16-bit banding). */
+  /** #25 SimHash near-dup pairs (Hamming <= 3 via 16-bit banding),
+    * fully oracled: the 4×16-bit pigeonhole banding provably catches
+    * EVERY pair at Hamming ≤ 3, so the output is exactly the set
+    * {(a,b) : a < b, hamming(sig_a, sig_b) ≤ 3} — and the signature
+    * is deterministic integer arithmetic DuckDB re-derives from first
+    * principles (per-token FNV fold as in `text_fingerprint`, 64 bit
+    * tallies, sign bits assembled in HUGEINT and re-signed).
+    */
   val qDedupSimhash: QueryDef = QueryDef(
     run = (s, dir) =>
       graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text"),
-    oracle = None)
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), by AS (
+        |  SELECT doc_id, flatten(list_transform(range(1, length(tok)+1), i -> CASE
+        |    WHEN unicode(tok[i]) < 128 THEN [unicode(tok[i])]
+        |    WHEN unicode(tok[i]) < 2048 THEN
+        |      [192 + unicode(tok[i]) // 64, 128 + unicode(tok[i]) % 64]
+        |    WHEN unicode(tok[i]) < 65536 THEN
+        |      [224 + unicode(tok[i]) // 4096, 128 + (unicode(tok[i]) // 64) % 64,
+        |       128 + unicode(tok[i]) % 64]
+        |    ELSE
+        |      [240 + unicode(tok[i]) // 262144, 128 + (unicode(tok[i]) // 4096) % 64,
+        |       128 + (unicode(tok[i]) // 64) % 64, 128 + unicode(tok[i]) % 64]
+        |  END)) AS bs
+        |  FROM toks
+        |), th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                 list_transform(bs, b -> CAST(b AS HUGEINT))),
+        |    (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                 * 1099511628211) % 18446744073709551616
+        |  ) AS h
+        |  FROM by
+        |), votes AS (
+        |  SELECT doc_id, r.b AS b,
+        |    sum(CASE WHEN (h >> CAST(r.b AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS tally
+        |  FROM th, range(0, 64) r(b) GROUP BY doc_id, r.b
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN tally > 0 THEN (CAST(1 AS HUGEINT) << CAST(b AS HUGEINT))
+        |                  ELSE CAST(0 AS HUGEINT) END)
+        |      - CASE WHEN max(CASE WHEN b = 63 AND tally > 0 THEN 1 ELSE 0 END) = 1
+        |             THEN CAST(18446744073709551616 AS HUGEINT)
+        |             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin))
 
   /** #27 Embedding near-dup pairs: cosine >= 0.45 (exact kernel;
     * DuckDB list_dot_product verified bit-identical to the codegen'd
