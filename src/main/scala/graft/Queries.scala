@@ -1443,13 +1443,143 @@ object Queries {
         |SELECT doc_a, doc_b, containment FROM dirs
         |WHERE containment >= 0.8""".stripMargin))
 
-  /** #24 MinHash LSH near-dup pairs (approximate recall, exact
-    * verification) — seeded hashing, rows-only + recall spec.
+  /** #24 MinHash LSH near-dup pairs, fully oracled: "approximate"
+    * here means approximate RECALL of true near-dups — the pipeline
+    * itself (FNV word hashes → 5-gram mix-chain shingles → 64
+    * splitmix minima → 16 folded band keys → candidate join → exact
+    * Jaccard verify) is deterministic integer arithmetic end to end,
+    * so DuckDB re-derives the same candidate set and the same
+    * verified pairs from first principles. The splitmix mixer's
+    * 64-bit wrapping multiplies exceed int128, so the oracle (built
+    * by `minhashOracleSql`) decomposes them into 32-bit halves and
+    * materializes each mix step as its own CTE stage (inline lateral
+    * aliases re-expand exponentially across the 5-mix chain).
+    * Signature minima compare in SIGNED order via a top-bit flip,
+    * matching the JVM kernel's Long comparisons.
     */
   val qDedupMinhashLsh: QueryDef = QueryDef(
     run = (s, dir) =>
       graft.operators.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"),
-    oracle = None)
+    oracle = Some(minhashOracleSql))
+
+  /** Generates the dedup_minhash_lsh oracle (see there). Mirrors
+    * `GraftHash.hashedShingles` + `MinHashMix.{mix,signature,bandKeys}`
+    * with n=5, numHashes=64, bands=16, threshold=0.5.
+    */
+  private def minhashOracleSql: String = {
+    val M = "18446744073709551616"
+    val B32 = "4294967296"
+    val OFF = "14695981039346656037"
+    val C1 = BigInt("11400714819323198485") // 0x9e3779b97f4a7c15
+    val C2 = BigInt("13787848793156543929") // 0xbf58476d1ce4e5b9
+    val C3 = BigInt("10723151780598845931") // 0x94d049bb133111eb
+    val TOP = "9223372036854775808"
+    def hi(c: BigInt) = c / 4294967296L
+    def lo(c: BigInt) = c % 4294967296L
+    // mix(h, s) over rows of `src`, one CTE per step; returns
+    // (cteSql, lastCte, outCol)
+    def mixCtes(name: String, src: String, keep: Seq[String], h: String, s: String)
+        : (String, String, String) = {
+      val k = keep.mkString(", ")
+      val steps = Seq(
+        s"${name}_1" -> s"SELECT $k, (($h) + ((CAST($s AS HUGEINT) + 1) * $C1) % $M) % $M AS z0 FROM $src",
+        s"${name}_2" -> s"SELECT $k, xor(z0, z0 >> 30) AS x0 FROM ${name}_1",
+        s"${name}_3" -> s"SELECT $k, x0 // $B32 AS ah, x0 % $B32 AS al FROM ${name}_2",
+        s"${name}_4" -> s"SELECT $k, (((al * ${hi(C2)} + ah * ${lo(C2)}) % $B32) * $B32 + al * ${lo(C2)}) % $M AS z1 FROM ${name}_3",
+        s"${name}_5" -> s"SELECT $k, xor(z1, z1 >> 27) AS x1 FROM ${name}_4",
+        s"${name}_6" -> s"SELECT $k, x1 // $B32 AS ah, x1 % $B32 AS al FROM ${name}_5",
+        s"${name}_7" -> s"SELECT $k, (((al * ${hi(C3)} + ah * ${lo(C3)}) % $B32) * $B32 + al * ${lo(C3)}) % $M AS z2 FROM ${name}_6",
+        s"${name}_8" -> s"SELECT $k, xor(z2, z2 >> 31) AS mo FROM ${name}_7")
+      (steps.map { case (n, q) => s"$n AS ($q)" }.mkString(",\n"), s"${name}_8", "mo")
+    }
+    val fnvWord =
+      s"""list_reduce(
+         |    list_prepend(CAST($OFF AS HUGEINT),
+         |      list_transform(flatten(list_transform(range(1, length(w)+1), i -> CASE
+         |        WHEN unicode(w[i]) < 128 THEN [unicode(w[i])]
+         |        WHEN unicode(w[i]) < 2048 THEN [192 + unicode(w[i]) // 64, 128 + unicode(w[i]) % 64]
+         |        WHEN unicode(w[i]) < 65536 THEN [224 + unicode(w[i]) // 4096, 128 + (unicode(w[i]) // 64) % 64, 128 + unicode(w[i]) % 64]
+         |        ELSE [240 + unicode(w[i]) // 262144, 128 + (unicode(w[i]) // 4096) % 64, 128 + (unicode(w[i]) // 64) % 64, 128 + unicode(w[i]) % 64]
+         |      END)), b -> CAST(b AS HUGEINT))),
+         |    (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % $M
+         |  )""".stripMargin
+    val parts = Seq.newBuilder[String]
+    parts +=
+      s"""ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         |), words AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS wi, l[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l)+1)) AS i FROM ws)
+         |), wh AS MATERIALIZED (
+         |  SELECT doc_id, wi, $fnvWord AS uh FROM words
+         |), windows AS MATERIALIZED (
+         |  SELECT a0.doc_id, a0.wi AS p,
+         |         a0.uh AS w0, a1.uh AS w1, a2.uh AS w2, a3.uh AS w3, a4.uh AS w4
+         |  FROM wh a0
+         |  JOIN wh a1 ON a1.doc_id = a0.doc_id AND a1.wi = a0.wi + 1
+         |  JOIN wh a2 ON a2.doc_id = a0.doc_id AND a2.wi = a0.wi + 2
+         |  JOIN wh a3 ON a3.doc_id = a0.doc_id AND a3.wi = a0.wi + 3
+         |  JOIN wh a4 ON a4.doc_id = a0.doc_id AND a4.wi = a0.wi + 4
+         |)""".stripMargin
+    // shingle chain: h = OFF; for j in 0..4: h = mix(h ^ w_j, 5)
+    var src = "windows"
+    var h = s"CAST($OFF AS HUGEINT)"
+    for (j <- 0 until 5) {
+      val keep = Seq("doc_id", "p") ++ ((j + 1) until 5).map(i => s"w$i")
+      val (sql, nsrc, out) = mixCtes(s"c$j", src, keep, s"xor($h, w$j)", "5")
+      parts += sql; src = nsrc; h = out
+    }
+    parts +=
+      s"""shingles AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, $h AS sh FROM $src
+         |), sigrows AS (
+         |  SELECT doc_id, sh, r.s AS s FROM shingles, range(0, 64) r(s)
+         |)""".stripMargin
+    val (gSql, gSrc, gOut) = mixCtes("g", "sigrows", Seq("doc_id", "s"), "sh", "s")
+    parts += gSql
+    parts +=
+      s"""sig AS MATERIALIZED (
+         |  SELECT doc_id, s, xor(min(xor($gOut, CAST($TOP AS HUGEINT))), CAST($TOP AS HUGEINT)) AS sv
+         |  FROM $gSrc GROUP BY doc_id, s
+         |), bandp AS (
+         |  SELECT doc_id, s // 4 AS band,
+         |    min(CASE WHEN s % 4 = 0 THEN sv END) AS s0,
+         |    min(CASE WHEN s % 4 = 1 THEN sv END) AS s1,
+         |    min(CASE WHEN s % 4 = 2 THEN sv END) AS s2,
+         |    min(CASE WHEN s % 4 = 3 THEN sv END) AS s3
+         |  FROM sig GROUP BY doc_id, s // 4
+         |)""".stripMargin
+    // band fold: k = mix(band, 64); k = mix(k ^ s_i, band*4+i)
+    src = "bandp"
+    val (b0Sql, b0Src, b0Out) = mixCtes("b0", src,
+      Seq("doc_id", "band", "s0", "s1", "s2", "s3"), "CAST(band AS HUGEINT)", "64")
+    parts += b0Sql; src = b0Src
+    var k = b0Out
+    for (i <- 0 until 4) {
+      val keep = Seq("doc_id", "band") ++ ((i + 1) until 4).map(j => s"s$j")
+      val (sql, nsrc, out) = mixCtes(s"b${i + 1}", src, keep, s"xor($k, s$i)", s"band*4+$i")
+      parts += sql; src = nsrc; k = out
+    }
+    parts +=
+      s"""bkeys AS MATERIALIZED (
+         |  SELECT doc_id, band, $k AS bkey FROM $src
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), sets AS (
+         |  SELECT doc_id, list(sh) AS hs, count(*) AS nsh FROM shingles GROUP BY doc_id
+         |)""".stripMargin
+    "WITH " + parts.result().mkString(",\n") +
+      s"""
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |    / (CAST(sa.nsh + sb.nsh AS DOUBLE) - CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)) AS jaccard
+         |FROM cands
+         |JOIN sets sa ON sa.doc_id = doc_a
+         |JOIN sets sb ON sb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |    / (CAST(sa.nsh + sb.nsh AS DOUBLE) - CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)) >= 0.5""".stripMargin
+  }
 
   /** #25 SimHash near-dup pairs (Hamming <= 3 via 16-bit banding),
     * fully oracled: the 4×16-bit pigeonhole banding provably catches
