@@ -2535,6 +2535,44 @@ object Queries {
         |FROM keep WHERE rn = 1
         |GROUP BY doc_id, n_chunks""".stripMargin))
 
+  /** #23c Duplicated-substring excision (Lee et al. ExactSubstr
+    * shape): every 8-token window occurring ≥2× corpus-wide is a
+    * duplicated span; covered tokens are cut from every doc. The
+    * oracle re-derives the duplicated-window set by grouping the
+    * window STRINGS themselves (DuckDB-side exact; the Spark side
+    * groups their 64-bit hashes — identical result absent a hash
+    * collision, which the hash match itself certifies).
+    */
+  val qDedupSubstring: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Dedup.duplicatedSpanExcision(t(s, dir, "documents"), w = 8),
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), win AS (
+        |  SELECT doc_id, ts, unnest(range(greatest(n - 8 + 1, 0))) AS p FROM base
+        |), ws AS (
+        |  SELECT doc_id, p, array_to_string(ts[p + 1 : p + 8], ' ') AS wstr FROM win
+        |), dup AS (
+        |  SELECT wstr FROM ws GROUP BY wstr HAVING count(*) >= 2
+        |), st AS (
+        |  SELECT w.doc_id, w.p, unnest(range(8)) AS o
+        |  FROM ws w JOIN dup d ON w.wstr = d.wstr
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, p + o AS pos FROM st
+        |), covagg AS (
+        |  SELECT doc_id, count(*) AS n_removed, list(pos) AS cl FROM cov GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  coalesce(array_to_string(
+        |    list_filter(b.ts, (t, i) -> NOT list_contains(coalesce(c.cl, []), i - 1)),
+        |    ' '), '') AS clean_text,
+        |  CAST(b.n AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN covagg c USING (doc_id)""".stripMargin))
+
   /** #10g Schema-drift union: two snapshots whose schemas diverged
     * (one gained a column) merged with unionByName + missing-column
     * null-fill — the "old files lack the new field" ETL reality.
@@ -4177,6 +4215,7 @@ object Queries {
     "q_url_parse" -> qUrlParse,
     "q_domain_cap" -> qDomainCap,
     "dedup_paragraph" -> qDedupParagraph,
+    "dedup_substring" -> qDedupSubstring,
     "q_schema_union" -> qSchemaUnion,
     "q_stream_inc_agg" -> qStreamIncAgg,
     "q_funnel" -> qFunnel,

@@ -457,4 +457,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Duplicated-substring excision (the ExactSubstr shape from
+    * "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, at token granularity): any `w`-token window
+    * whose text occurs ≥2 times ANYWHERE in the corpus — across docs
+    * or repeated within one doc — is a duplicated span, and every
+    * token covered by any duplicated window is removed from its
+    * document. Unlike doc-level dedup, this strips boilerplate from
+    * EVERY copy while keeping each document's unique remainder.
+    *
+    * Emits one row per input doc: (id, clean_text, n_tokens,
+    * n_removed); docs shorter than `w` tokens pass through whole.
+    *
+    * Scale shape — no suffix array, no pair join:
+    *  1. per doc, hash each w-token window in place (array kernel;
+    *     nothing exploded yet), then explode only (id, start, hash64)
+    *     — the window STRINGS never leave the map side;
+    *  2. ONE shuffle on the 8-byte window hash counts occurrences;
+    *     hashes seen ≥2× join straight back (same partitioning,
+    *     AQE-coalesced) to yield duplicated starts;
+    *  3. covered positions aggregate per doc — the only rows that
+    *     shuffle by doc are (id, covered-pos) for actually-duplicated
+    *     spans, then the final filter runs inside the doc's array
+    *     with a two-arg lambda (token, index): tokens themselves are
+    *     never shuffled at all.
+    * Window-hash collisions merge two distinct windows at ~k²/2⁶⁵ —
+    * the same contract as every hash-keyed dedup above.
+    */
+  def duplicatedSpanExcision(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 8): DataFrame = {
+    require(w > 0, "window must be positive")
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(idCol), toks.as("_toks"), size(toks).as("_n"))
+    val wins = base.select(
+      col(idCol),
+      posexplode(
+        when(col("_n") >= w,
+          transform(sequence(lit(0), col("_n") - lit(w)),
+            p => xxhash64(concat_ws(" ", slice(col("_toks"), p + lit(1), lit(w))))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("p", "h")))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2).select(col("h"))
+    val covered = wins.join(dupHashes, "h")
+      .select(col(idCol), explode(sequence(col("p"), col("p") + lit(w - 1))).as("pos"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("_cov"))
+    base.join(covered, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        concat_ws(" ",
+          filter(col("_toks"), (t, i) =>
+            !array_contains(coalesce(col("_cov"), array().cast("array<int>")), i)))
+          .as("clean_text"),
+        col("_n").cast("long").as("n_tokens"),
+        coalesce(size(col("_cov")), lit(0)).cast("long").as("n_removed"))
+  }
 }

@@ -229,4 +229,38 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == "a b c d e")
     assert(!out.contains(2L))
   }
+
+  test("duplicatedSpanExcision: cross-doc span cut from every copy, remainder kept") {
+    val df = docsDf(Seq(
+      1L -> "A B C D E F G H unique1 tail1",
+      2L -> "prefix2 A B C D E F G H tail2 x",
+      3L -> "alone words that occur nowhere else at all today"))
+    val out = Dedup.duplicatedSpanExcision(df, w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("unique1 tail1", 10L, 8L)))
+    assert(out(2L) == (("prefix2 tail2 x", 11L, 8L)))
+    assert(out(3L) == (("alone words that occur nowhere else at all today", 9L, 0L)))
+  }
+
+  test("duplicatedSpanExcision: self-repetition within one doc counts; short docs pass whole") {
+    val df = docsDf(Seq(
+      1L -> "R1 R2 R3 R4 R5 R6 R7 R8 mid R1 R2 R3 R4 R5 R6 R7 R8",
+      2L -> "too few words"))
+    val out = Dedup.duplicatedSpanExcision(df, w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("mid", 17L, 16L)))
+    assert(out(2L) == (("too few words", 3L, 0L)))
+  }
+
+  test("duplicatedSpanExcision: overlapping duplicated windows cover their union, not double-count") {
+    // docs share a 9-token run -> two overlapping 8-windows each;
+    // union of coverage is 9 tokens, n_removed must be 9 (not 16)
+    val df = docsDf(Seq(
+      1L -> "A B C D E F G H I one1",
+      2L -> "A B C D E F G H I two2"))
+    val out = Dedup.duplicatedSpanExcision(df, w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) == (("one1", 9L)))
+    assert(out(2L) == (("two2", 9L)))
+  }
 }
