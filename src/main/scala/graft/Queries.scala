@@ -145,6 +145,50 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id, event_type""".stripMargin))
 
+  /** #2c Incremental JOIN-view maintenance: revenue by market segment
+    * over orders ⋈ customer, with BOTH sides changing — orders arrive
+    * as two increments split at a date watermark (fact history is
+    * never rescanned; per-custkey partials fold), and the customer
+    * dim is then patched (every custkey % 10 == 0 moves to segment
+    * 'MOVED') as a latest-wins upsert. The read joins the two compact
+    * states and must equal the full recompute over the final inputs
+    * bit-for-bit.
+    */
+  val qIncJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.operators.IncrementalJoinView
+      val factState = scratch("inc-join-fact")
+      val dimState = scratch("inc-join-dim")
+      val o = t(s, dir, "orders")
+      val cut = lit("1995-01-01").cast("timestamp_ntz")
+      IncrementalJoinView.refreshFact(
+        s, factState, o.filter(col("o_orderdate") <= cut), "o_custkey", "o_totalprice")
+      IncrementalJoinView.refreshFact(
+        s, factState, o.filter(col("o_orderdate") > cut), "o_custkey", "o_totalprice")
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      IncrementalJoinView.refreshDim(
+        s, dimState, c.withColumn("_ver", lit(1L)), "c_custkey", "_ver")
+      IncrementalJoinView.refreshDim(
+        s, dimState,
+        c.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_mktsegment", lit("MOVED")).withColumn("_ver", lit(2L)),
+        "c_custkey", "_ver")
+      IncrementalJoinView.read(s, factState, dimState,
+          joinKey = "o_custkey", dimKey = "c_custkey", groupCol = "c_mktsegment")
+        .select(col("c_mktsegment"), col("n").as("n_orders"),
+          col("sum_dec").cast("double").as("revenue"))
+    },
+    oracle = Some(
+      """WITH dim AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN dim ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin))
+
   /** #10 Upsert merge: latest-wins by (record key, precombine)
     * (reference: generate_hudi_table.py:86-214). Purchases get a
     * doubled value one hour later; the merge must surface exactly
@@ -4115,6 +4159,7 @@ object Queries {
     "q_full_load" -> qFullLoad,
     "q_inc_load" -> qIncLoad,
     "q_inc_agg" -> qIncAgg,
+    "q_inc_join" -> qIncJoin,
     "q_report_urgent" -> qReportUrgent,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
