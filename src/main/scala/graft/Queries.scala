@@ -3678,6 +3678,82 @@ object Queries {
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)""".stripMargin))
 
+  /** #79 Important part values (TPC-H Q11 shape; lineitem revenue
+    * standing in for partsupp supplycost·availqty): per-part revenue
+    * from NATION_7 suppliers, kept when above 1/1000 of that
+    * filtered total. The share gate is the cross-multiplied exact
+    * compare (value·1000 > total in decimal — no float fraction), and
+    * the one-row global total broadcasts.
+    */
+  val q11Important: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val flt = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey"), col("l_extendedprice").cast("decimal(28,6)").as("v"))
+      val per = flt.groupBy(col("l_partkey")).agg(sum(col("v")).as("value"))
+      val tot = flt.agg(sum(col("v")).as("t"))
+      per.join(broadcast(tot))
+        .filter(col("value") * 1000 > col("t"))
+        .select(col("l_partkey"), col("value").cast("double").as("value"))
+    },
+    oracle = Some(
+      """WITH flt AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(28,6)) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |), per AS (
+        |  SELECT l_partkey, sum(v) AS value FROM flt GROUP BY l_partkey
+        |), tot AS (SELECT sum(v) AS t FROM flt)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        |FROM per, tot WHERE value * 1000 > t""".stripMargin))
+
+  /** #80 Dominant-supplier candidates (TPC-H Q20 shape; "shipped more
+    * than half a part's 1996 volume" standing in for the partsupp
+    * availqty > half-demand rule): per-(part, supplier) quantity vs
+    * per-part total in 1996, EXISTS-style semi join down to NATION_3
+    * suppliers. The half gate is again cross-multiplied (2·sq > tq).
+    */
+  val q20Dominant: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("decimal(28,6)").as("q"))
+      val perSup = li.groupBy(col("l_partkey"), col("l_suppkey")).agg(sum(col("q")).as("sq"))
+      val perPart = li.groupBy(col("l_partkey")).agg(sum(col("q")).as("tq"))
+      val dominant = perSup.join(perPart, "l_partkey")
+        .filter(col("sq") * 2 > col("tq"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dominant, col("s_suppkey") === dominant("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+    },
+    oracle = Some(
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(28,6)) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |), per_sup AS (
+        |  SELECT l_partkey, l_suppkey, sum(q) AS sq FROM li GROUP BY 1, 2
+        |), per_part AS (
+        |  SELECT l_partkey, sum(q) AS tq FROM li GROUP BY 1
+        |)
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND EXISTS (
+        |    SELECT 1 FROM per_sup ps JOIN per_part pp USING (l_partkey)
+        |    WHERE ps.l_suppkey = s_suppkey AND ps.sq * 2 > pp.tq)""".stripMargin))
+
   /** #68 Late-shipment priority counts (TPC-H Q12 shape, l_linestatus
     * standing in for l_shipmode, orderdate+30 for the commit/receipt
     * lateness): one fact join, conditional counts per class.
@@ -4301,7 +4377,9 @@ object Queries {
     "q2_min_cost" -> q2MinCost,
     "q8_share" -> q8Share,
     "q9_profit" -> q9Profit,
+    "q11_important" -> q11Important,
     "q12_late" -> q12Late,
+    "q20_dominant" -> q20Dominant,
     "q13_custdist" -> q13Custdist,
     "q15_top_supplier" -> q15TopSupplier,
     "q16_variety" -> q16Variety,
