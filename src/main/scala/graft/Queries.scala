@@ -2043,6 +2043,44 @@ object Queries {
           col("n")),
     oracle = None)
 
+  /** #81 TextRank keyword scores: 10 fixed-point integer PageRank
+    * steps over the word-adjacency graph (see
+    * [[graft.operators.TextRank]]). The oracle UNROLLS the ten power
+    * iterations as generated chained CTEs — floor division (`//`) and
+    * long addition reproduce Spark's `div`/`+` exactly, so the final
+    * ranks hash-match as plain BIGINTs.
+    */
+  val qTextPagerank: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.TextRank.rank(t(s, dir, "documents"), iterations = 10),
+    oracle = Some {
+      val graph =
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          |), pos AS (
+          |  SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i FROM tok
+          |), und AS (
+          |  SELECT DISTINCT least(ts[i+1], ts[i+2]) AS a, greatest(ts[i+1], ts[i+2]) AS b
+          |  FROM pos WHERE ts[i+1] <> ts[i+2]
+          |), edges AS (
+          |  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und
+          |), deg AS (
+          |  SELECT src, count(*) AS d FROM edges GROUP BY src
+          |), r0 AS (
+          |  SELECT src AS word, CAST(1000000000000 AS BIGINT) AS r FROM deg
+          |)""".stripMargin
+      val steps = (1 to 10).map { k =>
+        s""", r$k AS (
+           |  SELECT n.src AS word, CAST(150000000000 + coalesce(c.s, 0) AS BIGINT) AS r
+           |  FROM deg n LEFT JOIN (
+           |    SELECT e.dst, sum((p.r * 85) // (100 * d.d)) AS s
+           |    FROM r${k - 1} p JOIN edges e ON p.word = e.src JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) c ON c.dst = n.src
+           |)""".stripMargin
+      }.mkString
+      graph + steps + "\nSELECT word, r AS rank FROM r10"
+    })
+
   /** #44 Vocabulary build: top-200 terms by frequency with document
     * frequency and deterministic token ids.
     */
@@ -4309,6 +4347,7 @@ object Queries {
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_semantic" -> qDedupSemantic,
     "text_vocab" -> qTextVocab,
+    "text_pagerank" -> qTextPagerank,
     "text_postings" -> qTextPostings,
     "text_skipgrams" -> qTextSkipgrams,
     "q_heavy_terms" -> qHeavyTerms,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TextRank (Mihalcea & Tarau 2004): PageRank over the word
+  * co-occurrence graph as a corpus-level keyword-importance score —
+  * the graph-centrality member of the quality/curation family (the
+  * same shape Common Crawl-scale pipelines use for harmonic/PageRank
+  * domain centrality).
+  *
+  * Determinism contract (what makes this oracle-able cross-engine):
+  * ranks are FIXED-POINT LONGS, not doubles. r₀ = 10¹²; each
+  * iteration computes r' (v) = 0.15·10¹² + Σ_{u→v} ⌊r(u)·85 /
+  * (100·deg(u))⌋ in pure positive-integer arithmetic — floor division
+  * is identical in Spark (`div`) and DuckDB (`//`), addition is
+  * associative, so ten iterations reproduce bit-for-bit on any
+  * engine. No float damping, no convergence test (fixed iteration
+  * count), no tie-dependent ordering.
+  *
+  * Scale shape: the graph builds with ONE shuffle (distinct canonical
+  * adjacent pairs; pair extraction is an in-array kernel, tokens
+  * never explode row-wise). Each iteration is one join of the
+  * vocab-sized rank table against the edge list plus one regroup —
+  * the standard distributed power-iteration layout — with
+  * `localCheckpoint` after every step so the plan stays constant-size
+  * instead of growing 10 optimizer generations deep. Everything that
+  * is corpus-sized is touched exactly once.
+  */
+object TextRank {
+
+  val RankScale = 1000000000000L // r0 = 1.0 in fixed point
+  val Base = 150000000000L       // 0.15 damping floor
+
+  /** Directed edge list of the undirected word-adjacency graph:
+    * distinct canonical (least, greatest) adjacent-token pairs, then
+    * both directions. Self-loops dropped.
+    */
+  def adjacencyEdges(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val arr = split(col(textCol), " ")
+    val und = docs
+      .select(explode(when(size(arr) >= 2,
+        transform(sequence(lit(0), size(arr) - 2),
+          i => struct(element_at(arr, i + 1).as("x"), element_at(arr, i + 2).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** Fixed-point ranks after `iterations` power steps:
+    * (word, rank: long). Words with no neighbor (single-token docs)
+    * carry no edge and are excluded — they would sit at the damping
+    * floor forever.
+    */
+  def rank(docs: DataFrame, textCol: String = "text", iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val edges0 = adjacencyEdges(docs, textCol)
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // (src, dst, d): materialized once, reused by every iteration
+    val edges = edges0.join(deg, "src").localCheckpoint()
+    var r = deg.select(col("src").as("word"), lit(RankScale).as("r")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = edges.join(r, edges("src") === r("word"))
+        .select(col("dst"), expr("(r * 85) div (100 * d)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = deg.select(col("src").as("word"))
+        .join(contrib, col("word") === col("dst"), "left")
+        .select(col("word"), (lit(Base) + coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("word"), col("r").as("rank"))
+  }
+}
