@@ -2479,6 +2479,56 @@ object Queries {
         |  CAST(max(strlen(text)) AS INTEGER) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin))
 
+  /** #34c Multimodal decode-stub dimensions, ORACLED: the stub's
+    * width/height/frame outputs are pure integer functions of the
+    * payload's FNV-1a64 (decodeOne, Multimodal.scala), so DuckDB
+    * re-derives them from first principles — UTF-8 byte expansion of
+    * the RAW text payload (no normalization, unlike the fingerprint),
+    * the same HUGEINT FNV fold, then width/height/frames as modular
+    * arithmetic on the unsigned hash. byte_entropy and the float
+    * feature vector stay under mm_features' rows-only check.
+    */
+  val qMmDecode: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      graft.operators.Multimodal.decodeStub(media).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"))
+    },
+    oracle = Some(
+      """WITH by AS (
+        |  SELECT doc_id, flatten(list_transform(range(1, length(text)+1), i -> CASE
+        |    WHEN unicode(text[i]) < 128 THEN [unicode(text[i])]
+        |    WHEN unicode(text[i]) < 2048 THEN
+        |      [192 + unicode(text[i]) // 64, 128 + unicode(text[i]) % 64]
+        |    WHEN unicode(text[i]) < 65536 THEN
+        |      [224 + unicode(text[i]) // 4096, 128 + (unicode(text[i]) // 64) % 64,
+        |       128 + unicode(text[i]) % 64]
+        |    ELSE
+        |      [240 + unicode(text[i]) // 262144, 128 + (unicode(text[i]) // 4096) % 64,
+        |       128 + (unicode(text[i]) // 64) % 64, 128 + unicode(text[i]) % 64]
+        |  END)) AS bs
+        |  FROM documents
+        |), fp AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                 list_transform(bs, b -> CAST(b AS HUGEINT))),
+        |    (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                 * 1099511628211) % 18446744073709551616
+        |  ) AS h
+        |  FROM by
+        |)
+        |SELECT doc_id AS media_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + (CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                  THEN CAST(18446744073709551616 AS HUGEINT) - h
+        |                  ELSE h END) % 1024 AS INT) AS width,
+        |  CAST(64 + (h // 131072) % 1024 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2
+        |            THEN 1 + (h // 2147483648) % 32 ELSE 1 END AS INT) AS n_frames
+        |FROM fp JOIN documents USING (doc_id)""".stripMargin))
+
   /** #14h Winsorization: per-type clamp of integral cents to the
     * [12.5%, 87.5%] interpolated percentiles. Dyadic percentile
     * positions (k/2³) over integral values interpolate exactly in
@@ -4370,6 +4420,7 @@ object Queries {
     "sim_ivf_topk" -> qSimIvfTopk,
     "mm_features" -> qMmFeatures,
     "q_mm_metadata" -> qMmMetadata,
+    "q_mm_decode" -> qMmDecode,
     "q_winsorize" -> qWinsorize,
     "q_pair_stats" -> qPairStats,
     "q_url_parse" -> qUrlParse,
