@@ -55,23 +55,67 @@ object TextRank {
     * (word, rank: long). Words with no neighbor (single-token docs)
     * carry no edge and are excluded — they would sit at the damping
     * floor forever.
+    *
+    * Size-gated like [[Dedup.clusters]]: the EDGE LIST of a word
+    * graph is vocab²-bounded, not corpus-bounded — once the corpus
+    * passes a modest size the graph stops growing while the scan
+    * cost doesn't. Up to `maxLocalEdges` directed edges the power
+    * loop runs on the driver over primitive arrays (one Spark job to
+    * collect, zero per-iteration jobs; integer addition is
+    * associative, so the result is bit-identical to the distributed
+    * loop). Bigger graphs — web-domain centrality at crawl scale —
+    * take the distributed join/regroup loop with `localCheckpoint`
+    * truncating lineage per step.
     */
-  def rank(docs: DataFrame, textCol: String = "text", iterations: Int = 10): DataFrame = {
+  def rank(
+      docs: DataFrame,
+      textCol: String = "text",
+      iterations: Int = 10,
+      maxLocalEdges: Long = 2000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    val spark = docs.sparkSession
     val edges0 = adjacencyEdges(docs, textCol)
+    // one aggregate instead of count(): the gate and the degree table
+    // come from the same shuffle
     val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // (src, dst, d): materialized once, reused by every iteration
-    val edges = edges0.join(deg, "src").localCheckpoint()
-    var r = deg.select(col("src").as("word"), lit(RankScale).as("r")).localCheckpoint()
-    for (_ <- 1 to iterations) {
-      val contrib = edges.join(r, edges("src") === r("word"))
-        .select(col("dst"), expr("(r * 85) div (100 * d)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = deg.select(col("src").as("word"))
-        .join(contrib, col("word") === col("dst"), "left")
-        .select(col("word"), (lit(Base) + coalesce(col("s"), lit(0L))).as("r"))
-        .localCheckpoint()
+    val nEdges = deg.agg(sum(col("d"))).head() match {
+      case row if row.isNullAt(0) => 0L
+      case row => row.getLong(0)
     }
-    r.select(col("word"), col("r").as("rank"))
+    if (nEdges <= maxLocalEdges) {
+      val pairs = edges0.collect().map(r => (r.getString(0), r.getString(1)))
+      val words = pairs.iterator.map(_._1).toArray.distinct.sorted
+      val idx = words.zipWithIndex.toMap
+      val srcs = pairs.map(p => idx(p._1))
+      val dsts = pairs.map(p => idx(p._2))
+      val d = new Array[Long](words.length)
+      srcs.foreach(s => d(s) += 1)
+      var r = Array.fill(words.length)(RankScale)
+      for (_ <- 1 to iterations) {
+        val next = Array.fill(words.length)(Base)
+        var i = 0
+        while (i < srcs.length) {
+          next(dsts(i)) += (r(srcs(i)) * 85) / (100 * d(srcs(i)))
+          i += 1
+        }
+        r = next
+      }
+      import spark.implicits._
+      words.zip(r).toSeq.toDF("word", "rank")
+    } else {
+      // (src, dst, d): materialized once, reused by every iteration
+      val edges = edges0.join(deg, "src").localCheckpoint()
+      var r = deg.select(col("src").as("word"), lit(RankScale).as("r")).localCheckpoint()
+      for (_ <- 1 to iterations) {
+        val contrib = edges.join(r, edges("src") === r("word"))
+          .select(col("dst"), expr("(r * 85) div (100 * d)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        r = deg.select(col("src").as("word"))
+          .join(contrib, col("word") === col("dst"), "left")
+          .select(col("word"), (lit(Base) + coalesce(col("s"), lit(0L))).as("r"))
+          .localCheckpoint()
+      }
+      r.select(col("word"), col("r").as("rank"))
+    }
   }
 }

@@ -43,6 +43,15 @@ class TextRankSpec extends SparkSpec {
     assert(Seq("l1", "l2", "l3", "l4").forall(l => once("hub") > once(l)))
   }
 
+  test("rank: local and distributed paths are bit-identical") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val local = TextRank.rank(docs, iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = TextRank.rank(docs, iterations = 4, maxLocalEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
   test("rank: total mass stays near n*scale (sanity against overflow/drift)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val out = TextRank.rank(docs, iterations = 3)
