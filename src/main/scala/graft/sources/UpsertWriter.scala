@@ -376,8 +376,11 @@ object UpsertWriter {
       targetFileBytes: Long = 512L * 1024 * 1024,
       clusterBy: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
-      keepVersions: Int = 2): Unit = {
+      keepVersions: Int = 2,
+      zOrderBy: Seq[String] = Nil): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "pick linear clusterBy or multi-column zOrderBy, not both")
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = committedVersions(fs, target)
@@ -386,13 +389,20 @@ object UpsertWriter {
     val df = spark.read.parquet(liveDir.toString)
     val bytes = fs.getContentSummary(liveDir).getLength
     val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).max(1).min(100000).toInt
-    val sized =
-      if (partitionBy.nonEmpty) df.repartition(nFiles, partitionBy.map(col): _*)
-      else if (nFiles <= spark.sessionState.conf.numShufflePartitions) df.coalesce(nFiles)
-      else df.repartition(nFiles)
     val clustered =
-      if (clusterBy.nonEmpty) sized.sortWithinPartitions(clusterBy.map(col): _*)
-      else sized
+      // z-order clustering service (the async analog of Hudi's
+      // clustering plan with a z-curve strategy): range-repartition on
+      // the Morton key so each rewritten file covers a narrow range of
+      // EVERY z column, not just the leading one
+      if (zOrderBy.nonEmpty) graft.operators.ZOrder.cluster(df, zOrderBy, nFiles)
+      else {
+        val sized =
+          if (partitionBy.nonEmpty) df.repartition(nFiles, partitionBy.map(col): _*)
+          else if (nFiles <= spark.sessionState.conf.numShufflePartitions) df.coalesce(nFiles)
+          else df.repartition(nFiles)
+        if (clusterBy.nonEmpty) sized.sortWithinPartitions(clusterBy.map(col): _*)
+        else sized
+      }
     commitVersion(fs, target, clustered, liveNum + 1, partitionBy, keepVersions)
   }
 

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
 
 class UpsertWriterSpec extends SparkSpec {
 
@@ -144,6 +145,35 @@ class UpsertWriterSpec extends SparkSpec {
     val back = UpsertWriter.read(spark, table)
     assert(back.count() == events.count())
     assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+  }
+
+  test("compact with zOrderBy: content-identical rewrite, files cover narrow ranges of BOTH z columns") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-zcluster-") + "/t"
+    // 32x32 grid written in row-major order: a linear sort would give
+    // each file the FULL y range
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong * 32 + y, x, y)))
+      .toDF("id", "x", "y")
+    UpsertWriter.upsert(grid, table, Seq("id"), "id")
+    val vBefore = UpsertWriter.versions(spark, table).max
+    UpsertWriter.compact(spark, table, targetFileBytes = 1024, zOrderBy = Seq("x", "y"))
+    assert(UpsertWriter.versions(spark, table).max == vBefore + 1)
+    val back = UpsertWriter.read(spark, table)
+    assert(back.exceptAll(grid).isEmpty && grid.exceptAll(back).isEmpty)
+    // per-file spans: each z-clustered file must cover well under the
+    // full 0..31 range on BOTH columns (the point of the Morton curve)
+    val spans = spark.read.parquet(UpsertWriter.latestVersion(spark, table).get)
+      .select(col("x"), col("y"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect()
+    assert(spans.length > 1, "sizing must produce multiple files")
+    // a row-major (linear-sort) layout spans the full 0..31 y range in
+    // EVERY file (mean 31); z-order files stay near-square except where
+    // one straddles a high-level curve boundary — so judge the MEAN
+    val meanSpan = spans.map(r => math.max(r.getInt(1), r.getInt(2)).toDouble).sum / spans.length
+    assert(meanSpan < 20, s"z-clustered files span too much per axis on average: $meanSpan")
   }
 
   test("delete: tombstoned keys vanish as a new version; unknown keys are a no-op") {
