@@ -243,4 +243,24 @@ class PlanSpec extends SparkSpec {
     // the structural lock is the OUTER join in the plan:
     assert(plan(df).contains("LeftOuter"), plan(df))
   }
+
+  test("q11: dims broadcast; the global total joins as a one-row broadcast, never sort-merge") {
+    val p = plan(Queries.q11Important.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q20: dominant-supplier gate plans as a semi join; nation broadcasts") {
+    val p = plan(Queries.q20Dominant.run(spark, sfDir))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("substring excision: hash-keyed joins only — no nested-loop or cartesian pair space") {
+    val p = plan(graft.operators.Dedup.duplicatedSpanExcision(
+      TableLoader.table(spark, sfDir, "documents"), w = 8))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
