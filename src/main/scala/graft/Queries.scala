@@ -2312,6 +2312,22 @@ object Queries {
         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_off
         |FROM c""".stripMargin))
 
+  /** #46b Whole-document bin packing (first-fit decreasing): docs
+    * never split across packs — attention-boundary-safe batching.
+    * Deterministic but sequential per shard, so rows-only at the
+    * gate; invariants (budget respected, bin count vs the
+    * ceil(total/budget) lower bound, bit-reproducibility) are
+    * spec-tested.
+    */
+  val qTextPackFfd: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val withTok = graft.operators.TextAnalysis.withTokenCounts(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("ws_tokens").cast("long").as("n_tokens"))
+      graft.operators.Curation.packFfd(withTok,
+        partitionCol = "lang", idCol = "doc_id", weightCol = "n_tokens", budget = 512L)
+    },
+    oracle = None)
+
   /** #47 Repetition metrics: within-doc duplicate 3-gram signals
     * (see TextAnalysis.repetitionMetrics).
     */
@@ -4410,6 +4426,7 @@ object Queries {
     "q_blocklist" -> qBlocklist,
     "decontam_ngram" -> qDecontam,
     "text_pack" -> qTextPack,
+    "text_pack_ffd" -> qTextPackFfd,
     "text_repetition" -> qTextRepetition,
     "emb_centroids" -> qEmbCentroids,
     "emb_quantize" -> qEmbQuantize,

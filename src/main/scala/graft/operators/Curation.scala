@@ -59,6 +59,54 @@ object Curation {
     * bounded; the arithmetic is exact long division, never
     * double-rounded.
     */
+  /** Sequence packing, first-fit-decreasing: whole documents are
+    * bin-packed into `budget`-token packs (no doc ever splits across
+    * packs — the padding-free batching variant training stacks use
+    * when attention must not cross document boundaries; FFD is the
+    * classic 11/9·OPT+1 guarantee). Within each shard, docs place in
+    * (weight desc, id asc) order into the lowest-numbered pack with
+    * room; pack ids number by creation, offsets are cumulative fill.
+    *
+    * Deterministic: the order is a total sort, the placement rule has
+    * no ties, so re-running reproduces identical assignments on any
+    * engine — but the rule itself is sequential, so it is exposed as
+    * a per-shard `flatMapGroups` (the legitimate per-group
+    * imperative case), rows-only at the gate with the invariants
+    * spec-tested. Shards bound the sequential work exactly as pack's
+    * partition column does; the first-fit scan is O(docs·packs) per
+    * shard, fine at chunk-bounded shard sizes (a tree lowers it to
+    * O(docs·log packs) when shards grow).
+    */
+  def packFfd(
+      df: DataFrame,
+      partitionCol: String,
+      idCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(partitionCol).cast("string").as("_shard"),
+      col(idCol).cast("long").as("_id"),
+      col(weightCol).cast("long").as("_w")).as[(String, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val items = it.map(t => (t._2, t._3)).toArray.sortBy { case (id, w) => (-w, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (id, w) =>
+          require(w <= budget, s"item $id weight $w exceeds pack budget $budget")
+          var b = 0
+          while (b < fills.length && fills(b) + w > budget) b += 1
+          if (b == fills.length) fills += 0L
+          val off = fills(b)
+          fills(b) += w
+          (shard, id, w, b, off)
+        }
+      }
+      .toDF(partitionCol, idCol, weightCol, "pack_id", "pack_off")
+  }
+
   def pack(
       df: DataFrame,
       partitionCol: String,

@@ -87,6 +87,40 @@ class CurationSpec extends SparkSpec {
       (3L, 2L, 2L, 1L, 0.0)))
   }
 
+  test("packFfd: hand-checked FFD placement hits the optimal bin count") {
+    val s = spark
+    import s.implicits._
+    // weights 6,5,4,3,2,1 at budget 10 -> FFD gives {6,4},{5,3,2},{1}
+    val df = Seq((1L, 6L), (2L, 5L), (3L, 4L), (4L, 3L), (5L, 2L), (6L, 1L))
+      .toDF("id", "w").withColumn("shard", lit("s"))
+    val out = Curation.packFfd(df, "shard", "id", "w", budget = 10L)
+      .collect().map(r => r.getLong(1) -> ((r.getInt(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((0, 0L)) && out(3L) == ((0, 6L)))
+    assert(out(2L) == ((1, 0L)) && out(4L) == ((1, 5L)) && out(5L) == ((1, 8L)))
+    assert(out(6L) == ((2, 0L)))
+  }
+
+  test("packFfd: budget respected, bin count at the lower bound, deterministic, shards independent") {
+    val docs = graft.operators.TextAnalysis.withTokenCounts(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+      .select(col("doc_id"), col("lang"), col("ws_tokens").cast("long").as("n"))
+    def run() = Curation.packFfd(docs, "lang", "doc_id", "n", budget = 256L)
+    val out = run().cache()
+    val over = out.groupBy(col("lang"), col("pack_id")).agg(sum(col("n")).as("fill"))
+      .filter(col("fill") > 256L)
+    assert(over.count() == 0, "no pack may exceed the budget")
+    val perShard = out.groupBy(col("lang"))
+      .agg(sum(col("n")).as("tot"), (max(col("pack_id")) + 1).as("bins"))
+      .collect()
+    perShard.foreach { r =>
+      val lower = (r.getLong(1) + 255) / 256
+      assert(r.getInt(2) >= lower, s"bin count below the packing lower bound in ${r.getString(0)}")
+      assert(r.getInt(2) <= 2 * lower + 1, s"FFD should stay near the lower bound in ${r.getString(0)}")
+    }
+    assert(out.exceptAll(run()).isEmpty, "FFD must be bit-reproducible")
+    out.unpersist()
+  }
+
   test("cube emits all four grouping sets over the rollup's three") {
     val cube = graft.Queries.qCube.run(spark, sfDir)
     val rollup = graft.Queries.qRollup.run(spark, sfDir)
