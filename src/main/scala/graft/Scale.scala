@@ -63,6 +63,10 @@ object Scale {
         operators.Dedup.minhashLshPairs(docs, "doc_id", "text")),
       "dedup_prefix" -> ((docs: DataFrame) =>
         operators.Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)),
+      "dedup_substring" -> ((docs: DataFrame) =>
+        operators.Dedup.duplicatedSpanExcision(docs, w = 8)),
+      "text_pagerank" -> ((docs: DataFrame) =>
+        operators.TextRank.rank(docs, iterations = 10)),
       "text_tfidf" -> ((docs: DataFrame) =>
         operators.TextAnalysis.tfIdf(docs)),
       "decontam_ngram" -> ((docs: DataFrame) =>
