@@ -3244,16 +3244,75 @@ object Queries {
         |ORDER BY pair_n DESC, lhs, rhs LIMIT 20""".stripMargin))
 
   /** #61b Learned BPE merge table (8 iterations over the word-
-    * frequency table; greedy leftmost apply). Iterative re-
-    * tokenization isn't SQL-expressible → rows-only here; the spec
-    * pins the merges against an independent in-memory reference
-    * implementation.
+    * frequency table; greedy leftmost apply), ORACLED EXACTLY: the
+    * eight training passes unroll as generated CTE blocks — each pass
+    * re-derives weighted adjacent-pair counts, picks the top pair by
+    * (count desc, pair lex), and applies the merge with pure window
+    * logic: match positions island into maximal consecutive runs
+    * (runs longer than 1 only occur when left==right) and
+    * greedy-leftmost keeps the even offsets of each run — exactly
+    * the fold `Bpe.applyMerge` computes. `MATERIALIZED` hints stop
+    * DuckDB inlining each thrice-referenced pass (the default
+    * re-expansion is exponential in passes). Also certifies the
+    * batched trainer stays byte-identical to sequential selection.
     */
   val qBpeMerges: QueryDef = QueryDef(
     run = (s, dir) => graft.operators.Bpe.trainDf(s, t(s, dir, "documents"), iters = 8)
       .select(col("rank").cast("long").as("rank"),
         col("left").as("lhs"), col("right").as("rhs"), col("pair_n")),
-    oracle = None)
+    oracle = Some(bpeOracleSql(8,
+      (1 to 8).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, l AS lhs, r AS rhs, CAST(pn AS BIGINT) AS pair_n FROM m$k"
+      }.mkString("\nUNION ALL\n"))))
+
+  /** Generated DuckDB re-derivation of `iters` BPE training passes
+    * (see qBpeMerges' doc): defines wc/s0 and per-pass CTEs
+    * m1..m`iters` (the chosen merge) and s1..s`iters` (the symbol
+    * table after that merge), then appends `finalSelect`.
+    */
+  private def bpeOracleSql(iters: Int, finalSelect: String): String = {
+    val head =
+      """WITH wc AS (
+        |  SELECT word, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE strlen(word) >= 1 GROUP BY word
+        |), s0 AS MATERIALIZED (
+        |  SELECT word, n, list_transform(range(1, strlen(word)+1), i -> word[i]) AS syms FROM wc
+        |)""".stripMargin
+    val passes = (1 to iters).map { k =>
+      s""", e$k AS (
+         |  SELECT word, n, unnest(syms) AS sym, unnest(range(len(syms))) AS p FROM s${k - 1}
+         |), a$k AS (
+         |  SELECT word, n, p, sym, lead(sym) OVER (PARTITION BY word ORDER BY p) AS nxt FROM e$k
+         |), pc$k AS (
+         |  SELECT sym AS l, nxt AS r, sum(n) AS pn FROM a$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |), m$k AS MATERIALIZED (
+         |  SELECT l, r, pn FROM pc$k ORDER BY pn DESC, l, r LIMIT 1
+         |), mk$k AS (
+         |  SELECT word, n, p, sym,
+         |    (sym = (SELECT l FROM m$k) AND nxt = (SELECT r FROM m$k)) AS is_match
+         |  FROM a$k
+         |), ch$k AS (
+         |  SELECT word, p, ((p - first) % 2 = 0) AS chosen FROM (
+         |    SELECT word, p, min(p) OVER (PARTITION BY word, isl) AS first FROM (
+         |      SELECT word, p, p - row_number() OVER (PARTITION BY word ORDER BY p) AS isl
+         |      FROM mk$k WHERE is_match))
+         |), rb$k AS (
+         |  SELECT word, n, p,
+         |    CASE WHEN chosen_b THEN sym || (SELECT r FROM m$k)
+         |         WHEN coalesce(lag(chosen_b) OVER (PARTITION BY word ORDER BY p), false) THEN NULL
+         |         ELSE sym END AS out
+         |  FROM (
+         |    SELECT a.word, a.n, a.p, a.sym, coalesce(c.chosen, false) AS chosen_b
+         |    FROM mk$k a LEFT JOIN ch$k c USING (word, p))
+         |), s$k AS MATERIALIZED (
+         |  SELECT word, any_value(n) AS n,
+         |         list(out ORDER BY p) FILTER (WHERE out IS NOT NULL) AS syms
+         |  FROM rb$k GROUP BY word
+         |)""".stripMargin
+    }.mkString
+    head + passes + "\n" + finalSelect
+  }
 
   /** #62 Fixed-weight linear quality classifier: integer features ×
     * integer weights vs an integer threshold — the model-based
@@ -4329,7 +4388,11 @@ object Queries {
       graft.operators.Bpe.segment(graft.operators.Bpe.wordCounts(docs), merges)
         .select(col("word"), col("n"), array_join(col("syms"), " ").as("pieces"))
     },
-    oracle = None)
+    // the encode output IS the symbol table after the 20th training
+    // pass — the same generated re-derivation as text_bpe_merges,
+    // read from s20 instead of the merge picks
+    oracle = Some(bpeOracleSql(20,
+      "SELECT word, CAST(n AS BIGINT) AS n, array_to_string(syms, ' ') AS pieces FROM s20")))
 
   // ---------------------------------------------------------------
   // Registry
