@@ -2314,10 +2314,13 @@ object Queries {
 
   /** #46b Whole-document bin packing (first-fit decreasing): docs
     * never split across packs — attention-boundary-safe batching.
-    * Deterministic but sequential per shard, so rows-only at the
-    * gate; invariants (budget respected, bin count vs the
-    * ceil(total/budget) lower bound, bit-reproducibility) are
-    * spec-tested.
+    * The placement rule is sequential per shard, but DETERMINISTIC
+    * integer arithmetic — so the oracle replays it exactly with a
+    * recursive CTE that places one document per recursion step,
+    * carrying each shard's bin fills as a list (first fit =
+    * `nullif(list_position(...), 0)`, DuckDB's 0 = not-found).
+    * Invariants (budget, ceil(total/budget) lower bound,
+    * bit-reproducibility) are additionally spec-tested.
     */
   val qTextPackFfd: QueryDef = QueryDef(
     run = (s, dir) => {
@@ -2326,7 +2329,31 @@ object Queries {
       graft.operators.Curation.packFfd(withTok,
         partitionCol = "lang", idCol = "doc_id", weightCol = "n_tokens", budget = 512L)
     },
-    oracle = None)
+    oracle = Some(
+      """WITH RECURSIVE tkn AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+        |), items AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM tkn
+        |), steps AS (
+        |  SELECT lang, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS fills,
+        |         CAST([] AS STRUCT(id BIGINT, w BIGINT, pack INT, off BIGINT)[]) AS asg
+        |  FROM (SELECT DISTINCT lang FROM items)
+        |  UNION ALL
+        |  SELECT s.lang, i.rn,
+        |    CASE WHEN coalesce(nullif(list_position(list_transform(s.fills, f -> f + i.n_tokens <= 512), true), 0), len(s.fills)+1) <= len(s.fills)
+        |         THEN list_transform(s.fills, (f, ix) -> CASE WHEN ix = coalesce(nullif(list_position(list_transform(s.fills, f2 -> f2 + i.n_tokens <= 512), true), 0), len(s.fills)+1) THEN f + i.n_tokens ELSE f END)
+        |         ELSE list_append(s.fills, i.n_tokens) END AS fills,
+        |    list_append(s.asg, {id: i.doc_id, w: i.n_tokens,
+        |      pack: CAST(coalesce(nullif(list_position(list_transform(s.fills, f -> f + i.n_tokens <= 512), true), 0), len(s.fills)+1) - 1 AS INT),
+        |      off: coalesce(s.fills[coalesce(nullif(list_position(list_transform(s.fills, f -> f + i.n_tokens <= 512), true), 0), len(s.fills)+1)], 0)}) AS asg
+        |  FROM steps s JOIN items i ON i.lang = s.lang AND i.rn = s.rn + 1
+        |), final AS (
+        |  SELECT lang, asg, row_number() OVER (PARTITION BY lang ORDER BY rn DESC) AS rk FROM steps
+        |)
+        |SELECT lang, u.a.id AS doc_id, u.a.w AS n_tokens, u.a.pack AS pack_id, u.a.off AS pack_off
+        |FROM (SELECT lang, unnest(asg) AS a FROM final WHERE rk = 1) u(lang, a)""".stripMargin))
 
   /** #47 Repetition metrics: within-doc duplicate 3-gram signals
     * (see TextAnalysis.repetitionMetrics).
