@@ -2572,6 +2572,41 @@ object Queries {
         |            THEN 1 + (h // 2147483648) % 32 ELSE 1 END AS INT) AS n_frames
         |FROM fp JOIN documents USING (doc_id)""".stripMargin))
 
+  /** #14o Merkle-style table content digest per partition — the
+    * anti-entropy primitive of table replication (compare digests,
+    * re-sync only mismatched groups). Order-independent: Σ fnv64 of
+    * a canonical row string in decimal, mod 2⁶³ — so file layout and
+    * shuffle order never matter, only content. The oracle re-derives
+    * the FNV fold over the canonical string's ASCII codepoints and
+    * the same modular sum in HUGEINT.
+    */
+  val qTableDigest: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val canonical = concat_ws("\u001f",
+        col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)"))
+      graft.operators.Profiler.contentDigest(
+        t(s, dir, "orders"), Seq("o_orderpriority"), canonical)
+    },
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(o_orderkey AS VARCHAR) || chr(31) || CAST(o_custkey AS VARCHAR) || chr(31)
+        |      || o_orderpriority || chr(31) || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS s
+        |  FROM orders
+        |), h AS (
+        |  SELECT o_orderpriority, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                 * 1099511628211) % 18446744073709551616
+        |  ) AS hu
+        |  FROM c
+        |)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(hu) % 9223372036854775808 AS BIGINT) AS digest
+        |FROM h GROUP BY o_orderpriority""".stripMargin))
+
   /** #14h Winsorization: per-type clamp of integral cents to the
     * [12.5%, 87.5%] interpolated percentiles. Dyadic percentile
     * positions (k/2³) over integral values interpolate exactly in
@@ -4528,6 +4563,7 @@ object Queries {
     "mm_features" -> qMmFeatures,
     "q_mm_metadata" -> qMmMetadata,
     "q_mm_decode" -> qMmDecode,
+    "q_table_digest" -> qTableDigest,
     "q_winsorize" -> qWinsorize,
     "q_pair_stats" -> qPairStats,
     "q_url_parse" -> qUrlParse,

@@ -295,4 +295,34 @@ object Profiler {
         sum(when(v < col("fence_lo") || v > col("fence_hi"), 1L).otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n_total"))
   }
+
+  /** Merkle-style per-group content digest — the anti-entropy check
+    * of replicated/synced tables (compare digests per partition
+    * instead of shipping rows; only mismatched groups re-sync).
+    *
+    * digest(group) = Σ fnv64(canonical-row-string) over the group,
+    * mod 2⁶³: an ORDER-INDEPENDENT combine (addition commutes), so
+    * partitioning, shuffle order, and file layout never change it —
+    * only content does. The row hash is the codegen'd FNV kernel;
+    * the sum runs in decimal(38,0) so engines agree bit-for-bit (no
+    * silent long wrap), and the final mod folds back into BIGINT
+    * range for cross-engine comparison. One hash-aggregate with
+    * map-side combine; nothing but (group, digest, count) shuffles.
+    *
+    * The caller supplies the canonical string — column order and
+    * formatting ARE the digest contract (cast money through decimal,
+    * never raw doubles).
+    */
+  def contentDigest(df: DataFrame, groupCols: Seq[String], canonical: Column): DataFrame = {
+    require(groupCols.nonEmpty, "digest needs at least one group column")
+    val two64 = lit(BigDecimal("18446744073709551616")).cast("decimal(38,0)")
+    val two63 = lit(BigDecimal("9223372036854775808")).cast("decimal(38,0)")
+    val h = graft.functions.HashFunctions.fingerprint64(canonical)
+    val unsigned = when(h < 0, h.cast("decimal(38,0)") + two64)
+      .otherwise(h.cast("decimal(38,0)"))
+    df.select((groupCols.map(col) :+ unsigned.as("_hu")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("_hu")) % two63).cast("long").as("digest"))
+  }
 }

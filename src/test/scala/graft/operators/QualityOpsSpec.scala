@@ -275,4 +275,22 @@ class QualityOpsSpec extends SparkSpec {
       ("a", None, Some(15.0)),
       ("b", None, None)))
   }
+
+  test("contentDigest: layout/order independent, content sensitive") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.concat_ws
+    val base = Seq((1L, "g1", "x"), (2L, "g1", "y"), (3L, "g2", "z")).toDF("id", "g", "v")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Profiler.contentDigest(df, Seq("g"), concat_ws("", col("id"), col("v")))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val d = digest(base)
+    assert(digest(base.repartition(7).sortWithinPartitions(col("v").desc)) == d,
+      "digest must ignore partitioning and row order")
+    val changed = digest(Seq((1L, "g1", "x"), (2L, "g1", "CHANGED"), (3L, "g2", "z"))
+      .toDF("id", "g", "v"))
+    assert(changed("g2") == d("g2"), "untouched group keeps its digest")
+    assert(changed("g1") != d("g1"), "changed content must change the digest")
+    assert(d("g1")._1 == 2L && d("g2")._1 == 1L)
+  }
 }
