@@ -3208,6 +3208,53 @@ object Queries {
         |SELECT event_id, ts, user_id, event_type, value, props
         |FROM ranked WHERE rn = 1""".stripMargin))
 
+  /** #10q Read-optimized MOR view (Hudi `_ro`): after compacting the
+    * first two logs into the base, a third uncompacted log lands —
+    * the RO view serves the COMPACTED state only (zero merge cost,
+    * bounded staleness) while the real-time view would include log 3.
+    * The oracle recomputes the compacted state: base ∪ log1 ∪ log2,
+    * latest-wins, log 3 absent.
+    */
+  val qMorRo: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("mor-ro")
+      val base = t(s, dir, "events")
+      graft.sources.MorTable.writeBase(base, target)
+      graft.sources.MorTable.appendLog(
+        base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")), target)
+      graft.sources.MorTable.appendLog(
+        base.filter(col("event_type") === "view")
+          .withColumn("value", col("value") + 5)
+          .withColumn("ts", col("ts") + expr("INTERVAL 2 HOUR")), target)
+      graft.sources.MorTable.compact(s, target, Seq("event_id"), "ts")
+      graft.sources.MorTable.appendLog(
+        base.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 9)
+          .withColumn("ts", col("ts") + expr("INTERVAL 3 HOUR")), target)
+      graft.sources.MorTable.readOptimized(s, target)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+    },
+    oracle = Some(
+      """WITH log1 AS (
+        |  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+        |         value * 2 AS value, props
+        |  FROM events WHERE event_type = 'purchase'
+        |), log2 AS (
+        |  SELECT event_id, ts + INTERVAL 2 HOUR AS ts, user_id, event_type,
+        |         value + 5 AS value, props
+        |  FROM events WHERE event_type = 'view'
+        |), unioned AS (
+        |  SELECT * FROM events UNION ALL SELECT * FROM log1 UNION ALL SELECT * FROM log2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+        |  FROM unioned
+        |)
+        |SELECT event_id, ts, user_id, event_type, value, props
+        |FROM ranked WHERE rn = 1""".stripMargin))
+
   /** #10i Change data feed with both images: updates emit
     * update_preimage + update_postimage rows (Delta CDF semantics),
     * inserts/deletes one row each — a consumer can retract-then-apply
@@ -4586,6 +4633,7 @@ object Queries {
     "q_session_paths" -> qSessionPaths,
     "q_zscore_outliers" -> qZscoreOutliers,
     "q_mor_read" -> qMorRead,
+    "q_mor_ro" -> qMorRo,
     "q_cdc_feed" -> qCdcFeed,
     "q_point_lookup" -> qPointLookup,
     "q_zonemap_scan" -> qZonemapScan,

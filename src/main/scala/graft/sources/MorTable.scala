@@ -115,6 +115,18 @@ object MorTable {
       .drop("_graft_seq")
   }
 
+  /** Read-optimized view (Hudi's `_ro` table): the latest BASE only —
+    * zero merge cost, no log scan, at the price of staleness bounded
+    * by the uncompacted logs. The analytics-side contract of a MOR
+    * table: dashboards read this, the ingest path keeps appending
+    * logs, and compaction advances what "optimized" sees.
+    */
+  def readOptimized(spark: SparkSession, targetPath: String): DataFrame = {
+    val target = new Path(targetPath)
+    val (basePath, _) = active(fs(spark, target), target)
+    spark.read.parquet(basePath.toString)
+  }
+
   /** Read-amplification gauge: (number of live logs, log bytes / base
     * bytes). Callers compact when it crosses their threshold.
     */

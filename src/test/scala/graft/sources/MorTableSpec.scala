@@ -42,6 +42,24 @@ class MorTableSpec extends SparkSpec {
     assert(out == Map(1L -> "upd", 2L -> "post"))
   }
 
+  test("readOptimized: base-only view — stale by exactly the uncompacted logs, compaction advances it") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-mor-ro-") + "/t"
+    MorTable.writeBase(Seq((1L, 1L, "base"), (2L, 1L, "base")).toDF("k", "ver", "src"), table)
+    MorTable.appendLog(Seq((1L, 2L, "log1")).toDF("k", "ver", "src"), table)
+    def ro() = MorTable.readOptimized(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ro() == Map(1L -> "base", 2L -> "base"), "RO must not see uncompacted logs")
+    MorTable.compact(spark, table, Seq("k"), "ver")
+    assert(ro() == Map(1L -> "log1", 2L -> "base"), "compaction advances the RO view")
+    MorTable.appendLog(Seq((3L, 1L, "log2")).toDF("k", "ver", "src"), table)
+    assert(ro() == Map(1L -> "log1", 2L -> "base"), "new logs stay invisible until compacted")
+    val rt = MorTable.read(spark, table, Seq("k"), "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rt == Map(1L -> "log1", 2L -> "base", 3L -> "log2"))
+  }
+
   test("schema evolution: a column new in a log null-fills base rows") {
     val s = spark
     import s.implicits._
