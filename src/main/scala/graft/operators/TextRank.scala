@@ -74,9 +74,10 @@ object TextRank {
       maxLocalEdges: Long = 2000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val spark = docs.sparkSession
-    val edges0 = adjacencyEdges(docs, textCol)
-    // one aggregate instead of count(): the gate and the degree table
-    // come from the same shuffle
+    // materialize the distinct edge list ONCE — the gate aggregate,
+    // the degree table, and the local-path collect all reuse it
+    // instead of re-scanning and re-deduping the corpus per action
+    val edges0 = adjacencyEdges(docs, textCol).localCheckpoint(true)
     val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val nEdges = deg.agg(sum(col("d"))).head() match {
       case row if row.isNullAt(0) => 0L

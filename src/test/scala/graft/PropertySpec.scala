@@ -94,4 +94,29 @@ class PropertySpec extends SparkSpec {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     }
   }
+
+  test("duplicatedSpanExcision equals the naive reference on random tiny-alphabet corpora") {
+    trials(8) { rnd =>
+      val w = 2 + rnd.nextInt(3)
+      val vocab = Array("aa", "bb", "cc", "dd")
+      val docs = (1 to 6).map(i =>
+        i.toLong -> List.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      // naive reference: count every w-window string corpus-wide,
+      // excise positions covered by any window seen >= 2 times
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val counts = toks.flatMap { case (_, ts) =>
+        ts.sliding(w).filter(_.length == w).map(_.mkString(" "))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val expected = toks.map { case (id, ts) =>
+        val starts = (0 to ts.length - w).filter(p =>
+          ts.length >= w && counts(ts.slice(p, p + w).mkString(" ")) >= 2)
+        val cov = starts.flatMap(p => p until p + w).toSet
+        val clean = ts.zipWithIndex.collect { case (t, i) if !cov(i) => t }.mkString(" ")
+        id -> ((clean, ts.length.toLong, cov.size.toLong))
+      }.toMap
+      val got = graft.operators.Dedup.duplicatedSpanExcision(docsDf(docs), w = w)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"w=$w docs=$docs")
+    }
+  }
 }
