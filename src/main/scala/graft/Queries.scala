@@ -2355,6 +2355,44 @@ object Queries {
         |SELECT lang, u.a.id AS doc_id, u.a.w AS n_tokens, u.a.pack AS pack_id, u.a.off AS pack_off
         |FROM (SELECT lang, unnest(asg) AS a FROM final WHERE rk = 1) u(lang, a)""".stripMargin))
 
+  /** #82 DSIR-style importance weights (hashed-unigram frequency
+    * ratios vs the English target domain, add-one smoothed, exact
+    * integer arithmetic — see Curation.importanceWeights). The
+    * oracle re-derives word buckets from the FNV fold over ASCII
+    * codepoints and the same floor-divided ratio in HUGEINT.
+    */
+  val qImportance: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Curation.importanceWeights(
+      t(s, dir, "documents"), isTarget = col("lang") === "en"),
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS t, w
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE strlen(w) >= 1
+        |), wh AS (
+        |  SELECT w, CAST(list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, strlen(w)+1), i -> CAST(unicode(w[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                 * 1099511628211) % 18446744073709551616
+        |  ) % 256 AS BIGINT) AS b
+        |  FROM (SELECT DISTINCT w FROM tok)
+        |), bc AS (
+        |  SELECT b,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS rc
+        |  FROM tok JOIN wh USING (w) GROUP BY b
+        |), tot AS (
+        |  SELECT CAST(sum(tc) AS HUGEINT) AS ttot, CAST(sum(rc) AS HUGEINT) AS rtot FROM bc
+        |), r AS (
+        |  SELECT b, CAST((CAST(tc + 1 AS HUGEINT) * rtot * 10000)
+        |                 // (CAST(rc + 1 AS HUGEINT) * ttot) AS BIGINT) AS ratio
+        |  FROM bc, tot
+        |)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(ratio) AS BIGINT) AS importance
+        |FROM tok JOIN wh USING (w) JOIN r USING (b)
+        |GROUP BY doc_id""".stripMargin))
+
   /** #47 Repetition metrics: within-doc duplicate 3-gram signals
     * (see TextAnalysis.repetitionMetrics).
     */
@@ -4597,6 +4635,7 @@ object Queries {
     "q_outlier_fence" -> qOutlierFence,
     "q_blocklist" -> qBlocklist,
     "decontam_ngram" -> qDecontam,
+    "q_importance" -> qImportance,
     "text_pack" -> qTextPack,
     "text_pack_ffd" -> qTextPackFfd,
     "text_repetition" -> qTextRepetition,

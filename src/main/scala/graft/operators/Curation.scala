@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation filters that treat their criteria as DATA, not
@@ -59,6 +59,60 @@ object Curation {
     * bounded; the arithmetic is exact long division, never
     * double-rounded.
     */
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling",
+    * integer-ratio variant): score raw documents by how much their
+    * hashed-unigram distribution looks like a TARGET domain. Tokens
+    * hash into `buckets` feature buckets; each occurrence contributes
+    * the add-one-smoothed frequency ratio
+    * ⌊(target_b+1)·raw_total·scale / ((raw_b+1)·target_total)⌋ in
+    * exact decimal — a token common in-target and rare in-raw scores
+    * high. Per-doc score = Σ over its tokens; resample the top mass
+    * with [[Sampling.reproducibleStratified]] or a threshold. No
+    * floats, no logs: bit-identical on any engine (the log-sum of
+    * real DSIR is replaced by a ratio-sum — same ordering signal for
+    * selection, exact cross-engine arithmetic).
+    *
+    * Scale shape: two token passes (bucket counts; per-doc sum) with
+    * map-side combine, and the bucket table — `buckets` rows — rides
+    * as a BROADCAST join. Nothing corpus-sized shuffles except the
+    * (doc, bucket) pairs of the scoring pass.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      isTarget: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 256,
+      scale: Long = 10000L): DataFrame = {
+    require(buckets > 0 && scale > 0, "buckets and scale must be positive")
+    val toks = docs
+      .select(col(idCol), isTarget.as("_t"),
+        explode(split(col(textCol), " ")).as("_w"))
+      .filter(length(col("_w")) >= 1)
+      .select(col(idCol), col("_t"),
+        pmod(graft.functions.HashFunctions.fingerprint64(col("_w")), lit(buckets.toLong))
+          .as("_b"))
+    val counts = toks.groupBy(col("_b")).agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("_tc"),
+      sum(when(!col("_t"), 1L).otherwise(0L)).as("_rc"))
+    val totals = counts.agg(
+      sum(col("_tc")).as("_ttot"), sum(col("_rc")).as("_rtot")).collect()(0)
+    val (ttot, rtot) = (totals.getLong(0), totals.getLong(1))
+    require(ttot > 0 && rtot > 0, "both target and raw corpora must be non-empty")
+    // integral `div`, not `/`: Spark's decimal division ROUNDS at the
+    // derived scale — floor semantics must match DuckDB's `//`
+    val ratio = expr(
+      s"""CAST((CAST(_tc + 1 AS DECIMAL(38,0)) * CAST($rtot AS DECIMAL(38,0))
+         |      * CAST($scale AS DECIMAL(38,0)))
+         | div (CAST(_rc + 1 AS DECIMAL(38,0)) * CAST($ttot AS DECIMAL(38,0)))
+         |""".stripMargin.replace('\n', ' ') + " AS BIGINT)")
+    toks.join(broadcast(counts.select(col("_b"), ratio.as("_r"))), "_b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("_r")).as("importance"))
+  }
+
   /** Sequence packing, first-fit-decreasing: whole documents are
     * bin-packed into `budget`-token packs (no doc ever splits across
     * packs — the padding-free batching variant training stacks use

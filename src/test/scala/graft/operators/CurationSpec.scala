@@ -121,6 +121,34 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("importanceWeights: in-domain docs outscore off-domain; scores are reproducible") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run() = Curation.importanceWeights(docs, isTarget = col("lang") === "en")
+    val scored = run().join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), (col("importance") / col("n_tokens")).as("per_tok"))
+      .groupBy("lang").agg(avg(col("per_tok")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the English target's token distribution must score itself above
+    // every other language's docs
+    scored.filterNot(_._1 == "en").foreach { case (l, m) =>
+      assert(scored("en") > m, s"en=${scored("en")} must outscore $l=$m")
+    }
+    assert(run().exceptAll(run()).isEmpty, "importance must be bit-reproducible")
+  }
+
+  test("importanceWeights: a token only in the target scores above one only in raw") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "tgtword tgtword tgtword", true),
+      (2L, "rawword rawword rawword", false),
+      (3L, "tgtword", false), (4L, "rawword", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val out = Curation.importanceWeights(df, isTarget = col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(3L) > out(4L), s"target-domain token must outscore raw-only: $out")
+  }
+
   test("cube emits all four grouping sets over the rollup's three") {
     val cube = graft.Queries.qCube.run(spark, sfDir)
     val rollup = graft.Queries.qRollup.run(spark, sfDir)
