@@ -263,4 +263,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("importance weights: the bucket table broadcasts, the corpus never sort-merges") {
+    val p = plan(Queries.qImportance.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("table digest: one partial+final hash aggregate, no window, no join") {
+    val p = plan(Queries.qTableDigest.run(spark, sfDir))
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
