@@ -1121,6 +1121,35 @@ object Queries {
         queryName = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")),
     oracle = Some("SELECT * FROM events"))
 
+  /** #22m Streaming late-data dead-letter: rows below the watermark
+    * route to a DLQ instead of silent drop. Input staged as 6
+    * ordered micro-batches (batch k = event_id % 6), so the
+    * watermark sequence — max event time through batch k−1 minus
+    * 1 hour — and therefore the exact DLQ row set is plain SQL: a
+    * running max over batch order.
+    */
+  val qStreamLateDlq: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.lateDataDlq(
+        s, s"$dir/events.parquet", nBatches = 6, delaySeconds = 3600L,
+        queryName = "graft_stream_dlq_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props")),
+    oracle = Some(
+      """WITH b AS (
+        |  SELECT *, event_id % 6 AS k FROM events
+        |), mx AS (
+        |  SELECT k, max(ts) AS m FROM b GROUP BY k
+        |), wm AS (
+        |  SELECT k,
+        |    max(m) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - INTERVAL 1 HOUR AS w
+        |  FROM mx
+        |)
+        |SELECT event_id, ts, user_id, event_type, value, props
+        |FROM b JOIN wm USING (k)
+        |WHERE ts <= w""".stripMargin))
+
   /** #22e Streaming upsert ingestion: the doubled events stream is
     * micro-batch-upserted (one file per trigger) into a versioned
     * table; the final snapshot read must equal the deduplicated
@@ -4597,6 +4626,7 @@ object Queries {
     "q_range_join_auto" -> qRangeJoinAuto,
     "q_stream_window" -> qStreamWindow,
     "q_stream_dedup" -> qStreamDedup,
+    "q_stream_late_dlq" -> qStreamLateDlq,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_milestones" -> qStreamMilestones,
     "q_stream_attribution" -> qStreamAttribution,

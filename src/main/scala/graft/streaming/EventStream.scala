@@ -496,4 +496,95 @@ object EventStream {
     withFewStatePartitions(spark) { s =>
       collectToMemory(s, hourlyAgg(s, streamableDir(s, path)), "complete", queryName)
     }
+
+  /** Stage one parquet file as `n` ORDERED micro-batch inputs: file k
+    * holds the rows with event_id % n == k, named and mtime-stamped
+    * so the file source processes them in k order. Unlike `splitDir`
+    * (hash split, order-free consumers only), the assignment AND the
+    * order are plain SQL — which is what lets the late-data DLQ below
+    * be oracled exactly.
+    */
+  def orderedModSplitDir(spark: SparkSession, path: String, n: Int): String = {
+    import org.apache.hadoop.fs.Path
+    require(n >= 1, "need at least one split")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val key = s"modsplit$n:$path@${st.getModificationTime}:${st.getLen}"
+    stageCache.computeIfAbsent(key, { _ =>
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream-modsplit-")
+      stage.toFile.deleteOnExit()
+      val base = spark.read.parquet(path)
+      (0 until n).foreach { k =>
+        val tmp = new Path(stage.toUri.toString, s"_tmp$k")
+        base.filter(pmod(col("event_id"), lit(n.toLong)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(q => q.getName.startsWith("part-") && q.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dst = new Path(stage.toUri.toString, f"split-$k%04d.parquet")
+        fs.rename(part, dst)
+        fs.delete(tmp, true)
+        // distinct ascending mtimes: the file source's processing
+        // order (mtime, then path — both increase with k)
+        fs.setTimes(dst, 1000000000000L + k * 60000L, -1)
+        new java.io.File(stage.toFile, dst.getName).deleteOnExit()
+      }
+      stage.toUri.toString
+    })
+  }
+
+  /** Late-data dead-letter channel: rows that arrive BELOW the
+    * watermark are not silently dropped (Structured Streaming's
+    * default for stateful ops) but routed to a DLQ table for
+    * reconciliation — the audit path a production pipeline needs
+    * when "late" means "a corrected record we must not lose".
+    *
+    * The watermark is tracked explicitly per micro-batch with the
+    * standard semantics: the threshold applied to batch k is
+    * max(event time seen through batch k-1) − delay. Each batch's
+    * sub-threshold rows append to the DLQ sink (one parquet append
+    * per batch — at scale, a versioned-table append); on-time rows
+    * would continue to the stateful operator. Returns the DLQ as a
+    * batch DataFrame.
+    *
+    * Determinism contract (what the oracle replays): input staged by
+    * `orderedModSplitDir`, one file per trigger, so batch k = rows
+    * with event_id % n == k and the watermark sequence is a plain
+    * running max over batch order.
+    */
+  def lateDataDlq(
+      spark: SparkSession,
+      path: String,
+      nBatches: Int = 6,
+      delaySeconds: Long = 3600L,
+      queryName: String = "graft_stream_dlq"): DataFrame = {
+    require(delaySeconds >= 0, "delay must be non-negative")
+    val staged = orderedModSplitDir(spark, path, nBatches)
+    val delayNs = delaySeconds * 1000000000L
+    val dlqDir = java.nio.file.Files.createTempDirectory("graft-dlq-").toUri.toString
+    val wm = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    withFewStatePartitions(spark) { s =>
+      val raw = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+      val q = raw.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val cur = wm.get()
+          batch.toDF().filter(col("ts") <= lit(cur))
+            .write.mode("append").parquet(dlqDir)
+          val mx = batch.agg(max(col("ts"))).collect()(0)
+          if (!mx.isNullAt(0)) {
+            val cand = mx.getLong(0) - delayNs
+            if (cand > wm.get()) wm.set(cand)
+          }
+        }
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.sources.TableLoader.normalizeNanos(
+      spark.read.schema(rawSchema).parquet(dlqDir), "ts")
+  }
 }

@@ -208,4 +208,26 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(second == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("late-data DLQ: batch 0 never late; DLQ = exactly the rows under the running per-batch watermark") {
+    val n = 4
+    val dlq = EventStream.lateDataDlq(spark, s"$sfDir/events.parquet",
+      nBatches = n, delaySeconds = 3600L,
+      queryName = "spec_dlq_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val got = dlq.select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty, "the hash-batched event stream must produce late rows")
+    assert(!got.exists(_ % n == 0), "batch 0 has no prior watermark - never late")
+    // independent replay of the watermark rule in plain Scala
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // ts still raw nanos
+    val delayNs = 3600L * 1000000000L
+    val batchMax = ev.groupBy(_._1 % n).view.mapValues(_.map(_._2).max).toMap
+    val expected = ev.filter { case (id, ts) =>
+      val k = id % n
+      val prior = (0L until k).map(batchMax)
+      prior.nonEmpty && ts <= prior.max - delayNs
+    }.map(_._1).toSet
+    assert(got == expected)
+  }
 }
