@@ -2674,6 +2674,29 @@ object Queries {
         |  CAST(sum(hu) % 9223372036854775808 AS BIGINT) AS digest
         |FROM h GROUP BY o_orderpriority""".stripMargin))
 
+  /** #56b Fixed-point EWMA per user (α = ½): s₁ = x₁,
+    * sₜ = ⌊(sₜ₋₁+xₜ)/2⌋ over cents in (ts, event_id) order — see
+    * EventAnalytics.ewma. The oracle replays the recurrence with a
+    * recursive CTE stepping row_number per user (values are
+    * non-negative, so `//` floor = Spark `div` truncation).
+    */
+  val qEwma: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.ewma(
+      t(s, dir, "events").withColumn("cents", round(col("value") * 100).cast("long")),
+      entityCol = "user_id", tsCol = "ts", idCol = "event_id", centsCol = "cents"),
+    oracle = Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, ts, cents, rn, cents AS ewma FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts, e.cents, e.rn, (r.ewma + e.cents) // 2
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT user_id, event_id, ts, cents, CAST(ewma AS BIGINT) AS ewma FROM r""".stripMargin))
+
   /** #14h Winsorization: per-type clamp of integral cents to the
     * [12.5%, 87.5%] interpolated percentiles. Dyadic percentile
     * positions (k/2³) over integral values interpolate exactly in
@@ -4693,6 +4716,7 @@ object Queries {
     "q_streaks" -> qStreaks,
     "q_interval_merge" -> qIntervalMerge,
     "q_resample" -> qResample,
+    "q_ewma" -> qEwma,
     "q_bloom_join" -> qBloomJoin,
     "q_trigram_search" -> qTrigramSearch,
     "q_gopher_rules" -> qGopherRules,

@@ -186,6 +186,47 @@ object EventAnalytics {
     * own span, and the join back to the daily aggregate is keyed on
     * (entity, day), so the whole op distributes on the entity key.
     */
+  /** Fixed-point EWMA per entity (α = 1/2): s₁ = x₁,
+    * sₜ = ⌊(sₜ₋₁ + xₜ) / 2⌋ over integer cents in event-time order —
+    * the exponential smoothing every monitoring/trend pipeline wants,
+    * expressed so any engine reproduces it bit-for-bit (values are
+    * non-negative longs, so floor division = truncation on both).
+    *
+    * The recurrence is sequential per entity, so it runs as ONE
+    * in-array fold after a per-entity sort — a single shuffle on the
+    * entity key, state bounded by the entity's history (same bound as
+    * session paths; entities with unbounded history need windowed
+    * variants). The fold appends to an array accumulator — O(n²)
+    * copies per entity in Catalyst, fine at per-entity history sizes;
+    * total order inside the entity is (ts, idCol) so ties are stable.
+    */
+  def ewma(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      centsCol: String): DataFrame = {
+    val tsSql = events.schema(tsCol).dataType.sql
+    val idSql = events.schema(idCol).dataType.sql
+    val centsSql = events.schema(centsCol).dataType.sql
+    val rowT = struct(col(tsCol).as("ts"), col(idCol).as("id"), col(centsCol).as("cents"))
+    events
+      .groupBy(col(entityCol))
+      .agg(array_sort(collect_list(rowT)).as("_rows"))
+      .select(col(entityCol), explode(
+        expr(
+          s"""aggregate(
+             |  _rows,
+             |  cast(array() as array<struct<ts:$tsSql,id:$idSql,cents:$centsSql,ewma:$centsSql>>),
+             |  (acc, x) -> array_append(acc, named_struct(
+             |    'ts', x.ts, 'id', x.id, 'cents', x.cents,
+             |    'ewma', if(size(acc) = 0, x.cents,
+             |               (element_at(acc, -1).ewma + x.cents) div 2))))""".stripMargin))
+        .as("r"))
+      .select(col(entityCol), col("r.id").as(idCol), col("r.ts").as(tsCol),
+        col("r.cents").as(centsCol), col("r.ewma").as("ewma"))
+  }
+
   def resampleDaily(events: DataFrame, entityCol: String, tsCol: String): DataFrame = {
     val day = col(tsCol).cast("date")
     val daily = events.groupBy(col(entityCol), day.as("day"))

@@ -134,4 +134,20 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("a>b" -> 3L)) // the lone "c" path (count 1) is filtered
   }
+
+  test("ewma: hand-computed halving recurrence in time order; ties broken by id") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 4L),
+      (1L, 11L, ts("2024-01-01 11:00:00"), 2L),
+      (1L, 12L, ts("2024-01-01 12:00:00"), 9L), // (3+9)/2 = 6
+      // user 2: same timestamp twice -> id order decides
+      (2L, 21L, ts("2024-01-01 10:00:00"), 8L),
+      (2L, 20L, ts("2024-01-01 10:00:00"), 2L))
+      .toDF("user_id", "event_id", "t", "cents")
+    val out = EventAnalytics.ewma(ev, "user_id", "t", "event_id", "cents")
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(out == Map(10L -> 4L, 11L -> 3L, 12L -> 6L, 20L -> 2L, 21L -> 5L))
+  }
 }
