@@ -1293,6 +1293,24 @@ object Queries {
         |      FROM events)
         |WHERE rn % 10 = 0""".stripMargin))
 
+  /** #22n The same milestone operator on Spark 4's
+    * `transformWithState` (StatefulProcessor + typed ValueState,
+    * RocksDB state store) — gated by the SAME oracle as
+    * q_stream_milestones, proving both state APIs agree.
+    */
+  val qStreamMilestonesV2: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.runMilestonesV2ToBatch(
+        s, s"$dir/events.parquet", every = 10,
+        queryName = "graft_stream_msv2_" + java.util.UUID.randomUUID().toString.replace("-", "")),
+    oracle = Some(
+      """SELECT user_id, CAST(rn // 10 AS BIGINT) AS milestone,
+        |       CAST(rn AS BIGINT) AS n_events, ts
+        |FROM (SELECT user_id, ts, event_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn % 10 = 0""".stripMargin))
+
   // ---------------------------------------------------------------
   // LLM-data-pipeline surface
   // ---------------------------------------------------------------
@@ -4652,6 +4670,7 @@ object Queries {
     "q_stream_late_dlq" -> qStreamLateDlq,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_milestones" -> qStreamMilestones,
+    "q_stream_milestones_v2" -> qStreamMilestonesV2,
     "q_stream_attribution" -> qStreamAttribution,
     "q_stream_enrich" -> qStreamEnrich,
     "q_corr_subquery" -> qCorrSubquery,

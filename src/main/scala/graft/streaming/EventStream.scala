@@ -247,6 +247,72 @@ object EventStream {
         milestones(s, streamableDir(s, path), every), "append", queryName)
     }
 
+  /** The same milestone operator on Spark 4's `transformWithState`
+    * API (StatefulProcessor + typed ValueState) — the successor to
+    * `flatMapGroupsWithState` with explicit state handles, per-state
+    * TTLs and timers. Kept alongside the classic version and gated by
+    * the SAME oracle, proving the two state APIs compute identical
+    * results over identical micro-batches.
+    */
+  private class MilestoneProcessor(every: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Milestone] {
+    @transient private var nSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      nSeen = getHandle.getValueState[Long]("n_seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        inputRows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Milestone] = {
+      val sorted = inputRows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var n = if (nSeen.exists()) nSeen.get() else 0L
+      val out = Seq.newBuilder[Milestone]
+      sorted.foreach { e =>
+        n += 1
+        if (n % every == 0) out += Milestone(key, n / every, n, e.ts)
+      }
+      nSeen.update(n)
+      out.result().iterator
+    }
+  }
+
+  def milestonesV2(spark: SparkSession, path: String, every: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(every > 0, "every must be positive")
+    val raw = spark.readStream.schema(rawSchema).parquet(path)
+    val events = raw
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[Event]
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new MilestoneProcessor(every), TimeMode.None(), OutputMode.Append())
+      .toDF()
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+
+  /** transformWithState requires the RocksDB state store; scope the
+    * provider override to this run and restore the session's prior
+    * setting after.
+    */
+  def runMilestonesV2ToBatch(spark: SparkSession, path: String, every: Int = 10,
+      queryName: String = "graft_stream_milestones_v2"): DataFrame =
+    withFewStatePartitions(spark) { s =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try collectToMemory(s, milestonesV2(s, streamableDir(s, path), every), "append", queryName)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+
   /** Streaming ingestion into the versioned upsert table — the graft
     * analog of Hudi streaming ingest (the reference's tables are fed
     * by exactly this shape: micro-batches upserted by record key with
