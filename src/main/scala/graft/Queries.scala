@@ -393,6 +393,27 @@ object Queries {
         |       CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type""".stripMargin))
 
+  /** #13b Semi-structured VARIANT ingestion (Spark 4 native type):
+    * props parsed once with `parse_json` into a VARIANT column, then
+    * path-extracted with `variant_get` — the open-schema JSON path
+    * that skips per-field from_json schemas (and shreds at the
+    * storage layer at scale). Same rollup and oracle shape as the
+    * schema-declared extraction in q_json_extract.
+    */
+  val qVariantExtract: QueryDef = QueryDef(
+    run = (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("_v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("_v"), "$.k", "int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).as("max_k")),
+    oracle = Some(
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |       CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin))
+
   // ---------------------------------------------------------------
   // Analytics surface
   // ---------------------------------------------------------------
@@ -4628,6 +4649,7 @@ object Queries {
     "q_time_travel" -> qTimeTravel,
     "q_bucketed_join" -> qBucketedJoin,
     "q_json_extract" -> qJsonExtract,
+    "q_variant_extract" -> qVariantExtract,
     "q1_agg" -> q1Agg,
     "q3_top_orders" -> q3TopOrders,
     "q5_star_join" -> q5StarJoin,
