@@ -2591,6 +2591,22 @@ object Queries {
     },
     oracle = None)
 
+  /** #29c Persisted IVF index: built once (centroids + cell-
+    * partitioned corpus on disk), queried with explicit partition
+    * pruning — probe work AND I/O are ~nprobe/nlist of the corpus.
+    * Same training determinism as sim_ivf_topk (spec proves result
+    * equality); rows-only like the rest of the ANN family.
+    */
+  val qSimIvfIndexTopk: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val idx = scratch("ivf-index")
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.buildIvfIndex(emb, idx, nlist = 16)
+      graft.operators.Similarity.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 10),
+        k = 5, nprobe = 2)
+    },
+    oracle = None)
+
   /** #34 Multimodal plumbing: binary payloads -> batch decode stub ->
     * feature columns (deterministic fake codec) — rows-only + spec.
     */
@@ -4740,6 +4756,7 @@ object Queries {
     "sim_bruteforce_topk" -> qSimBruteforceTopk,
     "sim_lsh_topk" -> qSimLshTopk,
     "sim_ivf_topk" -> qSimIvfTopk,
+    "sim_ivf_index_topk" -> qSimIvfIndexTopk,
     "mm_features" -> qMmFeatures,
     "q_mm_metadata" -> qMmMetadata,
     "q_mm_decode" -> qMmDecode,

@@ -132,6 +132,65 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Build a PERSISTED IVF index: the trained centroid table plus the
+    * corpus laid out cell-partitioned on disk. At 100 TB an ANN index
+    * is built once and queried forever — retraining the quantizer and
+    * re-assigning every vector per query batch (what ivfTopK does,
+    * correctly, at verify scale) is not the production shape. Here
+    * the assignment scan happens exactly once at build; every later
+    * query prunes to its probed cells' PARTITION DIRECTORIES and
+    * never touches the rest of the corpus on disk.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      indexPath: String,
+      nlist: Int = 16,
+      seed: Long = 42L,
+      trainSample: Int = 4096,
+      lloydIters: Int = 10): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = sampleVecs(corpus, seed, trainSample)
+    val centroids = lloyd(sample, nlist, lloydIters)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    corpus.select(
+        graft.functions.CentroidFunctions.nearestCells(col("embedding"), centroids, 1)
+          .getItem(0).as("cell"),
+        col("vec_id"), col("embedding"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/corpus")
+  }
+
+  /** Query a persisted IVF index: route each query to its `nprobe`
+    * cells (centroids are a tiny one-file table, collected once),
+    * then scan ONLY those cells via an explicit partition filter —
+    * static pruning the planner can verify (`PartitionFilters: cell
+    * IN ...`), not a hope that DPP fires. Candidate work per batch is
+    * ~nprobe/nlist of the corpus, now also ~nprobe/nlist of the I/O.
+    */
+  def ivfIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val probed = probedCells(queries, centroids, nprobe)
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cell").isin(cells: _*))
+    val scored = corpus.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id").as("cid"), col("qid"),
+        VectorFunctions.cosine(col("embedding"), col("qvec")).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic training sample: top-N by seeded hash — one
     * TakeOrdered pass over the corpus, no full sort, no RNG.
     */

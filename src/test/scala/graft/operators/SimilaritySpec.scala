@@ -364,4 +364,33 @@ class SimilaritySpec extends SparkSpec {
     val rt = TopKBuffer.fromBytes(b1.toBytes)
     assert(rt.sortedDesc.toSeq == b1.sortedDesc.toSeq)
   }
+
+  test("persisted IVF index: identical results to the in-memory path; probed cells prune the scan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = tmpDir("graft-ivf-idx-")
+    Similarity.buildIvfIndex(emb, idx, nlist = 8)
+    val fromIndex = Similarity.ivfIndexTopK(spark, idx, queries, k = 5, nprobe = 2)
+    val inMemory = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 2)
+    assert(fromIndex.exceptAll(inMemory).isEmpty && inMemory.exceptAll(fromIndex).isEmpty,
+      "the persisted index must reproduce the in-memory IVF results exactly")
+    // pruning: a single query probing 2 of 8 cells must read fewer
+    // partition directories than the full corpus layout holds
+    val allFiles = spark.read.parquet(s"$idx/corpus").inputFiles.length
+    val one = emb.filter(col("vec_id") === 0)
+    val centroids = spark.read.parquet(s"$idx/centroids").orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cells = one.select(explode(graft.functions.CentroidFunctions.nearestCells(
+        col("embedding"), centroids, 2)).as("cell"))
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = spark.read.parquet(s"$idx/corpus")
+      .filter(col("cell").isin(cells: _*))
+    // inputFiles reports the pre-pruning listing; count what EXECUTES
+    val scanned = pruned.select(input_file_name()).distinct().count()
+    assert(scanned < allFiles,
+      s"partition filter must prune scanned files: $scanned vs $allFiles")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell") || plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell filter must plan as a partition filter, not a data filter:\n$plan")
+  }
 }
