@@ -2890,6 +2890,27 @@ object Queries {
         |FROM keep WHERE rn = 1
         |GROUP BY doc_id, n_chunks""".stripMargin))
 
+  /** #23d Incremental exact dedup: two document batches fold into the
+    * content-keyed survivor state (lowest doc_id wins, no rescans of
+    * prior batches); the final state must equal `exact` over the full
+    * corpus bit-for-bit — same oracle as dedup_exact.
+    */
+  val qDedupIncremental: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("dedup-inc-state")
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.incrementalExact(
+        statePath, docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      graft.operators.Dedup.incrementalExact(
+        statePath, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      graft.operators.Dedup.incrementalExactRead(s, statePath)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    },
+    oracle = Some(
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents
+        |) WHERE rn = 1""".stripMargin))
+
   /** #23c Duplicated-substring excision (Lee et al. ExactSubstr
     * shape): every 8-token window occurring ≥2× corpus-wide is a
     * duplicated span; covered tokens are cut from every doc. The
@@ -4767,6 +4788,7 @@ object Queries {
     "q_domain_cap" -> qDomainCap,
     "dedup_paragraph" -> qDedupParagraph,
     "dedup_substring" -> qDedupSubstring,
+    "dedup_incremental" -> qDedupIncremental,
     "q_schema_union" -> qSchemaUnion,
     "q_stream_inc_agg" -> qStreamIncAgg,
     "q_funnel" -> qFunnel,

@@ -458,6 +458,36 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** INCREMENTAL exact dedup: fold each arriving batch into a
+    * content-keyed survivor state (lowest id wins) kept in the
+    * versioned table layout — production dedup is incremental, and
+    * rescanning yesterday's 100 TB because an hour of documents
+    * arrived is exactly what this avoids. Each refresh costs one
+    * upsert of the batch against state (touched content keys only);
+    * the state read IS the deduplicated corpus, bit-identical to
+    * `exact` over everything ingested so far — which is what the
+    * oracle checks.
+    *
+    * The record key is the CONTENT itself (equality-exact; the
+    * hash-keyed variant trades that for 8-byte shuffle keys under the
+    * usual k²/2⁶⁵ contract); lowest-id-wins rides the existing
+    * latest-wins upsert by negating the id as the precombine.
+    */
+  def incrementalExact(
+      statePath: String,
+      batch: DataFrame,
+      contentCol: String,
+      idCol: String): Unit =
+    graft.sources.UpsertWriter.upsert(
+      batch.withColumn("_graft_neg_id", -col(idCol)),
+      statePath, recordKeys = Seq(contentCol), precombine = "_graft_neg_id")
+
+  /** Current survivor snapshot of the incremental-dedup state. */
+  def incrementalExactRead(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    graft.sources.UpsertWriter.read(spark, statePath).drop("_graft_neg_id")
+
   /** Duplicated-substring excision (the ExactSubstr shape from
     * "Deduplicating Training Data Makes Language Models Better",
     * Lee et al. 2022, at token granularity): any `w`-token window

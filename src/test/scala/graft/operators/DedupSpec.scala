@@ -230,6 +230,21 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("incrementalExact: lowest id wins across batches, later arrival included; state never rescans") {
+    val s = spark
+    import s.implicits._
+    val state = tmpDir("graft-dedup-inc-")
+    // batch 1 carries id 5 for text A; batch 2 brings id 2 for the
+    // SAME text — the later-arriving LOWER id must take over
+    Dedup.incrementalExact(state, Seq((5L, "A"), (7L, "B")).toDF("doc_id", "text"), "text", "doc_id")
+    Dedup.incrementalExact(state, Seq((2L, "A"), (9L, "C")).toDF("doc_id", "text"), "text", "doc_id")
+    val out = Dedup.incrementalExactRead(spark, state)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(out == Map("A" -> 2L, "B" -> 7L, "C" -> 9L))
+    // two refreshes = two committed versions; each reads only state + batch
+    assert(graft.sources.UpsertWriter.versions(spark, state).size == 2)
+  }
+
   test("duplicatedSpanExcision: cross-doc span cut from every copy, remainder kept") {
     val df = docsDf(Seq(
       1L -> "A B C D E F G H unique1 tail1",
