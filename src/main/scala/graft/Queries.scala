@@ -1574,6 +1574,23 @@ object Queries {
       graft.operators.Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text"),
     oracle = Some(minhashOracleSql))
 
+  /** #24b Incremental MinHash-LSH near-dup: two batches fold into
+    * persisted band/set state; each refresh pairs only the batch
+    * against state-so-far. The union of refresh emissions must equal
+    * the one-shot pair set — SAME exact oracle as dedup_minhash_lsh.
+    */
+  val qDedupMinhashInc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("minhash-inc-state")
+      val docs = t(s, dir, "documents")
+      val p1 = graft.operators.Dedup.minhashLshIncremental(
+        statePath, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val p2 = graft.operators.Dedup.minhashLshIncremental(
+        statePath, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      p1.unionByName(p2)
+    },
+    oracle = Some(minhashOracleSql))
+
   /** Generates the dedup_minhash_lsh oracle (see there). Mirrors
     * `GraftHash.hashedShingles` + `MinHashMix.{mix,signature,bandKeys}`
     * with n=5, numHashes=64, bands=16, threshold=0.5.
@@ -4749,6 +4766,7 @@ object Queries {
     "q_histogram" -> qHistogram,
     "text_normalize" -> qTextNormalize,
     "dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "dedup_minhash_inc" -> qDedupMinhashInc,
     "dedup_simhash" -> qDedupSimhash,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,

@@ -300,6 +300,63 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** INCREMENTAL MinHash-LSH near-dup: each arriving batch appends
+    * its banded keys and shingle sets to persisted state, and emits
+    * the near-dup pairs INVOLVING that batch — candidates are the
+    * batch's band keys joined against state-so-far (prior corpus ∪
+    * batch), so a refresh costs O(batch bands + matched buckets) and
+    * the prior corpus is never re-banded or re-paired. The union of
+    * all refreshes' emissions equals the one-shot `minhashLshPairs`
+    * over everything ingested (every pair surfaces exactly when its
+    * LATER member arrives), which is what the gate checks by running
+    * two refreshes under the one-shot query's oracle.
+    *
+    * State is plain parquet APPEND (documents are immutable facts —
+    * no upsert machinery needed): `bands/` (band, bkey, doc) — 8-byte
+    * keys on the wire — and `sets/` (doc, hs, nsh) for the exact
+    * Jaccard verification of candidates only.
+    */
+  def minhashLshIncremental(
+      statePath: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = batch.sparkSession
+    val docsH = batch.select(col(idCol).as("doc"), hashedShingles(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val banded = docsH.select(
+      col("doc"),
+      posexplode(graft.functions.MinHashFunctions.lshBandKeys(col("hs"), numHashes, bands))
+        .as(Seq("band", "bkey")))
+    val sets = docsH.select(col("doc"), col("hs"), size(col("hs")).as("nsh"))
+    banded.write.mode("append").parquet(s"$statePath/bands")
+    sets.write.mode("append").parquet(s"$statePath/sets")
+    val allBands = spark.read.parquet(s"$statePath/bands")
+    val allSets = spark.read.parquet(s"$statePath/sets")
+    val candidates = banded.as("a").join(allBands.as("b"), Seq("band", "bkey"))
+      .filter(col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val union = (col("nsh_a") + col("nsh_b")).cast("double") - inter
+    candidates
+      .join(allSets.select(col("doc").as("doc_a"), col("hs").as("hs_a"), col("nsh").as("nsh_a")), "doc_a")
+      .join(allSets.select(col("doc").as("doc_b"), col("hs").as("hs_b"), col("nsh").as("nsh_b")), "doc_b")
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // emissions are a STREAM, not a lazy view: materialize NOW, or a
+      // later refresh's state appends would leak into this result when
+      // the caller finally evaluates it
+      .localCheckpoint(true)
+  }
+
   /** Connected components over a near-dup pair list: every node gets
     * the minimum id reachable through any chain of pairs — turning
     * pairwise "A is a near-dup of B" into dedup CLUSTERS (keep one doc

@@ -245,6 +245,19 @@ class DedupSpec extends SparkSpec {
     assert(graft.sources.UpsertWriter.versions(spark, state).size == 2)
   }
 
+  test("minhashLshIncremental: union of refresh emissions equals the one-shot pair set; no double emission") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val state = tmpDir("graft-minhash-inc-")
+    val p1 = Dedup.minhashLshIncremental(state, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val p2 = Dedup.minhashLshIncremental(state, docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+    val p3 = Dedup.minhashLshIncremental(state, docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+    val inc = p1.unionByName(p2).unionByName(p3)
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental emissions must union to the one-shot pair set")
+    assert(inc.count() == inc.distinct().count(), "a pair must surface in exactly one refresh")
+  }
+
   test("duplicatedSpanExcision: cross-doc span cut from every copy, remainder kept") {
     val df = docsDf(Seq(
       1L -> "A B C D E F G H unique1 tail1",
