@@ -33,7 +33,7 @@ class ReportWriter(reportRoot: String, clock: () => Instant = () => Instant.now(
     * the handle; enforcement belongs to whatever serves the file).
     */
   def write(df: DataFrame, expiresInSeconds: Long = 86400L, singleFile: Boolean = true,
-      format: String = "csv"): ReportHandle = {
+      format: String = "csv", digestManifest: Boolean = false): ReportHandle = {
     require(format == "csv" || format == "json" || format == "orc" || format == "parquet",
       s"unsupported report format: $format")
     val now = clock()
@@ -69,6 +69,56 @@ class ReportWriter(reportRoot: String, clock: () => Instant = () => Instant.now(
       save(df.write.mode("overwrite"), target)
     }
 
+    if (digestManifest) writeDigestManifest(df, target)
     ReportHandle(target, s"file://$target", now.plusSeconds(expiresInSeconds))
+  }
+
+  /** Integrity manifest beside the report: `<report>.digest.json`
+    * with the row count and the order-independent content digest
+    * (Σ fnv64 of the canonical row string mod 2⁶³ —
+    * [[graft.operators.Profiler.contentDigest]]). A downstream
+    * consumer recomputes the digest over what it received and
+    * compares two numbers instead of re-shipping rows — the same
+    * anti-entropy primitive the table layer uses, applied to the
+    * delivery edge. Canonical string = all columns cast to string in
+    * schema order, US-separated; nulls hash as empty (concat_ws
+    * skips them), which is part of the documented contract.
+    */
+  def writeDigestManifest(df: DataFrame, reportPath: String): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val canonical = concat_ws("\u001f", df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*)
+    val row = graft.operators.Profiler
+      .contentDigest(df.withColumn("_g", lit(1)), Seq("_g"), canonical)
+      .collect()
+    val (n, d) = if (row.isEmpty) (0L, 0L) else (row(0).getLong(1), row(0).getLong(2))
+    val manifest = s"""{"n_rows": $n, "digest": $d}"""
+    val p = new Path(s"$reportPath.digest.json")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Recompute and check a report's digest manifest against `df`
+    * (what a consumer read back). True iff both row count and digest
+    * match.
+    */
+  def verifyDigest(df: DataFrame, reportPath: String): Boolean = {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val p = new Path(s"$reportPath.digest.json")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val manifest =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val Pattern = """\{"n_rows": (\d+), "digest": (-?\d+)\}""".r
+    manifest match {
+      case Pattern(n, d) =>
+        val canonical = concat_ws("\u001f", df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*)
+        val row = graft.operators.Profiler
+          .contentDigest(df.withColumn("_g", lit(1)), Seq("_g"), canonical)
+          .collect()
+        val (gotN, gotD) = if (row.isEmpty) (0L, 0L) else (row(0).getLong(1), row(0).getLong(2))
+        gotN == n.toLong && gotD == d.toLong
+      case _ => false
+    }
   }
 }

@@ -23,6 +23,23 @@ class PipelineSpecSuite extends SparkSpec {
     assert(df.exceptAll(back).isEmpty)
   }
 
+  test("ReportWriter: digest manifest verifies the delivered file and catches tampering") {
+    val s = spark
+    import s.implicits._
+    val writer = new ReportWriter(tmpDir("graft-report-digest-"))
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "name")
+    val handle = writer.write(df, format = "parquet", digestManifest = true)
+    val back = spark.read.parquet(handle.path)
+    assert(writer.verifyDigest(back, handle.path), "delivered file must verify")
+    // shuffled column/row order still verifies (order-independent digest)
+    assert(writer.verifyDigest(back.orderBy(col("name").desc).repartition(3), handle.path))
+    // a tampered row must fail
+    val tampered = back.withColumn("name",
+      when(col("id") === 2L, lit("BETA")).otherwise(col("name")))
+    assert(!writer.verifyDigest(tampered, handle.path), "tampering must break the digest")
+    assert(!writer.verifyDigest(back.limit(2), handle.path), "missing rows must break the count")
+  }
+
   test("ReportWriter: JSON-lines format shares the layout and stays lossless") {
     val fixed = Instant.parse("2026-03-05T10:00:00Z")
     val writer = new ReportWriter(tmpDir("graft-report-json-"), clock = () => fixed)
