@@ -314,7 +314,10 @@ object Dedup {
     * State is plain parquet APPEND (documents are immutable facts —
     * no upsert machinery needed): `bands/` (band, bkey, doc) — 8-byte
     * keys on the wire — and `sets/` (doc, hs, nsh) for the exact
-    * Jaccard verification of candidates only.
+    * Jaccard verification of candidates only. Single-writer, like the
+    * versioned tables without `upsertConcurrent`: racing refreshes
+    * would interleave appends and double-emit — serialize refreshes
+    * or front them with the OCC claim protocol.
     */
   def minhashLshIncremental(
       statePath: String,
