@@ -760,6 +760,27 @@ object Queries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin))
 
+  /** #18k Distribution windows: percent_rank and cume_dist of each
+    * order's price within its priority class. Rank counts are small
+    * integers, so the defining divisions ((rank−1)/(n−1), rows≤x/n)
+    * produce identical IEEE doubles on both engines; ties share a
+    * value by definition — no tiebreak needed for determinism.
+    */
+  val qWindowDist: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    },
+    oracle = Some(
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume
+        |FROM orders""".stripMargin))
+
   /** #18g Analytic window functions beyond running sums: per-customer
     * inter-order gap (lag), next order (lead), and spend quartile
     * (ntile) — ties broken by orderkey so every engine agrees.
@@ -2371,6 +2392,26 @@ object Queries {
         |       count(DISTINCT test_id) AS n_test_docs
         |FROM tr JOIN te USING (sh)
         |GROUP BY tr.doc_id""".stripMargin))
+
+  /** #45b Incremental decontamination: holdout n-gram index built
+    * ONCE, two train batches checked against it at O(batch) each;
+    * union of batch outputs == the one-shot run — same oracle as
+    * decontam_ngram.
+    */
+  val qDecontamInc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val idx = scratch("decontam-index")
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      graft.operators.Curation.buildDecontamIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 9), idx, n = 8)
+      val b1 = graft.operators.Curation.decontaminateIncremental(
+        s, idx, train.filter(col("doc_id") % 2 === 0), n = 8)
+      val b2 = graft.operators.Curation.decontaminateIncremental(
+        s, idx, train.filter(col("doc_id") % 2 === 1), n = 8)
+      b1.unionByName(b2)
+    },
+    oracle = qDecontam.oracle)
 
   /** #46 Sequence packing: per-language concatenate-and-cut into
     * 512-token packs (see Curation.pack) — the doc→training-batch
@@ -4722,6 +4763,7 @@ object Queries {
     "q_asof_join" -> qAsofJoin,
     "q_asof_tolerance" -> qAsofTolerance,
     "q_window_lag" -> qWindowLag,
+    "q_window_dist" -> qWindowDist,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_scd2" -> qScd2,
     "q_approx_distinct" -> qApproxDistinct,
@@ -4784,6 +4826,7 @@ object Queries {
     "q_outlier_fence" -> qOutlierFence,
     "q_blocklist" -> qBlocklist,
     "decontam_ngram" -> qDecontam,
+    "decontam_inc" -> qDecontamInc,
     "q_importance" -> qImportance,
     "text_pack" -> qTextPack,
     "text_pack_ffd" -> qTextPackFfd,

@@ -59,6 +59,41 @@ object Curation {
     * bounded; the arithmetic is exact long division, never
     * double-rounded.
     */
+  /** Persist the holdout's hashed n-gram index once — benchmarks are
+    * static; re-shingling them for every arriving train batch is
+    * wasted work at 100 TB ingest rates. (test_id, shingle-hash)
+    * pairs, 8-byte keys on the wire.
+    */
+  def buildDecontamIndex(
+      test: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): Unit =
+    test.select(col(idCol).as("_test_id"),
+        explode(Dedup.hashedShingles(col(textCol), n)).as("_sh"))
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** Check one arriving train batch against the persisted holdout
+    * index: identical semantics (and gate oracle) to `decontaminate`,
+    * at O(batch) cost — per-doc results depend only on that doc and
+    * the holdout, so the union over batches equals the one-shot run.
+    */
+  def decontaminateIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val tr = batch.select(col(idCol).as("doc_id"),
+      explode(Dedup.hashedShingles(col(textCol), n)).as("_sh"))
+    tr.join(spark.read.parquet(indexPath), "_sh")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("_sh")).as("n_shared_ngrams"),
+        count_distinct(col("_test_id")).as("n_test_docs"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling",
     * integer-ratio variant): score raw documents by how much their

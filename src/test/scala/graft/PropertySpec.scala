@@ -95,6 +95,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ewma equals the naive per-entity fold on random inputs (incl. timestamp ties)") {
+    val s = spark
+    import s.implicits._
+    trials(6) { rnd =>
+      val rows = (1 to 60).map { i =>
+        (rnd.nextInt(4).toLong,                    // entity
+          i.toLong,                                // unique id
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(5) * 1000L), // deliberate ties
+          rnd.nextInt(1000).toLong)                // cents
+      }
+      val df = rows.toDF("u", "id", "t", "cents")
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._3.getTime, r._2))
+        sorted.scanLeft((0L, -1L)) { case ((acc, _), r) =>
+          (if (r._2 == sorted.head._2) r._4 else (acc + r._4) / 2, r._2)
+        }.drop(1)
+      }.map { case (e, id) => id -> e }.toMap
+      val got = graft.operators.EventAnalytics.ewma(df, "u", "t", "id", "cents")
+        .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+      assert(got == expected)
+    }
+  }
+
   test("duplicatedSpanExcision equals the naive reference on random tiny-alphabet corpora") {
     trials(8) { rnd =>
       val w = 2 + rnd.nextInt(3)
