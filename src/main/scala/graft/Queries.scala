@@ -596,6 +596,28 @@ object Queries {
         |  FROM orders
         |) WHERE rk <= 3""".stripMargin))
 
+  /** #19c Incremental top-k maintenance: the per-customer order
+    * leaderboard folds two increments into O(k)-per-key state (heap
+    * merge is associative), and the final read must equal the full
+    * recompute — same oracle as the one-shot heap query.
+    */
+  val qIncTopk: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("inc-topk-state")
+      val ord = t(s, dir, "orders")
+      val cut = lit("1995-01-01").cast("timestamp_ntz")
+      graft.operators.IncrementalAgg.refreshTopK(
+        s, statePath, ord.filter(col("o_orderdate") <= cut),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+      graft.operators.IncrementalAgg.refreshTopK(
+        s, statePath, ord.filter(col("o_orderdate") > cut),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+      graft.operators.IncrementalAgg.readTopK(s, statePath, Seq("o_custkey"))
+        .select(col("o_custkey"), col("id").as("o_orderkey"),
+          col("score").as("o_totalprice"), col("rk"))
+    },
+    oracle = qTopkHeap.oracle)
+
   /** #20 Anti join: customers with no big-ticket order (NOT EXISTS).
     * The threshold keeps the result non-empty at every SF so the
     * check actually exercises rows.
@@ -4776,6 +4798,7 @@ object Queries {
     "q_window_running" -> qWindowRunning,
     "q_topk_per_group" -> qTopkPerGroup,
     "q_topk_heap" -> qTopkHeap,
+    "q_inc_topk" -> qIncTopk,
     "curate_docs" -> qCurateDocs,
     "curate_neardup" -> qCurateNeardup,
     "q_anti_join" -> qAntiJoin,

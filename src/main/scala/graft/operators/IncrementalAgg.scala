@@ -74,4 +74,47 @@ object IncrementalAgg {
   def read(spark: SparkSession, statePath: String, keys: Seq[String]): DataFrame =
     UpsertWriter.read(spark, statePath)
       .select((keys.map(col) :+ col("n") :+ col("sum_dec")): _*)
+
+  /** Incremental TOP-K maintenance: the per-key leaderboard stays
+    * current under appends with O(k) state per key — the bounded-heap
+    * aggregate is ASSOCIATIVE (merging two heaps ≡ inserting both
+    * streams; deterministic under ties, PropertySpec), so folding
+    * each increment's per-key top-k into the stored top-k equals the
+    * full-history recompute exactly. Refresh cost: one partial-agg
+    * shuffle of the increment + an upsert of touched keys' O(k)
+    * arrays; history never rereads — the leaderboard analog of the
+    * count/sum rollup above.
+    */
+  def refreshTopK(
+      spark: SparkSession,
+      statePath: String,
+      increment: DataFrame,
+      keys: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      k: Int): Unit = {
+    require(k > 0, "k must be positive")
+    val batchTop = increment.groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKFunctions.top_k(col(scoreCol), col(idCol), k).as("hits"))
+    val merged =
+      if (UpsertWriter.versions(spark, statePath).nonEmpty) {
+        val state = UpsertWriter.read(spark, statePath)
+          .select((keys.map(col) :+ col("hits")): _*)
+        // heap-merge by re-aggregating the exploded union: associative,
+        // so (state ⊕ batch) == top-k of everything ever seen
+        state.unionByName(batchTop)
+          .select((keys.map(col) :+ explode(col("hits")).as("h")): _*)
+          .groupBy(keys.map(col): _*)
+          .agg(graft.functions.TopKFunctions.top_k(col("h.score"), col("h.id"), k).as("hits"))
+      } else batchTop
+    UpsertWriter.upsert(merged.withColumn("_ver", lit(0L)),
+      statePath, recordKeys = keys, precombine = "_ver")
+  }
+
+  /** Current leaderboard snapshot: (keys, rank, id, score). */
+  def readTopK(spark: SparkSession, statePath: String, keys: Seq[String]): DataFrame =
+    UpsertWriter.read(spark, statePath)
+      .select((keys.map(col) :+ posexplode(col("hits")).as(Seq("pos", "hit"))): _*)
+      .select((keys.map(col) :+ col("hit.id").as("id") :+
+        col("hit.score").as("score") :+ (col("pos") + 1).cast("int").as("rk")): _*)
 }

@@ -64,4 +64,25 @@ class IncrementalAggSpec extends SparkSpec {
     val after = IncrementalAgg.read(spark, statePath, Seq("k", "grp")).collect().toSet
     assert(before == after)
   }
+
+  test("refreshTopK: later batch evicts a stored entry; state stays O(k) per key") {
+    val s = spark
+    import s.implicits._
+    val statePath = tmpDir("graft-inc-topk-")
+    // batch 1: key g holds [30, 20] (k=2); batch 2's 25 must evict 20
+    IncrementalAgg.refreshTopK(spark, statePath,
+      Seq(("g", 30.0, 1L), ("g", 20.0, 2L), ("h", 5.0, 3L)).toDF("key", "score", "id"),
+      Seq("key"), "score", "id", k = 2)
+    IncrementalAgg.refreshTopK(spark, statePath,
+      Seq(("g", 25.0, 4L), ("h", 1.0, 5L)).toDF("key", "score", "id"),
+      Seq("key"), "score", "id", k = 2)
+    val out = IncrementalAgg.readTopK(spark, statePath, Seq("key"))
+      .collect().map(r => (r.getString(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(out == Map(
+      ("g", 1) -> 1L, ("g", 2) -> 4L,   // 30 then 25; 20 evicted
+      ("h", 1) -> 3L, ("h", 2) -> 5L))
+    val arr = graft.sources.UpsertWriter.read(spark, statePath)
+      .select(size(col("hits"))).collect().map(_.getInt(0))
+    assert(arr.forall(_ <= 2), "state must stay O(k) per key")
+  }
 }
