@@ -2832,6 +2832,29 @@ object Queries {
         |)
         |SELECT user_id, event_id, ts, cents, CAST(ewma AS BIGINT) AS ewma FROM r""".stripMargin))
 
+  /** #14p MAD outliers: |x − median| > 3 × median-absolute-deviation
+    * per event type — the 50%-breakdown robust fence next to IQR and
+    * z-scores. Percentile interpolation parity with quantile_cont
+    * plus IEEE deviation arithmetic makes the flagged set exact.
+    */
+  val qMadOutliers: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Profiler.madOutliers(
+        t(s, dir, "events").withColumn("cents", round(col("value") * 100).cast("long")),
+        "event_type", "cents", k = 3.0)
+      .select(col("event_id"), col("event_type"), col("cents"), col("med"), col("mad")),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |), m AS (
+        |  SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c GROUP BY 1
+        |), d AS (
+        |  SELECT event_type, quantile_cont(abs(cents - med), 0.5) AS mad
+        |  FROM c JOIN m USING (event_type) GROUP BY 1
+        |)
+        |SELECT c.event_id, c.event_type, c.cents, m.med, d.mad
+        |FROM c JOIN m USING (event_type) JOIN d USING (event_type)
+        |WHERE abs(c.cents - m.med) > 3 * d.mad""".stripMargin))
+
   /** #14h Winsorization: per-type clamp of integral cents to the
     * [12.5%, 87.5%] interpolated percentiles. Dyadic percentile
     * positions (k/2³) over integral values interpolate exactly in
@@ -4847,6 +4870,7 @@ object Queries {
     "q_shuffle_shard" -> qShuffleShard,
     "q_neg_sample" -> qNegSample,
     "q_outlier_fence" -> qOutlierFence,
+    "q_mad_outliers" -> qMadOutliers,
     "q_blocklist" -> qBlocklist,
     "decontam_ngram" -> qDecontam,
     "decontam_inc" -> qDecontamInc,

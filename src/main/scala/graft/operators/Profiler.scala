@@ -296,6 +296,31 @@ object Profiler {
         count(lit(1)).as("n_total"))
   }
 
+  /** MAD outliers — the robust-statistics completion of the fence
+    * family (IQR fences, exact z-scores): flag rows whose absolute
+    * deviation from the group MEDIAN exceeds k × the median absolute
+    * deviation. Immune to the outliers themselves (breakdown point
+    * 50%, vs 25% for IQR and 0% for z-scores). Two percentile passes
+    * (median, then median of deviations) with the per-group stats
+    * broadcast back — the fact table never shuffles. Interpolated
+    * percentiles match DuckDB's quantile_cont exactly (established by
+    * q_percentiles), and the deviation/threshold arithmetic is plain
+    * IEEE, so the flagged SET is engine-exact.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(valueCol)
+    val med = df.groupBy(col(groupCol)).agg(percentile(v, lit(0.5)).as("med"))
+    val mad = df.join(broadcast(med), groupCol)
+      .groupBy(col(groupCol), col("med"))
+      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+    df.join(broadcast(mad), groupCol)
+      .filter(abs(v - col("med")) > lit(k) * col("mad"))
+  }
+
   /** Merkle-style per-group content digest — the anti-entropy check
     * of replicated/synced tables (compare digests per partition
     * instead of shipping rows; only mismatched groups re-sync).

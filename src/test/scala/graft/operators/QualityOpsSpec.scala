@@ -276,6 +276,22 @@ class QualityOpsSpec extends SparkSpec {
       ("b", None, None)))
   }
 
+  test("madOutliers: robust to the outlier itself; flags exactly the planted extremes") {
+    val s = spark
+    import s.implicits._
+    // group g: nine values near 10 plus one gross outlier at 1000 —
+    // MAD ignores the outlier (median stays 10, MAD stays 1), so the
+    // outlier is flagged and the near-10 values are not; mean-based
+    // z-scores would have been dragged by the 1000
+    val df = (Seq(8L, 9L, 9L, 10L, 10L, 10L, 11L, 11L, 12L, 1000L).map(("g", _)) ++
+      Seq(("h", 5L), ("h", 5L), ("h", 5L))).toDF("grp", "v")
+    val out = Profiler.madOutliers(df, "grp", "v", k = 3.0)
+      .select(col("grp"), col("v")).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSet == Set(("g", 1000L)))
+    // constant group: MAD 0, strict > flags nothing
+    assert(!out.exists(_._1 == "h"))
+  }
+
   test("contentDigest: layout/order independent, content sensitive") {
     val s = spark
     import s.implicits._
