@@ -133,9 +133,18 @@ object Queries {
       val ev = t(s, dir, "events")
       val keys = Seq("user_id", "event_type")
       graft.operators.IncrementalAgg.refreshTable(
-        s, statePath, ev.filter(col("ts") <= lit(incWatermark).cast("timestamp_ntz")), keys, "value")
+        s, statePath, ev.filter(col("ts") <= lit(incWatermark).cast("timestamp_ntz")), keys, "value",
+        batchId = Some(1L))
       graft.operators.IncrementalAgg.refreshTable(
-        s, statePath, ev.filter(col("ts") > lit(incWatermark).cast("timestamp_ntz")), keys, "value")
+        s, statePath, ev.filter(col("ts") > lit(incWatermark).cast("timestamp_ntz")), keys, "value",
+        batchId = Some(2L))
+      // at-least-once delivery replays batch 2: the applied-batch
+      // high-water mark (committed atomically with the state) makes
+      // the redelivery a no-op — if it double-counted, the oracle
+      // hash below would catch it
+      graft.operators.IncrementalAgg.refreshTable(
+        s, statePath, ev.filter(col("ts") > lit(incWatermark).cast("timestamp_ntz")), keys, "value",
+        batchId = Some(2L))
       graft.operators.IncrementalAgg.read(s, statePath, keys)
         .select(col("user_id"), col("event_type"), col("n"),
           col("sum_dec").cast("double").as("sum_value"))
@@ -162,9 +171,16 @@ object Queries {
       val o = t(s, dir, "orders")
       val cut = lit("1995-01-01").cast("timestamp_ntz")
       IncrementalJoinView.refreshFact(
-        s, factState, o.filter(col("o_orderdate") <= cut), "o_custkey", "o_totalprice")
+        s, factState, o.filter(col("o_orderdate") <= cut), "o_custkey", "o_totalprice",
+        batchId = Some(1L))
       IncrementalJoinView.refreshFact(
-        s, factState, o.filter(col("o_orderdate") > cut), "o_custkey", "o_totalprice")
+        s, factState, o.filter(col("o_orderdate") > cut), "o_custkey", "o_totalprice",
+        batchId = Some(2L))
+      // replayed fact increment: skipped by the high-water mark; a
+      // double-count would fail the oracle hash
+      IncrementalJoinView.refreshFact(
+        s, factState, o.filter(col("o_orderdate") > cut), "o_custkey", "o_totalprice",
+        batchId = Some(2L))
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
       IncrementalJoinView.refreshDim(
         s, dimState, c.withColumn("_ver", lit(1L)), "c_custkey", "_ver")
@@ -608,10 +624,15 @@ object Queries {
       val cut = lit("1995-01-01").cast("timestamp_ntz")
       graft.operators.IncrementalAgg.refreshTopK(
         s, statePath, ord.filter(col("o_orderdate") <= cut),
-        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3, batchId = Some(1L))
       graft.operators.IncrementalAgg.refreshTopK(
         s, statePath, ord.filter(col("o_orderdate") > cut),
-        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3, batchId = Some(2L))
+      // replayed increment is a no-op under the high-water mark (a
+      // re-inserted id occupying two heap slots would fail the oracle)
+      graft.operators.IncrementalAgg.refreshTopK(
+        s, statePath, ord.filter(col("o_orderdate") > cut),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3, batchId = Some(2L))
       graft.operators.IncrementalAgg.readTopK(s, statePath, Seq("o_custkey"))
         .select(col("o_custkey"), col("id").as("o_orderkey"),
           col("score").as("o_totalprice"), col("rk"))
@@ -1618,19 +1639,29 @@ object Queries {
     oracle = Some(minhashOracleSql))
 
   /** #24b Incremental MinHash-LSH near-dup: two batches fold into
-    * persisted band/set state; each refresh pairs only the batch
-    * against state-so-far. The union of refresh emissions must equal
-    * the one-shot pair set — SAME exact oracle as dedup_minhash_lsh.
+    * persisted band/set state (one marker-committed version per
+    * refresh); each refresh pairs only the batch against
+    * state-so-far. The union of refresh emissions must equal the
+    * one-shot pair set — SAME exact oracle as dedup_minhash_lsh.
+    * Batch 2's emission is taken from an at-least-once REPLAY of the
+    * batch: the replay appends no state and re-derives the original
+    * emission from the version it was applied as, so a duplicated
+    * band row or a lost/duplicated pair would fail the oracle hash.
     */
   val qDedupMinhashInc: QueryDef = QueryDef(
     run = (s, dir) => {
       val statePath = scratch("minhash-inc-state")
       val docs = t(s, dir, "documents")
       val p1 = graft.operators.Dedup.minhashLshIncremental(
-        statePath, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
-      val p2 = graft.operators.Dedup.minhashLshIncremental(
-        statePath, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
-      p1.unionByName(p2)
+        statePath, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        batchId = Some(1L))
+      graft.operators.Dedup.minhashLshIncremental(
+        statePath, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        batchId = Some(2L))
+      val p2replayed = graft.operators.Dedup.minhashLshIncremental(
+        statePath, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        batchId = Some(2L))
+      p1.unionByName(p2replayed)
     },
     oracle = Some(minhashOracleSql))
 
@@ -3089,6 +3120,11 @@ object Queries {
       graft.streaming.EventStream.streamIncAgg(s, split, statePath, keys, "value",
         queryName = "graft_stream_inc_agg_" +
           java.util.UUID.randomUUID().toString.replace("-", ""))
+      // crash-redelivery simulation: re-fold an already-applied batch
+      // id (the stream applied ids 0..3); the high-water mark inside
+      // the state commit makes it a no-op or the oracle hash fails
+      graft.operators.IncrementalAgg.refreshTable(
+        s, statePath, t(s, dir, "events"), keys, "value", batchId = Some(0L))
       graft.operators.IncrementalAgg.read(s, statePath, keys)
         .select(col("user_id"), col("event_type"), col("n"),
           col("sum_dec").cast("double").as("sum_value"))

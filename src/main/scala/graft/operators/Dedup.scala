@@ -311,13 +311,22 @@ object Dedup {
     * LATER member arrives), which is what the gate checks by running
     * two refreshes under the one-shot query's oracle.
     *
-    * State is plain parquet APPEND (documents are immutable facts —
-    * no upsert machinery needed): `bands/` (band, bkey, doc) — 8-byte
-    * keys on the wire — and `sets/` (doc, hs, nsh) for the exact
-    * Jaccard verification of candidates only. Single-writer, like the
-    * versioned tables without `upsertConcurrent`: racing refreshes
-    * would interleave appends and double-emit — serialize refreshes
-    * or front them with the OCC claim protocol.
+    * State lives in a [[graft.sources.VersionedLog]] (documents are
+    * immutable facts — an append log, not an upsert table): each
+    * refresh publishes `bands/` (band, bkey, doc — 8-byte keys on
+    * the wire) and `sets/` (doc, hs, nsh — for exact Jaccard
+    * verification of candidates only) as ONE marker-committed
+    * version, so a crash can't leave bands without their sets, and a
+    * failed refresh is safely re-runnable. With a monotonic
+    * `batchId`, the refresh is REPLAY-SAFE under at-least-once
+    * delivery: a redelivered batch at or below the recorded
+    * high-water mark appends nothing, and re-derives its ORIGINAL
+    * emission from the retained version it was applied as (exactly-
+    * once output on retry); if state compaction has since collapsed
+    * that version, the replay degrades to an empty emission — the
+    * replay window is bounded by compaction, as a table cleaner
+    * bounds incremental reads. Single-writer per state path, like
+    * the versioned tables without `upsertConcurrent`.
     */
   def minhashLshIncremental(
       statePath: String,
@@ -327,8 +336,10 @@ object Dedup {
       n: Int = 5,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      batchId: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    import graft.sources.VersionedLog
     val spark = batch.sparkSession
     val docsH = batch.select(col(idCol).as("doc"), hashedShingles(col(textCol), n).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -337,10 +348,19 @@ object Dedup {
       posexplode(graft.functions.MinHashFunctions.lshBandKeys(col("hs"), numHashes, bands))
         .as(Seq("band", "bkey")))
     val sets = docsH.select(col("doc"), col("hs"), size(col("hs")).as("nsh"))
-    banded.write.mode("append").parquet(s"$statePath/bands")
-    sets.write.mode("append").parquet(s"$statePath/sets")
-    val allBands = spark.read.parquet(s"$statePath/bands")
-    val allSets = spark.read.parquet(s"$statePath/sets")
+    val replayed = batchId.exists(id => VersionedLog.appliedHwm(spark, statePath).exists(id <= _))
+    val upTo: Int =
+      if (replayed) {
+        VersionedLog.versionOfBatch(spark, statePath, batchId.get) match {
+          case Some(v) => v.num // retained: re-derive the original emission below
+          case None => // compacted away: recognized replay, nothing to re-emit
+            return banded.select(col("doc").as("doc_a"), col("doc").as("doc_b"),
+              lit(0.0).as("jaccard")).limit(0)
+        }
+      } else
+        VersionedLog.append(spark, statePath, Map("bands" -> banded, "sets" -> sets), batchId)
+    val allBands = VersionedLog.read(spark, statePath, "bands", Some(upTo)).get
+    val allSets = VersionedLog.read(spark, statePath, "sets", Some(upTo)).get
     val candidates = banded.as("a").join(allBands.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc") =!= col("b.doc"))
       .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
@@ -359,6 +379,24 @@ object Dedup {
       // the caller finally evaluates it
       .localCheckpoint(true)
   }
+
+  /** State-compaction table service for the incremental MinHash-LSH
+    * log: N refreshes leave one file-set per batch; at a steady
+    * ingest rate the band state would otherwise accumulate small
+    * files forever (the classic streaming-ingest small-file problem —
+    * the reference runs Hudi's compactor for the same reason,
+    * generate_hudi_table.py:150-167). Collapses every committed
+    * band/set version into one right-sized version — identical rows,
+    * so subsequent refreshes emit identical pairs — and carries the
+    * applied-batch high-water mark forward (replays stay recognized;
+    * their exact re-emission window is bounded by compaction).
+    * Run out-of-band from refreshes (single-writer state).
+    */
+  def minhashLshCompactState(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      targetFileBytes: Long = 512L * 1024 * 1024): Unit =
+    graft.sources.VersionedLog.compact(spark, statePath, targetFileBytes)
 
   /** Connected components over a near-dup pair list: every node gets
     * the minimum id reachable through any chain of pairs — turning

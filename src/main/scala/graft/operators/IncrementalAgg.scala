@@ -26,6 +26,43 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
+  /** Commit-metadata key holding the applied-batch high-water mark. */
+  private val BatchKey = "graft.appliedBatchId"
+
+  /** Highest batch id folded into the state so far, if any. */
+  def appliedBatchId(spark: SparkSession, statePath: String): Option[Long] =
+    UpsertWriter.readMeta(spark, statePath).get(BatchKey).map(_.toLong)
+
+  /** Replay guard shared by the refresh variants. The fold below is
+    * ADDITIVE, so it is not naturally idempotent — and SURVEY §5's
+    * pull/commit contract is at-least-once: a crash between the state
+    * upsert and the consumer's watermark commit REDELIVERS the same
+    * increment. The applied-batch high-water mark is therefore written
+    * into the same atomic state commit as the fold itself
+    * (UpsertWriter metadata rides before the commit marker — the Hudi
+    * commit-metadata pattern the reference relies on,
+    * template.py:226-281: checkpoint advances only after a successful
+    * write, a commit is never re-applied). A refresh whose `batchId`
+    * is at or below the mark is a no-op; batch ids must be monotonic
+    * per state path (foreachBatch batch ids and table commit versions
+    * both are).
+    */
+  private def alreadyApplied(spark: SparkSession, statePath: String, batchId: Option[Long]): Boolean =
+    batchId.exists(id => appliedBatchId(spark, statePath).exists(id <= _))
+
+  /** Metadata for the next commit: prior keys carried forward, the
+    * high-water mark advanced when a batch id is supplied.
+    */
+  private def nextMeta(spark: SparkSession, statePath: String, batchId: Option[Long]): Map[String, String] = {
+    val prior = UpsertWriter.readMeta(spark, statePath)
+    batchId match {
+      case Some(id) =>
+        val hwm = prior.get(BatchKey).map(_.toLong).map(math.max(_, id)).getOrElse(id)
+        prior + (BatchKey -> hwm.toString)
+      case None => prior
+    }
+  }
+
   /** Per-key partial aggregate of one increment. */
   def partial(increment: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     increment.groupBy(keys.map(col): _*)
@@ -34,14 +71,19 @@ object IncrementalAgg {
 
   /** Fold one increment into the versioned state table at
     * `statePath`: touched keys combine (state + partial), untouched
-    * keys ride through the upsert untouched.
+    * keys ride through the upsert untouched. With a `batchId`, a
+    * replayed increment (id ≤ the stored high-water mark) is skipped
+    * — state is byte-identical after a retry. Returns true iff the
+    * increment was applied.
     */
   def refreshTable(
       spark: SparkSession,
       statePath: String,
       increment: DataFrame,
       keys: Seq[String],
-      valueCol: String): Unit = {
+      valueCol: String,
+      batchId: Option[Long] = None): Boolean = {
+    if (alreadyApplied(spark, statePath, batchId)) return false
     val p = partial(increment, keys, valueCol)
     val existing =
       if (UpsertWriter.versions(spark, statePath).nonEmpty)
@@ -67,7 +109,9 @@ object IncrementalAgg {
     // absolute replacement per key: updates win ties at equal
     // precombine, so a constant precombine column is exactly "replace"
     UpsertWriter.upsert(merged.withColumn("_ver", lit(0L)),
-      statePath, recordKeys = keys, precombine = "_ver")
+      statePath, recordKeys = keys, precombine = "_ver",
+      meta = nextMeta(spark, statePath, batchId))
+    true
   }
 
   /** Current rollup snapshot (keys, n, sum_dec). */
@@ -92,8 +136,10 @@ object IncrementalAgg {
       keys: Seq[String],
       scoreCol: String,
       idCol: String,
-      k: Int): Unit = {
+      k: Int,
+      batchId: Option[Long] = None): Boolean = {
     require(k > 0, "k must be positive")
+    if (alreadyApplied(spark, statePath, batchId)) return false
     val batchTop = increment.groupBy(keys.map(col): _*)
       .agg(graft.functions.TopKFunctions.top_k(col(scoreCol), col(idCol), k).as("hits"))
     val merged =
@@ -108,7 +154,9 @@ object IncrementalAgg {
           .agg(graft.functions.TopKFunctions.top_k(col("h.score"), col("h.id"), k).as("hits"))
       } else batchTop
     UpsertWriter.upsert(merged.withColumn("_ver", lit(0L)),
-      statePath, recordKeys = keys, precombine = "_ver")
+      statePath, recordKeys = keys, precombine = "_ver",
+      meta = nextMeta(spark, statePath, batchId))
+    true
   }
 
   /** Current leaderboard snapshot: (keys, rank, id, score). */

@@ -32,14 +32,18 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalJoinView {
 
-  /** Fold one fact increment into per-join-key partial state. */
+  /** Fold one fact increment into per-join-key partial state. A
+    * `batchId` makes the fold replay-safe (see
+    * [[IncrementalAgg.refreshTable]]); returns true iff applied.
+    */
   def refreshFact(
       spark: SparkSession,
       factStatePath: String,
       increment: DataFrame,
       joinKey: String,
-      valueCol: String): Unit =
-    IncrementalAgg.refreshTable(spark, factStatePath, increment, Seq(joinKey), valueCol)
+      valueCol: String,
+      batchId: Option[Long] = None): Boolean =
+    IncrementalAgg.refreshTable(spark, factStatePath, increment, Seq(joinKey), valueCol, batchId)
 
   /** Apply one dim batch (insert or update, latest-wins on
     * `precombine`) to the dim-side state.

@@ -72,9 +72,56 @@ object UpsertWriter {
   // -----------------------------------------------------------------
 
   private val CommitMarker = "_graft_commit"
+  private val MetaFile = "_graft_meta"
   private val VersionRe = """v(\d{8})""".r
 
   import org.apache.hadoop.fs.{FileSystem, Path}
+
+  // -----------------------------------------------------------------
+  // Per-version commit metadata. A version may carry a small
+  // key=value file (`_graft_meta`) written BEFORE the commit marker,
+  // so metadata is atomic with the data it describes: if the commit
+  // never lands, neither does the metadata. This is how incremental
+  // maintenance gets replay-safety for free — the applied-batch
+  // high-water mark rides the same atomic commit as the folded state
+  // (the Hudi analog: commit metadata on the timeline, which is what
+  // lets its incremental consumers never re-apply a commit —
+  // reference template.py:226-281 advances its checkpoint only after
+  // a successful write).
+  // -----------------------------------------------------------------
+
+  private def writeMeta(fs: FileSystem, versionDir: Path, meta: Map[String, String]): Unit =
+    if (meta.nonEmpty) {
+      val props = new java.util.Properties()
+      meta.foreach { case (k, v) => props.setProperty(k, v) }
+      val out = fs.create(new Path(versionDir, MetaFile), true)
+      try props.store(out, null)
+      finally out.close()
+    }
+
+  private def readMetaDir(fs: FileSystem, versionDir: Path): Map[String, String] = {
+    val p = new Path(versionDir, MetaFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val props = new java.util.Properties()
+      val in = fs.open(p)
+      try props.load(in)
+      finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+  }
+
+  /** Commit metadata of the latest committed version (empty map if
+    * the table doesn't exist or the version carries none).
+    */
+  def readMeta(spark: org.apache.spark.sql.SparkSession, targetPath: String): Map[String, String] = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, target).lastOption
+      .map { case (_, dir) => readMetaDir(fs, dir) }
+      .getOrElse(Map.empty)
+  }
 
   private def committedVersions(fs: FileSystem, target: Path): Seq[(Int, Path)] =
     if (!fs.exists(target)) Nil
@@ -147,7 +194,8 @@ object UpsertWriter {
       clusterBy: Seq[String] = Nil,
       keepVersions: Int = 2,
       targetFileBytes: Long = 512L * 1024 * 1024,
-      syncTable: Option[String] = None): Unit = {
+      syncTable: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Unit = {
     require(keepVersions >= 1, "keepVersions must retain at least the live version")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val spark = updates.sparkSession
@@ -156,12 +204,12 @@ object UpsertWriter {
     val versions = committedVersions(fs, target)
     val nextNum = versions.lastOption.map(_._1 + 1).getOrElse(1)
     mergeAndCommit(updates, spark, fs, target, versions, nextNum,
-      recordKeys, precombine, partitionBy, clusterBy, keepVersions, targetFileBytes)
+      recordKeys, precombine, partitionBy, clusterBy, keepVersions, targetFileBytes, meta)
     // hive_sync analog: re-point the catalog name at the new commit
     syncTable.foreach(name => CatalogSync.sync(spark, name, targetPath))
   }
 
-  private def mergeAndCommit(
+  private[sources] def mergeAndCommit(
       updates: DataFrame,
       spark: org.apache.spark.sql.SparkSession,
       fs: FileSystem,
@@ -173,7 +221,9 @@ object UpsertWriter {
       partitionBy: Seq[String],
       clusterBy: Seq[String],
       keepVersions: Int,
-      targetFileBytes: Long): Unit = {
+      targetFileBytes: Long,
+      meta: Map[String, String] = Map.empty,
+      preCommit: () => Unit = () => ()): Unit = {
     // Updates win over existing rows at equal precombine values.
     // allowMissingColumns = additive schema evolution (the Hudi
     // behavior: generate_hudi_table.py tables evolve by re-running
@@ -230,10 +280,22 @@ object UpsertWriter {
       else sized
 
     val versionDir = new Path(target, f"v$nextNum%08d")
-    if (fs.exists(versionDir)) fs.delete(versionDir, true) // uncommitted debris from a crash
+    if (fs.exists(versionDir)) {
+      // Only UNCOMMITTED debris from a crash may be cleared. A marker
+      // here means a competing writer already committed this version
+      // number (e.g. its claim was broken as stale while it was merely
+      // slow): deleting it would be a lost update — abort instead and
+      // let the caller rebase on the new timeline.
+      if (fs.exists(new Path(versionDir, CommitMarker)))
+        throw new java.util.ConcurrentModificationException(
+          s"version $versionDir already committed by a competing writer; rebase and retry")
+      fs.delete(versionDir, true)
+    }
     val writer = clustered.write.mode(SaveMode.Overwrite)
     val partitioned = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     partitioned.parquet(versionDir.toString)
+    writeMeta(fs, versionDir, meta) // metadata rides the commit: before the marker
+    preCommit() // last-instant ownership re-check for concurrent writers
     fs.create(new Path(versionDir, CommitMarker), true).close() // commit point
 
     // Cleaner: drop committed versions beyond the retention window.
@@ -263,7 +325,29 @@ object UpsertWriter {
 
   private def claimPath(target: Path, n: Int) = new Path(target, f"v$n%08d" + "_claim")
 
-  private def tryClaim(fs: FileSystem, target: Path, n: Int, staleMs: Long): Boolean = {
+  private def writeClaim(fs: FileSystem, claim: Path, token: String, overwrite: Boolean): Boolean = {
+    // create(overwrite=false) is the filesystem's exclusive-create
+    // primitive: two racing writers can't both succeed
+    val out = fs.create(claim, overwrite)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    true
+  }
+
+  private def readClaim(fs: FileSystem, claim: Path): Option[String] =
+    if (!fs.exists(claim)) None
+    else {
+      val in = fs.open(claim)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+
+  private def tryClaim(fs: FileSystem, target: Path, n: Int, staleMs: Long, token: String): Boolean = {
     val key = s"${target.toUri}#v$n"
     if (!jvmClaims.add(key)) return false // same-process writer holds it
     val claim = claimPath(target, n)
@@ -277,9 +361,9 @@ object UpsertWriter {
           if (age < staleMs) false
           else { // crashed writer: break the stale claim and take it
             fs.delete(claim, false)
-            fs.createNewFile(claim)
+            writeClaim(fs, claim, token, overwrite = false)
           }
-        } else fs.createNewFile(claim)
+        } else writeClaim(fs, claim, token, overwrite = false)
       } catch { case _: java.io.IOException => false }
     if (!ok) jvmClaims.remove(key)
     ok
@@ -311,17 +395,36 @@ object UpsertWriter {
     while (attempt < maxAttempts) {
       val versions = committedVersions(fs, target)
       val nextNum = versions.lastOption.map(_._1 + 1).getOrElse(1)
-      if (tryClaim(fs, target, nextNum, claimStaleMs)) {
+      // writer-unique token: if OUR claim gets broken as stale while
+      // we are merely slow (not crashed), the pre-marker ownership
+      // check below sees the breaker's token and aborts — the breaker
+      // wins, we rebase; the committed timeline never loses an update
+      val token = java.util.UUID.randomUUID().toString
+      if (tryClaim(fs, target, nextNum, claimStaleMs, token)) {
+        val verifyOwnership = () => {
+          if (!readClaim(fs, claimPath(target, nextNum)).contains(token))
+            throw new java.util.ConcurrentModificationException(
+              s"claim on v$nextNum was broken as stale by a competing writer; rebasing")
+        }
         try {
           mergeAndCommit(updates, spark, fs, target, versions, nextNum,
-            recordKeys, precombine, partitionBy, clusterBy, keepVersions, targetFileBytes)
+            recordKeys, precombine, partitionBy, clusterBy, keepVersions, targetFileBytes,
+            preCommit = verifyOwnership)
           syncTable.foreach(name => CatalogSync.sync(spark, name, targetPath))
           return
         } catch {
+          case _: java.util.ConcurrentModificationException =>
+            // the version number is no longer ours (competing commit or
+            // broken claim): leave the claim/tombstone alone, rebase on
+            // the new timeline, retry on the next number
+            jvmClaims.remove(s"${target.toUri}#v$nextNum")
           case e: Throwable =>
             // failed write: release so another writer (or our caller's
-            // retry) can take this number — nothing was committed
-            fs.delete(claimPath(target, nextNum), false)
+            // retry) can take this number — nothing was committed.
+            // Delete only if the claim is still OURS (a breaker's claim
+            // must survive as its lock/tombstone).
+            if (readClaim(fs, claimPath(target, nextNum)).contains(token))
+              fs.delete(claimPath(target, nextNum), false)
             jvmClaims.remove(s"${target.toUri}#v$nextNum")
             throw e
         }
@@ -565,7 +668,12 @@ object UpsertWriter {
       partitionBy: Seq[String],
       keepVersions: Int): Unit = {
     val versionDir = new Path(target, f"v$versionNum%08d")
-    if (fs.exists(versionDir)) fs.delete(versionDir, true)
+    if (fs.exists(versionDir)) {
+      if (fs.exists(new Path(versionDir, CommitMarker)))
+        throw new java.util.ConcurrentModificationException(
+          s"version $versionDir already committed by a competing writer; rebase and retry")
+      fs.delete(versionDir, true) // uncommitted debris from a crash
+    }
     val writer = df.write.mode(SaveMode.Overwrite)
     val partitioned = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     partitioned.parquet(versionDir.toString)

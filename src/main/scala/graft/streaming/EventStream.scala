@@ -513,10 +513,20 @@ object EventStream {
         .parquet(path)
       val events = raw.withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      // Exactly-once state: the source checkpoint (sibling of the
+      // state table) makes batch ids durable across restarts, and the
+      // refresh records the applied batch id inside the SAME atomic
+      // state commit — a batch redelivered after a crash between
+      // state upsert and checkpoint commit is recognized and skipped,
+      // so the additive fold never double-counts (the Hudi
+      // streaming-sink idempotence contract; reference
+      // template.py:226-281).
       val q = events.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .option("checkpointLocation", s"${statePath}_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           graft.operators.IncrementalAgg.refreshTable(
-            s, statePath, batch.toDF(), keys, valueCol)
+            s, statePath, batch.toDF(), keys, valueCol, batchId = Some(batchId))
+          ()
         }
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())

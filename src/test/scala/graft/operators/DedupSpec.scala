@@ -258,6 +258,62 @@ class DedupSpec extends SparkSpec {
     assert(inc.count() == inc.distinct().count(), "a pair must surface in exactly one refresh")
   }
 
+  test("minhashLshIncremental: replayed batch appends no state and re-emits its original pairs exactly") {
+    import graft.sources.VersionedLog
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val state = tmpDir("graft-minhash-replay-")
+    Dedup.minhashLshIncremental(state, docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", batchId = Some(1L))
+    val p2 = Dedup.minhashLshIncremental(state, docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", batchId = Some(2L))
+    val versionsBefore = VersionedLog.committed(spark, state).map(_.num)
+    val bandsBefore = VersionedLog.read(spark, state, "bands").get.count()
+    // at-least-once redelivery of batch 2: no new version, no band
+    // duplication, and the emission equals the original bit-for-bit
+    val p2r = Dedup.minhashLshIncremental(state, docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", batchId = Some(2L))
+    assert(VersionedLog.committed(spark, state).map(_.num) == versionsBefore)
+    assert(VersionedLog.read(spark, state, "bands").get.count() == bandsBefore)
+    assert(p2r.exceptAll(p2).isEmpty && p2.exceptAll(p2r).isEmpty,
+      "replay must re-derive the original emission exactly")
+    assert(VersionedLog.appliedHwm(spark, state).contains(2L))
+  }
+
+  test("minhashLshCompactState: same pairs after compaction, fewer versions; pre-compaction replay is an empty no-op") {
+    import graft.sources.VersionedLog
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val state = tmpDir("graft-minhash-compact-")
+    val p1 = Dedup.minhashLshIncremental(state, docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", batchId = Some(1L))
+    val p2 = Dedup.minhashLshIncremental(state, docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", batchId = Some(2L))
+    val rowsBefore = VersionedLog.read(spark, state, "bands").get.count()
+    val filesBefore = VersionedLog.committed(spark, state).map(v =>
+      new java.io.File(new java.net.URI(v.dir + "/bands")).listFiles()
+        .count(_.getName.endsWith(".parquet"))).sum
+    Dedup.minhashLshCompactState(spark, state)
+    // one version, same band rows, fewer files
+    assert(VersionedLog.committed(spark, state).size == 1)
+    assert(VersionedLog.read(spark, state, "bands").get.count() == rowsBefore)
+    val filesAfter = VersionedLog.committed(spark, state).map(v =>
+      new java.io.File(new java.net.URI(v.dir + "/bands")).listFiles()
+        .count(_.getName.endsWith(".parquet"))).sum
+    assert(filesAfter < filesBefore, s"expected fewer band files, got $filesBefore -> $filesAfter")
+    // the high-water mark survived: a pre-compaction batch replays as
+    // a recognized no-op (empty emission, no state change)
+    val replay = Dedup.minhashLshIncremental(state, docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", batchId = Some(2L))
+    assert(replay.isEmpty)
+    assert(VersionedLog.committed(spark, state).size == 1)
+    // a genuinely NEW batch over compacted state still emits correctly:
+    // union equals the one-shot pair set over all three batches
+    val p3 = Dedup.minhashLshIncremental(state, docs.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", batchId = Some(3L))
+    val inc = p1.unionByName(p2).unionByName(p3)
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
   test("duplicatedSpanExcision: cross-doc span cut from every copy, remainder kept") {
     val df = docsDf(Seq(
       1L -> "A B C D E F G H unique1 tail1",

@@ -65,6 +65,48 @@ class IncrementalAggSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("replayed batch id is a no-op: state bytes and timeline identical after the retry") {
+    val s = spark
+    import s.implicits._
+    val statePath = tmpDir("graft-inc-agg-replay-")
+    val df = Seq(("k1", "a", 1.0), ("k2", "b", 2.0)).toDF("k", "grp", "v")
+    assert(IncrementalAgg.refreshTable(spark, statePath, df.limit(1), Seq("k", "grp"), "v",
+      batchId = Some(1L)))
+    assert(IncrementalAgg.refreshTable(spark, statePath, df.offset(1), Seq("k", "grp"), "v",
+      batchId = Some(2L)))
+    assert(IncrementalAgg.appliedBatchId(spark, statePath).contains(2L))
+    val versionsBefore = graft.sources.UpsertWriter.versions(spark, statePath)
+    val before = IncrementalAgg.read(spark, statePath, Seq("k", "grp")).collect().toSet
+    // at-least-once redelivery: both already-applied ids replay; the
+    // fold must be skipped — no new version, no double-counted rows
+    assert(!IncrementalAgg.refreshTable(spark, statePath, df.offset(1), Seq("k", "grp"), "v",
+      batchId = Some(2L)))
+    assert(!IncrementalAgg.refreshTable(spark, statePath, df.limit(1), Seq("k", "grp"), "v",
+      batchId = Some(1L)))
+    assert(graft.sources.UpsertWriter.versions(spark, statePath) == versionsBefore)
+    assert(IncrementalAgg.read(spark, statePath, Seq("k", "grp")).collect().toSet == before)
+    // a genuinely new batch still applies and advances the mark
+    assert(IncrementalAgg.refreshTable(spark, statePath, df.limit(1), Seq("k", "grp"), "v",
+      batchId = Some(3L)))
+    assert(IncrementalAgg.appliedBatchId(spark, statePath).contains(3L))
+  }
+
+  test("refreshTopK: replayed batch id neither re-inserts ids nor commits a version") {
+    val s = spark
+    import s.implicits._
+    val statePath = tmpDir("graft-inc-topk-replay-")
+    val b1 = Seq(("g", 30.0, 1L), ("g", 20.0, 2L)).toDF("key", "score", "id")
+    assert(IncrementalAgg.refreshTopK(spark, statePath, b1, Seq("key"), "score", "id", k = 2,
+      batchId = Some(1L)))
+    val before = IncrementalAgg.readTopK(spark, statePath, Seq("key")).collect().toSet
+    val versionsBefore = graft.sources.UpsertWriter.versions(spark, statePath)
+    // without the guard, id 1 would occupy two heap slots after replay
+    assert(!IncrementalAgg.refreshTopK(spark, statePath, b1, Seq("key"), "score", "id", k = 2,
+      batchId = Some(1L)))
+    assert(IncrementalAgg.readTopK(spark, statePath, Seq("key")).collect().toSet == before)
+    assert(graft.sources.UpsertWriter.versions(spark, statePath) == versionsBefore)
+  }
+
   test("refreshTopK: later batch evicts a stored entry; state stays O(k) per key") {
     val s = spark
     import s.implicits._

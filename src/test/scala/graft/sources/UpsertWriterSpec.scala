@@ -322,6 +322,45 @@ class UpsertWriterSpec extends SparkSpec {
     assert(UpsertWriter.read(spark, table).count() == 2)
   }
 
+  test("commit metadata rides the version: readMeta sees the latest commit's map") {
+    val table = tmpDir("graft-meta-") + "/t"
+    assert(UpsertWriter.readMeta(spark, table).isEmpty)
+    UpsertWriter.upsert(df((1L, 1L, "a")), table, Seq("k"), "ver",
+      meta = Map("graft.appliedBatchId" -> "7", "note" -> "first"))
+    assert(UpsertWriter.readMeta(spark, table) ==
+      Map("graft.appliedBatchId" -> "7", "note" -> "first"))
+    // metadata is PER VERSION: a commit without meta yields an empty map
+    UpsertWriter.upsert(df((2L, 1L, "b")), table, Seq("k"), "ver")
+    assert(UpsertWriter.readMeta(spark, table).isEmpty)
+  }
+
+  test("a committed version is never clobbered: slow writer with a broken claim aborts, no lost update") {
+    val table = tmpDir("graft-occ-slow-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "base")), table, Seq("k"), "ver", keepVersions = 5)
+    // Simulate the advisor's lost-update scenario: writer A (another
+    // process) claimed v2 but is slow; B breaks the stale claim and
+    // COMMITS v2. A then wakes up and tries to write v2 — the commit
+    // marker must make A abort instead of deleting B's data.
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new Path(table, "v00000002_claim")) // A's stale claim
+    Thread.sleep(30)
+    UpsertWriter.upsertConcurrent(df((2L, 1L, "from-B")), table, Seq("k"), "ver",
+      keepVersions = 5, claimStaleMs = 10) // B breaks it and commits v2
+    // A resumes its write against its STALE view of the timeline
+    // (only v1 committed, next = v2) — exactly mergeAndCommit's path —
+    // and must fail loudly on the commit marker...
+    intercept[java.util.ConcurrentModificationException] {
+      UpsertWriter.mergeAndCommit(df((9L, 9L, "from-A")), spark, fs, new Path(table),
+        versions = Seq(1 -> new Path(table, "v00000001")), nextNum = 2,
+        recordKeys = Seq("k"), precombine = "ver", partitionBy = Nil, clusterBy = Nil,
+        keepVersions = 5, targetFileBytes = 512L * 1024 * 1024)
+    }
+    // ...and B's committed row survives
+    val rows = UpsertWriter.read(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows == Map(1L -> "base", 2L -> "from-B"))
+  }
+
   test("upsertConcurrent: live contention exhausts maxAttempts loudly") {
     val table = tmpDir("graft-occ-contend-") + "/t"
     UpsertWriter.upsert(df((1L, 1L, "base")), table, Seq("k"), "ver", keepVersions = 5)

@@ -190,6 +190,21 @@ class EventStreamSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum"))
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty)
+    // exactly-once plumbing: the stream checkpointed its source
+    // progress, and every applied batch id is recorded in the state
+    // commit (hwm = last of batch ids 0..3) — so a crash-redelivered
+    // batch is a no-op instead of a double-count
+    val ckpt = new org.apache.hadoop.fs.Path(s"${statePath}_ckpt")
+    assert(ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ckpt))
+    assert(graft.operators.IncrementalAgg.appliedBatchId(spark, statePath).contains(3L))
+    val before = got.collect().toSet
+    assert(!graft.operators.IncrementalAgg.refreshTable(spark, statePath,
+      graft.sources.TableLoader.table(spark, sfDir, "events"),
+      Seq("event_type"), "value", batchId = Some(2L)))
+    val after = graft.operators.IncrementalAgg.read(spark, statePath, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("sum_dec").cast("double").as("sum"))
+      .collect().toSet
+    assert(after == before)
   }
 
   test("TableStream: delta commits stream as input; later commits surface on catch-up") {
