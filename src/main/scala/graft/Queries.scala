@@ -1206,12 +1206,14 @@ object Queries {
         queryName = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")),
     oracle = Some("SELECT * FROM events"))
 
-  /** #22m Streaming late-data dead-letter: rows below the watermark
-    * route to a DLQ instead of silent drop. Input staged as 6
-    * ordered micro-batches (batch k = event_id % 6), so the
-    * watermark sequence — max event time through batch k−1 minus
-    * 1 hour — and therefore the exact DLQ row set is plain SQL: a
-    * running max over batch order.
+  /** #22m Streaming late-data dead-letter: rows STRICTLY below the
+    * watermark route to a DLQ instead of silent drop (a row exactly
+    * at the threshold is on-time, matching Structured Streaming's
+    * stateful-operator drop rule). Input staged as 6 ordered
+    * micro-batches (batch k = event_id % 6), so the watermark
+    * sequence — max event time through batch k−1 minus 1 hour — and
+    * therefore the exact DLQ row set is plain SQL: a running max
+    * over batch order.
     */
   val qStreamLateDlq: QueryDef = QueryDef(
     run = (s, dir) =>
@@ -1233,7 +1235,7 @@ object Queries {
         |)
         |SELECT event_id, ts, user_id, event_type, value, props
         |FROM b JOIN wm USING (k)
-        |WHERE ts <= w""".stripMargin))
+        |WHERE ts < w""".stripMargin))
 
   /** #22e Streaming upsert ingestion: the doubled events stream is
     * micro-batch-upserted (one file per trigger) into a versioned
@@ -2718,17 +2720,71 @@ object Queries {
     },
     oracle = None)
 
-  /** #34 Multimodal plumbing: binary payloads -> batch decode stub ->
-    * feature columns (deterministic fake codec) — rows-only + spec.
+  /** #34 Multimodal plumbing, ORACLED: binary payloads → batch
+    * decode stub → feature columns, with the 8-dim content embedding
+    * EXPLODED to (dim, fval) rows. Every output is deterministic
+    * integer-or-IEEE arithmetic DuckDB re-derives from first
+    * principles: dims/frames as modular arithmetic on the payload's
+    * FNV-1a64 (the q_mm_decode derivation), and each feature value
+    * as one more FNV fold step (payload ++ dim byte) divided by
+    * Long.MaxValue — integer→double casts, division, and the
+    * double→float demotion are all correctly-rounded IEEE ops, so
+    * the floats match bit-for-bit cross-engine. Only byte_entropy
+    * (log-based, libm-dependent) stays out of the gate projection;
+    * the ScalaTest spec covers it.
     */
   val qMmFeatures: QueryDef = QueryDef(
     run = (s, dir) => {
       val media = graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents"))
       graft.operators.Multimodal.decodeStub(media).toDF()
         .select(col("media_id"), col("modality"), col("n_bytes"), col("width"),
-          col("height"), col("n_frames"), col("byte_entropy"))
+          col("height"), col("n_frames"), posexplode(col("feature")).as(Seq("dim", "fval")))
     },
-    oracle = None)
+    oracle = Some(
+      """WITH by AS (
+        |  SELECT doc_id, flatten(list_transform(range(1, length(text)+1), i -> CASE
+        |    WHEN unicode(text[i]) < 128 THEN [unicode(text[i])]
+        |    WHEN unicode(text[i]) < 2048 THEN
+        |      [192 + unicode(text[i]) // 64, 128 + unicode(text[i]) % 64]
+        |    WHEN unicode(text[i]) < 65536 THEN
+        |      [224 + unicode(text[i]) // 4096, 128 + (unicode(text[i]) // 64) % 64,
+        |       128 + unicode(text[i]) % 64]
+        |    ELSE
+        |      [240 + unicode(text[i]) // 262144, 128 + (unicode(text[i]) // 4096) % 64,
+        |       128 + (unicode(text[i]) // 64) % 64, 128 + unicode(text[i]) % 64]
+        |  END)) AS bs
+        |  FROM documents
+        |), fp AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                 list_transform(bs, b -> CAST(b AS HUGEINT))),
+        |    (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                 * 1099511628211) % 18446744073709551616
+        |  ) AS h
+        |  FROM by
+        |), fd AS (
+        |  SELECT doc_id, h, unnest(range(0, 8)) AS dim FROM fp
+        |), fv AS (
+        |  SELECT doc_id, dim,
+        |    ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(dim AS BIGINT)))
+        |     * 1099511628211) % 18446744073709551616 AS hd
+        |  FROM fd
+        |)
+        |SELECT doc_id AS media_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + (CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                  THEN CAST(18446744073709551616 AS HUGEINT) - h
+        |                  ELSE h END) % 1024 AS INT) AS width,
+        |  CAST(64 + (h // 131072) % 1024 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2
+        |            THEN 1 + (h // 2147483648) % 32 ELSE 1 END AS INT) AS n_frames,
+        |  CAST(dim AS INT) AS dim,
+        |  CAST(CAST(CASE WHEN hd >= CAST(9223372036854775808 AS HUGEINT)
+        |                 THEN hd - CAST(18446744073709551616 AS HUGEINT)
+        |                 ELSE hd END AS DOUBLE)
+        |       / CAST(9223372036854775807 AS DOUBLE) AS REAL) AS fval
+        |FROM fv JOIN fp USING (doc_id) JOIN documents USING (doc_id)""".stripMargin))
 
   /** #34b Multimodal metadata rollup, ORACLED: per-modality counts
     * and byte-size stats computed on the opaque `binary` payload
@@ -3115,6 +3171,12 @@ object Queries {
   val qStreamIncAgg: QueryDef = QueryDef(
     run = (s, dir) => {
       val statePath = scratch("stream-inc-agg-state")
+      // the source checkpoint is a SIBLING of the state dir (see
+      // streamIncAgg) — scratch it too, or a previous run's batch
+      // bookkeeping survives the state wipe and the restarted query
+      // either references a dead staged-source path or skips every
+      // batch as already-applied against empty state
+      scratch("stream-inc-agg-state_ckpt")
       val keys = Seq("user_id", "event_type")
       val split = graft.streaming.EventStream.splitDir(s, s"$dir/events.parquet", 4)
       graft.streaming.EventStream.streamIncAgg(s, split, statePath, keys, "value",

@@ -60,7 +60,9 @@ object Scale {
       "dedup_exact" -> ((docs: DataFrame) =>
         operators.Dedup.exact(docs, "text", "doc_id")),
       "dedup_minhash_lsh" -> ((docs: DataFrame) =>
-        operators.Dedup.minhashLshPairs(docs, "doc_id", "text")),
+        // corpus-tuned bands/hashes: rows-per-band grows with the
+        // measured corpus, keeping bucket occupancy flat at 10×
+        operators.Dedup.minhashLshPairsAuto(docs, "doc_id", "text")),
       "dedup_prefix" -> ((docs: DataFrame) =>
         operators.Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)),
       "dedup_substring" -> ((docs: DataFrame) =>
@@ -82,8 +84,10 @@ object Scale {
 
     val embRuns: Seq[(String, DataFrame => DataFrame)] = Seq(
       "dedup_embedding_lsh" -> ((emb: DataFrame) =>
-        operators.Similarity.embeddingNearDupPairsLsh(
-          emb, threshold = 0.45, numTables = 8, planesPerTable = 2)),
+        // corpus-tuned planes/tables: planes grow with log2(n), so
+        // expected bucket size stays constant as the corpus grows
+        operators.Similarity.embeddingNearDupPairsLshAuto(
+          emb, threshold = 0.45, targetRecall = 0.85)),
       "sim_pq_topk" -> ((emb: DataFrame) =>
         operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)),
       "sim_ivfpq_topk" -> ((emb: DataFrame) =>

@@ -146,10 +146,25 @@ object Dedup {
       n: Int,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val docs = df
-      .select(col(idCol).as("doc"), sort_array(hashedShingles(col(textCol), n)).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-      .filter(col("nsh") > 0)
+    // Global token order = ASCENDING DOCUMENT FREQUENCY (ties by
+    // hash) — the canonical PPJoin ordering, derived from the corpus
+    // itself. The prefix filter is provably sufficient under ANY
+    // total order, so the RESULT is identical to hash ordering; what
+    // changes is candidate volume: prefixes now hold each document's
+    // RAREST shingles, so a prefix token's join bucket is its (tiny)
+    // document frequency, and bucket occupancy stays flat as the
+    // corpus grows instead of scaling with it — the knob that keeps
+    // the candidate join linear at 10×/100× data. Costs one extra
+    // linear shuffle of (doc, shingle) pairs to stamp frequencies.
+    val exploded = df
+      .select(col(idCol).as("doc"), explode(hashedShingles(col(textCol), n)).as("h"))
+    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+    val docs = exploded.join(dfreq, "h")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("h")))).as("_dh"))
+      .select(col("doc"),
+        transform(col("_dh"), x => x.getField("h")).as("sh"),
+        size(col("_dh")).as("nsh"))
     val prefLen = (col("nsh") - ceil(col("nsh") * lit(threshold)).cast("int") + 1)
     val pref = docs.select(col("doc"),
       explode(slice(col("sh"), lit(1), prefLen)).as("h"))
@@ -298,6 +313,81 @@ object Dedup {
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** (numHashes, bands) derived from MEASURED corpus stats instead
+    * of hand-tuning — the knob SCALE.md shows must move with corpus
+    * size (fixed bands at 10× data = superlinear bucket occupancy).
+    *
+    * Two constraints pick rows-per-band r and bands b:
+    *  - recall: 1 − (1 − t^r)^b ≥ targetRecall at the threshold t
+    *    fixes b(r) = ⌈ln(1−R)/ln(1−t^r)⌉ (the standard S-curve);
+    *  - spurious-candidate budget: a random non-dup pair at
+    *    BACKGROUND similarity s collides in one band w.p. s^r, so
+    *    expected spurious candidates ≈ b·(n²/2)·s^r must stay ≤
+    *    spuriousPerDoc·n. s is measured: median pairwise Jaccard
+    *    over a bounded sample of shingle sets (median, not mean —
+    *    genuine near-dup pairs in the sample would inflate a mean).
+    * The smallest r satisfying the budget (with its b) wins: r grows
+    * logarithmically with corpus size, which is exactly what keeps
+    * bucket occupancy flat at 10×/100× data. Driver work is
+    * O(sample²) set intersections — bounded, never O(corpus).
+    */
+  def tunedMinhashParams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      threshold: Double = 0.5,
+      targetRecall: Double = 0.9,
+      sampleSize: Int = 200,
+      spuriousPerDoc: Double = 4.0,
+      maxHashes: Int = 512): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall in (0, 1)")
+    val nDocs = math.max(df.count(), 2L)
+    val sample = df
+      .select(hashedShingles(col(textCol), n).as("hs"), col(idCol).as("_id"))
+      .filter(size(col("hs")) > 0)
+      .orderBy(xxhash64(col("_id")), col("_id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Long](0).toSet)
+    val jaccards =
+      for (i <- sample.indices; j <- (i + 1) until sample.length) yield {
+        val inter = (sample(i) & sample(j)).size.toDouble
+        inter / (sample(i).size + sample(j).size - inter)
+      }
+    val sBg = math.max(1e-4,
+      if (jaccards.isEmpty) 0.01
+      else jaccards.sorted.apply(jaccards.length / 2)) // median
+    def bandsFor(r: Int): Int =
+      math.max(1, math.ceil(math.log(1 - targetRecall) / math.log(1 - math.pow(threshold, r))).toInt)
+    val budget = spuriousPerDoc * nDocs
+    val r = (2 to 64).find { r =>
+      val b = bandsFor(r)
+      val spurious = b.toDouble * nDocs.toDouble * nDocs.toDouble / 2.0 * math.pow(sBg, r)
+      spurious <= budget || r * b >= maxHashes
+    }.getOrElse(64)
+    val b = bandsFor(r)
+    val capped = math.max(1, math.min(b, maxHashes / r))
+    (r * capped, capped)
+  }
+
+  /** `minhashLshPairs` with corpus-derived parameters — the scale
+    * path: call this when the corpus size is not known in advance.
+    * (The fixed-parameter variant stays the gate query: its oracle
+    * hardcodes the 64/16 pipeline.)
+    */
+  def minhashLshPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      threshold: Double = 0.5,
+      targetRecall: Double = 0.9): DataFrame = {
+    val (nh, b) = tunedMinhashParams(df, idCol, textCol, n, threshold, targetRecall)
+    minhashLshPairs(df, idCol, textCol, n, nh, b, threshold)
   }
 
   /** INCREMENTAL MinHash-LSH near-dup: each arriving batch appends

@@ -193,14 +193,18 @@ object Similarity {
 
   /** Deterministic training sample: top-N by seeded hash — one
     * TakeOrdered pass over the corpus, no full sort, no RNG.
+    * Element-type agnostic: the plan-side cast accepts float
+    * embeddings (the raw table) and double embeddings (the
+    * `normalizeEmbeddings` ingest output) alike — the codegen
+    * kernels match on both, and the collect side must too.
     */
   private def sampleVecs(corpus: DataFrame, seed: Long, n: Int): Array[Array[Double]] =
     corpus
-      .select(col("embedding"))
+      .select(col("embedding").cast("array<double>"))
       .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
       .limit(n)
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Double](0).toArray)
 
   /** Queries exploded to their `nprobe` nearest cells:
     * (qid, qvec, cell) — the tiny side that broadcasts into the
@@ -619,7 +623,21 @@ object Similarity {
       .agg(sum(r * q).as("y_fp"))
   }
 
-  def embeddingNearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
+  /** EXACT embedding near-dup pairs — an all-pairs cosine join,
+    * O(n²) by definition. Its role is the small-corpus oracle
+    * baseline the LSH path's recall is measured against; the size
+    * guard makes pointing it at a big table a loud error instead of
+    * a cluster-melting cartesian (same philosophy as the TextRank /
+    * clusters size gates). `maxExactRows` costs one count() — noise
+    * next to the n² join it bounds.
+    */
+  def embeddingNearDupPairs(df: DataFrame, threshold: Double,
+      maxExactRows: Long = 100000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxExactRows,
+      s"embeddingNearDupPairs is the EXACT all-pairs kernel (n² = $n²): corpus exceeds " +
+        s"maxExactRows=$maxExactRows — use embeddingNearDupPairsLsh (the banded scale path) " +
+        "or embeddingNearDupPairsAuto (size-routed)")
     val a = df.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val b = df.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -627,6 +645,20 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 9).as("sim"))
   }
+
+  /** Size-routed embedding near-dup: the exact all-pairs kernel when
+    * the corpus fits under `maxExactRows` (bit-exact, oracle-able),
+    * the LSH-banded path beyond it (approximate RECALL, same
+    * verified-cosine output columns). The routing is explicit in the
+    * name — callers who need exactness guarantees at any size should
+    * call the exact kernel and own its cost.
+    */
+  def embeddingNearDupPairsAuto(df: DataFrame, threshold: Double,
+      maxExactRows: Long = 100000L,
+      numTables: Int = 16,
+      planesPerTable: Int = 8): DataFrame =
+    if (df.count() <= maxExactRows) embeddingNearDupPairs(df, threshold, maxExactRows)
+    else embeddingNearDupPairsLsh(df, threshold, numTables, planesPerTable)
 
   /** Embedding near-dup pairs, LSH-banded — the 100 TB path for the
     * exact kernel above, same OR-of-ANDs amplification as
@@ -653,6 +685,48 @@ object Similarity {
     * the spec measures 0.45 with (b=2, L=8) against the exact kernel,
     * which stays the oracle baseline.
     */
+  /** (numTables, planesPerTable) derived from corpus size — the
+    * lever SCALE.md shows must move with the data (fixed planes at
+    * 10× rows = 10× bucket occupancy = superlinear pair work).
+    * Planes per table b grows with log₂(n/targetBucketRows), so
+    * EXPECTED bucket size stays ≈ targetBucketRows however large the
+    * corpus; tables L then holds recall at the threshold using the
+    * hyperplane-LSH collision model: a pair at cosine t agrees with
+    * one random hyperplane w.p. p = 1 − arccos(t)/π, collides in a
+    * table w.p. p^b, so L = ⌈ln(1−R)/ln(1−p^b)⌉ gives
+    * 1 − (1−p^b)^L ≥ R. Bucket work per table shrinks 2× per added
+    * plane while L grows far slower — net candidate work flattens.
+    */
+  def tunedCosineLshParams(
+      nRows: Long,
+      threshold: Double,
+      targetRecall: Double = 0.95,
+      targetBucketRows: Long = 64L,
+      maxTables: Int = 64,
+      maxPlanes: Int = 24): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall in (0, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val b = math.max(2, math.min(maxPlanes,
+      math.ceil(math.log(math.max(2.0, nRows.toDouble / targetBucketRows)) / math.log(2.0)).toInt))
+    val perTable = math.pow(p, b)
+    val l = math.max(1, math.min(maxTables,
+      math.ceil(math.log(1 - targetRecall) / math.log(1 - perTable)).toInt))
+    (l, b)
+  }
+
+  /** `embeddingNearDupPairsLsh` with corpus-derived parameters — the
+    * call for a corpus whose size is not known in advance.
+    */
+  def embeddingNearDupPairsLshAuto(
+      df: DataFrame,
+      threshold: Double,
+      targetRecall: Double = 0.95,
+      targetBucketRows: Long = 64L): DataFrame = {
+    val (l, b) = tunedCosineLshParams(df.count(), threshold, targetRecall, targetBucketRows)
+    embeddingNearDupPairsLsh(df, threshold, l, b)
+  }
+
   def embeddingNearDupPairsLsh(
       df: DataFrame,
       threshold: Double,

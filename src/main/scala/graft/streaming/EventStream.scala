@@ -647,7 +647,11 @@ object EventStream {
       val q = raw.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val cur = wm.get()
-          batch.toDF().filter(col("ts") <= lit(cur))
+          // STRICT <: Structured Streaming's stateful operators drop
+          // only event times strictly below the watermark — a row
+          // exactly AT the threshold is still on-time, and must not
+          // appear in both the real sink and the DLQ
+          batch.toDF().filter(col("ts") < lit(cur))
             .write.mode("append").parquet(dlqDir)
           val mx = batch.agg(max(col("ts"))).collect()(0)
           if (!mx.isNullAt(0)) {

@@ -62,17 +62,60 @@ class BpeSpec extends SparkSpec {
     val words = docs.as[String].collect()
       .flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.length.toLong).toMap
     // 40 merges exhausts most of this tiny corpus — batches must stay
-    // exact through conflicts, ties, and the exhaustion tail
+    // exact through conflicts, ties, and the exhaustion tail.
+    // driverVocabBound = 0 forces the DISTRIBUTED loop: this test
+    // exists to prove the batching machinery, not the driver lane
     val expected = referenceBpe(words, 40)
-    val sequential = Bpe.train(docs, iters = 40, maxBatch = 1)
-    val batched = Bpe.train(docs, iters = 40, maxBatch = 32)
+    val sequential = Bpe.train(docs, iters = 40, maxBatch = 1, driverVocabBound = 0)
+    val batched = Bpe.train(docs, iters = 40, maxBatch = 32, driverVocabBound = 0)
     // threshold 2 forces the bound-cut path onto the small disjoint
     // prefixes this char-level fixture produces — the provable-exact
     // batching logic must hold there too, not just at the default
-    val aggressive = Bpe.train(docs, iters = 40, maxBatch = 32, batchThreshold = 2)
+    val aggressive = Bpe.train(docs, iters = 40, maxBatch = 32, batchThreshold = 2,
+      driverVocabBound = 0)
     assert(sequential == expected)
     assert(batched == expected, s"\ngot:      $batched\nexpected: $expected")
     assert(aggressive == expected, s"\ngot:      $aggressive\nexpected: $expected")
+  }
+
+  test("batched training stays exact under product-symbol collisions (randomized tiny-alphabet corpora)") {
+    val s = spark
+    import s.implicits._
+    // alphabet {a,b,c} makes product collisions routine: 'a'+'bc' and
+    // 'ab'+'c' both concatenate to 'abc', so a created pair can land
+    // on a pre-existing count — the hole the pre-existing bound and
+    // the used-concat rule close. Randomized corpora, aggressive
+    // batching, checked merge-for-merge against the in-memory
+    // reference.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val words = Seq.fill(14)(
+        (1 to (2 + rnd.nextInt(5))).map(_ => "abc"(rnd.nextInt(3))).mkString)
+      val docs = Seq(words.mkString(" ")).map(Tuple1(_)).toDF("text")
+      val wordMap = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val expected = referenceBpe(wordMap, 12)
+      val batched = Bpe.train(docs, iters = 12, maxBatch = 32, batchThreshold = 2,
+        driverVocabBound = 0)
+      assert(batched == expected, s"trial $trial words=$words\ngot: $batched\nexp: $expected")
+    }
+  }
+
+  test("driver fast lane is exact: 500-merge train matches the reference, and both lanes agree") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+      .limit(120).select("text")
+    val words = graft.operators.Bpe.wordCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deep vocabulary: the in-memory delta loop must stay exact far
+    // past where the spec's distributed trains stop — this is the
+    // 32k-merge production shape scaled to the fixture
+    val expected = referenceBpe(words, 500)
+    val driver = Bpe.train(docs, iters = 500)
+    assert(driver == expected)
+    // lane agreement on a prefix both can afford
+    val dist = Bpe.train(docs, iters = 6, driverVocabBound = 0)
+    assert(dist == expected.take(6))
   }
 
   test("segment replays merges greedily: leftmost-first on overlapping pairs") {

@@ -236,6 +236,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sameElements(Array((1L, 2L))))
   }
 
+  test("embeddingNearDupPairs: size guard rejects a corpus beyond maxExactRows, routing message names the LSH path") {
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDupPairs(emb, 0.45, maxExactRows = 10L)
+    }
+    assert(e.getMessage.contains("embeddingNearDupPairsLsh"))
+  }
+
+  test("embeddingNearDupPairsAuto: exact under the bound, LSH beyond it") {
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.embeddingNearDupPairs(emb, 0.45))
+    // corpus fits: auto IS the exact kernel
+    assert(pairSet(Similarity.embeddingNearDupPairsAuto(emb, 0.45)) == exact)
+    // corpus "too big" (bound forced under the table size): auto takes
+    // the banded path — a subset of exact, never an invented pair
+    val routed = pairSet(Similarity.embeddingNearDupPairsAuto(emb, 0.45,
+      maxExactRows = 10L, numTables = 8, planesPerTable = 2))
+    assert(routed.subsetOf(exact) && routed.nonEmpty)
+  }
+
+  test("normalizeEmbeddings output composes with the sampled-quantizer ANN ops (element-type agnostic collect)") {
+    val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
+    val normalized = Similarity.normalizeEmbeddings(emb) // array<double> now
+    // round-7 advice: this threw ClassCastException at collect time
+    // (sampleVecs assumed array<float>); any sampleVecs-based op must
+    // accept the ingest step's output
+    val out = Similarity.ivfTopK(normalized, normalized.limit(3), k = 5)
+    assert(out.count() > 0)
+  }
+
   test("embeddingNearDupPairsLsh: subset of exact, once per pair, more tables widen, recall") {
     val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

@@ -241,7 +241,8 @@ class EventStreamSpec extends SparkSpec {
     val expected = ev.filter { case (id, ts) =>
       val k = id % n
       val prior = (0L until k).map(batchMax)
-      prior.nonEmpty && ts <= prior.max - delayNs
+      // strict <: a row exactly at the watermark is on-time
+      prior.nonEmpty && ts < prior.max - delayNs
     }.map(_._1).toSet
     assert(got == expected)
   }
