@@ -125,8 +125,115 @@ object Scale {
     rehearse("q_window_running",
       windowRunning(t01("events")), windowRunning(t1("events")))
 
+    // -------------------------------------------------------------
+    // Round-7 state ops: the incremental/persisted-state family.
+    // Stateful runs — each thunk owns a fresh scratch state dir.
+    // -------------------------------------------------------------
+    def rehearseUnit(name: String)(small: => Unit)(big: => Unit): Unit = {
+      val (_, tSmall) = timed(small)
+      val (_, tBig) = timed(big)
+      out += f"""{"query":"$name","sf01_sec":$tSmall%.3f,"sf1_sec":$tBig%.3f,"ratio":${tBig / tSmall}%.2f}"""
+      println(out.result().last)
+    }
+    def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+
+    // incremental MinHash-LSH: 4 batches folded into persisted
+    // band/set state — per-batch cost must track the BATCH (plus its
+    // matched candidates), not the accumulated state
+    def minhashIncFold(docs: DataFrame, state: String): Unit =
+      (0 until 4).foreach { k =>
+        noop(operators.Dedup.minhashLshIncremental(
+          state, docs.filter(col("doc_id") % 4 === k), "doc_id", "text",
+          batchId = Some(k.toLong)))
+      }
+    rehearseUnit("dedup_minhash_inc") {
+      minhashIncFold(docs01, scaleScratch("mh-inc-01"))
+    } { minhashIncFold(docs1, scaleScratch("mh-inc-1")) }
+
+    // incremental join-view maintenance: scaled fact increments, the
+    // UNSCALED customer dim (facts grow, dims don't) — state stays
+    // O(distinct keys) so the read side should barely move
+    def incJoinMaintain(o: DataFrame, fs: String, ds: String): Unit = {
+      import operators.IncrementalJoinView
+      val cut = lit("1995-01-01").cast("timestamp_ntz")
+      IncrementalJoinView.refreshFact(
+        spark, fs, o.filter(col("o_orderdate") <= cut), "o_custkey", "o_totalprice",
+        batchId = Some(1L))
+      IncrementalJoinView.refreshFact(
+        spark, fs, o.filter(col("o_orderdate") > cut), "o_custkey", "o_totalprice",
+        batchId = Some(2L))
+      val c = sources.TableLoader.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")).withColumn("_ver", lit(1L))
+      IncrementalJoinView.refreshDim(spark, ds, c, "c_custkey", "_ver")
+      noop(IncrementalJoinView.read(spark, fs, ds,
+        joinKey = "o_custkey", dimKey = "c_custkey", groupCol = "c_mktsegment"))
+    }
+    val ord01 = t01("orders"); val ord1 = spark.read.parquet(s"$outRoot/orders.parquet")
+    rehearseUnit("q_inc_join") {
+      incJoinMaintain(ord01, scaleScratch("ij-fact-01"), scaleScratch("ij-dim-01"))
+    } { incJoinMaintain(ord1, scaleScratch("ij-fact-1"), scaleScratch("ij-dim-1")) }
+
+    // whole-document FFD packing: sequential placement bounded
+    // per-shard, corpus-linear across shards
+    def ffd(docs: DataFrame): DataFrame = {
+      val withTok = operators.TextAnalysis.withTokenCounts(docs)
+        .select(col("doc_id"), col("lang"), col("ws_tokens").cast("long").as("n_tokens"))
+      operators.Curation.packFfd(withTok,
+        partitionCol = "lang", idCol = "doc_id", weightCol = "n_tokens", budget = 512L)
+    }
+    rehearse("text_pack_ffd", ffd(docs01), ffd(docs1))
+
+    // persisted IVF index: build is one corpus-linear clustered write
+    // (constant-size sampled training); the query side reads ONLY the
+    // probed cells' partitions — the I/O pruning is quantified below
+    // from the cell directory sizes
+    val idx01 = scaleScratch("ivf-idx-01"); val idx1 = scaleScratch("ivf-idx-1")
+    rehearseUnit("sim_ivf_index_build") {
+      operators.Similarity.buildIvfIndex(emb01, idx01, nlist = 64)
+    } { operators.Similarity.buildIvfIndex(emb1, idx1, nlist = 64) }
+    rehearseUnit("sim_ivf_index_topk") {
+      noop(operators.Similarity.ivfIndexTopK(
+        spark, idx01, emb01.filter(col("vec_id") < 10), k = 5, nprobe = 8))
+    } { noop(operators.Similarity.ivfIndexTopK(
+        spark, idx1, emb1.filter(col("vec_id") < 10), k = 5, nprobe = 8)) }
+    println("IVF_INDEX_IO " + ivfIndexIo(idx1, nprobe = 8))
+
+    // 1k-merge BPE train: ONE corpus shuffle (wordCounts) + the
+    // in-memory delta loop — merge depth costs driver time, not jobs
+    rehearseUnit("text_bpe_merges_1k") {
+      operators.Bpe.train(docs01, iters = 1000); ()
+    } { operators.Bpe.train(docs1, iters = 1000); () }
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
+  }
+
+  /** Fresh state dir for a stateful rehearsal run. */
+  private def scaleScratch(name: String): String = {
+    val f = new java.io.File(s"/root/repo/target/scale-tmp/$name")
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(); ()
+    }
+    if (f.exists()) rm(f)
+    f.mkdirs()
+    f.getPath
+  }
+
+  /** Quantify the persisted index's partition pruning from the cell
+    * directory layout: bytes a nprobe-cell query plans in vs the
+    * whole index (cells are near-balanced, so probed bytes ≈
+    * nprobe/nlist of the total — reported measured, not assumed).
+    */
+  private def ivfIndexIo(indexPath: String, nprobe: Int): String = {
+    val cells = Option(new java.io.File(s"$indexPath/corpus").listFiles())
+      .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    def bytes(d: java.io.File): Long =
+      Option(d.listFiles()).getOrElse(Array.empty).filter(_.isFile).map(_.length()).sum
+    val sizes = cells.map(bytes).sorted
+    val total = sizes.sum
+    val probed = sizes.takeRight(nprobe).sum // worst case: the biggest cells
+    f"""{"n_cells":${sizes.length},"total_mb":${total / 1e6}%.1f,"worst_${nprobe}_probed_mb":${probed / 1e6}%.1f,"probed_frac":${probed.toDouble / total}%.3f}"""
   }
 
   private def windowRunning(events: DataFrame): DataFrame = {

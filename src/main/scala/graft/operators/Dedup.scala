@@ -322,16 +322,28 @@ object Dedup {
     * Two constraints pick rows-per-band r and bands b:
     *  - recall: 1 − (1 − t^r)^b ≥ targetRecall at the threshold t
     *    fixes b(r) = ⌈ln(1−R)/ln(1−t^r)⌉ (the standard S-curve);
-    *  - spurious-candidate budget: a random non-dup pair at
-    *    BACKGROUND similarity s collides in one band w.p. s^r, so
-    *    expected spurious candidates ≈ b·(n²/2)·s^r must stay ≤
-    *    spuriousPerDoc·n. s is measured: median pairwise Jaccard
-    *    over a bounded sample of shingle sets (median, not mean —
-    *    genuine near-dup pairs in the sample would inflate a mean).
-    * The smallest r satisfying the budget (with its b) wins: r grows
-    * logarithmically with corpus size, which is exactly what keeps
-    * bucket occupancy flat at 10×/100× data. Driver work is
-    * O(sample²) set intersections — bounded, never O(corpus).
+    *  - spurious-candidate budget, from OBSERVED band-bucket
+    *    occupancy: the tuner signs a bounded corpus sample with the
+    *    SAME minhash kernel the pipeline uses, buckets it with each
+    *    candidate (r, b) layout, and classifies the colliding sample
+    *    pairs by their true Jaccard. Pairwise-similarity models
+    *    (median/mean s^r) are structurally wrong here: minhash
+    *    collisions concentrate wherever a POPULAR shingle wins a
+    *    hash's argmin — every doc containing it shares that minhash
+    *    value — which no random-pair statistic sees. Counting real
+    *    bucket collisions on real signatures captures popular-token
+    *    skew, dup clusters, and boilerplate exactly as the full run
+    *    will meet them.
+    * Colliding pairs AT OR ABOVE the threshold are genuine output and
+    * extrapolate LINEARLY (each doc has O(1) near-dups); pairs below
+    * it are spurious candidate work and extrapolate QUADRATICALLY
+    * (both sides of a random collision scale with the corpus). The
+    * smallest r whose estimated spurious total fits
+    * spuriousPerDoc·nDocs wins — so r grows with corpus size/skew
+    * exactly when the data demands it, and signature work never
+    * outruns the budget's need. Driver work is O(sample · maxHashes ·
+    * shingles) signing plus bounded bucket counting — never
+    * O(corpus).
     */
   def tunedMinhashParams(
       df: DataFrame,
@@ -340,38 +352,98 @@ object Dedup {
       n: Int = 5,
       threshold: Double = 0.5,
       targetRecall: Double = 0.9,
-      sampleSize: Int = 200,
+      sampleSize: Int = 512,
       spuriousPerDoc: Double = 4.0,
-      maxHashes: Int = 512): (Int, Int) = {
+      maxHashes: Int = 256): (Int, Int) = {
     require(threshold > 0 && threshold < 1, "threshold in (0, 1)")
     require(targetRecall > 0 && targetRecall < 1, "targetRecall in (0, 1)")
     val nDocs = math.max(df.count(), 2L)
-    val sample = df
+    // hash-mod pre-filter BEFORE the ordered take: the TakeOrdered
+    // then heaps ~2·sampleSize thin survivors, not the whole corpus's
+    // fat shingle arrays (a top-512 of 40KB rows per partition is a
+    // driver-side GC bomb at real corpus sizes)
+    val modK = math.max(1L, nDocs / (sampleSize.toLong * 2))
+    val sample: Array[Array[Long]] = df
+      .filter(pmod(xxhash64(col(idCol)), lit(modK)) === 0)
       .select(hashedShingles(col(textCol), n).as("hs"), col(idCol).as("_id"))
       .filter(size(col("hs")) > 0)
-      .orderBy(xxhash64(col("_id")), col("_id"))
+      .orderBy(xxhash64(col("_id"), lit(1)), col("_id"))
       .limit(sampleSize)
       .collect()
-      .map(_.getSeq[Long](0).toSet)
-    val jaccards =
-      for (i <- sample.indices; j <- (i + 1) until sample.length) yield {
-        val inter = (sample(i) & sample(j)).size.toDouble
-        inter / (sample(i).size + sample(j).size - inter)
-      }
-    val sBg = math.max(1e-4,
-      if (jaccards.isEmpty) 0.01
-      else jaccards.sorted.apply(jaccards.length / 2)) // median
+      .map(_.getSeq[Long](0).toArray)
+    val m = sample.length
+    if (m < 8) return (64, 16) // degenerate corpus: the spec'd default
     def bandsFor(r: Int): Int =
       math.max(1, math.ceil(math.log(1 - targetRecall) / math.log(1 - math.pow(threshold, r))).toInt)
+    // signatures grown lazily to the widest layout actually probed
+    var sigs: Array[Array[Long]] = Array.empty
+    var sigWidth = 0
+    def ensureSigs(w: Int): Unit = if (w > sigWidth) {
+      sigWidth = w
+      sigs = sample.map(graft.functions.MinHashMix.signature(_, w))
+    }
+    def jaccard(a: Array[Long], b: Array[Long]): Double = {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) { // sorted distinct arrays
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      inter.toDouble / (a.length + b.length - inter)
+    }
+    val linScale = nDocs.toDouble / m
+    val quadScale = linScale * linScale
     val budget = spuriousPerDoc * nDocs
-    val r = (2 to 64).find { r =>
-      val b = bandsFor(r)
-      val spurious = b.toDouble * nDocs.toDouble * nDocs.toDouble / 2.0 * math.pow(sBg, r)
-      spurious <= budget || r * b >= maxHashes
-    }.getOrElse(64)
-    val b = bandsFor(r)
-    val capped = math.max(1, math.min(b, maxHashes / r))
-    (r * capped, capped)
+    def estSpurious(r: Int, b: Int): Double = {
+      ensureSigs(r * b)
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var spurious = 0.0
+      var bi = 0
+      while (bi < b) {
+        val byKey = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+        var d = 0
+        while (d < m) {
+          var k = 0L; var j = bi * r
+          while (j < (bi + 1) * r) {
+            k = graft.functions.MinHashMix.mix(k ^ sigs(d)(j), j); j += 1
+          }
+          byKey.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += d
+          d += 1
+        }
+        byKey.values.foreach { grp =>
+          if (grp.length > 256) {
+            // a bucket this hot in a bounded sample is pure skew:
+            // count it all as spurious without enumerating
+            spurious += grp.length.toDouble * (grp.length - 1) / 2
+          } else if (grp.length > 1) {
+            var x = 0
+            while (x < grp.length) {
+              var y = x + 1
+              while (y < grp.length) {
+                val key = (grp(x).toLong << 32) | grp(y).toLong
+                if (seen.add(key) && jaccard(sample(grp(x)), sample(grp(y))) < threshold)
+                  spurious += 1
+                y += 1
+              }
+              x += 1
+            }
+          }
+        }
+        bi += 1
+      }
+      spurious * quadScale
+    }
+    val candidates = (2 to 16).map { r =>
+      val b = math.max(1, math.min(bandsFor(r), maxHashes / r))
+      (r, b)
+    }.distinct
+    // probe r ascending LAZILY: most corpora accept a small r, and
+    // stopping there keeps the signing work at the narrow layout
+    val probed = candidates.to(LazyList).map { case (r, b) => ((r, b), estSpurious(r, b)) }
+    val (r, b) = probed.find(_._2 <= budget).map(_._1)
+      .getOrElse(probed.minBy(_._2)._1) // nothing fits: least-bad layout
+    (r * b, b)
   }
 
   /** `minhashLshPairs` with corpus-derived parameters — the scale

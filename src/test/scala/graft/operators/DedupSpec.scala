@@ -347,4 +347,43 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == (("one1", 9L)))
     assert(out(2L) == (("two2", 9L)))
   }
+
+  test("tunedMinhashParams: recall-valid layout; boilerplate skew raises rows-per-band") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+    val (nh, b) = Dedup.tunedMinhashParams(docs, "doc_id", "text")
+    assert(nh % b == 0)
+    val r = nh / b
+    assert(r >= 2)
+    // the recall constraint the layout was solved for
+    assert(1.0 - math.pow(1.0 - math.pow(0.5, r), b) >= 0.9 - 1e-9)
+    // Skewed corpus: 300 docs sharing a 40-token boilerplate prefix
+    // with short unique tails. Popular boilerplate shingles win the
+    // minhash argmins, so at small r nearly every doc lands in one
+    // bucket while true Jaccard stays below the threshold — the
+    // occupancy-measuring tuner must buy more rows per band to split
+    // those buckets, where any pairwise-similarity model reads
+    // "background ~0.4, fine" and would keep r minimal.
+    val boiler = (1 to 40).map(i => s"common$i").mkString(" ")
+    val skewed = (1 to 300).map(i => (i.toLong, s"$boiler tail${i}a tail${i}b tail${i}c"))
+      .toDF("doc_id", "text")
+    val (nhS, bS) = Dedup.tunedMinhashParams(skewed, "doc_id", "text")
+    val rS = nhS / bS
+    assert(rS > r, s"skewed corpus chose r=$rS, baseline r=$r")
+    assert(rS >= 4)
+  }
+
+  test("minhashLshPairsAuto: tuned layout finds at least the fixed-layout pairs (verified output only)") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = pairs(Dedup.minhashLshPairs(docs, "doc_id", "text", 5, 64, 16, 0.5))
+    val auto = pairs(Dedup.minhashLshPairsAuto(docs, "doc_id", "text"))
+    // both verify candidates at the same threshold, so every emitted
+    // pair is true; the tuned layout (smaller r at this corpus) has a
+    // strictly higher per-pair collision probability -> superset
+    assert(fixed.subsetOf(auto))
+    assert(auto.nonEmpty)
+  }
 }

@@ -268,6 +268,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("tunedCosineLshParams: recall identity holds; planes grow with corpus size") {
+    for (n <- Seq(1000L, 100000L, 10000000L); t <- Seq(0.45, 0.7)) {
+      val (l, b) = Similarity.tunedCosineLshParams(n, t, targetRecall = 0.9)
+      val p = 1.0 - math.acos(t) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, b), l)
+      // capped table counts may undershoot; otherwise the solved L
+      // must meet the target exactly by the collision model
+      assert(l == 64 || recall >= 0.9 - 1e-9, s"n=$n t=$t l=$l b=$b recall=$recall")
+    }
+    val b1 = Similarity.tunedCosineLshParams(10000L, 0.45)._2
+    val b2 = Similarity.tunedCosineLshParams(10000000L, 0.45)._2
+    assert(b2 > b1, "planes must grow with corpus size to hold bucket occupancy flat")
+  }
+
   test("embeddingNearDupPairsLsh: subset of exact, once per pair, more tables widen, recall") {
     val emb = graft.sources.TableLoader.table(spark, sfDir, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
