@@ -4826,6 +4826,85 @@ object Queries {
         |  CAST(sum(bucket) * 10000 // count(*) AS BIGINT) AS surprisal_x10000
         |FROM b GROUP BY doc_id""".stripMargin))
 
+  /** #83 CCNet-style LM perplexity filter: a Laplace-smoothed bigram
+    * LM trained on the deterministic "clean reference" subset
+    * (doc_id % 5 = 0) scores every document; terciles split the
+    * corpus into head/middle/tail. Surprisal is the integer
+    * digit-bucket reduction (see TextAnalysis.perplexityBuckets), the
+    * tercile cutoffs are cross-multiplied cumulative-histogram mins —
+    * the WHOLE filter incl. bucket labels is exact cross-engine.
+    */
+  val qTextPerplexity: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.perplexityBuckets(
+        docs, docs.filter(col("doc_id") % 5 === 0))
+    },
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), uni AS (
+        |  SELECT t, count(*) AS c1 FROM (
+        |    SELECT unnest(w) AS t FROM tok WHERE doc_id % 5 = 0
+        |  ) GROUP BY t
+        |), v AS (
+        |  SELECT count(*) AS nv FROM uni
+        |), bi AS (
+        |  SELECT a, b, count(*) AS c12 FROM (
+        |    SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+        |    FROM tok WHERE doc_id % 5 = 0
+        |  ) GROUP BY a, b
+        |), tgt AS (
+        |  SELECT doc_id, unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM tok
+        |), pd AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(length(CAST((coalesce(c1, 0) + nv) // (coalesce(c12, 0) + 1) AS VARCHAR)) - 1) AS sum_bucket
+        |  FROM tgt LEFT JOIN bi USING (a, b) LEFT JOIN uni ON tgt.a = uni.t CROSS JOIN v
+        |  GROUP BY doc_id
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(coalesce(sum_bucket * 10000 // n_bigrams, 0) AS BIGINT) AS surprisal_x10000
+        |  FROM documents d LEFT JOIN pd USING (doc_id)
+        |), cum AS (
+        |  SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM (
+        |    SELECT surprisal_x10000 AS s, count(*) AS c FROM scored GROUP BY 1
+        |  )
+        |), cuts AS (
+        |  SELECT min(CASE WHEN cum * 3 >= n THEN s END) AS cut1,
+        |         min(CASE WHEN cum * 3 >= 2 * n THEN s END) AS cut2
+        |  FROM cum CROSS JOIN (SELECT max(cum) AS n FROM cum)
+        |)
+        |SELECT doc_id, n_bigrams, surprisal_x10000,
+        |  CASE WHEN surprisal_x10000 <= cut1 THEN 'head'
+        |       WHEN surprisal_x10000 <= cut2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM scored CROSS JOIN cuts""".stripMargin))
+
+  /** #29d Incremental IVF index maintenance: the base index is built
+    * on the first two thirds of the corpus (quantizer frozen there),
+    * the last third arrives as two replay-safe appends — one of them
+    * redelivered inline, recognized by the commit-riding batch id and
+    * skipped. Rows-only at the gate like its ANN siblings; the
+    * incremental-equals-rebuild identity is spec-verified exactly.
+    */
+  val qSimIvfIncTopk: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val idx = scratch("ivf-inc-index")
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 3 =!= 2)
+      val b1 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+      val b2 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 1)
+      graft.operators.Similarity.buildIvfIndex(base, idx, nlist = 16, trainOn = Some(base))
+      graft.operators.Similarity.ivfIndexAppend(s, idx, b1, batchId = Some(1L))
+      graft.operators.Similarity.ivfIndexAppend(s, idx, b2, batchId = Some(2L))
+      // crash-redelivery: replayed batch id is a recognized no-op
+      graft.operators.Similarity.ivfIndexAppend(s, idx, b2, batchId = Some(2L))
+      graft.operators.Similarity.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 10),
+        k = 5, nprobe = 2)
+    },
+    oracle = None)
+
   /** #78 Deterministic mixture resampling: per-source epoch weights
     * (src0×2.5, src1×0.25, src2×1.75, src3 dropped, rest ×1.0)
     * realized as floor(w) copies + a multiplicative-hash extra — the
@@ -5054,6 +5133,8 @@ object Queries {
     "sim_knn_classify" -> qSimKnnClassify,
     "sim_pq_rerank" -> qSimPqRerank,
     "text_surprisal" -> qTextSurprisal,
+    "text_perplexity" -> qTextPerplexity,
+    "sim_ivf_inc_topk" -> qSimIvfIncTopk,
     "q_mixture" -> qMixture,
     "text_bpe_encode" -> qBpeEncode)
 }

@@ -147,10 +147,11 @@ object Similarity {
       nlist: Int = 16,
       seed: Long = 42L,
       trainSample: Int = 4096,
-      lloydIters: Int = 10): Unit = {
+      lloydIters: Int = 10,
+      trainOn: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = sampleVecs(corpus, seed, trainSample)
+    val sample = sampleVecs(trainOn.getOrElse(corpus), seed, trainSample)
     val centroids = lloyd(sample, nlist, lloydIters)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -162,6 +163,48 @@ object Similarity {
         col("vec_id"), col("embedding"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/corpus")
   }
+
+  /** Incremental maintenance of a persisted IVF index: a batch of new
+    * vectors is routed with the FROZEN quantizer (the centroids
+    * trained at build time — FAISS's train-then-add contract) and
+    * appended as one marker-committed version of a [[graft.sources.VersionedLog]]
+    * at `indexPath/log`, cell-partitioned like the base corpus so the
+    * query path prunes increments and base alike. Routing is a pure
+    * function of the centroids, so an incrementally-grown index holds
+    * EXACTLY the cell contents a from-scratch rebuild (same
+    * centroids) would — spec-verified, not asserted.
+    *
+    * Replay-safe like every graft incremental state: the batch id
+    * rides the atomic log commit, and a redelivered id ≤ the
+    * high-water mark is recognized and skipped (returns false).
+    * `VersionedLog.compact(indexPath/log, partitionBy = cells)` is
+    * the matching table service when append-files accumulate.
+    */
+  def ivfIndexAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      batchId: Option[Long] = None): Boolean = {
+    import graft.sources.VersionedLog
+    val log = s"$indexPath/log"
+    if (batchId.exists(id => VersionedLog.appliedHwm(spark, log).exists(id <= _)))
+      return false
+    val centroids = readCentroids(spark, indexPath)
+    val routed = batch.select(
+      graft.functions.CentroidFunctions.nearestCells(col("embedding"), centroids, 1)
+        .getItem(0).as("cell"),
+      col("vec_id"), col("embedding"))
+    VersionedLog.append(spark, log, Map("corpus" -> routed), batchId,
+      partitionBy = Map("corpus" -> Seq("cell")))
+    true
+  }
+
+  private def readCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexPath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
 
   /** Query a persisted IVF index: route each query to its `nprobe`
     * cells (centroids are a tiny one-file table, collected once),
@@ -176,14 +219,25 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nprobe: Int = 2): DataFrame = {
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = readCentroids(spark, indexPath)
     val probed = probedCells(queries, centroids, nprobe)
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(s"$indexPath/corpus")
-      .filter(col("cell").isin(cells: _*))
+    // base cells plus any committed incremental append's cells: each
+    // root is read separately (mixed-depth partition roots cannot
+    // share one scan) and UNIONED — every scan keeps its own static
+    // cell partition filter, and compaction bounds the root count
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val logDirs = graft.sources.VersionedLog
+      .committed(spark, s"$indexPath/log")
+      .map(v => new org.apache.hadoop.fs.Path(v.dir, "corpus"))
+      .filter(p => p.getFileSystem(hconf).exists(p))
+      .map(_.toString)
+    val corpus = (s"$indexPath/corpus" +: logDirs)
+      .map(d => spark.read.parquet(d)
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .filter(col("cell").isin(cells: _*)))
+      .reduce(_ unionByName _)
     val scored = corpus.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("vec_id").as("cid"), col("qid"),

@@ -357,4 +357,84 @@ object TextAnalysis {
     val normalized = regexp_replace(lower(col(textCol)), lit("\\s+"), lit(" "))
     df.withColumn("fingerprint", HashFunctions.fingerprint64(normalized))
   }
+
+  /** Adjacent-token bigrams of `textCol` plus the given carried
+    * columns: one row per bigram occurrence, in-document order not
+    * preserved (the LM counts are order-free aggregates).
+    */
+  private def bigramRows(df: DataFrame, textCol: String, carry: Seq[String]): DataFrame = {
+    val w = tokens(col(textCol))
+    val k = greatest(size(w) - 1, lit(0))
+    df.select(carry.map(col) :+ explode(
+        zip_with(slice(w, lit(1), k), slice(w, lit(2), k),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("_p"): _*)
+      .select(carry.map(col) :+ col("_p.a").as("a") :+ col("_p.b").as("b"): _*)
+  }
+
+  /** CCNet-style LM perplexity filter (Wenzek et al. 2020: score a
+    * crawl against a language model trained on a clean REFERENCE
+    * corpus, then split into head/middle/tail thirds — the head is
+    * the training-mix gold). The LM here is a Laplace-smoothed
+    * BIGRAM model whose per-bigram surprisal is the decimal-magnitude
+    * bucket digits((c1(a)+V) DIV (c12(a,b)+1)) − 1 ≈
+    * floor(log10(1/p̂(b|a))) — the same integer-arithmetic reduction
+    * as `surprisal`, so the whole filter (including the tercile
+    * split) is bit-reproducible on any engine, which a libm-log LM
+    * is not. A document scores the fixed-point mean bucket (×10000,
+    * floor division); docs too short for a bigram score 0 (nothing
+    * to judge them on — they sit in the head like CCNet's trivial
+    * lines).
+    *
+    * The tercile cutoffs come from a cumulative histogram of the
+    * (small-integer) scores, cross-multiplied: cut_k = min score with
+    * 3·cum ≥ k·n. The window runs over the HISTOGRAM — bounded by
+    * score cardinality (≤ ~200k distinct values by construction),
+    * never the corpus — and the two cutoffs broadcast back into the
+    * per-doc labeling join, so no global sort of the corpus exists
+    * anywhere in the plan.
+    *
+    * Scale: reference bigram/unigram aggs (vocab-bounded), one
+    * target-bigram → LM shuffle join (the TF-IDF cost shape), one
+    * per-doc agg, a histogram agg, two broadcast scalars.
+    */
+  def perplexityBuckets(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val refTok = reference.select(explode(tokens(col(textCol))).as("t"))
+    val uni = refTok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("_v"))
+    val refBi = bigramRows(reference, textCol, Nil)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c12"))
+    val tgtBi = bigramRows(target.select(col(idCol).as("doc_id"), col(textCol)),
+      textCol, Seq("doc_id"))
+    val perDoc = tgtBi
+      .join(refBi, Seq("a", "b"), "left")
+      .join(uni.select(col("t").as("a"), col("c1").as("c1a")), Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("bucket", (length(expr(
+        "CAST((coalesce(c1a, CAST(0 AS BIGINT)) + _v) DIV (coalesce(c12, CAST(0 AS BIGINT)) + 1) AS STRING)")) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bucket")).as("sum_bucket"))
+    val scored = target.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sum_bucket * 10000 DIV n_bigrams"), lit(0L)).as("surprisal_x10000"))
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col("surprisal_x10000").as("s")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cuts = cum.crossJoin(cum.agg(max(col("cum")).as("_n")))
+      .agg(min(when(col("cum") * 3 >= col("_n"), col("s"))).as("_cut1"),
+        min(when(col("cum") * 3 >= col("_n") * 2, col("s"))).as("_cut2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("ppl_bucket",
+        when(col("surprisal_x10000") <= col("_cut1"), lit("head"))
+          .when(col("surprisal_x10000") <= col("_cut2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_x10000"), col("ppl_bucket"))
+  }
 }

@@ -100,7 +100,8 @@ object VersionedLog {
       root: String,
       channels: Map[String, DataFrame],
       batchId: Option[Long] = None,
-      extraMeta: Map[String, String] = Map.empty): Int = {
+      extraMeta: Map[String, String] = Map.empty,
+      partitionBy: Map[String, Seq[String]] = Map.empty): Int = {
     require(channels.nonEmpty, "append needs at least one channel")
     val (fs, target) = fsOf(spark, root)
     fs.mkdirs(target)
@@ -114,7 +115,9 @@ object VersionedLog {
       fs.delete(versionDir, true) // uncommitted debris from a crash
     }
     channels.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(new Path(versionDir, name).toString)
+      val w = df.write.mode(SaveMode.Overwrite)
+      partitionBy.get(name).filter(_.nonEmpty).fold(w)(cols => w.partitionBy(cols: _*))
+        .parquet(new Path(versionDir, name).toString)
     }
     val hwm = (prior.lastOption.flatMap(_.meta.get(HwmKey)).map(_.toLong).toSeq ++ batchId.toSeq)
       .maxOption
@@ -144,7 +147,13 @@ object VersionedLog {
       .map(v => new Path(v.dir, channel))
       .filter(fs.exists(_))
       .map(_.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    // one read per version root, unioned: a channel written with
+    // partitionBy makes each version dir its own partition root, and
+    // multiple partition roots cannot share one scan (Spark derives
+    // the base path from their common ancestor, where the vNNNNNNNN
+    // dirs read as non-partition directories and conflict)
+    else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
   }
 
   /** Compaction table service for the log: rewrite ALL committed
@@ -159,7 +168,8 @@ object VersionedLog {
   def compact(
       spark: SparkSession,
       root: String,
-      targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      partitionBy: Map[String, Seq[String]] = Map.empty): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val (fs, target) = fsOf(spark, root)
     val versions = committed(spark, root)
@@ -181,10 +191,18 @@ object VersionedLog {
         val bytes = versions.map(v => new Path(v.dir, name))
           .filter(fs.exists(_)).map(fs.getContentSummary(_).getLength).sum
         val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).max(1).min(100000).toInt
-        val sized =
-          if (nFiles <= spark.sessionState.conf.numShufflePartitions) df.coalesce(nFiles)
-          else df.repartition(nFiles)
-        sized.write.mode(SaveMode.Overwrite).parquet(new Path(versionDir, name).toString)
+        val parts = partitionBy.get(name).filter(_.nonEmpty)
+        val sized = parts match {
+          // partitioned channel: cluster rows by the partition key so
+          // each partition directory gets few files, not one per task
+          case Some(cols) => df.repartition(nFiles, cols.map(org.apache.spark.sql.functions.col): _*)
+          case None =>
+            if (nFiles <= spark.sessionState.conf.numShufflePartitions) df.coalesce(nFiles)
+            else df.repartition(nFiles)
+        }
+        val w = sized.write.mode(SaveMode.Overwrite)
+        parts.fold(w)(cols => w.partitionBy(cols: _*))
+          .parquet(new Path(versionDir, name).toString)
       }
     }
     val hwm = versions.lastOption.flatMap(_.meta.get(HwmKey))

@@ -439,4 +439,38 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cell") || plan.contains("PartitionFilters: [isnotnull(cell"),
       s"cell filter must plan as a partition filter, not a data filter:\n$plan")
   }
+
+  test("ivfIndexAppend: incremental equals frozen-quantizer rebuild; replay no-op; compaction preserves") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 3 =!= 2)
+    val b1 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 8)
+    val full = tmpDir("graft-ivf-full-")
+    val inc = tmpDir("graft-ivf-inc-")
+    // both indexes train the quantizer on the SAME data (base), so
+    // routing is the same pure function of the centroids
+    Similarity.buildIvfIndex(emb, full, nlist = 8, trainOn = Some(base))
+    Similarity.buildIvfIndex(base, inc, nlist = 8, trainOn = Some(base))
+    assert(Similarity.ivfIndexAppend(spark, inc, b1, batchId = Some(1L)))
+    assert(Similarity.ivfIndexAppend(spark, inc, b2, batchId = Some(2L)))
+    // redelivered batch: recognized by the commit-riding id, skipped
+    assert(!Similarity.ivfIndexAppend(spark, inc, b2, batchId = Some(2L)))
+    def res(p: String): Set[(Long, Int, Long)] =
+      Similarity.ivfIndexTopK(spark, p, queries, k = 5, nprobe = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = res(full)
+    assert(res(inc) == expected, "incrementally-grown index must equal the rebuild")
+    // the union scan still prunes by cell across base + log roots
+    val plan = Similarity.ivfIndexTopK(spark, inc, queries, k = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell") || plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"incremental index scan must keep the cell partition filter:\n$plan")
+    // compaction: same results, fewer committed versions
+    graft.sources.VersionedLog.compact(spark, s"$inc/log",
+      partitionBy = Map("corpus" -> Seq("cell")))
+    assert(graft.sources.VersionedLog.committed(spark, s"$inc/log").length == 1)
+    assert(res(inc) == expected, "compacted log must preserve the index contents")
+  }
 }

@@ -124,6 +124,38 @@ class TextAnalysisSpec extends SparkSpec {
       ("y", "z") -> 1L, ("y", "x") -> 1L, ("z", "x") -> 1L))
   }
 
+  test("perplexityBuckets: hand-computed bigram surprisal and tercile labels") {
+    // reference: "c"×100 then t1..t100 → uni c=100, ti=1, V=101;
+    // bigrams (c,c)×99, (c,t1)×1, (ti,ti+1)×1
+    val ref = docsDf(Seq(
+      0L -> (Seq.fill(100)("c") ++ (1 to 100).map(i => s"t$i")).mkString(" ")))
+    val tgt = docsDf(Seq(
+      1L -> "c c",   // (100+101) DIV (99+1) = 2   -> bucket 0
+      2L -> "c q",   // (100+101) DIV 1     = 201 -> bucket 2
+      3L -> "q q",   // (0+101)   DIV 1     = 101 -> bucket 2
+      4L -> "t1 t2", // (1+101)   DIV (1+1) = 51  -> bucket 1
+      5L -> "solo")) // no bigram: scores 0, sits in the head
+    val out = TextAnalysis.perplexityBuckets(tgt, ref)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 0L, "head")))
+    assert(out(2L) == ((1L, 20000L, "middle")))
+    assert(out(3L) == ((1L, 20000L, "middle")))
+    assert(out(4L) == ((1L, 10000L, "middle")))
+    assert(out(5L) == ((0L, 0L, "head")))
+  }
+
+  test("perplexityBuckets: corpus split is exhaustive and head holds at least a third") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+    val out = TextAnalysis.perplexityBuckets(docs, docs.filter(col("doc_id") % 5 === 0))
+    val n = docs.count()
+    val byBucket = out.groupBy(col("ppl_bucket")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBucket.values.sum == n)
+    // inclusive cutoffs guarantee the head reaches the tercile mark
+    assert(byBucket.getOrElse("head", 0L) * 3 >= n)
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+  }
+
   test("qualityLinear: hand-computed integer score and gate") {
     // doc1: 6 words ("the" ×2 stopword hits), word_chars=17 → mwl10=28
     //   score = 2·6 + 25·2 − |28−50| = 12 + 50 − 22 = 40 → fail
