@@ -1667,6 +1667,33 @@ object Queries {
     },
     oracle = Some(minhashOracleSql))
 
+  /** #22o Streaming near-dup dedup-on-ingest: documents staged as 4
+    * hash-split micro-batches stream through
+    * `EventStream.streamNearDup` — each batch folds into the
+    * persisted LSH state and emits the pairs involving it, written
+    * idempotently per batch id. A pair surfaces exactly once (when
+    * its later member arrives), so the union over batches equals the
+    * one-shot LSH pair set and the SAME exact DuckDB oracle as
+    * `dedup_minhash_lsh` applies — batch boundaries provably don't
+    * change the answer.
+    */
+  val qStreamNearDup: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val state = scratch("stream-neardup-state")
+      // the durable source checkpoint is a SIBLING of the state dir —
+      // scratch it with the state or a prior run's bookkeeping
+      // references a dead staged-source path (see q_stream_inc_agg)
+      scratch("stream-neardup-state_ckpt")
+      val out = scratch("stream-neardup-out")
+      val split = graft.streaming.EventStream.splitDir(
+        s, s"$dir/documents.parquet", 4, keyCol = "doc_id")
+      graft.streaming.EventStream.streamNearDup(s, split, state, out,
+        queryName = "graft_stream_neardup_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+      s.read.parquet(out).select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+    oracle = Some(minhashOracleSql))
+
   /** Generates the dedup_minhash_lsh oracle (see there). Mirrors
     * `GraftHash.hashedShingles` + `MinHashMix.{mix,signature,bandKeys}`
     * with n=5, numHashes=64, bands=16, threshold=0.5.
@@ -5135,6 +5162,7 @@ object Queries {
     "text_surprisal" -> qTextSurprisal,
     "text_perplexity" -> qTextPerplexity,
     "sim_ivf_inc_topk" -> qSimIvfIncTopk,
+    "q_stream_neardup" -> qStreamNearDup,
     "q_mixture" -> qMixture,
     "text_bpe_encode" -> qBpeEncode)
 }

@@ -469,18 +469,19 @@ object EventStream {
     * Split assignment is hash(event_id) — deterministic, and batch
     * ORDER must not matter to the consumer (commutative merges only).
     */
-  def splitDir(spark: SparkSession, path: String, nFiles: Int): String = {
+  def splitDir(spark: SparkSession, path: String, nFiles: Int,
+      keyCol: String = "event_id"): String = {
     val st = {
       import org.apache.hadoop.fs.Path
       val p = new Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
     }
-    val key = s"split$nFiles:$path@${st.getModificationTime}:${st.getLen}"
+    val key = s"split$nFiles:$keyCol:$path@${st.getModificationTime}:${st.getLen}"
     stageCache.computeIfAbsent(key, { _ =>
       val stage = java.nio.file.Files.createTempDirectory("graft-stream-split-")
       stage.toFile.deleteOnExit()
       spark.read.parquet(path)
-        .repartition(nFiles, col("event_id"))
+        .repartition(nFiles, col(keyCol))
         .write.mode("overwrite").parquet(stage.toUri.toString)
       Option(stage.toFile.listFiles()).getOrElse(Array.empty)
         .foreach(_.deleteOnExit())
@@ -526,6 +527,44 @@ object EventStream {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           graft.operators.IncrementalAgg.refreshTable(
             s, statePath, batch.toDF(), keys, valueCol, batchId = Some(batchId))
+          ()
+        }
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+  /** Streaming near-dup dedup-on-ingest: each micro-batch of
+    * documents folds into the persisted MinHash-LSH band/set state
+    * (`Dedup.minhashLshIncremental`) and emits the near-dup pairs
+    * INVOLVING that batch — a pair surfaces exactly when its later
+    * member arrives, so the union of emissions over the stream's life
+    * equals the one-shot LSH pair set (which is what the oracle
+    * checks). Exactly-once end to end: the source checkpoint makes
+    * batch ids durable, the state append is the marker-committed
+    * VersionedLog (a replayed id appends nothing and RE-DERIVES its
+    * original emission), and the output lands per-batch at
+    * `outPath/batch=<id>` with overwrite — a crash-retry rewrites
+    * the same rows instead of appending duplicates.
+    */
+  def streamNearDup(
+      spark: SparkSession,
+      path: String,
+      statePath: String,
+      outPath: String,
+      queryName: String = "graft_stream_neardup"): Unit =
+    withFewStatePartitions(spark) { s =>
+      val schema = s.read.parquet(path).schema
+      val raw = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+      val q = raw.writeStream
+        .option("checkpointLocation", s"${statePath}_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.operators.Dedup.minhashLshIncremental(
+              statePath, batch.toDF(), "doc_id", "text", batchId = Some(batchId))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           ()
         }
         .queryName(queryName)

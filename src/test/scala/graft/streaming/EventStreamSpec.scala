@@ -246,4 +246,31 @@ class EventStreamSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(got == expected)
   }
+
+  test("streamNearDup: union of batch emissions equals the one-shot LSH pair set; restart emits nothing new") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+    val statePath = tmpDir("graft-snd-state-") + "/state"
+    val outPath = tmpDir("graft-snd-out-")
+    val split = EventStream.splitDir(spark, s"$sfDir/documents.parquet", 4, keyCol = "doc_id")
+    EventStream.streamNearDup(spark, split, statePath, outPath,
+      queryName = "graft_snd_spec")
+    def pairs(): Set[(Long, Long)] =
+      spark.read.parquet(outPath).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 5, 64, 16, 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairs()
+    assert(streamed == oneShot, "batch boundaries must not change the pair set")
+    // each pair surfaced exactly once across the batch partitions
+    val n = spark.read.parquet(outPath).count()
+    assert(n == streamed.size.toLong, "a pair must be emitted by exactly one batch")
+    // restart with the same durable checkpoint: no batches replay,
+    // no state grows, output unchanged
+    val versionsBefore = graft.sources.VersionedLog.committed(spark, statePath).length
+    EventStream.streamNearDup(spark, split, statePath, outPath,
+      queryName = "graft_snd_spec_restart")
+    assert(graft.sources.VersionedLog.committed(spark, statePath).length == versionsBefore)
+    assert(pairs() == oneShot)
+  }
 }
