@@ -4867,8 +4867,44 @@ object Queries {
       graft.operators.TextAnalysis.perplexityBuckets(
         docs, docs.filter(col("doc_id") % 5 === 0))
     },
-    oracle = Some(
-      """WITH tok AS (
+    oracle = Some(perplexityOracleSql))
+
+  /** #83b Incremental LM maintenance for the perplexity filter: the
+    * reference corpus arrives in two batches whose unigram/bigram
+    * counts fold into replay-safe IncrementalAgg state (one batch
+    * redelivered inline — recognized, skipped), and scoring runs
+    * against the state-read LM. Same oracle as `text_perplexity`:
+    * the incrementally-maintained LM must be count-identical to the
+    * rebuilt one, or the scores (and the hash) diverge.
+    */
+  val qTextPerplexityInc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.operators.{IncrementalAgg, TextAnalysis}
+      val uniState = scratch("ppl-lm-uni")
+      val biState = scratch("ppl-lm-bi")
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 5 === 0)
+      def one(d: org.apache.spark.sql.DataFrame) = d.withColumn("one", lit(1))
+      Seq(ref.filter(col("doc_id") % 2 === 0) -> 1L,
+          ref.filter(col("doc_id") % 2 === 1) -> 2L,
+          // crash-redelivery of batch 2: a double-counted LM fails the hash
+          ref.filter(col("doc_id") % 2 === 1) -> 2L)
+        .foreach { case (b, id) =>
+          IncrementalAgg.refreshTable(s, uniState,
+            one(TextAnalysis.tokenRows(b)), Seq("t"), "one", batchId = Some(id))
+          IncrementalAgg.refreshTable(s, biState,
+            one(TextAnalysis.bigramOccurrences(b)), Seq("a", "b"), "one", batchId = Some(id))
+        }
+      val uni = IncrementalAgg.read(s, uniState, Seq("t"))
+        .select(col("t"), col("n").as("c1"))
+      val bi = IncrementalAgg.read(s, biState, Seq("a", "b"))
+        .select(col("a"), col("b"), col("n").as("c12"))
+      TextAnalysis.perplexityBucketsWithLm(docs, uni, bi)
+    },
+    oracle = Some(perplexityOracleSql))
+
+  private def perplexityOracleSql: String =
+    """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |), uni AS (
         |  SELECT t, count(*) AS c1 FROM (
@@ -4906,7 +4942,7 @@ object Queries {
         |  CASE WHEN surprisal_x10000 <= cut1 THEN 'head'
         |       WHEN surprisal_x10000 <= cut2 THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket
-        |FROM scored CROSS JOIN cuts""".stripMargin))
+        |FROM scored CROSS JOIN cuts""".stripMargin
 
   /** #29d Incremental IVF index maintenance: the base index is built
     * on the first two thirds of the corpus (quantizer frozen there),
@@ -5161,6 +5197,7 @@ object Queries {
     "sim_pq_rerank" -> qSimPqRerank,
     "text_surprisal" -> qTextSurprisal,
     "text_perplexity" -> qTextPerplexity,
+    "text_perplexity_inc" -> qTextPerplexityInc,
     "sim_ivf_inc_topk" -> qSimIvfIncTopk,
     "q_stream_neardup" -> qStreamNearDup,
     "q_mixture" -> qMixture,

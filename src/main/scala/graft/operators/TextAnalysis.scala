@@ -358,6 +358,18 @@ object TextAnalysis {
     df.withColumn("fingerprint", HashFunctions.fingerprint64(normalized))
   }
 
+  /** One row per reference-token occurrence — the unigram-LM feed
+    * (`IncrementalAgg.refreshTable` keyed on `t` maintains c1).
+    */
+  def tokenRows(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("t"))
+
+  /** One row per adjacent-bigram occurrence — the bigram-LM feed
+    * (`IncrementalAgg.refreshTable` keyed on (a, b) maintains c12).
+    */
+  def bigramOccurrences(df: DataFrame, textCol: String = "text"): DataFrame =
+    bigramRows(df, textCol, Nil)
+
   /** Adjacent-token bigrams of `textCol` plus the given carried
     * columns: one row per bigram occurrence, in-document order not
     * preserved (the LM counts are order-free aggregates).
@@ -404,9 +416,27 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val refTok = reference.select(explode(tokens(col(textCol))).as("t"))
     val uni = refTok.groupBy(col("t")).agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("_v"))
     val refBi = bigramRows(reference, textCol, Nil)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c12"))
+    perplexityBucketsWithLm(target, uni, refBi, idCol, textCol)
+  }
+
+  /** `perplexityBuckets` against a PREBUILT language model — `uni` as
+    * (t, c1), `bi` as (a, b, c12). The LM counts are plain additive
+    * aggregates, so they can equally come from the replay-safe
+    * incremental state tables (`IncrementalAgg.refreshTable` keyed on
+    * the token/bigram) — reference corpora grow by delivery, and
+    * rebuilding an LM over all history per refresh is exactly the
+    * rescan the incremental family exists to avoid.
+    */
+  def perplexityBucketsWithLm(
+      target: DataFrame,
+      uni: DataFrame,
+      bi: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val vocab = uni.agg(count(lit(1)).as("_v"))
+    val refBi = bi
     val tgtBi = bigramRows(target.select(col(idCol).as("doc_id"), col(textCol)),
       textCol, Seq("doc_id"))
     val perDoc = tgtBi
@@ -417,11 +447,15 @@ object TextAnalysis {
         "CAST((coalesce(c1a, CAST(0 AS BIGINT)) + _v) DIV (coalesce(c12, CAST(0 AS BIGINT)) + 1) AS STRING)")) - 1).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bucket")).as("sum_bucket"))
+    // materialized once (lazy localCheckpoint): both the tercile
+    // histogram and the final labeling consume scored — without the
+    // checkpoint the whole target-bigram LM join plans TWICE
     val scored = target.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(expr("sum_bucket * 10000 DIV n_bigrams"), lit(0L)).as("surprisal_x10000"))
+      .localCheckpoint(false)
     import org.apache.spark.sql.expressions.Window
     val hist = scored.groupBy(col("surprisal_x10000").as("s")).agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
