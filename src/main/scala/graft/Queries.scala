@@ -4903,6 +4903,76 @@ object Queries {
     },
     oracle = Some(perplexityOracleSql))
 
+  /** #35c Gold-curation pipeline, exactly oracled END TO END: Gopher
+    * structural gates ∧ LM-perplexity tail drop (tercile cutoffs
+    * computed over the whole corpus) → exact dedup among survivors
+    * (min doc_id per text) → per-domain quota (10 best by n_chars).
+    * Every stage is one of the already-oracled operators; this row
+    * proves the COMPOSITION is still bit-exact — filters, histogram
+    * cutoffs, dedup tiebreaks and domain ranks all have to agree at
+    * once for the hash to match.
+    */
+  val qCurateGold: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gopher = graft.operators.TextAnalysis.gopherRules(docs)
+        .filter(col("gopher_pass")).select(col("doc_id"), col("n_words"))
+      val ppl = graft.operators.TextAnalysis.perplexityBuckets(
+          docs, docs.filter(col("doc_id") % 5 === 0))
+        .filter(col("ppl_bucket") =!= "tail")
+        .select(col("doc_id"), col("surprisal_x10000"), col("ppl_bucket"))
+      val survivors = gopher.join(ppl, "doc_id")
+        .join(docs.select(col("doc_id"), col("text"), col("n_chars"), docUrl.as("url")), "doc_id")
+      val deduped = graft.operators.Dedup.exact(survivors, "text", "doc_id")
+      graft.operators.WebCuration.domainCap(
+          graft.operators.WebCuration.parseUrls(deduped), k = 10, orderCol = "n_chars")
+        .select(col("doc_id"), col("domain"), col("n_words"), col("n_chars"),
+          col("surprisal_x10000"), col("ppl_bucket"), col("domain_rank"))
+    },
+    oracle = Some {
+      val ppl = perplexityOracleSql
+      // reuse the perplexity derivation as a prefix: swap its final
+      // SELECT for a labeled CTE and compose the rest of the pipeline
+      val prefix = ppl.substring(0, ppl.lastIndexOf("SELECT doc_id, n_bigrams"))
+      prefix +
+        """, lab AS (
+          |  SELECT doc_id, surprisal_x10000,
+          |    CASE WHEN surprisal_x10000 <= cut1 THEN 'head'
+          |         WHEN surprisal_x10000 <= cut2 THEN 'middle'
+          |         ELSE 'tail' END AS ppl_bucket
+          |  FROM scored CROSS JOIN cuts
+          |), gm AS (
+          |  SELECT doc_id, len(w) AS n_words,
+          |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+          |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+          |    len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+          |        'that', 'it', 'was', 'for'))) AS stop_hits
+          |  FROM tok
+          |), gp AS (
+          |  SELECT doc_id, n_words FROM gm
+          |  WHERE n_words >= 50 AND n_words <= 100000
+          |    AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+          |    AND alpha_words * 10 >= n_words * 8
+          |    AND stop_hits >= 2
+          |), surv AS (
+          |  SELECT d.doc_id, d.text, d.n_chars, gp.n_words,
+          |         lab.surprisal_x10000, lab.ppl_bucket,
+          |         regexp_extract('www.' || d.source || '-mirror.org', '([^.]+\.[^.]+)$', 1) AS domain
+          |  FROM documents d JOIN gp USING (doc_id) JOIN lab USING (doc_id)
+          |  WHERE lab.ppl_bucket <> 'tail'
+          |), ded AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM surv
+          |  ) WHERE rn = 1
+          |)
+          |SELECT doc_id, domain, n_words, n_chars, surprisal_x10000, ppl_bucket, domain_rank
+          |FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY domain
+          |    ORDER BY n_chars DESC, doc_id) AS domain_rank
+          |  FROM ded
+          |) WHERE domain_rank <= 10""".stripMargin
+    })
+
   private def perplexityOracleSql: String =
     """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -5198,6 +5268,7 @@ object Queries {
     "text_surprisal" -> qTextSurprisal,
     "text_perplexity" -> qTextPerplexity,
     "text_perplexity_inc" -> qTextPerplexityInc,
+    "curate_gold" -> qCurateGold,
     "sim_ivf_inc_topk" -> qSimIvfIncTopk,
     "q_stream_neardup" -> qStreamNearDup,
     "q_mixture" -> qMixture,

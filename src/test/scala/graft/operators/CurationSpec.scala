@@ -149,6 +149,31 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) > out(4L), s"target-domain token must outscore raw-only: $out")
   }
 
+  test("curate_gold: every survivor passes every stage; caps and dedup hold") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+    val out = graft.Queries.qCurateGold.run(spark, sfDir).cache()
+    val n = out.count()
+    assert(n > 0)
+    // stage 1+2: survivors pass Gopher and are not in the ppl tail
+    val gopherPass = TextAnalysis.gopherRules(docs).filter(col("gopher_pass"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(gopherPass))
+    assert(out.filter(col("ppl_bucket") === "tail").count() == 0)
+    // stage 3: no two survivors share a text
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.toSeq.map(texts).distinct.size == ids.size)
+    // stage 4: at most 10 per domain, ranks dense from 1
+    val byDomain = out.groupBy(col("domain"))
+      .agg(count(lit(1)).as("k"), max(col("domain_rank")).as("mx"))
+      .collect()
+    byDomain.foreach { r =>
+      assert(r.getLong(1) <= 10L && r.getLong(2) == r.getLong(1))
+    }
+    out.unpersist()
+  }
+
   test("cube emits all four grouping sets over the rollup's three") {
     val cube = graft.Queries.qCube.run(spark, sfDir)
     val rollup = graft.Queries.qRollup.run(spark, sfDir)
