@@ -2946,6 +2946,98 @@ object Queries {
         |)
         |SELECT user_id, event_id, ts, cents, CAST(ewma AS BIGINT) AS ewma FROM r""".stripMargin))
 
+  /** #56c Time-weighted average value per user (TWAP): each event's
+    * value holds until the next event; weights in epoch-micros,
+    * cents through decimal(18,2), weighted sum in decimal(38,0),
+    * final division integer DIV — exact on any engine (cents are
+    * non-negative, so floor = truncation).
+    */
+  val qTwap: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.timeWeightedAvg(
+      t(s, dir, "events"), entityCol = "user_id", tsCol = "ts",
+      idCol = "event_id", valueCol = "value"),
+    oracle = Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), led AS (
+        |  SELECT user_id, ts_us, cents,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us
+        |  FROM e
+        |), agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         max(ts_us) - min(ts_us) AS span_us,
+        |         sum(CASE WHEN next_us IS NOT NULL
+        |             THEN CAST(cents AS HUGEINT) * (next_us - ts_us)
+        |             ELSE CAST(0 AS HUGEINT) END) AS num
+        |  FROM led GROUP BY user_id
+        |)
+        |SELECT user_id, n_events, span_us, CAST(num // span_us AS BIGINT) AS twap_cents
+        |FROM agg WHERE span_us > 0""".stripMargin))
+
+  /** #56d Throttle / debounce: per (user, type), keep an event only
+    * when >= 1h has passed since the last KEPT event — a true
+    * recurrence (see EventAnalytics.throttle), oracled like q_ewma
+    * by replaying the fold one row per step in a recursive CTE.
+    */
+  val qThrottle: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.throttle(
+      t(s, dir, "events"), entityCol = "user_id", channelCol = "event_type",
+      tsCol = "ts", idCol = "event_id", minGap = lit(3600L)),
+    oracle = Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_type, event_id, ts, ts_us, rn,
+        |         ts_us AS last_kept, TRUE AS kept
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.event_id, e.ts, e.ts_us, e.rn,
+        |    CASE WHEN e.ts_us >= r.last_kept + 3600000000 THEN e.ts_us ELSE r.last_kept END,
+        |    e.ts_us >= r.last_kept + 3600000000
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.event_type = r.event_type
+        |                AND e.rn = r.rn + 1
+        |)
+        |SELECT user_id, event_type, event_id, ts FROM r WHERE kept""".stripMargin))
+
+  /** #20g Interval-overlap join: click-intervals × view-intervals
+    * per user ([ts, ts + value minutes], closed ends) through the
+    * binned equi-join — the oracle is the plain inequality join the
+    * optimizer-unfriendly formulation would run. 10-minute bins;
+    * each pair emits once (the bin owning the overlap's start).
+    */
+  val qIntervalJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ev = t(s, dir, "events")
+      def side(tp: String, pfx: String) = ev.filter(col("event_type") === tp)
+        .select(col("user_id"), col("event_id").as(s"${pfx}_id"),
+          unix_micros(col("ts").cast("timestamp")).as(s"${pfx}_start"),
+          (unix_micros(col("ts").cast("timestamp")) +
+            (col("value").cast("decimal(18,2)") * 100).cast("long") * 600000L)
+            .as(s"${pfx}_end"))
+      graft.operators.RangeJoin.intervalOverlap(
+        side("click", "c"), side("view", "v"), Seq("user_id"),
+        "c_start", "c_end", "v_start", "v_end", binWidth = 600L * 1000000L)
+    },
+    oracle = Some(
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 600000 AS e_us
+        |  FROM events
+        |)
+        |SELECT c.user_id, c.event_id AS c_id, c.s_us AS c_start, c.e_us AS c_end,
+        |       v.event_id AS v_id, v.s_us AS v_start, v.e_us AS v_end
+        |FROM b c JOIN b v ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND c.s_us <= v.e_us AND v.s_us <= c.e_us""".stripMargin))
+
   /** #14p MAD outliers: |x − median| > 3 × median-absolute-deviation
     * per event type — the 50%-breakdown robust fence next to IQR and
     * z-scores. Percentile interpolation parity with quantile_cont
@@ -5213,6 +5305,9 @@ object Queries {
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,
     "q_interval_merge" -> qIntervalMerge,
+    "q_twap" -> qTwap,
+    "q_throttle" -> qThrottle,
+    "q_interval_join" -> qIntervalJoin,
     "q_resample" -> qResample,
     "q_ewma" -> qEwma,
     "q_bloom_join" -> qBloomJoin,

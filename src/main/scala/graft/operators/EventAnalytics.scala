@@ -227,6 +227,86 @@ object EventAnalytics {
         col("r.cents").as(centsCol), col("r.ewma").as("ewma"))
   }
 
+  /** Time-weighted average (TWAP) per entity: each event's value
+    * holds until the entity's next event, and the average weights
+    * each value by its holding duration —
+    * twap = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first). The metric a
+    * balance/price/utilization series needs (a plain mean
+    * over-counts bursts of short-lived values).
+    *
+    * Exact cross-engine: values go through DECIMAL(18,2)→cents
+    * BIGINT, durations are epoch-micros BIGINT, the weighted sum
+    * accumulates in decimal(38,0) (cents × a year of micros ≈ 1e18
+    * per term — BIGINT would wrap on long histories), and the final
+    * division is integer floor DIV. One entity-partitioned lead
+    * window + one entity-keyed aggregate — a single shuffle, no
+    * global sort. Entities whose events all share one timestamp have
+    * no holding time and are dropped (span_us > 0).
+    */
+  def timeWeightedAvg(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("ts_us"), col(idCol))
+    events
+      .select(col(entityCol), col(idCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .groupBy(col(entityCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+        sum(when(col("next_us").isNotNull,
+          col("cents").cast("decimal(38,0)") * (col("next_us") - col("ts_us")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("_num"))
+      .filter(col("span_us") > 0L)
+      .withColumn("twap_cents",
+        expr("CAST(_num DIV CAST(span_us AS DECIMAL(38,0)) AS BIGINT)"))
+      .drop("_num")
+  }
+
+  /** Throttle / debounce: per (entity, channel), keep an event only
+    * if at least `minGap` has elapsed since the LAST KEPT event —
+    * the rate-limiting rule notification and alerting pipelines
+    * apply before fan-out. This is a true recurrence (whether a row
+    * survives depends on which earlier rows survived, not on a fixed
+    * window), so like [[ewma]] it runs as ONE in-array fold after a
+    * per-key sort: a single shuffle on (entity, channel), state
+    * bounded by one key's history, total order (ts, id) so ties are
+    * stable. Session-gap logic is NOT equivalent: a chain of events
+    * each within `minGap` of its predecessor collapses to one
+    * session, but throttling re-emits as soon as `minGap` has passed
+    * since the last emission.
+    */
+  def throttle(
+      events: DataFrame,
+      entityCol: String,
+      channelCol: String,
+      tsCol: String,
+      idCol: String,
+      minGap: Column): DataFrame = {
+    val idSql = events.schema(idCol).dataType.sql
+    val rowT = struct(unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+      col(idCol).as("id"))
+    events
+      .groupBy(col(entityCol), col(channelCol))
+      .agg(array_sort(collect_list(rowT)).as("_rows"),
+        first(minGap.cast("long") * 1000000L).as("_gap_us"))
+      .select(col(entityCol), col(channelCol), explode(
+        expr(
+          s"""aggregate(
+             |  _rows,
+             |  cast(array() as array<struct<ts_us:BIGINT,id:$idSql>>),
+             |  (acc, x) -> if(size(acc) = 0 OR x.ts_us >= element_at(acc, -1).ts_us + _gap_us,
+             |              array_append(acc, x), acc))""".stripMargin))
+        .as("r"))
+      .select(col(entityCol), col(channelCol), col("r.id").as(idCol),
+        timestamp_micros(col("r.ts_us")).as(tsCol))
+  }
+
   def resampleDaily(events: DataFrame, entityCol: String, tsCol: String): DataFrame = {
     val day = col(tsCol).cast("date")
     val daily = events.groupBy(col(entityCol), day.as("day"))

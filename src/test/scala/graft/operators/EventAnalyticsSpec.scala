@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.lit
 
 class EventAnalyticsSpec extends SparkSpec {
 
@@ -149,5 +150,49 @@ class EventAnalyticsSpec extends SparkSpec {
     val out = EventAnalytics.ewma(ev, "user_id", "t", "event_id", "cents")
       .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
     assert(out == Map(10L -> 4L, 11L -> 3L, 12L -> 6L, 20L -> 2L, 21L -> 5L))
+  }
+
+  test("timeWeightedAvg: hand-computed weighting; single-ts entity dropped") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: 100 cents held 3h, 400 cents held 1h, last value unheld
+      // twap = (100*3 + 400*1) / 4 = 175 cents
+      (1L, 10L, ts("2024-01-01 00:00:00"), 1.00),
+      (1L, 11L, ts("2024-01-01 03:00:00"), 4.00),
+      (1L, 12L, ts("2024-01-01 04:00:00"), 9.99),
+      // user 2: all events share one ts -> zero span -> dropped
+      (2L, 20L, ts("2024-01-01 00:00:00"), 5.00),
+      (2L, 21L, ts("2024-01-01 00:00:00"), 7.00))
+      .toDF("user_id", "event_id", "t", "value")
+    val out = EventAnalytics.timeWeightedAvg(ev, "user_id", "t", "event_id", "value")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L))
+    val (n, span, twap) = out(1L)
+    assert(n == 3L && span == 4L * 3600L * 1000000L && twap == 175L)
+  }
+
+  test("throttle: re-emits after gap since last KEPT (not session-gap semantics)") {
+    val s = spark
+    import s.implicits._
+    // chain 0, 40m, 80m, 120m with a 60m gap: session logic would merge
+    // the whole chain into one session (consecutive gaps 40m < 60m) and
+    // keep only the first; throttle keeps 0 (first), 80m (>= 0+60m),
+    // and NOT 40m (< 0+60m) / 120m (< 80m+60m... 120-80=40 < 60) -> kept = {0, 80m}
+    val ev = Seq(
+      (1L, "alert", 10L, ts("2024-01-01 00:00:00")),
+      (1L, "alert", 11L, ts("2024-01-01 00:40:00")),
+      (1L, "alert", 12L, ts("2024-01-01 01:20:00")),
+      (1L, "alert", 13L, ts("2024-01-01 02:00:00")),
+      // other channel throttles independently
+      (1L, "mail", 20L, ts("2024-01-01 00:50:00")),
+      // boundary: exactly minGap after last kept -> kept (>=)
+      (2L, "alert", 30L, ts("2024-01-01 00:00:00")),
+      (2L, "alert", 31L, ts("2024-01-01 01:00:00")))
+      .toDF("user_id", "channel", "event_id", "t")
+    val kept = EventAnalytics.throttle(ev, "user_id", "channel", "t", "event_id",
+        minGap = lit(3600L))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L, 20L, 30L, 31L))
   }
 }

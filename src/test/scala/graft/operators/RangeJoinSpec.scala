@@ -35,6 +35,37 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("intervalOverlap: matches the inequality join on real events; one row per pair") {
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    def side(tp: String, p: String) = ev.filter(col("event_type") === tp)
+      .select(col("user_id"), col("event_id").as(s"${p}_id"),
+        us.as(s"${p}_lo"), (us + 45L * 60 * 1000 * 1000).as(s"${p}_hi"))
+    val l = side("click", "c")
+    val r = side("view", "v")
+    // binWidth much smaller than the interval length, so intervals span
+    // many bins and the emit-once filter is actually exercised
+    val binned = RangeJoin.intervalOverlap(l, r, Seq("user_id"),
+        "c_lo", "c_hi", "v_lo", "v_hi", binWidth = 10L * 60 * 1000 * 1000)
+      .select("c_id", "v_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val theta = l.join(r, Seq("user_id"))
+      .filter(col("c_lo") <= col("v_hi") && col("v_lo") <= col("c_hi"))
+      .select("c_id", "v_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(binned.length == binned.toSet.size, "duplicate pairs emitted")
+    assert(binned.toSet == theta)
+    assert(theta.nonEmpty)
+  }
+
+  test("intervalOverlap: closed-end boundaries (touching intervals overlap)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(("a", 1L, 0L, 10L)).toDF("k", "lid", "l_lo", "l_hi")
+    val r = Seq(("a", 2L, 10L, 20L), ("a", 3L, 11L, 20L)).toDF("k", "rid", "r_lo", "r_hi")
+    val out = RangeJoin.intervalOverlap(l, r, Seq("k"), "l_lo", "l_hi", "r_lo", "r_hi", 7L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out == Set((1L, 2L))) // [0,10] touches [10,20]; [11,20] is disjoint
+  }
+
   test("plan shape: binned range join is a hash/merge equi-join, not a nested loop") {
     val s = spark
     import s.implicits._
