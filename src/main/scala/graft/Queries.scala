@@ -2356,6 +2356,46 @@ object Queries {
         |  FROM scored
         |) WHERE rk <= 3""".stripMargin))
 
+  /** #42b BM25 retrieval: top-10 docs for a 3-term bag-of-words
+    * query, Okapi BM25 (k1 = 6/5, b = 3/4) with rational idf and
+    * per-term 1e-9 floor quantization — every step integer-exact, so
+    * score AND ranking are pinned cross-engine (see
+    * TextAnalysis.bm25).
+    */
+  val qTextBm25: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.TextAnalysis.bm25(
+      t(s, dir, "documents"), queryTerms = Seq("join", "vector", "stream"), topK = 10),
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT count(*) FROM tok) AS t_tok
+        |), qt AS (
+        |  SELECT unnest(['join', 'vector', 'stream']) AS term
+        |), q AS (
+        |  SELECT doc_id, term FROM tok JOIN qt USING (term)
+        |), dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2
+        |), contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(CAST(2*n_docs - 2*df + 1 AS HUGEINT) * (11*tf) * (4*t_tok) * 1000000000
+        |      // (CAST(2*df + 1 AS HUGEINT)
+        |          * (CAST(20 AS HUGEINT)*tf*t_tok + 6*t_tok
+        |             + CAST(18 AS HUGEINT)*dl.dl*n_docs)) AS BIGINT) AS c
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+        |)
+        |SELECT doc_id, score_fp, n_terms_hit, rk FROM (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_fp,
+        |         count(*) AS n_terms_hit,
+        |         row_number() OVER (ORDER BY sum(c) DESC, doc_id) AS rk
+        |  FROM contrib GROUP BY doc_id
+        |) WHERE rk <= 10""".stripMargin))
+
   /** #43 Language-balanced capping: at most 60 docs per language,
     * deterministically by doc_id — rebalances the en-heavy corpus.
     * The seeded-hash order variant is spec-tested (no cross-engine
@@ -5268,6 +5308,7 @@ object Queries {
     "q_heavy_terms" -> qHeavyTerms,
     "text_encode" -> qTextEncode,
     "text_tfidf" -> qTextTfidf,
+    "text_bm25" -> qTextBm25,
     "q_lang_balance" -> qLangBalance,
     "q_shuffle_shard" -> qShuffleShard,
     "q_neg_sample" -> qNegSample,

@@ -471,4 +471,63 @@ object TextAnalysis {
           .otherwise(lit("tail")))
       .select(col("doc_id"), col("n_bigrams"), col("surprisal_x10000"), col("ppl_bucket"))
   }
+
+  /** BM25 retrieval scoring: top-K documents for a bag-of-words
+    * query, scored with the Okapi BM25 family (k1 = 6/5, b = 3/4) —
+    * the lexical-retrieval baseline every RAG / hard-negative-mining
+    * pipeline starts from.
+    *
+    * Exact cross-engine arithmetic: every quantity stays RATIONAL.
+    * With N docs, T total tokens (avgdl = T/N), per-term df and
+    * per-doc (tf, dl), the standard form
+    *   idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * cross-multiplies (idf = (N−df+½)/(df+½) — the probabilistic
+    * ratio; log-free so no libm) to
+    *   contrib = (2N−2df+1) · 11·tf · 4T
+    *           / [(2df+1) · (20·tf·T + 6T + 18·dl·N)]
+    * and each term's contribution is floor-quantized at 1e-9
+    * (decimal(38,0) cross products ≈ 1e35 at N=1e9, T=1e12 — inside
+    * decimal range at 100 TB, far past BIGINT). The quantized
+    * contributions sum exactly, so ranking is bit-stable on any
+    * engine; ties break by doc_id.
+    *
+    * Scale shape: one tokenize scan feeds both the per-doc lengths
+    * and the query-term tf table (the `isin` filter prunes to query
+    * terms before the (doc, term) aggregate); df and the (N, T)
+    * totals are term-count-sized and broadcast. Global top-K is a
+    * TakeOrdered, never a full sort.
+    */
+  def bm25(df: DataFrame, queryTerms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(topK > 0, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(terms.agg(count(lit(1)).as("t_tok")))
+    val qTerms = terms.filter(col("term").isin(queryTerms: _*))
+    val dfreq = qTerms.groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
+    val tf = qTerms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("c", expr(
+        """CAST(CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * (11 * tf) * (4 * t_tok)
+          |       * 1000000000
+          |     DIV (CAST(2*df + 1 AS DECIMAL(38,0))
+          |          * (CAST(20 AS DECIMAL(38,0)) * tf * t_tok + 6 * t_tok
+          |             + CAST(18 AS DECIMAL(38,0)) * dl * n_docs)) AS BIGINT)"""
+          .stripMargin))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score_fp"), count(lit(1)).as("n_terms_hit"))
+      // TakeOrdered first (orderBy+limit never materializes a global
+      // sort), THEN rank — the window runs over topK rows, not the
+      // corpus
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score_fp").desc, col("doc_id"))))
+  }
 }

@@ -170,4 +170,28 @@ class TextAnalysisSpec extends SparkSpec {
     val strict = TextAnalysis.qualityLinear(docs, threshold = 41L).collect()(0)
     assert(!strict.getBoolean(byName("q_pass")))
   }
+
+  test("bm25: hand-computed fixed-point contributions, rank and tie order") {
+    // N=3 docs, T=9 tokens, query {a}: df(a)=2
+    // doc1 (tf=2, dl=3): (2N-2df+1)·11·tf·4T·1e9 / ((2df+1)·(20·tf·T+6T+18·dl·N))
+    //   = 3·22·36e9 / (5·(360+54+162)) = 2376e9/2880 = 825_000_000
+    // doc2 (tf=1, dl=2): 3·11·36e9 / (5·(180+54+108)) = 1188e9/1710
+    //   = 694_736_842.105 → floor 694_736_842
+    // doc3: no query term → absent
+    val docs = docsDf(Seq(1L -> "a a b", 2L -> "a c", 3L -> "c c c c"))
+    val out = TextAnalysis.bm25(docs, Seq("a"), topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(3))).toMap
+    assert(out == Map(1L -> (825000000L, 1), 2L -> (694736842L, 2)))
+  }
+
+  test("bm25: length normalization — same tf, longer doc scores lower") {
+    val docs = docsDf(Seq(
+      1L -> "a a b",
+      2L -> "a a b b b b b b b b b b",
+      3L -> "c c"))
+    val out = TextAnalysis.bm25(docs, Seq("a"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) > out(2L))
+    assert(!out.contains(3L))
+  }
 }
