@@ -2356,6 +2356,54 @@ object Queries {
         |  FROM scored
         |) WHERE rk <= 3""".stripMargin))
 
+  /** #48b Count-Min sketch token-frequency estimates: the corpus
+    * folds into ONE depth×width=4×16 long buffer (mergeable,
+    * map-side-combined), then the top-20 true-frequency terms probe
+    * it. Buckets are salted-FNV mod width — fully deterministic, so
+    * the oracle rebuilds the identical sketch cell-for-cell in
+    * DuckDB and the estimates (incl. every collision's overcount)
+    * hash-match exactly. width=16 < vocab size forces real
+    * collisions; the min over 4 rows is what keeps estimates tight.
+    */
+  val qCmsCounts: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.functions.CmsFunctions
+      val tok = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+      val sketch = tok.agg(CmsFunctions.cmsSketch(col("term"), 4, 16).as("sk"))
+      val top = tok.groupBy(col("term")).agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("term")).limit(20)
+      top.crossJoin(broadcast(sketch))
+        .select(col("term"), col("true_n"),
+          CmsFunctions.cmsEstimate(col("sk"), col("term"), 4, 16).as("cms_est"))
+    },
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), cnt AS (
+        |  SELECT term, count(*) AS true_n FROM tok GROUP BY 1
+        |), rws AS (
+        |  SELECT unnest([0, 1, 2, 3]) AS r
+        |), bk AS (
+        |  SELECT term, true_n, r,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(term || chr(1) || CAST(r AS VARCHAR)) + 1),
+        |        i -> CAST(unicode((term || chr(1) || CAST(r AS VARCHAR))[i]) AS HUGEINT))),
+        |      (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                   * 1099511628211) % 18446744073709551616) % 16 AS bucket
+        |  FROM cnt CROSS JOIN rws
+        |), cells AS (
+        |  SELECT r, bucket, sum(true_n) AS cell FROM bk GROUP BY 1, 2
+        |), est AS (
+        |  SELECT bk.term, bk.true_n, min(cells.cell) AS cms_est
+        |  FROM bk JOIN cells ON cells.r = bk.r AND cells.bucket = bk.bucket
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT term, true_n FROM cnt ORDER BY true_n DESC, term LIMIT 20
+        |)
+        |SELECT est.term, est.true_n, CAST(est.cms_est AS BIGINT) AS cms_est
+        |FROM est JOIN top USING (term, true_n)""".stripMargin))
+
   /** #42b BM25 retrieval: top-10 docs for a 3-term bag-of-words
     * query, Okapi BM25 (k1 = 6/5, b = 3/4) with rational idf and
     * per-term 1e-9 floor quantization — every step integer-exact, so
@@ -5306,6 +5354,7 @@ object Queries {
     "text_postings" -> qTextPostings,
     "text_skipgrams" -> qTextSkipgrams,
     "q_heavy_terms" -> qHeavyTerms,
+    "q_cms_counts" -> qCmsCounts,
     "text_encode" -> qTextEncode,
     "text_tfidf" -> qTextTfidf,
     "text_bm25" -> qTextBm25,

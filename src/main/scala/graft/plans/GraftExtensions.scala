@@ -75,6 +75,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_freq_sketch takes (value, capacity)")
         FreqSketchAggregate(args(0), litInt(args(1), "graft_freq_sketch"))
+      }),
+    (FunctionIdentifier("graft_cms_sketch"), info("graft_cms_sketch", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_cms_sketch takes (term, depth, width)")
+        CmsAggregate(args(0), litInt(args(1), "graft_cms_sketch"),
+          litInt(args(2), "graft_cms_sketch"))
+      }),
+    (FunctionIdentifier("graft_cms_bucket"), info("graft_cms_bucket", ""),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_cms_bucket takes (term, row, width)")
+        CmsBucket(args(0), litInt(args(1), "graft_cms_bucket"),
+          litInt(args(2), "graft_cms_bucket"))
       }))
 }
 

@@ -69,6 +69,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(top.contains("a"))
   }
 
+  test("injected SQL aggregate graft_cms_sketch agrees with graft_cms_bucket probes") {
+    val r = spark.sql(
+      """SELECT graft_cms_sketch(v, 4, 16) AS sk
+        |FROM VALUES ('a'), ('a'), ('a'), ('b') AS t(v)""".stripMargin).head()
+    val cells = r.getSeq[Long](0)
+    assert(cells.length == 64 && cells.sum == 16L)
+    val probes = spark.sql(
+      "SELECT graft_cms_bucket('a', 0, 16) AS b0, graft_cms_bucket('a', 1, 16) AS b1").head()
+    assert(cells(probes.getInt(0)) >= 3L)
+    assert(cells(16 + probes.getInt(1)) >= 3L)
+  }
+
   test("keyless inequality join: rule replaces the nested loop with a bin equi-join") {
     val expected = keyless.collect().map(_.toSeq).toSet // rule off: BNLJ baseline
     assert(physical(keyless).contains("BroadcastNestedLoopJoin"))
