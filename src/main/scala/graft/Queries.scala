@@ -2356,6 +2356,41 @@ object Queries {
         |  FROM scored
         |) WHERE rk <= 3""".stripMargin))
 
+  /** #39b Triangle enumeration on the word co-occurrence graph
+    * (skip-gram pairs collapsed to undirected edges, weight >= 100):
+    * degree-ordered wedge enumeration (O(m^1.5) candidates) must
+    * produce exactly the same triangle set as the oracle's naive
+    * id-ordered 3-way self-join — two different algorithms, one
+    * answer. The graph is vocab-bounded (same gate philosophy as
+    * TextRank), so the fixture's density is stable across SFs.
+    */
+  val qTriangles: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val sg = graft.operators.TextAnalysis.skipgrams(t(s, dir, "documents"), window = 2)
+      val edges = sg.filter(col("a") =!= col("b"))
+        .groupBy(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .agg(sum(col("n")).as("n"))
+        .filter(col("n") >= 100L)
+      graft.operators.GraphAnalytics.triangles(edges, "u", "v")
+    },
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), pos AS (
+        |  SELECT unnest(w) AS a, unnest(range(len(w))) AS i, w FROM tok
+        |), prs AS (
+        |  SELECT a, unnest(w[i + 2:i + 3]) AS b FROM pos
+        |), dirw AS (
+        |  SELECT a, b, count(*) AS n FROM prs GROUP BY 1, 2
+        |), e AS (
+        |  SELECT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM dirw WHERE a <> b
+        |  GROUP BY 1, 2 HAVING sum(n) >= 100
+        |)
+        |SELECT p1.u AS x, p1.v AS y, p2.v AS z
+        |FROM e p1 JOIN e p2 ON p2.u = p1.v
+        |JOIN e p3 ON p3.u = p1.u AND p3.v = p2.v""".stripMargin))
+
   /** #48b Count-Min sketch token-frequency estimates: the corpus
     * folds into ONE depth×width=4×16 long buffer (mergeable,
     * map-side-combined), then the top-20 true-frequency terms probe
@@ -5337,6 +5372,7 @@ object Queries {
     "text_chunk" -> qTextChunk,
     "text_redact" -> qTextRedact,
     "dedup_clusters" -> qDedupClusters,
+    "q_triangles" -> qTriangles,
     "dedup_exact" -> qDedupExact,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "dedup_editdist" -> qDedupEditdist,
