@@ -36,25 +36,34 @@ object Evaluation {
     */
   def aucExact(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
     val byScore = df
+      // rows with a NULL label have no class: excluded (documented
+      // contract — they would otherwise silently count as negatives).
+      // cast("boolean") admits the common 0/1 integral label alongside
+      // a true boolean.
+      .filter(labelCol.isNotNull)
       .select(scoreCol.cast("long").as("score"),
-        when(labelCol, 1L).otherwise(0L).as("p"))
+        when(labelCol.cast("boolean"), 1L).otherwise(0L).as("p"))
       .groupBy(col("score"))
       .agg(sum(col("p")).as("n_pos"), sum(lit(1L) - col("p")).as("n_neg"))
     // neg mass strictly below this score: the rank basis of U
     val w = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // every product in DECIMAL(38,0) BEFORE it is formed: auc_num ≈
+    // 2·P·N, which wraps a BIGINT once P,N ≳ 2.1e9 — exactly the
+    // 100 TB case. A post-hoc decimal cast would launder the wrapped
+    // value, so the widening has to happen on the multiplicands.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     byScore
       .withColumn("neg_below", coalesce(sum(col("n_neg")).over(w), lit(0L)))
       .agg(
         sum(col("n_pos")).as("n_pos"),
         sum(col("n_neg")).as("n_neg"),
-        sum(col("n_pos") * (col("neg_below") * 2L + col("n_neg"))).as("auc_num"))
-      .withColumn("auc_den", col("n_pos") * col("n_neg") * 2L)
+        sum(dec(col("n_pos")) * (dec(col("neg_below")) * 2 + dec(col("n_neg"))))
+          .cast("decimal(38,0)").as("auc_num"))
+      .withColumn("auc_den", (dec(col("n_pos")) * dec(col("n_neg")) * 2).cast("decimal(38,0)"))
       .withColumn("auc_bp",
-        when(col("auc_den") === 0L, lit(null).cast("long"))
-          .otherwise(expr(
-            """CAST(CAST(auc_num AS DECIMAL(38,0)) * 10000
-              |     DIV CAST(auc_den AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)))
+        when(col("auc_den") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(auc_num * 10000 DIV auc_den AS BIGINT)")))
   }
 
   /** Per-class precision/recall/F1 of a hard prediction against the
@@ -73,28 +82,34 @@ object Evaluation {
       .select(truthCol.as("truth"), predCol.as("pred"))
       .groupBy(col("truth"), col("pred"))
       .agg(count(lit(1)).as("n"))
-    val tp = cells.filter(col("truth") === col("pred"))
-      .select(col("truth").as("label"), col("n").as("tp"))
-    val byTruth = cells.groupBy(col("truth").as("label"))
+    // NULL is a class like any other here: the diagonal and the
+    // marginal joins use null-safe equality, so NULL-labeled rows
+    // fold into ONE consistent report row instead of splitting into
+    // a phantom truth group and a phantom pred group.
+    val tp = cells.filter(col("truth") <=> col("pred"))
+      .select(col("truth").as("tp_label"), col("n").as("tp"))
+    val byTruth = cells.groupBy(col("truth").as("t_label"))
       .agg(sum(col("n")).as("n_truth"))
-    val byPred = cells.groupBy(col("pred").as("label"))
+    val byPred = cells.groupBy(col("pred").as("p_label"))
       .agg(sum(col("n")).as("n_pred"))
+    // one floor division per metric, in DECIMAL(38,0) integral DIV:
+    // tp*10000 passes 2^53 around tp ≈ 9e11 (plausible row counts at
+    // 100 TB), where Column.divide's IEEE double path silently loses
+    // integer precision — and tp*10000L itself can wrap a long
+    def bp(num: String, den: String): Column = expr(
+      s"""CASE WHEN $den = 0 THEN CAST(NULL AS BIGINT)
+         |     ELSE CAST(CAST($num AS DECIMAL(38,0)) * 10000
+         |               DIV CAST($den AS DECIMAL(38,0)) AS BIGINT) END""".stripMargin)
     byTruth
-      .join(byPred, Seq("label"), "full_outer")
-      .join(tp, Seq("label"), "left")
+      .join(byPred, col("t_label") <=> col("p_label"), "full_outer")
+      .join(tp, coalesce(col("t_label"), col("p_label")) <=> col("tp_label"), "left")
       .select(
-        col("label"),
+        coalesce(col("t_label"), col("p_label")).as("label"),
         coalesce(col("tp"), lit(0L)).as("tp"),
         (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
         (coalesce(col("n_truth"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
-      .withColumn("precision_bp",
-        when(col("tp") + col("fp") === 0L, lit(null).cast("long"))
-          .otherwise(col("tp") * 10000L divide (col("tp") + col("fp")) cast "long"))
-      .withColumn("recall_bp",
-        when(col("tp") + col("fn") === 0L, lit(null).cast("long"))
-          .otherwise(col("tp") * 10000L divide (col("tp") + col("fn")) cast "long"))
-      .withColumn("f1_bp",
-        when(col("tp") * 2L + col("fp") + col("fn") === 0L, lit(null).cast("long"))
-          .otherwise(col("tp") * 20000L divide (col("tp") * 2L + col("fp") + col("fn")) cast "long"))
+      .withColumn("precision_bp", bp("tp", "tp + fp"))
+      .withColumn("recall_bp", bp("tp", "tp + fn"))
+      .withColumn("f1_bp", bp("tp * 2", "tp * 2 + fp + fn"))
   }
 }

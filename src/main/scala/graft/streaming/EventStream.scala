@@ -12,25 +12,60 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet raw schema (ts read as nanos-long, normalized below). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) under nanosAsLong
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Normalize the event-time column to TIMESTAMP (the instant type
+    * watermarks require; the session runs UTC so the instant equals
+    * the NTZ wall-clock), dispatching on the column's ACTUAL physical
+    * type — never assuming an epoch encoding:
+    *   - nanos-long (parquet TIMESTAMP(NANOS) under
+    *     `spark.sql.legacy.parquet.nanosAsLong`) → integer `div 1000`
+    *     to micros (epoch nanos exceed 2^53; a double would lose
+    *     precision);
+    *   - TIMESTAMP_NTZ (parquet TIMESTAMP_MICROS,
+    *     isAdjustedToUTC=false) → cast to the instant;
+    *   - TIMESTAMP → already the instant, untouched.
+    * Anything else fails LOUDLY: a silently mis-scaled timestamp
+    * (e.g. treating micros as nanos — 1000× off, every watermark
+    * wrong) must be impossible. The batch reader
+    * (TableLoader.normalizeNanos) dispatches the same way; the
+    * reference likewise reads whatever physical schema its table
+    * carries (template.py:304-305) and never assumes an encoding.
+    */
+  def normalizeEventTs(df: DataFrame, column: String = "ts"): DataFrame =
+    df.schema(column).dataType match {
+      case LongType =>
+        df.withColumn(column, timestamp_micros(expr(s"$column div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(column, col(column).cast("timestamp"))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.$column must be a nanos-long or a timestamp; found $other — " +
+          "refusing to guess an epoch encoding (a wrong guess is silently 1000x off)")
+    }
+
+  /** The shared streaming source for the events table: the schema is
+    * read from the files' own parquet footers (a batch-read schema
+    * probe — cheap: footers only, no row groups), then the stream is
+    * opened with exactly that schema and `ts` normalized by physical
+    * type above. Every streaming entry point goes through here, so a
+    * testdata re-encode (nanos-long ↔ micros-timestamp) changes
+    * NOTHING downstream.
+    */
+  def eventSource(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
+    val withOpt = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+    normalizeEventTs(withOpt.parquet(path))
+  }
 
   /** Hourly per-type counts/sums over a parquet directory consumed as
     * a stream. Watermark bounds state; window is epoch-aligned so the
     * batch equivalent is a plain date_trunc group-by.
     */
   def hourlyAgg(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.readStream.schema(rawSchema).parquet(path)
-    // Watermarks require TIMESTAMP (not NTZ); the session runs UTC so
-    // the instant equals the NTZ wall-clock. Cast back to NTZ on the
-    // way out for parity with the batch tables.
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Cast back to NTZ on the way out for parity with the batch tables.
+    val events = eventSource(spark, path)
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -51,8 +86,7 @@ object EventStream {
     */
   def hoppingAgg(spark: SparkSession, path: String,
       size: String = "1 hour", hop: String = "30 minutes"): DataFrame = {
-    val raw = spark.readStream.schema(rawSchema).parquet(path)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventSource(spark, path)
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), size, hop).as("w"), col("event_type"))
@@ -81,8 +115,7 @@ object EventStream {
     * what keeps that bounded on an unbounded stream.
     */
   def sessionAgg(spark: SparkSession, path: String, gap: String = "30 minutes"): DataFrame = {
-    val raw = spark.readStream.schema(rawSchema).parquet(path)
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventSource(spark, path)
     // ONE session definition: delegate to the batch operator — the
     // watermark on ts rides through its session_window groupBy.
     graft.operators.Sessionize
@@ -154,13 +187,11 @@ object EventStream {
     * arriving after the watermark are dropped as late data, so each
     * event_id still emits exactly once.
     */
-  def dedupStream(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.readStream.schema(rawSchema).parquet(path)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def dedupStream(spark: SparkSession, path: String): DataFrame =
+    eventSource(spark, path)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
-  }
 
   /** Run the streaming dedup over the directory DOUBLED (two copies of
     * every file): the output must equal one copy. AvailableNow +
@@ -214,9 +245,7 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(every > 0, "every must be positive")
-    val raw = spark.readStream.schema(rawSchema).parquet(path)
-    val events = raw
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventSource(spark, path)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .as[Event]
     events
@@ -283,9 +312,7 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     require(every > 0, "every must be positive")
-    val raw = spark.readStream.schema(rawSchema).parquet(path)
-    val events = raw
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventSource(spark, path)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .as[Event]
     events
@@ -329,11 +356,8 @@ object EventStream {
       recordKeys: Seq[String],
       precombine: String,
       queryName: String = "graft_stream_upsert"): Unit = {
-    val raw = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(path)
-    val events = raw.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val events = eventSource(spark, path, maxFilesPerTrigger = Some(1))
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
     val q = events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.sources.UpsertWriter.upsert(batch.toDF(), targetPath, recordKeys, precombine)
@@ -360,12 +384,12 @@ object EventStream {
     // ONE file source, self-joined: both branches share the source's
     // offset tracking and file listing (a second readStream would
     // re-list and re-index every file per micro-batch).
-    val raw = spark.readStream.schema(rawSchema).parquet(path)
+    val raw = eventSource(spark, path)
     def side(eventType: String, prefix: String): DataFrame =
       raw.filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user_id"),
           col("event_id").as(s"${prefix}_event_id"),
-          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+          col("ts").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "1 hour")
     val clicks = side("click", "c")
     val purchases = side("purchase", "p")
@@ -401,12 +425,12 @@ object EventStream {
     */
   def leftAttributionJoin(spark: SparkSession, path: String,
       window: String = "30 minutes"): DataFrame = {
-    val raw = spark.readStream.schema(rawSchema).parquet(path)
+    val raw = eventSource(spark, path)
     def side(eventType: String, prefix: String): DataFrame =
       raw.filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user_id"),
           col("event_id").as(s"${prefix}_event_id"),
-          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+          col("ts").as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", "1 hour")
     val clicks = side("click", "c")
     val purchases = side("purchase", "p")
@@ -441,9 +465,8 @@ object EventStream {
     */
   def enriched(spark: SparkSession, path: String, dim: DataFrame,
       streamKey: String, dimKey: String): DataFrame = {
-    val raw = spark.readStream.schema(rawSchema).parquet(path)
-    val events = raw.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val events = eventSource(spark, path)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
     events.join(broadcast(dim), col(streamKey) === col(dimKey))
   }
 
@@ -509,11 +532,8 @@ object EventStream {
     // the per-batch refresh shuffles a SMALL increment + state table;
     // scope shuffle partitions down like the stateful streaming ops
     withFewStatePartitions(spark) { s =>
-      val raw = s.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(path)
-      val events = raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val events = eventSource(s, path, maxFilesPerTrigger = Some(1))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
       // Exactly-once state: the source checkpoint (sibling of the
       // state table) makes batch ids durable across restarts, and the
       // refresh records the applied batch id inside the SAME atomic
@@ -583,7 +603,8 @@ object EventStream {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     val files = fs.listStatus(p).filter(_.isFile)
-      .filterNot(_.getPath.getName.startsWith("."))
+      // skip hidden and metadata files (.crc sidecars, _SUCCESS markers)
+      .filterNot(st => st.getPath.getName.startsWith(".") || st.getPath.getName.startsWith("_"))
     val key = s"doubled:$path@" + files.map(st => s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}").sorted.mkString(",")
     stageCache.computeIfAbsent(key, { _ =>
       val stage = java.nio.file.Files.createTempDirectory("graft-stream-double-")
@@ -676,25 +697,26 @@ object EventStream {
       queryName: String = "graft_stream_dlq"): DataFrame = {
     require(delaySeconds >= 0, "delay must be non-negative")
     val staged = orderedModSplitDir(spark, path, nBatches)
-    val delayNs = delaySeconds * 1000000000L
+    val delayUs = delaySeconds * 1000000L
     val dlqDir = java.nio.file.Files.createTempDirectory("graft-dlq-").toUri.toString
+    // watermark tracked as epoch MICROS of the normalized event time —
+    // encoding-independent (eventSource already dispatched on the
+    // file's physical ts type)
     val wm = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    withFewStatePartitions(spark) { s =>
-      val raw = s.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-      val q = raw.writeStream
+    val dlqSchema = withFewStatePartitions(spark) { s =>
+      val events = eventSource(s, staged, maxFilesPerTrigger = Some(1))
+      val q = events.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val cur = wm.get()
           // STRICT <: Structured Streaming's stateful operators drop
           // only event times strictly below the watermark — a row
           // exactly AT the threshold is still on-time, and must not
           // appear in both the real sink and the DLQ
-          batch.toDF().filter(col("ts") < lit(cur))
+          batch.toDF().filter(unix_micros(col("ts")) < lit(cur))
             .write.mode("append").parquet(dlqDir)
-          val mx = batch.agg(max(col("ts"))).collect()(0)
+          val mx = batch.agg(max(unix_micros(col("ts")))).collect()(0)
           if (!mx.isNullAt(0)) {
-            val cand = mx.getLong(0) - delayNs
+            val cand = mx.getLong(0) - delayUs
             if (cand > wm.get()) wm.set(cand)
           }
         }
@@ -702,8 +724,11 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      events.schema
     }
-    graft.sources.TableLoader.normalizeNanos(
-      spark.read.schema(rawSchema).parquet(dlqDir), "ts")
+    // explicit schema: an all-on-time run leaves the DLQ dir empty,
+    // where schema inference would fail
+    spark.read.schema(dlqSchema).parquet(dlqDir)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
   }
 }

@@ -116,7 +116,8 @@ class EventStreamSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-ms-batches-")
     dir.toFile.deleteOnExit()
     val us = unix_micros(col("ts").cast("timestamp"))
-    // raw nanos back in a LONG column so the stream reader's rawSchema applies
+    // raw nanos back in a LONG column: exercises eventSource's
+    // nanos-long dispatch arm (the testdata itself is micros)
     def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       df.withColumn("ts", (us * 1000).cast("long"))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -135,10 +136,8 @@ class EventStreamSpec extends SparkSpec {
     }
     val spark2 = spark
     import spark2.implicits._
-    val raw = spark.readStream.schema(EventStream.rawSchema)
-      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
     val streamed = {
-      val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val events = EventStream.eventSource(spark, flat.toString, maxFilesPerTrigger = Some(1))
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
         .as[EventStream.Event]
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -232,19 +231,59 @@ class EventStreamSpec extends SparkSpec {
     val got = dlq.select(col("event_id")).collect().map(_.getLong(0)).toSet
     assert(got.nonEmpty, "the hash-batched event stream must produce late rows")
     assert(!got.exists(_ % n == 0), "batch 0 has no prior watermark - never late")
-    // independent replay of the watermark rule in plain Scala
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"), col("ts")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))) // ts still raw nanos
-    val delayNs = 3600L * 1000000000L
+    // independent replay of the watermark rule in plain Scala —
+    // event times as epoch micros of the NORMALIZED column, so the
+    // replay is independent of the file's physical ts encoding
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val delayUs = 3600L * 1000000L
     val batchMax = ev.groupBy(_._1 % n).view.mapValues(_.map(_._2).max).toMap
     val expected = ev.filter { case (id, ts) =>
       val k = id % n
       val prior = (0L until k).map(batchMax)
       // strict <: a row exactly at the watermark is on-time
-      prior.nonEmpty && ts < prior.max - delayNs
+      prior.nonEmpty && ts < prior.max - delayUs
     }.map(_._1).toSet
     assert(got == expected)
+  }
+
+  test("eventSource contract: micros-timestamp and nanos-long files give identical output through every ts-sensitive entry point; anything else fails loudly") {
+    // the same 3000 events written under BOTH physical encodings the
+    // source supports — the driver testdata has flipped between them,
+    // and a silent mis-dispatch is 1000x wrong on every watermark
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+      .orderBy(col("event_id")).limit(3000)
+    val base = tmpDir("graft-enc-")
+    val microsDir = s"$base/micros"
+    val nanosDir = s"$base/nanos"
+    ev.coalesce(1).write.parquet(microsDir) // ts: TIMESTAMP_NTZ -> TIMESTAMP(MICROS)
+    ev.withColumn("ts", (unix_micros(col("ts").cast("timestamp")) * 1000).cast("long"))
+      .coalesce(1).write.parquet(nanosDir) // ts: raw nanos INT64
+    def uniq(tag: String): String =
+      tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val entries: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "hourly" -> (p => EventStream.runToBatch(spark, p, uniq("enc_hr"))),
+      "hopping" -> (p => EventStream.runHoppingToBatch(spark, p, uniq("enc_hop"))),
+      "sessions" -> (p => EventStream.runSessionsToBatch(spark, p, queryName = uniq("enc_sess"))),
+      "dedup" -> (p => EventStream.runDedupToBatch(spark, p, uniq("enc_dd"))),
+      "milestones" -> (p => EventStream.runMilestonesToBatch(spark, p, queryName = uniq("enc_ms"))),
+      "milestones_v2" -> (p => EventStream.runMilestonesV2ToBatch(spark, p, queryName = uniq("enc_ms2"))),
+      "attribution" -> (p => EventStream.runAttributionToBatch(spark, p, uniq("enc_attr"))),
+      "dlq" -> (p => EventStream.lateDataDlq(spark, p, nBatches = 3, queryName = uniq("enc_dlq"))))
+    entries.foreach { case (name, run) =>
+      val a = run(microsDir)
+      val b = run(nanosDir)
+      assert(a.schema == b.schema, s"$name: schemas diverge across encodings")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$name: output differs between micros-timestamp and nanos-long encodings")
+    }
+    // a ts column that is neither encoding must be rejected, never guessed
+    val badDir = s"$base/bad"
+    ev.withColumn("ts", col("ts").cast("string")).coalesce(1).write.parquet(badDir)
+    val e = intercept[IllegalArgumentException] { EventStream.eventSource(spark, badDir) }
+    assert(e.getMessage.contains("refusing to guess"))
   }
 
   test("streamNearDup: union of batch emissions equals the one-shot LSH pair set; restart emits nothing new") {
