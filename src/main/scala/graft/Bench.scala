@@ -62,10 +62,20 @@ object Bench {
       val ok = timesByName(name).filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }.toMap
+    // mean-of-reps alongside min: a query whose mean ≫ min hit
+    // transient host interference in some pass; a real regression
+    // moves min and mean together. (r8 post-mortem: untouched queries
+    // "doubled" under a slow block that min-of-2 didn't fully absorb —
+    // the spread is what tells the two cases apart.)
+    val means = names.map { name =>
+      val ok = timesByName(name).filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.sum / ok.size else -1.0)
+    }.toMap
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // total = successes only; -1 sentinels stay visible per-query but
     // must not shrink the headline number
     val total = results.values.filter(_ >= 0).sum
+    val totalMean = means.values.filter(_ >= 0).sum
     // The driver keeps only the last ~2000 chars of stdout; a JSON
     // line carrying all ~90 per-query times (~3.6 KB) gets its head
     // (metric/value) truncated away and the round's bench is recorded
@@ -75,7 +85,9 @@ object Bench {
     // they're the informative ones), with the rest summarized.
     val fullQs = names.sorted.map(n => "\"" + n + "\":" + r3(results(n)))
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    val fullMeans = names.sorted.map(n => "\"" + n + "\":" + r3(means(n)))
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"reps":$reps,"queries":$fullQs,"total_mean":${r3(totalMean)},"queries_mean":$fullMeans,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
@@ -91,7 +103,7 @@ object Bench {
     }
     val restN = names.size - picked.size
     val restSec = bySlow.drop(picked.size).map(results).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"queries":${picked.mkString("{", ",", "}")},"omitted":{"n":$restN,"sec":${r3(restSec)}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"total_mean":${r3(totalMean)},"queries":${picked.mkString("{", ",", "}")},"omitted":{"n":$restN,"sec":${r3(restSec)}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1441,28 +1441,125 @@ object Queries {
          |  least(1.0, (CAST(nt AS DOUBLE) / 100) * 0.5 + ((CAST(hits AS DOUBLE) / nt) * 5) * 0.5) AS quality_score
          |FROM q""".stripMargin))
 
+  /** Shared DuckDB re-derivation of the stopword-vote language ID:
+    * the h/m CTE block and the winner CASE — used by the langid
+    * query and by its classification-report evaluation (#84b).
+    */
+  private val langidCtes: String = {
+    val hits = graft.operators.TextAnalysis.Stopwords
+      .map { case (code, words) => s"${duckHits(words)} AS c_$code" }
+      .mkString(",\n    ")
+    val codes = graft.operators.TextAnalysis.Stopwords.map(_._1)
+    s"""h AS (
+       |  SELECT doc_id, lang, $hits
+       |  FROM documents
+       |), m AS (
+       |  SELECT *, greatest(${codes.map("c_" + _).mkString(", ")}) AS m FROM h
+       |)""".stripMargin
+  }
+  private val langidCase: String = {
+    val whens = graft.operators.TextAnalysis.Stopwords.map(_._1)
+      .map(c => s"WHEN c_$c = m THEN '$c'").mkString(" ")
+    s"CASE WHEN m = 0 THEN 'und' $whens ELSE 'und' END"
+  }
+
   /** #30 Language ID by stopword voting; deterministic tie-break. */
   val qTextLangid: QueryDef = QueryDef(
     run = (s, dir) =>
       graft.operators.TextAnalysis.withLangId(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("lang_pred")),
-    oracle = {
-      val hits = graft.operators.TextAnalysis.Stopwords
-        .map { case (code, words) => s"${duckHits(words)} AS c_$code" }
-        .mkString(",\n    ")
-      val codes = graft.operators.TextAnalysis.Stopwords.map(_._1)
-      val whens = codes.map(c => s"WHEN c_$c = m THEN '$c'").mkString(" ")
-      Some(
-        s"""WITH h AS (
-           |  SELECT doc_id, lang, $hits
-           |  FROM documents
-           |), m AS (
-           |  SELECT *, greatest(${codes.map("c_" + _).mkString(", ")}) AS m FROM h
-           |)
-           |SELECT doc_id, lang,
-           |  CASE WHEN m = 0 THEN 'und' $whens ELSE 'und' END AS lang_pred
-           |FROM m""".stripMargin)
-    })
+    oracle = Some(
+      s"""WITH $langidCtes
+         |SELECT doc_id, lang,
+         |  $langidCase AS lang_pred
+         |FROM m""".stripMargin))
+
+  /** #84b Classification report of the langid heuristic against the
+    * corpus truth label: per-class (tp, fp, fn) from one contingency
+    * pass, precision/recall/F1 in floor-divided basis points — all
+    * integer arithmetic, so the whole evaluation hash-matches DuckDB
+    * (see [[graft.operators.Evaluation.classificationReport]]).
+    */
+  val qEvalLangid: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Evaluation.classificationReport(
+        graft.operators.TextAnalysis.withLangId(t(s, dir, "documents")),
+        col("lang"), col("lang_pred")),
+    oracle = Some(
+      s"""WITH $langidCtes, p AS (
+         |  SELECT lang AS truth, $langidCase AS pred FROM m
+         |), cells AS (
+         |  SELECT truth, pred, count(*) AS n FROM p GROUP BY 1, 2
+         |), tpx AS (
+         |  SELECT truth AS label, n AS tp FROM cells WHERE truth = pred
+         |), bt AS (
+         |  SELECT truth AS label, sum(n) AS n_truth FROM cells GROUP BY 1
+         |), bpp AS (
+         |  SELECT pred AS label, sum(n) AS n_pred FROM cells GROUP BY 1
+         |), j AS (
+         |  SELECT coalesce(bt.label, bpp.label) AS label,
+         |         coalesce(tpx.tp, 0) AS tp,
+         |         coalesce(bpp.n_pred, 0) - coalesce(tpx.tp, 0) AS fp,
+         |         coalesce(bt.n_truth, 0) - coalesce(tpx.tp, 0) AS fn
+         |  FROM bt FULL JOIN bpp ON bt.label = bpp.label
+         |  LEFT JOIN tpx ON coalesce(bt.label, bpp.label) = tpx.label
+         |)
+         |SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |       ELSE CAST(tp * 10000 // (tp + fp) AS BIGINT) END AS precision_bp,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |       ELSE CAST(tp * 10000 // (tp + fn) AS BIGINT) END AS recall_bp,
+         |  CASE WHEN tp * 2 + fp + fn = 0 THEN NULL
+         |       ELSE CAST(tp * 20000 // (tp * 2 + fp + fn) AS BIGINT) END AS f1_bp
+         |FROM j""".stripMargin))
+
+  /** #84 Exact ROC AUC of the linear quality score against the
+    * is-English label, Mann-Whitney tie convention, computed on the
+    * grouped score distribution (one aggregation + a
+    * |distinct scores|-sized window — never row pairs; see
+    * [[graft.operators.Evaluation.aucExact]]). Doubled-U numerator
+    * and floor division keep it integer-exact end to end.
+    */
+  val qEvalAuc: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Evaluation.aucExact(
+        graft.operators.TextAnalysis.qualityLinear(t(s, dir, "documents")),
+        col("lang") === "en", col("q_score"))
+        .select(col("n_pos"), col("n_neg"), col("auc_bp")),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+        |        'that', 'it', 'was', 'for'))) AS BIGINT) AS stop_hits
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, lang, n_words, stop_hits,
+        |    CASE WHEN n_words > 0 THEN word_chars * 10 // n_words ELSE 0 END AS mwl10
+        |  FROM m
+        |), scored AS (
+        |  SELECT (lang = 'en') AS label,
+        |    2 * least(n_words, 100) + 25 * stop_hits - abs(mwl10 - 50) AS score
+        |  FROM f
+        |), bys AS (
+        |  SELECT score,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+        |  FROM scored GROUP BY score
+        |), r AS (
+        |  SELECT *, coalesce(sum(n_neg) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM bys
+        |)
+        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |       CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |       CAST(sum(n_pos * (2 * neg_below + n_neg)) * 10000
+        |            // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_bp
+        |FROM r""".stripMargin))
 
   /** #33 Fingerprint: 64-bit FNV-1a rolling hash (custom codegen'd
     * expression), fully oracled: the hash is deterministic integer
@@ -5452,6 +5549,8 @@ object Queries {
     "text_bpe_pairs" -> qBpePairs,
     "text_bpe_merges" -> qBpeMerges,
     "q_quality_score" -> qQualityScore,
+    "q_eval_auc" -> qEvalAuc,
+    "q_eval_report" -> qEvalLangid,
     "sim_pq_topk" -> qSimPqTopk,
     "sim_ivfpq_topk" -> qSimIvfPqTopk,
     "sim_ivfpq_rerank" -> qSimIvfPqRerank,
