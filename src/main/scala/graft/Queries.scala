@@ -1561,6 +1561,96 @@ object Queries {
         |            // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_bp
         |FROM r""".stripMargin))
 
+  /** #84c Score-calibration table: the quality score rank-bucketed
+    * into 10 bands on the grouped distribution (bin(s) =
+    * ⌊rows_below(s)·10/n⌋ — all rows of one score share a bin, no
+    * per-row tiebreak, no global row sort), per-band exact positive
+    * rate in basis points (see [[graft.operators.Evaluation.calibration]]).
+    */
+  val qEvalCalibration: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Evaluation.calibration(
+        graft.operators.TextAnalysis.qualityLinear(t(s, dir, "documents")),
+        col("lang") === "en", col("q_score"), nBins = 10),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+        |        'that', 'it', 'was', 'for'))) AS BIGINT) AS stop_hits
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, lang, n_words, stop_hits,
+        |    CASE WHEN n_words > 0 THEN word_chars * 10 // n_words ELSE 0 END AS mwl10
+        |  FROM m
+        |), scored AS (
+        |  SELECT (lang = 'en') AS label,
+        |    2 * least(n_words, 100) + 25 * stop_hits - abs(mwl10 - 50) AS score
+        |  FROM f
+        |), bys AS (
+        |  SELECT score,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    count(*) AS n
+        |  FROM scored GROUP BY score
+        |), r AS (
+        |  SELECT *,
+        |    coalesce(sum(n) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rows_below,
+        |    sum(n) OVER () AS n_total
+        |  FROM bys
+        |), b AS (
+        |  SELECT rows_below * 10 // n_total AS bin, n, n_pos, score FROM r
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_pos) * 10000 // sum(n) AS BIGINT) AS pos_rate_bp,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score
+        |FROM b GROUP BY bin""".stripMargin))
+
+  /** #84d Cohen's kappa of the langid heuristic vs the truth label:
+    * chance-corrected agreement from the same contingency pass as the
+    * classification report, cross-multiplied exact, division
+    * truncating toward zero on BOTH engines (DuckDB's `//` floors, so
+    * the oracle sign-folds; see [[graft.operators.Evaluation.cohensKappa]]).
+    */
+  val qEvalKappa: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Evaluation.cohensKappa(
+        graft.operators.TextAnalysis.withLangId(t(s, dir, "documents")),
+        col("lang"), col("lang_pred")),
+    oracle = Some(
+      s"""WITH $langidCtes, p AS (
+         |  SELECT lang AS truth, $langidCase AS pred FROM m
+         |), cells AS (
+         |  SELECT truth, pred, count(*) AS n FROM p GROUP BY 1, 2
+         |), bt AS (
+         |  SELECT truth AS label, sum(n) AS n_truth FROM cells GROUP BY 1
+         |), bpp AS (
+         |  SELECT pred AS label, sum(n) AS n_pred FROM cells GROUP BY 1
+         |), ex AS (
+         |  SELECT coalesce(sum(n_truth * n_pred), 0) AS sum_exp
+         |  FROM bt JOIN bpp ON bt.label = bpp.label
+         |), ag AS (
+         |  SELECT sum(n) AS n,
+         |    coalesce(sum(n) FILTER (truth = pred), 0) AS observed_agree
+         |  FROM cells
+         |)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CAST(observed_agree AS BIGINT) AS observed_agree,
+         |  CASE WHEN n * n - sum_exp = 0 THEN NULL
+         |       WHEN n * observed_agree - sum_exp < 0 THEN
+         |         CAST(-((-(n * observed_agree - sum_exp)) * 10000
+         |               // (n * n - sum_exp)) AS BIGINT)
+         |       ELSE
+         |         CAST((n * observed_agree - sum_exp) * 10000
+         |              // (n * n - sum_exp) AS BIGINT) END AS kappa_bp
+         |FROM ag, ex""".stripMargin))
+
   /** #33 Fingerprint: 64-bit FNV-1a rolling hash (custom codegen'd
     * expression), fully oracled: the hash is deterministic integer
     * arithmetic, so DuckDB re-derives it from first principles —
@@ -5551,6 +5641,8 @@ object Queries {
     "q_quality_score" -> qQualityScore,
     "q_eval_auc" -> qEvalAuc,
     "q_eval_report" -> qEvalLangid,
+    "q_eval_calibration" -> qEvalCalibration,
+    "q_eval_kappa" -> qEvalKappa,
     "sim_pq_topk" -> qSimPqTopk,
     "sim_ivfpq_topk" -> qSimIvfPqTopk,
     "sim_ivfpq_rerank" -> qSimIvfPqRerank,

@@ -112,4 +112,96 @@ object Evaluation {
       .withColumn("recall_bp", bp("tp", "tp + fn"))
       .withColumn("f1_bp", bp("tp * 2", "tp * 2 + fp + fn"))
   }
+
+  /** Score-calibration table: does a higher score actually mean a
+    * higher positive rate? Rows are bucketed into `nBins` rank bands
+    * of the score distribution and each band reports its exact
+    * positive rate in basis points.
+    *
+    * Binning is defined on the GROUPED distribution, not per row:
+    * bin(s) = ⌊rows_below(s) · nBins / n⌋, so every row with the same
+    * score lands in the same bin — deterministic on any engine, no
+    * per-row tiebreak, and no global row sort. The plan is the
+    * aucExact shape: one map-side-combined groupBy(score), a
+    * |distinct scores|-sized running-sum window, and a second small
+    * aggregation — the same cost at 100 TB as at 1 GB once the score
+    * domain is bounded (integral scores). Under heavy ties bins can
+    * be unequal-sized or empty (a value band holds all its rows);
+    * emitted bins are exactly those that own ≥1 row.
+    *
+    * Returns (bin, n, n_pos, pos_rate_bp, min_score, max_score),
+    * pos_rate_bp = ⌊10⁴·n_pos/n⌋ via integral DECIMAL division.
+    */
+  def calibration(df: DataFrame, labelCol: Column, scoreCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val byScore = df
+      .filter(labelCol.isNotNull)
+      .select(scoreCol.cast("long").as("score"),
+        when(labelCol.cast("boolean"), 1L).otherwise(0L).as("p"))
+      .groupBy(col("score"))
+      .agg(sum(col("p")).as("n_pos"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("rows_below", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
+      // ⌊rows_below·nBins/n⌋ in decimal: rows_below·nBins wraps a long
+      // once n ≳ 9e17/nBins — the same silent-overflow class as AUC
+      .withColumn("bin", expr(
+        s"CAST(CAST(rows_below AS DECIMAL(38,0)) * $nBins DIV CAST(n_total AS DECIMAL(38,0)) AS BIGINT)"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("n_pos")).as("n_pos"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .withColumn("pos_rate_bp", expr(
+        """CAST(CAST(n_pos AS DECIMAL(38,0)) * 10000
+          |     DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .select(col("bin"), col("n"), col("n_pos"), col("pos_rate_bp"),
+        col("min_score"), col("max_score"))
+  }
+
+  /** Cohen's kappa between two labelings (truth vs prediction, or two
+    * classifiers): chance-corrected agreement, exact in cross-
+    * multiplied basis points. From the same one-pass contingency as
+    * classificationReport: with n = Σ cells, observed Σtp and
+    * expected Σ(n_truth·n_pred),
+    * κ = (n·Σtp − Σ(nt·np)) / (n² − Σ(nt·np)) — one integral division
+    * over DECIMAL(38,0) products (n² wraps a long past n ≈ 3e9).
+    * κ may be negative (worse than chance); the division TRUNCATES
+    * toward zero (Spark DIV semantics — a floor-division engine must
+    * sign-fold to match). NULL labels fold in null-safely, matching
+    * classificationReport.
+    *
+    * Returns one row: (n, observed_agree, kappa_bp); κ of a
+    * constant-label degenerate table (denominator 0) is NULL.
+    */
+  def cohensKappa(df: DataFrame, truthCol: Column, predCol: Column): DataFrame = {
+    val cells = df
+      .select(truthCol.as("truth"), predCol.as("pred"))
+      .groupBy(col("truth"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val byTruth = cells.groupBy(col("truth").as("t_label"))
+      .agg(sum(col("n")).as("n_truth"))
+    val byPred = cells.groupBy(col("pred").as("p_label"))
+      .agg(sum(col("n")).as("n_pred"))
+    val expected = byTruth
+      .join(byPred, col("t_label") <=> col("p_label"), "inner")
+      .agg(coalesce(sum(expr(
+        "CAST(n_truth AS DECIMAL(38,0)) * CAST(n_pred AS DECIMAL(38,0))")),
+        lit(0).cast("decimal(38,0)")).as("sum_exp"))
+    cells
+      .agg(
+        sum(col("n")).as("n"),
+        coalesce(sum(when(col("truth") <=> col("pred"), col("n"))), lit(0L))
+          .as("observed_agree"))
+      .crossJoin(expected)
+      .withColumn("kappa_bp", expr(
+        """CASE WHEN CAST(n AS DECIMAL(38,0)) * n - sum_exp = 0 THEN CAST(NULL AS BIGINT)
+          |     ELSE CAST((CAST(n AS DECIMAL(38,0)) * observed_agree - sum_exp) * 10000
+          |               DIV (CAST(n AS DECIMAL(38,0)) * n - sum_exp) AS BIGINT) END""".stripMargin))
+      .select(col("n"), col("observed_agree"), col("kappa_bp"))
+  }
 }

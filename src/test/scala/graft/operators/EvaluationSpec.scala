@@ -86,6 +86,59 @@ class EvaluationSpec extends SparkSpec {
     assert(got("d")._2 == ((Some(0L), None, Some(0L)))) // never true: recall undefined
   }
 
+  test("calibration: grouped-distribution binning, all rows of one score share a bin") {
+    val s = spark
+    import s.implicits._
+    // scores 0..9 once each, label = score >= 5, 10 bins: one score
+    // per bin, pos rate 0 or 10000
+    val clean = (0L to 9L).map(sc => (sc >= 5L, sc)).toDF("label", "score")
+    val bins = Evaluation.calibration(clean, col("label"), col("score"), nBins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(bins.keySet == (0L to 9L).toSet)
+    (0L to 9L).foreach { b =>
+      assert(bins(b) == ((1L, if (b >= 5) 1L else 0L, if (b >= 5) 10000L else 0L, b, b)))
+    }
+    // ties: {1,1,1,2} with 2 bins -> score 1 wholly in bin 0 (3 rows),
+    // score 2 in bin 1 (rows_below=3, 3*2/4=1)
+    val tied = Seq((false, 1L), (true, 1L), (false, 1L), (true, 2L)).toDF("label", "score")
+    val tb = Evaluation.calibration(tied, col("label"), col("score"), nBins = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(tb(0L) == ((3L, 1L, 3333L)))
+    assert(tb(1L) == ((1L, 1L, 10000L)))
+    // degenerate: every row the same score -> one bin holding everything
+    val const = Seq((true, 7L), (false, 7L)).toDF("label", "score")
+    val cb = Evaluation.calibration(const, col("label"), col("score"), nBins = 10).collect()
+    assert(cb.length == 1 && cb(0).getLong(0) == 0L && cb(0).getLong(1) == 2L)
+  }
+
+  test("cohensKappa matches hand-computed values incl. perfect, chance, and negative agreement") {
+    val s = spark
+    import s.implicits._
+    def kappa(rows: Seq[(String, String)]): (Long, Long, Option[Long]) = {
+      val r = Evaluation.cohensKappa(rows.toDF("t", "p"), col("t"), col("p")).head()
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    // perfect agreement: kappa = 1
+    assert(kappa(Seq(("a", "a"), ("b", "b"), ("a", "a"))) == ((3L, 3L, Some(10000L))))
+    // classic textbook 2x2: po=0.7, pe=0.5, kappa=0.4 -> truncated 3999
+    // n=20: diag a:6, b:8; off-diag (a,b):2, (b,a):4
+    // marginals: t_a=8,t_b=12; p_a=10,p_b=10; sum_exp=80+120=200
+    // kappa = (20*14-200)/(400-200) = 80/200 = 0.4 exactly -> 4000
+    val classic = Seq.fill(6)(("a", "a")) ++ Seq.fill(8)(("b", "b")) ++
+      Seq.fill(2)(("a", "b")) ++ Seq.fill(4)(("b", "a"))
+    assert(kappa(classic) == ((20L, 14L, Some(4000L))))
+    // worse than chance: balanced total disagreement, kappa = -1
+    assert(kappa(Seq(("a", "b"), ("b", "a"))) == ((2L, 0L, Some(-10000L))))
+    // fractional negative: truncation toward zero, not floor
+    // cells (a,b):2,(b,a):1,(b,b):1 -> n=4, agree=1
+    // marginals t: a=2,b=2; p: a=1,b=3 -> sum_exp=2*1+2*3=8
+    // kappa = (4*1-8)/(16-8) = -4/8 = -0.5 -> -5000 exact
+    assert(kappa(Seq(("a", "b"), ("a", "b"), ("b", "a"), ("b", "b"))) == ((4L, 1L, Some(-5000L))))
+    // degenerate one-cell table: denominator 0 -> NULL
+    assert(kappa(Seq(("a", "a"), ("a", "a"))) == ((2L, 2L, None)))
+  }
+
   test("classificationReport folds NULL-labeled rows into one consistent row") {
     val s = spark
     import s.implicits._
