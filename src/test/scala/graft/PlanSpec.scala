@@ -276,4 +276,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("AUC and calibration collapse to the grouped score distribution before any window") {
+    // the window must run over |distinct scores| rows, never |rows|:
+    // a partial+final hash aggregate keyed on score sits below it
+    Seq(Queries.qEvalAuc.run(spark, sfDir),
+        Queries.qEvalCalibration.run(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("partial_"), p)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+      val aggIdx = p.indexOf("HashAggregate")
+      val winIdx = p.indexOf("Window")
+      assert(winIdx >= 0 && aggIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"),
+        s"window must sit above the score-grouping aggregate\n$p")
+    }
+  }
+
+  test("kappa: contingency combines map-side; the expected-agreement scalar broadcasts") {
+    val p = plan(Queries.qEvalKappa.run(spark, sfDir))
+    assert(p.contains("partial_"), p)
+    // the 1-row expected-sum side joins as a broadcast, never a
+    // shuffled cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
