@@ -80,7 +80,17 @@ object Scale {
         operators.Dedup.exact(
           scored.filter(col("quality_score") >= 0.45 && col("n_tokens") >= 20),
           "text", "doc_id")
-      }))
+      }),
+      // evaluation family: one score-keyed combine + a vocab-sized
+      // window — corpus-linear scan, constant-size window state
+      "q_eval_auc" -> ((docs: DataFrame) =>
+        operators.Evaluation.aucExact(
+          operators.TextAnalysis.qualityLinear(docs),
+          col("lang") === "en", col("q_score"))),
+      "q_eval_calibration" -> ((docs: DataFrame) =>
+        operators.Evaluation.calibration(
+          operators.TextAnalysis.qualityLinear(docs),
+          col("lang") === "en", col("q_score"))))
 
     val embRuns: Seq[(String, DataFrame => DataFrame)] = Seq(
       "dedup_embedding_lsh" -> ((emb: DataFrame) =>
