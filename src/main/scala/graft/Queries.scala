@@ -1561,6 +1561,54 @@ object Queries {
         |            // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_bp
         |FROM r""".stripMargin))
 
+  /** #84e Per-segment exact ROC AUC (grouped by `source`): the slice
+    * view that catches a classifier that's great on average and
+    * broken on one segment. The running-sum window partitions by the
+    * group — the preferred scale shape whenever a segmentation
+    * exists (see [[graft.operators.Evaluation.aucExactBy]]).
+    */
+  val qEvalAucBy: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Evaluation.aucExactBy(
+        graft.operators.TextAnalysis.qualityLinear(t(s, dir, "documents")),
+        col("source"), col("lang") === "en", col("q_score"))
+        .select(col("grp").as("source"), col("n_pos"), col("n_neg"), col("auc_bp")),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+        |        'that', 'it', 'was', 'for'))) AS BIGINT) AS stop_hits
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, lang, source, n_words, stop_hits,
+        |    CASE WHEN n_words > 0 THEN word_chars * 10 // n_words ELSE 0 END AS mwl10
+        |  FROM m
+        |), scored AS (
+        |  SELECT source, (lang = 'en') AS label,
+        |    2 * least(n_words, 100) + 25 * stop_hits - abs(mwl10 - 50) AS score
+        |  FROM f
+        |), bys AS (
+        |  SELECT source, score,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+        |  FROM scored GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, coalesce(sum(n_neg) OVER (PARTITION BY source ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM bys
+        |)
+        |SELECT source,
+        |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(n_pos) = 0 OR sum(n_neg) = 0 THEN NULL
+        |       ELSE CAST(sum(n_pos * (2 * neg_below + n_neg)) * 10000
+        |                 // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) END AS auc_bp
+        |FROM r GROUP BY source""".stripMargin))
+
   /** #84c Score-calibration table: the quality score rank-bucketed
     * into 10 bands on the grouped distribution (bin(s) =
     * ⌊rows_below(s)·10/n⌋ — all rows of one score share a bin, no
@@ -5643,6 +5691,7 @@ object Queries {
     "q_eval_report" -> qEvalLangid,
     "q_eval_calibration" -> qEvalCalibration,
     "q_eval_kappa" -> qEvalKappa,
+    "q_eval_auc_by" -> qEvalAucBy,
     "sim_pq_topk" -> qSimPqTopk,
     "sim_ivfpq_topk" -> qSimIvfPqTopk,
     "sim_ivfpq_rerank" -> qSimIvfPqRerank,

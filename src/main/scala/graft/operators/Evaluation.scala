@@ -66,6 +66,44 @@ object Evaluation {
           .otherwise(expr("CAST(auc_num * 10000 DIV auc_den AS BIGINT)")))
   }
 
+  /** Per-GROUP exact ROC AUC: aucExact partitioned by a segment
+    * column (per-language, per-source, per-shard model quality — the
+    * slice view that catches a classifier that's great on average and
+    * broken on one segment). Same grouped-distribution algorithm and
+    * exactness as [[aucExact]], but the running-sum window partitions
+    * by the group — so unlike the global variant's single ordered
+    * frame, this shape spreads across the cluster by group and is the
+    * PREFERRED form at scale whenever a segmentation exists.
+    *
+    * Returns one row per group:
+    * (group, n_pos, n_neg, auc_num, auc_den, auc_bp); single-class
+    * groups yield NULL auc_bp.
+    */
+  def aucExactBy(df: DataFrame, groupCol: Column, labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val byScore = df
+      .filter(labelCol.isNotNull)
+      .select(groupCol.as("grp"), scoreCol.cast("long").as("score"),
+        when(labelCol.cast("boolean"), 1L).otherwise(0L).as("p"))
+      .groupBy(col("grp"), col("score"))
+      .agg(sum(col("p")).as("n_pos"), sum(lit(1L) - col("p")).as("n_neg"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    byScore
+      .withColumn("neg_below", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        sum(dec(col("n_pos")) * (dec(col("neg_below")) * 2 + dec(col("n_neg"))))
+          .cast("decimal(38,0)").as("auc_num"))
+      .withColumn("auc_den", (dec(col("n_pos")) * dec(col("n_neg")) * 2).cast("decimal(38,0)"))
+      .withColumn("auc_bp",
+        when(col("auc_den") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(auc_num * 10000 DIV auc_den AS BIGINT)")))
+  }
+
   /** Per-class precision/recall/F1 of a hard prediction against the
     * true label, exact rational arithmetic: each class row carries
     * (tp, fp, fn) plus basis-point precision = ⌊10⁴·tp/(tp+fp)⌋,

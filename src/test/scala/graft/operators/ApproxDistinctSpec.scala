@@ -49,6 +49,26 @@ class ApproxDistinctSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile locked vector: single-partition GK is deterministic and exact on small inputs") {
+    val s = spark
+    import s.implicits._
+    // GK with accuracy >= n keeps every value: the sketch answer IS
+    // the exact lower-interpolation percentile, and with one
+    // partition the merge tree is fixed — so the outputs are a locked
+    // contract, not a tolerance band
+    val df = (1L to 100L).map(_.toDouble).toDF("v").repartition(1)
+    def run() = df.agg(approx_percentile(col("v"),
+        array(lit(0.1), lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("q"))
+      .head().getSeq[Double](0)
+    assert(run() == Seq(10.0, 50.0, 90.0, 99.0))
+    assert(run() == run(), "same input + partitioning must reproduce bit-for-bit")
+    // tie-heavy locked vector: the sketch must sit on a real value
+    val tied = Seq.fill(50)(7.0).concat(Seq.fill(50)(9.0)).toDF("v").repartition(1)
+    val tq = tied.agg(approx_percentile(col("v"), array(lit(0.25), lit(0.75)), lit(1000)))
+      .head().getSeq[Double](0)
+    assert(tq == Seq(7.0, 9.0))
+  }
+
   test("reproducibleStratified: exact fraction semantics, run-stable, oracle formula") {
     val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
     def run() = Sampling.reproducibleStratified(docs, "lang", "doc_id", Map("en" -> 0.25))

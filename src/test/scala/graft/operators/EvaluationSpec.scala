@@ -86,6 +86,27 @@ class EvaluationSpec extends SparkSpec {
     assert(got("d")._2 == ((Some(0L), None, Some(0L)))) // never true: recall undefined
   }
 
+  test("aucExactBy: each group's AUC equals the global operator run on that group alone") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)((Seq("a", "b", "c")(rnd.nextInt(3)),
+      rnd.nextBoolean(), rnd.nextInt(8).toLong))
+    val df = rows.toDF("grp", "label", "score")
+    val byGroup = Evaluation.aucExactBy(df, col("grp"), col("label"), col("score"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    Seq("a", "b", "c").foreach { g =>
+      val sub = rows.filter(_._1 == g).map(t => (t._2, t._3))
+      assert(byGroup(g) == pairwiseAucBp(sub), s"group $g")
+    }
+    // a single-class group must yield NULL, not poison the others
+    val withDegenerate = (rows ++ Seq.fill(5)(("d", true, 3L))).toDF("grp", "label", "score")
+    val d = Evaluation.aucExactBy(withDegenerate, col("grp"), col("label"), col("score"))
+      .filter(col("grp") === "d").head()
+    assert(d.isNullAt(5))
+  }
+
   test("calibration: grouped-distribution binning, all rows of one score share a bin") {
     val s = spark
     import s.implicits._
