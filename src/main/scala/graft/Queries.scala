@@ -1933,7 +1933,7 @@ object Queries {
     * `GraftHash.hashedShingles` + `MinHashMix.{mix,signature,bandKeys}`
     * with n=5, numHashes=64, bands=16, threshold=0.5.
     */
-  private def minhashOracleSql: String = {
+  private def minhashOracleSqlWith(tail: String): String = {
     val M = "18446744073709551616"
     val B32 = "4294967296"
     val OFF = "14695981039346656037"
@@ -2030,23 +2030,61 @@ object Queries {
     parts +=
       s"""bkeys AS MATERIALIZED (
          |  SELECT doc_id, band, $k AS bkey FROM $src
-         |), cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |), sets AS (
          |  SELECT doc_id, list(sh) AS hs, count(*) AS nsh FROM shingles GROUP BY doc_id
          |)""".stripMargin
-    "WITH " + parts.result().mkString(",\n") +
-      s"""
-         |SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-         |    / (CAST(sa.nsh + sb.nsh AS DOUBLE) - CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)) AS jaccard
-         |FROM cands
-         |JOIN sets sa ON sa.doc_id = doc_a
-         |JOIN sets sb ON sb.doc_id = doc_b
-         |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-         |    / (CAST(sa.nsh + sb.nsh AS DOUBLE) - CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)) >= 0.5""".stripMargin
+    "WITH " + parts.result().mkString(",\n") + "\n" + tail
   }
+
+  /** The one-corpus minhash oracle: within-table candidates (a < b). */
+  private def minhashOracleSql: String = minhashOracleSqlWith(
+    """, cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+      |    / (CAST(sa.nsh + sb.nsh AS DOUBLE) - CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)) AS jaccard
+      |FROM cands
+      |JOIN sets sa ON sa.doc_id = doc_a
+      |JOIN sets sb ON sb.doc_id = doc_b
+      |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+      |    / (CAST(sa.nsh + sb.nsh AS DOUBLE) - CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)) >= 0.5""".stripMargin)
+
+  /** The cross-corpus (fuzzy-decontamination) tail: candidates join
+    * the train side (doc_id % 10 <> 0) against the holdout side
+    * (doc_id % 10 = 0) on band keys — no a<b ordering.
+    */
+  private def minhashCrossOracleSql: String = minhashOracleSqlWith(
+    """, cands AS (
+      |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS holdout_id
+      |  FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.bkey = b.bkey
+      |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      |)
+      |SELECT train_id, holdout_id,
+      |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+      |    / (CAST(sa.nsh + sb.nsh AS DOUBLE) - CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)) AS jaccard
+      |FROM cands
+      |JOIN sets sa ON sa.doc_id = train_id
+      |JOIN sets sb ON sb.doc_id = holdout_id
+      |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+      |    / (CAST(sa.nsh + sb.nsh AS DOUBLE) - CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)) >= 0.5""".stripMargin)
+
+  /** #45c Fuzzy benchmark decontamination: training docs flagged as
+    * MinHash-LSH near-duplicates of holdout docs — the
+    * paraphrase-robust complement of the exact shared-8-gram gate
+    * (#45). Same deterministic kernel as dedup_minhash_lsh, so the
+    * whole pipeline (both corpora banded, cross-candidates, exact
+    * Jaccard verify) is re-derived from first principles in DuckDB.
+    */
+  val qDecontamFuzzy: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    },
+    oracle = Some(minhashCrossOracleSql))
 
   /** #25 SimHash near-dup pairs (Hamming <= 3 via 16-bit banding),
     * fully oracled: the 4×16-bit pigeonhole banding provably catches
@@ -5637,6 +5675,7 @@ object Queries {
     "q_blocklist" -> qBlocklist,
     "decontam_ngram" -> qDecontam,
     "decontam_inc" -> qDecontamInc,
+    "decontam_fuzzy" -> qDecontamFuzzy,
     "q_importance" -> qImportance,
     "text_pack" -> qTextPack,
     "text_pack_ffd" -> qTextPackFfd,

@@ -50,6 +50,29 @@ object Curation {
         count_distinct(col("_test_id")).as("n_test_docs"))
   }
 
+  /** FUZZY benchmark decontamination: a training doc is flagged when
+    * it is a MinHash-LSH near-duplicate of a holdout doc (Jaccard ≥
+    * threshold on shingle sets) — the paraphrase-robust complement of
+    * the exact shared-n-gram gate above (a lightly reworded benchmark
+    * item shares few exact 8-grams but keeps high shingle Jaccard).
+    * Delegates to [[Dedup.minhashLshPairsCross]]: the holdout side is
+    * small and broadcasts; the training corpus is never shuffled by
+    * the candidate join. Returns flagged (train_id, holdout_id,
+    * jaccard) pairs; anti-join train against this to scrub.
+    */
+  def decontaminateFuzzy(
+      train: DataFrame,
+      holdout: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame =
+    Dedup.minhashLshPairsCross(train, holdout, idCol, textCol, n, numHashes, bands, threshold)
+      .withColumnRenamed("left_id", "train_id")
+      .withColumnRenamed("right_id", "holdout_id")
+
   /** Sequence packing, concatenate-and-cut style: documents are laid
     * end-to-end per partition (deterministic `orderCol` order) and
     * the token stream is cut into `budget`-sized packs; each doc gets

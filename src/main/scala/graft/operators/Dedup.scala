@@ -315,6 +315,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Cross-corpus MinHash-LSH near-dup pairs: the same banded kernel
+    * as [[minhashLshPairs]], but candidates come from band-key
+    * matches BETWEEN two tables (left ⋈ right, no a<b ordering) —
+    * the fuzzy face of benchmark decontamination: a training doc is
+    * flagged when it is NEAR a holdout doc, not only when it shares
+    * an exact n-gram. Both sides band with identical parameters (the
+    * band keys must agree bit-for-bit across tables), candidates are
+    * verified with exact Jaccard on the shingle-hash sets.
+    *
+    * Scale shape: in the decontamination use the right side (the
+    * benchmark/holdout corpus) is tiny next to the training corpus —
+    * its banded keys broadcast, so the candidate join never shuffles
+    * the training side; verification joins only the candidate list.
+    */
+  def minhashLshPairsCross(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("doc"), hashedShingles(col(textCol), n).as("hs"))
+        .filter(size(col("hs")) > 0)
+    def banded(d: DataFrame) = d.select(
+      col("doc"),
+      posexplode(graft.functions.MinHashFunctions.lshBandKeys(col("hs"), numHashes, bands))
+        .as(Seq("band", "bkey")))
+    val l = prep(left)
+    val r = prep(right)
+    val candidates = banded(l).as("a").join(banded(r).as("b"), Seq("band", "bkey"))
+      .select(col("a.doc").as("left_id"), col("b.doc").as("right_id"))
+      .distinct()
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val union = (col("nsh_a") + col("nsh_b")).cast("double") - inter
+    candidates
+      .join(l.select(col("doc").as("left_id"), col("hs").as("hs_a"),
+        size(col("hs")).as("nsh_a")), "left_id")
+      .join(r.select(col("doc").as("right_id"), col("hs").as("hs_b"),
+        size(col("hs")).as("nsh_b")), "right_id")
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   /** (numHashes, bands) derived from MEASURED corpus stats instead
     * of hand-tuning — the knob SCALE.md shows must move with corpus
     * size (fixed bands at 10× data = superlinear bucket occupancy).

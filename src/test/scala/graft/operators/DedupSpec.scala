@@ -128,6 +128,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashLshPairsCross equals the one-shot pair set restricted to straddling pairs") {
+    val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+    val holdout = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+    val cross = Dedup.minhashLshPairsCross(train, holdout, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // one-shot within-table pairs, direction-normalized to (train, holdout)
+    val oneShot = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .collect {
+        case ((a, b), j) if a % 10 != 0 && b % 10 == 0 => ((a, b), j)
+        case ((a, b), j) if a % 10 == 0 && b % 10 != 0 => ((b, a), j)
+      }.toMap
+    assert(cross == oneShot, "cross-corpus banding must surface exactly the straddling near-dups")
+    // the fuzzy decontaminator is the same pair set under train/holdout names
+    val fuzzy = Curation.decontaminateFuzzy(train, holdout)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(fuzzy == cross)
+  }
+
   test("simhashPairs: identical docs at hamming 0; unrelated absent") {
     val out = Dedup.simhashPairs(corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
