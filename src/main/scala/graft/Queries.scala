@@ -1267,6 +1267,45 @@ object Queries {
         queryName = "graft_stream_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")),
     oracle = qRangeJoin.oracle)
 
+  /** #22p Stream-stream LEFT OUTER interval join: every purchase
+    * emits — with its click when one landed in [p_ts, p_ts+30min],
+    * null-padded once the watermark proves no future click can match.
+    * The emission rule is itself SQL, and it surfaces a watermark
+    * subtlety the inner join never can: with TWO watermarked columns
+    * the engine's global watermark is the MIN of the per-side
+    * watermarks (least of the two ms-truncated maxima, minus the
+    * delay) — an oracle built on the overall max emits one purchase
+    * too many (verified empirically; the boundary comparison is
+    * untestable at micros-grain data, `<` used to match the
+    * engine's conservative eviction).
+    */
+  val qStreamLeftAttr: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.runLeftAttributionToBatch(
+        s, s"$dir/events.parquet",
+        queryName = "graft_stream_lattr_" + java.util.UUID.randomUUID().toString.replace("-", "")),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+        |), wm AS (
+        |  SELECT least((SELECT date_trunc('milliseconds', max(ts)) FROM c),
+        |               (SELECT date_trunc('milliseconds', max(ts)) FROM p))
+        |         - INTERVAL 1 HOUR AS w
+        |), unmatched AS (
+        |  SELECT p.user_id, p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id
+        |  FROM p, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |    AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE)
+        |    AND p.ts + INTERVAL 30 MINUTE < w
+        |)
+        |SELECT * FROM m UNION ALL SELECT * FROM unmatched""".stripMargin))
+
   /** #22c Streaming sessionization, oracled: append mode emits
     * exactly the sessions whose end the FINAL watermark passed
     * (max event time, millisecond-truncated as the engine tracks it,
@@ -5634,6 +5673,7 @@ object Queries {
     "q_stream_milestones" -> qStreamMilestones,
     "q_stream_milestones_v2" -> qStreamMilestonesV2,
     "q_stream_attribution" -> qStreamAttribution,
+    "q_stream_left_attr" -> qStreamLeftAttr,
     "q_stream_enrich" -> qStreamEnrich,
     "q_corr_subquery" -> qCorrSubquery,
     "q_sessionize" -> qSessionize,

@@ -40,6 +40,33 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("left-outer attribution: matches plus watermark-proven unmatched; global watermark is the MIN across sides") {
+    val streamed = EventStream.runLeftAttributionToBatch(spark, s"$sfDir/events.parquet",
+      queryName = "spec_lattr")
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val matched = purchases.join(clicks,
+      col("c_user_id") === col("user_id") &&
+        col("c_ts") >= col("p_ts") && col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+    // engine watermark = min over the two sides' (ms-truncated max - 1h)
+    def sideMax(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.agg(max(col(c))).head.getAs[java.time.LocalDateTime](0)
+        .truncatedTo(java.time.temporal.ChronoUnit.MILLIS)
+    val wm = Seq(sideMax(clicks, "c_ts"), sideMax(purchases, "p_ts"))
+      .min(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _)).minusHours(1)
+    val unmatched = purchases
+      .join(matched.select(col("purchase_id")), Seq("purchase_id"), "left_anti")
+      .filter(col("p_ts") + expr("INTERVAL 30 MINUTES") < lit(wm))
+      .select(col("user_id"), col("purchase_id"), lit(null).cast("long").as("click_id"))
+    val batch = matched.unionByName(unmatched)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("hopping windows equal the exploded-batch equivalent (2 windows per event)") {
     val streamed = EventStream.runHoppingToBatch(spark, s"$sfDir/events.parquet",
       queryName = "spec_hopping")
