@@ -1553,6 +1553,35 @@ object Queries {
          |       ELSE CAST(tp * 20000 // (tp * 2 + fp + fn) AS BIGINT) END AS f1_bp
          |FROM j""".stripMargin))
 
+  /** #84f Incremental classification-report maintenance: the
+    * contingency cells are ADDITIVE counts, so the model-quality
+    * report stays current as batches arrive by folding each batch's
+    * cells into the replay-safe IncrementalAgg state and deriving the
+    * report from the stored cells — continuous eval monitoring at
+    * O(batch) cost, never rescoring history. Associativity makes the
+    * result equal the one-shot report bit-for-bit (SAME oracle as
+    * q_eval_report); batch 2 is replayed to prove the fold is
+    * exactly-once under at-least-once delivery.
+    */
+  val qEvalReportInc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("eval-report-inc")
+      val scored = graft.operators.TextAnalysis.withLangId(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang").as("truth"), col("lang_pred").as("pred"),
+          lit(1L).as("one"))
+      def fold(batch: org.apache.spark.sql.DataFrame, id: Long) =
+        graft.operators.IncrementalAgg.refreshTable(
+          s, statePath, batch.drop("doc_id"), Seq("truth", "pred"), "one",
+          batchId = Some(id))
+      fold(scored.filter(col("doc_id") % 2 === 0), 1L)
+      fold(scored.filter(col("doc_id") % 2 === 1), 2L)
+      fold(scored.filter(col("doc_id") % 2 === 1), 2L) // replay: must be a no-op
+      graft.operators.Evaluation.reportFromCells(
+        graft.operators.IncrementalAgg.read(s, statePath, Seq("truth", "pred"))
+          .select(col("truth"), col("pred"), col("n")))
+    },
+    oracle = qEvalLangid.oracle)
+
   /** #84 Exact ROC AUC of the linear quality score against the
     * is-English label, Mann-Whitney tie convention, computed on the
     * grouped score distribution (one aggregation + a
@@ -5771,6 +5800,7 @@ object Queries {
     "q_eval_calibration" -> qEvalCalibration,
     "q_eval_kappa" -> qEvalKappa,
     "q_eval_auc_by" -> qEvalAucBy,
+    "q_eval_report_inc" -> qEvalReportInc,
     "sim_pq_topk" -> qSimPqTopk,
     "sim_ivfpq_topk" -> qSimIvfPqTopk,
     "sim_ivfpq_rerank" -> qSimIvfPqRerank,

@@ -115,11 +115,20 @@ object Evaluation {
     * marginals folded from one (truth, pred) contingency pass) —
     * state is |classes|², never |rows|.
     */
-  def classificationReport(df: DataFrame, truthCol: Column, predCol: Column): DataFrame = {
-    val cells = df
+  def classificationReport(df: DataFrame, truthCol: Column, predCol: Column): DataFrame =
+    reportFromCells(df
       .select(truthCol.as("truth"), predCol.as("pred"))
       .groupBy(col("truth"), col("pred"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The report derived from an already-aggregated contingency table
+    * (truth, pred, n). Split out because contingency cells are
+    * ADDITIVE counts — exactly the shape IncrementalAgg maintains —
+    * so a continuously-updated model-quality report is this function
+    * over an incrementally-folded cell state, equal to the one-shot
+    * run by associativity (oracled as q_eval_report_inc).
+    */
+  def reportFromCells(cells: DataFrame): DataFrame = {
     // NULL is a class like any other here: the diagonal and the
     // marginal joins use null-safe equality, so NULL-labeled rows
     // fold into ONE consistent report row instead of splitting into
