@@ -1582,6 +1582,58 @@ object Queries {
     },
     oracle = qEvalLangid.oracle)
 
+  /** #84g Operating-threshold selection: smallest word-count cutoff
+    * at which the quality gate holds with ≥ 80% precision — the
+    * highest-recall cutoff meeting the precision bar, from the exact
+    * cumulative curve (precision is non-monotone, so this is an
+    * argmin over the curve, not a binary search; see
+    * [[graft.operators.Evaluation.precisionThreshold]]).
+    */
+  val qEvalThreshold: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Evaluation.precisionThreshold(
+        graft.operators.TextAnalysis.qualityLinear(t(s, dir, "documents")),
+        col("q_pass"), col("n_words"), targetBp = 8000L),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+        |        'that', 'it', 'was', 'for'))) AS BIGINT) AS stop_hits
+        |  FROM t
+        |), f AS (
+        |  SELECT n_words, stop_hits,
+        |    CASE WHEN n_words > 0 THEN word_chars * 10 // n_words ELSE 0 END AS mwl10
+        |  FROM m
+        |), s AS (
+        |  SELECT (2 * least(n_words, 100) + 25 * stop_hits - abs(mwl10 - 50)) >= 220 AS label,
+        |         n_words AS score
+        |  FROM f
+        |), bys AS (
+        |  SELECT score,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+        |  FROM s GROUP BY score
+        |), cum AS (
+        |  SELECT score,
+        |    sum(n_pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+        |    sum(n_neg) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS fp
+        |  FROM bys
+        |), curve AS (
+        |  SELECT score, tp, fp, CAST(tp * 10000 // (tp + fp) AS BIGINT) AS precision_bp
+        |  FROM cum
+        |), best AS (
+        |  SELECT min(score) AS threshold FROM curve WHERE precision_bp >= 8000
+        |)
+        |SELECT best.threshold,
+        |  CAST(curve.tp AS BIGINT) AS tp, CAST(curve.fp AS BIGINT) AS fp,
+        |  curve.precision_bp,
+        |  CAST(curve.tp + curve.fp AS BIGINT) AS n_kept
+        |FROM best LEFT JOIN curve ON curve.score = best.threshold""".stripMargin))
+
   /** #84 Exact ROC AUC of the linear quality score against the
     * is-English label, Mann-Whitney tie convention, computed on the
     * grouped score distribution (one aggregation + a
@@ -5801,6 +5853,7 @@ object Queries {
     "q_eval_kappa" -> qEvalKappa,
     "q_eval_auc_by" -> qEvalAucBy,
     "q_eval_report_inc" -> qEvalReportInc,
+    "q_eval_threshold" -> qEvalThreshold,
     "sim_pq_topk" -> qSimPqTopk,
     "sim_ivfpq_topk" -> qSimIvfPqTopk,
     "sim_ivfpq_rerank" -> qSimIvfPqRerank,

@@ -160,6 +160,45 @@ object Evaluation {
       .withColumn("f1_bp", bp("tp * 2", "tp * 2 + fp + fn"))
   }
 
+  /** Operating-threshold selection: the SMALLEST score cutoff t such
+    * that predicting positive on score ≥ t achieves the target
+    * precision — how a curation classifier's gate is actually picked
+    * ("keep docs the model is ≥95% sure about"). Smallest because
+    * among qualifying cutoffs it keeps the most rows (highest recall
+    * at the required precision). Precision can be non-monotone in t,
+    * so the argmin is over the explicit cumulative curve, not a
+    * binary search.
+    *
+    * Same grouped-distribution shape as aucExact: one score-keyed
+    * combine, a |distinct scores| descending running sum, exact
+    * DECIMAL basis points. Returns ONE row
+    * (threshold, tp, fp, precision_bp, n_kept) — all-NULL when no
+    * cutoff reaches the target.
+    */
+  def precisionThreshold(df: DataFrame, labelCol: Column, scoreCol: Column,
+      targetBp: Long): DataFrame = {
+    require(targetBp >= 0 && targetBp <= 10000, "target precision is basis points in [0, 10000]")
+    val byScore = df
+      .filter(labelCol.isNotNull)
+      .select(scoreCol.cast("long").as("score"),
+        when(labelCol.cast("boolean"), 1L).otherwise(0L).as("p"))
+      .groupBy(col("score"))
+      .agg(sum(col("p")).as("n_pos"), sum(lit(1L) - col("p")).as("n_neg"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byScore
+      .withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("fp", sum(col("n_neg")).over(w))
+      .withColumn("precision_bp", expr(
+        """CAST(CAST(tp AS DECIMAL(38,0)) * 10000
+          |     DIV CAST(tp + fp AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+    cum.filter(col("precision_bp") >= targetBp)
+      .agg(min(col("score")).as("threshold"))
+      .join(cum, col("threshold") === col("score"), "left")
+      .select(col("threshold"), col("tp"), col("fp"), col("precision_bp"),
+        (col("tp") + col("fp")).as("n_kept"))
+  }
+
   /** Score-calibration table: does a higher score actually mean a
     * higher positive rate? Rows are bucketed into `nBins` rank bands
     * of the score distribution and each band reports its exact

@@ -133,6 +133,27 @@ class EvaluationSpec extends SparkSpec {
     assert(cb.length == 1 && cb(0).getLong(0) == 0L && cb(0).getLong(1) == 2L)
   }
 
+  test("precisionThreshold: smallest qualifying cutoff on a non-monotone curve; NULL row when unreachable") {
+    val s = spark
+    import s.implicits._
+    // score 4: 1 pos / 1 neg  -> prec@4 = 5000
+    // score 3: 3 pos          -> prec@3 = 4/5 = 8000
+    // score 2: 1 neg          -> prec@2 = 4/6 = 6666
+    // score 1: 2 pos          -> prec@1 = 6/8 = 7500   (non-monotone)
+    val rows = Seq((true, 4L), (false, 4L), (true, 3L), (true, 3L), (true, 3L),
+      (false, 2L), (true, 1L), (true, 1L))
+    val df = rows.toDF("label", "score")
+    val r = Evaluation.precisionThreshold(df, col("label"), col("score"), 7000L).head()
+    // smallest t with prec >= 7000 is t=1 (7500), NOT t=3 (8000)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((1L, 6L, 2L, 7500L, 8L)))
+    val r8 = Evaluation.precisionThreshold(df, col("label"), col("score"), 7600L).head()
+    assert(r8.getLong(0) == 3L && r8.getLong(3) == 8000L)
+    // unreachable target: one all-NULL row, not an empty result
+    val none = Evaluation.precisionThreshold(df, col("label"), col("score"), 9999L)
+    assert(none.count() == 1 && none.head().isNullAt(0))
+  }
+
   test("cohensKappa matches hand-computed values incl. perfect, chance, and negative agreement") {
     val s = spark
     import s.implicits._
