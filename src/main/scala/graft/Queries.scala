@@ -2593,6 +2593,77 @@ object Queries {
         |)
         |SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin))
 
+  /** #35d Cluster-aware dedup retention: near-dup pairs → connected
+    * components → keep the argmax-quality member per cluster (ties
+    * to lowest id) plus every unclustered doc — the production
+    * near-dup policy (greedy pair-drop can evict the best copy; the
+    * cluster argmax provably keeps it). Whole path oracled: shingle
+    * pairs, recursive-CTE components, quality argmax.
+    */
+  val qCurateClusterBest: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 5, threshold = 0.5)
+      val quality = graft.operators.TextAnalysis.qualityLinear(docs)
+        .select(col("doc_id"), col("q_score"))
+      graft.operators.Curation.keepBestPerCluster(docs, pairs, quality)
+    },
+    oracle = Some(
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), s AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))) AS sh
+        |  FROM t
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS nsh FROM s GROUP BY doc_id
+        |), cnt AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cnt
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+        |), qm AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+        |        'that', 'it', 'was', 'for'))) AS BIGINT) AS stop_hits
+        |  FROM t
+        |), q AS (
+        |  SELECT doc_id,
+        |    2 * least(n_words, 100) + 25 * stop_hits
+        |      - abs(CASE WHEN n_words > 0 THEN word_chars * 10 // n_words ELSE 0 END - 50) AS q_score
+        |  FROM qm
+        |), best AS (
+        |  SELECT doc_id FROM (
+        |    SELECT c.doc_id,
+        |      row_number() OVER (PARTITION BY c.cluster_rep
+        |                         ORDER BY q.q_score DESC, c.doc_id ASC) AS rn
+        |    FROM comp c JOIN q ON q.doc_id = c.doc_id)
+        |  WHERE rn = 1
+        |), keep AS (
+        |  SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+        |  UNION ALL
+        |  SELECT doc_id FROM best
+        |)
+        |SELECT k.doc_id, q.q_score FROM keep k JOIN q ON q.doc_id = k.doc_id""".stripMargin))
+
   /** #40 Mergeable approximate distinct (HyperLogLog++): distinct
     * users per event type. Implementation-defined sketch values →
     * rows-only + a spec bounding error vs exact.
@@ -5766,6 +5837,7 @@ object Queries {
     "text_chunk" -> qTextChunk,
     "text_redact" -> qTextRedact,
     "dedup_clusters" -> qDedupClusters,
+    "curate_cluster_best" -> qCurateClusterBest,
     "q_triangles" -> qTriangles,
     "dedup_exact" -> qDedupExact,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,

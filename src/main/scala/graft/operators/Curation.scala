@@ -73,6 +73,41 @@ object Curation {
       .withColumnRenamed("left_id", "train_id")
       .withColumnRenamed("right_id", "holdout_id")
 
+  /** Cluster-aware dedup retention: near-dup PAIRS are collapsed to
+    * connected components and ONE survivor is kept per cluster — the
+    * argmax-quality member (ties to the lowest id) — alongside every
+    * unclustered doc. This is the production near-dup policy: greedy
+    * pair-drop (curate_neardup) can evict the best copy of a
+    * duplicated document; cluster-argmax provably keeps it, and keeps
+    * exactly one row per duplicate group regardless of how many
+    * near-dup copies exist.
+    *
+    * `quality` is (idCol, scoreCol); survivors return with their
+    * score. The cluster step is the size-gated union-find /
+    * label-propagation of [[Dedup.clusters]]; the argmax is a
+    * max_by over a (score, -id) struct — one aggregation, no window
+    * over the corpus.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      pairs: DataFrame,
+      quality: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "q_score",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val comp = Dedup.clusters(pairs, aCol, bCol) // (doc_id, cluster_rep) for clustered docs
+      .withColumnRenamed("doc_id", idCol)
+    val best = comp.join(quality, idCol)
+      .groupBy(col("cluster_rep"))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), (-col(idCol)).as("neg_id"))).as(idCol))
+      .select(col(idCol))
+    val unclustered = docs.select(col(idCol))
+      .join(comp.select(col(idCol)), Seq(idCol), "left_anti")
+    unclustered.unionByName(best).join(quality, idCol)
+  }
+
   /** Sequence packing, concatenate-and-cut style: documents are laid
     * end-to-end per partition (deterministic `orderCol` order) and
     * the token stream is cut into `budget`-sized packs; each doc gets

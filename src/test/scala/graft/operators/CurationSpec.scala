@@ -63,6 +63,25 @@ class CurationSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 1L), (3L, 1L, 1L)))
   }
 
+  test("keepBestPerCluster: argmax-quality survivor per component; greedy pair-drop would lose it") {
+    val s = spark
+    import s.implicits._
+    // chain cluster 1-2-3 (pairs (1,2),(2,3)): best quality is doc 2.
+    // greedy min-id pair-drop keeps 1 and drops 2 and 3 — the policy
+    // difference this operator exists for.
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val quality = Seq((1L, 10L), (2L, 99L), (3L, 50L), (9L, 7L)).toDF("doc_id", "q_score")
+    val kept = Curation.keepBestPerCluster(docs, pairs, quality)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((2L, 99L), (9L, 7L)), s"got $kept")
+    // quality tie breaks to the lowest id
+    val tied = Seq((1L, 50L), (2L, 50L), (3L, 50L), (9L, 7L)).toDF("doc_id", "q_score")
+    val keptTied = Curation.keepBestPerCluster(docs, pairs, tied)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(1L, 9L))
+  }
+
   test("pack lays docs end-to-end and cuts at the budget") {
     val s = spark; import s.implicits._
     val df = Seq(("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 100L), ("de", 9L, 600L))
