@@ -1780,6 +1780,58 @@ object Queries {
         |  CAST(max(score) AS BIGINT) AS max_score
         |FROM b GROUP BY bin""".stripMargin))
 
+  /** #84h Per-segment calibration (grouped by `source`, 4 bands):
+    * each segment gets its own rank bands over ITS score
+    * distribution — a score calibrated on average can be
+    * mis-calibrated on one slice (see
+    * [[graft.operators.Evaluation.calibrationBy]]).
+    */
+  val qEvalCalibrationBy: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Evaluation.calibrationBy(
+        graft.operators.TextAnalysis.qualityLinear(t(s, dir, "documents")),
+        col("source"), col("lang") === "en", col("q_score"), nBins = 4)
+        .withColumnRenamed("grp", "source"),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+        |        'that', 'it', 'was', 'for'))) AS BIGINT) AS stop_hits
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, lang, source, n_words, stop_hits,
+        |    CASE WHEN n_words > 0 THEN word_chars * 10 // n_words ELSE 0 END AS mwl10
+        |  FROM m
+        |), scored AS (
+        |  SELECT source, (lang = 'en') AS label,
+        |    2 * least(n_words, 100) + 25 * stop_hits - abs(mwl10 - 50) AS score
+        |  FROM f
+        |), bys AS (
+        |  SELECT source, score,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    count(*) AS n
+        |  FROM scored GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *,
+        |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rows_below,
+        |    sum(n) OVER (PARTITION BY source) AS n_total
+        |  FROM bys
+        |), b AS (
+        |  SELECT source, rows_below * 4 // n_total AS bin, n, n_pos, score FROM r
+        |)
+        |SELECT source, CAST(bin AS BIGINT) AS bin,
+        |  CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_pos) * 10000 // sum(n) AS BIGINT) AS pos_rate_bp,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score
+        |FROM b GROUP BY source, bin""".stripMargin))
+
   /** #84d Cohen's kappa of the langid heuristic vs the truth label:
     * chance-corrected agreement from the same contingency pass as the
     * classification report, cross-multiplied exact, division
@@ -5926,6 +5978,7 @@ object Queries {
     "q_eval_auc_by" -> qEvalAucBy,
     "q_eval_report_inc" -> qEvalReportInc,
     "q_eval_threshold" -> qEvalThreshold,
+    "q_eval_calibration_by" -> qEvalCalibrationBy,
     "sim_pq_topk" -> qSimPqTopk,
     "sim_ivfpq_topk" -> qSimIvfPqTopk,
     "sim_ivfpq_rerank" -> qSimIvfPqRerank,

@@ -160,6 +160,45 @@ object Evaluation {
       .withColumn("f1_bp", bp("tp * 2", "tp * 2 + fp + fn"))
   }
 
+  /** Per-GROUP calibration: [[calibration]] partitioned by a segment
+    * column — bin(s) = ⌊rows_below(s)·nBins/n⌋ computed WITHIN each
+    * group (rows_below and n are the group's own), so every segment
+    * gets its full set of rank bands and the windows spread across
+    * the cluster by group. The per-segment companion to
+    * [[aucExactBy]]: a score can be calibrated on average and badly
+    * mis-calibrated on one slice.
+    *
+    * Returns (grp, bin, n, n_pos, pos_rate_bp, min_score, max_score).
+    */
+  def calibrationBy(df: DataFrame, groupCol: Column, labelCol: Column,
+      scoreCol: Column, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val byScore = df
+      .filter(labelCol.isNotNull)
+      .select(groupCol.as("grp"), scoreCol.cast("long").as("score"),
+        when(labelCol.cast("boolean"), 1L).otherwise(0L).as("p"))
+      .groupBy(col("grp"), col("score"))
+      .agg(sum(col("p")).as("n_pos"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("rows_below", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy(col("grp"))))
+      .withColumn("bin", expr(
+        s"CAST(CAST(rows_below AS DECIMAL(38,0)) * $nBins DIV CAST(n_total AS DECIMAL(38,0)) AS BIGINT)"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("n_pos")).as("n_pos"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .withColumn("pos_rate_bp", expr(
+        """CAST(CAST(n_pos AS DECIMAL(38,0)) * 10000
+          |     DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .select(col("grp"), col("bin"), col("n"), col("n_pos"), col("pos_rate_bp"),
+        col("min_score"), col("max_score"))
+  }
+
   /** Operating-threshold selection: the SMALLEST score cutoff t such
     * that predicting positive on score ≥ t achieves the target
     * precision — how a curation classifier's gate is actually picked

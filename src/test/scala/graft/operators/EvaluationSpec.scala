@@ -133,6 +133,27 @@ class EvaluationSpec extends SparkSpec {
     assert(cb.length == 1 && cb(0).getLong(0) == 0L && cb(0).getLong(1) == 2L)
   }
 
+  test("calibrationBy: each group's bands equal the global operator run on that group alone") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((Seq("x", "y")(rnd.nextInt(2)),
+      rnd.nextBoolean(), rnd.nextInt(12).toLong))
+    val df = rows.toDF("grp", "label", "score")
+    val by = Evaluation.calibrationBy(df, col("grp"), col("label"), col("score"), nBins = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    Seq("x", "y").foreach { g =>
+      val solo = Evaluation.calibration(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("label", "score"),
+        col("label"), col("score"), nBins = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      solo.foreach { case (bin, v) => assert(by((g, bin)) == v, s"group $g bin $bin") }
+      assert(by.keys.count(_._1 == g) == solo.size)
+    }
+  }
+
   test("precisionThreshold: smallest qualifying cutoff on a non-monotone curve; NULL row when unreachable") {
     val s = spark
     import s.implicits._
