@@ -83,10 +83,16 @@ object Curation {
     * near-dup copies exist.
     *
     * `quality` is (idCol, scoreCol); survivors return with their
-    * score. The cluster step is the size-gated union-find /
-    * label-propagation of [[Dedup.clusters]]; the argmax is a
-    * max_by over a (score, -id) struct — one aggregation, no window
-    * over the corpus.
+    * score (null when unscored). The cluster step is the size-gated
+    * union-find / label-propagation of [[Dedup.clusters]]; the argmax
+    * is max-score-then-min-id over the (small) clustered-member set —
+    * two aggregations over clustered rows only, no window over the
+    * corpus. The tie-break works for ANY orderable id type (numeric,
+    * string, …): no negation trick, so no silent NULL under non-ANSI
+    * semantics. Docs absent from `quality` still survive (treated as
+    * unscored: they lose ties to any scored member, and an all-
+    * unscored cluster keeps its lowest id) — a cluster can never
+    * silently vanish on a quality-coverage gap.
     */
   def keepBestPerCluster(
       docs: DataFrame,
@@ -98,14 +104,20 @@ object Curation {
       bCol: String = "doc_b"): DataFrame = {
     val comp = Dedup.clusters(pairs, aCol, bCol) // (doc_id, cluster_rep) for clustered docs
       .withColumnRenamed("doc_id", idCol)
-    val best = comp.join(quality, idCol)
+    val members = comp.join(quality, Seq(idCol), "left")
+    // max() ignores nulls (all-null cluster → null max); the
+    // null-safe <=> keeps exactly the max-score members (or every
+    // member when none is scored), then min(id) is the deterministic
+    // type-agnostic tie-break
+    val mx = members.groupBy(col("cluster_rep")).agg(max(col(scoreCol)).as("_mx"))
+    val best = members.join(mx, "cluster_rep")
+      .filter(col(scoreCol) <=> col("_mx"))
       .groupBy(col("cluster_rep"))
-      .agg(max_by(col(idCol),
-        struct(col(scoreCol), (-col(idCol)).as("neg_id"))).as(idCol))
+      .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val unclustered = docs.select(col(idCol))
       .join(comp.select(col(idCol)), Seq(idCol), "left_anti")
-    unclustered.unionByName(best).join(quality, idCol)
+    unclustered.unionByName(best).join(quality, Seq(idCol), "left")
   }
 
   /** Sequence packing, concatenate-and-cut style: documents are laid

@@ -348,7 +348,11 @@ object Dedup {
         .as(Seq("band", "bkey")))
     val l = prep(left)
     val r = prep(right)
-    val candidates = banded(l).as("a").join(banded(r).as("b"), Seq("band", "bkey"))
+    // the holdout side's banded keys BROADCAST (hinted, not hoped):
+    // without the hint Spark may plan a sort-merge join that shuffles
+    // every banded training row — the opposite of the documented
+    // 100 TB shape where the training side is never shuffled
+    val candidates = banded(l).as("a").join(broadcast(banded(r).as("b")), Seq("band", "bkey"))
       .select(col("a.doc").as("left_id"), col("b.doc").as("right_id"))
       .distinct()
     val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
