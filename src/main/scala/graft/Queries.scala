@@ -2333,8 +2333,11 @@ object Queries {
 
   /** #27b Embedding near-dup pairs, LSH-banded (the scale path for
     * #27): cosine only within shared random-hyperplane buckets, L
-    * independent tables for recall amplification — rows-only + recall
-    * spec vs the exact kernel, which stays the oracle baseline.
+    * independent tables for recall amplification. FULLY ORACLED:
+    * the plane components are xxhash64-int chains and the buckets
+    * sign patterns of sequential dot folds, all re-derived from
+    * first principles in DuckDB ([[OracleSql.embLshPairsSql]]); the
+    * recall spec vs the exact kernel stays as the semantic check.
     * (b=2, L=8) suits this LOOSE 0.45 threshold: per-plane separation
     * p ≈ 0.35 ⇒ per-table collision 0.65² ≈ 0.42 ⇒ recall ≈ 0.99.
     */
@@ -2342,17 +2345,19 @@ object Queries {
     run = (s, dir) =>
       graft.operators.Similarity.embeddingNearDupPairsLsh(
         t(s, dir, "embeddings"), threshold = 0.45, numTables = 8, planesPerTable = 2),
-    oracle = None)
+    oracle = Some(OracleSql.embLshPairsSql(0.45, numTables = 8, planesPerTable = 2)))
 
   /** #27c SemDeDup semantic dedup: k-means cells + within-cell min-id
-    * cosine pruning — rows-only (the quantizer isn't SQL-expressible);
-    * the spec pins planted duplicates and the drop rule.
+    * cosine pruning — FULLY ORACLED: the hash-ordered sample and the
+    * 10 Lloyd iterations are deterministic arithmetic DuckDB replays
+    * exactly ([[OracleSql.semanticDedupSql]]); the spec pins planted
+    * duplicates and the drop rule.
     */
   val qDedupSemantic: QueryDef = QueryDef(
     run = (s, dir) =>
       graft.operators.Similarity.semanticDedup(
         t(s, dir, "embeddings"), threshold = 0.45, nclusters = 16),
-    oracle = None)
+    oracle = Some(OracleSql.semanticDedupSql(0.45, nclusters = 16)))
 
   /** #28f Hard-negative mining: per anchor (vec_id < 10), the top-5
     * most-similar corpus rows with a DIFFERENT label — exact kernel,
@@ -2427,14 +2432,16 @@ object Queries {
          |FROM r WHERE rk <= 5""".stripMargin))
 
   /** #29 LSH-bucketed approximate top-k (multi-probe radius 1) —
-    * rows-only + recall spec. */
+    * FULLY ORACLED via the xxhash64-derived plane re-derivation
+    * ([[OracleSql.lshTopkSql]]); the recall spec stays as the
+    * semantic check. */
   val qSimLshTopk: QueryDef = QueryDef(
     run = (s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         numPlanes = 4, probeRadius = 1)
     },
-    oracle = None)
+    oracle = Some(OracleSql.lshTopkSql(k = 5, numPlanes = 4)))
 
   /** Shared oracle prefix for the curation pipelines: stopword-hit
     * scoring, language ID, and the quality/length filter as DuckDB
@@ -2716,36 +2723,53 @@ object Queries {
         |)
         |SELECT k.doc_id, q.q_score FROM keep k JOIN q ON q.doc_id = k.doc_id""".stripMargin))
 
-  /** #40 Mergeable approximate distinct (HyperLogLog++): distinct
-    * users per event type. Implementation-defined sketch values →
-    * rows-only + a spec bounding error vs exact.
+  /** #40 Mergeable approximate distinct — a KMV/theta sketch over
+    * xxhash64 ([[graft.operators.Sketches.approxDistinctKmv]]):
+    * distinct users per event type in O(k) mergeable state.
+    * Replaces the earlier `approx_count_distinct` (HLL++) form whose
+    * register/bias internals no other engine can replay — the KMV
+    * estimate is a pure integer function of the input set, so the
+    * driver's DuckDB gate re-derives it exactly
+    * ([[OracleSql.kmvDistinctSql]]); the spec still bounds error vs
+    * the exact distinct count (σ ≈ 1/√(k−2)).
     */
   val qApproxDistinct: QueryDef = QueryDef(
     run = (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("n_events")),
-    oracle = None)
+      graft.operators.Sketches.approxDistinctKmv(
+        t(s, dir, "events"), Seq("event_type"), "user_id", k = 64)
+        .select(col("event_type"), col("approx_distinct").as("approx_users"),
+          col("n_rows").as("n_events")),
+    oracle = Some(OracleSql.kmvDistinctSql(64)))
 
-  /** #18f2 Mergeable approximate quantiles (GK sketch via
-    * approx_percentile): the sketch family's quantile member next to
-    * HLL distinct and Misra-Gries frequency. Rows-only (sketch
-    * answers are partitioning-sensitive); the spec bounds the error
-    * against the exact interpolated percentiles.
+  /** #18f2 Mergeable approximate quantiles — a deterministic
+    * hash-sample sketch ([[graft.operators.Sketches.sampledQuantiles]]):
+    * the engine-reproducible Bernoulli cut pins the sampled SET, and
+    * exact interpolated percentiles of the sample are the estimate
+    * (error O(1/√(f·n)), spec-bounded vs the exact percentiles).
+    * Replaces the earlier `approx_percentile` (GK) form, whose answer
+    * depends on partition merge order no other engine can replay —
+    * this one is a pure function of the data and hash-matches DuckDB.
     */
   val qApproxQuantiles: QueryDef = QueryDef(
     run = (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_percentile(col("l_quantity"),
-            array(lit(0.5), lit(0.9)), lit(1000)).as("_q"),
-          count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          element_at(col("_q"), 1).as("approx_p50"),
-          element_at(col("_q"), 2).as("approx_p90"),
-          col("n")),
-    oracle = None)
+      graft.operators.Sketches.sampledQuantiles(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity",
+        col("l_orderkey") * 8 + col("l_linenumber"), Seq(0.5, 0.9), fraction = 0.125)
+        .select(col("l_returnflag"), col("p50").as("approx_p50"),
+          col("p90").as("approx_p90"), col("n_rows").as("n")),
+    oracle = Some(
+      """WITH s AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE (((l_orderkey * 8 + l_linenumber) % 2147483648) * 2654435761) % 2147483648
+        |        < 268435456
+        |), q AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.50) AS approx_p50,
+        |    quantile_cont(l_quantity, 0.90) AS approx_p90
+        |  FROM s GROUP BY l_returnflag
+        |), n AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag)
+        |SELECT n.l_returnflag, q.approx_p50, q.approx_p90, n.n
+        |FROM n JOIN q USING (l_returnflag)""".stripMargin))
 
   /** #81 TextRank keyword scores: 10 fixed-point integer PageRank
     * steps over the word-adjacency graph (see
@@ -3361,20 +3385,25 @@ object Queries {
         |       ELSE least(255, floor((CAST(v AS DOUBLE) - mn) * 255 / (mx - mn))) END AS INT) AS code
         |FROM e""".stripMargin))
 
-  /** #29b IVF (KMeans coarse quantizer) approximate top-k — rows-only
-    * + recall spec against brute force. */
+  /** #29b IVF (KMeans coarse quantizer) approximate top-k — FULLY
+    * ORACLED: sample order, the 10 Lloyd iterations, float-cast cell
+    * assignment, probes, and the in-cell cosine top-k are all
+    * re-derived in DuckDB ([[OracleSql.ivfTopkSql]]); the recall spec
+    * against brute force stays as the semantic check. */
   val qSimIvfTopk: QueryDef = QueryDef(
     run = (s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     },
-    oracle = None)
+    oracle = Some(OracleSql.ivfTopkSql()))
 
   /** #29c Persisted IVF index: built once (centroids + cell-
     * partitioned corpus on disk), queried with explicit partition
     * pruning — probe work AND I/O are ~nprobe/nlist of the corpus.
-    * Same training determinism as sim_ivf_topk (spec proves result
-    * equality); rows-only like the rest of the ANN family.
+    * Shares sim_ivf_topk's oracle: centroids round-trip parquet as
+    * exact doubles, so the persisted index must answer exactly what
+    * the inline computation answers — the gate now PROVES the
+    * equality the spec used to assert.
     */
   val qSimIvfIndexTopk: QueryDef = QueryDef(
     run = (s, dir) => {
@@ -3384,7 +3413,7 @@ object Queries {
       graft.operators.Similarity.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 10),
         k = 5, nprobe = 2)
     },
-    oracle = None)
+    oracle = Some(OracleSql.ivfTopkSql()))
 
   /** #34 Multimodal plumbing, ORACLED: binary payloads → batch
     * decode stub → feature columns, with the 8-dim content embedding
@@ -4585,12 +4614,15 @@ object Queries {
       val emb = t(s, dir, "embeddings")
       graft.operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     },
-    oracle = None)
+    oracle = Some(OracleSql.pqTopkSql(k = 5)))
 
   /** #63c IVFPQ approximate top-k — IVF cell routing composed with PQ
     * ADC scoring (the FAISS IVFPQ design): candidates come only from
     * each query's nprobe nearest cells, scored from 1-byte codes.
-    * Rows-only; the spec bounds recall and proves the candidate set
+    * FULLY ORACLED ([[OracleSql.ivfPqTopkSql]]: both quantizers
+    * re-trained in SQL from the same sample, codes re-derived with
+    * pqEncode's float-cast argmin, ADC re-summed in subspace order);
+    * the spec still bounds recall and proves the candidate set
     * shrinks to ~nprobe/nlist of the corpus.
     */
   val qSimIvfPqTopk: QueryDef = QueryDef(
@@ -4599,11 +4631,12 @@ object Queries {
       graft.operators.Similarity.ivfPqTopK(
         emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 16, nprobe = 4)
     },
-    oracle = None)
+    oracle = Some(OracleSql.ivfPqTopkSql(k = 5, nprobe = 4)))
 
   /** #63d IVFPQ + exact re-rank — the full FAISS production shape:
     * routed compressed candidates, full vectors only for the 4·k
-    * survivors. Rows-only; spec bounds recall ≥ raw IVFPQ.
+    * survivors. Fully oracled: stage-1 candidates re-derived as in
+    * sim_ivfpq_topk, then the exact-cosine re-rank replayed over them.
     */
   val qSimIvfPqRerank: QueryDef = QueryDef(
     run = (s, dir) => {
@@ -4611,7 +4644,7 @@ object Queries {
       graft.operators.Similarity.ivfPqRerankTopK(
         emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 16, nprobe = 4)
     },
-    oracle = None)
+    oracle = Some(OracleSql.ivfPqTopkSql(k = 5, rerank = true, nprobe = 4)))
 
   /** #16b Order-priority check (TPC-H Q4 shape, adapted to this
     * schema's dates): orders with at least one line item shipped
@@ -5560,7 +5593,7 @@ object Queries {
       val emb = t(s, dir, "embeddings")
       graft.operators.Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     },
-    oracle = None)
+    oracle = Some(OracleSql.pqTopkSql(k = 5, rerank = true)))
 
   /** #77 Unigram inverse-frequency surprisal (LM-perplexity proxy in
     * exact integer arithmetic): per-token decimal magnitude of
@@ -5749,8 +5782,11 @@ object Queries {
     * on the first two thirds of the corpus (quantizer frozen there),
     * the last third arrives as two replay-safe appends — one of them
     * redelivered inline, recognized by the commit-riding batch id and
-    * skipped. Rows-only at the gate like its ANN siblings; the
-    * incremental-equals-rebuild identity is spec-verified exactly.
+    * skipped. FULLY ORACLED: the quantizer re-trains in SQL on the
+    * base-only sample and the whole corpus re-routes through it —
+    * exactly what an incrementally-grown index must contain, so the
+    * gate now proves the incremental-equals-rebuild identity the
+    * spec asserts.
     */
   val qSimIvfIncTopk: QueryDef = QueryDef(
     run = (s, dir) => {
@@ -5767,7 +5803,7 @@ object Queries {
       graft.operators.Similarity.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 10),
         k = 5, nprobe = 2)
     },
-    oracle = None)
+    oracle = Some(OracleSql.ivfTopkSql(trainWhere = Some("vec_id % 3 <> 2"))))
 
   /** #78 Deterministic mixture resampling: per-source epoch weights
     * (src0×2.5, src1×0.25, src2×1.75, src3 dropped, rest ×1.0)

@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation {
 
+  /** Plan-level guard for the GLOBAL (unpartitioned-window) variants:
+    * their one ordered window runs over the distinct-score table,
+    * which is vocabulary-sized for the integral scores these are
+    * built for (token counts, basis points, cents) — but a
+    * high-resolution score column could push it to corpus scale and
+    * silently serialize the plan through one sort partition. The
+    * guard rides the SAME sort as a zero-valued addend folded into a
+    * live column (so column pruning can't drop it, and no extra pass
+    * runs): the moment the window sees more than `cap` distinct
+    * scores it raises loudly, pointing at the two contracts that
+    * scale — quantize the score before calling, or use the
+    * group-partitioned *By form.
+    */
+  private def distinctScoreGuard(rn: Column, cap: Long, what: String): Column =
+    when(rn > cap,
+      raise_error(lit(s"$what: more than $cap distinct score values in the global " +
+        "ordered window — quantize the score (e.g. to basis points) or use the " +
+        "partitioned *By variant, which spreads by segment")).cast("long"))
+      .otherwise(lit(0L))
+
   /** Exact ROC AUC of an integral score against a binary label, with
     * ties handled by the Mann-Whitney convention (a tied
     * positive/negative pair contributes ½).
@@ -34,7 +54,8 @@ object Evaluation {
     *
     * Returns one row: (n_pos, n_neg, auc_num, auc_den, auc_bp).
     */
-  def aucExact(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+  def aucExact(df: DataFrame, labelCol: Column, scoreCol: Column,
+      maxDistinctScores: Long = 4000000L): DataFrame = {
     val byScore = df
       // rows with a NULL label have no class: excluded (documented
       // contract — they would otherwise silently count as negatives).
@@ -54,7 +75,9 @@ object Evaluation {
     // value, so the widening has to happen on the multiplicands.
     val dec = (c: Column) => c.cast("decimal(38,0)")
     byScore
-      .withColumn("neg_below", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      .withColumn("neg_below", coalesce(sum(col("n_neg")).over(w), lit(0L)) +
+        distinctScoreGuard(row_number().over(Window.orderBy(col("score"))),
+          maxDistinctScores, "aucExact"))
       .agg(
         sum(col("n_pos")).as("n_pos"),
         sum(col("n_neg")).as("n_neg"),
@@ -215,7 +238,7 @@ object Evaluation {
     * cutoff reaches the target.
     */
   def precisionThreshold(df: DataFrame, labelCol: Column, scoreCol: Column,
-      targetBp: Long): DataFrame = {
+      targetBp: Long, maxDistinctScores: Long = 4000000L): DataFrame = {
     require(targetBp >= 0 && targetBp <= 10000, "target precision is basis points in [0, 10000]")
     val byScore = df
       .filter(labelCol.isNotNull)
@@ -226,7 +249,9 @@ object Evaluation {
     val w = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = byScore
-      .withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("tp", sum(col("n_pos")).over(w) +
+        distinctScoreGuard(row_number().over(Window.orderBy(col("score").desc)),
+          maxDistinctScores, "precisionThreshold"))
       .withColumn("fp", sum(col("n_neg")).over(w))
       .withColumn("precision_bp", expr(
         """CAST(CAST(tp AS DECIMAL(38,0)) * 10000
@@ -258,7 +283,7 @@ object Evaluation {
     * pos_rate_bp = ⌊10⁴·n_pos/n⌋ via integral DECIMAL division.
     */
   def calibration(df: DataFrame, labelCol: Column, scoreCol: Column,
-      nBins: Int = 10): DataFrame = {
+      nBins: Int = 10, maxDistinctScores: Long = 4000000L): DataFrame = {
     require(nBins > 0, "nBins must be positive")
     val byScore = df
       .filter(labelCol.isNotNull)
@@ -269,7 +294,9 @@ object Evaluation {
     val w = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, -1)
     byScore
-      .withColumn("rows_below", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("rows_below", coalesce(sum(col("n")).over(w), lit(0L)) +
+        distinctScoreGuard(row_number().over(Window.orderBy(col("score"))),
+          maxDistinctScores, "calibration"))
       .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
       // ⌊rows_below·nBins/n⌋ in decimal: rows_below·nBins wraps a long
       // once n ≳ 9e17/nBins — the same silent-overflow class as AUC

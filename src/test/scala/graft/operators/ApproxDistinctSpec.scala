@@ -69,6 +69,65 @@ class ApproxDistinctSpec extends SparkSpec {
     assert(tq == Seq(7.0, 9.0))
   }
 
+  test("kmvDistinct: estimate within 3 sigma of exact per group") {
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    val k = 64
+    val approx = Sketches.approxDistinctKmv(ev, Seq("event_type"), "user_id", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, e) =>
+      val a = approx(g)
+      // KMV sigma ~ e/sqrt(k-2); 3 sigma plus integer slack
+      assert(math.abs(a - e) <= math.max(3, 3.0 * e / math.sqrt(k - 2.0)),
+        s"$g: approx $a vs exact $e")
+    }
+  }
+
+  test("kmvDistinct is a pure function of the input SET: partitioning/order never move it") {
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.approxDistinctKmv(df, Seq("event_type"), "user_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val base = run(ev.repartition(1))
+    assert(run(ev.repartition(13)) == base, "13-partition merge tree must match single-partition")
+    assert(run(ev.orderBy(col("event_id").desc)) == base, "insertion order must not matter")
+  }
+
+  test("kmvDistinct: sketch below capacity returns the exact distinct count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.tabulate(200)(i => ("g", i.toLong % 40)).toDF("g", "v")
+    val got = Sketches.approxDistinctKmv(df, Seq("g"), "v", k = 64)
+      .head()
+    assert(got.getLong(1) == 40L, "40 distinct < k=64 must be exact")
+    assert(got.getLong(2) == 200L)
+  }
+
+  test("sampledQuantiles: deterministic, and within sampling error of exact percentiles") {
+    val li = graft.sources.TableLoader.table(spark, sfDir, "lineitem")
+    val key = col("l_orderkey") * 8 + col("l_linenumber")
+    def run() = Sketches.sampledQuantiles(
+      li, Seq("l_returnflag"), "l_quantity", key, Seq(0.5, 0.9), fraction = 0.125)
+    val a = run().collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val b = run().collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(a == b, "hash-cut sample must be run-stable")
+    val exact = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), array(lit(0.5), lit(0.9))).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // rank error sigma ~ 0.5/sqrt(f*n); on the near-uniform 1..50
+    // l_quantity that's ~50*3*0.5/sqrt(0.125*n) value units at 3 sigma
+    val counts = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, e) =>
+      val (p50, p90) = a(g)
+      val tol = math.max(2.0, 50.0 * 3 * 0.5 / math.sqrt(0.125 * counts(g).toDouble))
+      assert(math.abs(p50 - e(0)) <= tol, s"$g p50: $p50 vs ${e(0)} (tol $tol)")
+      assert(math.abs(p90 - e(1)) <= tol, s"$g p90: $p90 vs ${e(1)} (tol $tol)")
+    }
+  }
+
   test("reproducibleStratified: exact fraction semantics, run-stable, oracle formula") {
     val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
     def run() = Sampling.reproducibleStratified(docs, "lang", "doc_id", Map("en" -> 0.25))

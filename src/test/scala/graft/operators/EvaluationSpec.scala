@@ -175,6 +175,37 @@ class EvaluationSpec extends SparkSpec {
     assert(none.count() == 1 && none.head().isNullAt(0))
   }
 
+  test("global variants raise loudly past maxDistinctScores; *By forms stay partitioned") {
+    val s = spark
+    import s.implicits._
+    // 200 distinct scores vs a cap of 100: the guard rides the window
+    // sort and must fail at EXECUTION, not silently serialize
+    val wide = (1L to 200L).map(i => (i % 2 == 0, i)).toDF("label", "score")
+    def mustRaise(df: org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception] { df.collect() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(m => m.contains("distinct score")),
+        s"expected the distinct-score guard, got: ${e.getMessage}")
+    }
+    mustRaise(Evaluation.aucExact(wide, col("label"), col("score"), maxDistinctScores = 100))
+    mustRaise(Evaluation.calibration(wide, col("label"), col("score"),
+      nBins = 10, maxDistinctScores = 100))
+    mustRaise(Evaluation.precisionThreshold(wide, col("label"), col("score"),
+      targetBp = 5000, maxDistinctScores = 100))
+    // under the cap: results unchanged by the guard's zero addend
+    val auc = Evaluation.aucExact(wide, col("label"), col("score"), maxDistinctScores = 200)
+      .head().getAs[Long]("auc_bp")
+    val aucDefault = Evaluation.aucExact(wide, col("label"), col("score"))
+      .head().getAs[Long]("auc_bp")
+    assert(auc == aucDefault)
+    // the partitioned form has no global window to guard: same data
+    // through aucExactBy succeeds regardless of the global cap
+    val byOk = Evaluation.aucExactBy(wide.withColumn("g", col("score") % 4),
+      col("g"), col("label"), col("score")).collect()
+    assert(byOk.length == 4)
+  }
+
   test("cohensKappa matches hand-computed values incl. perfect, chance, and negative agreement") {
     val s = spark
     import s.implicits._
