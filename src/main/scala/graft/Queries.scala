@@ -4477,6 +4477,25 @@ object Queries {
     oracle = Some(
       "SELECT * FROM orders WHERE o_totalprice BETWEEN 10000.0 AND 20000.0"))
 
+  /** #10k2 Zone-map pruning, fully distributed: the stats table never
+    * touches the driver — candidate files broadcast into a left-semi
+    * join against input_file_name() ([[graft.operators.ZoneMaps.prunedReadSemiJoin]]).
+    * The unbounded-file-count companion to #10k (which plans file
+    * opens away but collects the candidate list); same oracle, same
+    * rows.
+    */
+  val qZonemapSemi: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("zonemap-semi")
+      t(s, dir, "orders")
+        .repartitionByRange(16, col("o_totalprice"))
+        .write.mode("overwrite").parquet(target)
+      val zm = graft.operators.ZoneMaps.build(s, target, "o_totalprice")
+      graft.operators.ZoneMaps.prunedReadSemiJoin(s, target, zm, "o_totalprice", 10000.0, 20000.0)
+    },
+    oracle = Some(
+      "SELECT * FROM orders WHERE o_totalprice BETWEEN 10000.0 AND 20000.0"))
+
   /** #61 BPE pair statistics — the ranking one tokenizer-training
     * iteration runs: weighted adjacent character pairs over the
     * distinct-word frequency table (never the corpus), top 20 with a
@@ -6004,6 +6023,7 @@ object Queries {
     "q_cdc_feed" -> qCdcFeed,
     "q_point_lookup" -> qPointLookup,
     "q_zonemap_scan" -> qZonemapScan,
+    "q_zonemap_semi" -> qZonemapSemi,
     "text_bpe_pairs" -> qBpePairs,
     "text_bpe_merges" -> qBpeMerges,
     "q_quality_score" -> qQualityScore,

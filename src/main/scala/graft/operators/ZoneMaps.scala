@@ -57,6 +57,13 @@ object ZoneMaps {
     * re-apply the exact predicate. Row-identical to the full scan
     * with the same predicate; cheaper by however many files the
     * layout lets the zone map rule out.
+    *
+    * The candidate list is collected to the driver because file paths
+    * must reach the PLANNER for the scan itself to skip opening
+    * files — that is the whole I/O win, and the predicate has already
+    * shrunk the list (candidates, not the full stats table, cross the
+    * driver). When even the candidate set is unbounded, use
+    * [[prunedReadSemiJoin]].
     */
   def prunedRead(
       spark: SparkSession,
@@ -72,5 +79,37 @@ object ZoneMaps {
         spark.read.parquet(dir).limit(0)
       else spark.read.parquet(files: _*)
     base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+
+  /** The fully-distributed variant: the stats table NEVER touches the
+    * driver — candidate file names stay a DataFrame and broadcast into
+    * a left-semi join against `input_file_name()` of one scan of the
+    * table. Result-identical to [[prunedRead]] (spec-proven).
+    *
+    * Trade, stated honestly: with no file list at planning time the
+    * scan still OPENS every file (parquet footer stats then skip row
+    * groups) — this shape prunes row WORK and keeps the driver's
+    * memory flat at any file count, while `prunedRead` also prunes
+    * file OPENS but pays one driver-side candidate list. At 100 TB:
+    * route point-ish queries through `prunedRead` (candidates are few
+    * by construction when the layout clusters on the stats column)
+    * and analytical sweeps whose candidate set is itself huge through
+    * this one.
+    */
+  def prunedReadSemiJoin(
+      spark: SparkSession,
+      dir: String,
+      zoneMap: DataFrame,
+      statsCol: String,
+      lo: Any,
+      hi: Any): DataFrame = {
+    val cand = zoneMap
+      .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
+      .select(col("file"))
+    spark.read.parquet(dir)
+      .withColumn("_zm_file", input_file_name())
+      .join(broadcast(cand), col("_zm_file") === col("file"), "left_semi")
+      .drop("_zm_file")
+      .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 }

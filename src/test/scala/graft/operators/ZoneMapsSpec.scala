@@ -25,6 +25,26 @@ class ZoneMapsSpec extends SparkSpec {
     zm.unpersist()
   }
 
+  test("prunedReadSemiJoin: result-identical to prunedRead, no driver file-list, broadcast semi plan") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft-zm3-") + "/t"
+    (1L to 10000L).map(i => (i, s"r$i")).toDF("v", "p")
+      .repartitionByRange(10, org.apache.spark.sql.functions.col("v"))
+      .write.mode("overwrite").parquet(dir)
+    val zm = ZoneMaps.build(spark, dir, "v")
+    val semi = ZoneMaps.prunedReadSemiJoin(spark, dir, zm, "v", 2000L, 2400L)
+    val planned = ZoneMaps.prunedRead(spark, dir, zm, "v", 2000L, 2400L)
+    assert(semi.collect().map(_.getLong(0)).sorted.toSeq ==
+      planned.collect().map(_.getLong(0)).sorted.toSeq)
+    // the scale contract in the plan: candidates arrive via a
+    // broadcast LEFT SEMI join — never a collected file list
+    val plan = semi.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a left-semi join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the candidate list to broadcast in:\n$plan")
+  }
+
   test("random layout prunes nothing but stays correct (superset contract)") {
     val s = spark
     import s.implicits._

@@ -228,6 +228,22 @@ class UpsertWriterSpec extends SparkSpec {
     assert(UpsertWriter.readVersion(spark, table, 1).count() == 3)
   }
 
+  test("patch rejects a duplicate-keyed batch loudly (guard folded into the join pass)") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-patch-dup-") + "/t"
+    UpsertWriter.upsert(Seq((1L, 10L, 1L), (2L, 20L, 1L)).toDF("k", "score", "v"),
+      table, Seq("k"), "v")
+    val dup = Seq((1L, 5L), (1L, 6L)).toDF("k", "score")
+    val e = intercept[Exception] { UpsertWriter.patch(spark, table, dup, Seq("k")) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate record keys")),
+      s"expected the duplicate-key guard, got: ${e.getMessage}")
+    // the failed patch must not have committed a new version
+    assert(UpsertWriter.versions(spark, table) == Seq(1))
+  }
+
   test("patch: only the patch's columns change; patch nulls SET null; unknown keys ignored") {
     val s = spark
     import s.implicits._
