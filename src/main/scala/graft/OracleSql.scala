@@ -413,7 +413,8 @@ private[graft] object OracleSql {
     * ⌊(k−1)·2⁶⁴/θ⌋ estimate in exact HUGEINT arithmetic — the mirror
     * of [[graft.functions.KmvBuffer.estimate]].
     */
-  def kmvDistinctSql(k: Int): String = {
+  def kmvDistinctSql(k: Int, withCounts: Boolean = true,
+      estimateAs: String = "approx_users"): String = {
     val cs = new Ctes
     val base = cs.add("kbase", "SELECT DISTINCT event_type, user_id FROM events")
     val (chain, out) = xxhLong(cs, "kh", base, Seq("event_type"),
@@ -424,11 +425,13 @@ private[graft] object OracleSql {
     val sk = cs.add("ks",
       s"SELECT event_type, max(CASE WHEN rk = $k THEN hu END) AS theta, count(*) AS nk " +
         s"FROM $r WHERE rk <= $k GROUP BY event_type")
-    val n = cs.add("kn", "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type")
-    cs.sql(
-      s"SELECT n.event_type, CAST(CASE WHEN s.nk < $k THEN s.nk " +
-        s"ELSE ${BigInt(k - 1) << 64} // s.theta END AS BIGINT) AS approx_users, n.n_events " +
-        s"FROM $n n JOIN $sk s USING (event_type)")
+    val est = s"CAST(CASE WHEN s.nk < $k THEN s.nk " +
+      s"ELSE ${BigInt(k - 1) << 64} // s.theta END AS BIGINT) AS $estimateAs"
+    if (withCounts) {
+      val n = cs.add("kn", "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type")
+      cs.sql(s"SELECT n.event_type, $est, n.n_events FROM $n n JOIN $sk s USING (event_type)")
+    } else
+      cs.sql(s"SELECT s.event_type, $est FROM $sk s")
   }
 
   /** sim_ivfpq_topk / sim_ivfpq_rerank: IVF cell routing (full-vector

@@ -2741,6 +2741,31 @@ object Queries {
           col("n_rows").as("n_events")),
     oracle = Some(OracleSql.kmvDistinctSql(64)))
 
+  /** #18e3 Incremental distinct-count sketch maintenance: the events
+    * table arrives as two batches (one replayed — recognized no-op),
+    * each folding its per-type KMV sketch into the versioned O(k)
+    * state; the read-time estimate must equal the whole-corpus sketch
+    * EXACTLY (the sketch is a pure function of the input set and
+    * merge is associative re-insertion) — which the oracle proves by
+    * re-deriving the full-corpus estimate from first principles.
+    */
+  val qKmvInc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val state = scratch("kmv-inc")
+      val ev = t(s, dir, "events")
+      val b1 = ev.filter(col("event_id") % 2 === 0)
+      val b2 = ev.filter(col("event_id") % 2 === 1)
+      graft.operators.IncrementalAgg.refreshKmv(s, state, b1, Seq("event_type"), "user_id",
+        k = 64, batchId = Some(1L))
+      graft.operators.IncrementalAgg.refreshKmv(s, state, b2, Seq("event_type"), "user_id",
+        k = 64, batchId = Some(2L))
+      // crash-redelivery: replayed batch id is a recognized no-op
+      graft.operators.IncrementalAgg.refreshKmv(s, state, b2, Seq("event_type"), "user_id",
+        k = 64, batchId = Some(2L))
+      graft.operators.IncrementalAgg.readKmvEstimate(s, state, Seq("event_type"), k = 64)
+    },
+    oracle = Some(OracleSql.kmvDistinctSql(64, withCounts = false, estimateAs = "approx_distinct")))
+
   /** #18f2 Mergeable approximate quantiles — a deterministic
     * hash-sample sketch ([[graft.operators.Sketches.sampledQuantiles]]):
     * the engine-reproducible Bernoulli cut pins the sampled SET, and
@@ -5908,6 +5933,7 @@ object Queries {
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_scd2" -> qScd2,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_kmv_inc" -> qKmvInc,
     "q_approx_quantiles" -> qApproxQuantiles,
     "q_hash_sample" -> qHashSample,
     "q_stream_hopping" -> qStreamHopping,

@@ -120,6 +120,19 @@ final class KmvBuffer(val k: Int) {
       (((BigInt(k - 1)) << 64) / thetaU).toLong
     }
 
+  /** The kept hashes in UNSIGNED ascending order — the sketch's
+    * serialized-state form (last element = θ when full). Mergeable by
+    * construction: re-inserting two sketches' arrays into a fresh
+    * buffer equals the sketch of the concatenated inputs.
+    */
+  def sortedUnsigned: Array[Long] = {
+    val out = java.util.Arrays.copyOf(hs, n)
+    val boxed = out.map(java.lang.Long.valueOf)
+    java.util.Arrays.sort(boxed, (a: java.lang.Long, b: java.lang.Long) =>
+      java.lang.Long.compareUnsigned(a, b))
+    boxed.map(_.longValue())
+  }
+
   def toBytes: Array[Byte] = {
     val bos = new ByteArrayOutputStream(8 + n * 8)
     val out = new DataOutputStream(bos)
@@ -142,8 +155,73 @@ object KmvBuffer {
   }
 }
 
+/** The same sketch evaluated to its STATE — the kept bottom-k hashes
+  * in unsigned ascending order (`array<long>`) — instead of the
+  * estimate. This is the persistable/mergeable form: an incremental
+  * maintainer stores it per key, folds each batch's sketch in by
+  * re-aggregating the exploded union (associative, like the top-k
+  * heap), and derives the estimate at read time.
+  */
+case class KmvSketchAggregate(
+    hashExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k >= 2, "kmv_sketch needs k >= 2")
+
+  override def children: Seq[Expression] = Seq(hashExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val h = hashExpr.eval(input)
+    if (h != null) buf.insert(h.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = { buf.mergeFrom(other); buf }
+
+  override def eval(buf: KmvBuffer): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf.sortedUnsigned)
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketchAggregate = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketchAggregate = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(hashExpr = c(0))
+}
+
 object KmvFunctions {
   /** Column API: `kmv_distinct(hash64, k)` aggregate (BIGINT estimate). */
   def kmv_distinct(hash: Column, k: Int): Column =
     toColumn(KmvAggregate(toExpr(hash), k).toAggregateExpression())
+
+  /** Column API: `kmv_sketch(hash64, k)` aggregate (sorted bottom-k state). */
+  def kmv_sketch(hash: Column, k: Int): Column =
+    toColumn(KmvSketchAggregate(toExpr(hash), k).toAggregateExpression())
+
+  /** Estimate from a stored sketch array (unsigned-ascending bottom-k):
+    * exact-integer mirror of [[KmvBuffer.estimate]] as a Column —
+    * ⌊(k−1)·2⁶⁴/θ⌋ with θ the array's last (largest-unsigned) element,
+    * or the fill count when the sketch never filled. Division is
+    * IntegralDivide (`div`), never decimal `/` — the latter ROUNDS
+    * (HALF_UP) where BigInt / HUGEINT truncate.
+    */
+  def kmv_estimate_from(sketch: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val theta = element_at(sketch, k)
+    val thetaU = when(theta < 0,
+      theta.cast("decimal(38,0)") + lit((BigInt(1) << 64).toString).cast("decimal(38,0)"))
+      .otherwise(theta.cast("decimal(38,0)"))
+    val num = lit((BigInt(k - 1) << 64).toString).cast("decimal(38,0)")
+    val floorDiv = toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(toExpr(num), toExpr(thetaU)))
+    when(size(sketch) < k, size(sketch).cast("long")).otherwise(floorDiv)
+  }
 }

@@ -165,4 +165,51 @@ object IncrementalAgg {
       .select((keys.map(col) :+ posexplode(col("hits")).as(Seq("pos", "hit"))): _*)
       .select((keys.map(col) :+ col("hit.id").as("id") :+
         col("hit.score").as("score") :+ (col("pos") + 1).cast("int").as("rk")): _*)
+
+  /** Incremental DISTINCT-COUNT sketch maintenance: a per-key
+    * KMV/theta sketch (bottom-k xxhash64 values — O(k) state) stays
+    * current under appends, the sketch answer to the one aggregate
+    * the count/sum rollup above deliberately excludes. The sketch is
+    * a pure function of the input SET and merging is re-insertion
+    * (associative, commutative, idempotent per value), so folding
+    * each increment's per-key sketch into the stored one equals the
+    * full-history sketch EXACTLY — q_kmv_inc's oracle re-derives the
+    * whole-corpus estimate from first principles and hash-matches.
+    * Same replay guard as the rollup: the applied-batch high-water
+    * mark rides the atomic state commit.
+    */
+  def refreshKmv(
+      spark: SparkSession,
+      statePath: String,
+      increment: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int = 64,
+      batchId: Option[Long] = None): Boolean = {
+    if (alreadyApplied(spark, statePath, batchId)) return false
+    import graft.functions.KmvFunctions.kmv_sketch
+    val batchSketch = increment.groupBy(keys.map(col): _*)
+      .agg(kmv_sketch(xxhash64(col(valueCol)), k).as("hs"))
+    val merged =
+      if (UpsertWriter.versions(spark, statePath).nonEmpty) {
+        val state = UpsertWriter.read(spark, statePath)
+          .select((keys.map(col) :+ col("hs")): _*)
+        // the union re-aggregates ALREADY-HASHED values: explode the
+        // two sketches and rebuild — never rehash
+        state.unionByName(batchSketch)
+          .select((keys.map(col) :+ explode(col("hs")).as("h")): _*)
+          .groupBy(keys.map(col): _*)
+          .agg(kmv_sketch(col("h"), k).as("hs"))
+      } else batchSketch
+    UpsertWriter.upsert(merged.withColumn("_ver", lit(0L)),
+      statePath, recordKeys = keys, precombine = "_ver",
+      meta = nextMeta(spark, statePath, batchId))
+    true
+  }
+
+  /** Current distinct-count estimates: (keys, approx_distinct). */
+  def readKmvEstimate(spark: SparkSession, statePath: String, keys: Seq[String], k: Int = 64): DataFrame =
+    UpsertWriter.read(spark, statePath)
+      .select((keys.map(col) :+
+        graft.functions.KmvFunctions.kmv_estimate_from(col("hs"), k).as("approx_distinct")): _*)
 }

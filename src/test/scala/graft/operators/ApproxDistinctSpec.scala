@@ -128,6 +128,38 @@ class ApproxDistinctSpec extends SparkSpec {
     }
   }
 
+  test("refreshKmv: incremental fold == one-shot sketch; replay is a byte-identical no-op") {
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    val state = tmpDir("graft-kmv-inc-") + "/s"
+    val b1 = ev.filter(col("event_id") % 2 === 0)
+    val b2 = ev.filter(col("event_id") % 2 === 1)
+    assert(IncrementalAgg.refreshKmv(spark, state, b1, Seq("event_type"), "user_id",
+      k = 64, batchId = Some(1L)))
+    assert(IncrementalAgg.refreshKmv(spark, state, b2, Seq("event_type"), "user_id",
+      k = 64, batchId = Some(2L)))
+    // replay: recognized no-op, state version unchanged
+    val vBefore = graft.sources.UpsertWriter.versions(spark, state)
+    assert(!IncrementalAgg.refreshKmv(spark, state, b2, Seq("event_type"), "user_id",
+      k = 64, batchId = Some(2L)))
+    assert(graft.sources.UpsertWriter.versions(spark, state) == vBefore)
+    val inc = IncrementalAgg.readKmvEstimate(spark, state, Seq("event_type"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = Sketches.approxDistinctKmv(ev, Seq("event_type"), "user_id", k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc == oneShot, s"incremental $inc != one-shot $oneShot")
+  }
+
+  test("kmv_estimate_from(sketch state) == kmv_distinct estimate, including truncation ties") {
+    val ev = graft.sources.TableLoader.table(spark, sfDir, "events")
+    import graft.functions.KmvFunctions._
+    val both = ev.groupBy(col("event_type"))
+      .agg(kmv_distinct(xxhash64(col("user_id")), 64).as("direct"),
+        kmv_estimate_from(kmv_sketch(xxhash64(col("user_id")), 64), 64).as("derived"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"${r.getString(0)}: direct ${r.getLong(1)} != derived ${r.getLong(2)}"))
+  }
+
   test("reproducibleStratified: exact fraction semantics, run-stable, oracle formula") {
     val docs = graft.sources.TableLoader.table(spark, sfDir, "documents")
     def run() = Sampling.reproducibleStratified(docs, "lang", "doc_id", Map("en" -> 0.25))
