@@ -4649,9 +4649,63 @@ object Queries {
         |  (2 * least(n_words, 100) + 25 * stop_hits - abs(mwl10 - 50)) >= 220 AS q_pass
         |FROM f""".stripMargin))
 
-  /** #63 Product-quantization approximate top-k (ADC) — rows-only
-    * (quantization error is implementation-defined); the spec bounds
-    * recall against exact inner-product search.
+  /** #62b Trainable Naive Bayes classifier: class-conditional token
+    * counts learned from the labeled 90% of the corpus, the held-out
+    * 10% classified by argmin total integer surprisal —
+    * ⌊log₁₀((n_c+V)/(n_wc+1))⌋ as the decimal magnitude of an exact
+    * integer division, so training AND inference hash-match a
+    * first-principles DuckDB re-derivation (see
+    * [[graft.operators.NaiveBayes]]).
+    */
+  val qNbClassify: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.NaiveBayes.classify(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    },
+    oracle = Some(
+      """WITH tr AS (
+        |  SELECT lang, text FROM documents WHERE doc_id % 10 <> 0
+        |), ttok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM tr
+        |), cnt AS MATERIALIZED (
+        |  SELECT lang, tok, count(*) AS n_wc FROM ttok GROUP BY lang, tok
+        |), ctot AS (
+        |  SELECT lang, count(*) AS n_c FROM ttok GROUP BY lang
+        |), v AS (
+        |  SELECT count(DISTINCT tok) AS vsz FROM ttok
+        |), pri AS (
+        |  SELECT lang, count(*) AS n_d FROM tr GROUP BY lang
+        |), nn AS (
+        |  SELECT count(*) AS n_docs FROM tr
+        |), cls AS (
+        |  SELECT p.lang, c.n_c + v.vsz AS num,
+        |         CAST(length(CAST(nn.n_docs // p.n_d AS VARCHAR)) - 1 AS BIGINT) AS prior_b
+        |  FROM pri p, nn, v, ctot c WHERE c.lang = p.lang
+        |), te AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |  WHERE doc_id % 10 = 0
+        |), sc AS (
+        |  SELECT te.doc_id, c.lang, c.prior_b,
+        |    CAST(length(CAST(c.num // (coalesce(k.n_wc, 0) + 1) AS VARCHAR)) - 1 AS BIGINT) AS b
+        |  FROM te CROSS JOIN cls c
+        |  LEFT JOIN cnt k ON k.lang = c.lang AND k.tok = te.tok
+        |), tot AS (
+        |  SELECT doc_id, lang, CAST(min(prior_b) + sum(b) AS BIGINT) AS nb_score
+        |  FROM sc GROUP BY doc_id, lang
+        |)
+        |SELECT doc_id, lang AS pred_label, nb_score FROM (
+        |  SELECT doc_id, lang, nb_score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY nb_score, lang) AS rk
+        |  FROM tot) WHERE rk = 1""".stripMargin))
+
+  /** #63 Product-quantization approximate top-k (ADC) — FULLY
+    * ORACLED ([[OracleSql.pqTopkSql]]: codebooks re-trained in SQL
+    * from the same hash-ordered sample, codes re-derived with
+    * pqEncode's float-cast strict-< argmin, ADC re-summed in
+    * subspace order); the spec still bounds recall against exact
+    * inner-product search.
     */
   val qSimPqTopk: QueryDef = QueryDef(
     run = (s, dir) => {
@@ -6053,6 +6107,7 @@ object Queries {
     "text_bpe_pairs" -> qBpePairs,
     "text_bpe_merges" -> qBpeMerges,
     "q_quality_score" -> qQualityScore,
+    "q_nb_classify" -> qNbClassify,
     "q_eval_auc" -> qEvalAuc,
     "q_eval_report" -> qEvalLangid,
     "q_eval_calibration" -> qEvalCalibration,
