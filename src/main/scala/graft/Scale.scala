@@ -214,6 +214,34 @@ object Scale {
       operators.Bpe.train(docs01, iters = 1000); ()
     } { operators.Bpe.train(docs1, iters = 1000); () }
 
+    // round-10 sketch family: KMV distinct is one map-side-combined
+    // O(k)-state aggregate — corpus-linear scan, constant shuffle
+    val ev01 = t01("events"); val ev1 = t1("events")
+    rehearse("q_approx_distinct",
+      operators.Sketches.approxDistinctKmv(ev01, Seq("event_type"), "user_id"),
+      operators.Sketches.approxDistinctKmv(ev1, Seq("event_type"), "user_id"))
+
+    // incremental KMV maintenance: two batches folded into O(k)
+    // versioned state — per-batch cost tracks the batch scan
+    def kmvFold(ev: DataFrame, state: String): Unit = {
+      (0 until 2).foreach { k =>
+        operators.IncrementalAgg.refreshKmv(spark, state,
+          ev.filter(col("event_id") % 2 === k), Seq("event_type"), "user_id",
+          batchId = Some(k.toLong))
+      }
+      noop(operators.IncrementalAgg.readKmvEstimate(spark, state, Seq("event_type")))
+    }
+    rehearseUnit("q_kmv_inc") {
+      kmvFold(ev01, scaleScratch("kmv-01"))
+    } { kmvFold(ev1, scaleScratch("kmv-1")) }
+
+    // trainable NB classifier: counting shuffle + broadcast-model
+    // apply over the token stream x |classes|
+    def nb(docs: DataFrame): DataFrame =
+      operators.NaiveBayes.classify(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    rehearse("q_nb_classify", nb(docs01), nb(docs1))
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
   }
