@@ -4008,6 +4008,30 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id, event_type""".stripMargin))
 
+  /** #22q Streaming distinct-count sketch maintenance: micro-batches
+    * fold per-type KMV sketches into the versioned O(k) state
+    * (foreachBatch → IncrementalAgg.refreshKmv; 4 hash-split files,
+    * one batch each, plus an inline redelivery that must no-op). The
+    * sketch is a pure function of the input SET and the fold is
+    * associative/commutative, so the streamed state answers EXACTLY
+    * what the one-shot whole-corpus sketch answers — re-derived from
+    * first principles by the oracle.
+    */
+  val qStreamKmv: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("stream-kmv-state")
+      scratch("stream-kmv-state_ckpt")
+      val split = graft.streaming.EventStream.splitDir(s, s"$dir/events.parquet", 4)
+      graft.streaming.EventStream.streamKmv(s, split, statePath, Seq("event_type"), "user_id",
+        queryName = "graft_stream_kmv_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+      // crash-redelivery simulation: an already-applied batch id
+      graft.operators.IncrementalAgg.refreshKmv(
+        s, statePath, t(s, dir, "events"), Seq("event_type"), "user_id", batchId = Some(0L))
+      graft.operators.IncrementalAgg.readKmvEstimate(s, statePath, Seq("event_type"))
+    },
+    oracle = Some(OracleSql.kmvDistinctSql(64, withCounts = false, estimateAs = "approx_distinct")))
+
   // ---------------------------------------------------------------
   // Event analytics (funnel / cohort / streaks / coverage / resample)
   // ---------------------------------------------------------------
@@ -6081,6 +6105,7 @@ object Queries {
     "dedup_incremental" -> qDedupIncremental,
     "q_schema_union" -> qSchemaUnion,
     "q_stream_inc_agg" -> qStreamIncAgg,
+    "q_stream_kmv" -> qStreamKmv,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,

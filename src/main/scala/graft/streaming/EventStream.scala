@@ -579,6 +579,40 @@ object EventStream {
       q.awaitTermination()
     }
 
+  /** Streaming distinct-count sketch maintenance: each micro-batch
+    * folds its per-key KMV sketch into the versioned O(k) state
+    * ([[graft.operators.IncrementalAgg.refreshKmv]]) — continuous
+    * approximate COUNT(DISTINCT) dashboards at O(batch) ingest cost,
+    * with the same exactly-once contract as streamIncAgg: the source
+    * checkpoint makes batch ids durable, and the applied-batch
+    * high-water mark rides the atomic state commit, so a redelivered
+    * batch is a recognized no-op (the sketch fold is idempotent per
+    * VALUE but the guard also spares the state churn).
+    */
+  def streamKmv(
+      spark: SparkSession,
+      path: String,
+      statePath: String,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int = 64,
+      queryName: String = "graft_stream_kmv"): Unit =
+    withFewStatePartitions(spark) { s =>
+      val events = eventSource(s, path, maxFilesPerTrigger = Some(1))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val q = events.writeStream
+        .option("checkpointLocation", s"${statePath}_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.operators.IncrementalAgg.refreshKmv(
+            s, statePath, batch.toDF(), keys, valueCol, k, batchId = Some(batchId))
+          ()
+        }
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** Streaming near-dup dedup-on-ingest: each micro-batch of
     * documents folds into the persisted MinHash-LSH band/set state
     * (`Dedup.minhashLshIncremental`) and emits the near-dup pairs
