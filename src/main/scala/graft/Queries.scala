@@ -1729,6 +1729,111 @@ object Queries {
         |                 // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) END AS auc_bp
         |FROM r GROUP BY source""".stripMargin))
 
+  /** #85 Exact average precision (PR-AUC) of the linear quality score
+    * against the is-English label — the imbalance-robust companion to
+    * #84: step-interpolated AP with one threshold per distinct score
+    * (tied rows enter as one block), computed on the grouped score
+    * distribution with per-block precision floor-quantized to 10⁻¹²
+    * (see [[graft.operators.Evaluation.averagePrecision]]).
+    */
+  val qEvalPrAuc: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Evaluation.averagePrecision(
+        graft.operators.TextAnalysis.qualityLinear(t(s, dir, "documents")),
+        col("lang") === "en", col("q_score")),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+        |        'that', 'it', 'was', 'for'))) AS BIGINT) AS stop_hits
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, lang, n_words, stop_hits,
+        |    CASE WHEN n_words > 0 THEN word_chars * 10 // n_words ELSE 0 END AS mwl10
+        |  FROM m
+        |), scored AS (
+        |  SELECT (lang = 'en') AS label,
+        |    2 * least(n_words, 100) + 25 * stop_hits - abs(mwl10 - 50) AS score
+        |  FROM f
+        |), bys AS (
+        |  SELECT score,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+        |  FROM scored GROUP BY score
+        |), cum AS (
+        |  SELECT n_pos, n_neg,
+        |    sum(n_pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+        |    sum(n_neg) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS fp
+        |  FROM bys
+        |), q AS (
+        |  SELECT n_pos, n_neg,
+        |    CAST(tp AS HUGEINT) * 1000000000000 // (tp + fp) AS prec_q12
+        |  FROM cum
+        |)
+        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |       CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |       CAST(sum(CAST(n_pos AS HUGEINT) * prec_q12) * 10000
+        |            // (CAST(sum(n_pos) AS HUGEINT) * 1000000000000) AS BIGINT) AS ap_bp
+        |FROM q""".stripMargin))
+
+  /** #85b Per-segment exact average precision (grouped by `source`):
+    * the PR-side slice view matching #84e — per-segment windows are
+    * the preferred scale shape (see
+    * [[graft.operators.Evaluation.averagePrecisionBy]]).
+    */
+  val qEvalPrAucBy: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Evaluation.averagePrecisionBy(
+        graft.operators.TextAnalysis.qualityLinear(t(s, dir, "documents")),
+        col("source"), col("lang") === "en", col("q_score"))
+        .select(col("grp").as("source"), col("n_pos"), col("n_neg"), col("ap_bp")),
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> strlen(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'of', 'and', 'to', 'in', 'is',
+        |        'that', 'it', 'was', 'for'))) AS BIGINT) AS stop_hits
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, lang, source, n_words, stop_hits,
+        |    CASE WHEN n_words > 0 THEN word_chars * 10 // n_words ELSE 0 END AS mwl10
+        |  FROM m
+        |), scored AS (
+        |  SELECT source, (lang = 'en') AS label,
+        |    2 * least(n_words, 100) + 25 * stop_hits - abs(mwl10 - 50) AS score
+        |  FROM f
+        |), bys AS (
+        |  SELECT source, score,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+        |  FROM scored GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT source, n_pos, n_neg,
+        |    sum(n_pos) OVER (PARTITION BY source ORDER BY score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS tp,
+        |    sum(n_neg) OVER (PARTITION BY source ORDER BY score DESC
+        |      ROWS UNBOUNDED PRECEDING) AS fp
+        |  FROM bys
+        |), q AS (
+        |  SELECT source, n_pos, n_neg,
+        |    CAST(tp AS HUGEINT) * 1000000000000 // (tp + fp) AS prec_q12
+        |  FROM cum
+        |)
+        |SELECT source,
+        |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(n_pos) = 0 OR sum(n_neg) = 0 THEN NULL
+        |       ELSE CAST(sum(CAST(n_pos AS HUGEINT) * prec_q12) * 10000
+        |            // (CAST(sum(n_pos) AS HUGEINT) * 1000000000000) AS BIGINT) END AS ap_bp
+        |FROM q GROUP BY source""".stripMargin))
+
   /** #84c Score-calibration table: the quality score rank-bucketed
     * into 10 bands on the grouped distribution (bin(s) =
     * ⌊rows_below(s)·10/n⌋ — all rows of one score share a bin, no
@@ -6138,6 +6243,8 @@ object Queries {
     "q_eval_calibration" -> qEvalCalibration,
     "q_eval_kappa" -> qEvalKappa,
     "q_eval_auc_by" -> qEvalAucBy,
+    "q_eval_pr_auc" -> qEvalPrAuc,
+    "q_eval_pr_auc_by" -> qEvalPrAucBy,
     "q_eval_report_inc" -> qEvalReportInc,
     "q_eval_threshold" -> qEvalThreshold,
     "q_eval_calibration_by" -> qEvalCalibrationBy,

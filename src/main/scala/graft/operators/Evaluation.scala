@@ -127,6 +127,108 @@ object Evaluation {
           .otherwise(expr("CAST(auc_num * 10000 DIV auc_den AS BIGINT)")))
   }
 
+  /** Exact average precision (the PR-AUC companion to [[aucExact]]):
+    * AP = Σ_thresholds ΔRecall · Precision with one threshold per
+    * DISTINCT score (the step-interpolated estimator — scikit-learn's
+    * `average_precision_score` convention), so all rows of a tied
+    * score enter as one block: ΔR = pos_s/P, Precision at the block =
+    * tp_s/(tp_s+fp_s) with tp/fp cumulative at-or-above s. ROC AUC
+    * can look great on a 1:10⁶-imbalanced corpus-curation label where
+    * PR-AUC exposes the classifier — this is the metric that matters
+    * when positives are rare.
+    *
+    * Same grouped-distribution shape as aucExact: one map-side-
+    * combined groupBy(score), one |distinct scores| descending
+    * running-sum window (never row pairs), one final fold.
+    *
+    * Exactness/determinism: precision per block is floor-quantized
+    * once to 10⁻¹² (prec_q12 = ⌊10¹²·tp/cum⌋ — an IntegralDivide of
+    * DECIMAL(38,0) products, so tp·10¹² cannot wrap a long), then
+    * ap_num = Σ pos_s·prec_q12 accumulates in DECIMAL(38,0)
+    * (≤ P·10¹² ≈ 10²¹ at P = 10⁹ — far inside 38 digits where a
+    * BIGINT is long gone) and ap_bp = ⌊10⁴·ap_num/(P·10¹²)⌋. The
+    * per-block floor under-counts AP by < |blocks|/10¹² — invisible
+    * at basis-point output, and bit-identical on any engine, which is
+    * what the cross-engine hash gate needs.
+    *
+    * Returns one row: (n_pos, n_neg, ap_bp); NULL ap_bp when either
+    * class is absent.
+    */
+  def averagePrecision(df: DataFrame, labelCol: Column, scoreCol: Column,
+      maxDistinctScores: Long = 4000000L): DataFrame = {
+    val byScore = df
+      .filter(labelCol.isNotNull)
+      .select(scoreCol.cast("long").as("score"),
+        when(labelCol.cast("boolean"), 1L).otherwise(0L).as("p"))
+      .groupBy(col("score"))
+      .agg(sum(col("p")).as("n_pos"), sum(lit(1L) - col("p")).as("n_neg"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    byScore
+      .withColumn("tp", sum(col("n_pos")).over(w) +
+        distinctScoreGuard(row_number().over(Window.orderBy(col("score").desc)),
+          maxDistinctScores, "averagePrecision"))
+      .withColumn("fp", sum(col("n_neg")).over(w))
+      // ⌊10¹²·tp/(tp+fp)⌋ ≤ 10¹² — IntegralDivide emits a long that
+      // always fits; the decimal widening is on the product, where
+      // the wrap would happen
+      .withColumn("prec_q12", expr(
+        """CAST(CAST(tp AS DECIMAL(38,0)) * 1000000000000
+          |     DIV CAST(tp + fp AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        sum(dec(col("n_pos")) * dec(col("prec_q12")))
+          .cast("decimal(38,0)").as("ap_num"))
+      .withColumn("ap_bp",
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(ap_num * 10000
+              |     DIV (CAST(n_pos AS DECIMAL(38,0)) * 1000000000000) AS BIGINT)""".stripMargin)))
+      .select(col("n_pos"), col("n_neg"), col("ap_bp"))
+  }
+
+  /** Per-GROUP exact average precision: [[averagePrecision]]
+    * partitioned by a segment column — the PR-side slice view
+    * matching [[aucExactBy]], and the preferred shape at scale: the
+    * descending running-sum window partitions by the group and
+    * spreads across the cluster instead of one global ordered frame.
+    *
+    * Returns one row per group: (grp, n_pos, n_neg, ap_bp);
+    * single-class groups yield NULL ap_bp.
+    */
+  def averagePrecisionBy(df: DataFrame, groupCol: Column, labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val byScore = df
+      .filter(labelCol.isNotNull)
+      .select(groupCol.as("grp"), scoreCol.cast("long").as("score"),
+        when(labelCol.cast("boolean"), 1L).otherwise(0L).as("p"))
+      .groupBy(col("grp"), col("score"))
+      .agg(sum(col("p")).as("n_pos"), sum(lit(1L) - col("p")).as("n_neg"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    byScore
+      .withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("fp", sum(col("n_neg")).over(w))
+      .withColumn("prec_q12", expr(
+        """CAST(CAST(tp AS DECIMAL(38,0)) * 1000000000000
+          |     DIV CAST(tp + fp AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        sum(dec(col("n_pos")) * dec(col("prec_q12")))
+          .cast("decimal(38,0)").as("ap_num"))
+      .withColumn("ap_bp",
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(ap_num * 10000
+              |     DIV (CAST(n_pos AS DECIMAL(38,0)) * 1000000000000) AS BIGINT)""".stripMargin)))
+      .select(col("grp"), col("n_pos"), col("n_neg"), col("ap_bp"))
+  }
+
   /** Per-class precision/recall/F1 of a hard prediction against the
     * true label, exact rational arithmetic: each class row carries
     * (tp, fp, fn) plus basis-point precision = ⌊10⁴·tp/(tp+fp)⌋,

@@ -233,6 +233,69 @@ class EvaluationSpec extends SparkSpec {
     assert(kappa(Seq(("a", "a"), ("a", "a"))) == ((2L, 2L, None)))
   }
 
+  /** Literal-definition AP oracle: walk distinct scores descending,
+    * each block contributes pos_s · ⌊10¹²·tp/cum⌋, summed in BigInt —
+    * the per-block quantization contract averagePrecision documents.
+    */
+  private def blockApBp(rows: Seq[(Boolean, Long)]): Option[Long] = {
+    val pos = rows.count(_._1).toLong
+    val neg = rows.size - pos
+    if (pos == 0 || neg == 0) None
+    else {
+      val blocks = rows.groupBy(_._2).toSeq.sortBy(-_._1)
+      var tp = 0L; var cum = 0L; var num = BigInt(0)
+      for ((_, rs) <- blocks) {
+        val p = rs.count(_._1).toLong
+        tp += p; cum += rs.size
+        num += BigInt(p) * (BigInt(tp) * BigInt("1000000000000") / BigInt(cum))
+      }
+      Some((num * 10000 / (BigInt(pos) * BigInt("1000000000000"))).toLong)
+    }
+  }
+
+  private def apBp(rows: Seq[(Boolean, Long)]): Option[Long] = {
+    val s = spark
+    import s.implicits._
+    val r = Evaluation.averagePrecision(
+      rows.toDF("label", "score"), col("label"), col("score"))
+      .select(col("ap_bp")).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  test("averagePrecision equals the literal block-walk definition, tie-heavy input") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)((rnd.nextInt(4) == 0, rnd.nextInt(8).toLong))
+    assert(apBp(rows) == blockApBp(rows))
+  }
+
+  test("averagePrecision: perfect separation 10000 bp, random-on-imbalance ≈ prevalence") {
+    val perfect = Seq((false, 1L), (false, 2L), (true, 3L), (true, 4L))
+    assert(apBp(perfect).contains(10000L))
+    // a constant score collapses to one block: AP = prevalence P/n
+    val flat = Seq.fill(3)((true, 5L)) ++ Seq.fill(9)((false, 5L))
+    assert(apBp(flat).contains(2500L))
+    assert(apBp(flat) == blockApBp(flat))
+    // single-class inputs yield NULL, not a crash
+    assert(apBp(Seq((true, 1L), (true, 2L))).isEmpty)
+    assert(apBp(Seq((false, 1L))).isEmpty)
+  }
+
+  test("averagePrecisionBy matches the global form run per group") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((s"g${rnd.nextInt(3)}", rnd.nextBoolean(), rnd.nextInt(6).toLong))
+    val got = Evaluation.averagePrecisionBy(
+      rows.toDF("g", "label", "score"), col("g"), col("label"), col("score"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val sub = rows.filter(_._1 == g).map(r => (r._2, r._3))
+      assert(got(g)._3 == blockApBp(sub), s"group $g")
+      assert(got(g)._1 == sub.count(_._1).toLong)
+    }
+  }
+
   test("classificationReport folds NULL-labeled rows into one consistent row") {
     val s = spark
     import s.implicits._
