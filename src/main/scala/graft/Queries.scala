@@ -6076,6 +6076,113 @@ object Queries {
     oracle = Some(bpeOracleSql(20,
       "SELECT word, CAST(n AS BIGINT) AS n, array_to_string(syms, ' ') AS pieces FROM s20")))
 
+  /** #86 Entity resolution / record linkage on a dirty customer
+    * table: deterministic typo'd re-ingestions of every 4th and 10th
+    * customer (the '#'→'@' and Customer→Custoner edits, plus a
+    * 7-cent balance drift) are linked back to their originals by
+    * multi-key blocking (last-5-digits-of-name ∪ nation:balance-band)
+    * → Fellegi-Sunter additive integer score (Levenshtein-banded name
+    * + nation agreement + balance proximity, threshold 50 — high
+    * enough that a name edit alone plus shared nation cannot link two
+    * genuinely different customers) →
+    * connected components → golden records (min-id member's fields
+    * win, balance takes the cluster max). The WHOLE pipeline — dirty
+    * generation, blocking, scoring, clustering, survivorship — is
+    * re-derived in DuckDB (recursive-CTE components, arg_min
+    * survivorship), so the oracle pins candidate generation and the
+    * match decision, not just the final shape.
+    *
+    * Balance band uses (cents + 10⁶) DIV 10⁴: the shift keeps the
+    * dividend non-negative, where Spark's truncating DIV and
+    * DuckDB's flooring // agree (acctbal can be negative).
+    */
+  val qLinkage: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_cents"))
+      val typoA = base.filter(col("id") % 4 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        regexp_replace(col("name"), "#", "@").as("name"),
+        col("nation"), (col("bal_cents") + 7L).as("bal_cents"))
+      val typoB = base.filter(col("id") % 10 === 0).select(
+        (col("id") + 20000000L).as("id"),
+        regexp_replace(col("name"), "Customer", "Custoner").as("name"),
+        col("nation"), col("bal_cents"))
+      val records = base.unionByName(typoA).unionByName(typoB)
+      val blockKeys = Seq(
+        expr("substring(name, length(name) - 4, 5)"),
+        concat(col("nation").cast("string"), lit(":"),
+          expr("CAST((bal_cents + 1000000) DIV 10000 AS STRING)")))
+      val nameDist = levenshtein(col("a_name"), col("b_name"))
+      val score =
+        when(nameDist === 0, 40L).when(nameDist <= 2, 25L).otherwise(0L) +
+        when(col("a_nation") === col("b_nation"), 20L).otherwise(0L) +
+        when(abs(col("a_bal_cents") - col("b_bal_cents")) <= 10L, 15L).otherwise(0L)
+      val ents = graft.operators.RecordLinkage.link(
+        records, "id", blockKeys, score, threshold = 50L)
+      records.join(ents, "id")
+        .groupBy(col("entity_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          min_by(col("name"), col("id")).as("name"),
+          min_by(col("nation"), col("id")).as("nation"),
+          max(col("bal_cents")).as("max_bal_cents"))
+    },
+    oracle = Some(
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS id, c_name AS name, CAST(c_nationkey AS BIGINT) AS nation,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer
+        |), records AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT id + 10000000, replace(name, '#', '@'), nation, bal_cents + 7
+        |  FROM base WHERE id % 4 = 0
+        |  UNION ALL
+        |  SELECT id + 20000000, replace(name, 'Customer', 'Custoner'), nation, bal_cents
+        |  FROM base WHERE id % 10 = 0
+        |), keyed AS (
+        |  SELECT id, 0 AS ki, substr(name, strlen(name) - 4, 5) AS kv FROM records
+        |  UNION ALL
+        |  SELECT id, 1, CAST(nation AS VARCHAR) || ':' ||
+        |         CAST((bal_cents + 1000000) // 10000 AS VARCHAR) FROM records
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM keyed a JOIN keyed b ON a.ki = b.ki AND a.kv = b.kv AND a.id < b.id
+        |), scored AS (
+        |  SELECT id_a, id_b,
+        |    (CASE WHEN levenshtein(ra.name, rb.name) = 0 THEN 40
+        |          WHEN levenshtein(ra.name, rb.name) <= 2 THEN 25 ELSE 0 END)
+        |    + (CASE WHEN ra.nation = rb.nation THEN 20 ELSE 0 END)
+        |    + (CASE WHEN abs(ra.bal_cents - rb.bal_cents) <= 10 THEN 15 ELSE 0 END)
+        |      AS match_score
+        |  FROM cand
+        |  JOIN records ra ON ra.id = id_a
+        |  JOIN records rb ON rb.id = id_b
+        |), matched AS (
+        |  SELECT id_a, id_b FROM scored WHERE match_score >= 50
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM matched
+        |  UNION SELECT id_b, id_a FROM matched
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        |), comp AS (
+        |  SELECT id, min(r) AS rep FROM reach GROUP BY id
+        |), ents AS (
+        |  SELECT r.id, coalesce(c.rep, r.id) AS entity_id
+        |  FROM records r LEFT JOIN comp c ON c.id = r.id
+        |)
+        |SELECT e.entity_id, count(*) AS n_members,
+        |  arg_min(r.name, r.id) AS name,
+        |  arg_min(r.nation, r.id) AS nation,
+        |  max(r.bal_cents) AS max_bal_cents
+        |FROM ents e JOIN records r ON r.id = e.id
+        |GROUP BY e.entity_id""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6245,6 +6352,7 @@ object Queries {
     "q_eval_auc_by" -> qEvalAucBy,
     "q_eval_pr_auc" -> qEvalPrAuc,
     "q_eval_pr_auc_by" -> qEvalPrAucBy,
+    "q_linkage" -> qLinkage,
     "q_eval_report_inc" -> qEvalReportInc,
     "q_eval_threshold" -> qEvalThreshold,
     "q_eval_calibration_by" -> qEvalCalibrationBy,
