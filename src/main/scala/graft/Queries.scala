@@ -6183,6 +6183,57 @@ object Queries {
         |FROM ents e JOIN records r ON r.id = e.id
         |GROUP BY e.entity_id""".stripMargin))
 
+  /** #87 Table branching + three-way merge (Nessie/LakeFS workflow on
+    * the versioned table): base snapshot committed to main (v1),
+    * zero-copy branch forked at v1, main moves on (every 5th key's
+    * cents +100, prec 2 → v2), the branch commits its own edits
+    * (every 7th key's status → 'B', prec 3) and deletions (every 11th
+    * key), then merges back under the "latest" policy → main v3. The
+    * oracle re-derives the merged table from first principles:
+    * theirs-only and ours-only changes route directly, the %35
+    * overlap resolves to the branch row (prec 3 > 2), delete-vs-
+    * modify keeps the modify, deletions elsewhere vanish. Reading
+    * main v3 back verifies the COMMITTED result, not an in-memory
+    * plan — the whole branch lifecycle runs through real files.
+    */
+  val qBranchMerge: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val path = scratch("branch_merge")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey"),
+        col("o_orderstatus").as("status"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        lit(1L).as("prec"))
+      graft.sources.UpsertWriter.upsert(base, path, Seq("k"), "prec", keepVersions = 3)
+      graft.sources.Branching.create(s, path, "feature")
+      val mainUpd = base.filter(col("k") % 5 === 0)
+        .withColumn("cents", col("cents") + 100L).withColumn("prec", lit(2L))
+      graft.sources.UpsertWriter.upsert(mainUpd, path, Seq("k"), "prec", keepVersions = 3)
+      val branchUpd = base.filter(col("k") % 7 === 0)
+        .withColumn("status", lit("B")).withColumn("prec", lit(3L))
+      graft.sources.Branching.upsertBranch(branchUpd, path, "feature", Seq("k"), "prec")
+      graft.sources.Branching.deleteFromBranch(
+        base.filter(col("k") % 11 === 0).select(col("k")), path, "feature", Seq("k"))
+      graft.sources.Branching.mergeBranch(s, path, "feature", Seq("k"), "prec",
+        onConflict = "latest", keepVersions = 4)
+      graft.sources.UpsertWriter.read(s, path)
+    },
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         CAST(1 AS BIGINT) AS prec
+        |  FROM orders
+        |)
+        |SELECT k, o_custkey,
+        |  CASE WHEN k % 7 = 0 AND k % 11 <> 0 THEN 'B' ELSE status END AS status,
+        |  CASE WHEN k % 5 = 0 AND NOT (k % 7 = 0 AND k % 11 <> 0)
+        |       THEN cents + 100 ELSE cents END AS cents,
+        |  CASE WHEN k % 7 = 0 AND k % 11 <> 0 THEN 3
+        |       WHEN k % 5 = 0 THEN 2 ELSE 1 END AS prec
+        |FROM base
+        |WHERE k % 11 <> 0 OR k % 5 = 0""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6353,6 +6404,7 @@ object Queries {
     "q_eval_pr_auc" -> qEvalPrAuc,
     "q_eval_pr_auc_by" -> qEvalPrAucBy,
     "q_linkage" -> qLinkage,
+    "q_branch_merge" -> qBranchMerge,
     "q_eval_report_inc" -> qEvalReportInc,
     "q_eval_threshold" -> qEvalThreshold,
     "q_eval_calibration_by" -> qEvalCalibrationBy,

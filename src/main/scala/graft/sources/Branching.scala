@@ -1,0 +1,256 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table branching and three-way merge over the versioned table — the
+  * lakehouse branch/merge workflow (Nessie / LakeFS style) on top of
+  * [[UpsertWriter]]'s commit timeline: fork a branch at a committed
+  * version for ZERO copy cost, write to it in isolation while main
+  * keeps moving, then merge it back with per-record conflict
+  * detection against the common base. The reference's pipeline writes
+  * straight to the live table (generate_hudi_table.py:86-214); a
+  * branch is how the same write path runs as a dry-run/staging
+  * environment that either merges atomically or is thrown away.
+  *
+  * Layout: a branch lives at `<table>/_branches/<name>/` as its OWN
+  * version timeline plus a `branch.json` recording the fork point.
+  * Creating a branch writes ONE tiny metadata file — no data is
+  * copied at any table size; the base version's files are shared
+  * until the branch's first commit (and `UpsertWriter`'s retention
+  * guard is the caller's `keepVersions` on main: fork points must be
+  * within the retained window, checked loudly at read/merge time).
+  *
+  * Scale shape: branch reads and writes are exactly main-table reads
+  * and writes (same merge/commit machinery). The three-way merge is
+  * two full-outer joins keyed on the record key — the same shuffle
+  * the upsert merge already does, and with a typically-small branch
+  * diff AQE broadcasts the branch side. Nothing anywhere is
+  * O(history); only the three involved snapshots are read.
+  */
+object Branching {
+
+  private def branchDir(table: Path, name: String) = new Path(new Path(table, "_branches"), name)
+  private def metaPath(dir: Path) = new Path(dir, "branch.json")
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fork `name` from the table's latest committed version (or an
+    * explicit `fromVersion`). Zero-copy: writes only branch.json.
+    * Fails loudly if the branch exists or the table has no commits.
+    */
+  def create(spark: SparkSession, tablePath: String, name: String,
+      fromVersion: Option[Int] = None): Int = {
+    require(name.nonEmpty && !name.contains("/"), s"bad branch name: $name")
+    val table = new Path(tablePath)
+    val fs = fsFor(spark, table)
+    val versions = UpsertWriter.committedVersions(fs, table)
+    require(versions.nonEmpty, s"cannot branch $tablePath: no committed versions")
+    val base = fromVersion.getOrElse(versions.last._1)
+    require(versions.exists(_._1 == base),
+      s"cannot branch from version $base: not in the retained timeline " +
+        s"(have: ${versions.map(_._1).mkString(", ")})")
+    val dir = branchDir(table, name)
+    if (fs.exists(metaPath(dir)))
+      throw new IllegalStateException(s"branch $name already exists at $dir")
+    fs.mkdirs(dir)
+    val out = fs.create(metaPath(dir), false)
+    out.write(s"""{"base_version": $base}""".getBytes("UTF-8"))
+    out.close()
+    base
+  }
+
+  /** The branch's fork-point version number. */
+  def baseVersion(spark: SparkSession, tablePath: String, name: String): Int = {
+    val dir = branchDir(new Path(tablePath), name)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(metaPath(dir)))
+      throw new IllegalArgumentException(s"no branch $name under $tablePath")
+    val in = fs.open(metaPath(dir))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"base_version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt) match {
+      case Some(m) => m.group(1).toInt
+      case None => throw new IllegalStateException(s"corrupt branch.json for $name: $txt")
+    }
+  }
+
+  /** Snapshot read of the branch: its latest own commit, or (before
+    * any branch commit) the fork-point version of main.
+    */
+  def readBranch(spark: SparkSession, tablePath: String, name: String): DataFrame = {
+    val table = new Path(tablePath)
+    val dir = branchDir(table, name)
+    val fs = fsFor(spark, table)
+    val own = UpsertWriter.committedVersions(fs, dir)
+    if (own.nonEmpty) spark.read.parquet(own.last._2.toString)
+    else UpsertWriter.readVersion(spark, tablePath, baseVersion(spark, tablePath, name))
+  }
+
+  /** Upsert into the branch: latest-wins merge against the branch's
+    * current state (which starts as the fork-point snapshot),
+    * committed as the branch's next version. Main is untouched.
+    */
+  def upsertBranch(updates: DataFrame, tablePath: String, name: String,
+      recordKeys: Seq[String], precombine: String,
+      keepVersions: Int = 2, targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
+    val spark = updates.sparkSession
+    val table = new Path(tablePath)
+    val dir = branchDir(table, name)
+    val fs = fsFor(spark, table)
+    val own = UpsertWriter.committedVersions(fs, dir)
+    // before the first branch commit, the fork-point snapshot plays
+    // the role of "latest committed version" in the merge
+    val mergeBase =
+      if (own.nonEmpty) own
+      else {
+        val bv = baseVersion(spark, tablePath, name)
+        UpsertWriter.committedVersions(fs, table).filter(_._1 == bv).map { case (_, p) => (0, p) }
+      }
+    require(mergeBase.nonEmpty,
+      s"branch $name fork point was cleaned from main's timeline; cannot merge-base")
+    val nextNum = own.lastOption.map(_._1 + 1).getOrElse(1)
+    UpsertWriter.mergeAndCommit(updates, spark, fs, dir, mergeBase, nextNum,
+      recordKeys, precombine, Nil, Nil, keepVersions, targetFileBytes)
+  }
+
+  /** Delete by key on the branch: anti-join the branch state against
+    * the tombstone batch, committed as the branch's next version.
+    */
+  def deleteFromBranch(tombstones: DataFrame, tablePath: String, name: String,
+      recordKeys: Seq[String], keepVersions: Int = 2): Unit = {
+    val spark = tombstones.sparkSession
+    val table = new Path(tablePath)
+    val dir = branchDir(table, name)
+    val fs = fsFor(spark, table)
+    val current = readBranch(spark, tablePath, name)
+    val kept = current.join(broadcast(tombstones.select(recordKeys.map(col): _*).distinct()),
+      recordKeys, "left_anti")
+    val nextNum = UpsertWriter.committedVersions(fs, dir).lastOption.map(_._1 + 1).getOrElse(1)
+    UpsertWriter.commitVersion(fs, dir, kept, nextNum, Nil, keepVersions)
+  }
+
+  /** Drop the branch (its versions and metadata). Main is untouched. */
+  def deleteBranch(spark: SparkSession, tablePath: String, name: String): Unit = {
+    val dir = branchDir(new Path(tablePath), name)
+    fsFor(spark, dir).delete(dir, true): Unit
+  }
+
+  /** Pure three-way merge of snapshots sharing one schema: for each
+    * record key, take the side that changed relative to the common
+    * base (change = any non-null-safe-unequal field, including
+    * insertion and deletion); when BOTH sides changed and disagree,
+    * apply `onConflict`:
+    *   - "fail"   — raise on the first conflicting key (dry-run gate)
+    *   - "ours"   — main wins
+    *   - "theirs" — branch wins
+    *   - "latest" — higher `precombine` wins (tie → theirs, matching
+    *     upsert's updates-win convention); a DELETION cannot win
+    *     "latest" (no row, no precombine): delete-vs-modify resolves
+    *     to the modify, the conservative lost-update-free choice
+    * Both-sides-identical changes merge trivially (no conflict).
+    * Rows resolved to no-row (deletions) vanish from the result.
+    */
+  def threeWayMerge(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+      recordKeys: Seq[String], precombine: String, onConflict: String): DataFrame = {
+    val cols = ours.columns.toSeq
+    require(base.columns.toSeq == cols && theirs.columns.toSeq == cols,
+      "three-way merge requires identical column sets (align schemas first): " +
+        s"base=${base.columns.toSeq} ours=$cols theirs=${theirs.columns.toSeq}")
+    require(Set("fail", "ours", "theirs", "latest")(onConflict),
+      s"onConflict must be fail|ours|theirs|latest, got $onConflict")
+    def pack(df: DataFrame, tag: String): DataFrame = df.select(
+      recordKeys.map(c => col(c).as(s"${tag}_$c")) :+
+        struct(cols.map(col): _*).as(s"_$tag"): _*)
+    val b = pack(base, "b"); val o = pack(ours, "o"); val t = pack(theirs, "t")
+    val bo = b.join(o,
+      recordKeys.map(k => col(s"b_$k") <=> col(s"o_$k")).reduce(_ && _), "full_outer")
+    val keyed = bo.join(t,
+      recordKeys.map(k => coalesce(col(s"b_$k"), col(s"o_$k")) <=> col(s"t_$k")).reduce(_ && _),
+      "full_outer")
+    val oursChanged = !(col("_o") <=> col("_b"))
+    val theirsChanged = !(col("_t") <=> col("_b"))
+    val conflictValue: Column = onConflict match {
+      case "ours"   => col("_o")
+      case "theirs" => col("_t")
+      case "latest" =>
+        when(col("_t").isNull, col("_o"))
+          .when(col("_o").isNull, col("_t"))
+          .when(col(s"_t.$precombine") >= col(s"_o.$precombine"), col("_t"))
+          .otherwise(col("_o"))
+      case "fail" =>
+        // raise_error is NullType — it coerces into the struct-typed
+        // when-chain and detonates lazily on the first conflicting row
+        raise_error(concat(lit("branch merge conflict on key ("),
+          concat_ws(", ", recordKeys.map(k =>
+            coalesce(col(s"b_$k"), col(s"o_$k"), col(s"t_$k")).cast("string")): _*),
+          lit("): both sides changed since the fork point")))
+    }
+    val resolved =
+      when(!theirsChanged, col("_o"))
+        .when(!oursChanged, col("_t"))
+        .when(col("_t") <=> col("_o"), col("_o")) // convergent edit: no conflict
+        .otherwise(conflictValue)
+    keyed.withColumn("_r", resolved)
+      .filter(col("_r").isNotNull)
+      .select(col("_r.*"))
+  }
+
+  /** Dry-run conflict report: the keys both sides changed (relative
+    * to the fork point) to DIFFERENT values, with each side's
+    * precombine. Empty ⇒ `mergeBranch` is conflict-free under every
+    * policy.
+    */
+  def conflicts(spark: SparkSession, tablePath: String, name: String,
+      recordKeys: Seq[String], precombine: String): DataFrame = {
+    val (base, ours, theirs) = mergeInputs(spark, tablePath, name)
+    val cols = ours.columns.toSeq
+    def pack(df: DataFrame, tag: String): DataFrame = df.select(
+      recordKeys.map(c => col(c).as(s"${tag}_$c")) :+
+        struct(cols.map(col): _*).as(s"_$tag"): _*)
+    val b = pack(base, "b"); val o = pack(ours, "o"); val t = pack(theirs, "t")
+    val keyed = b.join(o,
+        recordKeys.map(k => col(s"b_$k") <=> col(s"o_$k")).reduce(_ && _), "full_outer")
+      .join(t,
+        recordKeys.map(k => coalesce(col(s"b_$k"), col(s"o_$k")) <=> col(s"t_$k")).reduce(_ && _),
+        "full_outer")
+    keyed
+      .filter(!(col("_o") <=> col("_b")) && !(col("_t") <=> col("_b")) &&
+        !(col("_t") <=> col("_o")))
+      .select(recordKeys.map(k =>
+        coalesce(col(s"b_$k"), col(s"o_$k"), col(s"t_$k")).as(k)) ++ Seq(
+        col(s"_o.$precombine").as("ours_precombine"),
+        col(s"_t.$precombine").as("theirs_precombine")): _*)
+  }
+
+  private def mergeInputs(spark: SparkSession, tablePath: String,
+      name: String): (DataFrame, DataFrame, DataFrame) = {
+    val bv = baseVersion(spark, tablePath, name)
+    val base = UpsertWriter.readVersion(spark, tablePath, bv)
+    val ours = UpsertWriter.read(spark, tablePath)
+    val theirs = readBranch(spark, tablePath, name)
+    // align column order to ours (sets must already match)
+    (base.select(ours.columns.map(col).toSeq: _*), ours,
+      theirs.select(ours.columns.map(col).toSeq: _*))
+  }
+
+  /** Merge the branch into main: three-way merge of (fork-point base,
+    * main's latest, branch's latest) committed as main's next
+    * version. The branch is left in place (re-merging after more
+    * commits is allowed — rebase semantics: the fork point does NOT
+    * advance, matching git's repeated-merge behavior for this simple
+    * model). Returns the new main version number.
+    */
+  def mergeBranch(spark: SparkSession, tablePath: String, name: String,
+      recordKeys: Seq[String], precombine: String, onConflict: String = "fail",
+      partitionBy: Seq[String] = Nil, keepVersions: Int = 2): Int = {
+    val table = new Path(tablePath)
+    val fs = fsFor(spark, table)
+    val (base, ours, theirs) = mergeInputs(spark, tablePath, name)
+    val merged = threeWayMerge(base, ours, theirs, recordKeys, precombine, onConflict)
+    val next = UpsertWriter.committedVersions(fs, table).last._1 + 1
+    UpsertWriter.commitVersion(fs, table, merged, next, partitionBy, keepVersions)
+    next
+  }
+}

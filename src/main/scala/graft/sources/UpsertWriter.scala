@@ -123,7 +123,7 @@ object UpsertWriter {
       .getOrElse(Map.empty)
   }
 
-  private def committedVersions(fs: FileSystem, target: Path): Seq[(Int, Path)] =
+  private[sources] def committedVersions(fs: FileSystem, target: Path): Seq[(Int, Path)] =
     if (!fs.exists(target)) Nil
     else
       fs.listStatus(target).toIndexedSeq
@@ -670,7 +670,7 @@ object UpsertWriter {
     commitVersion(fs, target, snapshot, liveNum + 1, partitionBy, keepVersions)
   }
 
-  private def commitVersion(
+  private[sources] def commitVersion(
       fs: FileSystem,
       target: Path,
       df: DataFrame,

@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BranchingSpec extends SparkSpec {
+
+  private def df(rows: (Long, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("k", "ver", "payload")
+  }
+
+  private def snap(d: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
+    d.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+  test("create is zero-copy; branch reads fork point until first branch commit") {
+    val table = tmpDir("graft-branch-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "a"), (2L, 1L, "b")), table, Seq("k"), "ver")
+    val bv = Branching.create(spark, table, "dev")
+    assert(bv == 1)
+    // main moves on; the branch must keep seeing the fork point
+    UpsertWriter.upsert(df((1L, 2L, "a2")), table, Seq("k"), "ver")
+    assert(snap(Branching.readBranch(spark, table, "dev")) ==
+      Map(1L -> ((1L, "a")), 2L -> ((1L, "b"))))
+    assert(snap(UpsertWriter.read(spark, table)) ==
+      Map(1L -> ((2L, "a2")), 2L -> ((1L, "b"))))
+    // double-create fails loudly
+    intercept[IllegalStateException](Branching.create(spark, table, "dev"))
+  }
+
+  test("branch writes are isolated from main; deletes commit branch versions") {
+    val table = tmpDir("graft-branch-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")), table, Seq("k"), "ver")
+    Branching.create(spark, table, "dev")
+    Branching.upsertBranch(df((2L, 2L, "B"), (4L, 2L, "new")), table, "dev", Seq("k"), "ver")
+    Branching.deleteFromBranch(df((3L, 0L, "")), table, "dev", Seq("k"))
+    assert(snap(Branching.readBranch(spark, table, "dev")) ==
+      Map(1L -> ((1L, "a")), 2L -> ((2L, "B")), 4L -> ((2L, "new"))))
+    // main never saw any of it
+    assert(snap(UpsertWriter.read(spark, table)) ==
+      Map(1L -> ((1L, "a")), 2L -> ((1L, "b")), 3L -> ((1L, "c"))))
+  }
+
+  test("threeWayMerge: change-vs-base routing, deletions, convergent edits") {
+    val base = df((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "d"), (5L, 1L, "e"))
+    // ours: modified 1, deleted 4, added 6, convergent-edited 5
+    val ours = df((1L, 2L, "a-main"), (2L, 1L, "b"), (3L, 1L, "c"), (5L, 3L, "same"), (6L, 2L, "add-o"))
+    // theirs: modified 2, deleted 3, added 7, convergent-edited 5
+    val theirs = df((1L, 1L, "a"), (2L, 3L, "b-branch"), (4L, 1L, "d"), (5L, 3L, "same"), (7L, 3L, "add-t"))
+    val m = snap(Branching.threeWayMerge(base, ours, theirs, Seq("k"), "ver", "fail"))
+    assert(m == Map(
+      1L -> ((2L, "a-main")),   // ours-only change
+      2L -> ((3L, "b-branch")), // theirs-only change
+      // 3 deleted by theirs, 4 deleted by ours
+      5L -> ((3L, "same")),     // both changed identically: no conflict
+      6L -> ((2L, "add-o")), 7L -> ((3L, "add-t"))))
+  }
+
+  test("threeWayMerge conflict policies: fail raises, latest picks higher precombine, delete-vs-modify keeps modify") {
+    val base = df((1L, 1L, "a"), (2L, 1L, "b"))
+    val ours = df((1L, 5L, "ours"), (2L, 2L, "b-main"))   // 1 modified (ver 5); 2 modified
+    val theirs = df((1L, 3L, "theirs"))                    // 1 modified (ver 3); 2 DELETED
+    val ex = intercept[Exception] {
+      Branching.threeWayMerge(base, ours, theirs, Seq("k"), "ver", "fail").collect()
+    }
+    assert(ex.getMessage.contains("conflict"), ex.getMessage)
+    val latest = snap(Branching.threeWayMerge(base, ours, theirs, Seq("k"), "ver", "latest"))
+    // key 1: ours ver 5 > theirs ver 3 → ours; key 2: delete-vs-modify → modify survives
+    assert(latest == Map(1L -> ((5L, "ours")), 2L -> ((2L, "b-main"))))
+    val theirsWin = snap(Branching.threeWayMerge(base, ours, theirs, Seq("k"), "ver", "theirs"))
+    assert(theirsWin == Map(1L -> ((3L, "theirs")))) // theirs policy honors the branch deletion
+  }
+
+  test("mergeBranch commits main's next version; conflicts() is the dry-run view") {
+    val table = tmpDir("graft-branch-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")), table, Seq("k"), "ver")
+    Branching.create(spark, table, "dev")
+    UpsertWriter.upsert(df((1L, 2L, "a-main")), table, Seq("k"), "ver")        // main: modify 1
+    Branching.upsertBranch(df((1L, 3L, "a-br"), (3L, 3L, "c-br")), table, "dev",
+      Seq("k"), "ver")                                                          // branch: modify 1 and 3
+    val confl = Branching.conflicts(spark, table, "dev", Seq("k"), "ver")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(confl.toSeq == Seq((1L, 2L, 3L))) // key 1: ours ver 2 vs theirs ver 3
+    val v = Branching.mergeBranch(spark, table, "dev", Seq("k"), "ver", onConflict = "latest")
+    assert(v == 3)
+    assert(snap(UpsertWriter.read(spark, table)) ==
+      Map(1L -> ((3L, "a-br")), 2L -> ((1L, "b")), 3L -> ((3L, "c-br"))))
+  }
+}
