@@ -6234,6 +6234,77 @@ object Queries {
         |FROM base
         |WHERE k % 11 <> 0 OR k % 5 = 0""".stripMargin))
 
+  /** #88 χ² token–label feature selection: per-token 2×2 presence
+    * contingency against the is-English label, χ²·10⁴ in one
+    * DECIMAL(38,0) integral division — the classic ranking used to
+    * pick classifier features before training (see
+    * [[graft.operators.Association.chi2Features]]).
+    */
+  val qChi2Features: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Association.chi2Features(
+      t(s, dir, "documents"), col("doc_id"), col("text"), col("lang") === "en", minDf = 2L),
+    oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id, (lang = 'en') AS p, string_split(text, ' ') AS w FROM documents
+        |), pres AS (
+        |  SELECT DISTINCT doc_id, CASE WHEN p THEN 1 ELSE 0 END AS pi, unnest(w) AS token
+        |  FROM d
+        |), pres2 AS (
+        |  SELECT * FROM pres WHERE token <> ''
+        |), tot AS (
+        |  SELECT count(*) AS n_docs,
+        |         sum(CASE WHEN p THEN 1 ELSE 0 END) AS n_pos
+        |  FROM d
+        |), byt AS (
+        |  SELECT token, count(*) AS df, sum(pi) AS a FROM pres2 GROUP BY token
+        |), cells AS (
+        |  SELECT token, df, a, df - a AS b, n_pos - a AS c,
+        |         n_docs - n_pos - (df - a) AS dd, n_docs
+        |  FROM byt CROSS JOIN tot WHERE df >= 2
+        |)
+        |SELECT token, CAST(df AS BIGINT) AS df, CAST(a AS BIGINT) AS n_pos_docs,
+        |  CASE WHEN (a+b) * (c+dd) * (a+c) * (b+dd) = 0 THEN NULL
+        |       ELSE CAST(CAST(n_docs AS HUGEINT)
+        |              * (CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * c)
+        |              * (CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * c) * 10000
+        |            // (CAST(a + b AS HUGEINT) * (c + dd) * (a + c) * (b + dd))
+        |            AS BIGINT) END AS chi2_x10000
+        |FROM cells""".stripMargin))
+
+  /** #89 PMI collocation mining: adjacent-bigram association ratio
+    * p(xy)/(p(x)p(y))·10⁴ in exact integers (log dropped — monotone,
+    * so ranking/thresholding are unchanged), the phrase-mining step
+    * for tokenizer and vocab construction (see
+    * [[graft.operators.Association.pmiCollocations]]).
+    */
+  val qPmiCollocations: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Association.pmiCollocations(
+      t(s, dir, "documents"), col("text"), minCount = 5L),
+    oracle = Some(
+      """WITH d AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
+        |), bgp AS (
+        |  SELECT unnest(list_transform(range(2, len(w) + 1),
+        |                i -> w[i-1] || ' ' || w[i])) AS pair
+        |  FROM d
+        |), bgf AS (
+        |  SELECT string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2 FROM bgp
+        |), uc AS (
+        |  SELECT tok, count(*) AS n_tok FROM (SELECT unnest(w) AS tok FROM d) GROUP BY tok
+        |), bc AS (
+        |  SELECT w1, w2, count(*) AS n_xy FROM bgf GROUP BY 1, 2
+        |), mt AS (
+        |  SELECT count(*) AS m FROM bgf
+        |)
+        |SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+        |  CAST(CAST(n_xy AS HUGEINT) * m * 10000
+        |       // (CAST(ux.n_tok AS HUGEINT) * uy.n_tok) AS BIGINT) AS ratio_x10000
+        |FROM bc
+        |JOIN uc ux ON ux.tok = bc.w1
+        |JOIN uc uy ON uy.tok = bc.w2
+        |CROSS JOIN mt
+        |WHERE n_xy >= 5""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6405,6 +6476,8 @@ object Queries {
     "q_eval_pr_auc_by" -> qEvalPrAucBy,
     "q_linkage" -> qLinkage,
     "q_branch_merge" -> qBranchMerge,
+    "q_chi2_features" -> qChi2Features,
+    "q_pmi_collocations" -> qPmiCollocations,
     "q_eval_report_inc" -> qEvalReportInc,
     "q_eval_threshold" -> qEvalThreshold,
     "q_eval_calibration_by" -> qEvalCalibrationBy,
