@@ -4137,6 +4137,45 @@ object Queries {
     },
     oracle = Some(OracleSql.kmvDistinctSql(64, withCounts = false, estimateAs = "approx_distinct")))
 
+  /** #22r Streaming frequent-items maintenance: micro-batches fold
+    * Misra-Gries summaries into the persisted O(capacity) state
+    * (foreachBatch → IncrementalAgg.refreshFreq; 4 hash-split files,
+    * one batch each, plus an inline redelivery that must no-op),
+    * then the candidates are VERIFIED with one exact filtered count
+    * — exact heavy hitters from a streamed sketch, because the MG
+    * superset guarantee (capacity 256 > 1/minShare = 200) holds
+    * across merged summaries. The oracle re-derives the exact answer
+    * with no sketch at all: if the stream state lost a heavy user or
+    * the redelivery double-counted, the hash breaks.
+    */
+  val qStreamHeavy: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("stream-freq-state")
+      scratch("stream-freq-state_ckpt")
+      val split = graft.streaming.EventStream.splitDir(s, s"$dir/events.parquet", 4)
+      graft.streaming.EventStream.streamFreq(s, split, statePath, "user_id", capacity = 256,
+        queryName = "graft_stream_freq_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+      // crash-redelivery simulation: an already-applied batch id
+      graft.operators.IncrementalAgg.refreshFreq(
+        s, statePath, t(s, dir, "events"), "user_id", capacity = 256, batchId = Some(0L))
+      val cands = graft.operators.IncrementalAgg.readFreqCandidates(s, statePath)
+        .select(col("value").as("user_key"))
+      graft.operators.HeavyHitters.verified(
+        t(s, dir, "events").select(col("user_id").cast("string").as("user_key")),
+        "user_key", cands, minShare = 0.005)
+    },
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_key FROM events
+        |), tot AS (
+        |  SELECT count(*) AS n_total FROM t
+        |)
+        |SELECT user_key, count(*) AS n, n_total
+        |FROM t CROSS JOIN tot
+        |GROUP BY user_key, n_total
+        |HAVING count(*) >= n_total * 0.005""".stripMargin))
+
   // ---------------------------------------------------------------
   // Event analytics (funnel / cohort / streaks / coverage / resample)
   // ---------------------------------------------------------------
@@ -6440,6 +6479,7 @@ object Queries {
     "q_schema_union" -> qSchemaUnion,
     "q_stream_inc_agg" -> qStreamIncAgg,
     "q_stream_kmv" -> qStreamKmv,
+    "q_stream_heavy" -> qStreamHeavy,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,

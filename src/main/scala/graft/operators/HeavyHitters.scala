@@ -35,8 +35,27 @@ object HeavyHitters {
       .agg(FreqSketchFunctions.freq_sketch(col(valueCol), capacity).as("_sk"))
       .select(explode(col("_sk")).as("_hit"))
       .select(col("_hit.value").as(valueCol))
+    verified(df, valueCol, candidates, minShare)
+  }
+
+  /** The exact-verify half on its own: given an EXTERNAL candidate
+    * list (one `valueCol` column — e.g. the incrementally-maintained
+    * MG state from [[IncrementalAgg.readFreqCandidates]]), count just
+    * the candidates exactly and apply the share filter. The result is
+    * EXACTLY the heavy-hitter set whenever the candidates are a
+    * superset of it — which the MG summary guarantees while its
+    * capacity exceeds 1/minShare (the bound holds across merged/
+    * streamed summaries, not just one pass).
+    */
+  def verified(
+      df: DataFrame,
+      valueCol: String,
+      candidates: DataFrame,
+      minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare < 1, "minShare must be in (0, 1)")
+    val nonNull = df.filter(col(valueCol).isNotNull)
     val total = nonNull.agg(count(lit(1)).as("n_total"))
-    nonNull.join(broadcast(candidates), valueCol)
+    nonNull.join(broadcast(candidates.select(col(valueCol)).distinct()), valueCol)
       .groupBy(col(valueCol))
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))

@@ -212,4 +212,68 @@ object IncrementalAgg {
     UpsertWriter.read(spark, statePath)
       .select((keys.map(col) :+
         graft.functions.KmvFunctions.kmv_estimate_from(col("hs"), k).as("approx_distinct")): _*)
+
+  /** Incremental frequent-items (Misra-Gries) maintenance: each
+    * increment's MG summary folds into a persisted constant-size
+    * summary under the mergeable-summaries rule (sum counters; if
+    * over capacity, subtract the (capacity+1)-th largest and drop
+    * non-positives — Agarwal et al., TODS'13), so the state's
+    * undercount stays ≤ n_total/(capacity+1) over the stream's whole
+    * life. The state is ONE row holding ≤ `capacity`
+    * (value, est) entries — O(1) however much history has folded in —
+    * and the trim runs over ≤ 2·capacity rows by construction, so
+    * the one ordered window is bounded, never data-sized.
+    *
+    * Same replay contract as the other refreshes: the applied-batch
+    * high-water mark rides the atomic state commit; a redelivered
+    * batch id is a recognized no-op (the fold is additive, NOT
+    * idempotent — the guard is the exactly-once half).
+    */
+  def refreshFreq(
+      spark: SparkSession,
+      statePath: String,
+      increment: DataFrame,
+      valueCol: String,
+      capacity: Int = 4096,
+      batchId: Option[Long] = None): Boolean = {
+    if (alreadyApplied(spark, statePath, batchId)) return false
+    import graft.functions.FreqSketchFunctions.freq_sketch
+    val batchPairs = increment.filter(col(valueCol).isNotNull)
+      .agg(freq_sketch(col(valueCol).cast("string"), capacity).as("mg"))
+      .select(explode(col("mg")).as("h"))
+      .select(col("h.value").as("value"), col("h.est").as("est"))
+    val merged =
+      if (UpsertWriter.versions(spark, statePath).nonEmpty) {
+        val statePairs = UpsertWriter.read(spark, statePath)
+          .select(explode(col("mg")).as("h"))
+          .select(col("h.value").as("value"), col("h.est").as("est"))
+        val summed = statePairs.unionByName(batchPairs)
+          .groupBy(col("value")).agg(sum(col("est")).as("est"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("est").desc, col("value"))
+        val ranked = summed.withColumn("_rn", row_number().over(w))
+        val cut = ranked.agg(
+          max(when(col("_rn") === capacity + 1, col("est"))).as("_cut"))
+        ranked.crossJoin(broadcast(cut))
+          .withColumn("est", col("est") - coalesce(col("_cut"), lit(0L)))
+          .filter(col("est") > 0)
+          .select(col("value"), col("est"))
+      } else batchPairs
+    val packed = merged
+      .agg(array_sort(collect_list(struct(col("value"), col("est")))).as("mg"))
+      .withColumn("_k", lit(0L)).withColumn("_ver", lit(0L))
+    UpsertWriter.upsert(packed, statePath, recordKeys = Seq("_k"), precombine = "_ver",
+      meta = nextMeta(spark, statePath, batchId))
+    true
+  }
+
+  /** Current frequent-item CANDIDATES (value, est): a superset of
+    * every value whose true frequency exceeds n_total/(capacity+1);
+    * estimates undercount by at most that bound. Verify with
+    * [[HeavyHitters.verified]] for exact answers.
+    */
+  def readFreqCandidates(spark: SparkSession, statePath: String): DataFrame =
+    UpsertWriter.read(spark, statePath)
+      .select(explode(col("mg")).as("h"))
+      .select(col("h.value").as("value"), col("h.est").as("est"))
 }

@@ -613,6 +613,41 @@ object EventStream {
       q.awaitTermination()
     }
 
+  /** Streaming frequent-items maintenance: each micro-batch's
+    * Misra-Gries summary folds into the persisted constant-size
+    * state ([[graft.operators.IncrementalAgg.refreshFreq]]) — a
+    * continuously-current trending/heavy-hitter candidate list at
+    * O(batch) ingest cost and O(capacity) state, with the mergeable-
+    * summaries undercount bound holding across the stream's whole
+    * life. Same exactly-once contract as streamIncAgg: the source
+    * checkpoint makes batch ids durable and the applied-batch mark
+    * rides the atomic state commit, so a redelivered batch is a
+    * recognized no-op. Exact answers come from verifying the
+    * candidates ([[graft.operators.HeavyHitters.verified]]).
+    */
+  def streamFreq(
+      spark: SparkSession,
+      path: String,
+      statePath: String,
+      valueCol: String,
+      capacity: Int = 4096,
+      queryName: String = "graft_stream_freq"): Unit =
+    withFewStatePartitions(spark) { s =>
+      val events = eventSource(s, path, maxFilesPerTrigger = Some(1))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val q = events.writeStream
+        .option("checkpointLocation", s"${statePath}_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.operators.IncrementalAgg.refreshFreq(
+            s, statePath, batch.toDF(), valueCol, capacity, batchId = Some(batchId))
+          ()
+        }
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** Streaming near-dup dedup-on-ingest: each micro-batch of
     * documents folds into the persisted MinHash-LSH band/set state
     * (`Dedup.minhashLshIncremental`) and emits the near-dup pairs

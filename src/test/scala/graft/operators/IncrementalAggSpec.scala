@@ -127,4 +127,49 @@ class IncrementalAggSpec extends SparkSpec {
       .select(size(col("hits"))).collect().map(_.getInt(0))
     assert(arr.forall(_ <= 2), "state must stay O(k) per key")
   }
+
+  test("refreshFreq: heavy value survives skewed batches at tiny capacity; undercount bounded") {
+    val s = spark
+    import s.implicits._
+    val statePath = tmpDir("graft-inc-freq-")
+    // 3 batches, 60 rows total: "hot" appears 24× (share 0.4), the
+    // rest are near-unique noise. capacity 2 → trims hard, but the
+    // mergeable-summaries bound says hot's stored est undercounts by
+    // ≤ 60/3 = 20, so hot MUST survive with est ≥ 4.
+    val batches = (0 until 3).map { b =>
+      val rows = Seq.fill(8)("hot") ++ (0 until 12).map(i => s"noise-$b-$i")
+      rows.toDF("v")
+    }
+    batches.foreach(b => IncrementalAgg.refreshFreq(spark, statePath, b, "v", capacity = 2))
+    val state = IncrementalAgg.readFreqCandidates(spark, statePath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state.size <= 2, s"state exceeds capacity: $state")
+    assert(state.contains("hot"), s"heavy value trimmed away: $state")
+    assert(state("hot") >= 24 - 20 && state("hot") <= 24,
+      s"est ${state("hot")} outside the MG bound [4, 24]")
+    // verified(): exact answer from the candidate superset
+    val all = batches.reduce(_ unionByName _)
+    val exact = HeavyHitters.verified(all, "v",
+      IncrementalAgg.readFreqCandidates(spark, statePath).select(col("value").as("v")),
+      minShare = 0.3).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact.toSeq == Seq(("hot", 24L, 60L)))
+  }
+
+  test("refreshFreq: replayed batch id is a no-op; no-trim fold is exact") {
+    val s = spark
+    import s.implicits._
+    val statePath = tmpDir("graft-inc-freq-")
+    IncrementalAgg.refreshFreq(spark, statePath,
+      Seq("a", "a", "b").toDF("v"), "v", capacity = 8, batchId = Some(0L))
+    IncrementalAgg.refreshFreq(spark, statePath,
+      Seq("a", "b", "c").toDF("v"), "v", capacity = 8, batchId = Some(1L))
+    def state() = IncrementalAgg.readFreqCandidates(spark, statePath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // under capacity nothing trims: MG estimates are exact counts
+    assert(state() == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    val applied = IncrementalAgg.refreshFreq(spark, statePath,
+      Seq("a", "a", "b").toDF("v"), "v", capacity = 8, batchId = Some(0L))
+    assert(!applied && state() == Map("a" -> 3L, "b" -> 2L, "c" -> 1L),
+      "redelivered batch must not double-count")
+  }
 }
