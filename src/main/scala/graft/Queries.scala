@@ -4176,6 +4176,48 @@ object Queries {
         |GROUP BY user_key, n_total
         |HAVING count(*) >= n_total * 0.005""".stripMargin))
 
+  /** #90 A/B experiment readout: engine-reproducible 50/50 variant
+    * assignment (Knuth multiplicative hash on user_id — any engine
+    * recomputes identical groups, the auditability property), UNIT-
+    * level conversion (a user converts once however many purchase
+    * events they fire — event-level rows would fake narrow
+    * confidence), and the exact two-proportion z² in one
+    * DECIMAL(38,0) integral division (see
+    * [[graft.operators.Experiment.twoProportionZ2]]).
+    */
+  val qAbTest: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+        .withColumn("variant", graft.operators.Experiment.assignVariant(col("user_id")))
+      graft.operators.Experiment.twoProportionZ2(units, col("variant"), col("converted"))
+    },
+    oracle = Some(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c,
+        |    CASE WHEN ((user_id % 2147483648) * 2654435761) % 2147483648 < 1073741824
+        |         THEN 'A' ELSE 'B' END AS v
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT count(*) AS n_a, sum(c) AS x_a FROM u WHERE v = 'A'
+        |), b AS (
+        |  SELECT count(*) AS n_b, sum(c) AS x_b FROM u WHERE v = 'B'
+        |)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+        |  CAST(CAST(x_a AS HUGEINT) * 10000 // n_a AS BIGINT) AS rate_a_bp,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+        |  CAST(CAST(x_b AS HUGEINT) * 10000 // n_b AS BIGINT) AS rate_b_bp,
+        |  CAST(CAST(x_b AS HUGEINT) * 10000 // n_b
+        |     - CAST(x_a AS HUGEINT) * 10000 // n_a AS BIGINT) AS lift_bp,
+        |  CAST(CAST(n_a + n_b AS HUGEINT)
+        |       * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+        |       * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a) * 10000
+        |     // (CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+        |         * ((n_a + n_b) - (x_a + x_b))) AS BIGINT) AS z2_x10000
+        |FROM a CROSS JOIN b""".stripMargin))
+
   // ---------------------------------------------------------------
   // Event analytics (funnel / cohort / streaks / coverage / resample)
   // ---------------------------------------------------------------
@@ -6480,6 +6522,7 @@ object Queries {
     "q_stream_inc_agg" -> qStreamIncAgg,
     "q_stream_kmv" -> qStreamKmv,
     "q_stream_heavy" -> qStreamHeavy,
+    "q_ab_test" -> qAbTest,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,
