@@ -6386,6 +6386,77 @@ object Queries {
         |CROSS JOIN mt
         |WHERE n_xy >= 5""".stripMargin))
 
+  /** Unrolled k-core peel oracle: the peel is iterate-to-fixpoint,
+    * which plain SQL can't loop — but each round is one HAVING filter
+    * plus two joins, so the oracle UNROLLS `rounds` identical stages
+    * (generated, like the BPE oracle's 20 passes). Converged stages
+    * are no-ops, so any `rounds` ≥ the data's true peel depth (5 at
+    * sf0.01, margin to 10) yields the exact fixpoint.
+    */
+  private def kCoreOracleSql(k: Int, minEdgeCount: Long, rounds: Int): String = {
+    // every stage is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    // chain where e_i references e_{i-1} twice inlines 2^rounds scans
+    // of the parquet — fd exhaustion, not just slowness
+    val prefix =
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
+         |), bgp AS (
+         |  SELECT unnest(list_transform(range(2, len(w) + 1),
+         |                i -> w[i-1] || ' ' || w[i])) AS pair
+         |  FROM d
+         |), bgf AS (
+         |  SELECT string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2 FROM bgp
+         |), bc AS (
+         |  SELECT w1, w2, count(*) AS n FROM bgf GROUP BY 1, 2
+         |), ed AS MATERIALIZED (
+         |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |  FROM bc WHERE w1 <> w2
+         |  GROUP BY 1, 2 HAVING sum(n) >= $minEdgeCount
+         |), e0 AS MATERIALIZED (
+         |  SELECT a AS s, b AS dd FROM ed UNION ALL SELECT b, a FROM ed
+         |)""".stripMargin
+    val stages = (1 to rounds).map { i =>
+      s""", n$i AS MATERIALIZED (
+         |  SELECT s FROM e${i - 1} GROUP BY s HAVING count(*) >= $k
+         |), e$i AS MATERIALIZED (
+         |  SELECT e.s, e.dd FROM e${i - 1} e
+         |  JOIN n$i x ON e.s = x.s
+         |  JOIN n$i y ON e.dd = y.s
+         |)""".stripMargin
+    }.mkString
+    prefix + stages +
+      s"\nSELECT s AS word, CAST(count(*) AS BIGINT) AS degree FROM e$rounds GROUP BY s"
+  }
+
+  /** #91 k-core decomposition of the frequent-bigram word graph
+    * (undirected edges where the adjacency count ≥ 65): iterative
+    * peel to the unique maximal subgraph of min-degree 6 — the
+    * topic-kernel extraction view, a genuinely multi-round peel on
+    * this data (5 rounds: 30 words → 15 core words). Spark iterates
+    * to fixpoint with per-round lineage truncation
+    * ([[graft.operators.GraphAnalytics.kCore]]); the oracle unrolls
+    * 10 peel stages.
+    */
+  val qKcore: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .select(filter(col("w"), x => x =!= "").as("w"))
+      val bg = words.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      val edges = bg.filter(col("w1") =!= col("w2"))
+        .select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b"), col("n"))
+        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+        .filter(col("n") >= 65L)
+      graft.operators.GraphAnalytics.kCore(edges, "a", "b", k = 6)
+        .select(col("id").as("word"), col("degree"))
+    },
+    oracle = Some(kCoreOracleSql(k = 6, minEdgeCount = 65L, rounds = 10)))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6523,6 +6594,7 @@ object Queries {
     "q_stream_kmv" -> qStreamKmv,
     "q_stream_heavy" -> qStreamHeavy,
     "q_ab_test" -> qAbTest,
+    "q_kcore" -> qKcore,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,

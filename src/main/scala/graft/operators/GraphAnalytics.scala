@@ -59,4 +59,75 @@ object GraphAnalytics {
       .select(col("_t").getItem(0).as("x"), col("_t").getItem(1).as("y"),
         col("_t").getItem(2).as("z"))
   }
+
+  /** k-core decomposition: the maximal subgraph in which every node
+    * has degree ≥ k, by iterative peeling — drop all nodes under
+    * degree k, recompute, repeat to fixpoint. The k-core is UNIQUE
+    * (removal order never matters), so the result is deterministic on
+    * any engine, and it is the standard density filter on the graphs
+    * graft builds: in a near-dup graph the 2-core separates template
+    * families from accidental chains; in a word graph the k-core is
+    * the tightly-connected topic kernel (k-core-based keyword
+    * extraction).
+    *
+    * Scale shape: each round is one map-side-combined degree
+    * aggregation plus two semi-joins of the edge list against the
+    * surviving-node set — everything keyed on node ids, nothing
+    * driver-sized except the per-round scalar convergence count.
+    * Lineage is truncated per round (localCheckpoint) exactly like
+    * Dedup.clusters — an iterative plan otherwise compounds until
+    * planning itself OOMs — and the previous round's checkpoint
+    * blocks are freed eagerly. Rounds are data-bounded: each round
+    * removes ≥ 1 node or stops, and real peels converge in a handful
+    * (the worst case, one long chain, is maxRounds's job to cap
+    * loudly).
+    *
+    * Returns (id, degree) over the k-core, degree measured INSIDE
+    * the core.
+    */
+  def kCore(edges: DataFrame, uCol: String, vCol: String, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val und = edges
+      .select(least(col(uCol), col(vCol)).as("lo"), greatest(col(uCol), col(vCol)).as("hi"))
+      .filter(col("lo") =!= col("hi") && col("lo").isNotNull && col("hi").isNotNull)
+      .distinct()
+    var e = und.select(col("lo").as("s"), col("hi").as("d"))
+      .unionByName(und.select(col("hi").as("s"), col("lo").as("d")))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val deg = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      val nBad = deg.filter(col("deg") < k).count()
+      if (nBad == 0) converged = true
+      else {
+        val keep = deg.filter(col("deg") >= k).select(col("s"))
+        val prev = e
+        e = e.join(keep, "s")
+          .join(keep.withColumnRenamed("s", "d"), "d")
+          .select(col("s"), col("d"))
+          .localCheckpoint(true)
+        unpersistCheckpoint(prev)
+      }
+      round += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"GraphAnalytics.kCore stopped after maxRounds=$maxRounds without converging: " +
+          "the returned subgraph may still contain nodes under degree k. Raise maxRounds.")
+    e.groupBy(col("s")).agg(count(lit(1)).as("degree"))
+      .select(col("s").as("id"), col("degree"))
+  }
+
+  /** Free the blocks behind an eagerly-localCheckpointed DataFrame
+    * (same rationale as Dedup's helper: Dataset.unpersist consults
+    * only the CacheManager; checkpoint blocks hang off the LogicalRDD
+    * leaf and leak O(rounds) otherwise).
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -54,4 +54,54 @@ class GraphAnalyticsSpec extends SparkSpec {
     // every reported triple is ascending
     assert(got.forall { case (x, y, z) => x < y && y < z })
   }
+
+  /** Reference peel: in-memory iterate-to-fixpoint k-core. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+    }
+    var changed = true
+    while (changed) {
+      val bad = adj.collect { case (n, ns) if ns.size < k => n }.toSeq
+      changed = bad.nonEmpty
+      bad.foreach { n => adj(n).foreach(m => adj(m) -= n); adj -= n }
+    }
+    adj.map { case (n, ns) => n -> ns.size }.toMap
+  }
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    GraphAnalytics.kCore(edges.toDF("u", "v"), "u", "v", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: cascading multi-round peel matches the reference fixpoint") {
+    // chain 1-2-3-4-5 hanging off a 4-clique {10,11,12,13}: the 2-core
+    // must shed the chain one node per round (5 cascading rounds) and
+    // keep exactly the clique
+    val clique = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 10L))
+    val edges = clique ++ chain
+    val got = core(edges, 2)
+    assert(got == refKCore(edges, 2).map { case (n, d) => n -> d.toLong })
+    assert(got.keySet == Set(10L, 11L, 12L, 13L))
+    assert(got.values.forall(_ >= 2))
+    // k=3: the clique survives intact; k=4: empty
+    assert(core(edges, 3).keySet == Set(10L, 11L, 12L, 13L))
+    assert(core(edges, 4).isEmpty)
+  }
+
+  test("kCore: duplicate/reversed/self edges are cleaned; random graph matches reference") {
+    val dirty = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (1L, 3L))
+    assert(core(dirty, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    for (k <- Seq(2, 3, 4))
+      assert(core(edges, k) == refKCore(edges, k).map { case (n, d) => n -> d.toLong }, s"k=$k")
+  }
 }
