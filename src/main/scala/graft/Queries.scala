@@ -6457,6 +6457,53 @@ object Queries {
     },
     oracle = Some(kCoreOracleSql(k = 6, minEdgeCount = 65L, rounds = 10)))
 
+  /** #92 Secondary-index maintenance + value lookup: a non-key-column
+    * index (cust → record keys) built over the versioned table, then
+    * kept current INCREMENTALLY — the table moves two versions
+    * (custkey reassignments + deletes), and the refresh folds only
+    * the SnapshotDiff of indexed-vs-live into the index in one atomic
+    * applyChanges commit carrying the covered-version mark. The
+    * lookup hashes probe values with the same xxhash64 the write
+    * used and reads only the probed hive buckets (partition
+    * pruning), then broadcast-joins the matched keys back to the
+    * live table. The oracle re-derives the final table from first
+    * principles and probes it directly — a stale index entry (moved
+    * custkey still under its old value, deleted order resurfacing)
+    * breaks the hash.
+    */
+  val qSecondaryIndex: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val path = scratch("secidx_table")
+      val idx = scratch("secidx_index")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        col("o_orderstatus").as("status"), lit(1L).as("prec"))
+      graft.sources.UpsertWriter.upsert(base, path, Seq("k"), "prec", keepVersions = 3)
+      graft.sources.SecondaryIndex.refresh(s, path, idx, Seq("k"), "cust", nBuckets = 16)
+      val moved = base.filter(col("k") % 10 === 0)
+        .withColumn("cust", col("cust") + 1L).withColumn("prec", lit(2L))
+      graft.sources.UpsertWriter.upsert(moved, path, Seq("k"), "prec", keepVersions = 3)
+      graft.sources.UpsertWriter.delete(s, path,
+        base.filter(col("k") % 13 === 0).select(col("k")), Seq("k"), keepVersions = 3)
+      graft.sources.SecondaryIndex.refresh(s, path, idx, Seq("k"), "cust", nBuckets = 16)
+      graft.sources.SecondaryIndex.lookup(s, path, idx, Seq("k"), "cust",
+        values = Seq(7L, 11L), nBuckets = 16)
+    },
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust, o_orderstatus AS status,
+        |         CAST(1 AS BIGINT) AS prec
+        |  FROM orders
+        |), fin AS (
+        |  SELECT k,
+        |    CASE WHEN k % 10 = 0 THEN cust + 1 ELSE cust END AS cust,
+        |    status,
+        |    CASE WHEN k % 10 = 0 THEN 2 ELSE 1 END AS prec
+        |  FROM base WHERE k % 13 <> 0
+        |)
+        |SELECT k, cust, status, CAST(prec AS BIGINT) AS prec
+        |FROM fin WHERE cust IN (7, 11)""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6595,6 +6642,7 @@ object Queries {
     "q_stream_heavy" -> qStreamHeavy,
     "q_ab_test" -> qAbTest,
     "q_kcore" -> qKcore,
+    "q_secondary_index" -> qSecondaryIndex,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,

@@ -547,7 +547,8 @@ object UpsertWriter {
       recordKeys: Seq[String],
       precombine: String,
       partitionBy: Seq[String] = Nil,
-      keepVersions: Int = 2): Unit = {
+      keepVersions: Int = 2,
+      meta: Map[String, String] = Map.empty): Unit = {
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = committedVersions(fs, target)
@@ -559,7 +560,7 @@ object UpsertWriter {
       recordKeys, precombine, tiebreakers = Seq("_graft_src")).drop("_graft_src")
     val remaining = upserted.join(
       broadcast(deleteKeys.select(recordKeys.map(col): _*)), recordKeys, "left_anti")
-    commitVersion(fs, target, remaining, liveNum + 1, partitionBy, keepVersions)
+    commitVersion(fs, target, remaining, liveNum + 1, partitionBy, keepVersions, meta)
   }
 
   /** Hudi INSERT_OVERWRITE-operation analog: atomically replace the
@@ -676,7 +677,8 @@ object UpsertWriter {
       df: DataFrame,
       versionNum: Int,
       partitionBy: Seq[String],
-      keepVersions: Int): Unit = {
+      keepVersions: Int,
+      meta: Map[String, String] = Map.empty): Unit = {
     val versionDir = new Path(target, f"v$versionNum%08d")
     if (fs.exists(versionDir)) {
       if (fs.exists(new Path(versionDir, CommitMarker)))
@@ -687,6 +689,7 @@ object UpsertWriter {
     val writer = df.write.mode(SaveMode.Overwrite)
     val partitioned = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     partitioned.parquet(versionDir.toString)
+    writeMeta(fs, versionDir, meta) // metadata rides the commit: before the marker
     fs.create(new Path(versionDir, CommitMarker), true).close()
     committedVersions(fs, target).dropRight(keepVersions)
       .foreach { case (_, dir) => fs.delete(dir, true) }
