@@ -6504,6 +6504,69 @@ object Queries {
         |SELECT k, cust, status, CAST(prec AS BIGINT) AS prec
         |FROM fin WHERE cust IN (7, 11)""".stripMargin))
 
+  /** #93 ROUGE-2 overlap scoring of the near-dup candidate pairs:
+    * exact multiset bigram recall/precision/F1 in basis points per
+    * pair (see [[graft.operators.Evaluation.rougeN]]) — the
+    * quantitative "how much do they overlap" companion to the
+    * boolean near-dup decision, re-derived end to end (pair
+    * generation AND overlap math) by the oracle.
+    */
+  val qRouge: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 5, threshold = 0.5)
+      graft.operators.Evaluation.rougeN(docs, "doc_id", "text", pairs, n = 2)
+    },
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), s AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))) AS sh
+        |  FROM t
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS nsh FROM s GROUP BY doc_id
+        |), cnt AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cnt
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5
+        |), tw AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM tw
+        |), gc AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT doc_id, sum(cnt) AS ntot FROM gc GROUP BY 1
+        |), ov AS (
+        |  SELECT p.doc_a, p.doc_b, sum(least(ga.cnt, gb.cnt)) AS overlap
+        |  FROM pairs p
+        |  JOIN gc ga ON ga.doc_id = p.doc_a
+        |  JOIN gc gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        |  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+        |  CAST(sa.ntot AS BIGINT) AS n_a, CAST(sb.ntot AS BIGINT) AS n_b,
+        |  CAST(CAST(coalesce(ov.overlap, 0) AS HUGEINT) * 10000 // sa.ntot AS BIGINT) AS rouge_p_bp,
+        |  CAST(CAST(coalesce(ov.overlap, 0) AS HUGEINT) * 10000 // sb.ntot AS BIGINT) AS rouge_r_bp,
+        |  CAST(CAST(coalesce(ov.overlap, 0) AS HUGEINT) * 20000
+        |       // (sa.ntot + sb.ntot) AS BIGINT) AS rouge_f1_bp
+        |FROM pairs p
+        |JOIN sz sa ON sa.doc_id = p.doc_a
+        |JOIN sz sb ON sb.doc_id = p.doc_b
+        |LEFT JOIN ov ON ov.doc_a = p.doc_a AND ov.doc_b = p.doc_b""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6643,6 +6706,7 @@ object Queries {
     "q_ab_test" -> qAbTest,
     "q_kcore" -> qKcore,
     "q_secondary_index" -> qSecondaryIndex,
+    "q_rouge" -> qRouge,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,

@@ -229,6 +229,66 @@ object Evaluation {
       .select(col("grp"), col("n_pos"), col("n_neg"), col("ap_bp"))
   }
 
+  /** ROUGE-N overlap between document pairs — the n-gram-overlap
+    * metric of summarization/generation eval (Lin 2004), and a
+    * quantitative companion to the near-dup pair list: how MUCH do
+    * two candidate documents overlap, as exact multiset n-gram
+    * recall/precision/F1 in basis points.
+    *
+    * For a pair (a, b) with n-gram multisets A, B:
+    * overlap = Σ_g min(count_A(g), count_B(g)),
+    * precision = overlap/|A|, recall = overlap/|B| (b is the
+    * reference side), F1 = 2·overlap/(|A|+|B|) — the harmonic mean
+    * rewritten divisionless, so each metric is ONE floor division in
+    * DECIMAL(38,0) basis points.
+    *
+    * Plan: one pass builds per-doc n-gram COUNTS (map-side combined
+    * on (doc, gram)); the pair list joins each side by doc id and the
+    * overlap closes with an equi-join on (pair, gram) — everything
+    * keyed, nothing all-pairs; cost is O(pairs × shared grams), and
+    * the pair list itself comes from a bounded candidate generator
+    * (LSH/shingle join), never the cross product.
+    *
+    * Returns (doc_a, doc_b, overlap, n_a, n_b, rouge_p_bp,
+    * rouge_r_bp, rouge_f1_bp). Pairs where either side has no
+    * n-gram (fewer than n tokens) are dropped — no denominator is 0.
+    */
+  def rougeN(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val words = docs.select(col(idCol).as("_doc"),
+      filter(split(col(textCol), " "), x => x =!= "").as("w"))
+    val grams = words
+      .filter(size(col("w")) >= n)
+      .select(col("_doc"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+        .as("gram"))
+      .groupBy(col("_doc"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val sizes = grams.groupBy(col("_doc")).agg(sum(col("cnt")).as("ntot"))
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val withA = p
+      .join(grams.select(col("_doc").as("doc_a"), col("gram"), col("cnt").as("ca")), "doc_a")
+    val ov = withA
+      .join(grams.select(col("_doc").as("doc_b"), col("gram"), col("cnt").as("cb")),
+        Seq("doc_b", "gram"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
+    def bp(num: String, den: String): Column = expr(
+      s"""CAST(CAST($num AS DECIMAL(38,0)) * 10000
+         |     DIV CAST($den AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+    // left join from the pair list: zero-overlap pairs still report
+    p.join(sizes.select(col("_doc").as("doc_a"), col("ntot").as("n_a")), "doc_a")
+      .join(sizes.select(col("_doc").as("doc_b"), col("ntot").as("n_b")), "doc_b")
+      .join(ov, Seq("doc_a", "doc_b"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .withColumn("rouge_p_bp", bp("overlap", "n_a"))
+      .withColumn("rouge_r_bp", bp("overlap", "n_b"))
+      .withColumn("rouge_f1_bp", bp("overlap * 2", "n_a + n_b"))
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"), col("n_b"),
+        col("rouge_p_bp"), col("rouge_r_bp"), col("rouge_f1_bp"))
+  }
+
   /** Per-class precision/recall/F1 of a hard prediction against the
     * true label, exact rational arithmetic: each class row carries
     * (tp, fp, fn) plus basis-point precision = ⌊10⁴·tp/(tp+fp)⌋,

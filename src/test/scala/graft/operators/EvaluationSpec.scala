@@ -296,6 +296,35 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("rougeN: hand-computed multiset bigram overlap") {
+    val s = spark
+    import s.implicits._
+    // a: bigrams {xy, yx, xy} (x y x y); b: {xy, yz} (x y z)
+    // overlap = min(2,1)[xy] = 1; |A|=3 |B|=2
+    // p = 1/3 → 3333, r = 1/2 → 5000, f1 = 2/5 → 4000
+    val docs = Seq((1L, "x y x y"), (2L, "x y z"), (3L, "q q q")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Evaluation.rougeN(docs, "id", "text", pairs, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out((1L, 2L)) == ((1L, 3L, 2L, 3333L, 5000L, 4000L)))
+    // disjoint pair: zero overlap still reported (left join), all zeros
+    assert(out((1L, 3L)) == ((0L, 3L, 2L, 0L, 0L, 0L)))
+    // identical docs: full marks
+    val self = Evaluation.rougeN(docs, "id", "text",
+      Seq((1L, 1L)).toDF("doc_a", "doc_b"), n = 2).head()
+    assert(self.getLong(5) == 10000L && self.getLong(6) == 10000L && self.getLong(7) == 10000L)
+  }
+
+  test("rougeN: docs shorter than n drop from the pair list, not divide by zero") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "only"), (2L, "two words")).toDF("id", "text")
+    val out = Evaluation.rougeN(docs, "id", "text",
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), n = 2).collect()
+    assert(out.isEmpty) // doc 1 has no bigram: pair drops
+  }
+
   test("classificationReport folds NULL-labeled rows into one consistent row") {
     val s = spark
     import s.implicits._
