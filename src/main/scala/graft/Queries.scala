@@ -6567,6 +6567,40 @@ object Queries {
         |JOIN sz sb ON sb.doc_id = p.doc_b
         |LEFT JOIN ov ON ov.doc_a = p.doc_a AND ov.doc_b = p.doc_b""".stripMargin))
 
+  /** #56e Holt linear smoothing per user (α = β = ½ fixed point): the
+    * trend-aware EWMA upgrade with a one-step forecast — a true
+    * DOUBLE recurrence (level and trend feed each other), run as one
+    * in-array fold after the per-entity sort and oracled by replaying
+    * both recurrences one row per step in a recursive CTE. Negative
+    * trends make floor-vs-truncate division diverge; both engines'
+    * integer division truncates toward zero (Spark div, DuckDB //),
+    * which is the convention the recurrence pins (see
+    * [[graft.operators.EventAnalytics.holt]]).
+    */
+  val qHolt: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.holt(
+      t(s, dir, "events").withColumn("cents", round(col("value") * 100).cast("long")),
+      entityCol = "user_id", tsCol = "ts", idCol = "event_id", centsCol = "cents"),
+    oracle = Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, ts, cents, rn,
+        |         cents AS level, CAST(0 AS BIGINT) AS trend
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts, e.cents, e.rn,
+        |    (r.level + r.trend + e.cents) // 2,
+        |    (r.trend + ((r.level + r.trend + e.cents) // 2) - r.level) // 2
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT user_id, event_id, ts, cents,
+        |  CAST(level AS BIGINT) AS level, CAST(trend AS BIGINT) AS trend,
+        |  CAST(level + trend AS BIGINT) AS forecast_next
+        |FROM r""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6707,6 +6741,7 @@ object Queries {
     "q_kcore" -> qKcore,
     "q_secondary_index" -> qSecondaryIndex,
     "q_rouge" -> qRouge,
+    "q_holt" -> qHolt,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,

@@ -227,6 +227,62 @@ object EventAnalytics {
         col("r.cents").as(centsCol), col("r.ewma").as("ewma"))
   }
 
+  /** Holt linear (level + trend) exponential smoothing per entity,
+    * fixed-point with α = β = ½ — the trend-aware upgrade of [[ewma]]
+    * (a plain EWMA lags a ramping series forever; Holt's trend term
+    * tracks it), plus a one-step-ahead forecast per row:
+    *   level₁ = c₁, trend₁ = 0
+    *   levelₜ = ⌊(levelₜ₋₁ + trendₜ₋₁ + cₜ)/2⌋        (α = ½)
+    *   trendₜ = ⌊(trendₜ₋₁ + levelₜ − levelₜ₋₁)/2⌋   (β = ½)
+    *   forecast_next = level + trend
+    * A TRUE double recurrence — not expressible as any window
+    * aggregate. Same execution shape as ewma: one shuffle groups each
+    * entity, array_sort orders its (ts, id) rows, and ONE in-array
+    * fold runs the recurrence — no per-step joins, no driver loop;
+    * at 100 TB the cost is the groupBy shuffle plus O(events) fold
+    * work. Entities must fit one task's array — the contract of every
+    * per-entity-sequence op here (entities are users/devices, not the
+    * corpus).
+    *
+    * Division discipline: the trend can go NEGATIVE, where truncating
+    * and flooring division disagree — the halving here TRUNCATES
+    * toward zero on both engines (Spark `div` and DuckDB `//` share
+    * that convention; verified, not assumed), so the recurrence is
+    * bit-identical cross-engine including the negative-trend path.
+    */
+  def holt(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      centsCol: String): DataFrame = {
+    val tsSql = events.schema(tsCol).dataType.sql
+    val idSql = events.schema(idCol).dataType.sql
+    val centsSql = events.schema(centsCol).dataType.sql
+    val rowT = struct(col(tsCol).as("ts"), col(idCol).as("id"), col(centsCol).as("cents"))
+    val prevL = "element_at(acc, -1).level"
+    val prevB = "element_at(acc, -1).trend"
+    def floor2(x: String) = s"($x) div 2"
+    val lNew = floor2(s"$prevL + $prevB + x.cents")
+    val bNew = floor2(s"$prevB + ($lNew) - $prevL")
+    events
+      .groupBy(col(entityCol))
+      .agg(array_sort(collect_list(rowT)).as("_rows"))
+      .select(col(entityCol), explode(
+        expr(
+          s"""aggregate(
+             |  _rows,
+             |  cast(array() as array<struct<ts:$tsSql,id:$idSql,cents:$centsSql,level:bigint,trend:bigint>>),
+             |  (acc, x) -> array_append(acc, named_struct(
+             |    'ts', x.ts, 'id', x.id, 'cents', x.cents,
+             |    'level', if(size(acc) = 0, cast(x.cents as bigint), $lNew),
+             |    'trend', if(size(acc) = 0, cast(0 as bigint), $bNew))))""".stripMargin))
+        .as("r"))
+      .select(col(entityCol), col("r.id").as(idCol), col("r.ts").as(tsCol),
+        col("r.cents").as(centsCol), col("r.level").as("level"), col("r.trend").as("trend"),
+        (col("r.level") + col("r.trend")).as("forecast_next"))
+  }
+
   /** Time-weighted average (TWAP) per entity: each event's value
     * holds until the entity's next event, and the average weights
     * each value by its holding duration —

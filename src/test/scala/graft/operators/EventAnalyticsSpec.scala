@@ -152,6 +152,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == Map(10L -> 4L, 11L -> 3L, 12L -> 6L, 20L -> 2L, 21L -> 5L))
   }
 
+  test("holt: matches a scalar floorDiv reference, negative trend included") {
+    val s = spark
+    import s.implicits._
+    // user 1 ramps up (positive trend), user 2 collapses hard enough
+    // to drive level+trend sums negative — the floor-vs-truncate trap
+    val series = Map(
+      1L -> Seq(0L, 10L, 20L, 30L, 40L),
+      2L -> Seq(100L, 0L, 0L, 0L))
+    val rows = series.toSeq.flatMap { case (u, cs) =>
+      cs.zipWithIndex.map { case (c, i) =>
+        (u, u * 100 + i, ts(f"2024-01-01 ${10 + i}%02d:00:00"), c) }
+    }
+    def ref(cs: Seq[Long]): Seq[(Long, Long)] = {
+      var l = cs.head; var b = 0L
+      (l, b) +: cs.tail.map { c =>
+        val lN = (l + b + c) / 2L // Scala / truncates like Spark div & DuckDB //
+        val bN = (b + lN - l) / 2L
+        l = lN; b = bN; (l, b)
+      }
+    }
+    val out = EventAnalytics.holt(rows.toDF("user_id", "event_id", "t", "cents"),
+        "user_id", "t", "event_id", "cents")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    for ((u, cs) <- series; ((l, b), i) <- ref(cs).zipWithIndex) {
+      assert(out(u * 100 + i) == ((l, b, l + b)), s"user $u step $i")
+    }
+    // the ramp's trend must be strictly positive after warmup
+    assert(out(103L)._2 > 0)
+    // the collapse must produce a negative trend somewhere
+    assert(series(2L).indices.exists(i => out(200L + i)._2 < 0))
+  }
+
   test("timeWeightedAvg: hand-computed weighting; single-ts entity dropped") {
     val s = spark
     import s.implicits._
