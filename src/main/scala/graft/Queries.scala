@@ -6601,6 +6601,36 @@ object Queries {
         |  CAST(level + trend AS BIGINT) AS forecast_next
         |FROM r""".stripMargin))
 
+  /** #94 Encoding-quality gate (the C4/CCNet mojibake step): exact
+    * per-doc counts of U+FFFD replacement chars and raw control
+    * chars, printable-ASCII share in floor bp, and the pass flag —
+    * scan-speed single projection (see
+    * [[graft.operators.TextAnalysis.encodingQuality]]). The corpus
+    * is clean ASCII so the gate passes everywhere; the SPEC drives
+    * real mojibake through it — this query pins the cross-engine
+    * counting arithmetic.
+    */
+  val qEncodingGate: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.TextAnalysis.encodingQuality(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_chars"), col("n_replacement"), col("n_control"),
+        col("ascii_ratio_bp"), col("enc_pass")),
+    oracle = Some(
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_control,
+        |  CASE WHEN length(text) = 0 THEN NULL
+        |       ELSE CAST(CAST(length(text) - length(regexp_replace(text,
+        |              '[\x20-\x7E\t\n\r]', '', 'g')) AS HUGEINT) * 10000
+        |            // length(text) AS BIGINT) END AS ascii_ratio_bp,
+        |  (length(text) - length(replace(text, chr(65533), '')) = 0
+        |   AND (length(text) - length(regexp_replace(text,
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))) * 1000 <= length(text))
+        |    AS enc_pass
+        |FROM documents""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6742,6 +6772,7 @@ object Queries {
     "q_secondary_index" -> qSecondaryIndex,
     "q_rouge" -> qRouge,
     "q_holt" -> qHolt,
+    "q_encoding_gate" -> qEncodingGate,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,

@@ -90,7 +90,39 @@ object Scale {
       "q_eval_calibration" -> ((docs: DataFrame) =>
         operators.Evaluation.calibration(
           operators.TextAnalysis.qualityLinear(docs),
-          col("lang") === "en", col("q_score"))))
+          col("lang") === "en", col("q_score"))),
+      // round-10 additions: PR-AUC shares the grouped-distribution
+      // shape with AUC (expect sub-linear); chi2/PMI are one-combine
+      // token aggregations; k-core peels a VOCAB-sized graph (edge
+      // build is the corpus-linear part); ROUGE is pair-list-bounded
+      "q_eval_pr_auc" -> ((docs: DataFrame) =>
+        operators.Evaluation.averagePrecision(
+          operators.TextAnalysis.qualityLinear(docs),
+          col("lang") === "en", col("q_score"))),
+      "q_chi2_features" -> ((docs: DataFrame) =>
+        operators.Association.chi2Features(
+          docs, col("doc_id"), col("text"), col("lang") === "en", minDf = 2L)),
+      "q_pmi_collocations" -> ((docs: DataFrame) =>
+        operators.Association.pmiCollocations(docs, col("text"), minCount = 5L)),
+      "q_kcore" -> ((docs: DataFrame) => {
+        val words = docs.select(split(col("text"), " ").as("w"))
+          .select(filter(col("w"), x => x =!= "").as("w"))
+        val bg = words.filter(size(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("bg"))
+          .select(col("bg.w1"), col("bg.w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        val edges = bg.filter(col("w1") =!= col("w2"))
+          .select(least(col("w1"), col("w2")).as("a"),
+            greatest(col("w1"), col("w2")).as("b"), col("n"))
+          .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+          .filter(col("n") >= 65L)
+        operators.GraphAnalytics.kCore(edges, "a", "b", k = 6)
+      }),
+      "q_rouge" -> ((docs: DataFrame) => {
+        val pairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)
+        operators.Evaluation.rougeN(docs, "doc_id", "text", pairs, n = 2)
+      }))
 
     val embRuns: Seq[(String, DataFrame => DataFrame)] = Seq(
       "dedup_embedding_lsh" -> ((emb: DataFrame) =>
@@ -134,6 +166,52 @@ object Scale {
     // streaming windowed agg over the scaled events table
     rehearse("q_window_running",
       windowRunning(t01("events")), windowRunning(t1("events")))
+
+    // Holt double recurrence: groupBy shuffle + per-entity fold —
+    // linear in events (the fold is in-array, no per-step joins)
+    def holtShape(ev: DataFrame): DataFrame =
+      operators.EventAnalytics.holt(
+        ev.withColumn("cents", round(col("value") * 100).cast("long")),
+        "user_id", "ts", "event_id", "cents")
+    rehearse("q_holt", holtShape(t01("events")), holtShape(t1("events")))
+
+    // A/B readout: one unit-level combine collapses everything
+    def abShape(ev: DataFrame): DataFrame = {
+      val units = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+        .withColumn("variant", operators.Experiment.assignVariant(col("user_id")))
+      operators.Experiment.twoProportionZ2(units, col("variant"), col("converted"))
+    }
+    rehearse("q_ab_test", abShape(t01("events")), abShape(t1("events")))
+
+    // record linkage: block sizes are bounded by key design, so the
+    // blocking join must scale with Σ|block|² (flat per record here);
+    // the 10× leg links 10 shifted customer copies
+    def linkShape(cust: DataFrame): DataFrame = {
+      val base = cust.select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_cents"))
+      val typoA = base.filter(col("id") % 4 === 0).select(
+        (col("id") + 1000000000L).as("id"),
+        regexp_replace(col("name"), "#", "@").as("name"),
+        col("nation"), (col("bal_cents") + 7L).as("bal_cents"))
+      val records = base.unionByName(typoA)
+      val blockKeys = Seq(
+        expr("substring(name, length(name) - 4, 5)"),
+        concat(col("nation").cast("string"), lit(":"),
+          expr("CAST((bal_cents + 1000000) DIV 10000 AS STRING)")))
+      val nameDist = levenshtein(col("a_name"), col("b_name"))
+      val score =
+        when(nameDist === 0, 40L).when(nameDist <= 2, 25L).otherwise(0L) +
+        when(col("a_nation") === col("b_nation"), 20L).otherwise(0L) +
+        when(abs(col("a_bal_cents") - col("b_bal_cents")) <= 10L, 15L).otherwise(0L)
+      operators.RecordLinkage.scoredMatches(records, "id", blockKeys, score, 50L)
+    }
+    val cust01 = t01("customer")
+    val cust1 = (0 until copies).map(i => cust01.withColumn("c_custkey",
+      col("c_custkey") + lit(i.toLong * 100000000L))).reduce(_ unionByName _)
+    rehearse("q_linkage_matches", linkShape(cust01), linkShape(cust1))
 
     // -------------------------------------------------------------
     // Round-7 state ops: the incremental/persisted-state family.

@@ -96,6 +96,43 @@ object TextAnalysis {
       .withColumn("gopher_pass", rWc && rMwl && rAlpha && rStop)
   }
 
+  /** Encoding-quality gate (the C4/CCNet mojibake filter): flags
+    * documents whose bytes survived a bad decode — U+FFFD
+    * replacement characters (the tombstone an invalid UTF-8 sequence
+    * leaves), raw control characters (binary junk injected into
+    * text), and the printable-ASCII share as the coarse
+    * charset-sanity signal. All counts are exact integers (the
+    * replacement count via the length-difference of a literal
+    * replace; the class counts via regexp matches), the ratio in
+    * floor basis points — one projection, no shuffle, scan-speed at
+    * any size, and bit-identical on any engine.
+    *
+    * `enc_pass` = zero replacement chars AND control chars ≤ 0.1% of
+    * characters. The ASCII share is reported, not gated — it is
+    * language-dependent (a clean Chinese document is ~0% ASCII) and
+    * belongs to a per-language policy, not a universal rule.
+    */
+  def encodingQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val nRepl = (length(t) - length(regexp_replace(t, "�", ""))).cast("long")
+    val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    val nCtrl = (length(t) - length(regexp_replace(t, ctrl, ""))).cast("long")
+    val asciiOk = "[\\x20-\\x7E\\t\\n\\r]"
+    val nAscii = (length(t) - length(regexp_replace(t, asciiOk, ""))).cast("long")
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_replacement", nRepl)
+      .withColumn("n_control", nCtrl)
+      .withColumn("_n_ascii", nAscii)
+      .withColumn("ascii_ratio_bp", expr(
+        """CASE WHEN n_chars = 0 THEN CAST(NULL AS BIGINT)
+          |     ELSE CAST(CAST(_n_ascii AS DECIMAL(38,0)) * 10000
+          |               DIV CAST(n_chars AS DECIMAL(38,0)) AS BIGINT) END""".stripMargin))
+      .drop("_n_ascii")
+      .withColumn("enc_pass",
+        col("n_replacement") === 0L && col("n_control") * 1000L <= col("n_chars"))
+  }
+
   /** Fixed-weight linear quality scorer — the shape of a fastText/
     * logistic quality classifier's inference pass, with weights
     * PINNED as integers so the score (and therefore the keep/drop

@@ -194,4 +194,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) > out(2L))
     assert(!out.contains(3L))
   }
+
+  test("encodingQuality: replacement chars, control chars, ascii share, gate") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "clean ascii text"),                  // all fine
+      (2L, "caf� broken dec�de"),      // 2 replacement chars → fail
+      (3L, "bin\u0001ary\u0007junk"),     // 2 control chars in 12 (>0.1%) -> fail
+      (4L, "tabs\tand\nnewlines\rok"),           // whitespace controls are allowed
+      (5L, "全部中文字符"),                        // 0% ascii — reported, NOT gated
+      (6L, ""))                                   // empty: NULL ratio, passes
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.encodingQuality(docs)
+      .select("doc_id", "n_replacement", "n_control", "ascii_ratio_bp", "enc_pass")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((0L, 0L, Some(10000L), true)))
+    assert(out(2L) == ((2L, 0L, Some(8888L), false))) // 16/18 ascii
+    assert(out(3L)._2 == 2L && !out(3L)._4)
+    assert(out(4L) == ((0L, 0L, Some(10000L), true)))
+    assert(out(5L) == ((0L, 0L, Some(0L), true)))
+    assert(out(6L)._3.isEmpty && out(6L)._4)
+  }
 }
