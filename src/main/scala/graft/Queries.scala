@@ -6631,6 +6631,31 @@ object Queries {
         |    AS enc_pass
         |FROM documents""".stripMargin))
 
+  /** #95 Phrase search over positional postings: the 3-word phrase
+    * "stream table hash" resolved by position arithmetic (two
+    * (doc, pos−i) equi-joins, each leg pre-filtered to one term) —
+    * the inverted-index phrase query (see
+    * [[graft.operators.TextAnalysis.phraseSearch]]). The oracle
+    * re-derives matches positionally over the token arrays, so a
+    * off-by-one in the position join breaks the hash.
+    */
+  val qPhraseSearch: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.TextAnalysis.phraseSearch(
+      t(s, dir, "documents"), Seq("stream", "table", "hash")),
+    oracle = Some(
+      """WITH tw AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    list_filter(range(1, len(w) - 1),
+        |      i -> w[i] = 'stream' AND w[i+1] = 'table' AND w[i+2] = 'hash') AS hits
+        |  FROM tw
+        |)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+        |       CAST(list_min(hits) AS BIGINT) AS first_pos
+        |FROM m WHERE len(hits) > 0""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6773,6 +6798,7 @@ object Queries {
     "q_rouge" -> qRouge,
     "q_holt" -> qHolt,
     "q_encoding_gate" -> qEncodingGate,
+    "q_phrase_search" -> qPhraseSearch,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,

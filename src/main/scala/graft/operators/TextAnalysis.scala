@@ -96,6 +96,45 @@ object TextAnalysis {
       .withColumn("gopher_pass", rWc && rMwl && rAlpha && rStop)
   }
 
+  /** Positional postings: one row per token occurrence
+    * (term, doc_id, pos), pos 1-based — the index shape phrase and
+    * proximity queries need, where the plain postings list (#40b)
+    * only answers membership. Materialize partitioned/bucketed by
+    * term for the real index; this builds the rows.
+    */
+  def positionalPostings(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(filter(split(col(textCol), " "), w => w =!= "")))
+      .select(col("col").as("term"), col("doc_id"), (col("pos") + 1).cast("long").as("pos"))
+
+  /** Exact phrase search over the positional postings: the k-word
+    * phrase matches at position p iff term i sits at p+i for every i
+    * — k−1 equi-joins on (doc, pos−i), each side pre-filtered to ONE
+    * term (the filter reaches the scan; on a term-bucketed postings
+    * table each leg reads one bucket). This is how a search engine
+    * runs phrase queries off an inverted index — intersection by
+    * position arithmetic, never re-scanning documents — and the
+    * shape is cheapest when the rarest term is the first leg (the
+    * standard selectivity ordering, left to the caller since term
+    * df is a lookup away).
+    *
+    * Returns (doc_id, n_matches, first_pos) for docs containing the
+    * phrase at least once.
+    */
+  def phraseSearch(df: DataFrame, phrase: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty), "phrase terms must be non-empty")
+    val p = positionalPostings(df, idCol, textCol)
+    val first = p.filter(col("term") === phrase.head).select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(p.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
+
   /** Encoding-quality gate (the C4/CCNet mojibake filter): flags
     * documents whose bytes survived a bad decode — U+FFFD
     * replacement characters (the tombstone an invalid UTF-8 sequence

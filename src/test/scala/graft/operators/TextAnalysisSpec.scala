@@ -195,6 +195,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("phraseSearch: position arithmetic, overlaps, repeated terms, misses") {
+    val df = docsDf(Seq(
+      1L -> "a b c a b c",    // "a b c" at 1 and 4
+      2L -> "a a a a",        // "a a" overlapping at 1,2,3
+      3L -> "a c b",          // terms present, order wrong
+      4L -> "b c"))           // first term missing
+    def search(ph: String*) = TextAnalysis.phraseSearch(df, ph)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(search("a", "b", "c") == Map(1L -> ((2L, 1L))))
+    assert(search("a", "a") == Map(2L -> ((3L, 1L))))
+    assert(search("c", "a") == Map(1L -> ((1L, 3L))))
+    assert(search("z", "b").isEmpty)
+    // single-term phrase degenerates to term occurrence counting
+    assert(search("b") == Map(1L -> ((2L, 2L)), 3L -> ((1L, 3L)), 4L -> ((1L, 1L))))
+  }
+
   test("encodingQuality: replacement chars, control chars, ascii share, gate") {
     val s = spark
     import s.implicits._
