@@ -1344,6 +1344,21 @@ object Queries {
         |SELECT user_id, session_start, session_end, n_events, sum_value
         |FROM sess, wm WHERE session_end <= w""".stripMargin))
 
+  /** #22s Timer-based streaming sessionization: the same gap
+    * sessions on transformWithState EVENT-TIME TIMERS (ValueState
+    * open session + ListState closed-pending + one timer per close;
+    * `handleExpiredTimer` emits what the watermark confirmed) —
+    * gated by the SAME oracle as #22c, proving the timer route and
+    * the built-in session_window compute identical append-mode
+    * emission over identical input.
+    */
+  val qStreamSessionsTimer: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.streaming.EventStream.runSessionsTimerToBatch(
+        s, s"$dir/events.parquet",
+        queryName = "graft_stream_sesst_" + java.util.UUID.randomUUID().toString.replace("-", "")),
+    oracle = qStreamSessions.oracle)
+
   /** #22h Stream-static enrichment join: streaming events decorated
     * with customer + nation attributes per micro-batch (broadcast
     * static side, stateless append). Oracle is the plain batch join —
@@ -6799,6 +6814,7 @@ object Queries {
     "q_holt" -> qHolt,
     "q_encoding_gate" -> qEncodingGate,
     "q_phrase_search" -> qPhraseSearch,
+    "q_stream_sessions_timer" -> qStreamSessionsTimer,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,

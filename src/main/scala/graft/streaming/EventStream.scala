@@ -364,6 +364,144 @@ object EventStream {
       }
     }
 
+  private final case class SessAcc(startUs: Long, lastUs: Long, n: Long, cents: Long)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_cents: Long)
+
+  /** Gap-based sessionization re-implemented on Spark 4's
+    * transformWithState with EVENT-TIME TIMERS — the third state
+    * primitive after ValueState (milestones v2) and the built-in
+    * session_window: a session is closed not by a successor event but
+    * by the WATERMARK passing its end, which is exactly what a timer
+    * expresses. Per key: one ValueState holds the open session, one
+    * ListState holds sessions already closed by a successor but not
+    * yet watermark-confirmed, and each close registers an event-time
+    * timer at the session end — `handleExpiredTimer` emits everything
+    * whose end the watermark has passed. Emission therefore equals
+    * append-mode session_window (the SAME oracle gates both).
+    *
+    * Timer granularity is milliseconds while event time is micros:
+    * expiries are registered at ⌈end⌉ms so a timer can never fire
+    * before the true end — firing early would emit a session the
+    * watermark hasn't confirmed, breaking append parity. Stale timers
+    * (an open session later extended) fire harmlessly: the expiry
+    * handler re-checks each candidate's end against the fired expiry
+    * instead of trusting the timer.
+    */
+  private class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[SessAcc] = _
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[SessAcc] = _
+
+    private def ceilMs(us: Long): Long = (us + 999L) / 1000L
+    private def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000L))
+      t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    private def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    private def emit(key: Long, s: SessAcc): SessionOut =
+      SessionOut(key, tsOf(s.startUs), tsOf(s.lastUs + gapUs), s.n, s.cents)
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      open = getHandle.getValueState[SessAcc]("open",
+        org.apache.spark.sql.Encoders.product[SessAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      pending = getHandle.getListState[SessAcc]("pending",
+        org.apache.spark.sql.Encoders.product[SessAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        inputRows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = inputRows.toIndexedSeq.sortBy(e => (usOf(e.ts), e.event_id))
+      var cur = if (open.exists()) Option(open.get()) else None
+      sorted.foreach { e =>
+        val us = usOf(e.ts)
+        val cents = Math.round(e.value * 100)
+        cur match {
+          case None =>
+            cur = Some(SessAcc(us, us, 1L, cents))
+          case Some(c) if us > c.lastUs + gapUs =>
+            // closed by a successor — but NOT emitted yet: append
+            // parity says the watermark must pass its end first
+            pending.appendValue(c)
+            getHandle.registerTimer(ceilMs(c.lastUs + gapUs))
+            cur = Some(SessAcc(us, us, 1L, cents))
+          case Some(c) =>
+            cur = Some(SessAcc(c.startUs, math.max(c.lastUs, us), c.n + 1L, c.cents + cents))
+        }
+      }
+      cur.foreach { c =>
+        open.update(c)
+        getHandle.registerTimer(ceilMs(c.lastUs + gapUs))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val e = expiredTimerInfo.getExpiryTimeInMs()
+      val out = Seq.newBuilder[SessionOut]
+      val keep = Seq.newBuilder[SessAcc]
+      pending.get().foreach { s =>
+        if (ceilMs(s.lastUs + gapUs) <= e) out += emit(key, s) else keep += s
+      }
+      val kept = keep.result()
+      if (kept.isEmpty) pending.clear() else pending.put(kept.toArray)
+      if (open.exists()) {
+        val c = open.get()
+        if (ceilMs(c.lastUs + gapUs) <= e) { out += emit(key, c); open.clear() }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** The timer-based sessionization over a finite directory —
+    * append-parity with runSessionsToBatch (same oracle): emits
+    * exactly the sessions the final watermark passed.
+    */
+  def runSessionsTimerToBatch(spark: SparkSession, path: String, gap: String = "30 minutes",
+      queryName: String = "graft_stream_sessions_timer"): DataFrame =
+    withFewStatePartitions(spark) { s =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap)) match {
+          case iv => iv.microseconds + iv.days * 86400000000L
+        }
+        val events = eventSource(s, streamableDir(s, path))
+          .withWatermark("ts", "1 hour")
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .as[Event]
+        val sessions = events
+          .groupByKey(_.user_id)
+          .transformWithState(new SessionProcessor(gapUs), TimeMode.EventTime(), OutputMode.Append())
+          .toDF()
+          .select(col("user_id"),
+            col("session_start").cast("timestamp_ntz").as("session_start"),
+            col("session_end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"),
+            (col("sum_cents") / 100.0).as("sum_value"))
+        collectToMemory(s, sessions, "append", queryName)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+
   /** Streaming ingestion into the versioned upsert table — the graft
     * analog of Hudi streaming ingest (the reference's tables are fed
     * by exactly this shape: micro-batches upserted by record key with

@@ -22,6 +22,17 @@ class EventStreamSpec extends SparkSpec {
     assert(emitted.exceptAll(streamed).isEmpty, "every watermark-passed session emitted")
   }
 
+  test("timer-based sessionization equals the session_window route row for row") {
+    val viaWindow = EventStream.runSessionsToBatch(spark, s"$sfDir/events.parquet",
+      queryName = "spec_sessions_w")
+    val viaTimers = EventStream.runSessionsTimerToBatch(spark, s"$sfDir/events.parquet",
+      queryName = "spec_sessions_t")
+      .select(viaWindow.columns.map(col).toIndexedSeq: _*)
+    assert(viaTimers.count() > 0)
+    assert(viaTimers.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaTimers).isEmpty,
+      "the two state APIs must emit identical append-mode sessions")
+  }
+
   test("streaming hourly agg equals the batch equivalent") {
     val streamed = EventStream.runToBatch(spark, s"$sfDir/events.parquet", queryName = "spec_stream")
     val batch = graft.sources.TableLoader.table(spark, sfDir, "events")
