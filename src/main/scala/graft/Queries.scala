@@ -6671,6 +6671,66 @@ object Queries {
         |       CAST(list_min(hits) AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0""".stripMargin))
 
+  /** #6c ORC report sink roundtrip: the flagship transform written
+    * through ReportWriter as ORC (the columnar handoff format for
+    * the downstream system the report also lands in) and read back —
+    * same losslessness contract as the CSV/JSONL paths, same oracle.
+    */
+  val qOrcRoundtrip: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val result = new ReportPipeline(s, scratch("ckpt-orc")).transform(reportSpec(dir))
+      val writer = new ReportWriter(scratch("report-root-orc"))
+      val handle = writer.write(result, format = "orc")
+      s.read.schema(result.schema).orc(handle.path)
+    },
+    oracle = Some(reportSql))
+
+  /** #96 Metadata-only COUNT(*): the lineitem count answered from
+    * parquet footer record counts — zero row-group I/O, distributed
+    * footer reads (see
+    * [[graft.operators.ZoneMaps.countFromFooters]]). The oracle
+    * counts the rows the slow way; if a footer were misread the
+    * numbers differ.
+    */
+  val qCountMeta: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val n = graft.operators.ZoneMaps.countFromFooters(s, s"$dir/lineitem.parquet")
+      s.sql(s"SELECT CAST($n AS BIGINT) AS n_rows")
+    },
+    oracle = Some("SELECT count(*) AS n_rows FROM lineitem"))
+
+  /** #97 Table history (DESCRIBE HISTORY analog): a 4-commit
+    * lifecycle — base upsert, keyed delete, insert batch, restore —
+    * read back as (version, n_rows) with counts derived from parquet
+    * FOOTERS only (no data I/O). The oracle recomputes each
+    * version's expected cardinality from first principles; a commit
+    * that lost or duplicated rows anywhere in the lifecycle shows up
+    * as the wrong count at its version.
+    */
+  val qHistory: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val path = scratch("history_table")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey"),
+        col("o_orderstatus").as("status"), lit(1L).as("prec"))
+      graft.sources.UpsertWriter.upsert(base, path, Seq("k"), "prec", keepVersions = 5)
+      graft.sources.UpsertWriter.delete(s, path,
+        base.filter(col("k") % 13 === 0).select(col("k")), Seq("k"), keepVersions = 5)
+      val adds = base.filter(col("k") % 2 === 0)
+        .withColumn("k", col("k") + 10000000L).withColumn("prec", lit(2L))
+      graft.sources.UpsertWriter.upsert(adds, path, Seq("k"), "prec", keepVersions = 5)
+      graft.sources.UpsertWriter.restore(s, path, version = 1, keepVersions = 5)
+      graft.sources.UpsertWriter.history(s, path).select(col("version"), col("n_rows"))
+    },
+    oracle = Some(
+      """WITH c AS (SELECT count(*) AS n FROM orders),
+        |c13 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 13 <> 0),
+        |c2 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(c.n AS BIGINT) AS n_rows FROM c
+        |UNION ALL SELECT 2, CAST(c13.n AS BIGINT) FROM c13
+        |UNION ALL SELECT 3, CAST(c13.n + c2.n AS BIGINT) FROM c13, c2
+        |UNION ALL SELECT 4, CAST(c.n AS BIGINT) FROM c""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6815,6 +6875,9 @@ object Queries {
     "q_encoding_gate" -> qEncodingGate,
     "q_phrase_search" -> qPhraseSearch,
     "q_stream_sessions_timer" -> qStreamSessionsTimer,
+    "q_orc_roundtrip" -> qOrcRoundtrip,
+    "q_count_meta" -> qCountMeta,
+    "q_history" -> qHistory,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,

@@ -28,6 +28,48 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMaps {
 
+  /** Metadata-only COUNT(*): the sum of parquet footer record counts
+    * — zero row-group I/O, the count answer Iceberg/Delta serve from
+    * stats while a naive scan reads 100 TB to count it. Footers are
+    * read DISTRIBUTED (one task per file batch), so a million-file
+    * table costs a million footer reads spread over the cluster, not
+    * a driver loop; only the per-task partial sums return.
+    *
+    * Exactness contract: parquet footers are authoritative for row
+    * counts (a file whose footer lies is corrupt). Tasks open files
+    * with a fresh Hadoop Configuration — correct for file-scheme and
+    * default-configured object stores; plumb credentials through the
+    * cluster's core-site for anything else.
+    */
+  def countFromFooters(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path): Seq[Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(p)
+      else fs.listStatus(p).toSeq.flatMap { s =>
+        val name = s.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (s.isDirectory) dataFiles(s.getPath)
+        else if (name.endsWith(".parquet") || name.startsWith("part-")) Seq(s.getPath)
+        else Nil
+      }
+    }
+    val files = dataFiles(root).map(_.toString)
+    if (files.isEmpty) 0L
+    else spark.sparkContext
+      .parallelize(files, math.min(files.size, 64))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      .sum().toLong
+  }
+
   /** One row per parquet file: (file, n_rows, min, max) of `statsCol`.
     * One distributed scan, aggregated on the (grouped, pre-combined)
     * file name — no shuffle pressure: partial aggregation collapses

@@ -170,6 +170,31 @@ object UpsertWriter {
     }
   }
 
+  /** DESCRIBE HISTORY analog: one row per RETAINED committed version
+    * — (version, n_rows, n_files, meta as sorted k=v string). Row
+    * counts come from parquet footers
+    * ([[graft.operators.ZoneMaps.countFromFooters]]) — metadata-only,
+    * no data I/O however large the versions are; the retained window
+    * is keepVersions-bounded, so the per-version loop is small by
+    * construction.
+    */
+  def history(spark: org.apache.spark.sql.SparkSession, targetPath: String): DataFrame = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = committedVersions(fs, target).map { case (v, dir) =>
+      val meta = readMetaDir(fs, dir).toSeq.sorted
+        .map { case (k, x) => s"$k=$x" }.mkString(",")
+      val nFiles = fs.listStatus(dir).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      (v.toLong, graft.operators.ZoneMaps.countFromFooters(spark, dir.toString),
+        nFiles.toLong, meta)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_rows", "n_files", "commit_meta")
+  }
+
   /** Snapshot read of the latest committed version. Falls back to a
     * plain parquet read for non-versioned (external) directories.
     */

@@ -57,4 +57,20 @@ class ZoneMapsSpec extends SparkSpec {
     val out = ZoneMaps.prunedRead(spark, dir, zm, "v", 100L, 199L)
     assert(out.count() == 100L)
   }
+
+  test("countFromFooters: exact over multi-file, hive-partitioned, and single-file layouts") {
+    val s = spark
+    import s.implicits._
+    val flat = tmpDir("graft-zmc-") + "/flat"
+    (1L to 3456L).toDF("v").repartition(7).write.mode("overwrite").parquet(flat)
+    assert(ZoneMaps.countFromFooters(spark, flat) == 3456L)
+    // hive-partitioned: footer walk must recurse and skip _SUCCESS
+    val part = tmpDir("graft-zmc-") + "/part"
+    (1L to 1000L).map(i => (i, i % 3)).toDF("v", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(part)
+    assert(ZoneMaps.countFromFooters(spark, part) == 1000L)
+    // a single bare file (the testdata layout)
+    assert(ZoneMaps.countFromFooters(spark, s"$sfDir/region.parquet") ==
+      graft.sources.TableLoader.table(spark, sfDir, "region").count())
+  }
 }
