@@ -6731,6 +6731,107 @@ object Queries {
         |UNION ALL SELECT 3, CAST(c13.n + c2.n AS BIGINT) FROM c13, c2
         |UNION ALL SELECT 4, CAST(c.n AS BIGINT) FROM c""".stripMargin))
 
+  /** #98 ANN recall@k harness: exact top-5 on full 64-dim cosine vs
+    * top-5 on the FIRST 16 dims (the Matryoshka-truncation axis),
+    * measured by [[graft.operators.Similarity.recallAtK]] — per-query
+    * hit counts and recall in exact bp, zero-hit queries reported.
+    * Both neighbor sets AND the overlap are re-derived in DuckDB, so
+    * the harness itself is oracled, not just its inputs.
+    */
+  val qAnnRecall: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = graft.operators.Similarity.bruteForceTopK(emb, q, k = 5)
+      val approx = graft.operators.Similarity.bruteForceTopK(emb, q, k = 5, dims = Some(16))
+      graft.operators.Similarity.recallAtK(exact, approx, k = 5)
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS va, q.v AS vb
+         |  FROM e c, e q WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY $cosSql DESC, neighbor_id) AS rk
+         |    FROM sc) WHERE rk <= 5
+         |), sct AS (
+         |  SELECT query_id, neighbor_id, va[1:16] AS va, vb[1:16] AS vb FROM sc
+         |), ap AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY $cosSql DESC, neighbor_id) AS rk
+         |    FROM sct) WHERE rk <= 5
+         |), h AS (
+         |  SELECT ex.query_id, count(*) AS n_hits
+         |  FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1
+         |)
+         |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) * 10000 // 5 AS BIGINT) AS recall_bp
+         |FROM (SELECT DISTINCT query_id FROM ex) q
+         |LEFT JOIN h USING (query_id)""".stripMargin))
+
+  /** #99 CMS join-size estimation: |orders ⋈ lineitem| estimated
+    * from two Count-Min sketches over the join key — the AGMS/CMS
+    * inner product min_r Σ_w A[r,w]·B[r,w], the classic
+    * constant-space cardinality estimate a planner consults before
+    * choosing a join strategy — alongside the exact size, both
+    * re-derived in DuckDB (sketch buckets from the same FNV chain
+    * the CMS oracle already pins). The estimate only ever
+    * OVER-counts (collision mass is non-negative).
+    */
+  val qCmsJoinSize: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.functions.CmsFunctions
+      val d = 4; val w = 2048
+      val oKeys = t(s, dir, "orders").select(col("o_orderkey").cast("string").as("k"))
+      val lKeys = t(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("k"))
+      val ska = oKeys.agg(CmsFunctions.cmsSketch(col("k"), d, w).as("ska"))
+      val skb = lKeys.agg(CmsFunctions.cmsSketch(col("k"), d, w).as("skb"))
+      val exact = oKeys.join(lKeys, "k").agg(count(lit(1)).as("exact_join_size"))
+      ska.crossJoin(skb).crossJoin(broadcast(exact))
+        .select(CmsFunctions.cmsInnerProduct(col("ska"), col("skb"), d, w)
+          .cast("bigint").as("cms_join_size"), col("exact_join_size"))
+    },
+    oracle = Some(
+      """WITH ok AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS term, count(*) AS n FROM orders GROUP BY 1
+        |), lk AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS term, count(*) AS n FROM lineitem GROUP BY 1
+        |), rws AS (
+        |  SELECT unnest([0, 1, 2, 3]) AS r
+        |), bka AS (
+        |  SELECT term, n, r,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(term || chr(1) || CAST(r AS VARCHAR)) + 1),
+        |        i -> CAST(unicode((term || chr(1) || CAST(r AS VARCHAR))[i]) AS HUGEINT))),
+        |      (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                   * 1099511628211) % 18446744073709551616) % 2048 AS bucket
+        |  FROM ok CROSS JOIN rws
+        |), bkb AS (
+        |  SELECT term, n, r,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(term || chr(1) || CAST(r AS VARCHAR)) + 1),
+        |        i -> CAST(unicode((term || chr(1) || CAST(r AS VARCHAR))[i]) AS HUGEINT))),
+        |      (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                   * 1099511628211) % 18446744073709551616) % 2048 AS bucket
+        |  FROM lk CROSS JOIN rws
+        |), ca AS (
+        |  SELECT r, bucket, sum(n) AS cell FROM bka GROUP BY 1, 2
+        |), cb AS (
+        |  SELECT r, bucket, sum(n) AS cell FROM bkb GROUP BY 1, 2
+        |), ip AS (
+        |  SELECT ca.r, sum(CAST(ca.cell AS HUGEINT) * cb.cell) AS p
+        |  FROM ca JOIN cb USING (r, bucket) GROUP BY 1
+        |), ex AS (
+        |  SELECT count(*) AS n FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |)
+        |SELECT CAST((SELECT min(p) FROM ip) AS BIGINT) AS cms_join_size,
+        |       CAST(ex.n AS BIGINT) AS exact_join_size
+        |FROM ex""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -6876,6 +6977,8 @@ object Queries {
     "q_phrase_search" -> qPhraseSearch,
     "q_stream_sessions_timer" -> qStreamSessionsTimer,
     "q_orc_roundtrip" -> qOrcRoundtrip,
+    "q_ann_recall" -> qAnnRecall,
+    "q_cms_join_size" -> qCmsJoinSize,
     "q_count_meta" -> qCountMeta,
     "q_history" -> qHistory,
     "q_funnel" -> qFunnel,

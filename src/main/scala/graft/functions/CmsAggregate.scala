@@ -141,4 +141,25 @@ object CmsFunctions {
       element_at(sketch, cmsBucket(term, r, width) + lit(r * width) + lit(1)))
     if (probes.size == 1) probes.head else least(probes: _*)
   }
+
+  /** AGMS/CMS join-size estimate from two sketches built over the two
+    * sides' join keys (same depth/width/salts): min over rows of
+    * the row-wise inner product Σ_w A[r,w]·B[r,w]. Never
+    * under-counts the true join size Σ_v fA(v)·fB(v) — collision
+    * mass is non-negative — and over-counts by ≤ (e/width)·|A|·|B|
+    * per the CMS bound; the planner consults it before picking a
+    * join strategy. Products and the sum run in DECIMAL(38,0): two
+    * billion-row sides put single cells near 2³¹ and cell products
+    * past a long. Returns DECIMAL(38,0); cast down caller-side.
+    */
+  def cmsInnerProduct(skA: Column, skB: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions.{aggregate, least, lit, slice, zip_with}
+    val rows = (0 until depth).map { r =>
+      aggregate(
+        zip_with(slice(skA, r * width + 1, width), slice(skB, r * width + 1, width),
+          (x, y) => x.cast("decimal(38,0)") * y.cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)"), (acc, v) => acc + v)
+    }
+    if (rows.size == 1) rows.head else least(rows: _*)
+  }
 }

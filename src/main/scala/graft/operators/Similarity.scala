@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TopKFunctions, VectorFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -22,10 +22,17 @@ object Similarity {
 
   /** Exact cosine top-k: for each query vector, the k most similar
     * corpus vectors (excluding itself), deterministic tie-break on id.
+    *
+    * `dims = Some(d)` scores on the FIRST d coordinates only — the
+    * Matryoshka-truncation evaluation axis: run full and truncated,
+    * feed both to [[recallAtK]], and the harness quantifies what the
+    * dimension cut costs in neighbor fidelity.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Option[Int] = None): DataFrame = {
+    val vec = (c: Column) => dims.fold(c)(d => slice(c, 1, d))
+    val c = corpus.select(col("vec_id").as("cid"), vec(col("embedding")).as("cvec"))
+    val q = queries.select(col("vec_id").as("qid"), vec(col("embedding")).as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .withColumn("sim", VectorFunctions.cosine(col("cvec"), col("qvec")))
@@ -38,6 +45,32 @@ object Similarity {
         (col("pos") + 1).as("rank"),
         col("hit.id").as("neighbor_id"),
         round(col("hit.score"), 9).as("sim"))
+  }
+
+  /** ANN quality harness: recall@k of an approximate neighbor table
+    * against the exact one — the measurement that turns "we use IVF/
+    * PQ/LSH/truncated dims" from a hope into a number. Inputs are any
+    * two (query_id, neighbor_id) tables (rank/score columns ignored);
+    * output is one row per exact-side query: (query_id, n_hits,
+    * recall_bp = ⌊10⁴·|approx ∩ exact|/k⌋). Queries the approximate
+    * index missed entirely still report (recall 0) — silently
+    * dropping them is how ANN evaluations lie.
+    *
+    * One equi-join on (query, neighbor) + one combine — both sides
+    * are k-bounded per query, so cost is O(queries·k) however large
+    * the corpus that produced them.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_bp", expr(
+        s"CAST(CAST(n_hits AS DECIMAL(38,0)) * 10000 DIV $k AS BIGINT)"))
   }
 
   /** LSH bucket key: sign pattern across `numPlanes` deterministic

@@ -51,4 +51,21 @@ class CmsAggregateSpec extends SparkSpec {
     assert(cells.sum == 4L * 100)
     assert(cells.length == 64)
   }
+
+  test("cmsInnerProduct: never under-counts the true join size; exact when collision-free") {
+    val s = spark
+    import s.implicits._
+    // true join size = Σ_v fA(v)·fB(v): A = {x×3, y×2, z}, B = {x×2, z×4} → 6+4 = 10
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(4)("z")).toDF("k")
+    def est(width: Int): Long = a.agg(CmsFunctions.cmsSketch(col("k"), 4, width).as("sa"))
+      .crossJoin(b.agg(CmsFunctions.cmsSketch(col("k"), 4, width).as("sb")))
+      .select(CmsFunctions.cmsInnerProduct(col("sa"), col("sb"), 4, width).cast("long"))
+      .head().getLong(0)
+    // wide sketch: 3 keys across 1024 buckets × 4 rows — collision-free
+    // with overwhelming certainty → exactly 10
+    assert(est(1024) == 10L)
+    // tiny sketch: collisions only ADD mass, never subtract
+    assert(est(2) >= 10L)
+  }
 }

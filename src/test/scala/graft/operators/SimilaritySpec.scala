@@ -473,4 +473,25 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.sources.VersionedLog.committed(spark, s"$inc/log").length == 1)
     assert(res(inc) == expected, "compacted log must preserve the index contents")
   }
+
+  test("recallAtK: hand-built overlap, zero-hit queries reported, extras ignored") {
+    val s = spark
+    import s.implicits._
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 99L),  // 2/3
+      (2L, 20L), (2L, 21L), (2L, 22L),  // 3/3
+      // query 3 entirely missed by the index — must still report
+      (4L, 40L))                        // approx-only query: ignored
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(exact, approx, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 6666L)),
+      2L -> ((3L, 10000L)),
+      3L -> ((0L, 0L))))
+  }
 }
