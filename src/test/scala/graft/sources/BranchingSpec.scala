@@ -72,6 +72,53 @@ class BranchingSpec extends SparkSpec {
     assert(theirsWin == Map(1L -> ((3L, "theirs")))) // theirs policy honors the branch deletion
   }
 
+  test("threeWayMerge: randomized scenarios match a scalar reference model") {
+    val rnd = new scala.util.Random(13)
+    // reference: the documented per-key routing, including deletions
+    def refMerge(base: Map[Long, (Long, String)], ours: Map[Long, (Long, String)],
+        theirs: Map[Long, (Long, String)]): Map[Long, (Long, String)] = {
+      val keys = base.keySet ++ ours.keySet ++ theirs.keySet
+      keys.flatMap { k =>
+        val b = base.get(k); val o = ours.get(k); val t = theirs.get(k)
+        val pick =
+          if (t == b) o                        // theirs unchanged (incl. both-absent)
+          else if (o == b) t                   // ours unchanged
+          else if (t == o) o                   // convergent
+          else (o, t) match {                  // conflict under "latest"
+            case (None, _) => t                // delete-vs-modify → the modify
+            case (_, None) => o
+            case (Some(ov), Some(tv)) => if (tv._1 >= ov._1) t else o
+          }
+        pick.map(k -> _)
+      }.toMap
+    }
+    for (trial <- 1 to 5) {
+      val keys = (1L to 30L)
+      val base = keys.map(k => k -> ((1L, s"b$k"))).toMap
+      def mutate(m: Map[Long, (Long, String)], tag: String, ver: Long) = {
+        var r = m
+        keys.foreach { k =>
+          rnd.nextInt(5) match {
+            case 0 => r = r.updated(k, (ver, s"$tag$k"))   // modify
+            case 1 => r = r - k                            // delete
+            case _ => ()                                   // keep
+          }
+        }
+        // some inserts
+        (1 to 3).foreach { i => r = r.updated(100L * ver + i, (ver, s"$tag-new$i")) }
+        r
+      }
+      val ours = mutate(base, "o", 2L + rnd.nextInt(2))
+      val theirs = mutate(base, "t", 2L + rnd.nextInt(2))
+      def toDf(m: Map[Long, (Long, String)]) =
+        df(m.toSeq.map { case (k, (v, p)) => (k, v, p) }: _*)
+      val got = snap(Branching.threeWayMerge(
+        toDf(base), toDf(ours), toDf(theirs), Seq("k"), "ver", "latest"))
+      val want = refMerge(base, ours, theirs)
+      assert(got == want, s"trial $trial:\n got=$got\nwant=$want\nours=$ours\ntheirs=$theirs")
+    }
+  }
+
   test("mergeBranch commits main's next version; conflicts() is the dry-run view") {
     val table = tmpDir("graft-branch-") + "/t"
     UpsertWriter.upsert(df((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c")), table, Seq("k"), "ver")
