@@ -3409,6 +3409,38 @@ object Queries {
         |FROM tok JOIN wh USING (w) JOIN r USING (b)
         |GROUP BY doc_id""".stripMargin))
 
+  /** #82b Importance RESAMPLING — the selection half DSIR's weights
+    * exist for: keep doc i with P = importanceᵢ/max(importance),
+    * drawn deterministically (hash₃₁(id)·wMax < w·2³¹,
+    * division-free cross-multiplication) so the kept SET is
+    * byte-identical on any engine — oracled by suffixing the
+    * resample onto the full importance-weight re-derivation (see
+    * [[graft.operators.Sampling.weightedBernoulli]]).
+    */
+  val qImportanceResample: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val w = graft.operators.Curation.importanceWeights(
+        t(s, dir, "documents"), isTarget = col("lang") === "en")
+      graft.operators.Sampling.weightedBernoulli(w, col("doc_id"), col("importance"))
+    },
+    oracle = Some {
+      val imp = qImportance.oracle.get
+      val cut = imp.lastIndexOf("SELECT doc_id, count(*) AS n_tokens")
+      require(cut > 0, "importance oracle shape changed; fix the resample suffix")
+      imp.substring(0, cut) +
+        """, imp AS (
+          |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(ratio) AS BIGINT) AS importance
+          |  FROM tok JOIN wh USING (w) JOIN r USING (b)
+          |  GROUP BY doc_id
+          |), mx AS (
+          |  SELECT CAST(max(importance) AS HUGEINT) AS m FROM imp
+          |)
+          |SELECT doc_id, n_tokens, importance
+          |FROM imp CROSS JOIN mx
+          |WHERE CAST(((doc_id % 2147483648) * 2654435761) % 2147483648 AS HUGEINT) * m
+          |      < CAST(importance AS HUGEINT) * 2147483648""".stripMargin
+    })
+
   /** #47 Repetition metrics: within-doc duplicate 3-gram signals
     * (see TextAnalysis.repetitionMetrics).
     */
@@ -6942,6 +6974,7 @@ object Queries {
     "decontam_inc" -> qDecontamInc,
     "decontam_fuzzy" -> qDecontamFuzzy,
     "q_importance" -> qImportance,
+    "q_importance_resample" -> qImportanceResample,
     "text_pack" -> qTextPack,
     "text_pack_ffd" -> qTextPackFfd,
     "text_repetition" -> qTextRepetition,

@@ -201,6 +201,27 @@ object Sampling {
     * until the caller joins the negatives' payloads (which trades on
     * dense int ids, the cheapest possible join key).
     */
+  /** Deterministic weighted (importance) Bernoulli resampling:
+    * P(keep) = wᵢ / max(w) — the SELECTION half of DSIR-style
+    * importance sampling (importanceWeights scores, this draws), with
+    * the draw a pure function of (id, salt): any engine recomputes
+    * the identical kept SET, re-runs never move a row in or out, and
+    * the decision is DIVISION-FREE — hash₃₁(id)·wMax < wᵢ·2³¹
+    * cross-multiplied in DECIMAL(38,0), so no rounding policy can
+    * drift between engines. The max is one scalar aggregate
+    * broadcast back; everything else is a scan-speed projection.
+    * `salt` draws an independent sample from the same weights.
+    */
+  def weightedBernoulli(df: DataFrame, idCol: org.apache.spark.sql.Column,
+      weightCol: org.apache.spark.sql.Column, salt: Long = 0L): DataFrame = {
+    val wmax = df.agg(max(weightCol).cast("decimal(38,0)").as("_g_wmax"))
+    val h = pmod(idCol.cast("long") + lit(salt), lit(2147483648L)) * 2654435761L % 2147483648L
+    df.crossJoin(broadcast(wmax))
+      .filter(h.cast("decimal(38,0)") * col("_g_wmax") <
+        weightCol.cast("decimal(38,0)") * lit(2147483648L).cast("decimal(38,0)"))
+      .drop("_g_wmax")
+  }
+
   def negativeSamples(
       df: DataFrame,
       keyCol: String,

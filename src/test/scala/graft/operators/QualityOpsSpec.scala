@@ -309,4 +309,28 @@ class QualityOpsSpec extends SparkSpec {
     assert(changed("g1") != d("g1"), "changed content must change the digest")
     assert(d("g1")._1 == 2L && d("g2")._1 == 1L)
   }
+
+  test("weightedBernoulli: deterministic, max weight always kept, rates track weights") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 4000L).map(i => (i, if (i % 4 == 0) 10000L else 2500L))
+    val df = rows.toDF("id", "w")
+    def keep(salt: Long) = Sampling.weightedBernoulli(df, col("id"), col("w"), salt)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val k1 = keep(0L); val k2 = keep(0L)
+    assert(k1 == k2, "same salt must reproduce the identical SET")
+    // every max-weight row survives (P = 1 exactly)
+    assert(rows.filter(_._2 == 10000L).map(_._1).forall(k1.contains), "P=1 rows must all keep")
+    // quarter-weight rows keep at ~25%
+    val q = rows.filter(_._2 == 2500L).map(_._1)
+    val rate = q.count(k1.contains).toDouble / q.size
+    assert(rate > 0.20 && rate < 0.30, s"P=0.25 rows kept at $rate")
+    // a different salt draws a genuinely different sample
+    assert(keep(7L) != k1)
+    // zero weight never keeps
+    val z = Sampling.weightedBernoulli(
+      Seq((1L, 0L), (2L, 5L)).toDF("id", "w"), col("id"), col("w"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(z == Set(2L))
+  }
 }
