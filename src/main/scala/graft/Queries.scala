@@ -6864,6 +6864,43 @@ object Queries {
         |       CAST(ex.n AS BIGINT) AS exact_join_size
         |FROM ex""".stripMargin))
 
+  /** #87b Branch-merge conflict DRY-RUN: the same diverged
+    * branch/main scenario as #87, but read through
+    * [[graft.sources.Branching.conflicts]] BEFORE merging — the
+    * both-sides-changed keys with each side's precombine (NULL for a
+    * branch deletion). The oracle enumerates the conflict set from
+    * first principles: every %35 key modified on both sides, every
+    * %55 key caught in delete-vs-modify.
+    */
+  val qBranchConflicts: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val path = scratch("branch_conflicts")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey"),
+        col("o_orderstatus").as("status"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        lit(1L).as("prec"))
+      graft.sources.UpsertWriter.upsert(base, path, Seq("k"), "prec", keepVersions = 3)
+      graft.sources.Branching.create(s, path, "feature")
+      val mainUpd = base.filter(col("k") % 5 === 0)
+        .withColumn("cents", col("cents") + 100L).withColumn("prec", lit(2L))
+      graft.sources.UpsertWriter.upsert(mainUpd, path, Seq("k"), "prec", keepVersions = 3)
+      val branchUpd = base.filter(col("k") % 7 === 0)
+        .withColumn("status", lit("B")).withColumn("prec", lit(3L))
+      graft.sources.Branching.upsertBranch(branchUpd, path, "feature", Seq("k"), "prec")
+      graft.sources.Branching.deleteFromBranch(
+        base.filter(col("k") % 11 === 0).select(col("k")), path, "feature", Seq("k"))
+      graft.sources.Branching.conflicts(s, path, "feature", Seq("k"), "prec")
+    },
+    oracle = Some(
+      """SELECT o_orderkey AS k,
+        |  CAST(2 AS BIGINT) AS ours_precombine,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |       ELSE CAST(3 AS BIGINT) END AS theirs_precombine
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0
+        |  AND (o_orderkey % 7 = 0 OR o_orderkey % 11 = 0)""".stripMargin))
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -7050,6 +7087,7 @@ object Queries {
     "q_eval_pr_auc_by" -> qEvalPrAucBy,
     "q_linkage" -> qLinkage,
     "q_branch_merge" -> qBranchMerge,
+    "q_branch_conflicts" -> qBranchConflicts,
     "q_chi2_features" -> qChi2Features,
     "q_pmi_collocations" -> qPmiCollocations,
     "q_eval_report_inc" -> qEvalReportInc,
