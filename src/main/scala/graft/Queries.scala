@@ -3733,6 +3733,76 @@ object Queries {
         |            THEN 1 + (h // 2147483648) % 32 ELSE 1 END AS INT) AS n_frames
         |FROM fp JOIN documents USING (doc_id)""".stripMargin))
 
+  /** #34d Perceptual-hash multimodal near-dup (dHash): 64-bit
+    * signature from an 8×9 block-mean downsample of the binary
+    * payload (adjacent-mean comparison bits — the real dHash shape
+    * with the pixel decode stubbed to the byte signal), banded by the
+    * same 4×16-bit pigeonhole as dedup_simhash (provably complete at
+    * Hamming ≤ 3). The corpus is the media table PLUS a re-encoded
+    * copy of every payload (first byte changed, id offset 10⁶) — the
+    * re-saved-image scenario perceptual hashing exists for: a 1-byte
+    * difference moves one block sum, flipping at most the two
+    * comparisons that block borders, so every (original, copy) pair
+    * is within Hamming 2 and provably caught. FULLY ORACLED: block
+    * sums are exact integer arithmetic over the payload's UTF-8
+    * bytes, mean comparisons are cross-multiplied sums (no division
+    * anywhere), so DuckDB re-derives every signature from first
+    * principles and checks the complete pair set brute-force.
+    */
+  val qDedupPhash: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reencoded = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        overlay(col("text"), lit("x"), lit(1)).as("text"),
+        col("source"))
+      val media = graft.operators.Multimodal
+        .mediaFromDocuments(docs.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(reencoded)).toDF()
+      graft.operators.Dedup.phashPairs(media, "media_id", "content")
+    },
+    oracle = Some(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'x' || substr(text, 2) FROM documents
+        |), by AS (
+        |  SELECT doc_id, flatten(list_transform(range(1, length(text)+1), i -> CASE
+        |    WHEN unicode(text[i]) < 128 THEN [unicode(text[i])]
+        |    WHEN unicode(text[i]) < 2048 THEN
+        |      [192 + unicode(text[i]) // 64, 128 + unicode(text[i]) % 64]
+        |    WHEN unicode(text[i]) < 65536 THEN
+        |      [224 + unicode(text[i]) // 4096, 128 + (unicode(text[i]) // 64) % 64,
+        |       128 + unicode(text[i]) % 64]
+        |    ELSE
+        |      [240 + unicode(text[i]) // 262144, 128 + (unicode(text[i]) // 4096) % 64,
+        |       128 + (unicode(text[i]) // 64) % 64, 128 + unicode(text[i]) % 64]
+        |  END)) AS bs
+        |  FROM corpus
+        |), blocks AS (
+        |  SELECT doc_id, r.b AS b,
+        |    coalesce(list_sum(bs[(r.b * len(bs) // 72) + 1 : ((r.b + 1) * len(bs) // 72)]), 0) AS s,
+        |    ((r.b + 1) * len(bs) // 72) - (r.b * len(bs) // 72) AS n
+        |  FROM by, range(0, 72) r(b)
+        |), bits AS (
+        |  SELECT b0.doc_id, (b0.b // 9) * 8 + (b0.b % 9) AS pos,
+        |    CASE WHEN b1.s * b0.n > b0.s * b1.n THEN 1 ELSE 0 END AS bit
+        |  FROM blocks b0 JOIN blocks b1 ON b1.doc_id = b0.doc_id AND b1.b = b0.b + 1
+        |  WHERE b0.b % 9 < 8
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 THEN (CAST(1 AS HUGEINT) << CAST(pos AS HUGEINT))
+        |                  ELSE CAST(0 AS HUGEINT) END)
+        |      - CASE WHEN max(CASE WHEN pos = 63 AND bit = 1 THEN 1 ELSE 0 END) = 1
+        |             THEN CAST(18446744073709551616 AS HUGEINT)
+        |             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin))
+
   /** #14o Merkle-style table content digest per partition — the
     * anti-entropy primitive of table replication (compare digests,
     * re-sync only mismatched groups). Order-independent: Σ fnv64 of
@@ -6989,6 +7059,7 @@ object Queries {
     "dedup_minhash_lsh" -> qDedupMinhashLsh,
     "dedup_minhash_inc" -> qDedupMinhashInc,
     "dedup_simhash" -> qDedupSimhash,
+    "dedup_phash" -> qDedupPhash,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_semantic" -> qDedupSemantic,

@@ -25,14 +25,15 @@ object Association {
     * a sum, and a broadcast 1-row total — no join touches the corpus
     * twice. State is |vocab|, not |rows|.
     *
-    * Scale envelope: the numerator N·(ad−bc)² stays inside
-    * DECIMAL(38,0) while N ≲ 10⁹ labeled docs (ad ≤ N² = 10¹⁸,
-    * squared 10³⁶, ×N). Beyond that, segment the corpus (χ² is
-    * additive over disjoint segments' contingencies only if
-    * recombined — so at 10⁹+ docs run per-shard and select per
-    * shard, or pre-aggregate the contingency and compute in
-    * unbounded arithmetic offline). The guard raises loudly rather
-    * than wrapping silently.
+    * Scale envelope: the numerator N·(ad−bc)²·10⁴ is bounded by
+    * N⁵·10⁴/16 (|ad−bc| ≤ N²/4 under a+b+c+d = N), which stays
+    * inside DECIMAL(38,0) only while N ≲ 1.09·10⁷ labeled docs —
+    * NOT 10⁹ (Spark decimal multiply NULLs silently past 38 digits,
+    * the exact wrong answer the guard exists to prevent). Beyond
+    * 10⁷ docs, pre-aggregate the per-token contingency (a/b/c/d are
+    * plain longs at any N) and compute the ratio offline in
+    * unbounded arithmetic, or select per shard. The guard raises
+    * loudly rather than wrapping silently.
     *
     * Returns (token, df, n_pos_docs, chi2_x10000) for tokens with
     * document frequency ≥ `minDf`.
@@ -59,9 +60,10 @@ object Association {
       // guard BEFORE the products: a silent decimal overflow would
       // null out, not wrap — still a wrong answer with no error
       .withColumn("_guard",
-        when(col("n_docs") > 1000000000L,
-          raise_error(lit("chi2Features: contingency exceeds the exact DECIMAL(38,0) " +
-            "envelope (N > 1e9 labeled docs) — run per segment/shard")).cast("long"))
+        when(col("n_docs") > 10000000L,
+          raise_error(lit("chi2Features: N^5*10^4/16 exceeds the exact DECIMAL(38,0) " +
+            "envelope (N > 1e7 labeled docs) — pre-aggregate the contingency " +
+            "and divide offline, or run per segment/shard")).cast("long"))
           .otherwise(lit(0L)))
       .withColumn("b", col("df") - col("a") + col("_guard"))
       .withColumn("c", col("n_pos") - col("a"))

@@ -752,8 +752,30 @@ object Dedup {
     * all pairs with Hamming distance <= 3 by pigeonhole... candidates
     * verified with exact bit_count(xor) <= maxHamming).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sig = HashFunctions.simhash64(split(col(textCol), " "))
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    signaturePairs(df, idCol, HashFunctions.simhash64(split(col(textCol), " ")), maxHamming)
+
+  /** Perceptual-hash near-dup pairs over a MULTIMODAL binary payload
+    * column: 64-bit dHash ([[HashFunctions.phash64]] — block-mean
+    * downsample of the byte signal, adjacent-mean comparison bits;
+    * the decode stage a real codec replaces), then the exact same
+    * pigeonhole banding + Hamming verification as [[simhashPairs]].
+    * This is the image-dedup production shape (pHash/dHash at
+    * ingestion): signatures are 8 bytes however large the media
+    * payloads, so the pair search never touches payload bytes after
+    * the one signature scan.
+    */
+  def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame =
+    signaturePairs(media, idCol, HashFunctions.phash64(col(payloadCol)), maxHamming)
+
+  /** Shared signature banding: 4 × 16-bit chunks (any equal chunk ⇒
+    * candidate — catches every pair with Hamming ≤ 3 by pigeonhole),
+    * candidates verified with exact bit_count(xor) ≤ maxHamming.
+    * Only (id, sig, chunk) rows — 8-byte signatures — ever shuffle.
+    */
+  private def signaturePairs(df: DataFrame, idCol: String, sig: org.apache.spark.sql.Column,
+      maxHamming: Int): DataFrame = {
     val withSig = df.select(col(idCol).as("doc"), sig.as("sig"))
     val chunkKeys = (0 until 4).map(c =>
       shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)))

@@ -36,6 +36,15 @@ object Experiment {
     * lift in exact basis points. z²≥3.84·10⁴/10⁴ ⇒ p<0.05 (1 df) —
     * left to the caller, thresholds are policy.
     *
+    * Scale envelope: |Δ| ≤ n_a·n_b ≤ N²/4, so the numerator
+    * N·Δ²·10⁴ ≤ N⁵·10⁴/16 fits DECIMAL(38,0) only while
+    * N ≲ 1.09·10⁷ units; past that Spark decimal multiply NULLs
+    * silently — indistinguishable from the documented degenerate-arm
+    * NULL. A loud raise_error guard fires at N > 10⁷ instead:
+    * at that size, collapse each arm to its (n, x) pair (this
+    * function's own first aggregate — two longs at any N) and
+    * compute the division off-engine in unbounded arithmetic.
+    *
     * Plan: one map-side-combined groupBy(variant) collapses any
     * number of units to two rows; everything after is constant-size.
     * Returns ONE row: (n_a, x_a, rate_a_bp, n_b, x_b, rate_b_bp,
@@ -65,8 +74,17 @@ object Experiment {
       .withColumn("lift_bp", col("rate_b_bp") - col("rate_a_bp"))
       .withColumn("_xx", col("x_a") + col("x_b"))
       .withColumn("_nn", col("n_a") + col("n_b"))
+      // guard BEFORE the products: decimal overflow NULLs silently,
+      // and a NULL z² here would read as a degenerate arm
+      .withColumn("_guard",
+        when(col("_nn") > 10000000L,
+          raise_error(lit("twoProportionZ2: N^5*10^4/16 exceeds the exact " +
+            "DECIMAL(38,0) envelope (N > 1e7 units) — take the per-arm (n, x) " +
+            "aggregates and divide off-engine in unbounded arithmetic")).cast("long"))
+          .otherwise(lit(0L)))
       .withColumn("_d",
-        dec(col("x_a")) * dec(col("n_b")) - dec(col("x_b")) * dec(col("n_a")))
+        dec(col("x_a")) * dec(col("n_b")) - dec(col("x_b")) * dec(col("n_a"))
+          + dec(col("_guard")))
       .withColumn("z2_x10000",
         when(dec(col("n_a")) * dec(col("n_b")) * dec(col("_xx")) *
             dec(col("_nn") - col("_xx")) === 0, lit(null).cast("long"))

@@ -58,12 +58,16 @@ object Similarity {
     *
     * One equi-join on (query, neighbor) + one combine — both sides
     * are k-bounded per query, so cost is O(queries·k) however large
-    * the corpus that produced them.
+    * the corpus that produced them. Both sides are deduplicated on
+    * (query, neighbor) first: a neighbor table carrying repeats (a
+    * union of shards, a re-ranked list with ties kept twice) would
+    * otherwise multiply through the join and report recall_bp above
+    * 10⁴.
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val e = exact.select(col("query_id"), col("neighbor_id"))
-    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id")).distinct()
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
     val hits = e.join(a, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     e.select(col("query_id")).distinct()

@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: branch reads and writes are exactly main-table reads
   * and writes (same merge/commit machinery). The three-way merge is
-  * two full-outer joins keyed on the record key — the same shuffle
-  * the upsert merge already does, and with a typically-small branch
-  * diff AQE broadcasts the branch side. Nothing anywhere is
-  * O(history); only the three involved snapshots are read.
+  * ONE hash shuffle: the three snapshots union with a side tag and
+  * aggregate per record key (each snapshot holds a key at most once,
+  * so one `first(when(tag...))` per side rebuilds the b/o/t triple)
+  * — one Exchange of 3× the data instead of chaining two full-outer
+  * sort-merge joins (two Exchanges, two sorts, ~5 exchange payloads).
+  * The conflicts dry-run shares the identical keyed plan and only
+  * changes the final filter/projection, so predicting a merge can
+  * never cost more than running it. Nothing anywhere is O(history);
+  * only the three involved snapshots are read.
   */
 object Branching {
 
@@ -152,23 +157,36 @@ object Branching {
     * Both-sides-identical changes merge trivially (no conflict).
     * Rows resolved to no-row (deletions) vanish from the result.
     */
-  def threeWayMerge(base: DataFrame, ours: DataFrame, theirs: DataFrame,
-      recordKeys: Seq[String], precombine: String, onConflict: String): DataFrame = {
+  /** The shared keyed form both merge and dry-run consume: the three
+    * snapshots union with a side tag and collapse per record key to
+    * one row carrying the (_b, _o, _t) struct triple — a SINGLE hash
+    * Exchange. Each snapshot holds a record key at most once (the
+    * versioned table's invariant), so `first(when(tag), ignoreNulls)`
+    * is deterministic: there is at most one candidate per tag per
+    * key. Null record keys group together, matching the null-safe
+    * (`<=>`) join keys of the former two-join form.
+    */
+  private def packedKeyed(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+      recordKeys: Seq[String]): DataFrame = {
     val cols = ours.columns.toSeq
     require(base.columns.toSeq == cols && theirs.columns.toSeq == cols,
       "three-way merge requires identical column sets (align schemas first): " +
         s"base=${base.columns.toSeq} ours=$cols theirs=${theirs.columns.toSeq}")
+    def side(df: DataFrame, tag: String): DataFrame = df.select(
+      recordKeys.map(col) :+ lit(tag).as("_tag") :+ struct(cols.map(col): _*).as("_s"): _*)
+    side(base, "b").unionByName(side(ours, "o")).unionByName(side(theirs, "t"))
+      .groupBy(recordKeys.map(col): _*)
+      .agg(
+        first(when(col("_tag") === "b", col("_s")), ignoreNulls = true).as("_b"),
+        first(when(col("_tag") === "o", col("_s")), ignoreNulls = true).as("_o"),
+        first(when(col("_tag") === "t", col("_s")), ignoreNulls = true).as("_t"))
+  }
+
+  def threeWayMerge(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+      recordKeys: Seq[String], precombine: String, onConflict: String): DataFrame = {
     require(Set("fail", "ours", "theirs", "latest")(onConflict),
       s"onConflict must be fail|ours|theirs|latest, got $onConflict")
-    def pack(df: DataFrame, tag: String): DataFrame = df.select(
-      recordKeys.map(c => col(c).as(s"${tag}_$c")) :+
-        struct(cols.map(col): _*).as(s"_$tag"): _*)
-    val b = pack(base, "b"); val o = pack(ours, "o"); val t = pack(theirs, "t")
-    val bo = b.join(o,
-      recordKeys.map(k => col(s"b_$k") <=> col(s"o_$k")).reduce(_ && _), "full_outer")
-    val keyed = bo.join(t,
-      recordKeys.map(k => coalesce(col(s"b_$k"), col(s"o_$k")) <=> col(s"t_$k")).reduce(_ && _),
-      "full_outer")
+    val keyed = packedKeyed(base, ours, theirs, recordKeys)
     val oursChanged = !(col("_o") <=> col("_b"))
     val theirsChanged = !(col("_t") <=> col("_b"))
     val conflictValue: Column = onConflict match {
@@ -183,8 +201,7 @@ object Branching {
         // raise_error is NullType — it coerces into the struct-typed
         // when-chain and detonates lazily on the first conflicting row
         raise_error(concat(lit("branch merge conflict on key ("),
-          concat_ws(", ", recordKeys.map(k =>
-            coalesce(col(s"b_$k"), col(s"o_$k"), col(s"t_$k")).cast("string")): _*),
+          concat_ws(", ", recordKeys.map(k => col(k).cast("string")): _*),
           lit("): both sides changed since the fork point")))
     }
     val resolved =
@@ -200,26 +217,16 @@ object Branching {
   /** Dry-run conflict report: the keys both sides changed (relative
     * to the fork point) to DIFFERENT values, with each side's
     * precombine. Empty ⇒ `mergeBranch` is conflict-free under every
-    * policy.
+    * policy. Shares [[packedKeyed]]'s single-Exchange plan with the
+    * merge itself — predicting can't cost more than doing.
     */
   def conflicts(spark: SparkSession, tablePath: String, name: String,
       recordKeys: Seq[String], precombine: String): DataFrame = {
     val (base, ours, theirs) = mergeInputs(spark, tablePath, name)
-    val cols = ours.columns.toSeq
-    def pack(df: DataFrame, tag: String): DataFrame = df.select(
-      recordKeys.map(c => col(c).as(s"${tag}_$c")) :+
-        struct(cols.map(col): _*).as(s"_$tag"): _*)
-    val b = pack(base, "b"); val o = pack(ours, "o"); val t = pack(theirs, "t")
-    val keyed = b.join(o,
-        recordKeys.map(k => col(s"b_$k") <=> col(s"o_$k")).reduce(_ && _), "full_outer")
-      .join(t,
-        recordKeys.map(k => coalesce(col(s"b_$k"), col(s"o_$k")) <=> col(s"t_$k")).reduce(_ && _),
-        "full_outer")
-    keyed
+    packedKeyed(base, ours, theirs, recordKeys)
       .filter(!(col("_o") <=> col("_b")) && !(col("_t") <=> col("_b")) &&
         !(col("_t") <=> col("_o")))
-      .select(recordKeys.map(k =>
-        coalesce(col(s"b_$k"), col(s"o_$k"), col(s"t_$k")).as(k)) ++ Seq(
+      .select(recordKeys.map(col) ++ Seq(
         col(s"_o.$precombine").as("ours_precombine"),
         col(s"_t.$precombine").as("theirs_precombine")): _*)
   }

@@ -184,10 +184,16 @@ object UpsertWriter {
     val rows = committedVersions(fs, target).map { case (v, dir) =>
       val meta = readMetaDir(fs, dir).toSeq.sorted
         .map { case (k, x) => s"$k=$x" }.mkString(",")
-      val nFiles = fs.listStatus(dir).count { s =>
+      // recurse: hive-partitioned versions keep their data files
+      // under col=value/ subdirectories — a flat listing would
+      // report n_files = 0 for them while n_rows walks recursively
+      def countFiles(p: Path): Long = fs.listStatus(p).map { s =>
         val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
+        if (n.startsWith("_") || n.startsWith(".")) 0L
+        else if (s.isDirectory) countFiles(s.getPath)
+        else 1L
+      }.sum
+      val nFiles = countFiles(dir)
       (v.toLong, graft.operators.ZoneMaps.countFromFooters(spark, dir.toString),
         nFiles.toLong, meta)
     }

@@ -138,8 +138,9 @@ object EventStream {
     * dropped. State per key = open sessions only; the watermark is
     * what keeps that bounded on an unbounded stream.
     */
-  def sessionAgg(spark: SparkSession, path: String, gap: String = "30 minutes"): DataFrame = {
-    val events = eventSource(spark, path)
+  def sessionAgg(spark: SparkSession, path: String, gap: String = "30 minutes",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val events = eventSource(spark, path, maxFilesPerTrigger)
     // ONE session definition: delegate to the batch operator — the
     // watermark on ts rides through its session_window groupBy.
     graft.operators.Sessionize
@@ -155,8 +156,11 @@ object EventStream {
     * EventStreamSpec.
     */
   def runSessionsToBatch(spark: SparkSession, path: String, gap: String = "30 minutes",
-      queryName: String = "graft_stream_sessions"): DataFrame =
-    collectToMemory(spark, sessionAgg(spark, streamableDir(spark, path), gap), "append", queryName)
+      queryName: String = "graft_stream_sessions",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    collectToMemory(spark,
+      sessionAgg(spark, streamableDir(spark, path), gap, maxFilesPerTrigger),
+      "append", queryName)
 
   private def collectToMemory(spark: SparkSession, df: DataFrame,
       mode: String, queryName: String): DataFrame = {
@@ -373,12 +377,16 @@ object EventStream {
     * primitive after ValueState (milestones v2) and the built-in
     * session_window: a session is closed not by a successor event but
     * by the WATERMARK passing its end, which is exactly what a timer
-    * expresses. Per key: one ValueState holds the open session, one
-    * ListState holds sessions already closed by a successor but not
-    * yet watermark-confirmed, and each close registers an event-time
-    * timer at the session end — `handleExpiredTimer` emits everything
-    * whose end the watermark has passed. Emission therefore equals
-    * append-mode session_window (the SAME oracle gates both).
+    * expresses. Per key: one ListState holds every session the
+    * watermark has not yet confirmed; each batch sweep-merges the
+    * union of state and new events in start order (so out-of-order
+    * events across batches — before the newest session's start,
+    * inside an older session, or bridging two — land exactly as a
+    * batch session_window would place them), and each session end
+    * registers an event-time timer — `handleExpiredTimer` emits
+    * everything whose end the watermark has passed. Emission
+    * therefore equals append-mode session_window (the SAME oracle
+    * gates both).
     *
     * Timer granularity is milliseconds while event time is micros:
     * expiries are registered at ⌈end⌉ms so a timer can never fire
@@ -390,8 +398,16 @@ object EventStream {
     */
   private class SessionProcessor(gapUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
-    @transient private var open: org.apache.spark.sql.streaming.ValueState[SessAcc] = _
-    @transient private var pending: org.apache.spark.sql.streaming.ListState[SessAcc] = _
+    // ONE ListState of not-yet-watermark-confirmed sessions — not an
+    // open/pending split. session_window's batch semantics merge ANY
+    // two sessions within `gap` of each other, and an out-of-order
+    // (but above-watermark) event in a later micro-batch can land
+    // before the newest session's start, inside an older one, or
+    // bridge two of them; a split design merges it into the wrong
+    // side (or fabricates a new session) and silently diverges from
+    // the oracle. Keeping every unconfirmed session in one list and
+    // re-sweeping makes those cases the SAME case.
+    @transient private var sessions: org.apache.spark.sql.streaming.ListState[SessAcc] = _
 
     private def ceilMs(us: Long): Long = (us + 999L) / 1000L
     private def tsOf(us: Long): java.sql.Timestamp = {
@@ -407,10 +423,7 @@ object EventStream {
     override def init(
         outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      open = getHandle.getValueState[SessAcc]("open",
-        org.apache.spark.sql.Encoders.product[SessAcc],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
-      pending = getHandle.getListState[SessAcc]("pending",
+      sessions = getHandle.getListState[SessAcc]("sessions",
         org.apache.spark.sql.Encoders.product[SessAcc],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
@@ -419,28 +432,30 @@ object EventStream {
         key: Long,
         inputRows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
-      val sorted = inputRows.toIndexedSeq.sortBy(e => (usOf(e.ts), e.event_id))
-      var cur = if (open.exists()) Option(open.get()) else None
-      sorted.foreach { e =>
+      // every event is a singleton session; sweep-merge the union of
+      // state + batch in start order (the textbook interval merge —
+      // n and cents are additive, so merge order can't change sums).
+      // List size is bounded by the watermark delay / gap ratio, not
+      // by history: confirmed sessions leave via their timers.
+      val singletons = inputRows.map { e =>
         val us = usOf(e.ts)
-        val cents = Math.round(e.value * 100)
-        cur match {
-          case None =>
-            cur = Some(SessAcc(us, us, 1L, cents))
-          case Some(c) if us > c.lastUs + gapUs =>
-            // closed by a successor — but NOT emitted yet: append
-            // parity says the watermark must pass its end first
-            pending.appendValue(c)
-            getHandle.registerTimer(ceilMs(c.lastUs + gapUs))
-            cur = Some(SessAcc(us, us, 1L, cents))
-          case Some(c) =>
-            cur = Some(SessAcc(c.startUs, math.max(c.lastUs, us), c.n + 1L, c.cents + cents))
-        }
+        SessAcc(us, us, 1L, Math.round(e.value * 100))
+      }.toIndexedSeq
+      val all = (sessions.get().toIndexedSeq ++ singletons)
+        .sortBy(s => (s.startUs, s.lastUs))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[SessAcc]
+      all.foreach { s =>
+        if (merged.nonEmpty && s.startUs <= merged.last.lastUs + gapUs) {
+          val m = merged.last
+          merged(merged.size - 1) =
+            SessAcc(m.startUs, math.max(m.lastUs, s.lastUs), m.n + s.n, m.cents + s.cents)
+        } else merged += s
       }
-      cur.foreach { c =>
-        open.update(c)
-        getHandle.registerTimer(ceilMs(c.lastUs + gapUs))
-      }
+      sessions.put(merged.toArray)
+      // one timer per session end; an extended/bridged session's old
+      // timer fires harmlessly — expiry re-checks ends, never trusts
+      // the timer (registering the same ms twice is idempotent)
+      merged.foreach(s => getHandle.registerTimer(ceilMs(s.lastUs + gapUs)))
       Iterator.empty
     }
 
@@ -451,15 +466,11 @@ object EventStream {
       val e = expiredTimerInfo.getExpiryTimeInMs()
       val out = Seq.newBuilder[SessionOut]
       val keep = Seq.newBuilder[SessAcc]
-      pending.get().foreach { s =>
+      sessions.get().foreach { s =>
         if (ceilMs(s.lastUs + gapUs) <= e) out += emit(key, s) else keep += s
       }
       val kept = keep.result()
-      if (kept.isEmpty) pending.clear() else pending.put(kept.toArray)
-      if (open.exists()) {
-        val c = open.get()
-        if (ceilMs(c.lastUs + gapUs) <= e) { out += emit(key, c); open.clear() }
-      }
+      if (kept.isEmpty) sessions.clear() else sessions.put(kept.toArray)
       out.result().iterator
     }
   }
@@ -469,7 +480,8 @@ object EventStream {
     * exactly the sessions the final watermark passed.
     */
   def runSessionsTimerToBatch(spark: SparkSession, path: String, gap: String = "30 minutes",
-      queryName: String = "graft_stream_sessions_timer"): DataFrame =
+      queryName: String = "graft_stream_sessions_timer",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
     withFewStatePartitions(spark) { s =>
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
@@ -482,7 +494,7 @@ object EventStream {
           .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap)) match {
           case iv => iv.microseconds + iv.days * 86400000000L
         }
-        val events = eventSource(s, streamableDir(s, path))
+        val events = eventSource(s, streamableDir(s, path), maxFilesPerTrigger)
           .withWatermark("ts", "1 hour")
           .select(col("event_id"), col("ts"), col("user_id"), col("value"))
           .as[Event]

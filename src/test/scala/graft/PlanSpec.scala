@@ -60,6 +60,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("three-way merge: ONE hash exchange (union+tag+agg), no join, no window") {
+    val base = TableLoader.table(spark, sfDir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderkey").as("k"),
+        org.apache.spark.sql.functions.col("o_totalprice").as("v"),
+        org.apache.spark.sql.functions.lit(1L).as("ver"))
+    val ours = base.withColumn("ver", org.apache.spark.sql.functions.lit(2L))
+    val theirs = base.withColumn("ver", org.apache.spark.sql.functions.lit(3L))
+    val p = plan(graft.sources.Branching.threeWayMerge(
+      base, ours, theirs, Seq("k"), "ver", "latest"))
+    // the dry-run shares this exact keyed plan — a second exchange or
+    // a join here is the regression that made predicting a merge cost
+    // more than running it
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"three-way merge must be a single hash exchange:\n$p")
+    assert(!p.contains("Join"), s"no join operator expected:\n$p")
+    assert(!p.contains("Window"))
+  }
+
   test("brute-force top-k broadcasts the query side; corpus is never shuffled") {
     val emb = TableLoader.table(spark, sfDir, "embeddings")
     val p = plan(graft.operators.Similarity.bruteForceTopK(

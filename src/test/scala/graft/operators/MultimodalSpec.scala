@@ -21,6 +21,38 @@ class MultimodalSpec extends SparkSpec {
       again.map(f => (f.media_id, f.width, f.byte_entropy)).toSet)
   }
 
+  test("phash64: locality — a small payload perturbation flips few bits; planted near-dups pair up") {
+    // 144-byte payload: 2 bytes per block in the 8x9 grid. Block b's
+    // mean is v(b); alternate low/high across columns so every
+    // adjacent comparison is decisive (margin 40 >> the 1-byte bump).
+    def payload(v: Int => Int): Array[Byte] =
+      Array.tabulate(144)(i => v(i / 2).toByte)
+    val base = payload(b => if (b % 2 == 0) 40 else 80)
+    val a = base.clone()
+    val b = base.clone()
+    b(10) = (b(10) + 3).toByte // tiny bump: both block-10 bytes stay far from the margin
+    val c = payload(bl => if (bl % 2 == 0) 80 else 40) // inverted pattern: far away
+    val ha = graft.functions.GraftHash.phash64(a)
+    val hb = graft.functions.GraftHash.phash64(b)
+    val hc = graft.functions.GraftHash.phash64(c)
+    assert(ha == hb, "sub-margin perturbation must not flip any comparison bit")
+    assert(java.lang.Long.bitCount(ha ^ hc) > 30, "inverted pattern must be far in Hamming space")
+    // a real near-dup: bump block 10's bytes PAST block 9/11 margins →
+    // flips exactly the two comparisons block 10 participates in
+    val d = base.clone()
+    d(20) = 100.toByte; d(21) = 100.toByte // block 10 mean 40 -> 100 (row 1, col 1)
+    val hd = graft.functions.GraftHash.phash64(d)
+    val flipped = java.lang.Long.bitCount(ha ^ hd)
+    assert(flipped >= 1 && flipped <= 2, s"block bump must flip 1-2 bits, flipped $flipped")
+    // the operator finds exactly the planted (a,d) near-dup pair; the
+    // inverted payload pairs with nobody
+    val s = spark; import s.implicits._
+    val media = Seq((1L, a), (2L, d), (3L, c)).toDF("media_id", "content")
+    val pairs = Dedup.phashPairs(media, "media_id", "content", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the planted pair, got $pairs")
+  }
+
   test("single-byte-value payload has zero entropy") {
     val f = Multimodal.decodeOne(Multimodal.MediaRecord(1L, "image", Array.fill(100)('a'.toByte), "s", 100L))
     assert(f.byte_entropy == 0.0)

@@ -277,6 +277,12 @@ class UpsertWriterSpec extends SparkSpec {
     val fs = new Path(vdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new Path(vdir, "part=p1")) && fs.exists(new Path(vdir, "part=p2")))
     assert(UpsertWriter.read(spark, table).count() == 2)
+    // history must count the data files INSIDE the partition dirs —
+    // a flat listing reports 0 files while n_rows says 2
+    val h = UpsertWriter.history(spark, table).collect()
+    assert(h.length == 1 && h.head.getAs[Long]("n_rows") == 2L)
+    assert(h.head.getAs[Long]("n_files") >= 2L,
+      s"partitioned version must report its per-partition data files, got ${h.head}")
   }
 
   test("clean: out-of-band retention; latest snapshot untouched") {

@@ -22,6 +22,70 @@ class EventStreamSpec extends SparkSpec {
     assert(emitted.exceptAll(streamed).isEmpty, "every watermark-passed session emitted")
   }
 
+  test("timer sessionization: out-of-order events ACROSS micro-batches (start-extend, pending merge, bridge)") {
+    // adversarial directory: maxFilesPerTrigger=1 forces one file per
+    // micro-batch, and later files carry events EARLIER than sessions
+    // already in state (but above the watermark) — the cases a
+    // split open/pending design mis-merges:
+    //   user 1: batch B event 10:10 lands BEFORE the open session's
+    //           10:30 start → start must extend back to 10:10
+    //   user 2: batch B event 10:40 must merge into the LATER 11:00
+    //           session (extending its start), not the 10:05 one
+    //   user 3: batch B event 10:31 BRIDGES the 10:05 and 11:00
+    //           sessions into one
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = tmpDir("graft-ooo-sessions-")
+    def writeBatch(name: String, mtime: Long, rows: Seq[(Long, Timestamp, Long, Double)]): Unit = {
+      val s = spark; import s.implicits._
+      val stage = tmpDir("graft-ooo-stage-")
+      rows.toDF("event_id", "ts", "user_id", "value").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime) // the file source triggers oldest-mtime first
+    }
+    val t0 = 1700000000000L
+    writeBatch("a.parquet", t0, Seq(
+      (1L, ts("2024-01-01 10:30:00"), 1L, 1.0),
+      (2L, ts("2024-01-01 10:05:00"), 2L, 1.0),
+      (3L, ts("2024-01-01 11:00:00"), 2L, 1.0),
+      (4L, ts("2024-01-01 10:05:00"), 3L, 1.0),
+      (5L, ts("2024-01-01 11:00:00"), 3L, 1.0)))
+    // watermark after batch A = 11:00 - 1h = 10:00; all batch-B times
+    // are above it, so none of these are late-drops — they are the
+    // legal out-of-order window the watermark contract promises
+    writeBatch("b.parquet", t0 + 60000, Seq(
+      (6L, ts("2024-01-01 10:10:00"), 1L, 1.0),
+      (7L, ts("2024-01-01 10:40:00"), 2L, 1.0),
+      (8L, ts("2024-01-01 10:31:00"), 3L, 1.0)))
+    // batch C pushes the watermark to 19:00 so every session above emits
+    writeBatch("c.parquet", t0 + 120000, Seq(
+      (9L, ts("2024-01-01 20:00:00"), 99L, 1.0)))
+    def uniq(tag: String) = tag + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val viaTimers = EventStream.runSessionsTimerToBatch(spark, dir,
+      queryName = uniq("spec_ooo_t"), maxFilesPerTrigger = Some(1))
+    val viaWindow = EventStream.runSessionsToBatch(spark, dir,
+      queryName = uniq("spec_ooo_w"), maxFilesPerTrigger = Some(1))
+      .select(viaTimers.columns.map(col).toIndexedSeq: _*)
+    // explicit expectations, independent of the dual-route parity
+    val got = viaTimers.orderBy(col("user_id"), col("session_start"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toString,
+        r.getAs[java.time.LocalDateTime](2).toString,
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01T10:10", "2024-01-01T11:00", 2L),
+      (2L, "2024-01-01T10:05", "2024-01-01T10:35", 1L),
+      (2L, "2024-01-01T10:40", "2024-01-01T11:30", 2L),
+      (3L, "2024-01-01T10:05", "2024-01-01T11:30", 3L)),
+      s"out-of-order cross-batch sessions mis-merged: $got")
+    assert(viaTimers.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaTimers).isEmpty,
+      "timer route must equal the session_window route on the adversarial directory")
+  }
+
   test("timer-based sessionization equals the session_window route row for row") {
     val viaWindow = EventStream.runSessionsToBatch(spark, s"$sfDir/events.parquet",
       queryName = "spec_sessions_w")
