@@ -18,11 +18,14 @@ object Bench {
     // Local iteration knobs (driver sets neither): SPARK_GRAFT_QUERIES
     // = comma-list subset; SPARK_GRAFT_REPS = best-of-N per query.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
-    // best-of-2 by default: single-shot timings roam ±5-10× under
+    // best-of-3 by default: single-shot timings roam ±5-10× under
     // transient host interference (GC, page cache, co-tenant load) —
     // measured as a contiguous "slow block" of queries that moves
-    // between otherwise-identical runs. min-of-2 reports steady state.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    // between otherwise-identical runs, wide enough that BOTH of 2
+    // reps can land inside it (six unexplained ≥2× outliers in the
+    // round-10 driver run, all sub-3s queries). min-of-3 with
+    // interleaved passes makes that coincidence a ~p³ event.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     val selected = SparkEntry.queries.filter { case (n, _) => subset.forall(_.contains(n)) }
     // Untimed warm-up: JIT/codegen/classloader/parquet-reader costs land
     // here instead of on whichever query happens to run first.

@@ -3164,6 +3164,79 @@ object Queries {
         |  FROM contrib GROUP BY doc_id
         |) WHERE rk <= 10""".stripMargin))
 
+  /** #100 Hybrid retrieval (RRF fusion): one request, two legs — the
+    * BM25 lexical top-20 for a 3-term query and the cosine semantic
+    * top-20 around doc 0's embedding — fused by Reciprocal Rank
+    * Fusion with floor-quantized integer contributions
+    * (⌊10⁶/(60+rank)⌋, [[graft.operators.Retrieval.rrfFuse]]). The
+    * RAG-stack production shape: score scales never calibrated, only
+    * ranks fused. FULLY ORACLED: both legs' rankings are already
+    * first-principles-derivable (the BM25 cross-multiplied rational
+    * and the cosine kernel), and the fusion is plain integer
+    * division, so DuckDB re-derives the ENTIRE hybrid pipeline.
+    */
+  val qHybridSearch: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val lex = graft.operators.TextAnalysis.bm25(
+        t(s, dir, "documents"), queryTerms = Seq("join", "vector", "stream"), topK = 20)
+        .select(col("doc_id"), col("rk"))
+      val emb = t(s, dir, "embeddings")
+      val sem = graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("rk"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+    },
+    oracle = Some(
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+         |), tot AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |         (SELECT count(*) FROM tok) AS t_tok
+         |), qt AS (
+         |  SELECT unnest(['join', 'vector', 'stream']) AS term
+         |), q AS (
+         |  SELECT doc_id, term FROM tok JOIN qt USING (term)
+         |), dfreq AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2
+         |), contrib AS (
+         |  SELECT tf.doc_id,
+         |    CAST(CAST(2*n_docs - 2*df + 1 AS HUGEINT) * (11*tf) * (4*t_tok) * 1000000000
+         |      // (CAST(2*df + 1 AS HUGEINT)
+         |          * (CAST(20 AS HUGEINT)*tf*t_tok + 6*t_tok
+         |             + CAST(18 AS HUGEINT)*dl.dl*n_docs)) AS BIGINT) AS c
+         |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+         |), lex AS (
+         |  SELECT doc_id, rk FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY sum(c) DESC, doc_id) AS rk
+         |    FROM contrib GROUP BY doc_id
+         |  ) WHERE rk <= 20
+         |), e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+         |), scored AS (
+         |  SELECT c.vec_id AS doc_id, c.v AS va, q.v AS vb
+         |  FROM e c, e q WHERE q.vec_id = 0 AND c.vec_id != 0
+         |), sem AS (
+         |  SELECT doc_id, rk FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY $cosSql DESC, doc_id) AS rk
+         |    FROM scored
+         |  ) WHERE rk <= 20
+         |), legs AS (
+         |  SELECT doc_id, rk FROM lex UNION ALL SELECT doc_id, rk FROM sem
+         |), fused AS (
+         |  SELECT doc_id, CAST(sum(1000000 // (60 + rk)) AS BIGINT) AS rrf_fp,
+         |         count(*) AS n_legs
+         |  FROM legs GROUP BY doc_id
+         |)
+         |SELECT doc_id, rrf_fp, n_legs, rk FROM (
+         |  SELECT doc_id, rrf_fp, n_legs,
+         |         row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS rk
+         |  FROM fused
+         |) WHERE rk <= 10""".stripMargin))
+
   /** #43 Language-balanced capping: at most 60 docs per language,
     * deterministically by doc_id — rebalances the en-heavy corpus.
     * The seeded-hash order variant is spec-tested (no cross-engine
@@ -7072,6 +7145,7 @@ object Queries {
     "text_encode" -> qTextEncode,
     "text_tfidf" -> qTextTfidf,
     "text_bm25" -> qTextBm25,
+    "q_hybrid_search" -> qHybridSearch,
     "q_lang_balance" -> qLangBalance,
     "q_shuffle_shard" -> qShuffleShard,
     "q_neg_sample" -> qNegSample,

@@ -555,13 +555,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     import graft.sources.VersionedLog
     val spark = batch.sparkSession
-    val docsH = batch.select(col(idCol).as("doc"), hashedShingles(col(textCol), n).as("hs"))
-      .filter(size(col("hs")) > 0)
-    val banded = docsH.select(
-      col("doc"),
-      posexplode(graft.functions.MinHashFunctions.lshBandKeys(col("hs"), numHashes, bands))
-        .as(Seq("band", "bkey")))
-    val sets = docsH.select(col("doc"), col("hs"), size(col("hs")).as("nsh"))
+    val (banded, sets) = minhashBandBatch(batch, idCol, textCol, n, numHashes, bands)
     val replayed = batchId.exists(id => VersionedLog.appliedHwm(spark, statePath).exists(id <= _))
     val upTo: Int =
       if (replayed) {
@@ -573,6 +567,38 @@ object Dedup {
         }
       } else
         VersionedLog.append(spark, statePath, Map("bands" -> banded, "sets" -> sets), batchId)
+    minhashIncEmit(spark, statePath, banded, threshold, upTo)
+  }
+
+  /** The refresh's write-side inputs: banded keys + shingle sets of
+    * one batch. Split out (package-visible) so the scale rehearsal
+    * can time the append and emit phases separately.
+    */
+  private[graft] def minhashBandBatch(batch: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    val docsH = batch.select(col(idCol).as("doc"), hashedShingles(col(textCol), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val banded = docsH.select(
+      col("doc"),
+      posexplode(graft.functions.MinHashFunctions.lshBandKeys(col("hs"), numHashes, bands))
+        .as(Seq("band", "bkey")))
+    val sets = docsH.select(col("doc"), col("hs"), size(col("hs")).as("nsh"))
+    (banded, sets)
+  }
+
+  /** The refresh's read side: candidates from the batch's bands vs
+    * state-so-far, verified by exact Jaccard. The heavy `sets`
+    * channel (shingle arrays, corpus-sized) is scanned ONCE: each
+    * candidate pair explodes into its two member docs, one join
+    * fetches both sides' sets (candidate side broadcast — it is
+    * match-sized), and a regroup per pair reassembles (hs_a, hs_b).
+    * The former two-join form scanned the full sets channel twice
+    * per refresh — at 10× data that second scan was the single
+    * largest slice of the fold premium.
+    */
+  private[graft] def minhashIncEmit(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, banded: DataFrame, threshold: Double, upTo: Int): DataFrame = {
+    import graft.sources.VersionedLog
     val allBands = VersionedLog.read(spark, statePath, "bands", Some(upTo)).get
     val allSets = VersionedLog.read(spark, statePath, "sets", Some(upTo)).get
     val candidates = banded.as("a").join(allBands.as("b"), Seq("band", "bkey"))
@@ -580,11 +606,18 @@ object Dedup {
       .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
         greatest(col("a.doc"), col("b.doc")).as("doc_b"))
       .distinct()
+    val sides = candidates
+      .select(col("doc_a"), col("doc_b"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+    val packed = sides.join(allSets, "doc")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc") === col("doc_a"), col("hs")), ignoreNulls = true).as("hs_a"),
+        first(when(col("doc") === col("doc_a"), col("nsh")), ignoreNulls = true).as("nsh_a"),
+        first(when(col("doc") === col("doc_b"), col("hs")), ignoreNulls = true).as("hs_b"),
+        first(when(col("doc") === col("doc_b"), col("nsh")), ignoreNulls = true).as("nsh_b"))
     val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
     val union = (col("nsh_a") + col("nsh_b")).cast("double") - inter
-    candidates
-      .join(allSets.select(col("doc").as("doc_a"), col("hs").as("hs_a"), col("nsh").as("nsh_a")), "doc_a")
-      .join(allSets.select(col("doc").as("doc_b"), col("hs").as("hs_b"), col("nsh").as("nsh_b")), "doc_b")
+    packed
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * version timeline plus a `branch.json` recording the fork point.
   * Creating a branch writes ONE tiny metadata file — no data is
   * copied at any table size; the base version's files are shared
-  * until the branch's first commit (and `UpsertWriter`'s retention
-  * guard is the caller's `keepVersions` on main: fork points must be
-  * within the retained window, checked loudly at read/merge time).
+  * until the branch's first commit. The fork version is PINNED
+  * savepoint-style while the branch lives: every retention path
+  * (inline cleaner, `clean` service, restore) skips versions named
+  * by a `branch.json`, so main can keep moving under any
+  * `keepVersions` without stranding the merge base; `deleteBranch`
+  * releases the pin.
   *
   * Scale shape: branch reads and writes are exactly main-table reads
   * and writes (same merge/commit machinery). The three-way merge is
@@ -114,7 +117,10 @@ object Branching {
         UpsertWriter.committedVersions(fs, table).filter(_._1 == bv).map { case (_, p) => (0, p) }
       }
     require(mergeBase.nonEmpty,
-      s"branch $name fork point was cleaned from main's timeline; cannot merge-base")
+      s"branch $name fork point was cleaned from main's timeline; cannot merge-base. " +
+        "Live branches PIN their fork version against every graft cleaner " +
+        "(UpsertWriter.pinnedVersions) — this table's old versions were removed " +
+        "by something that bypassed branch.json; delete and re-fork the branch")
     val nextNum = own.lastOption.map(_._1 + 1).getOrElse(1)
     UpsertWriter.mergeAndCommit(updates, spark, fs, dir, mergeBase, nextNum,
       recordKeys, precombine, Nil, Nil, keepVersions, targetFileBytes)

@@ -122,4 +122,42 @@ object SecondaryIndex {
       .select(recordKeys.map(col): _*)
     UpsertWriter.read(spark, tablePath).join(broadcast(keys), recordKeys)
   }
+
+  /** Probe with a DataFrame of values — the same partition-pruned
+    * plan for probe sets too large to enumerate in a driver `Seq`
+    * (a dimension slice, another query's output). The probe's
+    * DISTINCT BUCKETS are derived distributed with the same hash
+    * kernel and collected as pruning literals — that collect is
+    * bounded by `nBuckets` (≤64 ints by default) no matter how many
+    * probe values there are; the VALUES themselves never touch the
+    * driver: they semi-join against the pruned index scan. The final
+    * key join back to the table is left unhinted — AQE broadcasts
+    * lookup-sized key sets and shuffles genuinely large ones.
+    *
+    * `probe` must carry a column named `idxCol`.
+    */
+  def lookup(
+      spark: SparkSession,
+      tablePath: String,
+      indexPath: String,
+      recordKeys: Seq[String],
+      idxCol: String,
+      probe: DataFrame,
+      nBuckets: Int): DataFrame = {
+    require(probe.columns.contains(idxCol),
+      s"probe DataFrame must carry a '$idxCol' column (has: ${probe.columns.mkString(", ")})")
+    val probeVals = probe.select(col(idxCol)).distinct()
+    val buckets = probeVals.select(bucket(idxCol, nBuckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    if (buckets.isEmpty) {
+      // empty probe: empty result with the table's schema, no scan
+      val t = UpsertWriter.read(spark, tablePath)
+      return t.filter(lit(false))
+    }
+    val keys = UpsertWriter.read(spark, indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(probeVals, Seq(idxCol), "left_semi")
+      .select(recordKeys.map(col): _*)
+    UpsertWriter.read(spark, tablePath).join(keys, recordKeys)
+  }
 }

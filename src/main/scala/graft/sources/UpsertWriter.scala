@@ -329,9 +329,9 @@ object UpsertWriter {
     preCommit() // last-instant ownership re-check for concurrent writers
     fs.create(new Path(versionDir, CommitMarker), true).close() // commit point
 
-    // Cleaner: drop committed versions beyond the retention window.
-    val committed = committedVersions(fs, target)
-    committed.dropRight(keepVersions).foreach { case (_, dir) => fs.delete(dir, true) }
+    // Cleaner: drop committed versions beyond the retention window
+    // (branch-pinned fork points stay).
+    retire(fs, target, keepVersions): Unit
   }
 
   // -----------------------------------------------------------------
@@ -489,7 +489,40 @@ object UpsertWriter {
     require(keepVersions >= 1, "clean must retain at least the live version")
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    retire(fs, target, keepVersions)
+  }
+
+  /** Versions PINNED by live branches: every `_branches/<name>/
+    * branch.json` names its fork-point version, and dropping that
+    * version would strand the branch (its three-way merge base gone —
+    * a loud failure, but an unrecoverable one). Savepoint-style: the
+    * pin lives exactly as long as the branch; `deleteBranch` releases
+    * it. Cost: one directory listing when `_branches/` exists, one
+    * existence check when it doesn't — never proportional to table
+    * size or history.
+    */
+  private[sources] def pinnedVersions(fs: FileSystem, target: Path): Set[Int] = {
+    val bdir = new Path(target, "_branches")
+    if (!fs.exists(bdir)) Set.empty
+    else fs.listStatus(bdir).toSeq.filter(_.isDirectory).flatMap { d =>
+      val mp = new Path(d.getPath, "branch.json")
+      if (!fs.exists(mp)) None
+      else {
+        val in = fs.open(mp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        """"base_version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      }
+    }.toSet
+  }
+
+  /** The one retention path every cleaner goes through: drop committed
+    * versions beyond the window, EXCEPT branch-pinned fork points.
+    * Returns the versions actually dropped.
+    */
+  private def retire(fs: FileSystem, target: Path, keepVersions: Int): Seq[Int] = {
+    val pinned = pinnedVersions(fs, target)
     val doomed = committedVersions(fs, target).dropRight(keepVersions)
+      .filterNot { case (v, _) => pinned(v) }
     doomed.foreach { case (_, dir) => fs.delete(dir, true) }
     doomed.map(_._1)
   }
@@ -722,7 +755,6 @@ object UpsertWriter {
     partitioned.parquet(versionDir.toString)
     writeMeta(fs, versionDir, meta) // metadata rides the commit: before the marker
     fs.create(new Path(versionDir, CommitMarker), true).close()
-    committedVersions(fs, target).dropRight(keepVersions)
-      .foreach { case (_, dir) => fs.delete(dir, true) }
+    retire(fs, target, keepVersions): Unit
   }
 }

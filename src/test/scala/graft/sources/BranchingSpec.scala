@@ -42,6 +42,28 @@ class BranchingSpec extends SparkSpec {
       Map(1L -> ((1L, "a")), 2L -> ((1L, "b")), 3L -> ((1L, "c"))))
   }
 
+  test("live branch pins its fork version against every cleaner; deleteBranch releases the pin") {
+    val table = tmpDir("graft-branch-pin-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "a")), table, Seq("k"), "ver", keepVersions = 99)
+    Branching.create(spark, table, "dev") // fork at v1
+    // inline cleaner (keepVersions=1) runs on each commit: v1 must
+    // survive it while intermediate unpinned versions are retired
+    UpsertWriter.upsert(df((1L, 2L, "b")), table, Seq("k"), "ver", keepVersions = 1)
+    UpsertWriter.upsert(df((1L, 3L, "c")), table, Seq("k"), "ver", keepVersions = 1)
+    assert(UpsertWriter.versions(spark, table) == Seq(1, 3),
+      "fork point pinned, unpinned v2 retired, live v3 kept")
+    // the out-of-band clean service respects the same pin
+    assert(UpsertWriter.clean(spark, table, keepVersions = 1).isEmpty)
+    // the branch still merges after main cleaned past the fork
+    Branching.upsertBranch(df((2L, 4L, "d")), table, "dev", Seq("k"), "ver")
+    Branching.mergeBranch(spark, table, "dev", Seq("k"), "ver", keepVersions = 99)
+    assert(snap(UpsertWriter.read(spark, table)) ==
+      Map(1L -> ((3L, "c")), 2L -> ((4L, "d"))))
+    // dropping the branch releases the pin: the next clean retires v1
+    Branching.deleteBranch(spark, table, "dev")
+    assert(UpsertWriter.clean(spark, table, keepVersions = 1).contains(1))
+  }
+
   test("threeWayMerge: change-vs-base routing, deletions, convergent edits") {
     val base = df((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "d"), (5L, 1L, "e"))
     // ours: modified 1, deleted 4, added 6, convergent-edited 5

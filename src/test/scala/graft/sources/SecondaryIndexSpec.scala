@@ -55,6 +55,28 @@ class SecondaryIndexSpec extends SparkSpec {
       s"index probe must partition-prune on bucket:\n$plan")
   }
 
+  test("DataFrame probe: same partition-pruned plan, values never enumerated on the driver") {
+    val table = tmpDir("graft-secidx-") + "/t"
+    val idx = tmpDir("graft-secidx-") + "/i"
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 200L).map(i => (i, s"city-${i % 40}", "x")).toSeq
+    UpsertWriter.upsert(rows.toDF("k", "city", "payload").withColumn("prec", lit(1L)),
+      table, Seq("k"), "prec")
+    SecondaryIndex.refresh(spark, table, idx, Seq("k"), "city", nBuckets = 32)
+    val probe = Seq("city-7", "city-13", "no-such-city").toDF("city")
+    val out = SecondaryIndex.lookup(spark, table, idx, Seq("k"), "city", probe, nBuckets = 32)
+    assert(found(out) == (0L until 200L).filter(i => i % 40 == 7 || i % 40 == 13).toSet)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"DF probe must partition-prune on bucket:\n$plan")
+    assert(plan.contains("LeftSemi"), s"values must semi-join, not enumerate:\n$plan")
+    // empty probe: no scan, empty result, table schema preserved
+    val none = SecondaryIndex.lookup(spark, table, idx, Seq("k"), "city",
+      probe.filter(lit(false)), nBuckets = 32)
+    assert(none.columns.sameElements(Array("k", "city", "payload", "prec")) && none.count() == 0)
+  }
+
   test("stale diff base (cleaned from the timeline) forces a WIPE rebuild, not a merge") {
     val table = tmpDir("graft-secidx-") + "/t"
     val idx = tmpDir("graft-secidx-") + "/i"
