@@ -91,9 +91,13 @@ object Bench {
     val fullMeans = names.sorted.map(n => "\"" + n + "\":" + r3(means(n)))
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"reps":$reps,"queries":$fullQs,"total_mean":${r3(totalMean)},"queries_mean":$fullMeans,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+    // subset runs (local iteration) must never clobber the committed
+    // full-suite artifact — a 4-query smoke overwriting the 231-query
+    // snapshot silently rewrites SURVEY's source of truth
+    if (subset.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
     // Standing watch list (round-9 verdict): the queries whose
     // round-over-round movement needed min AND mean in the committed
     // artifact to separate host noise from regression. Small and

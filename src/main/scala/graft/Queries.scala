@@ -3237,6 +3237,88 @@ object Queries {
          |  FROM fused
          |) WHERE rk <= 10""".stripMargin))
 
+  /** #100b Graded retrieval evaluation — NDCG@10 + reciprocal rank
+    * per query ([[graft.operators.Retrieval.ndcgAtK]]): the exact
+    * cosine top-10 as the run, graded qrels derived from embedding
+    * labels (same label → rel 2, adjacent label → rel 1), and the
+    * whole metric chain in frozen integers — gains 2^rel−1, the
+    * ⌊10⁶/log₂(r+1)⌋ discount table computed ONCE on the driver and
+    * inlined as literals into BOTH the plan and this oracle, DCG/IDCG
+    * as BIGINT sums, ndcg_bp/rr_fp as integer division. DuckDB
+    * re-derives the run (cosine ranking), the qrels, the ideal
+    * ordering, and every metric bit-for-bit. Queries with no
+    * relevant docs still report zeros (the recallAtK anti-lying
+    * contract).
+    */
+  val qEvalNdcg: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val run = graft.operators.Similarity.bruteForceTopK(emb, q, k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("rk"))
+      val qrels = emb.select(col("vec_id").as("doc_id"), col("label").as("_dl"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"), col("label").as("_ql"))))
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("rel",
+          when(col("_dl") === col("_ql"), 2)
+            .when(abs(col("_dl") - col("_ql")) === 1, 1).otherwise(0))
+        .select(col("query_id"), col("doc_id"), col("rel"))
+      graft.operators.Retrieval.ndcgAtK(run, qrels, k = 10)
+    },
+    oracle = Some {
+      // the SAME frozen discount literals the plan ships (see
+      // Retrieval.discounts) — interpolated, never recomputed in SQL
+      val discVals = graft.operators.Retrieval.discounts(10)
+        .zipWithIndex.map { case (d, i) => s"(${i + 1}, ${d})" }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id, c.v AS va, q.v AS vb
+         |  FROM e c, e q WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+         |), run AS (
+         |  SELECT query_id, doc_id, rk FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY $cosSql DESC, doc_id) AS rk
+         |    FROM sc) WHERE rk <= 10
+         |), qr AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+         |         CASE WHEN d.label = q.label THEN 2 ELSE 1 END AS rel
+         |  FROM e d, e q
+         |  WHERE q.vec_id < 10 AND d.vec_id != q.vec_id
+         |    AND (d.label = q.label OR abs(d.label - q.label) = 1)
+         |), disc AS (
+         |  SELECT * FROM (VALUES $discVals) AS t(rk, d)
+         |), hit AS (
+         |  SELECT r.query_id, r.rk, CASE qr.rel WHEN 2 THEN 3 ELSE 1 END AS gain
+         |  FROM run r JOIN qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+         |), dcg AS (
+         |  SELECT query_id, sum(gain * d.d) AS dcg_fp, count(*) AS n_rel_found,
+         |         min(rk) AS frk
+         |  FROM hit JOIN disc d USING (rk) GROUP BY 1
+         |), ideal AS (
+         |  SELECT query_id, rel,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irk
+         |  FROM qr
+         |), idcg AS (
+         |  SELECT query_id,
+         |    sum(CASE WHEN irk <= 10
+         |             THEN (CASE rel WHEN 2 THEN 3 ELSE 1 END) * d.d END) AS idcg_fp,
+         |    count(*) AS n_rel
+         |  FROM ideal LEFT JOIN disc d ON d.rk = irk GROUP BY 1
+         |)
+         |SELECT qq.query_id,
+         |  CAST(coalesce(dcg_fp, 0) AS BIGINT) AS dcg_fp,
+         |  CAST(coalesce(idcg_fp, 0) AS BIGINT) AS idcg_fp,
+         |  CAST(CASE WHEN coalesce(idcg_fp, 0) = 0 THEN 0
+         |            ELSE coalesce(dcg_fp, 0) * 10000 // idcg_fp END AS BIGINT) AS ndcg_bp,
+         |  CAST(coalesce(1000000 // frk, 0) AS BIGINT) AS rr_fp,
+         |  CAST(coalesce(n_rel_found, 0) AS BIGINT) AS n_rel_found,
+         |  CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel
+         |FROM (SELECT DISTINCT query_id FROM run) qq
+         |LEFT JOIN dcg USING (query_id) LEFT JOIN idcg USING (query_id)""".stripMargin
+    })
+
   /** #43 Language-balanced capping: at most 60 docs per language,
     * deterministically by doc_id — rebalances the en-heavy corpus.
     * The seeded-hash order variant is spec-tested (no cross-engine
@@ -3875,6 +3957,81 @@ object Queries {
         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin))
+
+  /** #34e Chunk-level media payload dedup via content-defined
+    * chunking ([[graft.operators.Multimodal.chunkStoreStats]]): the
+    * media corpus PLUS a footer-appended re-encode of every payload
+    * (id +3·10⁶ so modality assignment is preserved) — the appended-
+    * metadata scenario CDC exists for. Because boundaries are decided
+    * by a local 16-byte window hash (positions independent, mod-32
+    * gear), appending bytes at the END changes no interior boundary:
+    * every chunk of the copy except the tail region hits the chunk
+    * store, and the per-modality stored/total ratio shows it. FULLY
+    * ORACLED: the UTF-8 byte expansion, every window hash, every
+    * chunk hash and the store stats are re-derived in DuckDB with
+    * the same HUGEINT FNV fold (mod-32 of the unsigned fold equals
+    * the JVM's signed floorMod — 32 divides 2⁶⁴).
+    */
+  val qMmChunkDedup: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val copies = docs.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit("#footer")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      val media = graft.operators.Multimodal.mediaFromDocuments(docs.unionByName(copies))
+      graft.operators.Multimodal.chunkStoreStats(media.toDF(), w = 16, div = 32)
+    },
+    oracle = Some(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 3000000, text || '#footer' FROM documents
+        |), by AS (
+        |  SELECT doc_id, flatten(list_transform(range(1, length(text)+1), i -> CASE
+        |    WHEN unicode(text[i]) < 128 THEN [unicode(text[i])]
+        |    WHEN unicode(text[i]) < 2048 THEN
+        |      [192 + unicode(text[i]) // 64, 128 + unicode(text[i]) % 64]
+        |    WHEN unicode(text[i]) < 65536 THEN
+        |      [224 + unicode(text[i]) // 4096, 128 + (unicode(text[i]) // 64) % 64,
+        |       128 + unicode(text[i]) % 64]
+        |    ELSE
+        |      [240 + unicode(text[i]) // 262144, 128 + (unicode(text[i]) // 4096) % 64,
+        |       128 + (unicode(text[i]) // 64) % 64, 128 + unicode(text[i]) % 64]
+        |  END)) AS bs
+        |  FROM corpus
+        |), bd AS (
+        |  SELECT doc_id, bs,
+        |    [0] || list_filter(range(16, len(bs)), p ->
+        |      list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(bs[p-15:p], b -> CAST(b AS HUGEINT))),
+        |        (acc, b) -> ((acc - acc % 256
+        |                      + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                     * 1099511628211) % 18446744073709551616
+        |      ) % 32 = 0) || [len(bs)] AS edges
+        |  FROM by
+        |), ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(edges)), j ->
+        |    {h: list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |          list_transform(bs[edges[j]+1:edges[j+1]], b -> CAST(b AS HUGEINT))),
+        |          (acc, b) -> ((acc - acc % 256
+        |                        + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                       * 1099511628211) % 18446744073709551616),
+        |     l: edges[j+1] - edges[j]})) AS c
+        |  FROM bd
+        |), rows_ AS (
+        |  SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS modality,
+        |         c.h AS hash, c.l AS len
+        |  FROM ch WHERE c.l > 0
+        |), g AS (
+        |  SELECT modality, hash, len, count(*) AS n FROM rows_ GROUP BY 1, 2, 3
+        |)
+        |SELECT modality,
+        |  CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+        |  CAST(sum(len * n) AS BIGINT) AS total_bytes,
+        |  CAST(sum(len) AS BIGINT) AS stored_bytes,
+        |  CAST(sum(len) * 10000 // sum(len * n) AS BIGINT) AS dedup_bp
+        |FROM g GROUP BY 1""".stripMargin))
 
   /** #14o Merkle-style table content digest per partition — the
     * anti-entropy primitive of table replication (compare digests,
@@ -6505,6 +6662,51 @@ object Queries {
         |FROM base
         |WHERE k % 11 <> 0 OR k % 5 = 0""".stripMargin))
 
+  /** #87c Write-Audit-Publish ([[graft.sources.Wap]]): the orders
+    * snapshot commits to main (v1), then TWO batches go through the
+    * full WAP lifecycle — a clean batch (every %10==3 key, cents+5,
+    * prec 2) stages on a branch, passes its audits (status not-null,
+    * cents in range, key uniqueness) and publishes as v2; a poisoned
+    * batch (every %10==7 key with NULL status) stages, FAILS the
+    * not-null audit, and is rejected with main untouched. Reading
+    * main back proves both outcomes at once: the clean batch's
+    * changes are in, the poisoned batch left no trace, and both
+    * staging branches are gone. The run asserts the pass/fail
+    * outcomes loudly — a WAP that publishes bad data must fail the
+    * gate, not just mis-time it.
+    */
+  val qWapPublish: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val path = scratch("wap_publish")
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey"),
+        col("o_orderstatus").as("status"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        lit(1L).as("prec"))
+      graft.sources.UpsertWriter.upsert(base, path, Seq("k"), "prec", keepVersions = 3)
+      def audit(staged: DataFrame): Seq[DataFrame] = Seq(
+        graft.operators.QualityChecks.notNull(staged, "status", "status_not_null"),
+        graft.operators.QualityChecks.inRange(staged, "cents", 0, 1e12, "cents_in_range"),
+        graft.operators.QualityChecks.unique(staged, Seq("k"), "key_unique"))
+      val good = base.filter(col("k") % 10 === 3)
+        .withColumn("cents", col("cents") + 5L).withColumn("prec", lit(2L))
+      val r1 = graft.sources.Wap.writeAuditPublish(good, path, Seq("k"), "prec", audit)
+      val bad = base.filter(col("k") % 10 === 7)
+        .withColumn("status", lit(null).cast("string")).withColumn("prec", lit(3L))
+      val r2 = graft.sources.Wap.writeAuditPublish(bad, path, Seq("k"), "prec", audit)
+      require(r1.published && r1.version.contains(2),
+        s"WAP: clean batch must publish as v2, got $r1")
+      require(!r2.published && r2.audit.exists(a => a._1 == "status_not_null" && !a._3),
+        s"WAP: poisoned batch must be rejected by status_not_null, got $r2")
+      graft.sources.UpsertWriter.read(s, path)
+    },
+    oracle = Some(
+      """SELECT o_orderkey AS k, o_custkey, o_orderstatus AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    + CASE WHEN o_orderkey % 10 = 3 THEN 5 ELSE 0 END AS cents,
+        |  CAST(CASE WHEN o_orderkey % 10 = 3 THEN 2 ELSE 1 END AS BIGINT) AS prec
+        |FROM orders""".stripMargin))
+
   /** #88 χ² token–label feature selection: per-token 2×2 presence
     * contingency against the is-English label, χ²·10⁴ in one
     * DECIMAL(38,0) integral division — the classic ranking used to
@@ -7133,6 +7335,7 @@ object Queries {
     "dedup_minhash_inc" -> qDedupMinhashInc,
     "dedup_simhash" -> qDedupSimhash,
     "dedup_phash" -> qDedupPhash,
+    "q_mm_chunk_dedup" -> qMmChunkDedup,
     "dedup_embedding" -> qDedupEmbedding,
     "dedup_embedding_lsh" -> qDedupEmbeddingLsh,
     "dedup_semantic" -> qDedupSemantic,
@@ -7146,6 +7349,7 @@ object Queries {
     "text_tfidf" -> qTextTfidf,
     "text_bm25" -> qTextBm25,
     "q_hybrid_search" -> qHybridSearch,
+    "q_eval_ndcg" -> qEvalNdcg,
     "q_lang_balance" -> qLangBalance,
     "q_shuffle_shard" -> qShuffleShard,
     "q_neg_sample" -> qNegSample,
@@ -7233,6 +7437,7 @@ object Queries {
     "q_linkage" -> qLinkage,
     "q_branch_merge" -> qBranchMerge,
     "q_branch_conflicts" -> qBranchConflicts,
+    "q_wap_publish" -> qWapPublish,
     "q_chi2_features" -> qChi2Features,
     "q_pmi_collocations" -> qPmiCollocations,
     "q_eval_report_inc" -> qEvalReportInc,

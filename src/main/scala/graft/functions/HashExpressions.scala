@@ -104,6 +104,48 @@ object GraftHash {
     out
   }
 
+  /** Content-defined chunking (CDC) of a binary payload — the
+    * storage-dedup primitive (restic/borg/LBFS family): a chunk
+    * boundary falls after byte i wherever the FNV-1a64 of the last
+    * `w` bytes ≡ 0 (mod `div`), so boundaries are decided by CONTENT,
+    * not offsets — bytes inserted or appended at one end shift no
+    * boundary elsewhere, and every untouched chunk keeps its hash
+    * (the property fixed-size blocking lacks). Each boundary decision
+    * reads only its own w-byte window, so decisions are position-
+    * independent and any engine re-derives the exact chunk set —
+    * deliberately NO min/max chunk clamp, which would make boundary
+    * eligibility depend on the previous boundary (sequential state an
+    * oracle cannot replay position-independently). Expected chunk
+    * length ≈ div bytes. Returns one struct per chunk:
+    * (hash = FNV-1a64 of the chunk bytes, len). Payloads shorter than
+    * w (or empty) are one chunk (empty payload: zero chunks).
+    * Cost O(n·w) per payload with w small (the windowed recompute is
+    * the price of position-independence; a rolling Gear hash saves
+    * the ×w at the cost of oracle-hostile carry state).
+    */
+  def cdcChunks(bytes: Array[Byte], w: Int, div: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = bytes.length
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def emit(lo: Int, hi: Int): Unit = {
+      var h = Offset
+      var i = lo
+      while (i < hi) { h ^= (bytes(i) & 0xffL); h *= Prime; i += 1 }
+      rows += org.apache.spark.sql.catalyst.InternalRow(h, hi - lo)
+    }
+    var start = 0
+    var i = w // candidate end position (exclusive); final chunk always ends at n
+    while (i < n) {
+      var h = Offset
+      var j = i - w
+      while (j < i) { h ^= (bytes(j) & 0xffL); h *= Prime; j += 1 }
+      // floorMod: JVM % is sign-preserving, the hash is full-range
+      if (java.lang.Math.floorMod(h, div.toLong) == 0L) { emit(start, i); start = i }
+      i += 1
+    }
+    if (start < n) emit(start, n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
   /** SimHash64: per-token FNV hash; each of 64 bit positions votes
     * +1/-1 per token; sign of the tally becomes the output bit. */
   def simhash64(tokens: Iterator[Array[Byte]]): Long = {
@@ -187,6 +229,25 @@ case class PHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** cdc_chunks(binary, w, div) -> array<struct<hash:long, len:int>> —
+  * content-defined chunk hashes of the payload. */
+case class CdcChunks(child: Expression, w: Int, div: Int) extends UnaryExpression {
+  require(w > 0 && div > 0, "cdc_chunks: w/div must be positive")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("hash", LongType, nullable = false),
+      StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    GraftHash.cdcChunks(v.asInstanceOf[Array[Byte]], w, div)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.cdcChunks($c, $w, $div)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hashed_shingles(array<string>, n) -> sorted distinct array<long> */
 case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -204,5 +265,7 @@ object HashFunctions {
   def fingerprint64(c: Column): Column = toColumn(Fingerprint64(toExpr(c)))
   def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpr(tokens)))
   def phash64(payload: Column): Column = toColumn(PHash64(toExpr(payload)))
+  def cdcChunks(payload: Column, w: Int, div: Int): Column =
+    toColumn(CdcChunks(toExpr(payload), w, div))
   def hashedShingles(words: Column, n: Int): Column = toColumn(HashedShingles(toExpr(words), n))
 }

@@ -89,6 +89,44 @@ object Multimodal {
     MediaFeatures(m.media_id, m.modality, bytes.length.toLong, width, height, frames, entropy, feature)
   }
 
+  /** Chunk-level payload dedup over the media corpus — the
+    * content-addressed-store answer to "how much of these 100 TB of
+    * media bytes are actually new?": each payload is cut by
+    * content-defined chunking ([[graft.functions.GraftHash.cdcChunks]]
+    * — boundaries decided by a local w-byte window hash, so an
+    * appended footer or re-muxed header reshuffles NO interior chunk),
+    * chunks are identified by their FNV-1a64, and per modality the
+    * table reports how many chunk-bytes a dedup store would actually
+    * keep. Unlike the exact whole-payload dedup (row 23) a single
+    * changed byte no longer makes the other 99% of the payload unique.
+    *
+    * One shuffle: explode to (modality, hash, len) and hash-aggregate
+    * on the chunk key WITH map-side combine (duplicate chunks collapse
+    * before the exchange — the common case, which is the point), then
+    * a second tiny aggregate to per-modality stats:
+    * (modality, n_chunks, n_distinct_chunks, total_bytes,
+    *  stored_bytes, dedup_bp = ⌊10⁴·stored/total⌋). Distinctness is
+    * per (hash, len) pair so the arithmetic is exact even under a
+    * (vanishing) 64-bit collision across different lengths.
+    */
+  def chunkStoreStats(media: DataFrame, w: Int = 16, div: Int = 32): DataFrame = {
+    val chunks = media
+      .select(col("modality"),
+        explode(graft.functions.HashFunctions.cdcChunks(col("content"), w, div)).as("c"))
+      .select(col("modality"), col("c.hash").as("hash"), col("c.len").as("len"))
+    chunks
+      .groupBy(col("modality"), col("hash"), col("len"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("modality"))
+      .agg(
+        sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("len").cast("long") * col("n")).as("total_bytes"),
+        sum(col("len").cast("long")).as("stored_bytes"))
+      .withColumn("dedup_bp",
+        expr("CAST(stored_bytes * 10000 DIV total_bytes AS BIGINT)"))
+  }
+
   /** Frame sampling stub for video: expand each video row into
     * `n_frames` (media_id, frame_idx) rows — the shuffle/shape of a
     * real frame extractor.

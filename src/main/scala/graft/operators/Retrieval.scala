@@ -54,4 +54,82 @@ object Retrieval {
       .withColumn("rk",
         row_number().over(Window.orderBy(col("rrf_fp").desc, col("doc_id"))))
   }
+
+  /** The NDCG rank-discount table, fixed-point: disc(r) =
+    * ⌊scale / log₂(r+1)⌋ for ranks 1..k. Computed ONCE on the driver
+    * (StrictMath, so the doubles are identical on every JVM) and
+    * shipped into the plan — and into the ORACLE SQL — as integer
+    * literals, so both engines sum the exact same integers and
+    * cross-engine float drift is structurally impossible. The same
+    * move as BM25's quantized contributions: transcendental constants
+    * are fine as long as they are frozen before the data touches them.
+    */
+  def discounts(k: Int, scale: Long = 1000000L): Seq[Long] =
+    (1 to k).map(r =>
+      (scale.toDouble / (StrictMath.log(r + 1.0) / StrictMath.log(2.0))).toLong)
+
+  /** Graded ranking evaluation — NDCG@k and reciprocal rank, the IR
+    * metrics that score a retrieval stack (BM25 / ANN / hybrid-RRF
+    * runs alike) against graded relevance judgments.
+    *
+    * Inputs: `run` = (query_id, doc_id, rk) with 1-based ranks;
+    * `qrels` = (query_id, doc_id, rel) with integer grades (rel ≤ 0
+    * rows are non-relevant and ignored). Output, one row per run
+    * query — queries with NO relevant docs still report (ndcg 0,
+    * rr 0): silently dropping them is how retrieval evals lie, the
+    * same contract as [[Similarity.recallAtK]]:
+    *   (query_id, dcg_fp, idcg_fp, ndcg_bp, rr_fp, n_rel_found, n_rel)
+    *
+    * Exact integers end to end: gain(rel) = 2^rel − 1 (the burgess
+    * exponential gain, exact via shiftleft), discount from
+    * [[discounts]]' frozen table, DCG/IDCG are plain BIGINT sums,
+    * ndcg_bp = ⌊10⁴·DCG/IDCG⌋ and rr_fp = ⌊scale/first_rel_rank⌋ are
+    * integer division. Any engine reproduces every row bit-for-bit.
+    *
+    * Scale shape: the run is k-bounded per query by construction, so
+    * the (query, doc) equi-join against qrels and every aggregate
+    * touch O(queries·k) rows; the ideal ordering is a window
+    * PARTITIONed by query over each query's own qrels (never a global
+    * window). Nothing anywhere is corpus-sized — the legs being
+    * evaluated are the scale paths.
+    */
+  def ndcgAtK(run: DataFrame, qrels: DataFrame, k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k > 0 && scale > 0, "k/scale must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val disc = typedLit(discounts(k, scale))
+    // SQL-form shiftleft: the Scala wrapper only takes a literal count
+    val gain = expr("CAST(shiftleft(1L, rel) - 1L AS BIGINT)").as("gain")
+    val rels = qrels.filter(col("rel") > 0)
+      .select(col("query_id"), col("doc_id"), col("rel").cast("int").as("rel"))
+    val topk = run.filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rk").cast("int").as("rk"))
+    // DCG over the run ∩ qrels — both sides k-bounded per query
+    val hit = topk.join(rels, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rk"), gain)
+    val dcg = hit.groupBy(col("query_id")).agg(
+      sum(col("gain") * element_at(disc, col("rk"))).as("dcg_fp"),
+      count(lit(1)).as("n_rel_found"),
+      min(col("rk")).as("_first_rk"))
+    // IDCG: each query's qrels in ideal order (rel desc, doc_id ties)
+    val iw = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rels.withColumn("_irk", row_number().over(iw))
+      .groupBy(col("query_id")).agg(
+        sum(when(col("_irk") <= k,
+          expr("CAST(shiftleft(1L, rel) - 1L AS BIGINT)")
+            * element_at(disc, col("_irk")))).as("idcg_fp"),
+        count(lit(1)).as("n_rel"))
+    run.select(col("query_id")).distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
+        coalesce(col("idcg_fp"), lit(0L)).as("idcg_fp"),
+        when(coalesce(col("idcg_fp"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("CAST(coalesce(dcg_fp, 0) * 10000 DIV idcg_fp AS BIGINT)"))
+          .as("ndcg_bp"),
+        coalesce(expr(s"CAST(${scale}L DIV _first_rk AS BIGINT)"), lit(0L)).as("rr_fp"),
+        coalesce(col("n_rel_found"), lit(0L)).as("n_rel_found"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"))
+  }
 }

@@ -79,4 +79,72 @@ class MultimodalSpec extends SparkSpec {
       .agg(sum("n_frames")).head.getLong(0)
     assert(Multimodal.sampleFrames(feats).count() == expected)
   }
+
+  private def chunksOf(bytes: Array[Byte], w: Int = 16, div: Int = 32): Seq[(Long, Int)] = {
+    val a = graft.functions.GraftHash.cdcChunks(bytes, w, div)
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 2); (r.getLong(0), r.getInt(1))
+    }
+  }
+
+  test("cdcChunks: lengths partition the payload; hashes match a brute-force reference") {
+    val bytes = Array.tabulate(500)(i => ((i * 131 + 7) % 251).toByte)
+    val chunks = chunksOf(bytes)
+    assert(chunks.map(_._2).sum == bytes.length)
+    assert(chunks.forall(_._2 > 0))
+    // reference: independent boundary decisions, then FNV per slice
+    val bounds = (16 until bytes.length).filter { i =>
+      java.lang.Math.floorMod(
+        graft.functions.GraftHash.fnv1a64(bytes.slice(i - 16, i)), 32L) == 0L
+    }
+    val edges = 0 +: bounds :+ bytes.length
+    val ref = edges.sliding(2).collect { case Seq(lo, hi) if hi > lo =>
+      (graft.functions.GraftHash.fnv1a64(bytes.slice(lo, hi)), hi - lo)
+    }.toSeq
+    assert(chunks == ref)
+    // short and empty payloads: one whole-payload chunk / no chunks
+    assert(chunksOf(bytes.take(10)) ==
+      Seq((graft.functions.GraftHash.fnv1a64(bytes.take(10)), 10)))
+    assert(chunksOf(Array.emptyByteArray).isEmpty)
+  }
+
+  test("cdcChunks: appended footer preserves every interior chunk (the CDC property)") {
+    val orig = Array.tabulate(800)(i => ((i * 113 + 13) % 251).toByte)
+    val appended = orig ++ "#footer-metadata".getBytes("UTF-8")
+    val a = chunksOf(orig)
+    val b = chunksOf(appended)
+    // all original chunks except (at most) the tail chunk survive verbatim
+    assert(b.startsWith(a.dropRight(1)),
+      s"interior chunks must be byte-stable under append: $a vs $b")
+    // fixed-size blocking would share nothing once lengths diverge mid-stream;
+    // CDC shares everything up to the touched tail
+    assert(a.size >= 3, "test payload should cut into several chunks")
+  }
+
+  test("chunkStoreStats: doubled corpus stores roughly half its bytes; totals exact") {
+    val s = spark; import s.implicits._
+    // ONE unique payload per modality (same-stride payloads are phase
+    // shifts of one arithmetic progression, so CDC — correctly! —
+    // re-aligns their chunks; distinctness is only claimed within a
+    // modality group, so each group gets a single base payload).
+    // Length 240 < 251 (the stride's period) means no window repeats
+    // within a payload, so within-group (hash, len) keys collide ONLY
+    // between the payload and its deliberate copy.
+    val payloads = Seq(1L -> "image", 2L -> "audio", 3L -> "video").map { case (i, m) =>
+      (i, m, Array.tabulate(240)(j => ((j * 131 + i * 7 + 11) % 251).toByte))
+    }
+    // every payload twice under distinct ids = the re-upload scenario
+    val media = (payloads ++ payloads.map { case (i, m, b) => (i + 100L, m, b) })
+      .toDF("media_id", "modality", "content")
+    val out = Multimodal.chunkStoreStats(media)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for ((m, (n, nd, tot, stored, bp)) <- out) {
+      assert(n == nd * 2, s"$m: every chunk appears exactly twice")
+      assert(stored * 2 == tot, s"$m: dedup store keeps exactly half the bytes")
+      assert(bp == 5000L, s"$m: dedup_bp must be exactly 5000, got $bp")
+    }
+    val byteSum = payloads.map(_._3.length.toLong).sum * 2
+    assert(out.values.map(_._3).sum == byteSum, "chunk bytes partition the corpus")
+  }
 }
