@@ -710,6 +710,45 @@ object Queries {
             .mkString(",\n")}
          |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
+  /** #18n UNPIVOT / melt — the wide-to-long reshape (pivot's
+    * inverse): the per-nation order report (three metric columns,
+    * every cent exact through DECIMAL) melted to (n_name, metric,
+    * value) rows with Spark 4's native `Dataset.unpivot` (plans as
+    * one Expand over the 25-row aggregate — no shuffle, no join; at
+    * any scale the melt itself is O(rows·metrics) projection work on
+    * TOP of the aggregation that produced the wide table). The
+    * oracle re-derives the reshape as a three-way UNION ALL.
+    */
+  val qUnpivot: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val wide = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents).cast("long").as("total_cents"),
+          max(cents).as("max_cents"))
+      wide.unpivot(
+        Array(col("n_name")),
+        Array(col("n_orders"), col("total_cents"), col("max_cents")),
+        "metric", "value")
+    },
+    oracle = Some(
+      """WITH w AS (
+        |  SELECT n_name, count(*) AS n_orders,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |      AS total_cents,
+        |    max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1
+        |)
+        |SELECT n_name, 'n_orders' AS metric, CAST(n_orders AS BIGINT) AS value FROM w
+        |UNION ALL SELECT n_name, 'total_cents', total_cents FROM w
+        |UNION ALL SELECT n_name, 'max_cents', max_cents FROM w""".stripMargin))
+
   /** #18d Exact interpolated percentiles per group. Integral doubles
     * (l_quantity) keep the lo + frac·(hi-lo) interpolation
     * bit-identical across engines.
@@ -6611,6 +6650,102 @@ object Queries {
         |FROM ents e JOIN records r ON r.id = e.id
         |GROUP BY e.entity_id""".stripMargin))
 
+  /** #86b Phonetic-blocking record linkage
+    * ([[graft.operators.RecordLinkage.soundexKey]]): supplier records
+    * carry nation-derived pseudo-names ("GERMANY-37"), and every 3rd
+    * record gets a phonetically-silent misspelling (non-first I→Y —
+    * both code 0, so the Soundex key is PROVABLY unchanged while
+    * levenshtein sees a real edit). Blocking on (soundex, nation)
+    * alone recovers every typo pair — the pairs an exact name key
+    * structurally loses — then the same Fellegi-Sunter integer
+    * scoring, components and golden records as #86. The oracle
+    * replays the identical translate/replace soundex chain (one
+    * regexp-global-flag delta), so a single miscoded letter class
+    * breaks the hash.
+    */
+  val qLinkagePhonetic: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val base = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("id"),
+          concat(col("n_name"), lit("-"), (col("s_suppkey") % 50).cast("string")).as("name"),
+          col("s_nationkey").cast("long").as("nation"),
+          expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_cents"))
+      val typo = base.filter(col("id") % 3 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        expr("substr(name, 1, 1) || replace(substr(name, 2), 'I', 'Y')").as("name"),
+        col("nation"), col("bal_cents"))
+      val records = base.unionByName(typo)
+      val blockKeys = Seq(concat(
+        graft.operators.RecordLinkage.soundexKey("name"),
+        lit(":"), col("nation").cast("string")))
+      val nameDist = levenshtein(col("a_name"), col("b_name"))
+      val score =
+        when(nameDist === 0, 40L).when(nameDist <= 2, 25L).otherwise(0L) +
+        when(col("a_nation") === col("b_nation"), 20L).otherwise(0L) +
+        when(abs(col("a_bal_cents") - col("b_bal_cents")) <= 10L, 15L).otherwise(0L)
+      val ents = graft.operators.RecordLinkage.link(
+        records, "id", blockKeys, score, threshold = 50L)
+      records.join(ents, "id")
+        .groupBy(col("entity_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          min_by(col("name"), col("id")).as("name"),
+          min_by(col("nation"), col("id")).as("nation"),
+          max(col("bal_cents")).as("max_bal_cents"))
+    },
+    oracle = Some {
+      val sdx = graft.operators.RecordLinkage.soundexKeySql("name", duckdb = true)
+      s"""WITH RECURSIVE base AS (
+         |  SELECT s_suppkey AS id,
+         |         n_name || '-' || CAST(s_suppkey % 50 AS VARCHAR) AS name,
+         |         CAST(s_nationkey AS BIGINT) AS nation,
+         |         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |), records AS (
+         |  SELECT * FROM base
+         |  UNION ALL
+         |  SELECT id + 10000000, substr(name, 1, 1) || replace(substr(name, 2), 'I', 'Y'),
+         |         nation, bal_cents
+         |  FROM base WHERE id % 3 = 0
+         |), keyed AS (
+         |  SELECT id, $sdx || ':' || CAST(nation AS VARCHAR) AS kv FROM records
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM keyed a JOIN keyed b ON a.kv = b.kv AND a.id < b.id
+         |), scored AS (
+         |  SELECT id_a, id_b,
+         |    (CASE WHEN levenshtein(ra.name, rb.name) = 0 THEN 40
+         |          WHEN levenshtein(ra.name, rb.name) <= 2 THEN 25 ELSE 0 END)
+         |    + (CASE WHEN ra.nation = rb.nation THEN 20 ELSE 0 END)
+         |    + (CASE WHEN abs(ra.bal_cents - rb.bal_cents) <= 10 THEN 15 ELSE 0 END)
+         |      AS match_score
+         |  FROM cand
+         |  JOIN records ra ON ra.id = id_a
+         |  JOIN records rb ON rb.id = id_b
+         |), matched AS (
+         |  SELECT id_a, id_b FROM scored WHERE match_score >= 50
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM matched
+         |  UNION SELECT id_b, id_a FROM matched
+         |), reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+         |), comp AS (
+         |  SELECT id, min(r) AS rep FROM reach GROUP BY id
+         |), ents AS (
+         |  SELECT r.id, coalesce(c.rep, r.id) AS entity_id
+         |  FROM records r LEFT JOIN comp c ON c.id = r.id
+         |)
+         |SELECT e.entity_id, count(*) AS n_members,
+         |  arg_min(r.name, r.id) AS name,
+         |  arg_min(r.nation, r.id) AS nation,
+         |  max(r.bal_cents) AS max_bal_cents
+         |FROM ents e JOIN records r ON r.id = e.id
+         |GROUP BY e.entity_id""".stripMargin
+    })
+
   /** #87 Table branching + three-way merge (Nessie/LakeFS workflow on
     * the versioned table): base snapshot committed to main (v1),
     * zero-copy branch forked at v1, main moves on (every 5th key's
@@ -6993,6 +7128,48 @@ object Queries {
         |  CAST(level + trend AS BIGINT) AS forecast_next
         |FROM r""".stripMargin))
 
+  /** #56f Holt-Winters additive seasonal smoothing (m = 7) per
+    * entity ([[graft.operators.EventAnalytics.holtWinters]]): the
+    * triple (level, trend, seasonal-index) recurrence with an m-deep
+    * lookback, α = β = γ = ½ fixed-point over cents, one fold per
+    * entity. The oracle replays the recurrence in a recursive CTE
+    * that CARRIES THE SEASON HISTORY as a growing list — the m-deep
+    * lookback is `seasons[rn − 7]`, so every halving, cold-start zero
+    * and next-slot forecast index must agree bit-for-bit.
+    */
+  val qHoltWinters: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.holtWinters(
+      t(s, dir, "events").withColumn("cents", round(col("value") * 100).cast("long")),
+      entityCol = "user_id", tsCol = "ts", idCol = "event_id", centsCol = "cents", m = 7),
+    oracle = Some {
+      val sPrev = "(CASE WHEN e.rn > 7 THEN r.seasons[e.rn - 7] ELSE 0 END)"
+      val lv = s"((e.cents - $sPrev + r.level + r.trend) // 2)"
+      val bv = s"((r.trend + $lv - r.level) // 2)"
+      val sv = s"((e.cents - $lv + $sPrev) // 2)"
+      val sNext = "(CASE WHEN e.rn - 6 >= 1 THEN r.seasons[e.rn - 6] ELSE 0 END)"
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |), r AS (
+         |  SELECT user_id, event_id, ts, cents, rn,
+         |         cents AS level, CAST(0 AS BIGINT) AS trend,
+         |         CAST(0 AS BIGINT) AS season, CAST(0 AS BIGINT) AS snext,
+         |         [CAST(0 AS BIGINT)] AS seasons
+         |  FROM e WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.event_id, e.ts, e.cents, e.rn,
+         |    $lv, $bv, $sv, $sNext,
+         |    list_append(r.seasons, $sv)
+         |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+         |)
+         |SELECT user_id, event_id, ts, cents,
+         |  CAST(level AS BIGINT) AS level, CAST(trend AS BIGINT) AS trend,
+         |  CAST(season AS BIGINT) AS season,
+         |  CAST(level + trend + snext AS BIGINT) AS forecast_next
+         |FROM r""".stripMargin
+    })
+
   /** #94 Encoding-quality gate (the C4/CCNet mojibake step): exact
     * per-doc counts of U+FFFD replacement chars and raw control
     * chars, printable-ASCII share in floor bp, and the pass flag —
@@ -7278,6 +7455,7 @@ object Queries {
     "q_clustered_read" -> qClusteredRead,
     "q_cube" -> qCube,
     "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
     "q_percentiles" -> qPercentiles,
     "q_asof_join" -> qAsofJoin,
     "q_asof_tolerance" -> qAsofTolerance,
@@ -7392,6 +7570,7 @@ object Queries {
     "q_secondary_index" -> qSecondaryIndex,
     "q_rouge" -> qRouge,
     "q_holt" -> qHolt,
+    "q_holt_winters" -> qHoltWinters,
     "q_encoding_gate" -> qEncodingGate,
     "q_phrase_search" -> qPhraseSearch,
     "q_stream_sessions_timer" -> qStreamSessionsTimer,
@@ -7435,6 +7614,7 @@ object Queries {
     "q_eval_pr_auc" -> qEvalPrAuc,
     "q_eval_pr_auc_by" -> qEvalPrAucBy,
     "q_linkage" -> qLinkage,
+    "q_linkage_phonetic" -> qLinkagePhonetic,
     "q_branch_merge" -> qBranchMerge,
     "q_branch_conflicts" -> qBranchConflicts,
     "q_wap_publish" -> qWapPublish,

@@ -119,6 +119,16 @@ object Scale {
           .filter(col("n") >= 65L)
         operators.GraphAnalytics.kCore(edges, "a", "b", k = 6)
       }),
+      // CDC chunk-store dedup: one explode + one chunk-keyed combine —
+      // cost linear in payload BYTES; the ratio should track the 10×
+      // byte growth, never the chunk-pair space
+      "q_mm_chunk_dedup" -> ((docs: DataFrame) => {
+        val d = docs.select(col("doc_id"), col("text"), col("source"))
+        val copies = d.select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("text"), lit("#footer")).as("text"), col("source"))
+        operators.Multimodal.chunkStoreStats(
+          operators.Multimodal.mediaFromDocuments(d.unionByName(copies)).toDF())
+      }),
       "q_rouge" -> ((docs: DataFrame) => {
         val pairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)
         operators.Evaluation.rougeN(docs, "doc_id", "text", pairs, n = 2)
@@ -134,7 +144,22 @@ object Scale {
         operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)),
       "sim_ivfpq_topk" -> ((emb: DataFrame) =>
         operators.Similarity.ivfPqTopK(
-          emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 64, nprobe = 8)))
+          emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 64, nprobe = 8)),
+      // NDCG@10 over the exact cosine run: the run generation is the
+      // O(corpus·queries) part (the leg being evaluated); the metric
+      // chain itself touches O(queries·k) rows at ANY corpus size
+      "q_eval_ndcg" -> ((emb: DataFrame) => {
+        val q = emb.filter(col("vec_id") < 10)
+        val run = operators.Similarity.bruteForceTopK(emb, q, k = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("rk"))
+        val qrels = emb.select(col("vec_id").as("doc_id"), col("label").as("_dl"))
+          .crossJoin(broadcast(q.select(col("vec_id").as("query_id"), col("label").as("_ql"))))
+          .filter(col("doc_id") =!= col("query_id"))
+          .withColumn("rel", when(col("_dl") === col("_ql"), 2)
+            .when(abs(col("_dl") - col("_ql")) === 1, 1).otherwise(0))
+          .select(col("query_id"), col("doc_id"), col("rel"))
+        operators.Retrieval.ndcgAtK(run, qrels, k = 10)
+      }))
 
     def q1Shape(li: DataFrame): DataFrame =
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -179,6 +204,15 @@ object Scale {
         ev.withColumn("cents", round(col("value") * 100).cast("long")),
         "user_id", "ts", "event_id", "cents")
     rehearse("q_holt", holtShape(t01("events")), holtShape(t1("events")))
+
+    // Holt-Winters: same shuffle + fold shape as Holt with an m-deep
+    // in-array lookback — per-row cost is flat, the ratio must match
+    // q_holt's
+    def hwShape(ev: DataFrame): DataFrame =
+      operators.EventAnalytics.holtWinters(
+        ev.withColumn("cents", round(col("value") * 100).cast("long")),
+        "user_id", "ts", "event_id", "cents", m = 7)
+    rehearse("q_holt_winters", hwShape(t01("events")), hwShape(t1("events")))
 
     // A/B readout: one unit-level combine collapses everything
     def abShape(ev: DataFrame): DataFrame = {

@@ -283,6 +283,71 @@ object EventAnalytics {
         (col("r.level") + col("r.trend")).as("forecast_next"))
   }
 
+  /** Holt-Winters additive seasonal smoothing per entity, fixed-point
+    * with α = β = γ = ½ and season length `m` — the seasonal upgrade
+    * of [[holt]] (a level+trend model lags any series with a periodic
+    * component; the seasonal index array absorbs it):
+    *   lₜ = ⌊(yₜ − sₜ₋ₘ + lₜ₋₁ + bₜ₋₁)/2⌋   (α = ½)
+    *   bₜ = ⌊(bₜ₋₁ + lₜ − lₜ₋₁)/2⌋          (β = ½)
+    *   sₜ = ⌊(yₜ − lₜ + sₜ₋ₘ)/2⌋            (γ = ½)
+    *   forecast_next = lₜ + bₜ + sₜ₊₁₋ₘ
+    * Cold start: l₁ = y₁, b₁ = 0, and every not-yet-observed seasonal
+    * index is 0 (the indexes are learned, not pre-fit — the first m
+    * rows run as plain Holt). A TRIPLE recurrence with an m-deep
+    * lookback — far outside any window aggregate, but still ONE
+    * in-array fold per entity: `element_at(acc, -m)` reads sₜ₋ₘ
+    * straight from the accumulating array (the fold already carries
+    * the entity's history — no season ring buffer, no self-join, and
+    * the next-slot index for the forecast is the same read at
+    * −(m−1)). Execution shape identical to [[holt]]: one groupBy
+    * shuffle, array_sort per entity, O(events) fold work.
+    *
+    * Division discipline matches [[holt]]: the halvings TRUNCATE
+    * toward zero on both engines (Spark `div`, DuckDB `//`),
+    * including the negative paths (trend AND the yₜ−sₜ₋ₘ term).
+    */
+  def holtWinters(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      centsCol: String,
+      m: Int = 7): DataFrame = {
+    require(m >= 2, s"season length must be >= 2, got $m")
+    val tsSql = events.schema(tsCol).dataType.sql
+    val idSql = events.schema(idCol).dataType.sql
+    val centsSql = events.schema(centsCol).dataType.sql
+    val rowT = struct(col(tsCol).as("ts"), col(idCol).as("id"), col(centsCol).as("cents"))
+    val prevL = "element_at(acc, -1).level"
+    val prevB = "element_at(acc, -1).trend"
+    val sPrevM = s"if(size(acc) >= $m, element_at(acc, -$m).season, cast(0 as bigint))"
+    val lNew = s"((x.cents - ($sPrevM) + $prevL + $prevB) div 2)"
+    val bNew = s"(($prevB + $lNew - $prevL) div 2)"
+    val sNew = s"((x.cents - $lNew + $sPrevM) div 2)"
+    // sₜ₊₁₋ₘ: acc holds t−1 rows here, so the next slot's index is −(m−1)
+    val sNext = s"if(size(acc) >= ${m - 1}, element_at(acc, -${m - 1}).season, cast(0 as bigint))"
+    events
+      .groupBy(col(entityCol))
+      .agg(array_sort(collect_list(rowT)).as("_rows"))
+      .select(col(entityCol), explode(
+        expr(
+          s"""aggregate(
+             |  _rows,
+             |  cast(array() as array<struct<ts:$tsSql,id:$idSql,cents:$centsSql,
+             |                               level:bigint,trend:bigint,season:bigint,snext:bigint>>),
+             |  (acc, x) -> array_append(acc, named_struct(
+             |    'ts', x.ts, 'id', x.id, 'cents', x.cents,
+             |    'level', if(size(acc) = 0, cast(x.cents as bigint), $lNew),
+             |    'trend', if(size(acc) = 0, cast(0 as bigint), $bNew),
+             |    'season', if(size(acc) = 0, cast(0 as bigint), $sNew),
+             |    'snext', $sNext)))""".stripMargin))
+        .as("r"))
+      .select(col(entityCol), col("r.id").as(idCol), col("r.ts").as(tsCol),
+        col("r.cents").as(centsCol), col("r.level").as("level"), col("r.trend").as("trend"),
+        col("r.season").as("season"),
+        (col("r.level") + col("r.trend") + col("r.snext")).as("forecast_next"))
+  }
+
   /** Time-weighted average (TWAP) per entity: each event's value
     * holds until the entity's next event, and the average weights
     * each value by its holding duration —

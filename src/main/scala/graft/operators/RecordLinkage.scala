@@ -100,4 +100,39 @@ object RecordLinkage {
   def link(records: DataFrame, idCol: String, blockKeys: Seq[Column],
       score: Column, threshold: Long): DataFrame =
     entities(records, idCol, scoredMatches(records, idCol, blockKeys, score, threshold))
+
+  /** Phonetic (simplified-Soundex) blocking key: letters-only
+    * uppercase, first letter kept, the rest coded
+    * B F P V→1  C G J K Q S X Z→2  D T→3  L→4  M N→5  R→6 with
+    * vowels/H/W/Y→0, adjacent equal scoring digits collapsed, zeros
+    * dropped, padded/truncated to 4 ("GERMANY"→G655, and a typo'd
+    * "GERMANY"/"GERMANI" or "-37" suffix still lands in the same
+    * block — the property exact keys lack). Deliberately the
+    * SIMPLIFIED census variant: no H/W transparency rule, and run
+    * collapse is three nested pair-replaces (complete for runs ≤ 8,
+    * and — the actual contract — IDENTICAL on any engine running
+    * this same expression chain, which is what blocking needs; see
+    * [[soundexKeySql]] for the oracle-side text). Built from
+    * translate/replace/rpad only: whole-stage-codegen'd, no UDF, no
+    * regex backreferences (DuckDB's RE2 has none).
+    */
+  def soundexKey(nameExpr: String): Column =
+    org.apache.spark.sql.functions.expr(soundexKeySql(nameExpr, duckdb = false))
+
+  /** The same key as SQL text for the DuckDB oracle. The ONE
+    * cross-engine delta is regexp_replace's global flag (DuckDB
+    * replaces first-match-only without 'g'; Spark's 3-arg form is
+    * global) — everything else is shared verbatim.
+    */
+  def soundexKeySql(inExpr: String, duckdb: Boolean): String = {
+    val letters =
+      if (duckdb) s"regexp_replace(upper($inExpr), '[^A-Z]', '', 'g')"
+      else s"regexp_replace(upper($inExpr), '[^A-Z]', '')"
+    val coded =
+      s"translate($letters, 'AEIOUYHWBFPVCGJKQSXZDTLMNR', '00000000111122222222334556')"
+    val collapsed = (1 to 6).foldLeft(coded) { (acc, d) =>
+      s"replace(replace(replace($acc, '$d$d', '$d'), '$d$d', '$d'), '$d$d', '$d')"
+    }
+    s"substr(rpad(substr($letters, 1, 1) || replace(substr($collapsed, 2), '0', ''), 4, '0'), 1, 4)"
+  }
 }

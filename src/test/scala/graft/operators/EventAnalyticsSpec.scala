@@ -184,6 +184,41 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(series(2L).indices.exists(i => out(200L + i)._2 < 0))
   }
 
+  test("holtWinters: scalar reference incl. m-deep lookback, negative dip, next-slot forecast") {
+    val s = spark
+    import s.implicits._
+    // m = 3: a period-3-ish series long enough that sₜ₋ₘ reads real
+    // learned indexes, with a hard negative dip for the truncation path
+    val m = 3
+    val cs = Seq(10L, 40L, 20L, 12L, 44L, -30L, 14L, 46L)
+    val rows = cs.zipWithIndex.map { case (c, i) =>
+      (1L, 100L + i, ts(f"2024-01-01 ${10 + i}%02d:00:00"), c) }
+    def ref(cs: Seq[Long]): Seq[(Long, Long, Long, Long)] = {
+      var level = 0L; var trend = 0L
+      val seasons = scala.collection.mutable.ArrayBuffer.empty[Long]
+      cs.zipWithIndex.map { case (c, i) =>
+        val sNext = if (i + 1 - m >= 0) seasons(i + 1 - m) else 0L
+        if (i == 0) { level = c; trend = 0L; seasons += 0L }
+        else {
+          val sPrev = if (i - m >= 0) seasons(i - m) else 0L
+          val lN = (c - sPrev + level + trend) / 2L // truncating, like div & //
+          val bN = (trend + lN - level) / 2L
+          val sN = (c - lN + sPrev) / 2L
+          level = lN; trend = bN; seasons += sN
+        }
+        (level, trend, seasons(i), level + trend + sNext)
+      }
+    }
+    val out = EventAnalytics.holtWinters(rows.toDF("user_id", "event_id", "t", "cents"),
+        "user_id", "t", "event_id", "cents", m = m)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    for (((l, b, sn, fc), i) <- ref(cs).zipWithIndex)
+      assert(out(100L + i) == ((l, b, sn, fc)), s"step $i")
+    // the learned seasonal indexes must actually differ by slot
+    assert(ref(cs).map(_._3).distinct.size > 2)
+  }
+
   test("timeWeightedAvg: hand-computed weighting; single-ts entity dropped") {
     val s = spark
     import s.implicits._

@@ -80,4 +80,23 @@ class RecordLinkageSpec extends SparkSpec {
     val pairs = RecordLinkage.candidatePairs(df, "id", Seq(col("k"))).collect()
     assert(pairs.isEmpty)
   }
+
+  test("soundexKey: classic codes, phonetic invariance, digit/punct transparency") {
+    val s = spark
+    import s.implicits._
+    val names = Seq("GERMANY", "Robert", "Jackson", "GERMANI", "GERMANY-37",
+      "germany", "UNITED KINGDOM", "UNYTED KYNGDOM", "X", "")
+    val out = names.toDF("name")
+      .select(col("name"), RecordLinkage.soundexKey("name").as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("GERMANY") == "G655") // classic census code
+    assert(out("Robert") == "R163")
+    assert(out("Jackson") == "J250") // CKS collapse -> one 2
+    // phonetic invariance: Y/I swap and digit suffixes land in one block
+    assert(out("GERMANI") == "G655" && out("GERMANY-37") == "G655"
+      && out("germany") == "G655")
+    assert(out("UNITED KINGDOM") == out("UNYTED KYNGDOM"))
+    // degenerate inputs stay well-defined
+    assert(out("X") == "X000" && out("") == "0000")
+  }
 }
