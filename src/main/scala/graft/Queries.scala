@@ -842,6 +842,107 @@ object Queries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin))
 
+  /** #20i Nearest-direction as-of join (pandas merge_asof
+    * direction='nearest'): each purchase matched to its CLOSEST click
+    * in either direction, equidistant → backward, same-ts clicks →
+    * deterministic payload tiebreak
+    * ([[graft.operators.AsOfJoin.asofNearest]] — both direction
+    * candidates from ONE window over the tagged union, two frames,
+    * one shuffle). DuckDB has no nearest ASOF, so the oracle ranks
+    * the full per-user candidate space by (|Δus|, direction,
+    * side-matched id order) and keeps rank 1 — an O(L·R per key)
+    * re-derivation of what the union+window computes in one pass.
+    */
+  val qAsofNearest: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin.asofNearest(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightPayload = Seq("ts", "event_id"))
+        .withColumnRenamed("asof_ts", "click_ts")
+        .withColumnRenamed("asof_event_id", "click_event_id")
+    },
+    oracle = Some(
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS ce, user_id, ts AS cts, epoch_us(ts) AS cus
+        |  FROM events WHERE event_type = 'click'
+        |), cand AS (
+        |  SELECT p.event_id AS pe, c.ce, c.cts,
+        |    abs(c.cus - p.pus) AS dist,
+        |    CASE WHEN c.cus <= p.pus THEN 0 ELSE 1 END AS pref
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |), best AS (
+        |  SELECT pe, ce, cts FROM (
+        |    SELECT pe, ce, cts, row_number() OVER (PARTITION BY pe
+        |      ORDER BY dist, pref, CASE WHEN pref = 0 THEN -ce ELSE ce END) AS rk
+        |    FROM cand) WHERE rk = 1
+        |)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       b.cts AS click_ts, b.ce AS click_event_id
+        |FROM p LEFT JOIN best b ON b.pe = p.event_id""".stripMargin))
+
+  /** #51b Position-based multi-touch attribution
+    * ([[graft.operators.EventAnalytics.attributePositionBased]]):
+    * every purchase's cents credited U-shaped (40/20/40, 100% /
+    * 50-50 degenerate forms) across the user's click/view/signup
+    * touches in a 7-day lookback, remainders to the last touch so
+    * per-conversion credits sum EXACTLY — then rolled up per
+    * channel. The oracle replays the join, the position windows and
+    * every floor split.
+    */
+  val qAttribution: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val ev = t(s, dir, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts").as("conv_ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          col("ts").as("touch_ts"), col("event_type").as("channel"))
+      graft.operators.EventAnalytics.attributePositionBased(
+        conv, touches, userCol = "user_id",
+        convIdCol = "conv_id", convTsCol = "conv_ts", centsCol = "cents",
+        touchIdCol = "touch_id", touchTsCol = "touch_ts", channelCol = "channel",
+        lookback = expr("INTERVAL 7 DAYS"))
+    },
+    oracle = Some(
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS cts,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |), tch AS (
+        |  SELECT event_id AS tid, user_id, ts AS tts, event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')
+        |), j AS (
+        |  SELECT conv_id, cents, tid, channel,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY tts, tid) AS pos,
+        |    count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM tch JOIN conv USING (user_id)
+        |  WHERE tts <= cts AND tts >= cts - INTERVAL 7 DAY
+        |), cr AS (
+        |  SELECT channel,
+        |    CASE WHEN n = 1 THEN cents
+        |         WHEN pos = 1 THEN
+        |           (CASE WHEN n = 2 THEN cents * 5000 // 10000
+        |                 ELSE cents * 4000 // 10000 END)
+        |         WHEN pos = n THEN cents
+        |           - (CASE WHEN n = 2 THEN cents * 5000 // 10000
+        |                   ELSE cents * 4000 // 10000 END)
+        |           - (CASE WHEN n >= 3 THEN (cents * 2000 // 10000) // (n - 2)
+        |                   ELSE 0 END) * (n - 2)
+        |         ELSE (cents * 2000 // 10000) // (n - 2) END AS credit
+        |  FROM j
+        |)
+        |SELECT channel, count(*) AS n_touches, CAST(sum(credit) AS BIGINT) AS credit_cents
+        |FROM cr GROUP BY 1""".stripMargin))
+
   /** #18k Distribution windows: percent_rank and cume_dist of each
     * order's price within its priority class. Rank counts are small
     * integers, so the defining divisions ((rank−1)/(n−1), rows≤x/n)
@@ -7459,6 +7560,7 @@ object Queries {
     "q_percentiles" -> qPercentiles,
     "q_asof_join" -> qAsofJoin,
     "q_asof_tolerance" -> qAsofTolerance,
+    "q_asof_nearest" -> qAsofNearest,
     "q_window_lag" -> qWindowLag,
     "q_window_dist" -> qWindowDist,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -7580,6 +7682,7 @@ object Queries {
     "q_count_meta" -> qCountMeta,
     "q_history" -> qHistory,
     "q_funnel" -> qFunnel,
+    "q_attribution" -> qAttribution,
     "q_cohort" -> qCohort,
     "q_streaks" -> qStreaks,
     "q_interval_merge" -> qIntervalMerge,

@@ -79,6 +79,72 @@ object AsOfJoin {
     * the left timestamp — an INTERVAL for timestamp domains, a plain
     * number for numeric ones.
     */
+  /** Nearest-direction as-of join (pandas `merge_asof(...,
+    * direction='nearest')`): for each left row, the right row with
+    * the smallest |rightTs − leftTs| in EITHER direction — the
+    * sensor-alignment join (match each reading to the closest
+    * calibration sample, before or after). Equidistant candidates
+    * resolve to the at-or-before side (pandas' backward preference);
+    * right rows tied on (key, ts) resolve to the greatest payload
+    * tuple backward / least forward — fully deterministic.
+    *
+    * Same one-shuffle union shape as [[asof]], NOT two joins: both
+    * direction candidates come from ONE window over the tagged union
+    * — `last(pay) ignoreNulls` over (-∞, current] is the backward
+    * candidate and `first(pay) ignoreNulls` over [current, +∞) the
+    * forward one (two frames over one sort), then a projection picks
+    * the closer. Cost identical to the plain as-of join: one hash
+    * shuffle + one per-key sort of |L| + |R| rows, at any scale.
+    *
+    * Timestamp distances compare in epoch micros (exact BIGINT);
+    * numeric domains compare natively. `rightTs` must be in
+    * `rightPayload` (the distance check reads the match's own ts).
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.contains(rightTs),
+      s"rightPayload must include $rightTs for the distance comparison")
+    val isTs = Set("timestamp", "timestamp_ntz")
+      .contains(left.schema(leftTs).dataType.typeName)
+    def num(c: Column): Column = if (isTs) unix_micros(c.cast("timestamp")) else c
+    val pay = struct(rightPayload.map(right(_)): _*)
+    // right-before-left at equal ts: a tied right row lands in the
+    // BACKWARD frame (distance 0, backward preference — same result)
+    val r = right.filter(right(rightTs).isNotNull).select(
+      keys.map(right(_)) ++ Seq(
+        right(rightTs).as("_graft_ts"),
+        lit(0).as("_graft_side"),
+        pay.as("_graft_pay")): _*)
+    val l = left
+      .withColumn("_graft_ts", col(leftTs))
+      .withColumn("_graft_side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val base = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_graft_ts"), col("_graft_side"), col("_graft_pay"))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("_graft_back", last(col("_graft_pay"), ignoreNulls = true).over(wb))
+      .withColumn("_graft_fwd", first(col("_graft_pay"), ignoreNulls = true).over(wf))
+      .filter(col("_graft_side") === 1)
+    val bd = num(col(leftTs)) - num(col(s"_graft_back.$rightTs"))
+    val fd = num(col(s"_graft_fwd.$rightTs")) - num(col(leftTs))
+    val winner = when(col("_graft_fwd").isNull, col("_graft_back"))
+      .when(col("_graft_back").isNull, col("_graft_fwd"))
+      .when(bd <= fd, col("_graft_back"))
+      .otherwise(col("_graft_fwd"))
+    val leftCols = left.columns.map(col).toIndexedSeq
+    val withWin = matched.withColumn("_graft_win", winner)
+    withWin.select(leftCols ++
+      rightPayload.map(p => col(s"_graft_win.$p").as(s"asof_$p")): _*)
+  }
+
   def asofWithin(
       left: DataFrame,
       right: DataFrame,

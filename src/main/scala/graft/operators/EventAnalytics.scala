@@ -283,6 +283,60 @@ object EventAnalytics {
         (col("r.level") + col("r.trend")).as("forecast_next"))
   }
 
+  /** Position-based (U-shaped 40/20/40) multi-touch attribution: each
+    * conversion's value is credited across the user's touch events in
+    * the lookback window — first touch 40%, last touch 40%, the
+    * middle 20% split evenly; one touch takes 100%, two split 50/50.
+    * The marketing-analytics op downstream of sessionization/funnels.
+    *
+    * Exact-cents discipline: every split is integer floor at bp
+    * precision and the LAST touch absorbs all rounding remainders, so
+    * per conversion the credits sum to EXACTLY its cents — an
+    * attribution report that leaks cents to rounding reconciles with
+    * nothing. Deterministic: touches order by (ts, id).
+    *
+    * Scale shape: one equi-join on the user key (the range predicate
+    * rides the join as a filter — there IS an equi key, so no binned
+    * range join needed), then windows PARTITIONed by conversion
+    * (touch counts per conversion are lookback-bounded), then one
+    * channel aggregate. No global window, no driver loop.
+    *
+    * @return (channel, n_touches, credit_cents)
+    */
+  def attributePositionBased(
+      conversions: DataFrame,
+      touches: DataFrame,
+      userCol: String,
+      convIdCol: String, convTsCol: String, centsCol: String,
+      touchIdCol: String, touchTsCol: String, channelCol: String,
+      lookback: Column): DataFrame = {
+    val j = touches.join(conversions, Seq(userCol))
+      .filter(col(touchTsCol) <= col(convTsCol) &&
+        col(touchTsCol) >= col(convTsCol) - lookback)
+    val wOrd = Window.partitionBy(col(convIdCol))
+      .orderBy(col(touchTsCol), col(touchIdCol))
+    val wAll = Window.partitionBy(col(convIdCol))
+    val ranked = j
+      .withColumn("_pos", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+    val c = col(centsCol)
+    val n = col("_n")
+    val firstC = when(n === 2, expr(s"$centsCol * 5000 DIV 10000"))
+      .otherwise(expr(s"$centsCol * 4000 DIV 10000"))
+    val midEach = when(n >= 3,
+      expr(s"($centsCol * 2000 DIV 10000) DIV (_n - 2)")).otherwise(lit(0L))
+    val credit =
+      when(n === 1, c)
+        .when(col("_pos") === 1, firstC)
+        .when(col("_pos") === n, c - firstC - midEach * (n - 2))
+        .otherwise(midEach)
+    ranked
+      .withColumn("_credit", credit)
+      .groupBy(col(channelCol))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("_credit")).as("credit_cents"))
+  }
+
   /** Holt-Winters additive seasonal smoothing per entity, fixed-point
     * with α = β = γ = ½ and season length `m` — the seasonal upgrade
     * of [[holt]] (a level+trend model lags any series with a periodic

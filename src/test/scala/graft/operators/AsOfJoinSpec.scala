@@ -95,4 +95,39 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(out == Map(1L -> Some(101L), 2L -> None))
   }
+
+  test("asofNearest: closer side wins, equidistant prefers backward, tied-ts tiebreaks") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "a", 100L), // rights at 98 and 101 -> forward (dist 1 < 2)
+      (2L, "a", 200L), // rights at 199 and 201 -> equidistant, backward wins
+      (3L, "a", 310L), // only a backward right (301)
+      (4L, "a", 40L),  // only forward rights, two tied at 45 -> least rid
+      (5L, "b", 10L))  // no rights for key b -> null
+      .toDF("id", "key", "ts")
+    val right = Seq(
+      (900L, "a", 98L), (901L, "a", 101L),
+      (902L, "a", 199L), (903L, "a", 201L),
+      (904L, "a", 301L),
+      (905L, "a", 45L), (906L, "a", 45L))
+      .toDF("rid", "key", "ts")
+    val out = AsOfJoin.asofNearest(left, right, Seq("key"), "ts", "ts", Seq("ts", "rid"))
+      .select("id", "asof_rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(
+      1L -> Some(901L), 2L -> Some(902L), 3L -> Some(904L),
+      4L -> Some(905L), // forward tie at ts 45: least payload wins
+      5L -> None))
+  }
+
+  test("asofNearest: a right row at the left ts is a distance-zero backward match") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "k", 50L)).toDF("id", "key", "ts")
+    val right = Seq((70L, "k", 50L), (71L, "k", 49L), (72L, "k", 51L)).toDF("rid", "key", "ts")
+    val out = AsOfJoin.asofNearest(left, right, Seq("key"), "ts", "ts", Seq("ts", "rid"))
+      .select("id", "asof_rid").collect()
+    assert(out.head.getLong(1) == 70L)
+  }
 }

@@ -184,6 +184,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(series(2L).indices.exists(i => out(200L + i)._2 < 0))
   }
 
+  test("attributePositionBased: U-shape splits, remainder to last, lookback excludes") {
+    val s = spark
+    import s.implicits._
+    val conv = Seq(
+      (100L, 1L, ts("2024-01-10 12:00:00"), 999L), // 3 touches in window
+      (101L, 2L, ts("2024-01-10 12:00:00"), 1000L), // 1 touch
+      (102L, 3L, ts("2024-01-10 12:00:00"), 999L)) // 2 touches
+      .toDF("conv_id", "user_id", "conv_ts", "cents")
+    val touches = Seq(
+      (1L, 1L, ts("2024-01-09 10:00:00"), "click"),  // first: 999*4000/1e4 = 399
+      (2L, 1L, ts("2024-01-09 11:00:00"), "view"),   // mid:   999*2000/1e4 = 199
+      (3L, 1L, ts("2024-01-09 12:00:00"), "signup"), // last:  999-399-199 = 401
+      (4L, 1L, ts("2024-01-01 00:00:00"), "click"),  // outside 7d lookback
+      (5L, 2L, ts("2024-01-10 11:00:00"), "click"),  // solo: 1000
+      (6L, 3L, ts("2024-01-10 10:00:00"), "view"),   // 50%: 499
+      (7L, 3L, ts("2024-01-10 11:00:00"), "click"))  // 999-499 = 500
+      .toDF("touch_id", "user_id", "touch_ts", "channel")
+    val out = EventAnalytics.attributePositionBased(conv, touches, "user_id",
+        "conv_id", "conv_ts", "cents", "touch_id", "touch_ts", "channel",
+        lookback = org.apache.spark.sql.functions.expr("INTERVAL 7 DAYS"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "click" -> ((3L, 399L + 1000L + 500L)),
+      "view" -> ((2L, 199L + 499L)),
+      "signup" -> ((1L, 401L))))
+    // credits reconcile: every touched conversion's cents fully assigned
+    assert(out.values.map(_._2).sum == 999L + 1000L + 999L)
+  }
+
   test("holtWinters: scalar reference incl. m-deep lookback, negative dip, next-slot forecast") {
     val s = spark
     import s.implicits._
