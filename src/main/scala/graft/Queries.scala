@@ -943,6 +943,63 @@ object Queries {
         |SELECT channel, count(*) AS n_touches, CAST(sum(credit) AS BIGINT) AS credit_cents
         |FROM cr GROUP BY 1""".stripMargin))
 
+  /** #41d Group-aware k-fold assignment
+    * ([[graft.operators.Sampling.kFoldByGroup]]): every user's events
+    * land in exactly one of 5 folds via the engine-reproducible
+    * multiplicative hash — per-fold user/event counts. The oracle
+    * runs the identical integer formula, so a single hash-constant
+    * or modulus slip breaks every row.
+    */
+  val qKfold: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Sampling.kFoldByGroup(t(s, dir, "events"), "user_id", k = 5)
+        .groupBy(col("fold"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")),
+    oracle = Some(
+      """SELECT ((user_id % 2147483648) * 2654435761) % 2147483648 % 5 AS fold,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin))
+
+  /** #38b Join-preserving pseudonymization
+    * ([[graft.operators.Privacy.pseudonymize]]): events with user_id
+    * replaced by a salted FNV token (map-side projection — masking a
+    * 100 TB table is one scan), then per-token event counts — the
+    * shape an analyst runs on the MASKED table, proving joins and
+    * group-bys survive the masking. The oracle re-derives every token
+    * from the 'salt:value' string via the established HUGEINT FNV
+    * fold and the signed-BIGINT conversion.
+    */
+  val qPseudonymize: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val masked = graft.operators.Privacy.pseudonymize(
+        t(s, dir, "events"), Seq("user_id"), salt = "epoch7")
+      masked.groupBy(col("user_id").as("user_token"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+    },
+    oracle = Some(
+      """WITH g AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         count(DISTINCT event_type) AS n_types
+        |  FROM events GROUP BY 1
+        |), h AS (
+        |  SELECT n_events, n_types,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT))),
+        |      (acc, b) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                   * 1099511628211) % 18446744073709551616
+        |    ) AS hu
+        |  FROM (SELECT 'epoch7:' || CAST(user_id AS VARCHAR) AS s, n_events, n_types FROM g)
+        |)
+        |SELECT CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |                 THEN hu - CAST(18446744073709551616 AS HUGEINT)
+        |                 ELSE hu END AS BIGINT) AS user_token,
+        |  n_events, CAST(n_types AS BIGINT) AS n_types
+        |FROM h""".stripMargin))
+
   /** #18k Distribution windows: percent_rank and cume_dist of each
     * order's price within its priority class. Rank counts are small
     * integers, so the defining divisions ((rank−1)/(n−1), rows≤x/n)
@@ -7573,6 +7630,8 @@ object Queries {
     "q_profile" -> qProfile,
     "q_quality_checks" -> qQualityChecks,
     "q_split" -> qSplit,
+    "q_kfold" -> qKfold,
+    "q_pseudonymize" -> qPseudonymize,
     "q_window_running" -> qWindowRunning,
     "q_topk_per_group" -> qTopkPerGroup,
     "q_topk_heap" -> qTopkHeap,

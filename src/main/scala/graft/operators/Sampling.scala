@@ -117,6 +117,23 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Group-aware k-fold assignment (cross-validation folds): every
+    * row of a group lands in EXACTLY one fold — fold =
+    * multiplicative-hash(group) mod k, the same engine-reproducible
+    * integer hash as [[reproducibleStratified]] — so no group ever
+    * straddles a train/validation boundary (the leakage k-fold
+    * exists to prevent). A map-side projection: no shuffle, no RNG
+    * state, stable across runs/engines. `groupCol` must be integral
+    * (hash the key first for strings).
+    */
+  def kFoldByGroup(df: DataFrame, groupCol: String, k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val m = 2147483648L // 2^31
+    val h = pmod(pmod(col(groupCol), lit(m)) * lit(2654435761L), lit(m))
+    df.withColumn(foldCol, pmod(h, lit(k.toLong)))
+  }
+
   /** Engine-reproducible stratified Bernoulli sample: keep a row iff
     * its key's multiplicative hash falls under the stratum's cut —
     * the ORACLE-able twin of `stratified` (whose xxhash64 no other

@@ -333,4 +333,27 @@ class QualityOpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(z == Set(2L))
   }
+
+  test("kFoldByGroup: one fold per group, folds in range, deterministic, rough balance") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 200L).flatMap(g => Seq((g, g * 10), (g, g * 10 + 1)))
+    val df = rows.toDF("uid", "event")
+    val out = Sampling.kFoldByGroup(df, "uid", k = 5)
+    val byGroup = out.groupBy(col("uid"))
+      .agg(countDistinct(col("fold")).as("nf"), first(col("fold")).as("f"))
+      .collect()
+    assert(byGroup.forall(_.getLong(1) == 1L), "a group must never straddle folds")
+    val folds = byGroup.map(_.getLong(2))
+    assert(folds.forall(f => f >= 0 && f < 5))
+    // all 5 folds used, none empty or dominant at 200 groups
+    val sizes = folds.groupBy(identity).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(sizes.values.min > 10 && sizes.values.max < 100)
+    // deterministic across invocations
+    val again = Sampling.kFoldByGroup(df, "uid", k = 5)
+      .select("uid", "fold").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byGroup.map(r => r.getLong(0) -> r.getLong(2)).toMap == again)
+  }
 }
