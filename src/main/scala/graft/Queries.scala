@@ -154,6 +154,55 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id, event_type""".stripMargin))
 
+  /** #2e Retraction-aware incremental aggregate maintenance
+    * ([[graft.operators.IncrementalAgg.refreshFromChanges]]): the
+    * rollup built from the base snapshot stays exact under a CDC
+    * batch carrying INSERTS, DELETES and UPDATE pre/post images
+    * (purchases doubled, errors deleted, clicks re-keyed — the
+    * q_cdc_feed scenario) — pre-images subtract, post-images add,
+    * fully-deleted groups tombstone to n=0 and readLive drops them.
+    * The replayed batch proves the at-least-once guard. The oracle
+    * recomputes the aggregate over the NEW snapshot directly.
+    */
+  val qIncAggCdc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("inc-agg-cdc-state")
+      val base = t(s, dir, "events")
+      val next = base
+        .filter(col("event_type") =!= "error" && col("event_type") =!= "purchase")
+        .unionByName(base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")))
+        .unionByName(base.filter(col("event_type") === "click")
+          .withColumn("event_id", col("event_id") + 20000000L))
+      val keys = Seq("user_id", "event_type")
+      graft.operators.IncrementalAgg.refreshTable(
+        s, statePath, base, keys, "value", batchId = Some(1L))
+      val feed = graft.operators.SnapshotDiff.changeFeed(base, next, keys = Seq("event_id"))
+      graft.operators.IncrementalAgg.refreshFromChanges(
+        s, statePath, feed, keys, "value", batchId = Some(2L))
+      // at-least-once redelivery of the CDC batch must be a no-op
+      graft.operators.IncrementalAgg.refreshFromChanges(
+        s, statePath, feed, keys, "value", batchId = Some(2L))
+      graft.operators.IncrementalAgg.readLive(s, statePath, keys)
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("sum_dec").cast("double").as("sum_value"))
+    },
+    oracle = Some(
+      """WITH next AS (
+        |  SELECT * FROM events WHERE event_type NOT IN ('error', 'purchase')
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+        |         value * 2 AS value, props
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id + 20000000 AS event_id, ts, user_id, event_type, value, props
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT user_id, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM next GROUP BY user_id, event_type""".stripMargin))
+
   /** #2c Incremental JOIN-view maintenance: revenue by market segment
     * over orders ⋈ customer, with BOTH sides changing — orders arrive
     * as two increments split at a date watermark (fact history is
@@ -999,6 +1048,29 @@ object Queries {
         |                 ELSE hu END AS BIGINT) AS user_token,
         |  n_events, CAST(n_types AS BIGINT) AS n_types
         |FROM h""".stripMargin))
+
+  /** #38c k-anonymity audit ([[graft.operators.Privacy.kAnonymityAudit]]):
+    * one row per distinct quasi-identifier combination
+    * (nation × segment × balance band) with its group size and
+    * whether it meets k=5 — the re-identification check a masked
+    * release runs BEFORE publishing (pseudonymized keys don't help
+    * when the QI combo singles a person out). One map-side-combined
+    * shuffle of distinct combos. The oracle recomputes the audit
+    * directly.
+    */
+  val qKanon: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("bal_band", floor(col("c_acctbal") / lit(5000.0)).cast("long"))
+      graft.operators.Privacy.kAnonymityAudit(
+        cust, Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)
+    },
+    oracle = Some(
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS bal_band,
+        |  count(*) AS n, count(*) >= 5 AS anonymous
+        |FROM customer
+        |GROUP BY 1, 2, 3""".stripMargin))
 
   /** #18k Distribution windows: percent_rank and cume_dist of each
     * order's price within its priority class. Rank counts are small
@@ -3273,6 +3345,55 @@ object Queries {
         |FROM e p1 JOIN e p2 ON p2.u = p1.v
         |JOIN e p3 ON p3.u = p1.u AND p3.v = p2.v""".stripMargin))
 
+  /** #39c Link prediction ([[graft.operators.GraphAnalytics.linkPrediction]]):
+    * the word co-occurrence graph's non-adjacent pairs ranked by
+    * common neighbors, integer resource-allocation (Σ⌊10⁶/deg(z)⌋ —
+    * a shared rare neighbor outweighs a shared hub), and
+    * preferential attachment — the "which near-dup pairs did LSH
+    * probably miss" scores. The oracle re-derives the whole chain:
+    * adjacency, degrees, wedge join, floor-divided RA sum, and the
+    * NOT-EXISTS non-adjacency gate.
+    */
+  val qLinkPredict: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val sg = graft.operators.TextAnalysis.skipgrams(t(s, dir, "documents"), window = 2)
+      val edges = sg.filter(col("a") =!= col("b"))
+        .groupBy(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .agg(sum(col("n")).as("n"))
+        .filter(col("n") >= 100L)
+      graft.operators.GraphAnalytics.linkPrediction(edges, "u", "v")
+    },
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), pos AS (
+        |  SELECT unnest(w) AS a, unnest(range(len(w))) AS i, w FROM tok
+        |), prs AS (
+        |  SELECT a, unnest(w[i + 2:i + 3]) AS b FROM pos
+        |), dirw AS (
+        |  SELECT a, b, count(*) AS n FROM prs GROUP BY 1, 2
+        |), e AS (
+        |  SELECT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM dirw WHERE a <> b
+        |  GROUP BY 1, 2 HAVING sum(n) >= 100
+        |), adj AS (
+        |  SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v AS n, u AS nbr FROM e
+        |), deg AS (
+        |  SELECT n, count(*) AS d FROM adj GROUP BY 1
+        |), cand AS (
+        |  SELECT a1.nbr AS x, a2.nbr AS y, count(*) AS cn,
+        |         CAST(sum(1000000 // dz.d) AS BIGINT) AS ra_x1e6
+        |  FROM adj a1
+        |  JOIN adj a2 ON a2.n = a1.n AND a1.nbr < a2.nbr
+        |  JOIN deg dz ON dz.n = a1.n
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.x, c.y, c.cn, c.ra_x1e6, dx.d * dy.d AS pa
+        |FROM cand c
+        |JOIN deg dx ON dx.n = c.x
+        |JOIN deg dy ON dy.n = c.y
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.x AND e.v = c.y)""".stripMargin))
+
   /** #48b Count-Min sketch token-frequency estimates: the corpus
     * folds into ONE depth×width=4×16 long buffer (mergeable,
     * map-side-combined), then the top-20 true-frequency terms probe
@@ -5274,6 +5395,53 @@ object Queries {
     },
     oracle = Some(
       "SELECT * FROM orders WHERE o_totalprice BETWEEN 10000.0 AND 20000.0"))
+
+  /** #10s File-level Bloom index ([[graft.operators.BloomFileIndex]]):
+    * point-predicate data skipping on a column the layout does NOT
+    * cluster — orders are hash-distributed by order key, so every
+    * file spans the full customer domain and zone maps prune nothing;
+    * the per-file k=1 Bloom (xxhash64 buckets) still rules files out.
+    * False positives only ⇒ the pruned read is row-identical to the
+    * full scan, which is exactly what the oracle runs; the spec locks
+    * that candidates < total files on this layout.
+    */
+  val bloomProbeKeys = Seq(7L, 371L, 1297L)
+  val qBloomIndex: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("bloom-index")
+      t(s, dir, "orders")
+        .repartition(16, col("o_orderkey"))
+        .write.mode("overwrite").parquet(target)
+      val idx = graft.operators.BloomFileIndex.build(s, target, "o_custkey")
+      graft.operators.BloomFileIndex.prunedRead(s, target, idx, "o_custkey", bloomProbeKeys)
+    },
+    oracle = Some(
+      s"SELECT * FROM orders WHERE o_custkey IN (${bloomProbeKeys.mkString(", ")})"))
+
+  /** #10s2 Bloom-index pruning, fully distributed
+    * ([[graft.operators.BloomFileIndex.prunedReadSemiJoin]]): the
+    * probe set stays a DataFrame — buckets join the exploded index,
+    * candidate files broadcast into a left-semi against
+    * input_file_name(), probes equi-semi-join for exactness. The
+    * unbounded-probe-count companion to #10s; same oracle, same rows.
+    */
+  val qBloomIndexSemi: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("bloom-index-semi")
+      t(s, dir, "orders")
+        .repartition(16, col("o_orderkey"))
+        .write.mode("overwrite").parquet(target)
+      val idx = graft.operators.BloomFileIndex.build(s, target, "o_custkey")
+      val probes = t(s, dir, "customer")
+        .filter(col("c_custkey").isin(bloomProbeKeys: _*))
+        .select(col("c_custkey"))
+      graft.operators.BloomFileIndex.prunedReadSemiJoin(
+        s, target, idx, "o_custkey", probes, "c_custkey")
+    },
+    oracle = Some(
+      s"""SELECT o.* FROM orders o
+         |WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+         |                      WHERE c_custkey IN (${bloomProbeKeys.mkString(", ")}))""".stripMargin))
 
   /** #61 BPE pair statistics — the ranking one tokenizer-training
     * iteration runs: weighted adjacent character pairs over the
@@ -7589,6 +7757,7 @@ object Queries {
     "q_full_load" -> qFullLoad,
     "q_inc_load" -> qIncLoad,
     "q_inc_agg" -> qIncAgg,
+    "q_inc_agg_cdc" -> qIncAggCdc,
     "q_inc_join" -> qIncJoin,
     "q_report_urgent" -> qReportUrgent,
     "q_csv_roundtrip" -> qCsvRoundtrip,
@@ -7632,6 +7801,7 @@ object Queries {
     "q_split" -> qSplit,
     "q_kfold" -> qKfold,
     "q_pseudonymize" -> qPseudonymize,
+    "q_kanon" -> qKanon,
     "q_window_running" -> qWindowRunning,
     "q_topk_per_group" -> qTopkPerGroup,
     "q_topk_heap" -> qTopkHeap,
@@ -7664,6 +7834,7 @@ object Queries {
     "dedup_clusters" -> qDedupClusters,
     "curate_cluster_best" -> qCurateClusterBest,
     "q_triangles" -> qTriangles,
+    "q_link_predict" -> qLinkPredict,
     "dedup_exact" -> qDedupExact,
     "dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "dedup_editdist" -> qDedupEditdist,
@@ -7764,6 +7935,8 @@ object Queries {
     "q_point_lookup" -> qPointLookup,
     "q_zonemap_scan" -> qZonemapScan,
     "q_zonemap_semi" -> qZonemapSemi,
+    "q_bloom_index" -> qBloomIndex,
+    "q_bloom_index_semi" -> qBloomIndexSemi,
     "text_bpe_pairs" -> qBpePairs,
     "text_bpe_merges" -> qBpeMerges,
     "q_quality_score" -> qQualityScore,

@@ -119,6 +119,76 @@ object IncrementalAgg {
     UpsertWriter.read(spark, statePath)
       .select((keys.map(col) :+ col("n") :+ col("sum_dec")): _*)
 
+  /** Retraction-aware refresh: fold a CHANGE FEED (insert / delete /
+    * update_preimage / update_postimage rows, [[SnapshotDiff.changeFeed]]
+    * layout) into the rollup — the missing half of append-only
+    * maintenance: the view stays exact under UPDATES AND DELETES
+    * without rescanning history. Each pre-image/delete contributes
+    * (−1, −value) and each post-image/insert (+1, +value); count and
+    * decimal sum are ABELIAN-GROUP aggregates (every element has an
+    * exact inverse), so state + Σsigned(changes) equals the full
+    * recompute over the new snapshot bit-for-bit — which is what
+    * q_inc_agg_cdc's oracle checks. Non-invertible aggregates (min,
+    * max, top-k) deliberately don't fit this interface: a delete can
+    * invalidate them unboundedly, and at scale those recompute over
+    * touched keys instead.
+    *
+    * Keys whose count nets to zero stay in state as (n=0) rows —
+    * tombstone-free, so a later increment for the key folds additively
+    * — and [[readLive]] filters them out. Work per refresh: one
+    * shuffle of the CHANGES (map-side combined), a touched-key join,
+    * an upsert of touched keys. Same at-least-once replay guard as
+    * [[refreshTable]].
+    */
+  def refreshFromChanges(
+      spark: SparkSession,
+      statePath: String,
+      changes: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      changeTypeCol: String = "change_type",
+      batchId: Option[Long] = None): Boolean = {
+    if (alreadyApplied(spark, statePath, batchId)) return false
+    // sign the images; an unknown change type fails loudly rather than
+    // silently skewing the rollup
+    val sign = when(col(changeTypeCol).isin("insert", "update_postimage"), lit(1L))
+      .when(col(changeTypeCol).isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("refreshFromChanges: unknown change type "), col(changeTypeCol))).cast("long"))
+    val p = changes
+      .withColumn("_s", sign)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_s")).as("n"),
+        sum(col("_s").cast("decimal(28,6)") * col(valueCol).cast("decimal(28,6)"))
+          .cast("decimal(38,6)").as("sum_dec"))
+    val existing =
+      if (UpsertWriter.versions(spark, statePath).nonEmpty)
+        Some(UpsertWriter.read(spark, statePath)
+          .select((keys.map(col) :+ col("n").as("_en") :+ col("sum_dec").as("_esum")): _*))
+      else None
+    val merged = existing match {
+      case Some(e) =>
+        val pa = p.alias("_p"); val ea = e.alias("_e")
+        val cond = keys.map(k => col(s"_p.$k") <=> col(s"_e.$k")).reduce(_ && _)
+        pa.join(ea, cond, "left")
+          .select((keys.map(k => col(s"_p.$k").as(k)) :+
+            (col("_p.n") + coalesce(col("_en"), lit(0L))).as("n") :+
+            (col("_p.sum_dec") + coalesce(col("_esum"), lit(BigDecimal(0)).cast("decimal(38,6)")))
+              .cast("decimal(38,6)").as("sum_dec")): _*)
+      case None => p
+    }
+    UpsertWriter.upsert(merged.withColumn("_ver", lit(0L)),
+      statePath, recordKeys = keys, precombine = "_ver",
+      meta = nextMeta(spark, statePath, batchId))
+    true
+  }
+
+  /** Rollup snapshot with zero-count tombstone rows filtered out —
+    * the read for retraction-maintained views ([[refreshFromChanges]]).
+    */
+  def readLive(spark: SparkSession, statePath: String, keys: Seq[String]): DataFrame =
+    read(spark, statePath, keys).filter(col("n") > 0L)
+
   /** Incremental TOP-K maintenance: the per-key leaderboard stays
     * current under appends with O(k) state per key — the bounded-heap
     * aggregate is ASSOCIATIVE (merging two heaps ≡ inserting both

@@ -37,4 +37,37 @@ object Privacy {
         concat_ws(":", lit(salt), col(c).cast("string"))))
     }
   }
+
+  /** k-anonymity audit over a set of quasi-identifier columns
+    * (Sweeney's re-identification model: a row is k-anonymous iff at
+    * least k rows share its full quasi-identifier combination —
+    * tokens from [[pseudonymize]] don't help when nation+segment+
+    * balance-band single out a person). One row per distinct QI
+    * combination: (qi..., n, anonymous). One map-side-combined
+    * groupBy — the audit of a 100 TB table is one shuffle of its
+    * distinct QI combos.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "name at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous", col("n") >= k)
+  }
+
+  /** k-anonymize by suppression: drop every row whose QI group has
+    * fewer than k members — the release then satisfies k-anonymity by
+    * construction (the standard cell-suppression baseline;
+    * generalization hierarchies trade less data loss for domain
+    * knowledge). One window count per partition — a single shuffle,
+    * no joins, no driver state.
+    */
+  def suppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "name at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("_gn", count(lit(1)).over(w))
+      .filter(col("_gn") >= k)
+      .drop("_gn")
+  }
 }

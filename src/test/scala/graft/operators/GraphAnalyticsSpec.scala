@@ -104,4 +104,48 @@ class GraphAnalyticsSpec extends SparkSpec {
     for (k <- Seq(2, 3, 4))
       assert(core(edges, k) == refKCore(edges, k).map { case (n, d) => n -> d.toLong }, s"k=$k")
   }
+
+  test("linkPrediction: hand-computed scores on a path+star; adjacent pairs excluded") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4 plus 5 attached to 2: deg = 1:1, 2:3, 3:2, 4:1, 5:1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("u", "v")
+    val got = GraphAnalytics.linkPrediction(edges, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // non-adjacent pairs sharing a neighbor:
+    //   (1,3) via 2 (deg 3): cn=1 ra=333333 pa=1*2
+    //   (1,5) via 2:         cn=1 ra=333333 pa=1*1
+    //   (3,5) via 2:         cn=1 ra=333333 pa=2*1
+    //   (2,4) via 3 (deg 2): cn=1 ra=500000 pa=3*1
+    assert(got == Map(
+      (1L, 3L) -> (1L, 333333L, 2L),
+      (1L, 5L) -> (1L, 333333L, 1L),
+      (3L, 5L) -> (1L, 333333L, 2L),
+      (2L, 4L) -> (1L, 500000L, 3L)))
+    // duplicate/reversed/self edges clean identically
+    val dirty = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (5L, 2L), (4L, 4L)).toDF("u", "v")
+    val got2 = GraphAnalytics.linkPrediction(dirty, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == got.keySet)
+  }
+
+  test("linkPrediction: hub cap fails loudly by default, dropHubs bounds the wedge join") {
+    val s = spark
+    import s.implicits._
+    // star center 0 with 5 leaves, plus a pendant 6 hanging off leaf 4
+    val star = (1L to 5L).map(l => (0L, l)) :+ (4L, 6L)
+    val edges = star.toDF("u", "v")
+    val e = intercept[Exception] {
+      GraphAnalytics.linkPrediction(edges, "u", "v", maxCenterDegree = 4).collect()
+    }
+    assert(e.getMessage.contains("maxCenterDegree")
+      || Option(e.getCause).exists(_.getMessage.contains("maxCenterDegree")))
+    // dropHubs: the star center (deg 5) is excluded as a CENTER, so
+    // only wedges through leaf 4 (deg 2) remain: (0,6) — the pair
+    // (x,y) keeps the hub as an ENDPOINT, only centering is capped
+    val got = GraphAnalytics.linkPrediction(edges, "u", "v", maxCenterDegree = 4, dropHubs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map((0L, 6L) -> (1L, 500000L, 5L)))
+  }
 }

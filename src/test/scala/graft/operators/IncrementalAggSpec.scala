@@ -172,4 +172,48 @@ class IncrementalAggSpec extends SparkSpec {
     assert(!applied && state() == Map("a" -> 3L, "b" -> 2L, "c" -> 1L),
       "redelivered batch must not double-count")
   }
+
+  test("refreshFromChanges: updates and deletes keep the rollup exact; n=0 tombstones; replay no-op") {
+    val s = spark
+    import s.implicits._
+    val statePath = tmpDir("graft-inc-agg-cdc-")
+    val keys = Seq("grp")
+    val base = Seq((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0), (4L, "c", 2.0))
+      .toDF("id", "grp", "v")
+    IncrementalAgg.refreshTable(spark, statePath, base, keys, "v", batchId = Some(1L))
+    // next snapshot: id=1 value updated, id=2 moves group a->b, id=3 deleted,
+    // id=5 inserted, group c deleted entirely (tombstone case)
+    val next = Seq((1L, "a", 12.5), (2L, "b", 5.0), (5L, "b", 1.0)).toDF("id", "grp", "v")
+    val feed = SnapshotDiff.changeFeed(base, next, keys = Seq("id"))
+    assert(IncrementalAgg.refreshFromChanges(spark, statePath, feed, keys, "v", batchId = Some(2L)))
+    val live = IncrementalAgg.readLive(spark, statePath, keys)
+      .select(col("grp"), col("n"), col("sum_dec").cast("double").as("sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(live == Set(("a", 1L, 12.5), ("b", 2L, 6.0)),
+      s"rollup must equal the recompute over next, got $live")
+    // the fully-deleted group survives as an n=0 tombstone in raw state
+    val raw = IncrementalAgg.read(spark, statePath, keys)
+      .filter(col("grp") === "c").collect()
+    assert(raw.length == 1 && raw.head.getLong(1) == 0L)
+    // a later insert resurrects the tombstoned group additively
+    val feed2 = Seq(("insert", "c", 9.0)).toDF("change_type", "grp", "v")
+    IncrementalAgg.refreshFromChanges(spark, statePath, feed2, keys, "v", batchId = Some(3L))
+    val c = IncrementalAgg.readLive(spark, statePath, keys).filter(col("grp") === "c")
+      .select(col("n"), col("sum_dec").cast("double")).collect()
+    assert(c.length == 1 && c.head.getLong(0) == 1L && c.head.getDouble(1) == 9.0)
+    // replayed CDC batch id is a no-op
+    assert(!IncrementalAgg.refreshFromChanges(spark, statePath, feed, keys, "v", batchId = Some(2L)))
+  }
+
+  test("refreshFromChanges rejects unknown change types loudly") {
+    val s = spark
+    import s.implicits._
+    val statePath = tmpDir("graft-inc-agg-cdc-bad-")
+    val bad = Seq(("upsert", "a", 1.0)).toDF("change_type", "grp", "v")
+    val e = intercept[Exception] {
+      IncrementalAgg.refreshFromChanges(spark, statePath, bad, Seq("grp"), "v")
+    }
+    assert(e.getMessage.contains("unknown change type")
+      || Option(e.getCause).exists(_.getMessage.contains("unknown change type")))
+  }
 }

@@ -27,6 +27,29 @@ class PrivacySpec extends SparkSpec {
     assert(tok == graft.functions.GraftHash.fnv1a64("s1:1".getBytes("UTF-8")))
   }
 
+  test("kAnonymityAudit and suppress: group sizes, flags, and the release invariant") {
+    val s = spark
+    import s.implicits._
+    // QI = (zip, age band): zip 100 has 3 rows in band 2 (k=3 group),
+    // zip 200 has 1 (singleton), zip 100 band 3 has 2
+    val df = Seq(
+      (1L, 100, 2), (2L, 100, 2), (3L, 100, 2),
+      (4L, 100, 3), (5L, 100, 3),
+      (6L, 200, 2)).toDF("id", "zip", "band")
+    val audit = Privacy.kAnonymityAudit(df, Seq("zip", "band"), k = 3L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(audit == Map(
+      (100, 2) -> (3L, true), (100, 3) -> (2L, false), (200, 2) -> (1L, false)))
+    // suppression drops exactly the under-k groups' rows
+    val kept = Privacy.suppress(df, Seq("zip", "band"), k = 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // the release satisfies k-anonymity by construction
+    val releaseAudit = Privacy.kAnonymityAudit(
+      Privacy.suppress(df, Seq("zip", "band"), k = 2L), Seq("zip", "band"), k = 2L)
+    assert(releaseAudit.filter(!col("anonymous")).count() == 0L)
+  }
+
   test("pseudonymize: rejects empty column list and ':' in salt") {
     val s = spark
     import s.implicits._
