@@ -441,6 +441,92 @@ object Queries {
     },
     oracle = Some("SELECT * FROM events"))
 
+  /** #10t Deep clone ([[graft.sources.TableClone.deepClone]]): the
+    * 2-version events table is physically copied — history and all —
+    * and the CLONE then takes an upsert (purchases doubled) the
+    * SOURCE must not see. Output: per-type rollups of the source
+    * live, clone live, and clone's time-traveled v1, proving copy
+    * fidelity, write isolation, and history portability in one
+    * result; the oracle recomputes all three states.
+    */
+  val qClone: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val src = scratch("clone-src")
+      val dst = scratch("clone-dst")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(
+        base.filter(col("ts") <= lit(incWatermark).cast("timestamp_ntz")),
+        src, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.upsert(
+        base.filter(col("ts") > lit(incWatermark).cast("timestamp_ntz")),
+        src, Seq("event_id"), "ts", keepVersions = 3)
+      graft.sources.TableClone.deepClone(s, src, dst)
+      UpsertWriter.upsert(
+        base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")),
+        dst, Seq("event_id"), "ts", keepVersions = 3)
+      def rollup(df: DataFrame, side: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+        .withColumn("side", lit(side))
+      rollup(UpsertWriter.read(s, src), "source")
+        .unionByName(rollup(UpsertWriter.read(s, dst), "clone"))
+        .unionByName(rollup(UpsertWriter.readVersion(s, dst, 1), "clone_v1"))
+    },
+    oracle = Some(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+         |  'source' AS side
+         |FROM events GROUP BY 1
+         |UNION ALL
+         |SELECT event_type, count(*),
+         |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END
+         |       AS DECIMAL(28,6))) AS DOUBLE), 'clone'
+         |FROM events GROUP BY 1
+         |UNION ALL
+         |SELECT event_type, count(*),
+         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 'clone_v1'
+         |FROM events WHERE ts <= TIMESTAMP '$incWatermark' GROUP BY 1""".stripMargin))
+
+  /** #38d Right-to-be-forgotten purge
+    * ([[graft.sources.UpsertWriter.purge]]): a 2-version events table
+    * forgets every user whose id ≡ 0 (mod 97) — the subjects' rows
+    * vanish from the LIVE snapshot AND the retained HISTORY (a plain
+    * delete only advances the head; time travel would still leak the
+    * subject). Output: per-version per-type counts over both
+    * retained snapshots after the purge; the oracle recomputes each
+    * version's post-erasure state from first principles.
+    */
+  val qPurge: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("upsert-purge")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(
+        base.filter(col("ts") <= lit(incWatermark).cast("timestamp_ntz")),
+        target, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.upsert(
+        base.filter(col("ts") > lit(incWatermark).cast("timestamp_ntz")),
+        target, Seq("event_id"), "ts", keepVersions = 3)
+      val forget = base.filter(col("user_id") % 97L === 0L).select("user_id")
+      UpsertWriter.purge(s, target, forget, Seq("user_id"))
+      UpsertWriter.readVersion(s, target, 1).withColumn("version", lit(1))
+        .unionByName(UpsertWriter.readVersion(s, target, 2).withColumn("version", lit(2)))
+        .groupBy(col("version"), col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    },
+    oracle = Some(
+      s"""SELECT 1 AS version, event_type, count(*) AS n,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events
+         |WHERE ts <= TIMESTAMP '$incWatermark' AND user_id % 97 <> 0
+         |GROUP BY 2
+         |UNION ALL
+         |SELECT 2, event_type, count(*), CAST(count(DISTINCT user_id) AS BIGINT)
+         |FROM events WHERE user_id % 97 <> 0
+         |GROUP BY 2""".stripMargin))
+
   /** #13/#21 KV/JSON scan: typed extraction from the events.props
     * JSON column (reference: template.py:284-294), then an aggregate
     * over the extracted field — no UDF, fully codegen'd from_json.
@@ -7454,6 +7540,42 @@ object Queries {
         |  CAST(level + trend AS BIGINT) AS forecast_next
         |FROM r""".stripMargin))
 
+  /** #56g One-sided CUSUM change-point detection per entity
+    * ([[graft.operators.EventAnalytics.cusum]]): s = max(0, s + cents
+    * − k) with alarm-and-reset at h — the drift detector that catches
+    * small persistent shifts per-point z-scores miss. Pure integer
+    * max/add recurrence, so the oracle replays it exactly as a
+    * recursive CTE: every accumulation, threshold crossing and
+    * post-alarm reset must agree bit-for-bit.
+    */
+  val qCusum: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.EventAnalytics.cusum(
+      t(s, dir, "events").withColumn("cents", round(col("value") * 100).cast("long")),
+      entityCol = "user_id", tsCol = "ts", idCol = "event_id", centsCol = "cents",
+      kCents = 6000L, hCents = 20000L),
+    oracle = Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, ts, cents, rn,
+        |    greatest(0, cents - 6000) AS s,
+        |    greatest(0, cents - 6000) > 20000 AS alarm,
+        |    CASE WHEN greatest(0, cents - 6000) > 20000 THEN 0
+        |         ELSE greatest(0, cents - 6000) END AS carry
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts, e.cents, e.rn,
+        |    greatest(0, r.carry + e.cents - 6000),
+        |    greatest(0, r.carry + e.cents - 6000) > 20000,
+        |    CASE WHEN greatest(0, r.carry + e.cents - 6000) > 20000 THEN 0
+        |         ELSE greatest(0, r.carry + e.cents - 6000) END
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT user_id, event_id, ts, cents, CAST(s AS BIGINT) AS s, alarm
+        |FROM r""".stripMargin))
+
   /** #56f Holt-Winters additive seasonal smoothing (m = 7) per
     * entity ([[graft.operators.EventAnalytics.holtWinters]]): the
     * triple (level, trend, seasonal-index) recurrence with an m-deep
@@ -7765,6 +7887,8 @@ object Queries {
     "q_upsert_merge" -> qUpsertMerge,
     "q_partition_prune" -> qPartitionPrune,
     "q_time_travel" -> qTimeTravel,
+    "q_purge" -> qPurge,
+    "q_clone" -> qClone,
     "q_bucketed_join" -> qBucketedJoin,
     "q_json_extract" -> qJsonExtract,
     "q_variant_extract" -> qVariantExtract,
@@ -7902,6 +8026,7 @@ object Queries {
     "q_secondary_index" -> qSecondaryIndex,
     "q_rouge" -> qRouge,
     "q_holt" -> qHolt,
+    "q_cusum" -> qCusum,
     "q_holt_winters" -> qHoltWinters,
     "q_encoding_gate" -> qEncodingGate,
     "q_phrase_search" -> qPhraseSearch,

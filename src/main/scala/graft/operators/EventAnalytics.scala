@@ -283,6 +283,60 @@ object EventAnalytics {
         (col("r.level") + col("r.trend")).as("forecast_next"))
   }
 
+  /** One-sided CUSUM change-point detection per entity (Page 1954):
+    * the classic drift detector over a per-entity event series —
+    * s_i = max(0, s_{i-1} + cents_i − k) accumulates evidence that
+    * the series is running above its allowance k, and an ALARM fires
+    * when s_i exceeds the decision threshold h (after which s resets,
+    * so successive change points each alarm once). CUSUM is optimal
+    * for detecting small persistent shifts that per-point z-scores
+    * miss (many slightly-high values, no single outlier) — the data-
+    * pipeline use is drift watch on per-source quality/volume series.
+    *
+    * Exactness: the whole recurrence is integer cents (max, +, −),
+    * so any engine replays it bit-for-bit — q_cusum's oracle runs it
+    * as a recursive CTE. Scale shape: identical to [[holt]] — one
+    * shuffle groups each entity, one in-array fold per entity, no
+    * global sort; per-entity history must fit a task (documented
+    * bound of the whole per-entity family; window the series
+    * upstream when an entity's history is unbounded).
+    *
+    * @return (entity, id, ts, cents, s, alarm) — s the pre-reset
+    *         statistic, alarm true on threshold crossings
+    */
+  def cusum(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      centsCol: String,
+      kCents: Long,
+      hCents: Long): DataFrame = {
+    require(hCents > 0, s"decision threshold hCents must be positive, got $hCents")
+    val tsSql = events.schema(tsCol).dataType.sql
+    val idSql = events.schema(idCol).dataType.sql
+    val centsSql = events.schema(centsCol).dataType.sql
+    val rowT = struct(col(tsCol).as("ts"), col(idCol).as("id"), col(centsCol).as("cents"))
+    val sNew = "greatest(cast(0 as bigint), " +
+      s"if(size(acc) = 0, cast(0 as bigint), element_at(acc, -1).carry) + x.cents - $kCents)"
+    events
+      .groupBy(col(entityCol))
+      .agg(array_sort(collect_list(rowT)).as("_rows"))
+      .select(col(entityCol), explode(
+        expr(
+          s"""aggregate(
+             |  _rows,
+             |  cast(array() as array<struct<ts:$tsSql,id:$idSql,cents:$centsSql,s:bigint,alarm:boolean,carry:bigint>>),
+             |  (acc, x) -> array_append(acc, named_struct(
+             |    'ts', x.ts, 'id', x.id, 'cents', x.cents,
+             |    's', $sNew,
+             |    'alarm', ($sNew) > $hCents,
+             |    'carry', if(($sNew) > $hCents, cast(0 as bigint), $sNew))))""".stripMargin))
+        .as("r"))
+      .select(col(entityCol), col("r.id").as(idCol), col("r.ts").as(tsCol),
+        col("r.cents").as(centsCol), col("r.s").as("s"), col("r.alarm").as("alarm"))
+  }
+
   /** Position-based (U-shaped 40/20/40) multi-touch attribution: each
     * conversion's value is credited across the user's touch events in
     * the lookback window — first touch 40%, last touch 40%, the

@@ -735,6 +735,52 @@ object UpsertWriter {
     commitVersion(fs, target, snapshot, liveNum + 1, partitionBy, keepVersions)
   }
 
+  /** Right-to-be-forgotten purge: remove every row matching
+    * `purgeKeys` (joined on `matchCols` — typically the SUBJECT
+    * column, e.g. user_id, not the record key) from EVERY retained
+    * version, live and historical, rewriting each snapshot in place.
+    * A plain [[delete]] only advances the head — time travel and CDC
+    * reads still surface the subject's rows until retention ages them
+    * out, which GDPR/CCPA erasure does not permit; purge is the
+    * compliance-grade variant (Hudi's delete+cleaner tightening /
+    * Delta VACUUM-after-delete reach the same end state). The
+    * timeline SHAPE is preserved: version numbers, count and metadata
+    * survive; only matching rows vanish from each snapshot.
+    *
+    * Cost, stated honestly: O(retained versions × snapshot size) —
+    * the price of erasure from history; retention bounds it. Each
+    * version swaps via stage → delete → rename with the commit marker
+    * re-created LAST, so a reader never sees a half-rewritten
+    * snapshot as committed (mid-swap the version lists as absent —
+    * loud, not wrong). Run it from the table's single maintenance
+    * lane (like compact/clean), not concurrently with writers.
+    * Returns the rewritten version numbers.
+    */
+  def purge(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      purgeKeys: DataFrame,
+      matchCols: Seq[String]): Seq[Int] = {
+    require(matchCols.nonEmpty, "purge needs at least one match column")
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = broadcast(purgeKeys.select(matchCols.map(col): _*).distinct())
+    committedVersions(fs, target).map { case (num, dir) =>
+      val remaining = spark.read.parquet(dir.toString)
+        .join(keys, matchCols, "left_anti")
+      val staged = new Path(target, f"v$num%08d.purging")
+      if (fs.exists(staged)) fs.delete(staged, true)
+      remaining.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      val meta = readMetaDir(fs, dir)
+      fs.delete(dir, true)
+      if (!fs.rename(staged, dir))
+        throw new java.io.IOException(s"purge: rename $staged -> $dir failed")
+      writeMeta(fs, dir, meta)
+      fs.create(new Path(dir, CommitMarker), true).close()
+      num
+    }
+  }
+
   private[sources] def commitVersion(
       fs: FileSystem,
       target: Path,

@@ -291,4 +291,38 @@ class EventAnalyticsSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L, 12L, 20L, 30L, 31L))
   }
+
+  test("cusum: accumulation, alarm at threshold crossing, post-alarm reset, per-entity isolation") {
+    val s = spark
+    import s.implicits._
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    // k=10, h=25. entity 1: values 15,20,18,5 ->
+    //   s1=max(0,15-10)=5; s2=max(0,5+20-10)=15; s3=max(0,15+18-10)=23;
+    //   s4=max(0,23+5-10)=18 — no alarm (never >25)
+    // entity 2: values 40,30,8 ->
+    //   s1=30 ALARM (reset); s2=max(0,0+30-10)=20; s3=max(0,20+8-10)=18
+    val ev = Seq(
+      (1L, 101L, ts("2024-01-01 00:00:00"), 15L),
+      (1L, 102L, ts("2024-01-01 00:01:00"), 20L),
+      (1L, 103L, ts("2024-01-01 00:02:00"), 18L),
+      (1L, 104L, ts("2024-01-01 00:03:00"), 5L),
+      (2L, 201L, ts("2024-01-01 00:00:00"), 40L),
+      (2L, 202L, ts("2024-01-01 00:01:00"), 30L),
+      (2L, 203L, ts("2024-01-01 00:02:00"), 8L))
+      .toDF("user_id", "event_id", "t", "cents")
+    val got = EventAnalytics.cusum(ev, "user_id", "t", "event_id", "cents",
+        kCents = 10L, hCents = 25L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == Map(
+      101L -> (5L, false), 102L -> (15L, false), 103L -> (23L, false), 104L -> (18L, false),
+      201L -> (30L, true), 202L -> (20L, false), 203L -> (18L, false)))
+    // s never negative even under a deep dive
+    val dive = Seq((9L, 1L, ts("2024-01-01 00:00:00"), 1L),
+      (9L, 2L, ts("2024-01-01 00:01:00"), 1L)).toDF("user_id", "event_id", "t", "cents")
+    val dv = EventAnalytics.cusum(dive, "user_id", "t", "event_id", "cents", 10L, 25L)
+      .select("s").collect().map(_.getLong(0))
+    assert(dv.forall(_ == 0L))
+    intercept[IllegalArgumentException](
+      EventAnalytics.cusum(ev, "user_id", "t", "event_id", "cents", 10L, 0L))
+  }
 }

@@ -395,4 +395,34 @@ class UpsertWriterSpec extends SparkSpec {
         keepVersions = 5, maxAttempts = 2)
     }
   }
+
+  test("purge: subject vanishes from live AND history; timeline, metadata, other rows intact") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-purge-") + "/t"
+    // record key = k, subject column = user (not the record key)
+    val v1 = Seq((1L, 7L, "a1"), (2L, 8L, "b1"), (3L, 7L, "c1"))
+      .toDF("k", "user", "payload").withColumn("ver", col("k") * 0 + 1)
+    val v2 = Seq((2L, 8L, "b2"), (4L, 9L, "d1")).toDF("k", "user", "payload")
+      .withColumn("ver", col("k") * 0 + 2)
+    UpsertWriter.upsert(v1, table, Seq("k"), "ver", keepVersions = 5,
+      meta = Map("who" -> "writer1"))
+    UpsertWriter.upsert(v2, table, Seq("k"), "ver", keepVersions = 5)
+    val rewritten = UpsertWriter.purge(spark, table, Seq(7L).toDF("user"), Seq("user"))
+    assert(rewritten == Seq(1, 2))
+    // live: user 7's records gone, others intact
+    val live = UpsertWriter.read(spark, table)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(live == Set(2L, 4L))
+    // HISTORY: time travel to v1 must not resurrect the subject
+    val old = UpsertWriter.readVersion(spark, table, 1)
+      .select("k", "user").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(old == Set((2L, 8L)), s"purged subject leaked from history: $old")
+    // timeline shape and commit metadata preserved
+    assert(UpsertWriter.versions(spark, table) == Seq(1, 2))
+    // a fresh upsert after the purge works on the rewritten table
+    UpsertWriter.upsert(Seq((5L, 10L, "e1", 3L)).toDF("k", "user", "payload", "ver"),
+      table, Seq("k"), "ver", keepVersions = 5)
+    assert(UpsertWriter.read(spark, table).count() == 3L)
+  }
 }
