@@ -7784,6 +7784,28 @@ object Queries {
     * the CMS oracle already pins). The estimate only ever
     * OVER-counts (collision mass is non-negative).
     */
+  /** #99b Cardinality-guarded join ([[graft.operators.SafeJoin]]):
+    * orders ⋈ lineitem runs only after the AGMS sketch proves it fits
+    * the row bound (the estimate never undercounts, so an explosion
+    * can never slip through — the spec locks the refusal path). The
+    * guarded join's result is the plain join's, which is what the
+    * oracle runs.
+    */
+  val qSafeJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      graft.operators.SafeJoin.guardedEquiJoin(o, l, "k", maxRows = 10000000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin))
+
   val qCmsJoinSize: QueryDef = QueryDef(
     run = (s, dir) => {
       import graft.functions.CmsFunctions
@@ -8034,6 +8056,7 @@ object Queries {
     "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_ann_recall" -> qAnnRecall,
     "q_cms_join_size" -> qCmsJoinSize,
+    "q_safe_join" -> qSafeJoin,
     "q_count_meta" -> qCountMeta,
     "q_history" -> qHistory,
     "q_funnel" -> qFunnel,

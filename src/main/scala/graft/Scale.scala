@@ -382,6 +382,95 @@ object Scale {
         docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
     rehearse("q_nb_classify", nb(docs01), nb(docs1))
 
+    // -------------------------------------------------------------
+    // Round-11 continuation ops
+    // -------------------------------------------------------------
+
+    // CUSUM: identical shuffle+fold shape to Holt — per-entity series
+    // are 10x longer here (event ids shift, users don't), so the
+    // ratio tracks the in-array fold cost like q_holt's
+    def cusumShape(ev: DataFrame): DataFrame =
+      operators.EventAnalytics.cusum(
+        ev.withColumn("cents", round(col("value") * 100).cast("long")),
+        "user_id", "ts", "event_id", "cents", kCents = 6000L, hCents = 20000L)
+    rehearse("q_cusum", cusumShape(ev01), cusumShape(ev1))
+
+    // link prediction: the co-occurrence threshold is a RATE, so it
+    // scales with the corpus (100 -> 1000 at 10x) to hold the graph
+    // comparable; hubs drop under the documented lower-bound contract
+    def lpShape(docs: DataFrame, minCount: Long): DataFrame = {
+      val sg = operators.TextAnalysis.skipgrams(docs, window = 2)
+      val edges = sg.filter(col("a") =!= col("b"))
+        .groupBy(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .agg(sum(col("n")).as("n"))
+        .filter(col("n") >= minCount)
+      operators.GraphAnalytics.linkPrediction(edges, "u", "v",
+        maxCenterDegree = 1000, dropHubs = true)
+    }
+    rehearse("q_link_predict", lpShape(docs01, 100L), lpShape(docs1, 1000L))
+
+    // retraction-aware rollup maintenance: the CDC fold shuffles the
+    // CHANGE SET (map-side combined), joins touched keys, upserts —
+    // state is O(distinct keys) at both scales
+    def cdcFold(ev: DataFrame, state: String): Unit = {
+      val keys = Seq("user_id", "event_type")
+      operators.IncrementalAgg.refreshTable(spark, state, ev, keys, "value",
+        batchId = Some(1L))
+      val next = ev.filter(col("event_type") =!= "error" && col("event_type") =!= "purchase")
+        .unionByName(ev.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2))
+      val feed = operators.SnapshotDiff.changeFeed(ev, next, Seq("event_id"))
+      operators.IncrementalAgg.refreshFromChanges(spark, state, feed, keys, "value",
+        batchId = Some(2L))
+      noop(operators.IncrementalAgg.readLive(spark, state, keys))
+    }
+    rehearseUnit("q_inc_agg_cdc") {
+      cdcFold(ev01, scaleScratch("cdc-01"))
+    } { cdcFold(ev1, scaleScratch("cdc-1")) }
+
+    // bloom file index: build is one map-side-combined scan (state
+    // bounded at m ints per file); the probe reads candidate files
+    // only — both corpus-linear at worst
+    def bloomLayout(o: DataFrame, dir: String): String = {
+      o.repartition(64, col("o_orderkey")).write.mode("overwrite").parquet(dir); dir
+    }
+    if (wanted("q_bloom_index")) {
+      val bl01 = bloomLayout(ord01, scaleScratch("bloom-01"))
+      val bl1 = bloomLayout(ord1, scaleScratch("bloom-1"))
+      rehearseUnit("q_bloom_index_build") {
+        noop(operators.BloomFileIndex.build(spark, bl01, "o_custkey"))
+      } { noop(operators.BloomFileIndex.build(spark, bl1, "o_custkey")) }
+      val i01 = operators.BloomFileIndex.build(spark, bl01, "o_custkey").cache()
+      val i1 = operators.BloomFileIndex.build(spark, bl1, "o_custkey").cache()
+      i01.count(); i1.count()
+      rehearseUnit("q_bloom_index_probe") {
+        noop(operators.BloomFileIndex.prunedRead(spark, bl01, i01, "o_custkey",
+          Seq(7L, 371L, 1297L)))
+      } { noop(operators.BloomFileIndex.prunedRead(spark, bl1, i1, "o_custkey",
+          Seq(7L, 371L, 1297L))) }
+      i01.unpersist(); i1.unpersist()
+    }
+
+    // GDPR purge: O(retained versions x snapshot bytes) BY DESIGN —
+    // the erasure-from-history cost; the rehearsal confirms it stays
+    // a clean rewrite (linear), not superlinear
+    def purgeSetup(ev: DataFrame, state: String): String = {
+      sources.UpsertWriter.upsert(ev.filter(col("event_id") % 2 === 0), state,
+        Seq("event_id"), "ts", keepVersions = 3)
+      sources.UpsertWriter.upsert(ev.filter(col("event_id") % 2 === 1), state,
+        Seq("event_id"), "ts", keepVersions = 3)
+      state
+    }
+    if (wanted("q_purge")) {
+      val p01 = purgeSetup(ev01, scaleScratch("purge-01"))
+      val p1 = purgeSetup(ev1, scaleScratch("purge-1"))
+      rehearseUnit("q_purge") {
+        sources.UpsertWriter.purge(spark, p01,
+          ev01.filter(col("user_id") % 97 === 0).select("user_id"), Seq("user_id")); ()
+      } { sources.UpsertWriter.purge(spark, p1,
+          ev1.filter(col("user_id") % 97 === 0).select("user_id"), Seq("user_id")); () }
+    }
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
   }
