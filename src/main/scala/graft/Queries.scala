@@ -7789,13 +7789,18 @@ object Queries {
     * the row bound (the estimate never undercounts, so an explosion
     * can never slip through — the spec locks the refusal path). The
     * guarded join's result is the plain join's, which is what the
-    * oracle runs.
+    * oracle runs. Width is sized to the key cardinality (w = 2¹⁷ ⇒
+    * collision overcount ≈ |A|·|B|/w stays well under the bound at
+    * sf0.1's 150k keys — the first sf0.1 bench run proved w = 2048
+    * all-noise here: est 44M vs true 0.6M, a correct loud refusal of
+    * a fine join; precision is WIDTH, the guard direction never lies).
     */
   val qSafeJoin: QueryDef = QueryDef(
     run = (s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey").as("k"), col("o_orderpriority"))
       val l = t(s, dir, "lineitem").select(col("l_orderkey").as("k"), col("l_extendedprice"))
-      graft.operators.SafeJoin.guardedEquiJoin(o, l, "k", maxRows = 10000000L)
+      graft.operators.SafeJoin.guardedEquiJoin(o, l, "k", maxRows = 10000000L,
+        d = 4, w = 131072)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
