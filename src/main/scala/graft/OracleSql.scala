@@ -434,6 +434,44 @@ private[graft] object OracleSql {
       cs.sql(s"SELECT s.event_type, $est FROM $sk s")
   }
 
+  /** q_kmv_overlap: segment / union KMV estimates re-derived from
+    * first principles (same XXH64 chain and ⌊(k−1)·2⁶⁴/θ⌋ estimate as
+    * [[kmvDistinctSql]], over three tagged distinct sets), then the
+    * inclusion-exclusion intersection and floor-quantized Jaccard bp.
+    * The union estimate is computed from the union SET directly —
+    * valid as the oracle precisely because KMV union is exactly
+    * mergeable (bottom-k of two bottom-k's = the union set's
+    * bottom-k), the property the Spark side exploits in reverse.
+    */
+  def kmvOverlapSql(k: Int, segA: String, segB: String): String = {
+    val cs = new Ctes
+    val base = cs.add("obase",
+      s"SELECT 'a' AS tag, user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_type = '$segA') " +
+        s"UNION ALL SELECT 'b', user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_type = '$segB') " +
+        s"UNION ALL SELECT 'u', user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_type IN ('$segA', '$segB'))")
+    val (chain, out) = xxhLong(cs, "oh", base, Seq("tag"),
+      s"CAST(user_id AS HUGEINT) + CASE WHEN user_id < 0 THEN CAST($M AS HUGEINT) ELSE 0 END", "42")
+    val d = cs.add("od", s"SELECT DISTINCT tag, $out AS hu FROM $chain")
+    val r = cs.add("orank",
+      s"SELECT tag, hu, row_number() OVER (PARTITION BY tag ORDER BY hu) AS rk FROM $d")
+    val sk = cs.add("osk",
+      s"SELECT tag, max(CASE WHEN rk = $k THEN hu END) AS theta, count(*) AS nk " +
+        s"FROM $r WHERE rk <= $k GROUP BY tag")
+    val est = cs.add("oest",
+      s"SELECT tag, CAST(CASE WHEN nk < $k THEN nk ELSE ${BigInt(k - 1) << 64} // theta END AS BIGINT) AS est FROM $sk")
+    val piv = cs.add("opiv",
+      s"SELECT max(CASE WHEN tag = 'a' THEN est END) AS approx_a, " +
+        s"max(CASE WHEN tag = 'b' THEN est END) AS approx_b, " +
+        s"max(CASE WHEN tag = 'u' THEN est END) AS approx_union FROM $est")
+    cs.sql(
+      s"""SELECT approx_a, approx_b, approx_union,
+         |  greatest(0, approx_a + approx_b - approx_union) AS approx_intersection,
+         |  CASE WHEN approx_union = 0 THEN 0
+         |       ELSE greatest(0, approx_a + approx_b - approx_union) * 10000 // approx_union
+         |  END AS jaccard_bp
+         |FROM $piv""".stripMargin)
+  }
+
   /** sim_ivfpq_topk / sim_ivfpq_rerank: IVF cell routing (full-vector
     * quantizer) composed with PQ ADC scoring over the probed cells
     * only — both quantizers trained on the same sample.

@@ -3216,6 +3216,18 @@ object Queries {
           col("n_rows").as("n_events")),
     oracle = Some(OracleSql.kmvDistinctSql(64)))
 
+  /** #18e4 KMV audience overlap ([[graft.operators.Sketches.kmvOverlap]]):
+    * distinct purchasers, distinct clickers, their union from the
+    * MERGED segment sketches (KMV union is exactly mergeable), the
+    * inclusion-exclusion intersection and floor-quantized Jaccard —
+    * audience overlap without shuffling user ids. The oracle
+    * re-derives all three estimates from first principles.
+    */
+  val qKmvOverlap: QueryDef = QueryDef(
+    run = (s, dir) => graft.operators.Sketches.kmvOverlap(
+      t(s, dir, "events"), "event_type", "user_id", "purchase", "click", k = 64),
+    oracle = Some(OracleSql.kmvOverlapSql(64, "purchase", "click")))
+
   /** #18e3 Incremental distinct-count sketch maintenance: the events
     * table arrives as two batches (one replayed — recognized no-op),
     * each folding its per-type KMV sketch into the versioned O(k)
@@ -7944,6 +7956,7 @@ object Queries {
     "q_scd2" -> qScd2,
     "q_approx_distinct" -> qApproxDistinct,
     "q_kmv_inc" -> qKmvInc,
+    "q_kmv_overlap" -> qKmvOverlap,
     "q_approx_quantiles" -> qApproxQuantiles,
     "q_hash_sample" -> qHashSample,
     "q_stream_hopping" -> qStreamHopping,

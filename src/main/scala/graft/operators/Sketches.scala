@@ -34,6 +34,56 @@ object Sketches {
           .as("approx_distinct"),
         count(lit(1)).as("n_rows"))
 
+  /** Audience-overlap analysis at sketch cost: distinct-count
+    * estimates for two segments AND their union from three O(k) KMV
+    * sketches, with the intersection by inclusion-exclusion
+    * (|A∩B| = |A|+|B|−|A∪B|, clamped at 0) and a floor-quantized
+    * Jaccard in basis points — "how many purchasers also click"
+    * without ever shuffling user ids. The KMV union is EXACTLY
+    * mergeable (bottom-k of two bottom-k sketches IS the union
+    * set's sketch), so the union estimate comes from the two segment
+    * sketches, not a third scan; everything is a pure function of the
+    * input sets, which is why q_kmv_overlap's oracle re-derives all
+    * three estimates from first principles and hash-matches.
+    *
+    * Scale shape: ONE map-side-combined scan of the two segments into
+    * two k-long sketches; the merge, estimates and ratios are
+    * constant-size driver-free arithmetic on 1-row frames. Error is
+    * the KMV bound O(1/√k) per estimate; the intersection inherits
+    * roughly the sum of the three — size k to the overlap you need
+    * to resolve.
+    */
+  def kmvOverlap(
+      df: DataFrame,
+      segmentCol: String,
+      valueCol: String,
+      segA: String,
+      segB: String,
+      k: Int = 64): DataFrame = {
+    import graft.functions.KmvFunctions._
+    val perSeg = df
+      .filter(col(segmentCol).isin(segA, segB))
+      .select(col(segmentCol).as("_seg"), xxhash64(col(valueCol)).as("_h"))
+      .groupBy(col("_seg"))
+      .agg(kmv_sketch(col("_h"), k).as("sk"))
+    val a = perSeg.filter(col("_seg") === segA).select(col("sk").as("ska"))
+    val b = perSeg.filter(col("_seg") === segB).select(col("sk").as("skb"))
+    // union sketch: re-aggregate the ALREADY-HASHED sketch values —
+    // never rehash (the refreshKmv merge rule)
+    val u = perSeg.select(explode(col("sk")).as("_h"))
+      .agg(kmv_sketch(col("_h"), k).as("sku"))
+    a.crossJoin(b).crossJoin(u)
+      .select(
+        kmv_estimate_from(col("ska"), k).as("approx_a"),
+        kmv_estimate_from(col("skb"), k).as("approx_b"),
+        kmv_estimate_from(col("sku"), k).as("approx_union"))
+      .withColumn("approx_intersection",
+        greatest(lit(0L), col("approx_a") + col("approx_b") - col("approx_union")))
+      .withColumn("jaccard_bp",
+        when(col("approx_union") === 0L, lit(0L))
+          .otherwise(expr("approx_intersection * 10000 div approx_union")))
+  }
+
   /** Approximate per-group quantiles from a DETERMINISTIC Bernoulli
     * sample: keep a row iff its multiplicative key hash clears the
     * fraction cut (the same engine-reproducible formula as

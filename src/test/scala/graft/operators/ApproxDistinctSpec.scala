@@ -176,4 +176,26 @@ class ApproxDistinctSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(kept == expect)
   }
+
+  test("kmvOverlap: below-capacity sketches give EXACT set algebra; estimates track truth at scale") {
+    val s = spark
+    import s.implicits._
+    // A = users 1..40, B = users 21..70: |A|=40 |B|=50 |A∪B|=70 |A∩B|=20
+    val rows = (1L to 40L).map(u => ("a", u)) ++ (21L to 70L).map(u => ("b", u))
+    val df = rows.toDF("seg", "user")
+    val r = Sketches.kmvOverlap(df, "seg", "user", "a", "b", k = 128).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (40L, 50L, 70L, 20L),
+      s"below-capacity KMV must be exact, got $r")
+    assert(r.getLong(4) == 20L * 10000L / 70L) // jaccard_bp floor
+    // k smaller than the sets: estimates within 3-sigma KMV error of truth
+    val big = ((1L to 3000L).map(u => ("a", u)) ++ (2001L to 6000L).map(u => ("b", u))).toDF("seg", "user")
+    val e = Sketches.kmvOverlap(big, "seg", "user", "a", "b", k = 256).head()
+    val sigma = 1.0 / math.sqrt(256)
+    assert(math.abs(e.getLong(0) - 3000.0) < 3 * sigma * 3000, s"est_a ${e.getLong(0)}")
+    assert(math.abs(e.getLong(2) - 6000.0) < 3 * sigma * 6000, s"est_union ${e.getLong(2)}")
+    // disjoint segments: intersection clamps to >= 0, never negative
+    val disj = ((1L to 500L).map(u => ("a", u)) ++ (10001L to 10500L).map(u => ("b", u))).toDF("seg", "user")
+    val d = Sketches.kmvOverlap(disj, "seg", "user", "a", "b", k = 64).head()
+    assert(d.getLong(3) >= 0L)
+  }
 }
