@@ -451,6 +451,12 @@ object Scale {
       i01.unpersist(); i1.unpersist()
     }
 
+    // KMV audience overlap: one map-side-combined scan into two
+    // k-long sketches; union/intersection are constant-size arithmetic
+    def overlapShape(ev: DataFrame): DataFrame =
+      operators.Sketches.kmvOverlap(ev, "event_type", "user_id", "purchase", "click", k = 64)
+    rehearse("q_kmv_overlap", overlapShape(ev01), overlapShape(ev1))
+
     // GDPR purge: O(retained versions x snapshot bytes) BY DESIGN —
     // the erasure-from-history cost; the rehearsal confirms it stays
     // a clean rewrite (linear), not superlinear
