@@ -52,6 +52,27 @@ class BloomFileIndexSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("plan lock: prunedRead PLANS over exactly the candidate files (file opens pruned, not just rows)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft-bfi-plan-") + "/t"
+    // 4000 distinct keys x 2 rows over 16 files: each key touches ~2
+    // files, each file holds ~500 of 4000 keys — genuinely prunable
+    (1L to 8000L).map(i => (i % 4000 + 1, i)).toDF("k", "id")
+      .repartition(16, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val idx = BloomFileIndex.build(spark, dir, "k", m = 2048).cache()
+    val cand = BloomFileIndex.candidateFiles(idx, Seq(42L), m = 2048)
+    val all = spark.read.parquet(dir).inputFiles.length
+    assert(cand.nonEmpty && cand.size < all, s"fixture must prune: ${cand.size} of $all")
+    // the pruned frame's scan inputs ARE the candidate list — the I/O
+    // win is in the plan, not a runtime filter
+    val planned = BloomFileIndex.prunedRead(spark, dir, idx, "k", Seq(42L), m = 2048)
+      .inputFiles.map(f => f.split("/").last).toSet
+    assert(planned == cand.map(f => f.split("/").last).toSet)
+    idx.unpersist()
+  }
+
   test("guards: m >= 2, non-empty probe list") {
     val s = spark
     import s.implicits._
