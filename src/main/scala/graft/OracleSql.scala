@@ -459,10 +459,13 @@ private[graft] object OracleSql {
         s"FROM $r WHERE rk <= $k GROUP BY tag")
     val est = cs.add("oest",
       s"SELECT tag, CAST(CASE WHEN nk < $k THEN nk ELSE ${BigInt(k - 1) << 64} // theta END AS BIGINT) AS est FROM $sk")
+    // coalesce: a segment with no members is the EMPTY set — estimate
+    // 0, one result row always (matches Sketches.kmvOverlap's
+    // empty-sketch semantics; a missing tag must not become NULL)
     val piv = cs.add("opiv",
-      s"SELECT max(CASE WHEN tag = 'a' THEN est END) AS approx_a, " +
-        s"max(CASE WHEN tag = 'b' THEN est END) AS approx_b, " +
-        s"max(CASE WHEN tag = 'u' THEN est END) AS approx_union FROM $est")
+      s"SELECT coalesce(max(CASE WHEN tag = 'a' THEN est END), 0) AS approx_a, " +
+        s"coalesce(max(CASE WHEN tag = 'b' THEN est END), 0) AS approx_b, " +
+        s"coalesce(max(CASE WHEN tag = 'u' THEN est END), 0) AS approx_union FROM $est")
     cs.sql(
       s"""SELECT approx_a, approx_b, approx_union,
          |  greatest(0, approx_a + approx_b - approx_union) AS approx_intersection,

@@ -477,6 +477,226 @@ object Scale {
           ev1.filter(col("user_id") % 97 === 0).select("user_id"), Seq("user_id")); () }
     }
 
+    // -------------------------------------------------------------
+    // Round-12 rehearsals: the 13 round-11 ops that shipped without
+    // an sf1 data point, plus the new incremental bloom refresh.
+    // -------------------------------------------------------------
+
+    // hybrid RRF retrieval: each leg is its own corpus-shaped work
+    // (BM25 one shuffle; brute-force cosine corpus-linear vs ONE
+    // query row); fusion itself is O(k·legs) regardless of corpus
+    def hybridShape(docs: DataFrame, emb: DataFrame): DataFrame = {
+      val lex = operators.TextAnalysis.bm25(
+        docs, queryTerms = Seq("join", "vector", "stream"), topK = 20)
+        .select(col("doc_id"), col("rk"))
+      val sem = operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("rk"))
+      operators.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+    }
+    rehearse("q_hybrid_search", hybridShape(docs01, emb01), hybridShape(docs1, emb1))
+
+    // position-based attribution: one lookback range join (conversions
+    // × in-window touches) + per-conversion window — work tracks the
+    // touch fan-in, which the 10x events grow linearly
+    def attrShape(ev: DataFrame): DataFrame = {
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts").as("conv_ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          col("ts").as("touch_ts"), col("event_type").as("channel"))
+      operators.EventAnalytics.attributePositionBased(
+        conv, touches, userCol = "user_id",
+        convIdCol = "conv_id", convTsCol = "conv_ts", centsCol = "cents",
+        touchIdCol = "touch_id", touchTsCol = "touch_ts", channelCol = "channel",
+        lookback = expr("INTERVAL 7 DAYS"))
+    }
+    rehearse("q_attribution", attrShape(ev01), attrShape(ev1))
+
+    // nearest as-of: ONE window over the tagged union — the same
+    // single-shuffle shape as the backward as-of, at any scale
+    def asofShape(ev: DataFrame): DataFrame = {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+      operators.AsOfJoin.asofNearest(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightPayload = Seq("ts", "event_id"))
+    }
+    rehearse("q_asof_nearest", asofShape(ev01), asofShape(ev1))
+
+    // perceptual-hash near-dup: signature extraction is map-side
+    // projection; the pair space is pigeonhole band buckets, never
+    // all-pairs — planted near-dups double the corpus at both scales
+    def phashShape(docs: DataFrame): DataFrame = {
+      val reencoded = docs.select(
+        (col("doc_id") + 1000000000L).as("doc_id"),
+        overlay(col("text"), lit("x"), lit(1)).as("text"),
+        col("source"))
+      val media = operators.Multimodal.mediaFromDocuments(
+        docs.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(reencoded)).toDF()
+      operators.Dedup.phashPairs(media, "media_id", "content")
+    }
+    rehearse("dedup_phash", phashShape(docs01), phashShape(docs1))
+
+    // UNPIVOT: one Expand over the 25-row aggregate — the melt is
+    // free; the measured cost is the star join + agg feeding it
+    def unpivotShape(o: DataFrame): DataFrame = {
+      val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val wide = o
+        .join(t01("customer"), col("o_custkey") === col("c_custkey"))
+        .join(t01("nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents).cast("long").as("total_cents"),
+          max(cents).as("max_cents"))
+      wide.unpivot(
+        Array(col("n_name")),
+        Array(col("n_orders"), col("total_cents"), col("max_cents")),
+        "metric", "value")
+    }
+    rehearse("q_unpivot", unpivotShape(ord01), unpivotShape(ord1))
+
+    // WAP lifecycle: stage upsert + audit aggregates + one merge
+    // commit — every phase corpus-linear with a constant commit tax
+    def wapShape(o: DataFrame, path: String): Unit = {
+      val base = o.select(
+        col("o_orderkey").as("k"), col("o_custkey"),
+        col("o_orderstatus").as("status"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        lit(1L).as("prec"))
+      sources.UpsertWriter.upsert(base, path, Seq("k"), "prec", keepVersions = 3)
+      def audit(staged: DataFrame): Seq[DataFrame] = Seq(
+        operators.QualityChecks.notNull(staged, "status", "status_not_null"),
+        operators.QualityChecks.inRange(staged, "cents", 0, 1e12, "cents_in_range"))
+      val good = base.filter(col("k") % 10 === 3)
+        .withColumn("cents", col("cents") + 5L).withColumn("prec", lit(2L))
+      val r = sources.Wap.writeAuditPublish(good, path, Seq("k"), "prec", audit)
+      require(r.published, s"rehearsal WAP batch must publish, got $r")
+    }
+    rehearseUnit("q_wap_publish") {
+      wapShape(ord01, scaleScratch("wap-01"))
+    } { wapShape(ord1, scaleScratch("wap-1")) }
+
+    // deep clone: pure file copy of the retained history — O(bytes)
+    def cloneShape(ev: DataFrame, src: String, dst: String): Unit = {
+      sources.UpsertWriter.upsert(ev.filter(col("event_id") % 2 === 0), src,
+        Seq("event_id"), "ts", keepVersions = 3)
+      sources.UpsertWriter.upsert(ev.filter(col("event_id") % 2 === 1), src,
+        Seq("event_id"), "ts", keepVersions = 3)
+      sources.TableClone.deepClone(spark, src, dst); ()
+    }
+    rehearseUnit("q_clone") {
+      cloneShape(ev01, scaleScratch("clone-src-01"), scaleScratch("clone-dst-01"))
+    } { cloneShape(ev1, scaleScratch("clone-src-1"), scaleScratch("clone-dst-1")) }
+
+    // cardinality-guarded join: two sketch pre-pass scans (now with
+    // the KMV-auto width) + the guarded join itself
+    def safeShape(o: DataFrame, li: DataFrame, maxRows: Long): DataFrame =
+      operators.SafeJoin.guardedEquiJoin(
+        o.select(col("o_orderkey").as("k"), col("o_orderpriority")),
+        li.select(col("l_orderkey").as("k"), col("l_extendedprice")),
+        "k", maxRows = maxRows)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    rehearse("q_safe_join", safeShape(ord01, li01, 10000000L),
+      safeShape(ord1, li1, 100000000L))
+
+    // k-anonymity audit: one map-side-combined shuffle of QI combos
+    def kanonShape(c: DataFrame): DataFrame =
+      operators.Privacy.kAnonymityAudit(
+        c.withColumn("bal_band", floor(col("c_acctbal") / lit(5000.0)).cast("long")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)
+    rehearse("q_kanon", kanonShape(cust01), kanonShape(cust1))
+
+    // pseudonymization: a pure map-side token projection + rollup
+    def pseudoShape(ev: DataFrame): DataFrame =
+      operators.Privacy.pseudonymize(ev, Seq("user_id"), salt = "epoch7")
+        .groupBy(col("user_id").as("user_token"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+    rehearse("q_pseudonymize", pseudoShape(ev01), pseudoShape(ev1))
+
+    // group-aware k-fold: map-side hash projection + rollup
+    def kfoldShape(ev: DataFrame): DataFrame =
+      operators.Sampling.kFoldByGroup(ev, "user_id", k = 5)
+        .groupBy(col("fold"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+    rehearse("q_kfold", kfoldShape(ev01), kfoldShape(ev1))
+
+    // phonetic (soundex) blocking linkage: Σ|block|² work — the
+    // 10x leg links shifted supplier copies under the same key design
+    def phoneticShape(supp: DataFrame): DataFrame = {
+      val base = supp
+        .join(sources.TableLoader.table(spark, sfDir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("id"),
+          concat(col("n_name"), lit("-"), (col("s_suppkey") % 50).cast("string")).as("name"),
+          col("s_nationkey").cast("long").as("nation"),
+          expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_cents"))
+      val typo = base.filter(col("id") % 3 === 0).select(
+        (col("id") + 1000000000L).as("id"),
+        expr("substr(name, 1, 1) || replace(substr(name, 2), 'I', 'Y')").as("name"),
+        col("nation"), col("bal_cents"))
+      val records = base.unionByName(typo)
+      val blockKeys = Seq(concat(
+        operators.RecordLinkage.soundexKey("name"),
+        lit(":"), col("nation").cast("string")))
+      val nameDist = levenshtein(col("a_name"), col("b_name"))
+      val score =
+        when(nameDist === 0, 40L).when(nameDist <= 2, 25L).otherwise(0L) +
+        when(col("a_nation") === col("b_nation"), 20L).otherwise(0L) +
+        when(abs(col("a_bal_cents") - col("b_bal_cents")) <= 10L, 15L).otherwise(0L)
+      operators.RecordLinkage.link(records, "id", blockKeys, score, threshold = 50L)
+    }
+    val supp01 = t01("supplier")
+    val supp1 = (0 until copies).map(i => supp01.withColumn("s_suppkey",
+      col("s_suppkey") + lit(i.toLong * 100000000L))).reduce(_ unionByName _)
+    rehearse("q_linkage_phonetic", phoneticShape(supp01), phoneticShape(supp1))
+
+    // distributed bloom probe (semi-join variant): same pruning, no
+    // driver collect — measured on the same layouts as the build
+    if (wanted("q_bloom_index_semi")) {
+      val bl01 = bloomLayout(ord01, scaleScratch("bloom-semi-01"))
+      val bl1 = bloomLayout(ord1, scaleScratch("bloom-semi-1"))
+      val i01 = operators.BloomFileIndex.build(spark, bl01, "o_custkey").cache()
+      val i1 = operators.BloomFileIndex.build(spark, bl1, "o_custkey").cache()
+      i01.count(); i1.count()
+      val probes = spark.range(0, 3).select(
+        when(col("id") === 0, 7L).when(col("id") === 1, 371L)
+          .otherwise(1297L).as("pk"))
+      rehearseUnit("q_bloom_index_semi") {
+        noop(operators.BloomFileIndex.prunedReadSemiJoin(
+          spark, bl01, i01, "o_custkey", probes, "pk"))
+      } { noop(operators.BloomFileIndex.prunedReadSemiJoin(
+          spark, bl1, i1, "o_custkey", probes, "pk")) }
+      i01.unpersist(); i1.unpersist()
+    }
+
+    // incremental bloom refresh: the O(changes) claim measured the
+    // strongest way — the SAME-SIZED batch appends to the sf0.1 and
+    // sf1 tables, so if refresh cost tracks the APPEND (not the
+    // table) the ratio must stay ~1 even though the table is 10x
+    if (wanted("q_bloom_refresh")) {
+      def refreshSetup(o: DataFrame, dir: String, idx: String): Unit = {
+        o.repartition(64, col("o_orderkey")).write.mode("overwrite").parquet(dir)
+        operators.BloomFileIndex.refresh(spark, dir, idx, "o_custkey"); ()
+      }
+      val rb01 = scaleScratch("bloom-ref-01"); val ri01 = scaleScratch("bloom-ref-i01")
+      val rb1 = scaleScratch("bloom-ref-1"); val ri1 = scaleScratch("bloom-ref-i1")
+      refreshSetup(ord01, rb01, ri01)
+      refreshSetup(ord1, rb1, ri1)
+      val batch = ord01.withColumn("o_orderkey", col("o_orderkey") + lit(9000000000L))
+      batch.repartition(8, col("o_orderkey")).write.mode("append").parquet(rb01)
+      batch.repartition(8, col("o_orderkey")).write.mode("append").parquet(rb1)
+      rehearseUnit("q_bloom_refresh") {
+        operators.BloomFileIndex.refresh(spark, rb01, ri01, "o_custkey"); ()
+      } { operators.BloomFileIndex.refresh(spark, rb1, ri1, "o_custkey"); () }
+    }
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
   }

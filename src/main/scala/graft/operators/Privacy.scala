@@ -28,13 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
-  /** Replace each named column with its salted token (BIGINT). */
+  /** Replace each named column with its salted token (BIGINT). NULL
+    * stays NULL: `concat_ws` would silently DROP a null argument and
+    * tokenize every null as fingerprint(salt) — a stable, real-looking
+    * token shared by all unknowns, which would both leak "these rows
+    * had no id" as a joinable pseudo-identity and diverge from SQL's
+    * `'salt:' || NULL IS NULL` semantics. Strict concat + an explicit
+    * null gate keep the token column's null set exactly the input's.
+    */
   def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
     require(cols.nonEmpty, "name at least one column to pseudonymize")
     require(!salt.contains(":"), "salt must not contain the ':' separator")
     cols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, graft.functions.HashFunctions.fingerprint64(
-        concat_ws(":", lit(salt), col(c).cast("string"))))
+      d.withColumn(c,
+        when(col(c).isNull, lit(null).cast("long"))
+          .otherwise(graft.functions.HashFunctions.fingerprint64(
+            concat(lit(salt), lit(":"), col(c).cast("string")))))
     }
   }
 

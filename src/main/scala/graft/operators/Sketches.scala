@@ -61,18 +61,30 @@ object Sketches {
       segB: String,
       k: Int = 64): DataFrame = {
     import graft.functions.KmvFunctions._
-    val perSeg = df
+    // ONE global aggregate builds BOTH segment sketches from one scan
+    // (the kmv aggregate skips the null the off-segment CASE yields),
+    // so the one-scan property is structural — a single Aggregate
+    // node, not a ReuseExchange coincidence — and the op returns
+    // exactly one row even when a segment (or both) has no members:
+    // an absent segment is the EMPTY sketch, estimate 0, not a
+    // silently-vanished result row.
+    val sk = df
       .filter(col(segmentCol).isin(segA, segB))
       .select(col(segmentCol).as("_seg"), xxhash64(col(valueCol)).as("_h"))
-      .groupBy(col("_seg"))
-      .agg(kmv_sketch(col("_h"), k).as("sk"))
-    val a = perSeg.filter(col("_seg") === segA).select(col("sk").as("ska"))
-    val b = perSeg.filter(col("_seg") === segB).select(col("sk").as("skb"))
-    // union sketch: re-aggregate the ALREADY-HASHED sketch values —
-    // never rehash (the refreshKmv merge rule)
-    val u = perSeg.select(explode(col("sk")).as("_h"))
-      .agg(kmv_sketch(col("_h"), k).as("sku"))
-    a.crossJoin(b).crossJoin(u)
+      .agg(
+        kmv_sketch(when(col("_seg") === segA, col("_h")), k).as("ska"),
+        kmv_sketch(when(col("_seg") === segB, col("_h")), k).as("skb"))
+    // union sketch by MERGE, not re-scan: bottom-k (unsigned order)
+    // of the two sketches' distinct union IS the union set's sketch —
+    // pure array arithmetic on the one aggregate row. The comparator
+    // mirrors the sketch's unsigned order (negative longs rank last).
+    val unsignedAsc = (a: Column, b: Column) =>
+      when(a === b, lit(0))
+        .otherwise(when((a < 0) === (b < 0), when(a < b, lit(-1)).otherwise(lit(1)))
+          .otherwise(when(a < 0, lit(1)).otherwise(lit(-1))))
+    sk
+      .withColumn("sku",
+        slice(array_sort(array_union(col("ska"), col("skb")), unsignedAsc), 1, k))
       .select(
         kmv_estimate_from(col("ska"), k).as("approx_a"),
         kmv_estimate_from(col("skb"), k).as("approx_b"),

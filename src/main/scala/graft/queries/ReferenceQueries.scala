@@ -1,0 +1,537 @@
+package graft
+
+import graft.pipeline._
+import graft.sources.{IncrementalReader, TableLoader, UpsertWriter}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-surface slice of the query catalog (the reference pipeline's own shapes: loads, reports, upsert table, services) — one trait of the linear
+  * [[Queries]] stack; see Queries.scala for the registry and the
+  * catalog-wide numeric policy.
+  */
+trait ReferenceQueries extends QueryBase {
+
+  // ---------------------------------------------------------------
+  // Reference surface
+  // ---------------------------------------------------------------
+
+  /** #1 Full snapshot load (reference: template.py:304). */
+  val qFullLoad: QueryDef = QueryDef(
+    run = (s, dir) => t(s, dir, "orders"),
+    oracle = Some("SELECT * FROM orders"))
+
+  /** #2 Incremental read since a commit watermark
+    * (reference: template.py:197-217). Fixed watermark so the check
+    * is stateless; the checkpoint state machine is covered in specs.
+    */
+  val incWatermark = "2024-01-15 00:00:00"
+  val qIncLoad: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val rdr = new IncrementalReader(s, null) // readSince needs no store
+      // filter the RAW nanos column so the watermark is a pushed
+      // parquet predicate, then normalize (see readSinceNanos)
+      rdr.readSinceNanos(s.read.parquet(s"$dir/events.parquet"), "ts", incWatermark)
+    },
+    oracle = Some(s"SELECT * FROM events WHERE ts > TIMESTAMP '$incWatermark'"))
+
+  /** #4/#5 Flagship config-driven report transform — the reference's
+    * own demo query re-grounded on TPC-H-ish tables
+    * (reference: template.py:471-516: orders ⋈ customers, URGENT only).
+    */
+  val reportSql: String =
+    """SELECT o.*, c.c_name AS customer_name
+      |FROM orders AS o
+      |JOIN customer AS c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin
+
+  def reportSpec(dir: String, reportRoot: Option[String] = None): PipelineSpec = PipelineSpec(
+    sources = Seq(
+      SourceSpec("orders", s"$dir/orders.parquet"),
+      SourceSpec("customer", s"$dir/customer.parquet")),
+    transform = TransformSpec(reportSql),
+    report = reportRoot.map(root => ReportSpec(
+      senderEmail = "reports@graft.local",
+      recipientEmail = "customer@graft.local",
+      subject = "Download Link for Data",
+      reportRoot = root)))
+
+  val qReportUrgent: QueryDef = QueryDef(
+    run = (s, dir) => new ReportPipeline(s, scratch("ckpt-report")).transform(reportSpec(dir)),
+    oracle = Some(reportSql))
+
+  /** #6 CSV report sink roundtrip: run the flagship transform, write
+    * it through ReportWriter (date-partitioned single CSV), read it
+    * back with the declared schema. Oracle is the flagship query —
+    * proving the CSV layer is lossless for this report shape.
+    */
+  val qCsvRoundtrip: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val result = new ReportPipeline(s, scratch("ckpt-csv")).transform(reportSpec(dir))
+      val writer = new ReportWriter(scratch("report-root"))
+      val handle = writer.write(result)
+      s.read.schema(result.schema).option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(handle.path)
+    },
+    oracle = Some(reportSql))
+
+  /** #6b JSON-lines report sink roundtrip: the flagship transform
+    * written through ReportWriter as JSONL and read back with the
+    * declared schema — same losslessness contract as the CSV path
+    * (doubles survive via shortest-round-trip serialization; NTZ
+    * timestamps via the declared read schema).
+    */
+  val qJsonlRoundtrip: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val result = new ReportPipeline(s, scratch("ckpt-jsonl")).transform(reportSpec(dir))
+      val writer = new ReportWriter(scratch("report-root-jsonl"))
+      val handle = writer.write(result, format = "json")
+      s.read.schema(result.schema).json(handle.path)
+    },
+    oracle = Some(reportSql))
+
+  /** #2b Incremental aggregate maintenance: the per-(user, type)
+    * rollup is built from TWO increments split at the incremental
+    * watermark — history is never rescanned on the second refresh —
+    * and must equal the full recompute bit-for-bit (count and decimal
+    * sum are associative and exact).
+    */
+  val qIncAgg: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("inc-agg-state")
+      val ev = t(s, dir, "events")
+      val keys = Seq("user_id", "event_type")
+      graft.operators.IncrementalAgg.refreshTable(
+        s, statePath, ev.filter(col("ts") <= lit(incWatermark).cast("timestamp_ntz")), keys, "value",
+        batchId = Some(1L))
+      graft.operators.IncrementalAgg.refreshTable(
+        s, statePath, ev.filter(col("ts") > lit(incWatermark).cast("timestamp_ntz")), keys, "value",
+        batchId = Some(2L))
+      // at-least-once delivery replays batch 2: the applied-batch
+      // high-water mark (committed atomically with the state) makes
+      // the redelivery a no-op — if it double-counted, the oracle
+      // hash below would catch it
+      graft.operators.IncrementalAgg.refreshTable(
+        s, statePath, ev.filter(col("ts") > lit(incWatermark).cast("timestamp_ntz")), keys, "value",
+        batchId = Some(2L))
+      graft.operators.IncrementalAgg.read(s, statePath, keys)
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("sum_dec").cast("double").as("sum_value"))
+    },
+    oracle = Some(
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id, event_type""".stripMargin))
+
+  /** #2e Retraction-aware incremental aggregate maintenance
+    * ([[graft.operators.IncrementalAgg.refreshFromChanges]]): the
+    * rollup built from the base snapshot stays exact under a CDC
+    * batch carrying INSERTS, DELETES and UPDATE pre/post images
+    * (purchases doubled, errors deleted, clicks re-keyed — the
+    * q_cdc_feed scenario) — pre-images subtract, post-images add,
+    * fully-deleted groups tombstone to n=0 and readLive drops them.
+    * The replayed batch proves the at-least-once guard. The oracle
+    * recomputes the aggregate over the NEW snapshot directly.
+    */
+  val qIncAggCdc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val statePath = scratch("inc-agg-cdc-state")
+      val base = t(s, dir, "events")
+      val next = base
+        .filter(col("event_type") =!= "error" && col("event_type") =!= "purchase")
+        .unionByName(base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")))
+        .unionByName(base.filter(col("event_type") === "click")
+          .withColumn("event_id", col("event_id") + 20000000L))
+      val keys = Seq("user_id", "event_type")
+      graft.operators.IncrementalAgg.refreshTable(
+        s, statePath, base, keys, "value", batchId = Some(1L))
+      val feed = graft.operators.SnapshotDiff.changeFeed(base, next, keys = Seq("event_id"))
+      graft.operators.IncrementalAgg.refreshFromChanges(
+        s, statePath, feed, keys, "value", batchId = Some(2L))
+      // at-least-once redelivery of the CDC batch must be a no-op
+      graft.operators.IncrementalAgg.refreshFromChanges(
+        s, statePath, feed, keys, "value", batchId = Some(2L))
+      graft.operators.IncrementalAgg.readLive(s, statePath, keys)
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("sum_dec").cast("double").as("sum_value"))
+    },
+    oracle = Some(
+      """WITH next AS (
+        |  SELECT * FROM events WHERE event_type NOT IN ('error', 'purchase')
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+        |         value * 2 AS value, props
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id + 20000000 AS event_id, ts, user_id, event_type, value, props
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT user_id, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM next GROUP BY user_id, event_type""".stripMargin))
+
+  /** #2c Incremental JOIN-view maintenance: revenue by market segment
+    * over orders ⋈ customer, with BOTH sides changing — orders arrive
+    * as two increments split at a date watermark (fact history is
+    * never rescanned; per-custkey partials fold), and the customer
+    * dim is then patched (every custkey % 10 == 0 moves to segment
+    * 'MOVED') as a latest-wins upsert. The read joins the two compact
+    * states and must equal the full recompute over the final inputs
+    * bit-for-bit.
+    */
+  val qIncJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.operators.IncrementalJoinView
+      val factState = scratch("inc-join-fact")
+      val dimState = scratch("inc-join-dim")
+      val o = t(s, dir, "orders")
+      val cut = lit("1995-01-01").cast("timestamp_ntz")
+      IncrementalJoinView.refreshFact(
+        s, factState, o.filter(col("o_orderdate") <= cut), "o_custkey", "o_totalprice",
+        batchId = Some(1L))
+      IncrementalJoinView.refreshFact(
+        s, factState, o.filter(col("o_orderdate") > cut), "o_custkey", "o_totalprice",
+        batchId = Some(2L))
+      // replayed fact increment: skipped by the high-water mark; a
+      // double-count would fail the oracle hash
+      IncrementalJoinView.refreshFact(
+        s, factState, o.filter(col("o_orderdate") > cut), "o_custkey", "o_totalprice",
+        batchId = Some(2L))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      IncrementalJoinView.refreshDim(
+        s, dimState, c.withColumn("_ver", lit(1L)), "c_custkey", "_ver")
+      IncrementalJoinView.refreshDim(
+        s, dimState,
+        c.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_mktsegment", lit("MOVED")).withColumn("_ver", lit(2L)),
+        "c_custkey", "_ver")
+      IncrementalJoinView.read(s, factState, dimState,
+          joinKey = "o_custkey", dimKey = "c_custkey", groupCol = "c_mktsegment")
+        .select(col("c_mktsegment"), col("n").as("n_orders"),
+          col("sum_dec").cast("double").as("revenue"))
+    },
+    oracle = Some(
+      """WITH dim AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN dim ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin))
+
+  /** #10 Upsert merge: latest-wins by (record key, precombine)
+    * (reference: generate_hudi_table.py:86-214). Purchases get a
+    * doubled value one hour later; the merge must surface exactly
+    * those updated rows plus untouched originals.
+    */
+  val qUpsertMerge: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val base = t(s, dir, "events")
+      val updates = base
+        .filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      UpsertWriter.merge(base.unionByName(updates), Seq("event_id"), "ts")
+    },
+    oracle = Some(
+      """WITH updates AS (
+        |  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type, value * 2 AS value, props
+        |  FROM events WHERE event_type = 'purchase'
+        |), unioned AS (
+        |  SELECT * FROM events UNION ALL SELECT * FROM updates
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn FROM unioned
+        |)
+        |SELECT event_id, ts, user_id, event_type, value, props FROM ranked WHERE rn = 1""".stripMargin))
+
+  /** #10f Delete operation on the versioned table (Hudi DELETE
+    * analog): ingest events, tombstone every 'view' event's key, read
+    * the post-delete snapshot. The delete-key batch broadcasts; the
+    * oracle is the surviving set.
+    */
+  val qUpsertDelete: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("upsert-delete")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(base, target, Seq("event_id"), "ts")
+      UpsertWriter.delete(s, target,
+        base.filter(col("event_type") === "view").select("event_id"), Seq("event_id"))
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some("SELECT * FROM events WHERE event_type <> 'view'"))
+
+  /** #12d Compaction table service, oracled end-to-end: the events
+    * table committed as many small files, compacted to target size as
+    * a NEW version — the read-back must be content-identical to the
+    * source (layout-only change; the file-count property is
+    * spec-locked separately).
+    */
+  val qCompact: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("compact-svc")
+      UpsertWriter.upsert(t(s, dir, "events"), target,
+        recordKeys = Seq("event_id"), precombine = "ts",
+        targetFileBytes = 64L * 1024) // force a small-file version
+      UpsertWriter.compact(s, target, targetFileBytes = 512L * 1024 * 1024)
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some("SELECT * FROM events"))
+
+  /** #10l Savepoint restore, oracled end-to-end: v1 = events, v2
+    * doubles purchase values, restore(v1) re-commits v1's CONTENT as
+    * v3 — the live read must equal the original table (append-only
+    * timeline; the timeline shape is spec-locked separately).
+    */
+  val qRestore: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("restore-svc")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(base, target, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.upsert(
+        base.withColumn("value",
+          when(col("event_type") === "purchase", col("value") * 2).otherwise(col("value"))),
+        target, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.restore(s, target, version = 1, keepVersions = 3)
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some("SELECT * FROM events"))
+
+  /** #12 Clustered (sorted-within-partition) file layout, oracled as
+    * a lossless round-trip: clustering is layout-only, so the
+    * read-back equals the source table (the per-file value-span
+    * property is spec-locked separately).
+    */
+  val qClusteredRead: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("clustered-read")
+      UpsertWriter.upsert(t(s, dir, "events"), target,
+        recordKeys = Seq("event_id"), precombine = "ts",
+        clusterBy = Seq("value"))
+      UpsertWriter.read(s, target)
+    },
+    oracle = Some("SELECT * FROM events"))
+
+  /** #14n Catalog sync (the reference's hive_sync,
+    * generate_hudi_table.py:121-130): upsert events into a versioned
+    * table with catalog registration, then read it back BY NAME via
+    * `spark.table` — no temp view, no path. Oracled as the full
+    * snapshot: what the catalog name resolves to must be exactly the
+    * committed version's content.
+    */
+  val qCatalogRead: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("catalog-read")
+      UpsertWriter.upsert(t(s, dir, "events"), target,
+        recordKeys = Seq("event_id"), precombine = "ts",
+        syncTable = Some("graft_catalog_events"))
+      s.catalog.refreshTable("graft_catalog_events")
+      s.table("graft_catalog_events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    },
+    oracle = Some("SELECT * FROM events"))
+
+  /** #11 Hive-partitioned versioned write + partition-pruned read:
+    * events upserted into a table partitioned by event_type, read
+    * back filtered to ONE partition — the scan must touch only that
+    * partition's files (PlanSpec asserts the PartitionFilters), and
+    * the round-trip must be lossless vs the raw table.
+    */
+  val qPartitionPrune: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("upsert-partitioned")
+      UpsertWriter.upsert(t(s, dir, "events"), target,
+        recordKeys = Seq("event_id"), precombine = "ts",
+        partitionBy = Seq("event_type"))
+      UpsertWriter.read(s, target)
+        .filter(col("event_type") === "click")
+        // partition columns come back string-typed and appended last;
+        // restore the original column order and keep the value as-is
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    },
+    oracle = Some("SELECT * FROM events WHERE event_type = 'click'"))
+
+  /** #12b Bucketed co-located join: orders and lineitem bucketed on
+    * the join key — the join plans with ZERO exchanges (PlanSpec
+    * asserts it); this query checks the bucketed storage path is also
+    * CORRECT end-to-end against the plain-join oracle.
+    */
+  protected val bucketedFor = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  val qBucketedJoin: QueryDef = QueryDef(
+    run = (s, dir) => {
+      // table prep is ingest (one-time DDL per source dir), not the
+      // query — memoize like the streaming dir staging, so reps and
+      // repeat runs measure the exchange-free join itself
+      // table names carry a dir hash: two source dirs in one JVM must
+      // not share (or clobber) each other's bucketed tables
+      val tag = java.lang.Long.toHexString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(dir).hashCode().toLong & 0xffffffffL)
+      val (ordersTbl, lineitemTbl) = (s"graft_q_orders_b_$tag", s"graft_q_lineitem_b_$tag")
+      bucketedFor.computeIfAbsent(dir, { _ =>
+        graft.sources.Bucketing.writeBucketed(
+          t(s, dir, "orders"), ordersTbl, Seq("o_orderkey"), buckets = 8)
+        graft.sources.Bucketing.writeBucketed(
+          t(s, dir, "lineitem"), lineitemTbl, Seq("l_orderkey"), buckets = 8)
+        true
+      })
+      graft.sources.Bucketing.table(s, ordersTbl)
+        .join(graft.sources.Bucketing.table(s, lineitemTbl),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)")).cast("double").as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin))
+
+  /** #10d Time travel: two upserts build a two-version timeline;
+    * reading VERSION 1 must return the pre-update snapshot exactly
+    * (the raw events — event_id is unique, so the first merge is an
+    * identity), while the latest read reflects the update. The latest
+    * read is q_upsert_merge's territory; here the oracle pins the
+    * archived version.
+    */
+  val qTimeTravel: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("upsert-timetravel")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(base, target, Seq("event_id"), "ts", keepVersions = 3)
+      val updates = base.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      UpsertWriter.upsert(updates, target, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.readVersion(s, target, 1)
+    },
+    oracle = Some("SELECT * FROM events"))
+
+  /** #10t Deep clone ([[graft.sources.TableClone.deepClone]]): the
+    * 2-version events table is physically copied — history and all —
+    * and the CLONE then takes an upsert (purchases doubled) the
+    * SOURCE must not see. Output: per-type rollups of the source
+    * live, clone live, and clone's time-traveled v1, proving copy
+    * fidelity, write isolation, and history portability in one
+    * result; the oracle recomputes all three states.
+    */
+  val qClone: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val src = scratch("clone-src")
+      val dst = scratch("clone-dst")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(
+        base.filter(col("ts") <= lit(incWatermark).cast("timestamp_ntz")),
+        src, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.upsert(
+        base.filter(col("ts") > lit(incWatermark).cast("timestamp_ntz")),
+        src, Seq("event_id"), "ts", keepVersions = 3)
+      graft.sources.TableClone.deepClone(s, src, dst)
+      UpsertWriter.upsert(
+        base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")),
+        dst, Seq("event_id"), "ts", keepVersions = 3)
+      def rollup(df: DataFrame, side: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+        .withColumn("side", lit(side))
+      rollup(UpsertWriter.read(s, src), "source")
+        .unionByName(rollup(UpsertWriter.read(s, dst), "clone"))
+        .unionByName(rollup(UpsertWriter.readVersion(s, dst, 1), "clone_v1"))
+    },
+    oracle = Some(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+         |  'source' AS side
+         |FROM events GROUP BY 1
+         |UNION ALL
+         |SELECT event_type, count(*),
+         |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END
+         |       AS DECIMAL(28,6))) AS DOUBLE), 'clone'
+         |FROM events GROUP BY 1
+         |UNION ALL
+         |SELECT event_type, count(*),
+         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 'clone_v1'
+         |FROM events WHERE ts <= TIMESTAMP '$incWatermark' GROUP BY 1""".stripMargin))
+
+  /** #38d Right-to-be-forgotten purge
+    * ([[graft.sources.UpsertWriter.purge]]): a 2-version events table
+    * forgets every user whose id ≡ 0 (mod 97) — the subjects' rows
+    * vanish from the LIVE snapshot AND the retained HISTORY (a plain
+    * delete only advances the head; time travel would still leak the
+    * subject). Output: per-version per-type counts over both
+    * retained snapshots after the purge; the oracle recomputes each
+    * version's post-erasure state from first principles.
+    */
+  val qPurge: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("upsert-purge")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(
+        base.filter(col("ts") <= lit(incWatermark).cast("timestamp_ntz")),
+        target, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.upsert(
+        base.filter(col("ts") > lit(incWatermark).cast("timestamp_ntz")),
+        target, Seq("event_id"), "ts", keepVersions = 3)
+      val forget = base.filter(col("user_id") % 97L === 0L).select("user_id")
+      UpsertWriter.purge(s, target, forget, Seq("user_id"))
+      UpsertWriter.readVersion(s, target, 1).withColumn("version", lit(1))
+        .unionByName(UpsertWriter.readVersion(s, target, 2).withColumn("version", lit(2)))
+        .groupBy(col("version"), col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    },
+    oracle = Some(
+      s"""SELECT 1 AS version, event_type, count(*) AS n,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events
+         |WHERE ts <= TIMESTAMP '$incWatermark' AND user_id % 97 <> 0
+         |GROUP BY 2
+         |UNION ALL
+         |SELECT 2, event_type, count(*), CAST(count(DISTINCT user_id) AS BIGINT)
+         |FROM events WHERE user_id % 97 <> 0
+         |GROUP BY 2""".stripMargin))
+
+  /** #13/#21 KV/JSON scan: typed extraction from the events.props
+    * JSON column (reference: template.py:284-294), then an aggregate
+    * over the extracted field — no UDF, fully codegen'd from_json.
+    */
+  val qJsonExtract: QueryDef = QueryDef(
+    run = (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"), max(col("k")).as("max_k")),
+    oracle = Some(
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |       CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin))
+
+  /** #13b Semi-structured VARIANT ingestion (Spark 4 native type):
+    * props parsed once with `parse_json` into a VARIANT column, then
+    * path-extracted with `variant_get` — the open-schema JSON path
+    * that skips per-field from_json schemas (and shreds at the
+    * storage layer at scale). Same rollup and oracle shape as the
+    * schema-declared extraction in q_json_extract.
+    */
+  val qVariantExtract: QueryDef = QueryDef(
+    run = (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("_v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("_v"), "$.k", "int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).as("max_k")),
+    oracle = Some(
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |       CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin))
+
+}

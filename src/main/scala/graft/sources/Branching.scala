@@ -260,10 +260,16 @@ object Branching {
       partitionBy: Seq[String] = Nil, keepVersions: Int = 2): Int = {
     val table = new Path(tablePath)
     val fs = fsFor(spark, table)
-    val (base, ours, theirs) = mergeInputs(spark, tablePath, name)
-    val merged = threeWayMerge(base, ours, theirs, recordKeys, precombine, onConflict)
-    val next = UpsertWriter.committedVersions(fs, table).last._1 + 1
-    UpsertWriter.commitVersion(fs, table, merged, next, partitionBy, keepVersions)
-    next
+    // the merge commit is a WRITER: it holds the next version slot's
+    // OCC claim, and `ours` (main's latest) is read INSIDE the claim —
+    // two racing publishers serialize cleanly (the loser re-merges on
+    // top of the winner's commit) instead of colliding in one
+    // version dir's _temporary; exhausted contention fails loudly.
+    UpsertWriter.withNextVersionClaim(fs, table) { next =>
+      val (base, ours, theirs) = mergeInputs(spark, tablePath, name)
+      val merged = threeWayMerge(base, ours, theirs, recordKeys, precombine, onConflict)
+      UpsertWriter.commitVersion(fs, table, merged, next, partitionBy, keepVersions)
+      next
+    }
   }
 }

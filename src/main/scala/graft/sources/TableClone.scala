@@ -58,20 +58,37 @@ object TableClone {
     * [[UpsertWriter.purge]]), (c) `*_claim` files older than `ttlMs`
     * (a crashed OCC writer — same staleness rule the claim protocol
     * itself applies). Committed versions are NEVER touched; retention
-    * of those is [[UpsertWriter.clean]]'s job. Returns the deleted
-    * paths (relative names) for the audit log.
+    * of those is [[UpsertWriter.clean]]'s job. Before any deletion,
+    * interrupted purge swaps are RECOVERED
+    * ([[UpsertWriter.recoverPurgeDebris]]): a `.purging` or `.old`
+    * dir that is the only surviving copy of a committed version is
+    * rolled back into place, never reaped — after recovery the only
+    * `.purging` dirs left are true debris (their committed twin is
+    * live). Returns the deleted paths (relative names) for the audit
+    * log.
     */
   def vacuum(spark: SparkSession, tablePath: String, ttlMs: Long = 3600_000L): Seq[String] = {
     val root = new Path(tablePath)
     val fs = fsFor(spark, root)
     if (!fs.exists(root)) return Nil
+    UpsertWriter.recoverPurgeDebris(fs, root)
     val now = System.currentTimeMillis()
+    // an uncommitted dir whose writer holds a FRESH OCC claim is an
+    // in-flight write, not debris: the claim file's mtime is the
+    // writer's heartbeat (upsertConcurrent creates it before writing)
+    // and protects a slow writer whose data dir has aged past ttl.
+    // Plain upsert takes no claim and relies on the dir age gate.
+    def freshClaim(vname: String): Boolean = {
+      val cp = new Path(root, vname + "_claim")
+      fs.exists(cp) && now - fs.getFileStatus(cp).getModificationTime < ttlMs
+    }
     val doomed = fs.listStatus(root).toSeq.filter { st =>
       val name = st.getPath.getName
       val old = now - st.getModificationTime >= ttlMs
       val uncommittedVersion = st.isDirectory &&
         name.matches("v\\d{8}") &&
-        !fs.exists(new Path(st.getPath, "_graft_commit"))
+        !fs.exists(new Path(st.getPath, "_graft_commit")) &&
+        !freshClaim(name)
       val purgeDebris = st.isDirectory && name.matches("v\\d{8}\\.purging")
       val staleClaim = !st.isDirectory && name.matches("v\\d{8}_claim")
       old && (uncommittedVersion || purgeDebris || staleClaim)

@@ -748,36 +748,142 @@ object UpsertWriter {
     * survive; only matching rows vanish from each snapshot.
     *
     * Cost, stated honestly: O(retained versions × snapshot size) —
-    * the price of erasure from history; retention bounds it. Each
-    * version swaps via stage → delete → rename with the commit marker
-    * re-created LAST, so a reader never sees a half-rewritten
-    * snapshot as committed (mid-swap the version lists as absent —
-    * loud, not wrong). Run it from the table's single maintenance
-    * lane (like compact/clean), not concurrently with writers.
-    * Returns the rewritten version numbers.
+    * the price of erasure from history; retention bounds it.
+    *
+    * Crash safety — each version swaps RECOVERABLY: the staged
+    * rewrite becomes a COMPLETE version dir (data, metadata, commit
+    * marker) before anything is touched, then the live dir steps
+    * aside as `vNNNNNNNN.old`, the staged dir takes its place, and
+    * the backup is dropped. A crash at any point leaves either the
+    * old committed dir, the `.old` backup, or the committed staged
+    * dir intact — [[recoverPurgeDebris]] (run on purge entry and by
+    * [[TableClone.vacuum]]) rolls the swap forward or back from the
+    * markers; no committed version is ever lost and the live read
+    * never silently regresses to a stale snapshot.
+    *
+    * Concurrency — purge IS a writer: it holds the next version
+    * slot's OCC claim (the same exclusive file `upsertConcurrent`
+    * uses) for its whole run, so a concurrent upsert cannot commit
+    * into a timeline purge is mid-way through rewriting; the claim
+    * is re-verified before every irreversible swap and a broken
+    * claim (we exceeded `claimStaleMs`) aborts LOUDLY with the
+    * history only partially purged — rerun to finish; reruns are
+    * idempotent. Returns the rewritten version numbers.
     */
   def purge(
       spark: org.apache.spark.sql.SparkSession,
       targetPath: String,
       purgeKeys: DataFrame,
-      matchCols: Seq[String]): Seq[Int] = {
+      matchCols: Seq[String],
+      claimStaleMs: Long = 10L * 60 * 1000): Seq[Int] = {
     require(matchCols.nonEmpty, "purge needs at least one match column")
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPurgeDebris(fs, target)
     val keys = broadcast(purgeKeys.select(matchCols.map(col): _*).distinct())
-    committedVersions(fs, target).map { case (num, dir) =>
-      val remaining = spark.read.parquet(dir.toString)
-        .join(keys, matchCols, "left_anti")
-      val staged = new Path(target, f"v$num%08d.purging")
-      if (fs.exists(staged)) fs.delete(staged, true)
-      remaining.write.mode(SaveMode.Overwrite).parquet(staged.toString)
-      val meta = readMetaDir(fs, dir)
-      fs.delete(dir, true)
-      if (!fs.rename(staged, dir))
-        throw new java.io.IOException(s"purge: rename $staged -> $dir failed")
-      writeMeta(fs, dir, meta)
-      fs.create(new Path(dir, CommitMarker), true).close()
-      num
+    val versions = committedVersions(fs, target)
+    val nextNum = versions.lastOption.map(_._1 + 1).getOrElse(1)
+    val token = java.util.UUID.randomUUID().toString
+    if (!tryClaim(fs, target, nextNum, claimStaleMs, token))
+      throw new java.util.ConcurrentModificationException(
+        s"purge: a concurrent writer holds the next version slot of $targetPath; " +
+          "run purge from the maintenance lane or retry after the writer commits")
+    try {
+      versions.map { case (num, dir) =>
+        if (!readClaim(fs, claimPath(target, nextNum)).contains(token))
+          throw new java.util.ConcurrentModificationException(
+            s"purge: writer claim on $targetPath broken as stale mid-purge (exceeded " +
+              s"claimStaleMs=$claimStaleMs); versions before v$num are purged — rerun to finish")
+        val remaining = spark.read.parquet(dir.toString)
+          .join(keys, matchCols, "left_anti")
+        val staged = new Path(target, f"v$num%08d.purging")
+        if (fs.exists(staged)) fs.delete(staged, true)
+        remaining.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        // staged becomes a complete committed version BEFORE the swap
+        writeMeta(fs, staged, readMetaDir(fs, dir))
+        fs.create(new Path(staged, CommitMarker), true).close()
+        val old = new Path(target, f"v$num%08d.old")
+        if (fs.exists(old)) fs.delete(old, true)
+        if (!fs.rename(dir, old))
+          throw new java.io.IOException(s"purge: rename $dir -> $old failed")
+        if (!fs.rename(staged, dir))
+          throw new java.io.IOException(s"purge: rename $staged -> $dir failed")
+        fs.delete(old, true)
+        num
+      }
+    } finally {
+      if (readClaim(fs, claimPath(target, nextNum)).contains(token))
+        fs.delete(claimPath(target, nextNum), false)
+      jvmClaims.remove(s"${target.toUri}#v$nextNum")
+    }
+  }
+
+  /** Acquire the next-version writer claim (the `upsertConcurrent`
+    * exclusive file), run `body(nextVersion)` under it, release.
+    * Claim ACQUISITION retries with backoff — the body runs at most
+    * once, on a version number computed inside the claim so no
+    * concurrent claimed writer can commit between the read of the
+    * timeline and the body's commit. For writers that are not the
+    * upsert merge itself (branch publish, purge) but must still
+    * serialize with it.
+    */
+  private[sources] def withNextVersionClaim[T](
+      fs: FileSystem,
+      target: Path,
+      maxAttempts: Int = 20,
+      claimStaleMs: Long = 10L * 60 * 1000)(body: Int => T): T = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val versions = committedVersions(fs, target)
+      val next = versions.lastOption.map(_._1 + 1).getOrElse(1)
+      val token = java.util.UUID.randomUUID().toString
+      if (tryClaim(fs, target, next, claimStaleMs, token)) {
+        try return body(next)
+        finally {
+          if (readClaim(fs, claimPath(target, next)).contains(token))
+            fs.delete(claimPath(target, next), false)
+          jvmClaims.remove(s"${target.toUri}#v$next")
+        }
+      }
+      attempt += 1
+      Thread.sleep(math.min(50L * attempt, 1000L))
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"could not acquire the writer claim on $target after $maxAttempts attempts " +
+        "(writer contention or a stale claim within claimStaleMs)")
+  }
+
+  /** Roll a purge swap interrupted by a crash forward or back. For
+    * every `vNNNNNNNN.old` backup: if the live dir re-committed, the
+    * swap finished — drop the backup; else if the staged rewrite
+    * carries its commit marker, complete the swap (roll forward);
+    * else restore the backup as the live dir (roll back). Idempotent;
+    * a root with no debris is a no-op. Exposed to [[TableClone.vacuum]]
+    * so TTL cleanup can never destroy the only surviving copy of a
+    * committed version.
+    */
+  private[sources] def recoverPurgeDebris(fs: FileSystem, target: Path): Unit = {
+    if (!fs.exists(target)) return
+    fs.listStatus(target).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.matches("v\\d{8}\\.old")) {
+        val base = name.stripSuffix(".old")
+        val dir = new Path(target, base)
+        val staged = new Path(target, base + ".purging")
+        if (fs.exists(new Path(dir, CommitMarker))) {
+          fs.delete(st.getPath, true) // swap completed; backup is debris
+        } else if (fs.exists(new Path(staged, CommitMarker))) {
+          if (fs.exists(dir)) fs.delete(dir, true) // torn, uncommitted
+          if (!fs.rename(staged, dir))
+            throw new java.io.IOException(s"purge recovery: rename $staged -> $dir failed")
+          fs.delete(st.getPath, true)
+        } else {
+          if (fs.exists(dir)) fs.delete(dir, true)
+          if (fs.exists(staged)) fs.delete(staged, true)
+          if (!fs.rename(st.getPath, dir))
+            throw new java.io.IOException(s"purge recovery: rename ${st.getPath} -> $dir failed")
+        }
+      }
     }
   }
 

@@ -182,6 +182,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("freqsketchaggregate") || p.toLowerCase.contains("freqsketch"), p)
   }
 
+  test("kmvOverlap: ONE scan of the input, structurally — a single conditional aggregate") {
+    val ev = TableLoader.table(spark, sfDir, "events")
+    val df = graft.operators.Sketches.kmvOverlap(ev, "event_type", "user_id",
+      "purchase", "click", k = 64)
+    val p = plan(df)
+    val scans = "FileScan|BatchScan|Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"one-scan claim broken: $scans scans\n$p")
+    // one global aggregate: partial -> single-partition exchange -> final
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("snapshot diff: one join, no window, no cartesian") {
     val ev = TableLoader.table(spark, sfDir, "events")
     val p = plan(graft.operators.SnapshotDiff.diff(ev, ev, Seq("event_id")))

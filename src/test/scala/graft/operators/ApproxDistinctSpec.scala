@@ -198,4 +198,21 @@ class ApproxDistinctSpec extends SparkSpec {
     val d = Sketches.kmvOverlap(disj, "seg", "user", "a", "b", k = 64).head()
     assert(d.getLong(3) >= 0L)
   }
+
+  test("kmvOverlap: ALWAYS exactly one row — an absent segment is the empty set, estimate 0") {
+    val s = spark
+    import s.implicits._
+    // segment 'b' has no members at all
+    val df = (1L to 30L).map(u => ("a", u)).toDF("seg", "user")
+    val rows = Sketches.kmvOverlap(df, "seg", "user", "a", "b", k = 64).collect()
+    assert(rows.length == 1, s"must be exactly one result row, got ${rows.length}")
+    val r = rows(0)
+    assert(r.getLong(0) == 30L, "present segment exact below capacity")
+    assert(r.getLong(1) == 0L, "absent segment is the empty set, not a vanished row")
+    assert(r.getLong(2) == 30L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+    // BOTH segments absent: still one row, all zeros (union=0 guards the ratio)
+    val none = Seq(("z", 1L)).toDF("seg", "user")
+    val z = Sketches.kmvOverlap(none, "seg", "user", "a", "b", k = 64).collect()
+    assert(z.length == 1 && (0 to 4).forall(i => z(0).getLong(i) == 0L), s"got ${z.toSeq}")
+  }
 }

@@ -50,6 +50,18 @@ class PrivacySpec extends SparkSpec {
     assert(releaseAudit.filter(!col("anonymous")).count() == 0L)
   }
 
+  test("pseudonymize: NULL identifiers stay NULL — never a shared stable pseudo-identity") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("u1")), (2L, None), (3L, None), (4L, Some("u1")))
+      .toDF("row_id", "uid")
+    val masked = Privacy.pseudonymize(df, Seq("uid"), "epoch1")
+    val out = masked.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(2).isEmpty && out(3).isEmpty,
+      "null ids must stay null — a fingerprint(salt) token would join all unknowns together")
+    assert(out(1).nonEmpty && out(1) == out(4), "non-null determinism unchanged")
+  }
+
   test("pseudonymize: rejects empty column list and ':' in salt") {
     val s = spark
     import s.implicits._

@@ -32,4 +32,23 @@ class SafeJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("exceeds maxRows"))
     intercept[IllegalArgumentException](SafeJoin.guardedEquiJoin(a, b, "k", maxRows = 0L))
   }
+
+  test("auto width: a 150k-key join passes with NO explicit width where w=2048 falsely refused") {
+    // the sf0.1 lesson as a spec: at 150k distinct keys the old fixed
+    // default put ~73 keys in every cell — collision mass alone
+    // estimated a 150k-row join in the tens of millions (loud FALSE
+    // refusal). The KMV-sized width keeps cells sparse.
+    val a = spark.range(1, 150001).select(col("id").as("k"), (col("id") * 2).as("av"))
+    val b = spark.range(1, 150001).select(col("id").as("k"), (col("id") * 3).as("bv"))
+    // fixed narrow width: all-noise estimate, loud refusal of a fine join
+    val eNarrow = SafeJoin.estimateJoinSize(a, b, "k", d = 4, w = 2048)
+    assert(eNarrow > 1000000L, s"fixture broken: narrow width should be all-noise, got $eNarrow")
+    intercept[IllegalStateException](
+      SafeJoin.guardedEquiJoin(a, b, "k", maxRows = 1000000L, d = 4, w = 2048))
+    // auto width: estimate lands near truth, join runs
+    val eAuto = SafeJoin.estimateJoinSize(a, b, "k")
+    assert(eAuto >= 150000L, s"never-undercount violated: $eAuto")
+    assert(eAuto <= 1000000L, s"auto width still too noisy: $eAuto")
+    assert(SafeJoin.guardedEquiJoin(a, b, "k", maxRows = 1000000L).count() == 150000L)
+  }
 }

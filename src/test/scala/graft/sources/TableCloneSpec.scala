@@ -52,4 +52,44 @@ class TableCloneSpec extends SparkSpec {
     // idempotent: second pass removes nothing
     assert(TableClone.vacuum(spark, table, ttlMs = 3600_000L).isEmpty)
   }
+
+  test("vacuum recovers an interrupted purge swap instead of reaping the only surviving copy") {
+    val table = tmpDir("graft-vacuum-rec-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "survivor")), table, Seq("k"), "ver")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(root, "v00000001")
+    val old = new Path(root, "v00000001.old")
+    // crash window: live dir stepped aside, staged rewrite never
+    // completed — the .old backup is the ONLY copy of the version
+    assert(fs.rename(dir, old))
+    val stale = System.currentTimeMillis() - 7200_000L
+    fs.setTimes(old, stale, stale)
+    TableClone.vacuum(spark, table, ttlMs = 3600_000L)
+    assert(fs.exists(new Path(dir, "_graft_commit")),
+      "vacuum must restore the backup as the live version, not reap it")
+    assert(UpsertWriter.read(spark, table).select("payload").head().getString(0) == "survivor")
+  }
+
+  test("vacuum: an uncommitted dir under a FRESH writer claim survives (claim mtime = heartbeat)") {
+    val table = tmpDir("graft-vacuum-hb-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "a")), table, Seq("k"), "ver")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a SLOW writer: uncommitted dir older than ttl, but its OCC
+    // claim is fresh — the writer is alive, just slow
+    val inflight = new Path(root, "v00000002")
+    fs.mkdirs(inflight)
+    val stale = System.currentTimeMillis() - 7200_000L
+    fs.setTimes(inflight, stale, stale)
+    val claim = new Path(root, "v00000002_claim")
+    val out = fs.create(claim, true); out.write("w1".getBytes("UTF-8")); out.close()
+    assert(!TableClone.vacuum(spark, table, ttlMs = 3600_000L).contains("v00000002"),
+      "fresh claim must protect the in-flight writer's dir")
+    assert(fs.exists(inflight))
+    // the writer died: claim goes stale, the next vacuum reaps both
+    fs.setTimes(claim, stale, stale)
+    val removed = TableClone.vacuum(spark, table, ttlMs = 3600_000L)
+    assert(removed.contains("v00000002") && removed.contains("v00000002_claim"))
+  }
 }

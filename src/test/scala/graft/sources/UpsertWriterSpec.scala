@@ -425,4 +425,89 @@ class UpsertWriterSpec extends SparkSpec {
       table, Seq("k"), "ver", keepVersions = 5)
     assert(UpsertWriter.read(spark, table).count() == 3L)
   }
+
+  test("purge recovery: a crash in ANY swap window rolls forward or back; no committed version lost") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-purge-rec-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "keep"), (2L, 1L, "subject")), table, Seq("k"), "ver")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(root, "v00000001")
+    val old = new Path(root, "v00000001.old")
+    val staged = new Path(root, "v00000001.purging")
+
+    // window 1: staged rewrite is COMPLETE (data + marker), live dir
+    // already stepped aside, crash before staged -> dir. Roll FORWARD.
+    Seq((1L, 1L, "keep")).toDF("k", "ver", "payload")
+      .write.mode("overwrite").parquet(staged.toString)
+    fs.create(new Path(staged, "_graft_commit"), true).close()
+    assert(fs.rename(dir, old))
+    UpsertWriter.recoverPurgeDebris(fs, root)
+    assert(!fs.exists(old) && !fs.exists(staged), "debris must be consumed")
+    assert(UpsertWriter.read(spark, table).select("payload").head().getString(0) == "keep",
+      "complete staged rewrite must win the swap")
+
+    // window 2: staged rewrite INCOMPLETE (no marker), live dir aside.
+    // Roll BACK — the original committed version must survive.
+    Seq((9L, 9L, "torn")).toDF("k", "ver", "payload")
+      .write.mode("overwrite").parquet(staged.toString) // no marker
+    assert(fs.rename(dir, old))
+    UpsertWriter.recoverPurgeDebris(fs, root)
+    assert(!fs.exists(old) && !fs.exists(staged))
+    assert(UpsertWriter.read(spark, table).select("payload").head().getString(0) == "keep",
+      "incomplete staged rewrite must NOT win; the backup restores")
+
+    // a rerun of purge over the recovered table is clean end-to-end
+    val rewritten = UpsertWriter.purge(spark, table, Seq(999L).toDF("k"), Seq("k"))
+    assert(rewritten == Seq(1))
+    assert(UpsertWriter.read(spark, table).count() == 1L)
+  }
+
+  test("purge is a writer: refuses while a fresh claim is held; racing upsertConcurrent stays linear") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("graft-purge-race-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "a"), (2L, 1L, "subject")), table, Seq("k"), "ver",
+      keepVersions = 5)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a competing writer holds the next version slot (fresh claim)
+    val claim = new Path(root, "v00000002_claim")
+    val out = fs.create(claim, true); out.write("other-writer".getBytes("UTF-8")); out.close()
+    intercept[java.util.ConcurrentModificationException] {
+      UpsertWriter.purge(spark, table, Seq(2L).toDF("k"), Seq("k"))
+    }
+    assert(UpsertWriter.read(spark, table).count() == 2L, "refused purge must change nothing")
+    fs.delete(claim, false)
+
+    // live race: purge vs a concurrent OCC upsert of NON-subject rows.
+    // The claim serializes them: every version purge rewrote is
+    // subject-free, the upsert's rows land exactly once, timeline linear.
+    val writer = new Thread(() => {
+      UpsertWriter.upsertConcurrent(df((5L, 2L, "late")), table, Seq("k"), "ver",
+        keepVersions = 5)
+    })
+    writer.start()
+    // purge either wins the claim (writer rebases after it) or loses
+    // it LOUDLY (ConcurrentModificationException) — never interleaves;
+    // a losing purge simply reruns once the writer's commit lands
+    val purged = try UpsertWriter.purge(spark, table, Seq(2L).toDF("k"), Seq("k"))
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        writer.join(60000)
+        UpsertWriter.purge(spark, table, Seq(2L).toDF("k"), Seq("k"))
+    }
+    writer.join(60000)
+    assert(!writer.isAlive, "racing writer must finish (claim released after purge)")
+    assert(purged.nonEmpty)
+    purged.foreach { v =>
+      val subj = UpsertWriter.readVersion(spark, table, v).filter(col("k") === 2L).count()
+      assert(subj == 0L, s"subject survived purge in rewritten v$v")
+    }
+    val vs = UpsertWriter.versions(spark, table)
+    assert(vs == (vs.head to vs.last), s"timeline must stay linear: $vs")
+    assert(UpsertWriter.read(spark, table).filter(col("k") === 5L).count() == 1L,
+      "racing writer's committed row must survive exactly once")
+  }
 }

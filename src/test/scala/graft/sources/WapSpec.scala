@@ -49,4 +49,48 @@ class WapSpec extends SparkSpec {
     val r2 = Wap.writeAuditPublish(df((4L, 2L, "ok")), table, Seq("k"), "ver", audit)
     assert(r2.published && r2.version.contains(2))
   }
+
+  test("two racing publishers serialize through the merge's OCC: both batches exactly once, or one loud conflict") {
+    val table = tmpDir("graft-wap-race-") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "base")), table, Seq("k"), "ver", keepVersions = 5)
+    // disjoint batches, DISTINCT stage names (same-name staging is a
+    // loud branch-create collision by design — also asserted below)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Wap.WapResult]()
+    val threads = Seq(
+      ("wap_a", df((10L, 2L, "from-a"))),
+      ("wap_b", df((20L, 2L, "from-b")))).map { case (stage, batch) =>
+      new Thread(() => {
+        try results.add(Wap.writeAuditPublish(batch, table, Seq("k"), "ver", audit,
+          stage = stage, keepVersions = 5))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "publishers must terminate")
+    import scala.jdk.CollectionConverters._
+    val published = results.asScala.filter(_.published).toSeq
+    // every failure must be the documented LOUD conflict, nothing silent
+    errs.asScala.foreach(t => assert(
+      t.isInstanceOf[java.util.ConcurrentModificationException] ||
+        t.isInstanceOf[IllegalStateException],
+      s"unexpected failure mode: $t"))
+    assert(published.nonEmpty, "at least one publisher must land")
+    val live = snap(UpsertWriter.read(spark, table))
+    assert(live(1L) == ((1L, "base")))
+    // a published batch's rows are present EXACTLY once; a conflicted
+    // publisher's rows are absent entirely (no half-publish)
+    if (errs.isEmpty) {
+      assert(live.keySet == Set(1L, 10L, 20L), s"both batches exactly once: $live")
+      // linear timeline: versions strictly consecutive
+      val vs = UpsertWriter.versions(spark, table)
+      assert(vs == (vs.head to vs.last), s"timeline must stay linear: $vs")
+    } else {
+      assert(live.keySet.size == 2, s"exactly one batch may land on a conflict: $live")
+    }
+    // same stage name refuses loudly up front — no silent double-stage
+    Branching.create(spark, table, "wap_same")
+    try intercept[IllegalStateException](Branching.create(spark, table, "wap_same"))
+    finally Branching.deleteBranch(spark, table, "wap_same")
+  }
 }
