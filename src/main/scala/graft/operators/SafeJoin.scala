@@ -25,20 +25,33 @@ object SafeJoin {
   /** `w = AutoWidth` (the default) sizes the sketch to the data: one
     * O(k) KMV pre-pass estimates each side's key cardinality and w
     * becomes the power of two ≥ 4× the larger estimate, clamped to
-    * [2048, 2^20]. The first bench run of the fixed default proved
+    * [2048, 2^26]. The first bench run of the fixed default proved
     * why: at sf0.1's 150k keys, w=2048 put ~73 keys in every cell and
     * the collision mass (≈ |A|·|B|/w) estimated a fine 0.6M-row join
     * at 44M — a loud FALSE REFUSAL. Auto-sizing keeps cells ≲¼
     * occupied so collision noise stays well under any bound worth
-    * guarding, at the price of two O(k) scans and a ≤32 MB sketch
-    * (d=4 × 2^20 longs) — pre-flight change, guard direction
-    * unchanged: the estimate still never undercounts at ANY width.
+    * guarding — pre-flight change, guard direction unchanged: the
+    * estimate still never undercounts at ANY width.
     */
   val AutoWidth: Int = 0
 
+  /** Above this width the estimate switches from the dense
+    * array-buffer kernel to the sparse cell-table plan (same hash
+    * chain, bit-identical estimate — see [[estimateJoinSize]]). The
+    * first sf1 rehearsal of the auto-width default measured why the
+    * dense kernel must not grow unbounded: at w=2^20 each partial
+    * aggregate carries a d·w = 32 MB long buffer, and 32 map-side
+    * partials funnel into ONE reducer's ~1 GB of single-threaded
+    * array merging — 10.3× wall at 10× data. The sparse plan's cost
+    * is bounded by OCCUPIED cells (≤ d·distinct keys) regardless of
+    * w, so width can keep growing with cardinality after buffers
+    * would have hit a wall.
+    */
+  val DensePathMaxWidth: Int = 1 << 16
+
   private def nextPow2(n: Long): Int = {
     var w = 2048L
-    while (w < n && w < (1L << 20)) w <<= 1
+    while (w < n && w < (1L << 26)) w <<= 1
     w.toInt
   }
 
@@ -50,20 +63,59 @@ object SafeJoin {
     nextPow2(4L * math.max(distinctEst(a), distinctEst(b)))
   }
 
-  /** Estimate |a ⋈ b| on `key` (never undercounts). One tiny
-    * driver-side scalar — the two input scans are the whole cost.
+  /** Occupied sketch cells of one side as grouped rows (r, b, cnt) —
+    * the SPARSE representation of exactly the array the dense kernel
+    * fills: same [[graft.functions.CmsSketch.bucket]] chain, absent
+    * cells are zero. Explode fans each key to its d cells, partial
+    * aggregation collapses a partition to its occupied cells before
+    * the exchange, so the shuffle carries ≤ d·(distinct keys) thin
+    * rows however large w is — no d·w buffer exists anywhere.
+    */
+  private def sparseCells(df: DataFrame, key: String, d: Int, w: Int): DataFrame = {
+    val term = col(key).cast("string")
+    val cells = (0 until d).map(r =>
+      struct(lit(r).as("r"), CmsFunctions.cmsBucket(term, r, w).as("b")))
+    df.where(col(key).isNotNull)
+      .select(explode(array(cells: _*)).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimate |a ⋈ b| on `key` (never undercounts). Small widths run
+    * the dense kernel (two map-side-combined scans, one tiny driver
+    * scalar); widths past [[DensePathMaxWidth]] run the sparse plan:
+    * per-side occupied-cell tables, an (r,b) equi-join (cells missing
+    * on either side contribute zero product and are correctly dropped
+    * by the inner join), per-row DECIMAL(38,0) sums, min over rows.
+    * Both paths evaluate the SAME estimator over the SAME buckets —
+    * the dense/sparse choice is a physical plan decision, not a
+    * semantic one, and the equality spec pins it.
     */
   def estimateJoinSize(a: DataFrame, b: DataFrame, key: String,
       d: Int = 4, w: Int = AutoWidth): Long = {
     val w1 = if (w > 0) w else autoWidth(a, b, key)
-    val ka = a.select(col(key).cast("string").as("_k"))
-      .agg(CmsFunctions.cmsSketch(col("_k"), d, w1).as("ska"))
-    val kb = b.select(col(key).cast("string").as("_k"))
-      .agg(CmsFunctions.cmsSketch(col("_k"), d, w1).as("skb"))
-    ka.crossJoin(kb)
-      .select(CmsFunctions.cmsInnerProduct(col("ska"), col("skb"), d, w1)
-        .cast("long").as("est"))
-      .head().getLong(0)
+    if (w1 <= DensePathMaxWidth) {
+      val ka = a.select(col(key).cast("string").as("_k"))
+        .agg(CmsFunctions.cmsSketch(col("_k"), d, w1).as("ska"))
+      val kb = b.select(col(key).cast("string").as("_k"))
+        .agg(CmsFunctions.cmsSketch(col("_k"), d, w1).as("skb"))
+      ka.crossJoin(kb)
+        .select(CmsFunctions.cmsInnerProduct(col("ska"), col("skb"), d, w1)
+          .cast("long").as("est"))
+        .head().getLong(0)
+    } else {
+      val ca = sparseCells(a, key, d, w1).withColumnRenamed("cnt", "ca")
+      val cb = sparseCells(b, key, d, w1).withColumnRenamed("cnt", "cb")
+      val row = ca.join(cb, Seq("r", "b"))
+        .groupBy("r")
+        .agg(sum(col("ca").cast("decimal(38,0)") * col("cb").cast("decimal(38,0)")).as("ip"))
+        .agg(min(col("ip")).cast("long").as("est"))
+        .head()
+      // both sides non-empty but zero occupied-cell overlap -> the
+      // inner product is exactly 0 (no key collides anywhere), which
+      // the empty join correctly reports as null -> 0
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
   }
 
   /** Run the equi-join iff the (never-undercounting) estimate fits

@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedRangeJoinRule)
+    ext.injectOptimizerRule(_ => MvRewriteRule)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }

@@ -1,0 +1,292 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Materialized-view rewrite — the classic OLAP accelerator: a rollup
+  * (GROUP BY G, additive aggregates) is computed ONCE and persisted;
+  * afterwards any aggregate query over the base table whose grouping
+  * keys are a subset of G, whose filters touch only G, and whose
+  * aggregates are derivable from the stored partials is transparently
+  * rewritten by a Catalyst rule to RE-AGGREGATE THE VIEW — a scan of
+  * |groups| rows instead of |base| rows. At 100 TB the MV is the
+  * difference between a dashboard query reading gigabytes of rollup
+  * and one reading the lake: the base scan disappears from the plan
+  * entirely (the spec plan-locks scan paths).
+  *
+  * Rewrite algebra (why re-aggregation is exact):
+  *   SUM(x)    = SUM of per-group sum_x        (associative)
+  *   COUNT(*)  = SUM of per-group cnt_rows
+  *   COUNT(x)  = SUM of per-group cnt_x        (non-null counts add)
+  *   MIN/MAX(x)= MIN/MAX of per-group min_x/max_x
+  *   AVG(x)    = SUM(sum_x) / SUM(cnt_x)       (never AVG of avgs)
+  * Non-decomposable aggregates (DISTINCT, percentiles, collect_*) and
+  * filters on non-group columns make the rule BAIL — the query runs
+  * against the base unchanged. Wrong answers are impossible by
+  * construction: either the MV provably covers the query, or the
+  * rewrite does not happen.
+  *
+  * Freshness is the caller's contract, exactly as in Hive/BigQuery
+  * materialized views: [[refresh]] recomputes after base changes (the
+  * incremental-maintenance kernels — q_inc_agg — compose here for
+  * O(changes) refresh of versioned bases). The registry is
+  * session-global and path-keyed; `deregister` restores base scans.
+  *
+  * Reference grounding: the reference's report queries re-aggregate
+  * the same orders/customers rollup on every scheduled run
+  * (template.py:471-516) — this operator is that repeated work paid
+  * once.
+  */
+object MaterializedViews {
+
+  /** A registered view: base parquet path (canonical, the match key),
+    * the MV parquet path, the grouping columns, and the base columns
+    * whose (sum/cnt/min/max) partials the MV stores.
+    */
+  final case class MvDef(
+      basePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      aggCols: Seq[String])
+
+  private[plans] val registry = new ConcurrentHashMap[String, MvDef]()
+
+  /** Scheme-insensitive path identity (file:/// vs bare path). */
+  private[plans] def canonical(p: String): String = {
+    val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    val collapsed = noScheme.replaceAll("/+", "/")
+    if (collapsed.length > 1) collapsed.stripSuffix("/") else collapsed
+  }
+
+  /** Compute the rollup of `basePath` and register it. One scan of
+    * the base, one map-side-combined shuffle on G, |groups| rows
+    * written — the standard MV build.
+    */
+  def define(
+      spark: SparkSession,
+      basePath: String,
+      groupCols: Seq[String],
+      aggCols: Seq[String],
+      mvPath: String): MvDef = {
+    require(groupCols.nonEmpty, "an MV needs at least one grouping column")
+    require(aggCols.nonEmpty, "an MV needs at least one aggregated column")
+    deregister(basePath) // a stale twin must not rewrite our own build
+    val base = spark.read.parquet(basePath)
+    val partials = aggCols.flatMap(c => Seq(
+      sum(col(c)).as(s"sum_$c"),
+      count(col(c)).as(s"cnt_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt_rows")
+    base.groupBy(groupCols.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mvPath)
+    val d = MvDef(canonical(basePath), mvPath, groupCols, aggCols)
+    registry.put(d.basePath, d)
+    d
+  }
+
+  /** Recompute the MV from the current base (full rebuild; compose
+    * the incremental-aggregate kernels for an O(changes) path on
+    * versioned bases).
+    */
+  def refresh(spark: SparkSession, d: MvDef): MvDef =
+    define(spark, d.basePath, d.groupCols, d.aggCols, d.mvPath)
+
+  def deregister(basePath: String): Unit = {
+    registry.remove(canonical(basePath)); ()
+  }
+}
+
+/** The optimizer rule. Matches Aggregate → [Filter/Project]* →
+  * parquet relation of a registered base and swaps in the MV when the
+  * checks in [[MaterializedViews]] pass. Output attributes keep the
+  * ORIGINAL exprIds (a final Project aliases the re-aggregated values
+  * back onto them), so parent operators — HAVING filters, sorts,
+  * joins — resolve unchanged.
+  */
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MaterializedViews.registry.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** Peel attribute-only Projects and Filters down to the relation,
+    * collecting filter conjuncts. Anything else (joins, generators,
+    * computed projections) → no rewrite.
+    */
+  private def strip(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(LogicalRelation, Seq[Expression])] = p match {
+    case f: Filter => strip(f.child, conds :+ f.condition)
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      strip(pr.child, conds)
+    case r: LogicalRelation => Some((r, conds))
+    case _ => None
+  }
+
+  private def rootOf(r: LogicalRelation): Option[String] = r.relation match {
+    case fs: HadoopFsRelation => fs.location.rootPaths match {
+      case Seq(single) => Some(MaterializedViews.canonical(single.toString))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    for {
+      (rel, conds) <- strip(agg.child, Nil)
+      root <- rootOf(rel)
+      mv <- Option(MaterializedViews.registry.get(root))
+      rewritten <- rewriteWith(agg, rel, conds, mv)
+    } yield rewritten
+  }
+
+  private def rewriteWith(
+      agg: Aggregate,
+      rel: LogicalRelation,
+      conds: Seq[Expression],
+      mv: MaterializedViews.MvDef): Option[LogicalPlan] = {
+    val groupSet = mv.groupCols.toSet
+
+    // every grouping expression must be a bare base attribute among
+    // the MV's grouping columns
+    val groupAttrs: Option[Seq[AttributeReference]] =
+      Some(agg.groupingExpressions).filter(_.forall {
+        case a: AttributeReference => groupSet.contains(a.name)
+        case _ => false
+      }).map(_.map(_.asInstanceOf[AttributeReference]))
+
+    // every filter may reference grouping columns only (group rows
+    // survive or die wholesale, so filtering the MV is exact)
+    val filtersOk = conds.forall(c => c.deterministic && c.references.forall {
+      case a: AttributeReference => groupSet.contains(a.name)
+      case _ => false
+    })
+
+    if (groupAttrs.isEmpty || !filtersOk) return None
+
+    // fresh MV relation instance (fresh exprIds per use site)
+    val spark = SparkSession.active
+    val mvRel = spark.read.parquet(mv.mvPath).queryExecution.analyzed match {
+      case r: LogicalRelation => r.newInstance()
+      case other => other
+    }
+    val mvAttr: Map[String, AttributeReference] =
+      mvRel.output.map(a => a.name -> a.asInstanceOf[AttributeReference]).toMap
+
+    def mvCol(n: String): Option[AttributeReference] = mvAttr.get(n)
+
+    // translate one aggregate call into (inner partial-re-aggregation
+    // expression, finisher over the inner result attribute)
+    def translate(ae: AggregateExpression)
+        : Option[(Alias, Attribute => Expression)] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      def attrArg(e: Expression): Option[String] = e match {
+        case a: AttributeReference if mv.aggCols.contains(a.name) => Some(a.name)
+        case _ => None
+      }
+      def reAgg(f: AggregateFunction): Alias =
+        Alias(AggregateExpression(f, Complete, isDistinct = false), "_mv_part")()
+      ae.aggregateFunction match {
+        case Sum(e, _) => attrArg(e).flatMap(c => mvCol(s"sum_$c").map { p =>
+          (reAgg(Sum(p)), (a: Attribute) => Cast(a, ae.dataType))
+        })
+        case Min(e) => attrArg(e).flatMap(c => mvCol(s"min_$c").map { p =>
+          (reAgg(Min(p)), (a: Attribute) => Cast(a, ae.dataType))
+        })
+        case Max(e) => attrArg(e).flatMap(c => mvCol(s"max_$c").map { p =>
+          (reAgg(Max(p)), (a: Attribute) => Cast(a, ae.dataType))
+        })
+        case Count(Seq(e)) if e.foldable && e.eval() != null =>
+          mvCol("cnt_rows").map { p =>
+            (reAgg(Sum(p)), (a: Attribute) => Coalesce(Seq(Cast(a, LongType), Literal(0L))))
+          }
+        case Count(Seq(e)) => attrArg(e).flatMap(c => mvCol(s"cnt_$c").map { p =>
+          (reAgg(Sum(p)), (a: Attribute) => Coalesce(Seq(Cast(a, LongType), Literal(0L))))
+        })
+        case Average(e, _) if ae.dataType == DoubleType =>
+          attrArg(e).flatMap(c => for {
+            s <- mvCol(s"sum_$c"); n <- mvCol(s"cnt_$c")
+          } yield {
+            // one inner alias carries both partial sums as a struct so
+            // the finisher is a pure projection over a single attribute
+            val pair = CreateNamedStruct(Seq(
+              Literal("s"),
+              AggregateExpression(Sum(s), Complete, isDistinct = false),
+              Literal("n"),
+              AggregateExpression(Sum(n), Complete, isDistinct = false)))
+            (Alias(pair, "_mv_part")(),
+              (a: Attribute) => Divide(
+                Cast(GetStructField(a, 0, Some("s")), DoubleType),
+                Cast(GetStructField(a, 1, Some("n")), DoubleType)))
+          })
+        case _ => None
+      }
+    }
+
+    // walk the output list: grouping passthroughs map to MV group
+    // attrs; each aggregate call must translate; anything else bails
+    val innerAggs = scala.collection.mutable.ArrayBuffer.empty[Alias]
+    val finishers = scala.collection.mutable.ArrayBuffer.empty[(NamedExpression, Attribute => Expression, Int)]
+    val groupFinishers = scala.collection.mutable.ArrayBuffer.empty[(NamedExpression, String)]
+
+    def translateNamed(ne: NamedExpression): Boolean = ne match {
+      case a: AttributeReference if groupSet.contains(a.name) =>
+        groupFinishers += ((a, a.name)); true
+      case al @ Alias(a: AttributeReference, _) if groupSet.contains(a.name) =>
+        groupFinishers += ((al, a.name)); true
+      case al @ Alias(ae: AggregateExpression, _) =>
+        translate(ae) match {
+          case Some((inner, fin)) =>
+            innerAggs += inner
+            finishers += ((al, fin, innerAggs.size - 1))
+            true
+          case None => false
+        }
+      case _ => false
+    }
+
+    if (!agg.aggregateExpressions.forall(translateNamed)) return None
+
+    // grouping keys of the re-aggregation: MV attrs of the query's keys
+    val innerGroup = groupAttrs.get.map(a => mvAttr(a.name))
+    val innerList: Seq[NamedExpression] = innerGroup ++ innerAggs
+    val mvFiltered =
+      if (conds.isEmpty) mvRel
+      else Filter(
+        conds.map(_.transform {
+          case a: AttributeReference => mvAttr(a.name)
+        }).reduce(And), mvRel)
+    val innerAgg = Aggregate(innerGroup, innerList, mvFiltered)
+
+    // final projection pins the ORIGINAL output attributes (name,
+    // exprId, type) onto the re-aggregated values
+    val innerOut = innerAgg.output
+    val byIdx: Map[Int, Attribute] = innerAggs.indices
+      .map(i => i -> innerOut(innerGroup.size + i)).toMap
+    val projected: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+      groupFinishers.find(_._1 eq ne) match {
+        case Some((_, gname)) =>
+          val src = mvAttr(gname)
+          val cast = if (src.dataType == ne.dataType) src else Cast(src, ne.dataType)
+          Alias(cast, ne.name)(exprId = ne.exprId)
+        case None =>
+          val (_, fin, idx) = finishers.find(_._1 eq ne).get
+          val e = fin(byIdx(idx))
+          val cast = if (e.dataType == ne.dataType) e else Cast(e, ne.dataType)
+          Alias(cast, ne.name)(exprId = ne.exprId)
+      }
+    }
+    Some(Project(projected, innerAgg))
+  }
+}

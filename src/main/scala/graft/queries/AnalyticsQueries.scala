@@ -960,4 +960,62 @@ trait AnalyticsQueries extends ReferenceQueries {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM n GROUP BY user_id, sess_seq""".stripMargin))
 
+  /** #101 Materialized-view rewrite
+    * ([[graft.plans.MaterializedViews]] + [[graft.plans.MvRewriteRule]]):
+    * a (l_returnflag, l_linestatus) rollup of a lineitem slice is
+    * defined ONCE; the report query — filter on one grouping key,
+    * group by the other, six decomposable aggregates — is then
+    * written against the BASE table and transparently rewritten by
+    * the Catalyst rule to re-aggregate the |groups|-row view. The run
+    * REQUIRES the optimized plan to scan the MV and not the base (a
+    * silently-lapsed rewrite fails loudly rather than passing on the
+    * base's identical answer); the oracle recomputes from first
+    * principles on the raw table. Exactness: l_quantity is an
+    * integral double (sums exactly in any order), so sum/avg through
+    * the MV are bit-identical to the direct plan on both engines.
+    */
+  val qMvRewrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("mv-rewrite")
+      val basePath = root + "/base"
+      val mvPath = root + "/mv"
+      val outPath = root + "/out"
+      t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+        .repartition(8)
+        .write.mode("overwrite").parquet(basePath)
+      graft.plans.MaterializedViews.define(
+        s, basePath, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"), mvPath)
+      try {
+        val report = s.read.parquet(basePath)
+          .where(col("l_linestatus") === "F")
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            count(col("l_quantity")).as("n_qty"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            avg(col("l_quantity")).as("avg_qty"))
+        val leaves = report.queryExecution.executedPlan.collectLeaves()
+          .map(_.treeString).mkString("\n")
+        require(leaves.contains(mvPath) && !leaves.contains(basePath),
+          s"q_mv_rewrite: the rewrite did not fire — plan leaves:\n$leaves")
+        report.write.mode("overwrite").parquet(outPath)
+      } finally graft.plans.MaterializedViews.deregister(basePath)
+      s.read.parquet(outPath)
+    },
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  count(l_quantity) AS n_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  avg(l_quantity) AS avg_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 4 = 0 AND l_linestatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin))
+
 }

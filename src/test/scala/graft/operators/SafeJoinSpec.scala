@@ -51,4 +51,34 @@ class SafeJoinSpec extends SparkSpec {
     assert(eAuto <= 1000000L, s"auto width still too noisy: $eAuto")
     assert(SafeJoin.guardedEquiJoin(a, b, "k", maxRows = 1000000L).count() == 150000L)
   }
+
+  test("sparse cell plan computes EXACTLY the dense kernel's estimate at the same (d, w)") {
+    val s = spark
+    import s.implicits._
+    // skewed multiplicities + disjoint key ranges so both collision
+    // mass and zero-overlap cells exist; w chosen to straddle the
+    // dense/sparse threshold in both directions at the same width
+    val a = ((1L to 400L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(k)) ++ Seq.fill(50)(9999L)).toDF("k")
+    val b = ((200L to 600L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k)) ++ Seq.fill(40)(9999L)).toDF("k")
+    for (w <- Seq(1 << 12, 1 << 17)) {
+      val dense = {
+        val ka = a.select(col("k").cast("string").as("_k"))
+          .agg(graft.functions.CmsFunctions.cmsSketch(col("_k"), 4, w).as("ska"))
+        val kb = b.select(col("k").cast("string").as("_k"))
+          .agg(graft.functions.CmsFunctions.cmsSketch(col("_k"), 4, w).as("skb"))
+        ka.crossJoin(kb)
+          .select(graft.functions.CmsFunctions.cmsInnerProduct(col("ska"), col("skb"), 4, w)
+            .cast("long")).head().getLong(0)
+      }
+      val viaApi = SafeJoin.estimateJoinSize(a, b, "k", d = 4, w = w)
+      assert(viaApi == dense,
+        s"w=$w: estimateJoinSize ($viaApi) must equal the dense kernel ($dense) bit-for-bit")
+    }
+    // zero-overlap sides: the sparse inner join is empty and the
+    // estimate must be 0 (null-safe), not a crash or a phantom count
+    val disj1 = (1L to 500L).toDF("k")
+    val disj2 = (100000L to 100500L).toDF("k")
+    val z = SafeJoin.estimateJoinSize(disj1, disj2, "k", d = 4, w = 1 << 17)
+    assert(z >= 0L && z <= 5L, s"disjoint sides should estimate ~0, got $z")
+  }
 }

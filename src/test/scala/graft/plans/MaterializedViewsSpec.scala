@@ -1,0 +1,116 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MaterializedViewsSpec extends SparkSpec {
+
+  private def scanPaths(df: DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.treeString).mkString("\n")
+
+  private def fixture(): (String, String) = {
+    val base = tmpDir("mv-base")
+    val mv = tmpDir("mv-view")
+    val s = spark
+    import s.implicits._
+    (1 to 1000).map { i =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        if (i % 2 == 0) "x" else "y",
+        i.toLong,
+        if (i % 50 == 0) null else java.lang.Double.valueOf(i.toDouble % 13))
+    }.toDF("g1", "g2", "v", "w")
+      .repartition(4).write.mode("overwrite").parquet(base)
+    (base, mv)
+  }
+
+  test("covered aggregate is rewritten to scan the MV, result identical, base scan gone") {
+    val (base, mv) = fixture()
+    try {
+      MaterializedViews.define(spark, base, Seq("g1", "g2"), Seq("v", "w"), mv)
+      def query() = spark.read.parquet(base)
+        .where(col("g2") === "x")
+        .groupBy("g1")
+        .agg(
+          sum(col("v")).as("sv"),
+          count(lit(1)).as("n"),
+          count(col("w")).as("nw"),
+          min(col("v")).as("mn"),
+          max(col("v")).as("mx"),
+          avg(col("v")).as("av"))
+      val rewritten = query()
+      val plan = scanPaths(rewritten)
+      assert(plan.contains(mv), s"rewritten plan must scan the MV:\n$plan")
+      assert(!plan.contains(base), s"rewritten plan must NOT scan the base:\n$plan")
+      val got = rewritten.orderBy("g1").collect()
+      MaterializedViews.deregister(base)
+      val want = query().orderBy("g1").collect()
+      assert(got.toSeq == want.toSeq, s"rewrite changed the answer:\n$got\nvs\n$want")
+    } finally MaterializedViews.deregister(base)
+  }
+
+  test("group-subset rollup and filterless query both rewrite; schema and exprIds survive a HAVING") {
+    val (base, mv) = fixture()
+    try {
+      MaterializedViews.define(spark, base, Seq("g1", "g2"), Seq("v", "w"), mv)
+      val q = spark.read.parquet(base)
+        .groupBy("g2") // subset of MV keys — re-aggregation across g1
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .where(col("n") > 100) // HAVING over the rewritten output attrs
+        .orderBy("g2")
+      assert(scanPaths(q).contains(mv))
+      val got = q.collect()
+      MaterializedViews.deregister(base)
+      val want = spark.read.parquet(base)
+        .groupBy("g2").agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .where(col("n") > 100).orderBy("g2").collect()
+      assert(got.toSeq == want.toSeq)
+    } finally MaterializedViews.deregister(base)
+  }
+
+  test("uncovered queries bail to the base: non-group filter, distinct agg, unstored column") {
+    val (base, mv) = fixture()
+    try {
+      MaterializedViews.define(spark, base, Seq("g1"), Seq("v"), mv)
+      val nonGroupFilter = spark.read.parquet(base)
+        .where(col("v") > 10).groupBy("g1").agg(sum(col("v")).as("sv"))
+      assert(scanPaths(nonGroupFilter).contains(base))
+      val distinctAgg = spark.read.parquet(base)
+        .groupBy("g1").agg(countDistinct(col("v")).as("dv"))
+      assert(scanPaths(distinctAgg).contains(base))
+      val unstored = spark.read.parquet(base)
+        .groupBy("g1").agg(sum(col("w")).as("sw"))
+      assert(scanPaths(unstored).contains(base))
+    } finally MaterializedViews.deregister(base)
+  }
+
+  test("count(col) counts non-nulls through the MV; empty-match filter yields empty not wrong") {
+    val (base, mv) = fixture()
+    try {
+      MaterializedViews.define(spark, base, Seq("g1", "g2"), Seq("v", "w"), mv)
+      def q() = spark.read.parquet(base)
+        .groupBy("g1").agg(count(col("w")).as("nw"))
+      val got = q().orderBy("g1").collect()
+      assert(scanPaths(q()).contains(mv))
+      MaterializedViews.deregister(base)
+      assert(got.toSeq == q().orderBy("g1").collect().toSeq)
+
+      MaterializedViews.define(spark, base, Seq("g1", "g2"), Seq("v", "w"), mv)
+      val none = spark.read.parquet(base)
+        .where(col("g2") === "zzz").groupBy("g1").agg(sum(col("v")).as("sv"))
+      assert(scanPaths(none).contains(mv))
+      assert(none.count() == 0L)
+    } finally MaterializedViews.deregister(base)
+  }
+
+  test("deregister restores the base scan") {
+    val (base, mv) = fixture()
+    try {
+      MaterializedViews.define(spark, base, Seq("g1"), Seq("v"), mv)
+      def q() = spark.read.parquet(base).groupBy("g1").agg(sum(col("v")).as("sv"))
+      assert(scanPaths(q()).contains(mv))
+      MaterializedViews.deregister(base)
+      assert(scanPaths(q()).contains(base))
+    } finally MaterializedViews.deregister(base)
+  }
+}
