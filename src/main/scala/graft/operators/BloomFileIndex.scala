@@ -121,6 +121,8 @@ object BloomFileIndex {
 
   // -----------------------------------------------------------------
   // Persisted index with O(changes) incremental maintenance
+  // (generic machinery in GenerationalFileIndex, shared with the
+  // persisted zone-map index)
   // -----------------------------------------------------------------
 
   /** Outcome of a [[refresh]]: how many files were newly indexed
@@ -128,82 +130,18 @@ object BloomFileIndex {
     */
   final case class RefreshStats(added: Long, removed: Long, indexedFiles: Long)
 
-  private val HeadFile = "HEAD"
-  private val MetaFile = "_bloom_meta"
-
-  private def fsOf(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Scheme-insensitive file identity: `input_file_name()` yields a
-    * URI (`file:///root/...`) while driver-side listings may carry a
-    * different scheme spelling; compare authority+path only.
-    */
-  private def canonical(c: Column): Column =
-    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
-
-  private def headDir(fs: FileSystem, root: Path): Option[(Int, Path)] = {
-    val head = new Path(root, HeadFile)
-    if (!fs.exists(head)) None
-    else {
-      val in = fs.open(head)
-      try {
-        val n = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        Some((n, new Path(root, f"rows-$n%06d")))
-      } finally in.close()
-    }
-  }
-
-  private def readMeta(fs: FileSystem, root: Path): Option[(String, Int)] = {
-    val mp = new Path(root, MetaFile)
-    if (!fs.exists(mp)) None
-    else {
-      val in = fs.open(mp)
-      try {
-        val Array(k, m) = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.split("\n")
-        Some((k, m.toInt))
-      } finally in.close()
-    }
-  }
-
-  private def writeText(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
-  }
-
   /** The committed index rows at `indexPath` — same schema as
     * [[build]]'s result; usable with every probe above.
     */
-  def load(spark: SparkSession, indexPath: String): DataFrame = {
-    val root = new Path(indexPath)
-    val fs = fsOf(spark, root)
-    val (_, dir) = headDir(fs, root).getOrElse(
-      throw new IllegalStateException(s"no committed bloom index at $indexPath — run refresh first"))
-    spark.read.parquet(dir.toString)
-  }
+  def load(spark: SparkSession, indexPath: String): DataFrame =
+    GenerationalFileIndex.load(spark, indexPath, "bloom index")
 
   /** Build or INCREMENTALLY refresh the persisted index at
-    * `indexPath` for `keyCol` of the parquet table at `dir`. The
-    * current file listing (pure FS metadata — no data read) diffs
-    * against the indexed file set: files ADDED since the last refresh
-    * are scanned — and ONLY those — in one distributed pass; files
-    * REMOVED (compaction, cleaning, overwrites) drop their rows with
-    * no scan at all. An up-to-date index is a metadata no-op. This is
-    * what makes a file-skipping index maintainable on a table that
-    * takes a commit a minute: the per-commit cost tracks the COMMIT
-    * (MOR delta appends, streaming sink batches, insert-appends), not
-    * the table. Copy-on-write full rewrites degrade to rebuild cost
-    * by construction — every file IS new — and say so in the stats.
-    *
-    * Commit protocol: new rows land in a fresh `rows-NNNNNN`
-    * generation, the one-line `HEAD` pointer is rewritten LAST
-    * (atomic create-overwrite), then stale generations are dropped.
-    * A crash anywhere leaves `HEAD` on the previous complete
-    * generation — the index is stale, never torn (the recoverable-
-    * swap lesson from the versioned table's purge path).
-    *
-    * `keyCol`/`m` are pinned in index metadata: a refresh with
-    * different parameters fails loudly (buckets would be
-    * incomparable) — delete the index dir to rebuild under new ones.
+    * `indexPath` for `keyCol` of the parquet table at `dir`: only
+    * files added since the last refresh are scanned, removed files
+    * drop scan-free, the HEAD-pointer-last commit leaves a crashed
+    * refresh stale-never-torn, and `keyCol`/`m` are pinned (mismatch
+    * refuses loudly). See [[GenerationalFileIndex]] for the protocol.
     */
   def refresh(
       spark: SparkSession,
@@ -212,64 +150,13 @@ object BloomFileIndex {
       keyCol: String,
       m: Int = 4096): RefreshStats = {
     require(m >= 2, s"m must be >= 2, got $m")
-    val root = new Path(indexPath)
-    val fs = fsOf(spark, root)
-    if (!fs.exists(root)) fs.mkdirs(root)
-    readMeta(fs, root) match {
-      case Some((k0, m0)) =>
-        if (k0 != keyCol || m0 != m)
-          throw new IllegalStateException(
-            s"bloom index at $indexPath was built over keyCol=$k0, m=$m0; refusing refresh with " +
-              s"keyCol=$keyCol, m=$m (buckets incomparable) — delete the index to rebuild")
-      case None => writeText(fs, new Path(root, MetaFile), s"$keyCol\n$m")
-    }
-
-    val table = spark.read.parquet(dir)
-    // driver-side listing: Spark's own FileIndex metadata, no data scan
-    val listed = table.inputFiles
-    val listedDf = spark.createDataset(listed.toIndexedSeq)(
-      org.apache.spark.sql.Encoders.STRING).toDF("file")
-      .withColumn("_cf", canonical(col("file")))
-
-    val (gen, keptRows, removed, addedFiles) = headDir(fs, root) match {
-      case Some((n, prev)) =>
-        val idx = spark.read.parquet(prev.toString).withColumn("_cf", canonical(col("file")))
-        val kept = idx.join(listedDf.select("_cf"), Seq("_cf"), "left_semi").drop("_cf")
-        val removedN = idx.count() - kept.count()
-        val added = listedDf
-          .join(idx.select("_cf"), Seq("_cf"), "left_anti")
-          .select("file").collect().map(_.getString(0))
-        (n + 1, kept, removedN, added)
-      case None =>
-        (0, null: DataFrame, 0L, listed)
-    }
-
-    if (gen > 0 && addedFiles.isEmpty && removed == 0L)
-      return RefreshStats(0L, 0L, keptRows.count()) // up to date: metadata no-op
-
-    val newRows =
-      if (addedFiles.isEmpty) None
-      else Some(indexRows(spark.read.parquet(addedFiles.toIndexedSeq: _*), keyCol, m))
-    val outRows = (Option(keptRows), newRows) match {
-      case (Some(k), Some(a)) => k.unionByName(a)
-      case (Some(k), None)    => k
-      case (None, Some(a))    => a
-      case (None, None)       => // empty table, empty index — keep the schema
-        spark.range(0).select(lit("").as("file"), lit(0L).as("n_rows"),
-          typedLit(Seq.empty[Long]).as("bits"))
-    }
-
-    val genDir = new Path(root, f"rows-$gen%06d")
-    outRows.write.mode(SaveMode.Overwrite).parquet(genDir.toString)
-    val total = spark.read.parquet(genDir.toString).count()
-    writeText(fs, new Path(root, HeadFile), gen.toString) // commit point
-    // drop superseded generations (crash-safe: HEAD already moved)
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      // compare by NAME: listStatus returns fully-qualified paths,
-      // which never equal the relative genDir Path
-      if (name.startsWith("rows-") && name != genDir.getName) fs.delete(st.getPath, true)
-    }
-    RefreshStats(addedFiles.length.toLong, removed, total)
+    val st = GenerationalFileIndex.refresh(
+      spark, dir, indexPath,
+      what = "bloom index",
+      metaContent = s"keyCol=$keyCol\nm=$m",
+      indexRowsFor = files => indexRows(spark.read.parquet(files: _*), keyCol, m),
+      emptyRows = () => spark.range(0).select(lit("").as("file"), lit(0L).as("n_rows"),
+        typedLit(Seq.empty[Long]).as("bits")))
+    RefreshStats(st.added, st.removed, st.indexedFiles)
   }
 }

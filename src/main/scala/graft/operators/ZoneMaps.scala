@@ -41,7 +41,7 @@ object ZoneMaps {
     * default-configured object stores; plumb credentials through the
     * cluster's core-site for anything else.
     */
-  def countFromFooters(spark: SparkSession, dir: String): Long = {
+  private def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -56,7 +56,12 @@ object ZoneMaps {
         else Nil
       }
     }
-    val files = dataFiles(root).map(_.toString)
+    dataFiles(root).map(_.toString)
+  }
+
+  def countFromFooters(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val files = listDataFiles(spark, dir)
     if (files.isEmpty) 0L
     else spark.sparkContext
       .parallelize(files, math.min(files.size, 64))
@@ -68,6 +73,95 @@ object ZoneMaps {
         try r.getRecordCount finally r.close()
       }
       .sum().toLong
+  }
+
+  /** Metadata-only MIN/MAX of a numeric column: the per-chunk
+    * statistics every parquet footer already carries, reduced
+    * distributed (one task per file batch, only per-task partials
+    * return) — zero row-group I/O, the stats-served aggregate answer
+    * Iceberg/Delta give `SELECT min(x), max(x)` on 100 TB.
+    *
+    * Integer and floating primitives only, BY CONTRACT: parquet
+    * writers may TRUNCATE binary (string/decimal-binary) min/max
+    * stats, which stay valid for pruning but are NOT the exact
+    * extremes — serving them as aggregate answers would be silently
+    * wrong, so strings refuse loudly here and keep using the
+    * scan-based path. A chunk missing statistics also refuses loudly
+    * (old writers) rather than guessing; all-null chunks are skipped,
+    * and an all-null (or empty) table returns the SQL answer: null.
+    *
+    * Returns one row (min_v, max_v) typed LONG for integral columns,
+    * DOUBLE for floating — exact in both (no long→double rounding).
+    */
+  def minMaxFromFooters(spark: SparkSession, dir: String, column: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val files = listDataFiles(spark, dir)
+    // (isIntegral, minLong, maxLong, minDouble, maxDouble) per file with any non-null value
+    val partials: Seq[(Boolean, Long, Long, Double, Double)] =
+      if (files.isEmpty) Nil
+      else spark.sparkContext
+        .parallelize(files, math.min(files.size, 64))
+        .flatMap { f =>
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val md = r.getFooter.getFileMetaData
+            val colIdx = md.getSchema.getFields
+            import scala.jdk.CollectionConverters._
+            val field = md.getSchema.getColumns.asScala
+              .find(_.getPath.mkString(".") == column)
+              .getOrElse(throw new IllegalArgumentException(
+                s"minMaxFromFooters: no leaf column '$column' in $f (schema ${colIdx})"))
+            val tpe = field.getPrimitiveType.getPrimitiveTypeName
+            val integral = tpe match {
+              case INT32 | INT64 => true
+              case FLOAT | DOUBLE => false
+              case other => throw new IllegalArgumentException(
+                s"minMaxFromFooters: column '$column' is $other — binary stats may be " +
+                  "truncated by writers and are not exact extremes; use the scan path")
+            }
+            val chunks = r.getFooter.getBlocks.asScala.flatMap(
+              _.getColumns.asScala.find(_.getPath.toDotString == column))
+            val live = chunks.filter(_.getValueCount > 0).flatMap { cc =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty)
+                throw new IllegalStateException(
+                  s"minMaxFromFooters: chunk of '$column' in $f carries no statistics — " +
+                    "refusing to guess (re-write with a stats-producing writer or scan)")
+              if (!st.hasNonNullValue) None // all-null chunk
+              else Some((st.genericGetMin, st.genericGetMax))
+            }
+            if (live.isEmpty) None
+            else {
+              def asLong(v: Any): Long = v match {
+                case i: java.lang.Integer => i.longValue
+                case l: java.lang.Long => l
+                case _ => 0L
+              }
+              def asDouble(v: Any): Double = v match {
+                case fl: java.lang.Float => fl.doubleValue
+                case d: java.lang.Double => d
+                case _ => 0.0
+              }
+              if (integral)
+                Some((true, live.map(c => asLong(c._1)).min, live.map(c => asLong(c._2)).max, 0.0, 0.0))
+              else
+                Some((false, 0L, 0L, live.map(c => asDouble(c._1)).min, live.map(c => asDouble(c._2)).max))
+            }
+          } finally r.close()
+        }
+        .collect().toIndexedSeq
+    import spark.implicits._
+    if (partials.isEmpty)
+      // SQL min/max over no non-null values: one row of nulls (typed long)
+      Seq((Option.empty[Long], Option.empty[Long])).toDF("min_v", "max_v")
+    else if (partials.head._1)
+      Seq((partials.map(_._2).min, partials.map(_._3).max)).toDF("min_v", "max_v")
+    else
+      Seq((partials.map(_._4).min, partials.map(_._5).max)).toDF("min_v", "max_v")
   }
 
   /** One row per parquet file: (file, n_rows, min, max) of `statsCol`.
@@ -154,4 +248,49 @@ object ZoneMaps {
       .drop("_zm_file")
       .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
+
+  // -----------------------------------------------------------------
+  // Persisted zone-map index with O(changes) incremental maintenance
+  // (generic machinery in GenerationalFileIndex, shared with the
+  // persisted bloom index)
+  // -----------------------------------------------------------------
+
+  /** The committed zone-map rows at `indexPath` — same schema as
+    * [[build]]'s result; usable with [[candidateFiles]]/[[prunedRead]]
+    * /[[prunedReadSemiJoin]].
+    */
+  def load(spark: SparkSession, indexPath: String): DataFrame =
+    GenerationalFileIndex.load(spark, indexPath, "zone-map index")
+
+  /** Build or INCREMENTALLY refresh the persisted zone map at
+    * `indexPath` for `statsCol` of the parquet table at `dir`: only
+    * files added since the last refresh are scanned (the file-list
+    * diff is pure FS metadata), removed files drop their rows
+    * scan-free, the HEAD-pointer-last commit leaves a crashed refresh
+    * stale-never-torn, and `statsCol` is pinned — a refresh with a
+    * different column refuses loudly. Per-commit maintenance cost
+    * tracks the COMMIT, not the table: the same contract as the
+    * bloom index (10s3) and Hudi/Delta column-stats maintenance.
+    */
+  def refresh(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      statsCol: String): GenerationalFileIndex.Stats =
+    GenerationalFileIndex.refresh(
+      spark, dir, indexPath,
+      what = "zone-map index",
+      metaContent = s"statsCol=$statsCol",
+      indexRowsFor = files => spark.read.parquet(files: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col(statsCol)).as("min_v"),
+          max(col(statsCol)).as("max_v")),
+      emptyRows = () => spark.read.parquet(dir).limit(0)
+        .groupBy(input_file_name().as("file"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col(statsCol)).as("min_v"),
+          max(col(statsCol)).as("max_v")))
 }

@@ -48,14 +48,19 @@ import org.apache.spark.sql.types._
 object MaterializedViews {
 
   /** A registered view: base parquet path (canonical, the match key),
-    * the MV parquet path, the grouping columns, and the base columns
-    * whose (sum/cnt/min/max) partials the MV stores.
+    * the MV root path, the grouping columns, the base columns whose
+    * (sum/cnt/min/max) partials the MV stores, and the CURRENT
+    * generation's data dir (MV data lives in `gen-NNNNNN` dirs so a
+    * refresh can land a complete new generation and repoint the
+    * registry atomically — a rewritten query never scans a
+    * half-written view).
     */
   final case class MvDef(
       basePath: String,
       mvPath: String,
       groupCols: Seq[String],
-      aggCols: Seq[String])
+      aggCols: Seq[String],
+      dataDir: String)
 
   private[plans] val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -64,6 +69,33 @@ object MaterializedViews {
     val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
     val collapsed = noScheme.replaceAll("/+", "/")
     if (collapsed.length > 1) collapsed.stripSuffix("/") else collapsed
+  }
+
+  private def partialAggs(aggCols: Seq[String]) = aggCols.flatMap(c => Seq(
+    sum(col(c)).as(s"sum_$c"),
+    count(col(c)).as(s"cnt_$c"),
+    min(col(c)).as(s"min_$c"),
+    max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt_rows")
+
+  private def genDir(mvPath: String, n: Int): String = f"$mvPath/gen-$n%06d"
+
+  private def genOf(dataDir: String): Int =
+    dataDir.substring(dataDir.lastIndexOf("gen-") + 4).toInt
+
+  private def commitGen(spark: SparkSession, d: MvDef, rows: org.apache.spark.sql.DataFrame,
+      nextGen: Int): MvDef = {
+    val next = genDir(d.mvPath, nextGen)
+    rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(next)
+    val committed = d.copy(dataDir = next)
+    registry.put(committed.basePath, committed) // repoint: atomic for new queries
+    // drop superseded generations (new queries already see `next`)
+    val root = new org.apache.hadoop.fs.Path(d.mvPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("gen-") && name != f"gen-$nextGen%06d") fs.delete(st.getPath, true)
+    }
+    committed
   }
 
   /** Compute the rollup of `basePath` and register it. One scan of
@@ -80,25 +112,58 @@ object MaterializedViews {
     require(aggCols.nonEmpty, "an MV needs at least one aggregated column")
     deregister(basePath) // a stale twin must not rewrite our own build
     val base = spark.read.parquet(basePath)
-    val partials = aggCols.flatMap(c => Seq(
-      sum(col(c)).as(s"sum_$c"),
-      count(col(c)).as(s"cnt_$c"),
-      min(col(c)).as(s"min_$c"),
-      max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt_rows")
-    base.groupBy(groupCols.map(col): _*)
-      .agg(partials.head, partials.tail: _*)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mvPath)
-    val d = MvDef(canonical(basePath), mvPath, groupCols, aggCols)
-    registry.put(d.basePath, d)
-    d
+    val partials = partialAggs(aggCols)
+    val rows = base.groupBy(groupCols.map(col): _*).agg(partials.head, partials.tail: _*)
+    val d0 = MvDef(canonical(basePath), mvPath, groupCols, aggCols, genDir(mvPath, 0))
+    rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d0.dataDir)
+    registry.put(d0.basePath, d0)
+    d0
   }
 
-  /** Recompute the MV from the current base (full rebuild; compose
-    * the incremental-aggregate kernels for an O(changes) path on
-    * versioned bases).
+  /** Recompute the MV from the current base (full rebuild; use
+    * [[refreshIncremental]] for the O(batch) append path).
     */
   def refresh(spark: SparkSession, d: MvDef): MvDef =
     define(spark, d.basePath, d.groupCols, d.aggCols, d.mvPath)
+
+  /** Fold an APPEND batch into the view — O(|batch| + |groups|), the
+    * base is never rescanned: the batch's partials re-aggregate with
+    * the stored ones (sums and counts ADD, mins/maxes MIN/MAX — all
+    * decomposable under INSERTS, which is exactly why [[MvRewriteRule]]
+    * restricts itself to these aggregates). The new generation lands
+    * completely before the registry repoints, so a concurrent
+    * rewritten query scans either the old complete view or the new
+    * one, never a torn mix.
+    *
+    * Insert-only BY CONTRACT: deletes/updates in the base are not
+    * representable (a removed row cannot be subtracted from a stored
+    * MIN) — for those, [[refresh]] rebuilds. This matches the
+    * lakehouse norm (BigQuery/Hive incremental MV maintenance is
+    * append-scoped; general-change maintenance falls back to full
+    * recompute).
+    */
+  def refreshIncremental(spark: SparkSession, d: MvDef, appended: org.apache.spark.sql.DataFrame): MvDef = {
+    val partials = partialAggs(d.aggCols)
+    val batch = appended.groupBy(d.groupCols.map(col): _*).agg(partials.head, partials.tail: _*)
+    val current = spark.read.parquet(d.dataDir)
+    val foldAggs = d.aggCols.flatMap(c => Seq(
+      sum(col(s"sum_$c")).as(s"sum_$c"),
+      sum(col(s"cnt_$c")).as(s"cnt_$c"),
+      min(col(s"min_$c")).as(s"min_$c"),
+      max(col(s"max_$c")).as(s"max_$c"))) :+ sum(col("cnt_rows")).as("cnt_rows")
+    val combined = current.unionByName(batch)
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(foldAggs.head, foldAggs.tail: _*)
+    // sum(cnt) widens to LongType already; sum(sum_int) widens long->long,
+    // but sum over a DECIMAL sum col widens precision — cast each
+    // combined column back to the stored schema so generations never
+    // drift types
+    val typed = combined.select(current.columns.map { c =>
+      val want = current.schema(c).dataType
+      if (combined.schema(c).dataType == want) col(c) else col(c).cast(want)
+    }: _*)
+    commitGen(spark, d, typed, genOf(d.dataDir) + 1)
+  }
 
   def deregister(basePath: String): Unit = {
     registry.remove(canonical(basePath)); ()
@@ -177,7 +242,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
     // fresh MV relation instance (fresh exprIds per use site)
     val spark = SparkSession.active
-    val mvRel = spark.read.parquet(mv.mvPath).queryExecution.analyzed match {
+    val mvRel = spark.read.parquet(mv.dataDir).queryExecution.analyzed match {
       case r: LogicalRelation => r.newInstance()
       case other => other
     }

@@ -1018,4 +1018,55 @@ trait AnalyticsQueries extends ReferenceQueries {
         |WHERE l_orderkey % 4 = 0 AND l_linestatus = 'F'
         |GROUP BY l_returnflag""".stripMargin))
 
+  /** #101b Incremental MV maintenance
+    * ([[graft.plans.MaterializedViews.refreshIncremental]]): the view
+    * is defined over a base slice, a second slice APPENDS to the base
+    * and folds into the view in O(batch + groups) — the base is never
+    * rescanned; the new generation lands completely before the
+    * registry repoints. The report query then runs against the base
+    * through the rewrite (plan-locked in-run: MV scanned, base not)
+    * and must equal the oracle's recompute over BOTH slices — a
+    * fold that lost or double-counted a group hash-mismatches.
+    */
+  val qMvRefreshInc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("mv-refresh-inc")
+      val basePath = root + "/base"
+      val mvPath = root + "/mv"
+      val outPath = root + "/out"
+      val li = t(s, dir, "lineitem")
+      val sliceA = li.filter(pmod(col("l_orderkey"), lit(4)) === 1)
+      val sliceB = li.filter(pmod(col("l_orderkey"), lit(4)) === 2)
+      sliceA.repartition(4).write.mode("overwrite").parquet(basePath)
+      val d = graft.plans.MaterializedViews.define(
+        s, basePath, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"), mvPath)
+      try {
+        sliceB.repartition(4).write.mode("append").parquet(basePath)
+        graft.plans.MaterializedViews.refreshIncremental(s, d, sliceB)
+        val report = s.read.parquet(basePath)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+        val leaves = report.queryExecution.executedPlan.collectLeaves()
+          .map(_.treeString).mkString("\n")
+        require(leaves.contains(mvPath) && !leaves.contains(basePath),
+          s"q_mv_refresh_inc: the rewrite did not fire — plan leaves:\n$leaves")
+        report.write.mode("overwrite").parquet(outPath)
+      } finally graft.plans.MaterializedViews.deregister(basePath)
+      s.read.parquet(outPath)
+    },
+    oracle = Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |WHERE l_orderkey % 4 IN (1, 2)
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
 }

@@ -603,6 +603,38 @@ trait EventQueries extends LlmRetrievalQueries {
     oracle = Some(
       s"SELECT * FROM orders WHERE o_custkey IN (${bloomProbeKeys.mkString(", ")})"))
 
+  /** #10v Incrementally-maintained persisted zone-map index
+    * ([[graft.operators.ZoneMaps.refresh]], the same
+    * GenerationalFileIndex protocol as the bloom index): the table
+    * lands in two range-clustered appends; the zone map is refreshed
+    * after each — the second refresh scans ONLY the appended files —
+    * and a range scan reads through the maintained index
+    * (candidate-file pruning + exact re-filter). Row-identical to the
+    * full scan, which is exactly what the oracle runs.
+    */
+  val qZonemapRefresh: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val base = scratch("zonemap-refresh")
+      val target = base + "/t"
+      val idxPath = base + "/idx"
+      val ord = t(s, dir, "orders")
+      ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(target)
+      graft.operators.ZoneMaps.refresh(s, target, idxPath, "o_orderkey")
+      ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("append").parquet(target)
+      graft.operators.ZoneMaps.refresh(s, target, idxPath, "o_orderkey")
+      graft.operators.ZoneMaps.prunedRead(
+        s, target, graft.operators.ZoneMaps.load(s, idxPath),
+        "o_orderkey", 1000L, 3000L)
+    },
+    oracle = Some(
+      "SELECT * FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000"))
+
   /** #61 BPE pair statistics — the ranking one tokenizer-training
     * iteration runs: weighted adjacent character pairs over the
     * distinct-word frequency table (never the corpus), top 20 with a

@@ -534,4 +534,44 @@ trait ReferenceQueries extends QueryBase {
         |       CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type""".stripMargin))
 
+  /** #10u Deletion-vector deletes ([[graft.sources.DeletionVectors]]):
+    * two delete batches mark POSITIONS only — (file, row_index) pairs
+    * off the scan's `_metadata` columns, zero data files rewritten —
+    * and the read subtracts them with a metadata-decided broadcast
+    * anti join. The Delta DV / Iceberg v2 position-delete shape: at
+    * 100 TB a 0.1% delete writes kilobytes instead of re-copying the
+    * table, and compaction (spec-covered applyDeletes) amortizes many
+    * vectors into one rewrite. The oracle recomputes the visible
+    * state from the delete predicates on the raw table.
+    */
+  val qDeletionVectors: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.DeletionVectors
+      val root = scratch("dv-query")
+      val table = root + "/t"
+      val dv = root + "/v"
+      t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(3)) === 0)
+        .repartition(8)
+        .write.mode("overwrite").parquet(table)
+      DeletionVectors.markDeleted(s, table, col("l_discount") > 0.07, dv)
+      DeletionVectors.markDeleted(s, table, col("l_linenumber") >= 5, dv)
+      DeletionVectors.read(s, table, dv)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 0
+        |  AND NOT (l_discount > 0.07)
+        |  AND NOT (l_linenumber >= 5)
+        |GROUP BY l_returnflag""".stripMargin))
+
 }

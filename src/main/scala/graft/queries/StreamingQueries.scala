@@ -308,6 +308,40 @@ trait StreamingQueries extends AnalyticsQueries {
         |      FROM events)
         |WHERE rn % 10 = 0""".stripMargin))
 
+  /** #22t Streaming ingestion with per-commit Bloom-index maintenance
+    * ([[graft.streaming.EventStream.streamAppendBloomIndexed]]): the
+    * event stream lands batch-by-batch into an append table while the
+    * persisted file-level Bloom index is refreshed after EVERY commit
+    * — each refresh scans only that commit's files (10s3's O(changes)
+    * contract, driven from the streaming sink). The run asserts every
+    * post-first refresh folded exactly the new files, then answers a
+    * point lookup THROUGH the maintained index; the oracle is the
+    * plain IN filter over the whole corpus.
+    */
+  val streamBloomProbeKeys = Seq(11L, 4242L, 9313L)
+  val qStreamBloom: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("stream-bloom")
+      val table = root + "/t"
+      val idx = root + "/idx"
+      val src = graft.streaming.EventStream.streamableDir(s, s"$dir/events.parquet")
+      val stats = graft.streaming.EventStream.streamAppendBloomIndexed(
+        s, src, table, idx, "event_id",
+        queryName = "graft_stream_bloom_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      require(stats.nonEmpty, "q_stream_bloom: no micro-batch ran")
+      require(stats.forall(_.removed == 0L),
+        s"q_stream_bloom: append-only ingest must never drop indexed files, got $stats")
+      require(stats.map(_.added).sum == stats.last.indexedFiles,
+        s"q_stream_bloom: per-commit folds must add up to the final index, got $stats")
+      val cols = t(s, dir, "events").columns
+      graft.operators.BloomFileIndex.prunedRead(
+        s, table, graft.operators.BloomFileIndex.load(s, idx),
+        "event_id", streamBloomProbeKeys)
+        .select(cols.map(col): _*)
+    },
+    oracle = Some(
+      s"SELECT * FROM events WHERE event_id IN (${streamBloomProbeKeys.mkString(", ")})"))
+
   // ---------------------------------------------------------------
   // LLM-data-pipeline surface
 }

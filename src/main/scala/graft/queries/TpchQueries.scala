@@ -1662,6 +1662,29 @@ trait TpchQueries extends EventQueries {
     },
     oracle = Some("SELECT count(*) AS n_rows FROM lineitem"))
 
+  /** #96b Metadata-only MIN/MAX
+    * ([[graft.operators.ZoneMaps.minMaxFromFooters]]): the extremes
+    * of an integral and a floating column answered from parquet
+    * footer chunk statistics — zero row-group I/O, the stats-served
+    * aggregate Iceberg/Delta give; strings refuse by contract (binary
+    * stats may be writer-truncated). The oracle computes the same
+    * extremes the slow way over the raw table.
+    */
+  val qMinmaxMeta: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val keys = graft.operators.ZoneMaps
+        .minMaxFromFooters(s, s"$dir/lineitem.parquet", "l_orderkey")
+        .select(col("min_v").as("min_key"), col("max_v").as("max_key"))
+      val prices = graft.operators.ZoneMaps
+        .minMaxFromFooters(s, s"$dir/lineitem.parquet", "l_extendedprice")
+        .select(col("min_v").as("min_price"), col("max_v").as("max_price"))
+      keys.crossJoin(prices)
+    },
+    oracle = Some(
+      """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin))
+
   /** #97 Table history (DESCRIBE HISTORY analog): a 4-commit
     * lifecycle — base upsert, keyed delete, insert batch, restore —
     * read back as (version, n_rows) with counts derived from parquet

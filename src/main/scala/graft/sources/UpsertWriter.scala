@@ -293,8 +293,33 @@ object UpsertWriter {
     // 1 PiB as "unknown" and skip sizing rather than spraying the
     // nFiles cap worth of tiny files.
     val statsUsable = estBytes < BigInt(1L << 50)
-    val nFiles = ((estBytes + targetFileBytes - 1) / targetFileBytes).max(1).min(100000).toInt
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    // Trust the estimate's SPLIT decision only for scan/local-backed
+    // updates plans, whose size stats are real. Through joins,
+    // aggregates, generates and windows Catalyst size-only stats
+    // MULTIPLY — a join-over-aggregates updates plan (the CDC fold's
+    // shape) claimed 1.66 TB for 60 rows — and an explicit
+    // repartition(N) is exempt from AQE coalescing, so the bogus
+    // N=3244 ran thousands of near-empty reduce tasks: ~17s of pure
+    // task overhead per commit AT ANY DATA SIZE (13× on the whole
+    // query). For stats-inflatable plans the split is capped by what
+    // MEASURED bytes justify (double the existing table's file
+    // count, floored at shuffle parallelism); the post-write resize
+    // below catches what the estimate still gets wrong in the
+    // too-small direction.
+    val statsInflatable = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Generate => LGen, Join => LJoin, Window => LWin}
+      updates.queryExecution.optimizedPlan.exists {
+        case _: LJoin | _: LAgg | _: LGen | _: LWin => true
+        case _ => false
+      }
+    }
+    val realFiles = ((existingBytes + targetFileBytes - 1) / targetFileBytes).max(0)
+    val nFilesCap =
+      if (statsInflatable) math.max(shufflePartitions.toLong, 2L * realFiles).max(1L)
+      else 100000L
+    val nFiles = ((estBytes + targetFileBytes - 1) / targetFileBytes)
+      .max(1).min(100000).min(nFilesCap).toInt
     val sized =
       if (!statsUsable) merged
       else if (partitionBy.nonEmpty) {
@@ -325,6 +350,38 @@ object UpsertWriter {
     val writer = clustered.write.mode(SaveMode.Overwrite)
     val partitioned = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     partitioned.parquet(versionDir.toString)
+    // Post-write self-check against STATS LIES: Catalyst size-only
+    // estimates multiply through joins, so an `updates` plan shaped
+    // join-over-aggregates can claim gigabytes for kilobytes of rows
+    // and the sizing above sprays the version across dozens-to-
+    // thousands of tiny files. Committing that poisons every
+    // subsequent reader AND the next merge's estimate — measured as a
+    // 13× wall-clock blowup (q_inc_agg_cdc) that snowballed worse
+    // each commit. The write itself is the first trustworthy
+    // measurement, so use it: if the landed files average far under
+    // target size, rewrite the (still-uncommitted) version right-
+    // sized before the marker — cheap exactly when it fires, since
+    // firing means the data is small. Skipped for hive-partitioned
+    // layouts (per-partition dirs legitimately hold small files).
+    if (partitionBy.isEmpty) {
+      val partFiles = fs.listStatus(versionDir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      val writtenBytes = partFiles.map(_.getLen).sum
+      if (partFiles.length > 8 && writtenBytes / partFiles.length < targetFileBytes / 64) {
+        val rightN = ((writtenBytes + targetFileBytes - 1) / targetFileBytes).max(1)
+          .min(partFiles.length.toLong).toInt
+        val resized = new Path(target, f"v$nextNum%08d.resize")
+        if (fs.exists(resized)) fs.delete(resized, true)
+        val shrunk = spark.read.parquet(versionDir.toString).coalesce(rightN)
+        val reclustered = // coalesce concatenates parents: re-sort files
+          if (clusterBy.nonEmpty) shrunk.sortWithinPartitions(clusterBy.map(col): _*)
+          else shrunk
+        reclustered.write.mode(SaveMode.Overwrite).parquet(resized.toString)
+        fs.delete(versionDir, true)
+        if (!fs.rename(resized, versionDir))
+          throw new java.io.IOException(s"resize rename $resized -> $versionDir failed")
+      }
+    }
     writeMeta(fs, versionDir, meta) // metadata rides the commit: before the marker
     preCommit() // last-instant ownership re-check for concurrent writers
     fs.create(new Path(versionDir, CommitMarker), true).close() // commit point

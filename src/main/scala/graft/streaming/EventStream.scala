@@ -974,4 +974,47 @@ object EventStream {
     spark.read.schema(dlqSchema).parquet(dlqDir)
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
   }
+
+  /** Streaming append ingestion with PER-COMMIT Bloom-index
+    * maintenance (SURVEY 22t — composes 22e-style foreachBatch
+    * ingestion with the 10s3 incremental index): each micro-batch
+    * lands as its own `batch=N` partition dir (mode=Overwrite per
+    * dir, so a replayed batch id rewrites the same files instead of
+    * duplicating — the checkpoint + deterministic-target pair is the
+    * exactly-once contract every foreachBatch sink here rides), then
+    * [[graft.operators.BloomFileIndex.refresh]] folds ONLY that
+    * commit's files into the persisted index — the file-list diff is
+    * pure FS metadata, so index maintenance costs O(commit) per
+    * trigger however large the table has grown. Point lookups read
+    * through the maintained index immediately; a crash between the
+    * append and the refresh leaves the index stale-never-torn and
+    * the next trigger's refresh catches the orphaned files up.
+    * Returns per-batch refresh stats (the spec pins added == the
+    * batch's file count and indexedFiles == the running total).
+    */
+  def streamAppendBloomIndexed(
+      spark: SparkSession,
+      path: String,
+      tablePath: String,
+      indexPath: String,
+      keyCol: String,
+      m: Int = 4096,
+      queryName: String = "graft_stream_bloom"): Seq[graft.operators.BloomFileIndex.RefreshStats] = {
+    val stats = new java.util.concurrent.CopyOnWriteArrayList[graft.operators.BloomFileIndex.RefreshStats]()
+    val events = eventSource(spark, path, maxFilesPerTrigger = Some(1))
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val q = events.writeStream
+      .option("checkpointLocation", s"${tablePath}_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.toDF().write.mode("overwrite").parquet(s"$tablePath/batch=$batchId")
+        stats.add(graft.operators.BloomFileIndex.refresh(spark, tablePath, indexPath, keyCol, m))
+        ()
+      }
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    stats.asScala.toSeq
+  }
 }

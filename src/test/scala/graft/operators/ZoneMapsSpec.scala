@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class ZoneMapsSpec extends SparkSpec {
 
@@ -72,5 +73,65 @@ class ZoneMapsSpec extends SparkSpec {
     // a single bare file (the testdata layout)
     assert(ZoneMaps.countFromFooters(spark, s"$sfDir/region.parquet") ==
       graft.sources.TableLoader.table(spark, sfDir, "region").count())
+  }
+
+  test("persisted refresh: only new files scanned, refresh == rebuild, no-op when current, statsCol pinned") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("graft-zmr-")
+    val table = root + "/t"
+    val idx = root + "/idx"
+    (1L to 1000L).toDF("v").repartitionByRange(4, col("v"))
+      .write.mode("overwrite").parquet(table)
+    val st1 = ZoneMaps.refresh(spark, table, idx, "v")
+    assert(st1.added == 4L && st1.removed == 0L && st1.indexedFiles == 4L)
+    (1001L to 2000L).toDF("v").repartitionByRange(3, col("v"))
+      .write.mode("append").parquet(table)
+    val st2 = ZoneMaps.refresh(spark, table, idx, "v")
+    assert(st2.added == 3L, s"refresh must scan ONLY the appended files, got $st2")
+    assert(st2.indexedFiles == 7L)
+    // refreshed index == a from-scratch build, row for row
+    val built = ZoneMaps.build(spark, table, "v")
+    val loaded = ZoneMaps.load(spark, idx)
+    assert(loaded.exceptAll(built).isEmpty && built.exceptAll(loaded).isEmpty)
+    // up-to-date refresh is a metadata no-op
+    val st3 = ZoneMaps.refresh(spark, table, idx, "v")
+    assert(st3.added == 0L && st3.removed == 0L)
+    // pruned read through the maintained index is row-identical
+    val out = ZoneMaps.prunedRead(spark, table, loaded, "v", 900L, 1100L)
+    assert(out.count() == 201L)
+    // a different stats column refuses loudly
+    intercept[IllegalStateException](ZoneMaps.refresh(spark, table, idx, "other"))
+    intercept[IllegalStateException](ZoneMaps.load(spark, root + "/nothere"))
+  }
+
+  test("minMaxFromFooters: exact for long and double, nulls skipped, strings refused") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft-zmm-") + "/t"
+    Seq(
+      (5L, Option(2.5), "b"),
+      (-17L, Option(-0.125), "a"),
+      (9000000000L, None, "z"),
+      (42L, Option(9.75), "m"))
+      .toDF("k", "x", "name")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+
+    val longs = ZoneMaps.minMaxFromFooters(spark, dir, "k").collect()(0)
+    assert(longs.getLong(0) == -17L && longs.getLong(1) == 9000000000L)
+
+    val dbls = ZoneMaps.minMaxFromFooters(spark, dir, "x").collect()(0)
+    assert(dbls.getDouble(0) == -0.125 && dbls.getDouble(1) == 9.75)
+
+    val e = intercept[org.apache.spark.SparkException] {
+      ZoneMaps.minMaxFromFooters(spark, dir, "name").collect()
+    }
+    assert(e.getMessage.contains("truncated") || e.getCause != null)
+
+    // all-null column: SQL answer is null, typed row not a crash
+    val nullDir = tmpDir("graft-zmm-") + "/nulls"
+    Seq.fill(10)(Option.empty[Long]).toDF("k").write.mode("overwrite").parquet(nullDir)
+    val nr = ZoneMaps.minMaxFromFooters(spark, nullDir, "k").collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 }

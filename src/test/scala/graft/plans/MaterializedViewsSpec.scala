@@ -103,6 +103,38 @@ class MaterializedViewsSpec extends SparkSpec {
     } finally MaterializedViews.deregister(base)
   }
 
+  test("incremental refresh == full rebuild, and the rewrite answers over base + append") {
+    val (base, mv) = fixture()
+    try {
+      val d = MaterializedViews.define(spark, base, Seq("g1", "g2"), Seq("v", "w"), mv)
+      val s = spark
+      import s.implicits._
+      val batch = (2000 to 2500).map { i =>
+        ("a", if (i % 2 == 0) "x" else "z", i.toLong,
+          if (i % 7 == 0) null else java.lang.Double.valueOf(i.toDouble % 5))
+      }.toDF("g1", "g2", "v", "w")
+      batch.write.mode("append").parquet(base)
+      val inc = MaterializedViews.refreshIncremental(spark, d, batch)
+      // fold == rebuild, row for row (new group 'z' included)
+      val folded = spark.read.parquet(inc.dataDir)
+      MaterializedViews.deregister(base)
+      val rebuilt = MaterializedViews.define(spark, base, Seq("g1", "g2"), Seq("v", "w"), mv + "2")
+      val direct = spark.read.parquet(rebuilt.dataDir)
+      assert(folded.exceptAll(direct).isEmpty && direct.exceptAll(folded).isEmpty,
+        "incremental fold must equal the full rebuild")
+      MaterializedViews.deregister(base)
+      // and a rewritten query over the folded view answers for base+append
+      MaterializedViews.registry.put(inc.basePath, inc)
+      def q() = spark.read.parquet(base).groupBy("g2")
+        .agg(sum(col("v")).as("sv"), count(col("w")).as("nw"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      assert(scanPaths(q()).contains(inc.dataDir))
+      val got = q().orderBy("g2").collect()
+      MaterializedViews.deregister(base)
+      assert(got.toSeq == q().orderBy("g2").collect().toSeq)
+    } finally MaterializedViews.deregister(base)
+  }
+
   test("deregister restores the base scan") {
     val (base, mv) = fixture()
     try {

@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DeletionVectorsSpec extends SparkSpec {
+
+  private def fixture(): (String, String) = {
+    val root = tmpDir("dv")
+    val table = root + "/t"
+    val dv = root + "/v"
+    val s = spark
+    import s.implicits._
+    (1 to 300).map(i => (i.toLong, s"u${i % 7}", i % 10))
+      .toDF("id", "user", "bucket")
+      .repartition(5).write.mode("overwrite").parquet(table)
+    (table, dv)
+  }
+
+  test("predicate delete hides exactly the matching rows; no vector reads as the plain table") {
+    val (table, dv) = fixture()
+    val plain = DeletionVectors.read(spark, table, dv)
+    assert(plain.count() == 300L)
+    assert(plain.columns.toSeq == Seq("id", "user", "bucket"))
+
+    DeletionVectors.markDeleted(spark, table, col("bucket") === 3, dv)
+    val visible = DeletionVectors.read(spark, table, dv)
+    assert(visible.count() == 270L)
+    assert(visible.where(col("bucket") === 3).count() == 0L)
+    assert(visible.columns.toSeq == Seq("id", "user", "bucket"))
+
+    // marking the same predicate again duplicates vector rows but
+    // cannot change visibility
+    DeletionVectors.markDeleted(spark, table, col("bucket") === 3, dv)
+    assert(DeletionVectors.read(spark, table, dv).count() == 270L)
+  }
+
+  test("positional delete removes ONE occurrence of content-identical rows") {
+    val root = tmpDir("dv-pos")
+    val table = root + "/t"
+    val dv = root + "/v"
+    val s = spark
+    import s.implicits._
+    // the same row value written twice into different files
+    Seq((1L, "same")).toDF("id", "v").write.mode("overwrite").parquet(table)
+    Seq((1L, "same")).toDF("id", "v").write.mode("append").parquet(table)
+    assert(spark.read.parquet(table).count() == 2L)
+
+    val onePos = spark.read.parquet(table)
+      .where(col("v") === "same")
+      .select(
+        col("_metadata.file_path").as("_dv_file"),
+        col("_metadata.row_index").as("_dv_pos"))
+      .limit(1)
+    DeletionVectors.markRows(spark, onePos, dv)
+
+    val visible = DeletionVectors.read(spark, table, dv)
+    assert(visible.count() == 1L, "positional identity must delete exactly one of two equal rows")
+    assert(visible.where(col("v") === "same").count() == 1L)
+  }
+
+  test("multiple delete batches accumulate; applyDeletes folds and clears the vector") {
+    val (table, dv) = fixture()
+    DeletionVectors.markDeleted(spark, table, col("bucket") === 0, dv)
+    DeletionVectors.markDeleted(spark, table, col("user") === "u1", dv)
+    val visible = DeletionVectors.read(spark, table, dv)
+    val expect = spark.read.parquet(table)
+      .where(!(col("bucket") === 0) && !(col("user") === "u1"))
+    assert(visible.count() == expect.count())
+    assert(visible.exceptAll(expect).isEmpty && expect.exceptAll(visible).isEmpty)
+
+    val dest = tmpDir("dv-compact") + "/t2"
+    DeletionVectors.applyDeletes(spark, table, dv, dest)
+    val rewritten = spark.read.parquet(dest)
+    assert(rewritten.count() == expect.count())
+    assert(rewritten.exceptAll(expect).isEmpty)
+    // the vector is cleared: reads of the OLD dir show everything
+    // again (the swap to dest is the caller's commit), and the dv dir
+    // is gone
+    assert(DeletionVectors.read(spark, table, dv).count() == 300L)
+  }
+
+  test("read-side broadcast is metadata-decided: the small-vector plan broadcasts") {
+    val (table, dv) = fixture()
+    DeletionVectors.markDeleted(spark, table, col("bucket") === 5, dv)
+    val plan = DeletionVectors.read(spark, table, dv)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"small vector should broadcast:\n$plan")
+  }
+}

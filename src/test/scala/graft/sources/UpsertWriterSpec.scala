@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum}
 
 class UpsertWriterSpec extends SparkSpec {
 
@@ -509,5 +509,47 @@ class UpsertWriterSpec extends SparkSpec {
     assert(vs == (vs.head to vs.last), s"timeline must stay linear: $vs")
     assert(UpsertWriter.read(spark, table).filter(col("k") === 5L).count() == 1L,
       "racing writer's committed row must survive exactly once")
+  }
+
+  test("stats-lied sizing self-corrects: the CDC-fold plan shape commits few sane files, not thousands of tasks") {
+    // miniature of the q_inc_agg_cdc pathology: the retraction fold's
+    // merged plan (full-outer diff → generate → aggregate → join) has
+    // Catalyst size stats inflated by ORDERS OF MAGNITUDE (1.66 TB
+    // claimed for 60 real rows at sf0.001), and repartition(N) is
+    // AQE-exempt — pre-fix this ran a 3244-task near-empty shuffle
+    // per commit (~17s of task overhead) and committed the state as
+    // 76 tiny files, snowballing every subsequent read and merge
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("uw-resize")
+    val basePath = root + "/events"
+    val statePath = root + "/state"
+    (1L to 300L).map(i => (i, i % 20, if (i % 3 == 0) "purchase" else "click", i * 1.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    val next = base.filter(col("event_type") =!= "purchase")
+      .unionByName(base.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2))
+    val keys = Seq("user_id", "event_type")
+    graft.operators.IncrementalAgg.refreshTable(
+      spark, statePath, base, keys, "value", batchId = Some(1L))
+    val feed = graft.operators.SnapshotDiff.changeFeed(base, next, keys = Seq("event_id"))
+    graft.operators.IncrementalAgg.refreshFromChanges(
+      spark, statePath, feed, keys, "value", batchId = Some(2L))
+    // every committed state version must be sanely sized — the stats
+    // lie can neither fragment files nor survive to poison readers
+    UpsertWriter.versions(spark, statePath).foreach { v =>
+      val dir = new java.io.File(f"$statePath/v$v%08d")
+      val parts = dir.listFiles().count(_.getName.startsWith("part-"))
+      assert(parts <= 8, s"stats lie fragmented v$v into $parts files for ~40 rows")
+    }
+    // and the fold is still CORRECT: state equals the direct rollup of next
+    val got = graft.operators.IncrementalAgg.readLive(spark, statePath, keys)
+      .select(col("user_id"), col("event_type"), col("n"), col("sum_dec"))
+    val want = next.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("decimal(38,6)").as("sum_dec"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 }
