@@ -697,6 +697,97 @@ object Scale {
       } { operators.BloomFileIndex.refresh(spark, rb1, ri1, "o_custkey"); () }
     }
 
+    // -------------------------------------------------------------
+    // Round-12 new ops: deletion vectors, MV rewrite/build/fold,
+    // footer min/max, zone-map refresh. (q_stream_bloom is the
+    // composition of two already-rehearsed legs — 22e ingestion +
+    // 10s3 per-commit refresh — and is not re-measured separately.)
+    // -------------------------------------------------------------
+
+    // deletion vectors: mark = one scan writing positions; read =
+    // scan + broadcast anti join sized by |deletes|, never the table
+    if (wanted("q_deletion_vectors")) {
+      def dvRun(li: DataFrame, root: String): Unit = {
+        val table = root + "/t"; val dv = root + "/v"
+        li.repartition(16).write.mode("overwrite").parquet(table)
+        sources.DeletionVectors.markDeleted(spark, table, col("l_discount") > 0.07, dv)
+        sources.DeletionVectors.markDeleted(spark, table, col("l_linenumber") >= 5, dv)
+        noop(sources.DeletionVectors.read(spark, table, dv))
+      }
+      rehearseUnit("q_deletion_vectors") {
+        dvRun(li01, scaleScratch("dv-01"))
+      } { dvRun(li1, scaleScratch("dv-1")) }
+    }
+
+    // materialized views: the BUILD is corpus-shaped (one rollup
+    // scan) — expected ~linear; the REWRITTEN QUERY is |groups|-
+    // shaped and must be ~FLAT at 10x base size (that is the whole
+    // point of an MV); the incremental FOLD takes the same-sized
+    // batch against both views and must be ~flat too
+    if (wanted("q_mv_rewrite")) {
+      def mvBase(li: DataFrame, dir: String): String = {
+        li.repartition(16).write.mode("overwrite").parquet(dir); dir
+      }
+      val b01 = mvBase(li01, scaleScratch("mv-b01"))
+      val b1 = mvBase(li1, scaleScratch("mv-b1"))
+      var d01: plans.MaterializedViews.MvDef = null
+      var d1: plans.MaterializedViews.MvDef = null
+      rehearseUnit("q_mv_build") {
+        d01 = plans.MaterializedViews.define(spark, b01,
+          Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"),
+          scaleScratch("mv-v01"))
+      } {
+        d1 = plans.MaterializedViews.define(spark, b1,
+          Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"),
+          scaleScratch("mv-v1"))
+      }
+      def report(base: String): DataFrame = spark.read.parquet(base)
+        .where(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+      rehearseUnit("q_mv_rewrite") { noop(report(b01)) } { noop(report(b1)) }
+      val batch = li01.limit(200000)
+      rehearseUnit("q_mv_refresh_inc") {
+        plans.MaterializedViews.refreshIncremental(spark, d01, batch); ()
+      } { plans.MaterializedViews.refreshIncremental(spark, d1, batch); () }
+      plans.MaterializedViews.deregister(b01)
+      plans.MaterializedViews.deregister(b1)
+    }
+
+    // metadata-only min/max: cost tracks FILE COUNT (one footer read
+    // per file, distributed), never data bytes — both tables written
+    // at the same file count, so the ratio must be ~1 at 10x bytes
+    if (wanted("q_minmax_meta")) {
+      val mm01 = scaleScratch("mm-01"); val mm1 = scaleScratch("mm-1")
+      li01.repartition(32).write.mode("overwrite").parquet(mm01)
+      li1.repartition(32).write.mode("overwrite").parquet(mm1)
+      rehearseUnit("q_minmax_meta") {
+        noop(operators.ZoneMaps.minMaxFromFooters(spark, mm01, "l_orderkey"))
+      } { noop(operators.ZoneMaps.minMaxFromFooters(spark, mm1, "l_orderkey")) }
+    }
+
+    // incremental zone-map refresh: the same-sized batch appends to
+    // the sf0.1 and sf1 tables — if refresh cost tracks the APPEND
+    // (file-list diff + scan of new files only) the ratio stays ~1
+    if (wanted("q_zonemap_refresh")) {
+      def zmSetup(o: DataFrame, dir: String, idx: String): Unit = {
+        o.repartitionByRange(64, col("o_orderkey"))
+          .write.mode("overwrite").parquet(dir)
+        operators.ZoneMaps.refresh(spark, dir, idx, "o_orderkey"); ()
+      }
+      val zb01 = scaleScratch("zm-ref-01"); val zi01 = scaleScratch("zm-ref-i01")
+      val zb1 = scaleScratch("zm-ref-1"); val zi1 = scaleScratch("zm-ref-i1")
+      zmSetup(ord01, zb01, zi01)
+      zmSetup(ord1, zb1, zi1)
+      val zbatch = ord01.withColumn("o_orderkey", col("o_orderkey") + lit(9000000000L))
+      zbatch.repartitionByRange(8, col("o_orderkey")).write.mode("append").parquet(zb01)
+      zbatch.repartitionByRange(8, col("o_orderkey")).write.mode("append").parquet(zb1)
+      rehearseUnit("q_zonemap_refresh") {
+        operators.ZoneMaps.refresh(spark, zb01, zi01, "o_orderkey"); ()
+      } { operators.ZoneMaps.refresh(spark, zb1, zi1, "o_orderkey"); () }
+    }
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
   }
