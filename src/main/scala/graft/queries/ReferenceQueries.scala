@@ -410,6 +410,32 @@ trait ReferenceQueries extends QueryBase {
     },
     oracle = Some("SELECT * FROM events"))
 
+  /** #10d2 Timestamp-based time travel ([[UpsertWriter.readAsOf]] —
+    * the `TIMESTAMP AS OF` face of #10d): same 2-commit lifecycle,
+    * but v1 is resolved by COMMIT INSTANT (the marker file's mtime —
+    * marker-last makes it exactly when the version became visible)
+    * instead of version number. Reading as-of one millisecond before
+    * v2's instant must return the v1 snapshot — the same oracle as
+    * the version route; two resolution mechanisms must agree on the
+    * bytes.
+    */
+  val qTimeTravelTs: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("upsert-timetravel-ts")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(base, target, Seq("event_id"), "ts", keepVersions = 3)
+      val updates = base.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      UpsertWriter.upsert(updates, target, Seq("event_id"), "ts", keepVersions = 3)
+      val instants = UpsertWriter.commitInstants(s, target).toMap
+      require(instants(2) > instants(1),
+        s"commit instants must be distinguishable, got $instants — " +
+          "filesystem mtime granularity coarser than the inter-commit gap")
+      UpsertWriter.readAsOf(s, target, instants(2) - 1)
+    },
+    oracle = Some("SELECT * FROM events"))
+
   /** #10t Deep clone ([[graft.sources.TableClone.deepClone]]): the
     * 2-version events table is physically copied — history and all —
     * and the CLONE then takes an upsert (purchases doubled) the

@@ -170,6 +170,77 @@ object UpsertWriter {
     }
   }
 
+  /** Constraint-gated upsert (the Delta CHECK / NOT-NULL-on-write
+    * shape, composed from the declarative expectation suite the read
+    * side already uses — [[graft.operators.QualityChecks]]): the
+    * batch's checks run BEFORE any version is staged, and ONE red
+    * check refuses the whole commit loudly with every violation
+    * count in the message — the table can never hold a row that
+    * violates its declared constraints, and a refused batch leaves
+    * the timeline byte-identical. Checks see the UPDATE BATCH (the
+    * rows this commit introduces); table-wide invariants that need
+    * the merged state (e.g. cross-batch uniqueness) belong in a WAP
+    * audit ([[Wap.writeAuditPublish]]), which stages first and checks
+    * the staged snapshot.
+    */
+  def upsertChecked(
+      updates: DataFrame,
+      targetPath: String,
+      recordKeys: Seq[String],
+      precombine: String,
+      checks: DataFrame => Seq[DataFrame],
+      partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil,
+      keepVersions: Int = 2,
+      targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
+    val results = graft.operators.QualityChecks.run(checks(updates)).collect()
+    val failed = results.filter(!_.getAs[Boolean]("passed"))
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        "upsertChecked: commit refused, batch violates declared constraints: " +
+          failed.map(r => s"${r.getAs[String]("check")}=${r.getAs[Long]("n_violations")}")
+            .mkString(", "))
+    upsert(updates, targetPath, recordKeys, precombine,
+      partitionBy, clusterBy, keepVersions, targetFileBytes)
+  }
+
+  /** Timestamp-based time travel (the `TIMESTAMP AS OF` face of
+    * [[readVersion]]): resolve the LATEST version whose commit landed
+    * at or before `tsMillis` and read that snapshot. The commit
+    * instant is the marker file's filesystem mtime — the marker is
+    * created LAST in the commit protocol, so its mtime is exactly
+    * when the version became visible; no write-path change and no
+    * clock bookkeeping beyond what the filesystem already records
+    * (the same source Delta/Iceberg use when table metadata lacks an
+    * explicit timestamp). A timestamp before the first retained
+    * commit refuses loudly — the cleaner may have dropped history,
+    * and serving the oldest-retained snapshot instead would silently
+    * answer for a version that is NOT what the caller asked about.
+    */
+  def readAsOf(spark: org.apache.spark.sql.SparkSession, targetPath: String,
+      tsMillis: Long): DataFrame = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamped = committedVersions(fs, target).map { case (v, dir) =>
+      (v, dir, fs.getFileStatus(new Path(dir, CommitMarker)).getModificationTime)
+    }
+    stamped.filter(_._3 <= tsMillis).sortBy(_._1).lastOption match {
+      case Some((_, dir, _)) => spark.read.parquet(dir.toString)
+      case None => throw new IllegalArgumentException(
+        s"no retained commit of $targetPath at or before ts=$tsMillis " +
+          s"(earliest retained: ${stamped.headOption.map(s => s"v${s._1}@${s._3}").getOrElse("none")})")
+    }
+  }
+
+  /** Commit instants of the retained timeline: (version, markerMtimeMillis). */
+  def commitInstants(spark: org.apache.spark.sql.SparkSession, targetPath: String): Seq[(Int, Long)] = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, target).map { case (v, dir) =>
+      (v, fs.getFileStatus(new Path(dir, CommitMarker)).getModificationTime)
+    }
+  }
+
   /** DESCRIBE HISTORY analog: one row per RETAINED committed version
     * — (version, n_rows, n_files, meta as sorted k=v string). Row
     * counts come from parquet footers

@@ -511,6 +511,54 @@ class UpsertWriterSpec extends SparkSpec {
       "racing writer's committed row must survive exactly once")
   }
 
+  test("upsertChecked: a violating batch refuses loudly and leaves the timeline byte-identical") {
+    import graft.operators.QualityChecks
+    val table = tmpDir("uw-checked") + "/t"
+    val checks = (b: org.apache.spark.sql.DataFrame) => Seq(
+      QualityChecks.notNull(b, "payload", "payload_not_null"),
+      QualityChecks.inRange(b, "ver", 0, 100, "ver_range"),
+      QualityChecks.unique(b, Seq("k"), "key_unique"))
+    UpsertWriter.upsertChecked(
+      df((1L, 1L, "a"), (2L, 1L, "b")), table, Seq("k"), "ver", checks)
+    assert(UpsertWriter.read(spark, table).count() == 2L)
+
+    val s = spark
+    import s.implicits._
+    val bad = Seq((3L, 999L, "c"), (3L, 1L, null.asInstanceOf[String]))
+      .toDF("k", "ver", "payload")
+    val e = intercept[IllegalStateException](
+      UpsertWriter.upsertChecked(bad, table, Seq("k"), "ver", checks))
+    assert(e.getMessage.contains("ver_range=1") &&
+      e.getMessage.contains("payload_not_null=1") &&
+      e.getMessage.contains("key_unique=2"), e.getMessage)
+    // the refused commit left nothing behind: still one version, same rows
+    assert(UpsertWriter.versions(spark, table) == Seq(1))
+    assert(UpsertWriter.read(spark, table).count() == 2L)
+  }
+
+  test("readAsOf: commit-instant resolution — between-commits ts reads the earlier version, pre-history refuses") {
+    val table = tmpDir("uw-asof") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "a"), (2L, 1L, "b")), table, Seq("k"), "ver")
+    Thread.sleep(30) // separate the marker mtimes
+    UpsertWriter.upsert(df((1L, 2L, "a2"), (3L, 1L, "c")), table, Seq("k"), "ver")
+    val instants = UpsertWriter.commitInstants(spark, table).toMap
+    assert(instants.keySet == Set(1, 2) && instants(2) >= instants(1))
+    // at-or-after v2's instant: the live snapshot
+    assert(UpsertWriter.readAsOf(spark, table, instants(2)).count() == 3L)
+    assert(UpsertWriter.readAsOf(spark, table, System.currentTimeMillis() + 60000).count() == 3L)
+    // between the two commits (when distinguishable): the v1 snapshot
+    if (instants(2) > instants(1)) {
+      val v1 = UpsertWriter.readAsOf(spark, table, instants(2) - 1)
+      assert(v1.count() == 2L)
+      assert(v1.filter(col("k") === 1L && col("payload") === "a").count() == 1L)
+    }
+    // before the first retained commit: loud refusal, never a silent
+    // oldest-retained answer
+    val e = intercept[IllegalArgumentException](
+      UpsertWriter.readAsOf(spark, table, instants(1) - 1))
+    assert(e.getMessage.contains("no retained commit"))
+  }
+
   test("stats-lied sizing self-corrects: the CDC-fold plan shape commits few sane files, not thousands of tasks") {
     // miniature of the q_inc_agg_cdc pathology: the retraction fold's
     // merged plan (full-outer diff → generate → aggregate → join) has
