@@ -103,7 +103,9 @@ object Bench {
     // artifact to separate host noise from regression. Small and
     // fixed so the stdout line stays under the driver's ~2000-char
     // stdout retention.
-    val watch = Seq("q_mor_read", "q_mor_ro", "q_partial_update", "q_stream_dedup")
+    // q_inc_agg_cdc joined round 12: its stats-lie fragmentation fix
+    // (UpsertWriter sizing) must hold — r12 bar 1.7s at sf0.1
+    val watch = Seq("q_mor_read", "q_mor_ro", "q_partial_update", "q_stream_dedup", "q_inc_agg_cdc")
       .filter(results.contains)
       .map(n => s""""$n":[${r3(results(n))},${r3(means(n))}]""")
       .mkString("{", ",", "}")

@@ -135,6 +135,23 @@ class MaterializedViewsSpec extends SparkSpec {
     } finally MaterializedViews.deregister(base)
   }
 
+  test("the SQL transform surface benefits too: spark.sql over parquet.`path` rewrites") {
+    val (base, mv) = fixture()
+    try {
+      MaterializedViews.define(spark, base, Seq("g1"), Seq("v"), mv)
+      val q = spark.sql(
+        s"SELECT g1, sum(v) AS sv, count(*) AS n FROM parquet.`$base` GROUP BY g1")
+      assert(scanPaths(q).contains(mv),
+        "the config-driven SQL surface (#5) must ride the same rewrite")
+      val got = q.orderBy("g1").collect()
+      MaterializedViews.deregister(base)
+      val want = spark.sql(
+        s"SELECT g1, sum(v) AS sv, count(*) AS n FROM parquet.`$base` GROUP BY g1")
+        .orderBy("g1").collect()
+      assert(got.toSeq == want.toSeq)
+    } finally MaterializedViews.deregister(base)
+  }
+
   test("deregister restores the base scan") {
     val (base, mv) = fixture()
     try {
