@@ -81,4 +81,36 @@ class SafeJoinSpec extends SparkSpec {
     val z = SafeJoin.estimateJoinSize(disj1, disj2, "k", d = 4, w = 1 << 17)
     assert(z >= 0L && z <= 5L, s"disjoint sides should estimate ~0, got $z")
   }
+
+  test("property: sparse == dense and never-undercount over random skewed inputs") {
+    val s = spark
+    import s.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 15485863L)
+      def side() = {
+        val keys = 1 + rnd.nextInt(300)
+        (1 to 200 + rnd.nextInt(400)).map(_ => rnd.nextInt(keys).toLong)
+      }
+      val (xs, ys) = (side(), side())
+      val a = xs.toDF("k"); val b = ys.toDF("k")
+      val truth = {
+        val fa = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val fb = ys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        fa.keys.map(k => fa(k) * fb.getOrElse(k, 0L)).sum
+      }
+      val w = 1 << (17 + rnd.nextInt(3)) // always the sparse path
+      val sparse = SafeJoin.estimateJoinSize(a, b, "k", d = 4, w = w)
+      val dense = {
+        val ka = a.select(col("k").cast("string").as("_k"))
+          .agg(graft.functions.CmsFunctions.cmsSketch(col("_k"), 4, w).as("ska"))
+        val kb = b.select(col("k").cast("string").as("_k"))
+          .agg(graft.functions.CmsFunctions.cmsSketch(col("_k"), 4, w).as("skb"))
+        ka.crossJoin(kb)
+          .select(graft.functions.CmsFunctions.cmsInnerProduct(col("ska"), col("skb"), 4, w)
+            .cast("long")).head().getLong(0)
+      }
+      assert(sparse == dense, s"seed=$seed w=$w sparse=$sparse dense=$dense")
+      assert(sparse >= truth, s"seed=$seed undercount: est=$sparse truth=$truth")
+    }
+  }
 }

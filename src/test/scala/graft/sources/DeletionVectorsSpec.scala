@@ -80,6 +80,34 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DeletionVectors.read(spark, table, dv).count() == 300L)
   }
 
+  test("property: any random delete-predicate sequence == the composed filter") {
+    val s = spark
+    import s.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729L)
+      val root = tmpDir(s"dv-prop$seed")
+      val table = root + "/t"
+      val dv = root + "/v"
+      (1 to 500).map(i => (i.toLong, i % (2 + rnd.nextInt(9)), s"u${i % 13}"))
+        .toDF("id", "m", "u")
+        .repartition(1 + rnd.nextInt(6)).write.mode("overwrite").parquet(table)
+      val preds = (0 until 1 + rnd.nextInt(3)).map { _ =>
+        rnd.nextInt(3) match {
+          case 0 => col("m") === rnd.nextInt(10)
+          case 1 => col("u") === s"u${rnd.nextInt(13)}"
+          case _ => col("id") % (2 + rnd.nextInt(5)) === 0
+        }
+      }
+      preds.foreach(p => DeletionVectors.markDeleted(spark, table, p, dv))
+      val visible = DeletionVectors.read(spark, table, dv)
+      val want = spark.read.parquet(table)
+        .where(preds.map(p => !p).reduce(_ && _))
+      assert(visible.count() == want.count(), s"seed=$seed preds=$preds")
+      assert(visible.exceptAll(want).isEmpty && want.exceptAll(visible).isEmpty,
+        s"seed=$seed diverged")
+    }
+  }
+
   test("read-side broadcast is metadata-decided: the small-vector plan broadcasts") {
     val (table, dv) = fixture()
     DeletionVectors.markDeleted(spark, table, col("bucket") === 5, dv)
