@@ -2,7 +2,7 @@ package graft.plans
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column => SqlColumn, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -60,7 +60,8 @@ object MaterializedViews {
       mvPath: String,
       groupCols: Seq[String],
       aggCols: Seq[String],
-      dataDir: String)
+      dataDir: String,
+      physicalPath: String)
 
   private[plans] val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -114,7 +115,7 @@ object MaterializedViews {
     val base = spark.read.parquet(basePath)
     val partials = partialAggs(aggCols)
     val rows = base.groupBy(groupCols.map(col): _*).agg(partials.head, partials.tail: _*)
-    val d0 = MvDef(canonical(basePath), mvPath, groupCols, aggCols, genDir(mvPath, 0))
+    val d0 = MvDef(canonical(basePath), mvPath, groupCols, aggCols, genDir(mvPath, 0), basePath)
     rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d0.dataDir)
     registry.put(d0.basePath, d0)
     d0
@@ -161,6 +162,85 @@ object MaterializedViews {
     val typed = combined.select(current.columns.map { c =>
       val want = current.schema(c).dataType
       if (combined.schema(c).dataType == want) col(c) else col(c).cast(want)
+    }: _*)
+    commitGen(spark, d, typed, genOf(d.dataDir) + 1)
+  }
+
+  /** Fold a CDC batch (insert / delete / update pre+post images —
+    * the [[graft.operators.SnapshotDiff.changeFeed]] shape) into the
+    * view. SUM/COUNT partials are exactly retraction-maintainable
+    * (pre-images subtract, post-images add). MIN/MAX are NOT — a
+    * removed row that WAS the group's stored extreme invalidates it —
+    * so those groups, and only those, get a TARGETED recompute: one
+    * scan of the (already-updated) base filtered to the affected
+    * group keys, its pushdown-able predicate bounded by |affected
+    * groups|, never a full rebuild. This is the production partial-
+    * recompute algorithm; the common CDC batch touches no extremes
+    * and folds in O(batch + groups). Groups whose cnt_rows reaches 0
+    * are dropped (the group no longer exists in the base).
+    *
+    * The base at `d.basePath` must already reflect the change feed
+    * (same contract as IncrementalAgg.refreshFromChanges: the feed
+    * DESCRIBES the base transition that has happened).
+    */
+  def refreshFromChanges(
+      spark: SparkSession,
+      d: MvDef,
+      changes: org.apache.spark.sql.DataFrame,
+      changeTypeCol: String = "change_type"): MvDef = {
+    val sign = when(col(changeTypeCol).isin("insert", "update_postimage"), lit(1L))
+      .when(col(changeTypeCol).isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("MV refreshFromChanges: unknown change type "), col(changeTypeCol))).cast("long"))
+    // signed partials of the batch: sums/counts fold exactly; the
+    // batch min/max of RETRACTED values tells which groups' stored
+    // extremes might be invalidated
+    val signedAggs = d.aggCols.flatMap(c => Seq(
+      sum(col("_s") * col(c)).as(s"d_sum_$c"),
+      sum(when(col(c).isNotNull, col("_s")).otherwise(lit(0L))).as(s"d_cnt_$c"),
+      min(when(col("_s") === -1L, col(c))).as(s"retracted_min_$c"),
+      max(when(col("_s") === -1L, col(c))).as(s"retracted_max_$c"),
+      min(when(col("_s") === 1L, col(c))).as(s"added_min_$c"),
+      max(when(col("_s") === 1L, col(c))).as(s"added_max_$c"))) :+
+      sum(col("_s")).as("d_rows")
+    val delta = changes.withColumn("_s", sign)
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(signedAggs.head, signedAggs.tail: _*)
+    val current = spark.read.parquet(d.dataDir)
+    val joined = current.join(delta, d.groupCols, "full_outer")
+    // a group needs a min/max recompute iff any retraction hit its
+    // stored extreme (equality is conservative-exact: removing a
+    // non-extreme value can never move min/max)
+    val needsRecompute = d.aggCols.map(c =>
+      (col(s"retracted_min_$c").isNotNull && col(s"retracted_min_$c") <= col(s"min_$c")) ||
+        (col(s"retracted_max_$c").isNotNull && col(s"retracted_max_$c") >= col(s"max_$c")))
+      .reduce(_ || _)
+    val foldedCols: Seq[SqlColumn] = d.groupCols.map(col) ++ d.aggCols.flatMap(c => Seq(
+      (coalesce(col(s"sum_$c"), lit(0)) + coalesce(col(s"d_sum_$c"), lit(0)))
+        .as(s"sum_$c"),
+      (coalesce(col(s"cnt_$c"), lit(0L)) + coalesce(col(s"d_cnt_$c"), lit(0L)))
+        .as(s"cnt_$c"),
+      least(col(s"min_$c"), col(s"added_min_$c")).as(s"min_$c"),
+      greatest(col(s"max_$c"), col(s"added_max_$c")).as(s"max_$c"))) :+
+      (coalesce(col("cnt_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L))).as("cnt_rows")
+    val folded = joined
+      .withColumn("_recompute", coalesce(needsRecompute, lit(false)))
+      .select(foldedCols :+ col("_recompute"): _*)
+      .filter(col("cnt_rows") > 0L)
+    val clean = folded.filter(!col("_recompute")).drop("_recompute")
+    val dirtyKeys = folded.filter(col("_recompute")).select(d.groupCols.map(col): _*)
+    // targeted recompute of the dirty groups only: semi-join the base
+    // to the affected keys (broadcast — the dirty set is small by
+    // construction), one grouped pass over just those rows
+    val partials = partialAggs(d.aggCols)
+    val recomputed = spark.read.parquet(d.physicalPath)
+      .join(broadcast(dirtyKeys), d.groupCols, "left_semi")
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val next = clean.unionByName(recomputed)
+    val typed = next.select(current.columns.map { c =>
+      val want = current.schema(c).dataType
+      if (next.schema(c).dataType == want) col(c) else col(c).cast(want)
     }: _*)
     commitGen(spark, d, typed, genOf(d.dataDir) + 1)
   }

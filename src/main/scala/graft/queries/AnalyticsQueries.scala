@@ -1069,4 +1069,73 @@ trait AnalyticsQueries extends ReferenceQueries {
         |WHERE l_orderkey % 4 IN (1, 2)
         |GROUP BY l_returnflag, l_linestatus""".stripMargin))
 
+  /** #101c Retraction-capable MV maintenance
+    * ([[graft.plans.MaterializedViews.refreshFromChanges]]): the base
+    * takes a full CDC transition — deletes (which hit several groups'
+    * stored price extremes), updates (quantity doubled, pre+post
+    * images), and inserts — and the view folds the change feed:
+    * sums/counts retract EXACTLY, and only the groups whose stored
+    * MIN/MAX a retraction touched get a targeted semi-join recompute
+    * (the production partial-recompute algorithm; never a full
+    * rebuild). The report then runs through the rewrite (plan-locked
+    * in-run) and must hash-match the oracle's recompute over the
+    * post-transition state.
+    */
+  val qMvRefreshCdc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("mv-refresh-cdc")
+      val basePath = root + "/base"
+      val mvPath = root + "/mv"
+      val outPath = root + "/out"
+      val li = t(s, dir, "lineitem")
+      val sliceA = li.filter(pmod(col("l_orderkey"), lit(4)) === 1)
+      val sliceB = li.filter(pmod(col("l_orderkey"), lit(4)) === 2)
+      sliceA.repartition(4).write.mode("overwrite").parquet(basePath)
+      val d = graft.plans.MaterializedViews.define(
+        s, basePath, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"), mvPath)
+      try {
+        val next = sliceA.filter(col("l_linenumber") < 6)
+          .withColumn("l_quantity",
+            when(pmod(col("l_orderkey"), lit(10)) === 3, col("l_quantity") * 2)
+              .otherwise(col("l_quantity")))
+          .unionByName(sliceB)
+        val feed = graft.operators.SnapshotDiff.changeFeed(
+          sliceA, next, keys = Seq("l_orderkey", "l_linenumber"))
+        next.repartition(4).write.mode("overwrite").parquet(basePath)
+        graft.plans.MaterializedViews.refreshFromChanges(s, d, feed)
+        val report = s.read.parquet(basePath)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+        val leaves = report.queryExecution.executedPlan.collectLeaves()
+          .map(_.treeString).mkString("\n")
+        require(leaves.contains(mvPath) && !leaves.contains(basePath),
+          s"q_mv_refresh_cdc: the rewrite did not fire — plan leaves:\n$leaves")
+        report.write.mode("overwrite").parquet(outPath)
+      } finally graft.plans.MaterializedViews.deregister(basePath)
+      s.read.parquet(outPath)
+    },
+    oracle = Some(
+      """WITH nextt AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CASE WHEN l_orderkey % 10 = 3 THEN l_quantity * 2 ELSE l_quantity END AS q,
+        |    l_extendedprice AS p
+        |  FROM lineitem
+        |  WHERE l_orderkey % 4 = 1 AND l_linenumber < 6
+        |  UNION ALL
+        |  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 4 = 2
+        |)
+        |SELECT l_returnflag, l_linestatus,
+        |  sum(q) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  min(p) AS min_price,
+        |  max(p) AS max_price
+        |FROM nextt
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
 }

@@ -66,7 +66,7 @@ class MvRewritePropertySpec extends SparkSpec {
         // re-register for the next trial (define would rebuild; reuse)
         MaterializedViews.registry.put(MaterializedViews.canonical(base),
           MaterializedViews.MvDef(MaterializedViews.canonical(base), mv,
-            Seq("g1", "g2", "g3"), Seq("v", "w"), mv + "/gen-000000"))
+            Seq("g1", "g2", "g3"), Seq("v", "w"), mv + "/gen-000000", base))
         assert(got.toSeq == want.toSeq,
           s"seed=$seed keys=$keys rewrite diverged:\n${got.toSeq}\nvs\n${want.toSeq}")
       }
