@@ -170,6 +170,33 @@ object UpsertWriter {
     }
   }
 
+  /** Metadata-only compaction advisor (the decision half of Hudi's
+    * small-file strategy): true iff the LIVE snapshot (or a plain
+    * directory) is fragmented enough that [[compact]] pays for
+    * itself — more than `minFiles` data files averaging under a
+    * quarter of `targetFileBytes`. Pure file listing, no data read;
+    * run it from the maintenance lane before scheduling a compaction
+    * instead of rewriting on a timer.
+    */
+  def needsCompaction(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      minFiles: Int = 8): Boolean = {
+    val target = new Path(targetPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = latestVersion(spark, targetPath).map(new Path(_)).getOrElse(target)
+    def dataFiles(p: Path): Seq[Long] =
+      fs.listStatus(p).toIndexedSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) dataFiles(st.getPath)
+        else Seq(st.getLen)
+      }
+    val sizes = dataFiles(root)
+    sizes.length > minFiles && sizes.sum / sizes.length < targetFileBytes / 4
+  }
+
   /** Constraint-gated upsert (the Delta CHECK / NOT-NULL-on-write
     * shape, composed from the declarative expectation suite the read
     * side already uses — [[graft.operators.QualityChecks]]): the

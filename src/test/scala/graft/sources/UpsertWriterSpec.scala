@@ -511,6 +511,45 @@ class UpsertWriterSpec extends SparkSpec {
       "racing writer's committed row must survive exactly once")
   }
 
+  test("needsCompaction: fragmented layouts advise true, compacted and healthy ones false — metadata only") {
+    val s = spark
+    import s.implicits._
+    // fragmented plain dir: 20 tiny files
+    val frag = tmpDir("uw-advisor") + "/frag"
+    (1 to 100).map(i => (i.toLong, s"p$i")).toDF("k", "p")
+      .repartition(20).write.mode("overwrite").parquet(frag)
+    assert(UpsertWriter.needsCompaction(spark, frag))
+    // healthy versioned table (post-write resize keeps commits sane)
+    val table = tmpDir("uw-advisor") + "/t"
+    UpsertWriter.upsert(df((1L, 1L, "a"), (2L, 1L, "b")), table, Seq("k"), "ver")
+    assert(!UpsertWriter.needsCompaction(spark, table))
+    // tiny-target advisor: even one file per few rows is fine when
+    // the target is tiny — the threshold scales with targetFileBytes
+    assert(!UpsertWriter.needsCompaction(spark, frag, targetFileBytes = 16))
+  }
+
+  test("partition evolution: each version carries its OWN layout; reads and time travel are scheme-agnostic") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("uw-partevo") + "/t"
+    val rows = (1 to 200).map(i => (i.toLong, 1L, s"g${i % 3}", s"h${i % 5}"))
+      .toDF("k", "ver", "g", "h")
+    UpsertWriter.upsert(rows, table, Seq("k"), "ver", partitionBy = Seq("g"))
+    // evolve: the next commit re-partitions by h — no migration step,
+    // copy-on-write versions are self-contained layouts
+    UpsertWriter.upsert(rows.withColumn("ver", lit(2L)), table, Seq("k"), "ver",
+      partitionBy = Seq("h"))
+    val live = UpsertWriter.latestVersion(spark, table).get
+      .replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    val liveDirs = new java.io.File(live).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(liveDirs.forall(_.startsWith("h=")), s"live layout should be h-partitioned: ${liveDirs.toSeq}")
+    assert(UpsertWriter.read(spark, table).count() == 200L)
+    // old layout intact under time travel
+    val v1 = UpsertWriter.readVersion(spark, table, 1)
+    assert(v1.count() == 200L)
+    assert(v1.filter(col("g") === "g1").count() == 67L)
+  }
+
   test("upsertChecked: a violating batch refuses loudly and leaves the timeline byte-identical") {
     import graft.operators.QualityChecks
     val table = tmpDir("uw-checked") + "/t"
