@@ -343,7 +343,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       def reAgg(f: AggregateFunction): Alias =
         Alias(AggregateExpression(f, Complete, isDistinct = false), "_mv_part")()
       ae.aggregateFunction match {
-        case Sum(e, _) => attrArg(e).flatMap(c => mvCol(s"sum_$c").map { p =>
+        // TRY eval mode bails: a TRY sum silently nulls on overflow,
+        // which re-aggregation over partials could answer differently.
+        // LEGACY wraps identically on both routes; ANSI throws loudly
+        // on either route (an intermediate-partial overflow surfaces
+        // in the MV build, never as a wrong answer).
+        case Sum(e, m) if m != EvalMode.TRY => attrArg(e).flatMap(c => mvCol(s"sum_$c").map { p =>
           (reAgg(Sum(p)), (a: Attribute) => Cast(a, ae.dataType))
         })
         case Min(e) => attrArg(e).flatMap(c => mvCol(s"min_$c").map { p =>
@@ -359,7 +364,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case Count(Seq(e)) => attrArg(e).flatMap(c => mvCol(s"cnt_$c").map { p =>
           (reAgg(Sum(p)), (a: Attribute) => Coalesce(Seq(Cast(a, LongType), Literal(0L))))
         })
-        case Average(e, _) if ae.dataType == DoubleType =>
+        case Average(e, m) if m != EvalMode.TRY && ae.dataType == DoubleType =>
           attrArg(e).flatMap(c => for {
             s <- mvCol(s"sum_$c"); n <- mvCol(s"cnt_$c")
           } yield {
