@@ -730,16 +730,15 @@ object Scale {
       }
       val b01 = mvBase(li01, scaleScratch("mv-b01"))
       val b1 = mvBase(li1, scaleScratch("mv-b1"))
-      var d01: plans.MaterializedViews.MvDef = null
-      var d1: plans.MaterializedViews.MvDef = null
+      def defineMv(base: String, mvDir: String) =
+        plans.MaterializedViews.define(spark, base,
+          Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"), mvDir)
+      var d01 = defineMv(b01, scaleScratch("mv-v01"))
+      var d1 = defineMv(b1, scaleScratch("mv-v1"))
       rehearseUnit("q_mv_build") {
-        d01 = plans.MaterializedViews.define(spark, b01,
-          Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"),
-          scaleScratch("mv-v01"))
+        d01 = defineMv(b01, scaleScratch("mv-v01"))
       } {
-        d1 = plans.MaterializedViews.define(spark, b1,
-          Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"),
-          scaleScratch("mv-v1"))
+        d1 = defineMv(b1, scaleScratch("mv-v1"))
       }
       def report(base: String): DataFrame = spark.read.parquet(base)
         .where(col("l_linestatus") === "F")
@@ -751,6 +750,20 @@ object Scale {
       rehearseUnit("q_mv_refresh_inc") {
         plans.MaterializedViews.refreshIncremental(spark, d01, batch); ()
       } { plans.MaterializedViews.refreshIncremental(spark, d1, batch); () }
+      // CDC fold: the same-sized change feed (deletes that hit group
+      // extremes + inserts) against both views — sums/counts fold
+      // O(feed); the targeted min/max recompute scans base rows of
+      // the DIRTY groups only, so the 10x base shows up only there
+      val feedSmall = li01.limit(50000)
+      def cdcFeed(src: DataFrame) = src
+        .withColumn("change_type",
+          when(pmod(col("l_orderkey"), lit(2)) === 0, lit("delete")).otherwise(lit("insert")))
+        .withColumn("l_orderkey",
+          when(col("change_type") === "insert", col("l_orderkey") + lit(7000000000L))
+            .otherwise(col("l_orderkey")))
+      rehearseUnit("q_mv_refresh_cdc") {
+        plans.MaterializedViews.refreshFromChanges(spark, d01, cdcFeed(feedSmall)); ()
+      } { plans.MaterializedViews.refreshFromChanges(spark, d1, cdcFeed(feedSmall)); () }
       plans.MaterializedViews.deregister(b01)
       plans.MaterializedViews.deregister(b1)
     }
