@@ -560,6 +560,36 @@ trait ReferenceQueries extends QueryBase {
         |       CAST(max(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
         |FROM events GROUP BY event_type""".stripMargin))
 
+  /** #10u2 Zone-map-pruned read over a deletion-vectored table
+    * ([[graft.sources.DeletionVectors.readPruned]]): the skipping
+    * index and the position-delete vector COMPOSE — candidate files
+    * from the zone map, the vector subtracted from just those files
+    * (positions are per-file, so pruning can never resurrect a
+    * deleted row), exact range predicate re-applied last. The oracle
+    * recomputes the same visible range from the raw table; the spec
+    * additionally locks candidate-file pruning and read≡read+filter.
+    */
+  val qDvPruned: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.DeletionVectors
+      val root = scratch("dv-pruned")
+      val table = root + "/t"
+      val dv = root + "/v"
+      t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(3)) === 1)
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(table)
+      DeletionVectors.markDeleted(s, table, col("l_discount") > 0.07, dv)
+      val zm = graft.operators.ZoneMaps.build(s, table, "l_orderkey")
+      DeletionVectors.readPruned(s, table, dv, zm, "l_orderkey", 2000L, 9000L)
+    },
+    oracle = Some(
+      """SELECT * FROM lineitem
+        |WHERE l_orderkey % 3 = 1
+        |  AND NOT (l_discount > 0.07)
+        |  AND l_orderkey BETWEEN 2000 AND 9000""".stripMargin))
+
   /** #10u Deletion-vector deletes ([[graft.sources.DeletionVectors]]):
     * two delete batches mark POSITIONS only — (file, row_index) pairs
     * off the scan's `_metadata` columns, zero data files rewritten —

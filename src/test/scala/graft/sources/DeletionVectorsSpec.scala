@@ -80,6 +80,32 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DeletionVectors.read(spark, table, dv).count() == 300L)
   }
 
+  test("readPruned: zone map and vector compose — identical to read+filter, candidate files only") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("dv-zm")
+    val table = root + "/t"
+    val dv = root + "/v"
+    (1L to 1000L).map(i => (i, i % 7)).toDF("id", "m")
+      .repartitionByRange(5, col("id")).write.mode("overwrite").parquet(table)
+    DeletionVectors.markDeleted(spark, table, col("m") === 3, dv)
+    val zm = graft.operators.ZoneMaps.build(spark, table, "id")
+    val pruned = DeletionVectors.readPruned(spark, table, dv, zm, "id", 100L, 299L)
+    val slow = DeletionVectors.read(spark, table, dv)
+      .filter(col("id") >= 100L && col("id") <= 299L)
+    assert(pruned.count() == slow.count())
+    assert(pruned.exceptAll(slow).isEmpty && slow.exceptAll(pruned).isEmpty)
+    // the plan scans a strict subset of the files (range layout: 200
+    // of 1000 ids span at most 2 of 5 range files)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.treeString).mkString
+    val nCandidates = graft.operators.ZoneMaps.candidateFiles(zm, 100L, 299L).size
+    assert(nCandidates < 5, s"range layout should prune, got $nCandidates of 5")
+    // empty-range edge: no candidate files, schema intact, zero rows
+    val none = DeletionVectors.readPruned(spark, table, dv, zm, "id", 5000L, 6000L)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "m"))
+  }
+
   test("property: any random delete-predicate sequence == the composed filter") {
     val s = spark
     import s.implicits._
