@@ -342,6 +342,52 @@ trait StreamingQueries extends AnalyticsQueries {
     oracle = Some(
       s"SELECT * FROM events WHERE event_id IN (${streamBloomProbeKeys.mkString(", ")})"))
 
+  /** #22u Streaming materialized view
+    * ([[graft.streaming.EventStream.streamMaintainMv]]): the doubled
+    * event stream ingests batch-by-batch while the registered rollup
+    * folds each micro-batch in O(batch + groups) — first batch
+    * defines, later ones refreshIncremental — and the report then
+    * runs against the BASE table, answered transparently from the
+    * |groups|-row view by the Catalyst rewrite (plan-locked in-run).
+    * The oracle doubles the per-group counts over the raw corpus
+    * (the source is the doubled dir, so every event arrives exactly
+    * twice); min/max are duplication-invariant.
+    */
+  val qStreamMv: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("stream-mv")
+      val table = root + "/t"
+      val mvPath = root + "/mv"
+      val outPath = root + "/out"
+      val src = graft.streaming.EventStream.doubledDir(
+        s, graft.streaming.EventStream.streamableDir(s, s"$dir/events.parquet"))
+      graft.streaming.EventStream.streamMaintainMv(
+        s, src, table, mvPath, Seq("user_id", "event_type"), Seq("value"),
+        queryName = "graft_stream_mv_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      try {
+        val report = s.read.parquet(table)
+          .groupBy("user_id", "event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("value")).as("nv"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"))
+        val leaves = report.queryExecution.executedPlan.collectLeaves()
+          .map(_.treeString).mkString("\n")
+        require(leaves.contains(mvPath) && !leaves.contains(table),
+          s"q_stream_mv: the rewrite did not fire — plan leaves:\n$leaves")
+        report.write.mode("overwrite").parquet(outPath)
+      } finally graft.plans.MaterializedViews.deregister(table)
+      s.read.parquet(outPath)
+    },
+    oracle = Some(
+      """SELECT user_id, event_type,
+        |  CAST(2 * count(*) AS BIGINT) AS n,
+        |  CAST(2 * count(value) AS BIGINT) AS nv,
+        |  min(value) AS min_v,
+        |  max(value) AS max_v
+        |FROM events GROUP BY user_id, event_type""".stripMargin))
+
   // ---------------------------------------------------------------
   // LLM-data-pipeline surface
 }

@@ -992,6 +992,58 @@ object EventStream {
     * Returns per-batch refresh stats (the spec pins added == the
     * batch's file count and indexedFiles == the running total).
     */
+  /** Streaming MATERIALIZED VIEW maintenance (SURVEY 22u — the
+    * Materialize/streaming-MV shape composed from graft's own parts):
+    * each micro-batch lands in the append table (batch=N dirs,
+    * Overwrite-per-dir replay idempotence) and FOLDS into the
+    * registered rollup — first batch defines the view, every later
+    * one is an O(batch + groups) [[graft.plans.MaterializedViews
+    * .refreshIncremental]]; after the stream drains, any covered
+    * aggregate over the BASE table transparently answers from the
+    * |groups|-row view via the Catalyst rewrite. Exactly-once: the
+    * TABLE is the replay-safe truth (checkpoint + deterministic batch
+    * dirs); the view is DERIVED state — an in-session applied-batch
+    * guard skips same-session retries, and a restarted job re-defines
+    * the view from the landed table (one rollup scan), which is the
+    * same answer by construction. Returns the registered MvDef; the
+    * caller deregisters when done.
+    */
+  def streamMaintainMv(
+      spark: SparkSession,
+      path: String,
+      tablePath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      aggCols: Seq[String],
+      queryName: String = "graft_stream_mv"): graft.plans.MaterializedViews.MvDef = {
+    val applied = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val dRef = new java.util.concurrent.atomic.AtomicReference[graft.plans.MaterializedViews.MvDef]()
+    val events = eventSource(spark, path, maxFilesPerTrigger = Some(1))
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val q = events.writeStream
+      .option("checkpointLocation", s"${tablePath}_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (applied.add(batchId)) {
+          batch.toDF().write.mode("overwrite").parquet(s"$tablePath/batch=$batchId")
+          val d = dRef.get()
+          if (d == null)
+            dRef.set(graft.plans.MaterializedViews.define(
+              spark, tablePath, groupCols, aggCols, mvPath))
+          else
+            dRef.set(graft.plans.MaterializedViews.refreshIncremental(
+              spark, d, batch.toDF()))
+        }
+        ()
+      }
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val d = dRef.get()
+    require(d != null, "streamMaintainMv: no micro-batch ran — empty source?")
+    d
+  }
+
   def streamAppendBloomIndexed(
       spark: SparkSession,
       path: String,
