@@ -147,11 +147,17 @@ private[operators] object GenerationalFileIndex {
     outRows.write.mode(SaveMode.Overwrite).parquet(genDir.toString)
     val total = spark.read.parquet(genDir.toString).count()
     writeText(fs, new Path(root, HeadFile), gen.toString) // commit point
-    // drop superseded generations (crash-safe: HEAD already moved);
-    // compare by NAME: listStatus returns fully-qualified paths
+    // Drop superseded generations (crash-safe: HEAD already moved),
+    // RETAINING the immediately-previous one: a reader that loaded
+    // HEAD just before this commit may still be scanning rows-(N-1) —
+    // deleting it mid-scan fails that reader with FileNotFound.
+    // rows-(N-1) dies when N+1 commits. Compare by NAME: listStatus
+    // returns fully-qualified paths.
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("rows-") && name != genDir.getName) fs.delete(st.getPath, true)
+      if (name.startsWith("rows-") &&
+          scala.util.Try(name.stripPrefix("rows-").toInt).toOption.exists(_ < gen - 1))
+        fs.delete(st.getPath, true)
     }
     Stats(addedFiles.length.toLong, removed, total)
   }

@@ -65,6 +65,25 @@ object MaterializedViews {
 
   private[plans] val registry = new ConcurrentHashMap[String, MvDef]()
 
+  /** Maintenance reads of the BASE must never be answered by the view
+    * being maintained: a targeted-recompute scan is itself an
+    * aggregate-over-base that [[MvRewriteRule]] would happily rewrite
+    * to the CURRENT (stale) generation — the refresh would then
+    * "recompute" dirty groups from exactly the stale values it is
+    * trying to fix, silently. (Caught live: the single-group-column
+    * pruned recompute is a pure Filter+Aggregate, precisely the rule's
+    * match shape; the old semi-join plan only escaped because a Join
+    * makes the rule bail.) Refresh paths run under this thread-local
+    * suspension; queries on other threads keep rewriting throughout.
+    */
+  private[plans] val maintenanceDepth: ThreadLocal[Integer] =
+    ThreadLocal.withInitial[Integer](() => 0)
+
+  private def withoutRewrite[T](body: => T): T = {
+    maintenanceDepth.set(maintenanceDepth.get + 1)
+    try body finally maintenanceDepth.set(maintenanceDepth.get - 1)
+  }
+
   /** Scheme-insensitive path identity (file:/// vs bare path). */
   private[plans] def canonical(p: String): String = {
     val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
@@ -89,12 +108,20 @@ object MaterializedViews {
     rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(next)
     val committed = d.copy(dataDir = next)
     registry.put(committed.basePath, committed) // repoint: atomic for new queries
-    // drop superseded generations (new queries already see `next`)
+    // Drop superseded generations, but RETAIN the immediately-previous
+    // one: a rewritten query planned against gen N-? before this commit
+    // may still be mid-scan — deleting its files would fail it with
+    // FileNotFoundException. Generation N-1 dies only when N+1 commits,
+    // by which time any reader of N-1 predates TWO refreshes (the same
+    // one-generation grace Delta/Iceberg give in-flight snapshot reads
+    // before VACUUM).
     val root = new org.apache.hadoop.fs.Path(d.mvPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("gen-") && name != f"gen-$nextGen%06d") fs.delete(st.getPath, true)
+      if (name.startsWith("gen-") &&
+          scala.util.Try(name.stripPrefix("gen-").toInt).toOption.exists(_ < nextGen - 1))
+        fs.delete(st.getPath, true)
     }
     committed
   }
@@ -108,7 +135,7 @@ object MaterializedViews {
       basePath: String,
       groupCols: Seq[String],
       aggCols: Seq[String],
-      mvPath: String): MvDef = {
+      mvPath: String): MvDef = withoutRewrite {
     require(groupCols.nonEmpty, "an MV needs at least one grouping column")
     require(aggCols.nonEmpty, "an MV needs at least one aggregated column")
     deregister(basePath) // a stale twin must not rewrite our own build
@@ -143,7 +170,7 @@ object MaterializedViews {
     * append-scoped; general-change maintenance falls back to full
     * recompute).
     */
-  def refreshIncremental(spark: SparkSession, d: MvDef, appended: org.apache.spark.sql.DataFrame): MvDef = {
+  def refreshIncremental(spark: SparkSession, d: MvDef, appended: org.apache.spark.sql.DataFrame): MvDef = withoutRewrite {
     val partials = partialAggs(d.aggCols)
     val batch = appended.groupBy(d.groupCols.map(col): _*).agg(partials.head, partials.tail: _*)
     val current = spark.read.parquet(d.dataDir)
@@ -171,13 +198,18 @@ object MaterializedViews {
     * view. SUM/COUNT partials are exactly retraction-maintainable
     * (pre-images subtract, post-images add). MIN/MAX are NOT — a
     * removed row that WAS the group's stored extreme invalidates it —
-    * so those groups, and only those, get a TARGETED recompute: one
-    * scan of the (already-updated) base filtered to the affected
-    * group keys, its pushdown-able predicate bounded by |affected
-    * groups|, never a full rebuild. This is the production partial-
-    * recompute algorithm; the common CDC batch touches no extremes
-    * and folds in O(batch + groups). Groups whose cnt_rows reaches 0
-    * are dropped (the group no longer exists in the base).
+    * so those groups, and only those, get a TARGETED recompute: the
+    * dirty key set (small by construction) is collected and pushed
+    * into the base scan as per-column IN/IS NULL literals, so parquet
+    * footer stats SKIP every file holding none of the affected keys —
+    * the recompute reads O(|dirty groups|) files off a 100 TB base,
+    * never a full rebuild (above `maxPruneKeys` it falls back to an
+    * unpruned scan, loudly). This is the production partial-recompute
+    * algorithm; the common CDC batch touches no extremes and folds in
+    * O(batch + groups). Groups whose cnt_rows reaches 0 are dropped
+    * (the group no longer exists in the base). NULL grouping keys are
+    * first-class: the fold and the dirty-group machinery join with
+    * null-safe equality throughout.
     *
     * The base at `d.basePath` must already reflect the change feed
     * (same contract as IncrementalAgg.refreshFromChanges: the feed
@@ -187,7 +219,8 @@ object MaterializedViews {
       spark: SparkSession,
       d: MvDef,
       changes: org.apache.spark.sql.DataFrame,
-      changeTypeCol: String = "change_type"): MvDef = {
+      changeTypeCol: String = "change_type",
+      maxPruneKeys: Int = 1000): MvDef = withoutRewrite {
     val sign = when(col(changeTypeCol).isin("insert", "update_postimage"), lit(1L))
       .when(col(changeTypeCol).isin("delete", "update_preimage"), lit(-1L))
       .otherwise(raise_error(concat(
@@ -207,7 +240,20 @@ object MaterializedViews {
       .groupBy(d.groupCols.map(col): _*)
       .agg(signedAggs.head, signedAggs.tail: _*)
     val current = spark.read.parquet(d.dataDir)
-    val joined = current.join(delta, d.groupCols, "full_outer")
+    // NULL-SAFE fold: a USING-column join matches keys with `=`, so a
+    // NULL grouping key on either side never pairs — a delete/update
+    // delta for the null-keyed group would land on an UNMATCHED row,
+    // get dropped by the cnt_rows filter, and leave the stored partials
+    // silently stale. Join on `<=>` per group column instead (NULL
+    // matches NULL, exactly once), and reconstruct the key from
+    // whichever side is present — a `_cur` presence marker
+    // distinguishes "current-side row exists" from "key is NULL".
+    val curM = current.withColumn("_cur", lit(1))
+    val deltaM = d.groupCols.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"_dk_$c"))
+    val joinCond = d.groupCols.map(c => curM(c) <=> deltaM(s"_dk_$c")).reduce(_ && _)
+    val joined = curM.join(deltaM, joinCond, "full_outer")
+    val keyCols: Seq[SqlColumn] = d.groupCols.map(c =>
+      when(col("_cur").isNotNull, col(c)).otherwise(col(s"_dk_$c")).as(c))
     // a group needs a min/max recompute iff any retraction hit its
     // stored extreme (equality is conservative-exact: removing a
     // non-extreme value can never move min/max)
@@ -215,7 +261,7 @@ object MaterializedViews {
       (col(s"retracted_min_$c").isNotNull && col(s"retracted_min_$c") <= col(s"min_$c")) ||
         (col(s"retracted_max_$c").isNotNull && col(s"retracted_max_$c") >= col(s"max_$c")))
       .reduce(_ || _)
-    val foldedCols: Seq[SqlColumn] = d.groupCols.map(col) ++ d.aggCols.flatMap(c => Seq(
+    val foldedCols: Seq[SqlColumn] = keyCols ++ d.aggCols.flatMap(c => Seq(
       (coalesce(col(s"sum_$c"), lit(0)) + coalesce(col(s"d_sum_$c"), lit(0)))
         .as(s"sum_$c"),
       (coalesce(col(s"cnt_$c"), lit(0L)) + coalesce(col(s"d_cnt_$c"), lit(0L)))
@@ -229,12 +275,33 @@ object MaterializedViews {
       .filter(col("cnt_rows") > 0L)
     val clean = folded.filter(!col("_recompute")).drop("_recompute")
     val dirtyKeys = folded.filter(col("_recompute")).select(d.groupCols.map(col): _*)
-    // targeted recompute of the dirty groups only: semi-join the base
-    // to the affected keys (broadcast — the dirty set is small by
-    // construction), one grouped pass over just those rows
+    // Targeted recompute of the dirty groups only. The dirty set is
+    // small by construction (groups whose stored extreme a retraction
+    // hit), so COLLECT it (bounded at maxPruneKeys+1) and push
+    // per-column IN / IS NULL literals into the base scan — parquet
+    // footer stats then SKIP every file holding none of the affected
+    // keys, so the recompute reads O(|dirty groups|) files, not the
+    // table. An over-bound dirty set (a retraction storm) falls back
+    // to the unpruned scan with a loud warning — correct, just full-
+    // scan priced.
+    val dirtyLocal = dirtyKeys.limit(maxPruneKeys + 1).collect().toIndexedSeq
     val partials = partialAggs(d.aggCols)
-    val recomputed = spark.read.parquet(d.physicalPath)
-      .join(broadcast(dirtyKeys), d.groupCols, "left_semi")
+    val recomputeInput =
+      if (dirtyLocal.isEmpty) {
+        spark.read.parquet(d.physicalPath).filter(lit(false))
+      } else if (dirtyLocal.length <= maxPruneKeys) {
+        dirtyRecomputeScan(spark, d, dirtyLocal)
+      } else {
+        logger.warn(
+          s"MV refreshFromChanges: ${dirtyLocal.length}+ dirty groups exceed " +
+            s"maxPruneKeys=$maxPruneKeys — targeted recompute falls back to an " +
+            s"unpruned scan of ${d.physicalPath}")
+        val dkM = d.groupCols.foldLeft(dirtyKeys)((df, c) => df.withColumnRenamed(c, s"_dk_$c"))
+        val base = spark.read.parquet(d.physicalPath)
+        base.join(broadcast(dkM),
+          d.groupCols.map(c => base(c) <=> col(s"_dk_$c")).reduce(_ && _), "left_semi")
+      }
+    val recomputed = recomputeInput
       .groupBy(d.groupCols.map(col): _*)
       .agg(partials.head, partials.tail: _*)
     val next = clean.unionByName(recomputed)
@@ -243,6 +310,48 @@ object MaterializedViews {
       if (next.schema(c).dataType == want) col(c) else col(c).cast(want)
     }: _*)
     commitGen(spark, d, typed, genOf(d.dataDir) + 1)
+  }
+
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The file-skipping targeted-recompute scan: base rows of exactly
+    * the collected dirty group keys. Two layers compose:
+    *  - a PUSHDOWN-ABLE superset filter — per group column, `IN
+    *    (distinct non-null dirty values)` OR'd with `IS NULL` when a
+    *    dirty key is null — which reaches the parquet footers
+    *    (PushedFilters, plan-locked by the spec) and skips every file
+    *    whose column stats exclude all dirty values;
+    *  - an exact NULL-SAFE tuple filter (broadcast semi join on `<=>`
+    *    against the collected keys) that trims the superset's cross-
+    *    product remainder for multi-column keys.
+    * Exposed private[graft] so the plan spec can assert the pushdown.
+    */
+  private[graft] def dirtyRecomputeScan(
+      spark: SparkSession,
+      d: MvDef,
+      keys: Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
+    val base = spark.read.parquet(d.physicalPath)
+    val superset = d.groupCols.zipWithIndex.map { case (c, i) =>
+      val vals = keys.map(_.get(i)).filter(_ != null).distinct
+      val hasNull = keys.exists(_.isNullAt(i))
+      (vals.nonEmpty, hasNull) match {
+        case (true, true)  => col(c).isin(vals: _*) || col(c).isNull
+        case (true, false) => col(c).isin(vals: _*)
+        case (false, true) => col(c).isNull
+        case (false, false) => lit(false) // unreachable: keys non-empty
+      }
+    }.reduce(_ && _)
+    val pruned = base.filter(superset)
+    if (d.groupCols.size == 1) pruned // single-column: the IN list IS the exact set
+    else {
+      val schema = StructType(d.groupCols.map(c =>
+        StructField(c, base.schema(c).dataType, nullable = true)))
+      val keysDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(keys, 1), schema)
+      val dkM = d.groupCols.foldLeft(keysDf)((df, c) => df.withColumnRenamed(c, s"_dk_$c"))
+      pruned.join(broadcast(dkM),
+        d.groupCols.map(c => pruned(c) <=> col(s"_dk_$c")).reduce(_ && _), "left_semi")
+    }
   }
 
   def deregister(basePath: String): Unit = {
@@ -260,7 +369,9 @@ object MaterializedViews {
 object MvRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (MaterializedViews.registry.isEmpty) plan
+    // maintenanceDepth: never serve a refresh's own base reads from
+    // the view it is refreshing (see MaterializedViews.maintenanceDepth)
+    if (MaterializedViews.registry.isEmpty || MaterializedViews.maintenanceDepth.get > 0) plan
     else plan.transformUp {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }

@@ -170,6 +170,163 @@ class MaterializedViewsSpec extends SparkSpec {
     }
   }
 
+  test("CDC fold with NULL grouping keys: deletes/updates on the null-keyed group fold exactly") {
+    val base = tmpDir("mv-cdc-null-base")
+    val mv = tmpDir("mv-cdc-null-view")
+    val s = spark
+    import s.implicits._
+    // every 5th key NULL; the null group owns both the global max and
+    // rows that get deleted/updated — the exact shape the null-unsafe
+    // USING join silently dropped
+    val rows0 = (1 to 400).map { i =>
+      (i.toLong, if (i % 5 == 0) null else s"g${i % 3}", (i % 97).toLong)
+    }
+    rows0.toDF("id", "g1", "v").repartition(3).write.mode("overwrite").parquet(base)
+    try {
+      val d = MaterializedViews.define(spark, base, Seq("g1"), Seq("v"), mv)
+      val old = rows0.toDF("id", "g1", "v")
+      // delete ids % 10 == 0 (all null-keyed, several extreme-touching),
+      // double v on ids % 10 == 5 (null-keyed updates), insert one new
+      // null-keyed row and one keyed row
+      val next = old.filter(col("id") % 10 =!= 0)
+        .withColumn("v", when(col("id") % 10 === 5, col("v") * 2).otherwise(col("v")))
+        .unionByName(Seq(
+          (9001L, null.asInstanceOf[String], 7L),
+          (9002L, "g1", 999L)).toDF("id", "g1", "v"))
+      val feed = graft.operators.SnapshotDiff.changeFeed(old, next, keys = Seq("id"))
+      next.repartition(3).write.mode("overwrite").parquet(base)
+      val folded = MaterializedViews.refreshFromChanges(spark, d, feed)
+      val foldedRows = spark.read.parquet(folded.dataDir)
+      MaterializedViews.deregister(base)
+      val rebuilt = MaterializedViews.define(spark, base, Seq("g1"), Seq("v"), mv + "2")
+      val directRows = spark.read.parquet(rebuilt.dataDir)
+      assert(foldedRows.exceptAll(directRows).isEmpty && directRows.exceptAll(foldedRows).isEmpty,
+        "null-keyed groups must fold/recompute exactly, not drop:\n" +
+          foldedRows.collect().mkString("\n") + "\nvs\n" + directRows.collect().mkString("\n"))
+    } finally MaterializedViews.deregister(base)
+  }
+
+  test("multi-column NULL grouping keys survive the CDC fold") {
+    val base = tmpDir("mv-cdc-null2-base")
+    val mv = tmpDir("mv-cdc-null2-view")
+    val s = spark
+    import s.implicits._
+    val rows0 = (1 to 300).map { i =>
+      (i.toLong,
+        if (i % 4 == 0) null else s"a${i % 2}",
+        if (i % 6 == 0) null else s"b${i % 3}",
+        (i % 41).toLong)
+    }
+    rows0.toDF("id", "g1", "g2", "v").repartition(2).write.mode("overwrite").parquet(base)
+    try {
+      val d = MaterializedViews.define(spark, base, Seq("g1", "g2"), Seq("v"), mv)
+      val old = rows0.toDF("id", "g1", "g2", "v")
+      val next = old.filter(col("id") % 12 =!= 0) // deletes hit (null, null) and (null, b*) groups
+        .withColumn("v", when(col("id") % 7 === 3, col("v") + 100).otherwise(col("v")))
+      val feed = graft.operators.SnapshotDiff.changeFeed(old, next, keys = Seq("id"))
+      next.repartition(2).write.mode("overwrite").parquet(base)
+      val folded = MaterializedViews.refreshFromChanges(spark, d, feed)
+      val foldedRows = spark.read.parquet(folded.dataDir)
+      MaterializedViews.deregister(base)
+      val rebuilt = MaterializedViews.define(spark, base, Seq("g1", "g2"), Seq("v"), mv + "2")
+      val directRows = spark.read.parquet(rebuilt.dataDir)
+      assert(foldedRows.exceptAll(directRows).isEmpty && directRows.exceptAll(foldedRows).isEmpty)
+    } finally MaterializedViews.deregister(base)
+  }
+
+  test("targeted recompute scan pushes IN/IS NULL literals to the parquet footers") {
+    val base = tmpDir("mv-prune-base")
+    val mv = tmpDir("mv-prune-view")
+    val s = spark
+    import s.implicits._
+    (1 to 500).map(i => (i.toLong, s"g${i % 10}", (i % 23).toLong))
+      .toDF("id", "g1", "v").repartition(4).write.mode("overwrite").parquet(base)
+    try {
+      val d = MaterializedViews.define(spark, base, Seq("g1"), Seq("v"), mv)
+      val keys = Seq(org.apache.spark.sql.Row("g3"), org.apache.spark.sql.Row(null))
+      val scan = MaterializedViews.dirtyRecomputeScan(spark, d, keys)
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        (plan.contains("In(g1") || plan.contains("EqualTo(g1")),
+        s"dirty-group IN list must reach the scan as PushedFilters:\n$plan")
+      assert(plan.contains("IsNull(g1"),
+        s"a null dirty key must push IsNull for footer skipping:\n$plan")
+      // and the scan is EXACT: precisely the g3 + null-keyed rows
+      val want = spark.read.parquet(base).where(col("g1") === "g3" || col("g1").isNull)
+      assert(scan.count() == want.count() && scan.exceptAll(want).isEmpty)
+      // multi-column keys: superset filter + null-safe semi join stays exact
+      val d2 = MaterializedViews.define(spark, base, Seq("g1", "v"), Seq("id"), mv + "2")
+      val keys2 = Seq(org.apache.spark.sql.Row("g3", 5L), org.apache.spark.sql.Row("g7", 9L))
+      val scan2 = MaterializedViews.dirtyRecomputeScan(spark, d2, keys2)
+      val want2 = spark.read.parquet(base)
+        .where((col("g1") === "g3" && col("v") === 5L) || (col("g1") === "g7" && col("v") === 9L))
+      assert(scan2.count() == want2.count() && scan2.exceptAll(want2).isEmpty,
+        "multi-column dirty scan must be tuple-exact, not the IN-list cross product")
+      val plan2 = scan2.queryExecution.executedPlan.toString
+      assert(plan2.contains("In(g1") && plan2.contains("In(v"),
+        s"both columns' IN lists must push down:\n$plan2")
+    } finally {
+      MaterializedViews.deregister(base)
+    }
+  }
+
+  test("refresh retains the previous generation; the one before dies on the next commit") {
+    val (base, mv) = fixture()
+    val s = spark
+    import s.implicits._
+    try {
+      val d0 = MaterializedViews.define(spark, base, Seq("g1"), Seq("v"), mv)
+      def gens(): Seq[String] = {
+        val root = new org.apache.hadoop.fs.Path(mv)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("gen-")).sorted.toSeq
+      }
+      val b1 = Seq(("a", "x", 5000L, 1.0)).toDF("g1", "g2", "v", "w")
+      b1.write.mode("append").parquet(base)
+      val d1 = MaterializedViews.refreshIncremental(spark, d0, b1)
+      assert(gens() == Seq("gen-000000", "gen-000001"),
+        s"gen-0 must survive until gen-2 commits, have: ${gens()}")
+      val b2 = Seq(("b", "y", 6000L, 2.0)).toDF("g1", "g2", "v", "w")
+      b2.write.mode("append").parquet(base)
+      MaterializedViews.refreshIncremental(spark, d1, b2)
+      assert(gens() == Seq("gen-000001", "gen-000002"),
+        s"gen-0 dies when gen-2 commits, gen-1 retained, have: ${gens()}")
+    } finally MaterializedViews.deregister(base)
+  }
+
+  test("a query planned against generation N still answers after a refresh commits N+1") {
+    val (base, mv) = fixture()
+    val s = spark
+    import s.implicits._
+    try {
+      val d0 = MaterializedViews.define(spark, base, Seq("g1"), Seq("v"), mv)
+      // plan (and pin the physical plan of) ONE rewritten query against
+      // gen-0 — queryExecution is cached per DataFrame, so re-collecting
+      // THIS DataFrame re-executes the gen-0 physical plan
+      val planned = spark.read.parquet(base)
+        .groupBy("g1").agg(sum(col("v")).as("sv")).orderBy("g1")
+      assert(scanPaths(planned).contains(mv))
+      val before = planned.collect() // materializes the gen-0 plan
+      // refresh commits gen-1 and repoints the registry — gen-0 must remain readable
+      val b1 = Seq(("a", "x", 100000L, 1.0)).toDF("g1", "g2", "v", "w")
+      b1.write.mode("append").parquet(base)
+      MaterializedViews.refreshIncremental(spark, d0, b1)
+      // the ALREADY-PLANNED DataFrame re-executes against its captured
+      // gen-0 file listing: with eager gen deletion this threw
+      // FileNotFoundException mid-scan; with one-generation retention
+      // it answers consistently for the snapshot it was planned on
+      val after = planned.collect()
+      assert(after.toSeq == before.toSeq,
+        "a reader planned on generation N must keep answering N's snapshot")
+      // and a FRESHLY planned query sees the new generation's answer
+      val fresh = spark.read.parquet(base)
+        .groupBy("g1").agg(sum(col("v")).as("sv")).orderBy("g1")
+      assert(scanPaths(fresh).contains(mv))
+      assert(fresh.collect().toSeq != before.toSeq,
+        "a new query must observe the refreshed view")
+    } finally MaterializedViews.deregister(base)
+  }
+
   test("the SQL transform surface benefits too: spark.sql over parquet.`path` rewrites") {
     val (base, mv) = fixture()
     try {
