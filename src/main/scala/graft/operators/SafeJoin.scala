@@ -22,16 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object SafeJoin {
 
-  /** `w = AutoWidth` (the default) sizes the sketch to the data: one
-    * O(k) KMV pre-pass estimates each side's key cardinality and w
-    * becomes the power of two ≥ 4× the larger estimate, clamped to
-    * [2048, 2^26]. The first bench run of the fixed default proved
-    * why: at sf0.1's 150k keys, w=2048 put ~73 keys in every cell and
-    * the collision mass (≈ |A|·|B|/w) estimated a fine 0.6M-row join
-    * at 44M — a loud FALSE REFUSAL. Auto-sizing keeps cells ≲¼
-    * occupied so collision noise stays well under any bound worth
-    * guarding — pre-flight change, guard direction unchanged: the
-    * estimate still never undercounts at ANY width.
+  /** `w = AutoWidth` (the default) sizes the sketch to the data: a
+    * KMV estimate of each side's key cardinality (read off the same
+    * single-scan keyed fold the estimator itself uses — see
+    * [[estimateAutoWidth]]) and w becomes the power of two ≥ 4× the
+    * larger estimate, clamped to [2048, 2^26]. The first bench run of
+    * the fixed default proved why: at sf0.1's 150k keys, w=2048 put
+    * ~73 keys in every cell and the collision mass (≈ |A|·|B|/w)
+    * estimated a fine 0.6M-row join at 44M — a loud FALSE REFUSAL.
+    * Auto-sizing keeps cells ≲¼ occupied so collision noise stays
+    * well under any bound worth guarding — the guard direction is
+    * unchanged: the estimate still never undercounts at ANY width.
     */
   val AutoWidth: Int = 0
 
@@ -55,12 +56,71 @@ object SafeJoin {
     w.toInt
   }
 
-  private def autoWidth(a: DataFrame, b: DataFrame, key: String): Int = {
+  /** The auto-width guard pipeline, restructured so each input is
+    * scanned EXACTLY ONCE for the whole estimate (the r12 bench paid
+    * 2.48× on q_safe_join for a KMV pre-pass that re-read both inputs
+    * before the sketch pass re-read them again — at 100 TB those are
+    * two avoidable full passes over the fact table):
+    *
+    *  1. per side, ONE scan folds to distinct-key counts
+    *     (key_string, multiplicity) — cached (spills past memory;
+    *     state is |distinct keys|-sized, the same bound the sparse
+    *     cell table already carries);
+    *  2. the KMV width sizing reads the CACHED key sets. KMV keeps
+    *     the k smallest DISTINCT hashes — a pure function of the key
+    *     SET — so the estimate over distinct keys is BIT-IDENTICAL
+    *     to the raw-row fold, and the derived width is the same
+    *     width the two-job pre-pass chose;
+    *  3. the inner product runs the sparse occupied-cell plan over
+    *     the cached keyed counts (weights = multiplicities): same
+    *     buckets, same per-cell sums, same DECIMAL(38,0) products —
+    *     and the dense/sparse equality spec already pins that the
+    *     sparse plan reproduces the dense kernel at ANY width, so
+    *     the auto estimate is unchanged bit-for-bit at widths where
+    *     the old code ran the dense kernel too.
+    *
+    * The cell join is also folded into ONE exchange: cells of both
+    * sides are side-tagged, unioned, and grouped once on (r, b) with
+    * conditional sums — dropping a cells⋈cells shuffle join in favor
+    * of a single map-side-combined aggregation.
+    */
+  private def estimateAutoWidth(a: DataFrame, b: DataFrame, key: String, d: Int): Long = {
     import graft.functions.KmvFunctions
-    def distinctEst(df: DataFrame): Long =
-      df.agg(KmvFunctions.kmv_distinct(xxhash64(col(key).cast("string")), 256).as("d"))
-        .head().getLong(0)
-    nextPow2(4L * math.max(distinctEst(a), distinctEst(b)))
+    def keyed(df: DataFrame): DataFrame =
+      df.where(col(key).isNotNull)
+        .groupBy(col(key))
+        .agg(count(lit(1)).as("_n"))
+        .select(col(key).cast("string").as("_t"), col("_n"))
+    val ka = keyed(a).persist()
+    val kb = keyed(b).persist()
+    try {
+      // width sizing: one tiny job over the two cached key sets
+      val perSide = ka.select(col("_t"), lit(0).as("_side"))
+        .unionByName(kb.select(col("_t"), lit(1).as("_side")))
+        .groupBy(col("_side"))
+        .agg(KmvFunctions.kmv_distinct(xxhash64(col("_t")), 256).as("c"))
+        .collect().map(_.getLong(1))
+      val w = nextPow2(4L * (if (perSide.isEmpty) 0L else perSide.max))
+      // weighted sparse cells of both sides, single-exchange inner product
+      def cellRows(k: DataFrame, side: Int): DataFrame =
+        k.select(
+          posexplode(array((0 until d).map(r =>
+            CmsFunctions.cmsBucket(col("_t"), r, w)): _*)).as(Seq("r", "b")),
+          col("_n"), lit(side).as("_side"))
+      val row = cellRows(ka, 0).unionByName(cellRows(kb, 1))
+        .groupBy(col("r"), col("b"))
+        .agg(sum(when(col("_side") === 0, col("_n"))).as("ca"),
+          sum(when(col("_side") === 1, col("_n"))).as("cb"))
+        .where(col("ca").isNotNull && col("cb").isNotNull) // the inner cells join
+        .groupBy(col("r"))
+        .agg(sum(col("ca").cast("decimal(38,0)") * col("cb").cast("decimal(38,0)")).as("ip"))
+        .agg(min(col("ip")).cast("long").as("est"))
+        .head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    } finally {
+      ka.unpersist()
+      kb.unpersist(): Unit
+    }
   }
 
   /** Occupied sketch cells of one side as grouped rows (r, b, cnt) —
@@ -93,7 +153,8 @@ object SafeJoin {
     */
   def estimateJoinSize(a: DataFrame, b: DataFrame, key: String,
       d: Int = 4, w: Int = AutoWidth): Long = {
-    val w1 = if (w > 0) w else autoWidth(a, b, key)
+    if (w == AutoWidth) return estimateAutoWidth(a, b, key, d)
+    val w1 = w
     if (w1 <= DensePathMaxWidth) {
       val ka = a.select(col(key).cast("string").as("_k"))
         .agg(CmsFunctions.cmsSketch(col("_k"), d, w1).as("ska"))

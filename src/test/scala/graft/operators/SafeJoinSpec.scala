@@ -52,6 +52,30 @@ class SafeJoinSpec extends SparkSpec {
     assert(SafeJoin.guardedEquiJoin(a, b, "k", maxRows = 1000000L).count() == 150000L)
   }
 
+  test("single-job auto width picks the SAME width as two per-side KMV jobs (estimate bit-unchanged)") {
+    val s = spark
+    import s.implicits._
+    // asymmetric cardinalities so max() direction matters
+    val a = (1L to 40000L).toDF("k")
+    val b = ((1L to 900L) ++ (1L to 900L)).toDF("k")
+    // the pre-r13 two-job width, computed exactly as SafeJoin.autoWidth
+    // used to: one KMV action per side, then nextPow2(4 * max)
+    def kmvOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(graft.functions.KmvFunctions.kmv_distinct(
+        xxhash64(col("k").cast("string")), 256).as("d")).head().getLong(0)
+    val twoJob = {
+      var w = 2048L
+      val n = 4L * math.max(kmvOf(a), kmvOf(b))
+      while (w < n && w < (1L << 26)) w <<= 1
+      w.toInt
+    }
+    val viaAuto = SafeJoin.estimateJoinSize(a, b, "k") // single tagged-union job inside
+    val viaExplicit = SafeJoin.estimateJoinSize(a, b, "k", w = twoJob)
+    assert(viaAuto == viaExplicit,
+      s"single-job auto width must reproduce the two-job estimate bit-for-bit: " +
+        s"auto=$viaAuto explicit(w=$twoJob)=$viaExplicit")
+  }
+
   test("sparse cell plan computes EXACTLY the dense kernel's estimate at the same (d, w)") {
     val s = spark
     import s.implicits._
