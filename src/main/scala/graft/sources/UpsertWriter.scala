@@ -75,7 +75,23 @@ object UpsertWriter {
   private val MetaFile = "_graft_meta"
   private val VersionRe = """v(\d{8})""".r
 
+  /** Meta key recording the ORIGINAL commit instant (epoch millis).
+    * Normally the marker file's mtime IS the commit instant (the
+    * marker is created last), but purge re-creates each retained
+    * version's marker in the staged rewrite — without this key every
+    * purged version's "commit time" would silently become the purge
+    * time, and `TIMESTAMP AS OF` an instant the version demonstrably
+    * existed at would refuse. Written by purge (preserving an
+    * already-recorded value on idempotent reruns); readers prefer it
+    * over the marker mtime.
+    */
+  private val CommitInstantKey = "graft.commit.instant.ms"
+
   import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def commitInstantOf(fs: FileSystem, dir: Path): Long =
+    readMetaDir(fs, dir).get(CommitInstantKey).map(_.toLong).getOrElse(
+      fs.getFileStatus(new Path(dir, CommitMarker)).getModificationTime)
 
   // -----------------------------------------------------------------
   // Per-version commit metadata. A version may carry a small
@@ -249,7 +265,7 @@ object UpsertWriter {
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stamped = committedVersions(fs, target).map { case (v, dir) =>
-      (v, dir, fs.getFileStatus(new Path(dir, CommitMarker)).getModificationTime)
+      (v, dir, commitInstantOf(fs, dir))
     }
     stamped.filter(_._3 <= tsMillis).sortBy(_._1).lastOption match {
       case Some((_, dir, _)) => spark.read.parquet(dir.toString)
@@ -264,7 +280,7 @@ object UpsertWriter {
     val target = new Path(targetPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedVersions(fs, target).map { case (v, dir) =>
-      (v, fs.getFileStatus(new Path(dir, CommitMarker)).getModificationTime)
+      (v, commitInstantOf(fs, dir))
     }
   }
 
@@ -413,20 +429,34 @@ object UpsertWriter {
       }
     }
     val realFiles = ((existingBytes + targetFileBytes - 1) / targetFileBytes).max(0)
-    val nFilesCap =
-      if (statsInflatable) math.max(shufflePartitions.toLong, 2L * realFiles).max(1L)
-      else 100000L
     val nFiles = ((estBytes + targetFileBytes - 1) / targetFileBytes)
-      .max(1).min(100000).min(nFilesCap).toInt
+      .max(1).min(100000).toInt
+    // For stats-inflatable plans the estimate is garbage in BOTH
+    // directions, and any EXPLICIT repartition/coalesce is exempt from
+    // AQE coalescing — the r12 cap (max(shuffle parallelism, 2×files))
+    // therefore sprayed every small CDC commit across ~32 near-empty
+    // files and the post-write resize rewrote the version EVERY commit
+    // (the r12→r11 1.1-1.4× drift on q_upsert_delete/q_history/
+    // q_stream_late_dlq). Instead, write the merged plan UNSIZED and
+    // let AQE coalesce the final shuffle to its advisory partition
+    // size: small outputs land as one file with no resize pass, large
+    // outputs keep full write parallelism, and the post-write
+    // self-check below corrects the residual in either direction from
+    // the first trustworthy measurement.
     val sized =
-      if (!statsUsable) merged
+      if (!statsUsable || (statsInflatable && partitionBy.isEmpty)) merged
       else if (partitionBy.nonEmpty) {
         // hash on (partition cols, salt) so a huge hive-partition still
         // splits into ~target-size files instead of one file per task
         // holding the whole partition; small tables get salt ≡ 0 and
-        // stay one file per hive partition
-        val salt = pmod(xxhash64(col(precombine)), lit(nFiles.toLong)).cast("int")
-        merged.repartition(nFiles, (partitionBy.map(col) :+ salt): _*)
+        // stay one file per hive partition (inflatable estimates are
+        // clamped by the measured-bytes cap: a bogus TB-scale estimate
+        // must not fan the salt out to thousands of empty files)
+        val nPart =
+          if (statsInflatable) nFiles.toLong.min(math.max(shufflePartitions.toLong, 2L * realFiles).max(1L)).toInt
+          else nFiles
+        val salt = pmod(xxhash64(col(precombine)), lit(nPart.toLong)).cast("int")
+        merged.repartition(nPart, (partitionBy.map(col) :+ salt): _*)
       } else if (nFiles <= shufflePartitions) merged.coalesce(nFiles) // shrink without a shuffle
       else merged.repartition(nFiles)
     val clustered =
@@ -465,15 +495,28 @@ object UpsertWriter {
       val partFiles = fs.listStatus(versionDir)
         .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       val writtenBytes = partFiles.map(_.getLen).sum
-      if (partFiles.length > 8 && writtenBytes / partFiles.length < targetFileBytes / 64) {
-        val rightN = ((writtenBytes + targetFileBytes - 1) / targetFileBytes).max(1)
-          .min(partFiles.length.toLong).toInt
+      val rightN = ((writtenBytes + targetFileBytes - 1) / targetFileBytes).max(1)
+      val tooSmall =
+        partFiles.length > 8 && writtenBytes / partFiles.length < targetFileBytes / 64
+      // the mirror defect (big initial join-shaped load into a small
+      // table): files land far OVER target size — split them up to the
+      // count the measured bytes justify
+      val tooBig = partFiles.nonEmpty &&
+        writtenBytes / partFiles.length > 2 * targetFileBytes &&
+        rightN > partFiles.length
+      if (tooSmall || tooBig) {
+        val n =
+          if (tooSmall) rightN.min(partFiles.length.toLong).toInt
+          else rightN.min(100000L).toInt
         val resized = new Path(target, f"v$nextNum%08d.resize")
         if (fs.exists(resized)) fs.delete(resized, true)
-        val shrunk = spark.read.parquet(versionDir.toString).coalesce(rightN)
-        val reclustered = // coalesce concatenates parents: re-sort files
-          if (clusterBy.nonEmpty) shrunk.sortWithinPartitions(clusterBy.map(col): _*)
-          else shrunk
+        val reread = spark.read.parquet(versionDir.toString)
+        val repart =
+          if (tooSmall) reread.coalesce(n) // shrink without a shuffle
+          else reread.repartition(n) // splitting NEEDS the shuffle
+        val reclustered = // coalesce/repartition mix parents: re-sort files
+          if (clusterBy.nonEmpty) repart.sortWithinPartitions(clusterBy.map(col): _*)
+          else repart
         reclustered.write.mode(SaveMode.Overwrite).parquet(resized.toString)
         fs.delete(versionDir, true)
         if (!fs.rename(resized, versionDir))
@@ -954,8 +997,14 @@ object UpsertWriter {
         val staged = new Path(target, f"v$num%08d.purging")
         if (fs.exists(staged)) fs.delete(staged, true)
         remaining.write.mode(SaveMode.Overwrite).parquet(staged.toString)
-        // staged becomes a complete committed version BEFORE the swap
-        writeMeta(fs, staged, readMetaDir(fs, dir))
+        // staged becomes a complete committed version BEFORE the swap;
+        // the ORIGINAL commit instant rides the meta (the staged
+        // marker's mtime is the purge time, not the commit time) — an
+        // idempotent rerun keeps the value already recorded
+        val prior = readMetaDir(fs, dir)
+        val instant = prior.getOrElse(CommitInstantKey,
+          fs.getFileStatus(new Path(dir, CommitMarker)).getModificationTime.toString)
+        writeMeta(fs, staged, prior + (CommitInstantKey -> instant))
         fs.create(new Path(staged, CommitMarker), true).close()
         val old = new Path(target, f"v$num%08d.old")
         if (fs.exists(old)) fs.delete(old, true)

@@ -598,6 +598,57 @@ class UpsertWriterSpec extends SparkSpec {
     assert(e.getMessage.contains("no retained commit"))
   }
 
+  test("time travel survives a purge: original commit instants are preserved in version meta") {
+    val table = tmpDir("uw-purge-tt")
+    UpsertWriter.upsert(df((1L, 1L, "a"), (2L, 1L, "subject")), table,
+      recordKeys = Seq("k"), precombine = "ver", keepVersions = 5)
+    Thread.sleep(30)
+    UpsertWriter.upsert(df((3L, 2L, "c")), table,
+      recordKeys = Seq("k"), precombine = "ver", keepVersions = 5)
+    val instantsBefore = UpsertWriter.commitInstants(spark, table).toMap
+    Thread.sleep(30)
+    // purge rewrites every retained version — marker files are re-created
+    UpsertWriter.purge(spark, table, df((2L, 1L, "subject")).select("k"), Seq("k"))
+    // instants must be the ORIGINAL commit times, not the purge time
+    val instantsAfter = UpsertWriter.commitInstants(spark, table).toMap
+    assert(instantsAfter == instantsBefore,
+      s"purge must not rewrite commit instants: $instantsBefore -> $instantsAfter")
+    // TIMESTAMP AS OF a pre-purge instant still resolves (minus the subject)
+    val asOfV1 = UpsertWriter.readAsOf(spark, table, instantsBefore(1))
+    assert(asOfV1.select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L))
+    val asOfV2 = UpsertWriter.readAsOf(spark, table, instantsBefore(2))
+    assert(asOfV2.select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // idempotent rerun keeps the original instants (not the first purge's time)
+    Thread.sleep(30)
+    UpsertWriter.purge(spark, table, df((99L, 1L, "x")).select("k"), Seq("k"))
+    assert(UpsertWriter.commitInstants(spark, table).toMap == instantsBefore)
+  }
+
+  test("post-write self-check splits oversized files: a join-shaped load lands near target-size files") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("uw-toobig")
+    // join-shaped updates plan (stats-inflatable) whose REAL output is
+    // ~100x the tiny target file size: the sizing can't trust the
+    // estimate, AQE coalesces the small shuffle to one file, and the
+    // post-write check must split it up to what measured bytes justify
+    val left = (1L to 5000L).map(i => (i, i % 97)).toDF("k", "g")
+    val right = (1L to 5000L).map(i => (i, s"payload-$i-${"x" * 40}")).toDF("k", "p")
+    val updates = left.join(right, "k").withColumn("ver", lit(1L))
+    UpsertWriter.upsert(updates, table, recordKeys = Seq("k"), precombine = "ver",
+      targetFileBytes = 4096L)
+    val vdir = new java.io.File(UpsertWriter.latestVersion(spark, table).get
+      .stripPrefix("file:"))
+    val parts = vdir.listFiles().filter(_.getName.startsWith("part-"))
+    val bytes = parts.map(_.length()).sum
+    assert(parts.length > 8,
+      s"too-big check must split the landed version: ${parts.length} files for $bytes bytes")
+    assert(bytes / parts.length < 8 * 4096L,
+      s"split files still far over target: avg ${bytes / parts.length}")
+    // and the data survives the resize intact
+    assert(UpsertWriter.read(spark, table).count() == 5000L)
+  }
+
   test("stats-lied sizing self-corrects: the CDC-fold plan shape commits few sane files, not thousands of tasks") {
     // miniature of the q_inc_agg_cdc pathology: the retraction fold's
     // merged plan (full-outer diff → generate → aggregate → join) has
