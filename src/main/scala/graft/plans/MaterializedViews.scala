@@ -102,20 +102,20 @@ object MaterializedViews {
   private def genOf(dataDir: String): Int =
     dataDir.substring(dataDir.lastIndexOf("gen-") + 4).toInt
 
-  private def commitGen(spark: SparkSession, d: MvDef, rows: org.apache.spark.sql.DataFrame,
-      nextGen: Int): MvDef = {
-    val next = genDir(d.mvPath, nextGen)
+  /** Land `rows` as a complete new generation of the view at `mvPath`
+    * and drop superseded generations, RETAINING the immediately-
+    * previous one: a rewritten query planned against gen N-1 before
+    * this commit may still be mid-scan — deleting its files would fail
+    * it with FileNotFoundException. Generation N-1 dies only when N+1
+    * commits, by which time any reader of N-1 predates TWO refreshes
+    * (the same one-generation grace Delta/Iceberg give in-flight
+    * snapshot reads before VACUUM).
+    */
+  private def commitGenDir(spark: SparkSession, mvPath: String,
+      rows: org.apache.spark.sql.DataFrame, nextGen: Int): String = {
+    val next = genDir(mvPath, nextGen)
     rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(next)
-    val committed = d.copy(dataDir = next)
-    registry.put(committed.basePath, committed) // repoint: atomic for new queries
-    // Drop superseded generations, but RETAIN the immediately-previous
-    // one: a rewritten query planned against gen N-? before this commit
-    // may still be mid-scan — deleting its files would fail it with
-    // FileNotFoundException. Generation N-1 dies only when N+1 commits,
-    // by which time any reader of N-1 predates TWO refreshes (the same
-    // one-generation grace Delta/Iceberg give in-flight snapshot reads
-    // before VACUUM).
-    val root = new org.apache.hadoop.fs.Path(d.mvPath)
+    val root = new org.apache.hadoop.fs.Path(mvPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
@@ -123,7 +123,47 @@ object MaterializedViews {
           scala.util.Try(name.stripPrefix("gen-").toInt).toOption.exists(_ < nextGen - 1))
         fs.delete(st.getPath, true)
     }
+    next
+  }
+
+  private def commitGen(spark: SparkSession, d: MvDef, rows: org.apache.spark.sql.DataFrame,
+      nextGen: Int): MvDef = {
+    val committed = d.copy(dataDir = commitGenDir(spark, d.mvPath, rows, nextGen))
+    registry.put(committed.basePath, committed) // repoint: atomic for new queries
     committed
+  }
+
+  /** Fold an append batch's rows into the stored rollup at `dataDir`:
+    * batch partials re-aggregate with the stored ones (sums/counts
+    * ADD, mins/maxes MIN/MAX), types pinned back to the stored schema
+    * so generations never drift. Shared by the single-table and the
+    * join-view incremental refresh.
+    */
+  private def foldAppend(
+      spark: SparkSession,
+      dataDir: String,
+      groupCols: Seq[String],
+      aggCols: Seq[String],
+      batchRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val partials = partialAggs(aggCols)
+    val batch = batchRows.groupBy(groupCols.map(col): _*).agg(partials.head, partials.tail: _*)
+    val current = spark.read.parquet(dataDir)
+    val foldAggs = aggCols.flatMap(c => Seq(
+      sum(col(s"sum_$c")).as(s"sum_$c"),
+      sum(col(s"cnt_$c")).as(s"cnt_$c"),
+      min(col(s"min_$c")).as(s"min_$c"),
+      max(col(s"max_$c")).as(s"max_$c"))) :+ sum(col("cnt_rows")).as("cnt_rows")
+    val combined = current.unionByName(batch)
+      .groupBy(groupCols.map(col): _*)
+      .agg(foldAggs.head, foldAggs.tail: _*)
+    // sum(cnt) widens to LongType already; sum(sum_int) widens long->long,
+    // but sum over a DECIMAL sum col widens precision — cast each
+    // combined column back to the stored schema so generations never
+    // drift types
+    combined.select(current.columns.map { c =>
+      val want = current.schema(c).dataType
+      if (combined.schema(c).dataType == want) col(c) else col(c).cast(want)
+    }: _*)
   }
 
   /** Compute the rollup of `basePath` and register it. One scan of
@@ -171,25 +211,7 @@ object MaterializedViews {
     * recompute).
     */
   def refreshIncremental(spark: SparkSession, d: MvDef, appended: org.apache.spark.sql.DataFrame): MvDef = withoutRewrite {
-    val partials = partialAggs(d.aggCols)
-    val batch = appended.groupBy(d.groupCols.map(col): _*).agg(partials.head, partials.tail: _*)
-    val current = spark.read.parquet(d.dataDir)
-    val foldAggs = d.aggCols.flatMap(c => Seq(
-      sum(col(s"sum_$c")).as(s"sum_$c"),
-      sum(col(s"cnt_$c")).as(s"cnt_$c"),
-      min(col(s"min_$c")).as(s"min_$c"),
-      max(col(s"max_$c")).as(s"max_$c"))) :+ sum(col("cnt_rows")).as("cnt_rows")
-    val combined = current.unionByName(batch)
-      .groupBy(d.groupCols.map(col): _*)
-      .agg(foldAggs.head, foldAggs.tail: _*)
-    // sum(cnt) widens to LongType already; sum(sum_int) widens long->long,
-    // but sum over a DECIMAL sum col widens precision — cast each
-    // combined column back to the stored schema so generations never
-    // drift types
-    val typed = combined.select(current.columns.map { c =>
-      val want = current.schema(c).dataType
-      if (combined.schema(c).dataType == want) col(c) else col(c).cast(want)
-    }: _*)
+    val typed = foldAppend(spark, d.dataDir, d.groupCols, d.aggCols, appended)
     commitGen(spark, d, typed, genOf(d.dataDir) + 1)
   }
 
@@ -357,6 +379,97 @@ object MaterializedViews {
   def deregister(basePath: String): Unit = {
     registry.remove(canonical(basePath)); ()
   }
+
+  // -----------------------------------------------------------------
+  // Aggregate-over-JOIN views — the reference's flagship report shape
+  // (template.py:485-490: orders ⋈ customers + a priority filter,
+  // re-aggregated on every scheduled run). A join view stores the
+  // same (sum/cnt/min/max/cnt_rows) partials, computed over the
+  // JOINED rows of two base tables; [[MvRewriteRule]] then answers
+  // any covered aggregate over that join from |groups| rows — BOTH
+  // base scans AND the join itself disappear from the plan.
+  // -----------------------------------------------------------------
+
+  /** A registered join view: canonical base paths (the match key),
+    * the equi-join key pairs (leftCol, rightCol), grouping/aggregate
+    * columns (names must be unambiguous across the two sides), and
+    * the current generation dir. Same generational commit protocol
+    * as [[MvDef]].
+    */
+  final case class JoinMvDef(
+      leftPath: String,
+      rightPath: String,
+      joinKeys: Seq[(String, String)],
+      groupCols: Seq[String],
+      aggCols: Seq[String],
+      mvPath: String,
+      dataDir: String,
+      leftPhysical: String,
+      rightPhysical: String)
+
+  private[plans] val joinRegistry = new ConcurrentHashMap[(String, String), JoinMvDef]()
+
+  private def joinedBase(spark: SparkSession, d: JoinMvDef): org.apache.spark.sql.DataFrame =
+    joinSides(spark.read.parquet(d.leftPhysical), spark.read.parquet(d.rightPhysical), d.joinKeys)
+
+  private def joinSides(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+      keys: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    l.join(r, keys.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _))
+
+  /** Compute the rollup of `left ⋈ right` and register it: one scan
+    * of each base, the join's shuffle paid ONCE, |groups| rows
+    * written. Covered report queries then skip both scans and the
+    * join entirely.
+    */
+  def defineJoin(
+      spark: SparkSession,
+      leftPath: String,
+      rightPath: String,
+      joinKeys: Seq[(String, String)],
+      groupCols: Seq[String],
+      aggCols: Seq[String],
+      mvPath: String): JoinMvDef = withoutRewrite {
+    require(joinKeys.nonEmpty, "a join view needs at least one equi-join key pair")
+    require(groupCols.nonEmpty, "a join view needs at least one grouping column")
+    require(aggCols.nonEmpty, "a join view needs at least one aggregated column")
+    deregisterJoin(leftPath, rightPath)
+    val d0 = JoinMvDef(canonical(leftPath), canonical(rightPath), joinKeys,
+      groupCols, aggCols, mvPath, genDir(mvPath, 0), leftPath, rightPath)
+    val partials = partialAggs(aggCols)
+    val rows = joinedBase(spark, d0)
+      .groupBy(groupCols.map(col): _*).agg(partials.head, partials.tail: _*)
+    rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d0.dataDir)
+    joinRegistry.put((d0.leftPath, d0.rightPath), d0)
+    d0
+  }
+
+  /** Fold a LEFT-side (fact) append into the join view: the batch
+    * joins against the CURRENT right (dimension) side — O(|batch| ⋈
+    * dim + |groups|), the fact history is never rescanned. Insert-only
+    * on the fact side and a static dim by contract (the reference
+    * shape: orders stream in, customers are the slowly-read dim);
+    * a dim change requires [[refreshJoin]] — exactly the append-scoped
+    * contract [[refreshIncremental]] documents for single-table views.
+    */
+  def refreshJoinIncremental(
+      spark: SparkSession,
+      d: JoinMvDef,
+      appendedLeft: org.apache.spark.sql.DataFrame): JoinMvDef = withoutRewrite {
+    val batchJoined = joinSides(appendedLeft, spark.read.parquet(d.rightPhysical), d.joinKeys)
+    val typed = foldAppend(spark, d.dataDir, d.groupCols, d.aggCols, batchJoined)
+    val committed = d.copy(dataDir = commitGenDir(spark, d.mvPath, typed, genOf(d.dataDir) + 1))
+    joinRegistry.put((committed.leftPath, committed.rightPath), committed)
+    committed
+  }
+
+  /** Full rebuild of a join view from the current bases. */
+  def refreshJoin(spark: SparkSession, d: JoinMvDef): JoinMvDef =
+    defineJoin(spark, d.leftPhysical, d.rightPhysical, d.joinKeys,
+      d.groupCols, d.aggCols, d.mvPath)
+
+  def deregisterJoin(leftPath: String, rightPath: String): Unit = {
+    joinRegistry.remove((canonical(leftPath), canonical(rightPath))); ()
+  }
 }
 
 /** The optimizer rule. Matches Aggregate → [Filter/Project]* →
@@ -366,12 +479,13 @@ object MaterializedViews {
   * back onto them), so parent operators — HAVING filters, sorts,
   * joins — resolve unchanged.
   */
-object MvRewriteRule extends Rule[LogicalPlan] {
+object MvRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // maintenanceDepth: never serve a refresh's own base reads from
     // the view it is refreshing (see MaterializedViews.maintenanceDepth)
-    if (MaterializedViews.registry.isEmpty || MaterializedViews.maintenanceDepth.get > 0) plan
+    if ((MaterializedViews.registry.isEmpty && MaterializedViews.joinRegistry.isEmpty) ||
+        MaterializedViews.maintenanceDepth.get > 0) plan
     else plan.transformUp {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
@@ -398,21 +512,108 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
+    trySingleTable(agg).orElse(tryJoinView(agg))
+
+  private def trySingleTable(agg: Aggregate): Option[LogicalPlan] = {
     for {
       (rel, conds) <- strip(agg.child, Nil)
       root <- rootOf(rel)
       mv <- Option(MaterializedViews.registry.get(root))
-      rewritten <- rewriteWith(agg, rel, conds, mv)
+      rewritten <- rewriteWith(agg, conds, mv.groupCols, mv.aggCols, mv.dataDir)
     } yield rewritten
+  }
+
+  /** Peel attribute-only Projects and Filters down to an INNER join,
+    * collecting the filter conjuncts met on the way.
+    */
+  private def stripToJoin(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(Join, Seq[Expression])] = p match {
+    case f: Filter => stripToJoin(f.child, conds :+ f.condition)
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      stripToJoin(pr.child, conds)
+    case j: Join => Some((j, conds))
+    case _ => None
+  }
+
+  /** The join's condition must be EXACTLY the registered equi-key
+    * pairs — each conjunct a null-unsafe equality between one left
+    * attr and one right attr named as a registered pair (either
+    * operand order), every registered pair present, nothing else.
+    * Anything beyond that shape (extra predicates, non-equi terms,
+    * expressions over keys) bails: the stored partials were computed
+    * under precisely the registered join semantics.
+    */
+  private def joinCondMatches(
+      cond: Expression,
+      keys: Seq[(String, String)],
+      left: LogicalPlan,
+      right: LogicalPlan): Boolean = {
+    def side(a: Attribute): Option[Boolean] = // Some(true)=left
+      if (left.outputSet.contains(a)) Some(true)
+      else if (right.outputSet.contains(a)) Some(false)
+      else None
+    val conjuncts = splitConjunctivePredicates(cond)
+    val matched = conjuncts.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (side(a), side(b)) match {
+          case (Some(true), Some(false)) => keys.find(k => k._1 == a.name && k._2 == b.name)
+          case (Some(false), Some(true)) => keys.find(k => k._1 == b.name && k._2 == a.name)
+          case _ => None
+        }
+      case _ => None
+    }
+    matched.forall(_.isDefined) && matched.flatten.toSet == keys.toSet
+  }
+
+  /** Aggregate over [Filter/Project]* over an inner equi-join of two
+    * registered base relations → re-aggregate the join view. Filters
+    * may sit above OR below the join (the optimizer pushes group-col
+    * filters into the sides before this rule runs) — all of them must
+    * reference grouping columns only, which keeps filtering the view
+    * exact: a joined row's group membership decides its survival
+    * wholesale on both routes.
+    */
+  private def tryJoinView(agg: Aggregate): Option[LogicalPlan] = {
+    if (MaterializedViews.joinRegistry.isEmpty) return None
+    for {
+      (join, condsAbove) <- stripToJoin(agg.child, Nil)
+      if join.joinType == org.apache.spark.sql.catalyst.plans.Inner
+      cond <- join.condition
+      (lrel, lconds) <- strip(join.left, Nil)
+      (rrel, rconds) <- strip(join.right, Nil)
+      lroot <- rootOf(lrel)
+      rroot <- rootOf(rrel)
+      mv <- Option(MaterializedViews.joinRegistry.get((lroot, rroot)))
+      if joinCondMatches(cond, mv.joinKeys, join.left, join.right)
+      rewritten <- rewriteWith(agg, dropImpliedKeyNotNulls(
+        condsAbove ++ lconds ++ rconds, mv.joinKeys),
+        mv.groupCols, mv.aggCols, mv.dataDir)
+    } yield rewritten
+  }
+
+  /** `IsNotNull(joinKey)` conjuncts are IMPLIED by the inner equi-join
+    * (null keys never match), and the optimizer infers them onto the
+    * sides from the join condition — every view row already satisfies
+    * them, so they are dropped rather than (unsatisfiably) applied to
+    * a view that does not store the key columns.
+    */
+  private def dropImpliedKeyNotNulls(
+      conds: Seq[Expression], keys: Seq[(String, String)]): Seq[Expression] = {
+    val keyNames = keys.flatMap(k => Seq(k._1, k._2)).toSet
+    conds.flatMap(splitConjunctivePredicates).filterNot {
+      case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+      case _ => false
+    }
   }
 
   private def rewriteWith(
       agg: Aggregate,
-      rel: LogicalRelation,
       conds: Seq[Expression],
-      mv: MaterializedViews.MvDef): Option[LogicalPlan] = {
-    val groupSet = mv.groupCols.toSet
+      mvGroupCols: Seq[String],
+      mvAggCols: Seq[String],
+      mvDataDir: String): Option[LogicalPlan] = {
+    val groupSet = mvGroupCols.toSet
 
     // every grouping expression must be a bare base attribute among
     // the MV's grouping columns
@@ -433,7 +634,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
 
     // fresh MV relation instance (fresh exprIds per use site)
     val spark = SparkSession.active
-    val mvRel = spark.read.parquet(mv.dataDir).queryExecution.analyzed match {
+    val mvRel = spark.read.parquet(mvDataDir).queryExecution.analyzed match {
       case r: LogicalRelation => r.newInstance()
       case other => other
     }
@@ -448,7 +649,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         : Option[(Alias, Attribute => Expression)] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
       def attrArg(e: Expression): Option[String] = e match {
-        case a: AttributeReference if mv.aggCols.contains(a.name) => Some(a.name)
+        case a: AttributeReference if mvAggCols.contains(a.name) => Some(a.name)
         case _ => None
       }
       def reAgg(f: AggregateFunction): Alias =
@@ -496,9 +697,17 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
     // walk the output list: grouping passthroughs map to MV group
-    // attrs; each aggregate call must translate; anything else bails
+    // attrs; each output expression may be ANY deterministic
+    // expression OVER translatable aggregate calls and grouping attrs
+    // (the optimizer collapses final projections INTO the Aggregate,
+    // so `cast(sum(x) as double) AS total` is a normal shape here) —
+    // every embedded aggregate call must translate, every remaining
+    // attribute must be a grouping column; anything else bails
     val innerAggs = scala.collection.mutable.ArrayBuffer.empty[Alias]
-    val finishers = scala.collection.mutable.ArrayBuffer.empty[(NamedExpression, Attribute => Expression, Int)]
+    // per output expr: the positions+finishers of its embedded
+    // aggregate calls, to rebuild the expr over the inner agg's output
+    val exprFinishers = scala.collection.mutable.ArrayBuffer
+      .empty[(NamedExpression, Seq[(AggregateExpression, Attribute => Expression, Int)])]
     val groupFinishers = scala.collection.mutable.ArrayBuffer.empty[(NamedExpression, String)]
 
     def translateNamed(ne: NamedExpression): Boolean = ne match {
@@ -506,13 +715,24 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         groupFinishers += ((a, a.name)); true
       case al @ Alias(a: AttributeReference, _) if groupSet.contains(a.name) =>
         groupFinishers += ((al, a.name)); true
-      case al @ Alias(ae: AggregateExpression, _) =>
-        translate(ae) match {
-          case Some((inner, fin)) =>
-            innerAggs += inner
-            finishers += ((al, fin, innerAggs.size - 1))
+      case al: Alias if al.child.deterministic =>
+        val aes = al.child.collect { case ae: AggregateExpression => ae }
+        // every non-aggregated attribute in the expr must be a group col
+        val outsideRefs = al.child.collect {
+          case a: AttributeReference if !aes.exists(_.exists(_ eq a)) => a
+        }
+        if (aes.isEmpty || !outsideRefs.forall(a => groupSet.contains(a.name))) false
+        else {
+          val translated = aes.map(ae => translate(ae).map { case (inner, fin) => (ae, inner, fin) })
+          if (translated.exists(_.isEmpty)) false
+          else {
+            val items = translated.flatten.map { case (ae, inner, fin) =>
+              innerAggs += inner
+              (ae, fin, innerAggs.size - 1)
+            }
+            exprFinishers += ((al, items))
             true
-          case None => false
+          }
         }
       case _ => false
     }
@@ -542,9 +762,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
           val cast = if (src.dataType == ne.dataType) src else Cast(src, ne.dataType)
           Alias(cast, ne.name)(exprId = ne.exprId)
         case None =>
-          val (_, fin, idx) = finishers.find(_._1 eq ne).get
-          val e = fin(byIdx(idx))
-          val cast = if (e.dataType == ne.dataType) e else Cast(e, ne.dataType)
+          // rebuild the output expression over the inner aggregation:
+          // each embedded aggregate call becomes its finisher over the
+          // matching inner attr; remaining (grouping) attrs remap to
+          // the MV's attrs by name
+          val (al, items) = exprFinishers.find(_._1 eq ne).get
+          val rebuilt = al.asInstanceOf[Alias].child.transform {
+            case ae: AggregateExpression if items.exists(_._1 eq ae) =>
+              val (_, fin, idx) = items.find(_._1 eq ae).get
+              fin(byIdx(idx))
+            case a: AttributeReference if groupSet.contains(a.name) =>
+              mvAttr(a.name)
+          }
+          val cast = if (rebuilt.dataType == ne.dataType) rebuilt else Cast(rebuilt, ne.dataType)
           Alias(cast, ne.name)(exprId = ne.exprId)
       }
     }

@@ -1138,4 +1138,73 @@ trait AnalyticsQueries extends ReferenceQueries {
         |FROM nextt
         |GROUP BY l_returnflag, l_linestatus""".stripMargin))
 
+  /** #101d Aggregate-over-JOIN materialized view
+    * ([[graft.plans.MaterializedViews.defineJoin]] +
+    * [[graft.plans.MvRewriteRule]]): the reference's FLAGSHIP report
+    * shape — orders ⋈ customers with a priority filter, re-aggregated
+    * on every scheduled run (template.py:485-490) — served from a
+    * maintained join view. The view is defined over an orders slice ⋈
+    * customer, a second fact slice APPENDS and folds through the
+    * dimension join in O(|batch| ⋈ dim + |groups|), and the report —
+    * written against the BASE tables as a plain join+aggregate — is
+    * rewritten by the Catalyst rule so that BOTH base scans AND the
+    * join vanish from the plan (plan-locked in-run; a lapsed rewrite
+    * fails loudly). Money sums ride an exact DECIMAL(18,2) column so
+    * the two-stage re-aggregation is bit-identical to DuckDB's direct
+    * recompute over both slices.
+    */
+  val qMvJoinRewrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("mv-join-rewrite")
+      val ordersPath = root + "/orders"
+      val custPath = root + "/customer"
+      val mvPath = root + "/mv"
+      val outPath = root + "/out"
+      val o = t(s, dir, "orders")
+        .withColumn("o_total_dec", col("o_totalprice").cast("decimal(18,2)"))
+      val sliceA = o.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      val sliceB = o.filter(pmod(col("o_orderkey"), lit(4)) === 1)
+      sliceA.repartition(4).write.mode("overwrite").parquet(ordersPath)
+      t(s, dir, "customer").write.mode("overwrite").parquet(custPath)
+      val d0 = graft.plans.MaterializedViews.defineJoin(
+        s, ordersPath, custPath, joinKeys = Seq(("o_custkey", "c_custkey")),
+        groupCols = Seq("c_mktsegment", "o_orderpriority"),
+        aggCols = Seq("o_total_dec"), mvPath = mvPath)
+      try {
+        sliceB.repartition(4).write.mode("append").parquet(ordersPath)
+        graft.plans.MaterializedViews.refreshJoinIncremental(s, d0, sliceB)
+        val f = s.read.parquet(ordersPath)
+        val c = s.read.parquet(custPath)
+        val report = f.join(c, f("o_custkey") === c("c_custkey"))
+          .where(col("o_orderpriority") === "1-URGENT")
+          .groupBy("c_mktsegment")
+          .agg(
+            sum(col("o_total_dec")).as("sum_total_dec"),
+            count(lit(1)).as("n_orders"),
+            min(col("o_total_dec")).as("min_dec"),
+            max(col("o_total_dec")).as("max_dec"))
+          .select(col("c_mktsegment"),
+            col("sum_total_dec").cast("double").as("sum_total"),
+            col("n_orders"),
+            col("min_dec").cast("double").as("min_total"),
+            col("max_dec").cast("double").as("max_total"))
+        val leaves = report.queryExecution.executedPlan.collectLeaves()
+          .map(_.treeString).mkString("\n")
+        require(leaves.contains(mvPath) && !leaves.contains(ordersPath) &&
+          !leaves.contains(custPath),
+          s"q_mv_join_rewrite: the join-view rewrite did not fire — plan leaves:\n$leaves")
+        report.write.mode("overwrite").parquet(outPath)
+      } finally graft.plans.MaterializedViews.deregisterJoin(ordersPath, custPath)
+      s.read.parquet(outPath)
+    },
+    oracle = Some(
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |  count(*) AS n_orders,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_total,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 4 IN (0, 1) AND o_orderpriority = '1-URGENT'
+        |GROUP BY c_mktsegment""".stripMargin))
+
 }

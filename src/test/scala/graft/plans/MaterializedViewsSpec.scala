@@ -344,6 +344,165 @@ class MaterializedViewsSpec extends SparkSpec {
     } finally MaterializedViews.deregister(base)
   }
 
+  private def joinFixture(): (String, String, String) = {
+    val s = spark
+    import s.implicits._
+    val facts = tmpDir("mvj-facts")
+    val dims = tmpDir("mvj-dims")
+    val mv = tmpDir("mvj-view")
+    (1 to 2000).map { i =>
+      (i.toLong, (i % 37).toLong, s"p${i % 3}", (i % 11).toLong)
+    }.toDF("fact_id", "cust_id", "priority", "amount")
+      .repartition(4).write.mode("overwrite").parquet(facts)
+    (0 to 36).map(i => (i.toLong, s"seg${i % 4}"))
+      .toDF("c_id", "segment")
+      .write.mode("overwrite").parquet(dims)
+    (facts, dims, mv)
+  }
+
+  test("join view: covered aggregate over fact ⋈ dim rewrites — both base scans AND the join vanish") {
+    val (facts, dims, mv) = joinFixture()
+    try {
+      MaterializedViews.defineJoin(spark, facts, dims,
+        joinKeys = Seq(("cust_id", "c_id")),
+        groupCols = Seq("segment", "priority"), aggCols = Seq("amount"), mvPath = mv)
+      def query() = {
+        val f = spark.read.parquet(facts)
+        val d = spark.read.parquet(dims)
+        f.join(d, f("cust_id") === d("c_id"))
+          .where(col("priority") === "p1")
+          .groupBy("segment")
+          .agg(sum(col("amount")).as("sa"), count(lit(1)).as("n"),
+            min(col("amount")).as("mn"), max(col("amount")).as("mx"),
+            avg(col("amount")).as("av"))
+      }
+      val rewritten = query()
+      val plan = scanPaths(rewritten)
+      assert(plan.contains(mv), s"join-view rewrite must scan the MV:\n$plan")
+      assert(!plan.contains(facts) && !plan.contains(dims),
+        s"join-view rewrite must scan NEITHER base:\n$plan")
+      val got = rewritten.orderBy("segment").collect()
+      MaterializedViews.deregisterJoin(facts, dims)
+      val want = query().orderBy("segment").collect()
+      assert(got.toSeq == want.toSeq, s"join-view rewrite changed the answer")
+    } finally MaterializedViews.deregisterJoin(facts, dims)
+  }
+
+  test("join view: the flipped equality and a dim-side filter also rewrite; group-subset re-aggregates") {
+    val (facts, dims, mv) = joinFixture()
+    try {
+      MaterializedViews.defineJoin(spark, facts, dims,
+        joinKeys = Seq(("cust_id", "c_id")),
+        groupCols = Seq("segment", "priority"), aggCols = Seq("amount"), mvPath = mv)
+      def query() = {
+        val f = spark.read.parquet(facts)
+        val d = spark.read.parquet(dims)
+        // flipped operand order + filter on the DIM side's group col +
+        // grouping on a subset (priority only)
+        f.join(d, d("c_id") === f("cust_id"))
+          .where(col("segment").isin("seg0", "seg2"))
+          .groupBy("priority")
+          .agg(sum(col("amount")).as("sa"), count(col("amount")).as("na"))
+      }
+      assert(scanPaths(query()).contains(mv))
+      val got = query().orderBy("priority").collect()
+      MaterializedViews.deregisterJoin(facts, dims)
+      assert(got.toSeq == query().orderBy("priority").collect().toSeq)
+    } finally MaterializedViews.deregisterJoin(facts, dims)
+  }
+
+  test("join view bails: extra join predicate, non-equi term, outer join, non-group filter, unstored agg") {
+    val (facts, dims, mv) = joinFixture()
+    try {
+      MaterializedViews.defineJoin(spark, facts, dims,
+        joinKeys = Seq(("cust_id", "c_id")),
+        groupCols = Seq("segment", "priority"), aggCols = Seq("amount"), mvPath = mv)
+      val f = spark.read.parquet(facts)
+      val d = spark.read.parquet(dims)
+      def agged(j: org.apache.spark.sql.DataFrame) =
+        j.groupBy("segment").agg(sum(col("amount")).as("sa"))
+      // extra equi predicate beyond the registered keys
+      val extra = agged(f.join(d, f("cust_id") === d("c_id") && f("amount") === d("c_id")))
+      assert(scanPaths(extra).contains(facts), "extra join predicate must bail")
+      // non-equi join term
+      val nonEqui = agged(f.join(d, f("cust_id") === d("c_id") && f("amount") > d("c_id")))
+      assert(scanPaths(nonEqui).contains(facts), "non-equi term must bail")
+      // outer join
+      val outer = agged(f.join(d, f("cust_id") === d("c_id"), "left"))
+      assert(scanPaths(outer).contains(facts), "outer join must bail")
+      // filter on a non-group column
+      val badFilter = agged(f.join(d, f("cust_id") === d("c_id")).where(col("amount") > 3))
+      assert(scanPaths(badFilter).contains(facts), "non-group filter must bail")
+      // aggregate on an unstored column
+      val unstored = f.join(d, f("cust_id") === d("c_id"))
+        .groupBy("segment").agg(sum(col("fact_id")).as("sf"))
+      assert(scanPaths(unstored).contains(facts), "unstored agg column must bail")
+    } finally MaterializedViews.deregisterJoin(facts, dims)
+  }
+
+  test("join view: fact-side incremental fold == full rebuild; rewrite answers over base + append") {
+    val (facts, dims, mv) = joinFixture()
+    val s = spark
+    import s.implicits._
+    try {
+      val d0 = MaterializedViews.defineJoin(spark, facts, dims,
+        joinKeys = Seq(("cust_id", "c_id")),
+        groupCols = Seq("segment", "priority"), aggCols = Seq("amount"), mvPath = mv)
+      val batch = (5000 to 5600).map { i =>
+        (i.toLong, (i % 37).toLong, s"p${i % 5}", 1000L + i)
+      }.toDF("fact_id", "cust_id", "priority", "amount")
+      batch.write.mode("append").parquet(facts)
+      val d1 = MaterializedViews.refreshJoinIncremental(spark, d0, batch)
+      val folded = spark.read.parquet(d1.dataDir)
+      MaterializedViews.deregisterJoin(facts, dims)
+      val rebuilt = MaterializedViews.defineJoin(spark, facts, dims,
+        joinKeys = Seq(("cust_id", "c_id")),
+        groupCols = Seq("segment", "priority"), aggCols = Seq("amount"), mvPath = mv + "2")
+      val direct = spark.read.parquet(rebuilt.dataDir)
+      assert(folded.exceptAll(direct).isEmpty && direct.exceptAll(folded).isEmpty,
+        "fact-side fold must equal the full join-view rebuild (new priority groups included)")
+      MaterializedViews.deregisterJoin(facts, dims)
+      // rewritten query over the folded view answers for base + append
+      MaterializedViews.joinRegistry.put((d1.leftPath, d1.rightPath), d1)
+      def q() = {
+        val f = spark.read.parquet(facts)
+        val dd = spark.read.parquet(dims)
+        f.join(dd, f("cust_id") === dd("c_id"))
+          .groupBy("segment", "priority")
+          .agg(sum(col("amount")).as("sa"), count(lit(1)).as("n"))
+      }
+      assert(scanPaths(q()).contains(d1.dataDir))
+      val got = q().orderBy("segment", "priority").collect()
+      MaterializedViews.deregisterJoin(facts, dims)
+      assert(got.toSeq == q().orderBy("segment", "priority").collect().toSeq)
+    } finally MaterializedViews.deregisterJoin(facts, dims)
+  }
+
+  test("expressions OVER aggregate calls rewrite: casts and arithmetic collapsed into the Aggregate") {
+    val (base, mv) = fixture()
+    try {
+      MaterializedViews.define(spark, base, Seq("g1", "g2"), Seq("v", "w"), mv)
+      // the optimizer collapses the final select INTO the Aggregate, so
+      // the rule sees `cast(sum(v)) AS x` / `sum(v)+count(*) AS y` /
+      // `g1-dependent arithmetic` as aggregateExpressions
+      def q() = spark.read.parquet(base)
+        .groupBy("g1")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("g1"),
+          col("sv").cast("double").as("svd"),
+          (col("sv") + col("n") * 2).as("combo"))
+      assert(scanPaths(q()).contains(mv), s"collapsed-projection shape must rewrite:\n${scanPaths(q())}")
+      val got = q().orderBy("g1").collect()
+      MaterializedViews.deregister(base)
+      assert(got.toSeq == q().orderBy("g1").collect().toSeq)
+      // non-deterministic expressions over aggregates still bail
+      MaterializedViews.define(spark, base, Seq("g1", "g2"), Seq("v", "w"), mv)
+      val nondet = spark.read.parquet(base).groupBy("g1")
+        .agg((sum(col("v")) + (rand(7) * 0)).as("s"))
+      assert(scanPaths(nondet).contains(base), "non-deterministic output expr must bail")
+    } finally MaterializedViews.deregister(base)
+  }
+
   test("deregister restores the base scan") {
     val (base, mv) = fixture()
     try {
