@@ -380,6 +380,23 @@ object MaterializedViews {
     registry.remove(canonical(basePath)); ()
   }
 
+  /** Re-key a maintained view at a (possibly new) base path — the
+    * versioned-table composition: a mirror's live snapshot moves to a
+    * new `vNNNNNNNN` dir on every commit, so the view that describes
+    * it must follow (and the OLD version's key must be deregistered by
+    * the caller, or a time-travel read of the old snapshot would be
+    * answered with the new rollup). Returns the registered def.
+    */
+  def registerFor(d: MvDef, basePath: String): MvDef = {
+    val r = d.copy(basePath = canonical(basePath), physicalPath = basePath)
+    registry.put(r.basePath, r)
+    r
+  }
+
+  /** The registered view for a base path, if any. */
+  def registered(basePath: String): Option[MvDef] =
+    Option(registry.get(canonical(basePath)))
+
   // -----------------------------------------------------------------
   // Aggregate-over-JOIN views — the reference's flagship report shape
   // (template.py:485-490: orders ⋈ customers + a priority filter,

@@ -388,6 +388,80 @@ trait StreamingQueries extends AnalyticsQueries {
         |  max(value) AS max_v
         |FROM events GROUP BY user_id, event_type""".stripMargin))
 
+  /** #22v Streaming RETRACTION materialized view
+    * ([[graft.streaming.TableStream.runCdcApplyWithMv]] — 22l's CDC
+    * apply composed with 101c's retraction fold): a change feed with
+    * DELETES (every 'view' event), UPDATES (purchase values doubled —
+    * pre/post images, hitting stored extremes) and INSERTS (click
+    * clones) streams file-by-file into a versioned mirror while the
+    * registered rollup folds each micro-batch exactly: sums/counts
+    * retract, extreme-touching groups recompute through the
+    * file-skipping targeted scan, the 'view' groups DIE (cnt_rows 0).
+    * The report then runs against the mirror's live snapshot and is
+    * answered from the |groups|-row view (plan-locked in-run); the
+    * oracle recomputes the post-transition state from first
+    * principles. min/max/counts are duplication- and order-invariant,
+    * so the hash match is exact however micro-batch boundaries slice
+    * the feed.
+    */
+  val qStreamMvCdc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("stream-mv-cdc")
+      val feedDir = root + "/feed"
+      val mirror = root + "/mirror"
+      val mvPath = root + "/mv"
+      val outPath = root + "/out"
+      // a quarter of the corpus: the retraction semantics are the
+      // point here (q_stream_cdc already exercises full-volume apply)
+      val v1 = t(s, dir, "events").filter(pmod(col("user_id"), lit(4)) === 0)
+      val v2 = v1.filter(col("event_type") =!= "view")
+        .withColumn("value",
+          when(col("event_type") === "purchase", col("value") * 2).otherwise(col("value")))
+        .unionByName(v1.filter(col("event_type") === "click")
+          .withColumn("event_id", col("event_id") + 30000000L))
+      // partitioned BY KEY so an update's pre+post images share a
+      // micro-batch (the runCdcApplyWithMv contract)
+      graft.operators.SnapshotDiff.changeFeed(v1, v2, Seq("event_id"))
+        .repartition(4, col("event_id")).write.mode("overwrite").parquet(feedDir)
+      UpsertWriter.upsert(v1, mirror, Seq("event_id"), "ts")
+      val d = graft.streaming.TableStream.runCdcApplyWithMv(
+        s, feedDir, mirror, Seq("event_id"), "ts",
+        groupCols = Seq("user_id", "event_type"), aggCols = Seq("value"),
+        mvPath = mvPath,
+        queryName = "graft_stream_mv_cdc_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+      try {
+        val report = UpsertWriter.read(s, mirror)
+          .groupBy("user_id", "event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("value")).as("nv"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"))
+        val leaves = report.queryExecution.executedPlan.collectLeaves()
+          .map(_.treeString).mkString("\n")
+        require(leaves.contains(mvPath) && !leaves.contains(mirror),
+          s"q_stream_mv_cdc: the rewrite did not fire — plan leaves:\n$leaves")
+        report.write.mode("overwrite").parquet(outPath)
+      } finally graft.plans.MaterializedViews.deregister(d.basePath)
+      s.read.parquet(outPath)
+    },
+    oracle = Some(
+      """WITH post AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+        |  FROM events WHERE event_type <> 'view' AND user_id % 4 = 0
+        |  UNION ALL
+        |  SELECT user_id, event_type, value FROM events
+        |  WHERE event_type = 'click' AND user_id % 4 = 0
+        |)
+        |SELECT user_id, event_type,
+        |  count(*) AS n,
+        |  count(value) AS nv,
+        |  min(value) AS min_v,
+        |  max(value) AS max_v
+        |FROM post GROUP BY user_id, event_type""".stripMargin))
+
   // ---------------------------------------------------------------
   // LLM-data-pipeline surface
 }

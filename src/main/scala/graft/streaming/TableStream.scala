@@ -85,6 +85,97 @@ object TableStream {
     graft.sources.UpsertWriter.read(spark, mirrorPath)
   }
 
+  /** Streaming RETRACTION-capable materialized-view maintenance
+    * (SURVEY 22v — 22l's CDC apply composed with 101c's
+    * refreshFromChanges): a change feed WITH updates and deletes
+    * streams into a versioned mirror, and the registered rollup folds
+    * every micro-batch's retractions exactly — sums/counts subtract,
+    * extreme-touching groups get the file-skipping targeted recompute
+    * against the just-committed snapshot, dead groups drop. After each
+    * commit the view is re-keyed to the mirror's new live version dir
+    * (and the old version's key removed, so time-travel reads of past
+    * snapshots are never answered with the newer rollup). Covered
+    * aggregates over the live snapshot answer from |groups| rows
+    * throughout the stream's life.
+    *
+    * Exactly-once: the MIRROR is the replay-safe truth (checkpoint +
+    * versioned commits); the view is derived state — an in-session
+    * applied-batch guard skips same-session retries, and a rerun over
+    * a drained checkpoint returns the already-registered view
+    * untouched (the no-op the spec pins). A restarted session
+    * re-defines the view from the live snapshot — the same answer by
+    * construction.
+    *
+    * FEED CONTRACT: an update's pre+post images must arrive in the
+    * SAME micro-batch (partition the feed files by key). A preimage
+    * alone retracts a row the mirror still holds, so the view and the
+    * mirror would disagree between the two commits and an extreme-
+    * touching recompute would read the not-yet-updated row.
+    */
+  def runCdcApplyWithMv(
+      spark: SparkSession,
+      feedPath: String,
+      mirrorPath: String,
+      recordKeys: Seq[String],
+      precombine: String,
+      groupCols: Seq[String],
+      aggCols: Seq[String],
+      mvPath: String,
+      queryName: String): graft.plans.MaterializedViews.MvDef = {
+    import org.apache.spark.sql.functions.col
+    val applied = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val dRef = new java.util.concurrent.atomic.AtomicReference[graft.plans.MaterializedViews.MvDef]()
+    val schema = spark.read.parquet(feedPath).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedPath)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"${mirrorPath}_mv_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (applied.add(batchId)) {
+          val b = batch.toDF()
+          val ups = b.filter(col("change_type").isin("insert", "update_postimage"))
+            .drop("change_type")
+          val dels = b.filter(col("change_type") === "delete")
+            .select(recordKeys.map(col): _*)
+          // the mirror commit FIRST: refreshFromChanges' contract is
+          // that the base already reflects the feed
+          graft.sources.UpsertWriter.applyChanges(
+            spark, mirrorPath, ups, dels, recordKeys, precombine)
+          val live = graft.sources.UpsertWriter.latestVersion(spark, mirrorPath).get
+          dRef.get() match {
+            case null =>
+              dRef.set(graft.plans.MaterializedViews.define(
+                spark, live, groupCols, aggCols, mvPath))
+            case d =>
+              val folded = graft.plans.MaterializedViews.refreshFromChanges(
+                spark, d.copy(physicalPath = live), b)
+              graft.plans.MaterializedViews.deregister(d.basePath) // old snapshot's key
+              dRef.set(graft.plans.MaterializedViews.registerFor(folded, live))
+          }
+        }
+        ()
+      }
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dRef.get() match {
+      case null =>
+        // drained checkpoint (a rerun): the view registered for the
+        // live snapshot IS the answer — return it untouched
+        val live = graft.sources.UpsertWriter.latestVersion(spark, mirrorPath)
+          .getOrElse(throw new IllegalStateException(
+            s"runCdcApplyWithMv: no micro-batch ran and no mirror exists at $mirrorPath"))
+        graft.plans.MaterializedViews.registered(live).getOrElse(
+          throw new IllegalStateException(
+            s"runCdcApplyWithMv: no micro-batch ran and no view is registered for $live — " +
+              "empty feed with no prior run?"))
+      case d => d
+    }
+  }
+
   /** Run an aggregation over the whole existing log (AvailableNow),
     * landing the result in a memory sink — the catch-up read an
     * incremental consumer does on (re)start.

@@ -454,4 +454,68 @@ class EventStreamSpec extends SparkSpec {
       graft.plans.MaterializedViews.deregister(table)
     }
   }
+
+  test("streaming retraction MV: CDC folds equal a rebuild; a drained rerun is a no-op") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("graft-smvcdc-")
+    val feedDir = root + "/feed"
+    val mirror = root + "/mirror"
+    val mvPath = root + "/mv"
+    val v1 = (1L to 400L)
+      .map(i => (i, i % 13, if (i % 3 == 0) "view" else if (i % 3 == 1) "click" else "purchase",
+        (i % 29).toDouble, i))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    // deletes (all views), extreme-touching updates (purchases doubled),
+    // inserts (click clones with fresh ids)
+    val v2 = v1.filter(org.apache.spark.sql.functions.col("event_type") =!= "view")
+      .withColumn("value", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("event_type") === "purchase",
+        org.apache.spark.sql.functions.col("value") * 2)
+        .otherwise(org.apache.spark.sql.functions.col("value")))
+      .unionByName(v1.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+        .withColumn("event_id", org.apache.spark.sql.functions.col("event_id") + 9000L))
+    // partition the feed BY KEY: an update's pre+post images must ride
+    // the same micro-batch or the fold would retract in one batch and
+    // re-add in another, leaving the view inconsistent with the mirror
+    // BETWEEN those commits (and the dirty recompute double-counting)
+    graft.operators.SnapshotDiff.changeFeed(v1, v2, Seq("event_id"))
+      .repartition(3, org.apache.spark.sql.functions.col("event_id"))
+      .write.mode("overwrite").parquet(feedDir)
+    graft.sources.UpsertWriter.upsert(v1, mirror, Seq("event_id"), "ts")
+    def run() = graft.streaming.TableStream.runCdcApplyWithMv(
+      spark, feedDir, mirror, Seq("event_id"), "ts",
+      groupCols = Seq("user_id", "event_type"), aggCols = Seq("value"),
+      mvPath = mvPath, queryName = "graft_smvcdc_spec")
+    val d = run()
+    try {
+      // mirror converged and the view equals a from-scratch rollup of it
+      val live = graft.sources.UpsertWriter.latestVersion(spark, mirror).get
+      assert(graft.plans.MaterializedViews.registered(live).exists(_.dataDir == d.dataDir),
+        "the view must be keyed to the live snapshot after the stream drains")
+      val folded = spark.read.parquet(d.dataDir)
+      val want = graft.sources.UpsertWriter.read(spark, mirror)
+        .groupBy("user_id", "event_type")
+        .agg(
+          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("value")).as("sum_value"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.col("value")).as("cnt_value"),
+          org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("value")).as("min_value"),
+          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("value")).as("max_value"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt_rows"))
+      val det = Seq("user_id", "event_type", "cnt_value", "min_value", "max_value", "cnt_rows")
+      val fd = folded.select(det.map(org.apache.spark.sql.functions.col): _*)
+      val wd = want.select(det.map(org.apache.spark.sql.functions.col): _*)
+      assert(fd.exceptAll(wd).isEmpty && wd.exceptAll(fd).isEmpty,
+        "retraction folds must equal the direct rollup of the converged mirror")
+      // no dead groups survive: 'view' groups retracted to zero are gone
+      assert(folded.filter(org.apache.spark.sql.functions.col("event_type") === "view").count() == 0L,
+        "groups whose rows were all deleted must drop from the view")
+      // REPLAY: a second run over the drained checkpoint processes no
+      // batch and returns the SAME registered view, bytes untouched
+      val genBefore = d.dataDir
+      val d2 = run()
+      assert(d2.dataDir == genBefore && d2.basePath == d.basePath,
+        "a drained rerun must be a no-op returning the registered view")
+    } finally graft.plans.MaterializedViews.deregister(d.basePath)
+  }
 }
