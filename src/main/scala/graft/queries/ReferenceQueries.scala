@@ -630,4 +630,107 @@ trait ReferenceQueries extends QueryBase {
         |  AND NOT (l_linenumber >= 5)
         |GROUP BY l_returnflag""".stripMargin))
 
+  // ---------------------------------------------------------------
+  // External-format interop (#102): a Delta-layout table written by
+  // an EXTERNAL writer (the fixture below reproduces the delta-io
+  // on-disk protocol byte-for-byte: data parquet + _delta_log JSON
+  // actions), read through graft.sources.DeltaTableReader — the
+  // "point the engine at an existing lakehouse table" entry point
+  // the reference has for Hudi (template.py:207-217).
+  // ---------------------------------------------------------------
+
+  /** Write `df` as one parquet data file named `name` inside the
+    * fixture table dir — the shape an external Delta writer leaves.
+    */
+  private def writeDeltaDataFile(df: org.apache.spark.sql.DataFrame,
+      table: String, name: String): Unit = {
+    val tmp = table + s"/.stage-$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val stage = new java.io.File(tmp)
+    val src = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(src.toPath, new java.io.File(table, name).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(stage)
+  }
+
+  private def writeDeltaCommit(table: String, version: Long, lines: Seq[String]): Unit = {
+    val dir = new java.io.File(table, "_delta_log")
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, f"$version%020d.json"), "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+  }
+
+  private def deltaAdd(path: String, dataChange: Boolean = true): String =
+    s"""{"add":{"path":"$path","partitionValues":{},"size":1024,""" +
+      s""""modificationTime":1700000000000,"dataChange":$dataChange}}"""
+
+  private def deltaRemove(path: String): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":1700000001000,"dataChange":true}}"""
+
+  private val deltaProtocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+  private val deltaMeta =
+    """{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      """"schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
+      """"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}"""
+
+  /** Build the fixture: commit 0 adds slices %3=0 and %3=1 of orders;
+    * commit 1 REWRITES the %3=0 file away and adds the %3=2 slice
+    * (so the active set is exactly %3 IN (1,2)); commit 2 appends a
+    * fresh copy of the %3=0 slice. Returns the table path.
+    */
+  private def buildDeltaFixture(s: SparkSession, dir: String, root: String): String = {
+    val table = root + "/t"
+    new java.io.File(table).mkdirs()
+    val o = t(s, dir, "orders")
+    writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 0), table, "part-a.parquet")
+    writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), table, "part-b.parquet")
+    writeDeltaCommit(table, 0L, Seq(deltaProtocol, deltaMeta,
+      deltaAdd("part-a.parquet"), deltaAdd("part-b.parquet")))
+    writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 2), table, "part-c.parquet")
+    writeDeltaCommit(table, 1L, Seq(deltaRemove("part-a.parquet"), deltaAdd("part-c.parquet")))
+    writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 0), table, "part-d.parquet")
+    writeDeltaCommit(table, 2L, Seq(deltaAdd("part-d.parquet")))
+    table
+  }
+
+  /** #102 External Delta table SNAPSHOT read: log replay (adds minus
+    * removes across three commits — one of them a rewrite) resolves
+    * the active file set, and the aggregate runs over exactly those
+    * files. The oracle recomputes from the slice predicates the
+    * commits encode.
+    */
+  val qDeltaSnapshot: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val table = buildDeltaFixture(s, dir, scratch("delta-snap"))
+      graft.sources.DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #102b External Delta table INCREMENTAL read: commits after the
+    * caller's checkpoint version surface exactly their added rows
+    * (commit 2's %3=0 append), tagged with the commit version — the
+    * Hudi incremental-pull contract (template.py:226-281) against a
+    * foreign table layout. Rewrite commits inside the range refuse
+    * loudly (spec-locked); this query reads only past the rewrite.
+    */
+  val qDeltaIncremental: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val table = buildDeltaFixture(s, dir, scratch("delta-inc"))
+      graft.sources.DeltaTableReader.incrementalSince(s, table, sinceVersion = 1L)
+        .groupBy(col("_commit_version"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT CAST(2 AS BIGINT) AS _commit_version, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
 }
