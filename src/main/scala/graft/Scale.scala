@@ -801,6 +801,227 @@ object Scale {
       } { operators.ZoneMaps.refresh(spark, zb1, zi1, "o_orderkey"); () }
     }
 
+    // -------------------------------------------------------------
+    // Round-13 sweep: the round-12 ops not yet rehearsed
+    // (q_time_travel_ts, q_dv_pruned, upsertChecked, q_stream_mv,
+    // needsCompaction) plus the round-13 additions (join-view MV,
+    // streaming retraction MV, the external Delta reader).
+    // -------------------------------------------------------------
+
+    // timestamp time travel: resolving the version is marker-mtime
+    // metadata (flat); READING the resolved snapshot is linear in its
+    // bytes — the honest expectation is ~bytes ratio
+    if (wanted("q_time_travel_ts")) {
+      def ttSetup(o: DataFrame, dir: String): Long = {
+        sources.UpsertWriter.upsert(o, dir, Seq("o_orderkey"), "o_orderdate", keepVersions = 4)
+        val t1 = sources.UpsertWriter.commitInstants(spark, dir).last._2
+        sources.UpsertWriter.upsert(
+          o.limit(10000).withColumn("o_orderkey", col("o_orderkey") + lit(9000000000L)),
+          dir, Seq("o_orderkey"), "o_orderdate", keepVersions = 4)
+        t1
+      }
+      val tt01 = scaleScratch("tt-01"); val tt1 = scaleScratch("tt-1")
+      val i01 = ttSetup(ord01, tt01); val i1 = ttSetup(ord1, tt1)
+      rehearseUnit("q_time_travel_ts") {
+        noop(sources.UpsertWriter.readAsOf(spark, tt01, i01))
+      } { noop(sources.UpsertWriter.readAsOf(spark, tt1, i1)) }
+    }
+
+    // zone-map-pruned read over a deletion-vectored table: the range
+    // predicate prunes to the same few files at both scales (range-
+    // clustered layout, same file count), and the DV anti join is
+    // |deletes|-sized — the read must be ~FLAT at 10x table bytes
+    if (wanted("q_dv_pruned")) {
+      def dvpSetup(li: DataFrame, root: String): (String, String, DataFrame) = {
+        val table = root + "/t"; val dv = root + "/v"
+        li.repartitionByRange(64, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.mode("overwrite").parquet(table)
+        sources.DeletionVectors.markDeleted(spark, table, col("l_discount") > 0.07, dv)
+        val zm = operators.ZoneMaps.build(spark, table, "l_orderkey")
+        (table, dv, zm)
+      }
+      val (t01d, dv01, zm01) = dvpSetup(li01, scaleScratch("dvp-01"))
+      val (t1d, dv1, zm1) = dvpSetup(li1, scaleScratch("dvp-1"))
+      rehearseUnit("q_dv_pruned") {
+        noop(sources.DeletionVectors.readPruned(spark, t01d, dv01, zm01, "l_orderkey", 2000L, 9000L))
+      } { noop(sources.DeletionVectors.readPruned(spark, t1d, dv1, zm1, "l_orderkey", 2000L, 9000L)) }
+    }
+
+    // constraint-gated upsert: the checks run on the (same-sized)
+    // BATCH, but the COW merge reads the existing snapshot — the
+    // honest expectation is ~bytes ratio for the merge leg
+    if (wanted("q_upsert_checked")) {
+      val uc01 = scaleScratch("uc-01"); val uc1 = scaleScratch("uc-1")
+      sources.UpsertWriter.upsert(ord01, uc01, Seq("o_orderkey"), "o_orderdate")
+      sources.UpsertWriter.upsert(ord1, uc1, Seq("o_orderkey"), "o_orderdate")
+      val batch = ord01.limit(20000)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(9100000000L))
+      def checks(b: DataFrame): Seq[DataFrame] = Seq(
+        operators.QualityChecks.notNull(b, "o_orderkey", "key_not_null"),
+        operators.QualityChecks.unique(b, Seq("o_orderkey"), "key_unique"))
+      rehearseUnit("q_upsert_checked") {
+        sources.UpsertWriter.upsertChecked(batch, uc01, Seq("o_orderkey"), "o_orderdate", checks)
+      } { sources.UpsertWriter.upsertChecked(batch, uc1, Seq("o_orderkey"), "o_orderdate", checks) }
+    }
+
+    // compaction advisor: pure file listing at identical file counts
+    // — must be FLAT however large the files got
+    if (wanted("q_needs_compaction")) {
+      val nc01 = scaleScratch("nc-01"); val nc1 = scaleScratch("nc-1")
+      li01.repartition(64).write.mode("overwrite").parquet(nc01)
+      li1.repartition(64).write.mode("overwrite").parquet(nc1)
+      rehearseUnit("q_needs_compaction") {
+        sources.UpsertWriter.needsCompaction(spark, nc01): Unit
+      } { sources.UpsertWriter.needsCompaction(spark, nc1): Unit }
+    }
+
+    // streaming MV maintenance: 3 micro-batches (splitDir at both
+    // scales), each batch 10x bigger on the sf1 leg — per-batch fold
+    // is O(batch + groups), so the honest expectation is ~bytes ratio
+    // (the stream machinery itself is flat per trigger)
+    if (wanted("q_stream_mv")) {
+      val ev01Path = s"$sfDir/events.parquet"
+      val ev1Path = s"$outRoot/events.parquet"
+      val split01 = streaming.EventStream.splitDir(spark, ev01Path, 3, keyCol = "event_id")
+      val split1 = streaming.EventStream.splitDir(spark, ev1Path, 3, keyCol = "event_id")
+      rehearseUnit("q_stream_mv") {
+        val d = streaming.EventStream.streamMaintainMv(
+          spark, split01, scaleScratch("smv-01") + "/t", scaleScratch("smv-01-mv"),
+          Seq("user_id", "event_type"), Seq("value"), queryName = "graft_scale_smv01")
+        plans.MaterializedViews.deregister(d.basePath)
+      } {
+        val d = streaming.EventStream.streamMaintainMv(
+          spark, split1, scaleScratch("smv-1") + "/t", scaleScratch("smv-1-mv"),
+          Seq("user_id", "event_type"), Seq("value"), queryName = "graft_scale_smv1")
+        plans.MaterializedViews.deregister(d.basePath)
+      }
+    }
+
+    // join-view MV: BUILD pays the join once (~bytes ratio); the
+    // REWRITTEN report is |groups|-shaped and must be ~FLAT; the
+    // fact-side fold takes the same-sized batch through the unscaled
+    // dim join at both scales and must be ~flat too
+    if (wanted("q_mv_join_rewrite")) {
+      val jb01 = scaleScratch("mvj-b01"); val jb1 = scaleScratch("mvj-b1")
+      ord01.repartition(16).write.mode("overwrite").parquet(jb01)
+      ord1.repartition(16).write.mode("overwrite").parquet(jb1)
+      val dimPath = scaleScratch("mvj-dim")
+      t01("customer").write.mode("overwrite").parquet(dimPath) // dims don't scale
+      def defineJ(base: String, mv: String) = plans.MaterializedViews.defineJoin(
+        spark, base, dimPath, Seq(("o_custkey", "c_custkey")),
+        Seq("c_mktsegment", "o_orderpriority"), Seq("o_totalprice"), mv)
+      var dj01 = defineJ(jb01, scaleScratch("mvj-v01"))
+      var dj1 = defineJ(jb1, scaleScratch("mvj-v1"))
+      rehearseUnit("q_mv_join_build") {
+        dj01 = defineJ(jb01, scaleScratch("mvj-v01"))
+      } { dj1 = defineJ(jb1, scaleScratch("mvj-v1")) }
+      def jreport(base: String): DataFrame = {
+        val f = spark.read.parquet(base)
+        val c = spark.read.parquet(dimPath)
+        f.join(c, f("o_custkey") === c("c_custkey"))
+          .where(col("o_orderpriority") === "1-URGENT")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+      }
+      rehearseUnit("q_mv_join_rewrite") { noop(jreport(jb01)) } { noop(jreport(jb1)) }
+      val jbatch = ord01.limit(100000)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(9200000000L))
+      rehearseUnit("q_mv_join_refresh_inc") {
+        plans.MaterializedViews.refreshJoinIncremental(spark, dj01, jbatch): Unit
+      } { plans.MaterializedViews.refreshJoinIncremental(spark, dj1, jbatch): Unit }
+      plans.MaterializedViews.deregisterJoin(jb01, dimPath)
+      plans.MaterializedViews.deregisterJoin(jb1, dimPath)
+    }
+
+    // streaming retraction MV: the SAME-SIZED change feed applies to
+    // a 10x mirror — the COW apply leg is O(table) by design (the
+    // known applyChanges cost), the MV fold legs are O(batch+groups);
+    // the composed ratio sits between those two honest bounds
+    if (wanted("q_stream_mv_cdc")) {
+      def smcRun(ev: DataFrame, root: String, tag: String): Unit = {
+        val feed = root + "/feed"; val mirror = root + "/mirror"
+        val v1 = ev.filter(pmod(col("user_id"), lit(4)) === 0)
+        val v2 = v1.filter(col("event_type") =!= "view")
+          .withColumn("value", when(col("event_type") === "purchase", col("value") * 2)
+            .otherwise(col("value")))
+        operators.SnapshotDiff.changeFeed(v1, v2, Seq("event_id"))
+          .repartition(3, col("event_id")).write.mode("overwrite").parquet(feed)
+        sources.UpsertWriter.upsert(v1, mirror, Seq("event_id"), "ts")
+        val d = streaming.TableStream.runCdcApplyWithMv(
+          spark, feed, mirror, Seq("event_id"), "ts",
+          Seq("user_id", "event_type"), Seq("value"), root + "/mv",
+          queryName = s"graft_scale_smc_$tag")
+        plans.MaterializedViews.deregister(d.basePath)
+      }
+      rehearseUnit("q_stream_mv_cdc") {
+        smcRun(t01("events"), scaleScratch("smc-01"), "a")
+      } { smcRun(t1("events"), scaleScratch("smc-1"), "b") }
+    }
+
+    // external Delta reader: snapshot is a distributed scan of the
+    // active files (~bytes ratio); the log replay itself is driver
+    // metadata and the incremental read of a SAME-SIZED appended
+    // commit must be ~FLAT at 10x table size
+    if (wanted("q_delta_snapshot")) {
+      def deltaFixture(o: DataFrame, root: String): String = {
+        val table = root + "/t"
+        new java.io.File(table).mkdirs()
+        def dataFile(df: DataFrame, name: String): Unit = {
+          val tmp = table + s"/.stage-$name"
+          df.coalesce(4).write.mode("overwrite").parquet(tmp)
+          val parts = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+          parts.zipWithIndex.foreach { case (p, i) =>
+            java.nio.file.Files.copy(p.toPath,
+              new java.io.File(table, s"$name-$i.parquet").toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          val commit = parts.indices.map(i =>
+            s"""{"add":{"path":"$name-$i.parquet","partitionValues":{},"size":1,""" +
+              s""""modificationTime":1700000000000,"dataChange":true}}""")
+          val v = new java.io.File(table, "_delta_log").listFiles() match {
+            case null => 0L
+            case fs => fs.count(_.getName.endsWith(".json")).toLong
+          }
+          val dir = new java.io.File(table, "_delta_log"); dir.mkdirs()
+          val header = if (v == 0L) Seq(
+            """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+            """{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+              """"schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
+              """"partitionColumns":[],"configuration":{},"createdTime":0}}""") else Nil
+          val w = new java.io.PrintWriter(new java.io.File(dir, f"$v%020d.json"), "UTF-8")
+          try (header ++ commit).foreach(w.println) finally w.close()
+        }
+        dataFile(o, "base")
+        table
+      }
+      val dt01 = deltaFixture(ord01, scaleScratch("delta-01"))
+      val dt1 = deltaFixture(ord1, scaleScratch("delta-1"))
+      rehearseUnit("q_delta_snapshot") {
+        noop(sources.DeltaTableReader.snapshot(spark, dt01))
+      } { noop(sources.DeltaTableReader.snapshot(spark, dt1)) }
+      // same-sized appended commit on both tables: flat incremental
+      val inc = ord01.limit(50000).withColumn("o_orderkey", col("o_orderkey") + lit(9300000000L))
+      // append as commit 1 on both (helper writes the next version)
+      Seq(dt01, dt1).foreach { t =>
+        val tmp = t + "/.stage-inc"
+        inc.coalesce(2).write.mode("overwrite").parquet(tmp)
+        val parts = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+        parts.zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.copy(p.toPath, new java.io.File(t, s"inc-$i.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        val w = new java.io.PrintWriter(new java.io.File(t + "/_delta_log", f"${1L}%020d.json"), "UTF-8")
+        try parts.indices.foreach(i => w.println(
+          s"""{"add":{"path":"inc-$i.parquet","partitionValues":{},"size":1,""" +
+            s""""modificationTime":1700000000001,"dataChange":true}}""")) finally w.close()
+      }
+      rehearseUnit("q_delta_incremental") {
+        noop(sources.DeltaTableReader.incrementalSince(spark, dt01, 0L))
+      } { noop(sources.DeltaTableReader.incrementalSince(spark, dt1, 0L)) }
+    }
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
   }
