@@ -693,6 +693,115 @@ trait ReferenceQueries extends QueryBase {
     table
   }
 
+  // Hudi COW fixture (#103): the external writer's layout — immutable
+  // base files per file group, .hoodie/<instant>.commit timelines,
+  // _hoodie_commit_time stamped the way a COW writer stamps it
+  // (updates get the new instant, carried-forward rows keep theirs).
+
+  private def writeHudiBaseFile(df: org.apache.spark.sql.DataFrame,
+      table: String, relPath: String): Unit = {
+    val tmp = table + "/.stage"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val src = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(table, relPath)
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.copy(src.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(new java.io.File(tmp))
+  }
+
+  private def writeHudiCommit(table: String, instant: String,
+      writes: Seq[(String, String)]): Unit = { // (fileId, path)
+    val dir = new java.io.File(table, ".hoodie")
+    dir.mkdirs()
+    val stats = writes.map { case (fid, path) =>
+      s"""{"fileId":"$fid","path":"$path","numWrites":1,"numUpdateWrites":0,""" +
+        s""""totalWriteBytes":1024,"prevCommit":"null"}"""
+    }.mkString(",")
+    val w = new java.io.PrintWriter(new java.io.File(dir, s"$instant.commit"), "UTF-8")
+    try w.println(s"""{"partitionToWriteStats":{"":[$stats]},"operationType":"UPSERT"}""")
+    finally w.close()
+  }
+
+  /** Commit c1 writes file groups g1 (%3=0) and g2 (%3=1); commit c2
+    * REWRITES g1 — rows with o_orderkey%10=0 get o_totalprice doubled
+    * and the c2 stamp, the rest carry forward with c1's stamp — and
+    * inserts g3 (%3=2). Returns the table path.
+    */
+  private def buildHudiFixture(s: SparkSession, dir: String, root: String): String = {
+    val table = root + "/t"
+    new java.io.File(table).mkdirs()
+    val c1 = "20240101090000"; val c2 = "20240102090000"
+    val o = t(s, dir, "orders")
+    def stamped(df: org.apache.spark.sql.DataFrame, instant: String) =
+      df.withColumn("_hoodie_commit_time", lit(instant))
+    val g1 = o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+    writeHudiBaseFile(stamped(g1, c1), table, s"g1_0-0-0_$c1.parquet")
+    writeHudiBaseFile(stamped(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), c1),
+      table, s"g2_0-0-0_$c1.parquet")
+    writeHudiCommit(table, c1, Seq(
+      ("g1", s"g1_0-0-0_$c1.parquet"), ("g2", s"g2_0-0-0_$c1.parquet")))
+    val g1v2 = stamped(
+      g1.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), c2)
+      .unionByName(stamped(g1.filter(pmod(col("o_orderkey"), lit(10)) =!= 0), c1))
+    writeHudiBaseFile(g1v2, table, s"g1_0-0-1_$c2.parquet")
+    writeHudiBaseFile(stamped(o.filter(pmod(col("o_orderkey"), lit(3)) === 2), c2),
+      table, s"g3_0-0-0_$c2.parquet")
+    writeHudiCommit(table, c2, Seq(
+      ("g1", s"g1_0-0-1_$c2.parquet"), ("g3", s"g3_0-0-0_$c2.parquet")))
+    table
+  }
+
+  /** #103 External Hudi COW table SNAPSHOT read
+    * ([[graft.sources.HudiTableReader]]): the reference's literal
+    * entry point — template.py:207-217 points Spark at an EXISTING
+    * Hudi table — against a foreign-written COW layout: timeline
+    * replay picks the latest file slice per group (the c2 rewrite of
+    * g1 shadows c1's file), and the aggregate runs over exactly those
+    * slices. The oracle recomputes the post-update state from the
+    * slice predicates the commits encode.
+    */
+  val qHudiSnapshot: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val table = buildHudiFixture(s, dir, scratch("hudi-snap"))
+      graft.sources.HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 10 = 0
+        |         THEN o_totalprice * 2 ELSE o_totalprice END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #103b External Hudi COW table INCREMENTAL read: records
+    * inserted/updated after the checkpoint instant — the c2-stamped
+    * rows only (g1's doubled %10=0 subset + all of g3); g1's
+    * carried-forward rows keep c1's stamp and drop out of the
+    * per-row filter, exactly the semantics the reference's
+    * `HUDIIncrementalReader` consumes (template.py:226-281).
+    */
+  val qHudiIncremental: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val table = buildHudiFixture(s, dir, scratch("hudi-inc"))
+      graft.sources.HudiTableReader.incrementalSince(s, table, "20240101090000")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 10 = 0
+        |         THEN o_totalprice * 2 ELSE o_totalprice END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE (o_orderkey % 3 = 0 AND o_orderkey % 10 = 0) OR o_orderkey % 3 = 2
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #102 External Delta table SNAPSHOT read: log replay (adds minus
     * removes across three commits — one of them a rewrite) resolves
     * the active file set, and the aggregate runs over exactly those

@@ -1,0 +1,127 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixture tables reproduce the external writer's on-disk COW layout
+  * (hudi.apache.org timeline/file-layout docs): immutable base
+  * parquet files named per file group, `.hoodie/<instant>.commit`
+  * JSON timelines, `_hoodie_commit_time` meta columns stamped the way
+  * a COW writer stamps them — no Hudi library exists in this sandbox,
+  * so the layout itself is the contract under test.
+  */
+class HudiTableReaderSpec extends SparkSpec {
+
+  private def withMeta(df: DataFrame, instant: String): DataFrame =
+    df.withColumn("_hoodie_commit_time", lit(instant))
+
+  private def writeBaseFile(df: DataFrame, table: String, relPath: String): Unit = {
+    val tmp = tmpDir("hudi-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val src = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(table, relPath)
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.copy(src.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def writeCommit(table: String, instant: String,
+      writes: Seq[(String, String, String)]): Unit = { // (partition, fileId, path)
+    val dir = new java.io.File(table, ".hoodie")
+    dir.mkdirs()
+    val byPart = writes.groupBy(_._1).map { case (p, ws) =>
+      s""""$p":[${ws.map { case (_, fid, path) =>
+        s"""{"fileId":"$fid","path":"$path","numWrites":1,"numUpdateWrites":0,""" +
+          s""""totalWriteBytes":1024,"prevCommit":"null"}"""
+      }.mkString(",")}]"""
+    }.mkString(",")
+    val w = new java.io.PrintWriter(new java.io.File(dir, s"$instant.commit"), "UTF-8")
+    try w.println(s"""{"partitionToWriteStats":{$byPart},"operationType":"UPSERT"}""")
+    finally w.close()
+  }
+
+  private def rows(r: Range, instant: String) = {
+    val s = spark
+    import s.implicits._
+    withMeta(r.map(i => (i.toLong, s"k$i", i * 2L)).toDF("id", "key", "v"), instant)
+  }
+
+  test("snapshot = latest file slice per group; incremental filters carried-forward rows out") {
+    val table = tmpDir("hudi-cow")
+    // commit c1: two file groups
+    writeBaseFile(rows(1 to 50, "20240101090000"), table, "g1_0-0-0_20240101090000.parquet")
+    writeBaseFile(rows(51 to 100, "20240101090000"), table, "g2_0-0-0_20240101090000.parquet")
+    writeCommit(table, "20240101090000", Seq(
+      ("", "g1", "g1_0-0-0_20240101090000.parquet"),
+      ("", "g2", "g2_0-0-0_20240101090000.parquet")))
+    // commit c2: REWRITES group g1 (ids 1..10 updated, stamped c2;
+    // ids 11..50 carried forward keeping c1's stamp) + inserts g3
+    val s = spark
+    import s.implicits._
+    val g1v2 = withMeta((1 to 10).map(i => (i.toLong, s"k$i", i * 200L)).toDF("id", "key", "v"),
+      "20240102090000")
+      .unionByName(rows(11 to 50, "20240101090000"))
+    writeBaseFile(g1v2, table, "g1_0-0-1_20240102090000.parquet")
+    writeBaseFile(rows(101 to 120, "20240102090000"), table, "g3_0-0-0_20240102090000.parquet")
+    writeCommit(table, "20240102090000", Seq(
+      ("", "g1", "g1_0-0-1_20240102090000.parquet"),
+      ("", "g3", "g3_0-0-0_20240102090000.parquet")))
+
+    assert(HudiTableReader.commits(spark, table) ==
+      Seq("20240101090000", "20240102090000"))
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 120L)
+    // the updated rows come from the NEW slice only
+    assert(snap.where(col("id") === 5L).select("v").head().getLong(0) == 1000L)
+    // incremental since c1: exactly the c2-stamped rows (10 updates + 20 inserts),
+    // NOT the 40 carried-forward g1 rows
+    val inc = HudiTableReader.incrementalSince(spark, table, "20240101090000")
+    assert(inc.count() == 30L)
+    assert(inc.agg(min("id"), max("id")).head().toSeq == Seq(1L, 120L))
+    assert(inc.where(col("id") === 20L).isEmpty,
+      "carried-forward rows keep their old commit stamp and must drop out")
+    // nothing after the latest commit: loud refusal
+    val e = intercept[IllegalArgumentException](
+      HudiTableReader.incrementalSince(spark, table, "20240102090000"))
+    assert(e.getMessage.contains("no commits after"))
+  }
+
+  test("in-flight instants are invisible; MOR timelines refuse; not-a-table refuses") {
+    val table = tmpDir("hudi-inflight")
+    writeBaseFile(rows(1 to 30, "20240101090000"), table, "g1_0-0-0_20240101090000.parquet")
+    writeCommit(table, "20240101090000", Seq(("", "g1", "g1_0-0-0_20240101090000.parquet")))
+    // an in-flight commit: requested + inflight markers, data file present
+    writeBaseFile(rows(31 to 60, "20240103090000"), table, "g9_0-0-0_20240103090000.parquet")
+    new java.io.File(s"$table/.hoodie/20240103090000.commit.requested").createNewFile()
+    new java.io.File(s"$table/.hoodie/20240103090000.inflight").createNewFile()
+    assert(HudiTableReader.snapshot(spark, table).count() == 30L,
+      "an uncommitted instant's files must be invisible")
+    // a deltacommit makes it MOR: refuse
+    new java.io.File(s"$table/.hoodie/20240104090000.deltacommit").createNewFile()
+    val e = intercept[IllegalStateException](HudiTableReader.snapshot(spark, table))
+    assert(e.getMessage.contains("MERGE-ON-READ"))
+    val notTable = tmpDir("hudi-none")
+    val e2 = intercept[IllegalArgumentException](HudiTableReader.snapshot(spark, notTable))
+    assert(e2.getMessage.contains(".hoodie"))
+  }
+
+  test("partitioned layout: commit paths under partition dirs resolve; schema rides the data files") {
+    val table = tmpDir("hudi-part")
+    val s = spark
+    import s.implicits._
+    def pr(r: Range, day: String, instant: String) = withMeta(
+      r.map(i => (i.toLong, day, i * 3L)).toDF("id", "day", "v"), instant)
+    writeBaseFile(pr(1 to 40, "2024-01-01", "20240101090000"),
+      table, "day=2024-01-01/gA_0-0-0_20240101090000.parquet")
+    writeBaseFile(pr(41 to 90, "2024-01-02", "20240101090000"),
+      table, "day=2024-01-02/gB_0-0-0_20240101090000.parquet")
+    writeCommit(table, "20240101090000", Seq(
+      ("day=2024-01-01", "gA", "day=2024-01-01/gA_0-0-0_20240101090000.parquet"),
+      ("day=2024-01-02", "gB", "day=2024-01-02/gB_0-0-0_20240101090000.parquet")))
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 90L)
+    assert(snap.where(col("day") === "2024-01-02").count() == 50L,
+      "partition columns ride the data files in Hudi COW — no reconstruction needed")
+  }
+}
