@@ -1022,6 +1022,47 @@ object Scale {
       } { noop(sources.DeltaTableReader.incrementalSince(spark, dt1, 0L)) }
     }
 
+    // external Hudi COW reader: snapshot scans the active slices
+    // (~bytes ratio); the incremental read of a SAME-SIZED later
+    // commit touches only that commit's file groups — ~flat at 10x
+    if (wanted("q_hudi_snapshot")) {
+      def hudiFixture(o: DataFrame, root: String): String = {
+        val table = root + "/t"
+        new java.io.File(table).mkdirs()
+        def baseFile(df: DataFrame, instant: String, fid: String): String = {
+          val tmp = table + s"/.stage-$fid"
+          df.withColumn("_hoodie_commit_time", lit(instant))
+            .coalesce(4).write.mode("overwrite").parquet(tmp)
+          val parts = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+          parts.zipWithIndex.map { case (p, i) =>
+            val name = s"${fid}_$i-0-0_$instant.parquet"
+            java.nio.file.Files.copy(p.toPath, new java.io.File(table, name).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            s"""{"fileId":"$fid-$i","path":"$name","numWrites":1,"numUpdateWrites":0,"totalWriteBytes":1,"prevCommit":"null"}"""
+          }.mkString(",")
+        }
+        def commit(instant: String, stats: String): Unit = {
+          val dir = new java.io.File(table, ".hoodie"); dir.mkdirs()
+          val w = new java.io.PrintWriter(new java.io.File(dir, s"$instant.commit"), "UTF-8")
+          try w.println(s"""{"partitionToWriteStats":{"":[$stats]},"operationType":"UPSERT"}""")
+          finally w.close()
+        }
+        commit("20240101090000", baseFile(o, "20240101090000", "base"))
+        commit("20240102090000",
+          baseFile(o.limit(50000).withColumn("o_orderkey", col("o_orderkey") + lit(9400000000L)),
+            "20240102090000", "inc"))
+        table
+      }
+      val ht01 = hudiFixture(ord01, scaleScratch("hudi-01"))
+      val ht1 = hudiFixture(ord1, scaleScratch("hudi-1"))
+      rehearseUnit("q_hudi_snapshot") {
+        noop(sources.HudiTableReader.snapshot(spark, ht01))
+      } { noop(sources.HudiTableReader.snapshot(spark, ht1)) }
+      rehearseUnit("q_hudi_incremental") {
+        noop(sources.HudiTableReader.incrementalSince(spark, ht01, "20240101090000"))
+      } { noop(sources.HudiTableReader.incrementalSince(spark, ht1, "20240101090000")) }
+    }
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
   }
