@@ -1063,6 +1063,92 @@ object Scale {
       } { noop(sources.HudiTableReader.incrementalSince(spark, ht1, "20240101090000")) }
     }
 
+    // external Iceberg reader: snapshot scans the live files (~bytes
+    // ratio); the incremental read of a SAME-SIZED appended snapshot
+    // reads that snapshot's manifests only — ~flat at 10x
+    if (wanted("q_iceberg_snapshot")) {
+      def iceFixture(o: DataFrame, root: String): String = {
+        val table = root + "/t"
+        val listSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+            |{"name":"manifest_path","type":"string"},
+            |{"name":"manifest_length","type":"long","default":0},
+            |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+            |{"name":"content","type":"int","default":0}]}""".stripMargin)
+        val entrySchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |{"name":"status","type":"int"},
+            |{"name":"snapshot_id","type":["null","long"],"default":null},
+            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |  {"name":"content","type":"int","default":0},
+            |  {"name":"file_path","type":"string"},
+            |  {"name":"file_format","type":"string","default":"PARQUET"},
+            |  {"name":"record_count","type":"long","default":0}]}}]}""".stripMargin)
+        def avro(path: String, schema: org.apache.avro.Schema,
+            rs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+          val f = new java.io.File(path); f.getParentFile.mkdirs()
+          val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+            new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+          w.create(schema, f)
+          try rs.foreach(w.append) finally w.close()
+        }
+        def entry(snapId: Long, path: String) = {
+          val df = new org.apache.avro.generic.GenericData.Record(
+            entrySchema.getField("data_file").schema())
+          df.put("content", 0); df.put("file_path", path)
+          df.put("file_format", "PARQUET"); df.put("record_count", 1L)
+          val r = new org.apache.avro.generic.GenericData.Record(entrySchema)
+          r.put("status", 1); r.put("snapshot_id", snapId); r.put("data_file", df)
+          r
+        }
+        def listRec(mp: String, addedBy: Long) = {
+          val r = new org.apache.avro.generic.GenericData.Record(listSchema)
+          r.put("manifest_path", mp); r.put("manifest_length", 1024L)
+          r.put("added_snapshot_id", addedBy); r.put("content", 0)
+          r
+        }
+        def dataFiles(df: DataFrame, prefix: String): Seq[String] = {
+          val tmp = table + s"/.stage-$prefix"
+          df.coalesce(4).write.mode("overwrite").parquet(tmp)
+          val parts = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+          parts.zipWithIndex.map { case (p, i) =>
+            val rel = s"data/$prefix-$i.parquet"
+            val dst = new java.io.File(table, rel)
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.copy(p.toPath, dst.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            rel
+          }.toSeq
+        }
+        val base = dataFiles(o, "base")
+        val inc = dataFiles(
+          o.limit(50000).withColumn("o_orderkey", col("o_orderkey") + lit(9500000000L)), "inc")
+        avro(s"$table/metadata/m1.avro", entrySchema, base.map(entry(1L, _)))
+        avro(s"$table/metadata/m2.avro", entrySchema, inc.map(entry(2L, _)))
+        avro(s"$table/metadata/snap-1.avro", listSchema, Seq(listRec("metadata/m1.avro", 1L)))
+        avro(s"$table/metadata/snap-2.avro", listSchema,
+          Seq(listRec("metadata/m1.avro", 1L), listRec("metadata/m2.avro", 2L)))
+        val w = new java.io.PrintWriter(new java.io.File(s"$table/metadata", "v2.metadata.json"), "UTF-8")
+        try w.println(
+          s"""{"format-version":2,"table-uuid":"fx","location":"$table","current-snapshot-id":2,""" +
+            """"snapshots":[""" +
+            """{"snapshot-id":1,"timestamp-ms":1,"summary":{"operation":"append"},"manifest-list":"metadata/snap-1.avro"},""" +
+            """{"snapshot-id":2,"parent-snapshot-id":1,"timestamp-ms":2,"summary":{"operation":"append"},"manifest-list":"metadata/snap-2.avro"}]}""")
+        finally w.close()
+        val h = new java.io.PrintWriter(new java.io.File(s"$table/metadata", "version-hint.text"), "UTF-8")
+        try h.println("2") finally h.close()
+        table
+      }
+      val it01 = iceFixture(ord01, scaleScratch("ice-01"))
+      val it1 = iceFixture(ord1, scaleScratch("ice-1"))
+      rehearseUnit("q_iceberg_snapshot") {
+        noop(sources.IcebergTableReader.snapshot(spark, it01))
+      } { noop(sources.IcebergTableReader.snapshot(spark, it1)) }
+      rehearseUnit("q_iceberg_incremental") {
+        noop(sources.IcebergTableReader.incrementalSince(spark, it01, 1L))
+      } { noop(sources.IcebergTableReader.incrementalSince(spark, it1, 1L)) }
+    }
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
   }

@@ -802,6 +802,133 @@ trait ReferenceQueries extends QueryBase {
         |WHERE (o_orderkey % 3 = 0 AND o_orderkey % 10 = 0) OR o_orderkey % 3 = 2
         |GROUP BY o_orderpriority""".stripMargin))
 
+  // Iceberg fixture (#104): Avro manifests/manifest lists written
+  // with the same avro library real writers use + vN.metadata.json.
+
+  private lazy val iceListSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long","default":0},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+      |{"name":"content","type":"int","default":0}]}""".stripMargin)
+
+  private lazy val iceEntrySchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string","default":"PARQUET"},
+      |  {"name":"record_count","type":"long","default":0}]}}]}""".stripMargin)
+
+  private def iceWriteAvro(path: String, schema: org.apache.avro.Schema,
+      records: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, f)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  private def iceEntry(status: Int, snapId: Long, path: String): org.apache.avro.generic.GenericRecord = {
+    val df = new org.apache.avro.generic.GenericData.Record(
+      iceEntrySchema.getField("data_file").schema())
+    df.put("content", 0); df.put("file_path", path)
+    df.put("file_format", "PARQUET"); df.put("record_count", 1L)
+    val r = new org.apache.avro.generic.GenericData.Record(iceEntrySchema)
+    r.put("status", status); r.put("snapshot_id", snapId); r.put("data_file", df)
+    r
+  }
+
+  private def iceListRec(manifestPath: String, addedBy: Long): org.apache.avro.generic.GenericRecord = {
+    val r = new org.apache.avro.generic.GenericData.Record(iceListSchema)
+    r.put("manifest_path", manifestPath); r.put("manifest_length", 1024L)
+    r.put("added_snapshot_id", addedBy); r.put("content", 0)
+    r
+  }
+
+  /** Snapshot 1 appends the %3=0 and %3=1 slices of orders (manifest
+    * m1); snapshot 2 appends the %3=2 slice (manifest m2, list reuses
+    * m1 — the manifest-reuse shape real writers produce). Returns the
+    * table path.
+    */
+  private def buildIcebergFixture(s: SparkSession, dir: String, root: String): String = {
+    val table = root + "/t"
+    val o = t(s, dir, "orders")
+    def dataFile(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val tmp = table + "/.stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(table, rel)
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(new java.io.File(tmp))
+    }
+    dataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 0), "data/fa.parquet")
+    dataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), "data/fb.parquet")
+    dataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 2), "data/fc.parquet")
+    iceWriteAvro(s"$table/metadata/m1.avro", iceEntrySchema, Seq(
+      iceEntry(1, 1L, "data/fa.parquet"), iceEntry(1, 1L, "data/fb.parquet")))
+    iceWriteAvro(s"$table/metadata/m2.avro", iceEntrySchema,
+      Seq(iceEntry(1, 2L, "data/fc.parquet")))
+    iceWriteAvro(s"$table/metadata/snap-1.avro", iceListSchema,
+      Seq(iceListRec("metadata/m1.avro", 1L)))
+    iceWriteAvro(s"$table/metadata/snap-2.avro", iceListSchema, Seq(
+      iceListRec("metadata/m1.avro", 1L), iceListRec("metadata/m2.avro", 2L)))
+    val w = new java.io.PrintWriter(new java.io.File(s"$table/metadata", "v2.metadata.json"), "UTF-8")
+    try w.println(
+      s"""{"format-version":2,"table-uuid":"fixture","location":"$table","current-snapshot-id":2,""" +
+        """"snapshots":[""" +
+        """{"snapshot-id":1,"timestamp-ms":1700000000000,"summary":{"operation":"append"},"manifest-list":"metadata/snap-1.avro"},""" +
+        """{"snapshot-id":2,"parent-snapshot-id":1,"timestamp-ms":1700000001000,"summary":{"operation":"append"},"manifest-list":"metadata/snap-2.avro"}]}""")
+    finally w.close()
+    val h = new java.io.PrintWriter(new java.io.File(s"$table/metadata", "version-hint.text"), "UTF-8")
+    try h.println("2") finally h.close()
+    table
+  }
+
+  /** #104 External Iceberg table SNAPSHOT read
+    * ([[graft.sources.IcebergTableReader]]): version-hint → metadata
+    * JSON → the current snapshot's Avro manifest list → live data
+    * files, read as one distributed scan — the third leg of the
+    * existing-lakehouse-table interop surface (template.py:207-217).
+    */
+  val qIcebergSnapshot: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val table = buildIcebergFixture(s, dir, scratch("ice-snap"))
+      graft.sources.IcebergTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #104b External Iceberg table INCREMENTAL read: the parent chain
+    * from the checkpoint snapshot to the current one, appends only —
+    * manifests ADDED by in-range snapshots, status=added entries,
+    * tagged `_snapshot_id`; the reused m1 manifest is correctly
+    * excluded by its added_snapshot_id.
+    */
+  val qIcebergIncremental: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val table = buildIcebergFixture(s, dir, scratch("ice-inc"))
+      graft.sources.IcebergTableReader.incrementalSince(s, table, 1L)
+        .groupBy(col("_snapshot_id"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT CAST(2 AS BIGINT) AS _snapshot_id, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 3 = 2
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #102 External Delta table SNAPSHOT read: log replay (adds minus
     * removes across three commits — one of them a rewrite) resolves
     * the active file set, and the aggregate runs over exactly those

@@ -1,0 +1,248 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** READ-ONLY adapter for externally-written Apache Iceberg tables —
+  * the third leg of the "point the engine at an existing lakehouse
+  * table" interop surface (template.py:207-217's entry point, beside
+  * [[DeltaTableReader]] and [[HudiTableReader]]), implemented from
+  * the PUBLIC Iceberg table spec (iceberg.apache.org/spec):
+  *
+  *  - `metadata/version-hint.text` names the current
+  *    `vN.metadata.json`; the metadata JSON carries the snapshot log
+  *    (`snapshots`: id, parent, operation summary, manifest-list);
+  *  - a snapshot's MANIFEST LIST is a small Avro file of manifest
+  *    paths (+ `added_snapshot_id`, and in v2 a `content` field
+  *    separating data from delete manifests);
+  *  - each MANIFEST is an Avro file of entries: `status`
+  *    (1=added, 0=existing, 2=deleted) and a `data_file` struct
+  *    (`file_path`, and in v2 `content`: 0=data, 1=position deletes,
+  *    2=equality deletes).
+  *
+  * The snapshot is the union of live (status != deleted) data files
+  * across the current snapshot's manifests, read as ONE distributed
+  * parquet scan — identity-partition columns ride the data files in
+  * Iceberg, so nothing needs reconstruction. Manifest/metadata
+  * parsing is DRIVER-SIDE METADATA, bounded by manifest counts (the
+  * same shape Iceberg's own planner has; at 100 TB the manifest list
+  * is what makes planning O(manifests), not O(files-on-disk)).
+  *
+  * ROW-LEVEL DELETES (v2 position/equality delete files) are NOT
+  * applied by a plain file-scan reader — any delete manifest or
+  * delete-content file in the current snapshot REFUSES loudly rather
+  * than silently over-returning deleted rows. Incremental reads
+  * follow the snapshot log parent chain: appends-only between the
+  * checkpoint and the current snapshot surface exactly the files
+  * their snapshots ADDED (status=1, tagged `_snapshot_id`); an
+  * overwrite/delete/replace snapshot in the range refuses — the same
+  * append-scoped contract the Delta/Hudi adapters and graft's own
+  * IncrementalReader hold.
+  */
+object IcebergTableReader {
+
+  private val mapper = new ObjectMapper()
+
+  final case class SnapshotInfo(
+      id: Long,
+      parentId: Option[Long],
+      operation: String,
+      manifestList: String)
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Resolve the current metadata JSON: version-hint.text when
+    * present, else the highest-numbered `v*.metadata.json`.
+    */
+  private def currentMetadataPath(fs: FileSystem, tablePath: String): Path = {
+    val metaDir = new Path(tablePath, "metadata")
+    if (!fs.exists(metaDir)) throw new IllegalArgumentException(
+      s"$tablePath is not an Iceberg table: no metadata directory")
+    val hint = new Path(metaDir, "version-hint.text")
+    if (fs.exists(hint)) new Path(metaDir, s"v${readText(fs, hint).trim}.metadata.json")
+    else {
+      val candidates = fs.listStatus(metaDir).toIndexedSeq
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".metadata.json"))
+      if (candidates.isEmpty) throw new IllegalArgumentException(
+        s"$tablePath: no *.metadata.json under metadata/")
+      new Path(metaDir, candidates.max) // vN sorts; uuid forms sort too
+    }
+  }
+
+  /** The snapshot log from the current metadata JSON, oldest first,
+    * plus the current snapshot id.
+    */
+  def snapshotLog(spark: SparkSession, tablePath: String): (Seq[SnapshotInfo], Long) = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
+    val currentId = Option(meta.get("current-snapshot-id")).map(_.asLong()).getOrElse(
+      throw new IllegalArgumentException(s"$tablePath: metadata has no current-snapshot-id"))
+    if (currentId < 0) throw new IllegalArgumentException(
+      s"$tablePath: table has no current snapshot (empty table)")
+    val snaps = Seq.newBuilder[SnapshotInfo]
+    val arr = meta.get("snapshots")
+    if (arr != null && arr.isArray) arr.forEach { s =>
+      snaps += SnapshotInfo(
+        id = s.get("snapshot-id").asLong(),
+        parentId = Option(s.get("parent-snapshot-id")).map(_.asLong()),
+        operation = Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+          .map(_.asText()).getOrElse("append"),
+        manifestList = s.get("manifest-list").asText())
+    }
+    (snaps.result(), currentId)
+  }
+
+  private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
+    val p = new Path(path)
+    val in = new FsInput(p, spark.sparkContext.hadoopConfiguration)
+    val reader = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try {
+      val b = Seq.newBuilder[GenericRecord]
+      while (reader.hasNext) b += reader.next()
+      b.result()
+    } finally reader.close()
+  }
+
+  private def fieldLong(r: GenericRecord, name: String): Option[Long] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map(_.asInstanceOf[Number].longValue())
+
+  private def fieldInt(r: GenericRecord, name: String, default: Int): Int =
+    if (r.getSchema.getField(name) == null) default
+    else Option(r.get(name)).map(_.asInstanceOf[Number].intValue()).getOrElse(default)
+
+  /** One manifest entry's (status, addedSnapshotId-if-any, filePath,
+    * fileContent).
+    */
+  final case class ManifestEntry(status: Int, snapshotId: Option[Long],
+      filePath: String, content: Int)
+
+  private def manifestEntries(spark: SparkSession, manifestPath: String): Seq[ManifestEntry] =
+    readAvro(spark, manifestPath).map { r =>
+      val df = r.get("data_file").asInstanceOf[GenericRecord]
+      ManifestEntry(
+        status = fieldInt(r, "status", 1),
+        snapshotId = fieldLong(r, "snapshot_id"),
+        filePath = df.get("file_path").toString,
+        content = fieldInt(df, "content", 0))
+    }
+
+  /** (manifestPath, addedSnapshotId, manifestContent) rows of a
+    * snapshot's manifest list. v1 lists carry no content field (all
+    * data manifests).
+    */
+  private def manifestsOf(spark: SparkSession, manifestList: String): Seq[(String, Option[Long], Int)] =
+    readAvro(spark, manifestList).map { r =>
+      (r.get("manifest_path").toString,
+        fieldLong(r, "added_snapshot_id"),
+        fieldInt(r, "content", 0))
+    }
+
+  private def currentSnapshot(spark: SparkSession, tablePath: String): SnapshotInfo = {
+    val (snaps, currentId) = snapshotLog(spark, tablePath)
+    snaps.find(_.id == currentId).getOrElse(throw new IllegalArgumentException(
+      s"$tablePath: current-snapshot-id $currentId not in the snapshot list"))
+  }
+
+  /** Live data files of the current snapshot. Refuses on any delete
+    * manifest / delete-content file (row-level deletes need merge
+    * semantics a plain scan cannot honor).
+    */
+  def activeFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+    val snap = currentSnapshot(spark, tablePath)
+    val manifests = manifestsOf(spark, resolve(tablePath, snap.manifestList))
+    manifests.flatMap { case (mpath, _, mcontent) =>
+      if (mcontent != 0) throw new IllegalStateException(
+        s"$tablePath: snapshot ${snap.id} carries a DELETE manifest ($mpath) — " +
+          "row-level deletes need merge-on-read semantics; a plain scan would " +
+          "silently return deleted rows")
+      manifestEntries(spark, resolve(tablePath, mpath)).flatMap { e =>
+        if (e.content != 0) throw new IllegalStateException(
+          s"$tablePath: delete-content file ${e.filePath} in snapshot ${snap.id} — refusing")
+        if (e.status == 2) None else Some(e.filePath) // 2 = deleted entry
+      }
+    }.distinct
+  }
+
+  private def resolve(tablePath: String, p: String): String =
+    if (p.contains("://") || p.startsWith("/")) p else s"$tablePath/$p"
+
+  /** Snapshot read: one distributed parquet scan of the current
+    * snapshot's live data files.
+    */
+  def snapshot(spark: SparkSession, tablePath: String): DataFrame = {
+    val files = activeFiles(spark, tablePath)
+    if (files.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: current snapshot has no live data files")
+    spark.read.parquet(files.map(resolve(tablePath, _)): _*)
+  }
+
+  /** Incremental read: rows ADDED by snapshots after `sinceSnapshotId`
+    * on the current snapshot's parent chain, tagged `_snapshot_id`.
+    * Every snapshot in the range must be an APPEND — overwrite /
+    * delete / replace operations refuse loudly. A checkpoint id not
+    * on the chain refuses too (the table was rewritten under the
+    * consumer).
+    */
+  def incrementalSince(spark: SparkSession, tablePath: String, sinceSnapshotId: Long): DataFrame = {
+    val (snaps, currentId) = snapshotLog(spark, tablePath)
+    val byId = snaps.map(s => s.id -> s).toMap
+    // walk the parent chain current -> since
+    val chain = Seq.newBuilder[SnapshotInfo]
+    var cursor: Option[Long] = Some(currentId)
+    var found = false
+    while (cursor.isDefined && !found) {
+      if (cursor.get == sinceSnapshotId) found = true
+      else {
+        val s = byId.getOrElse(cursor.get, throw new IllegalArgumentException(
+          s"$tablePath: snapshot ${cursor.get} missing from the log"))
+        chain += s
+        cursor = s.parentId
+      }
+    }
+    if (!found) throw new IllegalArgumentException(
+      s"$tablePath: snapshot $sinceSnapshotId is not an ancestor of the current " +
+        s"snapshot $currentId — the table history was rewritten; re-bootstrap the consumer")
+    val range = chain.result()
+    if (range.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: no snapshots after $sinceSnapshotId (current: $currentId)")
+    range.find(_.operation != "append").foreach { s =>
+      throw new IllegalStateException(
+        s"$tablePath: snapshot ${s.id} is '${s.operation}', not an append — " +
+          "an append-scoped incremental read cannot represent it (read the snapshot instead)")
+    }
+    val rangeIds = range.map(_.id).toSet
+    // added files per snapshot: each snapshot's manifest list, manifests
+    // added BY that snapshot, entries with status=added
+    val perSnapshot = range.sortBy(_.id).map { s =>
+      val added = manifestsOf(spark, resolve(tablePath, s.manifestList))
+        .filter { case (_, addedBy, _) => addedBy.contains(s.id) }
+        .flatMap { case (mpath, _, mcontent) =>
+          if (mcontent != 0) throw new IllegalStateException(
+            s"$tablePath: delete manifest in append snapshot ${s.id} — refusing")
+          manifestEntries(spark, resolve(tablePath, mpath))
+            .filter(e => e.status == 1 && e.snapshotId.forall(rangeIds.contains))
+            .map(_.filePath)
+        }.distinct
+      (s.id, added)
+    }.filter(_._2.nonEmpty)
+    if (perSnapshot.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: snapshots after $sinceSnapshotId added no data files")
+    perSnapshot.map { case (id, files) =>
+      spark.read.parquet(files.map(resolve(tablePath, _)): _*)
+        .withColumn("_snapshot_id", lit(id))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,177 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixture tables reproduce the external writer's on-disk Iceberg
+  * layout (iceberg.apache.org/spec): parquet data files, Avro
+  * manifests and manifest lists (written with the same avro library
+  * real writers use), `vN.metadata.json` + `version-hint.text`. The
+  * reader extracts fields BY NAME from whatever record schema the
+  * writer used, so real manifests with their many extra columns read
+  * the same way these minimal ones do.
+  */
+class IcebergTableReaderSpec extends SparkSpec {
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long","default":0},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+      |{"name":"content","type":"int","default":0}]}""".stripMargin)
+
+  private val manifestEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string","default":"PARQUET"},
+      |  {"name":"record_count","type":"long","default":0}]}}]}""".stripMargin)
+
+  private def writeAvro(path: String, schema: Schema, records: Seq[GenericRecord]): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  private def manifestRec(status: Int, snapshotId: Long, filePath: String,
+      content: Int = 0): GenericRecord = {
+    val df = new GenericData.Record(manifestEntrySchema.getField("data_file").schema())
+    df.put("content", content)
+    df.put("file_path", filePath)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", 1L)
+    val r = new GenericData.Record(manifestEntrySchema)
+    r.put("status", status)
+    r.put("snapshot_id", snapshotId)
+    r.put("data_file", df)
+    r
+  }
+
+  private def listRec(manifestPath: String, addedBy: Long, content: Int = 0): GenericRecord = {
+    val r = new GenericData.Record(manifestListSchema)
+    r.put("manifest_path", manifestPath)
+    r.put("manifest_length", 1024L)
+    r.put("added_snapshot_id", addedBy)
+    r.put("content", content)
+    r
+  }
+
+  private def writeDataFile(df: DataFrame, table: String, relPath: String): Unit = {
+    val tmp = tmpDir("ice-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val src = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(table, relPath)
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.copy(src.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def writeMetadata(table: String, version: Int, currentId: Long,
+      snaps: Seq[(Long, Option[Long], String, String)]): Unit = { // (id, parent, op, list)
+    val dir = new java.io.File(table, "metadata"); dir.mkdirs()
+    val snapJson = snaps.map { case (id, parent, op, list) =>
+      val p = parent.map(v => s""""parent-snapshot-id":$v,""").getOrElse("")
+      s"""{"snapshot-id":$id,$p"timestamp-ms":1700000000000,""" +
+        s""""summary":{"operation":"$op"},"manifest-list":"$list"}"""
+    }.mkString(",")
+    val w = new java.io.PrintWriter(new java.io.File(dir, s"v$version.metadata.json"), "UTF-8")
+    try w.println(
+      s"""{"format-version":2,"table-uuid":"fixture","location":"$table",""" +
+        s""""current-snapshot-id":$currentId,"snapshots":[$snapJson]}""")
+    finally w.close()
+    val h = new java.io.PrintWriter(new java.io.File(dir, "version-hint.text"), "UTF-8")
+    try h.println(version.toString) finally h.close()
+  }
+
+  private def rows(r: Range) = {
+    val s = spark
+    import s.implicits._
+    r.map(i => (i.toLong, s"g${i % 3}", i * 2L)).toDF("id", "grp", "v")
+  }
+
+  test("snapshot reads the current snapshot's live files; incremental walks the parent chain") {
+    val table = tmpDir("ice-basic")
+    // snapshot 1: fileA + fileB via manifest m1
+    writeDataFile(rows(1 to 100), table, "data/fileA.parquet")
+    writeDataFile(rows(101 to 160), table, "data/fileB.parquet")
+    writeAvro(s"$table/metadata/m1.avro", manifestEntrySchema, Seq(
+      manifestRec(1, 1L, "data/fileA.parquet"),
+      manifestRec(1, 1L, "data/fileB.parquet")))
+    writeAvro(s"$table/metadata/snap-1.avro", manifestListSchema,
+      Seq(listRec("metadata/m1.avro", 1L)))
+    // snapshot 2 (append): reuses m1, adds m2 with fileC
+    writeDataFile(rows(161 to 200), table, "data/fileC.parquet")
+    writeAvro(s"$table/metadata/m2.avro", manifestEntrySchema,
+      Seq(manifestRec(1, 2L, "data/fileC.parquet")))
+    writeAvro(s"$table/metadata/snap-2.avro", manifestListSchema, Seq(
+      listRec("metadata/m1.avro", 1L), listRec("metadata/m2.avro", 2L)))
+    writeMetadata(table, 2, 2L, Seq(
+      (1L, None, "append", "metadata/snap-1.avro"),
+      (2L, Some(1L), "append", "metadata/snap-2.avro")))
+
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.count() == 200L)
+    val inc = IcebergTableReader.incrementalSince(spark, table, 1L)
+    assert(inc.count() == 40L)
+    assert(inc.select("_snapshot_id").distinct().head().getLong(0) == 2L)
+    assert(inc.agg(min("id"), max("id")).head().toSeq == Seq(161L, 200L))
+    // checkpoint not on the chain refuses
+    val e = intercept[IllegalArgumentException](
+      IcebergTableReader.incrementalSince(spark, table, 999L))
+    assert(e.getMessage.contains("not an ancestor"))
+  }
+
+  test("compaction (deleted entries in a replace snapshot) serves the snapshot; incremental refuses over it") {
+    val table = tmpDir("ice-replace")
+    writeDataFile(rows(1 to 80), table, "data/f1.parquet")
+    writeDataFile(rows(81 to 120), table, "data/f2.parquet")
+    writeAvro(s"$table/metadata/m1.avro", manifestEntrySchema, Seq(
+      manifestRec(1, 1L, "data/f1.parquet"), manifestRec(1, 1L, "data/f2.parquet")))
+    writeAvro(s"$table/metadata/snap-1.avro", manifestListSchema,
+      Seq(listRec("metadata/m1.avro", 1L)))
+    // snapshot 2 = replace (compaction): f1+f2 rewritten into fc
+    writeDataFile(rows(1 to 120), table, "data/fc.parquet")
+    writeAvro(s"$table/metadata/m2.avro", manifestEntrySchema, Seq(
+      manifestRec(2, 2L, "data/f1.parquet"), // status 2 = deleted
+      manifestRec(2, 2L, "data/f2.parquet"),
+      manifestRec(1, 2L, "data/fc.parquet")))
+    writeAvro(s"$table/metadata/snap-2.avro", manifestListSchema,
+      Seq(listRec("metadata/m2.avro", 2L)))
+    writeMetadata(table, 2, 2L, Seq(
+      (1L, None, "append", "metadata/snap-1.avro"),
+      (2L, Some(1L), "replace", "metadata/snap-2.avro")))
+    assert(IcebergTableReader.snapshot(spark, table).count() == 120L,
+      "deleted entries must drop; the rewritten file serves the snapshot")
+    val e = intercept[IllegalStateException](
+      IcebergTableReader.incrementalSince(spark, table, 1L))
+    assert(e.getMessage.contains("not an append"))
+  }
+
+  test("row-level delete files refuse loudly; not-a-table refuses") {
+    val table = tmpDir("ice-dv")
+    writeDataFile(rows(1 to 50), table, "data/f1.parquet")
+    writeAvro(s"$table/metadata/m1.avro", manifestEntrySchema,
+      Seq(manifestRec(1, 1L, "data/f1.parquet")))
+    // a position-delete manifest (content=1 in the manifest list)
+    writeAvro(s"$table/metadata/md.avro", manifestEntrySchema,
+      Seq(manifestRec(1, 2L, "data/del1.parquet", content = 1)))
+    writeAvro(s"$table/metadata/snap-2.avro", manifestListSchema, Seq(
+      listRec("metadata/m1.avro", 1L), listRec("metadata/md.avro", 2L, content = 1)))
+    writeMetadata(table, 2, 2L, Seq((2L, None, "delete", "metadata/snap-2.avro")))
+    val e = intercept[IllegalStateException](IcebergTableReader.snapshot(spark, table))
+    assert(e.getMessage.contains("DELETE manifest"),
+      s"row-level deletes must refuse, got: ${e.getMessage}")
+    val notTable = tmpDir("ice-none")
+    val e2 = intercept[IllegalArgumentException](IcebergTableReader.snapshot(spark, notTable))
+    assert(e2.getMessage.contains("metadata"))
+  }
+}
