@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The format-agnostic entry point: `TableLoader.open(path)` detects
+  * each layout from its own on-disk markers and snapshot-reads it
+  * through the matching adapter — "point the engine at an existing
+  * table" with nothing but a path.
+  */
+class TableLoaderOpenSpec extends SparkSpec {
+
+  private def rows(r: Range) = {
+    val s = spark
+    import s.implicits._
+    r.map(i => (i.toLong, i * 2L)).toDF("id", "v")
+  }
+
+  test("detectFormat + open dispatch: graft, delta, hudi, plain; incremental contracts hold") {
+    // graft versioned
+    val g = tmpDir("open-graft")
+    UpsertWriter.upsert(rows(1 to 40).withColumn("ver", lit(1L)), g, Seq("id"), "ver")
+    assert(TableLoader.detectFormat(spark, g) == TableLoader.GraftVersioned)
+    assert(TableLoader.open(spark, g).count() == 40L)
+    val eg = intercept[IllegalArgumentException](TableLoader.openIncremental(spark, g, "1"))
+    assert(eg.getMessage.contains("key-aware"))
+
+    // delta layout (external-writer fixture shape)
+    val d = tmpDir("open-delta")
+    val tmp = tmpDir("open-delta-stage")
+    rows(1 to 30).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, new java.io.File(d, "p0.parquet").toPath)
+    new java.io.File(d, "_delta_log").mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(s"$d/_delta_log", f"${0L}%020d.json"), "UTF-8")
+    try {
+      w.println("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      w.println("""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{},"createdTime":0}}""")
+      w.println("""{"add":{"path":"p0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    } finally w.close()
+    assert(TableLoader.detectFormat(spark, d) == TableLoader.DeltaFormat)
+    assert(TableLoader.open(spark, d).count() == 30L)
+
+    // hudi layout
+    val h = tmpDir("open-hudi")
+    java.nio.file.Files.copy(part.toPath, new java.io.File(h, "g1_0-0-0_20240101090000.parquet").toPath)
+    new java.io.File(h, ".hoodie").mkdirs()
+    val hw = new java.io.PrintWriter(new java.io.File(s"$h/.hoodie", "20240101090000.commit"), "UTF-8")
+    try hw.println("""{"partitionToWriteStats":{"":[{"fileId":"g1","path":"g1_0-0-0_20240101090000.parquet","numWrites":1,"numUpdateWrites":0,"totalWriteBytes":1,"prevCommit":"null"}]},"operationType":"UPSERT"}""")
+    finally hw.close()
+    assert(TableLoader.detectFormat(spark, h) == TableLoader.HudiFormat)
+    assert(TableLoader.open(spark, h).count() == 30L)
+
+    // plain parquet
+    val p = tmpDir("open-plain")
+    rows(1 to 25).write.mode("overwrite").parquet(p)
+    assert(TableLoader.detectFormat(spark, p) == TableLoader.PlainParquet)
+    assert(TableLoader.open(spark, p).count() == 25L)
+    val ep = intercept[IllegalArgumentException](TableLoader.openIncremental(spark, p, "0"))
+    assert(ep.getMessage.contains("no commit log"))
+  }
+}
