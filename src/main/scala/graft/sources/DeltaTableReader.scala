@@ -96,6 +96,43 @@ object DeltaTableReader {
     partitionValues = partValuesOf(node),
     dataChange = Option(node.get("dataChange")).forall(_.asBoolean(true)))
 
+  /** Features a plain file-scan reader CANNOT honor silently:
+    * deletion vectors mask rows inside files (scanning the file
+    * over-returns deleted rows) and column mapping renames physical
+    * parquet columns (scanning returns the wrong schema). Real tables
+    * advertise them in the protocol's readerFeatures and per-add
+    * `deletionVector` fields — refuse LOUDLY on any of them.
+    */
+  private def refuseUnsupported(node: JsonNode, tablePath: String): Unit = {
+    if (node.has("add")) {
+      val dv = node.get("add").get("deletionVector")
+      if (dv != null && !dv.isNull) throw new IllegalStateException(
+        s"$tablePath: add action carries a deletion vector — a plain scan would " +
+          "silently return deleted rows; this reader refuses DV tables")
+    }
+    if (node.has("protocol")) {
+      val rf = node.get("protocol").get("readerFeatures")
+      if (rf != null && rf.isArray) {
+        val feats = scala.collection.mutable.Set.empty[String]
+        rf.forEach(f => feats += f.asText())
+        val unsupported = feats.intersect(Set("deletionVectors", "columnMapping"))
+        if (unsupported.nonEmpty) throw new IllegalStateException(
+          s"$tablePath: protocol requires reader features ${unsupported.mkString(", ")} — " +
+            "a plain parquet scan cannot honor them; this reader refuses")
+      }
+    }
+    if (node.has("metaData")) {
+      val conf = node.get("metaData").get("configuration")
+      if (conf != null && conf.isObject) {
+        val mode = Option(conf.get("delta.columnMapping.mode")).map(_.asText())
+        if (mode.exists(m => m != "none")) throw new IllegalStateException(
+          s"$tablePath: delta.columnMapping.mode=${mode.get} — physical parquet column " +
+            "names differ from the table schema; a plain scan would return the wrong " +
+            "columns; this reader refuses")
+      }
+    }
+  }
+
   /** Committed log versions present as JSON files, ascending. */
   def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
     val dir = logDir(tablePath)
@@ -155,6 +192,7 @@ object DeltaTableReader {
       latest = v
       readText(fs, new Path(dir, f"$v%020d.json")).split('\n').filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
+        refuseUnsupported(node, tablePath)
         if (node.has("add")) {
           val a = fileActionOf(node.get("add"))
           active(a.path) = a
@@ -251,6 +289,7 @@ object DeltaTableReader {
     vs.foreach { v =>
       readText(fs, new Path(dir, f"$v%020d.json")).split('\n').filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
+        refuseUnsupported(node, tablePath)
         if (node.has("remove") &&
             Option(node.get("remove").get("dataChange")).forall(_.asBoolean(true)))
           throw new IllegalStateException(

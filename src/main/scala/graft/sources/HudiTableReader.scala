@@ -60,10 +60,11 @@ object HudiTableReader {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
-  /** Completed commit instants, ascending (Hudi instant times are
-    * lexicographically ordered timestamps). Refuses MOR timelines.
+  /** Completed instants, ascending (Hudi instant times are
+    * lexicographically ordered timestamps): ordinary `commit`s and
+    * clustering `replacecommit`s, tagged. Refuses MOR timelines.
     */
-  def commits(spark: SparkSession, tablePath: String): Seq[String] = {
+  def instants(spark: SparkSession, tablePath: String): Seq[(String, String)] = {
     val dir = hoodieDir(tablePath)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) throw new IllegalArgumentException(
@@ -73,14 +74,23 @@ object HudiTableReader {
       throw new IllegalStateException(
         s"$tablePath has deltacommit instants — a MERGE-ON-READ table; this COW reader " +
           "cannot merge log files (a read-optimized scan would silently miss updates)")
-    names.filter(n => n.endsWith(".commit") && !n.contains(".requested") &&
-        !n.contains(".inflight"))
-      .map(_.stripSuffix(".commit")).sorted
+    val live = names.filter(n => !n.contains(".requested") && !n.contains(".inflight"))
+    (live.filter(_.endsWith(".commit")).map(n => (n.stripSuffix(".commit"), "commit")) ++
+      live.filter(_.endsWith(".replacecommit"))
+        .map(n => (n.stripSuffix(".replacecommit"), "replacecommit")))
+      .sortBy(_._1)
   }
 
-  /** Every file-group write of one completed commit. */
-  private def writesOf(fs: FileSystem, tablePath: String, instant: String): Seq[SliceWrite] = {
-    val node = mapper.readTree(readText(fs, new Path(hoodieDir(tablePath), s"$instant.commit")))
+  /** Completed ordinary-commit instants, ascending. */
+  def commits(spark: SparkSession, tablePath: String): Seq[String] =
+    instants(spark, tablePath).filter(_._2 == "commit").map(_._1)
+
+  /** Every file-group write of one completed instant (`.commit` or
+    * `.replacecommit` meta file, per `kind`).
+    */
+  private def writesOf(fs: FileSystem, tablePath: String, instant: String,
+      kind: String = "commit"): Seq[SliceWrite] = {
+    val node = mapper.readTree(readText(fs, new Path(hoodieDir(tablePath), s"$instant.$kind")))
     val stats = node.get("partitionToWriteStats")
     if (stats == null || !stats.isObject) Nil
     else {
@@ -94,14 +104,33 @@ object HudiTableReader {
     }
   }
 
-  /** The latest file slice per file group at the latest commit —
-    * the COW snapshot's file set.
+  /** File-group ids a replacecommit REPLACED (clustering input groups
+    * — they stop existing at that instant).
+    */
+  private def replacedIdsOf(fs: FileSystem, tablePath: String, instant: String): Set[String] = {
+    val node = mapper.readTree(
+      readText(fs, new Path(hoodieDir(tablePath), s"$instant.replacecommit")))
+    val rep = node.get("partitionToReplaceFileIds")
+    if (rep == null || !rep.isObject) Set.empty
+    else {
+      val b = Set.newBuilder[String]
+      rep.fields().forEachRemaining(e => e.getValue.forEach(id => b += id.asText()))
+      b.result()
+    }
+  }
+
+  /** The latest file slice per LIVE file group at the latest instant —
+    * the COW snapshot's file set. Replay in instant order: an ordinary
+    * commit repoints its groups' slices; a clustering replacecommit
+    * DROPS the replaced groups and adds the clustered ones (reading
+    * both would double every clustered row).
     */
   def activeSlices(spark: SparkSession, tablePath: String): Seq[SliceWrite] = {
     val fs = fsOf(spark, hoodieDir(tablePath))
     val latest = scala.collection.mutable.LinkedHashMap.empty[String, SliceWrite]
-    commits(spark, tablePath).foreach { instant =>
-      writesOf(fs, tablePath, instant).foreach(w => latest(w.fileId) = w)
+    instants(spark, tablePath).foreach { case (instant, kind) =>
+      if (kind == "replacecommit") replacedIdsOf(fs, tablePath, instant).foreach(latest.remove)
+      writesOf(fs, tablePath, instant, kind).foreach(w => latest(w.fileId) = w)
     }
     if (latest.isEmpty) throw new IllegalArgumentException(
       s"$tablePath: no completed commits in .hoodie")
@@ -129,8 +158,21 @@ object HudiTableReader {
     val newer = all.filter(_ > sinceInstant)
     if (newer.isEmpty) throw new IllegalArgumentException(
       s"$tablePath: no commits after $sinceInstant (latest: ${all.lastOption.getOrElse("none")})")
-    val touched = newer.flatMap(i => writesOf(fs, tablePath, i).map(_.fileId)).toSet
-    val slices = activeSlices(spark, tablePath).filter(s => touched.contains(s.fileId))
+    // a clustering replacecommit after the checkpoint REWIRES file
+    // groups (touched ids may no longer exist — their rows moved into
+    // clustered groups with their stamps preserved), so the per-group
+    // pruning can't be trusted across it: scan all active slices and
+    // let the stamp filter isolate the pulled rows — correct, just
+    // less pruned, and Hudi's own incremental reader does the same
+    val clusteredAfter = instants(spark, tablePath)
+      .exists(i => i._2 == "replacecommit" && i._1 > sinceInstant)
+    val active = activeSlices(spark, tablePath)
+    val slices =
+      if (clusteredAfter) active
+      else {
+        val touched = newer.flatMap(i => writesOf(fs, tablePath, i).map(_.fileId)).toSet
+        active.filter(s => touched.contains(s.fileId))
+      }
     readPaths(spark, tablePath, slices)
       .filter(col("_hoodie_commit_time") > lit(sinceInstant))
   }

@@ -162,6 +162,35 @@ class DeltaTableReaderSpec extends SparkSpec {
     assert(inc.count() == 30L)
   }
 
+  test("deletion vectors, DV/column-mapping reader features, and column-mapping mode refuse loudly") {
+    // per-add deletion vector
+    val t1 = tmpDir("delta-dv")
+    writeDataFile(rows(1 to 20), t1, "f.parquet")
+    writeCommit(t1, 0L, Seq(protocol, meta(Nil, schemaJson),
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0,""" +
+        """"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":8,"cardinality":2}}}"""))
+    val e1 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t1))
+    assert(e1.getMessage.contains("deletion vector"))
+    // protocol readerFeatures
+    val t2 = tmpDir("delta-feat")
+    writeDataFile(rows(1 to 20), t2, "f.parquet")
+    writeCommit(t2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      meta(Nil, schemaJson), add("f.parquet")))
+    val e2 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
+    assert(e2.getMessage.contains("reader features"))
+    // column mapping mode in table configuration
+    val t3 = tmpDir("delta-cmap")
+    writeDataFile(rows(1 to 20), t3, "f.parquet")
+    writeCommit(t3, 0L, Seq(protocol,
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
+      add("f.parquet")))
+    val e3 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t3))
+    assert(e3.getMessage.contains("columnMapping"))
+  }
+
   test("not-a-delta-table and empty-log refuse loudly") {
     val notTable = tmpDir("delta-none")
     val e = intercept[IllegalArgumentException](DeltaTableReader.snapshot(spark, notTable))

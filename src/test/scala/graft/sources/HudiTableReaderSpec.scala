@@ -106,6 +106,38 @@ class HudiTableReaderSpec extends SparkSpec {
     assert(e2.getMessage.contains(".hoodie"))
   }
 
+  test("clustering replacecommit: replaced groups vanish, clustered files serve; incremental stays exact across it") {
+    val table = tmpDir("hudi-cluster")
+    val s = spark
+    import s.implicits._
+    // c1: two small groups
+    writeBaseFile(rows(1 to 40, "20240101090000"), table, "g1_0-0-0_20240101090000.parquet")
+    writeBaseFile(rows(41 to 80, "20240101090000"), table, "g2_0-0-0_20240101090000.parquet")
+    writeCommit(table, "20240101090000", Seq(
+      ("", "g1", "g1_0-0-0_20240101090000.parquet"),
+      ("", "g2", "g2_0-0-0_20240101090000.parquet")))
+    // c2: ordinary commit inserts g3
+    writeBaseFile(rows(81 to 100, "20240102090000"), table, "g3_0-0-0_20240102090000.parquet")
+    writeCommit(table, "20240102090000", Seq(("", "g3", "g3_0-0-0_20240102090000.parquet")))
+    // c3: clustering replacecommit — g1+g2 rewritten into gc, STAMPS PRESERVED
+    writeBaseFile(rows(1 to 80, "20240101090000"), table, "gc_0-0-0_20240103090000.parquet")
+    val dir = new java.io.File(table, ".hoodie")
+    val w = new java.io.PrintWriter(new java.io.File(dir, "20240103090000.replacecommit"), "UTF-8")
+    try w.println(
+      """{"partitionToWriteStats":{"":[{"fileId":"gc","path":"gc_0-0-0_20240103090000.parquet","numWrites":80,"numUpdateWrites":0,"totalWriteBytes":1,"prevCommit":"null"}]},""" +
+        """"partitionToReplaceFileIds":{"":["g1","g2"]},"operationType":"CLUSTER"}""")
+    finally w.close()
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 100L,
+      "clustered inputs must vanish or every clustered row doubles")
+    // incremental since c1 crosses the replacecommit: per-group pruning
+    // is rewired, so the stamp filter over all active slices must still
+    // surface EXACTLY c2's rows (clustering preserves stamps)
+    val inc = HudiTableReader.incrementalSince(spark, table, "20240101090000")
+    assert(inc.count() == 20L)
+    assert(inc.agg(min("id"), max("id")).head().toSeq == Seq(81L, 100L))
+  }
+
   test("partitioned layout: commit paths under partition dirs resolve; schema rides the data files") {
     val table = tmpDir("hudi-part")
     val s = spark
