@@ -72,4 +72,50 @@ class MvRewritePropertySpec extends SparkSpec {
       }
     } finally MaterializedViews.deregister(base)
   }
+
+  test("property: CDC fold == full rebuild over random transitions (null keys, extreme hits, group death)") {
+    val s = spark
+    import s.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(seed * 104729L)
+      val base = tmpDir(s"mvp-cdc-$seed-base")
+      val mv = tmpDir(s"mvp-cdc-$seed-view")
+      val nGroups = 2 + rnd.nextInt(5)
+      val n = 200 + rnd.nextInt(400)
+      val rows0 = (1 to n).map { i =>
+        (i.toLong,
+          if (i % (3 + rnd.nextInt(4)) == 0) null else s"g${i % nGroups}",
+          (rnd.nextInt(1000) - 200).toLong)
+      }
+      rows0.toDF("id", "g1", "v").repartition(3).write.mode("overwrite").parquet(base)
+      try {
+        val d = MaterializedViews.define(spark, base, Seq("g1"), Seq("v"), mv)
+        val old = rows0.toDF("id", "g1", "v")
+        // random transition: delete a random residue class, bump a
+        // random residue class by a random delta (hits extremes with
+        // positive probability), insert a few rows incl. null-keyed
+        val delMod = 2 + rnd.nextInt(8)
+        val updMod = 2 + rnd.nextInt(6)
+        val bump = (rnd.nextInt(2000) - 1000).toLong
+        val inserts = (1 to 1 + rnd.nextInt(5)).map(j =>
+          (100000L + j, if (j % 2 == 0) null else s"g${rnd.nextInt(nGroups)}",
+            (rnd.nextInt(3000) - 1500).toLong))
+        val next = old.filter(col("id") % delMod =!= 0)
+          .withColumn("v", when(col("id") % updMod === 1, col("v") + bump).otherwise(col("v")))
+          .unionByName(inserts.toDF("id", "g1", "v"))
+        val feed = graft.operators.SnapshotDiff.changeFeed(old, next, keys = Seq("id"))
+        next.repartition(3).write.mode("overwrite").parquet(base)
+        val folded = MaterializedViews.refreshFromChanges(spark, d, feed,
+          maxPruneKeys = if (rnd.nextBoolean()) 1000 else 1) // exercise BOTH recompute lanes
+        val foldedRows = spark.read.parquet(folded.dataDir)
+        MaterializedViews.deregister(base)
+        val rebuilt = MaterializedViews.define(spark, base, Seq("g1"), Seq("v"), mv + "2")
+        val directRows = spark.read.parquet(rebuilt.dataDir)
+        assert(foldedRows.exceptAll(directRows).isEmpty && directRows.exceptAll(foldedRows).isEmpty,
+          s"seed=$seed delMod=$delMod updMod=$updMod bump=$bump: CDC fold diverged from rebuild:\n" +
+            foldedRows.orderBy("g1").collect().mkString("\n") + "\nvs\n" +
+            directRows.orderBy("g1").collect().mkString("\n"))
+      } finally MaterializedViews.deregister(base)
+    }
+  }
 }
