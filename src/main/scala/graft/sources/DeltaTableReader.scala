@@ -162,8 +162,20 @@ object DeltaTableReader {
     var schemaJson: Option[String] = None
 
     ckptVersion.foreach { v =>
-      val ckpt = new Path(dir, f"$v%020d.checkpoint.parquet")
-      val rows = spark.read.parquet(ckpt.toString)
+      // single-file checkpoints are `<v>.checkpoint.parquet`; large
+      // tables write MULTI-PART `<v>.checkpoint.<i>.<n>.parquet` —
+      // all parts together are the checkpoint, read as one scan
+      val single = new Path(dir, f"$v%020d.checkpoint.parquet")
+      val ckptFiles: Seq[String] =
+        if (fs.exists(single)) Seq(single.toString)
+        else fs.listStatus(dir).toIndexedSeq
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith(f"$v%020d.checkpoint.") &&
+            p.getName.endsWith(".parquet"))
+          .map(_.toString)
+      if (ckptFiles.isEmpty) throw new IllegalStateException(
+        s"$tablePath: _last_checkpoint names version $v but no checkpoint parquet exists")
+      val rows = spark.read.parquet(ckptFiles: _*)
       val cols = rows.columns.toSet
       if (cols.contains("metaData")) {
         rows.select("metaData").where(col("metaData").isNotNull).collect().foreach { r =>

@@ -74,6 +74,16 @@ object HudiTableReader {
       throw new IllegalStateException(
         s"$tablePath has deltacommit instants — a MERGE-ON-READ table; this COW reader " +
           "cannot merge log files (a read-optimized scan would silently miss updates)")
+    // hoodie.properties declares the table type up front — a MOR table
+    // with no deltacommits YET would otherwise slip through and start
+    // silently missing updates on its first delta write
+    val props = new Path(dir, "hoodie.properties")
+    if (fs.exists(props) &&
+        readText(fs, props).linesIterator.exists(l =>
+          l.replace(" ", "").startsWith("hoodie.table.type=MERGE_ON_READ")))
+      throw new IllegalStateException(
+        s"$tablePath declares hoodie.table.type=MERGE_ON_READ — this COW reader refuses " +
+          "(log files would be silently ignored); use the MOR machinery instead")
     val live = names.filter(n => !n.contains(".requested") && !n.contains(".inflight"))
     (live.filter(_.endsWith(".commit")).map(n => (n.stripSuffix(".commit"), "commit")) ++
       live.filter(_.endsWith(".replacecommit"))

@@ -160,6 +160,28 @@ class DeltaTableReaderSpec extends SparkSpec {
       "snapshot must replay checkpoint adds + post-checkpoint commits")
     val inc = DeltaTableReader.incrementalSince(spark, table, 1L)
     assert(inc.count() == 30L)
+    // MULTI-PART checkpoint: split the same two adds over two parts
+    val part1 = Seq("p0.parquet").toDF("path")
+      .select(struct(col("path"),
+        map().cast("map<string,string>").as("partitionValues")).as("add"),
+        struct(lit("fixture").as("id"), lit(schemaJson).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns")).as("metaData"))
+    val part2 = Seq("p1.parquet").toDF("path")
+      .select(struct(col("path"),
+        map().cast("map<string,string>").as("partitionValues")).as("add"),
+        struct(lit("fixture").as("id"), lit(schemaJson).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns")).as("metaData"))
+    assert(new java.io.File(s"$table/_delta_log", f"${1L}%020d.checkpoint.parquet").delete())
+    Seq((part1, 1), (part2, 2)).foreach { case (df, i) =>
+      val tmp2 = tmpDir(s"delta-ckpt-mp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp2)
+      val src2 = new java.io.File(tmp2).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src2.toPath,
+        new java.io.File(s"$table/_delta_log",
+          f"${1L}%020d.checkpoint.$i%010d.${2}%010d.parquet").toPath): Unit
+    }
+    assert(DeltaTableReader.snapshot(spark, table).count() == 130L,
+      "multi-part checkpoints must read as one")
   }
 
   test("deletion vectors, DV/column-mapping reader features, and column-mapping mode refuse loudly") {

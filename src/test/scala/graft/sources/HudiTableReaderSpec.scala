@@ -101,6 +101,17 @@ class HudiTableReaderSpec extends SparkSpec {
     new java.io.File(s"$table/.hoodie/20240104090000.deltacommit").createNewFile()
     val e = intercept[IllegalStateException](HudiTableReader.snapshot(spark, table))
     assert(e.getMessage.contains("MERGE-ON-READ"))
+    // a DECLARED MOR table refuses even before any deltacommit lands
+    val t2 = tmpDir("hudi-declared-mor")
+    writeBaseFile(rows(1 to 10, "20240101090000"), t2, "g1_0-0-0_20240101090000.parquet")
+    writeCommit(t2, "20240101090000", Seq(("", "g1", "g1_0-0-0_20240101090000.parquet")))
+    val pw = new java.io.PrintWriter(new java.io.File(s"$t2/.hoodie", "hoodie.properties"), "UTF-8")
+    try {
+      pw.println("hoodie.table.name=fixture")
+      pw.println("hoodie.table.type=MERGE_ON_READ")
+    } finally pw.close()
+    val eDecl = intercept[IllegalStateException](HudiTableReader.snapshot(spark, t2))
+    assert(eDecl.getMessage.contains("hoodie.table.type"))
     val notTable = tmpDir("hudi-none")
     val e2 = intercept[IllegalArgumentException](HudiTableReader.snapshot(spark, notTable))
     assert(e2.getMessage.contains(".hoodie"))
