@@ -929,6 +929,68 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey % 3 = 2
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** Build a Delta fixture whose active files carry DELETION VECTORS
+    * in both protocol forms: part-a (%3=0 slice) with a RoaringBitmap
+    * SIDECAR masking rows where o_orderkey%7=0, part-b (%3=1 slice)
+    * with an INLINE Z85 vector masking o_orderkey%11=0. The DV attach
+    * is the protocol's remove+re-add of the same path. Returns the
+    * table path.
+    */
+  private def buildDeltaDvFixture(s: SparkSession, dir: String, root: String): String = {
+    import graft.sources.DeltaDv
+    val table = root + "/t"
+    new java.io.File(table).mkdirs()
+    val o = t(s, dir, "orders")
+    writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 0), table, "part-a.parquet")
+    writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), table, "part-b.parquet")
+    writeDeltaCommit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      deltaMeta, deltaAdd("part-a.parquet"), deltaAdd("part-b.parquet")))
+    // positions are physical row indexes WITHIN each file — read them
+    // off the scan's own metadata so the fixture is layout-true
+    def positionsWhere(file: String, pred: Column): Seq[Long] =
+      s.read.parquet(s"$table/$file")
+        .where(pred)
+        .select(col("_metadata.row_index"))
+        .collect().map(_.getLong(0)).toIndexedSeq
+    val conf = s.sparkContext.hadoopConfiguration
+    val Seq(sidecar) = DeltaDv.writeSidecar(conf, table,
+      Seq(positionsWhere("part-a.parquet", pmod(col("o_orderkey"), lit(7)) === 0)))
+    val inline = DeltaDv.inlineDescriptor(
+      positionsWhere("part-b.parquet", pmod(col("o_orderkey"), lit(11)) === 0))
+    def addWithDv(path: String, d: DeltaDv.Descriptor): String =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":1024,""" +
+        s""""modificationTime":1700000000000,"dataChange":true,""" +
+        s""""deletionVector":${DeltaDv.descriptorJson(d)}}}"""
+    writeDeltaCommit(table, 1L, Seq(
+      deltaRemove("part-a.parquet"), addWithDv("part-a.parquet", sidecar),
+      deltaRemove("part-b.parquet"), addWithDv("part-b.parquet", inline)))
+    table
+  }
+
+  /** #102c External Delta table snapshot read WITH deletion vectors:
+    * the add actions' DV descriptors (sidecar RoaringBitmap and
+    * inline Z85 forms) expand to per-file positions on executors and
+    * subtract from the ONE data scan via the `_metadata.row_index`
+    * anti join — deleted rows never reach the aggregate, no data file
+    * was rewritten. The oracle recomputes the visible set from the
+    * predicates the vectors encode.
+    */
+  val qDeltaDv: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val table = buildDeltaDvFixture(s, dir, scratch("delta-dv"))
+      graft.sources.DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE (o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0)
+        |   OR (o_orderkey % 3 = 1 AND o_orderkey % 11 <> 0)
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #102 External Delta table SNAPSHOT read: log replay (adds minus
     * removes across three commits — one of them a rewrite) resolves
     * the active file set, and the aggregate runs over exactly those

@@ -2,8 +2,9 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** READ-ONLY adapter for externally-written Delta Lake tables — the
   * "point the engine at an EXISTING lakehouse table" entry point the
@@ -20,47 +21,100 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape — the same one Delta itself has:
   *  - log replay is DRIVER-SIDE METADATA, bounded by commits since
-  *    the last checkpoint (the checkpoint is read as parquet, one
-  *    distributed scan of a files-count-sized table);
-  *  - data reads are ordinary distributed parquet scans of EXACTLY
-  *    the active files, so pushdown/pruning/codegen all apply; a
-  *    100 TB table costs its matching files, never a directory
-  *    listing of the data dir (the log IS the listing);
-  *  - partitioned tables read per-partition file groups with the
-  *    partition values attached as literal columns (typed from the
-  *    table's metaData schema) — the union is bounded by |distinct
-  *    partitions touched|, and partition-pruning callers filter the
-  *    action list BEFORE any data I/O via [[activeFiles]].
+  *    the last checkpoint; the checkpoint is read as parquet (one
+  *    distributed scan of a files-count-sized table) and only the
+  *    (path, partitionValues, deletionVector) triple of each add is
+  *    pulled to the driver, AFTER the caller's partition pruner and
+  *    under a loud `maxDriverFiles` bound — never the full add
+  *    struct, never unbounded;
+  *  - data reads are ONE distributed parquet scan of exactly the
+  *    active files — partitioned tables attach their partition values
+  *    by broadcast-joining a files-count-sized little map on the
+  *    scan's `_metadata.file_path`, so plan size is O(1) in partition
+  *    count (a per-partition union would make Catalyst itself the
+  *    bottleneck at thousands of partitions);
+  *  - DELETION VECTORS are applied, not refused: each add's
+  *    descriptor (inline Z85 or RoaringBitmap sidecar, [[DeltaDv]])
+  *    expands to (file, position) pairs ON EXECUTORS, and the scan
+  *    subtracts them with the [[DeletionVectors]]-style anti join on
+  *    `_metadata.row_index` — broadcast when the descriptor
+  *    cardinalities say it fits, bounded by |deletes-since-rewrite|,
+  *    never table bytes.
+  *
+  * What still REFUSES loudly: column mapping (physical parquet names
+  * differ from the table schema — a plain scan would return the wrong
+  * columns) and any reader feature outside the supported set; a
+  * cleaned log whose remaining JSON versions are not contiguous
+  * (silently skipping missing commits would under-return).
   *
   * Snapshot semantics: replay checkpoint + JSON commits in version
   * order; `add` activates a path, `remove` deactivates it; the
   * snapshot is the active set. Incremental semantics (the Hudi
   * incremental-read analog the reference's checkpointed consumer
   * uses): files ADDED with `dataChange=true` in commits
-  * `sinceVersion+1..latest` — a commit that also removes data files
-  * with `dataChange=true` is a rewrite/delete, which an append-scoped
-  * incremental read must refuse LOUDLY rather than silently
-  * double-read or miss (same contract as IncrementalReader on graft's
-  * own tables). Compaction commits (`dataChange=false`) are correctly
-  * ignored.
+  * `sinceVersion+1..latest` — a commit that removes data files with
+  * `dataChange=true` OR attaches a deletion vector is a
+  * rewrite/delete, which an append-scoped incremental read must
+  * refuse LOUDLY rather than silently double-read or miss (same
+  * contract as IncrementalReader on graft's own tables). Compaction
+  * commits (`dataChange=false`) are correctly ignored.
   */
 object DeltaTableReader {
 
   private val mapper = new ObjectMapper()
 
   /** One file action from the log. `partitionValues` are the raw
-    * string-encoded values from the protocol.
+    * string-encoded values from the protocol; `dv` is the deletion
+    * vector masking rows of this file, if any.
     */
   final case class FileAction(
       path: String,
       partitionValues: Map[String, String],
-      dataChange: Boolean)
+      dataChange: Boolean,
+      dv: Option[DeltaDv.Descriptor] = None)
 
   final case class Snapshot(
       version: Long,
       active: Seq[FileAction],
       partitionColumns: Seq[String],
       schemaJson: Option[String])
+
+  /** Checkpoint add row pulled to the driver — path + partition
+    * values + DV descriptor JSON only, never the stats/tags payload.
+    * (Not `private`: Spark codegen instantiates it from generated
+    * Java, which cannot touch private Scala members.)
+    */
+  private[sources] final case class CkptAdd(
+      path: String,
+      partitionValues: Map[String, String],
+      dvJson: String)
+
+  /** One DV-decode task shipped to executors. */
+  private[sources] final case class DvTask(
+      file: String,
+      storageType: String,
+      pathOrInlineDv: String,
+      offset: Long,
+      sizeInBytes: Int)
+
+  /** Reader features a plain parquet scan CAN honor. deletionVectors
+    * is honored by actually applying the vectors; timestampNtz and
+    * variantType map onto Spark-native types in the data files.
+    */
+  val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "timestampNtz", "variantType")
+
+  /** Cap on add entries pulled to the driver per snapshot resolution.
+    * At ~100 bytes a row this is ~100 MB of driver heap — the
+    * documented envelope. Larger tables must pass a partition pruner
+    * (the same prune-first contract Delta's own reader meets with its
+    * distributed file index).
+    */
+  val MaxDriverFileActions: Int = 1000000
+
+  /** Broadcast the DV position set below this many positions; above
+    * it, shuffle the anti join (still bounded by |deletes|).
+    */
+  val DvBroadcastMaxPositions: Long = 4L * 1000 * 1000
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -91,47 +145,58 @@ object DeltaTableReader {
     }
   }
 
+  private def dvOf(node: JsonNode): Option[DeltaDv.Descriptor] = {
+    val dv = node.get("deletionVector")
+    if (dv == null || dv.isNull) None
+    else Some(DeltaDv.Descriptor(
+      storageType = dv.get("storageType").asText(),
+      pathOrInlineDv = dv.get("pathOrInlineDv").asText(),
+      offset = Option(dv.get("offset")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L),
+      sizeInBytes = dv.get("sizeInBytes").asInt(),
+      cardinality = dv.get("cardinality").asLong()))
+  }
+
   private def fileActionOf(node: JsonNode): FileAction = FileAction(
     path = node.get("path").asText(),
     partitionValues = partValuesOf(node),
-    dataChange = Option(node.get("dataChange")).forall(_.asBoolean(true)))
+    dataChange = Option(node.get("dataChange")).forall(_.asBoolean(true)),
+    dv = dvOf(node))
 
-  /** Features a plain file-scan reader CANNOT honor silently:
-    * deletion vectors mask rows inside files (scanning the file
-    * over-returns deleted rows) and column mapping renames physical
-    * parquet columns (scanning returns the wrong schema). Real tables
-    * advertise them in the protocol's readerFeatures and per-add
-    * `deletionVector` fields — refuse LOUDLY on any of them.
+  /** Refusals a scan-based reader owes the caller: column mapping
+    * renames physical parquet columns (scanning returns the wrong
+    * schema), and an unknown reader feature means the protocol
+    * requires behavior this reader does not implement.
     */
   private def refuseUnsupported(node: JsonNode, tablePath: String): Unit = {
-    if (node.has("add")) {
-      val dv = node.get("add").get("deletionVector")
-      if (dv != null && !dv.isNull) throw new IllegalStateException(
-        s"$tablePath: add action carries a deletion vector — a plain scan would " +
-          "silently return deleted rows; this reader refuses DV tables")
-    }
     if (node.has("protocol")) {
       val rf = node.get("protocol").get("readerFeatures")
       if (rf != null && rf.isArray) {
         val feats = scala.collection.mutable.Set.empty[String]
         rf.forEach(f => feats += f.asText())
-        val unsupported = feats.intersect(Set("deletionVectors", "columnMapping"))
-        if (unsupported.nonEmpty) throw new IllegalStateException(
-          s"$tablePath: protocol requires reader features ${unsupported.mkString(", ")} — " +
-            "a plain parquet scan cannot honor them; this reader refuses")
+        refuseReaderFeatures(feats.toSet, tablePath)
       }
     }
     if (node.has("metaData")) {
       val conf = node.get("metaData").get("configuration")
       if (conf != null && conf.isObject) {
         val mode = Option(conf.get("delta.columnMapping.mode")).map(_.asText())
-        if (mode.exists(m => m != "none")) throw new IllegalStateException(
-          s"$tablePath: delta.columnMapping.mode=${mode.get} — physical parquet column " +
-            "names differ from the table schema; a plain scan would return the wrong " +
-            "columns; this reader refuses")
+        refuseColumnMapping(mode, tablePath)
       }
     }
   }
+
+  private def refuseReaderFeatures(feats: Set[String], tablePath: String): Unit = {
+    val unsupported = feats -- SupportedReaderFeatures
+    if (unsupported.nonEmpty) throw new IllegalStateException(
+      s"$tablePath: protocol requires reader features ${unsupported.mkString(", ")} — " +
+        "this reader cannot honor them; refusing")
+  }
+
+  private def refuseColumnMapping(mode: Option[String], tablePath: String): Unit =
+    if (mode.exists(m => m != "none")) throw new IllegalStateException(
+      s"$tablePath: delta.columnMapping.mode=${mode.get} — physical parquet column " +
+        "names differ from the table schema; a plain scan would return the wrong " +
+        "columns; this reader refuses")
 
   /** Committed log versions present as JSON files, ascending. */
   def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
@@ -142,10 +207,25 @@ object DeltaTableReader {
     fs.listStatus(dir).toIndexedSeq.flatMap(st => versionOf(st.getPath.getName)).sorted
   }
 
+  private def requireContiguous(vs: Seq[Long], from: Long, tablePath: String, what: String): Unit =
+    vs.zipWithIndex.foreach { case (v, i) =>
+      if (v != from + i) throw new IllegalStateException(
+        s"$tablePath: $what versions ${vs.mkString(",")} are not contiguous from $from " +
+          s"(missing ${from + i}) — the log was cleaned past a commit this read needs; " +
+          "refusing rather than silently skipping it")
+    }
+
   /** Replay the log to the latest snapshot state: checkpoint (if any)
-    * + JSON commits after it, in version order.
+    * + JSON commits after it, in version order. `partitionPruner`
+    * filters adds by their partition values BEFORE anything is pulled
+    * to the driver (checkpoint adds filter distributedly); the
+    * surviving add-set is bounded by `maxDriverFiles`, loudly.
     */
-  def snapshotState(spark: SparkSession, tablePath: String): Snapshot = {
+  def snapshotState(
+      spark: SparkSession,
+      tablePath: String,
+      partitionPruner: Map[String, String] => Boolean = _ => true,
+      maxDriverFiles: Int = MaxDriverFileActions): Snapshot = {
     val dir = logDir(tablePath)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) throw new IllegalArgumentException(
@@ -177,28 +257,74 @@ object DeltaTableReader {
         s"$tablePath: _last_checkpoint names version $v but no checkpoint parquet exists")
       val rows = spark.read.parquet(ckptFiles: _*)
       val cols = rows.columns.toSet
+      def structFields(name: String): Set[String] = rows.schema(name).dataType match {
+        case st: StructType => st.fieldNames.toSet
+        case _ => Set.empty[String]
+      }
+      // After standard log cleanup the protocol/metaData actions may
+      // exist ONLY in the checkpoint — the refusal contract must hold
+      // on this path too, not just on JSON commits.
+      if (cols.contains("protocol") && structFields("protocol").contains("readerFeatures")) {
+        rows.select(col("protocol.readerFeatures").as("rf"))
+          .where(col("rf").isNotNull).distinct().collect()
+          .foreach(r => refuseReaderFeatures(r.getSeq[String](0).toSet, tablePath))
+      }
       if (cols.contains("metaData")) {
+        val mdFields = structFields("metaData")
         rows.select("metaData").where(col("metaData").isNotNull).collect().foreach { r =>
           val md = r.getStruct(0)
           val idx = md.schema.fieldNames.indexOf("partitionColumns")
           if (idx >= 0 && !md.isNullAt(idx)) partCols = md.getSeq[String](idx)
           val sIdx = md.schema.fieldNames.indexOf("schemaString")
           if (sIdx >= 0 && !md.isNullAt(sIdx)) schemaJson = Some(md.getString(sIdx))
+          val cIdx = md.schema.fieldNames.indexOf("configuration")
+          if (cIdx >= 0 && !md.isNullAt(cIdx))
+            refuseColumnMapping(
+              md.getMap[String, String](cIdx).get("delta.columnMapping.mode"),
+              tablePath)
         }
       }
       if (cols.contains("add")) {
-        rows.select("add.path", "add.partitionValues")
-          .where(col("path").isNotNull).collect().foreach { r =>
-            val pv = if (r.isNullAt(1)) Map.empty[String, String]
-              else r.getMap[String, String](1).toMap
-            active(r.getString(0)) = FileAction(r.getString(0), pv, dataChange = true)
-          }
+        val hasDv = structFields("add").contains("deletionVector")
+        val dvCol =
+          if (hasDv) to_json(col("add.deletionVector")) else lit(null).cast(StringType)
+        // keep the add-set DISTRIBUTED through pruning; collect only
+        // the surviving (path, partitionValues, dv) triples, bounded
+        val adds = rows
+          .select(col("add.path").as("path"),
+            coalesce(col("add.partitionValues"), map()).as("partitionValues"),
+            coalesce(dvCol, lit("")).as("dvJson"))
+          .where(col("path").isNotNull)
+          .as(Encoders.product[CkptAdd])
+          .filter((a: CkptAdd) => partitionPruner(a.partitionValues))
+          .limit(maxDriverFiles + 1)
+          .collect()
+        if (adds.length > maxDriverFiles) throw new IllegalStateException(
+          s"$tablePath: checkpoint holds more than $maxDriverFiles active files after " +
+            "pruning — pass a partitionPruner to cut the file set, or raise maxDriverFiles " +
+            "if the driver has the heap for it")
+        adds.foreach { a =>
+          val dv = if (a.dvJson == null || a.dvJson.isEmpty) None
+            else dvOf(mapper.readTree(s"""{"deletionVector":${a.dvJson}}"""))
+          active(a.path) = FileAction(a.path, a.partitionValues, dataChange = true, dv = dv)
+        }
       }
       // a checkpoint's remove actions are expired tombstones — files
       // already absent from its add set; nothing to subtract
     }
 
-    val tail = versions(spark, tablePath).filter(v => ckptVersion.forall(v > _))
+    val allVersions = versions(spark, tablePath)
+    val tail = allVersions.filter(v => ckptVersion.forall(v > _))
+    // contiguity: silently skipping a cleaned commit would corrupt the
+    // replay — every JSON after the replay base must be present
+    ckptVersion match {
+      case Some(cv) => requireContiguous(tail, cv + 1, tablePath, "post-checkpoint")
+      case None =>
+        if (tail.nonEmpty && tail.head != 0L) throw new IllegalStateException(
+          s"$tablePath: earliest log JSON is version ${tail.head} and no checkpoint exists — " +
+            "the log was cleaned; the snapshot cannot be reconstructed")
+        requireContiguous(tail, 0L, tablePath, "log")
+    }
     var latest = ckptVersion.getOrElse(-1L)
     tail.foreach { v =>
       latest = v
@@ -207,7 +333,8 @@ object DeltaTableReader {
         refuseUnsupported(node, tablePath)
         if (node.has("add")) {
           val a = fileActionOf(node.get("add"))
-          active(a.path) = a
+          if (partitionPruner(a.partitionValues)) active(a.path) = a
+          else active.remove(a.path): Unit
         } else if (node.has("remove")) {
           active.remove(node.get("remove").get("path").asText()): Unit
         } else if (node.has("metaData")) {
@@ -221,15 +348,29 @@ object DeltaTableReader {
           if (md.has("schemaString")) schemaJson = Some(md.get("schemaString").asText())
         }
       }
+      if (active.size > maxDriverFiles) throw new IllegalStateException(
+        s"$tablePath: active file set exceeds $maxDriverFiles after replaying commit $v — " +
+          "pass a partitionPruner or raise maxDriverFiles")
     }
     if (latest < 0) throw new IllegalArgumentException(
       s"$tablePath: empty _delta_log (no checkpoint, no commits)")
     Snapshot(latest, active.values.toIndexedSeq, partCols, schemaJson)
   }
 
-  /** Latest committed version number. */
-  def latestVersion(spark: SparkSession, tablePath: String): Long =
-    snapshotState(spark, tablePath).version
+  /** Latest committed version number — metadata only (no add-set
+    * materialization): max of the advertised checkpoint version and
+    * the last JSON commit.
+    */
+  def latestVersion(spark: SparkSession, tablePath: String): Long = {
+    val dir = logDir(tablePath)
+    val fs = fsOf(spark, dir)
+    val lastCkpt = new Path(dir, "_last_checkpoint")
+    val ckpt = if (fs.exists(lastCkpt))
+      Some(mapper.readTree(readText(fs, lastCkpt)).get("version").asLong()) else None
+    val vs = versions(spark, tablePath)
+    (ckpt.toSeq ++ vs).sorted.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"$tablePath: empty _delta_log (no checkpoint, no commits)"))
+  }
 
   /** The active file actions — exposed so partition-pruning callers
     * can filter on `partitionValues` BEFORE any data I/O.
@@ -244,59 +385,156 @@ object DeltaTableReader {
     schemaJson.flatMap { js =>
       scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption
     } match {
-      case Some(st: org.apache.spark.sql.types.StructType) if st.fieldNames.contains(name) =>
-        st(name).dataType
-      case _ => org.apache.spark.sql.types.StringType
+      case Some(st: StructType) if st.fieldNames.contains(name) => st(name).dataType
+      case _ => StringType
     }
 
+  /** Delta `add.path` is URI-percent-encoded per PROTOCOL.md — decode
+    * before touching the filesystem ('+' is a literal plus in a URI
+    * path, so it is shielded from URLDecoder's form-decoding).
+    */
+  private def decodePath(p: String): String =
+    if (!p.contains('%')) p // fast path, nothing encoded
+    else java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+
+  private def abs(tablePath: String, rel: String): String = {
+    val p = decodePath(rel)
+    if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
+  }
+
+  /** Normalize a path to scheme-less form for joining driver-side
+    * file lists against the scan's `_metadata.file_path` (which
+    * reports a qualified URI like `file:///...`).
+    */
+  private def normalizeDriverPath(p: String): String =
+    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  private def normalizeScanPath(c: Column): Column =
+    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** Expand the DV descriptors of `files` into a (file, position)
+    * DataFrame — decode runs ON EXECUTORS (sidecar reads through a
+    * broadcast Hadoop conf), the driver never holds the positions.
+    */
+  private def dvPositions(
+      spark: SparkSession,
+      tablePath: String,
+      dvFiles: Seq[(String, DeltaDv.Descriptor)]): DataFrame = {
+    val bcConf = spark.sparkContext.broadcast(
+      new DeltaDv.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val tasks = dvFiles.map { case (file, d) =>
+      DvTask(file, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
+    }
+    val table = tablePath // avoid capturing `this`
+    spark.createDataset(tasks)(Encoders.product[DvTask])
+      .repartition(math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { t =>
+        val d = DeltaDv.Descriptor(t.storageType, t.pathOrInlineDv, t.offset, t.sizeInBytes, 0L)
+        DeltaDv.positionsOf(bcConf.value.value, table, d).iterator.map(p => (t.file, p))
+      }(Encoders.product[(String, Long)])
+      .toDF("_g_file", "_g_pos")
+  }
+
+  /** Read `files` as ONE distributed parquet scan; attach partition
+    * values via a broadcast file→values map on `_metadata.file_path`;
+    * subtract deletion-vector positions with a (broadcast when small)
+    * anti join; restore the table-schema column order.
+    */
   private def readFiles(
       spark: SparkSession,
       tablePath: String,
       files: Seq[FileAction],
       partitionColumns: Seq[String],
       schemaJson: Option[String]): DataFrame = {
-    def abs(p: String): String =
-      if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
     if (files.isEmpty)
       throw new IllegalArgumentException(s"$tablePath: snapshot has no active data files")
-    if (partitionColumns.isEmpty) {
-      spark.read.parquet(files.map(f => abs(f.path)): _*)
-    } else {
-      // per-partition file groups with typed literal partition columns
-      // (the protocol strips partition values out of the data files)
-      val groups = files.groupBy(f => partitionColumns.map(c => f.partitionValues.get(c)))
-      val parts = groups.toSeq.sortBy(_._1.toString).map { case (vals, fs0) =>
-        val df = spark.read.parquet(fs0.map(f => abs(f.path)): _*)
-        partitionColumns.zip(vals).foldLeft(df) { case (acc, (c, v)) =>
-          val typed: Column = v match {
-            case Some(s) => lit(s).cast(partitionType(schemaJson, c))
-            case None => lit(null).cast(partitionType(schemaJson, c))
-          }
-          acc.withColumn(c, typed)
-        }
-      }
-      parts.reduce(_ unionByName _)
+    val absOf: FileAction => String = f => abs(tablePath, f.path)
+    val base = spark.read.parquet(files.map(absOf): _*)
+    val dataCols = base.columns.toIndexedSeq
+
+    val dvFiles = files.collect {
+      case f if f.dv.isDefined => (normalizeDriverPath(absOf(f)), f.dv.get)
     }
+    val needsMeta = partitionColumns.nonEmpty || dvFiles.nonEmpty
+    val keyed =
+      if (!needsMeta) base
+      else base.withColumn("_g_file", normalizeScanPath(col("_metadata.file_path")))
+
+    val afterDv =
+      if (dvFiles.isEmpty) keyed
+      else {
+        val positions0 = dvPositions(spark, tablePath, dvFiles)
+        val totalCard = dvFiles.map(_._2.cardinality).sum
+        val positions =
+          if (totalCard <= DvBroadcastMaxPositions) broadcast(positions0) else positions0
+        keyed.withColumn("_g_pos", col("_metadata.row_index"))
+          .join(positions, Seq("_g_file", "_g_pos"), "left_anti")
+          .drop("_g_pos")
+      }
+
+    val withParts =
+      if (partitionColumns.isEmpty) afterDv
+      else {
+        val pvRows = files.map { f =>
+          Row.fromSeq(normalizeDriverPath(absOf(f)) +:
+            partitionColumns.map(c => f.partitionValues.get(c).orNull))
+        }
+        val pvSchema = StructType(
+          StructField("_g_file", StringType, nullable = false) +:
+            partitionColumns.map(c => StructField(s"_g_pv_$c", StringType, nullable = true)))
+        import scala.jdk.CollectionConverters._
+        val pvDf = spark.createDataFrame(pvRows.asJava, pvSchema)
+        val joined = afterDv.join(broadcast(pvDf), Seq("_g_file"), "left")
+        partitionColumns.foldLeft(joined) { (acc, c) =>
+          acc.withColumn(c, col(s"_g_pv_$c").cast(partitionType(schemaJson, c)))
+        }.drop(partitionColumns.map(c => s"_g_pv_$c"): _*)
+      }
+
+    val cleaned = if (needsMeta) withParts.drop("_g_file") else withParts
+
+    // column order: the table schema's, when it covers exactly the
+    // physical + partition columns; otherwise data then partition
+    val finalCols = dataCols ++ partitionColumns.filterNot(dataCols.contains)
+    val ordered = schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect {
+        case st: StructType
+          if st.fieldNames.nonEmpty && st.fieldNames.toSet == finalCols.toSet =>
+            st.fieldNames.toIndexedSeq
+      }
+      .getOrElse(finalCols)
+    cleaned.select(ordered.map(col): _*)
   }
 
-  /** Snapshot read: the latest version's active files as a DataFrame. */
-  def snapshot(spark: SparkSession, tablePath: String): DataFrame = {
-    val s = snapshotState(spark, tablePath)
+  /** Snapshot read: the latest version's active files as a DataFrame,
+    * deletion vectors applied. `partitionPruner` prunes files by
+    * partition values before ANY data I/O or driver materialization.
+    */
+  def snapshot(
+      spark: SparkSession,
+      tablePath: String,
+      partitionPruner: Map[String, String] => Boolean = _ => true,
+      maxDriverFiles: Int = MaxDriverFileActions): DataFrame = {
+    val s = snapshotState(spark, tablePath, partitionPruner, maxDriverFiles)
     readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson)
   }
 
   /** Incremental read: rows ADDED by commits `sinceVersion+1..latest`
     * (`dataChange=true` adds), tagged with `_commit_version`. A commit
-    * in that range that REMOVES data files (`dataChange=true`) is a
-    * rewrite/delete and refuses loudly — an append-scoped incremental
-    * read cannot represent it (use [[snapshot]] or a CDC source).
-    * Compaction commits (`dataChange=false`) are skipped entirely.
+    * in that range that REMOVES data files (`dataChange=true`) or
+    * attaches a DELETION VECTOR is a rewrite/delete and refuses
+    * loudly — an append-scoped incremental read cannot represent it
+    * (use [[snapshot]] or a CDC source). Compaction commits
+    * (`dataChange=false`) are skipped entirely. A log whose JSONs do
+    * not cover `sinceVersion+1..latest` contiguously refuses — a
+    * cleaned commit would otherwise be silently skipped.
     */
   def incrementalSince(spark: SparkSession, tablePath: String, sinceVersion: Long): DataFrame = {
     val dir = logDir(tablePath)
     val fs = fsOf(spark, dir)
     val state = snapshotState(spark, tablePath) // partition cols + schema
     val vs = versions(spark, tablePath).filter(_ > sinceVersion)
+    if (vs.nonEmpty) requireContiguous(vs, sinceVersion + 1, tablePath, "incremental-range")
     val adds = Seq.newBuilder[(Long, FileAction)]
     vs.foreach { v =>
       readText(fs, new Path(dir, f"$v%020d.json")).split('\n').filter(_.nonEmpty).foreach { line =>
@@ -310,6 +548,10 @@ object DeltaTableReader {
               "(read the snapshot instead, or consume a CDC feed)")
         if (node.has("add")) {
           val a = fileActionOf(node.get("add"))
+          if (a.dv.isDefined) throw new IllegalStateException(
+            s"$tablePath: commit $v attaches a deletion vector to ${a.path} — a row " +
+              s"delete, not an append; incremental read since $sinceVersion cannot " +
+              "represent it (read the snapshot instead, or consume a CDC feed)")
           if (a.dataChange) adds += ((v, a))
         }
       }

@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Fixture tables are written BY THE TEST in the external writer's
   * layout (data parquet files + `_delta_log/<v>.json` action lines,
-  * optional checkpoint parquet + `_last_checkpoint`), exactly the
-  * on-disk shape a delta-io writer leaves behind — no Delta library
-  * exists in this sandbox, so the layout itself is the contract under
-  * test (delta.io PROTOCOL.md).
+  * optional checkpoint parquet + `_last_checkpoint`, RoaringBitmap
+  * deletion-vector sidecars), exactly the on-disk shape a delta-io
+  * writer leaves behind — no Delta library exists in this sandbox, so
+  * the layout itself is the contract under test (delta.io
+  * PROTOCOL.md).
   */
 class DeltaTableReaderSpec extends SparkSpec {
 
@@ -40,10 +41,11 @@ class DeltaTableReaderSpec extends SparkSpec {
   private val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   private def add(path: String, pv: Map[String, String] = Map.empty,
-      dataChange: Boolean = true): String = {
+      dataChange: Boolean = true, dv: Option[DeltaDv.Descriptor] = None): String = {
     val pvs = pv.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    val dvJson = dv.map(d => s""","deletionVector":${DeltaDv.descriptorJson(d)}""").getOrElse("")
     s"""{"add":{"path":"$path","partitionValues":{$pvs},"size":1024,""" +
-      s""""modificationTime":1700000000000,"dataChange":$dataChange}}"""
+      s""""modificationTime":1700000000000,"dataChange":$dataChange$dvJson}}"""
   }
 
   private def remove(path: String, dataChange: Boolean = true): String =
@@ -103,7 +105,7 @@ class DeltaTableReaderSpec extends SparkSpec {
     assert(inc2.count() == 30L, "a compaction commit must not surface as incremental data")
   }
 
-  test("partitioned table: partition values come back as typed literal columns") {
+  test("partitioned table reads as ONE scan (no per-partition union) with typed partition columns") {
     val s = spark
     import s.implicits._
     val table = tmpDir("delta-part-tbl")
@@ -113,19 +115,82 @@ class DeltaTableReaderSpec extends SparkSpec {
         """{"name":"v","type":"long","nullable":true,"metadata":{}},""" +
         """{"name":"day","type":"integer","nullable":true,"metadata":{}}]}"""
     def dayRows(r: Range) = r.map(i => (i.toLong, i * 3L)).toDF("id", "v")
-    writeDataFile(dayRows(1 to 40), table, "day=1/f1.parquet")
-    writeDataFile(dayRows(41 to 90), table, "day=2/f2.parquet")
-    writeCommit(table, 0L, Seq(protocol, meta(Seq("day"), pSchema),
-      add("day=1/f1.parquet", Map("day" -> "1")),
-      add("day=2/f2.parquet", Map("day" -> "2"))))
+    // 64 partitions — enough that a union-per-partition plan would be
+    // pathological; the contract is ONE FileSourceScanExec
+    val addLines = (1 to 64).map { d =>
+      writeDataFile(dayRows((d * 10) until (d * 10 + 10)), table, s"day=$d/f$d.parquet")
+      add(s"day=$d/f$d.parquet", Map("day" -> d.toString))
+    }
+    writeCommit(table, 0L, Seq(protocol, meta(Seq("day"), pSchema)) ++ addLines)
     val snap = DeltaTableReader.snapshot(spark, table)
     assert(snap.schema("day").dataType == org.apache.spark.sql.types.IntegerType,
       "partition column must be typed from the table schema, not stringly")
-    assert(snap.count() == 90L)
-    assert(snap.where(col("day") === 2).count() == 50L)
+    assert(snap.count() == 640L)
+    assert(snap.where(col("day") === 2).count() == 10L)
+    assert(snap.where(col("day") === 2).select(min("id")).head().getLong(0) == 20L,
+      "partition values must attach to the right files' rows")
+    assert(snap.where(col("day").isNull).count() == 0L,
+      "every scanned file must match its partition-values map entry")
+    // plan shape: exactly one parquet data scan, zero Union nodes
+    val planStr = snap.queryExecution.executedPlan.treeString
+    val nScans = "FileScan parquet".r.findAllIn(planStr).size
+    assert(nScans == 1, s"expected ONE file scan, got $nScans:\n$planStr")
+    assert(!planStr.contains("Union"), "partitioned read must not be a union plan")
+    // column order follows the declared table schema
+    assert(snap.columns.toSeq == Seq("id", "v", "day"))
     // activeFiles exposes partitionValues for pre-I/O pruning
     val acts = DeltaTableReader.activeFiles(spark, table)
-    assert(acts.map(_.partitionValues("day")).sorted == Seq("1", "2"))
+    assert(acts.map(_.partitionValues("day")).map(_.toInt).sorted == (1 to 64))
+    // pruning-first snapshot: only the pruned partition's file is in the scan
+    val pruned = DeltaTableReader.snapshot(spark, table,
+      partitionPruner = pv => pv.get("day").contains("7"))
+    assert(pruned.count() == 10L)
+    assert(pruned.inputFiles.length == 1,
+      "partitionPruner must cut the file list before the scan")
+  }
+
+  test("deletion vectors are APPLIED: sidecar and inline forms subtract exactly their positions") {
+    val table = tmpDir("delta-dv-read")
+    writeDataFile(rows(1 to 100), table, "part-a.parquet")   // positions 0..99
+    writeDataFile(rows(101 to 160), table, "part-b.parquet") // positions 0..59
+    // sidecar DV kills part-a positions 0..9 (ids 1..10); inline DV
+    // kills part-b positions 50..59 (ids 151..160)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val Seq(sidecar) = DeltaDv.writeSidecar(conf, table, Seq((0L until 10L).toSeq))
+    val inline = DeltaDv.inlineDescriptor((50L until 60L).toSeq)
+    writeCommit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      meta(Nil, schemaJson),
+      add("part-a.parquet", dv = Some(sidecar)),
+      add("part-b.parquet", dv = Some(inline))))
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.count() == 140L)
+    assert(snap.agg(min("id"), max("id")).head().toSeq == Seq(11L, 150L))
+    assert(snap.where(col("id") <= 10 || col("id") >= 151).count() == 0L)
+    // still one data scan
+    val planStr = snap.queryExecution.executedPlan.treeString
+    assert("FileScan parquet".r.findAllIn(planStr).size == 1,
+      s"DV subtraction must not fragment the data scan:\n$planStr")
+
+    // a DV-bearing commit in an incremental range is a row DELETE and refuses
+    val e = intercept[IllegalStateException](
+      DeltaTableReader.incrementalSince(spark, table, -1L))
+    assert(e.getMessage.contains("deletion vector"))
+  }
+
+  test("DV round-trip codec: z85, bitmap array, sidecar file") {
+    val ps = Seq(0L, 1L, 63L, (1L << 32) | 5L, (1L << 32) | 7L, (7L << 32))
+    assert(DeltaDv.deserializePositions(DeltaDv.serializePositions(ps)).toSeq == ps.sorted)
+    val bytes = Array.tabulate[Byte](16)(i => (i * 17).toByte)
+    assert(DeltaDv.z85Decode(DeltaDv.z85Encode(bytes)).toSeq == bytes.toSeq)
+    val table = tmpDir("dv-codec")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val Seq(d1, d2) = DeltaDv.writeSidecar(conf, table, Seq(Seq(1L, 2L), Seq(10L, 20L, 30L)))
+    assert(d1.cardinality == 2 && d2.cardinality == 3)
+    assert(DeltaDv.positionsOf(conf, table, d1).toSeq == Seq(1L, 2L))
+    assert(DeltaDv.positionsOf(conf, table, d2).toSeq == Seq(10L, 20L, 30L))
+    assert(DeltaDv.positionsOf(conf, table, DeltaDv.inlineDescriptor(Seq(3L, 4L))).toSeq
+      == Seq(3L, 4L))
   }
 
   test("checkpoint + _last_checkpoint: replay starts at the checkpoint, later JSON commits apply") {
@@ -184,20 +249,79 @@ class DeltaTableReaderSpec extends SparkSpec {
       "multi-part checkpoints must read as one")
   }
 
-  test("deletion vectors, DV/column-mapping reader features, and column-mapping mode refuse loudly") {
-    // per-add deletion vector
-    val t1 = tmpDir("delta-dv")
-    writeDataFile(rows(1 to 20), t1, "f.parquet")
-    writeCommit(t1, 0L, Seq(protocol, meta(Nil, schemaJson),
-      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":0,""" +
-        """"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":8,"cardinality":2}}}"""))
+  test("checkpoint-only actions still enforce the refusal contract (protocol features, columnMapping, DVs)") {
+    val s = spark
+    import s.implicits._
+    // after log cleanup, protocol/metaData/DV state may exist ONLY in
+    // the checkpoint parquet — refusals and DV application must hold
+    def buildCkptTable(name: String, ckptDf: DataFrame): String = {
+      val table = tmpDir(name)
+      writeDataFile(rows(1 to 50), table, "p0.parquet")
+      new java.io.File(table, "_delta_log").mkdirs()
+      val tmp = tmpDir(name + "-ck")
+      ckptDf.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(s"$table/_delta_log", f"${0L}%020d.checkpoint.parquet").toPath): Unit
+      val w = new java.io.PrintWriter(
+        new java.io.File(s"$table/_delta_log", "_last_checkpoint"), "UTF-8")
+      try w.println("""{"version":0,"size":2}""") finally w.close()
+      table
+    }
+    def addStruct(dvJson: String) = struct(
+      col("path"),
+      map().cast("map<string,string>").as("partitionValues"),
+      from_json(lit(dvJson), org.apache.spark.sql.types.StructType.fromDDL(
+        "storageType string, pathOrInlineDv string, offset long, sizeInBytes int, cardinality long"))
+        .as("deletionVector"))
+
+    // 1. unknown reader feature in the checkpoint's protocol action
+    val t1 = buildCkptTable("ck-feat",
+      Seq("p0.parquet").toDF("path").select(
+        addStruct("null").as("add"),
+        struct(lit("fixture").as("id"), lit(schemaJson).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns")).as("metaData"),
+        struct(lit(3).as("minReaderVersion"),
+          array(lit("columnMapping")).as("readerFeatures")).as("protocol")))
     val e1 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t1))
-    assert(e1.getMessage.contains("deletion vector"))
-    // protocol readerFeatures
+    assert(e1.getMessage.contains("reader features"))
+
+    // 2. columnMapping mode in the checkpoint's metaData.configuration
+    val t2 = buildCkptTable("ck-cmap",
+      Seq("p0.parquet").toDF("path").select(
+        addStruct("null").as("add"),
+        struct(lit("fixture").as("id"), lit(schemaJson).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns"),
+          map(lit("delta.columnMapping.mode"), lit("name")).as("configuration")).as("metaData")))
+    val e2 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
+    assert(e2.getMessage.contains("columnMapping"))
+
+    // 3. a DV carried in the checkpoint's add action is APPLIED
+    val inline = DeltaDv.inlineDescriptor((0L until 5L).toSeq) // ids 1..5
+    val t3 = buildCkptTable("ck-dv",
+      Seq("p0.parquet").toDF("path").select(
+        addStruct(DeltaDv.descriptorJson(inline)).as("add"),
+        struct(lit("fixture").as("id"), lit(schemaJson).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns")).as("metaData")))
+    val snap = DeltaTableReader.snapshot(spark, t3)
+    assert(snap.count() == 45L)
+    assert(snap.select(min("id")).head().getLong(0) == 6L,
+      "a checkpoint-carried deletion vector must subtract its positions")
+  }
+
+  test("unknown reader features and column mapping refuse; deletionVectors feature alone does not") {
+    // supported feature set passes
+    val t0 = tmpDir("delta-feat-ok")
+    writeDataFile(rows(1 to 20), t0, "f.parquet")
+    writeCommit(t0, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"],"writerFeatures":["deletionVectors"]}}""",
+      meta(Nil, schemaJson), add("f.parquet")))
+    assert(DeltaTableReader.snapshot(spark, t0).count() == 20L)
+    // unknown feature refuses
     val t2 = tmpDir("delta-feat")
     writeDataFile(rows(1 to 20), t2, "f.parquet")
     writeCommit(t2, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
       meta(Nil, schemaJson), add("f.parquet")))
     val e2 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
     assert(e2.getMessage.contains("reader features"))
@@ -211,6 +335,58 @@ class DeltaTableReaderSpec extends SparkSpec {
       add("f.parquet")))
     val e3 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t3))
     assert(e3.getMessage.contains("columnMapping"))
+  }
+
+  test("non-contiguous logs refuse: cleaned commits cannot be silently skipped") {
+    // snapshot path: missing middle JSON with no checkpoint
+    val t1 = tmpDir("delta-gap")
+    writeDataFile(rows(1 to 10), t1, "a.parquet")
+    writeDataFile(rows(11 to 20), t1, "b.parquet")
+    writeDataFile(rows(21 to 30), t1, "c.parquet")
+    writeCommit(t1, 0L, Seq(protocol, meta(Nil, schemaJson), add("a.parquet")))
+    writeCommit(t1, 1L, Seq(add("b.parquet")))
+    writeCommit(t1, 2L, Seq(add("c.parquet")))
+    assert(new java.io.File(s"$t1/_delta_log", f"${1L}%020d.json").delete())
+    val e1 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t1))
+    assert(e1.getMessage.contains("not contiguous"))
+    // incremental path: same gap
+    val e2 = intercept[IllegalStateException](DeltaTableReader.incrementalSince(spark, t1, 0L))
+    assert(e2.getMessage.contains("not contiguous"))
+    // cleaned head without checkpoint
+    val t2 = tmpDir("delta-headgap")
+    writeDataFile(rows(1 to 10), t2, "a.parquet")
+    writeCommit(t2, 1L, Seq(protocol, meta(Nil, schemaJson), add("a.parquet")))
+    val e3 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
+    assert(e3.getMessage.contains("no checkpoint"))
+  }
+
+  test("driver add-set bound enforces loudly; pruning-first reads pass under it") {
+    val table = tmpDir("delta-bound")
+    (1 to 4).foreach { d =>
+      writeDataFile(rows((d * 10) until (d * 10 + 5)), table, s"day=$d/f.parquet")
+    }
+    val pSchema =
+      """{"type":"struct","fields":[""" +
+        """{"name":"id","type":"long","nullable":true,"metadata":{}},""" +
+        """{"name":"grp","type":"string","nullable":true,"metadata":{}},""" +
+        """{"name":"v","type":"long","nullable":true,"metadata":{}},""" +
+        """{"name":"day","type":"integer","nullable":true,"metadata":{}}]}"""
+    writeCommit(table, 0L, Seq(protocol, meta(Seq("day"), pSchema)) ++
+      (1 to 4).map(d => add(s"day=$d/f.parquet", Map("day" -> d.toString))))
+    val e = intercept[IllegalStateException](
+      DeltaTableReader.snapshot(spark, table, maxDriverFiles = 2))
+    assert(e.getMessage.contains("maxDriverFiles") || e.getMessage.contains("exceeds 2"))
+    // the same bound passes when the pruner cuts the set first
+    val pruned = DeltaTableReader.snapshot(spark, table,
+      partitionPruner = pv => pv.get("day").contains("3"), maxDriverFiles = 2)
+    assert(pruned.count() == 5L)
+  }
+
+  test("percent-encoded add paths resolve to the real file (PROTOCOL.md path encoding)") {
+    val table = tmpDir("delta-enc")
+    writeDataFile(rows(1 to 25), table, "part a.parquet") // space in the name
+    writeCommit(table, 0L, Seq(protocol, meta(Nil, schemaJson), add("part%20a.parquet")))
+    assert(DeltaTableReader.snapshot(spark, table).count() == 25L)
   }
 
   test("not-a-delta-table and empty-log refuse loudly") {
