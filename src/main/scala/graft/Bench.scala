@@ -104,13 +104,24 @@ object Bench {
     // fixed so the stdout line stays under the driver's ~2000-char
     // stdout retention.
     // q_inc_agg_cdc joined round 12: its stats-lie fragmentation fix
-    // (UpsertWriter sizing) must hold — r12 bar 1.7s at sf0.1
-    val watch = Seq("q_mor_read", "q_mor_ro", "q_partial_update", "q_stream_dedup", "q_inc_agg_cdc")
+    // (UpsertWriter sizing) must hold — r12 bar 1.7s at sf0.1.
+    // Round 14 (r13 verdict item 7): the external-adapter queries +
+    // q_stream_mv_cdc join (r13 bars: delta 1.0/0.9, hudi 1.1/0.6,
+    // iceberg 0.9/0.7, stream_mv_cdc 5.6), and the machine-confounded
+    // r12→r13 pair q_compact (1.17) / q_bloom_index (0.94) joins for
+    // a driver-comparable re-measure.
+    val watch = Seq("q_mor_read", "q_mor_ro", "q_partial_update", "q_stream_dedup",
+      "q_inc_agg_cdc", "q_delta_snapshot", "q_delta_incremental", "q_hudi_snapshot",
+      "q_hudi_incremental", "q_iceberg_snapshot", "q_iceberg_incremental",
+      "q_stream_mv_cdc", "q_compact", "q_bloom_index")
       .filter(results.contains)
       .map(n => s""""$n":[${r3(results(n))},${r3(means(n))}]""")
       .mkString("{", ",", "}")
     val bySlow = names.sortBy(n => -results(n))
-    val budget = 1450
+    // shrunk from 1450 when the watch list grew to 14 entries
+    // (~420 chars) so the one stdout line stays under the driver's
+    // ~2000-char retention
+    val budget = 1150
     val picked = collection.mutable.ListBuffer.empty[String]
     var used = 0
     var full_ = false

@@ -1149,6 +1149,202 @@ object Scale {
       } { noop(sources.IcebergTableReader.incrementalSince(spark, it1, 1L)) }
     }
 
+    // ---- round 14: interop depth ----
+
+    // Delta DV read: the data scan is ~bytes ratio; DV decode +
+    // anti join are bounded by |deleted positions| (~1% here), so the
+    // composed read must stay ~bytes-ratio at 10x
+    if (wanted("q_delta_dv") || wanted("q_external_time_travel")) {
+      def dvFixture(o: DataFrame, root: String): String = {
+        val table = root + "/t"
+        sources.DeltaTableWriter.create(o, table)
+        val files = sources.DeltaTableReader.activeFiles(spark, table)
+        val byName = files.map(f => f.path.split('/').last -> f.path).toMap
+        // ~1% of rows marked deleted, positions off the scan's own metadata
+        val hit = spark.read.parquet(files.map(f => s"$table/${f.path}"): _*)
+          .where(pmod(col("o_orderkey"), lit(97)) === 0)
+          .select(col("_metadata.file_path").as("f"), col("_metadata.row_index").as("p"))
+          .collect()
+          .groupBy(r => byName(r.getString(0).split('/').last))
+          .map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSeq }
+        val conf = spark.sparkContext.hadoopConfiguration
+        val rels = hit.keys.toSeq.sorted
+        val descs = sources.DeltaDv.writeSidecar(conf, table, rels.map(hit))
+        val lines = rels.zip(descs).flatMap { case (rel, d) =>
+          Seq(
+            s"""{"remove":{"path":"$rel","deletionTimestamp":1,"dataChange":true}}""",
+            s"""{"add":{"path":"$rel","partitionValues":{},"size":1,"modificationTime":1,""" +
+              s""""dataChange":true,"deletionVector":${sources.DeltaDv.descriptorJson(d)}}}""")
+        }
+        val w = new java.io.PrintWriter(
+          new java.io.File(s"$table/_delta_log", f"${1L}%020d.json"), "UTF-8")
+        try lines.foreach(w.println) finally w.close()
+        table
+      }
+      val dv01 = dvFixture(ord01, scaleScratch("dv-01"))
+      val dv1 = dvFixture(ord1, scaleScratch("dv-1"))
+      rehearseUnit("q_delta_dv") {
+        noop(sources.DeltaTableReader.snapshot(spark, dv01))
+      } { noop(sources.DeltaTableReader.snapshot(spark, dv1)) }
+      // VERSION AS OF 0 on the same tables: replay cut is driver
+      // metadata; the scan is the same files pre-DV — ~bytes ratio
+      rehearseUnit("q_external_time_travel") {
+        noop(sources.DeltaTableReader.snapshotAsOf(spark, dv01, 0L))
+      } { noop(sources.DeltaTableReader.snapshotAsOf(spark, dv1, 0L)) }
+    }
+
+    // Delta writer: distributed parquet write + driver commit of
+    // |files| add actions — ~bytes ratio end-to-end
+    if (wanted("q_delta_write")) {
+      rehearseUnit("q_delta_write") {
+        val t = scaleScratch("dwr-01") + "/t"
+        sources.DeltaTableWriter.create(ord01, t)
+        noop(sources.DeltaTableReader.snapshot(spark, t))
+      } {
+        val t = scaleScratch("dwr-1") + "/t"
+        sources.DeltaTableWriter.create(ord1, t)
+        noop(sources.DeltaTableReader.snapshot(spark, t))
+      }
+    }
+
+    // Hudi writer: same shape as the Delta writer — ~bytes ratio
+    if (wanted("q_hudi_write")) {
+      rehearseUnit("q_hudi_write") {
+        val t = scaleScratch("hwr-01") + "/t"
+        sources.HudiTableWriter.create(ord01, t)
+        noop(sources.HudiTableReader.snapshot(spark, t))
+      } {
+        val t = scaleScratch("hwr-1") + "/t"
+        sources.HudiTableWriter.create(ord1, t)
+        noop(sources.HudiTableReader.snapshot(spark, t))
+      }
+    }
+
+    // Hudi MOR read-optimized: base files only — the log entry adds
+    // O(1) timeline metadata, the read is ~bytes of the base files
+    if (wanted("q_hudi_mor_ro")) {
+      def morFixture(o: DataFrame, root: String): String = {
+        val t = root + "/t"
+        val c1 = sources.HudiTableWriter.create(o, t)
+        // a deltacommit whose writes are log files only (opaque to RO)
+        new java.io.File(t, s".g1_$c1.log.1_0-0-0").createNewFile()
+        val w = new java.io.PrintWriter(
+          new java.io.File(s"$t/.hoodie", s"${c1}1.deltacommit"), "UTF-8")
+        try w.println(
+          s"""{"partitionToWriteStats":{"":[{"fileId":"g1","path":".g1_$c1.log.1_0-0-0",""" +
+            s""""numWrites":1,"numUpdateWrites":1,"totalWriteBytes":1,"prevCommit":"$c1"}]},""" +
+            s""""operationType":"UPSERT"}""")
+        finally w.close()
+        t
+      }
+      val m01 = morFixture(ord01, scaleScratch("mor-ro-01"))
+      val m1 = morFixture(ord1, scaleScratch("mor-ro-1"))
+      rehearseUnit("q_hudi_mor_ro") {
+        noop(sources.HudiTableReader.readOptimized(spark, m01))
+      } { noop(sources.HudiTableReader.readOptimized(spark, m1)) }
+    }
+
+    // Iceberg position deletes: data scan ~bytes; the delete-file
+    // scan + anti join are bounded by |deleted positions| (~1%)
+    if (wanted("q_iceberg_pos_delete")) {
+      def posDelFixture(o: DataFrame, root: String): String = {
+        val table = root + "/t"
+        // data parquet via a stage write
+        val stage = table + "/.stage"
+        o.coalesce(4).write.mode("overwrite").parquet(stage)
+        val parts = new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
+        val rels = parts.zipWithIndex.map { case (p, i) =>
+          val rel = s"data/base-$i.parquet"
+          val dst = new java.io.File(table, rel); dst.getParentFile.mkdirs()
+          java.nio.file.Files.copy(p.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rel
+        }.toSeq
+        // ~1% position deletes, file_path kept relative like the manifests
+        spark.read.parquet(rels.map(r => s"$table/$r"): _*)
+          .where(pmod(col("o_orderkey"), lit(97)) === 0)
+          .select(
+            concat(lit("data/"),
+              element_at(split(col("_metadata.file_path"), "/"), -1)).as("file_path"),
+            col("_metadata.row_index").as("pos"))
+          .coalesce(1).write.mode("overwrite").parquet(table + "/.delstage")
+        val delSrc = new java.io.File(table + "/.delstage").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(delSrc.toPath,
+          new java.io.File(s"$table/data", "del.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // minimal avro metadata (same record shapes the reader spec locks)
+        val listSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+            |{"name":"manifest_path","type":"string"},
+            |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+            |{"name":"content","type":"int","default":0}]}""".stripMargin)
+        val entrySchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |{"name":"status","type":"int"},
+            |{"name":"snapshot_id","type":["null","long"],"default":null},
+            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |  {"name":"content","type":"int","default":0},
+            |  {"name":"file_path","type":"string"}]}}]}""".stripMargin)
+        def avro(path: String, schema: org.apache.avro.Schema,
+            rs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+          val f = new java.io.File(path); f.getParentFile.mkdirs()
+          val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+            new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+          w.create(schema, f)
+          try rs.foreach(w.append) finally w.close()
+        }
+        def entry(path: String, content: Int) = {
+          val df = new org.apache.avro.generic.GenericData.Record(
+            entrySchema.getField("data_file").schema())
+          df.put("content", content); df.put("file_path", path)
+          val r = new org.apache.avro.generic.GenericData.Record(entrySchema)
+          r.put("status", 1); r.put("snapshot_id", 1L); r.put("data_file", df)
+          r
+        }
+        def lrec(mp: String, content: Int) = {
+          val r = new org.apache.avro.generic.GenericData.Record(listSchema)
+          r.put("manifest_path", mp); r.put("added_snapshot_id", 1L); r.put("content", content)
+          r
+        }
+        avro(s"$table/metadata/m1.avro", entrySchema, rels.map(entry(_, 0)))
+        avro(s"$table/metadata/md.avro", entrySchema, Seq(entry("data/del.parquet", 1)))
+        avro(s"$table/metadata/snap-1.avro", listSchema,
+          Seq(lrec("metadata/m1.avro", 0), lrec("metadata/md.avro", 1)))
+        val w = new java.io.PrintWriter(new java.io.File(s"$table/metadata", "v1.metadata.json"), "UTF-8")
+        try w.println(
+          s"""{"format-version":2,"table-uuid":"fx","location":"$table","current-snapshot-id":1,""" +
+            """"snapshots":[{"snapshot-id":1,"timestamp-ms":1,"summary":{"operation":"delete"},"manifest-list":"metadata/snap-1.avro"}]}""")
+        finally w.close()
+        val h = new java.io.PrintWriter(new java.io.File(s"$table/metadata", "version-hint.text"), "UTF-8")
+        try h.println("1") finally h.close()
+        table
+      }
+      val p01 = posDelFixture(ord01, scaleScratch("icepd-01"))
+      val p1 = posDelFixture(ord1, scaleScratch("icepd-1"))
+      rehearseUnit("q_iceberg_pos_delete") {
+        noop(sources.IcebergTableReader.snapshot(spark, p01))
+      } { noop(sources.IcebergTableReader.snapshot(spark, p1)) }
+    }
+
+    // format-agnostic CDC open on a graft table: the feed is one
+    // full-outer join of the two snapshots — ~bytes ratio
+    if (wanted("q_open_incremental")) {
+      def openIncRun(ev: DataFrame, root: String): Unit = {
+        val t = root + "/t"
+        sources.UpsertWriter.upsert(ev, t, Seq("event_id"), "ts", keepVersions = 3)
+        sources.UpsertWriter.upsert(
+          ev.filter(col("event_type") === "purchase")
+            .withColumn("value", col("value") * 2)
+            .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")),
+          t, Seq("event_id"), "ts", keepVersions = 3)
+        noop(sources.TableLoader.openIncremental(spark, t, "1"))
+      }
+      rehearseUnit("q_open_incremental") {
+        openIncRun(t01("events"), scaleScratch("openinc-01"))
+      } { openIncRun(t1("events"), scaleScratch("openinc-1")) }
+    }
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
   }

@@ -778,6 +778,85 @@ trait ReferenceQueries extends QueryBase {
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** Build an external MERGE-ON-READ Hudi fixture: hoodie.properties
+    * declares MERGE_ON_READ; commit c1 writes base files g1 (%3=0)
+    * and g2 (%3=1); deltacommit dc2 lands updates for g1 in a LOG
+    * file (opaque to a base-file reader) and inserts g3 (%3=2) as a
+    * first base file; compaction commit c3 folds g1's log into a new
+    * base (o_orderkey%10=0 rows doubled, stamped c3). Returns the
+    * table path.
+    */
+  private def buildHudiMorFixture(s: SparkSession, dir: String, root: String): String = {
+    val table = root + "/t"
+    new java.io.File(table, ".hoodie").mkdirs()
+    val pw = new java.io.PrintWriter(new java.io.File(s"$table/.hoodie", "hoodie.properties"), "UTF-8")
+    try {
+      pw.println("hoodie.table.name=fixture")
+      pw.println("hoodie.table.type=MERGE_ON_READ")
+    } finally pw.close()
+    val c1 = "20240101090000"; val dc2 = "20240102090000"; val c3 = "20240103090000"
+    val o = t(s, dir, "orders")
+    def stamped(df: org.apache.spark.sql.DataFrame, instant: String) =
+      df.withColumn("_hoodie_commit_time", lit(instant))
+    val g1 = o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+    writeHudiBaseFile(stamped(g1, c1), table, s"g1_0-0-0_$c1.parquet")
+    writeHudiBaseFile(stamped(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), c1),
+      table, s"g2_0-0-0_$c1.parquet")
+    writeHudiCommit(table, c1, Seq(
+      ("g1", s"g1_0-0-0_$c1.parquet"), ("g2", s"g2_0-0-0_$c1.parquet")))
+    // dc2: a log file for g1 (content opaque — the RO contract is that
+    // it is NOT read) + g3's first base file
+    new java.io.File(table, s".g1_${dc2}.log.1_0-0-0").createNewFile()
+    writeHudiBaseFile(stamped(o.filter(pmod(col("o_orderkey"), lit(3)) === 2), dc2),
+      table, s"g3_0-0-0_$dc2.parquet")
+    val dcw = new java.io.PrintWriter(new java.io.File(s"$table/.hoodie", s"$dc2.deltacommit"), "UTF-8")
+    try dcw.println(
+      s"""{"partitionToWriteStats":{"":[""" +
+        s"""{"fileId":"g1","path":".g1_$dc2.log.1_0-0-0","numWrites":1,"numUpdateWrites":1,"totalWriteBytes":256,"prevCommit":"$c1"},""" +
+        s"""{"fileId":"g3","path":"g3_0-0-0_$dc2.parquet","numWrites":1,"numUpdateWrites":0,"totalWriteBytes":1024,"prevCommit":"null"}]},""" +
+        s""""operationType":"UPSERT"}""")
+    finally dcw.close()
+    // c3: compaction — g1's log folded into a new base file
+    val g1v2 = stamped(
+      g1.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), c3)
+      .unionByName(stamped(g1.filter(pmod(col("o_orderkey"), lit(10)) =!= 0), c1))
+    writeHudiBaseFile(g1v2, table, s"g1_0-0-1_$c3.parquet")
+    writeHudiCommit(table, c3, Seq(("g1", s"g1_0-0-1_$c3.parquet")))
+    table
+  }
+
+  /** #103c External Hudi MERGE-ON-READ table, READ-OPTIMIZED opt-in
+    * ([[graft.sources.HudiTableReader.readOptimized]] — Hudi's own
+    * `_ro` view): base files only, per-group as of the last
+    * compaction; dc2's log-file updates are invisible BY CONTRACT
+    * while its base-file insert and c3's compacted base serve. The
+    * plain snapshot keeps refusing the same table (spec-locked) — the
+    * staleness is opt-in, never silent. The oracle recomputes the
+    * base-file state from the predicates the timeline encodes.
+    */
+  val qHudiMorRo: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val table = buildHudiMorFixture(s, dir, scratch("hudi-mor-ro"))
+      // the snapshot contract on this table is refusal (log-merge
+      // needed); the RO view is the explicit opt-in being exercised
+      val refused =
+        try { graft.sources.HudiTableReader.snapshot(s, table); false }
+        catch { case _: IllegalStateException => true }
+      require(refused, "MOR snapshot must refuse while readOptimized serves")
+      graft.sources.HudiTableReader.readOptimized(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 10 = 0
+        |         THEN o_totalprice * 2 ELSE o_totalprice END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #103b External Hudi COW table INCREMENTAL read: records
     * inserted/updated after the checkpoint instant — the c2-stamped
     * rows only (g1's doubled %10=0 subset + all of g3); g1's
@@ -890,6 +969,65 @@ trait ReferenceQueries extends QueryBase {
     table
   }
 
+  /** #104c External Iceberg v2 table with POSITION DELETES: snapshot
+    * 2 adds a delete manifest whose parquet file names (file_path,
+    * pos) rows — o_orderkey%7=0 positions of the %3=0 data file —
+    * and the snapshot read subtracts them via the `_metadata`
+    * anti join, no data file rewritten. Equality deletes and the
+    * bare file list keep refusing (spec-locked). The oracle
+    * recomputes the visible rows from the predicate the delete file
+    * encodes.
+    */
+  val qIcebergPosDelete: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("ice-posdel")
+      val table = buildIcebergFixture(s, dir, root)
+      // positions of the doomed rows WITHIN the %3=0 data file, off
+      // the scan's own row_index — layout-true like the Delta DV fixture
+      val dels = s.read.parquet(s"$table/data/fa.parquet")
+        .where(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(lit("data/fa.parquet").as("file_path"),
+          col("_metadata.row_index").as("pos"))
+      val stage = root + "/stage"
+      dels.coalesce(1).write.mode("overwrite").parquet(stage)
+      val delSrc = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(delSrc.toPath,
+        new java.io.File(s"$table/data", "del1.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      iceWriteAvro(s"$table/metadata/md.avro", iceEntrySchema, Seq({
+        val e = iceEntry(1, 3L, "data/del1.parquet")
+        e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .put("content", 1)
+        e
+      }))
+      iceWriteAvro(s"$table/metadata/snap-3.avro", iceListSchema, Seq(
+        iceListRec("metadata/m1.avro", 1L), iceListRec("metadata/m2.avro", 2L), {
+          val r = iceListRec("metadata/md.avro", 3L)
+          r.put("content", 1)
+          r
+        }))
+      val w = new java.io.PrintWriter(new java.io.File(s"$table/metadata", "v3.metadata.json"), "UTF-8")
+      try w.println(
+        s"""{"format-version":2,"table-uuid":"fixture","location":"$table","current-snapshot-id":3,""" +
+          """"snapshots":[""" +
+          """{"snapshot-id":1,"timestamp-ms":1700000000000,"summary":{"operation":"append"},"manifest-list":"metadata/snap-1.avro"},""" +
+          """{"snapshot-id":2,"parent-snapshot-id":1,"timestamp-ms":1700000001000,"summary":{"operation":"append"},"manifest-list":"metadata/snap-2.avro"},""" +
+          """{"snapshot-id":3,"parent-snapshot-id":2,"timestamp-ms":1700000002000,"summary":{"operation":"delete"},"manifest-list":"metadata/snap-3.avro"}]}""")
+      finally w.close()
+      val h = new java.io.PrintWriter(new java.io.File(s"$table/metadata", "version-hint.text"), "UTF-8")
+      try h.println("3") finally h.close()
+      graft.sources.IcebergTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #104 External Iceberg table SNAPSHOT read
     * ([[graft.sources.IcebergTableReader]]): version-hint → metadata
     * JSON → the current snapshot's Avro manifest list → live data
@@ -927,6 +1065,109 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM orders
         |WHERE o_orderkey % 3 = 2
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #107 Hudi COW table WRITER round-trip
+    * ([[graft.sources.HudiTableWriter]] — the reference's own
+    * write-side job, generate_hudi_table.py:86-214, re-expressed:
+    * insert commits land base files named per the Hudi convention,
+    * `_hoodie_commit_time`/`_hoodie_record_key` stamped, timeline
+    * `.commit` metadata published under instant-uniqueness CAS).
+    * orders lands as create + append; the read-back goes through the
+    * INCREMENTAL pull since the first instant — proving the stamps,
+    * not just the bytes — plus the full snapshot. The oracle
+    * recomputes both slices.
+    */
+  val qHudiWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-write") + "/t"
+      val o = t(s, dir, "orders")
+      val c1 = HudiTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        tableName = "orders_cow", recordKeys = Seq("o_orderkey"))
+      HudiTableWriter.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table,
+        recordKeys = Seq("o_orderkey"))
+      val full = HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("snapshot"))
+      val pulled = HudiTableReader.incrementalSince(s, table, c1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("incremental"))
+      full.unionByName(pulled)
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  'snapshot' AS slice
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'incremental'
+        |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority""".stripMargin))
+
+  /** #105b Format-agnostic incremental open on a GRAFT versioned
+    * table ([[graft.sources.TableLoader.openIncremental]]): upsert
+    * commits declare their record keys in commit metadata, so the
+    * dispatch derives the full CDC feed (pre/post images) between the
+    * checkpoint version and the head with nothing but (path, "1") —
+    * the same call shape the Delta/Hudi/Iceberg adapters take. The
+    * oracle recomputes both images of the purchase-doubling update
+    * from the raw table.
+    */
+  val qOpenIncremental: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val target = scratch("open-inc")
+      val base = t(s, dir, "events")
+      UpsertWriter.upsert(base, target, Seq("event_id"), "ts", keepVersions = 3)
+      UpsertWriter.upsert(
+        base.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")),
+        target, Seq("event_id"), "ts", keepVersions = 3)
+      TableLoader.openIncremental(s, target, "1")
+        .groupBy(col("change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    },
+    oracle = Some(
+      """SELECT 'update_preimage' AS change_type, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase' GROUP BY 2
+        |UNION ALL
+        |SELECT 'update_postimage', event_type, count(*),
+        |  CAST(sum(CAST(value * 2 AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM events WHERE event_type = 'purchase' GROUP BY 2""".stripMargin))
+
+  /** #106 Delta table WRITER round-trip
+    * ([[graft.sources.DeltaTableWriter]] — the inverse of the
+    * reader, and the analog of the reference's table-producing half,
+    * generate_hudi_table.py:86-214): orders lands as a PARTITIONED
+    * external-format Delta table (create %2=0, append %2=1 — two
+    * protocol commits), then reads back through the format-agnostic
+    * [[graft.sources.TableLoader.open]] auto-detection. The oracle is
+    * the full source table: what external engines will see must be
+    * exactly what was handed over.
+    */
+  val qDeltaWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableWriter, TableLoader}
+      val table = scratch("delta-write") + "/t"
+      val o = t(s, dir, "orders")
+      DeltaTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        partitionBy = Seq("o_orderpriority"))
+      DeltaTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table)
+      TableLoader.open(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
         |GROUP BY o_orderpriority""".stripMargin))
 
   /** Build a Delta fixture whose active files carry DELETION VECTORS
@@ -990,6 +1231,41 @@ trait ReferenceQueries extends QueryBase {
         |WHERE (o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0)
         |   OR (o_orderkey % 3 = 1 AND o_orderkey % 11 <> 0)
         |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #108 External-format TIME TRAVEL, all three adapters: Delta
+    * VERSION AS OF (replay stops at the commit; an overshooting
+    * checkpoint refuses via contiguity, never serves a later state),
+    * Iceberg SNAPSHOT AS OF (the requested snapshot's manifest list
+    * IS its file inventory), Hudi point-in-time (`as.of.instant`
+    * replay cut). Each fixture's later commits REWRITE data, so a
+    * read that leaked any post-as-of state fails its slice of the
+    * oracle — all three must independently reproduce the same
+    * original %3∈{0,1} cut of orders.
+    */
+  val qExternalTimeTravel: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, HudiTableReader, IcebergTableReader}
+      val dt = buildDeltaFixture(s, dir, scratch("tt-delta"))
+      val ht = buildHudiFixture(s, dir, scratch("tt-hudi"))
+      val it = buildIcebergFixture(s, dir, scratch("tt-ice"))
+      def roll(df: DataFrame, fmt: String) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("fmt", lit(fmt))
+      roll(DeltaTableReader.snapshotAsOf(s, dt, version = 0L), "delta")
+        .unionByName(roll(HudiTableReader.snapshotAsOf(s, ht, "20240101090000"), "hudi"))
+        .unionByName(roll(IcebergTableReader.snapshotAsOf(s, it, snapshotId = 1L), "iceberg"))
+    },
+    oracle = Some(
+      """WITH cut AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |  GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderpriority, n, revenue, 'delta' AS fmt FROM cut
+        |UNION ALL SELECT o_orderpriority, n, revenue, 'hudi' FROM cut
+        |UNION ALL SELECT o_orderpriority, n, revenue, 'iceberg' FROM cut""".stripMargin))
 
   /** #102 External Delta table SNAPSHOT read: log replay (adds minus
     * removes across three commits — one of them a rewrite) resolves

@@ -225,17 +225,21 @@ object DeltaTableReader {
       spark: SparkSession,
       tablePath: String,
       partitionPruner: Map[String, String] => Boolean = _ => true,
-      maxDriverFiles: Int = MaxDriverFileActions): Snapshot = {
+      maxDriverFiles: Int = MaxDriverFileActions,
+      asOf: Option[Long] = None): Snapshot = {
     val dir = logDir(tablePath)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) throw new IllegalArgumentException(
       s"$tablePath is not a Delta table: no _delta_log directory")
 
-    // checkpoint base, if advertised
+    // checkpoint base, if advertised — usable for VERSION AS OF only
+    // when it does not overshoot the requested version (a checkpoint
+    // cannot be replayed backwards)
     val lastCkpt = new Path(dir, "_last_checkpoint")
     val ckptVersion: Option[Long] =
-      if (!fs.exists(lastCkpt)) None
-      else Some(mapper.readTree(readText(fs, lastCkpt)).get("version").asLong())
+      (if (!fs.exists(lastCkpt)) None
+       else Some(mapper.readTree(readText(fs, lastCkpt)).get("version").asLong()))
+        .filter(cv => asOf.forall(cv <= _))
 
     val active = scala.collection.mutable.LinkedHashMap.empty[String, FileAction]
     var partCols: Seq[String] = Nil
@@ -313,7 +317,14 @@ object DeltaTableReader {
       // already absent from its add set; nothing to subtract
     }
 
-    val allVersions = versions(spark, tablePath)
+    val allVersions0 = versions(spark, tablePath)
+    asOf.foreach { v =>
+      val known = allVersions0 ++ ckptVersion
+      if (known.isEmpty || known.max < v) throw new IllegalArgumentException(
+        s"$tablePath: VERSION AS OF $v does not exist (latest: " +
+          s"${if (known.isEmpty) "none" else known.max.toString})")
+    }
+    val allVersions = allVersions0.filter(v => asOf.forall(v <= _))
     val tail = allVersions.filter(v => ckptVersion.forall(v > _))
     // contiguity: silently skipping a cleaned commit would corrupt the
     // replay — every JSON after the replay base must be present
@@ -402,15 +413,17 @@ object DeltaTableReader {
     if (p.startsWith("/") || p.contains("://")) p else s"$tablePath/$p"
   }
 
-  /** Normalize a path to scheme-less form for joining driver-side
-    * file lists against the scan's `_metadata.file_path` (which
-    * reports a qualified URI like `file:///...`).
+  /** Normalize a path to scheme-less DECODED form for joining
+    * driver-side file lists against the scan's `_metadata.file_path`
+    * — which reports a qualified, URI-percent-encoded path
+    * (`file:///.../x%20y.parquet` for a file named `x y.parquet`).
+    * Driver side already holds decoded paths; the scan side strips
+    * the scheme and percent-decodes ('+' shielded first: it is a
+    * literal plus in a URI path, not a form-encoded space).
     */
-  private def normalizeDriverPath(p: String): String =
-    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+  private def normalizeDriverPath(p: String): String = ScanPaths.normalizeDriver(p)
 
-  private def normalizeScanPath(c: Column): Column =
-    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+  private def normalizeScanPath(c: Column): Column = ScanPaths.normalizeScan(c)
 
   /** Expand the DV descriptors of `files` into a (file, position)
     * DataFrame — decode runs ON EXECUTORS (sidecar reads through a
@@ -516,6 +529,18 @@ object DeltaTableReader {
       partitionPruner: Map[String, String] => Boolean = _ => true,
       maxDriverFiles: Int = MaxDriverFileActions): DataFrame = {
     val s = snapshotState(spark, tablePath, partitionPruner, maxDriverFiles)
+    readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson)
+  }
+
+  /** VERSION AS OF: the table exactly as of commit `version` — log
+    * replay stops there (the advertised checkpoint is used only when
+    * it does not overshoot; an overshooting checkpoint with cleaned
+    * pre-checkpoint JSONs refuses via the contiguity check, never
+    * silently serves a later state). Deletion vectors attached as of
+    * that version apply; a non-existent version refuses.
+    */
+  def snapshotAsOf(spark: SparkSession, tablePath: String, version: Long): DataFrame = {
+    val s = snapshotState(spark, tablePath, asOf = Some(version))
     readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson)
   }
 

@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** APPEND-ONLY writer for Delta Lake tables readable by EXTERNAL
+  * engines — the inverse of [[DeltaTableReader]], and the graft
+  * counterpart of the reference's other half: generate_hudi_table.py
+  * WRITES a lakehouse table for downstream consumers to point at
+  * (template.py:207-217 being the consumer side). Implemented from
+  * the PUBLIC Delta transaction-log protocol (delta.io PROTOCOL.md):
+  * data parquet files plus `_delta_log/<version%020d>.json` commits
+  * of line-delimited `protocol`/`metaData`/`add` actions, partition
+  * values carried in the log (hive-style dirs on disk, stripped from
+  * the data files — exactly what `partitionBy` parquet writes
+  * produce).
+  *
+  * Scale shape: the data write is an ordinary distributed parquet
+  * write (file sizing, partitioning and parallelism are Spark's); the
+  * commit is DRIVER-SIDE METADATA bounded by |files written this
+  * commit| — never a rewrite of previous versions, never a listing of
+  * the table. Commit publication is an atomic-rename
+  * compare-and-swap: the version JSON is staged and renamed into
+  * place, and a concurrent writer that got there first makes the
+  * rename fail, upon which the next version number is retried — the
+  * same optimistic protocol Delta itself uses (object stores without
+  * atomic rename need a coordination layer there too; stated, not
+  * hidden).
+  *
+  * Append-only by design: `create` lays down version 0
+  * (protocol/metaData/adds) and `append` adds data files in later
+  * versions. Updates/deletes/rewrites are the versioned-table
+  * machinery's job ([[UpsertWriter]]); this writer exists so graft
+  * pipelines can HAND TABLES TO OTHER ENGINES, and appends are the
+  * interop-safe subset every Delta reader consumes identically.
+  */
+object DeltaTableWriter {
+
+  /** Max CAS retries when racing another writer for a version slot. */
+  val MaxCommitAttempts: Int = 20
+
+  private def logDir(tablePath: String): Path = new Path(tablePath, "_delta_log")
+
+  /** Percent-encode a relative path for `add.path` per PROTOCOL.md
+    * (URI-encoded; '/' kept as the separator).
+    */
+  private def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).toASCIIString
+
+  /** Hive-style dir name → (column, raw value); Spark writes nulls as
+    * the default-partition sentinel, which the log records as null.
+    */
+  private def partitionValueOf(segment: String): Option[(String, Option[String])] = {
+    val i = segment.indexOf('=')
+    if (i <= 0) None
+    else {
+      val raw = java.net.URLDecoder.decode(
+        segment.substring(i + 1).replace("+", "%2B"), "UTF-8")
+      Some(segment.substring(0, i) ->
+        (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)))
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** One `add` action line for a data file at `rel` (relative,
+    * un-encoded), with partition values parsed from its hive dirs.
+    */
+  private def addLine(rel: String, size: Long, modTime: Long,
+      partitionColumns: Seq[String]): String = {
+    val values = rel.split('/').dropRight(1).flatMap(partitionValueOf).toMap
+    val pvJson = partitionColumns.map { c =>
+      values.get(c).flatten match {
+        case Some(v) => s"${jsonStr(c)}:${jsonStr(v)}"
+        case None => s"${jsonStr(c)}:null"
+      }
+    }.mkString(",")
+    s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":{$pvJson},""" +
+      s""""size":$size,"modificationTime":$modTime,"dataChange":true}}"""
+  }
+
+  /** Stage-write `df` as parquet and move the part files into the
+    * table dir (hive partition dirs preserved); returns the relative
+    * paths + sizes + mtimes of the landed files.
+    */
+  private def writeDataFiles(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String]): Seq[(String, Long, Long)] = {
+    val spark = df.sparkSession
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
+    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    writer.parquet(stage.toString)
+    val landed = Seq.newBuilder[(String, Long, Long)]
+    def walk(dir: Path, relPrefix: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, s"$relPrefix$name/")
+        else if (name.endsWith(".parquet")) {
+          val rel = s"$relPrefix$name"
+          val dst = new Path(tablePath, rel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
+            s"$tablePath: failed to move staged data file to $rel")
+          val dstStat = fs.getFileStatus(dst)
+          landed += ((rel, dstStat.getLen, dstStat.getModificationTime))
+        }
+      }
+    walk(stage, "")
+    fs.delete(stage, true)
+    val files = landed.result()
+    if (files.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: the DataFrame wrote no data files (empty input?)")
+    files
+  }
+
+  /** Publish `lines` as the next commit ≥ `fromVersion` with an
+    * atomic-rename CAS; returns the version that won.
+    */
+  private def commit(spark: SparkSession, tablePath: String, fromVersion: Long,
+      lines: Seq[String]): Long = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, true)
+    try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8"))) finally out.close()
+    try {
+      var v = fromVersion
+      while (v < fromVersion + MaxCommitAttempts) {
+        val dst = new Path(dir, f"$v%020d.json")
+        // rename refuses an existing destination on FileSystem
+        // implementations with atomic rename — the CAS
+        if (!fs.exists(dst) && fs.rename(tmp, dst)) return v
+        v += 1
+      }
+      throw new IllegalStateException(
+        s"$tablePath: lost the commit race $MaxCommitAttempts times from version $fromVersion")
+    } finally if (fs.exists(tmp)) { fs.delete(tmp, false); () }
+  }
+
+  /** Create a NEW Delta table at `tablePath` from `df` — version 0
+    * carries protocol, metaData (schema + partition columns) and the
+    * adds. Refuses an existing table (append to those).
+    */
+  def create(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) throw new IllegalArgumentException(
+      s"$tablePath is already a Delta table — use append")
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c is not in the DataFrame"))
+    val files = writeDataFiles(df, tablePath, partitionBy)
+    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val metaData =
+      s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonStr(df.schema.json)},""" +
+        s""""partitionColumns":[${partitionBy.map(jsonStr).mkString(",")}],""" +
+        s""""configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+    commit(spark, tablePath, 0L,
+      protocol +: metaData +: files.map { case (rel, size, mtime) =>
+        addLine(rel, size, mtime, partitionBy)
+      })
+  }
+
+  /** Append `df` to an existing table as a new commit; partitioning
+    * and column set come from the TABLE's metadata (columns may be in
+    * any order; a mismatched set refuses — silent schema drift is the
+    * reader's problem forever after).
+    */
+  def append(df: DataFrame, tablePath: String): Long = {
+    val spark = df.sparkSession
+    val state = DeltaTableReader.snapshotState(spark, tablePath)
+    val tableCols = state.schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq }
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: table metadata carries no parseable schemaString"))
+    require(df.columns.toSet == tableCols.toSet,
+      s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table schema " +
+        s"${tableCols.sorted.mkString(",")} — appends must match the declared schema")
+    val aligned = df.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
+    val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
+    commit(spark, tablePath, state.version + 1,
+      files.map { case (rel, size, mtime) => addLine(rel, size, mtime, state.partitionColumns) })
+  }
+}

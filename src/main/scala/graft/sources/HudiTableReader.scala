@@ -61,35 +61,78 @@ object HudiTableReader {
   }
 
   /** Completed instants, ascending (Hudi instant times are
-    * lexicographically ordered timestamps): ordinary `commit`s and
-    * clustering `replacecommit`s, tagged. Refuses MOR timelines.
+    * lexicographically ordered timestamps), tagged by kind:
+    * ordinary `commit`s, clustering `replacecommit`s and — when
+    * `allowMor` — MOR `deltacommit`s.
     */
-  def instants(spark: SparkSession, tablePath: String): Seq[(String, String)] = {
+  private def timelineInstants(spark: SparkSession, tablePath: String,
+      allowMor: Boolean): Seq[(String, String)] = {
     val dir = hoodieDir(tablePath)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) throw new IllegalArgumentException(
       s"$tablePath is not a Hudi table: no .hoodie directory")
     val names = fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
-    if (names.exists(_.endsWith(".deltacommit")))
+    // this reader discovers file slices by replaying ACTIVE commit
+    // metadata; once the archival service has rotated instants into
+    // .hoodie/archived, file groups written only by archived instants
+    // are invisible to that replay and every read would silently MISS
+    // them — refuse loudly (the honest contract; reading an archived
+    // timeline needs listing-based slice discovery or the metadata
+    // table)
+    if (hasArchivedTimeline(spark, tablePath))
       throw new IllegalStateException(
-        s"$tablePath has deltacommit instants — a MERGE-ON-READ table; this COW reader " +
-          "cannot merge log files (a read-optimized scan would silently miss updates)")
-    // hoodie.properties declares the table type up front — a MOR table
-    // with no deltacommits YET would otherwise slip through and start
-    // silently missing updates on its first delta write
-    val props = new Path(dir, "hoodie.properties")
-    if (fs.exists(props) &&
-        readText(fs, props).linesIterator.exists(l =>
-          l.replace(" ", "").startsWith("hoodie.table.type=MERGE_ON_READ")))
-      throw new IllegalStateException(
-        s"$tablePath declares hoodie.table.type=MERGE_ON_READ — this COW reader refuses " +
-          "(log files would be silently ignored); use the MOR machinery instead")
+        s"$tablePath carries an archived timeline (.hoodie/archived) — file groups " +
+          "written by archived instants are invisible to active-commit replay and " +
+          "would be silently missed; this reader refuses")
+    if (!allowMor) {
+      if (names.exists(_.endsWith(".deltacommit")))
+        throw new IllegalStateException(
+          s"$tablePath has deltacommit instants — a MERGE-ON-READ table; this COW reader " +
+            "cannot merge log files (a plain scan would silently miss updates); " +
+            "use readOptimized for the explicit base-files-only view")
+      // hoodie.properties declares the table type up front — a MOR table
+      // with no deltacommits YET would otherwise slip through and start
+      // silently missing updates on its first delta write
+      if (declaresMor(spark, tablePath))
+        throw new IllegalStateException(
+          s"$tablePath declares hoodie.table.type=MERGE_ON_READ — this COW reader refuses " +
+            "(log files would be silently ignored); use readOptimized for the explicit " +
+            "base-files-only view, or the MOR machinery for graft's own tables")
+    }
     val live = names.filter(n => !n.contains(".requested") && !n.contains(".inflight"))
     (live.filter(_.endsWith(".commit")).map(n => (n.stripSuffix(".commit"), "commit")) ++
       live.filter(_.endsWith(".replacecommit"))
-        .map(n => (n.stripSuffix(".replacecommit"), "replacecommit")))
+        .map(n => (n.stripSuffix(".replacecommit"), "replacecommit")) ++
+      (if (allowMor)
+        live.filter(_.endsWith(".deltacommit"))
+          .map(n => (n.stripSuffix(".deltacommit"), "deltacommit"))
+      else Nil))
       .sortBy(_._1)
   }
+
+  private def declaresMor(spark: SparkSession, tablePath: String): Boolean = {
+    val props = new Path(hoodieDir(tablePath), "hoodie.properties")
+    val fs = fsOf(spark, props)
+    fs.exists(props) &&
+      readText(fs, props).linesIterator.exists(l =>
+        l.replace(" ", "").startsWith("hoodie.table.type=MERGE_ON_READ"))
+  }
+
+  /** True when the table carries an archived timeline — instants
+    * rotated out of the active `.hoodie` listing into
+    * `.hoodie/archived` by Hudi's timeline archival service.
+    */
+  private def hasArchivedTimeline(spark: SparkSession, tablePath: String): Boolean = {
+    val arch = new Path(hoodieDir(tablePath), "archived")
+    val fs = fsOf(spark, arch)
+    fs.exists(arch) && fs.listStatus(arch).nonEmpty
+  }
+
+  /** Completed COW instants (`commit` / `replacecommit`), ascending.
+    * Refuses MOR timelines — their snapshot needs log-merge.
+    */
+  def instants(spark: SparkSession, tablePath: String): Seq[(String, String)] =
+    timelineInstants(spark, tablePath, allowMor = false)
 
   /** Completed ordinary-commit instants, ascending. */
   def commits(spark: SparkSession, tablePath: String): Seq[String] =
@@ -135,15 +178,24 @@ object HudiTableReader {
     * DROPS the replaced groups and adds the clustered ones (reading
     * both would double every clustered row).
     */
-  def activeSlices(spark: SparkSession, tablePath: String): Seq[SliceWrite] = {
+  def activeSlices(spark: SparkSession, tablePath: String): Seq[SliceWrite] =
+    slicesUpTo(spark, tablePath, None)
+
+  private def slicesUpTo(spark: SparkSession, tablePath: String,
+      upTo: Option[String]): Seq[SliceWrite] = {
     val fs = fsOf(spark, hoodieDir(tablePath))
     val latest = scala.collection.mutable.LinkedHashMap.empty[String, SliceWrite]
-    instants(spark, tablePath).foreach { case (instant, kind) =>
-      if (kind == "replacecommit") replacedIdsOf(fs, tablePath, instant).foreach(latest.remove)
-      writesOf(fs, tablePath, instant, kind).foreach(w => latest(w.fileId) = w)
-    }
+    instants(spark, tablePath)
+      .filter { case (i, _) => upTo.forall(i <= _) }
+      .foreach { case (instant, kind) =>
+        if (kind == "replacecommit") replacedIdsOf(fs, tablePath, instant).foreach(latest.remove)
+        writesOf(fs, tablePath, instant, kind).foreach(w => latest(w.fileId) = w)
+      }
     if (latest.isEmpty) throw new IllegalArgumentException(
-      s"$tablePath: no completed commits in .hoodie")
+      upTo match {
+        case Some(i) => s"$tablePath: no completed commits at or before instant $i"
+        case None => s"$tablePath: no completed commits in .hoodie"
+      })
     latest.values.toIndexedSeq
   }
 
@@ -156,6 +208,46 @@ object HudiTableReader {
   def snapshot(spark: SparkSession, tablePath: String): DataFrame =
     readPaths(spark, tablePath, activeSlices(spark, tablePath))
 
+  /** POINT-IN-TIME query (Hudi's `as.of.instant`): the table exactly
+    * as of `asOfInstant` — timeline replay stops there, so each file
+    * group serves the latest slice committed at or before the
+    * instant. Slices later cleaned off disk fail loudly at scan time
+    * rather than silently serving a different state.
+    */
+  def snapshotAsOf(spark: SparkSession, tablePath: String, asOfInstant: String): DataFrame =
+    readPaths(spark, tablePath, slicesUpTo(spark, tablePath, Some(asOfInstant)))
+
+  /** READ-OPTIMIZED view of an external MERGE-ON-READ table — Hudi's
+    * own `_ro` contract, as an EXPLICIT opt-in: the latest BASE
+    * (parquet) file per live file group, log files ignored, so the
+    * result is the table AS OF ITS LAST COMPACTION per group. Updates
+    * sitting only in log files are NOT visible — that staleness is
+    * the view's documented semantics, which is why [[snapshot]] keeps
+    * refusing MOR timelines (a caller who didn't ask for staleness
+    * must not silently get it). Works on COW tables too, where it
+    * equals the snapshot (every slice is a base file).
+    *
+    * Replay, in instant order over the FULL timeline (commits,
+    * deltacommits, replacecommits): parquet writes repoint their file
+    * group's base file — an ordinary commit, a MOR compaction, or a
+    * deltacommit's first base file for a new group — while log-file
+    * writes leave the base slice untouched; a clustering
+    * replacecommit drops its replaced groups.
+    */
+  def readOptimized(spark: SparkSession, tablePath: String): DataFrame = {
+    val fs = fsOf(spark, hoodieDir(tablePath))
+    val latest = scala.collection.mutable.LinkedHashMap.empty[String, SliceWrite]
+    timelineInstants(spark, tablePath, allowMor = true).foreach { case (instant, kind) =>
+      if (kind == "replacecommit") replacedIdsOf(fs, tablePath, instant).foreach(latest.remove)
+      writesOf(fs, tablePath, instant, kind)
+        .filter(_.path.endsWith(".parquet"))
+        .foreach(w => latest(w.fileId) = w)
+    }
+    if (latest.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: no base files on the timeline (nothing compacted yet?)")
+    readPaths(spark, tablePath, latest.values.toIndexedSeq)
+  }
+
   /** Incremental pull: records inserted/updated by commits AFTER
     * `sinceInstant` — latest slices of the file groups those commits
     * touched, rows filtered to `_hoodie_commit_time > sinceInstant`
@@ -164,21 +256,29 @@ object HudiTableReader {
     */
   def incrementalSince(spark: SparkSession, tablePath: String, sinceInstant: String): DataFrame = {
     val fs = fsOf(spark, hoodieDir(tablePath))
-    val all = commits(spark, tablePath)
-    val newer = all.filter(_ > sinceInstant)
-    if (newer.isEmpty) throw new IllegalArgumentException(
-      s"$tablePath: no commits after $sinceInstant (latest: ${all.lastOption.getOrElse("none")})")
+    // archived timelines refuse upstream in the instants listing —
+    // per-group pruning (and slice discovery itself) cannot be
+    // trusted once instants rotate out of the active listing
+    val timeline = instants(spark, tablePath)
+    val newer = timeline.collect { case (i, "commit") if i > sinceInstant => i }
+    if (!timeline.exists(_._1 > sinceInstant))
+      throw new IllegalArgumentException(
+        s"$tablePath: no commits after $sinceInstant " +
+          s"(latest: ${timeline.lastOption.map(_._1).getOrElse("none")})")
     // a clustering replacecommit after the checkpoint REWIRES file
     // groups (touched ids may no longer exist — their rows moved into
     // clustered groups with their stamps preserved), so the per-group
     // pruning can't be trusted across it: scan all active slices and
     // let the stamp filter isolate the pulled rows — correct, just
-    // less pruned, and Hudi's own incremental reader does the same
-    val clusteredAfter = instants(spark, tablePath)
+    // less pruned, and Hudi's own incremental reader does the same.
+    // A replacecommit-ONLY tail is the same scan and yields zero rows
+    // (clustering preserves stamps), the correct answer — not an
+    // error.
+    val clusteredAfter = timeline
       .exists(i => i._2 == "replacecommit" && i._1 > sinceInstant)
     val active = activeSlices(spark, tablePath)
     val slices =
-      if (clusteredAfter) active
+      if (clusteredAfter || newer.isEmpty) active
       else {
         val touched = newer.flatMap(i => writesOf(fs, tablePath, i).map(_.fileId)).toSet
         active.filter(s => touched.contains(s.fileId))

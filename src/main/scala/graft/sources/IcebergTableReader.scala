@@ -33,10 +33,13 @@ import org.apache.spark.sql.functions._
   * same shape Iceberg's own planner has; at 100 TB the manifest list
   * is what makes planning O(manifests), not O(files-on-disk)).
   *
-  * ROW-LEVEL DELETES (v2 position/equality delete files) are NOT
-  * applied by a plain file-scan reader — any delete manifest or
-  * delete-content file in the current snapshot REFUSES loudly rather
-  * than silently over-returning deleted rows. Incremental reads
+  * v2 POSITION DELETES are APPLIED: delete manifests' parquet files
+  * of (file_path, pos) rows subtract from the data scan with an anti
+  * join on `_metadata.file_path`/`row_index` — the same positional
+  * identity graft's own DeletionVectors machinery uses, bounded by
+  * |deletes|, never table bytes. EQUALITY deletes (content=2) refuse
+  * loudly — they need key semantics a plain scan cannot honor.
+  * Incremental reads
   * follow the snapshot log parent chain: appends-only between the
   * checkpoint and the current snapshot surface exactly the files
   * their snapshots ADDED (status=1, tagged `_snapshot_id`); an
@@ -77,7 +80,26 @@ object IcebergTableReader {
         .filter(n => n.endsWith(".metadata.json"))
       if (candidates.isEmpty) throw new IllegalArgumentException(
         s"$tablePath: no *.metadata.json under metadata/")
-      new Path(metaDir, candidates.max) // vN sorts; uuid forms sort too
+      // NUMERIC max, not lexicographic: unpadded `v9.metadata.json`
+      // sorts above `v10.metadata.json` as a string, which would
+      // silently serve a stale snapshot past version 9. Both public
+      // filesystem-catalog names carry the version as a number —
+      // `vN.metadata.json` and the zero-padded `NNNNN-<uuid>` form.
+      def numericVersion(name: String): Option[Long] = {
+        val base = name.stripSuffix(".metadata.json")
+        if (base.startsWith("v") && base.length > 1 && base.drop(1).forall(_.isDigit))
+          Some(base.drop(1).toLong)
+        else {
+          val digits = base.takeWhile(_.isDigit)
+          if (digits.nonEmpty && base.lift(digits.length).contains('-')) Some(digits.toLong)
+          else None
+        }
+      }
+      val numbered = candidates.flatMap(n => numericVersion(n).map(v => (v, n)))
+      val pick =
+        if (numbered.size == candidates.size) numbered.maxBy(_._1)._2
+        else candidates.max // unknown naming scheme: fall back, stated in spec
+      new Path(metaDir, pick)
     }
   }
 
@@ -156,37 +178,99 @@ object IcebergTableReader {
       s"$tablePath: current-snapshot-id $currentId not in the snapshot list"))
   }
 
-  /** Live data files of the current snapshot. Refuses on any delete
-    * manifest / delete-content file (row-level deletes need merge
-    * semantics a plain scan cannot honor).
+  /** The current snapshot's live file plan: data files plus v2
+    * POSITION-DELETE files (applied by [[snapshot]]). EQUALITY
+    * deletes still refuse — applying them needs the delete rows'
+    * key semantics, which a plain scan cannot honor.
+    */
+  final case class PlanFiles(data: Seq[String], positionDeletes: Seq[String])
+
+  def planFiles(spark: SparkSession, tablePath: String): PlanFiles =
+    planFilesOf(spark, tablePath, currentSnapshot(spark, tablePath))
+
+  private def planFilesOf(spark: SparkSession, tablePath: String,
+      snap: SnapshotInfo): PlanFiles = {
+    val manifests = manifestsOf(spark, resolve(tablePath, snap.manifestList))
+    val data = Seq.newBuilder[String]
+    val posDeletes = Seq.newBuilder[String]
+    manifests.foreach { case (mpath, _, mcontent) =>
+      manifestEntries(spark, resolve(tablePath, mpath)).foreach { e =>
+        if (e.status != 2) { // 2 = deleted entry
+          (mcontent, e.content) match {
+            case (0, 0) => data += e.filePath
+            case (1, 1) => posDeletes += e.filePath
+            case (_, 2) => throw new IllegalStateException(
+              s"$tablePath: EQUALITY-delete file ${e.filePath} in snapshot ${snap.id} — " +
+                "equality deletes need the delete rows' key semantics; a plain scan " +
+                "cannot honor them; refusing")
+            case (mc, ec) => throw new IllegalStateException(
+              s"$tablePath: manifest $mpath (content=$mc) carries entry ${e.filePath} " +
+                s"with content=$ec — inconsistent metadata; refusing")
+          }
+        }
+      }
+    }
+    PlanFiles(data.result().distinct, posDeletes.result().distinct)
+  }
+
+  /** Live data files of the current snapshot. Refuses when the
+    * snapshot carries row-level deletes — callers of the bare file
+    * list would silently over-return deleted rows (use [[snapshot]],
+    * which applies position deletes).
     */
   def activeFiles(spark: SparkSession, tablePath: String): Seq[String] = {
-    val snap = currentSnapshot(spark, tablePath)
-    val manifests = manifestsOf(spark, resolve(tablePath, snap.manifestList))
-    manifests.flatMap { case (mpath, _, mcontent) =>
-      if (mcontent != 0) throw new IllegalStateException(
-        s"$tablePath: snapshot ${snap.id} carries a DELETE manifest ($mpath) — " +
-          "row-level deletes need merge-on-read semantics; a plain scan would " +
-          "silently return deleted rows")
-      manifestEntries(spark, resolve(tablePath, mpath)).flatMap { e =>
-        if (e.content != 0) throw new IllegalStateException(
-          s"$tablePath: delete-content file ${e.filePath} in snapshot ${snap.id} — refusing")
-        if (e.status == 2) None else Some(e.filePath) // 2 = deleted entry
-      }
-    }.distinct
+    val plan = planFiles(spark, tablePath)
+    if (plan.positionDeletes.nonEmpty) throw new IllegalStateException(
+      s"$tablePath: the current snapshot carries position-delete files — the bare " +
+        "file list would over-return deleted rows; read through snapshot() instead")
+    plan.data
   }
 
   private def resolve(tablePath: String, p: String): String =
     if (p.contains("://") || p.startsWith("/")) p else s"$tablePath/$p"
 
   /** Snapshot read: one distributed parquet scan of the current
-    * snapshot's live data files.
+    * snapshot's live data files, v2 POSITION DELETES subtracted.
+    * Per the spec, a position-delete file is parquet rows of
+    * (file_path, pos) naming exact row positions in exact data
+    * files — the same (file, row_index) identity graft's own
+    * [[DeletionVectors]] and the Delta DV read use, so the subtract
+    * is the same anti join on the scan's `_metadata` columns:
+    * bounded by |deletes-since-rewrite|, never table bytes, and the
+    * delete files are themselves read as one distributed scan.
     */
-  def snapshot(spark: SparkSession, tablePath: String): DataFrame = {
-    val files = activeFiles(spark, tablePath)
-    if (files.isEmpty) throw new IllegalArgumentException(
+  def snapshot(spark: SparkSession, tablePath: String): DataFrame =
+    readPlan(spark, tablePath, planFiles(spark, tablePath))
+
+  /** SNAPSHOT AS OF: read any snapshot still in the metadata's log by
+    * id — Iceberg's own time travel; the manifest list IS the full
+    * file inventory of that snapshot, so no replay is needed. An id
+    * not in the log refuses (expired by snapshot cleanup).
+    */
+  def snapshotAsOf(spark: SparkSession, tablePath: String, snapshotId: Long): DataFrame = {
+    val (snaps, _) = snapshotLog(spark, tablePath)
+    val snap = snaps.find(_.id == snapshotId).getOrElse(throw new IllegalArgumentException(
+      s"$tablePath: snapshot $snapshotId is not in the metadata log " +
+        "(expired by snapshot cleanup?)"))
+    readPlan(spark, tablePath, planFilesOf(spark, tablePath, snap))
+  }
+
+  private def readPlan(spark: SparkSession, tablePath: String, plan: PlanFiles): DataFrame = {
+    if (plan.data.isEmpty) throw new IllegalArgumentException(
       s"$tablePath: current snapshot has no live data files")
-    spark.read.parquet(files.map(resolve(tablePath, _)): _*)
+    val base = spark.read.parquet(plan.data.map(resolve(tablePath, _)): _*)
+    if (plan.positionDeletes.isEmpty) base
+    else {
+      val dels = spark.read.parquet(plan.positionDeletes.map(resolve(tablePath, _)): _*)
+        .select(
+          ScanPaths.normalizeMetaColumn(col("file_path"), tablePath).as("_g_file"),
+          col("pos").cast("long").as("_g_pos"))
+      base
+        .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
+        .withColumn("_g_pos", col("_metadata.row_index"))
+        .join(dels, Seq("_g_file", "_g_pos"), "left_anti")
+        .select(base.columns.map(col): _*)
+    }
   }
 
   /** Incremental read: rows ADDED by snapshots after `sinceSnapshotId`

@@ -98,20 +98,34 @@ object TableLoader {
 
   /** Format-agnostic INCREMENTAL read since a format-native
     * checkpoint token (Delta/Iceberg: a version / snapshot id number;
-    * Hudi: an instant time string). The append-scoped refusal
-    * contracts of each adapter apply unchanged. graft's own versioned
-    * tables are copy-on-write snapshots whose change capture is
-    * [[graft.operators.SnapshotDiff]] (key-aware pre/post images) or
-    * the column-watermark [[IncrementalReader]] — both need inputs a
-    * bare (path, token) cannot carry, so the dispatch refuses with
-    * directions instead of guessing keys.
+    * Hudi: an instant time string; graft versioned tables: a version
+    * number). The append-scoped refusal contracts of each adapter
+    * apply unchanged.
+    *
+    * graft's own tables are key-aware: every upsert commit declares
+    * its record keys in the commit metadata
+    * ([[UpsertWriter.RecordKeysKey]]), so the dispatch derives the
+    * full CDC feed between the checkpoint version and the head via
+    * [[graft.operators.SnapshotDiff.changeFeed]] — pre/post images
+    * with a `change_type` column, the richest contract of the four
+    * (graft holds both snapshots; the foreign formats only expose
+    * their append logs). A table written before keys were declared
+    * (or by the raw commitVersion services) refuses with directions
+    * instead of guessing keys.
     */
   def openIncremental(spark: SparkSession, path: String, since: String): DataFrame =
     detectFormat(spark, path) match {
-      case GraftVersioned => throw new IllegalArgumentException(
-        s"$path is a graft versioned table: incremental consumption is key-aware — " +
-          "use SnapshotDiff.changeFeed(readVersion(v), read(latest), keys) for CDC " +
-          "or IncrementalReader for column-watermark pulls")
+      case GraftVersioned =>
+        val keys = UpsertWriter.readMeta(spark, path).get(UpsertWriter.RecordKeysKey)
+          .map(_.split(",").toSeq.filter(_.nonEmpty))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path declares no ${UpsertWriter.RecordKeysKey} in its commit metadata — " +
+              "re-commit through UpsertWriter.upsert, or call " +
+              "SnapshotDiff.changeFeed(readVersion(v), read(latest), keys) with explicit keys"))
+        graft.operators.SnapshotDiff.changeFeed(
+          UpsertWriter.readVersion(spark, path, since.toInt),
+          UpsertWriter.read(spark, path),
+          keys)
       case DeltaFormat    => DeltaTableReader.incrementalSince(spark, path, since.toLong)
       case HudiFormat     => HudiTableReader.incrementalSince(spark, path, since)
       case IcebergFormat  => IcebergTableReader.incrementalSince(spark, path, since.toLong)

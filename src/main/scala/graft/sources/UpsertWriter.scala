@@ -87,6 +87,13 @@ object UpsertWriter {
     */
   private val CommitInstantKey = "graft.commit.instant.ms"
 
+  /** Meta keys declaring the table's merge identity — written on
+    * every upsert commit so key-aware consumers need no out-of-band
+    * declaration.
+    */
+  val RecordKeysKey = "graft.record.keys"
+  val PrecombineKey = "graft.precombine.field"
+
   import org.apache.hadoop.fs.{FileSystem, Path}
 
   private def commitInstantOf(fs: FileSystem, dir: Path): Long =
@@ -523,7 +530,13 @@ object UpsertWriter {
           throw new java.io.IOException(s"resize rename $resized -> $versionDir failed")
       }
     }
-    writeMeta(fs, versionDir, meta) // metadata rides the commit: before the marker
+    // the table DECLARES its record keys / precombine column in the
+    // commit metadata (the Hudi hoodie.properties analog), so
+    // format-agnostic consumers — TableLoader.openIncremental — can
+    // derive the CDC feed without the caller re-stating keys
+    writeMeta(fs, versionDir, meta
+      + (RecordKeysKey -> recordKeys.mkString(","))
+      + (PrecombineKey -> precombine)) // metadata rides the commit: before the marker
     preCommit() // last-instant ownership re-check for concurrent writers
     fs.create(new Path(versionDir, CommitMarker), true).close() // commit point
 

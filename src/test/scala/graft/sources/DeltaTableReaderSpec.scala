@@ -103,6 +103,14 @@ class DeltaTableReaderSpec extends SparkSpec {
     assert(DeltaTableReader.snapshot(spark, table).count() == 180L) // 51..230
     val inc2 = DeltaTableReader.incrementalSince(spark, table, 1L)
     assert(inc2.count() == 30L, "a compaction commit must not surface as incremental data")
+    // VERSION AS OF: replay stops at the requested commit
+    val v0 = DeltaTableReader.snapshotAsOf(spark, table, 0L)
+    assert(v0.count() == 160L && v0.agg(max("id")).head().getLong(0) == 160L,
+      "VERSION AS OF 0 must serve the pre-rewrite state")
+    assert(DeltaTableReader.snapshotAsOf(spark, table, 2L).count() == 180L)
+    val eTT = intercept[IllegalArgumentException](
+      DeltaTableReader.snapshotAsOf(spark, table, 99L))
+    assert(eTT.getMessage.contains("does not exist"))
   }
 
   test("partitioned table reads as ONE scan (no per-partition union) with typed partition columns") {

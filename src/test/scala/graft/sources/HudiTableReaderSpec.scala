@@ -85,6 +85,14 @@ class HudiTableReaderSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       HudiTableReader.incrementalSince(spark, table, "20240102090000"))
     assert(e.getMessage.contains("no commits after"))
+    // point-in-time: as of c1 the g1 rewrite and the g3 insert are invisible
+    val asOf = HudiTableReader.snapshotAsOf(spark, table, "20240101090000")
+    assert(asOf.count() == 100L)
+    assert(asOf.where(col("id") === 5L).select("v").head().getLong(0) == 10L,
+      "as-of c1 must serve the pre-update slice of g1")
+    val eAsOf = intercept[IllegalArgumentException](
+      HudiTableReader.snapshotAsOf(spark, table, "20230101000000"))
+    assert(eAsOf.getMessage.contains("at or before"))
   }
 
   test("in-flight instants are invisible; MOR timelines refuse; not-a-table refuses") {
@@ -147,6 +155,100 @@ class HudiTableReaderSpec extends SparkSpec {
     val inc = HudiTableReader.incrementalSince(spark, table, "20240101090000")
     assert(inc.count() == 20L)
     assert(inc.agg(min("id"), max("id")).head().toSeq == Seq(81L, 100L))
+  }
+
+  private def writeDeltaCommitMeta(table: String, instant: String,
+      writes: Seq[(String, String, String)]): Unit = { // (partition, fileId, path)
+    val dir = new java.io.File(table, ".hoodie")
+    dir.mkdirs()
+    val byPart = writes.groupBy(_._1).map { case (p, ws) =>
+      s""""$p":[${ws.map { case (_, fid, path) =>
+        s"""{"fileId":"$fid","path":"$path","numWrites":1,"numUpdateWrites":1,""" +
+          s""""totalWriteBytes":256,"prevCommit":"20240101090000"}"""
+      }.mkString(",")}]"""
+    }.mkString(",")
+    val w = new java.io.PrintWriter(new java.io.File(dir, s"$instant.deltacommit"), "UTF-8")
+    try w.println(s"""{"partitionToWriteStats":{$byPart},"operationType":"UPSERT"}""")
+    finally w.close()
+  }
+
+  test("readOptimized: base files only on MOR (log writes invisible), equals snapshot on COW") {
+    // COW: readOptimized == snapshot (every slice is a base file)
+    val cow = tmpDir("hudi-ro-cow")
+    writeBaseFile(rows(1 to 30, "20240101090000"), cow, "g1_0-0-0_20240101090000.parquet")
+    writeCommit(cow, "20240101090000", Seq(("", "g1", "g1_0-0-0_20240101090000.parquet")))
+    assert(HudiTableReader.readOptimized(spark, cow).count() ==
+      HudiTableReader.snapshot(spark, cow).count())
+
+    // MOR: declared type + deltacommit log writes
+    val table = tmpDir("hudi-ro-mor")
+    writeBaseFile(rows(1 to 50, "20240101090000"), table, "g1_0-0-0_20240101090000.parquet")
+    writeCommit(table, "20240101090000", Seq(("", "g1", "g1_0-0-0_20240101090000.parquet")))
+    val pw = new java.io.PrintWriter(new java.io.File(s"$table/.hoodie", "hoodie.properties"), "UTF-8")
+    try {
+      pw.println("hoodie.table.name=fixture")
+      pw.println("hoodie.table.type=MERGE_ON_READ")
+    } finally pw.close()
+    // dc2: updates land in a LOG file for g1 (invisible to RO) and a
+    // brand-new group g2 gets its first BASE file (visible — Hudi
+    // MOR inserts may write base parquet via deltacommit)
+    new java.io.File(table, ".g1_20240102090000.log.1_0-0-0").createNewFile()
+    writeBaseFile(rows(51 to 70, "20240102090000"), table, "g2_0-0-0_20240102090000.parquet")
+    writeDeltaCommitMeta(table, "20240102090000", Seq(
+      ("", "g1", ".g1_20240102090000.log.1_0-0-0"),
+      ("", "g2", "g2_0-0-0_20240102090000.parquet")))
+    // snapshot refuses (log-merge needed) ...
+    val e = intercept[IllegalStateException](HudiTableReader.snapshot(spark, table))
+    assert(e.getMessage.contains("MERGE-ON-READ") || e.getMessage.contains("hoodie.table.type"))
+    // ... readOptimized serves base files only: g1's ORIGINAL rows + g2
+    val ro = HudiTableReader.readOptimized(spark, table)
+    assert(ro.count() == 70L)
+    assert(ro.where(col("_hoodie_commit_time") === "20240102090000").count() == 20L,
+      "g1's log-file updates must be invisible to the read-optimized view")
+    // c3: compaction = ordinary commit folding g1's logs into a new base
+    val s = spark
+    import s.implicits._
+    val g1v2 = withMeta((1 to 10).map(i => (i.toLong, s"k$i", i * 500L)).toDF("id", "key", "v"),
+      "20240103090000")
+      .unionByName(rows(11 to 50, "20240101090000"))
+    writeBaseFile(g1v2, table, "g1_0-0-1_20240103090000.parquet")
+    writeCommit(table, "20240103090000", Seq(("", "g1", "g1_0-0-1_20240103090000.parquet")))
+    val ro2 = HudiTableReader.readOptimized(spark, table)
+    assert(ro2.count() == 70L)
+    assert(ro2.where(col("id") === 5L).select("v").head().getLong(0) == 2500L,
+      "compaction must repoint the read-optimized slice to the new base file")
+  }
+
+  test("archived timeline refuses; replacecommit-only tail yields an EMPTY incremental, not an error") {
+    // replacecommit-only tail: clustering after the checkpoint moved
+    // rows but changed none — zero new rows is the correct answer
+    val table = tmpDir("hudi-rc-tail")
+    writeBaseFile(rows(1 to 40, "20240101090000"), table, "g1_0-0-0_20240101090000.parquet")
+    writeCommit(table, "20240101090000", Seq(("", "g1", "g1_0-0-0_20240101090000.parquet")))
+    writeBaseFile(rows(1 to 40, "20240101090000"), table, "gc_0-0-0_20240102090000.parquet")
+    val w = new java.io.PrintWriter(
+      new java.io.File(s"$table/.hoodie", "20240102090000.replacecommit"), "UTF-8")
+    try w.println(
+      """{"partitionToWriteStats":{"":[{"fileId":"gc","path":"gc_0-0-0_20240102090000.parquet","numWrites":40,"numUpdateWrites":0,"totalWriteBytes":1,"prevCommit":"null"}]},""" +
+        """"partitionToReplaceFileIds":{"":["g1"]},"operationType":"CLUSTER"}""")
+    finally w.close()
+    val inc = HudiTableReader.incrementalSince(spark, table, "20240101090000")
+    assert(inc.count() == 0L,
+      "a replacecommit-only tail pulls zero rows (stamps preserved), not an error")
+    // nothing at all after the checkpoint still refuses loudly
+    val e0 = intercept[IllegalArgumentException](
+      HudiTableReader.incrementalSince(spark, table, "20240102090000"))
+    assert(e0.getMessage.contains("no commits after"))
+    // an archived timeline refuses everything: file groups written by
+    // archived instants are invisible to active-commit replay
+    val dir = new java.io.File(table, ".hoodie/archived")
+    dir.mkdirs()
+    new java.io.File(dir, "commits_.archive.1_1-0-1").createNewFile()
+    val e1 = intercept[IllegalStateException](HudiTableReader.snapshot(spark, table))
+    assert(e1.getMessage.contains("archived"))
+    val e2 = intercept[IllegalStateException](
+      HudiTableReader.incrementalSince(spark, table, "20240101090000"))
+    assert(e2.getMessage.contains("archived"))
   }
 
   test("partitioned layout: commit paths under partition dirs resolve; schema rides the data files") {

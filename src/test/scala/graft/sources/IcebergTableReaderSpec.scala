@@ -128,6 +128,11 @@ class IcebergTableReaderSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       IcebergTableReader.incrementalSince(spark, table, 999L))
     assert(e.getMessage.contains("not an ancestor"))
+    // SNAPSHOT AS OF: snapshot 1's manifest list is its file inventory
+    assert(IcebergTableReader.snapshotAsOf(spark, table, 1L).count() == 160L)
+    val eTT = intercept[IllegalArgumentException](
+      IcebergTableReader.snapshotAsOf(spark, table, 999L))
+    assert(eTT.getMessage.contains("not in the metadata log"))
   }
 
   test("compaction (deleted entries in a replace snapshot) serves the snapshot; incremental refuses over it") {
@@ -156,20 +161,91 @@ class IcebergTableReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("not an append"))
   }
 
-  test("row-level delete files refuse loudly; not-a-table refuses") {
-    val table = tmpDir("ice-dv")
-    writeDataFile(rows(1 to 50), table, "data/f1.parquet")
+  test("without version-hint.text the NUMERICALLY highest metadata wins (v10 beats v9)") {
+    val table = tmpDir("ice-vernum")
+    // v9 points at a one-file snapshot, v10 at a two-file one — a
+    // lexicographic max would pick v9 and serve the stale snapshot
+    writeDataFile(rows(1 to 30), table, "data/f1.parquet")
+    writeDataFile(rows(31 to 80), table, "data/f2.parquet")
     writeAvro(s"$table/metadata/m1.avro", manifestEntrySchema,
       Seq(manifestRec(1, 1L, "data/f1.parquet")))
-    // a position-delete manifest (content=1 in the manifest list)
+    writeAvro(s"$table/metadata/snap-1.avro", manifestListSchema,
+      Seq(listRec("metadata/m1.avro", 1L)))
+    writeAvro(s"$table/metadata/m2.avro", manifestEntrySchema,
+      Seq(manifestRec(1, 2L, "data/f2.parquet")))
+    writeAvro(s"$table/metadata/snap-2.avro", manifestListSchema, Seq(
+      listRec("metadata/m1.avro", 1L), listRec("metadata/m2.avro", 2L)))
+    writeMetadata(table, 9, 1L, Seq((1L, None, "append", "metadata/snap-1.avro")))
+    writeMetadata(table, 10, 2L, Seq(
+      (1L, None, "append", "metadata/snap-1.avro"),
+      (2L, Some(1L), "append", "metadata/snap-2.avro")))
+    // writeMetadata leaves version-hint at 10; drop it to force discovery
+    assert(new java.io.File(s"$table/metadata", "version-hint.text").delete())
+    assert(IcebergTableReader.snapshot(spark, table).count() == 80L,
+      "v10.metadata.json must beat v9.metadata.json numerically, not lexicographically")
+    // the zero-padded uuid form also resolves numerically
+    val f10 = new java.io.File(s"$table/metadata", "v10.metadata.json")
+    val f9 = new java.io.File(s"$table/metadata", "v9.metadata.json")
+    assert(f9.renameTo(new java.io.File(s"$table/metadata",
+      "00009-aaaaaaaa-0000-0000-0000-000000000000.metadata.json")))
+    assert(f10.renameTo(new java.io.File(s"$table/metadata",
+      "00010-bbbbbbbb-0000-0000-0000-000000000000.metadata.json")))
+    assert(IcebergTableReader.snapshot(spark, table).count() == 80L,
+      "NNNNN-uuid metadata names must resolve by their numeric sequence")
+  }
+
+  test("v2 POSITION deletes are APPLIED; equality deletes refuse; bare file list refuses under deletes") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("ice-posdel")
+    writeDataFile(rows(1 to 50), table, "data/f1.parquet")   // positions 0..49
+    writeDataFile(rows(51 to 80), table, "data/f2.parquet")  // positions 0..29
+    writeAvro(s"$table/metadata/m1.avro", manifestEntrySchema, Seq(
+      manifestRec(1, 1L, "data/f1.parquet"),
+      manifestRec(1, 1L, "data/f2.parquet")))
+    writeAvro(s"$table/metadata/snap-1.avro", manifestListSchema,
+      Seq(listRec("metadata/m1.avro", 1L)))
+    // snapshot 2: a position-delete file kills f1 positions 0..9
+    // (ids 1..10) and f2 position 29 (id 80) — file_path kept
+    // RELATIVE like the manifests (absolute URIs normalize the same)
+    val delRows = (0L until 10L).map(p => ("data/f1.parquet", p)) :+ ("data/f2.parquet", 29L)
+    val stDir = tmpDir("ice-del-stage")
+    delRows.toDF("file_path", "pos").coalesce(1).write.mode("overwrite").parquet(stDir)
+    val delSrc = new java.io.File(stDir).listFiles().find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$table/data").mkdirs()
+    java.nio.file.Files.copy(delSrc.toPath,
+      new java.io.File(s"$table/data", "del1.parquet").toPath): Unit
     writeAvro(s"$table/metadata/md.avro", manifestEntrySchema,
       Seq(manifestRec(1, 2L, "data/del1.parquet", content = 1)))
     writeAvro(s"$table/metadata/snap-2.avro", manifestListSchema, Seq(
       listRec("metadata/m1.avro", 1L), listRec("metadata/md.avro", 2L, content = 1)))
-    writeMetadata(table, 2, 2L, Seq((2L, None, "delete", "metadata/snap-2.avro")))
-    val e = intercept[IllegalStateException](IcebergTableReader.snapshot(spark, table))
-    assert(e.getMessage.contains("DELETE manifest"),
-      s"row-level deletes must refuse, got: ${e.getMessage}")
+    writeMetadata(table, 2, 2L, Seq(
+      (1L, None, "append", "metadata/snap-1.avro"),
+      (2L, Some(1L), "delete", "metadata/snap-2.avro")))
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.count() == 69L) // 80 - 11 deleted
+    assert(snap.agg(min("id"), max("id")).head().toSeq == Seq(11L, 79L))
+    // the bare file list refuses under deletes (it would over-return)
+    val eAf = intercept[IllegalStateException](IcebergTableReader.activeFiles(spark, table))
+    assert(eAf.getMessage.contains("position-delete"))
+    // incremental across the delete snapshot refuses (not an append)
+    val eInc = intercept[IllegalStateException](
+      IcebergTableReader.incrementalSince(spark, table, 1L))
+    assert(eInc.getMessage.contains("not an append"))
+
+    // EQUALITY deletes (content=2) still refuse
+    val t2 = tmpDir("ice-eqdel")
+    writeDataFile(rows(1 to 20), t2, "data/f1.parquet")
+    writeAvro(s"$t2/metadata/m1.avro", manifestEntrySchema,
+      Seq(manifestRec(1, 1L, "data/f1.parquet")))
+    writeAvro(s"$t2/metadata/me.avro", manifestEntrySchema,
+      Seq(manifestRec(1, 2L, "data/eq1.parquet", content = 2)))
+    writeAvro(s"$t2/metadata/snap-2.avro", manifestListSchema, Seq(
+      listRec("metadata/m1.avro", 1L), listRec("metadata/me.avro", 2L, content = 1)))
+    writeMetadata(t2, 2, 2L, Seq((2L, None, "delete", "metadata/snap-2.avro")))
+    val e = intercept[IllegalStateException](IcebergTableReader.snapshot(spark, t2))
+    assert(e.getMessage.contains("EQUALITY"),
+      s"equality deletes must refuse, got: ${e.getMessage}")
     val notTable = tmpDir("ice-none")
     val e2 = intercept[IllegalArgumentException](IcebergTableReader.snapshot(spark, notTable))
     assert(e2.getMessage.contains("metadata"))

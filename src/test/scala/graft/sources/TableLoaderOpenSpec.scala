@@ -17,13 +17,33 @@ class TableLoaderOpenSpec extends SparkSpec {
   }
 
   test("detectFormat + open dispatch: graft, delta, hudi, plain; incremental contracts hold") {
-    // graft versioned
+    // graft versioned: upserts declare their record keys in commit
+    // metadata, so openIncremental derives the CDC feed with no
+    // out-of-band key declaration — and it must equal the explicit
+    // SnapshotDiff.changeFeed call
     val g = tmpDir("open-graft")
-    UpsertWriter.upsert(rows(1 to 40).withColumn("ver", lit(1L)), g, Seq("id"), "ver")
+    UpsertWriter.upsert(rows(1 to 40).withColumn("ver", lit(1L)), g, Seq("id"), "ver",
+      keepVersions = 3)
     assert(TableLoader.detectFormat(spark, g) == TableLoader.GraftVersioned)
     assert(TableLoader.open(spark, g).count() == 40L)
-    val eg = intercept[IllegalArgumentException](TableLoader.openIncremental(spark, g, "1"))
-    assert(eg.getMessage.contains("key-aware"))
+    UpsertWriter.upsert(
+      rows(31 to 50).withColumn("v", col("v") * 10L).withColumn("ver", lit(2L)),
+      g, Seq("id"), "ver", keepVersions = 3)
+    val feed = TableLoader.openIncremental(spark, g, "1")
+    val explicit = graft.operators.SnapshotDiff.changeFeed(
+      UpsertWriter.readVersion(spark, g, 1), UpsertWriter.read(spark, g), Seq("id"))
+    assert(feed.columns.toSeq == explicit.columns.toSeq)
+    assert(feed.exceptAll(explicit).isEmpty && explicit.exceptAll(feed).isEmpty,
+      "openIncremental must be exactly the explicit changeFeed")
+    // 10 updates (ids 31..40, two images each) + 10 inserts
+    assert(feed.count() == 30L)
+    assert(feed.where(col("change_type") === "insert").count() == 10L)
+    // a keyless table (raw commitVersion services only) refuses with directions
+    val g2 = tmpDir("open-graft-keyless")
+    UpsertWriter.upsert(rows(1 to 5).withColumn("ver", lit(1L)), g2, Seq("id"), "ver")
+    new java.io.File(s"$g2/v00000001", "_graft_meta").delete(): Unit
+    val eg = intercept[IllegalArgumentException](TableLoader.openIncremental(spark, g2, "1"))
+    assert(eg.getMessage.contains("graft.record.keys"))
 
     // delta layout (external-writer fixture shape)
     val d = tmpDir("open-delta")

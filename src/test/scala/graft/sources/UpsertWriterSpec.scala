@@ -349,11 +349,16 @@ class UpsertWriterSpec extends SparkSpec {
     assert(UpsertWriter.readMeta(spark, table).isEmpty)
     UpsertWriter.upsert(df((1L, 1L, "a")), table, Seq("k"), "ver",
       meta = Map("graft.appliedBatchId" -> "7", "note" -> "first"))
-    assert(UpsertWriter.readMeta(spark, table) ==
-      Map("graft.appliedBatchId" -> "7", "note" -> "first"))
-    // metadata is PER VERSION: a commit without meta yields an empty map
+    // caller meta rides alongside the table's own key declarations
+    // (record keys + precombine, written on every upsert commit)
+    assert(UpsertWriter.readMeta(spark, table) == Map(
+      "graft.appliedBatchId" -> "7", "note" -> "first",
+      UpsertWriter.RecordKeysKey -> "k", UpsertWriter.PrecombineKey -> "ver"))
+    // CALLER metadata is PER VERSION: a commit without meta carries
+    // only the standing key declarations
     UpsertWriter.upsert(df((2L, 1L, "b")), table, Seq("k"), "ver")
-    assert(UpsertWriter.readMeta(spark, table).isEmpty)
+    assert(UpsertWriter.readMeta(spark, table) == Map(
+      UpsertWriter.RecordKeysKey -> "k", UpsertWriter.PrecombineKey -> "ver"))
   }
 
   test("a committed version is never clobbered: slow writer with a broken claim aborts, no lost update") {
