@@ -1327,6 +1327,37 @@ object Scale {
       } { noop(sources.IcebergTableReader.snapshot(spark, p1)) }
     }
 
+    // Iceberg writer: distributed write + driver manifest/metadata
+    // commit bounded by |files| — ~bytes ratio
+    if (wanted("q_iceberg_write")) {
+      rehearseUnit("q_iceberg_write") {
+        val t = scaleScratch("iwr-01") + "/t"
+        sources.IcebergTableWriter.create(ord01, t)
+        noop(sources.IcebergTableReader.snapshot(spark, t))
+      } {
+        val t = scaleScratch("iwr-1") + "/t"
+        sources.IcebergTableWriter.create(ord1, t)
+        noop(sources.IcebergTableReader.snapshot(spark, t))
+      }
+    }
+
+    // streaming Delta sink: per-batch append + txn-watermark probe;
+    // batches are 10x bigger on the sf1 leg, batch count fixed
+    if (wanted("q_stream_delta_sink")) {
+      def sinkRun(src: String, root: String): Unit = {
+        val t = root + "/t"
+        streaming.DeltaSink.streamEventsToDelta(spark, src, t, "graft-scale-sink",
+          queryName = "graft_scale_dsink_" +
+            java.util.UUID.randomUUID().toString.replace("-", ""))
+        noop(sources.DeltaTableReader.snapshot(spark, t))
+      }
+      val src01 = streaming.EventStream.streamableDir(spark, s"$sfDir/events.parquet")
+      val src1 = streaming.EventStream.streamableDir(spark, s"$outRoot/events.parquet")
+      rehearseUnit("q_stream_delta_sink") {
+        sinkRun(src01, scaleScratch("dsink-01"))
+      } { sinkRun(src1, scaleScratch("dsink-1")) }
+    }
+
     // format-agnostic CDC open on a graft table: the feed is one
     // full-outer join of the two snapshots — ~bytes ratio
     if (wanted("q_open_incremental")) {

@@ -1028,6 +1028,43 @@ trait ReferenceQueries extends QueryBase {
         |WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #109 Iceberg table WRITER round-trip
+    * ([[graft.sources.IcebergTableWriter]] — the third leg of the
+    * writer-side interop surface): create + append land spec-true v2
+    * metadata (Avro manifests with real footer record counts,
+    * manifest-reuse lists, parent-chained snapshot log, vN metadata
+    * under the filesystem-catalog CAS). Read-back goes through the
+    * snapshot AND the incremental pull since the first snapshot —
+    * proving the added_snapshot_id bookkeeping, not just the bytes.
+    */
+  val qIcebergWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("ice-write") + "/t"
+      val o = t(s, dir, "orders")
+      val s1 = IcebergTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table)
+      IcebergTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table)
+      val full = IcebergTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("snapshot"))
+      val pulled = IcebergTableReader.incrementalSince(s, table, s1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("incremental"))
+      full.unionByName(pulled)
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  'snapshot' AS slice
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'incremental'
+        |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority""".stripMargin))
+
   /** #104 External Iceberg table SNAPSHOT read
     * ([[graft.sources.IcebergTableReader]]): version-hint → metadata
     * JSON → the current snapshot's Avro manifest list → live data
@@ -1108,6 +1145,38 @@ trait ReferenceQueries extends QueryBase {
         |SELECT o_orderpriority, count(*),
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'incremental'
         |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority""".stripMargin))
+
+  /** #22w Streaming ingestion INTO an external Delta table
+    * ([[graft.streaming.DeltaSink]]): each micro-batch appends with a
+    * protocol `txn {appId, version=batchId}` action, and a replayed
+    * batch is skipped off the table's own transaction watermark —
+    * exactly-once from the log itself, the mechanism Delta's own
+    * streaming sink uses. The run replays a committed batch
+    * explicitly (must no-op, in-run require) before the oracle
+    * compares the final snapshot to the full source.
+    */
+  val qStreamDeltaSink: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.DeltaTableReader
+      import graft.streaming.DeltaSink
+      val table = scratch("stream-delta-sink") + "/t"
+      val appId = "graft-delta-sink"
+      val src = graft.streaming.EventStream.streamableDir(s, s"$dir/events.parquet")
+      DeltaSink.streamEventsToDelta(s, src, table, appId,
+        queryName = "graft_delta_sink_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      // at-least-once redelivery: replaying batch 0 must be a no-op
+      val replayBatch = t(s, dir, "events").limit(10)
+      require(!DeltaSink.appendBatch(replayBatch, table, appId, batchId = 0L),
+        "a replayed batch id at/below the txn watermark must not re-land")
+      DeltaTableReader.snapshot(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    },
+    oracle = Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin))
 
   /** #105b Format-agnostic incremental open on a GRAFT versioned
     * table ([[graft.sources.TableLoader.openIncremental]]): upsert

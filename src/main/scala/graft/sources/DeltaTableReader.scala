@@ -389,6 +389,56 @@ object DeltaTableReader {
   def activeFiles(spark: SparkSession, tablePath: String): Seq[FileAction] =
     snapshotState(spark, tablePath).active
 
+  /** Highest `txn` action version committed for `appId` — the
+    * protocol's application-transaction watermark, what makes a
+    * streaming writer's micro-batch appends IDEMPOTENT (skip batches
+    * at or below it on restart/replay). None when the table does not
+    * exist yet or carries no transaction for the app. Replays both
+    * the checkpoint's `txn` column (post-cleanup the only copy) and
+    * the JSON tail.
+    */
+  def lastTransactionVersion(spark: SparkSession, tablePath: String,
+      appId: String): Option[Long] = {
+    val dir = logDir(tablePath)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return None
+    var best: Option[Long] = None
+    def consider(v: Long): Unit = if (best.forall(_ < v)) best = Some(v)
+    val lastCkpt = new Path(dir, "_last_checkpoint")
+    val ckptVersion: Option[Long] =
+      if (!fs.exists(lastCkpt)) None
+      else Some(mapper.readTree(readText(fs, lastCkpt)).get("version").asLong())
+    ckptVersion.foreach { v =>
+      val single = new Path(dir, f"$v%020d.checkpoint.parquet")
+      val ckptFiles: Seq[String] =
+        if (fs.exists(single)) Seq(single.toString)
+        else fs.listStatus(dir).toIndexedSeq.map(_.getPath)
+          .filter(p => p.getName.startsWith(f"$v%020d.checkpoint.") &&
+            p.getName.endsWith(".parquet"))
+          .map(_.toString)
+      if (ckptFiles.nonEmpty) {
+        val rows = spark.read.parquet(ckptFiles: _*)
+        if (rows.columns.contains("txn")) {
+          rows.select(col("txn.appId").as("a"), col("txn.version").as("v"))
+            .where(col("a") === appId)
+            .agg(max(col("v")))
+            .collect().headOption
+            .foreach(r => if (!r.isNullAt(0)) consider(r.getLong(0)))
+        }
+      }
+    }
+    versions(spark, tablePath).filter(v => ckptVersion.forall(v > _)).foreach { v =>
+      readText(fs, new Path(dir, f"$v%020d.json")).split('\n').filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("txn")) {
+          val t = node.get("txn")
+          if (t.get("appId").asText() == appId) consider(t.get("version").asLong())
+        }
+      }
+    }
+    best
+  }
+
   /** Spark type of a partition column, from the table's metaData
     * schemaString (a Spark-JSON struct). Falls back to string.
     */
@@ -542,6 +592,25 @@ object DeltaTableReader {
   def snapshotAsOf(spark: SparkSession, tablePath: String, version: Long): DataFrame = {
     val s = snapshotState(spark, tablePath, asOf = Some(version))
     readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson)
+  }
+
+  /** TIMESTAMP AS OF: resolve the latest version whose commit landed
+    * at or before `timestampMs` — Delta's own rule (commit-file
+    * modification times order the timeline) — and read that version.
+    * A timestamp before the earliest available commit refuses.
+    */
+  def snapshotAsOfTimestamp(spark: SparkSession, tablePath: String,
+      timestampMs: Long): DataFrame = {
+    val dir = logDir(tablePath)
+    val fs = fsOf(spark, dir)
+    val stamped = versions(spark, tablePath).map { v =>
+      v -> fs.getFileStatus(new Path(dir, f"$v%020d.json")).getModificationTime
+    }
+    val eligible = stamped.filter(_._2 <= timestampMs).map(_._1)
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: no commit at or before timestamp $timestampMs " +
+        s"(earliest: ${stamped.headOption.map(_._2).getOrElse(-1L)})")
+    snapshotAsOf(spark, tablePath, eligible.max)
   }
 
   /** Incremental read: rows ADDED by commits `sinceVersion+1..latest`

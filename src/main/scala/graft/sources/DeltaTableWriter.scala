@@ -148,7 +148,12 @@ object DeltaTableWriter {
     * carries protocol, metaData (schema + partition columns) and the
     * adds. Refuses an existing table (append to those).
     */
-  def create(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil): Long = {
+  private def txnLine(t: (String, Long)): String =
+    s"""{"txn":{"appId":${jsonStr(t._1)},"version":${t._2},""" +
+      s""""lastUpdated":${System.currentTimeMillis()}}}"""
+
+  def create(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
+      transaction: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -165,9 +170,8 @@ object DeltaTableWriter {
         s""""partitionColumns":[${partitionBy.map(jsonStr).mkString(",")}],""" +
         s""""configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
     commit(spark, tablePath, 0L,
-      protocol +: metaData +: files.map { case (rel, size, mtime) =>
-        addLine(rel, size, mtime, partitionBy)
-      })
+      protocol +: metaData +: (transaction.map(txnLine).toSeq ++
+        files.map { case (rel, size, mtime) => addLine(rel, size, mtime, partitionBy) }))
   }
 
   /** Append `df` to an existing table as a new commit; partitioning
@@ -175,7 +179,8 @@ object DeltaTableWriter {
     * any order; a mismatched set refuses — silent schema drift is the
     * reader's problem forever after).
     */
-  def append(df: DataFrame, tablePath: String): Long = {
+  def append(df: DataFrame, tablePath: String,
+      transaction: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val state = DeltaTableReader.snapshotState(spark, tablePath)
     val tableCols = state.schemaJson
@@ -189,6 +194,7 @@ object DeltaTableWriter {
     val aligned = df.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
     val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
     commit(spark, tablePath, state.version + 1,
-      files.map { case (rel, size, mtime) => addLine(rel, size, mtime, state.partitionColumns) })
+      transaction.map(txnLine).toSeq ++
+        files.map { case (rel, size, mtime) => addLine(rel, size, mtime, state.partitionColumns) })
   }
 }

@@ -172,6 +172,32 @@ object IcebergTableReader {
         fieldInt(r, "content", 0))
     }
 
+  /** The current snapshot's manifest-list rows as (manifestPath,
+    * addedSnapshotId, content) — exposed for the writer's
+    * manifest-reuse commits.
+    */
+  private[sources] def manifestListEntries(spark: SparkSession, tablePath: String,
+      manifestList: String): Seq[(String, Long, Int)] =
+    manifestsOf(spark, resolve(tablePath, manifestList)).map { case (p, added, content) =>
+      (p, added.getOrElse(0L), content)
+    }
+
+  /** Numeric version of the current metadata file (hint value when
+    * present, else the discovered numeric max) — the writer's next
+    * version is this + 1.
+    */
+  private[sources] def currentMetadataVersion(spark: SparkSession, tablePath: String): Long = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val name = currentMetadataPath(fs, tablePath).getName.stripSuffix(".metadata.json")
+    if (name.startsWith("v") && name.drop(1).forall(_.isDigit)) name.drop(1).toLong
+    else {
+      val digits = name.takeWhile(_.isDigit)
+      if (digits.nonEmpty) digits.toLong
+      else throw new IllegalStateException(
+        s"$tablePath: cannot parse a numeric version out of $name.metadata.json")
+    }
+  }
+
   private def currentSnapshot(spark: SparkSession, tablePath: String): SnapshotInfo = {
     val (snaps, currentId) = snapshotLog(spark, tablePath)
     snaps.find(_.id == currentId).getOrElse(throw new IllegalArgumentException(

@@ -133,6 +133,22 @@ object TableLoader {
         s"$path is a plain parquet directory — no commit log to read incrementally")
     }
 
+  /** Format-agnostic TIME TRAVEL: read the table as of a
+    * format-native token — graft/Delta: a version number; Iceberg: a
+    * snapshot id; Hudi: an instant time string. Each adapter's
+    * refusal contract (expired snapshots, cleaned logs, pre-history
+    * instants) applies unchanged.
+    */
+  def openAsOf(spark: SparkSession, path: String, token: String): DataFrame =
+    detectFormat(spark, path) match {
+      case GraftVersioned => UpsertWriter.readVersion(spark, path, token.toInt)
+      case DeltaFormat    => DeltaTableReader.snapshotAsOf(spark, path, token.toLong)
+      case HudiFormat     => HudiTableReader.snapshotAsOf(spark, path, token)
+      case IcebergFormat  => IcebergTableReader.snapshotAsOf(spark, path, token.toLong)
+      case PlainParquet   => throw new IllegalArgumentException(
+        s"$path is a plain parquet directory — no commit log to time-travel")
+    }
+
   /** All driver testdata tables. */
   val AllTables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

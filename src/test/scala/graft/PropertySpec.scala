@@ -142,4 +142,75 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"w=$w docs=$docs")
     }
   }
+
+  test("Delta DV codec round-trips random 64-bit position sets (both Z85 and sidecar forms)") {
+    import graft.sources.DeltaDv
+    trials(100) { rnd =>
+      // positions spread over several high-32-bit keys, including
+      // container boundaries and the unsigned-int upper half
+      val ps = (0 until rnd.nextInt(60)).map { _ =>
+        val key = rnd.nextInt(4).toLong
+        val low = rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(100).toLong
+          case 1 => 0xFFFFL + rnd.nextInt(100)
+          case 2 => 0x7FFFFFFFL - rnd.nextInt(100)
+          case _ => 0x80000000L + rnd.nextInt(100) // above Int.MaxValue
+        }
+        (key << 32) | low
+      }.distinct.sorted
+      assert(DeltaDv.deserializePositions(DeltaDv.serializePositions(ps)).toSeq == ps,
+        s"ps=$ps")
+      // z85 round trip on random byte blobs of every length mod 4
+      val blob = Array.fill[Byte](rnd.nextInt(37))(rnd.nextInt().toByte)
+      assert(DeltaDv.z85Decode(DeltaDv.z85Encode(blob)).take(blob.length).toSeq == blob.toSeq)
+    }
+  }
+
+  test("Delta DV snapshot equals the anti-filter reference on random delete sets") {
+    import graft.sources.{DeltaDv, DeltaTableReader, DeltaTableWriter}
+    val s = spark
+    import s.implicits._
+    trials(5) { rnd =>
+      val table = tmpDir("prop-dv") + "/t"
+      val n = 50 + rnd.nextInt(150)
+      DeltaTableWriter.create(
+        (1 to n).map(i => (i.toLong, i % 7)).toDF("id", "g"), table)
+      val files = DeltaTableReader.activeFiles(spark, table)
+      // random positions per file, written in randomly-chosen forms
+      val conf = spark.sparkContext.hadoopConfiguration
+      val perFile = files.map { f =>
+        val count = spark.read.parquet(s"$table/${f.path}").count()
+        val kill = (0L until count).filter(_ => rnd.nextBoolean())
+        (f.path, count, kill)
+      }
+      val lines = perFile.flatMap { case (rel, _, kill) =>
+        if (kill.isEmpty) Nil
+        else {
+          val d =
+            if (rnd.nextBoolean()) DeltaDv.inlineDescriptor(kill)
+            else DeltaDv.writeSidecar(conf, table, Seq(kill)).head
+          Seq(
+            s"""{"remove":{"path":"$rel","deletionTimestamp":1,"dataChange":true}}""",
+            s"""{"add":{"path":"$rel","partitionValues":{},"size":1,"modificationTime":1,""" +
+              s""""dataChange":true,"deletionVector":${DeltaDv.descriptorJson(d)}}}""")
+        }
+      }
+      if (lines.nonEmpty) {
+        val w = new java.io.PrintWriter(
+          new java.io.File(s"$table/_delta_log", f"${1L}%020d.json"), "UTF-8")
+        try lines.foreach(w.println) finally w.close()
+      }
+      // reference: per file, keep rows whose position is not killed
+      val expected = perFile.map { case (rel, count, kill) =>
+        val killSet = kill.toSet
+        spark.read.parquet(s"$table/$rel")
+          .withColumn("_p", org.apache.spark.sql.functions.col("_metadata.row_index"))
+          .collect().filterNot(r => killSet(r.getLong(r.length - 1)))
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      }.reduce(_ ++ _)
+      val got = DeltaTableReader.snapshot(spark, table)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expected, s"n=$n")
+    }
+  }
 }

@@ -111,6 +111,19 @@ class DeltaTableReaderSpec extends SparkSpec {
     val eTT = intercept[IllegalArgumentException](
       DeltaTableReader.snapshotAsOf(spark, table, 99L))
     assert(eTT.getMessage.contains("does not exist"))
+    // TIMESTAMP AS OF: commit-file mtimes order the timeline (pinned
+    // here — the fixture wrote all commits within one millisecond)
+    val dir = new java.io.File(s"$table/_delta_log")
+    (0L to 3L).foreach { v =>
+      assert(new java.io.File(dir, f"$v%020d.json")
+        .setLastModified(1700000000000L + v * 60000L))
+    }
+    val asOfTs = DeltaTableReader.snapshotAsOfTimestamp(
+      spark, table, 1700000000000L + 90000L) // between v1 and v2
+    assert(asOfTs.count() == 150L, "TIMESTAMP AS OF between v1 and v2 must serve v1")
+    val eTs = intercept[IllegalArgumentException](
+      DeltaTableReader.snapshotAsOfTimestamp(spark, table, 1000L))
+    assert(eTs.getMessage.contains("no commit at or before"))
   }
 
   test("partitioned table reads as ONE scan (no per-partition union) with typed partition columns") {

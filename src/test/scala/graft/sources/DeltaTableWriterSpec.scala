@@ -94,6 +94,24 @@ class DeltaTableWriterSpec extends SparkSpec {
     assert(snap.where(col("prio").isNull).count() == 0L)
   }
 
+  test("txn actions: transaction watermark reads back; DeltaSink batch replay is a no-op") {
+    val table = tmpDir("dwr-txn") + "/t"
+    assert(DeltaTableReader.lastTransactionVersion(spark, table, "app").isEmpty,
+      "no table yet = no watermark")
+    assert(graft.streaming.DeltaSink.appendBatch(df(1 to 20), table, "app", 0L))
+    assert(graft.streaming.DeltaSink.appendBatch(df(21 to 30), table, "app", 1L))
+    assert(DeltaTableReader.lastTransactionVersion(spark, table, "app").contains(1L))
+    assert(DeltaTableReader.lastTransactionVersion(spark, table, "other").isEmpty,
+      "watermarks are per appId")
+    // at-least-once redelivery of both batches: no-ops, table unchanged
+    assert(!graft.streaming.DeltaSink.appendBatch(df(1 to 20), table, "app", 0L))
+    assert(!graft.streaming.DeltaSink.appendBatch(df(21 to 30), table, "app", 1L))
+    assert(DeltaTableReader.snapshot(spark, table).count() == 30L)
+    // a NEW batch still lands after replays
+    assert(graft.streaming.DeltaSink.appendBatch(df(31 to 35), table, "app", 2L))
+    assert(DeltaTableReader.snapshot(spark, table).count() == 35L)
+  }
+
   test("commit CAS: an occupied version slot bumps the writer to the next one") {
     val table = tmpDir("dwr-cas") + "/t"
     DeltaTableWriter.create(df(1 to 10), table): Unit

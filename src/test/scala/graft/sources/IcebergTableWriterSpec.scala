@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Interop contract: what the writer lands must be a spec-true
+  * Iceberg v2 table — the round trip goes through
+  * [[IcebergTableReader]], itself locked against hand-built Avro
+  * manifest fixtures.
+  */
+class IcebergTableWriterSpec extends SparkSpec {
+
+  private def df(r: Range) = {
+    val s = spark
+    import s.implicits._
+    r.map(i => (i.toLong, s"g${i % 4}", i * 2L)).toDF("id", "grp", "v")
+  }
+
+  test("create + append round-trip; incremental and time travel ride the parent chain") {
+    val table = tmpDir("iwr-basic") + "/t"
+    val s1 = IcebergTableWriter.create(df(1 to 100), table)
+    assert(s1 == 1L)
+    assert(IcebergTableReader.snapshot(spark, table).count() == 100L)
+    assert(TableLoader.detectFormat(spark, table) == TableLoader.IcebergFormat)
+    val s2 = IcebergTableWriter.append(df(101 to 130), table)
+    assert(s2 == 2L)
+    assert(IcebergTableReader.snapshot(spark, table).count() == 130L)
+    // incremental since s1: exactly the appended snapshot's rows
+    // (the reused s1 manifest must be excluded by added_snapshot_id)
+    val inc = IcebergTableReader.incrementalSince(spark, table, s1)
+    assert(inc.count() == 30L)
+    assert(inc.agg(min("id"), max("id")).head().toSeq == Seq(101L, 130L))
+    // format-agnostic dispatch
+    assert(TableLoader.openIncremental(spark, table, s1.toString).count() == 30L)
+    // time travel back to snapshot 1
+    assert(IcebergTableReader.snapshotAsOf(spark, table, s1).count() == 100L)
+    // refusals
+    val s = spark
+    import s.implicits._
+    val e = intercept[IllegalArgumentException](
+      IcebergTableWriter.append(Seq((1L, "x")).toDF("id", "grp"), table))
+    assert(e.getMessage.contains("columns"))
+    val e2 = intercept[IllegalArgumentException](IcebergTableWriter.create(df(1 to 5), table))
+    assert(e2.getMessage.contains("already"))
+  }
+
+  test("manifest metadata is real: footer record counts, manifest reuse, CAS version bump") {
+    val table = tmpDir("iwr-meta") + "/t"
+    IcebergTableWriter.create(df(1 to 50), table): Unit
+    IcebergTableWriter.append(df(51 to 70), table): Unit
+    // record_count in manifests must sum to the true row count
+    val (snaps, currentId) = IcebergTableReader.snapshotLog(spark, table)
+    val current = snaps.find(_.id == currentId).get
+    val manifests = IcebergTableReader.manifestListEntries(spark, table, current.manifestList)
+    assert(manifests.size >= 2, "the append's list must REUSE the create's manifest")
+    assert(manifests.map(_._2).distinct.sorted == Seq(1L, 2L))
+    // a racing writer already holds v3: the CAS bumps to v4
+    val w = new java.io.PrintWriter(
+      new java.io.File(s"$table/metadata", "v3.metadata.json"), "UTF-8")
+    // the squatter is a full valid metadata copy (a real racer's
+    // commit), pointing at the current state
+    try w.println(scala.io.Source.fromFile(
+      s"$table/metadata/v2.metadata.json").mkString) finally w.close()
+    // drop the Hadoop CRC sidecar before rewriting the hint out-of-band
+    new java.io.File(s"$table/metadata", ".version-hint.text.crc").delete(): Unit
+    val hint = new java.io.PrintWriter(
+      new java.io.File(s"$table/metadata", "version-hint.text"), "UTF-8")
+    try hint.println("3") finally hint.close()
+    IcebergTableWriter.append(df(71 to 80), table): Unit
+    assert(new java.io.File(s"$table/metadata", "v4.metadata.json").exists(),
+      "the CAS loser must land at the next free version, not overwrite")
+    assert(IcebergTableReader.snapshot(spark, table).count() == 80L)
+  }
+}

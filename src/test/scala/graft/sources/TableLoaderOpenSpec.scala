@@ -79,4 +79,35 @@ class TableLoaderOpenSpec extends SparkSpec {
     val ep = intercept[IllegalArgumentException](TableLoader.openIncremental(spark, p, "0"))
     assert(ep.getMessage.contains("no commit log"))
   }
+
+  test("openAsOf: one token, any format's time travel") {
+    // graft versioned: version 1 before the second upsert
+    val g = tmpDir("asof-graft")
+    UpsertWriter.upsert(rows(1 to 20).withColumn("ver", lit(1L)), g, Seq("id"), "ver",
+      keepVersions = 3)
+    UpsertWriter.upsert(rows(21 to 30).withColumn("ver", lit(2L)), g, Seq("id"), "ver",
+      keepVersions = 3)
+    assert(TableLoader.openAsOf(spark, g, "1").count() == 20L)
+    assert(TableLoader.open(spark, g).count() == 30L)
+    // delta: version 0 before the append (writer-landed table)
+    val d = tmpDir("asof-delta") + "/t"
+    DeltaTableWriter.create(rows(1 to 15), d)
+    DeltaTableWriter.append(rows(16 to 40), d)
+    assert(TableLoader.openAsOf(spark, d, "0").count() == 15L)
+    // iceberg: snapshot 1 before the append
+    val i = tmpDir("asof-ice") + "/t"
+    IcebergTableWriter.create(rows(1 to 12), i)
+    IcebergTableWriter.append(rows(13 to 50), i)
+    assert(TableLoader.openAsOf(spark, i, "1").count() == 12L)
+    // hudi: the create instant before the append
+    val h = tmpDir("asof-hudi") + "/t"
+    val c1 = HudiTableWriter.create(rows(1 to 18), h)
+    HudiTableWriter.append(rows(19 to 60), h)
+    assert(TableLoader.openAsOf(spark, h, c1).count() == 18L)
+    // plain parquet refuses
+    val p = tmpDir("asof-plain")
+    rows(1 to 5).write.mode("overwrite").parquet(p)
+    val e = intercept[IllegalArgumentException](TableLoader.openAsOf(spark, p, "0"))
+    assert(e.getMessage.contains("time-travel"))
+  }
 }
