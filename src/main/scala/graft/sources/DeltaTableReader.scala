@@ -389,21 +389,18 @@ object DeltaTableReader {
   def activeFiles(spark: SparkSession, tablePath: String): Seq[FileAction] =
     snapshotState(spark, tablePath).active
 
-  /** Highest `txn` action version committed for `appId` — the
-    * protocol's application-transaction watermark, what makes a
-    * streaming writer's micro-batch appends IDEMPOTENT (skip batches
-    * at or below it on restart/replay). None when the table does not
-    * exist yet or carries no transaction for the app. Replays both
-    * the checkpoint's `txn` column (post-cleanup the only copy) and
-    * the JSON tail.
+  /** Per-appId `txn` watermarks — the protocol's
+    * application-transaction state, replayed from the checkpoint's
+    * `txn` column (post-cleanup the only copy) plus the JSON tail.
+    * Empty when the table does not exist yet.
     */
-  def lastTransactionVersion(spark: SparkSession, tablePath: String,
-      appId: String): Option[Long] = {
+  def transactionWatermarks(spark: SparkSession, tablePath: String): Map[String, Long] = {
     val dir = logDir(tablePath)
     val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) return None
-    var best: Option[Long] = None
-    def consider(v: Long): Unit = if (best.forall(_ < v)) best = Some(v)
+    if (!fs.exists(dir)) return Map.empty
+    val best = scala.collection.mutable.Map.empty[String, Long]
+    def consider(app: String, v: Long): Unit =
+      if (best.get(app).forall(_ < v)) best(app) = v
     val lastCkpt = new Path(dir, "_last_checkpoint")
     val ckptVersion: Option[Long] =
       if (!fs.exists(lastCkpt)) None
@@ -420,10 +417,10 @@ object DeltaTableReader {
         val rows = spark.read.parquet(ckptFiles: _*)
         if (rows.columns.contains("txn")) {
           rows.select(col("txn.appId").as("a"), col("txn.version").as("v"))
-            .where(col("a") === appId)
-            .agg(max(col("v")))
-            .collect().headOption
-            .foreach(r => if (!r.isNullAt(0)) consider(r.getLong(0)))
+            .where(col("a").isNotNull)
+            .groupBy(col("a")).agg(max(col("v")).as("v"))
+            .collect()
+            .foreach(r => consider(r.getString(0), r.getLong(1)))
         }
       }
     }
@@ -432,12 +429,21 @@ object DeltaTableReader {
         val node = mapper.readTree(line)
         if (node.has("txn")) {
           val t = node.get("txn")
-          if (t.get("appId").asText() == appId) consider(t.get("version").asLong())
+          consider(t.get("appId").asText(), t.get("version").asLong())
         }
       }
     }
-    best
+    best.toMap
   }
+
+  /** Highest `txn` action version committed for `appId` — what makes
+    * a streaming writer's micro-batch appends IDEMPOTENT (skip
+    * batches at or below it on restart/replay). None when the table
+    * does not exist yet or carries no transaction for the app.
+    */
+  def lastTransactionVersion(spark: SparkSession, tablePath: String,
+      appId: String): Option[Long] =
+    transactionWatermarks(spark, tablePath).get(appId)
 
   /** Spark type of a partition column, from the table's metaData
     * schemaString (a Spark-JSON struct). Falls back to string.

@@ -39,6 +39,15 @@ object DeltaTableWriter {
   /** Max CAS retries when racing another writer for a version slot. */
   val MaxCommitAttempts: Int = 20
 
+  /** Write a checkpoint every this many commits (0 disables). The
+    * checkpoint is what keeps log replay — and therefore EVERY
+    * subsequent read and append — bounded by commits-since-checkpoint
+    * instead of the table's whole history: without it a streaming
+    * sink's per-batch state probe is O(commits) and the ingest run
+    * goes quadratic in batch count.
+    */
+  val DefaultCheckpointInterval: Int = 10
+
   private def logDir(tablePath: String): Path = new Path(tablePath, "_delta_log")
 
   /** Percent-encode a relative path for `add.path` per PROTOCOL.md
@@ -179,8 +188,87 @@ object DeltaTableWriter {
     * any order; a mismatched set refuses — silent schema drift is the
     * reader's problem forever after).
     */
+  /** Write `<v>%020d.checkpoint.parquet` + `_last_checkpoint` for the
+    * CURRENT snapshot: the active add set (deletion vectors
+    * preserved), the metaData/protocol actions, and every appId's txn
+    * watermark — everything a reader needs when older JSON commits
+    * are cleaned. Driver work is bounded by the (already-bounded)
+    * active add set.
+    */
+  def writeCheckpoint(spark: SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val state = DeltaTableReader.snapshotState(spark, tablePath)
+    val txns = DeltaTableReader.transactionWatermarks(spark, tablePath)
+    val fs = logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType), StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType), StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val schema = StructType(Seq(
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType), StructField("version", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType), StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", dvType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType), StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+    def row(txn: Row = null, add: Row = null, md: Row = null, proto: Row = null) =
+      Row(txn, add, md, proto)
+    val addRows = state.active.map { f =>
+      val st = fs.getFileStatus(new Path(tablePath, decodePathPublic(f.path)))
+      val dv = f.dv.map(d =>
+        Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull
+      row(add = Row(f.path, f.partitionValues, st.getLen, st.getModificationTime, true, dv))
+    }
+    val txnRows = txns.toSeq.sorted.map { case (app, v) => row(txn = Row(app, v)) }
+    val hasDv = state.active.exists(_.dv.isDefined)
+    val metaRow = row(md = Row("graft", state.schemaJson.orNull,
+      state.partitionColumns, Map.empty[String, String]))
+    val protoRow = row(proto = Row(if (hasDv) 3 else 1, if (hasDv) 7 else 2))
+    import scala.jdk.CollectionConverters._
+    val dir = logDir(tablePath)
+    val stage = new Path(tablePath, s".graft-ckpt-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame((Seq(protoRow, metaRow) ++ txnRows ++ addRows).asJava, schema)
+      .coalesce(1).write.parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"$tablePath: checkpoint stage wrote nothing"))
+    val dst = new Path(dir, f"${state.version}%020d.checkpoint.parquet")
+    fs.delete(dst, false)
+    if (!fs.rename(part, dst)) throw new IllegalStateException(
+      s"$tablePath: failed to land checkpoint $dst")
+    fs.delete(stage, true)
+    val out = fs.create(new Path(dir, "_last_checkpoint"), true)
+    try out.write(
+      s"""{"version":${state.version},"size":${2 + txnRows.size + addRows.size}}\n"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    state.version
+  }
+
+  /** `add.path` decode, shared with the reader's resolution rule. */
+  private def decodePathPublic(p: String): String =
+    if (!p.contains('%')) p
+    else java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+
+  private def maybeCheckpoint(spark: SparkSession, tablePath: String, version: Long,
+      interval: Int): Unit =
+    if (interval > 0 && version > 0 && version % interval == 0) {
+      writeCheckpoint(spark, tablePath): Unit
+    }
+
   def append(df: DataFrame, tablePath: String,
-      transaction: Option[(String, Long)] = None): Long = {
+      transaction: Option[(String, Long)] = None,
+      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     val spark = df.sparkSession
     val state = DeltaTableReader.snapshotState(spark, tablePath)
     val tableCols = state.schemaJson
@@ -193,8 +281,10 @@ object DeltaTableWriter {
         s"${tableCols.sorted.mkString(",")} — appends must match the declared schema")
     val aligned = df.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
     val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
-    commit(spark, tablePath, state.version + 1,
+    val v = commit(spark, tablePath, state.version + 1,
       transaction.map(txnLine).toSeq ++
         files.map { case (rel, size, mtime) => addLine(rel, size, mtime, state.partitionColumns) })
+    maybeCheckpoint(spark, tablePath, v, checkpointInterval)
+    v
   }
 }
