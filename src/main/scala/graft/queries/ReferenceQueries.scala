@@ -1301,6 +1301,58 @@ trait ReferenceQueries extends QueryBase {
         |   OR (o_orderkey % 3 = 1 AND o_orderkey % 11 <> 0)
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #102d External Delta table with columnMapping=name: the shape any
+    * table that ever RENAMED or DROPPED a column carries — data files
+    * hold PHYSICAL column names (`col-…`), the metaData schemaString
+    * maps them back via `delta.columnMapping.physicalName` field
+    * metadata, and the reader serves the LOGICAL schema. The fixture's
+    * physical names share no substring with the logical ones, so any
+    * leak of the physical schema fails the hash. `id` mode and nested
+    * physical names keep refusing (spec-locked).
+    */
+  val qDeltaColmap: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("delta-colmap")
+      val table = root + "/t"
+      new java.io.File(table).mkdirs()
+      val o = t(s, dir, "orders")
+      val phys = Seq(
+        "o_orderkey" -> "col-k1", "o_custkey" -> "col-k2", "o_orderstatus" -> "col-k3",
+        "o_totalprice" -> "col-k4", "o_orderdate" -> "col-k5", "o_orderpriority" -> "col-k6")
+      def physical(df: DataFrame) =
+        df.select(phys.map { case (l, p) => col(l).as(p) }: _*)
+      writeDeltaDataFile(physical(o.filter(pmod(col("o_orderkey"), lit(2)) === 0)),
+        table, "part-a.parquet")
+      writeDeltaDataFile(physical(o.filter(pmod(col("o_orderkey"), lit(2)) === 1)),
+        table, "part-b.parquet")
+      val schema = {
+        import org.apache.spark.sql.types._
+        StructType(phys.zipWithIndex.map { case ((l, p), i) =>
+          StructField(l, o.schema(l).dataType, nullable = true,
+            new MetadataBuilder()
+              .putLong("delta.columnMapping.id", i + 1L)
+              .putString("delta.columnMapping.physicalName", p)
+              .build())
+        }).json
+      }
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+      writeDeltaCommit(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${q.writeValueAsString(schema)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"6"},"createdTime":1700000000000}}""",
+        deltaAdd("part-a.parquet"), deltaAdd("part-b.parquet")))
+      graft.sources.DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #108 External-format TIME TRAVEL, all three adapters: Delta
     * VERSION AS OF (replay stops at the commit; an overshooting
     * checkpoint refuses via contiguity, never serves a later state),

@@ -73,11 +73,26 @@ object DeltaTableReader {
       dataChange: Boolean,
       dv: Option[DeltaDv.Descriptor] = None)
 
+  /** The table's protocol action, preserved verbatim so writers can
+    * refuse features they cannot honor and checkpoints can carry the
+    * ORIGINAL protocol (a fabricated one corrupts the table for other
+    * engines once log cleanup makes the checkpoint the only copy).
+    */
+  final case class Protocol(
+      minReaderVersion: Int,
+      minWriterVersion: Int,
+      readerFeatures: Seq[String],
+      writerFeatures: Seq[String])
+
   final case class Snapshot(
       version: Long,
       active: Seq[FileAction],
       partitionColumns: Seq[String],
-      schemaJson: Option[String])
+      schemaJson: Option[String],
+      protocol: Option[Protocol] = None,
+      metaDataId: Option[String] = None,
+      configuration: Map[String, String] = Map.empty,
+      createdTime: Option[Long] = None)
 
   /** Checkpoint add row pulled to the driver — path + partition
     * values + DV descriptor JSON only, never the stats/tags payload.
@@ -99,9 +114,14 @@ object DeltaTableReader {
 
   /** Reader features a plain parquet scan CAN honor. deletionVectors
     * is honored by actually applying the vectors; timestampNtz and
-    * variantType map onto Spark-native types in the data files.
+    * variantType map onto Spark-native types in the data files;
+    * columnMapping is honored in `name` mode by renaming the scan's
+    * physical columns back to the table schema's logical names (`id`
+    * mode still refuses — matching parquet field IDs is a different
+    * resolution rule).
     */
-  val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "timestampNtz", "variantType")
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "timestampNtz", "variantType", "columnMapping")
 
   /** Cap on add entries pulled to the driver per snapshot resolution.
     * At ~100 bytes a row this is ~100 MB of driver heap — the
@@ -193,10 +213,46 @@ object DeltaTableReader {
   }
 
   private def refuseColumnMapping(mode: Option[String], tablePath: String): Unit =
-    if (mode.exists(m => m != "none")) throw new IllegalStateException(
-      s"$tablePath: delta.columnMapping.mode=${mode.get} — physical parquet column " +
-        "names differ from the table schema; a plain scan would return the wrong " +
-        "columns; this reader refuses")
+    if (mode.exists(m => m != "none" && m != "name")) throw new IllegalStateException(
+      s"$tablePath: delta.columnMapping.mode=${mode.get} — this reader honors only " +
+        "'name' mode (physical names carried in the schema's " +
+        "delta.columnMapping.physicalName metadata); 'id'-mode resolution matches " +
+        "parquet field IDs, which a name-keyed scan cannot honor; refusing")
+
+  /** logical → physical column names from the metaData schemaString's
+    * `delta.columnMapping.physicalName` field metadata (columnMapping
+    * `name` mode). Empty when the table carries no mapping. NESTED
+    * physical names refuse loudly — renaming inner struct fields
+    * needs a projection this reader does not build, and silently
+    * serving the physical inner names would hand callers the wrong
+    * schema.
+    */
+  private[sources] def columnMappingOf(schemaJson: Option[String], tablePath: String): Map[String, String] = {
+    val PhysKey = "delta.columnMapping.physicalName"
+    schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case st: StructType => st } match {
+      case None => Map.empty
+      case Some(st) =>
+        def hasNestedPhys(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case s: StructType =>
+            s.fields.exists(f => f.metadata.contains(PhysKey) || hasNestedPhys(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType => hasNestedPhys(a.elementType)
+          case m: org.apache.spark.sql.types.MapType =>
+            hasNestedPhys(m.keyType) || hasNestedPhys(m.valueType)
+          case _ => false
+        }
+        st.fields.foreach { f =>
+          if (hasNestedPhys(f.dataType)) throw new IllegalStateException(
+            s"$tablePath: column ${f.name} carries NESTED columnMapping physical names — " +
+              "renaming inner struct fields is not implemented; refusing rather than " +
+              "serving the physical inner schema")
+        }
+        st.fields.collect {
+          case f if f.metadata.contains(PhysKey) => f.name -> f.metadata.getString(PhysKey)
+        }.toMap
+    }
+  }
 
   /** Committed log versions present as JSON files, ascending. */
   def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
@@ -244,6 +300,10 @@ object DeltaTableReader {
     val active = scala.collection.mutable.LinkedHashMap.empty[String, FileAction]
     var partCols: Seq[String] = Nil
     var schemaJson: Option[String] = None
+    var protocol: Option[Protocol] = None
+    var metaId: Option[String] = None
+    var configuration: Map[String, String] = Map.empty
+    var createdTime: Option[Long] = None
 
     ckptVersion.foreach { v =>
       // single-file checkpoints are `<v>.checkpoint.parquet`; large
@@ -268,24 +328,41 @@ object DeltaTableReader {
       // After standard log cleanup the protocol/metaData actions may
       // exist ONLY in the checkpoint — the refusal contract must hold
       // on this path too, not just on JSON commits.
-      if (cols.contains("protocol") && structFields("protocol").contains("readerFeatures")) {
-        rows.select(col("protocol.readerFeatures").as("rf"))
-          .where(col("rf").isNotNull).distinct().collect()
-          .foreach(r => refuseReaderFeatures(r.getSeq[String](0).toSet, tablePath))
+      if (cols.contains("protocol")) {
+        rows.select("protocol").where(col("protocol").isNotNull).collect().foreach { r =>
+          val p = r.getStruct(0)
+          val names = p.schema.fieldNames
+          def seqOf(f: String): Seq[String] = {
+            val i = names.indexOf(f)
+            if (i >= 0 && !p.isNullAt(i)) p.getSeq[String](i) else Nil
+          }
+          def intOf(f: String, dflt: Int): Int = {
+            val i = names.indexOf(f)
+            if (i >= 0 && !p.isNullAt(i)) p.getInt(i) else dflt
+          }
+          val proto = Protocol(intOf("minReaderVersion", 1), intOf("minWriterVersion", 2),
+            seqOf("readerFeatures"), seqOf("writerFeatures"))
+          refuseReaderFeatures(proto.readerFeatures.toSet, tablePath)
+          protocol = Some(proto)
+        }
       }
       if (cols.contains("metaData")) {
-        val mdFields = structFields("metaData")
         rows.select("metaData").where(col("metaData").isNotNull).collect().foreach { r =>
           val md = r.getStruct(0)
-          val idx = md.schema.fieldNames.indexOf("partitionColumns")
+          val names = md.schema.fieldNames
+          val idx = names.indexOf("partitionColumns")
           if (idx >= 0 && !md.isNullAt(idx)) partCols = md.getSeq[String](idx)
-          val sIdx = md.schema.fieldNames.indexOf("schemaString")
+          val sIdx = names.indexOf("schemaString")
           if (sIdx >= 0 && !md.isNullAt(sIdx)) schemaJson = Some(md.getString(sIdx))
-          val cIdx = md.schema.fieldNames.indexOf("configuration")
-          if (cIdx >= 0 && !md.isNullAt(cIdx))
-            refuseColumnMapping(
-              md.getMap[String, String](cIdx).get("delta.columnMapping.mode"),
-              tablePath)
+          val iIdx = names.indexOf("id")
+          if (iIdx >= 0 && !md.isNullAt(iIdx)) metaId = Some(md.getString(iIdx))
+          val tIdx = names.indexOf("createdTime")
+          if (tIdx >= 0 && !md.isNullAt(tIdx)) createdTime = Some(md.getLong(tIdx))
+          val cIdx = names.indexOf("configuration")
+          if (cIdx >= 0 && !md.isNullAt(cIdx)) {
+            configuration = md.getMap[String, String](cIdx).toMap
+            refuseColumnMapping(configuration.get("delta.columnMapping.mode"), tablePath)
+          }
         }
       }
       if (cols.contains("add")) {
@@ -357,6 +434,27 @@ object DeltaTableReader {
             partCols = b.result()
           }
           if (md.has("schemaString")) schemaJson = Some(md.get("schemaString").asText())
+          Option(md.get("id")).filterNot(_.isNull).foreach(n => metaId = Some(n.asText()))
+          Option(md.get("createdTime")).filterNot(_.isNull)
+            .foreach(n => createdTime = Some(n.asLong()))
+          val conf = md.get("configuration")
+          if (conf != null && conf.isObject) {
+            val b = Map.newBuilder[String, String]
+            conf.fields().forEachRemaining(e =>
+              if (!e.getValue.isNull) b += (e.getKey -> e.getValue.asText()))
+            configuration = b.result()
+          }
+        } else if (node.has("protocol")) {
+          val p = node.get("protocol")
+          def seqOf(f: String): Seq[String] = {
+            val arr = p.get(f)
+            if (arr == null || !arr.isArray) Nil
+            else { val b = Seq.newBuilder[String]; arr.forEach(n => b += n.asText()); b.result() }
+          }
+          protocol = Some(Protocol(
+            Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+            Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+            seqOf("readerFeatures"), seqOf("writerFeatures")))
         }
       }
       if (active.size > maxDriverFiles) throw new IllegalStateException(
@@ -365,7 +463,8 @@ object DeltaTableReader {
     }
     if (latest < 0) throw new IllegalArgumentException(
       s"$tablePath: empty _delta_log (no checkpoint, no commits)")
-    Snapshot(latest, active.values.toIndexedSeq, partCols, schemaJson)
+    Snapshot(latest, active.values.toIndexedSeq, partCols, schemaJson,
+      protocol, metaId, configuration, createdTime)
   }
 
   /** Latest committed version number — metadata only (no add-set
@@ -519,7 +618,15 @@ object DeltaTableReader {
       throw new IllegalArgumentException(s"$tablePath: snapshot has no active data files")
     val absOf: FileAction => String = f => abs(tablePath, f.path)
     val base = spark.read.parquet(files.map(absOf): _*)
-    val dataCols = base.columns.toIndexedSeq
+    // columnMapping name mode: the scan returns PHYSICAL column names;
+    // everything downstream keys on logical names, so translate the
+    // scanned columns first and resolve partition values through the
+    // logical→physical map (add.partitionValues keys are physical
+    // names under column mapping, per PROTOCOL.md)
+    val physOf = columnMappingOf(schemaJson, tablePath)
+    val logOf = physOf.map(_.swap)
+    val dataCols = base.columns.toIndexedSeq.map(c => logOf.getOrElse(c, c))
+    val physKeyOf: String => String = c => physOf.getOrElse(c, c)
 
     val dvFiles = files.collect {
       case f if f.dv.isDefined => (normalizeDriverPath(absOf(f)), f.dv.get)
@@ -546,7 +653,7 @@ object DeltaTableReader {
       else {
         val pvRows = files.map { f =>
           Row.fromSeq(normalizeDriverPath(absOf(f)) +:
-            partitionColumns.map(c => f.partitionValues.get(c).orNull))
+            partitionColumns.map(c => f.partitionValues.get(physKeyOf(c)).orNull))
         }
         val pvSchema = StructType(
           StructField("_g_file", StringType, nullable = false) +:
@@ -572,7 +679,12 @@ object DeltaTableReader {
             st.fieldNames.toIndexedSeq
       }
       .getOrElse(finalCols)
-    cleaned.select(ordered.map(col): _*)
+    // final projection translates physical data columns back to their
+    // logical names; partition columns were attached logically already
+    cleaned.select(ordered.map { c =>
+      val phys = physKeyOf(c)
+      if (phys != c && !partitionColumns.contains(c)) col(phys).as(c) else col(c)
+    }: _*)
   }
 
   /** Snapshot read: the latest version's active files as a DataFrame,

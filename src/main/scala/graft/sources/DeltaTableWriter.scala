@@ -39,6 +39,54 @@ object DeltaTableWriter {
   /** Max CAS retries when racing another writer for a version slot. */
   val MaxCommitAttempts: Int = 20
 
+  /** Writer features an append-only commit CAN honor without extra
+    * behavior: appendOnly is exactly what this writer does;
+    * timestampNtz/variantType are type-level (the appended files
+    * carry the types); deletionVectors binds writers only when they
+    * REMOVE data (an append adds fresh files with no vectors). Every
+    * other feature — checkConstraints, invariants, generatedColumns,
+    * rowTracking, columnMapping, identityColumns, … — obliges the
+    * writer to do something this writer does not do, and appending
+    * anyway would land protocol-violating commits that silently
+    * corrupt the table for other engines.
+    */
+  val SupportedWriterFeatures: Set[String] =
+    Set("appendOnly", "timestampNtz", "deletionVectors", "variantType")
+
+  /** Refuse an append the table's protocol or metadata makes unsafe.
+    * Mirrors the reader's refuseReaderFeatures contract on the write
+    * side: loud refusal beats a silently-corrupting commit.
+    */
+  private def refuseWriterUnsupported(state: DeltaTableReader.Snapshot,
+      tablePath: String): Unit = {
+    state.configuration.get("delta.columnMapping.mode").filter(_ != "none").foreach { m =>
+      throw new IllegalStateException(
+        s"$tablePath: delta.columnMapping.mode=$m — appended data files must carry " +
+          "PHYSICAL column names, which this writer does not produce; refusing")
+    }
+    val constraints = state.configuration.keys.filter(_.startsWith("delta.constraints."))
+    if (constraints.nonEmpty) throw new IllegalStateException(
+      s"$tablePath: table declares CHECK constraints (${constraints.mkString(", ")}) — " +
+        "this writer does not evaluate them on appended rows; refusing")
+    if (state.schemaJson.exists(_.contains("delta.invariants")))
+      throw new IllegalStateException(
+        s"$tablePath: table schema declares column invariants (delta.invariants) — " +
+          "this writer does not enforce them on appended rows; refusing")
+    state.protocol.foreach { p =>
+      if (p.minWriterVersion > 2 && p.minWriterVersion != 7)
+        throw new IllegalStateException(
+          s"$tablePath: protocol minWriterVersion=${p.minWriterVersion} bundles legacy " +
+            "writer obligations (CHECK constraints / generated columns / column mapping / " +
+            "identity columns) this writer does not implement; refusing")
+      if (p.minWriterVersion == 7) {
+        val unsupported = p.writerFeatures.toSet -- SupportedWriterFeatures
+        if (unsupported.nonEmpty) throw new IllegalStateException(
+          s"$tablePath: protocol requires writer features ${unsupported.mkString(", ")} — " +
+            "this writer cannot honor them; refusing")
+      }
+    }
+  }
+
   /** Write a checkpoint every this many commits (0 disables). The
     * checkpoint is what keeps log replay — and therefore EVERY
     * subsequent read and append — bounded by commits-since-checkpoint
@@ -139,13 +187,26 @@ object DeltaTableWriter {
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
     try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8"))) finally out.close()
+    // FileContext.rename with Options.Rename.NONE is the real CAS:
+    // it fails (FileAlreadyExistsException) when the destination
+    // exists, on HDFS AND local filesystems — FileSystem.rename on
+    // LocalFileSystem is POSIX rename(2), which silently OVERWRITES
+    // an existing destination and would lose a racing writer's commit
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
     try {
       var v = fromVersion
       while (v < fromVersion + MaxCommitAttempts) {
         val dst = new Path(dir, f"$v%020d.json")
-        // rename refuses an existing destination on FileSystem
-        // implementations with atomic rename — the CAS
-        if (!fs.exists(dst) && fs.rename(tmp, dst)) return v
+        if (!fs.exists(dst)) { // cheap pre-check; the rename is the CAS
+          try {
+            fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+            return v
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => // lost the race
+            case _: java.nio.file.FileAlreadyExistsException => // local-FS flavor
+          }
+        }
         v += 1
       }
       throw new IllegalStateException(
@@ -171,7 +232,22 @@ object DeltaTableWriter {
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column $c is not in the DataFrame"))
     val files = writeDataFiles(df, tablePath, partitionBy)
-    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // a TIMESTAMP_NTZ column requires the timestampNtz reader+writer
+    // feature per PROTOCOL.md — stamping the legacy 1/2 protocol would
+    // land a spec-violating table on the very engines this writer
+    // exists to serve
+    def hasNtz(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasNtz(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+    val protocol =
+      if (hasNtz(df.schema))
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     val metaData =
       s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
@@ -215,12 +291,19 @@ object DeltaTableWriter {
         StructField("dataChange", BooleanType),
         StructField("deletionVector", dvType)))),
       StructField("metaData", StructType(Seq(
-        StructField("id", StringType), StructField("schemaString", StringType),
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
-        StructField("configuration", MapType(StringType, StringType))))),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType))))))
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))))
     def row(txn: Row = null, add: Row = null, md: Row = null, proto: Row = null) =
       Row(txn, add, md, proto)
     val addRows = state.active.map { f =>
@@ -230,10 +313,28 @@ object DeltaTableWriter {
       row(add = Row(f.path, f.partitionValues, st.getLen, st.getModificationTime, true, dv))
     }
     val txnRows = txns.toSeq.sorted.map { case (app, v) => row(txn = Row(app, v)) }
+    // the table's ORIGINAL protocol and metaData, verbatim — after log
+    // cleanup this checkpoint is the only copy, and a fabricated one
+    // (wrong id, dropped configuration, missing readerFeatures) makes
+    // external engines reject or misread the table. A DV-carrying
+    // table with no recorded protocol (hand-built fixture) falls back
+    // to a spec-VALID 3/7 protocol with the features declared.
     val hasDv = state.active.exists(_.dv.isDefined)
-    val metaRow = row(md = Row("graft", state.schemaJson.orNull,
-      state.partitionColumns, Map.empty[String, String]))
-    val protoRow = row(proto = Row(if (hasDv) 3 else 1, if (hasDv) 7 else 2))
+    val proto = state.protocol.getOrElse(DeltaTableReader.Protocol(
+      if (hasDv) 3 else 1, if (hasDv) 7 else 2,
+      if (hasDv) Seq("deletionVectors") else Nil,
+      if (hasDv) Seq("deletionVectors") else Nil))
+    val metaRow = row(md = Row(
+      state.metaDataId.getOrElse("graft"),
+      Row("parquet", Map.empty[String, String]),
+      state.schemaJson.orNull,
+      state.partitionColumns,
+      state.configuration,
+      state.createdTime.map(Long.box).orNull))
+    val protoRow = row(proto = Row(
+      proto.minReaderVersion, proto.minWriterVersion,
+      if (proto.readerFeatures.nonEmpty) proto.readerFeatures else null,
+      if (proto.writerFeatures.nonEmpty) proto.writerFeatures else null))
     import scala.jdk.CollectionConverters._
     val dir = logDir(tablePath)
     val stage = new Path(tablePath, s".graft-ckpt-${java.util.UUID.randomUUID()}")
@@ -271,6 +372,7 @@ object DeltaTableWriter {
       checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     val spark = df.sparkSession
     val state = DeltaTableReader.snapshotState(spark, tablePath)
+    refuseWriterUnsupported(state, tablePath)
     val tableCols = state.schemaJson
       .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
       .collect { case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq }

@@ -46,18 +46,52 @@ object HudiTableWriter {
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.ofEpochMilli(System.currentTimeMillis() + offsetMs))
 
-  private def writeProperties(spark: SparkSession, tablePath: String, name: String): Unit = {
+  private def writeProperties(spark: SparkSession, tablePath: String, name: String,
+      recordKeys: Seq[String], precombineField: Option[String]): Unit = {
     val p = new Path(hoodieDir(tablePath), "hoodie.properties")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
+      // record-key fields are TABLE properties (Hudi's own
+      // hoodie.table.recordkey.fields), not per-write options: an
+      // append that stamped different keys — or none — would land base
+      // files whose schemas disagree on _hoodie_record_key, and the
+      // snapshot union would surface or drop the column depending on
+      // which footer Spark samples
+      val keyLines =
+        if (recordKeys.isEmpty) ""
+        else s"hoodie.table.recordkey.fields=${recordKeys.mkString(",")}\n"
+      val precombineLine =
+        precombineField.map(f => s"hoodie.table.precombine.field=$f\n").getOrElse("")
       val out = fs.create(p, false)
       try out.write(
         (s"hoodie.table.name=$name\n" +
           "hoodie.table.type=COPY_ON_WRITE\n" +
-          "hoodie.table.version=5\n").getBytes("UTF-8"))
+          "hoodie.table.version=5\n" + keyLines + precombineLine).getBytes("UTF-8"))
       finally out.close()
     }
   }
+
+  /** Table properties from hoodie.properties, as key→value. */
+  private[sources] def tableProperties(spark: SparkSession, tablePath: String): Map[String, String] = {
+    val p = new Path(hoodieDir(tablePath), "hoodie.properties")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.linesIterator
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
+        .map { l => val i = l.indexOf('='); l.substring(0, i).trim -> l.substring(i + 1).trim }
+        .toMap
+    }
+  }
+
+  /** The record-key fields the TABLE declares (empty = keyless). */
+  def declaredRecordKeys(spark: SparkSession, tablePath: String): Seq[String] =
+    tableProperties(spark, tablePath).get("hoodie.table.recordkey.fields")
+      .map(_.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
 
   /** Stamp the Hudi meta columns an external reader expects. */
   private def stamped(df: DataFrame, instant: String, recordKeys: Seq[String]): DataFrame = {
@@ -124,27 +158,39 @@ object HudiTableWriter {
     * existing table (append to those). Returns the commit instant.
     */
   def create(df: DataFrame, tablePath: String, tableName: String = "graft_table",
-      recordKeys: Seq[String] = Nil): String = {
+      recordKeys: Seq[String] = Nil, precombineField: Option[String] = None): String = {
     val spark = df.sparkSession
     val dir = hoodieDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) throw new IllegalArgumentException(
       s"$tablePath is already a Hudi table — use append")
+    recordKeys.foreach(k => require(df.columns.contains(k),
+      s"record-key field $k is not in the DataFrame"))
     fs.mkdirs(dir)
-    writeProperties(spark, tablePath, tableName)
+    writeProperties(spark, tablePath, tableName, recordKeys, precombineField)
     insertCommit(df, tablePath, recordKeys)
   }
 
   /** Append `df` as a new insert commit; columns must match the
-    * table's existing data columns (order-free).
+    * table's existing data columns (order-free). The record-key
+    * stamping comes from the TABLE's declared
+    * `hoodie.table.recordkey.fields` — never a per-call choice, so
+    * every base file agrees on whether `_hoodie_record_key` exists.
+    * A non-empty `recordKeys` argument is validation only: it must
+    * equal the declaration (callers asserting what they expect).
     */
   def append(df: DataFrame, tablePath: String, recordKeys: Seq[String] = Nil): String = {
     val spark = df.sparkSession
+    val declared = declaredRecordKeys(spark, tablePath)
+    require(recordKeys.isEmpty || recordKeys == declared,
+      s"$tablePath: append asserts record keys ${recordKeys.mkString(",")} but the table " +
+        s"declares hoodie.table.recordkey.fields=${declared.mkString(",")} — the table " +
+        "property wins; drop the argument or fix the expectation")
     val existing = HudiTableReader.snapshot(spark, tablePath)
     val dataCols = existing.columns.filterNot(_.startsWith("_hoodie_")).toSet
     require(df.columns.toSet == dataCols,
       s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table columns " +
         s"${dataCols.toSeq.sorted.mkString(",")} — appends must match the existing schema")
-    insertCommit(df, tablePath, recordKeys)
+    insertCommit(df, tablePath, declared)
   }
 }

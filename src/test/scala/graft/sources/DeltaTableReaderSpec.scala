@@ -303,17 +303,18 @@ class DeltaTableReaderSpec extends SparkSpec {
         struct(lit("fixture").as("id"), lit(schemaJson).as("schemaString"),
           array().cast("array<string>").as("partitionColumns")).as("metaData"),
         struct(lit(3).as("minReaderVersion"),
-          array(lit("columnMapping")).as("readerFeatures")).as("protocol")))
+          array(lit("v2Checkpoint")).as("readerFeatures")).as("protocol")))
     val e1 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t1))
     assert(e1.getMessage.contains("reader features"))
 
-    // 2. columnMapping mode in the checkpoint's metaData.configuration
+    // 2. columnMapping mode=id in the checkpoint's metaData.configuration
+    // (name mode reads via the physicalName mapping — its own spec)
     val t2 = buildCkptTable("ck-cmap",
       Seq("p0.parquet").toDF("path").select(
         addStruct("null").as("add"),
         struct(lit("fixture").as("id"), lit(schemaJson).as("schemaString"),
           array().cast("array<string>").as("partitionColumns"),
-          map(lit("delta.columnMapping.mode"), lit("name")).as("configuration")).as("metaData")))
+          map(lit("delta.columnMapping.mode"), lit("id")).as("configuration")).as("metaData")))
     val e2 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
     assert(e2.getMessage.contains("columnMapping"))
 
@@ -346,16 +347,85 @@ class DeltaTableReaderSpec extends SparkSpec {
       meta(Nil, schemaJson), add("f.parquet")))
     val e2 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
     assert(e2.getMessage.contains("reader features"))
-    // column mapping mode in table configuration
+    // column mapping mode=id in table configuration refuses (field-ID
+    // resolution is a different rule); mode=name is read via the
+    // physicalName mapping — its own spec below
     val t3 = tmpDir("delta-cmap")
     writeDataFile(rows(1 to 20), t3, "f.parquet")
     writeCommit(t3, 0L, Seq(protocol,
       s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":[],""" +
-        s""""configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
+        s""""configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}""",
       add("f.parquet")))
     val e3 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t3))
     assert(e3.getMessage.contains("columnMapping"))
+  }
+
+  /** Column-mapping `name` mode schemaString: logical names with
+    * `delta.columnMapping.physicalName` metadata (the shape any table
+    * that ever RENAMED or DROPPED a column carries).
+    */
+  private def colmapSchema(mapping: Seq[(String, String, String)]): String = {
+    import org.apache.spark.sql.types._
+    StructType(mapping.zipWithIndex.map { case ((logical, physical, tpe), i) =>
+      StructField(logical, DataType.fromDDL(tpe), nullable = true,
+        new MetadataBuilder()
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", physical)
+          .build())
+    }).json
+  }
+
+  private def jsonQ(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+
+  test("columnMapping=name reads: physical parquet names map back to the logical schema") {
+    val table = tmpDir("delta-cmap-name")
+    // data files carry PHYSICAL names; the partition column is stripped
+    // (its value rides the log under its physical name, per protocol)
+    val data = rows(1 to 30)
+    writeDataFile(
+      data.where(col("grp") === "g1").select(col("id").as("col-aaa"), col("v").as("col-ccc")),
+      table, "p1.parquet")
+    writeDataFile(
+      data.where(col("grp") === "g2").select(col("id").as("col-aaa"), col("v").as("col-ccc")),
+      table, "p2.parquet")
+    val schema = colmapSchema(Seq(
+      ("id", "col-aaa", "BIGINT"), ("grp", "col-bbb", "STRING"), ("v", "col-ccc", "BIGINT")))
+    writeCommit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonQ(schema)},"partitionColumns":["grp"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"3"},"createdTime":0}}""",
+      add("p1.parquet", pv = Map("col-bbb" -> "g1")),
+      add("p2.parquet", pv = Map("col-bbb" -> "g2"))))
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.columns.toSeq == Seq("id", "grp", "v"),
+      "callers must see the LOGICAL schema, in schema order")
+    assert(snap.count() == 20L)
+    assert(snap.where(col("grp") === "g1").count() == 10L,
+      "partition values keyed by physical name must resolve to the logical column")
+    val r = snap.where(col("id") === 4L).head()
+    assert(r.getString(1) == "g1" && r.getLong(2) == 8L)
+    // time travel and column order survive the mapping too
+    assert(DeltaTableReader.snapshotAsOf(spark, table, 0L).columns.toSeq == Seq("id", "grp", "v"))
+    // NESTED physical names refuse loudly — a silent physical inner
+    // schema is the wrong schema
+    val t2 = tmpDir("delta-cmap-nested")
+    writeDataFile(rows(1 to 5), t2, "f.parquet")
+    val nested =
+      """{"type":"struct","fields":[{"name":"s","type":{"type":"struct","fields":[""" +
+        """{"name":"a","type":"long","nullable":true,"metadata":""" +
+        """{"delta.columnMapping.physicalName":"col-x"}}]},"nullable":true,"metadata":""" +
+        """{"delta.columnMapping.physicalName":"col-s"}}]}"""
+    writeCommit(t2, 0L, Seq(protocol,
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonQ(nested)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
+      add("f.parquet")))
+    val e = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
+    assert(e.getMessage.contains("NESTED"))
   }
 
   test("non-contiguous logs refuse: cleaned commits cannot be silently skipped") {

@@ -112,6 +112,100 @@ class DeltaTableWriterSpec extends SparkSpec {
     assert(DeltaTableReader.snapshot(spark, table).count() == 35L)
   }
 
+  private def rawCommit(table: String, version: Long, lines: Seq[String]): Unit = {
+    val dir = new java.io.File(table, "_delta_log"); dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, f"$version%020d.json"), "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+  }
+
+  private def jsonQ(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+
+  test("append refuses writer obligations it cannot honor — loudly, never corruptingly") {
+    // feature protocol with an unsupported writer feature
+    val table = tmpDir("dwr-wfeat") + "/t"
+    DeltaTableWriter.create(df(1 to 10), table): Unit
+    rawCommit(table, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors","rowTracking"]}}"""))
+    val e = intercept[IllegalStateException](DeltaTableWriter.append(df(11 to 20), table))
+    assert(e.getMessage.contains("rowTracking"))
+    // legacy bundled writer versions (3..6) refuse
+    val t2 = tmpDir("dwr-wlegacy") + "/t"
+    DeltaTableWriter.create(df(1 to 10), t2): Unit
+    rawCommit(t2, 1L, Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}"""))
+    val e2 = intercept[IllegalStateException](DeltaTableWriter.append(df(11 to 20), t2))
+    assert(e2.getMessage.contains("minWriterVersion"))
+    // CHECK constraints in the configuration refuse even at version 2
+    val t3 = tmpDir("dwr-wconstraint") + "/t"
+    DeltaTableWriter.create(df(1 to 10), t3): Unit
+    val schema3 = DeltaTableReader.snapshotState(spark, t3).schemaJson.get
+    rawCommit(t3, 1L, Seq(
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonQ(schema3)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.constraints.positive":"v > 0"}}}"""))
+    val e3 = intercept[IllegalStateException](DeltaTableWriter.append(df(11 to 20), t3))
+    assert(e3.getMessage.contains("CHECK constraints"))
+    // a fully-supported feature set still appends
+    val t4 = tmpDir("dwr-wok") + "/t"
+    DeltaTableWriter.create(df(1 to 10), t4): Unit
+    rawCommit(t4, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors","appendOnly"]}}"""))
+    DeltaTableWriter.append(df(11 to 20), t4): Unit
+    assert(DeltaTableReader.snapshot(spark, t4).count() == 20L)
+  }
+
+  test("checkpoint preserves the original protocol and metaData — the only copy after cleanup") {
+    val table = tmpDir("dwr-ckptfid") + "/t"
+    DeltaTableWriter.create(df(1 to 10), table): Unit
+    val before = DeltaTableReader.snapshotState(spark, table)
+    val origId = before.metaDataId.get
+    // a protocol upgrade + a configuration external engines must keep seeing
+    rawCommit(table, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz","appendOnly"]}}""",
+      s"""{"metaData":{"id":${jsonQ(origId)},"format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonQ(before.schemaJson.get)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.appendOnly":"true"},"createdTime":1700000000123}}"""))
+    DeltaTableWriter.append(df(11 to 20), table): Unit
+    DeltaTableWriter.writeCheckpoint(spark, table): Unit
+    // standard log cleanup: the JSON commits vanish, the checkpoint remains
+    val logDir = new java.io.File(table, "_delta_log")
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    val state = DeltaTableReader.snapshotState(spark, table)
+    assert(state.protocol.contains(DeltaTableReader.Protocol(3, 7,
+      Seq("timestampNtz"), Seq("timestampNtz", "appendOnly"))),
+      s"checkpoint must carry the ORIGINAL protocol, got ${state.protocol}")
+    assert(state.metaDataId.contains(origId), "metaData id must survive, not become a fabricated one")
+    assert(state.configuration.get("delta.appendOnly").contains("true"))
+    assert(state.createdTime.contains(1700000000123L))
+    assert(DeltaTableReader.snapshot(spark, table).count() == 20L)
+  }
+
+  test("create stamps the timestampNtz feature protocol when the schema requires it") {
+    val s = spark
+    import s.implicits._
+    val data = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-02 00:00:00")).toDF("id", "raw")
+      .withColumn("ts", col("raw").cast("timestamp_ntz")).drop("raw")
+    val table = tmpDir("dwr-ntz") + "/t"
+    DeltaTableWriter.create(data, table): Unit
+    val state = DeltaTableReader.snapshotState(spark, table)
+    assert(state.protocol.contains(DeltaTableReader.Protocol(3, 7,
+      Seq("timestampNtz"), Seq("timestampNtz"))),
+      s"TIMESTAMP_NTZ requires the feature protocol per PROTOCOL.md, got ${state.protocol}")
+    // the feature is in the writer allowlist: appends still land
+    DeltaTableWriter.append(data, table): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 4L)
+    // an ntz-free schema keeps the legacy 1/2 protocol
+    val plain = tmpDir("dwr-plain") + "/t"
+    DeltaTableWriter.create(df(1 to 5), plain): Unit
+    assert(DeltaTableReader.snapshotState(spark, plain).protocol
+      .contains(DeltaTableReader.Protocol(1, 2, Nil, Nil)))
+  }
+
   test("commit CAS: an occupied version slot bumps the writer to the next one") {
     val table = tmpDir("dwr-cas") + "/t"
     DeltaTableWriter.create(df(1 to 10), table): Unit

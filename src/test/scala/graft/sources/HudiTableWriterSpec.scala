@@ -64,4 +64,28 @@ class HudiTableWriterSpec extends SparkSpec {
     // readOptimized == snapshot on a COW table
     assert(HudiTableReader.readOptimized(spark, table).count() == 20L)
   }
+
+  test("record keys are a TABLE property: persisted at create, derived on append") {
+    val table = tmpDir("hwr-keys") + "/t"
+    HudiTableWriter.create(df(1 to 20), table, recordKeys = Seq("id", "key")): Unit
+    val props = scala.io.Source.fromFile(s"$table/.hoodie/hoodie.properties").mkString
+    assert(props.contains("hoodie.table.recordkey.fields=id,key"),
+      "the declaration must ride hoodie.properties, Hudi's own key")
+    assert(HudiTableWriter.declaredRecordKeys(spark, table) == Seq("id", "key"))
+    // an append WITHOUT the argument still stamps the declared keys —
+    // otherwise base files disagree on _hoodie_record_key and the
+    // snapshot schema depends on which footer Spark samples
+    HudiTableWriter.append(df(21 to 30), table): Unit
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.where(col("_hoodie_record_key").isNull).count() == 0L)
+    assert(snap.where(col("id") === 25L).select("_hoodie_record_key").head().getString(0)
+      == "id:25,key:k25")
+    // an append asserting DIFFERENT keys refuses — the table wins
+    val e = intercept[IllegalArgumentException](
+      HudiTableWriter.append(df(31 to 40), table, recordKeys = Seq("id")))
+    assert(e.getMessage.contains("recordkey"))
+    // matching assertion is fine
+    HudiTableWriter.append(df(31 to 40), table, recordKeys = Seq("id", "key")): Unit
+    assert(HudiTableReader.snapshot(spark, table).count() == 40L)
+  }
 }
