@@ -831,19 +831,20 @@ trait ReferenceQueries extends QueryBase {
     * `_ro` view): base files only, per-group as of the last
     * compaction; dc2's log-file updates are invisible BY CONTRACT
     * while its base-file insert and c3's compacted base serve. The
-    * plain snapshot keeps refusing the same table (spec-locked) — the
-    * staleness is opt-in, never silent. The oracle recomputes the
-    * base-file state from the predicates the timeline encodes.
+    * plain snapshot serves the merged REAL-TIME view (q_hudi_mor_snapshot)
+    * — on this fully-compacted fixture the two agree, require-proven
+    * in-run. The oracle recomputes the base-file state from the
+    * predicates the timeline encodes.
     */
   val qHudiMorRo: QueryDef = QueryDef(
     run = (s, dir) => {
       val table = buildHudiMorFixture(s, dir, scratch("hudi-mor-ro"))
-      // the snapshot contract on this table is refusal (log-merge
-      // needed); the RO view is the explicit opt-in being exercised
-      val refused =
-        try { graft.sources.HudiTableReader.snapshot(s, table); false }
-        catch { case _: IllegalStateException => true }
-      require(refused, "MOR snapshot must refuse while readOptimized serves")
+      // every log on this fixture is compacted away by c3, so the
+      // real-time snapshot and the RO view agree — the in-run check
+      // that RO is not silently serving something else
+      require(graft.sources.HudiTableReader.snapshot(s, table).count() ==
+        graft.sources.HudiTableReader.readOptimized(s, table).count(),
+        "post-compaction, real-time and read-optimized views must agree")
       graft.sources.HudiTableReader.readOptimized(s, table)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
@@ -855,6 +856,132 @@ trait ReferenceQueries extends QueryBase {
         |         THEN o_totalprice * 2 ELSE o_totalprice END
         |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #103d External Hudi MERGE-ON-READ table, REAL-TIME snapshot
+    * ([[graft.sources.HudiTableReader.realtime]] — what
+    * `spark.read.format("hudi")` on a MOR table means,
+    * template.py:304): a hand-built fixture in the public log-file
+    * layout — base files g1/g2 under dc1, then a dc2 log file on g1
+    * carrying an Avro DATA block (o_orderkey%10=0 rows doubled) and a
+    * DELETE block (o_orderkey%7=0 keys tombstoned, the later block
+    * winning on overlap), plus g3's first base file. The merge is
+    * per-record-key latest-wins over the DIRTY group only; g2/g3
+    * stream through unshuffled. The oracle recomputes the merged
+    * state from the predicates the blocks encode.
+    */
+  val qHudiMorSnapshot: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.HudiLog
+      val root = scratch("hudi-mor-rt")
+      val table = root + "/t"
+      new java.io.File(table, ".hoodie").mkdirs()
+      val pw = new java.io.PrintWriter(
+        new java.io.File(s"$table/.hoodie", "hoodie.properties"), "UTF-8")
+      try {
+        pw.println("hoodie.table.name=fixture")
+        pw.println("hoodie.table.type=MERGE_ON_READ")
+        pw.println("hoodie.table.recordkey.fields=o_orderkey")
+      } finally pw.close()
+      val c1 = "20240101090000"; val dc2 = "20240102090000"
+      val o = t(s, dir, "orders")
+      def keyed(df: DataFrame, instant: String) = df
+        .withColumn("_hoodie_commit_time", lit(instant))
+        .withColumn("_hoodie_record_key",
+          concat(lit("o_orderkey:"), col("o_orderkey").cast("string")))
+      val g1 = keyed(o.filter(pmod(col("o_orderkey"), lit(3)) === 0), c1)
+      writeHudiBaseFile(g1, table, s"g1_0-0-0_$c1.parquet")
+      writeHudiBaseFile(keyed(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), c1),
+        table, s"g2_0-0-0_$c1.parquet")
+      val dcw1 = new java.io.PrintWriter(
+        new java.io.File(s"$table/.hoodie", s"$c1.deltacommit"), "UTF-8")
+      try dcw1.println(
+        s"""{"partitionToWriteStats":{"":[""" +
+          s"""{"fileId":"g1","path":"g1_0-0-0_$c1.parquet","numWrites":1,"numUpdateWrites":0,"totalWriteBytes":1024,"prevCommit":"null"},""" +
+          s"""{"fileId":"g2","path":"g2_0-0-0_$c1.parquet","numWrites":1,"numUpdateWrites":0,"totalWriteBytes":1024,"prevCommit":"null"}]},""" +
+          s""""operationType":"INSERT"}""")
+      finally dcw1.close()
+      // dc2: a REAL log file for g1 — updates then deletes — plus g3's base
+      val schema = g1.schema
+      val avro = HudiLog.avroSchemaOf(schema)
+      val updRows = keyed(
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0 && pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), dc2)
+        .select(schema.fieldNames.map(col): _*)
+        .collect().toIndexedSeq.map(r => HudiLog.encodeRow(r, schema, avro))
+      val delKeys = o
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0 && pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(concat(lit("o_orderkey:"), col("o_orderkey").cast("string")))
+        .collect().toIndexedSeq.map(_.getString(0))
+      val logRel = HudiLog.logFileName("g1", c1, 1)
+      HudiLog.write(s.sparkContext.hadoopConfiguration, s"$table/$logRel", Seq(
+        HudiLog.DataBlock(dc2, avro.toString, updRows),
+        HudiLog.DeleteBlock(dc2, delKeys)))
+      writeHudiBaseFile(keyed(o.filter(pmod(col("o_orderkey"), lit(3)) === 2), dc2),
+        table, s"g3_0-0-0_$dc2.parquet")
+      val dcw2 = new java.io.PrintWriter(
+        new java.io.File(s"$table/.hoodie", s"$dc2.deltacommit"), "UTF-8")
+      try dcw2.println(
+        s"""{"partitionToWriteStats":{"":[""" +
+          s"""{"fileId":"g1","path":"$logRel","numWrites":1,"numUpdateWrites":1,"totalWriteBytes":256,"prevCommit":"$c1"},""" +
+          s"""{"fileId":"g3","path":"g3_0-0-0_$dc2.parquet","numWrites":1,"numUpdateWrites":0,"totalWriteBytes":1024,"prevCommit":"null"}]},""" +
+          s""""operationType":"UPSERT"}""")
+      finally dcw2.close()
+      graft.sources.HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 10 = 0
+        |         THEN o_totalprice * 2 ELSE o_totalprice END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #107b Hudi MERGE-ON-READ WRITER round-trip
+    * ([[graft.sources.HudiTableWriter.createMor]]/`updateLog`/
+    * `deleteLog`/`compact`): create lands base files under a
+    * deltacommit; updates (%10=0 doubled) and deletes (%14=0) land as
+    * log blocks routed to each key's file group — no base rewritten;
+    * the real-time read merges them; compaction folds the logs into
+    * new base files, after which the READ-OPTIMIZED view must equal
+    * the pre-compaction real-time view (require-proven in-run, the
+    * compaction-equivalence contract). The oracle recomputes the
+    * final state.
+    */
+  val qHudiMorWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-mor-write") + "/t"
+      val o = t(s, dir, "orders")
+      val base = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      HudiTableWriter.createMor(base, table,
+        tableName = "orders_mor", recordKeys = Seq("o_orderkey")): Unit
+      HudiTableWriter.updateLog(
+        base.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), table): Unit
+      HudiTableWriter.deleteLog(
+        base.filter(pmod(col("o_orderkey"), lit(14)) === 0).select("o_orderkey"), table): Unit
+      def roll(df: DataFrame) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      val preCompact = roll(HudiTableReader.realtime(s, table)).collect().toSet
+      HudiTableWriter.compact(s, table): Unit
+      val ro = roll(HudiTableReader.readOptimized(s, table))
+      require(ro.collect().toSet == preCompact,
+        "post-compaction read-optimized view must equal the pre-compaction real-time view")
+      roll(HudiTableReader.snapshot(s, table))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 <> 0
         |GROUP BY o_orderpriority""".stripMargin))
 
   /** #103b External Hudi COW table INCREMENTAL read: records

@@ -2,7 +2,7 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** READ-ONLY adapter for externally-written Apache Hudi COPY-ON-WRITE
@@ -37,11 +37,16 @@ import org.apache.spark.sql.functions._
   * no reconstruction: Hudi COW data files carry the full row schema
   * (plus the `_hoodie_*` meta columns).
   *
-  * MERGE-ON-READ tables (`.deltacommit` instants, log files) are NOT
-  * readable this way — their snapshot needs log-merge. The reader
-  * REFUSES loudly on any deltacommit in the timeline rather than
-  * silently serving the read-optimized view as if it were the
-  * snapshot (graft's own MOR machinery is [[MorTable]]).
+  * MERGE-ON-READ tables serve the REAL-TIME view: per file group, the
+  * latest base file (if any) merged with the log files appended after
+  * it ([[HudiLog]] blocks — upserts latest-wins by record key, delete
+  * blocks honored), which is what `spark.read.format("hudi")` on a MOR
+  * table means (template.py:304's entry point). Scale shape: only
+  * file groups WITH pending logs pay the merge (a record-key window
+  * over base+log rows of those groups); compacted groups stream
+  * through as plain scans — the same split Hudi's own realtime reader
+  * makes. COW-only paths (point-in-time, incremental) keep refusing
+  * MOR timelines; `readOptimized` stays the explicit stale opt-in.
   */
 object HudiTableReader {
 
@@ -87,17 +92,18 @@ object HudiTableReader {
     if (!allowMor) {
       if (names.exists(_.endsWith(".deltacommit")))
         throw new IllegalStateException(
-          s"$tablePath has deltacommit instants — a MERGE-ON-READ table; this COW reader " +
-            "cannot merge log files (a plain scan would silently miss updates); " +
-            "use readOptimized for the explicit base-files-only view")
+          s"$tablePath has deltacommit instants — a MERGE-ON-READ table; this COW-only " +
+            "path cannot merge log files (a plain scan would silently miss updates); " +
+            "use snapshot for the merged real-time view or readOptimized for the " +
+            "explicit base-files-only view")
       // hoodie.properties declares the table type up front — a MOR table
       // with no deltacommits YET would otherwise slip through and start
       // silently missing updates on its first delta write
       if (declaresMor(spark, tablePath))
         throw new IllegalStateException(
-          s"$tablePath declares hoodie.table.type=MERGE_ON_READ — this COW reader refuses " +
-            "(log files would be silently ignored); use readOptimized for the explicit " +
-            "base-files-only view, or the MOR machinery for graft's own tables")
+          s"$tablePath declares hoodie.table.type=MERGE_ON_READ — this COW-only path " +
+            "refuses (log files would be silently ignored); use snapshot for the merged " +
+            "real-time view or readOptimized for the explicit base-files-only view")
     }
     val live = names.filter(n => !n.contains(".requested") && !n.contains(".inflight"))
     (live.filter(_.endsWith(".commit")).map(n => (n.stripSuffix(".commit"), "commit")) ++
@@ -202,11 +208,237 @@ object HudiTableReader {
   private def readPaths(spark: SparkSession, tablePath: String, slices: Seq[SliceWrite]): DataFrame =
     spark.read.parquet(slices.map(s => s"$tablePath/${s.path}"): _*)
 
-  /** Snapshot read of the latest file slices (meta columns included,
+  /** True when the timeline or hoodie.properties mark the table
+    * MERGE-ON-READ (metadata listing only, no data I/O).
+    */
+  def isMor(spark: SparkSession, tablePath: String): Boolean = {
+    val dir = hoodieDir(tablePath)
+    val fs = fsOf(spark, dir)
+    fs.exists(dir) &&
+      (declaresMor(spark, tablePath) ||
+        fs.listStatus(dir).exists(_.getPath.getName.endsWith(".deltacommit")))
+  }
+
+  /** One file group at the head of the timeline: its latest base file
+    * (absent for log-only groups) and the log files appended AFTER
+    * that base, in replay order.
+    */
+  final case class GroupSlices(fileId: String, base: Option[SliceWrite],
+      logs: Seq[(String, String)]) // (instant, relPath)
+
+  /** Replay the FULL timeline (commits, deltacommits, replacecommits)
+    * into per-file-group state: a parquet write repoints the group's
+    * base and CLEARS its pending logs (an ordinary commit, a MOR
+    * compaction, or a deltacommit's first base file); a log-file write
+    * appends to the group's pending logs; a clustering replacecommit
+    * drops its replaced groups.
+    */
+  private[sources] def morGroups(spark: SparkSession, tablePath: String): Seq[GroupSlices] = {
+    val fs = fsOf(spark, hoodieDir(tablePath))
+    val state = scala.collection.mutable.LinkedHashMap.empty[String, GroupSlices]
+    timelineInstants(spark, tablePath, allowMor = true).foreach { case (instant, kind) =>
+      if (kind == "replacecommit") replacedIdsOf(fs, tablePath, instant).foreach(state.remove)
+      writesOf(fs, tablePath, instant, kind).foreach { w =>
+        if (w.path.endsWith(".parquet")) state(w.fileId) = GroupSlices(w.fileId, Some(w), Nil)
+        else {
+          val cur = state.getOrElse(w.fileId, GroupSlices(w.fileId, None, Nil))
+          state(w.fileId) = cur.copy(logs = cur.logs :+ ((instant, w.path)))
+        }
+      }
+    }
+    if (state.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: no completed instants in .hoodie")
+    state.values.toIndexedSeq
+  }
+
+  /** One log-parse task shipped to executors. `ord` is the log file's
+    * position in its group's replay order (1-based; base rows are 0).
+    */
+  private[sources] final case class LogTask(fileId: String, absPath: String, ord: Long)
+
+  /** Record-level ordering: log file order, then block order within
+    * the file, then record order within the block — later always wins
+    * (Hudi's default overwrite-with-latest payload under commit-time
+    * ordering). Base rows sit at ord 0.
+    */
+  private def recordOrd(fileOrd: Long, blockIdx: Int, recIdx: Int): Long = {
+    require(blockIdx < (1 << 20) && recIdx < (1 << 20),
+      s"log block/record index out of the 2^20 ordering envelope ($blockIdx/$recIdx)")
+    (fileOrd << 40) | (blockIdx.toLong << 20) | recIdx.toLong
+  }
+
+  /** Parse the pending log files of `dirty` groups into rows shaped
+    * by `schema` (+ `_g_ord`, `_g_del`, and `_g_fid` when `withFid`) —
+    * parsing runs ON EXECUTORS through a broadcast Hadoop conf; the
+    * driver never holds records.
+    */
+  private def logRows(spark: SparkSession, tablePath: String,
+      dirty: Seq[GroupSlices], schema: org.apache.spark.sql.types.StructType,
+      withFid: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+    val keyIdx = schema.fieldIndex("_hoodie_record_key")
+    val outSchema0 = schema.add("_g_ord", LongType).add("_g_del", BooleanType)
+    val outSchema = if (withFid) outSchema0.add("_g_fid", StringType) else outSchema0
+    val tasks = dirty.flatMap { g =>
+      g.logs.zipWithIndex.map { case ((_, rel), i) =>
+        LogTask(g.fileId, s"$tablePath/$rel", (i + 1).toLong)
+      }
+    }
+    val bcConf = spark.sparkContext.broadcast(
+      new DeltaDv.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val nFields = schema.size
+    spark.createDataset(tasks)(Encoders.product[LogTask])
+      .repartition(math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { t =>
+        def shape(core: Seq[Any], ord: Long, del: Boolean): org.apache.spark.sql.Row =
+          org.apache.spark.sql.Row.fromSeq(
+            if (withFid) core :+ ord :+ del :+ t.fileId else core :+ ord :+ del)
+        HudiLog.read(bcConf.value.value, t.absPath).iterator.zipWithIndex.flatMap {
+          case (HudiLog.DataBlock(_, schemaJson, records), bi) =>
+            val writer = new org.apache.avro.Schema.Parser().parse(schemaJson)
+            records.iterator.zipWithIndex.map { case (bytes, ri) =>
+              shape(HudiLog.decodeRow(bytes, writer, schema).toSeq,
+                recordOrd(t.ord, bi, ri), del = false)
+            }
+          case (HudiLog.DeleteBlock(_, keys), bi) =>
+            keys.iterator.zipWithIndex.map { case (k, ri) =>
+              val vals = Array.fill[Any](nFields)(null)
+              vals(keyIdx) = k
+              shape(vals.toIndexedSeq, recordOrd(t.ord, bi, ri), del = true)
+            }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Merge `dirty` groups' base + log rows: latest record per
+    * `_hoodie_record_key` wins, tombstones drop. `keepFileId` threads
+    * a `_g_fid` column through for the compactor. The shuffle is
+    * bounded by the DIRTY groups' bytes — compacted groups never
+    * enter it.
+    */
+  private[sources] def mergeDirtyGroups(spark: SparkSession, tablePath: String,
+      dirty: Seq[GroupSlices], schema: org.apache.spark.sql.types.StructType,
+      keepFileId: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = schema.fieldNames.toIndexedSeq
+    val basePaths = dirty.flatMap(_.base).map(b => s"$tablePath/${b.path}")
+    val tagged =
+      if (!keepFileId) {
+        val logs = logRows(spark, tablePath, dirty, schema, withFid = false)
+        if (basePaths.isEmpty) logs
+        else spark.read.parquet(basePaths: _*)
+          .withColumn("_g_ord", lit(0L)).withColumn("_g_del", lit(false))
+          .select((cols :+ "_g_ord" :+ "_g_del").map(col): _*)
+          .unionByName(logs)
+      } else {
+        // base rows resolve their group via the file→fileId broadcast
+        // map on the scan's metadata; log rows carry it in the task
+        val logsF = logRows(spark, tablePath, dirty, schema, withFid = true)
+        if (basePaths.isEmpty) logsF
+        else {
+          val fidRows = dirty.flatMap(g => g.base.map(b =>
+            org.apache.spark.sql.Row(
+              ScanPaths.normalizeDriver(s"$tablePath/${b.path}"), g.fileId)))
+          import scala.jdk.CollectionConverters._
+          val fidDf = spark.createDataFrame(fidRows.asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("_g_file",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("_g_fid",
+                org.apache.spark.sql.types.StringType))))
+          spark.read.parquet(basePaths: _*)
+            .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
+            .join(broadcast(fidDf), Seq("_g_file"), "left")
+            .drop("_g_file")
+            .withColumn("_g_ord", lit(0L)).withColumn("_g_del", lit(false))
+            .select((cols :+ "_g_ord" :+ "_g_del" :+ "_g_fid").map(col): _*)
+            .unionByName(logsF)
+        }
+      }
+    val w = Window.partitionBy(col("_hoodie_record_key")).orderBy(col("_g_ord").desc)
+    val keep = if (keepFileId) cols :+ "_g_fid" else cols
+    tagged
+      .withColumn("_g_rn", row_number().over(w))
+      .where(col("_g_rn") === 1 && !col("_g_del"))
+      .select(keep.map(col): _*)
+  }
+
+  /** The table schema for a MOR merge: from the base files when any
+    * exist, else from the first log data block's SCHEMA header (the
+    * writer schema, driver-side metadata read of one small block).
+    */
+  private[sources] def morSchema(spark: SparkSession, tablePath: String,
+      groups: Seq[GroupSlices]): org.apache.spark.sql.types.StructType = {
+    val basePaths = groups.flatMap(_.base).map(b => s"$tablePath/${b.path}")
+    if (basePaths.nonEmpty) spark.read.parquet(basePaths: _*).schema
+    else {
+      val firstLog = groups.flatMap(g => g.logs.headOption.map(l => s"$tablePath/${l._2}"))
+        .headOption.getOrElse(throw new IllegalArgumentException(
+          s"$tablePath: MOR table has neither base files nor log files"))
+      val schemaJson = HudiLog.read(spark.sparkContext.hadoopConfiguration, firstLog)
+        .collectFirst { case HudiLog.DataBlock(_, js, _) => js }
+        .getOrElse(throw new IllegalStateException(
+          s"$tablePath: first log file carries no data block to derive a schema from"))
+      val avro = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      avroToStruct(avro)
+    }
+  }
+
+  private def avroToStruct(avro: org.apache.avro.Schema): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def typeOf(s: org.apache.avro.Schema): DataType = s.getType match {
+      case org.apache.avro.Schema.Type.UNION =>
+        typeOf(s.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL).get)
+      case org.apache.avro.Schema.Type.LONG =>
+        if (s.getLogicalType != null && s.getLogicalType.getName == "timestamp-micros")
+          TimestampType
+        else LongType
+      case org.apache.avro.Schema.Type.INT =>
+        if (s.getLogicalType != null && s.getLogicalType.getName == "date") DateType
+        else IntegerType
+      case org.apache.avro.Schema.Type.DOUBLE => DoubleType
+      case org.apache.avro.Schema.Type.FLOAT => FloatType
+      case org.apache.avro.Schema.Type.BOOLEAN => BooleanType
+      case org.apache.avro.Schema.Type.STRING => StringType
+      case org.apache.avro.Schema.Type.BYTES => BinaryType
+      case other => throw new IllegalStateException(s"Avro type $other has no Spark mapping here")
+    }
+    StructType(avro.getFields.asScala.map(f => StructField(f.name(), typeOf(f.schema()))).toSeq)
+  }
+
+  /** REAL-TIME view of a MERGE-ON-READ table: per file group, base +
+    * pending logs merged (latest per record key wins, tombstones
+    * drop); groups with no pending logs stream through unshuffled.
+    */
+  def realtime(spark: SparkSession, tablePath: String): DataFrame = {
+    val groups = morGroups(spark, tablePath)
+    val clean = groups.filter(_.logs.isEmpty).flatMap(_.base)
+    val dirty = groups.filter(_.logs.nonEmpty)
+    if (dirty.isEmpty) {
+      if (clean.isEmpty) throw new IllegalArgumentException(
+        s"$tablePath: no base files and no log files on the timeline")
+      return readPaths(spark, tablePath, clean)
+    }
+    val schema = morSchema(spark, tablePath, groups)
+    if (!schema.fieldNames.contains("_hoodie_record_key"))
+      throw new IllegalStateException(
+        s"$tablePath: base files carry no _hoodie_record_key — the log merge has no " +
+          "record identity to merge on; refusing (read readOptimized for base-only)")
+    val merged = mergeDirtyGroups(spark, tablePath, dirty, schema, keepFileId = false)
+    if (clean.isEmpty) merged
+    else readPaths(spark, tablePath, clean).select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .unionByName(merged)
+  }
+
+  /** Snapshot read — COW tables scan the latest file slices; MOR
+    * tables serve the merged REAL-TIME view (meta columns included,
     * as Hudi's own snapshot query returns them).
     */
   def snapshot(spark: SparkSession, tablePath: String): DataFrame =
-    readPaths(spark, tablePath, activeSlices(spark, tablePath))
+    if (isMor(spark, tablePath)) realtime(spark, tablePath)
+    else readPaths(spark, tablePath, activeSlices(spark, tablePath))
 
   /** POINT-IN-TIME query (Hudi's `as.of.instant`): the table exactly
     * as of `asOfInstant` — timeline replay stops there, so each file

@@ -47,7 +47,8 @@ object HudiTableWriter {
       .format(java.time.Instant.ofEpochMilli(System.currentTimeMillis() + offsetMs))
 
   private def writeProperties(spark: SparkSession, tablePath: String, name: String,
-      recordKeys: Seq[String], precombineField: Option[String]): Unit = {
+      recordKeys: Seq[String], precombineField: Option[String],
+      tableType: String = "COPY_ON_WRITE"): Unit = {
     val p = new Path(hoodieDir(tablePath), "hoodie.properties")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
@@ -65,7 +66,7 @@ object HudiTableWriter {
       val out = fs.create(p, false)
       try out.write(
         (s"hoodie.table.name=$name\n" +
-          "hoodie.table.type=COPY_ON_WRITE\n" +
+          s"hoodie.table.type=$tableType\n" +
           "hoodie.table.version=5\n" + keyLines + precombineLine).getBytes("UTF-8"))
       finally out.close()
     }
@@ -103,10 +104,11 @@ object HudiTableWriter {
 
   /** Write one insert commit: every staged parquet file becomes a NEW
     * file group named per the Hudi base-file convention, and the
-    * `.commit` meta file publishes them. Returns the commit instant.
+    * `.commit` (or, on MOR tables, `.deltacommit`) meta file publishes
+    * them. Returns the commit instant.
     */
   private def insertCommit(df: DataFrame, tablePath: String,
-      recordKeys: Seq[String]): String = {
+      recordKeys: Seq[String], kind: String = "commit"): String = {
     val spark = df.sparkSession
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -131,7 +133,7 @@ object HudiTableWriter {
           s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, path)).getLen},""" +
           s""""prevCommit":"null"}"""
       }.mkString(",")
-      val commitPath = new Path(hoodieDir(tablePath), s"$instant.commit")
+      val commitPath = new Path(hoodieDir(tablePath), s"$instant.$kind")
       fs.mkdirs(hoodieDir(tablePath))
       // exclusive create = the instant-uniqueness CAS; a same-instant
       // racer loses here, abandons its files as uncommitted debris
@@ -192,5 +194,264 @@ object HudiTableWriter {
       s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table columns " +
         s"${dataCols.toSeq.sorted.mkString(",")} — appends must match the existing schema")
     insertCommit(df, tablePath, declared)
+  }
+
+  // ----------------------------------------------------------------
+  // MERGE-ON-READ: deltacommit log appends + compaction — the write
+  // half of the real-time view HudiTableReader.realtime serves.
+  // Updates/deletes land as [[HudiLog]] blocks appended to each key's
+  // file group (no base file rewritten — MOR's whole point); compact
+  // folds pending logs into new base files under an ordinary commit.
+  // Log writes are SINGLE-WRITER per table (log-file names embed the
+  // next version number; Hudi itself needs a lock provider for
+  // concurrent log writers) — a lost instant race throws, loudly.
+  // ----------------------------------------------------------------
+
+  /** Create a NEW Hudi MERGE-ON-READ table: base files land under a
+    * `.deltacommit` (the MOR insert path), `hoodie.properties`
+    * declares MERGE_ON_READ + the record keys the log merge needs.
+    */
+  def createMor(df: DataFrame, tablePath: String, tableName: String = "graft_table",
+      recordKeys: Seq[String] = Nil, precombineField: Option[String] = None): String = {
+    require(recordKeys.nonEmpty,
+      "a MOR table needs record keys — the log merge has no identity without them")
+    val spark = df.sparkSession
+    val dir = hoodieDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) throw new IllegalArgumentException(
+      s"$tablePath is already a Hudi table — use append/updateLog")
+    recordKeys.foreach(k => require(df.columns.contains(k),
+      s"record-key field $k is not in the DataFrame"))
+    fs.mkdirs(dir)
+    writeProperties(spark, tablePath, tableName, recordKeys, precombineField,
+      tableType = "MERGE_ON_READ")
+    insertCommit(df, tablePath, recordKeys, kind = "deltacommit")
+  }
+
+  /** Route rows carrying `_g_key` to their file groups via the BASE
+    * files' record keys (one scan + a broadcast file→group map), or
+    * refuse loudly on keys no base file holds.
+    */
+  private def routeByKey(spark: SparkSession, tablePath: String, keyed: DataFrame,
+      groups: Seq[HudiTableReader.GroupSlices]): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val withBase = groups.filter(_.base.isDefined)
+    require(withBase.nonEmpty, s"$tablePath: no base files to route log records against")
+    val fidRows = withBase.map(g => org.apache.spark.sql.Row(
+      ScanPaths.normalizeDriver(s"$tablePath/${g.base.get.path}"), g.fileId))
+    import scala.jdk.CollectionConverters._
+    val fidDf = spark.createDataFrame(fidRows.asJava, StructType(Seq(
+      StructField("_g_file", StringType), StructField("_g_fid", StringType))))
+    val baseKeys = spark.read
+      .parquet(withBase.map(g => s"$tablePath/${g.base.get.path}"): _*)
+      .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
+      .join(broadcast(fidDf), Seq("_g_file"))
+      .select(col("_hoodie_record_key").as("_g_key"), col("_g_fid"))
+    val routed = keyed.join(baseKeys, Seq("_g_key"), "left")
+    val missing = routed.where(col("_g_fid").isNull).count()
+    if (missing > 0) throw new IllegalArgumentException(
+      s"$tablePath: $missing record(s) have keys no base file group holds — log appends " +
+        "route by existing key; inserts take append/createMor (new file groups)")
+    routed
+  }
+
+  /** Per-group log metadata the write tasks need: the group's base
+    * instant (log names embed it) and the next log version.
+    */
+  private def logMetaOf(groups: Seq[HudiTableReader.GroupSlices],
+      fallbackInstant: String): Map[String, (String, Int)] =
+    groups.map(g =>
+      g.fileId -> (g.base.map(_.instant).getOrElse(fallbackInstant), g.logs.size + 1)).toMap
+
+  /** Publish a `.deltacommit` naming the log files written. The
+    * exclusive create is the instant-uniqueness CAS; a lost race
+    * throws (the log files already carry version numbers — a silent
+    * retry could double-apply them).
+    */
+  private def publishDeltacommit(spark: SparkSession, tablePath: String, instant: String,
+      stats: Seq[(String, String, Long)]): Unit = { // (fileId, relPath, n)
+    val fs = hoodieDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsJson = stats.map { case (fid, rel, n) =>
+      s"""{"fileId":"$fid","path":"$rel","numWrites":$n,"numUpdateWrites":$n,""" +
+        s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
+        s""""prevCommit":"$instant"}"""
+    }.mkString(",")
+    val p = new Path(hoodieDir(tablePath), s"$instant.deltacommit")
+    val created = try {
+      val out = fs.create(p, false)
+      try out.write(
+        (s"""{"partitionToWriteStats":{"":[$statsJson]},"operationType":"UPSERT"}""" + "\n")
+          .getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+    if (!created) throw new IllegalStateException(
+      s"$tablePath: instant $instant already committed by another writer — log appends " +
+        "are single-writer; the landed log files must be rolled back manually")
+  }
+
+  /** UPDATE existing records: `df` (full data rows, record-key fields
+    * included) lands as Avro data blocks appended to each key's file
+    * group. Returns the deltacommit instant. The data write is
+    * distributed (rows shuffle to their group's write task); the
+    * commit is |groups-touched| driver metadata.
+    */
+  def updateLog(df: DataFrame, tablePath: String): String = {
+    val spark = df.sparkSession
+    val keys = declaredRecordKeys(spark, tablePath)
+    require(keys.nonEmpty, s"$tablePath: log routing needs declared record keys")
+    require(HudiTableReader.isMor(spark, tablePath),
+      s"$tablePath is COPY_ON_WRITE — log appends are MOR machinery; use append()")
+    val groups = HudiTableReader.morGroups(spark, tablePath)
+    val instant = instantNow(0L)
+    val stampedDf = stamped(df, instant, keys)
+    val recSchema = stampedDf.schema
+    val avroJson = HudiLog.avroSchemaOf(recSchema).toString
+    val routed = routeByKey(spark, tablePath,
+      stampedDf.withColumn("_g_key", col("_hoodie_record_key")), groups)
+      .select(recSchema.fieldNames.map(col).toIndexedSeq :+ col("_g_fid"): _*)
+    val meta = logMetaOf(groups, instant)
+    val written = writeLogFiles(routed, tablePath, instant, recSchema.json, avroJson,
+      meta, isDelete = false)
+    publishDeltacommit(spark, tablePath, instant, written)
+    instant
+  }
+
+  /** DELETE records: `df` carries the record-key FIELDS; tombstone
+    * delete blocks land in each key's file group. Returns the
+    * deltacommit instant.
+    */
+  def deleteLog(df: DataFrame, tablePath: String): String = {
+    val spark = df.sparkSession
+    val keys = declaredRecordKeys(spark, tablePath)
+    require(keys.nonEmpty, s"$tablePath: log routing needs declared record keys")
+    require(HudiTableReader.isMor(spark, tablePath),
+      s"$tablePath is COPY_ON_WRITE — log deletes are MOR machinery")
+    val groups = HudiTableReader.morGroups(spark, tablePath)
+    val instant = instantNow(0L)
+    val keyed = df.withColumn("_g_key",
+      concat_ws(",", keys.map(k => concat(lit(s"$k:"), col(k).cast("string"))): _*))
+      .select("_g_key")
+    val routed = routeByKey(spark, tablePath, keyed, groups).select("_g_key", "_g_fid")
+    val meta = logMetaOf(groups, instant)
+    val written = writeLogFiles(routed, tablePath, instant, schemaJson = "", avroJson = "",
+      meta, isDelete = true)
+    publishDeltacommit(spark, tablePath, instant, written)
+    instant
+  }
+
+  /** Shuffle rows to their file group and write ONE log file per
+    * group (a data block of the partition's records, or a delete
+    * block of its keys). Returns (fileId, relPath, count) per file —
+    * bounded by |groups touched|.
+    */
+  private def writeLogFiles(routed: DataFrame, tablePath: String, instant: String,
+      schemaJson: String, avroJson: String, meta: Map[String, (String, Int)],
+      isDelete: Boolean): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = routed.sparkSession
+    val bcConf = spark.sparkContext.broadcast(
+      new DeltaDv.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val bcMeta = spark.sparkContext.broadcast(meta)
+    val outSchema = StructType(Seq(StructField("fileId", StringType),
+      StructField("path", StringType), StructField("n", LongType)))
+    val table = tablePath
+    routed.repartition(col("_g_fid"))
+      .mapPartitions { it =>
+        val schema =
+          if (isDelete) null
+          else org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+            .asInstanceOf[StructType]
+        val avro = if (isDelete) null else new org.apache.avro.Schema.Parser().parse(avroJson)
+        val nCore = if (isDelete) 1 else schema.size
+        val byFid = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Any]]
+        it.foreach { row =>
+          val fid = row.getString(nCore)
+          val payload: Any =
+            if (isDelete) row.getString(0)
+            else HudiLog.encodeRow(
+              org.apache.spark.sql.Row.fromSeq((0 until nCore).map(row.get)), schema, avro)
+          byFid.getOrElseUpdate(fid, scala.collection.mutable.ArrayBuffer.empty) += payload
+        }
+        byFid.iterator.map { case (fid, payloads) =>
+          val (baseInstant, ver) = bcMeta.value(fid)
+          val rel = HudiLog.logFileName(fid, baseInstant, ver)
+          val block: HudiLog.Block =
+            if (isDelete) HudiLog.DeleteBlock(instant, payloads.toSeq.map(_.asInstanceOf[String]))
+            else HudiLog.DataBlock(instant, avroJson,
+              payloads.toSeq.map(_.asInstanceOf[Array[Byte]]))
+          HudiLog.write(bcConf.value.value, s"$table/$rel", Seq(block))
+          org.apache.spark.sql.Row(fid, rel, payloads.size.toLong)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toIndexedSeq
+  }
+
+  /** COMPACTION: fold every file group's pending logs into a new base
+    * file under an ordinary `.commit` — after it, the read-optimized
+    * view equals the real-time view again. One distributed merge job
+    * (bounded by the DIRTY groups' bytes), one driver commit bounded
+    * by |dirty groups|. Returns the compaction instant.
+    */
+  def compact(spark: SparkSession, tablePath: String): String = {
+    val groups = HudiTableReader.morGroups(spark, tablePath)
+    val dirty = groups.filter(_.logs.nonEmpty)
+    if (dirty.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: nothing to compact — no file group carries pending log files")
+    val schema = HudiTableReader.morSchema(spark, tablePath, groups)
+    val merged = HudiTableReader.mergeDirtyGroups(spark, tablePath, dirty, schema,
+      keepFileId = true)
+    val instant = instantNow(0L)
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(tablePath, s".graft-compact-${java.util.UUID.randomUUID()}")
+    // repartition by group THEN partitionBy: each group lands in one
+    // task, so exactly one file per group directory
+    merged.repartition(col("_g_fid")).write.partitionBy("_g_fid").parquet(stage.toString)
+    val stats = dirty.map { g =>
+      val rel = s"${g.fileId}_0-0-0_$instant.parquet"
+      val dirPath = new Path(stage, s"_g_fid=${g.fileId}")
+      if (fs.exists(dirPath)) {
+        val part = fs.listStatus(dirPath).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"$tablePath: compaction stage for ${g.fileId} wrote no parquet"))
+        if (!fs.rename(part, new Path(tablePath, rel))) throw new IllegalStateException(
+          s"$tablePath: failed to land compacted base $rel")
+      } else {
+        // every record tombstoned: an explicit EMPTY base still
+        // repoints the slice and clears the group's logs
+        val emptyStage = new Path(tablePath, s".graft-compact-empty-${g.fileId}")
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .coalesce(1).write.parquet(emptyStage.toString)
+        val part = fs.listStatus(emptyStage).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        if (!fs.rename(part, new Path(tablePath, rel))) throw new IllegalStateException(
+          s"$tablePath: failed to land empty compacted base $rel")
+        fs.delete(emptyStage, true): Unit
+      }
+      (g.fileId, rel)
+    }
+    fs.delete(stage, true)
+    val statsJson = stats.map { case (fid, rel) =>
+      s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +
+        s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
+        s""""prevCommit":"null"}"""
+    }.mkString(",")
+    val p = new Path(hoodieDir(tablePath), s"$instant.commit")
+    val created = try {
+      val out = fs.create(p, false)
+      try out.write(
+        (s"""{"partitionToWriteStats":{"":[$statsJson]},"operationType":"COMPACT"}""" + "\n")
+          .getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+    if (!created) throw new IllegalStateException(
+      s"$tablePath: compaction instant $instant already taken — single-writer contract")
+    instant
   }
 }

@@ -105,11 +105,15 @@ class HudiTableReaderSpec extends SparkSpec {
     new java.io.File(s"$table/.hoodie/20240103090000.inflight").createNewFile()
     assert(HudiTableReader.snapshot(spark, table).count() == 30L,
       "an uncommitted instant's files must be invisible")
-    // a deltacommit makes it MOR: refuse
-    new java.io.File(s"$table/.hoodie/20240104090000.deltacommit").createNewFile()
-    val e = intercept[IllegalStateException](HudiTableReader.snapshot(spark, table))
+    // a deltacommit makes it MOR: the COW-only paths (incremental,
+    // point-in-time) refuse — snapshot serves the real-time view now
+    new java.io.File(s"$table/.hoodie/20240104090000.deltacommit")
+      .createNewFile(): Unit
+    val e = intercept[IllegalStateException](
+      HudiTableReader.incrementalSince(spark, table, "20240101090000"))
     assert(e.getMessage.contains("MERGE-ON-READ"))
-    // a DECLARED MOR table refuses even before any deltacommit lands
+    // a DECLARED MOR table with no logs: snapshot serves the base
+    // state (real-time with nothing to merge); COW paths still refuse
     val t2 = tmpDir("hudi-declared-mor")
     writeBaseFile(rows(1 to 10, "20240101090000"), t2, "g1_0-0-0_20240101090000.parquet")
     writeCommit(t2, "20240101090000", Seq(("", "g1", "g1_0-0-0_20240101090000.parquet")))
@@ -118,7 +122,9 @@ class HudiTableReaderSpec extends SparkSpec {
       pw.println("hoodie.table.name=fixture")
       pw.println("hoodie.table.type=MERGE_ON_READ")
     } finally pw.close()
-    val eDecl = intercept[IllegalStateException](HudiTableReader.snapshot(spark, t2))
+    assert(HudiTableReader.snapshot(spark, t2).count() == 10L)
+    val eDecl = intercept[IllegalStateException](
+      HudiTableReader.snapshotAsOf(spark, t2, "20240101090000"))
     assert(eDecl.getMessage.contains("hoodie.table.type"))
     val notTable = tmpDir("hudi-none")
     val e2 = intercept[IllegalArgumentException](HudiTableReader.snapshot(spark, notTable))
@@ -197,10 +203,12 @@ class HudiTableReaderSpec extends SparkSpec {
     writeDeltaCommitMeta(table, "20240102090000", Seq(
       ("", "g1", ".g1_20240102090000.log.1_0-0-0"),
       ("", "g2", "g2_0-0-0_20240102090000.parquet")))
-    // snapshot refuses (log-merge needed) ...
-    val e = intercept[IllegalStateException](HudiTableReader.snapshot(spark, table))
-    assert(e.getMessage.contains("MERGE-ON-READ") || e.getMessage.contains("hoodie.table.type"))
-    // ... readOptimized serves base files only: g1's ORIGINAL rows + g2
+    // snapshot serves the real-time view — but THIS fixture's base
+    // files carry no _hoodie_record_key, so the log merge has no
+    // record identity and refuses loudly (RO below still serves)
+    val eKey = intercept[IllegalStateException](HudiTableReader.snapshot(spark, table))
+    assert(eKey.getMessage.contains("_hoodie_record_key"))
+    // readOptimized serves base files only: g1's ORIGINAL rows + g2
     val ro = HudiTableReader.readOptimized(spark, table)
     assert(ro.count() == 70L)
     assert(ro.where(col("_hoodie_commit_time") === "20240102090000").count() == 20L,

@@ -88,4 +88,85 @@ class HudiTableWriterSpec extends SparkSpec {
     HudiTableWriter.append(df(31 to 40), table, recordKeys = Seq("id", "key")): Unit
     assert(HudiTableReader.snapshot(spark, table).count() == 40L)
   }
+
+  test("MOR lifecycle: createMor → updateLog → deleteLog → realtime merge → compact → RO equality") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("hwr-mor") + "/t"
+    HudiTableWriter.createMor(df(1 to 100), table, recordKeys = Seq("id")): Unit
+    val props = scala.io.Source.fromFile(s"$table/.hoodie/hoodie.properties").mkString
+    assert(props.contains("hoodie.table.type=MERGE_ON_READ"))
+    assert(HudiTableReader.isMor(spark, table))
+    assert(HudiTableReader.snapshot(spark, table).count() == 100L)
+
+    // updates land as log blocks — NO base file is rewritten
+    val basesBefore = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    HudiTableWriter.updateLog(
+      df(1 to 10).withColumn("v", col("v") + 1000L), table): Unit
+    val basesAfter = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(basesAfter == basesBefore, "a log append must not touch base files")
+    assert(new java.io.File(table).listFiles().exists(_.getName.contains(".log.")),
+      "the update must land as a log file")
+    val rt1 = HudiTableReader.snapshot(spark, table)
+    assert(rt1.count() == 100L)
+    assert(rt1.where(col("id") === 3L).select("v").head().getLong(0) == 1006L,
+      "the real-time view must serve the log-updated value")
+    assert(rt1.where(col("id") === 50L).select("v").head().getLong(0) == 100L)
+    // the RO view is stale by contract
+    assert(HudiTableReader.readOptimized(spark, table)
+      .where(col("id") === 3L).select("v").head().getLong(0) == 6L)
+
+    // a second update to the SAME key: latest block wins
+    HudiTableWriter.updateLog(
+      df(3 to 3).withColumn("v", col("v") + 5000L), table): Unit
+    assert(HudiTableReader.snapshot(spark, table)
+      .where(col("id") === 3L).select("v").head().getLong(0) == 5006L)
+
+    // deletes land as tombstone blocks
+    HudiTableWriter.deleteLog(Seq(5L, 6L).toDF("id"), table): Unit
+    val rt2 = HudiTableReader.snapshot(spark, table)
+    assert(rt2.count() == 98L)
+    assert(rt2.where(col("id").isin(5L, 6L)).count() == 0L)
+
+    // compaction folds logs into base files; RO == pre-compaction realtime
+    val pre = rt2.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    HudiTableWriter.compact(spark, table): Unit
+    val ro = HudiTableReader.readOptimized(spark, table)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ro == pre, "post-compaction RO view must equal the pre-compaction real-time view")
+    assert(HudiTableReader.snapshot(spark, table).count() == 98L)
+    // compacting again with no pending logs refuses
+    val e = intercept[IllegalArgumentException](HudiTableWriter.compact(spark, table))
+    assert(e.getMessage.contains("nothing to compact"))
+
+    // updates after compaction keep working (fresh log generation)
+    HudiTableWriter.updateLog(df(7 to 7).withColumn("v", lit(42L)), table): Unit
+    assert(HudiTableReader.snapshot(spark, table)
+      .where(col("id") === 7L).select("v").head().getLong(0) == 42L)
+  }
+
+  test("MOR guardrails: COW tables refuse log ops; unknown keys refuse routing") {
+    val s = spark
+    import s.implicits._
+    val cow = tmpDir("hwr-mor-cow") + "/t"
+    HudiTableWriter.create(df(1 to 10), cow, recordKeys = Seq("id")): Unit
+    val e1 = intercept[IllegalArgumentException](HudiTableWriter.updateLog(df(1 to 2), cow))
+    assert(e1.getMessage.contains("COPY_ON_WRITE"))
+    val mor = tmpDir("hwr-mor-route") + "/t"
+    HudiTableWriter.createMor(df(1 to 10), mor, recordKeys = Seq("id")): Unit
+    // a key no base file holds cannot be routed to a file group
+    val e2 = intercept[IllegalArgumentException](
+      HudiTableWriter.updateLog(df(999 to 999), mor))
+    assert(e2.getMessage.contains("no base file group"))
+    val e3 = intercept[IllegalArgumentException](
+      HudiTableWriter.deleteLog(Seq(999L).toDF("id"), mor))
+    assert(e3.getMessage.contains("no base file group"))
+    // keyless MOR create refuses up front
+    val e4 = intercept[IllegalArgumentException](
+      HudiTableWriter.createMor(df(1 to 5), tmpDir("hwr-mor-nokey") + "/t"))
+    assert(e4.getMessage.contains("record keys"))
+  }
 }
