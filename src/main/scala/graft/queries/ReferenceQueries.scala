@@ -1155,6 +1155,152 @@ trait ReferenceQueries extends QueryBase {
         |WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
         |GROUP BY o_orderpriority""".stripMargin))
 
+  private lazy val iceV2EntrySchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string","default":"PARQUET"},
+      |  {"name":"record_count","type":"long","default":0},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+      |]}}]}""".stripMargin)
+
+  private def iceV2Entry(status: Int, snapId: Long, seq: Long, path: String,
+      content: Int = 0, eqIds: Seq[Int] = Nil): org.apache.avro.generic.GenericRecord = {
+    val df = new org.apache.avro.generic.GenericData.Record(
+      iceV2EntrySchema.getField("data_file").schema())
+    df.put("content", content); df.put("file_path", path)
+    df.put("file_format", "PARQUET"); df.put("record_count", 1L)
+    if (eqIds.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      df.put("equality_ids", eqIds.map(Int.box).asJava)
+    }
+    val r = new org.apache.avro.generic.GenericData.Record(iceV2EntrySchema)
+    r.put("status", status); r.put("snapshot_id", snapId)
+    r.put("sequence_number", seq); r.put("data_file", df)
+    r
+  }
+
+  /** #104d External Iceberg v2 EQUALITY-DELETE read (the Flink-CDC
+    * shape: content=2 delete files whose rows name key VALUES, scoped
+    * by sequence number to strictly-older data files): the fixture's
+    * delete file names o_orderkey%13=0 keys at sequence 2, so the
+    * seq-1 data files (%3∈{0,1}) lose those rows while the seq-3
+    * append (%3=2) keeps them — one delete-file scan + one null-safe
+    * anti join on the resolved equality columns, bounded by |delete
+    * rows|. The oracle recomputes the visible set from the predicates.
+    */
+  val qIcebergEqDelete: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("ice-eqdel")
+      val table = root + "/t"
+      val o = t(s, dir, "orders")
+      def dataFile(df: DataFrame, rel: String): Unit = {
+        val tmp = table + "/.stage"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val src = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(table, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        deleteRecursively(new java.io.File(tmp))
+      }
+      dataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 0), "data/fa.parquet")
+      dataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), "data/fb.parquet")
+      dataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 2), "data/fc.parquet")
+      // the delete file: o_orderkey values ≡0 mod 13, at sequence 2
+      dataFile(o.filter(pmod(col("o_orderkey"), lit(13)) === 0).select("o_orderkey"),
+        "data/eq1.parquet")
+      iceWriteAvro(s"$table/metadata/m1.avro", iceV2EntrySchema, Seq(
+        iceV2Entry(1, 1L, 1L, "data/fa.parquet"), iceV2Entry(1, 1L, 1L, "data/fb.parquet")))
+      iceWriteAvro(s"$table/metadata/me.avro", iceV2EntrySchema, Seq(
+        iceV2Entry(1, 2L, 2L, "data/eq1.parquet", content = 2, eqIds = Seq(1))))
+      iceWriteAvro(s"$table/metadata/m2.avro", iceV2EntrySchema, Seq(
+        iceV2Entry(1, 3L, 3L, "data/fc.parquet")))
+      iceWriteAvro(s"$table/metadata/snap-3.avro", iceListSchema, Seq(
+        iceListRec("metadata/m1.avro", 1L), {
+          val r = iceListRec("metadata/me.avro", 2L); r.put("content", 1); r
+        }, iceListRec("metadata/m2.avro", 3L)))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val schemaFields = cols.zipWithIndex.map { case (c, i) =>
+        val tpe = c match {
+          case "o_orderkey" | "o_custkey" => "long"
+          case "o_totalprice" => "double"
+          case "o_orderdate" => "timestamp"
+          case _ => "string"
+        }
+        s"""{"id":${i + 1},"name":"$c","required":false,"type":"$tpe"}"""
+      }.mkString(",")
+      val w = new java.io.PrintWriter(
+        new java.io.File(s"$table/metadata", "v3.metadata.json"), "UTF-8")
+      try w.println(
+        s"""{"format-version":2,"table-uuid":"fixture","location":"$table",""" +
+          s""""schemas":[{"schema-id":0,"type":"struct","fields":[$schemaFields]}],""" +
+          s""""current-schema-id":0,"current-snapshot-id":3,"snapshots":[""" +
+          """{"snapshot-id":1,"timestamp-ms":1700000000000,"summary":{"operation":"append"},"manifest-list":"metadata/snap-3.avro"},""" +
+          """{"snapshot-id":2,"parent-snapshot-id":1,"timestamp-ms":1700000001000,"summary":{"operation":"overwrite"},"manifest-list":"metadata/snap-3.avro"},""" +
+          """{"snapshot-id":3,"parent-snapshot-id":2,"timestamp-ms":1700000002000,"summary":{"operation":"append"},"manifest-list":"metadata/snap-3.avro"}]}""")
+      finally w.close()
+      val h = new java.io.PrintWriter(
+        new java.io.File(s"$table/metadata", "version-hint.text"), "UTF-8")
+      try h.println("3") finally h.close()
+      graft.sources.IcebergTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE NOT (o_orderkey % 3 IN (0, 1) AND o_orderkey % 13 = 0)
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #109b PARTITIONED Iceberg writer round-trip
+    * ([[graft.sources.IcebergTableWriter]] with identity partition
+    * fields): partition values ride each manifest entry's `partition`
+    * struct (the columns stay IN the data files, Iceberg-style), the
+    * metadata declares the spec, appends derive it, and
+    * manifest-level pruning provably cuts the FILE set before any
+    * data I/O (require-proven in-run). The result unions the full
+    * rollup with one pruned slice; the oracle recomputes both.
+    */
+  val qIcebergPartWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("ice-part-write") + "/t"
+      val o = t(s, dir, "orders")
+      IcebergTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        partitionBy = Seq("o_orderpriority")): Unit
+      IcebergTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val pruner = (pv: Map[String, String]) => pv.get("o_orderpriority").contains("1-URGENT")
+      val allFiles = IcebergTableReader.planFiles(s, table).data.size
+      val prunedFiles = IcebergTableReader.planFilesPruned(s, table, pruner).data.size
+      require(prunedFiles > 0 && prunedFiles < allFiles,
+        s"identity-partition pruning must cut the file set ($prunedFiles of $allFiles)")
+      val full = IcebergTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("all"))
+      val pruned = IcebergTableReader.snapshotPruned(s, table, pruner)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("pruned"))
+      full.unionByName(pruned)
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  'all' AS slice
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'pruned'
+        |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority""".stripMargin))
+
   /** #109 Iceberg table WRITER round-trip
     * ([[graft.sources.IcebergTableWriter]] — the third leg of the
     * writer-side interop surface): create + append land spec-true v2
@@ -1541,6 +1687,78 @@ trait ReferenceQueries extends QueryBase {
     * foreign table layout. Rewrite commits inside the range refuse
     * loudly (spec-locked); this query reads only past the rewrite.
     */
+  /** #102e External Delta table CDC-GRADE incremental
+    * ([[graft.sources.DeltaTableReader.changeFeedSince]] — Delta's
+    * own CDF fallback semantics for commits without cdc files): the
+    * fixture's post-checkpoint commits are a DV attach (v1 masks
+    * %7=0 of the %3=0 file), an append (v2 adds the %3=2 slice), a
+    * whole-file delete (v3 removes the %3=1 file), and a DV GROWTH
+    * (v4 extends the mask to %11=0) — the feed reconstructs insert
+    * images from adds and delete PRE-IMAGES from DV position diffs /
+    * removed files' live rows, each tagged with its commit. The
+    * oracle recomputes all four legs from the predicates the commits
+    * encode.
+    */
+  val qDeltaCdc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.DeltaDv
+      val root = scratch("delta-cdc")
+      val table = root + "/t"
+      new java.io.File(table).mkdirs()
+      val o = t(s, dir, "orders")
+      writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 0), table, "part-a.parquet")
+      writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 1), table, "part-b.parquet")
+      writeDeltaCommit(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        deltaMeta, deltaAdd("part-a.parquet"), deltaAdd("part-b.parquet")))
+      def positionsWhere(file: String, pred: Column): Seq[Long] =
+        s.read.parquet(s"$table/$file").where(pred)
+          .select(col("_metadata.row_index")).collect().map(_.getLong(0)).toIndexedSeq
+      def addWithDv(path: String, d: DeltaDv.Descriptor): String =
+        s"""{"add":{"path":"$path","partitionValues":{},"size":1024,""" +
+          s""""modificationTime":1700000000000,"dataChange":true,""" +
+          s""""deletionVector":${DeltaDv.descriptorJson(d)}}}"""
+      // v1: DV attach on part-a — %7=0 masked
+      val dv1 = DeltaDv.inlineDescriptor(
+        positionsWhere("part-a.parquet", pmod(col("o_orderkey"), lit(7)) === 0))
+      writeDeltaCommit(table, 1L, Seq(
+        deltaRemove("part-a.parquet"), addWithDv("part-a.parquet", dv1)))
+      // v2: plain append of the %3=2 slice
+      writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(3)) === 2), table, "part-c.parquet")
+      writeDeltaCommit(table, 2L, Seq(deltaAdd("part-c.parquet")))
+      // v3: whole-file delete of part-b
+      writeDeltaCommit(table, 3L, Seq(deltaRemove("part-b.parquet")))
+      // v4: DV growth on part-a — mask extended to %7=0 ∪ %11=0
+      val dv2 = DeltaDv.inlineDescriptor(
+        positionsWhere("part-a.parquet",
+          pmod(col("o_orderkey"), lit(7)) === 0 || pmod(col("o_orderkey"), lit(11)) === 0))
+      writeDeltaCommit(table, 4L, Seq(
+        deltaRemove("part-a.parquet"), addWithDv("part-a.parquet", dv2)))
+      graft.sources.DeltaTableReader.changeFeedSince(s, table, sinceVersion = 0L)
+        .groupBy(col("_change_type"), col("_commit_version"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT 'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+        |  o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'insert', CAST(2 AS BIGINT), o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 = 2 GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'delete', CAST(3 AS BIGINT), o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 = 1 GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'delete', CAST(4 AS BIGINT), o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
   val qDeltaIncremental: QueryDef = QueryDef(
     run = (s, dir) => {
       val table = buildDeltaFixture(s, dir, scratch("delta-inc"))

@@ -613,7 +613,8 @@ object DeltaTableReader {
       tablePath: String,
       files: Seq[FileAction],
       partitionColumns: Seq[String],
-      schemaJson: Option[String]): DataFrame = {
+      schemaJson: Option[String],
+      keepPositions: Option[DataFrame] = None): DataFrame = {
     if (files.isEmpty)
       throw new IllegalArgumentException(s"$tablePath: snapshot has no active data files")
     val absOf: FileAction => String = f => abs(tablePath, f.path)
@@ -631,14 +632,21 @@ object DeltaTableReader {
     val dvFiles = files.collect {
       case f if f.dv.isDefined => (normalizeDriverPath(absOf(f)), f.dv.get)
     }
-    val needsMeta = partitionColumns.nonEmpty || dvFiles.nonEmpty
+    val needsMeta = partitionColumns.nonEmpty || dvFiles.nonEmpty || keepPositions.isDefined
     val keyed =
       if (!needsMeta) base
       else base.withColumn("_g_file", normalizeScanPath(col("_metadata.file_path")))
 
-    val afterDv =
-      if (dvFiles.isEmpty) keyed
-      else {
+    // keepPositions mode (the change feed's pre-image reads): serve
+    // ONLY the rows at the named (file, position) pairs — the file's
+    // own DV is the caller's business there, not subtracted again
+    val afterDv = keepPositions match {
+      case Some(pos) =>
+        keyed.withColumn("_g_pos", col("_metadata.row_index"))
+          .join(pos, Seq("_g_file", "_g_pos"), "left_semi")
+          .drop("_g_pos")
+      case None if dvFiles.isEmpty => keyed
+      case None =>
         val positions0 = dvPositions(spark, tablePath, dvFiles)
         val totalCard = dvFiles.map(_._2.cardinality).sum
         val positions =
@@ -646,7 +654,7 @@ object DeltaTableReader {
         keyed.withColumn("_g_pos", col("_metadata.row_index"))
           .join(positions, Seq("_g_file", "_g_pos"), "left_anti")
           .drop("_g_pos")
-      }
+    }
 
     val withParts =
       if (partitionColumns.isEmpty) afterDv
@@ -777,5 +785,126 @@ object DeltaTableReader {
       readFiles(spark, tablePath, fas.map(_._2), state.partitionColumns, state.schemaJson)
         .withColumn("_commit_version", lit(v))
     }.reduce(_ unionByName _)
+  }
+
+  /** CDC-grade incremental: the CHANGE FEED of commits
+    * `sinceVersion+1..latest`, reconstructed from the file actions —
+    * exactly Delta's own CDF fallback for commits that carry no
+    * explicit cdc files:
+    *
+    *  - a `dataChange` add of a NEW path → `insert` images (the
+    *    file's rows, minus any DV it arrives with);
+    *  - a re-add of an ACTIVE path with a GROWN deletion vector (the
+    *    protocol's remove+re-add DV attach) → `delete` images: the
+    *    pre-image rows at exactly the newly-deleted positions (DV
+    *    diff, decoded on executors);
+    *  - a `dataChange` remove whose path is NOT re-added → `delete`
+    *    images: the file's still-live rows (minus its old DV);
+    *  - `dataChange=false` adds/removes (compaction) update the
+    *    replay state but emit nothing.
+    *
+    * A SHRINKING deletion vector (a restore) refuses loudly — the
+    * feed cannot represent resurrection. Output rows carry
+    * `_change_type` ('insert'/'delete') + `_commit_version`; the
+    * append-only path of [[incrementalSince]] stays byte-identical
+    * for consumers that want refusal over reconstruction.
+    */
+  def changeFeedSince(spark: SparkSession, tablePath: String, sinceVersion: Long): DataFrame = {
+    val dir = logDir(tablePath)
+    val fs = fsOf(spark, dir)
+    val endState = snapshotState(spark, tablePath) // schema + partition columns
+    val startState = snapshotState(spark, tablePath, asOf = Some(sinceVersion))
+    val vs = versions(spark, tablePath).filter(_ > sinceVersion)
+    if (vs.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: no commits after version $sinceVersion (latest: ${endState.version})")
+    requireContiguous(vs, sinceVersion + 1, tablePath, "change-feed-range")
+    val active = scala.collection.mutable.LinkedHashMap.empty[String, FileAction]
+    startState.active.foreach(f => active(f.path) = f)
+    val legs = Seq.newBuilder[DataFrame]
+    def tag(df: DataFrame, change: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(change)).withColumn("_commit_version", lit(v))
+    vs.foreach { v =>
+      val adds = Seq.newBuilder[FileAction]
+      val removes = Seq.newBuilder[(String, Boolean)] // (path, dataChange)
+      readText(fs, new Path(dir, f"$v%020d.json")).split('\n').filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        refuseUnsupported(node, tablePath)
+        if (node.has("add")) adds += fileActionOf(node.get("add"))
+        else if (node.has("remove")) {
+          val r = node.get("remove")
+          removes += ((r.get("path").asText(),
+            Option(r.get("dataChange")).forall(_.asBoolean(true))))
+        }
+      }
+      val added = adds.result()
+      val addedPaths = added.map(_.path).toSet
+      // inserts: data-changing adds of paths not currently active
+      val inserts = added.filter(a => a.dataChange && !active.contains(a.path))
+      if (inserts.nonEmpty)
+        legs += tag(readFiles(spark, tablePath, inserts,
+          endState.partitionColumns, endState.schemaJson), "insert", v)
+      // DV growth: re-add of an active path — delete images at the
+      // newly-masked positions
+      val dvGrowth = added.filter(a => a.dataChange && active.contains(a.path))
+      dvGrowth.foreach { a =>
+        val before = active(a.path)
+        val oldCard = before.dv.map(_.cardinality).getOrElse(0L)
+        val newCard = a.dv.map(_.cardinality).getOrElse(0L)
+        if (newCard < oldCard) throw new IllegalStateException(
+          s"$tablePath: commit $v SHRINKS the deletion vector of ${a.path} " +
+            s"($oldCard→$newCard) — a restore; the change feed cannot represent " +
+            "resurrected rows; refusing")
+        if (a.dv.isEmpty && before.dv.isEmpty)
+          throw new IllegalStateException(
+            s"$tablePath: commit $v re-adds active path ${a.path} with no deletion " +
+              "vector on either side — not a DV delete and not an append; refusing")
+        // equal cardinality with a DIFFERENT vector = delete+restore in
+        // one step; the feed cannot represent the resurrected half
+        if (newCard == oldCard && a.dv != before.dv)
+          throw new IllegalStateException(
+            s"$tablePath: commit $v swaps ${a.path}'s deletion vector for a different " +
+              s"one of equal cardinality ($newCard) — a delete+restore; refusing")
+      }
+      val grown = dvGrowth.filter(a =>
+        a.dv.map(_.cardinality).getOrElse(0L) > active(a.path).dv.map(_.cardinality).getOrElse(0L))
+      if (grown.nonEmpty) {
+        val file: FileAction => String = f => normalizeDriverPath(abs(tablePath, f.path))
+        val newPos = dvPositions(spark, tablePath,
+          grown.flatMap(a => a.dv.map(d => (file(a), d))))
+        val oldDvs = grown.flatMap(a => active(a.path).dv.map(d => (file(a), d)))
+        val diff =
+          if (oldDvs.isEmpty) newPos
+          else {
+            val oldPos = dvPositions(spark, tablePath, oldDvs)
+            // cardinality growth alone does not prove set growth: any
+            // old position absent from the new vector is a silent
+            // resurrection — refuse at the positions level
+            if (oldPos.join(newPos, Seq("_g_file", "_g_pos"), "left_anti").limit(1).count() > 0)
+              throw new IllegalStateException(
+                s"$tablePath: commit $v's new deletion vector drops previously-deleted " +
+                  "positions — a partial restore; the change feed cannot represent " +
+                  "resurrected rows; refusing")
+            newPos.join(oldPos, Seq("_g_file", "_g_pos"), "left_anti")
+          }
+        legs += tag(readFiles(spark, tablePath, grown.map(_.copy(dv = None)),
+          endState.partitionColumns, endState.schemaJson,
+          keepPositions = Some(diff)), "delete", v)
+      }
+      // whole-file deletes: data-changing removes not re-added — the
+      // still-live rows (old DV already subtracted by readFiles)
+      val wholeDeletes = removes.result()
+        .collect { case (p, true) if active.contains(p) && !addedPaths.contains(p) => active(p) }
+      if (wholeDeletes.nonEmpty)
+        legs += tag(readFiles(spark, tablePath, wholeDeletes,
+          endState.partitionColumns, endState.schemaJson), "delete", v)
+      // replay state forward (dataChange=false compaction included)
+      removes.result().foreach { case (p, _) => active.remove(p): Unit }
+      added.foreach(a => active(a.path) = a)
+    }
+    val out = legs.result()
+    if (out.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: commits after $sinceVersion changed no data " +
+        "(compaction only); nothing to feed")
+    out.reduce(_ unionByName _)
   }
 }

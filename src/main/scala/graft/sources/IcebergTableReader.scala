@@ -55,7 +55,8 @@ object IcebergTableReader {
       id: Long,
       parentId: Option[Long],
       operation: String,
-      manifestList: String)
+      manifestList: String,
+      timestampMs: Long = 0L)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -121,9 +122,41 @@ object IcebergTableReader {
         parentId = Option(s.get("parent-snapshot-id")).map(_.asLong()),
         operation = Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
           .map(_.asText()).getOrElse("append"),
-        manifestList = s.get("manifest-list").asText())
+        manifestList = s.get("manifest-list").asText(),
+        timestampMs = Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L))
     }
     (snaps.result(), currentId)
+  }
+
+  /** Field-id → name map from the metadata JSON's schema(s) — what
+    * resolves equality-delete `equality_ids` to column names. Reads
+    * the current schema (`schemas` + `current-schema-id`, or the
+    * legacy single `schema`).
+    */
+  private def schemaFieldNames(spark: SparkSession, tablePath: String): Map[Int, String] = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
+    val schemaNode = {
+      val schemas = meta.get("schemas")
+      if (schemas != null && schemas.isArray) {
+        val currentId = Option(meta.get("current-schema-id")).map(_.asInt())
+        var pick: com.fasterxml.jackson.databind.JsonNode = null
+        schemas.forEach { s =>
+          if (pick == null ||
+            currentId.exists(id => Option(s.get("schema-id")).exists(_.asInt() == id)))
+            pick = s
+        }
+        pick
+      } else meta.get("schema")
+    }
+    if (schemaNode == null) Map.empty
+    else {
+      val b = Map.newBuilder[Int, String]
+      val fields = schemaNode.get("fields")
+      if (fields != null && fields.isArray)
+        fields.forEach(f => b += (f.get("id").asInt() -> f.get("name").asText()))
+      b.result()
+    }
   }
 
   private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
@@ -145,20 +178,44 @@ object IcebergTableReader {
     if (r.getSchema.getField(name) == null) default
     else Option(r.get(name)).map(_.asInstanceOf[Number].intValue()).getOrElse(default)
 
-  /** One manifest entry's (status, addedSnapshotId-if-any, filePath,
-    * fileContent).
+  /** One manifest entry: status, addedSnapshotId, data sequence
+    * number (v2; None on v1 entries), the file path/content, its
+    * equality field ids (content=2 files) and identity-partition
+    * values (stringified, as the writer records them).
     */
   final case class ManifestEntry(status: Int, snapshotId: Option[Long],
-      filePath: String, content: Int)
+      sequence: Option[Long], filePath: String, content: Int,
+      equalityIds: Seq[Int] = Nil, partition: Map[String, String] = Map.empty)
 
   private def manifestEntries(spark: SparkSession, manifestPath: String): Seq[ManifestEntry] =
     readAvro(spark, manifestPath).map { r =>
       val df = r.get("data_file").asInstanceOf[GenericRecord]
+      val eqIds: Seq[Int] =
+        if (df.getSchema.getField("equality_ids") == null) Nil
+        else Option(df.get("equality_ids")) match {
+          case Some(l: java.util.List[_]) =>
+            import scala.jdk.CollectionConverters._
+            l.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
+          case _ => Nil
+        }
+      val partition: Map[String, String] =
+        if (df.getSchema.getField("partition") == null) Map.empty
+        else Option(df.get("partition")) match {
+          case Some(p: GenericRecord) =>
+            import scala.jdk.CollectionConverters._
+            p.getSchema.getFields.asScala.flatMap { f =>
+              Option(p.get(f.pos())).map(v => f.name() -> v.toString)
+            }.toMap
+          case _ => Map.empty
+        }
       ManifestEntry(
         status = fieldInt(r, "status", 1),
         snapshotId = fieldLong(r, "snapshot_id"),
+        sequence = fieldLong(r, "sequence_number"),
         filePath = df.get("file_path").toString,
-        content = fieldInt(df, "content", 0))
+        content = fieldInt(df, "content", 0),
+        equalityIds = eqIds,
+        partition = partition)
     }
 
   /** (manifestPath, addedSnapshotId, manifestContent) rows of a
@@ -204,31 +261,61 @@ object IcebergTableReader {
       s"$tablePath: current-snapshot-id $currentId not in the snapshot list"))
   }
 
-  /** The current snapshot's live file plan: data files plus v2
-    * POSITION-DELETE files (applied by [[snapshot]]). EQUALITY
-    * deletes still refuse — applying them needs the delete rows'
-    * key semantics, which a plain scan cannot honor.
+  /** One EQUALITY-delete file (content=2): its equality columns
+    * (resolved from field ids) and the sequence number that scopes
+    * which data files it applies to (strictly older, per spec).
     */
-  final case class PlanFiles(data: Seq[String], positionDeletes: Seq[String])
+  final case class EqDelete(path: String, equalityColumns: Seq[String], sequence: Long)
+
+  /** The current snapshot's live file plan: data files (with their
+    * data sequence numbers and identity-partition values), v2
+    * POSITION-DELETE files, and EQUALITY-delete files — all applied
+    * by [[snapshot]].
+    */
+  final case class PlanFiles(
+      data: Seq[String],
+      positionDeletes: Seq[String],
+      equalityDeletes: Seq[EqDelete] = Nil,
+      dataSequences: Map[String, Long] = Map.empty)
 
   def planFiles(spark: SparkSession, tablePath: String): PlanFiles =
     planFilesOf(spark, tablePath, currentSnapshot(spark, tablePath))
 
+  /** [[planFiles]] with identity-partition pruning: entries whose
+    * recorded partition values fail `pruner` never reach the scan —
+    * metadata-only, before any data I/O (the manifest-level half of
+    * Iceberg's own partition pruning).
+    */
+  def planFilesPruned(spark: SparkSession, tablePath: String,
+      pruner: Map[String, String] => Boolean): PlanFiles =
+    planFilesOf(spark, tablePath, currentSnapshot(spark, tablePath), pruner)
+
   private def planFilesOf(spark: SparkSession, tablePath: String,
-      snap: SnapshotInfo): PlanFiles = {
+      snap: SnapshotInfo, pruner: Map[String, String] => Boolean = _ => true): PlanFiles = {
     val manifests = manifestsOf(spark, resolve(tablePath, snap.manifestList))
-    val data = Seq.newBuilder[String]
+    val data = Seq.newBuilder[(String, Long)]
     val posDeletes = Seq.newBuilder[String]
+    val eqDeletes = Seq.newBuilder[EqDelete]
+    lazy val idToName = schemaFieldNames(spark, tablePath)
     manifests.foreach { case (mpath, _, mcontent) =>
       manifestEntries(spark, resolve(tablePath, mpath)).foreach { e =>
         if (e.status != 2) { // 2 = deleted entry
           (mcontent, e.content) match {
-            case (0, 0) => data += e.filePath
+            case (0, 0) =>
+              if (pruner(e.partition)) data += ((e.filePath, e.sequence.getOrElse(0L)))
             case (1, 1) => posDeletes += e.filePath
-            case (_, 2) => throw new IllegalStateException(
-              s"$tablePath: EQUALITY-delete file ${e.filePath} in snapshot ${snap.id} — " +
-                "equality deletes need the delete rows' key semantics; a plain scan " +
-                "cannot honor them; refusing")
+            case (1, 2) =>
+              val names = e.equalityIds.map(id => idToName.getOrElse(id,
+                throw new IllegalStateException(
+                  s"$tablePath: equality-delete file ${e.filePath} names field id $id, " +
+                    "which the table schema does not declare; refusing")))
+              if (names.isEmpty) throw new IllegalStateException(
+                s"$tablePath: equality-delete file ${e.filePath} declares no " +
+                  "equality_ids — nothing to match on; refusing")
+              val seq = e.sequence.getOrElse(throw new IllegalStateException(
+                s"$tablePath: equality-delete file ${e.filePath} carries no sequence " +
+                  "number — its scope (which data files it applies to) is undefined; refusing"))
+              eqDeletes += EqDelete(e.filePath, names, seq)
             case (mc, ec) => throw new IllegalStateException(
               s"$tablePath: manifest $mpath (content=$mc) carries entry ${e.filePath} " +
                 s"with content=$ec — inconsistent metadata; refusing")
@@ -236,19 +323,22 @@ object IcebergTableReader {
         }
       }
     }
-    PlanFiles(data.result().distinct, posDeletes.result().distinct)
+    val dataFiles = data.result().distinct
+    PlanFiles(dataFiles.map(_._1), posDeletes.result().distinct,
+      eqDeletes.result().distinct, dataFiles.toMap)
   }
 
   /** Live data files of the current snapshot. Refuses when the
     * snapshot carries row-level deletes — callers of the bare file
     * list would silently over-return deleted rows (use [[snapshot]],
-    * which applies position deletes).
+    * which applies position AND equality deletes).
     */
   def activeFiles(spark: SparkSession, tablePath: String): Seq[String] = {
     val plan = planFiles(spark, tablePath)
-    if (plan.positionDeletes.nonEmpty) throw new IllegalStateException(
-      s"$tablePath: the current snapshot carries position-delete files — the bare " +
-        "file list would over-return deleted rows; read through snapshot() instead")
+    if (plan.positionDeletes.nonEmpty || plan.equalityDeletes.nonEmpty)
+      throw new IllegalStateException(
+        s"$tablePath: the current snapshot carries row-level delete files — the bare " +
+          "file list would over-return deleted rows; read through snapshot() instead")
     plan.data
   }
 
@@ -268,6 +358,29 @@ object IcebergTableReader {
   def snapshot(spark: SparkSession, tablePath: String): DataFrame =
     readPlan(spark, tablePath, planFiles(spark, tablePath))
 
+  /** Snapshot read with identity-partition pruning — only data files
+    * whose partition values pass `pruner` are scanned (proven by the
+    * plan's input-file set, not just row counts).
+    */
+  def snapshotPruned(spark: SparkSession, tablePath: String,
+      pruner: Map[String, String] => Boolean): DataFrame =
+    readPlan(spark, tablePath, planFilesPruned(spark, tablePath, pruner))
+
+  /** TIMESTAMP AS OF: the latest snapshot whose `timestamp-ms` is at
+    * or before `timestampMs` — pure snapshot-log metadata, Iceberg's
+    * own resolution rule. A timestamp before the first snapshot
+    * refuses.
+    */
+  def snapshotAsOfTimestamp(spark: SparkSession, tablePath: String,
+      timestampMs: Long): DataFrame = {
+    val (snaps, _) = snapshotLog(spark, tablePath)
+    val eligible = snaps.filter(_.timestampMs <= timestampMs)
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: no snapshot at or before timestamp $timestampMs " +
+        s"(earliest: ${snaps.map(_.timestampMs).minOption.getOrElse(-1L)})")
+    snapshotAsOf(spark, tablePath, eligible.maxBy(_.timestampMs).id)
+  }
+
   /** SNAPSHOT AS OF: read any snapshot still in the metadata's log by
     * id — Iceberg's own time travel; the manifest list IS the full
     * file inventory of that snapshot, so no replay is needed. An id
@@ -285,16 +398,54 @@ object IcebergTableReader {
     if (plan.data.isEmpty) throw new IllegalArgumentException(
       s"$tablePath: current snapshot has no live data files")
     val base = spark.read.parquet(plan.data.map(resolve(tablePath, _)): _*)
-    if (plan.positionDeletes.isEmpty) base
+    if (plan.positionDeletes.isEmpty && plan.equalityDeletes.isEmpty) return base
+    // the scan's metadata columns attach ONCE, on the scan relation
+    // itself (they do not resolve through later projections)
+    val keyed0 = base
+      .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
+      .withColumn("_g_pos", col("_metadata.row_index"))
+    val afterPos =
+      if (plan.positionDeletes.isEmpty) keyed0
+      else {
+        val dels = spark.read.parquet(plan.positionDeletes.map(resolve(tablePath, _)): _*)
+          .select(
+            ScanPaths.normalizeMetaColumn(col("file_path"), tablePath).as("_g_file"),
+            col("pos").cast("long").as("_g_pos"))
+        keyed0.join(dels, Seq("_g_file", "_g_pos"), "left_anti")
+      }
+    if (plan.equalityDeletes.isEmpty) afterPos.select(base.columns.map(col): _*)
     else {
-      val dels = spark.read.parquet(plan.positionDeletes.map(resolve(tablePath, _)): _*)
-        .select(
-          ScanPaths.normalizeMetaColumn(col("file_path"), tablePath).as("_g_file"),
-          col("pos").cast("long").as("_g_pos"))
-      base
+      // EQUALITY deletes (content=2, the Flink-CDC shape): a delete
+      // file's rows name key values; they remove matching rows from
+      // data files STRICTLY OLDER (data sequence < delete sequence,
+      // per spec). One delete-file scan + one anti join on the
+      // equality columns (null-safe, as the spec requires) with the
+      // sequence guard — bounded by |delete rows|, never table bytes.
+      val eqSets = plan.equalityDeletes.map(_.equalityColumns).distinct
+      if (eqSets.size > 1) throw new IllegalStateException(
+        s"$tablePath: equality-delete files disagree on their equality columns " +
+          s"(${eqSets.map(_.mkString("+")).mkString(" vs ")}) — applying mixed key " +
+          "shapes in one scan is not implemented; refusing")
+      val eqCols = eqSets.head
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val delSeqDf = spark.createDataFrame(
+        plan.equalityDeletes.map(d => org.apache.spark.sql.Row(
+          ScanPaths.normalizeDriver(resolve(tablePath, d.path)), d.sequence)).asJava,
+        StructType(Seq(StructField("_g_file", StringType), StructField("_g_dseq", LongType))))
+      val dels = spark.read
+        .parquet(plan.equalityDeletes.map(d => resolve(tablePath, d.path)): _*)
         .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
-        .withColumn("_g_pos", col("_metadata.row_index"))
-        .join(dels, Seq("_g_file", "_g_pos"), "left_anti")
+        .join(broadcast(delSeqDf), Seq("_g_file"))
+        .select(eqCols.map(c => col(c).as(s"_g_d_$c")) :+ col("_g_dseq"): _*)
+      val dataSeqDf = spark.createDataFrame(
+        plan.dataSequences.toSeq.map { case (p, s0) => org.apache.spark.sql.Row(
+          ScanPaths.normalizeDriver(resolve(tablePath, p)), s0) }.asJava,
+        StructType(Seq(StructField("_g_file", StringType), StructField("_g_seq", LongType))))
+      val keyed = afterPos.join(broadcast(dataSeqDf), Seq("_g_file"), "left")
+      val cond = eqCols.map(c => keyed(c) <=> dels(s"_g_d_$c")).reduce(_ && _) &&
+        keyed("_g_seq") < dels("_g_dseq")
+      keyed.join(broadcast(dels), cond, "left_anti")
         .select(base.columns.map(col): _*)
     }
   }

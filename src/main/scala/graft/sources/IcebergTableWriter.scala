@@ -12,15 +12,20 @@ import org.apache.spark.sql.DataFrame
   * implemented from the PUBLIC Iceberg table spec the reader is
   * locked against (iceberg.apache.org/spec):
   *
-  *  - data parquet lands under `data/` with UUID names;
+  *  - data parquet lands under `data/` with UUID names — identity
+  *    PARTITION columns stay IN the data files (Iceberg does not
+  *    strip them) while their values are recorded on each manifest
+  *    entry's `partition` struct, which is what lets readers prune
+  *    at the manifest level without touching data;
   *  - each commit writes ONE Avro manifest of `status=added` entries
-  *    (real per-file `record_count` read from the parquet footers —
-  *    planning metadata external engines trust), a manifest LIST
-  *    that reuses every previous manifest plus the new one (the
+  *    (real per-file `record_count` read from the parquet footers,
+  *    per-entry `sequence_number` for v2 delete scoping), a manifest
+  *    LIST that reuses every previous manifest plus the new one (the
   *    manifest-reuse shape real writers produce, what makes
   *    incremental readers filter on `added_snapshot_id`), and a new
-  *    `vN.metadata.json` carrying the full snapshot log with
-  *    parent-snapshot links;
+  *    `vN.metadata.json` carrying the snapshot log with parent links,
+  *    the table `schemas` (field ids — what equality deletes resolve
+  *    against) and the identity `partition-specs`;
   *  - commit publication is an exclusive-create CAS on
   *    `vN.metadata.json` — the filesystem-catalog protocol (the racer
   *    that lost re-reads and retries at N+1); `version-hint.text`
@@ -44,15 +49,29 @@ object IcebergTableWriter {
       |{"name":"added_snapshot_id","type":["null","long"],"default":null},
       |{"name":"content","type":"int","default":0}]}""".stripMargin)
 
-  private val entrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |  {"name":"content","type":"int","default":0},
-      |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string","default":"PARQUET"},
-      |  {"name":"record_count","type":"long","default":0}]}}]}""".stripMargin)
+  /** Manifest-entry schema; partitioned tables extend `data_file`
+    * with a `partition` record of the table's identity fields.
+    */
+  private def entrySchemaFor(partitionBy: Seq[String]): Schema = {
+    val partField =
+      if (partitionBy.isEmpty) ""
+      else {
+        val fields = partitionBy.map(c =>
+          s"""{"name":"$c","type":["null","string"],"default":null}""").mkString(",")
+        s""",{"name":"partition","type":["null",{"type":"record","name":"r102",""" +
+          s""""fields":[$fields]}],"default":null}"""
+      }
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"snapshot_id","type":["null","long"],"default":null},
+         |{"name":"sequence_number","type":["null","long"],"default":null},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int","default":0},
+         |  {"name":"file_path","type":"string"},
+         |  {"name":"file_format","type":"string","default":"PARQUET"},
+         |  {"name":"record_count","type":"long","default":0}$partField]}}]}""".stripMargin)
+  }
 
   private def writeAvro(conf: org.apache.hadoop.conf.Configuration, path: Path,
       schema: Schema, records: Seq[GenericRecord]): Unit = {
@@ -63,27 +82,58 @@ object IcebergTableWriter {
     try records.foreach(w.append) finally w.close()
   }
 
-  /** Land `df` as data files; returns (relPath, recordCount) — counts
-    * read from the landed parquet footers, not estimated.
+  /** One landed data file: relative path, footer record count, and
+    * identity-partition values (null value = null partition).
     */
-  private def writeDataFiles(df: DataFrame, tablePath: String): Seq[(String, Long)] = {
+  private final case class Landed(rel: String, count: Long,
+      partition: Map[String, Option[String]])
+
+  private def decodeHive(raw: String): Option[String] = {
+    val v = java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
+    if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)
+  }
+
+  /** Land `df` as data files. Partition columns stay IN the files
+    * (Iceberg-style): the stage write partitions on DUPLICATED
+    * `_p_<c>` columns, whose hive dirs carry the values into the
+    * manifest while the originals ride the data.
+    */
+  private def writeDataFiles(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String]): Seq[Landed] = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
-    df.write.parquet(stage.toString)
-    val landed = Seq.newBuilder[(String, Long)]
-    fs.listStatus(stage).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
-      val rel = s"data/${java.util.UUID.randomUUID()}.parquet"
-      val dst = new Path(tablePath, rel)
-      fs.mkdirs(dst.getParent)
-      if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
-        s"$tablePath: failed to land data file $rel")
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dst, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val n = try r.getRecordCount finally r.close()
-      landed += ((rel, n))
-    }
+    val staged = partitionBy.foldLeft(df)((acc, c) =>
+      acc.withColumn(s"_p_$c", org.apache.spark.sql.functions.col(c)))
+    val writer =
+      if (partitionBy.isEmpty) staged.write
+      else staged.write.partitionBy(partitionBy.map(c => s"_p_$c"): _*)
+    writer.parquet(stage.toString)
+    val landed = Seq.newBuilder[Landed]
+    def walk(dir: Path, values: Map[String, Option[String]]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val i = name.indexOf('=')
+          val v =
+            if (i > 0 && name.startsWith("_p_"))
+              values + (name.substring(3, i) -> decodeHive(name.substring(i + 1)))
+            else values
+          walk(st.getPath, v)
+        } else if (name.endsWith(".parquet")) {
+          val rel = s"data/${java.util.UUID.randomUUID()}.parquet"
+          val dst = new Path(tablePath, rel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
+            s"$tablePath: failed to land data file $rel")
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dst, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val n = try r.getRecordCount finally r.close()
+          landed += Landed(rel, n, values)
+        }
+      }
+    walk(stage, Map.empty)
     fs.delete(stage, true)
     val files = landed.result()
     if (files.isEmpty) throw new IllegalArgumentException(
@@ -92,56 +142,141 @@ object IcebergTableWriter {
   }
 
   private def manifestOf(conf: org.apache.hadoop.conf.Configuration, tablePath: String,
-      snapshotId: Long, files: Seq[(String, Long)]): String = {
+      snapshotId: Long, sequence: Long, files: Seq[Landed],
+      partitionBy: Seq[String]): String = {
     val rel = s"metadata/m-$snapshotId-${java.util.UUID.randomUUID()}.avro"
-    val records = files.map { case (path, n) =>
-      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
-      df.put("content", 0); df.put("file_path", path)
-      df.put("file_format", "PARQUET"); df.put("record_count", n)
+    val entrySchema = entrySchemaFor(partitionBy)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val records = files.map { f =>
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 0); dfr.put("file_path", f.rel)
+      dfr.put("file_format", "PARQUET"); dfr.put("record_count", f.count)
+      if (partitionBy.nonEmpty) {
+        val pType = dfSchema.getField("partition").schema().getTypes.get(1)
+        val p = new GenericData.Record(pType)
+        partitionBy.foreach(c => p.put(c, f.partition.getOrElse(c, None).orNull))
+        dfr.put("partition", p)
+      }
       val r = new GenericData.Record(entrySchema)
-      r.put("status", 1); r.put("snapshot_id", snapshotId); r.put("data_file", df)
+      r.put("status", 1); r.put("snapshot_id", snapshotId)
+      r.put("sequence_number", sequence); r.put("data_file", dfr)
       r
     }
     writeAvro(conf, new Path(tablePath, rel), entrySchema, records)
     rel
   }
 
-  private def snapshotJson(id: Long, parent: Option[Long], listRel: String): String = {
+  private def snapshotJson(id: Long, parent: Option[Long], seq: Long,
+      listRel: String, timestampMs: Long): String = {
     val p = parent.map(v => s""""parent-snapshot-id":$v,""").getOrElse("")
-    s"""{"snapshot-id":$id,$p"timestamp-ms":${System.currentTimeMillis()},""" +
+    s"""{"snapshot-id":$id,$p"sequence-number":$seq,""" +
+      s""""timestamp-ms":$timestampMs,""" +
       s""""summary":{"operation":"append"},"manifest-list":"$listRel"}"""
+  }
+
+  /** Iceberg type name for a Spark type (the subset graft tables
+    * carry) — what the metadata `schemas` declare, field ids included.
+    */
+  private def icebergTypeOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "long"
+      case IntegerType => "int"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case BooleanType => "boolean"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case _: DecimalType => "decimal(38,18)"
+      case other => throw new IllegalArgumentException(
+        s"Spark type $other has no Iceberg metadata mapping in this writer; refusing")
+    }
+  }
+
+  private def schemasJson(schema: org.apache.spark.sql.types.StructType): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":"${f.name}","required":false,""" +
+        s""""type":"${icebergTypeOf(f.dataType)}"}"""
+    }.mkString(",")
+    s""""schemas":[{"schema-id":0,"type":"struct","fields":[$fields]}],""" +
+      s""""current-schema-id":0"""
+  }
+
+  private def specJson(schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String]): String = {
+    val fields = partitionBy.zipWithIndex.map { case (c, i) =>
+      val sourceId = schema.fieldNames.indexOf(c) + 1
+      s"""{"name":"$c","transform":"identity","source-id":$sourceId,""" +
+        s""""field-id":${1000 + i}}"""
+    }.mkString(",")
+    s""""partition-specs":[{"spec-id":0,"fields":[$fields]}],"default-spec-id":0"""
+  }
+
+  /** The identity-partition columns the CURRENT metadata declares. */
+  private[sources] def declaredPartitionBy(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Seq[String] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(tablePath, "metadata")
+    if (!fs.exists(metaDir)) return Nil
+    val hint = new Path(metaDir, "version-hint.text")
+    if (!fs.exists(hint)) return Nil
+    val in = fs.open(hint)
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    val metaPath = new Path(metaDir, s"v$v.metadata.json")
+    if (!fs.exists(metaPath)) return Nil
+    val in2 = fs.open(metaPath)
+    val text = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString finally in2.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val specs = node.get("partition-specs")
+    if (specs == null || !specs.isArray || specs.isEmpty) Nil
+    else {
+      val b = Seq.newBuilder[String]
+      val fields = specs.get(0).get("fields")
+      if (fields != null && fields.isArray) fields.forEach { f =>
+        val transform = Option(f.get("transform")).map(_.asText()).getOrElse("identity")
+        if (transform != "identity") throw new IllegalStateException(
+          s"$tablePath: partition transform '$transform' — this writer appends only to " +
+            "identity-partitioned tables; refusing")
+        b += f.get("name").asText()
+      }
+      b.result()
+    }
   }
 
   /** One commit: new manifest + manifest list (previous manifests
     * reused) + vN metadata under the exclusive-create CAS. Returns
     * the new snapshot id.
     */
-  private def commit(df: DataFrame, tablePath: String): Long = {
+  private def commit(df: DataFrame, tablePath: String, partitionBy: Seq[String]): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
-    val files = writeDataFiles(df, tablePath)
+    val files = writeDataFiles(df, tablePath, partitionBy)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       // re-read the current state each attempt (CAS loser rebases)
       val exists = fs.exists(new Path(tablePath, "metadata")) &&
         fs.listStatus(new Path(tablePath, "metadata"))
           .exists(_.getPath.getName.endsWith(".metadata.json"))
-      val (prevSnaps, prevManifests, prevVersion, parentId) =
-        if (!exists) (Seq.empty[String], Seq.empty[(String, Long, Int)], 0L, None)
+      val (prevSnapsJson, prevManifests, prevVersion, parentId, seq) =
+        if (!exists) (Seq.empty[String], Seq.empty[(String, Long, Int)], 0L, None, 1L)
         else {
           val (snaps, currentId) = IcebergTableReader.snapshotLog(spark, tablePath)
           val current = snaps.find(_.id == currentId).get
           val manifests = IcebergTableReader.manifestListEntries(spark, tablePath,
             current.manifestList)
           val version = IcebergTableReader.currentMetadataVersion(spark, tablePath)
-          // snapshot records re-serialize with ids/parents/lists
-          // preserved; timestamps re-stamp (opaque to readers)
-          (snaps.map(s => snapshotJson(s.id, s.parentId, s.manifestList)),
-            manifests, version, Some(currentId))
+          // snapshot records re-serialize with ids/parents/lists AND
+          // original timestamps preserved — TIMESTAMP AS OF resolves
+          // off them, so a re-stamp would silently rewrite history
+          (snaps.map(s => snapshotJson(s.id, s.parentId, s.id, s.manifestList, s.timestampMs)),
+            manifests, version, Some(currentId), currentId + 1L)
         }
       val newId = parentId.getOrElse(0L) + 1L
-      val manifestRel = manifestOf(conf, tablePath, newId, files)
+      val manifestRel = manifestOf(conf, tablePath, newId, seq, files, partitionBy)
       val listRel = s"metadata/snap-$newId-${java.util.UUID.randomUUID()}.avro"
       val listRecords = (prevManifests :+ ((manifestRel, newId, 0)))
         .map { case (mp, addedBy, content) =>
@@ -151,9 +286,13 @@ object IcebergTableWriter {
           r
         }
       writeAvro(conf, new Path(tablePath, listRel), listSchema, listRecords)
-      val snapsJson = (prevSnaps :+ snapshotJson(newId, parentId, listRel)).mkString(",")
+      val snapsJson = (prevSnapsJson :+
+        snapshotJson(newId, parentId, seq, listRel, System.currentTimeMillis()))
+        .mkString(",")
       val metaJson =
         s"""{"format-version":2,"table-uuid":"graft","location":"$tablePath",""" +
+          s"""${schemasJson(df.schema)},${specJson(df.schema, partitionBy)},""" +
+          s""""last-sequence-number":$seq,""" +
           s""""current-snapshot-id":$newId,"snapshots":[$snapsJson]}"""
       val vNew = prevVersion + 1
       val metaPath = new Path(tablePath, s"metadata/v$vNew.metadata.json")
@@ -173,27 +312,33 @@ object IcebergTableWriter {
       s"$tablePath: lost the metadata CAS $MaxCommitAttempts times")
   }
 
-  /** Create a NEW Iceberg table at `tablePath`; refuses an existing
-    * one. Returns the first snapshot id.
+  /** Create a NEW Iceberg table at `tablePath` (identity-partitioned
+    * by `partitionBy` when given); refuses an existing one. Returns
+    * the first snapshot id.
     */
-  def create(df: DataFrame, tablePath: String): Long = {
+  def create(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil): Long = {
     val fs = new Path(tablePath).getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val metaDir = new Path(tablePath, "metadata")
     if (fs.exists(metaDir) &&
         fs.listStatus(metaDir).exists(_.getPath.getName.endsWith(".metadata.json")))
       throw new IllegalArgumentException(s"$tablePath is already an Iceberg table — use append")
-    commit(df, tablePath)
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column $c is not in the DataFrame"))
+    commit(df, tablePath, partitionBy)
   }
 
   /** Append `df` as a new snapshot on the parent chain; columns must
-    * match the table's existing data columns (order-free).
+    * match the table's existing data columns (order-free), and the
+    * partitioning comes from the TABLE's declared spec.
     */
   def append(df: DataFrame, tablePath: String): Long = {
     val existing = IcebergTableReader.snapshot(df.sparkSession, tablePath)
     require(df.columns.toSet == existing.columns.toSet,
       s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table columns " +
         s"${existing.columns.sorted.mkString(",")} — appends must match the existing schema")
-    commit(df.select(existing.columns.map(org.apache.spark.sql.functions.col): _*), tablePath)
+    val partitionBy = declaredPartitionBy(df.sparkSession, tablePath)
+    commit(df.select(existing.columns.map(org.apache.spark.sql.functions.col): _*),
+      tablePath, partitionBy)
   }
 }

@@ -135,19 +135,30 @@ object TableLoader {
 
   /** Format-agnostic TIME TRAVEL: read the table as of a
     * format-native token — graft/Delta: a version number; Iceberg: a
-    * snapshot id; Hudi: an instant time string. Each adapter's
-    * refusal contract (expired snapshots, cleaned logs, pre-history
-    * instants) applies unchanged.
+    * snapshot id, or a `ts:<epoch-millis>` timestamp token resolved
+    * from the snapshot log's `timestamp-ms` (Delta takes the same
+    * token off commit-file mtimes); Hudi: an instant time string.
+    * Each adapter's refusal contract (expired snapshots, cleaned
+    * logs, pre-history instants) applies unchanged.
     */
-  def openAsOf(spark: SparkSession, path: String, token: String): DataFrame =
+  def openAsOf(spark: SparkSession, path: String, token: String): DataFrame = {
+    val ts: Option[Long] =
+      if (token.startsWith("ts:")) Some(token.stripPrefix("ts:").toLong) else None
     detectFormat(spark, path) match {
       case GraftVersioned => UpsertWriter.readVersion(spark, path, token.toInt)
-      case DeltaFormat    => DeltaTableReader.snapshotAsOf(spark, path, token.toLong)
+      case DeltaFormat => ts match {
+        case Some(t) => DeltaTableReader.snapshotAsOfTimestamp(spark, path, t)
+        case None => DeltaTableReader.snapshotAsOf(spark, path, token.toLong)
+      }
       case HudiFormat     => HudiTableReader.snapshotAsOf(spark, path, token)
-      case IcebergFormat  => IcebergTableReader.snapshotAsOf(spark, path, token.toLong)
+      case IcebergFormat  => ts match {
+        case Some(t) => IcebergTableReader.snapshotAsOfTimestamp(spark, path, t)
+        case None => IcebergTableReader.snapshotAsOf(spark, path, token.toLong)
+      }
       case PlainParquet   => throw new IllegalArgumentException(
         s"$path is a plain parquet directory — no commit log to time-travel")
     }
+  }
 
   /** All driver testdata tables. */
   val AllTables: Seq[String] = Seq(

@@ -428,6 +428,65 @@ class DeltaTableReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("NESTED"))
   }
 
+  test("changeFeedSince: inserts from adds, delete pre-images from DV diffs and removes; restores refuse") {
+    val table = tmpDir("delta-cdc-spec")
+    writeDataFile(rows(1 to 30), table, "a.parquet")
+    writeCommit(table, 0L, Seq(protocol, meta(Nil, schemaJson), add("a.parquet")))
+    // v1: DV attach masking rows id 1..5 (positions 0..4)
+    val dv1 = DeltaDv.inlineDescriptor(0L until 5L)
+    writeCommit(table, 1L, Seq(remove("a.parquet"), add("a.parquet", dv = Some(dv1))))
+    // v2: append
+    writeDataFile(rows(31 to 40), table, "b.parquet")
+    writeCommit(table, 2L, Seq(add("b.parquet")))
+    // v3: compaction — rewrite b into c with dataChange=false (invisible)
+    writeDataFile(rows(31 to 40), table, "c.parquet")
+    writeCommit(table, 3L, Seq(remove("b.parquet", dataChange = false),
+      add("c.parquet", dataChange = false)))
+    // v4: DV growth to ids 1..8
+    val dv2 = DeltaDv.inlineDescriptor(0L until 8L)
+    writeCommit(table, 4L, Seq(remove("a.parquet"), add("a.parquet", dv = Some(dv2))))
+    // v5: whole-file delete of c (the compacted copy)
+    writeCommit(table, 5L, Seq(remove("c.parquet")))
+
+    val feed = DeltaTableReader.changeFeedSince(spark, table, 0L)
+    import org.apache.spark.sql.functions._
+    def ids(change: String, v: Long): Set[Long] = feed
+      .where(col("_change_type") === change && col("_commit_version") === v)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids("delete", 1L) == (1L to 5L).toSet, "DV attach = delete pre-images")
+    assert(ids("insert", 2L) == (31L to 40L).toSet, "append = insert images")
+    assert(feed.where(col("_commit_version") === 3L).count() == 0L,
+      "dataChange=false compaction must be invisible to the feed")
+    assert(ids("delete", 4L) == (6L to 8L).toSet,
+      "DV growth = pre-images at exactly the NEWLY-masked positions")
+    assert(ids("delete", 5L) == (31L to 40L).toSet,
+      "a data-changing remove = delete pre-images of the file's live rows")
+    // the feed replays consistently from a mid checkpoint too
+    assert(DeltaTableReader.changeFeedSince(spark, table, 3L)
+      .where(col("_change_type") === "delete").count() == 13L)
+
+    // a SHRINKING vector (restore) refuses
+    val t2 = tmpDir("delta-cdc-restore")
+    writeDataFile(rows(1 to 20), t2, "a.parquet")
+    writeCommit(t2, 0L, Seq(protocol, meta(Nil, schemaJson),
+      add("a.parquet", dv = Some(DeltaDv.inlineDescriptor(0L until 6L)))))
+    writeCommit(t2, 1L, Seq(remove("a.parquet"),
+      add("a.parquet", dv = Some(DeltaDv.inlineDescriptor(0L until 3L)))))
+    val e = intercept[IllegalStateException](
+      DeltaTableReader.changeFeedSince(spark, t2, 0L))
+    assert(e.getMessage.contains("restore"))
+    // equal-cardinality vector SWAP refuses at the positions level
+    val t3 = tmpDir("delta-cdc-swap")
+    writeDataFile(rows(1 to 20), t3, "a.parquet")
+    writeCommit(t3, 0L, Seq(protocol, meta(Nil, schemaJson),
+      add("a.parquet", dv = Some(DeltaDv.inlineDescriptor(Seq(0L, 1L, 2L))))))
+    writeCommit(t3, 1L, Seq(remove("a.parquet"),
+      add("a.parquet", dv = Some(DeltaDv.inlineDescriptor(Seq(0L, 1L, 9L))))))
+    val e2 = intercept[IllegalStateException](
+      DeltaTableReader.changeFeedSince(spark, t3, 0L))
+    assert(e2.getMessage.contains("delete+restore") || e2.getMessage.contains("restore"))
+  }
+
   test("non-contiguous logs refuse: cleaned commits cannot be silently skipped") {
     // snapshot path: missing middle JSON with no checkpoint
     val t1 = tmpDir("delta-gap")

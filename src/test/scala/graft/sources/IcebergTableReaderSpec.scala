@@ -227,13 +227,14 @@ class IcebergTableReaderSpec extends SparkSpec {
     assert(snap.agg(min("id"), max("id")).head().toSeq == Seq(11L, 79L))
     // the bare file list refuses under deletes (it would over-return)
     val eAf = intercept[IllegalStateException](IcebergTableReader.activeFiles(spark, table))
-    assert(eAf.getMessage.contains("position-delete"))
+    assert(eAf.getMessage.contains("row-level delete"))
     // incremental across the delete snapshot refuses (not an append)
     val eInc = intercept[IllegalStateException](
       IcebergTableReader.incrementalSince(spark, table, 1L))
     assert(eInc.getMessage.contains("not an append"))
 
-    // EQUALITY deletes (content=2) still refuse
+    // an equality-delete entry WITHOUT equality_ids has no key to
+    // match on — refuse (applying them blind would be a guess)
     val t2 = tmpDir("ice-eqdel")
     writeDataFile(rows(1 to 20), t2, "data/f1.parquet")
     writeAvro(s"$t2/metadata/m1.avro", manifestEntrySchema,
@@ -244,10 +245,130 @@ class IcebergTableReaderSpec extends SparkSpec {
       listRec("metadata/m1.avro", 1L), listRec("metadata/me.avro", 2L, content = 1)))
     writeMetadata(t2, 2, 2L, Seq((2L, None, "delete", "metadata/snap-2.avro")))
     val e = intercept[IllegalStateException](IcebergTableReader.snapshot(spark, t2))
-    assert(e.getMessage.contains("EQUALITY"),
-      s"equality deletes must refuse, got: ${e.getMessage}")
+    assert(e.getMessage.contains("equality_ids"),
+      s"an id-less equality delete must refuse, got: ${e.getMessage}")
     val notTable = tmpDir("ice-none")
     val e2 = intercept[IllegalArgumentException](IcebergTableReader.snapshot(spark, notTable))
     assert(e2.getMessage.contains("metadata"))
+  }
+
+  // v2 entry schema with the delete-scoping fields real writers emit
+  private val v2EntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string","default":"PARQUET"},
+      |  {"name":"record_count","type":"long","default":0},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+      |]}}]}""".stripMargin)
+
+  private def v2Rec(status: Int, snapshotId: Long, seq: Long, filePath: String,
+      content: Int = 0, eqIds: Seq[Int] = Nil): GenericRecord = {
+    val df = new GenericData.Record(v2EntrySchema.getField("data_file").schema())
+    df.put("content", content); df.put("file_path", filePath)
+    df.put("file_format", "PARQUET"); df.put("record_count", 1L)
+    if (eqIds.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      df.put("equality_ids", eqIds.map(Int.box).asJava)
+    }
+    val r = new GenericData.Record(v2EntrySchema)
+    r.put("status", status); r.put("snapshot_id", snapshotId)
+    r.put("sequence_number", seq); r.put("data_file", df)
+    r
+  }
+
+  private def writeMetadataWithSchema(table: String, version: Int, currentId: Long,
+      snaps: Seq[(Long, Option[Long], String, String, Long)]): Unit = { // +timestampMs
+    val dir = new java.io.File(table, "metadata"); dir.mkdirs()
+    val snapJson = snaps.map { case (id, parent, op, list, ts) =>
+      val p = parent.map(v => s""""parent-snapshot-id":$v,""").getOrElse("")
+      s"""{"snapshot-id":$id,$p"timestamp-ms":$ts,""" +
+        s""""summary":{"operation":"$op"},"manifest-list":"$list"}"""
+    }.mkString(",")
+    val w = new java.io.PrintWriter(new java.io.File(dir, s"v$version.metadata.json"), "UTF-8")
+    try w.println(
+      s"""{"format-version":2,"table-uuid":"fixture","location":"$table",""" +
+        s""""schemas":[{"schema-id":0,"type":"struct","fields":[""" +
+        s"""{"id":1,"name":"id","required":false,"type":"long"},""" +
+        s"""{"id":2,"name":"grp","required":false,"type":"string"},""" +
+        s"""{"id":3,"name":"v","required":false,"type":"long"}]}],""" +
+        s""""current-schema-id":0,""" +
+        s""""current-snapshot-id":$currentId,"snapshots":[$snapJson]}""")
+    finally w.close()
+    val h = new java.io.PrintWriter(new java.io.File(dir, "version-hint.text"), "UTF-8")
+    try h.println(version.toString) finally h.close()
+  }
+
+  test("EQUALITY deletes apply, sequence-scoped: only strictly-older data files lose rows") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("ice-eqdel-apply")
+    writeDataFile(rows(1 to 50), table, "data/f1.parquet")   // seq 1
+    writeDataFile(rows(51 to 70), table, "data/f2.parquet")  // seq 3 (after the delete)
+    // the equality-delete file: one row, grp='g1' (field id 2)
+    val eqStage = new java.io.File(tmpDir("ice-eq-stage"))
+    Seq("g1").toDF("grp").coalesce(1).write.mode("overwrite").parquet(eqStage.toString)
+    val src = eqStage.listFiles().find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$table/data").mkdirs()
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(s"$table/data", "eq1.parquet").toPath): Unit
+    writeAvro(s"$table/metadata/m1.avro", v2EntrySchema,
+      Seq(v2Rec(1, 1L, 1L, "data/f1.parquet")))
+    writeAvro(s"$table/metadata/me.avro", v2EntrySchema,
+      Seq(v2Rec(1, 2L, 2L, "data/eq1.parquet", content = 2, eqIds = Seq(2))))
+    writeAvro(s"$table/metadata/m2.avro", v2EntrySchema,
+      Seq(v2Rec(1, 3L, 3L, "data/f2.parquet")))
+    writeAvro(s"$table/metadata/snap-3.avro", manifestListSchema, Seq(
+      listRec("metadata/m1.avro", 1L),
+      listRec("metadata/me.avro", 2L, content = 1),
+      listRec("metadata/m2.avro", 3L)))
+    writeMetadataWithSchema(table, 3, 3L, Seq(
+      (1L, None, "append", "metadata/snap-3.avro", 1700000000000L),
+      (2L, Some(1L), "overwrite", "metadata/snap-3.avro", 1700000001000L),
+      (3L, Some(2L), "append", "metadata/snap-3.avro", 1700000002000L)))
+    val snap = IcebergTableReader.snapshot(spark, table)
+    // f1 (ids 1..50) loses its grp=g1 rows (ids ≡1 mod 3: 17 of them);
+    // f2 (ids 51..70, seq 3 > delete seq 2) keeps ALL rows incl g1
+    assert(snap.count() == 50L - 17L + 20L)
+    assert(snap.where(col("grp") === "g1" && col("id") <= 50L).count() == 0L,
+      "older data files must lose their matching rows")
+    assert(snap.where(col("grp") === "g1" && col("id") > 50L).count() == 7L,
+      "files appended AFTER the delete's sequence must keep matching rows")
+    // the bare file list refuses under equality deletes too
+    val eAf = intercept[IllegalStateException](IcebergTableReader.activeFiles(spark, table))
+    assert(eAf.getMessage.contains("row-level delete"))
+  }
+
+  test("TIMESTAMP AS OF resolves the latest snapshot at-or-before from the snapshot log") {
+    val table = tmpDir("ice-ts")
+    writeDataFile(rows(1 to 30), table, "data/f1.parquet")
+    writeDataFile(rows(31 to 50), table, "data/f2.parquet")
+    writeAvro(s"$table/metadata/m1.avro", manifestEntrySchema,
+      Seq(manifestRec(1, 1L, "data/f1.parquet")))
+    writeAvro(s"$table/metadata/m2.avro", manifestEntrySchema,
+      Seq(manifestRec(1, 2L, "data/f2.parquet")))
+    writeAvro(s"$table/metadata/snap-1.avro", manifestListSchema,
+      Seq(listRec("metadata/m1.avro", 1L)))
+    writeAvro(s"$table/metadata/snap-2.avro", manifestListSchema,
+      Seq(listRec("metadata/m1.avro", 1L), listRec("metadata/m2.avro", 2L)))
+    writeMetadataWithSchema(table, 2, 2L, Seq(
+      (1L, None, "append", "metadata/snap-1.avro", 1700000000000L),
+      (2L, Some(1L), "append", "metadata/snap-2.avro", 1700000010000L)))
+    // between the two snapshots → the first serves
+    assert(IcebergTableReader.snapshotAsOfTimestamp(spark, table, 1700000005000L)
+      .count() == 30L)
+    // at/after the second → the second
+    assert(IcebergTableReader.snapshotAsOfTimestamp(spark, table, 1700000010000L)
+      .count() == 50L)
+    assert(IcebergTableReader.snapshotAsOfTimestamp(spark, table, 9999999999999L)
+      .count() == 50L)
+    // before the first refuses
+    val e = intercept[IllegalArgumentException](
+      IcebergTableReader.snapshotAsOfTimestamp(spark, table, 1600000000000L))
+    assert(e.getMessage.contains("no snapshot"))
   }
 }

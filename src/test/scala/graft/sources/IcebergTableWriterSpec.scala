@@ -71,4 +71,34 @@ class IcebergTableWriterSpec extends SparkSpec {
       "the CAS loser must land at the next free version, not overwrite")
     assert(IcebergTableReader.snapshot(spark, table).count() == 80L)
   }
+
+  test("partitioned create/append: values ride the manifests, pruning skips files, columns stay in data") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("iwr-part") + "/t"
+    IcebergTableWriter.create(df(1 to 80), table, partitionBy = Seq("grp")): Unit
+    // identity-partition columns stay IN the data files (Iceberg does
+    // not strip them) — any data file must carry grp
+    val aData = new java.io.File(s"$table/data").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(spark.read.parquet(aData.toString).columns.contains("grp"))
+    // full snapshot reads everything
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.count() == 80L)
+    assert(snap.where(col("grp") === "g1").count() == 20L)
+    // appends derive the partitioning from the TABLE's declared spec
+    IcebergTableWriter.append(df(81 to 100), table): Unit
+    assert(IcebergTableReader.snapshot(spark, table).count() == 100L)
+    assert(IcebergTableWriter.declaredPartitionBy(spark, table) == Seq("grp"))
+    // manifest-level pruning: only g1's files reach the scan
+    val all = IcebergTableReader.planFiles(spark, table).data.size
+    val prunedPlan = IcebergTableReader.planFilesPruned(spark, table,
+      pv => pv.get("grp").contains("g1"))
+    assert(prunedPlan.data.nonEmpty && prunedPlan.data.size < all,
+      s"pruning must cut the FILE set (got ${prunedPlan.data.size} of $all)")
+    val pruned = IcebergTableReader.snapshotPruned(spark, table,
+      pv => pv.get("grp").contains("g1"))
+    assert(pruned.count() == 25L)
+    assert(pruned.inputFiles.length == prunedPlan.data.size,
+      "the scan must touch exactly the pruned file set")
+  }
 }

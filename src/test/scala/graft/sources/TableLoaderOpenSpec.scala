@@ -97,8 +97,13 @@ class TableLoaderOpenSpec extends SparkSpec {
     // iceberg: snapshot 1 before the append
     val i = tmpDir("asof-ice") + "/t"
     IcebergTableWriter.create(rows(1 to 12), i)
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(5L)
     IcebergTableWriter.append(rows(13 to 50), i)
     assert(TableLoader.openAsOf(spark, i, "1").count() == 12L)
+    // ... and the ts:<epoch-millis> token resolves off the snapshot log
+    assert(TableLoader.openAsOf(spark, i, s"ts:$tsBetween").count() == 12L)
+    assert(TableLoader.openAsOf(spark, i, s"ts:${System.currentTimeMillis()}").count() == 50L)
     // hudi: the create instant before the append
     val h = tmpDir("asof-hudi") + "/t"
     val c1 = HudiTableWriter.create(rows(1 to 18), h)
