@@ -1574,6 +1574,46 @@ trait ReferenceQueries extends QueryBase {
         |   OR (o_orderkey % 3 = 1 AND o_orderkey % 11 <> 0)
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #106b Delta DV-DELETE writer
+    * ([[graft.sources.DeltaTableWriter.delete]]): rows are deleted
+    * from an external Delta table WITHOUT rewriting data files — the
+    * matched (file, position) pairs become RoaringBitmap sidecar
+    * vectors, the commit re-adds the same files with descriptors, and
+    * a second delete MERGES into fresh vectors (old ∪ new per file).
+    * The legacy 1/2 protocol upgrades to 3/7+deletionVectors in the
+    * first delete commit. In-run require proves no data file was
+    * rewritten. graft's own reader serves the post-delete state; the
+    * oracle recomputes it from the predicates.
+    */
+  val qDeltaDvWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-dv-write") + "/t"
+      val o = t(s, dir, "orders")
+      DeltaTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table): Unit
+      DeltaTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      def dataFiles(): Set[String] = new java.io.File(table).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet ++
+        Option(new java.io.File(table).listFiles()).get
+          .filter(_.isDirectory).filterNot(_.getName.startsWith("_"))
+          .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")).map(f => s"${d.getName}/${f.getName}"))
+      val before = dataFiles()
+      DeltaTableWriter.delete(s, table, pmod(col("o_orderkey"), lit(7)) === 0): Unit
+      DeltaTableWriter.delete(s, table, pmod(col("o_orderkey"), lit(11)) === 0): Unit
+      require(dataFiles() == before,
+        "a DV delete must not rewrite or remove any data file")
+      DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #102d External Delta table with columnMapping=name: the shape any
     * table that ever RENAMED or DROPPED a column carries — data files
     * hold PHYSICAL column names (`col-…`), the metaData schemaString

@@ -614,7 +614,8 @@ object DeltaTableReader {
       files: Seq[FileAction],
       partitionColumns: Seq[String],
       schemaJson: Option[String],
-      keepPositions: Option[DataFrame] = None): DataFrame = {
+      keepPositions: Option[DataFrame] = None,
+      keepKeys: Boolean = false): DataFrame = {
     if (files.isEmpty)
       throw new IllegalArgumentException(s"$tablePath: snapshot has no active data files")
     val absOf: FileAction => String = f => abs(tablePath, f.path)
@@ -632,28 +633,31 @@ object DeltaTableReader {
     val dvFiles = files.collect {
       case f if f.dv.isDefined => (normalizeDriverPath(absOf(f)), f.dv.get)
     }
-    val needsMeta = partitionColumns.nonEmpty || dvFiles.nonEmpty || keepPositions.isDefined
-    val keyed =
+    val needsMeta =
+      partitionColumns.nonEmpty || dvFiles.nonEmpty || keepPositions.isDefined || keepKeys
+    val keyed0 =
       if (!needsMeta) base
       else base.withColumn("_g_file", normalizeScanPath(col("_metadata.file_path")))
+    val keyed =
+      if (!keepKeys) keyed0
+      else keyed0.withColumn("_g_pos", col("_metadata.row_index"))
 
     // keepPositions mode (the change feed's pre-image reads): serve
     // ONLY the rows at the named (file, position) pairs — the file's
     // own DV is the caller's business there, not subtracted again
+    def posKeyed = if (keepKeys) keyed
+      else keyed.withColumn("_g_pos", col("_metadata.row_index"))
+    def dropPos(df: DataFrame) = if (keepKeys) df else df.drop("_g_pos")
     val afterDv = keepPositions match {
       case Some(pos) =>
-        keyed.withColumn("_g_pos", col("_metadata.row_index"))
-          .join(pos, Seq("_g_file", "_g_pos"), "left_semi")
-          .drop("_g_pos")
+        dropPos(posKeyed.join(pos, Seq("_g_file", "_g_pos"), "left_semi"))
       case None if dvFiles.isEmpty => keyed
       case None =>
         val positions0 = dvPositions(spark, tablePath, dvFiles)
         val totalCard = dvFiles.map(_._2.cardinality).sum
         val positions =
           if (totalCard <= DvBroadcastMaxPositions) broadcast(positions0) else positions0
-        keyed.withColumn("_g_pos", col("_metadata.row_index"))
-          .join(positions, Seq("_g_file", "_g_pos"), "left_anti")
-          .drop("_g_pos")
+        dropPos(posKeyed.join(positions, Seq("_g_file", "_g_pos"), "left_anti"))
     }
 
     val withParts =
@@ -674,7 +678,7 @@ object DeltaTableReader {
         }.drop(partitionColumns.map(c => s"_g_pv_$c"): _*)
       }
 
-    val cleaned = if (needsMeta) withParts.drop("_g_file") else withParts
+    val cleaned = if (needsMeta && !keepKeys) withParts.drop("_g_file") else withParts
 
     // column order: the table schema's, when it covers exactly the
     // physical + partition columns; otherwise data then partition
@@ -689,10 +693,26 @@ object DeltaTableReader {
       .getOrElse(finalCols)
     // final projection translates physical data columns back to their
     // logical names; partition columns were attached logically already
-    cleaned.select(ordered.map { c =>
+    val projected = ordered.map { c =>
       val phys = physKeyOf(c)
       if (phys != c && !partitionColumns.contains(c)) col(phys).as(c) else col(c)
-    }: _*)
+    }
+    val finalProjection =
+      if (keepKeys) projected ++ Seq(col("_g_file"), col("_g_pos")) else projected
+    cleaned.select(finalProjection: _*)
+  }
+
+  /** Snapshot rows WITH their physical identity — normalized file
+    * path (`_g_file`) and row position (`_g_pos`) appended to every
+    * live row. The DV-delete writer's input: predicate evaluation
+    * happens on exactly the rows a reader would serve, and the
+    * surviving identity pair is what the new vectors mask.
+    */
+  private[sources] def snapshotWithKeys(spark: SparkSession,
+      tablePath: String): (Snapshot, DataFrame) = {
+    val s = snapshotState(spark, tablePath)
+    (s, readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson,
+      keepKeys = true))
   }
 
   /** Snapshot read: the latest version's active files as a DataFrame,

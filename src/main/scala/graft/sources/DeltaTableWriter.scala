@@ -367,6 +367,84 @@ object DeltaTableWriter {
       writeCheckpoint(spark, tablePath): Unit
     }
 
+  /** Driver bound on rows deleted per [[delete]] call — the matched
+    * (file, position) pairs materialize on the driver to build the
+    * per-file bitmaps (the same shape Delta's own DV writer has). At
+    * 16 bytes a pair this is ~64 MB of heap; a bigger delete should
+    * rewrite files through the versioned-table machinery instead.
+    */
+  val MaxDeleteRowsDriver: Int = 4 * 1000 * 1000
+
+  /** Row-level DELETE on an external Delta table WITHOUT rewriting
+    * data files: rows matching `predicate` (evaluated on exactly the
+    * live rows a reader serves — existing vectors already applied)
+    * are masked by DELETION VECTORS. Each affected file's old and new
+    * positions merge into one fresh vector, landed in a single
+    * RoaringBitmap sidecar ([[DeltaDv]]), and the commit re-adds the
+    * SAME data file with the new descriptor (the protocol's
+    * remove+re-add DV attach). A legacy 1/2 protocol upgrades to 3/7
+    * with the deletionVectors feature in the same commit. Returns the
+    * committed version.
+    */
+  def delete(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
+    refuseWriterUnsupported(state, tablePath)
+    val matched = keyed.where(predicate)
+      .select(org.apache.spark.sql.functions.col("_g_file"),
+        org.apache.spark.sql.functions.col("_g_pos"))
+      .limit(MaxDeleteRowsDriver + 1).collect()
+    if (matched.length > MaxDeleteRowsDriver) throw new IllegalStateException(
+      s"$tablePath: predicate matches more than $MaxDeleteRowsDriver rows — a delete " +
+        "this large should rewrite files (versioned-table machinery), not build " +
+        "driver-side bitmaps")
+    if (matched.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: predicate matched no live rows — nothing to delete")
+    val byFile = matched.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).toIndexedSeq }
+    val byNorm = state.active.map { f =>
+      val p0 = decodePathPublic(f.path)
+      val absP = if (p0.startsWith("/") || p0.contains("://")) p0 else s"$tablePath/$p0"
+      ScanPaths.normalizeDriver(absP) -> f
+    }.toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val affected = byFile.toSeq.sortBy(_._1).map { case (nf, newPos) =>
+      val fa = byNorm.getOrElse(nf, throw new IllegalStateException(
+        s"$tablePath: matched file $nf is not in the active set — racing writer?"))
+      val old = fa.dv.map(d => DeltaDv.positionsOf(conf, tablePath, d).toSeq).getOrElse(Nil)
+      (fa, (old ++ newPos).distinct.sorted)
+    }
+    val descriptors = DeltaDv.writeSidecar(conf, tablePath, affected.map(_._2))
+    val p = state.protocol.getOrElse(DeltaTableReader.Protocol(1, 2, Nil, Nil))
+    val protoLine =
+      if (p.minReaderVersion >= 3 && p.readerFeatures.contains("deletionVectors")) None
+      else Some {
+        val rf = (p.readerFeatures :+ "deletionVectors").distinct.map(jsonStr).mkString(",")
+        val wf = (p.writerFeatures :+ "deletionVectors").distinct.map(jsonStr).mkString(",")
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[$rf],"writerFeatures":[$wf]}}"""
+      }
+    val now = System.currentTimeMillis()
+    def pvJson(pv: Map[String, String]): String =
+      state.partitionColumns.map { c =>
+        pv.get(c) match {
+          case Some(v) => s"${jsonStr(c)}:${jsonStr(v)}"
+          case None => s"${jsonStr(c)}:null"
+        }
+      }.mkString(",")
+    val lines = protoLine.toSeq ++ affected.zip(descriptors).flatMap { case ((fa, _), d) =>
+      val st = fs.getFileStatus(new Path(tablePath, decodePathPublic(fa.path)))
+      Seq(
+        s"""{"remove":{"path":${jsonStr(fa.path)},"deletionTimestamp":$now,""" +
+          s""""dataChange":true}}""",
+        s"""{"add":{"path":${jsonStr(fa.path)},"partitionValues":{${pvJson(fa.partitionValues)}},""" +
+          s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+          s""""dataChange":true,"deletionVector":${DeltaDv.descriptorJson(d)}}}""")
+    }
+    commit(spark, tablePath, state.version + 1, lines)
+  }
+
   def append(df: DataFrame, tablePath: String,
       transaction: Option[(String, Long)] = None,
       checkpointInterval: Int = DefaultCheckpointInterval): Long = {

@@ -206,6 +206,49 @@ class DeltaTableWriterSpec extends SparkSpec {
       .contains(DeltaTableReader.Protocol(1, 2, Nil, Nil)))
   }
 
+  test("DV delete: masks rows without rewriting files, merges vectors, upgrades the protocol") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("dwr-dvdel") + "/t"
+    DeltaTableWriter.create(df(1 to 100), table, partitionBy = Seq("grp")): Unit
+    val filesBefore = DeltaTableReader.activeFiles(spark, table).map(_.path).toSet
+    // first delete: ids 1..10
+    val v = DeltaTableWriter.delete(spark, table, col("id") <= 10L)
+    assert(v == 1L)
+    val snap1 = DeltaTableReader.snapshot(spark, table)
+    assert(snap1.count() == 90L)
+    assert(snap1.select(min("id")).head().getLong(0) == 11L)
+    // same data files, now carrying descriptors; protocol upgraded
+    val state = DeltaTableReader.snapshotState(spark, table)
+    assert(state.active.map(_.path).toSet == filesBefore, "no data file may be rewritten")
+    assert(state.active.exists(_.dv.isDefined))
+    assert(state.protocol.exists(p => p.minReaderVersion == 3 &&
+      p.readerFeatures.contains("deletionVectors")))
+    // second delete on overlapping files: vectors MERGE (old ∪ new)
+    DeltaTableWriter.delete(spark, table, col("id") > 10L && col("id") <= 25L): Unit
+    val snap2 = DeltaTableReader.snapshot(spark, table)
+    assert(snap2.count() == 75L)
+    assert(snap2.select(min("id")).head().getLong(0) == 26L)
+    // partition-column predicates work (values come off the log)
+    DeltaTableWriter.delete(spark, table, col("grp") === "g0"): Unit
+    assert(DeltaTableReader.snapshot(spark, table).where(col("grp") === "g0").count() == 0L)
+    // a predicate matching nothing refuses
+    val e = intercept[IllegalArgumentException](
+      DeltaTableWriter.delete(spark, table, col("id") > 10000L))
+    assert(e.getMessage.contains("no live rows"))
+    // appends still land after the protocol upgrade (deletionVectors
+    // is in the writer allowlist)
+    DeltaTableWriter.append(df(101 to 110), table): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() > 0L)
+    // the append-scoped incremental refuses across the delete commits
+    val e2 = intercept[IllegalStateException](
+      DeltaTableReader.incrementalSince(spark, table, 0L))
+    assert(e2.getMessage.contains("not an append"))
+    // ... but the change feed represents them
+    val feed = DeltaTableReader.changeFeedSince(spark, table, 0L)
+    assert(feed.where(col("_change_type") === "delete" && col("_commit_version") === 1L)
+      .count() == 10L)
+  }
+
   test("commit CAS: an occupied version slot bumps the writer to the next one") {
     val table = tmpDir("dwr-cas") + "/t"
     DeltaTableWriter.create(df(1 to 10), table): Unit
