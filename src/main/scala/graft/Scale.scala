@@ -1376,6 +1376,20 @@ object Scale {
       } { openIncRun(t1("events"), scaleScratch("openinc-1")) }
     }
 
+    // round-15 interop additions: each QueryDef runs UNCHANGED on the
+    // sf0.1 dir and the derived-sf1 dir (same table file names), so
+    // the rehearsal times the full fixture-build + read lifecycle —
+    // MOR log merge/compaction, Delta change feed + DV-delete writer,
+    // columnMapping reads, Iceberg equality deletes and the
+    // partitioned writer's manifest pruning
+    Seq("q_hudi_mor_snapshot", "q_hudi_mor_write", "q_delta_cdc", "q_delta_colmap",
+      "q_iceberg_eq_delete", "q_iceberg_part_write", "q_delta_dv_write")
+      .foreach { name =>
+        rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
+          noop(Queries.all(name).run(spark, outRoot))
+        }
+      }
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
   }
