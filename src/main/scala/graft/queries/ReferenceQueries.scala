@@ -984,6 +984,44 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 <> 0
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #103e External Hudi MOR INCREMENTAL read
+    * ([[graft.sources.HudiTableReader.morIncrementalSince]] — the
+    * reference's checkpointed consumer, template.py:226-281, pointed
+    * at a MOR table): the real-time merge restricted to file groups
+    * TOUCHED after the checkpoint (the %2=0 base group receiving log
+    * updates), stamp-filtered so carried-forward rows drop out;
+    * groups untouched since the checkpoint never enter the scan, and
+    * post-checkpoint tombstones are absent (Hudi's own non-CDC
+    * incremental semantics). The oracle recomputes the surfaced
+    * update set.
+    */
+  val qHudiMorIncremental: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-mor-inc") + "/t"
+      val o = t(s, dir, "orders")
+      HudiTableWriter.createMor(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        tableName = "orders_mor_inc", recordKeys = Seq("o_orderkey")): Unit
+      val checkpoint = HudiTableWriter.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table)
+      HudiTableWriter.updateLog(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0 &&
+            pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), table): Unit
+      HudiTableWriter.deleteLog(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0 &&
+          pmod(col("o_orderkey"), lit(14)) === 0).select("o_orderkey"), table): Unit
+      HudiTableReader.incrementalSince(s, table, checkpoint)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice * 2 AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0 AND o_orderkey % 14 <> 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #103b External Hudi COW table INCREMENTAL read: records
     * inserted/updated after the checkpoint instant — the c2-stamped
     * rows only (g1's doubled %10=0 subset + all of g3); g1's

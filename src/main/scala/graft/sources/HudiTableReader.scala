@@ -149,7 +149,11 @@ object HudiTableReader {
     */
   private def writesOf(fs: FileSystem, tablePath: String, instant: String,
       kind: String = "commit"): Seq[SliceWrite] = {
-    val node = mapper.readTree(readText(fs, new Path(hoodieDir(tablePath), s"$instant.$kind")))
+    val text = readText(fs, new Path(hoodieDir(tablePath), s"$instant.$kind"))
+    val node = mapper.readTree(text)
+    if (node == null || node.isMissingNode) throw new IllegalStateException(
+      s"$tablePath: $instant.$kind carries no commit metadata (empty/corrupt file) — " +
+        "its writes cannot be replayed; refusing rather than silently missing them")
     val stats = node.get("partitionToWriteStats")
     if (stats == null || !stats.isObject) Nil
     else {
@@ -480,13 +484,59 @@ object HudiTableReader {
     readPaths(spark, tablePath, latest.values.toIndexedSeq)
   }
 
+  /** Incremental pull on a MERGE-ON-READ table: the real-time merge
+    * restricted to file groups TOUCHED after the checkpoint (a base
+    * write or a log append with a newer instant), filtered to
+    * `_hoodie_commit_time > sinceInstant` — carried-forward and
+    * base-only rows keep their stamps and drop out, and rows
+    * tombstoned after the checkpoint are simply absent (Hudi's own
+    * non-CDC incremental semantics: deletes do not surface). Groups
+    * untouched since the checkpoint are NEVER scanned — the pull is
+    * bounded by the touched groups' bytes.
+    */
+  def morIncrementalSince(spark: SparkSession, tablePath: String,
+      sinceInstant: String): DataFrame = {
+    val groups = morGroups(spark, tablePath)
+    val timeline = timelineInstants(spark, tablePath, allowMor = true)
+    if (!timeline.exists(_._1 > sinceInstant))
+      throw new IllegalArgumentException(
+        s"$tablePath: no instants after $sinceInstant " +
+          s"(latest: ${timeline.lastOption.map(_._1).getOrElse("none")})")
+    val touched = groups.filter(g =>
+      g.base.exists(_.instant > sinceInstant) || g.logs.exists(_._1 > sinceInstant))
+    if (touched.isEmpty)
+      throw new IllegalArgumentException(
+        s"$tablePath: instants after $sinceInstant touched no file group")
+    val schema = morSchema(spark, tablePath, groups)
+    if (!schema.fieldNames.contains("_hoodie_record_key"))
+      throw new IllegalStateException(
+        s"$tablePath: base files carry no _hoodie_record_key — the log merge has no " +
+          "record identity; refusing")
+    val dirty = touched.filter(_.logs.nonEmpty)
+    val clean = touched.filter(_.logs.isEmpty).flatMap(_.base)
+    val legs = Seq(
+      if (dirty.nonEmpty)
+        Some(mergeDirtyGroups(spark, tablePath, dirty, schema, keepFileId = false))
+      else None,
+      if (clean.nonEmpty)
+        Some(readPaths(spark, tablePath, clean)
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*))
+      else None).flatten
+    legs.reduce(_ unionByName _)
+      .filter(col("_hoodie_commit_time") > lit(sinceInstant))
+  }
+
   /** Incremental pull: records inserted/updated by commits AFTER
-    * `sinceInstant` — latest slices of the file groups those commits
-    * touched, rows filtered to `_hoodie_commit_time > sinceInstant`
-    * (carried-forward rows keep their original stamp and drop out).
-    * Refuses loudly when nothing committed after the checkpoint.
+    * `sinceInstant` — on COW, the latest slices of the file groups
+    * those commits touched, rows filtered to
+    * `_hoodie_commit_time > sinceInstant` (carried-forward rows keep
+    * their original stamp and drop out); MOR tables dispatch to
+    * [[morIncrementalSince]] (touched-group merge, same stamp
+    * filter). Refuses loudly when nothing committed after the
+    * checkpoint.
     */
   def incrementalSince(spark: SparkSession, tablePath: String, sinceInstant: String): DataFrame = {
+    if (isMor(spark, tablePath)) return morIncrementalSince(spark, tablePath, sinceInstant)
     val fs = fsOf(spark, hoodieDir(tablePath))
     // archived timelines refuse upstream in the instants listing —
     // per-group pruning (and slice discovery itself) cannot be

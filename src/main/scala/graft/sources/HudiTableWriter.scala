@@ -193,7 +193,10 @@ object HudiTableWriter {
     require(df.columns.toSet == dataCols,
       s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table columns " +
         s"${dataCols.toSeq.sorted.mkString(",")} — appends must match the existing schema")
-    insertCommit(df, tablePath, declared)
+    // MOR inserts land under deltacommits (Hudi's MOR write path —
+    // an ordinary commit on a MOR timeline means compaction)
+    val kind = if (HudiTableReader.isMor(spark, tablePath)) "deltacommit" else "commit"
+    insertCommit(df, tablePath, declared, kind)
   }
 
   // ----------------------------------------------------------------

@@ -105,13 +105,17 @@ class HudiTableReaderSpec extends SparkSpec {
     new java.io.File(s"$table/.hoodie/20240103090000.inflight").createNewFile()
     assert(HudiTableReader.snapshot(spark, table).count() == 30L,
       "an uncommitted instant's files must be invisible")
-    // a deltacommit makes it MOR: the COW-only paths (incremental,
-    // point-in-time) refuse — snapshot serves the real-time view now
+    // a deltacommit makes it MOR: the COW-only point-in-time path
+    // refuses, and an EMPTY commit meta file refuses the MOR replay
+    // loudly (its writes cannot be reconstructed)
     new java.io.File(s"$table/.hoodie/20240104090000.deltacommit")
       .createNewFile(): Unit
+    val eAsOf2 = intercept[IllegalStateException](
+      HudiTableReader.snapshotAsOf(spark, table, "20240101090000"))
+    assert(eAsOf2.getMessage.contains("MERGE-ON-READ"))
     val e = intercept[IllegalStateException](
       HudiTableReader.incrementalSince(spark, table, "20240101090000"))
-    assert(e.getMessage.contains("MERGE-ON-READ"))
+    assert(e.getMessage.contains("no commit metadata"))
     // a DECLARED MOR table with no logs: snapshot serves the base
     // state (real-time with nothing to merge); COW paths still refuse
     val t2 = tmpDir("hudi-declared-mor")

@@ -148,6 +148,32 @@ class HudiTableWriterSpec extends SparkSpec {
       .where(col("id") === 7L).select("v").head().getLong(0) == 42L)
   }
 
+  test("MOR incremental: touched groups only, stamp-filtered, tombstones absent") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("hwr-mor-inc") + "/t"
+    // group A: ids 1..50 (single file); group B appended later
+    HudiTableWriter.createMor(df(1 to 50).coalesce(1), table, recordKeys = Seq("id")): Unit
+    val c2 = HudiTableWriter.append(df(51 to 100).coalesce(1), table)
+    // log ops touch group A only
+    HudiTableWriter.updateLog(df(1 to 5).withColumn("v", col("v") + 1000L), table): Unit
+    HudiTableWriter.deleteLog(Seq(7L).toDF("id"), table): Unit
+    val inc = HudiTableReader.incrementalSince(spark, table, c2)
+    assert(inc.select("id").collect().map(_.getLong(0)).toSet == (1L to 5L).toSet,
+      "only post-checkpoint upserts surface; carried-forward rows and tombstones do not")
+    assert(inc.where(col("id") === 3L).select("v").head().getLong(0) == 1006L)
+    // group B (untouched since the checkpoint) is never scanned
+    val bBase = new java.io.File(table).listFiles()
+      .filter(f => f.getName.endsWith(s"_$c2.parquet")).map(_.getName)
+    assert(bBase.nonEmpty)
+    assert(!inc.inputFiles.exists(f => bBase.exists(f.contains)),
+      "untouched file groups must not enter the incremental scan")
+    // the full pull since table birth serves everything live
+    val incAll = HudiTableReader.incrementalSince(spark, table, "0")
+    assert(incAll.count() == 99L) // 100 minus the tombstoned id 7
+  }
+
   test("MOR guardrails: COW tables refuse log ops; unknown keys refuse routing") {
     val s = spark
     import s.implicits._
