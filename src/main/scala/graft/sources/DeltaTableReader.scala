@@ -906,9 +906,15 @@ object DeltaTableReader {
                   "resurrected rows; refusing")
             newPos.join(oldPos, Seq("_g_file", "_g_pos"), "left_anti")
           }
+        // the position set is DV-sized — broadcast the semi join when
+        // the descriptor cardinalities say it fits (same rule as the
+        // snapshot's DV anti join), never sort-merge small deletes
+        val newCardSum = grown.flatMap(_.dv).map(_.cardinality).sum
+        val diffHinted =
+          if (newCardSum <= DvBroadcastMaxPositions) broadcast(diff) else diff
         legs += tag(readFiles(spark, tablePath, grown.map(_.copy(dv = None)),
           endState.partitionColumns, endState.schemaJson,
-          keepPositions = Some(diff)), "delete", v)
+          keepPositions = Some(diffHinted)), "delete", v)
       }
       // whole-file deletes: data-changing removes not re-added — the
       // still-live rows (old DV already subtracted by readFiles)

@@ -330,4 +330,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("MOR realtime: only DIRTY groups feed the merge window; clean groups bypass it") {
+    import graft.sources.{HudiTableReader, HudiTableWriter}
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val table = java.nio.file.Files.createTempDirectory("plan-mor").toString + "/t"
+    def rows(r: Range) = r.map(i => (i.toLong, i * 2L)).toDF("id", "v")
+    HudiTableWriter.createMor(rows(1 to 50).coalesce(1), table, recordKeys = Seq("id")): Unit
+    HudiTableWriter.append(rows(51 to 100).coalesce(1), table): Unit // clean group
+    HudiTableWriter.updateLog(rows(1 to 3).withColumn("v", lit(0L)), table): Unit
+    val df = HudiTableReader.realtime(spark, table)
+    assert(df.count() == 100L)
+    // the pre-adaptive physical plan: AQE's wrapper hides its subtree
+    // from collect, and the window/scan split is decided before AQE
+    val exec = df.queryExecution.sparkPlan
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"exactly one merge window expected\n${exec.treeString}")
+    val windowScanFiles = windows.head.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+      }).flatten
+    val cleanBases = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      .filterNot(windowScanFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).contains)
+    assert(cleanBases.nonEmpty, "the clean group's base file must NOT sit under the window")
+    assert(windowScanFiles.nonEmpty &&
+      windowScanFiles.forall(f => !cleanBases.exists(f.contains)),
+      s"window subtree must scan dirty bases only, got $windowScanFiles")
+  }
+
+  test("Iceberg equality deletes: broadcast anti join on the key columns, never sort-merge") {
+    val p = plan(Queries.qIcebergEqDelete.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("Delta change feed: DV-diff delete leg is a broadcast semi join, never sort-merge") {
+    val p = plan(Queries.qDeltaCdc.run(spark, sfDir))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
