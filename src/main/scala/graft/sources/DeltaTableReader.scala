@@ -846,6 +846,7 @@ object DeltaTableReader {
     vs.foreach { v =>
       val adds = Seq.newBuilder[FileAction]
       val removes = Seq.newBuilder[(String, Boolean)] // (path, dataChange)
+      val cdcFiles = Seq.newBuilder[FileAction]
       readText(fs, new Path(dir, f"$v%020d.json")).split('\n').filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         refuseUnsupported(node, tablePath)
@@ -854,10 +855,27 @@ object DeltaTableReader {
           val r = node.get("remove")
           removes += ((r.get("path").asText(),
             Option(r.get("dataChange")).forall(_.asBoolean(true))))
-        }
+        } else if (node.has("cdc")) cdcFiles += fileActionOf(node.get("cdc"))
       }
       val added = adds.result()
       val addedPaths = added.map(_.path).toSet
+      val cdc = cdcFiles.result()
+      if (cdc.nonEmpty) {
+        // a CDF-enabled writer recorded this commit's change rows
+        // EXPLICITLY (`cdc` actions → change-data parquet carrying
+        // `_change_type`, update pre/post images included) — per
+        // Delta's CDF rules the cdc files ARE the commit's feed and
+        // the add/remove actions are NOT reconstructed (doing both
+        // would double-count every changed row)
+        val cdcDf = readFiles(spark, tablePath, cdc,
+          endState.partitionColumns, endState.schemaJson)
+        require(cdcDf.columns.contains("_change_type"),
+          s"$tablePath: commit $v's cdc files carry no _change_type column — corrupt " +
+            "change data; refusing")
+        legs += cdcDf.withColumn("_commit_version", lit(v))
+        removes.result().foreach { case (p, _) => active.remove(p): Unit }
+        added.foreach(a => active(a.path) = a)
+      } else {
       // inserts: data-changing adds of paths not currently active
       val inserts = added.filter(a => a.dataChange && !active.contains(a.path))
       if (inserts.nonEmpty)
@@ -926,6 +944,7 @@ object DeltaTableReader {
       // replay state forward (dataChange=false compaction included)
       removes.result().foreach { case (p, _) => active.remove(p): Unit }
       added.foreach(a => active(a.path) = a)
+      }
     }
     val out = legs.result()
     if (out.isEmpty) throw new IllegalArgumentException(

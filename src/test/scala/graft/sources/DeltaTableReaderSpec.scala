@@ -487,6 +487,49 @@ class DeltaTableReaderSpec extends SparkSpec {
     assert(e2.getMessage.contains("delete+restore") || e2.getMessage.contains("restore"))
   }
 
+  test("changeFeedSince: explicit cdc actions ARE the commit's feed; reconstruction is skipped") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("delta-cdc-files")
+    writeDataFile(rows(1 to 20), table, "a.parquet")
+    writeCommit(table, 0L, Seq(protocol, meta(Nil, schemaJson), add("a.parquet")))
+    // v1: a CDF-enabled UPDATE — rewrite a→a2 (ids 1..3 get v*10),
+    // with the change rows recorded EXPLICITLY in a cdc file
+    writeDataFile(
+      rows(1 to 20).withColumn("v", when(col("id") <= 3L, col("v") * 10L).otherwise(col("v"))),
+      table, "a2.parquet")
+    val changes =
+      rows(1 to 3).withColumn("_change_type", lit("update_preimage"))
+        .unionByName(rows(1 to 3).withColumn("v", col("v") * 10L)
+          .withColumn("_change_type", lit("update_postimage")))
+    writeDataFile(changes, table, "_change_data/cdc-1.parquet")
+    writeCommit(table, 1L, Seq(
+      remove("a.parquet"), add("a2.parquet"),
+      """{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},""" +
+        """"size":1024,"dataChange":false}}"""))
+    // v2: an ordinary append AFTER the cdc commit — state replay must
+    // have carried through (a2 active), so this reconstructs as insert
+    writeDataFile(rows(21 to 25), table, "b.parquet")
+    writeCommit(table, 2L, Seq(add("b.parquet")))
+
+    val feed = DeltaTableReader.changeFeedSince(spark, table, 0L)
+    val v1 = feed.where(col("_commit_version") === 1L)
+    assert(v1.count() == 6L,
+      "the cdc files are the whole feed for their commit — no reconstructed " +
+        "insert(a2)/delete(a) rows may appear")
+    assert(v1.where(col("_change_type") === "update_preimage")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(v1.where(col("_change_type") === "update_postimage" && col("id") === 2L)
+      .select("v").head().getLong(0) == 40L)
+    assert(feed.where(col("_commit_version") === 2L && col("_change_type") === "insert")
+      .count() == 5L)
+    // the snapshot sees the post-update state (cdc file itself invisible)
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.count() == 25L)
+    assert(snap.where(col("id") === 2L).select("v").head().getLong(0) == 40L)
+  }
+
   test("non-contiguous logs refuse: cleaned commits cannot be silently skipped") {
     // snapshot path: missing middle JSON with no checkpoint
     val t1 = tmpDir("delta-gap")
