@@ -1339,6 +1339,40 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'pruned'
         |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority""".stripMargin))
 
+  /** #109c Iceberg POSITION-DELETE writer
+    * ([[graft.sources.IcebergTableWriter.delete]] — the third leg of
+    * the row-level-delete writer triad beside Delta DV deletes and
+    * Hudi MOR tombstones): matched rows become a spec-shaped v2
+    * position-delete file published as a content=1 delete-manifest
+    * snapshot with operation 'delete'; a second delete evaluates on
+    * the already-masked live rows and ACCUMULATES. No data file is
+    * rewritten (require-proven in-run); position computation and the
+    * delete-file write are fully distributed. The oracle recomputes
+    * the post-delete state.
+    */
+  val qIcebergDelWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("ice-del-write") + "/t"
+      val o = t(s, dir, "orders")
+      IcebergTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table): Unit
+      IcebergTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val before = IcebergTableReader.planFiles(s, table).data.toSet
+      IcebergTableWriter.delete(s, table, pmod(col("o_orderkey"), lit(7)) === 0): Unit
+      IcebergTableWriter.delete(s, table, pmod(col("o_orderkey"), lit(11)) === 0): Unit
+      require(IcebergTableReader.planFiles(s, table).data.toSet == before,
+        "a position delete must not rewrite or drop any data file")
+      IcebergTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #109 Iceberg table WRITER round-trip
     * ([[graft.sources.IcebergTableWriter]] — the third leg of the
     * writer-side interop surface): create + append land spec-true v2

@@ -143,13 +143,13 @@ object IcebergTableWriter {
 
   private def manifestOf(conf: org.apache.hadoop.conf.Configuration, tablePath: String,
       snapshotId: Long, sequence: Long, files: Seq[Landed],
-      partitionBy: Seq[String]): String = {
+      partitionBy: Seq[String], content: Int = 0): String = {
     val rel = s"metadata/m-$snapshotId-${java.util.UUID.randomUUID()}.avro"
     val entrySchema = entrySchemaFor(partitionBy)
     val dfSchema = entrySchema.getField("data_file").schema()
     val records = files.map { f =>
       val dfr = new GenericData.Record(dfSchema)
-      dfr.put("content", 0); dfr.put("file_path", f.rel)
+      dfr.put("content", content); dfr.put("file_path", f.rel)
       dfr.put("file_format", "PARQUET"); dfr.put("record_count", f.count)
       if (partitionBy.nonEmpty) {
         val pType = dfSchema.getField("partition").schema().getTypes.get(1)
@@ -167,11 +167,11 @@ object IcebergTableWriter {
   }
 
   private def snapshotJson(id: Long, parent: Option[Long], seq: Long,
-      listRel: String, timestampMs: Long): String = {
+      listRel: String, timestampMs: Long, operation: String): String = {
     val p = parent.map(v => s""""parent-snapshot-id":$v,""").getOrElse("")
     s"""{"snapshot-id":$id,$p"sequence-number":$seq,""" +
       s""""timestamp-ms":$timestampMs,""" +
-      s""""summary":{"operation":"append"},"manifest-list":"$listRel"}"""
+      s""""summary":{"operation":"$operation"},"manifest-list":"$listRel"}"""
   }
 
   /** Iceberg type name for a Spark type (the subset graft tables
@@ -251,10 +251,22 @@ object IcebergTableWriter {
     * the new snapshot id.
     */
   private def commit(df: DataFrame, tablePath: String, partitionBy: Seq[String]): Long = {
-    val spark = df.sparkSession
+    val files = writeDataFiles(df, tablePath, partitionBy)
+    commitSnapshot(df.sparkSession, tablePath, df.schema, partitionBy, files,
+      content = 0, operation = "append")
+  }
+
+  /** Publish one snapshot of `files` (content 0 = data, 1 = position
+    * deletes) under the exclusive-create CAS. Prior snapshots
+    * re-serialize with their ORIGINAL ids/parents/lists/timestamps
+    * AND operations — a rewritten operation would let incremental
+    * readers silently cross a delete snapshot.
+    */
+  private def commitSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      schema: org.apache.spark.sql.types.StructType, partitionBy: Seq[String],
+      files: Seq[Landed], content: Int, operation: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
-    val files = writeDataFiles(df, tablePath, partitionBy)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       // re-read the current state each attempt (CAS loser rebases)
@@ -272,13 +284,14 @@ object IcebergTableWriter {
           // snapshot records re-serialize with ids/parents/lists AND
           // original timestamps preserved — TIMESTAMP AS OF resolves
           // off them, so a re-stamp would silently rewrite history
-          (snaps.map(s => snapshotJson(s.id, s.parentId, s.id, s.manifestList, s.timestampMs)),
+          (snaps.map(s => snapshotJson(s.id, s.parentId, s.id, s.manifestList,
+              s.timestampMs, s.operation)),
             manifests, version, Some(currentId), currentId + 1L)
         }
       val newId = parentId.getOrElse(0L) + 1L
-      val manifestRel = manifestOf(conf, tablePath, newId, seq, files, partitionBy)
+      val manifestRel = manifestOf(conf, tablePath, newId, seq, files, partitionBy, content)
       val listRel = s"metadata/snap-$newId-${java.util.UUID.randomUUID()}.avro"
-      val listRecords = (prevManifests :+ ((manifestRel, newId, 0)))
+      val listRecords = (prevManifests :+ ((manifestRel, newId, content)))
         .map { case (mp, addedBy, content) =>
           val r = new GenericData.Record(listSchema)
           r.put("manifest_path", mp); r.put("manifest_length", 0L)
@@ -287,11 +300,11 @@ object IcebergTableWriter {
         }
       writeAvro(conf, new Path(tablePath, listRel), listSchema, listRecords)
       val snapsJson = (prevSnapsJson :+
-        snapshotJson(newId, parentId, seq, listRel, System.currentTimeMillis()))
+        snapshotJson(newId, parentId, seq, listRel, System.currentTimeMillis(), operation))
         .mkString(",")
       val metaJson =
         s"""{"format-version":2,"table-uuid":"graft","location":"$tablePath",""" +
-          s"""${schemasJson(df.schema)},${specJson(df.schema, partitionBy)},""" +
+          s"""${schemasJson(schema)},${specJson(schema, partitionBy)},""" +
           s""""last-sequence-number":$seq,""" +
           s""""current-snapshot-id":$newId,"snapshots":[$snapsJson]}"""
       val vNew = prevVersion + 1
@@ -340,5 +353,84 @@ object IcebergTableWriter {
     val partitionBy = declaredPartitionBy(df.sparkSession, tablePath)
     commit(df.select(existing.columns.map(org.apache.spark.sql.functions.col): _*),
       tablePath, partitionBy)
+  }
+
+  /** Row-level DELETE on an external Iceberg table WITHOUT rewriting
+    * data files: rows matching `predicate` (evaluated on exactly the
+    * live rows — existing position deletes pre-applied) become a v2
+    * POSITION-DELETE file of spec-shaped (file_path, pos) rows,
+    * published as a delete-manifest (content=1) snapshot with
+    * operation 'delete'. The position computation, the file-path
+    * mapping back to the manifest-recorded relative paths, and the
+    * delete-file write are all DISTRIBUTED — no driver
+    * materialization of positions (unlike Delta's bitmap build, the
+    * spec's delete file IS columnar). Tables carrying EQUALITY
+    * deletes refuse — composing the two delete shapes in one
+    * predicate evaluation is not implemented. Returns the new
+    * snapshot id.
+    */
+  def delete(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val plan = IcebergTableReader.planFiles(spark, tablePath)
+    require(plan.equalityDeletes.isEmpty,
+      s"$tablePath: table carries equality-delete files — position-deleting on top of " +
+        "them would need composed delete semantics this writer does not implement; refusing")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    def resolveAbs(rel: String): String =
+      if (rel.contains("://") || rel.startsWith("/")) rel else s"$tablePath/$rel"
+    // live rows with their physical identity
+    val keyed0 = spark.read.parquet(plan.data.map(resolveAbs): _*)
+      .withColumn("_g_file", ScanPaths.normalizeScan(
+        org.apache.spark.sql.functions.col("_metadata.file_path")))
+      .withColumn("_g_pos", org.apache.spark.sql.functions.col("_metadata.row_index"))
+    val keyed =
+      if (plan.positionDeletes.isEmpty) keyed0
+      else {
+        val existing = spark.read.parquet(plan.positionDeletes.map(resolveAbs): _*)
+          .select(ScanPaths.normalizeMetaColumn(col("file_path"), tablePath).as("_g_file"),
+            col("pos").cast("long").as("_g_pos"))
+        keyed0.join(existing, Seq("_g_file", "_g_pos"), "left_anti")
+      }
+    // map scan paths back to the manifest-recorded relative paths
+    val relRows = plan.data.map(rel => org.apache.spark.sql.Row(
+      ScanPaths.normalizeDriver(resolveAbs(rel)), rel))
+    import scala.jdk.CollectionConverters._
+    val relDf = spark.createDataFrame(relRows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_g_file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType))))
+    val deletes = keyed.where(predicate)
+      .join(broadcast(relDf), Seq("_g_file"))
+      .select(col("file_path"), col("_g_pos").cast("long").as("pos"))
+      .sort("file_path", "pos")
+    // land the delete file (one file — delete sets are small relative
+    // to data; a huge delete should rewrite instead)
+    val stage = new Path(tablePath, s".graft-del-${java.util.UUID.randomUUID()}")
+    deletes.coalesce(1).write.parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: delete stage wrote nothing"))
+    val rel = s"data/del-${java.util.UUID.randomUUID()}.parquet"
+    fs.mkdirs(new Path(tablePath, rel).getParent)
+    if (!fs.rename(part, new Path(tablePath, rel))) throw new IllegalStateException(
+      s"$tablePath: failed to land delete file $rel")
+    fs.delete(stage, true)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(tablePath, rel), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val n = try r.getRecordCount finally r.close()
+    if (n == 0L) {
+      fs.delete(new Path(tablePath, rel), false)
+      throw new IllegalArgumentException(
+        s"$tablePath: predicate matched no live rows — nothing to delete")
+    }
+    val schema = IcebergTableReader.snapshot(spark, tablePath).schema
+    commitSnapshot(spark, tablePath, schema, declaredPartitionBy(spark, tablePath),
+      Seq(Landed(rel, n, Map.empty)), content = 1, operation = "delete")
   }
 }

@@ -72,6 +72,43 @@ class IcebergTableWriterSpec extends SparkSpec {
     assert(IcebergTableReader.snapshot(spark, table).count() == 80L)
   }
 
+  test("position-delete writer: rows vanish without file rewrites; deletes accumulate; incremental refuses across") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("iwr-del") + "/t"
+    IcebergTableWriter.create(df(1 to 100), table): Unit
+    val dataBefore = IcebergTableReader.planFiles(spark, table).data.toSet
+    IcebergTableWriter.delete(spark, table, col("id") <= 10L): Unit
+    val snap1 = IcebergTableReader.snapshot(spark, table)
+    assert(snap1.count() == 90L)
+    assert(snap1.agg(min("id")).head().getLong(0) == 11L)
+    val plan1 = IcebergTableReader.planFiles(spark, table)
+    assert(plan1.data.toSet == dataBefore, "no data file may be rewritten or dropped")
+    assert(plan1.positionDeletes.size == 1)
+    // a second delete ACCUMULATES (evaluated on live rows only)
+    IcebergTableWriter.delete(spark, table, col("id") <= 25L): Unit
+    val snap2 = IcebergTableReader.snapshot(spark, table)
+    assert(snap2.count() == 75L)
+    assert(snap2.agg(min("id")).head().getLong(0) == 26L)
+    assert(IcebergTableReader.planFiles(spark, table).positionDeletes.size == 2)
+    // the delete snapshot's operation is 'delete': incremental refuses across it
+    val (snaps, _) = IcebergTableReader.snapshotLog(spark, table)
+    assert(snaps.count(_.operation == "delete") == 2)
+    val e = intercept[IllegalStateException](
+      IcebergTableReader.incrementalSince(spark, table, 1L))
+    assert(e.getMessage.contains("not an append"))
+    // appends after a delete still work, and prior operations survive
+    // the metadata rewrite verbatim
+    IcebergTableWriter.append(df(101 to 110), table): Unit
+    assert(IcebergTableReader.snapshot(spark, table).count() == 85L)
+    val (snaps2, _) = IcebergTableReader.snapshotLog(spark, table)
+    assert(snaps2.count(_.operation == "delete") == 2,
+      "a later commit must not rewrite prior snapshots' operations")
+    // no-match predicate refuses
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTableWriter.delete(spark, table, col("id") > 100000L))
+    assert(e2.getMessage.contains("no live rows"))
+  }
+
   test("partitioned create/append: values ride the manifests, pruning skips files, columns stay in data") {
     import org.apache.spark.sql.functions._
     val table = tmpDir("iwr-part") + "/t"
