@@ -1491,6 +1491,47 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'incremental'
         |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority""".stripMargin))
 
+  /** #107c PARTITIONED Hudi COW writer
+    * ([[graft.sources.HudiTableWriter.create]] with
+    * `hoodie.table.partition.fields` — the reference's own job writes
+    * date-partitioned tables, generate_hudi_table.py:86-214): base
+    * files land under hive-style partition dirs, the commit's
+    * partitionToWriteStats key BY PARTITION, rows carry
+    * `_hoodie_partition_path`, partition columns stay in the data
+    * files, and appends derive the fields from hoodie.properties.
+    * Read-back goes through snapshot AND the incremental pull. The
+    * oracle recomputes both slices.
+    */
+  val qHudiPartWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-part-write") + "/t"
+      val o = t(s, dir, "orders")
+      val c1 = HudiTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        tableName = "orders_part", recordKeys = Seq("o_orderkey"),
+        partitionBy = Seq("o_orderpriority"))
+      HudiTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val full = HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("snapshot"))
+      val pulled = HudiTableReader.incrementalSince(s, table, c1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("incremental"))
+      full.unionByName(pulled)
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  'snapshot' AS slice
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'incremental'
+        |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority""".stripMargin))
+
   /** #22w Streaming ingestion INTO an external Delta table
     * ([[graft.streaming.DeltaSink]]): each micro-batch appends with a
     * protocol `txn {appId, version=batchId}` action, and a replayed

@@ -48,7 +48,7 @@ object HudiTableWriter {
 
   private def writeProperties(spark: SparkSession, tablePath: String, name: String,
       recordKeys: Seq[String], precombineField: Option[String],
-      tableType: String = "COPY_ON_WRITE"): Unit = {
+      tableType: String = "COPY_ON_WRITE", partitionBy: Seq[String] = Nil): Unit = {
     val p = new Path(hoodieDir(tablePath), "hoodie.properties")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
@@ -63,11 +63,15 @@ object HudiTableWriter {
         else s"hoodie.table.recordkey.fields=${recordKeys.mkString(",")}\n"
       val precombineLine =
         precombineField.map(f => s"hoodie.table.precombine.field=$f\n").getOrElse("")
+      val partitionLine =
+        if (partitionBy.isEmpty) ""
+        else s"hoodie.table.partition.fields=${partitionBy.mkString(",")}\n"
       val out = fs.create(p, false)
       try out.write(
         (s"hoodie.table.name=$name\n" +
           s"hoodie.table.type=$tableType\n" +
-          "hoodie.table.version=5\n" + keyLines + precombineLine).getBytes("UTF-8"))
+          "hoodie.table.version=5\n" + keyLines + precombineLine + partitionLine)
+          .getBytes("UTF-8"))
       finally out.close()
     }
   }
@@ -95,12 +99,25 @@ object HudiTableWriter {
       .getOrElse(Nil)
 
   /** Stamp the Hudi meta columns an external reader expects. */
-  private def stamped(df: DataFrame, instant: String, recordKeys: Seq[String]): DataFrame = {
+  private def stamped(df: DataFrame, instant: String, recordKeys: Seq[String],
+      partitionBy: Seq[String] = Nil): DataFrame = {
     val withTime = df.withColumn("_hoodie_commit_time", lit(instant))
-    if (recordKeys.isEmpty) withTime
-    else withTime.withColumn("_hoodie_record_key",
-      concat_ws(",", recordKeys.map(k => concat(lit(s"$k:"), col(k).cast("string"))): _*))
+    val withKey =
+      if (recordKeys.isEmpty) withTime
+      else withTime.withColumn("_hoodie_record_key",
+        concat_ws(",", recordKeys.map(k => concat(lit(s"$k:"), col(k).cast("string"))): _*))
+    if (partitionBy.isEmpty) withKey
+    else withKey.withColumn("_hoodie_partition_path",
+      concat_ws("/", partitionBy.map(c =>
+        concat(lit(s"$c="), coalesce(col(c).cast("string"),
+          lit("__HIVE_DEFAULT_PARTITION__")))): _*))
   }
+
+  /** The partition fields the TABLE declares (empty = unpartitioned). */
+  def declaredPartitionFields(spark: SparkSession, tablePath: String): Seq[String] =
+    tableProperties(spark, tablePath).get("hoodie.table.partition.fields")
+      .map(_.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
 
   /** Write one insert commit: every staged parquet file becomes a NEW
     * file group named per the Hudi base-file convention, and the
@@ -108,30 +125,59 @@ object HudiTableWriter {
     * them. Returns the commit instant.
     */
   private def insertCommit(df: DataFrame, tablePath: String,
-      recordKeys: Seq[String], kind: String = "commit"): String = {
+      recordKeys: Seq[String], kind: String = "commit",
+      partitionBy: Seq[String] = Nil): String = {
     val spark = df.sparkSession
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     while (true) {
       val instant = instantNow(attempt.toLong)
       val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
-      stamped(df, instant, recordKeys).write.parquet(stage.toString)
-      val writes = Seq.newBuilder[(String, String)] // (fileId, path)
-      fs.listStatus(stage).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
-        val fileId = java.util.UUID.randomUUID().toString
-        val rel = s"${fileId}_0-0-0_$instant.parquet"
-        if (!fs.rename(st.getPath, new Path(tablePath, rel)))
-          throw new IllegalStateException(s"$tablePath: failed to land base file $rel")
-        writes += ((fileId, rel))
-      }
+      // partitioned tables: hive dirs from DUPLICATED `_p_<c>` columns
+      // (Hudi keeps partition columns IN the data files); the dir
+      // names become both the on-disk layout and the commit's
+      // partitionToWriteStats keys
+      val toWrite = stamped(df, instant, recordKeys, partitionBy)
+      val staged = partitionBy.foldLeft(toWrite)((acc, c) => acc.withColumn(s"_p_$c", col(c)))
+      val writer =
+        if (partitionBy.isEmpty) staged.write
+        else staged.write.partitionBy(partitionBy.map(c => s"_p_$c"): _*)
+      writer.parquet(stage.toString)
+      val writes = Seq.newBuilder[(String, String, String)] // (partition, fileId, path)
+      def walk(dir: Path, partSegs: Seq[String]): Unit =
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory) {
+            val segs =
+              if (name.startsWith("_p_") && name.contains('='))
+                partSegs :+ name.substring(3)
+              else partSegs
+            walk(st.getPath, segs)
+          } else if (name.endsWith(".parquet")) {
+            val partition = partSegs.mkString("/")
+            val fileId = java.util.UUID.randomUUID().toString
+            val rel =
+              if (partition.isEmpty) s"${fileId}_0-0-0_$instant.parquet"
+              else s"$partition/${fileId}_0-0-0_$instant.parquet"
+            val dst = new Path(tablePath, rel)
+            fs.mkdirs(dst.getParent)
+            if (!fs.rename(st.getPath, dst))
+              throw new IllegalStateException(s"$tablePath: failed to land base file $rel")
+            writes += ((partition, fileId, rel))
+          }
+        }
+      walk(stage, Nil)
       fs.delete(stage, true)
       val files = writes.result()
       if (files.isEmpty) throw new IllegalArgumentException(
         s"$tablePath: the DataFrame wrote no data files (empty input?)")
-      val stats = files.map { case (fid, path) =>
-        s"""{"fileId":"$fid","path":"$path","numWrites":1,"numUpdateWrites":0,""" +
-          s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, path)).getLen},""" +
-          s""""prevCommit":"null"}"""
+      val statsByPartition = files.groupBy(_._1).map { case (part, ws) =>
+        val stats = ws.map { case (_, fid, path) =>
+          s"""{"fileId":"$fid","path":"$path","numWrites":1,"numUpdateWrites":0,""" +
+            s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, path)).getLen},""" +
+            s""""prevCommit":"null"}"""
+        }.mkString(",")
+        s""""$part":[$stats]"""
       }.mkString(",")
       val commitPath = new Path(hoodieDir(tablePath), s"$instant.$kind")
       fs.mkdirs(hoodieDir(tablePath))
@@ -142,13 +188,13 @@ object HudiTableWriter {
       val created = try {
         val out = fs.create(commitPath, false)
         try out.write(
-          (s"""{"partitionToWriteStats":{"":[$stats]},"operationType":"INSERT"}""" + "\n")
+          (s"""{"partitionToWriteStats":{$statsByPartition},"operationType":"INSERT"}""" + "\n")
             .getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
       if (created) return instant
-      files.foreach { case (_, path) => fs.delete(new Path(tablePath, path), false) }
+      files.foreach { case (_, _, path) => fs.delete(new Path(tablePath, path), false) }
       attempt += 1
       if (attempt >= MaxCommitAttempts) throw new IllegalStateException(
         s"$tablePath: lost the instant race $MaxCommitAttempts times")
@@ -160,7 +206,8 @@ object HudiTableWriter {
     * existing table (append to those). Returns the commit instant.
     */
   def create(df: DataFrame, tablePath: String, tableName: String = "graft_table",
-      recordKeys: Seq[String] = Nil, precombineField: Option[String] = None): String = {
+      recordKeys: Seq[String] = Nil, precombineField: Option[String] = None,
+      partitionBy: Seq[String] = Nil): String = {
     val spark = df.sparkSession
     val dir = hoodieDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -168,9 +215,12 @@ object HudiTableWriter {
       s"$tablePath is already a Hudi table — use append")
     recordKeys.foreach(k => require(df.columns.contains(k),
       s"record-key field $k is not in the DataFrame"))
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition field $c is not in the DataFrame"))
     fs.mkdirs(dir)
-    writeProperties(spark, tablePath, tableName, recordKeys, precombineField)
-    insertCommit(df, tablePath, recordKeys)
+    writeProperties(spark, tablePath, tableName, recordKeys, precombineField,
+      partitionBy = partitionBy)
+    insertCommit(df, tablePath, recordKeys, partitionBy = partitionBy)
   }
 
   /** Append `df` as a new insert commit; columns must match the
@@ -194,9 +244,11 @@ object HudiTableWriter {
       s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table columns " +
         s"${dataCols.toSeq.sorted.mkString(",")} — appends must match the existing schema")
     // MOR inserts land under deltacommits (Hudi's MOR write path —
-    // an ordinary commit on a MOR timeline means compaction)
+    // an ordinary commit on a MOR timeline means compaction); the
+    // partitioning comes from the TABLE's declaration, like the keys
     val kind = if (HudiTableReader.isMor(spark, tablePath)) "deltacommit" else "commit"
-    insertCommit(df, tablePath, declared, kind)
+    insertCommit(df, tablePath, declared, kind,
+      partitionBy = declaredPartitionFields(spark, tablePath))
   }
 
   // ----------------------------------------------------------------

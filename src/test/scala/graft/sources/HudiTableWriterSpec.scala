@@ -89,6 +89,34 @@ class HudiTableWriterSpec extends SparkSpec {
     assert(HudiTableReader.snapshot(spark, table).count() == 40L)
   }
 
+  test("partitioned COW: hive dirs land, stats key by partition, appends derive the fields") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("hwr-part") + "/t"
+    val c1 = HudiTableWriter.create(df(1 to 80), table,
+      recordKeys = Seq("id"), partitionBy = Seq("key"))
+    // hive-style partition dirs with base files inside
+    val dirs = new java.io.File(table).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(dirs.exists(_.startsWith("key=")), s"expected key= dirs, got $dirs")
+    // partition columns stay IN the data files; rows carry the
+    // _hoodie_partition_path meta column
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 80L)
+    assert(snap.columns.contains("key") && snap.columns.contains("_hoodie_partition_path"))
+    assert(snap.where(col("key") === "k3").select("_hoodie_partition_path")
+      .head().getString(0) == "key=k3")
+    // the commit's stats are keyed BY PARTITION (the reader's replay
+    // resolves paths under the partition dirs)
+    val commit = scala.io.Source.fromFile(s"$table/.hoodie/$c1.commit").mkString
+    assert(commit.contains("\"key=k3\":["))
+    // appends derive the partitioning from hoodie.properties
+    assert(HudiTableWriter.declaredPartitionFields(spark, table) == Seq("key"))
+    HudiTableWriter.append(df(81 to 100), table): Unit
+    assert(HudiTableReader.snapshot(spark, table).count() == 100L)
+    // incremental still works across partitioned commits
+    assert(HudiTableReader.incrementalSince(spark, table, c1).count() == 20L)
+  }
+
   test("MOR lifecycle: createMor → updateLog → deleteLog → realtime merge → compact → RO equality") {
     val s = spark
     import s.implicits._
