@@ -1687,6 +1687,40 @@ trait ReferenceQueries extends QueryBase {
         |   OR (o_orderkey % 3 = 1 AND o_orderkey % 11 <> 0)
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #102f Delta STATS-BASED FILE SKIPPING (both halves: the writer
+    * lands `add.stats` — numRecords/minValues/maxValues/nullCount
+    * read from the parquet FOOTERS, what every Delta engine skips on
+    * — and the reader's snapshotSkipping prunes files whose recorded
+    * range provably misses `[lo, hi]` BEFORE the scan or the driver
+    * add-set; stat-less files are conservatively kept, so skipping
+    * prunes I/O, never semantics). The fixture range-clusters orders
+    * by key so the narrow range provably cuts the file set
+    * (require-proven in-run); the oracle recomputes the filtered
+    * aggregate.
+    */
+  val qDeltaSkipping: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-skip") + "/t"
+      val o = t(s, dir, "orders")
+      DeltaTableWriter.create(o.repartitionByRange(8, col("o_orderkey")), table): Unit
+      val hi = 3000.0
+      val skipped = DeltaTableReader.snapshotSkipping(s, table, "o_orderkey", 0.0, hi)
+      val full = DeltaTableReader.snapshot(s, table)
+      require(skipped.inputFiles.length < full.inputFiles.length,
+        s"stats skipping must cut the file set " +
+          s"(${skipped.inputFiles.length} of ${full.inputFiles.length})")
+      skipped.where(col("o_orderkey") <= hi.toLong)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey <= 3000
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #106b Delta DV-DELETE writer
     * ([[graft.sources.DeltaTableWriter.delete]]): rows are deleted
     * from an external Delta table WITHOUT rewriting data files — the

@@ -102,7 +102,8 @@ object DeltaTableReader {
   private[sources] final case class CkptAdd(
       path: String,
       partitionValues: Map[String, String],
-      dvJson: String)
+      dvJson: String,
+      stats: String)
 
   /** One DV-decode task shipped to executors. */
   private[sources] final case class DvTask(
@@ -282,7 +283,8 @@ object DeltaTableReader {
       tablePath: String,
       partitionPruner: Map[String, String] => Boolean = _ => true,
       maxDriverFiles: Int = MaxDriverFileActions,
-      asOf: Option[Long] = None): Snapshot = {
+      asOf: Option[Long] = None,
+      statsPruner: Option[String => Boolean] = None): Snapshot = {
     val dir = logDir(tablePath)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) throw new IllegalArgumentException(
@@ -370,14 +372,22 @@ object DeltaTableReader {
         val dvCol =
           if (hasDv) to_json(col("add.deletionVector")) else lit(null).cast(StringType)
         // keep the add-set DISTRIBUTED through pruning; collect only
-        // the surviving (path, partitionValues, dv) triples, bounded
+        // the surviving (path, partitionValues, dv, stats) tuples,
+        // bounded — the stats string never reaches the driver for
+        // files the pruners reject
+        val statsCol =
+          if (structFields("add").contains("stats"))
+            coalesce(col("add.stats"), lit("")).as("stats")
+          else lit("").as("stats")
         val adds = rows
           .select(col("add.path").as("path"),
             coalesce(col("add.partitionValues"), map()).as("partitionValues"),
-            coalesce(dvCol, lit("")).as("dvJson"))
+            coalesce(dvCol, lit("")).as("dvJson"),
+            statsCol)
           .where(col("path").isNotNull)
           .as(Encoders.product[CkptAdd])
-          .filter((a: CkptAdd) => partitionPruner(a.partitionValues))
+          .filter((a: CkptAdd) => partitionPruner(a.partitionValues) &&
+            statsPruner.forall(p => a.stats.isEmpty || p(a.stats)))
           .limit(maxDriverFiles + 1)
           .collect()
         if (adds.length > maxDriverFiles) throw new IllegalStateException(
@@ -421,7 +431,11 @@ object DeltaTableReader {
         refuseUnsupported(node, tablePath)
         if (node.has("add")) {
           val a = fileActionOf(node.get("add"))
-          if (partitionPruner(a.partitionValues)) active(a.path) = a
+          val statsOk = statsPruner.forall { p =>
+            val st = node.get("add").get("stats")
+            st == null || st.isNull || p(st.asText())
+          }
+          if (partitionPruner(a.partitionValues) && statsOk) active(a.path) = a
           else active.remove(a.path): Unit
         } else if (node.has("remove")) {
           active.remove(node.get("remove").get("path").asText()): Unit
@@ -725,6 +739,35 @@ object DeltaTableReader {
       partitionPruner: Map[String, String] => Boolean = _ => true,
       maxDriverFiles: Int = MaxDriverFileActions): DataFrame = {
     val s = snapshotState(spark, tablePath, partitionPruner, maxDriverFiles)
+    readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson)
+  }
+
+  /** STATS-BASED FILE SKIPPING: a snapshot read pruned by the add
+    * actions' `stats` min/max ranges for `column` against
+    * `[lo, hi]` — a file provably outside the range (max < lo or
+    * min > hi) never reaches the scan OR the driver's add set. Files
+    * without usable stats for the column are conservatively KEPT, so
+    * the result is always exactly the rows a full snapshot would
+    * serve the same predicate (callers still apply their row filter;
+    * this prunes I/O, not semantics). Numeric comparison; the same
+    * data-skipping rule Delta's own reader applies.
+    */
+  def snapshotSkipping(spark: SparkSession, tablePath: String,
+      column: String, lo: Double, hi: Double): DataFrame = {
+    val pruner: String => Boolean = statsJson => {
+      val parsed = scala.util.Try(mapper.readTree(statsJson)).toOption
+      val minV = parsed.flatMap(n => Option(n.get("minValues")))
+        .flatMap(n => Option(n.get(column))).filterNot(_.isNull)
+        .flatMap(v => scala.util.Try(v.asDouble()).toOption.filter(_ => v.isNumber))
+      val maxV = parsed.flatMap(n => Option(n.get("maxValues")))
+        .flatMap(n => Option(n.get(column))).filterNot(_.isNull)
+        .flatMap(v => scala.util.Try(v.asDouble()).toOption.filter(_ => v.isNumber))
+      (minV, maxV) match {
+        case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
+        case _ => true // no usable stats → keep, conservatively
+      }
+    }
+    val s = snapshotState(spark, tablePath, statsPruner = Some(pruner))
     readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson)
   }
 

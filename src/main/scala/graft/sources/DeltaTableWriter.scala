@@ -130,7 +130,7 @@ object DeltaTableWriter {
     * un-encoded), with partition values parsed from its hive dirs.
     */
   private def addLine(rel: String, size: Long, modTime: Long,
-      partitionColumns: Seq[String]): String = {
+      partitionColumns: Seq[String], stats: Option[String] = None): String = {
     val values = rel.split('/').dropRight(1).flatMap(partitionValueOf).toMap
     val pvJson = partitionColumns.map { c =>
       values.get(c).flatten match {
@@ -138,8 +138,9 @@ object DeltaTableWriter {
         case None => s"${jsonStr(c)}:null"
       }
     }.mkString(",")
+    val statsJson = stats.map(st => s""","stats":${jsonStr(st)}""").getOrElse("")
     s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":{$pvJson},""" +
-      s""""size":$size,"modificationTime":$modTime,"dataChange":true}}"""
+      s""""size":$size,"modificationTime":$modTime,"dataChange":true$statsJson}}"""
   }
 
   /** Stage-write `df` as parquet and move the part files into the
@@ -147,13 +148,14 @@ object DeltaTableWriter {
     * paths + sizes + mtimes of the landed files.
     */
   private def writeDataFiles(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String]): Seq[(String, Long, Long)] = {
+      partitionBy: Seq[String]): Seq[(String, Long, Long, Option[String])] = {
     val spark = df.sparkSession
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
     val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
     val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
     writer.parquet(stage.toString)
-    val landed = Seq.newBuilder[(String, Long, Long)]
+    val landed = Seq.newBuilder[(String, Long, Long, Option[String])]
     def walk(dir: Path, relPrefix: String): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -165,7 +167,8 @@ object DeltaTableWriter {
           if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
             s"$tablePath: failed to move staged data file to $rel")
           val dstStat = fs.getFileStatus(dst)
-          landed += ((rel, dstStat.getLen, dstStat.getModificationTime))
+          landed += ((rel, dstStat.getLen, dstStat.getModificationTime,
+            statsJsonOf(conf, dst)))
         }
       }
     walk(stage, "")
@@ -175,6 +178,77 @@ object DeltaTableWriter {
       s"$tablePath: the DataFrame wrote no data files (empty input?)")
     files
   }
+
+  /** Per-file `add.stats` JSON from the landed parquet FOOTER —
+    * numRecords plus minValues/maxValues/nullCount for the top-level
+    * primitive columns whose row-group statistics are present. This
+    * is what makes stats-based FILE SKIPPING work for every engine
+    * that reads the table (Delta's own readers included); columns
+    * with unusable stats are simply omitted (readers keep the file).
+    */
+  private def statsJsonOf(conf: org.apache.hadoop.conf.Configuration,
+      file: Path): Option[String] = scala.util.Try {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val footer = r.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val numRecords = r.getRecordCount
+      val mins = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val maxs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val nulls = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      schema.getFields.asScala.filter(_.isPrimitive).foreach { f =>
+        val name = f.getName
+        val prim = f.asPrimitiveType()
+        val chunks = footer.getBlocks.asScala.flatMap(
+          _.getColumns.asScala.filter(_.getPath.toDotString == name))
+        val stats = chunks.map(_.getStatistics).filter(st =>
+          st != null && !st.isEmpty && st.hasNonNullValue)
+        if (stats.nonEmpty && stats.size == chunks.size) {
+          val isString = prim.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY &&
+            prim.getLogicalTypeAnnotation ==
+              org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
+          val numeric = Set(
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32,
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64,
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT,
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE,
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BOOLEAN)
+            .contains(prim.getPrimitiveTypeName) &&
+            prim.getLogicalTypeAnnotation == null
+          if (isString) {
+            val minVals = stats.map(
+              _.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+            val maxVals = stats.map(
+              _.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+            mins(name) = jsonStr(minVals.min)
+            maxs(name) = jsonStr(maxVals.max)
+          } else if (numeric) {
+            val minVals = stats.map(_.genericGetMin)
+            val allIntegral = minVals.forall(v => v.isInstanceOf[java.lang.Integer] ||
+              v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Boolean])
+            if (minVals.exists(_.isInstanceOf[java.lang.Boolean])) {
+              mins(name) = stats.map(_.genericGetMin.toString).min
+              maxs(name) = stats.map(_.genericGetMax.toString).max
+            } else {
+              val minN = minVals.map(_.toString.toDouble).min
+              val maxN = stats.map(_.genericGetMax.toString.toDouble).max
+              mins(name) = if (allIntegral) minN.toLong.toString else minN.toString
+              maxs(name) = if (allIntegral) maxN.toLong.toString else maxN.toString
+            }
+          }
+          nulls(name) = stats.map(_.getNumNulls).sum
+        }
+      }
+      val minJson = mins.map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString(",")
+      val maxJson = maxs.map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString(",")
+      val nullJson = nulls.map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString(",")
+      s"""{"numRecords":$numRecords,"minValues":{$minJson},""" +
+        s""""maxValues":{$maxJson},"nullCount":{$nullJson}}"""
+    } finally r.close()
+  }.toOption
 
   /** Publish `lines` as the next commit ≥ `fromVersion` with an
     * atomic-rename CAS; returns the version that won.
@@ -256,7 +330,8 @@ object DeltaTableWriter {
         s""""configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
     commit(spark, tablePath, 0L,
       protocol +: metaData +: (transaction.map(txnLine).toSeq ++
-        files.map { case (rel, size, mtime) => addLine(rel, size, mtime, partitionBy) }))
+        files.map { case (rel, size, mtime, st) =>
+          addLine(rel, size, mtime, partitionBy, st) }))
   }
 
   /** Append `df` to an existing table as a new commit; partitioning
@@ -269,7 +344,10 @@ object DeltaTableWriter {
     * preserved), the metaData/protocol actions, and every appId's txn
     * watermark — everything a reader needs when older JSON commits
     * are cleaned. Driver work is bounded by the (already-bounded)
-    * active add set.
+    * active add set. Per-file `stats` are NOT carried into the
+    * checkpoint (they never transit the driver by design); after
+    * cleanup, stats-based skipping degrades to conservatively keeping
+    * every checkpointed file — correct, just unpruned.
     */
   def writeCheckpoint(spark: SparkSession, tablePath: String): Long = {
     import org.apache.spark.sql.Row
@@ -463,7 +541,8 @@ object DeltaTableWriter {
     val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
     val v = commit(spark, tablePath, state.version + 1,
       transaction.map(txnLine).toSeq ++
-        files.map { case (rel, size, mtime) => addLine(rel, size, mtime, state.partitionColumns) })
+        files.map { case (rel, size, mtime, st) =>
+          addLine(rel, size, mtime, state.partitionColumns, st) })
     maybeCheckpoint(spark, tablePath, v, checkpointInterval)
     v
   }

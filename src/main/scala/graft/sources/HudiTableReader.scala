@@ -52,8 +52,11 @@ object HudiTableReader {
 
   private val mapper = new ObjectMapper()
 
-  /** One file-group write from a commit's stats. */
-  final case class SliceWrite(instant: String, fileId: String, path: String)
+  /** One file-group write from a commit's stats; `partition` is the
+    * partitionToWriteStats key the write landed under ("" for
+    * unpartitioned tables). */
+  final case class SliceWrite(instant: String, fileId: String, path: String,
+      partition: String = "")
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -160,7 +163,8 @@ object HudiTableReader {
       val b = Seq.newBuilder[SliceWrite]
       stats.fields().forEachRemaining { e =>
         e.getValue.forEach { (w: JsonNode) =>
-          b += SliceWrite(instant, w.get("fileId").asText(), w.get("path").asText())
+          b += SliceWrite(instant, w.get("fileId").asText(), w.get("path").asText(),
+            e.getKey)
         }
       }
       b.result()
@@ -443,6 +447,23 @@ object HudiTableReader {
   def snapshot(spark: SparkSession, tablePath: String): DataFrame =
     if (isMor(spark, tablePath)) realtime(spark, tablePath)
     else readPaths(spark, tablePath, activeSlices(spark, tablePath))
+
+  /** Partition-pruned COW snapshot: only file slices whose
+    * partitionToWriteStats key passes `pruner` reach the scan —
+    * metadata-only, before any data I/O (the timeline-level half of
+    * Hudi's own partition pruning; keys are hive-style `col=value`
+    * paths). Refuses MOR tables — prune through `realtime`'s group
+    * split instead.
+    */
+  def snapshotPruned(spark: SparkSession, tablePath: String,
+      pruner: String => Boolean): DataFrame = {
+    if (isMor(spark, tablePath)) throw new IllegalArgumentException(
+      s"$tablePath is MERGE-ON-READ — partition-pruned reads are the COW path")
+    val slices = activeSlices(spark, tablePath).filter(s0 => pruner(s0.partition))
+    if (slices.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: the partition pruner rejected every active slice")
+    readPaths(spark, tablePath, slices)
+  }
 
   /** POINT-IN-TIME query (Hudi's `as.of.instant`): the table exactly
     * as of `asOfInstant` — timeline replay stops there, so each file

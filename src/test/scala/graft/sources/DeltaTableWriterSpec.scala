@@ -249,6 +249,43 @@ class DeltaTableWriterSpec extends SparkSpec {
       .count() == 10L)
   }
 
+  test("add.stats land from parquet footers; stats-based skipping prunes files, never rows") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("dwr-stats") + "/t"
+    // range-clustered files: each part file holds a distinct id range
+    val data = (1 to 1000).map(i => (i.toLong, s"g${i % 4}", i * 2L)).toDF("id", "grp", "v")
+      .repartitionByRange(4, col("id"))
+    DeltaTableWriter.create(data, table): Unit
+    // every add carries footer-true stats
+    val log = scala.io.Source.fromFile(s"$table/_delta_log/${"%020d".format(0)}.json").mkString
+    assert(log.contains("\\\"numRecords\\\"") && log.contains("\\\"minValues\\\""), log.take(500))
+    assert(log.contains("\\\"id\\\""))
+    // skipping: a narrow id range plans in a strict subset of files
+    val full = DeltaTableReader.snapshot(spark, table)
+    val skipped = DeltaTableReader.snapshotSkipping(spark, table, "id", 100.0, 120.0)
+    assert(skipped.inputFiles.length < full.inputFiles.length,
+      s"skipping must cut the FILE set (${skipped.inputFiles.length} of ${full.inputFiles.length})")
+    // ... and NEVER rows: the row filter over the skipped scan equals
+    // the filter over the full scan
+    assert(skipped.where(col("id").between(100L, 120L)).count() == 21L)
+    assert(full.where(col("id").between(100L, 120L)).count() == 21L)
+    // string stats land too (min/max of grp)
+    assert(log.contains("\\\"grp\\\""))
+    // a column with no stats keeps everything (conservative)
+    val noStats = DeltaTableReader.snapshotSkipping(spark, table, "nope", 0.0, 1.0)
+    assert(noStats.count() == 1000L)
+    // after checkpoint + log cleanup, skipping degrades to keep-all —
+    // correct, just unpruned
+    DeltaTableWriter.writeCheckpoint(spark, table): Unit
+    new java.io.File(s"$table/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    val postCkpt = DeltaTableReader.snapshotSkipping(spark, table, "id", 100.0, 120.0)
+    assert(postCkpt.where(col("id").between(100L, 120L)).count() == 21L)
+    assert(postCkpt.count() == 1000L)
+  }
+
   test("commit CAS: an occupied version slot bumps the writer to the next one") {
     val table = tmpDir("dwr-cas") + "/t"
     DeltaTableWriter.create(df(1 to 10), table): Unit

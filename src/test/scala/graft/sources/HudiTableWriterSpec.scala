@@ -115,6 +115,15 @@ class HudiTableWriterSpec extends SparkSpec {
     assert(HudiTableReader.snapshot(spark, table).count() == 100L)
     // incremental still works across partitioned commits
     assert(HudiTableReader.incrementalSince(spark, table, c1).count() == 20L)
+    // timeline-level partition pruning: only the asked partition's
+    // slices reach the scan
+    val pruned = HudiTableReader.snapshotPruned(spark, table, _ == "key=k3")
+    assert(pruned.count() == 1L)
+    assert(pruned.inputFiles.forall(_.contains("key=k3")),
+      s"pruned scan must touch only key=k3 files, got ${pruned.inputFiles.toSeq}")
+    val e = intercept[IllegalArgumentException](
+      HudiTableReader.snapshotPruned(spark, table, _ == "key=zzz"))
+    assert(e.getMessage.contains("rejected every"))
   }
 
   test("MOR lifecycle: createMor → updateLog → deleteLog → realtime merge → compact → RO equality") {
