@@ -1382,8 +1382,10 @@ object Scale {
     // MOR log merge/compaction, Delta change feed + DV-delete writer,
     // columnMapping reads, Iceberg equality deletes and the
     // partitioned writer's manifest pruning
-    Seq("q_hudi_mor_snapshot", "q_hudi_mor_write", "q_delta_cdc", "q_delta_colmap",
-      "q_iceberg_eq_delete", "q_iceberg_part_write", "q_delta_dv_write")
+    Seq("q_hudi_mor_snapshot", "q_hudi_mor_write", "q_hudi_mor_incremental",
+      "q_hudi_part_write", "q_delta_cdc", "q_delta_colmap", "q_delta_skipping",
+      "q_iceberg_eq_delete", "q_iceberg_part_write", "q_iceberg_del_write",
+      "q_delta_dv_write")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))

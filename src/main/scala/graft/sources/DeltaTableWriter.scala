@@ -349,7 +349,15 @@ object DeltaTableWriter {
     * cleanup, stats-based skipping degrades to conservatively keeping
     * every checkpointed file — correct, just unpruned.
     */
-  def writeCheckpoint(spark: SparkSession, tablePath: String): Long = {
+  /** Rows per checkpoint PART: above this, the checkpoint lands in
+    * the protocol's MULTI-PART form `<v>.checkpoint.<i>.<n>.parquet`
+    * (one coalesced file per slice) — huge tables should not funnel
+    * their whole add set through one file write.
+    */
+  val CheckpointPartRows: Int = 100000
+
+  def writeCheckpoint(spark: SparkSession, tablePath: String,
+      partRows: Int = CheckpointPartRows): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val state = DeltaTableReader.snapshotState(spark, tablePath)
@@ -415,20 +423,33 @@ object DeltaTableWriter {
       if (proto.writerFeatures.nonEmpty) proto.writerFeatures else null))
     import scala.jdk.CollectionConverters._
     val dir = logDir(tablePath)
-    val stage = new Path(tablePath, s".graft-ckpt-${java.util.UUID.randomUUID()}")
-    spark.createDataFrame((Seq(protoRow, metaRow) ++ txnRows ++ addRows).asJava, schema)
-      .coalesce(1).write.parquet(stage.toString)
-    val part = fs.listStatus(stage).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"$tablePath: checkpoint stage wrote nothing"))
-    val dst = new Path(dir, f"${state.version}%020d.checkpoint.parquet")
-    fs.delete(dst, false)
-    if (!fs.rename(part, dst)) throw new IllegalStateException(
-      s"$tablePath: failed to land checkpoint $dst")
-    fs.delete(stage, true)
+    val allRows = Seq(protoRow, metaRow) ++ txnRows ++ addRows
+    val slices: Seq[Seq[Row]] =
+      if (allRows.size <= partRows) Seq(allRows)
+      else allRows.grouped(partRows).toSeq
+    val n = slices.size
+    def landPart(rows0: Seq[Row], dst: Path): Unit = {
+      val stage = new Path(tablePath, s".graft-ckpt-${java.util.UUID.randomUUID()}")
+      spark.createDataFrame(rows0.asJava, schema).coalesce(1).write.parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"$tablePath: checkpoint stage wrote nothing"))
+      fs.delete(dst, false)
+      if (!fs.rename(part, dst)) throw new IllegalStateException(
+        s"$tablePath: failed to land checkpoint $dst")
+      fs.delete(stage, true): Unit
+    }
+    if (n == 1)
+      landPart(slices.head, new Path(dir, f"${state.version}%020d.checkpoint.parquet"))
+    else slices.zipWithIndex.foreach { case (rows0, i) =>
+      landPart(rows0,
+        new Path(dir, f"${state.version}%020d.checkpoint.${i + 1}%010d.$n%010d.parquet"))
+    }
+    val partsField = if (n == 1) "" else s""","parts":$n"""
     val out = fs.create(new Path(dir, "_last_checkpoint"), true)
     try out.write(
-      s"""{"version":${state.version},"size":${2 + txnRows.size + addRows.size}}\n"""
+      s"""{"version":${state.version},"size":${allRows.size}$partsField}\n"""
         .getBytes("UTF-8"))
     finally out.close()
     state.version

@@ -286,6 +286,31 @@ class DeltaTableWriterSpec extends SparkSpec {
     assert(postCkpt.count() == 1000L)
   }
 
+  test("multi-part checkpoints: parts land per protocol, replay reads them as one") {
+    val table = tmpDir("dwr-mpckpt") + "/t"
+    DeltaTableWriter.create(df(1 to 40), table): Unit
+    DeltaTableWriter.append(df(41 to 60), table): Unit
+    graft.streaming.DeltaSink.appendBatch(df(61 to 70), table, "app", 0L)
+    // tiny partRows forces the multi-part form
+    DeltaTableWriter.writeCheckpoint(spark, table, partRows = 3): Unit
+    val logFiles = new java.io.File(s"$table/_delta_log").listFiles().map(_.getName)
+    val parts = logFiles.filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+    assert(parts.length > 1, s"expected multiple parts, got ${parts.toSeq}")
+    assert(parts.forall(_.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""")),
+      s"part names must follow the protocol form, got ${parts.toSeq}")
+    val last = scala.io.Source.fromFile(s"$table/_delta_log/_last_checkpoint").mkString
+    assert(last.contains("\"parts\":"), last)
+    // cleanup: all JSONs gone, the parts are the only copy
+    new java.io.File(s"$table/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    assert(DeltaTableReader.snapshot(spark, table).count() == 70L)
+    assert(DeltaTableReader.lastTransactionVersion(spark, table, "app").contains(0L),
+      "txn watermarks must survive into the multi-part checkpoint")
+    // appends keep working on top of the multi-part base
+    DeltaTableWriter.append(df(71 to 80), table): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 80L)
+  }
+
   test("commit CAS: an occupied version slot bumps the writer to the next one") {
     val table = tmpDir("dwr-cas") + "/t"
     DeltaTableWriter.create(df(1 to 10), table): Unit
