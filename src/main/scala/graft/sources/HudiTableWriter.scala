@@ -302,11 +302,17 @@ object HudiTableWriter {
       .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
       .join(broadcast(fidDf), Seq("_g_file"))
       .select(col("_hoodie_record_key").as("_g_key"), col("_g_fid"))
+    // persist: the routing join feeds BOTH the unknown-key check and
+    // the log write — recomputing it would scan the base keys twice
     val routed = keyed.join(baseKeys, Seq("_g_key"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val missing = routed.where(col("_g_fid").isNull).count()
-    if (missing > 0) throw new IllegalArgumentException(
-      s"$tablePath: $missing record(s) have keys no base file group holds — log appends " +
-        "route by existing key; inserts take append/createMor (new file groups)")
+    if (missing > 0) {
+      routed.unpersist()
+      throw new IllegalArgumentException(
+        s"$tablePath: $missing record(s) have keys no base file group holds — log appends " +
+          "route by existing key; inserts take append/createMor (new file groups)")
+    }
     routed
   }
 
@@ -362,12 +368,13 @@ object HudiTableWriter {
     val stampedDf = stamped(df, instant, keys)
     val recSchema = stampedDf.schema
     val avroJson = HudiLog.avroSchemaOf(recSchema).toString
-    val routed = routeByKey(spark, tablePath,
+    val routedBase = routeByKey(spark, tablePath,
       stampedDf.withColumn("_g_key", col("_hoodie_record_key")), groups)
+    val routed = routedBase
       .select(recSchema.fieldNames.map(col).toIndexedSeq :+ col("_g_fid"): _*)
     val meta = logMetaOf(groups, instant)
-    val written = writeLogFiles(routed, tablePath, instant, recSchema.json, avroJson,
-      meta, isDelete = false)
+    val written = try writeLogFiles(routed, tablePath, instant, recSchema.json, avroJson,
+      meta, isDelete = false) finally routedBase.unpersist()
     publishDeltacommit(spark, tablePath, instant, written)
     instant
   }
@@ -387,10 +394,11 @@ object HudiTableWriter {
     val keyed = df.withColumn("_g_key",
       concat_ws(",", keys.map(k => concat(lit(s"$k:"), col(k).cast("string"))): _*))
       .select("_g_key")
-    val routed = routeByKey(spark, tablePath, keyed, groups).select("_g_key", "_g_fid")
+    val routedBase = routeByKey(spark, tablePath, keyed, groups)
+    val routed = routedBase.select("_g_key", "_g_fid")
     val meta = logMetaOf(groups, instant)
-    val written = writeLogFiles(routed, tablePath, instant, schemaJson = "", avroJson = "",
-      meta, isDelete = true)
+    val written = try writeLogFiles(routed, tablePath, instant, schemaJson = "", avroJson = "",
+      meta, isDelete = true) finally routedBase.unpersist()
     publishDeltacommit(spark, tablePath, instant, written)
     instant
   }
