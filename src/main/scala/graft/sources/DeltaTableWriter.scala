@@ -455,6 +455,49 @@ object DeltaTableWriter {
     state.version
   }
 
+  /** VACUUM: physically delete data files TOMBSTONED (removed with
+    * `dataChange` true or false) longer ago than `retentionMs` and no
+    * longer in the active set — Delta's own vacuum semantics: time
+    * travel to versions whose files fall inside retention still
+    * works; travel past the horizon fails loudly AT SCAN (the honest
+    * contract the reader documents). Tombstones come from replaying
+    * the remove actions still present in JSON commits; driver work is
+    * |remove actions|, deletion is |expired files|. Returns the
+    * deleted relative paths.
+    */
+  def vacuum(spark: SparkSession, tablePath: String, retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = DeltaTableReader.snapshotState(spark, tablePath)
+    val activePaths = state.active.map(f => decodePathPublic(f.path)).toSet
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tombstones = scala.collection.mutable.Map.empty[String, Long]
+    fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json")).foreach { p =>
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split('\n').filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("remove")) {
+          val r = node.get("remove")
+          val path = decodePathPublic(r.get("path").asText())
+          val ts = Option(r.get("deletionTimestamp")).filterNot(_.isNull)
+            .map(_.asLong()).getOrElse(0L)
+          if (tombstones.get(path).forall(_ < ts)) tombstones(path) = ts
+        }
+      }
+    }
+    val horizon = nowMs - retentionMs
+    val doomed = tombstones.toSeq
+      .collect { case (p, ts) if ts <= horizon && !activePaths.contains(p) => p }
+      .sorted
+    doomed.foreach { rel =>
+      val f = new Path(tablePath, rel)
+      if (fs.exists(f)) { fs.delete(f, false): Unit }
+    }
+    doomed
+  }
+
   /** `add.path` decode, shared with the reader's resolution rule. */
   private def decodePathPublic(p: String): String =
     if (!p.contains('%')) p

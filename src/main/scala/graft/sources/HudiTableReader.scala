@@ -58,7 +58,7 @@ object HudiTableReader {
   final case class SliceWrite(instant: String, fileId: String, path: String,
       partition: String = "")
 
-  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+  private[sources] def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def hoodieDir(tablePath: String): Path = new Path(tablePath, ".hoodie")
@@ -73,7 +73,7 @@ object HudiTableReader {
     * ordinary `commit`s, clustering `replacecommit`s and — when
     * `allowMor` — MOR `deltacommit`s.
     */
-  private def timelineInstants(spark: SparkSession, tablePath: String,
+  private[sources] def timelineInstants(spark: SparkSession, tablePath: String,
       allowMor: Boolean): Seq[(String, String)] = {
     val dir = hoodieDir(tablePath)
     val fs = fsOf(spark, dir)
@@ -150,7 +150,7 @@ object HudiTableReader {
   /** Every file-group write of one completed instant (`.commit` or
     * `.replacecommit` meta file, per `kind`).
     */
-  private def writesOf(fs: FileSystem, tablePath: String, instant: String,
+  private[sources] def writesOf(fs: FileSystem, tablePath: String, instant: String,
       kind: String = "commit"): Seq[SliceWrite] = {
     val text = readText(fs, new Path(hoodieDir(tablePath), s"$instant.$kind"))
     val node = mapper.readTree(text)
@@ -174,7 +174,7 @@ object HudiTableReader {
   /** File-group ids a replacecommit REPLACED (clustering input groups
     * — they stop existing at that instant).
     */
-  private def replacedIdsOf(fs: FileSystem, tablePath: String, instant: String): Set[String] = {
+  private[sources] def replacedIdsOf(fs: FileSystem, tablePath: String, instant: String): Set[String] = {
     val node = mapper.readTree(
       readText(fs, new Path(hoodieDir(tablePath), s"$instant.replacecommit")))
     val rep = node.get("partitionToReplaceFileIds")

@@ -453,6 +453,62 @@ object HudiTableWriter {
       .toIndexedSeq
   }
 
+  /** CLEANER (Hudi's KEEP_LATEST_COMMITS policy): physically delete
+    * file slices and log files SUPERSEDED before the retention
+    * horizon — the instant `retainLatestInstants` commits from the
+    * timeline head. A slice is retained while it is the one serving
+    * some as-of time inside the window (i.e. until its SUCCESSOR
+    * slice is itself older than the horizon); logs follow their base
+    * slice. Groups clustered away by a replacecommit older than the
+    * horizon clean entirely. Point-in-time reads past the horizon
+    * fail loudly AT SCAN — the contract the reader documents. Driver
+    * work is timeline metadata; deletion is |expired files|. Returns
+    * the deleted relative paths.
+    */
+  def clean(spark: SparkSession, tablePath: String,
+      retainLatestInstants: Int): Seq[String] = {
+    require(retainLatestInstants >= 1, "must retain at least the latest instant")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val timeline = HudiTableReader.timelineInstants(spark, tablePath, allowMor = true)
+    if (timeline.size <= retainLatestInstants) return Nil
+    val horizon = timeline(timeline.size - retainLatestInstants)._1
+    // full write history per file group, in replay order
+    final case class W(instant: String, path: String, isParquet: Boolean)
+    val history = scala.collection.mutable.LinkedHashMap.empty[String, Vector[W]]
+    val replacedAt = scala.collection.mutable.Map.empty[String, String]
+    timeline.foreach { case (instant, kind) =>
+      if (kind == "replacecommit")
+        HudiTableReader.replacedIdsOf(fs, tablePath, instant)
+          .foreach(id => replacedAt(id) = instant)
+      HudiTableReader.writesOf(fs, tablePath, instant, kind).foreach { w =>
+        history(w.fileId) = history.getOrElse(w.fileId, Vector.empty) :+
+          W(instant, w.path, w.path.endsWith(".parquet"))
+      }
+    }
+    val doomed = Seq.newBuilder[String]
+    history.foreach { case (fid, writes) =>
+      replacedAt.get(fid) match {
+        case Some(ri) if ri <= horizon =>
+          // the whole group stopped existing before the horizon
+          writes.foreach(w => doomed += w.path)
+        case _ =>
+          // a write is superseded once a LATER parquet slice exists;
+          // it cleans when that successor is itself at/before the
+          // horizon (nothing inside the window is served by it)
+          writes.zipWithIndex.foreach { case (w, i) =>
+            val successor = writes.drop(i + 1).find(_.isParquet)
+            if (successor.exists(_.instant <= horizon)) doomed += w.path
+          }
+      }
+    }
+    val deleted = doomed.result().distinct.sorted
+    deleted.foreach { rel =>
+      val f = new Path(tablePath, rel)
+      if (fs.exists(f)) { fs.delete(f, false): Unit }
+    }
+    deleted
+  }
+
   /** COMPACTION: fold every file group's pending logs into a new base
     * file under an ordinary `.commit` — after it, the read-optimized
     * view equals the real-time view again. One distributed merge job

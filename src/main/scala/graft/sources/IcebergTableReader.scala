@@ -187,6 +187,13 @@ object IcebergTableReader {
       sequence: Option[Long], filePath: String, content: Int,
       equalityIds: Seq[Int] = Nil, partition: Map[String, String] = Map.empty)
 
+  /** Manifest entries of `manifestPath` (relative-or-absolute),
+    * resolved against the table — the snapshot-expiry service's
+    * inventory hook. */
+  private[sources] def manifestEntriesPublic(spark: SparkSession, tablePath: String,
+      manifestPath: String): Seq[ManifestEntry] =
+    manifestEntries(spark, resolve(tablePath, manifestPath))
+
   private def manifestEntries(spark: SparkSession, manifestPath: String): Seq[ManifestEntry] =
     readAvro(spark, manifestPath).map { r =>
       val df = r.get("data_file").asInstanceOf[GenericRecord]

@@ -355,6 +355,81 @@ object IcebergTableWriter {
       tablePath, partitionBy)
   }
 
+  /** EXPIRE SNAPSHOTS (Iceberg's own retention service): rewrite the
+    * metadata to keep only the LAST `keepLast` snapshots and
+    * physically delete everything referenced ONLY by the expired ones
+    * — manifest lists, manifests, data and delete files (the
+    * retained snapshots' inventory is computed first; nothing they
+    * reach is touched). The rest of the current metadata (schemas,
+    * partition specs, retained snapshots' ids/parents/timestamps/
+    * operations) carries over VERBATIM via JSON-tree rewrite. Expired
+    * ids refuse time travel afterwards ("not in the metadata log") —
+    * the reader's documented contract. Returns the expired ids.
+    */
+  def expireSnapshots(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val (snaps, currentId) = IcebergTableReader.snapshotLog(spark, tablePath)
+    if (snaps.size <= keepLast) return Nil
+    val retained = snaps.takeRight(keepLast)
+    require(retained.exists(_.id == currentId),
+      s"$tablePath: the current snapshot must be inside the retention window")
+    val expired = snaps.dropRight(keepLast)
+    def inventory(ss: Seq[IcebergTableReader.SnapshotInfo])
+        : (Set[String], Set[String], Set[String]) = { // (lists, manifests, files)
+      val lists = ss.map(_.manifestList).toSet
+      val manifests = scala.collection.mutable.Set.empty[String]
+      val files = scala.collection.mutable.Set.empty[String]
+      ss.foreach { s0 =>
+        IcebergTableReader.manifestListEntries(spark, tablePath, s0.manifestList)
+          .foreach { case (mp, _, _) =>
+            manifests += mp
+            IcebergTableReader.manifestEntriesPublic(spark, tablePath, mp)
+              .filter(_.status != 2)
+              .foreach(e => files += e.filePath)
+          }
+      }
+      (lists, manifests.toSet, files.toSet)
+    }
+    val (rl, rm, rd) = inventory(retained)
+    val (el, em, ed) = inventory(expired)
+    // metadata rewrite: same tree, snapshots filtered to the retained
+    val version = IcebergTableReader.currentMetadataVersion(spark, tablePath)
+    val metaPath = new Path(tablePath, s"metadata/v$version.metadata.json")
+    val in = fs.open(metaPath)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(text)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val keepIds = retained.map(_.id).toSet
+    val arr = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+    val kept = mapper.createArrayNode()
+    arr.forEach(n => if (keepIds.contains(n.get("snapshot-id").asLong())) { kept.add(n); () })
+    root.replace("snapshots", kept): Unit
+    val vNew = version + 1
+    val newMeta = new Path(tablePath, s"metadata/v$vNew.metadata.json")
+    val created = try {
+      val out = fs.create(newMeta, false) // same CAS as commits
+      try out.write((mapper.writeValueAsString(root) + "\n").getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+    if (!created) throw new IllegalStateException(
+      s"$tablePath: metadata v$vNew already taken — re-run expiry after the racer's commit")
+    val hint = fs.create(new Path(tablePath, "metadata/version-hint.text"), true)
+    try hint.write(s"$vNew\n".getBytes("UTF-8")) finally hint.close()
+    // orphan removal: only what NO retained snapshot reaches
+    def resolveRel(p: String): Path =
+      if (p.contains("://") || p.startsWith("/")) new Path(p) else new Path(tablePath, p)
+    ((el -- rl) ++ (em -- rm) ++ (ed -- rd)).toSeq.sorted.foreach { p =>
+      val f = resolveRel(p)
+      if (fs.exists(f)) { fs.delete(f, false): Unit }
+    }
+    expired.map(_.id)
+  }
+
   /** Row-level DELETE on an external Iceberg table WITHOUT rewriting
     * data files: rows matching `predicate` (evaluated on exactly the
     * live rows — existing position deletes pre-applied) become a v2

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Table SERVICES for the three foreign formats — vacuum (Delta),
+  * cleaner (Hudi), snapshot expiry (Iceberg). The shared contract:
+  * the CURRENT state never changes, retention-window time travel
+  * keeps working, expired history fails LOUDLY (at scan / at
+  * resolution), and only provably-unreferenced files leave the disk.
+  */
+class ForeignTableServicesSpec extends SparkSpec {
+
+  private def df(r: Range) = {
+    val s = spark
+    import s.implicits._
+    r.map(i => (i.toLong, s"g${i % 4}", i * 2L)).toDF("id", "grp", "v")
+  }
+
+  test("Delta vacuum: expired tombstones leave the disk; recent ones and the active set stay") {
+    val table = tmpDir("svc-vacuum") + "/t"
+    DeltaTableWriter.create(df(1 to 50), table): Unit
+    DeltaTableWriter.append(df(51 to 80), table): Unit
+    val files = DeltaTableReader.activeFiles(spark, table).map(_.path)
+    val (oldDead, newDead) = (files.head, files.last)
+    // v2: one file tombstoned 100 days ago, one just now
+    val now = System.currentTimeMillis()
+    val w = new java.io.PrintWriter(
+      new java.io.File(s"$table/_delta_log", f"${2L}%020d.json"), "UTF-8")
+    try {
+      w.println(s"""{"remove":{"path":"$oldDead","deletionTimestamp":${now - 100L * 86400000L},"dataChange":true}}""")
+      w.println(s"""{"remove":{"path":"$newDead","deletionTimestamp":$now,"dataChange":true}}""")
+    } finally w.close()
+    val liveBefore = DeltaTableReader.snapshot(spark, table).count()
+    val deleted = DeltaTableWriter.vacuum(spark, table, retentionMs = 7L * 86400000L)
+    assert(deleted == Seq(oldDead), s"only the expired tombstone may go, got $deleted")
+    assert(!new java.io.File(table, oldDead).exists())
+    assert(new java.io.File(table, newDead).exists(),
+      "a tombstone inside retention must survive (time travel still serves it)")
+    // the current snapshot is untouched
+    assert(DeltaTableReader.snapshot(spark, table).count() == liveBefore)
+    // time travel to a version needing the vacuumed file fails loudly
+    intercept[Exception](DeltaTableReader.snapshotAsOf(spark, table, 0L).count())
+    // a DV re-add tombstone is NOT vacuumable (the path is active)
+    val t2 = tmpDir("svc-vacuum-dv") + "/t"
+    DeltaTableWriter.create(df(1 to 30), t2): Unit
+    DeltaTableWriter.delete(spark, t2, col("id") <= 5L): Unit
+    assert(DeltaTableWriter.vacuum(spark, t2, retentionMs = -1L).isEmpty,
+      "remove+re-add DV attaches must never vacuum their own data file")
+    assert(DeltaTableReader.snapshot(spark, t2).count() == 25L)
+  }
+
+  test("Hudi cleaner: superseded slices and their logs clean; the serving window survives") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("svc-clean") + "/t"
+    HudiTableWriter.createMor(df(1 to 40).coalesce(1), table, recordKeys = Seq("id")): Unit
+    HudiTableWriter.updateLog(df(1 to 5).withColumn("v", lit(999L)), table): Unit
+    HudiTableWriter.compact(spark, table): Unit
+    def dataLike() = new java.io.File(table).listFiles()
+      .filter(f => !f.getName.endsWith(".crc") &&
+        (f.getName.endsWith(".parquet") || f.getName.contains(".log.")))
+      .map(_.getName).toSet
+    val before = dataLike()
+    assert(before.size == 3, s"expected old base + log + compacted base, got $before")
+    // retain >= timeline size: nothing cleans
+    assert(HudiTableWriter.clean(spark, table, retainLatestInstants = 5).isEmpty)
+    // retain 1: the pre-compaction base and its folded log are
+    // superseded at/before the horizon — both clean
+    val deleted = HudiTableWriter.clean(spark, table, retainLatestInstants = 1)
+    assert(deleted.size == 2, s"expected base+log to clean, got $deleted")
+    val after = dataLike()
+    assert(after.size == 1 && after.forall(_.endsWith(".parquet")))
+    // the current snapshot still serves, log-updated values included
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 40L)
+    assert(snap.where(col("id") === 3L).select("v").head().getLong(0) == 999L)
+  }
+
+  test("Iceberg snapshot expiry: metadata trims, expired-only files leave, shared files stay") {
+    val table = tmpDir("svc-expire") + "/t"
+    IcebergTableWriter.create(df(1 to 30), table): Unit
+    IcebergTableWriter.append(df(31 to 60), table): Unit
+    IcebergTableWriter.append(df(61 to 90), table): Unit
+    val (snapsBefore, _) = IcebergTableReader.snapshotLog(spark, table)
+    assert(snapsBefore.size == 3)
+    val listOfS1 = snapsBefore.head.manifestList
+    val expired = IcebergTableWriter.expireSnapshots(spark, table, keepLast = 1)
+    assert(expired == Seq(1L, 2L))
+    val (snapsAfter, currentId) = IcebergTableReader.snapshotLog(spark, table)
+    assert(snapsAfter.map(_.id) == Seq(3L) && currentId == 3L)
+    // the current snapshot serves everything (manifest reuse keeps
+    // every data file referenced by the retained snapshot)
+    assert(IcebergTableReader.snapshot(spark, table).count() == 90L)
+    // expired manifest LISTS are gone; shared manifests/data stay
+    assert(!new java.io.File(table, listOfS1).exists())
+    // time travel to an expired id refuses at resolution
+    val e = intercept[IllegalArgumentException](
+      IcebergTableReader.snapshotAsOf(spark, table, 1L))
+    assert(e.getMessage.contains("not in the metadata log"))
+    // incremental from an expired checkpoint refuses (not on the chain)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTableReader.incrementalSince(spark, table, 1L))
+    assert(e2.getMessage.contains("missing from the log") ||
+      e2.getMessage.contains("not an ancestor"))
+    // schemas/partition-specs survived the JSON-tree rewrite: appends
+    // keep working on the trimmed metadata
+    IcebergTableWriter.append(df(91 to 100), table): Unit
+    assert(IcebergTableReader.snapshot(spark, table).count() == 100L)
+    // nothing retained: keepLast >= size is a no-op
+    assert(IcebergTableWriter.expireSnapshots(spark, table, keepLast = 10).isEmpty)
+  }
+}
