@@ -1687,6 +1687,44 @@ trait ReferenceQueries extends QueryBase {
         |   OR (o_orderkey % 3 = 1 AND o_orderkey % 11 <> 0)
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #105d CROSS-FORMAT REPLICATION
+    * ([[graft.sources.TableLoader.replicate]] — the move the whole
+    * interop surface exists for): orders lands as a Hudi COW table
+    * (the reference's own format), replicates to Delta, then to
+    * Iceberg, then back into a graft versioned table — four engines,
+    * one call shape, each hop a snapshot read through the source's
+    * adapter + a create through the destination's writer. The final
+    * graft read must still be bit-equal to the source (any meta-column
+    * leak, row loss or double-read at ANY hop fails the hash).
+    */
+  val qFormatConvert: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableWriter, TableLoader}
+      val root = scratch("fmt-convert")
+      val hudi = root + "/hudi"; val delta = root + "/delta"
+      val ice = root + "/ice"; val graftT = root + "/graft"
+      val o = t(s, dir, "orders")
+      HudiTableWriter.create(o, hudi, tableName = "orders_src",
+        recordKeys = Seq("o_orderkey")): Unit
+      TableLoader.replicate(s, hudi, delta, TableLoader.DeltaFormat)
+      TableLoader.replicate(s, delta, ice, TableLoader.IcebergFormat)
+      TableLoader.replicate(s, ice, graftT, TableLoader.GraftVersioned,
+        recordKeys = Seq("o_orderkey"))
+      val n = o.count()
+      Seq(delta, ice, graftT).foreach { p =>
+        require(TableLoader.open(s, p).count() == n,
+          s"replication hop to $p changed the row count")
+      }
+      TableLoader.open(s, graftT)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #102f Delta STATS-BASED FILE SKIPPING (both halves: the writer
     * lands `add.stats` — numRecords/minValues/maxValues/nullCount
     * read from the parquet FOOTERS, what every Delta engine skips on

@@ -160,6 +160,38 @@ object TableLoader {
     }
   }
 
+  /** REPLICATE a table ACROSS FORMATS: snapshot-read `srcPath`
+    * through whatever adapter its layout selects and land the rows at
+    * `dstPath` in `dstFormat` through the matching writer — the
+    * "switch engines by rewriting the table once" move the whole
+    * interop surface exists for. Hudi meta columns are stripped on
+    * the way out (the destination stamps its own); partitioning and
+    * record keys are the destination writer's arguments, not
+    * inferred. One distributed read + one distributed write; refuses
+    * an existing destination (each writer's own create contract).
+    */
+  def replicate(spark: SparkSession, srcPath: String, dstPath: String,
+      dstFormat: TableFormat, partitionBy: Seq[String] = Nil,
+      recordKeys: Seq[String] = Nil): Unit = {
+    val rows = open(spark, srcPath)
+    val data = rows.columns.filterNot(_.startsWith("_hoodie_")) match {
+      case cols if cols.length == rows.columns.length => rows
+      case cols => rows.select(cols.map(col).toIndexedSeq: _*)
+    }
+    dstFormat match {
+      case DeltaFormat => DeltaTableWriter.create(data, dstPath, partitionBy): Unit
+      case HudiFormat => HudiTableWriter.create(data, dstPath,
+        recordKeys = recordKeys, partitionBy = partitionBy): Unit
+      case IcebergFormat => IcebergTableWriter.create(data, dstPath, partitionBy): Unit
+      case GraftVersioned =>
+        require(recordKeys.nonEmpty,
+          "a graft versioned table needs record keys for its upsert commit")
+        UpsertWriter.upsert(data, dstPath, recordKeys,
+          precombine = data.columns.head): Unit
+      case PlainParquet => data.write.parquet(dstPath)
+    }
+  }
+
   /** All driver testdata tables. */
   val AllTables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
