@@ -147,6 +147,13 @@ object HudiTableReader {
   def commits(spark: SparkSession, tablePath: String): Seq[String] =
     instants(spark, tablePath).filter(_._2 == "commit").map(_._1)
 
+  /** The latest completed instant of ANY kind (deltacommits included)
+    * — the head token a checkpointed consumer records. */
+  def latestInstant(spark: SparkSession, tablePath: String): String =
+    timelineInstants(spark, tablePath, allowMor = true).lastOption.map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$tablePath: no completed instants in .hoodie"))
+
   /** Every file-group write of one completed instant (`.commit` or
     * `.replacecommit` meta file, per `kind`).
     */

@@ -160,6 +160,46 @@ object TableLoader {
     }
   }
 
+  /** Latest commit token of a table, per its format — the head a
+    * checkpointed consumer records after processing: graft/Delta a
+    * version number, Hudi an instant time, Iceberg a snapshot id.
+    */
+  def latestToken(spark: SparkSession, path: String): String = detectFormat(spark, path) match {
+    case GraftVersioned => UpsertWriter.versions(spark, path).max.toString
+    case DeltaFormat    => DeltaTableReader.latestVersion(spark, path).toString
+    case HudiFormat     => HudiTableReader.latestInstant(spark, path)
+    case IcebergFormat  => IcebergTableReader.snapshotLog(spark, path)._2.toString
+    case PlainParquet   => throw new IllegalArgumentException(
+      s"$path is a plain parquet directory — no commit log, no token")
+  }
+
+  /** The reference's CHECKPOINTED CONSUMER loop (template.py:226-281),
+    * format-agnostic and AT-LEAST-ONCE: read the stored token, pull
+    * everything since it (first run bootstraps with the FULL
+    * snapshot), and return the increment plus the head token the
+    * caller commits AFTER materializing — via [[commitToken]] — so a
+    * crash between pull and commit re-delivers, never skips. Returns
+    * None when the table has not advanced past the checkpoint. A
+    * write racing between the head capture and the read can deliver
+    * rows past the returned token; they re-deliver next pull —
+    * the documented at-least-once duplicates, same as
+    * [[IncrementalReader.pull]].
+    */
+  def pullIncremental(spark: SparkSession, path: String, tableName: String,
+      store: CheckpointStore): Option[(DataFrame, String)] = {
+    val head = latestToken(spark, path)
+    store.read(tableName) match {
+      case None => Some((open(spark, path), head))
+      case Some(cp) if cp.lastProcessedCommit == head => None
+      case Some(cp) => Some((openIncremental(spark, path, cp.lastProcessedCommit), head))
+    }
+  }
+
+  /** Persist a processed token — AFTER materializing the increment. */
+  def commitToken(path: String, tableName: String, store: CheckpointStore,
+      token: String): Unit =
+    store.write(Checkpoint(tableName, token, path))
+
   /** REPLICATE a table ACROSS FORMATS: snapshot-read `srcPath`
     * through whatever adapter its layout selects and land the rows at
     * `dstPath` in `dstFormat` through the matching writer — the

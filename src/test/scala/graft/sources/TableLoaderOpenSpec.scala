@@ -80,6 +80,44 @@ class TableLoaderOpenSpec extends SparkSpec {
     assert(ep.getMessage.contains("no commit log"))
   }
 
+  test("checkpointed consumer loop: bootstrap, pull, crash-replay, commit — any format") {
+    import org.apache.spark.sql.functions._
+    val store = new CheckpointStore(tmpDir("cc-store"),
+      spark.sparkContext.hadoopConfiguration)
+    // Delta leg
+    val d = tmpDir("cc-delta") + "/t"
+    DeltaTableWriter.create(rows(1 to 40), d): Unit
+    // first pull bootstraps with the FULL snapshot
+    val Some((boot, tok1)) = TableLoader.pullIncremental(spark, d, "orders_d", store): @unchecked
+    assert(boot.count() == 40L && tok1 == "0")
+    // crash BEFORE commit: the same pull re-delivers (at-least-once)
+    val Some((replay, _)) = TableLoader.pullIncremental(spark, d, "orders_d", store): @unchecked
+    assert(replay.count() == 40L)
+    TableLoader.commitToken(d, "orders_d", store, tok1)
+    // up to date: no increment
+    assert(TableLoader.pullIncremental(spark, d, "orders_d", store).isEmpty)
+    // an append advances the head; the pull serves exactly it
+    DeltaTableWriter.append(rows(41 to 55), d): Unit
+    val Some((inc, tok2)) = TableLoader.pullIncremental(spark, d, "orders_d", store): @unchecked
+    assert(inc.count() == 15L && tok2 == "1")
+    TableLoader.commitToken(d, "orders_d", store, tok2)
+    assert(TableLoader.pullIncremental(spark, d, "orders_d", store).isEmpty)
+
+    // Hudi MOR leg: the same call shape, tokens are instants, the
+    // increment is the touched-group merge
+    val h = tmpDir("cc-hudi") + "/t"
+    HudiTableWriter.createMor(rows(1 to 30).coalesce(1), h, recordKeys = Seq("id")): Unit
+    val Some((hboot, htok1)) = TableLoader.pullIncremental(spark, h, "orders_h", store): @unchecked
+    assert(hboot.count() == 30L)
+    TableLoader.commitToken(h, "orders_h", store, htok1)
+    HudiTableWriter.updateLog(rows(1 to 3).withColumn("v", lit(7L)), h): Unit
+    val Some((hinc, htok2)) = TableLoader.pullIncremental(spark, h, "orders_h", store): @unchecked
+    assert(hinc.count() == 3L, "the MOR pull must serve exactly the post-checkpoint upserts")
+    assert(htok2 > htok1)
+    TableLoader.commitToken(h, "orders_h", store, htok2)
+    assert(TableLoader.pullIncremental(spark, h, "orders_h", store).isEmpty)
+  }
+
   test("openAsOf: one token, any format's time travel") {
     // graft versioned: version 1 before the second upsert
     val g = tmpDir("asof-graft")
