@@ -248,10 +248,13 @@ object HudiTableReader {
     * appends to the group's pending logs; a clustering replacecommit
     * drops its replaced groups.
     */
-  private[sources] def morGroups(spark: SparkSession, tablePath: String): Seq[GroupSlices] = {
+  private[sources] def morGroups(spark: SparkSession, tablePath: String,
+      upTo: Option[String] = None): Seq[GroupSlices] = {
     val fs = fsOf(spark, hoodieDir(tablePath))
     val state = scala.collection.mutable.LinkedHashMap.empty[String, GroupSlices]
-    timelineInstants(spark, tablePath, allowMor = true).foreach { case (instant, kind) =>
+    timelineInstants(spark, tablePath, allowMor = true)
+      .filter { case (i, _) => upTo.forall(i <= _) }
+      .foreach { case (instant, kind) =>
       if (kind == "replacecommit") replacedIdsOf(fs, tablePath, instant).foreach(state.remove)
       writesOf(fs, tablePath, instant, kind).foreach { w =>
         if (w.path.endsWith(".parquet")) state(w.fileId) = GroupSlices(w.fileId, Some(w), Nil)
@@ -261,8 +264,10 @@ object HudiTableReader {
         }
       }
     }
-    if (state.isEmpty) throw new IllegalArgumentException(
-      s"$tablePath: no completed instants in .hoodie")
+    if (state.isEmpty) throw new IllegalArgumentException(upTo match {
+      case Some(i) => s"$tablePath: no completed instants at or before $i"
+      case None => s"$tablePath: no completed instants in .hoodie"
+    })
     state.values.toIndexedSeq
   }
 
@@ -427,8 +432,20 @@ object HudiTableReader {
     * pending logs merged (latest per record key wins, tombstones
     * drop); groups with no pending logs stream through unshuffled.
     */
-  def realtime(spark: SparkSession, tablePath: String): DataFrame = {
-    val groups = morGroups(spark, tablePath)
+  def realtime(spark: SparkSession, tablePath: String): DataFrame =
+    realtimeOf(spark, tablePath, morGroups(spark, tablePath))
+
+  /** POINT-IN-TIME real-time view of a MOR table: the timeline replay
+    * cut at `asOfInstant` — each group serves its base as of the
+    * instant merged with the log files appended up to it. Slices
+    * later cleaned off disk fail loudly at scan time, the same
+    * contract as the COW as-of.
+    */
+  def realtimeAsOf(spark: SparkSession, tablePath: String, asOfInstant: String): DataFrame =
+    realtimeOf(spark, tablePath, morGroups(spark, tablePath, Some(asOfInstant)))
+
+  private def realtimeOf(spark: SparkSession, tablePath: String,
+      groups: Seq[GroupSlices]): DataFrame = {
     val clean = groups.filter(_.logs.isEmpty).flatMap(_.base)
     val dirty = groups.filter(_.logs.nonEmpty)
     if (dirty.isEmpty) {
@@ -479,7 +496,8 @@ object HudiTableReader {
     * rather than silently serving a different state.
     */
   def snapshotAsOf(spark: SparkSession, tablePath: String, asOfInstant: String): DataFrame =
-    readPaths(spark, tablePath, slicesUpTo(spark, tablePath, Some(asOfInstant)))
+    if (isMor(spark, tablePath)) realtimeAsOf(spark, tablePath, asOfInstant)
+    else readPaths(spark, tablePath, slicesUpTo(spark, tablePath, Some(asOfInstant)))
 
   /** READ-OPTIMIZED view of an external MERGE-ON-READ table — Hudi's
     * own `_ro` contract, as an EXPLICIT opt-in: the latest BASE

@@ -111,8 +111,8 @@ class HudiTableReaderSpec extends SparkSpec {
     new java.io.File(s"$table/.hoodie/20240104090000.deltacommit")
       .createNewFile(): Unit
     val eAsOf2 = intercept[IllegalStateException](
-      HudiTableReader.snapshotAsOf(spark, table, "20240101090000"))
-    assert(eAsOf2.getMessage.contains("MERGE-ON-READ"))
+      HudiTableReader.snapshotAsOf(spark, table, "20240105090000"))
+    assert(eAsOf2.getMessage.contains("no commit metadata"))
     val e = intercept[IllegalStateException](
       HudiTableReader.incrementalSince(spark, table, "20240101090000"))
     assert(e.getMessage.contains("no commit metadata"))
@@ -127,8 +127,10 @@ class HudiTableReaderSpec extends SparkSpec {
       pw.println("hoodie.table.type=MERGE_ON_READ")
     } finally pw.close()
     assert(HudiTableReader.snapshot(spark, t2).count() == 10L)
-    val eDecl = intercept[IllegalStateException](
-      HudiTableReader.snapshotAsOf(spark, t2, "20240101090000"))
+    // point-in-time on MOR serves the realtime cut (here = the base)
+    assert(HudiTableReader.snapshotAsOf(spark, t2, "20240101090000").count() == 10L)
+    // the COW-only instants listing still refuses MOR
+    val eDecl = intercept[IllegalStateException](HudiTableReader.commits(spark, t2))
     assert(eDecl.getMessage.contains("hoodie.table.type"))
     val notTable = tmpDir("hudi-none")
     val e2 = intercept[IllegalArgumentException](HudiTableReader.snapshot(spark, notTable))

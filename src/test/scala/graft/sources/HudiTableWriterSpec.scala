@@ -183,6 +183,18 @@ class HudiTableWriterSpec extends SparkSpec {
     HudiTableWriter.updateLog(df(7 to 7).withColumn("v", lit(42L)), table): Unit
     assert(HudiTableReader.snapshot(spark, table)
       .where(col("id") === 7L).select("v").head().getLong(0) == 42L)
+    // POINT-IN-TIME realtime: the timeline cut BEFORE the last update
+    // serves the compacted state (id 7 still deleted-era value)
+    val instants = new java.io.File(s"$table/.hoodie").listFiles()
+      .map(_.getName).filter(n => n.endsWith(".commit") || n.endsWith(".deltacommit"))
+      .map(_.takeWhile(_ != '.')).sorted
+    val atCompaction = instants(instants.length - 2) // the compaction instant
+    val asOf = HudiTableReader.snapshotAsOf(spark, table, atCompaction)
+    assert(asOf.count() == 98L)
+    assert(asOf.where(col("id").isin(5L, 6L)).count() == 0L,
+      "the as-of cut keeps the pre-compaction deletes")
+    assert(asOf.where(col("id") === 7L).select("v").head().getLong(0) == 1014L,
+      "the as-of cut must show id 7 before the POST-compaction update")
   }
 
   test("MOR incremental: touched groups only, stamp-filtered, tombstones absent") {
