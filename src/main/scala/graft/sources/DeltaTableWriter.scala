@@ -130,7 +130,8 @@ object DeltaTableWriter {
     * un-encoded), with partition values parsed from its hive dirs.
     */
   private def addLine(rel: String, size: Long, modTime: Long,
-      partitionColumns: Seq[String], stats: Option[String] = None): String = {
+      partitionColumns: Seq[String], stats: Option[String] = None,
+      dataChange: Boolean = true): String = {
     val values = rel.split('/').dropRight(1).flatMap(partitionValueOf).toMap
     val pvJson = partitionColumns.map { c =>
       values.get(c).flatten match {
@@ -140,7 +141,7 @@ object DeltaTableWriter {
     }.mkString(",")
     val statsJson = stats.map(st => s""","stats":${jsonStr(st)}""").getOrElse("")
     s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":{$pvJson},""" +
-      s""""size":$size,"modificationTime":$modTime,"dataChange":true$statsJson}}"""
+      s""""size":$size,"modificationTime":$modTime,"dataChange":$dataChange$statsJson}}"""
   }
 
   /** Stage-write `df` as parquet and move the part files into the
@@ -453,6 +454,33 @@ object DeltaTableWriter {
         .getBytes("UTF-8"))
     finally out.close()
     state.version
+  }
+
+  /** COMPACTION (Delta's OPTIMIZE shape): rewrite the active files
+    * into `targetFiles` bigger ones under a `dataChange=false`
+    * commit — snapshot-invisible to incremental readers and change
+    * feeds (both skip dataChange=false, spec-locked), visible rows
+    * bit-identical. Files carrying DELETION VECTORS are materialized
+    * on the way (the rewrite reads the DV-applied snapshot, so the
+    * new files are clean and the vectors retire) — Delta's own purge
+    * move. One distributed read+write; the commit is |files| driver
+    * metadata. Returns the committed version.
+    */
+  def compact(spark: SparkSession, tablePath: String, targetFiles: Int): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val state = DeltaTableReader.snapshotState(spark, tablePath)
+    refuseWriterUnsupported(state, tablePath)
+    val snap = DeltaTableReader.snapshot(spark, tablePath)
+    val files = writeDataFiles(snap.repartition(targetFiles), tablePath,
+      state.partitionColumns)
+    val now = System.currentTimeMillis()
+    val lines =
+      state.active.map(f =>
+        s"""{"remove":{"path":${jsonStr(f.path)},"deletionTimestamp":$now,""" +
+          s""""dataChange":false}}""") ++
+      files.map { case (rel, size, mtime, st) =>
+        addLine(rel, size, mtime, state.partitionColumns, st, dataChange = false) }
+    commit(spark, tablePath, state.version + 1, lines)
   }
 
   /** VACUUM: physically delete data files TOMBSTONED (removed with

@@ -453,6 +453,64 @@ object HudiTableWriter {
       .toIndexedSeq
   }
 
+  /** CLUSTERING (Hudi's replacecommit service): rewrite the COW
+    * table's active file slices into `targetGroups` new file groups,
+    * published as a `.replacecommit` whose `partitionToReplaceFileIds`
+    * drops every input group — the shape the reader's replay is
+    * spec-locked against. Row stamps (`_hoodie_commit_time`) are
+    * PRESERVED verbatim, which is what keeps incremental pulls exact
+    * across the clustering (carried rows keep their old stamps and
+    * drop out of any later pull). MOR tables with pending logs
+    * refuse — compact first. Returns the replacecommit instant.
+    */
+  def cluster(spark: SparkSession, tablePath: String, targetGroups: Int): String = {
+    require(targetGroups >= 1, "targetGroups must be >= 1")
+    require(declaredPartitionFields(spark, tablePath).isEmpty,
+      s"$tablePath: per-partition clustering is not implemented — this service " +
+        "re-buckets the table globally; refusing on partitioned tables")
+    val groups = HudiTableReader.morGroups(spark, tablePath)
+    require(groups.forall(_.logs.isEmpty),
+      s"$tablePath: file groups carry pending log files — compact before clustering")
+    val slices = groups.flatMap(_.base)
+    require(slices.nonEmpty, s"$tablePath: nothing to cluster")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val instant = instantNow(0L)
+    // stamps preserved: read the slices AS THEY ARE and re-bucket
+    val rows = spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
+      .repartition(targetGroups)
+    val stage = new Path(tablePath, s".graft-cluster-${java.util.UUID.randomUUID()}")
+    rows.write.parquet(stage.toString)
+    val writes = Seq.newBuilder[(String, String)]
+    fs.listStatus(stage).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+      val fileId = java.util.UUID.randomUUID().toString
+      val rel = s"${fileId}_0-0-0_$instant.parquet"
+      if (!fs.rename(st.getPath, new Path(tablePath, rel)))
+        throw new IllegalStateException(s"$tablePath: failed to land clustered file $rel")
+      writes += ((fileId, rel))
+    }
+    fs.delete(stage, true)
+    val files = writes.result()
+    val stats = files.map { case (fid, rel) =>
+      s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +
+        s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
+        s""""prevCommit":"null"}"""
+    }.mkString(",")
+    val replaced = groups.map(g => s""""${g.fileId}"""").mkString(",")
+    val p = new Path(hoodieDir(tablePath), s"$instant.replacecommit")
+    val created = try {
+      val out = fs.create(p, false)
+      try out.write(
+        (s"""{"partitionToWriteStats":{"":[$stats]},""" +
+          s""""partitionToReplaceFileIds":{"":[$replaced]},""" +
+          s""""operationType":"CLUSTER"}""" + "\n").getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+    if (!created) throw new IllegalStateException(
+      s"$tablePath: clustering instant $instant already taken — single-writer contract")
+    instant
+  }
+
   /** CLEANER (Hudi's KEEP_LATEST_COMMITS policy): physically delete
     * file slices and log files SUPERSEDED before the retention
     * horizon — the instant `retainLatestInstants` commits from the

@@ -264,7 +264,8 @@ object IcebergTableWriter {
     */
   private def commitSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       schema: org.apache.spark.sql.types.StructType, partitionBy: Seq[String],
-      files: Seq[Landed], content: Int, operation: String): Long = {
+      files: Seq[Landed], content: Int, operation: String,
+      reuseManifests: Boolean = true): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     var attempt = 0
@@ -291,7 +292,8 @@ object IcebergTableWriter {
       val newId = parentId.getOrElse(0L) + 1L
       val manifestRel = manifestOf(conf, tablePath, newId, seq, files, partitionBy, content)
       val listRel = s"metadata/snap-$newId-${java.util.UUID.randomUUID()}.avro"
-      val listRecords = (prevManifests :+ ((manifestRel, newId, content)))
+      val baseManifests = if (reuseManifests) prevManifests else Nil
+      val listRecords = (baseManifests :+ ((manifestRel, newId, content)))
         .map { case (mp, addedBy, content) =>
           val r = new GenericData.Record(listSchema)
           r.put("manifest_path", mp); r.put("manifest_length", 0L)
@@ -353,6 +355,25 @@ object IcebergTableWriter {
     val partitionBy = declaredPartitionBy(df.sparkSession, tablePath)
     commit(df.select(existing.columns.map(org.apache.spark.sql.functions.col): _*),
       tablePath, partitionBy)
+  }
+
+  /** REWRITE DATA FILES (Iceberg's compaction service): the current
+    * snapshot's rows — row-level deletes APPLIED — re-bucket into
+    * `targetFiles` files under a `replace` snapshot whose manifest
+    * list contains ONLY the fresh manifest (nothing reused: the old
+    * data and delete files stop being referenced, and a later
+    * [[expireSnapshots]] reclaims them). Incremental readers refuse
+    * crossing the replace snapshot, the reader's spec-locked
+    * contract. Returns the new snapshot id.
+    */
+  def rewriteDataFiles(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      targetFiles: Int): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val snap = IcebergTableReader.snapshot(spark, tablePath) // deletes applied
+    val partitionBy = declaredPartitionBy(spark, tablePath)
+    val files = writeDataFiles(snap.repartition(targetFiles), tablePath, partitionBy)
+    commitSnapshot(spark, tablePath, snap.schema, partitionBy, files,
+      content = 0, operation = "replace", reuseManifests = false)
   }
 
   /** EXPIRE SNAPSHOTS (Iceberg's own retention service): rewrite the

@@ -77,6 +77,85 @@ class ForeignTableServicesSpec extends SparkSpec {
     assert(snap.where(col("id") === 3L).select("v").head().getLong(0) == 999L)
   }
 
+  test("Delta compaction: fewer files, same rows, invisible to incremental and change feed; DVs materialize") {
+    val table = tmpDir("svc-compact-d") + "/t"
+    DeltaTableWriter.create(df(1 to 60).repartition(6), table): Unit
+    DeltaTableWriter.append(df(61 to 80).repartition(4), table): Unit
+    DeltaTableWriter.delete(spark, table, col("id") <= 5L): Unit
+    val before = DeltaTableReader.snapshot(spark, table)
+    assert(before.count() == 75L)
+    assert(DeltaTableReader.activeFiles(spark, table).size >= 10)
+    val v = DeltaTableWriter.compact(spark, table, targetFiles = 2)
+    val after = DeltaTableReader.snapshot(spark, table)
+    assert(after.count() == 75L)
+    assert(after.select(min("id")).head().getLong(0) == 6L)
+    val state = DeltaTableReader.snapshotState(spark, table)
+    assert(state.active.size == 2, s"expected 2 files, got ${state.active.size}")
+    assert(state.active.forall(_.dv.isEmpty),
+      "compaction must MATERIALIZE deletion vectors, not carry them")
+    // dataChange=false: the incremental read treats the compaction as
+    // invisible — since v-1 there is nothing to pull
+    val e = intercept[IllegalArgumentException](
+      DeltaTableReader.incrementalSince(spark, table, v - 1))
+    assert(e.getMessage.contains("no data-changing commits"))
+    // ... and so does the change feed
+    val e2 = intercept[IllegalArgumentException](
+      DeltaTableReader.changeFeedSince(spark, table, v - 1))
+    assert(e2.getMessage.contains("changed no data"))
+    // appends keep working on the compacted base
+    DeltaTableWriter.append(df(81 to 90), table): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 85L)
+  }
+
+  test("Hudi clustering: replacecommit drops input groups, stamps preserved, incremental exact across") {
+    val table = tmpDir("svc-cluster-h") + "/t"
+    val c1 = HudiTableWriter.create(df(1 to 60).repartition(4), table, recordKeys = Seq("id"))
+    val c2 = HudiTableWriter.append(df(61 to 80).repartition(4), table)
+    assert(HudiTableReader.activeSlices(spark, table).size == 8)
+    HudiTableWriter.cluster(spark, table, targetGroups = 2): Unit
+    val slices = HudiTableReader.activeSlices(spark, table)
+    assert(slices.size == 2, s"expected 2 clustered groups, got ${slices.size}")
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 80L)
+    // stamps preserved: the clustered rows keep their ORIGINAL commit
+    // times, so an incremental pull since c1 still serves exactly c2
+    assert(snap.select("_hoodie_commit_time").distinct().count() == 2L)
+    val inc = HudiTableReader.incrementalSince(spark, table, c1)
+    assert(inc.count() == 20L)
+    assert(inc.agg(min("id"), max("id")).head().toSeq == Seq(61L, 80L))
+    assert(c2 != null)
+    // the cleaner can then reclaim the replaced groups
+    val cleaned = HudiTableWriter.clean(spark, table, retainLatestInstants = 1)
+    assert(cleaned.size == 8, s"all 8 replaced slices should clean, got $cleaned")
+    assert(HudiTableReader.snapshot(spark, table).count() == 80L)
+  }
+
+  test("Iceberg rewrite: replace snapshot with a fresh manifest; deletes materialize; expiry reclaims") {
+    val table = tmpDir("svc-rewrite-i") + "/t"
+    IcebergTableWriter.create(df(1 to 60).repartition(5), table): Unit
+    IcebergTableWriter.delete(spark, table, col("id") <= 10L): Unit
+    assert(IcebergTableReader.planFiles(spark, table).positionDeletes.nonEmpty)
+    IcebergTableWriter.rewriteDataFiles(spark, table, targetFiles = 2): Unit
+    val plan = IcebergTableReader.planFiles(spark, table)
+    assert(plan.data.size == 2, s"expected 2 rewritten files, got ${plan.data.size}")
+    assert(plan.positionDeletes.isEmpty && plan.equalityDeletes.isEmpty,
+      "the rewrite must materialize row-level deletes")
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.count() == 50L)
+    assert(snap.agg(min("id")).head().getLong(0) == 11L)
+    // incremental refuses across the replace snapshot
+    val e = intercept[IllegalStateException](
+      IcebergTableReader.incrementalSince(spark, table, 1L))
+    assert(e.getMessage.contains("not an append"))
+    // expiry after the rewrite reclaims the superseded data + delete files
+    val dataDirBefore = new java.io.File(s"$table/data").listFiles().length
+    IcebergTableWriter.expireSnapshots(spark, table, keepLast = 1): Unit
+    val dataDirAfter = new java.io.File(s"$table/data").listFiles().length
+    assert(dataDirAfter < dataDirBefore,
+      s"expiry must reclaim unreferenced files ($dataDirBefore -> $dataDirAfter)")
+    assert(IcebergTableReader.snapshot(spark, table).count() == 50L)
+  }
+
   test("Iceberg snapshot expiry: metadata trims, expired-only files leave, shared files stay") {
     val table = tmpDir("svc-expire") + "/t"
     IcebergTableWriter.create(df(1 to 30), table): Unit
