@@ -1385,7 +1385,8 @@ object Scale {
     Seq("q_hudi_mor_snapshot", "q_hudi_mor_write", "q_hudi_mor_incremental",
       "q_hudi_part_write", "q_delta_cdc", "q_delta_colmap", "q_delta_skipping",
       "q_iceberg_eq_delete", "q_iceberg_part_write", "q_iceberg_del_write",
-      "q_delta_dv_write", "q_format_convert")
+      "q_delta_dv_write", "q_format_convert",
+      "q_delta_upsert", "q_hudi_upsert", "q_iceberg_upsert")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))

@@ -1998,4 +1998,153 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey % 3 = 0
         |GROUP BY o_orderpriority""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // UPSERT into foreign tables — the operation the reference's own
+  // generator runs (generate_hudi_table.py:97-115, operation=upsert),
+  // completed across the interop surface. One shared fixture shape:
+  // base = orders missing every 7th key; batch = every 5th key with a
+  // repriced total (so the batch is a genuine mix of UPDATES — keys in
+  // base — and INSERTS — the %35 keys the base never had). The oracle
+  // recomputes the merge in SQL; the engine's own reader serves it.
+  // ------------------------------------------------------------------
+
+  private val upsertMergeOracle =
+    """WITH merged AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice + 100000.0 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT * FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0)
+      |SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM merged GROUP BY o_orderpriority""".stripMargin
+
+  private def upsertFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders")
+    (o.filter(col("o_orderkey") % 7 =!= 0),
+      o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000.0))
+  }
+
+  /** #106c Delta UPSERT writer
+    * ([[graft.sources.DeltaTableWriter.upsert]]): matched rows are
+    * masked by deletion vectors and the batch lands as new files in
+    * ONE atomic commit — no pre-existing data file rewritten. The
+    * engine's own reader serves the merged snapshot.
+    */
+  val qDeltaUpsert: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-upsert") + "/t"
+      val (base, batch) = upsertFixture(s, dir)
+      DeltaTableWriter.create(base, table): Unit
+      val v0 = DeltaTableReader.snapshotState(s, table).version
+      val v1 = DeltaTableWriter.upsert(batch, table, Seq("o_orderkey"))
+      require(v1 == v0 + 1, "the merge must be one atomic commit")
+      DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(upsertMergeOracle))
+
+  /** #107d Hudi COW UPSERT writer
+    * ([[graft.sources.HudiTableWriter.upsert]] — the reference's own
+    * write operation): matched file groups rewrite as new slices
+    * under the SAME fileId (carried rows keep their original
+    * `_hoodie_commit_time`), inserts land as new groups, one
+    * `.commit` with per-group `numUpdateWrites`/`prevCommit` stats.
+    * In-run proof: the incremental pull since the create returns
+    * exactly |batch| rows (carried rows drop out by stamp — the
+    * contract that keeps checkpointed consumers exact across
+    * upserts).
+    */
+  val qHudiUpsert: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-upsert") + "/t"
+      val (base, batch) = upsertFixture(s, dir)
+      val c1 = HudiTableWriter.create(base, table, tableName = "orders_up",
+        recordKeys = Seq("o_orderkey"))
+      HudiTableWriter.upsert(batch, table): Unit
+      val pulled = HudiTableReader.incrementalSince(s, table, c1).count()
+      val nBatch = batch.count()
+      require(pulled == nBatch,
+        s"incremental pull after upsert must be exactly the batch ($pulled != $nBatch)")
+      HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(upsertMergeOracle))
+
+  /** #109d Iceberg UPSERT writer
+    * ([[graft.sources.IcebergTableWriter.upsert]], the Flink-CDC
+    * shape): the batch's keys land as ONE content=2 equality-delete
+    * file and its rows as new data files, both in ONE snapshot at the
+    * same sequence number — strictly-older files lose matching rows,
+    * the batch survives its own delete, and the write path never
+    * scans the existing table (O(batch) at any table size).
+    */
+  val qIcebergUpsert: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("iceberg-upsert") + "/t"
+      val (base, batch) = upsertFixture(s, dir)
+      IcebergTableWriter.create(base, table): Unit
+      IcebergTableWriter.upsert(batch, table, Seq("o_orderkey")): Unit
+      val plan = IcebergTableReader.planFiles(s, table)
+      require(plan.equalityDeletes.nonEmpty, "the merge must land an equality-delete file")
+      IcebergTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(upsertMergeOracle))
+
+  /** #105f CROSS-FORMAT MIRROR pipeline — the reference's whole job
+    * (checkpointed incremental consume, template.py:226-281),
+    * upgraded from CSV delivery to engine-grade delivery: pull 1
+    * bootstraps a Delta MIRROR from the Hudi source's full snapshot;
+    * the source then takes a COW upsert; pull 2 returns exactly the
+    * changed rows (the stamp contract), which
+    * [[graft.sources.TableLoader.upsert]] merges into the mirror
+    * through the format dispatch; pull 3 proves the consumer
+    * up-to-date. The aggregate is served FROM THE MIRROR, so the
+    * oracle's merge recompute checks the whole loop: incremental
+    * correctness × checkpoint discipline × the upsert writer. Scale
+    * shape: each pull moves only the increment; the mirror merge is
+    * the Delta upsert's broadcast-semi-join shape.
+    */
+  val qMirrorPipeline: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{CheckpointStore, DeltaTableReader, DeltaTableWriter,
+        HudiTableWriter, TableLoader}
+      val root = scratch("mirror")
+      val src = root + "/hudi"; val dst = root + "/delta"
+      val store = new CheckpointStore(root + "/ckpt",
+        s.sparkContext.hadoopConfiguration)
+      val (base, batch) = upsertFixture(s, dir)
+      HudiTableWriter.create(base, src, tableName = "orders_src",
+        recordKeys = Seq("o_orderkey")): Unit
+      def stripMeta(df: DataFrame): DataFrame =
+        df.select(df.columns.filterNot(_.startsWith("_hoodie_")).map(col).toIndexedSeq: _*)
+      // pull 1: bootstrap the mirror with the full snapshot
+      val (boot, tok1) = TableLoader.pullIncremental(s, src, "orders_src", store)
+        .getOrElse(throw new IllegalStateException("bootstrap pull must deliver"))
+      DeltaTableWriter.create(stripMeta(boot), dst): Unit
+      TableLoader.commitToken(src, "orders_src", store, tok1)
+      // the source takes a COW upsert
+      HudiTableWriter.upsert(batch, src): Unit
+      // pull 2: exactly the changed rows, merged into the mirror
+      val (inc, tok2) = TableLoader.pullIncremental(s, src, "orders_src", store)
+        .getOrElse(throw new IllegalStateException("the upsert must surface a pull"))
+      TableLoader.upsert(stripMeta(inc), dst, Seq("o_orderkey")): Unit
+      TableLoader.commitToken(src, "orders_src", store, tok2)
+      // pull 3: up to date
+      require(TableLoader.pullIncremental(s, src, "orders_src", store).isEmpty,
+        "a committed consumer at head must see no increment")
+      DeltaTableReader.snapshot(s, dst)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(upsertMergeOracle))
+
 }

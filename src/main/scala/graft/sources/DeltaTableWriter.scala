@@ -570,6 +570,19 @@ object DeltaTableWriter {
         "driver-side bitmaps")
     if (matched.isEmpty) throw new IllegalArgumentException(
       s"$tablePath: predicate matched no live rows — nothing to delete")
+    commit(spark, tablePath, state.version + 1, dvMaskLines(spark, tablePath, state, matched))
+  }
+
+  /** The commit lines that mask `matched` (file, position) rows via
+    * deletion vectors: per affected file, old ∪ new positions land in
+    * one fresh sidecar vector and the file is removed+re-added with
+    * the descriptor; a legacy 1/2 protocol upgrades to
+    * 3/7+deletionVectors in the same lines. Shared by [[delete]] and
+    * [[upsert]] (which appends the new rows in the SAME commit).
+    */
+  private def dvMaskLines(spark: SparkSession, tablePath: String,
+      state: DeltaTableReader.Snapshot,
+      matched: Array[org.apache.spark.sql.Row]): Seq[String] = {
     val byFile = matched.groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(_.getLong(1)).toIndexedSeq }
     val byNorm = state.active.map { f =>
@@ -603,7 +616,7 @@ object DeltaTableWriter {
           case None => s"${jsonStr(c)}:null"
         }
       }.mkString(",")
-    val lines = protoLine.toSeq ++ affected.zip(descriptors).flatMap { case ((fa, _), d) =>
+    protoLine.toSeq ++ affected.zip(descriptors).flatMap { case ((fa, _), d) =>
       val st = fs.getFileStatus(new Path(tablePath, decodePathPublic(fa.path)))
       Seq(
         s"""{"remove":{"path":${jsonStr(fa.path)},"deletionTimestamp":$now,""" +
@@ -612,7 +625,68 @@ object DeltaTableWriter {
           s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
           s""""dataChange":true,"deletionVector":${DeltaDv.descriptorJson(d)}}}""")
     }
-    commit(spark, tablePath, state.version + 1, lines)
+  }
+
+  /** UPSERT (merge) into an external Delta table, key-matched: live
+    * rows whose `keys` values appear in `df` are masked by DELETION
+    * VECTORS (no data-file rewrite — [[dvMaskLines]]), and the whole
+    * batch lands as new data files, all in ONE commit, so readers see
+    * the merge atomically: matched rows replaced, unmatched batch
+    * rows inserted. The batch must be unique on `keys` (a duplicate
+    * would make "the" replacement row ambiguous — pre-combine first,
+    * loudly required). A batch that matches nothing degrades to a
+    * pure append in the same single commit.
+    *
+    * Scale shape: the match is one semi join of the snapshot scan
+    * against the BROADCAST batch keys; matched (file, pos) pairs
+    * materialize on the driver under the same [[MaxDeleteRowsDriver]]
+    * bound as [[delete]] (an upsert's matched set is the changed-row
+    * set; a merge rewriting more than that should rewrite files).
+    * Returns the committed version.
+    */
+  def upsert(df: DataFrame, tablePath: String, keys: Seq[String],
+      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val spark = df.sparkSession
+    require(keys.nonEmpty, s"$tablePath: upsert needs at least one key column")
+    val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
+    refuseWriterUnsupported(state, tablePath)
+    val tableCols = state.schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq }
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: table metadata carries no parseable schemaString"))
+    require(df.columns.toSet == tableCols.toSet,
+      s"$tablePath: upsert columns ${df.columns.sorted.mkString(",")} != table schema " +
+        s"${tableCols.sorted.mkString(",")} — the batch must match the declared schema")
+    keys.foreach(k => require(tableCols.contains(k),
+      s"$tablePath: upsert key $k is not a table column"))
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val aligned = df.select(tableCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchKeys = aligned.select(keys.map(col): _*)
+      val nRows = aligned.count()
+      val nKeys = batchKeys.distinct().count()
+      require(nRows == nKeys,
+        s"$tablePath: upsert batch carries ${nRows - nKeys} duplicate key row(s) — the " +
+          "replacement row per key would be ambiguous; pre-combine the batch first")
+      val matched = keyed
+        .join(broadcast(batchKeys.distinct()), keys, "left_semi")
+        .select(col("_g_file"), col("_g_pos"))
+        .limit(MaxDeleteRowsDriver + 1).collect()
+      if (matched.length > MaxDeleteRowsDriver) throw new IllegalStateException(
+        s"$tablePath: upsert matches more than $MaxDeleteRowsDriver live rows — a merge " +
+          "this large should rewrite files, not build driver-side bitmaps")
+      val dvLines =
+        if (matched.isEmpty) Nil
+        else dvMaskLines(spark, tablePath, state, matched)
+      val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
+      val v = commit(spark, tablePath, state.version + 1,
+        dvLines ++ files.map { case (rel, size, mtime, st) =>
+          addLine(rel, size, mtime, state.partitionColumns, st) })
+      maybeCheckpoint(spark, tablePath, v, checkpointInterval)
+      v
+    } finally aligned.unpersist()
   }
 
   def append(df: DataFrame, tablePath: String,

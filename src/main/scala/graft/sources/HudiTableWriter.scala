@@ -124,6 +124,50 @@ object HudiTableWriter {
     * `.commit` (or, on MOR tables, `.deltacommit`) meta file publishes
     * them. Returns the commit instant.
     */
+  /** Land `df` (already stamped) as NEW file groups under `instant`:
+    * stage write (hive dirs from duplicated `_p_<c>` columns — Hudi
+    * keeps partition columns IN the data files), then rename each
+    * staged parquet to the base-file naming convention under a fresh
+    * fileId. Returns (partition, fileId, relPath) per landed file.
+    */
+  private def landNewGroups(staged0: DataFrame, tablePath: String, instant: String,
+      partitionBy: Seq[String]): Seq[(String, String, String)] = {
+    val spark = staged0.sparkSession
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
+    val staged = partitionBy.foldLeft(staged0)((acc, c) => acc.withColumn(s"_p_$c", col(c)))
+    val writer =
+      if (partitionBy.isEmpty) staged.write
+      else staged.write.partitionBy(partitionBy.map(c => s"_p_$c"): _*)
+    writer.parquet(stage.toString)
+    val writes = Seq.newBuilder[(String, String, String)] // (partition, fileId, path)
+    def walk(dir: Path, partSegs: Seq[String]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val segs =
+            if (name.startsWith("_p_") && name.contains('='))
+              partSegs :+ name.substring(3)
+            else partSegs
+          walk(st.getPath, segs)
+        } else if (name.endsWith(".parquet")) {
+          val partition = partSegs.mkString("/")
+          val fileId = java.util.UUID.randomUUID().toString
+          val rel =
+            if (partition.isEmpty) s"${fileId}_0-0-0_$instant.parquet"
+            else s"$partition/${fileId}_0-0-0_$instant.parquet"
+          val dst = new Path(tablePath, rel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(st.getPath, dst))
+            throw new IllegalStateException(s"$tablePath: failed to land base file $rel")
+          writes += ((partition, fileId, rel))
+        }
+      }
+    walk(stage, Nil)
+    fs.delete(stage, true)
+    writes.result()
+  }
+
   private def insertCommit(df: DataFrame, tablePath: String,
       recordKeys: Seq[String], kind: String = "commit",
       partitionBy: Seq[String] = Nil): String = {
@@ -132,43 +176,8 @@ object HudiTableWriter {
     var attempt = 0
     while (true) {
       val instant = instantNow(attempt.toLong)
-      val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
-      // partitioned tables: hive dirs from DUPLICATED `_p_<c>` columns
-      // (Hudi keeps partition columns IN the data files); the dir
-      // names become both the on-disk layout and the commit's
-      // partitionToWriteStats keys
       val toWrite = stamped(df, instant, recordKeys, partitionBy)
-      val staged = partitionBy.foldLeft(toWrite)((acc, c) => acc.withColumn(s"_p_$c", col(c)))
-      val writer =
-        if (partitionBy.isEmpty) staged.write
-        else staged.write.partitionBy(partitionBy.map(c => s"_p_$c"): _*)
-      writer.parquet(stage.toString)
-      val writes = Seq.newBuilder[(String, String, String)] // (partition, fileId, path)
-      def walk(dir: Path, partSegs: Seq[String]): Unit =
-        fs.listStatus(dir).foreach { st =>
-          val name = st.getPath.getName
-          if (st.isDirectory) {
-            val segs =
-              if (name.startsWith("_p_") && name.contains('='))
-                partSegs :+ name.substring(3)
-              else partSegs
-            walk(st.getPath, segs)
-          } else if (name.endsWith(".parquet")) {
-            val partition = partSegs.mkString("/")
-            val fileId = java.util.UUID.randomUUID().toString
-            val rel =
-              if (partition.isEmpty) s"${fileId}_0-0-0_$instant.parquet"
-              else s"$partition/${fileId}_0-0-0_$instant.parquet"
-            val dst = new Path(tablePath, rel)
-            fs.mkdirs(dst.getParent)
-            if (!fs.rename(st.getPath, dst))
-              throw new IllegalStateException(s"$tablePath: failed to land base file $rel")
-            writes += ((partition, fileId, rel))
-          }
-        }
-      walk(stage, Nil)
-      fs.delete(stage, true)
-      val files = writes.result()
+      val files = landNewGroups(toWrite, tablePath, instant, partitionBy)
       if (files.isEmpty) throw new IllegalArgumentException(
         s"$tablePath: the DataFrame wrote no data files (empty input?)")
       val statsByPartition = files.groupBy(_._1).map { case (part, ws) =>
@@ -249,6 +258,173 @@ object HudiTableWriter {
     val kind = if (HudiTableReader.isMor(spark, tablePath)) "deltacommit" else "commit"
     insertCommit(df, tablePath, declared, kind,
       partitionBy = declaredPartitionFields(spark, tablePath))
+  }
+
+  /** UPSERT into a Hudi COPY-ON-WRITE table — the operation the
+    * reference's own generator runs (generate_hudi_table.py:97-115,
+    * `hoodie.datasource.write.operation=upsert`): each batch row
+    * whose record key exists REWRITES its file group (a new file
+    * slice under the new instant, same fileId — unchanged rows
+    * carried forward with their ORIGINAL `_hoodie_commit_time`,
+    * replaced rows stamped with the new instant, exactly what keeps
+    * incremental pulls exact); rows with unseen keys land as new
+    * file groups. One `.commit` publishes both, with
+    * `numUpdateWrites`/`prevCommit` per rewritten group.
+    *
+    * Key matching is PARTITION-SCOPED (record key + partition
+    * values), Hudi's default non-global index: a known key arriving
+    * under different partition values is an INSERT into that
+    * partition, the old row stays — document-matched to
+    * hoodie.index.type=SIMPLE semantics. When the table declares a
+    * precombine field, in-batch duplicates per key resolve
+    * latest-wins on it; otherwise the batch must be unique on the
+    * keys (loudly required). MOR tables refuse — their upsert is the
+    * log-append path ([[updateLog]]).
+    *
+    * Scale shape: one scan of the CURRENT base files (the COW
+    * contract — an upsert rewrites matched groups), one shuffle of
+    * (carried ∪ replacement) rows to their group's write task, new
+    * groups via the ordinary staged write; driver state is
+    * |touched groups| commit metadata, never row data. Returns the
+    * commit instant. Single-writer: a lost instant race throws.
+    */
+  def upsert(df: DataFrame, tablePath: String): String = {
+    val spark = df.sparkSession
+    val keys = declaredRecordKeys(spark, tablePath)
+    require(keys.nonEmpty,
+      s"$tablePath: upsert routes by record key — the table declares none " +
+        "(hoodie.table.recordkey.fields)")
+    require(!HudiTableReader.isMor(spark, tablePath),
+      s"$tablePath is MERGE_ON_READ — its upsert is the log-append path (updateLog)")
+    val partitionBy = declaredPartitionFields(spark, tablePath)
+    val precombine = tableProperties(spark, tablePath).get("hoodie.table.precombine.field")
+    val existing = HudiTableReader.snapshot(spark, tablePath)
+    val dataCols = existing.columns.filterNot(_.startsWith("_hoodie_")).toSeq
+    require(df.columns.toSet == dataCols.toSet,
+      s"$tablePath: upsert columns ${df.columns.sorted.mkString(",")} != table columns " +
+        s"${dataCols.sorted.mkString(",")} — the batch must match the existing schema")
+    // in-batch combine: latest-wins on the declared precombine field,
+    // or loudly require key-uniqueness when the table declares none
+    val deduped = precombine match {
+      case Some(pc) =>
+        require(df.columns.contains(pc),
+          s"$tablePath: declared precombine field $pc is not in the batch")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(pc).desc)
+        df.withColumn("_g_rn", row_number().over(w))
+          .where(col("_g_rn") === 1).drop("_g_rn")
+      case None =>
+        val nRows = df.count()
+        val nKeys = df.select(keys.map(col): _*).distinct().count()
+        require(nRows == nKeys,
+          s"$tablePath: upsert batch carries ${nRows - nKeys} duplicate key row(s) and " +
+            "the table declares no precombine field — the replacement row per key would " +
+            "be ambiguous; pre-combine the batch first")
+        df
+    }
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val instant = instantNow(0L)
+    val slices = HudiTableReader.activeSlices(spark, tablePath)
+    val sliceByFid = slices.map(s => s.fileId -> s).toMap
+    // base rows with their file-group id, via the one metadata column
+    // scan + a broadcast path→fid map (bounded by |file groups|)
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val fidRows = slices.map(s => org.apache.spark.sql.Row(
+      ScanPaths.normalizeDriver(s"$tablePath/${s.path}"), s.fileId))
+    val fidDf = spark.createDataFrame(fidRows.asJava, StructType(Seq(
+      StructField("_g_file", StringType), StructField("_g_fid", StringType))))
+    val base = spark.read.parquet(slices.map(s => s"$tablePath/${s.path}"): _*)
+      .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
+      .join(broadcast(fidDf), Seq("_g_file"))
+      .drop("_g_file")
+    val sliceCols = base.columns.filterNot(_ == "_g_fid").toSeq
+    // partition-scoped key: record keys + partition values together
+    val joinCols = (partitionBy ++ keys).distinct
+    val keyFid = base.select(joinCols.map(col) :+ col("_g_fid"): _*)
+    val batchStamped = stamped(deduped, instant, keys, partitionBy)
+    val tagged = batchStamped.join(keyFid, joinCols, "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val updates = tagged.where(col("_g_fid").isNotNull)
+      val inserts = tagged.where(col("_g_fid").isNull).drop("_g_fid")
+      // per-touched-group update counts — |groups| driver metadata
+      val updCounts = updates.groupBy(col("_g_fid")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val updateStats = Seq.newBuilder[(String, String, String, Long, Long)]
+      if (updCounts.nonEmpty) {
+        val updFidDf = spark.createDataFrame(
+          updCounts.keys.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
+          StructType(Seq(StructField("_g_fid", StringType))))
+        val batchKeys = deduped.select(joinCols.map(col): _*)
+        val carried = base.join(broadcast(updFidDf), Seq("_g_fid"))
+          .join(broadcast(batchKeys), joinCols, "left_anti")
+        val newSlices = carried.select(sliceCols.map(col) :+ col("_g_fid"): _*)
+          .unionByName(updates.select(sliceCols.map(col) :+ col("_g_fid"): _*))
+        // one rewritten base file per touched group: each fid lives in
+        // exactly one task after the repartition, partitionBy splits
+        // the task's rows into one file per fid dir
+        val stage = new Path(tablePath, s".graft-upsert-${java.util.UUID.randomUUID()}")
+        newSlices.repartition(col("_g_fid")).write.partitionBy("_g_fid")
+          .parquet(stage.toString)
+        fs.listStatus(stage).filter(_.isDirectory).foreach { d =>
+          val name = d.getPath.getName
+          require(name.startsWith("_g_fid="), s"$tablePath: unexpected stage dir $name")
+          val fid = name.substring("_g_fid=".length)
+          val parts = fs.listStatus(d.getPath).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+          require(parts.length == 1,
+            s"$tablePath: group $fid staged ${parts.length} files — expected exactly one")
+          val old = sliceByFid.getOrElse(fid, throw new IllegalStateException(
+            s"$tablePath: staged group $fid is not an active slice — racing writer?"))
+          val partition = old.partition
+          val rel =
+            if (partition.isEmpty) s"${fid}_0-0-0_$instant.parquet"
+            else s"$partition/${fid}_0-0-0_$instant.parquet"
+          val dst = new Path(tablePath, rel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(parts.head, dst))
+            throw new IllegalStateException(s"$tablePath: failed to land new slice $rel")
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dst,
+            spark.sparkContext.hadoopConfiguration)
+          val pr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val n = try pr.getRecordCount finally pr.close()
+          updateStats += ((partition, fid, rel, n, updCounts(fid)))
+        }
+        fs.delete(stage, true)
+      }
+      val insertFiles = landNewGroups(inserts.select(sliceCols.map(col): _*),
+        tablePath, instant, partitionBy)
+      val allStats =
+        updateStats.result().map { case (part, fid, rel, n, nUpd) =>
+          (part, s"""{"fileId":"$fid","path":"$rel","numWrites":$n,""" +
+            s""""numUpdateWrites":$nUpd,""" +
+            s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
+            s""""prevCommit":"${sliceByFid(fid).instant}"}""")
+        } ++ insertFiles.map { case (part, fid, rel) =>
+          (part, s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +
+            s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
+            s""""prevCommit":"null"}""")
+        }
+      if (allStats.isEmpty) throw new IllegalArgumentException(
+        s"$tablePath: empty upsert batch — nothing to write")
+      val statsJson = allStats.groupBy(_._1).map { case (part, ws) =>
+        s""""$part":[${ws.map(_._2).mkString(",")}]"""
+      }.mkString(",")
+      val commitPath = new Path(hoodieDir(tablePath), s"$instant.commit")
+      val created = try {
+        val out = fs.create(commitPath, false)
+        try out.write(
+          (s"""{"partitionToWriteStats":{$statsJson},"operationType":"UPSERT"}""" + "\n")
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+      if (!created) throw new IllegalStateException(
+        s"$tablePath: instant $instant already committed by another writer — upserts are " +
+          "single-writer; the landed files must be rolled back manually")
+      instant
+    } finally tagged.unpersist()
   }
 
   // ----------------------------------------------------------------

@@ -133,7 +133,7 @@ object IcebergTableReader {
     * the current schema (`schemas` + `current-schema-id`, or the
     * legacy single `schema`).
     */
-  private def schemaFieldNames(spark: SparkSession, tablePath: String): Map[Int, String] = {
+  private[sources] def schemaFieldNames(spark: SparkSession, tablePath: String): Map[Int, String] = {
     val fs = fsOf(spark, new Path(tablePath))
     val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
     val schemaNode = {

@@ -50,9 +50,11 @@ object IcebergTableWriter {
       |{"name":"content","type":"int","default":0}]}""".stripMargin)
 
   /** Manifest-entry schema; partitioned tables extend `data_file`
-    * with a `partition` record of the table's identity fields.
+    * with a `partition` record of the table's identity fields, and
+    * equality-delete manifests with the spec's `equality_ids` list.
     */
-  private def entrySchemaFor(partitionBy: Seq[String]): Schema = {
+  private def entrySchemaFor(partitionBy: Seq[String],
+      withEqualityIds: Boolean = false): Schema = {
     val partField =
       if (partitionBy.isEmpty) ""
       else {
@@ -61,6 +63,10 @@ object IcebergTableWriter {
         s""",{"name":"partition","type":["null",{"type":"record","name":"r102",""" +
           s""""fields":[$fields]}],"default":null}"""
       }
+    val eqField =
+      if (!withEqualityIds) ""
+      else """,{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],""" +
+        """"default":null}"""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int"},
@@ -70,7 +76,8 @@ object IcebergTableWriter {
          |  {"name":"content","type":"int","default":0},
          |  {"name":"file_path","type":"string"},
          |  {"name":"file_format","type":"string","default":"PARQUET"},
-         |  {"name":"record_count","type":"long","default":0}$partField]}}]}""".stripMargin)
+         |  {"name":"record_count","type":"long","default":0}$partField$eqField]}}]}"""
+        .stripMargin)
   }
 
   private def writeAvro(conf: org.apache.hadoop.conf.Configuration, path: Path,
@@ -143,14 +150,19 @@ object IcebergTableWriter {
 
   private def manifestOf(conf: org.apache.hadoop.conf.Configuration, tablePath: String,
       snapshotId: Long, sequence: Long, files: Seq[Landed],
-      partitionBy: Seq[String], content: Int = 0): String = {
+      partitionBy: Seq[String], content: Int = 0,
+      equalityIds: Seq[Int] = Nil): String = {
     val rel = s"metadata/m-$snapshotId-${java.util.UUID.randomUUID()}.avro"
-    val entrySchema = entrySchemaFor(partitionBy)
+    val entrySchema = entrySchemaFor(partitionBy, withEqualityIds = equalityIds.nonEmpty)
     val dfSchema = entrySchema.getField("data_file").schema()
     val records = files.map { f =>
       val dfr = new GenericData.Record(dfSchema)
       dfr.put("content", content); dfr.put("file_path", f.rel)
       dfr.put("file_format", "PARQUET"); dfr.put("record_count", f.count)
+      if (equalityIds.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        dfr.put("equality_ids", equalityIds.map(Integer.valueOf).asJava)
+      }
       if (partitionBy.nonEmpty) {
         val pType = dfSchema.getField("partition").schema().getTypes.get(1)
         val p = new GenericData.Record(pType)
@@ -265,6 +277,26 @@ object IcebergTableWriter {
   private def commitSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       schema: org.apache.spark.sql.types.StructType, partitionBy: Seq[String],
       files: Seq[Landed], content: Int, operation: String,
+      reuseManifests: Boolean = true): Long =
+    commitSnapshotGroups(spark, tablePath, schema, partitionBy,
+      Seq(ManifestGroup(files, content)), operation, reuseManifests)
+
+  /** One new manifest's worth of files: `entryContent` is the spec's
+    * data_file.content (0=data, 1=position deletes, 2=equality
+    * deletes); equality-delete groups carry the key field ids.
+    */
+  private final case class ManifestGroup(files: Seq[Landed], entryContent: Int,
+      equalityIds: Seq[Int] = Nil)
+
+  /** [[commitSnapshot]] generalized to SEVERAL new manifests in ONE
+    * snapshot — what an upsert needs (a data manifest plus an
+    * equality-delete manifest, same sequence number, so the delete
+    * scopes to strictly-older files and the new rows survive).
+    */
+  private def commitSnapshotGroups(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      schema: org.apache.spark.sql.types.StructType, partitionBy: Seq[String],
+      groups: Seq[ManifestGroup], operation: String,
       reuseManifests: Boolean = true): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
@@ -290,10 +322,16 @@ object IcebergTableWriter {
             manifests, version, Some(currentId), currentId + 1L)
         }
       val newId = parentId.getOrElse(0L) + 1L
-      val manifestRel = manifestOf(conf, tablePath, newId, seq, files, partitionBy, content)
+      val newManifests = groups.map { g =>
+        val rel = manifestOf(conf, tablePath, newId, seq, g.files, partitionBy,
+          g.entryContent, g.equalityIds)
+        // manifest-LIST content: 0 = data manifest, 1 = deletes
+        // manifest (position AND equality entries both live under 1)
+        (rel, newId, if (g.entryContent == 0) 0 else 1)
+      }
       val listRel = s"metadata/snap-$newId-${java.util.UUID.randomUUID()}.avro"
       val baseManifests = if (reuseManifests) prevManifests else Nil
-      val listRecords = (baseManifests :+ ((manifestRel, newId, content)))
+      val listRecords = (baseManifests ++ newManifests)
         .map { case (mp, addedBy, content) =>
           val r = new GenericData.Record(listSchema)
           r.put("manifest_path", mp); r.put("manifest_length", 0L)
@@ -505,16 +543,29 @@ object IcebergTableWriter {
       .sort("file_path", "pos")
     // land the delete file (one file — delete sets are small relative
     // to data; a huge delete should rewrite instead)
+    val (rel, n) = landSmallParquet(spark, tablePath, deletes, "position-delete")
+    val schema = IcebergTableReader.snapshot(spark, tablePath).schema
+    commitSnapshot(spark, tablePath, schema, declaredPartitionBy(spark, tablePath),
+      Seq(Landed(rel, n, Map.empty)), content = 1, operation = "delete")
+  }
+
+  /** Land one SMALL parquet file (a delete file) and return its
+    * relative path + footer row count. Refuses an empty frame.
+    */
+  private def landSmallParquet(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, df: DataFrame, what: String): (String, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
     val stage = new Path(tablePath, s".graft-del-${java.util.UUID.randomUUID()}")
-    deletes.coalesce(1).write.parquet(stage.toString)
+    df.coalesce(1).write.parquet(stage.toString)
     val part = fs.listStatus(stage).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(
-        s"$tablePath: delete stage wrote nothing"))
+        s"$tablePath: $what stage wrote nothing"))
     val rel = s"data/del-${java.util.UUID.randomUUID()}.parquet"
     fs.mkdirs(new Path(tablePath, rel).getParent)
     if (!fs.rename(part, new Path(tablePath, rel))) throw new IllegalStateException(
-      s"$tablePath: failed to land delete file $rel")
+      s"$tablePath: failed to land $what file $rel")
     fs.delete(stage, true)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new Path(tablePath, rel), conf)
@@ -522,11 +573,68 @@ object IcebergTableWriter {
     val n = try r.getRecordCount finally r.close()
     if (n == 0L) {
       fs.delete(new Path(tablePath, rel), false)
-      throw new IllegalArgumentException(
-        s"$tablePath: predicate matched no live rows — nothing to delete")
+      throw new IllegalArgumentException(s"$tablePath: empty $what batch — nothing to write")
     }
-    val schema = IcebergTableReader.snapshot(spark, tablePath).schema
-    commitSnapshot(spark, tablePath, schema, declaredPartitionBy(spark, tablePath),
-      Seq(Landed(rel, n, Map.empty)), content = 1, operation = "delete")
+    (rel, n)
+  }
+
+  /** UPSERT (merge) into an external Iceberg v2 table via EQUALITY
+    * DELETES — the Flink-CDC write shape: the batch's key values land
+    * as ONE content=2 delete file (spec `equality_ids` naming the key
+    * field ids), the batch's rows land as new data files, and both
+    * publish in ONE snapshot at the same sequence number — so, per
+    * the spec's strictly-older scoping, the delete removes matching
+    * rows from every PRIOR data file while the batch's own rows
+    * survive. Readers see the merge atomically.
+    *
+    * Scale shape: the write path never scans the existing table —
+    * cost is O(batch) regardless of table size (the read-side merge
+    * is one broadcast anti join, |delete rows|-bounded). That is the
+    * whole point of equality deletes over position deletes: no
+    * locate-the-row scan at write time. The batch must be unique on
+    * `keys` (an in-batch duplicate would be ambiguous); tables whose
+    * existing equality deletes use a DIFFERENT key set refuse (the
+    * reader applies one key shape per scan, spec-locked). Returns the
+    * new snapshot id.
+    */
+  def upsert(df: DataFrame, tablePath: String, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    require(keys.nonEmpty, s"$tablePath: upsert needs at least one equality-key column")
+    val idToName = IcebergTableReader.schemaFieldNames(spark, tablePath)
+    val nameToId = idToName.map(_.swap)
+    val tableCols = idToName.toSeq.sortBy(_._1).map(_._2)
+    require(df.columns.toSet == tableCols.toSet,
+      s"$tablePath: upsert columns ${df.columns.sorted.mkString(",")} != table schema " +
+        s"${tableCols.sorted.mkString(",")} — the batch must match the declared schema")
+    val eqIds = keys.map(k => nameToId.getOrElse(k, throw new IllegalArgumentException(
+      s"$tablePath: upsert key $k is not a declared table column")))
+    val plan = IcebergTableReader.planFiles(spark, tablePath)
+    plan.equalityDeletes.headOption.foreach { d =>
+      require(d.equalityColumns.toSet == keys.toSet,
+        s"$tablePath: existing equality deletes key on ${d.equalityColumns.mkString(",")} " +
+          s"but this upsert keys on ${keys.mkString(",")} — mixed key shapes in one " +
+          "table are not readable; refusing")
+    }
+    val aligned = df.select(tableCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRows = aligned.count()
+      val nKeys = aligned.select(keys.map(col): _*).distinct().count()
+      require(nRows == nKeys,
+        s"$tablePath: upsert batch carries ${nRows - nKeys} duplicate key row(s) — the " +
+          "replacement row per key would be ambiguous; pre-combine the batch first")
+      val (delRel, delCount) = landSmallParquet(spark, tablePath,
+        aligned.select(keys.map(col): _*), "equality-delete")
+      val partitionBy = declaredPartitionBy(spark, tablePath)
+      val files = writeDataFiles(aligned, tablePath, partitionBy)
+      val schema = org.apache.spark.sql.types.StructType(
+        aligned.schema.fields)
+      commitSnapshotGroups(spark, tablePath, schema, partitionBy,
+        Seq(ManifestGroup(files, entryContent = 0),
+          ManifestGroup(Seq(Landed(delRel, delCount, Map.empty)),
+            entryContent = 2, equalityIds = eqIds)),
+        operation = "overwrite")
+    } finally aligned.unpersist()
   }
 }

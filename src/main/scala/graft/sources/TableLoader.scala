@@ -200,6 +200,39 @@ object TableLoader {
       token: String): Unit =
     store.write(Checkpoint(tableName, token, path))
 
+  /** Format-agnostic UPSERT (merge) dispatch: land `df` into the
+    * table at `path` keyed on `keys`, through whatever writer the
+    * layout selects — graft versioned upsert, Delta DV-mask+append,
+    * Hudi COW file-group rewrite, Iceberg equality-delete snapshot.
+    * Hudi tables declare their OWN record keys; a `keys` argument
+    * disagreeing with the declaration refuses (the table property
+    * wins, same contract as the append). Returns the new head token
+    * (the same token [[latestToken]]/[[pullIncremental]] speak).
+    * Plain parquet refuses — a directory of files has no merge
+    * contract.
+    */
+  def upsert(df: DataFrame, path: String, keys: Seq[String]): String = {
+    val spark = df.sparkSession
+    require(keys.nonEmpty, s"$path: upsert needs at least one key column")
+    detectFormat(spark, path) match {
+      case GraftVersioned =>
+        UpsertWriter.upsert(df, path, keys, precombine = df.columns.head)
+        latestToken(spark, path)
+      case DeltaFormat => DeltaTableWriter.upsert(df, path, keys).toString
+      case HudiFormat =>
+        val declared = HudiTableWriter.declaredRecordKeys(spark, path)
+        require(declared == keys,
+          s"$path declares hoodie.table.recordkey.fields=${declared.mkString(",")} but " +
+            s"the dispatch was asked to key on ${keys.mkString(",")} — the table " +
+            "property wins; drop the disagreement")
+        HudiTableWriter.upsert(df, path)
+      case IcebergFormat => IcebergTableWriter.upsert(df, path, keys).toString
+      case PlainParquet => throw new IllegalArgumentException(
+        s"$path is a plain parquet directory — no merge contract to upsert against " +
+          "(write through one of the table formats)")
+    }
+  }
+
   /** REPLICATE a table ACROSS FORMATS: snapshot-read `srcPath`
     * through whatever adapter its layout selects and land the rows at
     * `dstPath` in `dstFormat` through the matching writer — the

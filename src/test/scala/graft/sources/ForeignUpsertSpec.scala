@@ -1,0 +1,211 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** UPSERT (merge) into all three foreign formats — the operation the
+  * reference's own generator runs against Hudi
+  * (generate_hudi_table.py:97-115, operation=upsert), here completed
+  * across the interop surface: Hudi COW rewrites matched file groups
+  * (new slice, same fileId, carried rows keep their stamps), Delta
+  * masks matched rows with deletion vectors and appends the batch in
+  * ONE commit, Iceberg lands an equality-delete file plus the batch
+  * in ONE snapshot (the Flink-CDC shape — no table scan at write
+  * time).
+  */
+class ForeignUpsertSpec extends SparkSpec {
+
+  private def df(r: Range, v: Long => Long = _ * 2L) = {
+    val s = spark
+    import s.implicits._
+    r.map(i => (i.toLong, s"k$i", v(i.toLong))).toDF("id", "key", "v")
+  }
+
+  // ---------------------------------------------------------------- Hudi
+
+  test("hudi: upsert rewrites matched groups in place, inserts new keys; stamps drive incremental") {
+    val table = tmpDir("hup-basic") + "/t"
+    val c1 = HudiTableWriter.create(df(1 to 60), table, recordKeys = Seq("id"))
+    val fidOf: Map[Long, String] = {
+      val snap = HudiTableReader.snapshot(spark, table)
+        .withColumn("_f", col("_metadata.file_path"))
+      snap.select(col("id"), col("_f")).collect()
+        .map(r => r.getLong(0) -> r.getString(1).split('/').last.split('_').head).toMap
+    }
+    // batch: update ids 10..20 (v := id*100), insert ids 61..70
+    val batch = df(10 to 20, _ * 100L).union(df(61 to 70))
+    val c2 = HudiTableWriter.upsert(batch, table)
+    assert(c2 > c1)
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 70L)
+    // replaced rows carry the new value AND the new stamp
+    val upd = snap.where(col("id") === 15L).head()
+    assert(upd.getAs[Long]("v") == 1500L)
+    assert(upd.getAs[String]("_hoodie_commit_time") == c2)
+    // carried rows keep value AND ORIGINAL stamp — the incremental contract
+    val kept = snap.where(col("id") === 5L).head()
+    assert(kept.getAs[Long]("v") == 10L)
+    assert(kept.getAs[String]("_hoodie_commit_time") == c1)
+    // the matched group was rewritten UNDER ITS OWN fileId (a new
+    // slice of the same group, not a new group)
+    val fidAfter = HudiTableReader.snapshot(spark, table)
+      .withColumn("_f", col("_metadata.file_path"))
+      .where(col("id") === 15L)
+      .select("_f").head().getString(0).split('/').last.split('_').head
+    assert(fidAfter == fidOf(15L), "update must stay in its file group")
+    // incremental pull since c1 = exactly the 11 updates + 10 inserts
+    val inc = HudiTableReader.incrementalSince(spark, table, c1)
+    assert(inc.count() == 21L)
+    assert(inc.where(col("id") === 15L).head().getAs[Long]("v") == 1500L)
+    // the commit records update stats against the prior instant
+    val commitJson = scala.io.Source.fromFile(
+      s"$table/.hoodie/$c2.commit").mkString
+    assert(commitJson.contains(""""operationType":"UPSERT""""))
+    assert(commitJson.contains(s""""prevCommit":"$c1""""))
+    // the 11 updated keys may span several file groups — the per-group
+    // update counts must SUM to 11
+    val updTotal = """"numUpdateWrites":(\d+)""".r
+      .findAllMatchIn(commitJson).map(_.group(1).toLong).sum
+    assert(updTotal == 11L, s"per-group numUpdateWrites must sum to 11, got $updTotal")
+  }
+
+  test("hudi: precombine resolves in-batch duplicates latest-wins; without it they refuse") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("hup-precombine") + "/t"
+    HudiTableWriter.create(df(1 to 10), table, recordKeys = Seq("id"),
+      precombineField = Some("v")): Unit
+    // two rows for id=3: precombine v picks the larger
+    val batch = Seq((3L, "k3-old", 7L), (3L, "k3-new", 9L)).toDF("id", "key", "v")
+    HudiTableWriter.upsert(batch, table): Unit
+    val row = HudiTableReader.snapshot(spark, table).where(col("id") === 3L).head()
+    assert(row.getAs[String]("key") == "k3-new" && row.getAs[Long]("v") == 9L)
+
+    val noPc = tmpDir("hup-nopc") + "/t"
+    HudiTableWriter.create(df(1 to 10), noPc, recordKeys = Seq("id")): Unit
+    val e = intercept[Exception](HudiTableWriter.upsert(batch, noPc))
+    assert(e.getMessage.contains("duplicate") || e.getMessage.contains("unique"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("hudi: partition-scoped matching — same key in another partition inserts, old row stays") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("hup-part") + "/t"
+    val base = Seq((1L, "us", 10L), (2L, "us", 20L), (3L, "eu", 30L))
+      .toDF("id", "region", "v")
+    HudiTableWriter.create(base, table, recordKeys = Seq("id"),
+      partitionBy = Seq("region")): Unit
+    // id=1 in its own partition: update; id=3 under a NEW partition: insert
+    val batch = Seq((1L, "us", 11L), (3L, "us", 33L)).toDF("id", "region", "v")
+    HudiTableWriter.upsert(batch, table): Unit
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 4L, "partition-scoped index: the eu row must survive")
+    assert(snap.where(col("id") === 1L).head().getAs[Long]("v") == 11L)
+    assert(snap.where(col("id") === 3L && col("region") === "eu").head()
+      .getAs[Long]("v") == 30L)
+    assert(snap.where(col("id") === 3L && col("region") === "us").head()
+      .getAs[Long]("v") == 33L)
+  }
+
+  test("hudi: refusals — MOR tables, schema drift, keyless tables") {
+    val s = spark
+    import s.implicits._
+    val mor = tmpDir("hup-mor") + "/t"
+    HudiTableWriter.createMor(df(1 to 10), mor, recordKeys = Seq("id")): Unit
+    val e1 = intercept[IllegalArgumentException](HudiTableWriter.upsert(df(1 to 2), mor))
+    assert(e1.getMessage.contains("MERGE_ON_READ"))
+
+    val cow = tmpDir("hup-drift") + "/t"
+    HudiTableWriter.create(df(1 to 10), cow, recordKeys = Seq("id")): Unit
+    val e2 = intercept[IllegalArgumentException](
+      HudiTableWriter.upsert(Seq((1L, "x")).toDF("id", "key"), cow))
+    assert(e2.getMessage.contains("columns"))
+
+    val keyless = tmpDir("hup-keyless") + "/t"
+    HudiTableWriter.create(df(1 to 10), keyless): Unit
+    val e3 = intercept[IllegalArgumentException](HudiTableWriter.upsert(df(1 to 2), keyless))
+    assert(e3.getMessage.contains("record key"))
+  }
+
+  // ---------------------------------------------------------------- Delta
+
+  test("delta: upsert masks matched rows via DVs and appends the batch in ONE commit") {
+    val table = tmpDir("dup-basic") + "/t"
+    DeltaTableWriter.create(df(1 to 60), table): Unit
+    def dataFiles(): Set[String] = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = dataFiles()
+    val v0 = DeltaTableReader.snapshotState(spark, table).version
+    val batch = df(10 to 20, _ * 100L).union(df(61 to 70))
+    val v1 = DeltaTableWriter.upsert(batch, table, Seq("id"))
+    assert(v1 == v0 + 1, "the merge must be ONE atomic commit")
+    assert(dataFiles().intersect(before) == before,
+      "matched rows are DV-masked — no pre-existing data file is rewritten or removed")
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.count() == 70L)
+    assert(snap.where(col("id") === 15L).head().getAs[Long]("v") == 1500L)
+    assert(snap.where(col("id") === 5L).head().getAs[Long]("v") == 10L)
+    assert(snap.where(col("id") === 65L).head().getAs[Long]("v") == 130L)
+    // a second upsert layers fresh vectors over the first
+    DeltaTableWriter.upsert(df(15 to 16, _ => 7L), table, Seq("id")): Unit
+    val snap2 = DeltaTableReader.snapshot(spark, table)
+    assert(snap2.count() == 70L)
+    assert(snap2.where(col("id") === 15L).head().getAs[Long]("v") == 7L)
+  }
+
+  test("delta: unmatched batch degrades to pure append; duplicate batch keys refuse") {
+    val table = tmpDir("dup-append") + "/t"
+    DeltaTableWriter.create(df(1 to 20), table): Unit
+    DeltaTableWriter.upsert(df(21 to 30), table, Seq("id")): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 30L)
+    val dup = df(5 to 5).union(df(5 to 5))
+    val e = intercept[IllegalArgumentException](
+      DeltaTableWriter.upsert(dup, table, Seq("id")))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  // ---------------------------------------------------------------- Iceberg
+
+  test("iceberg: upsert = equality-delete + data files in ONE snapshot; older rows masked, batch survives") {
+    val table = tmpDir("iup-basic") + "/t"
+    IcebergTableWriter.create(df(1 to 40), table): Unit
+    IcebergTableWriter.append(df(41 to 60), table): Unit
+    val batch = df(10 to 20, _ * 100L).union(df(61 to 70))
+    val snapId = IcebergTableWriter.upsert(batch, table, Seq("id"))
+    val plan = IcebergTableReader.planFiles(spark, table)
+    assert(plan.equalityDeletes.nonEmpty, "the merge must land a content=2 delete file")
+    assert(plan.equalityDeletes.forall(_.equalityColumns == Seq("id")))
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.count() == 70L)
+    assert(snap.where(col("id") === 15L).head().getAs[Long]("v") == 1500L)
+    assert(snap.where(col("id") === 5L).head().getAs[Long]("v") == 10L)
+    // the PREVIOUS snapshot still serves the pre-merge state (time travel)
+    val (snaps, _) = IcebergTableReader.snapshotLog(spark, table)
+    val prev = snaps.sortBy(_.id).takeRight(2).head
+    assert(prev.id != snapId)
+    val old = IcebergTableReader.snapshotAsOf(spark, table, prev.id)
+    assert(old.count() == 60L)
+    assert(old.where(col("id") === 15L).head().getAs[Long]("v") == 30L)
+    // a second upsert with a DIFFERENT key set refuses (one key shape per table)
+    val e = intercept[IllegalArgumentException](
+      IcebergTableWriter.upsert(df(1 to 2), table, Seq("key")))
+    assert(e.getMessage.contains("key"))
+    // duplicate batch keys refuse
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTableWriter.upsert(df(5 to 5).union(df(5 to 5)), table, Seq("id")))
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
+  test("iceberg: repeated upserts stack; each batch's rows survive its own delete") {
+    val table = tmpDir("iup-stack") + "/t"
+    IcebergTableWriter.create(df(1 to 10), table): Unit
+    IcebergTableWriter.upsert(df(5 to 12, _ * 10L), table, Seq("id")): Unit
+    IcebergTableWriter.upsert(df(8 to 15, _ * 1000L), table, Seq("id")): Unit
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.count() == 15L)
+    assert(snap.where(col("id") === 3L).head().getAs[Long]("v") == 6L)
+    assert(snap.where(col("id") === 6L).head().getAs[Long]("v") == 60L)
+    assert(snap.where(col("id") === 12L).head().getAs[Long]("v") == 12000L)
+  }
+}

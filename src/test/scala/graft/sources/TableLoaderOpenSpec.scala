@@ -153,4 +153,46 @@ class TableLoaderOpenSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](TableLoader.openAsOf(spark, p, "0"))
     assert(e.getMessage.contains("time-travel"))
   }
+
+  test("upsert dispatch: one call merges into any format; the token advances; plain refuses") {
+    import org.apache.spark.sql.functions._
+    def mergedOk(path: String): Unit = {
+      val snap = TableLoader.open(spark, path)
+      assert(snap.count() == 25L, s"$path: 20 base ∪ 5 new keys")
+      assert(snap.where(col("id") === 3L).select("v").head().getLong(0) == 999L,
+        s"$path: matched key must carry the batch value")
+      assert(snap.where(col("id") === 10L).select("v").head().getLong(0) == 20L,
+        s"$path: unmatched base row must survive untouched")
+    }
+    val batch = rows(1 to 5).withColumn("v", lit(999L))
+      .unionByName(rows(21 to 25))
+
+    val d = tmpDir("up-delta") + "/t"
+    DeltaTableWriter.create(rows(1 to 20), d): Unit
+    val dTok = TableLoader.upsert(batch, d, Seq("id"))
+    assert(dTok == TableLoader.latestToken(spark, d)); mergedOk(d)
+
+    val h = tmpDir("up-hudi") + "/t"
+    HudiTableWriter.create(rows(1 to 20), h, recordKeys = Seq("id")): Unit
+    val hTok = TableLoader.upsert(batch, h, Seq("id"))
+    assert(hTok == TableLoader.latestToken(spark, h)); mergedOk(h)
+    // a keys argument disagreeing with hoodie.properties refuses
+    val eH = intercept[IllegalArgumentException](TableLoader.upsert(batch, h, Seq("v")))
+    assert(eH.getMessage.contains("recordkey"))
+
+    val i = tmpDir("up-ice") + "/t"
+    IcebergTableWriter.create(rows(1 to 20), i): Unit
+    val iTok = TableLoader.upsert(batch, i, Seq("id"))
+    assert(iTok == TableLoader.latestToken(spark, i)); mergedOk(i)
+
+    val g = tmpDir("up-graft")
+    UpsertWriter.upsert(rows(1 to 20), g, Seq("id"), precombine = "v")
+    val gTok = TableLoader.upsert(batch, g, Seq("id"))
+    assert(gTok == TableLoader.latestToken(spark, g)); mergedOk(g)
+
+    val p = tmpDir("up-plain")
+    rows(1 to 5).write.mode("overwrite").parquet(p)
+    val eP = intercept[IllegalArgumentException](TableLoader.upsert(batch, p, Seq("id")))
+    assert(eP.getMessage.contains("merge contract"))
+  }
 }
