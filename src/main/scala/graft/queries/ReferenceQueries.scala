@@ -2099,6 +2099,46 @@ trait ReferenceQueries extends QueryBase {
     },
     oracle = Some(upsertMergeOracle))
 
+  /** #104d Iceberg CDC-GRADE incremental
+    * ([[graft.sources.IcebergTableReader.changeFeedSince]]) — the
+    * consumption half of the Flink-CDC shape the upsert writer lands:
+    * append snapshots serve inserts, position-delete snapshots serve
+    * FULL pre-images (read from the targeted files at exactly the
+    * deleted positions), equality-delete upsert snapshots serve
+    * inserts plus delete KEY-images (non-key columns null — an
+    * equality delete names keys, not rows). The oracle recomputes
+    * every leg from the fixture predicates.
+    */
+  val qIcebergCdc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("iceberg-cdc") + "/t"
+      val (base, batch) = upsertFixture(s, dir)
+      val s1 = IcebergTableWriter.create(base, table)
+      IcebergTableWriter.delete(s, table, col("o_orderkey") % 11 === 0): Unit
+      IcebergTableWriter.upsert(batch, table, Seq("o_orderkey")): Unit
+      IcebergTableReader.changeFeedSince(s, table, s1)
+        .groupBy(col("_change_type"), col("_snapshot_id"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+          sum(col("o_orderkey")).as("key_sum"))
+    },
+    oracle = Some(
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS _snapshot_id,
+        |  o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM base WHERE o_orderkey % 11 = 0 GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'insert', CAST(3 AS BIGINT), o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice + 100000.0 AS DECIMAL(28,6))) AS DOUBLE),
+        |  CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'delete', CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), count(*),
+        |  CAST(NULL AS DOUBLE), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin))
+
   /** #105f CROSS-FORMAT MIRROR pipeline — the reference's whole job
     * (checkpointed incremental consume, template.py:226-281),
     * upgraded from CSV delivery to engine-grade delivery: pull 1

@@ -154,6 +154,29 @@ class ForeignUpsertSpec extends SparkSpec {
     assert(snap2.where(col("id") === 15L).head().getAs[Long]("v") == 7L)
   }
 
+  test("delta: changeFeedSince serves an upsert commit as CDC — pre-image deletes + inserts; the fold reproduces the snapshot") {
+    val table = tmpDir("dup-cdc") + "/t"
+    DeltaTableWriter.create(df(1 to 40), table): Unit
+    val batch = df(5 to 10, _ * 100L).union(df(41 to 45))
+    DeltaTableWriter.upsert(batch, table, Seq("id")): Unit
+    val feed = DeltaTableReader.changeFeedSince(spark, table, sinceVersion = 0L)
+    val dels = feed.where(col("_change_type") === "delete")
+    val ins = feed.where(col("_change_type") === "insert")
+    // deletes: PRE-IMAGES of the six replaced rows, original values
+    assert(dels.count() == 6L)
+    assert(dels.where(col("id") === 7L).head().getAs[Long]("v") == 14L)
+    // inserts: the whole batch (6 replacements + 5 new keys)
+    assert(ins.count() == 11L)
+    assert(ins.where(col("id") === 7L).head().getAs[Long]("v") == 700L)
+    // fold: v0 snapshot minus deleted rows plus inserts == current
+    val v0 = DeltaTableReader.snapshotAsOf(spark, table, 0L).select("id", "key", "v")
+    val folded = v0.join(dels.select("id", "key", "v"), Seq("id", "key", "v"), "left_anti")
+      .unionByName(ins.select("id", "key", "v"))
+    val now = DeltaTableReader.snapshot(spark, table).select("id", "key", "v")
+    assert(folded.exceptAll(now).isEmpty && now.exceptAll(folded).isEmpty,
+      "the folded feed must reproduce the post-upsert snapshot")
+  }
+
   test("delta: unmatched batch degrades to pure append; duplicate batch keys refuse") {
     val table = tmpDir("dup-append") + "/t"
     DeltaTableWriter.create(df(1 to 20), table): Unit

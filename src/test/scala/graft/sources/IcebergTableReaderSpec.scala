@@ -343,6 +343,62 @@ class IcebergTableReaderSpec extends SparkSpec {
     assert(eAf.getMessage.contains("row-level delete"))
   }
 
+  test("changeFeedSince: appends→inserts, upserts→inserts+key-deletes, position deletes→pre-images, replace silent; the fold reproduces the snapshot") {
+    import org.apache.spark.sql.DataFrame
+    val table = tmpDir("ice-cdc") + "/t"
+    val s1 = IcebergTableWriter.create(rows(1 to 30), table)
+    IcebergTableWriter.append(rows(31 to 40), table): Unit                  // s2: append
+    IcebergTableWriter.delete(spark, table, col("id") % 10 === 0): Unit      // s3: pos delete
+    IcebergTableWriter.upsert(rows(5 to 8).withColumn("v", lit(999L)),       // s4: overwrite
+      table, Seq("id")): Unit
+    IcebergTableWriter.rewriteDataFiles(spark, table, targetFiles = 2): Unit // s5: replace
+    val feed = IcebergTableReader.changeFeedSince(spark, table, s1)
+    feed.cache()
+    // append leg: 10 inserts at s2
+    assert(feed.where(col("_snapshot_id") === s1 + 1 &&
+      col("_change_type") === "insert").count() == 10L)
+    // position-delete leg: FULL pre-images of the live %10 rows
+    val preDel = feed.where(col("_snapshot_id") === s1 + 2 && col("_change_type") === "delete")
+    assert(preDel.count() == 4L) // 10,20,30,40
+    assert(preDel.where(col("v").isNull).count() == 0L, "pre-images carry the full row")
+    assert(preDel.where(col("id") === 10L).head().getAs[Long]("v") == 20L)
+    // upsert leg: 4 inserts + 4 delete KEY-images (non-key columns null)
+    val upsId = s1 + 3
+    assert(feed.where(col("_snapshot_id") === upsId &&
+      col("_change_type") === "insert").count() == 4L)
+    val keyDel = feed.where(col("_snapshot_id") === upsId && col("_change_type") === "delete")
+    assert(keyDel.count() == 4L)
+    assert(keyDel.where(col("grp").isNull && col("v").isNull).count() == 4L,
+      "an equality delete names keys, not rows")
+    assert(keyDel.agg(sum("id")).head().getLong(0) == (5 to 8).sum.toLong)
+    // replace emits nothing
+    assert(feed.where(col("_snapshot_id") === s1 + 4).count() == 0L)
+    // THE property: folding the feed onto the bootstrap snapshot
+    // reproduces the current snapshot exactly
+    var mirror: DataFrame = IcebergTableReader.snapshotAsOf(spark, table, s1)
+      .select("id", "grp", "v")
+    feed.select("_snapshot_id").distinct().collect().map(_.getLong(0)).sorted.foreach { sid =>
+      val dels = feed.where(col("_snapshot_id") === sid && col("_change_type") === "delete")
+      val ins = feed.where(col("_snapshot_id") === sid && col("_change_type") === "insert")
+        .select("id", "grp", "v")
+      // delete-by-key when the image is key-only, delete-by-row otherwise
+      mirror =
+        (if (dels.isEmpty) mirror
+         else if (dels.where(col("grp").isNull).count() == dels.count())
+           mirror.join(dels.select("id"), Seq("id"), "left_anti")
+         else mirror.join(dels.select("id", "grp", "v"), Seq("id", "grp", "v"), "left_anti"))
+          .unionByName(ins)
+    }
+    val now = IcebergTableReader.snapshot(spark, table).select("id", "grp", "v")
+    assert(mirror.exceptAll(now).isEmpty && now.exceptAll(mirror).isEmpty,
+      "the folded feed must reproduce the current snapshot")
+    feed.unpersist()
+    // a non-ancestor checkpoint refuses
+    val e = intercept[IllegalArgumentException](
+      IcebergTableReader.changeFeedSince(spark, table, 999L))
+    assert(e.getMessage.contains("ancestor"))
+  }
+
   test("TIMESTAMP AS OF resolves the latest snapshot at-or-before from the snapshot log") {
     val table = tmpDir("ice-ts")
     writeDataFile(rows(1 to 30), table, "data/f1.parquet")
