@@ -1851,6 +1851,60 @@ trait ReferenceQueries extends QueryBase {
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #102g External Delta table with columnMapping=id (UniForm /
+    * converted-table shape): resolution is by parquet FIELD ID, the
+    * mode's actual rule — the fixture's data files carry column
+    * names matching NEITHER the logical schema NOR the physicalName
+    * metadata, in shuffled order, so any name-keyed read fails while
+    * the field-ID scan ([[graft.sources.DeltaTableReader]] requesting
+    * a `parquet.field.id` schema) serves the logical columns exactly.
+    */
+  val qDeltaColmapId: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("delta-colmap-id")
+      val table = root + "/t"
+      new java.io.File(table).mkdirs()
+      val o = t(s, dir, "orders")
+      val logical = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      def fid(i: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", i).build()
+      // decoy names qN, REVERSED column order — only field ids resolve
+      def decoyed(df: DataFrame) = df.select(
+        logical.zipWithIndex.reverse.map { case (c, i) =>
+          col(c).as(s"q$i", fid(i + 1L)) }: _*)
+      writeDeltaDataFile(decoyed(o.filter(pmod(col("o_orderkey"), lit(2)) === 0)),
+        table, "part-a.parquet")
+      writeDeltaDataFile(decoyed(o.filter(pmod(col("o_orderkey"), lit(2)) === 1)),
+        table, "part-b.parquet")
+      val schema = {
+        import org.apache.spark.sql.types._
+        StructType(logical.zipWithIndex.map { case (c, i) =>
+          StructField(c, o.schema(c).dataType, nullable = true,
+            new MetadataBuilder()
+              .putLong("delta.columnMapping.id", i + 1L)
+              .putString("delta.columnMapping.physicalName", s"col-decoy-$i")
+              .build())
+        }).json
+      }
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+      writeDeltaCommit(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${q.writeValueAsString(schema)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"id",""" +
+          s""""delta.columnMapping.maxColumnId":"6"},"createdTime":1700000000000}}""",
+        deltaAdd("part-a.parquet"), deltaAdd("part-b.parquet")))
+      graft.sources.DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #108 External-format TIME TRAVEL, all three adapters: Delta
     * VERSION AS OF (replay stops at the commit; an overshooting
     * checkpoint refuses via contiguity, never serves a later state),

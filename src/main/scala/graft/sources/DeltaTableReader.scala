@@ -41,9 +41,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    cardinalities say it fits, bounded by |deletes-since-rewrite|,
   *    never table bytes.
   *
-  * What still REFUSES loudly: column mapping (physical parquet names
-  * differ from the table schema — a plain scan would return the wrong
-  * columns) and any reader feature outside the supported set; a
+  * Column mapping is honored in BOTH modes: `name` by renaming the
+  * scan's physical columns back to the logical schema, `id` by
+  * requesting a schema whose `parquet.field.id` metadata makes the
+  * parquet reader match columns by FIELD ID (the mode's actual
+  * resolution rule — physical names are not authoritative there).
+  * What still REFUSES loudly: unknown mapping modes, nested mapped
+  * fields, any reader feature outside the supported set, and a
   * cleaned log whose remaining JSON versions are not contiguous
   * (silently skipping missing commits would under-return).
   *
@@ -117,9 +121,8 @@ object DeltaTableReader {
     * is honored by actually applying the vectors; timestampNtz and
     * variantType map onto Spark-native types in the data files;
     * columnMapping is honored in `name` mode by renaming the scan's
-    * physical columns back to the table schema's logical names (`id`
-    * mode still refuses — matching parquet field IDs is a different
-    * resolution rule).
+    * physical columns back to the table schema's logical names and in
+    * `id` mode by parquet field-ID matching ([[fieldIdSchemaOf]]).
     */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "timestampNtz", "variantType", "columnMapping")
@@ -214,11 +217,45 @@ object DeltaTableReader {
   }
 
   private def refuseColumnMapping(mode: Option[String], tablePath: String): Unit =
-    if (mode.exists(m => m != "none" && m != "name")) throw new IllegalStateException(
-      s"$tablePath: delta.columnMapping.mode=${mode.get} — this reader honors only " +
-        "'name' mode (physical names carried in the schema's " +
-        "delta.columnMapping.physicalName metadata); 'id'-mode resolution matches " +
-        "parquet field IDs, which a name-keyed scan cannot honor; refusing")
+    if (mode.exists(m => m != "none" && m != "name" && m != "id"))
+      throw new IllegalStateException(
+        s"$tablePath: delta.columnMapping.mode=${mode.get} — this reader honors 'name' " +
+          "mode (physical names from delta.columnMapping.physicalName metadata) and " +
+          "'id' mode (parquet field-ID matching); refusing an unknown mode")
+
+  /** Read schema for columnMapping `id` mode: the LOGICAL field names
+    * with `parquet.field.id` metadata from `delta.columnMapping.id`,
+    * so the parquet scan matches columns by FIELD ID (what the mode
+    * means — physical names are not authoritative there) and returns
+    * logical names directly. Partition columns are excluded (Delta
+    * keeps them out of the data files; the partition-value join adds
+    * them back). Missing id metadata and NESTED mapped fields refuse.
+    */
+  private def fieldIdSchemaOf(schemaJson: Option[String], partitionColumns: Seq[String],
+      tablePath: String): StructType = {
+    val IdKey = "delta.columnMapping.id"
+    val st = schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case s: StructType => s }
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: columnMapping id mode needs a parseable schemaString"))
+    StructType(st.fields.filterNot(f => partitionColumns.contains(f.name)).map { f =>
+      if (!f.metadata.contains(IdKey)) throw new IllegalStateException(
+        s"$tablePath: column ${f.name} carries no delta.columnMapping.id — id-mode " +
+          "field matching is undefined for it; refusing")
+      f.dataType match {
+        case _: StructType | _: org.apache.spark.sql.types.ArrayType |
+            _: org.apache.spark.sql.types.MapType =>
+          throw new IllegalStateException(
+            s"$tablePath: column ${f.name} is a nested type — id-mode matching of inner " +
+              "fields is not implemented; refusing rather than mis-resolving")
+        case _ => ()
+      }
+      StructField(f.name, f.dataType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build())
+    })
+  }
 
   /** logical → physical column names from the metaData schemaString's
     * `delta.columnMapping.physicalName` field metadata (columnMapping
@@ -629,11 +666,24 @@ object DeltaTableReader {
       partitionColumns: Seq[String],
       schemaJson: Option[String],
       keepPositions: Option[DataFrame] = None,
-      keepKeys: Boolean = false): DataFrame = {
+      keepKeys: Boolean = false,
+      configuration: Map[String, String] = Map.empty): DataFrame = {
     if (files.isEmpty)
       throw new IllegalArgumentException(s"$tablePath: snapshot has no active data files")
     val absOf: FileAction => String = f => abs(tablePath, f.path)
-    val base = spark.read.parquet(files.map(absOf): _*)
+    val base = configuration.get("delta.columnMapping.mode") match {
+      case Some("id") =>
+        // field-ID matching needs the session flag; it only changes
+        // scans whose REQUESTED schema carries parquet.field.id
+        // metadata (this one), so enabling it is benign and must
+        // outlive this call — the returned frame plans lazily
+        if (spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
+            .forall(_ != "true"))
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(fieldIdSchemaOf(schemaJson, partitionColumns, tablePath))
+          .parquet(files.map(absOf): _*)
+      case _ => spark.read.parquet(files.map(absOf): _*)
+    }
     // columnMapping name mode: the scan returns PHYSICAL column names;
     // everything downstream keys on logical names, so translate the
     // scanned columns first and resolve partition values through the
@@ -706,10 +756,14 @@ object DeltaTableReader {
       }
       .getOrElse(finalCols)
     // final projection translates physical data columns back to their
-    // logical names; partition columns were attached logically already
+    // logical names (NAME mode only — id-mode scans already returned
+    // logical names via field-ID matching); partition columns were
+    // attached logically already
+    val isIdMode = configuration.get("delta.columnMapping.mode").contains("id")
     val projected = ordered.map { c =>
       val phys = physKeyOf(c)
-      if (phys != c && !partitionColumns.contains(c)) col(phys).as(c) else col(c)
+      if (phys != c && !partitionColumns.contains(c) && !isIdMode) col(phys).as(c)
+      else col(c)
     }
     val finalProjection =
       if (keepKeys) projected ++ Seq(col("_g_file"), col("_g_pos")) else projected
@@ -726,7 +780,7 @@ object DeltaTableReader {
       tablePath: String): (Snapshot, DataFrame) = {
     val s = snapshotState(spark, tablePath)
     (s, readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson,
-      keepKeys = true))
+      keepKeys = true, configuration = s.configuration))
   }
 
   /** Snapshot read: the latest version's active files as a DataFrame,
@@ -739,7 +793,8 @@ object DeltaTableReader {
       partitionPruner: Map[String, String] => Boolean = _ => true,
       maxDriverFiles: Int = MaxDriverFileActions): DataFrame = {
     val s = snapshotState(spark, tablePath, partitionPruner, maxDriverFiles)
-    readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson)
+    readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson,
+      configuration = s.configuration)
   }
 
   /** STATS-BASED FILE SKIPPING: a snapshot read pruned by the add
@@ -768,7 +823,8 @@ object DeltaTableReader {
       }
     }
     val s = snapshotState(spark, tablePath, statsPruner = Some(pruner))
-    readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson)
+    readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson,
+      configuration = s.configuration)
   }
 
   /** VERSION AS OF: the table exactly as of commit `version` — log
@@ -780,7 +836,8 @@ object DeltaTableReader {
     */
   def snapshotAsOf(spark: SparkSession, tablePath: String, version: Long): DataFrame = {
     val s = snapshotState(spark, tablePath, asOf = Some(version))
-    readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson)
+    readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson,
+      configuration = s.configuration)
   }
 
   /** TIMESTAMP AS OF: resolve the latest version whose commit landed
@@ -845,7 +902,8 @@ object DeltaTableReader {
         s"$tablePath: no data-changing commits after version $sinceVersion " +
           s"(latest: ${state.version})")
     byVersion.toSeq.sortBy(_._1).map { case (v, fas) =>
-      readFiles(spark, tablePath, fas.map(_._2), state.partitionColumns, state.schemaJson)
+      readFiles(spark, tablePath, fas.map(_._2), state.partitionColumns, state.schemaJson,
+          configuration = state.configuration)
         .withColumn("_commit_version", lit(v))
     }.reduce(_ unionByName _)
   }
@@ -911,7 +969,8 @@ object DeltaTableReader {
         // the add/remove actions are NOT reconstructed (doing both
         // would double-count every changed row)
         val cdcDf = readFiles(spark, tablePath, cdc,
-          endState.partitionColumns, endState.schemaJson)
+          endState.partitionColumns, endState.schemaJson,
+          configuration = endState.configuration)
         require(cdcDf.columns.contains("_change_type"),
           s"$tablePath: commit $v's cdc files carry no _change_type column — corrupt " +
             "change data; refusing")
@@ -923,7 +982,8 @@ object DeltaTableReader {
       val inserts = added.filter(a => a.dataChange && !active.contains(a.path))
       if (inserts.nonEmpty)
         legs += tag(readFiles(spark, tablePath, inserts,
-          endState.partitionColumns, endState.schemaJson), "insert", v)
+          endState.partitionColumns, endState.schemaJson,
+          configuration = endState.configuration), "insert", v)
       // DV growth: re-add of an active path — delete images at the
       // newly-masked positions
       val dvGrowth = added.filter(a => a.dataChange && active.contains(a.path))
@@ -975,7 +1035,8 @@ object DeltaTableReader {
           if (newCardSum <= DvBroadcastMaxPositions) broadcast(diff) else diff
         legs += tag(readFiles(spark, tablePath, grown.map(_.copy(dv = None)),
           endState.partitionColumns, endState.schemaJson,
-          keepPositions = Some(diffHinted)), "delete", v)
+          keepPositions = Some(diffHinted),
+          configuration = endState.configuration), "delete", v)
       }
       // whole-file deletes: data-changing removes not re-added — the
       // still-live rows (old DV already subtracted by readFiles)
@@ -983,7 +1044,8 @@ object DeltaTableReader {
         .collect { case (p, true) if active.contains(p) && !addedPaths.contains(p) => active(p) }
       if (wholeDeletes.nonEmpty)
         legs += tag(readFiles(spark, tablePath, wholeDeletes,
-          endState.partitionColumns, endState.schemaJson), "delete", v)
+          endState.partitionColumns, endState.schemaJson,
+          configuration = endState.configuration), "delete", v)
       // replay state forward (dataChange=false compaction included)
       removes.result().foreach { case (p, _) => active.remove(p): Unit }
       added.foreach(a => active(a.path) = a)

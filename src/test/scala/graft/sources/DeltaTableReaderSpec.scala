@@ -307,14 +307,14 @@ class DeltaTableReaderSpec extends SparkSpec {
     val e1 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t1))
     assert(e1.getMessage.contains("reader features"))
 
-    // 2. columnMapping mode=id in the checkpoint's metaData.configuration
-    // (name mode reads via the physicalName mapping — its own spec)
+    // 2. an UNKNOWN columnMapping mode in the checkpoint's
+    // metaData.configuration (name and id modes read — their own specs)
     val t2 = buildCkptTable("ck-cmap",
       Seq("p0.parquet").toDF("path").select(
         addStruct("null").as("add"),
         struct(lit("fixture").as("id"), lit(schemaJson).as("schemaString"),
           array().cast("array<string>").as("partitionColumns"),
-          map(lit("delta.columnMapping.mode"), lit("id")).as("configuration")).as("metaData")))
+          map(lit("delta.columnMapping.mode"), lit("madeup")).as("configuration")).as("metaData")))
     val e2 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
     assert(e2.getMessage.contains("columnMapping"))
 
@@ -347,15 +347,14 @@ class DeltaTableReaderSpec extends SparkSpec {
       meta(Nil, schemaJson), add("f.parquet")))
     val e2 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
     assert(e2.getMessage.contains("reader features"))
-    // column mapping mode=id in table configuration refuses (field-ID
-    // resolution is a different rule); mode=name is read via the
-    // physicalName mapping — its own spec below
+    // an UNKNOWN column-mapping mode refuses (name and id modes are
+    // read — their own specs below)
     val t3 = tmpDir("delta-cmap")
     writeDataFile(rows(1 to 20), t3, "f.parquet")
     writeCommit(t3, 0L, Seq(protocol,
       s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":[],""" +
-        s""""configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}""",
+        s""""configuration":{"delta.columnMapping.mode":"madeup"},"createdTime":0}}""",
       add("f.parquet")))
     val e3 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t3))
     assert(e3.getMessage.contains("columnMapping"))
@@ -426,6 +425,52 @@ class DeltaTableReaderSpec extends SparkSpec {
       add("f.parquet")))
     val e = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
     assert(e.getMessage.contains("NESTED"))
+  }
+
+  test("columnMapping=id reads: parquet FIELD IDS resolve columns — names are decoys; DVs compose") {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val table = tmpDir("delta-cmap-id")
+    def fid(i: Long) = new MetadataBuilder().putLong("parquet.field.id", i).build()
+    // the data file's column NAMES match neither the logical schema
+    // nor the physicalName metadata, and ride in reversed order — only
+    // field-ID matching can resolve them (the mode's actual rule)
+    writeDataFile(rows(1 to 20).select(
+      col("v").as("zzz", fid(2)), col("id").as("aaa", fid(1))), table, "f.parquet")
+    val schema = colmapSchema(Seq(("id", "col-aaa", "BIGINT"), ("v", "col-ccc", "BIGINT")))
+    writeCommit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonQ(schema)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}""",
+      add("f.parquet")))
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.columns.toSeq == Seq("id", "v"),
+      "callers must see the LOGICAL schema, in schema order")
+    assert(snap.count() == 20L)
+    val r = snap.where(col("id") === 4L).head()
+    assert(r.getAs[Long]("v") == 8L, "field id 2 must resolve to v regardless of name/order")
+    // a deletion vector composes with id-mode resolution
+    // (_metadata.row_index works under an explicit read schema)
+    val inline = DeltaDv.inlineDescriptor((0L until 5L).toSeq)
+    writeCommit(table, 1L, Seq(
+      remove("f.parquet"),
+      s"""{"add":{"path":"f.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":1,"dataChange":true,""" +
+        s""""deletionVector":${DeltaDv.descriptorJson(inline)}}}"""))
+    val masked = DeltaTableReader.snapshot(spark, table)
+    assert(masked.count() == 15L && masked.select(min("id")).head().getLong(0) == 6L)
+    // a schema missing delta.columnMapping.id refuses — id matching is
+    // undefined without the ids
+    val t2 = tmpDir("delta-cmap-id-missing")
+    writeDataFile(rows(1 to 5), t2, "f.parquet")
+    writeCommit(t2, 0L, Seq(protocol,
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${schemaJson.replace("\"", "\\\"")}","partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}""",
+      add("f.parquet")))
+    val e = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2).count())
+    assert(e.getMessage.contains("delta.columnMapping.id"))
   }
 
   test("changeFeedSince: inserts from adds, delete pre-images from DV diffs and removes; restores refuse") {
