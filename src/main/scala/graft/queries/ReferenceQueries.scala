@@ -1564,6 +1564,64 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin))
 
+  /** #22x Streaming ingestion INTO an external Iceberg table
+    * ([[graft.streaming.LakehouseSinks]]): each micro-batch appends a
+    * snapshot whose SUMMARY carries (app-id, batch-id) — the
+    * Flink-connector watermark pattern — and a replayed batch is
+    * skipped off [[graft.sources.IcebergTableWriter.lastBatchId]].
+    * The replay is proven a no-op in-run before the oracle compares
+    * the final snapshot to the full source.
+    */
+  val qStreamIcebergSink: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.IcebergTableReader
+      import graft.streaming.LakehouseSinks
+      val table = scratch("stream-ice-sink") + "/t"
+      val appId = "graft-iceberg-sink"
+      val src = graft.streaming.EventStream.streamableDir(s, s"$dir/events.parquet")
+      LakehouseSinks.streamEventsToIceberg(s, src, table, appId,
+        queryName = "graft_ice_sink_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      val replayBatch = t(s, dir, "events").limit(10)
+      require(!LakehouseSinks.appendBatchIceberg(replayBatch, table, appId, batchId = 0L),
+        "a replayed batch id at/below the summary watermark must not re-land")
+      IcebergTableReader.snapshot(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    },
+    oracle = Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin))
+
+  /** #22y Streaming ingestion INTO an external Hudi COW table: the
+    * watermark rides each commit's `extraMetadata` — Hudi's own
+    * deltastreamer checkpoint pattern — and replays no-op off
+    * [[graft.sources.HudiTableWriter.lastBatchId]]. Replay proven
+    * in-run; the oracle compares the final snapshot to the source.
+    */
+  val qStreamHudiSink: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.HudiTableReader
+      import graft.streaming.LakehouseSinks
+      val table = scratch("stream-hudi-sink") + "/t"
+      val appId = "graft-hudi-sink"
+      val src = graft.streaming.EventStream.streamableDir(s, s"$dir/events.parquet")
+      LakehouseSinks.streamEventsToHudi(s, src, table, appId,
+        queryName = "graft_hudi_sink_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      val replayBatch = t(s, dir, "events").limit(10)
+      require(!LakehouseSinks.appendBatchHudi(replayBatch, table, appId, batchId = 0L),
+        "a replayed batch id at/below the extraMetadata watermark must not re-land")
+      HudiTableReader.snapshot(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    },
+    oracle = Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin))
+
   /** #105b Format-agnostic incremental open on a GRAFT versioned
     * table ([[graft.sources.TableLoader.openIncremental]]): upsert
     * commits declare their record keys in commit metadata, so the

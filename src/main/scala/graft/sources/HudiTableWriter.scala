@@ -29,11 +29,10 @@ import org.apache.spark.sql.functions._
   * loser bumps to the next instant and retries, the same
   * instant-uniqueness Hudi's own timeline service enforces.
   *
-  * Append-only by design, like [[DeltaTableWriter]]: UPDATES against
-  * a COW layout rewrite whole file groups, which is the versioned
-  * table machinery's job ([[UpsertWriter]]); inserts are the
-  * interop-safe subset every Hudi reader — snapshot AND incremental —
-  * consumes identically.
+  * Beyond inserts: [[upsert]] is the reference's own write operation
+  * (COW file-group rewrite, carried rows keeping their stamps), and
+  * the MOR half (createMor/updateLog/deleteLog/compact) lands
+  * deltacommit log files the real-time reader merges.
   */
 object HudiTableWriter {
 
@@ -119,11 +118,6 @@ object HudiTableWriter {
       .map(_.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
 
-  /** Write one insert commit: every staged parquet file becomes a NEW
-    * file group named per the Hudi base-file convention, and the
-    * `.commit` (or, on MOR tables, `.deltacommit`) meta file publishes
-    * them. Returns the commit instant.
-    */
   /** Land `df` (already stamped) as NEW file groups under `instant`:
     * stage write (hive dirs from duplicated `_p_<c>` columns — Hudi
     * keeps partition columns IN the data files), then rename each
@@ -168,9 +162,16 @@ object HudiTableWriter {
     writes.result()
   }
 
+  /** Write one insert commit: every staged parquet file becomes a NEW
+    * file group named per the Hudi base-file convention, and the
+    * `.commit` (or, on MOR tables, `.deltacommit`) meta file publishes
+    * them — with the sink's `extraMetadata` when given. Returns the
+    * commit instant.
+    */
   private def insertCommit(df: DataFrame, tablePath: String,
       recordKeys: Seq[String], kind: String = "commit",
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil,
+      extraMetadata: Map[String, String] = Map.empty): String = {
     val spark = df.sparkSession
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -197,7 +198,8 @@ object HudiTableWriter {
       val created = try {
         val out = fs.create(commitPath, false)
         try out.write(
-          (s"""{"partitionToWriteStats":{$statsByPartition},"operationType":"INSERT"}""" + "\n")
+          (s"""{"partitionToWriteStats":{$statsByPartition},"operationType":"INSERT"""" +
+            extraMetadataJson(extraMetadata) + "}\n")
             .getBytes("UTF-8"))
         finally out.close()
         true
@@ -216,7 +218,8 @@ object HudiTableWriter {
     */
   def create(df: DataFrame, tablePath: String, tableName: String = "graft_table",
       recordKeys: Seq[String] = Nil, precombineField: Option[String] = None,
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil,
+      extraMetadata: Map[String, String] = Map.empty): String = {
     val spark = df.sparkSession
     val dir = hoodieDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -229,7 +232,8 @@ object HudiTableWriter {
     fs.mkdirs(dir)
     writeProperties(spark, tablePath, tableName, recordKeys, precombineField,
       partitionBy = partitionBy)
-    insertCommit(df, tablePath, recordKeys, partitionBy = partitionBy)
+    insertCommit(df, tablePath, recordKeys, partitionBy = partitionBy,
+      extraMetadata = extraMetadata)
   }
 
   /** Append `df` as a new insert commit; columns must match the
@@ -240,7 +244,8 @@ object HudiTableWriter {
     * A non-empty `recordKeys` argument is validation only: it must
     * equal the declaration (callers asserting what they expect).
     */
-  def append(df: DataFrame, tablePath: String, recordKeys: Seq[String] = Nil): String = {
+  def append(df: DataFrame, tablePath: String, recordKeys: Seq[String] = Nil,
+      extraMetadata: Map[String, String] = Map.empty): String = {
     val spark = df.sparkSession
     val declared = declaredRecordKeys(spark, tablePath)
     require(recordKeys.isEmpty || recordKeys == declared,
@@ -257,7 +262,45 @@ object HudiTableWriter {
     // partitioning comes from the TABLE's declaration, like the keys
     val kind = if (HudiTableReader.isMor(spark, tablePath)) "deltacommit" else "commit"
     insertCommit(df, tablePath, declared, kind,
-      partitionBy = declaredPartitionFields(spark, tablePath))
+      partitionBy = declaredPartitionFields(spark, tablePath),
+      extraMetadata = extraMetadata)
+  }
+
+  /** Commit-metadata keys carrying a streaming sink's (appId,
+    * batchId) watermark — Hudi's own deltastreamer pattern (the
+    * checkpoint rides the commit's `extraMetadata`, atomic with the
+    * data it describes).
+    */
+  val SinkAppKey = "graft.sink.app-id"
+  val SinkBatchKey = "graft.sink.batch-id"
+
+  private def extraMetadataJson(extra: Map[String, String]): String =
+    if (extra.isEmpty) ""
+    else {
+      def jq(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      ""","extraMetadata":{""" + extra.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString(",") + "}"
+    }
+
+  /** The highest batch id `appId` committed into the timeline's
+    * extraMetadata — the streaming sink's replay watermark. Driver
+    * metadata, |completed instants|-bounded.
+    */
+  def lastBatchId(spark: SparkSession, tablePath: String, appId: String): Option[Long] = {
+    val fs = hoodieDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ids = HudiTableReader.timelineInstants(spark, tablePath, allowMor = true)
+      .flatMap { case (instant, kind) =>
+        val p = new Path(hoodieDir(tablePath), s"$instant.$kind")
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val extra = mapper.readTree(text).get("extraMetadata")
+        if (extra == null || !extra.isObject) None
+        else if (!Option(extra.get(SinkAppKey)).exists(_.asText() == appId)) None
+        else Option(extra.get(SinkBatchKey))
+          .flatMap(v => scala.util.Try(v.asText().toLong).toOption)
+      }
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** UPSERT into a Hudi COPY-ON-WRITE table — the operation the

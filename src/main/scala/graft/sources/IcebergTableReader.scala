@@ -37,15 +37,16 @@ import org.apache.spark.sql.functions._
   * of (file_path, pos) rows subtract from the data scan with an anti
   * join on `_metadata.file_path`/`row_index` — the same positional
   * identity graft's own DeletionVectors machinery uses, bounded by
-  * |deletes|, never table bytes. EQUALITY deletes (content=2) refuse
-  * loudly — they need key semantics a plain scan cannot honor.
-  * Incremental reads
+  * |deletes|, never table bytes. EQUALITY deletes (content=2) are
+  * applied too — one delete-file scan + a sequence-scoped null-safe
+  * anti join on the declared key columns. Incremental reads
   * follow the snapshot log parent chain: appends-only between the
   * checkpoint and the current snapshot surface exactly the files
   * their snapshots ADDED (status=1, tagged `_snapshot_id`); an
   * overwrite/delete/replace snapshot in the range refuses — the same
   * append-scoped contract the Delta/Hudi adapters and graft's own
-  * IncrementalReader hold.
+  * IncrementalReader hold — while [[changeFeedSince]] serves the
+  * CDC-grade feed across all three delete shapes.
   */
 object IcebergTableReader {
 
@@ -56,7 +57,8 @@ object IcebergTableReader {
       parentId: Option[Long],
       operation: String,
       manifestList: String,
-      timestampMs: Long = 0L)
+      timestampMs: Long = 0L,
+      summary: Map[String, String] = Map.empty) // extra keys beyond operation
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -117,13 +119,18 @@ object IcebergTableReader {
     val snaps = Seq.newBuilder[SnapshotInfo]
     val arr = meta.get("snapshots")
     if (arr != null && arr.isArray) arr.forEach { s =>
+      val extra = Map.newBuilder[String, String]
+      Option(s.get("summary")).foreach(sm => sm.fields().forEachRemaining { e =>
+        if (e.getKey != "operation") extra += (e.getKey -> e.getValue.asText())
+      })
       snaps += SnapshotInfo(
         id = s.get("snapshot-id").asLong(),
         parentId = Option(s.get("parent-snapshot-id")).map(_.asLong()),
         operation = Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
           .map(_.asText()).getOrElse("append"),
         manifestList = s.get("manifest-list").asText(),
-        timestampMs = Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L))
+        timestampMs = Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+        summary = extra.result())
     }
     (snaps.result(), currentId)
   }

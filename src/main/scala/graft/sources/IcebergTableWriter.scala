@@ -179,11 +179,16 @@ object IcebergTableWriter {
   }
 
   private def snapshotJson(id: Long, parent: Option[Long], seq: Long,
-      listRel: String, timestampMs: Long, operation: String): String = {
+      listRel: String, timestampMs: Long, operation: String,
+      extraSummary: Map[String, String] = Map.empty): String = {
     val p = parent.map(v => s""""parent-snapshot-id":$v,""").getOrElse("")
+    def jq(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val extras = extraSummary.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .map("," + _).mkString
     s"""{"snapshot-id":$id,$p"sequence-number":$seq,""" +
       s""""timestamp-ms":$timestampMs,""" +
-      s""""summary":{"operation":"$operation"},"manifest-list":"$listRel"}"""
+      s""""summary":{"operation":"$operation"$extras},"manifest-list":"$listRel"}"""
   }
 
   /** Iceberg type name for a Spark type (the subset graft tables
@@ -262,10 +267,11 @@ object IcebergTableWriter {
     * reused) + vN metadata under the exclusive-create CAS. Returns
     * the new snapshot id.
     */
-  private def commit(df: DataFrame, tablePath: String, partitionBy: Seq[String]): Long = {
+  private def commit(df: DataFrame, tablePath: String, partitionBy: Seq[String],
+      extraSummary: Map[String, String] = Map.empty): Long = {
     val files = writeDataFiles(df, tablePath, partitionBy)
     commitSnapshot(df.sparkSession, tablePath, df.schema, partitionBy, files,
-      content = 0, operation = "append")
+      content = 0, operation = "append", extraSummary = extraSummary)
   }
 
   /** Publish one snapshot of `files` (content 0 = data, 1 = position
@@ -277,9 +283,10 @@ object IcebergTableWriter {
   private def commitSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       schema: org.apache.spark.sql.types.StructType, partitionBy: Seq[String],
       files: Seq[Landed], content: Int, operation: String,
-      reuseManifests: Boolean = true): Long =
+      reuseManifests: Boolean = true,
+      extraSummary: Map[String, String] = Map.empty): Long =
     commitSnapshotGroups(spark, tablePath, schema, partitionBy,
-      Seq(ManifestGroup(files, content)), operation, reuseManifests)
+      Seq(ManifestGroup(files, content)), operation, reuseManifests, extraSummary)
 
   /** One new manifest's worth of files: `entryContent` is the spec's
     * data_file.content (0=data, 1=position deletes, 2=equality
@@ -297,7 +304,8 @@ object IcebergTableWriter {
       tablePath: String,
       schema: org.apache.spark.sql.types.StructType, partitionBy: Seq[String],
       groups: Seq[ManifestGroup], operation: String,
-      reuseManifests: Boolean = true): Long = {
+      reuseManifests: Boolean = true,
+      extraSummary: Map[String, String] = Map.empty): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     var attempt = 0
@@ -318,7 +326,7 @@ object IcebergTableWriter {
           // original timestamps preserved — TIMESTAMP AS OF resolves
           // off them, so a re-stamp would silently rewrite history
           (snaps.map(s => snapshotJson(s.id, s.parentId, s.id, s.manifestList,
-              s.timestampMs, s.operation)),
+              s.timestampMs, s.operation, s.summary)),
             manifests, version, Some(currentId), currentId + 1L)
         }
       val newId = parentId.getOrElse(0L) + 1L
@@ -340,7 +348,8 @@ object IcebergTableWriter {
         }
       writeAvro(conf, new Path(tablePath, listRel), listSchema, listRecords)
       val snapsJson = (prevSnapsJson :+
-        snapshotJson(newId, parentId, seq, listRel, System.currentTimeMillis(), operation))
+        snapshotJson(newId, parentId, seq, listRel, System.currentTimeMillis(), operation,
+          extraSummary))
         .mkString(",")
       val metaJson =
         s"""{"format-version":2,"table-uuid":"graft","location":"$tablePath",""" +
@@ -369,7 +378,8 @@ object IcebergTableWriter {
     * by `partitionBy` when given); refuses an existing one. Returns
     * the first snapshot id.
     */
-  def create(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil): Long = {
+  def create(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
+      transaction: Option[(String, Long)] = None): Long = {
     val fs = new Path(tablePath).getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val metaDir = new Path(tablePath, "metadata")
@@ -378,21 +388,51 @@ object IcebergTableWriter {
       throw new IllegalArgumentException(s"$tablePath is already an Iceberg table — use append")
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column $c is not in the DataFrame"))
-    commit(df, tablePath, partitionBy)
+    commit(df, tablePath, partitionBy, extraSummary = txnSummary(transaction))
   }
 
   /** Append `df` as a new snapshot on the parent chain; columns must
     * match the table's existing data columns (order-free), and the
     * partitioning comes from the TABLE's declared spec.
     */
-  def append(df: DataFrame, tablePath: String): Long = {
+  def append(df: DataFrame, tablePath: String,
+      transaction: Option[(String, Long)] = None): Long = {
     val existing = IcebergTableReader.snapshot(df.sparkSession, tablePath)
     require(df.columns.toSet == existing.columns.toSet,
       s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table columns " +
         s"${existing.columns.sorted.mkString(",")} — appends must match the existing schema")
     val partitionBy = declaredPartitionBy(df.sparkSession, tablePath)
     commit(df.select(existing.columns.map(org.apache.spark.sql.functions.col): _*),
-      tablePath, partitionBy)
+      tablePath, partitionBy, extraSummary = txnSummary(transaction))
+  }
+
+  /** Snapshot-summary keys carrying a streaming sink's (appId,
+    * batchId) watermark — the Flink-connector pattern (checkpoint id
+    * in the snapshot summary), giving exactly-once from the TABLE's
+    * own metadata. Preserved verbatim across later commits (snapshot
+    * records re-serialize with their summaries).
+    */
+  val SinkAppKey = "graft.sink.app-id"
+  val SinkBatchKey = "graft.sink.batch-id"
+
+  private def txnSummary(transaction: Option[(String, Long)]): Map[String, String] =
+    transaction.map { case (appId, batchId) =>
+      Map(SinkAppKey -> appId, SinkBatchKey -> batchId.toString)
+    }.getOrElse(Map.empty)
+
+  /** The highest batch id `appId` has committed into the table's
+    * snapshot summaries, if any — the replay watermark the streaming
+    * sink probes. Driver metadata, |snapshots|-bounded.
+    */
+  def lastBatchId(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      appId: String): Option[Long] = {
+    val (snaps, _) = IcebergTableReader.snapshotLog(spark, tablePath)
+    val ids = snaps.flatMap { s =>
+      if (s.summary.get(SinkAppKey).contains(appId))
+        s.summary.get(SinkBatchKey).flatMap(v => scala.util.Try(v.toLong).toOption)
+      else None
+    }
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** REWRITE DATA FILES (Iceberg's compaction service): the current
