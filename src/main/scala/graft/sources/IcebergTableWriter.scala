@@ -583,7 +583,8 @@ object IcebergTableWriter {
       .sort("file_path", "pos")
     // land the delete file (one file — delete sets are small relative
     // to data; a huge delete should rewrite instead)
-    val (rel, n) = landSmallParquet(spark, tablePath, deletes, "position-delete")
+    val (rel, n) = landSmallParquet(spark, tablePath, deletes, "position-delete",
+      emptyMsg = Some("predicate matched no live rows — nothing to delete"))
     val schema = IcebergTableReader.snapshot(spark, tablePath).schema
     commitSnapshot(spark, tablePath, schema, declaredPartitionBy(spark, tablePath),
       Seq(Landed(rel, n, Map.empty)), content = 1, operation = "delete")
@@ -593,7 +594,8 @@ object IcebergTableWriter {
     * relative path + footer row count. Refuses an empty frame.
     */
   private def landSmallParquet(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String, df: DataFrame, what: String): (String, Long) = {
+      tablePath: String, df: DataFrame, what: String,
+      emptyMsg: Option[String] = None): (String, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     val stage = new Path(tablePath, s".graft-del-${java.util.UUID.randomUUID()}")
@@ -613,7 +615,8 @@ object IcebergTableWriter {
     val n = try r.getRecordCount finally r.close()
     if (n == 0L) {
       fs.delete(new Path(tablePath, rel), false)
-      throw new IllegalArgumentException(s"$tablePath: empty $what batch — nothing to write")
+      throw new IllegalArgumentException(
+        s"$tablePath: " + emptyMsg.getOrElse(s"empty $what batch — nothing to write"))
     }
     (rel, n)
   }

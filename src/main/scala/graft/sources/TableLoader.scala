@@ -133,6 +133,32 @@ object TableLoader {
         s"$path is a plain parquet directory — no commit log to read incrementally")
     }
 
+  /** Format-agnostic CDC-grade incremental open: the CHANGE FEED
+    * since a format-native token, for consumers that must survive
+    * upserts/deletes in the range (the append-scoped
+    * [[openIncremental]] refuses those, by contract). graft versioned
+    * tables serve pre/post images keyed by their declared record
+    * keys; Delta serves the protocol's CDF (explicit cdc actions
+    * verbatim, DV diffs reconstructed); Iceberg serves inserts +
+    * position-delete pre-images + equality-delete key-images. Hudi
+    * REFUSES toward [[openIncremental]]: a COW timeline's incremental
+    * pull is already upsert-exact (post-images by stamp) but carries
+    * no delete images, and serving a feed that silently lacks deletes
+    * would be wrong in exactly the case a CDC consumer exists for.
+    */
+  def openChangeFeed(spark: SparkSession, path: String, since: String): DataFrame =
+    detectFormat(spark, path) match {
+      case GraftVersioned => openIncremental(spark, path, since) // already CDC-grade
+      case DeltaFormat    => DeltaTableReader.changeFeedSince(spark, path, since.toLong)
+      case IcebergFormat  => IcebergTableReader.changeFeedSince(spark, path, since.toLong)
+      case HudiFormat     => throw new IllegalArgumentException(
+        s"$path: Hudi timelines carry no delete images for a CDC feed — use " +
+          "openIncremental for the upsert-exact post-image pull, or read the MOR " +
+          "log directly")
+      case PlainParquet   => throw new IllegalArgumentException(
+        s"$path is a plain parquet directory — no commit log to read a change feed from")
+    }
+
   /** Format-agnostic TIME TRAVEL: read the table as of a
     * format-native token — graft/Delta: a version number; Iceberg: a
     * snapshot id, or a `ts:<epoch-millis>` timestamp token resolved

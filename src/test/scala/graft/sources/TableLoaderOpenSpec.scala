@@ -195,4 +195,43 @@ class TableLoaderOpenSpec extends SparkSpec {
     val eP = intercept[IllegalArgumentException](TableLoader.upsert(batch, p, Seq("id")))
     assert(eP.getMessage.contains("merge contract"))
   }
+
+  test("openChangeFeed dispatch: CDC feeds across formats; Hudi and plain refuse with directions") {
+    import org.apache.spark.sql.functions._
+    val batch = rows(3 to 5).withColumn("v", lit(999L)).unionByName(rows(21 to 22))
+
+    // Delta: upsert commit → delete pre-images + inserts
+    val d = tmpDir("cf-delta") + "/t"
+    DeltaTableWriter.create(rows(1 to 20), d): Unit
+    DeltaTableWriter.upsert(batch, d, Seq("id")): Unit
+    val dFeed = TableLoader.openChangeFeed(spark, d, "0")
+    assert(dFeed.where(col("_change_type") === "delete").count() == 3L)
+    assert(dFeed.where(col("_change_type") === "insert").count() == 5L)
+
+    // Iceberg: upsert snapshot → key-image deletes + inserts
+    val i = tmpDir("cf-ice") + "/t"
+    val s1 = IcebergTableWriter.create(rows(1 to 20), i)
+    IcebergTableWriter.upsert(batch, i, Seq("id")): Unit
+    val iFeed = TableLoader.openChangeFeed(spark, i, s1.toString)
+    assert(iFeed.where(col("_change_type") === "delete").count() == 5L,
+      "an equality delete names every batch key")
+    assert(iFeed.where(col("_change_type") === "insert").count() == 5L)
+
+    // graft versioned: the existing CDC derivation
+    val g = tmpDir("cf-graft")
+    UpsertWriter.upsert(rows(1 to 20), g, Seq("id"), precombine = "v")
+    UpsertWriter.upsert(batch, g, Seq("id"), precombine = "v")
+    val gFeed = TableLoader.openChangeFeed(spark, g, "1")
+    assert(gFeed.count() > 0L && gFeed.columns.exists(_.contains("change")))
+
+    // Hudi refuses toward the post-image pull; plain parquet refuses
+    val h = tmpDir("cf-hudi") + "/t"
+    HudiTableWriter.create(rows(1 to 10), h, recordKeys = Seq("id")): Unit
+    val eH = intercept[IllegalArgumentException](TableLoader.openChangeFeed(spark, h, "0"))
+    assert(eH.getMessage.contains("openIncremental"))
+    val p = tmpDir("cf-plain")
+    rows(1 to 5).write.mode("overwrite").parquet(p)
+    val eP = intercept[IllegalArgumentException](TableLoader.openChangeFeed(spark, p, "0"))
+    assert(eP.getMessage.contains("change feed"))
+  }
 }
