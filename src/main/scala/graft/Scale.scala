@@ -1386,7 +1386,9 @@ object Scale {
       "q_hudi_part_write", "q_delta_cdc", "q_delta_colmap", "q_delta_skipping",
       "q_iceberg_eq_delete", "q_iceberg_part_write", "q_iceberg_del_write",
       "q_delta_dv_write", "q_format_convert",
-      "q_delta_upsert", "q_hudi_upsert", "q_iceberg_upsert")
+      "q_delta_upsert", "q_hudi_upsert", "q_iceberg_upsert",
+      "q_mirror_pipeline", "q_iceberg_cdc", "q_delta_colmap_id",
+      "q_stream_iceberg_sink", "q_stream_hudi_sink")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))

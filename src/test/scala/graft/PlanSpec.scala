@@ -376,4 +376,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("foreign upserts: the merged snapshot's delete legs broadcast, never sort-merge") {
+    // Delta: the post-upsert snapshot subtracts DV positions via a
+    // broadcast anti join (the upsert's own match ran at write time —
+    // what we lock is that READS of the merge never degrade)
+    val pd = plan(Queries.qDeltaUpsert.run(spark, sfDir))
+    assert(pd.contains("BroadcastHashJoin") && pd.contains("LeftAnti"), pd)
+    assert(!pd.contains("SortMergeJoin"), pd)
+    // Iceberg: the equality-delete apply is a sequence-scoped
+    // broadcast anti join — |batch keys|-bounded at any table size
+    val pi = plan(Queries.qIcebergUpsert.run(spark, sfDir))
+    assert(pi.contains("BroadcastHashJoin") && pi.contains("LeftAnti"), pi)
+    assert(!pi.contains("SortMergeJoin"), pi)
+    assert(!pi.contains("BroadcastNestedLoopJoin"), pi)
+  }
+
+  test("Iceberg change feed: pre-image leg is a broadcast semi join on (file, pos)") {
+    val p = plan(Queries.qIcebergCdc.run(spark, sfDir))
+    assert(p.contains("LeftSemi") || p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
