@@ -1963,6 +1963,67 @@ trait ReferenceQueries extends QueryBase {
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #102h Delta V2 CHECKPOINT read (the modern checkpoint layout:
+    * `_last_checkpoint` names a version whose checkpoint is a
+    * uuid-named MANIFEST — protocol/metaData/checkpointMetadata plus
+    * `sidecar` actions naming the parquet files under
+    * `_delta_log/_sidecars/` that carry the add actions; the reader
+    * scans the sidecars as the add-set, one distributed read, and
+    * later JSON commits replay on top). The fixture's sidecar-held
+    * adds cover half of orders; a post-checkpoint JSON commit adds
+    * the other half — leaking either layer fails the hash.
+    */
+  val qDeltaV2Checkpoint: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import s.implicits._
+      val root = scratch("delta-v2ck")
+      val table = root + "/t"
+      new java.io.File(table).mkdirs()
+      val o = t(s, dir, "orders")
+      writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        table, "part-even.parquet")
+      writeDeltaDataFile(o.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+        table, "part-odd.parquet")
+      def landFile(df: DataFrame, dst: String): Unit = {
+        val tmp = root + "/.stage-" + java.util.UUID.randomUUID()
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val src = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+        new java.io.File(dst).getParentFile.mkdirs()
+        java.nio.file.Files.copy(src.toPath, new java.io.File(dst).toPath): Unit
+        deleteRecursively(new java.io.File(tmp))
+      }
+      // sidecar holds the even half's add action
+      landFile(Seq("part-even.parquet").toDF("p").select(
+        struct(col("p").as("path"),
+          map().cast("map<string,string>").as("partitionValues")).as("add")),
+        s"$table/_delta_log/_sidecars/sc-1.parquet")
+      val schemaStr = o.schema.json
+      val manifest = Seq(1).toDF("x").select(
+        struct(lit(3).as("minReaderVersion"), lit(7).as("minWriterVersion"),
+          array(lit("v2Checkpoint")).as("readerFeatures"),
+          array(lit("v2Checkpoint")).as("writerFeatures")).as("protocol"),
+        struct(lit("fixture").as("id"), lit(schemaStr).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns")).as("metaData"),
+        struct(lit(0L).as("version")).as("checkpointMetadata"))
+        .unionByName(Seq("sc-1.parquet").toDF("p").select(
+          struct(col("p").as("path"), lit(1024L).as("sizeInBytes")).as("sidecar")),
+          allowMissingColumns = true)
+      landFile(manifest, s"$table/_delta_log/${"%020d".format(0L)}.checkpoint.g5f1.parquet")
+      val w = new java.io.PrintWriter(
+        new java.io.File(s"$table/_delta_log", "_last_checkpoint"), "UTF-8")
+      try w.println("""{"version":0,"size":4}""") finally w.close()
+      // a post-checkpoint JSON commit adds the odd half
+      writeDeltaCommit(table, 1L, Seq(deltaAdd("part-odd.parquet")))
+      graft.sources.DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #108 External-format TIME TRAVEL, all three adapters: Delta
     * VERSION AS OF (replay stops at the commit; an overshooting
     * checkpoint refuses via contiguity, never serves a later state),

@@ -125,7 +125,8 @@ object DeltaTableReader {
     * `id` mode by parquet field-ID matching ([[fieldIdSchemaOf]]).
     */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "timestampNtz", "variantType", "columnMapping")
+    Set("deletionVectors", "timestampNtz", "variantType", "columnMapping",
+      "v2Checkpoint")
 
   /** Cap on add entries pulled to the driver per snapshot resolution.
     * At ~100 bytes a row this is ~100 MB of driver heap — the
@@ -344,26 +345,122 @@ object DeltaTableReader {
     var configuration: Map[String, String] = Map.empty
     var createdTime: Option[Long] = None
 
-    ckptVersion.foreach { v =>
-      // single-file checkpoints are `<v>.checkpoint.parquet`; large
-      // tables write MULTI-PART `<v>.checkpoint.<i>.<n>.parquet` —
-      // all parts together are the checkpoint, read as one scan
-      val single = new Path(dir, f"$v%020d.checkpoint.parquet")
-      val ckptFiles: Seq[String] =
-        if (fs.exists(single)) Seq(single.toString)
-        else fs.listStatus(dir).toIndexedSeq
-          .map(_.getPath)
-          .filter(p => p.getName.startsWith(f"$v%020d.checkpoint.") &&
-            p.getName.endsWith(".parquet"))
-          .map(_.toString)
-      if (ckptFiles.isEmpty) throw new IllegalStateException(
-        s"$tablePath: _last_checkpoint names version $v but no checkpoint parquet exists")
-      val rows = spark.read.parquet(ckptFiles: _*)
-      val cols = rows.columns.toSet
-      def structFields(name: String): Set[String] = rows.schema(name).dataType match {
-        case st: StructType => st.fieldNames.toSet
-        case _ => Set.empty[String]
+    def applyMetaNode(md: JsonNode): Unit = {
+      val pc = md.get("partitionColumns")
+      if (pc != null && pc.isArray) {
+        val b = Seq.newBuilder[String]
+        pc.forEach(n => b += n.asText())
+        partCols = b.result()
       }
+      if (md.has("schemaString")) schemaJson = Some(md.get("schemaString").asText())
+      Option(md.get("id")).filterNot(_.isNull).foreach(n => metaId = Some(n.asText()))
+      Option(md.get("createdTime")).filterNot(_.isNull)
+        .foreach(n => createdTime = Some(n.asLong()))
+      val conf = md.get("configuration")
+      if (conf != null && conf.isObject) {
+        val b = Map.newBuilder[String, String]
+        conf.fields().forEachRemaining(e =>
+          if (!e.getValue.isNull) b += (e.getKey -> e.getValue.asText()))
+        configuration = b.result()
+      }
+    }
+    def applyProtocolNode(pn: JsonNode): Unit = {
+      def seqOf(f: String): Seq[String] = {
+        val arr = pn.get(f)
+        if (arr == null || !arr.isArray) Nil
+        else { val b = Seq.newBuilder[String]; arr.forEach(n => b += n.asText()); b.result() }
+      }
+      protocol = Some(Protocol(
+        Option(pn.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+        Option(pn.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+        seqOf("readerFeatures"), seqOf("writerFeatures")))
+    }
+
+    ckptVersion.foreach { v =>
+      // checkpoint naming, per PROTOCOL.md: classic single-file
+      // `<v>.checkpoint.parquet`; MULTI-PART `<v>.checkpoint.<i>.<n>
+      // .parquet` (all parts together, one scan); V2 `<v>.checkpoint
+      // .<uuid>.{parquet,json}` — a MANIFEST holding protocol/
+      // metaData/txn plus `sidecar` actions naming the parquet files
+      // under _delta_log/_sidecars/ that carry the file actions
+      val prefix = f"$v%020d.checkpoint."
+      val classicName = f"$v%020d.checkpoint.parquet"
+      val names = fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+      val partNames = names.filter(
+        _.matches(java.util.regex.Pattern.quote(prefix) + "\\d+\\.\\d+\\.parquet"))
+      val v2Parquet = names
+        .filter(n => n.endsWith(".parquet") && n != classicName && !partNames.contains(n))
+      val v2Json = names.filter(_.endsWith(".json"))
+
+      def verifyCheckpointMetadata(df: DataFrame): Unit =
+        if (df.columns.contains("checkpointMetadata")) {
+          val declared = df.select(col("checkpointMetadata.version"))
+            .where(col("checkpointMetadata.version").isNotNull)
+            .collect().map(_.getLong(0))
+          declared.find(_ != v).foreach(bad => throw new IllegalStateException(
+            s"$tablePath: v2 checkpoint manifest declares version $bad but " +
+              s"_last_checkpoint names $v — inconsistent checkpoint; refusing"))
+        }
+      def sidecarScan(df: DataFrame): Option[DataFrame] =
+        if (!df.columns.contains("sidecar")) None
+        else {
+          val paths = df.select(col("sidecar.path"))
+            .where(col("sidecar.path").isNotNull)
+            .collect().map(_.getString(0))
+          if (paths.isEmpty) None
+          else Some(spark.read.parquet(paths.map(pp => s"$dir/_sidecars/$pp").toIndexedSeq: _*))
+        }
+
+      // (metadata source, file-action source) per naming form
+      val (rowsOpt, addRowsOpt): (Option[DataFrame], Option[DataFrame]) =
+        if (names.contains(classicName)) {
+          val r = spark.read.parquet(new Path(dir, classicName).toString)
+          (Some(r), Some(r))
+        } else if (partNames.nonEmpty) {
+          val r = spark.read.parquet(partNames.map(n => new Path(dir, n).toString): _*)
+          (Some(r), Some(r))
+        } else if (v2Parquet.nonEmpty) {
+          val manifest = spark.read.parquet(new Path(dir, v2Parquet.max).toString)
+          verifyCheckpointMetadata(manifest)
+          (Some(manifest), sidecarScan(manifest).orElse(Some(manifest)))
+        } else if (v2Json.nonEmpty) {
+          // a V2 JSON manifest: metadata actions parse driver-side;
+          // file actions MUST ride parquet sidecars (inline adds in a
+          // json manifest would make the add-set a driver-side parse
+          // of unbounded size — refuse loudly)
+          val sidecars = Seq.newBuilder[String]
+          readText(fs, new Path(dir, v2Json.max)).split('\n').filter(_.nonEmpty)
+            .foreach { line =>
+              val node = mapper.readTree(line)
+              if (node.has("protocol")) {
+                applyProtocolNode(node.get("protocol"))
+                refuseReaderFeatures(protocol.get.readerFeatures.toSet, tablePath)
+              } else if (node.has("metaData")) {
+                applyMetaNode(node.get("metaData"))
+                refuseColumnMapping(configuration.get("delta.columnMapping.mode"), tablePath)
+              } else if (node.has("sidecar")) {
+                sidecars += node.get("sidecar").get("path").asText()
+              } else if (node.has("checkpointMetadata")) {
+                val declared = node.get("checkpointMetadata").get("version").asLong()
+                if (declared != v) throw new IllegalStateException(
+                  s"$tablePath: v2 checkpoint manifest declares version $declared but " +
+                    s"_last_checkpoint names $v — inconsistent checkpoint; refusing")
+              } else if (node.has("add") || node.has("remove")) {
+                throw new IllegalStateException(
+                  s"$tablePath: v2 JSON checkpoint manifest carries inline file actions — " +
+                    "this reader expects them in parquet sidecars; refusing")
+              }
+            }
+          val sc = sidecars.result()
+          (None,
+            if (sc.isEmpty) None
+            else Some(spark.read.parquet(sc.map(pp => s"$dir/_sidecars/$pp"): _*)))
+        } else throw new IllegalStateException(
+          s"$tablePath: _last_checkpoint names version $v but no checkpoint parquet exists")
+
+      val rows = rowsOpt.getOrElse(spark.emptyDataFrame)
+      val cols = rowsOpt.map(_.columns.toSet).getOrElse(Set.empty[String])
       // After standard log cleanup the protocol/metaData actions may
       // exist ONLY in the checkpoint — the refusal contract must hold
       // on this path too, not just on JSON commits.
@@ -404,8 +501,12 @@ object DeltaTableReader {
           }
         }
       }
-      if (cols.contains("add")) {
-        val hasDv = structFields("add").contains("deletionVector")
+      addRowsOpt.filter(_.columns.contains("add")).foreach { addRows =>
+        def addFields: Set[String] = addRows.schema("add").dataType match {
+          case st: StructType => st.fieldNames.toSet
+          case _ => Set.empty[String]
+        }
+        val hasDv = addFields.contains("deletionVector")
         val dvCol =
           if (hasDv) to_json(col("add.deletionVector")) else lit(null).cast(StringType)
         // keep the add-set DISTRIBUTED through pruning; collect only
@@ -413,10 +514,10 @@ object DeltaTableReader {
         // bounded — the stats string never reaches the driver for
         // files the pruners reject
         val statsCol =
-          if (structFields("add").contains("stats"))
+          if (addFields.contains("stats"))
             coalesce(col("add.stats"), lit("")).as("stats")
           else lit("").as("stats")
-        val adds = rows
+        val adds = addRows
           .select(col("add.path").as("path"),
             coalesce(col("add.partitionValues"), map()).as("partitionValues"),
             coalesce(dvCol, lit("")).as("dvJson"),
@@ -477,35 +578,9 @@ object DeltaTableReader {
         } else if (node.has("remove")) {
           active.remove(node.get("remove").get("path").asText()): Unit
         } else if (node.has("metaData")) {
-          val md = node.get("metaData")
-          val pc = md.get("partitionColumns")
-          if (pc != null && pc.isArray) {
-            val b = Seq.newBuilder[String]
-            pc.forEach(n => b += n.asText())
-            partCols = b.result()
-          }
-          if (md.has("schemaString")) schemaJson = Some(md.get("schemaString").asText())
-          Option(md.get("id")).filterNot(_.isNull).foreach(n => metaId = Some(n.asText()))
-          Option(md.get("createdTime")).filterNot(_.isNull)
-            .foreach(n => createdTime = Some(n.asLong()))
-          val conf = md.get("configuration")
-          if (conf != null && conf.isObject) {
-            val b = Map.newBuilder[String, String]
-            conf.fields().forEachRemaining(e =>
-              if (!e.getValue.isNull) b += (e.getKey -> e.getValue.asText()))
-            configuration = b.result()
-          }
+          applyMetaNode(node.get("metaData"))
         } else if (node.has("protocol")) {
-          val p = node.get("protocol")
-          def seqOf(f: String): Seq[String] = {
-            val arr = p.get(f)
-            if (arr == null || !arr.isArray) Nil
-            else { val b = Seq.newBuilder[String]; arr.forEach(n => b += n.asText()); b.result() }
-          }
-          protocol = Some(Protocol(
-            Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
-            Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
-            seqOf("readerFeatures"), seqOf("writerFeatures")))
+          applyProtocolNode(node.get("protocol"))
         }
       }
       if (active.size > maxDriverFiles) throw new IllegalStateException(
@@ -573,6 +648,19 @@ object DeltaTableReader {
             .foreach(r => consider(r.getString(0), r.getLong(1)))
         }
       }
+      // V2 JSON manifests carry txn actions as lines
+      fs.listStatus(dir).toIndexedSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(f"$v%020d.checkpoint.") &&
+          p.getName.endsWith(".json"))
+        .foreach { p =>
+          readText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.has("txn")) {
+              val t = node.get("txn")
+              consider(t.get("appId").asText(), t.get("version").asLong())
+            }
+          }
+        }
     }
     versions(spark, tablePath).filter(v => ckptVersion.forall(v > _)).foreach { v =>
       readText(fs, new Path(dir, f"$v%020d.json")).split('\n').filter(_.nonEmpty).foreach { line =>

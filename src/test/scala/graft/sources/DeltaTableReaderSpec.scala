@@ -303,7 +303,7 @@ class DeltaTableReaderSpec extends SparkSpec {
         struct(lit("fixture").as("id"), lit(schemaJson).as("schemaString"),
           array().cast("array<string>").as("partitionColumns")).as("metaData"),
         struct(lit(3).as("minReaderVersion"),
-          array(lit("v2Checkpoint")).as("readerFeatures")).as("protocol")))
+          array(lit("madeUpFeature")).as("readerFeatures")).as("protocol")))
     val e1 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t1))
     assert(e1.getMessage.contains("reader features"))
 
@@ -343,7 +343,7 @@ class DeltaTableReaderSpec extends SparkSpec {
     val t2 = tmpDir("delta-feat")
     writeDataFile(rows(1 to 20), t2, "f.parquet")
     writeCommit(t2, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["madeUpFeature"],"writerFeatures":["madeUpFeature"]}}""",
       meta(Nil, schemaJson), add("f.parquet")))
     val e2 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
     assert(e2.getMessage.contains("reader features"))
@@ -425,6 +425,99 @@ class DeltaTableReaderSpec extends SparkSpec {
       add("f.parquet")))
     val e = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
     assert(e.getMessage.contains("NESTED"))
+  }
+
+  test("V2 checkpoints: uuid-named manifests (parquet AND json) with sidecar file actions; refusals hold") {
+    val s = spark
+    import s.implicits._
+    def landFile(df: DataFrame, dst: String): Unit = {
+      val tmp = tmpDir("v2ck-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      new java.io.File(dst).getParentFile.mkdirs()
+      java.nio.file.Files.copy(src.toPath, new java.io.File(dst).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    def lastCkpt(table: String): Unit = {
+      val w = new java.io.PrintWriter(
+        new java.io.File(s"$table/_delta_log", "_last_checkpoint"), "UTF-8")
+      try w.println("""{"version":0,"size":4}""") finally w.close()
+    }
+    def sidecarActions(paths: Seq[String]): DataFrame = paths.toDF("p").select(
+      struct(col("p").as("path"),
+        map().cast("map<string,string>").as("partitionValues")).as("add"))
+    val protoRow = Seq(1).toDF("x").select(
+      struct(lit(3).as("minReaderVersion"), lit(7).as("minWriterVersion"),
+        array(lit("v2Checkpoint")).as("readerFeatures"),
+        array(lit("v2Checkpoint")).as("writerFeatures")).as("protocol"),
+      struct(lit("fixture").as("id"), lit(schemaJson).as("schemaString"),
+        array().cast("array<string>").as("partitionColumns")).as("metaData"),
+      struct(lit(0L).as("version")).as("checkpointMetadata"))
+
+    // ---- parquet manifest + sidecars
+    val t1 = tmpDir("v2ck-parquet")
+    writeDataFile(rows(1 to 30), t1, "pa.parquet")
+    writeDataFile(rows(31 to 50), t1, "pb.parquet")
+    landFile(sidecarActions(Seq("pa.parquet", "pb.parquet")),
+      s"$t1/_delta_log/_sidecars/sc-1.parquet")
+    val manifest = protoRow.unionByName(
+      Seq("sc-1.parquet").toDF("p").select(
+        struct(col("p").as("path"), lit(1024L).as("sizeInBytes")).as("sidecar")),
+      allowMissingColumns = true)
+    landFile(manifest,
+      s"$t1/_delta_log/${0L.formatted("%020d")}.checkpoint.7a9e-uuid-1.parquet")
+    lastCkpt(t1)
+    val snap = DeltaTableReader.snapshot(spark, t1)
+    assert(snap.count() == 50L, "v2 parquet manifest: sidecar adds must be the add-set")
+    assert(snap.columns.toSeq == Seq("id", "grp", "v"))
+
+    // ---- JSON manifest + sidecars
+    val t2 = tmpDir("v2ck-json")
+    writeDataFile(rows(1 to 40), t2, "pa.parquet")
+    landFile(sidecarActions(Seq("pa.parquet")),
+      s"$t2/_delta_log/_sidecars/sc-1.parquet")
+    new java.io.File(s"$t2/_delta_log").mkdirs()
+    val w = new java.io.PrintWriter(
+      new java.io.File(s"$t2/_delta_log", f"${0L}%020d.checkpoint.b2c-uuid-2.json"), "UTF-8")
+    try {
+      w.println("""{"checkpointMetadata":{"version":0}}""")
+      w.println("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+      w.println(meta(Nil, schemaJson))
+      w.println("""{"sidecar":{"path":"sc-1.parquet","sizeInBytes":1024}}""")
+    } finally w.close()
+    lastCkpt(t2)
+    assert(DeltaTableReader.snapshot(spark, t2).count() == 40L,
+      "v2 JSON manifest: metadata from lines, adds from sidecars")
+    // later JSON commits still replay on top of the v2 base
+    writeDataFile(rows(41 to 45), t2, "pc.parquet")
+    writeCommit(t2, 1L, Seq(add("pc.parquet")))
+    assert(DeltaTableReader.snapshot(spark, t2).count() == 45L)
+
+    // ---- refusal: JSON manifest with INLINE file actions
+    val t3 = tmpDir("v2ck-inline")
+    writeDataFile(rows(1 to 10), t3, "pa.parquet")
+    new java.io.File(s"$t3/_delta_log").mkdirs()
+    val w3 = new java.io.PrintWriter(
+      new java.io.File(s"$t3/_delta_log", f"${0L}%020d.checkpoint.c3d-uuid-3.json"), "UTF-8")
+    try {
+      w3.println(meta(Nil, schemaJson))
+      w3.println(add("pa.parquet"))
+    } finally w3.close()
+    lastCkpt(t3)
+    val e3 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t3))
+    assert(e3.getMessage.contains("inline file actions"))
+
+    // ---- refusal: checkpointMetadata version disagrees with _last_checkpoint
+    val t4 = tmpDir("v2ck-vers")
+    writeDataFile(rows(1 to 10), t4, "pa.parquet")
+    landFile(sidecarActions(Seq("pa.parquet")),
+      s"$t4/_delta_log/_sidecars/sc-1.parquet")
+    landFile(protoRow.select(struct(lit(7L).as("version")).as("checkpointMetadata")),
+      s"$t4/_delta_log/${0L.formatted("%020d")}.checkpoint.d4e-uuid-4.parquet")
+    lastCkpt(t4)
+    val e4 = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t4))
+    assert(e4.getMessage.contains("inconsistent checkpoint"))
   }
 
   test("columnMapping=id reads: parquet FIELD IDS resolve columns — names are decoys; DVs compose") {
