@@ -2312,6 +2312,38 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(NULL AS DOUBLE), CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin))
 
+  /** #110 UniForm-style DUAL-FORMAT publication
+    * ([[graft.sources.TableLoader.publishIcebergMirror]]): Iceberg
+    * metadata lands OVER the Delta table's own data files — one copy
+    * of the data, two formats' readers. The run proves the mirror
+    * references the SAME files (no rewrite), syncs a later Delta
+    * append with a republish, and serves the aggregate through the
+    * ICEBERG reader while format detection still says Delta.
+    */
+  val qUniformMirror: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableWriter, IcebergTableReader, TableLoader}
+      val table = scratch("uniform") + "/t"
+      val o = t(s, dir, "orders")
+      DeltaTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table): Unit
+      DeltaTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      TableLoader.publishIcebergMirror(s, table): Unit
+      require(TableLoader.detectFormat(s, table) == TableLoader.DeltaFormat,
+        "Delta must stay the primary format")
+      val ice = IcebergTableReader.snapshot(s, table)
+      val delta = graft.sources.DeltaTableReader.snapshot(s, table)
+      require(ice.inputFiles.map(_.split('/').last).toSet ==
+        delta.inputFiles.map(_.split('/').last).toSet,
+        "the mirror must reference the SAME data files — no copy")
+      ice.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #105f CROSS-FORMAT MIRROR pipeline — the reference's whole job
     * (checkpointed incremental consume, template.py:226-281),
     * upgraded from CSV delivery to engine-grade delivery: pull 1

@@ -590,6 +590,28 @@ object IcebergTableWriter {
       Seq(Landed(rel, n, Map.empty)), content = 1, operation = "delete")
   }
 
+  /** Publish Iceberg metadata OVER existing parquet files — NO data
+    * rewrite (the UniForm shape: one copy of the data, two formats'
+    * metadata). `files` are (absolute path, record count) pairs; each
+    * publish lands ONE fresh manifest referencing exactly them under
+    * a `replace` snapshot (nothing reused — a republish must not
+    * resurrect files the primary format dropped), so snapshot readers
+    * serve the mirrored state and incremental readers refuse across
+    * it (a mirror sync is not an append). Driver cost is |files|
+    * metadata. Returns the new snapshot id.
+    */
+  def publishMetadataOnly(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      files: Seq[(String, Long)],
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    require(files.nonEmpty, s"$tablePath: nothing to publish — empty file set")
+    files.foreach { case (p, _) => require(p.startsWith("/") || p.contains("://"),
+      s"$tablePath: publishMetadataOnly takes ABSOLUTE data-file paths, got $p") }
+    commitSnapshotGroups(spark, tablePath, schema, Nil,
+      Seq(ManifestGroup(files.map { case (p, n) => Landed(p, n, Map.empty) },
+        entryContent = 0)),
+      operation = "replace", reuseManifests = false)
+  }
+
   /** Land one SMALL parquet file (a delete file) and return its
     * relative path + footer row count. Refuses an empty frame.
     */

@@ -259,6 +259,65 @@ object TableLoader {
     }
   }
 
+  /** Publish ICEBERG METADATA over an existing DELTA table's data
+    * files — the UniForm shape: ONE copy of the data readable by both
+    * formats' engines (the `metadata/` dir lands INSIDE the Delta
+    * table; `_delta_log` stays primary — [[detectFormat]] still says
+    * Delta — while [[IcebergTableReader]] pointed at the same path
+    * serves the mirrored snapshot). Each call syncs the CURRENT Delta
+    * snapshot: one fresh manifest referencing exactly the active
+    * files under a `replace` snapshot, so a file the Delta log
+    * dropped can never resurrect through a stale manifest.
+    *
+    * Refusals, loudly: partitioned tables (Delta strips partition
+    * columns OUT of the data files; Iceberg expects identity-source
+    * columns IN them — a mirrored read would silently lose the
+    * columns), deletion vectors (the mask lives in Delta sidecars an
+    * Iceberg reader cannot see — serving unmasked rows would
+    * over-return), and columnMapping (data files carry physical
+    * names the mirrored schema would mis-resolve). Record counts come
+    * from the Delta adds' own stats when present, parquet footers
+    * otherwise — |files| driver metadata either way. Returns the new
+    * Iceberg snapshot id.
+    */
+  def publishIcebergMirror(spark: SparkSession, path: String): Long = {
+    require(detectFormat(spark, path) == DeltaFormat,
+      s"$path: the Iceberg mirror publishes over a DELTA table — detected " +
+        s"${detectFormat(spark, path)}")
+    val state = DeltaTableReader.snapshotState(spark, path)
+    require(state.partitionColumns.isEmpty,
+      s"$path is partitioned — Delta strips partition columns from data files while " +
+        "Iceberg expects them in the files; a mirrored read would silently lose the " +
+        "partition columns; refusing")
+    require(state.active.forall(_.dv.isEmpty),
+      s"$path carries deletion vectors — an Iceberg reader cannot see the Delta mask " +
+        "and would over-return deleted rows; compact the DVs away first; refusing")
+    require(!state.configuration.get("delta.columnMapping.mode").exists(m => m != "none"),
+      s"$path uses columnMapping — data files carry physical names the mirrored " +
+        "schema would mis-resolve; refusing")
+    val schema = state.schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case st: org.apache.spark.sql.types.StructType => st }
+      .getOrElse(throw new IllegalStateException(
+        s"$path: table metadata carries no parseable schemaString"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = state.active.map { f =>
+      val abs = {
+        val raw = f.path
+        val dec =
+          if (!raw.contains('%')) raw
+          else java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
+        if (dec.startsWith("/") || dec.contains("://")) dec else s"$path/$dec"
+      }
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try r.getRecordCount finally r.close()
+      (abs, n)
+    }
+    IcebergTableWriter.publishMetadataOnly(spark, path, files, schema)
+  }
+
   /** REPLICATE a table ACROSS FORMATS: snapshot-read `srcPath`
     * through whatever adapter its layout selects and land the rows at
     * `dstPath` in `dstFormat` through the matching writer — the

@@ -196,6 +196,47 @@ class TableLoaderOpenSpec extends SparkSpec {
     assert(eP.getMessage.contains("merge contract"))
   }
 
+  test("publishIcebergMirror: one data copy, two formats; republish syncs; refusals hold") {
+    import org.apache.spark.sql.functions._
+    val t = tmpDir("uniform") + "/t"
+    DeltaTableWriter.create(rows(1 to 30), t): Unit
+    DeltaTableWriter.append(rows(31 to 50), t): Unit
+    TableLoader.publishIcebergMirror(spark, t): Unit
+    // Delta stays primary; Iceberg reads the same files
+    assert(TableLoader.detectFormat(spark, t) == TableLoader.DeltaFormat)
+    val ice = IcebergTableReader.snapshot(spark, t)
+    assert(ice.count() == 50L)
+    assert(ice.select(sum("v")).head().getLong(0) ==
+      DeltaTableReader.snapshot(spark, t).select(sum("v")).head().getLong(0))
+    // the mirror references the SAME files — no data was copied
+    assert(ice.inputFiles.map(_.split('/').last).toSet ==
+      DeltaTableReader.snapshot(spark, t).inputFiles.map(_.split('/').last).toSet)
+    // a later Delta append is invisible until republish (per-call sync)
+    DeltaTableWriter.append(rows(51 to 60), t): Unit
+    assert(IcebergTableReader.snapshot(spark, t).count() == 50L)
+    TableLoader.publishIcebergMirror(spark, t): Unit
+    assert(IcebergTableReader.snapshot(spark, t).count() == 60L)
+    // a Delta compaction rewrite + republish must not resurrect old files
+    DeltaTableWriter.compact(spark, t, targetFiles = 1): Unit
+    TableLoader.publishIcebergMirror(spark, t): Unit
+    assert(IcebergTableReader.snapshot(spark, t).count() == 60L)
+    // DV-carrying tables refuse
+    DeltaTableWriter.delete(spark, t, col("id") === 5L): Unit
+    val eDv = intercept[IllegalArgumentException](TableLoader.publishIcebergMirror(spark, t))
+    assert(eDv.getMessage.contains("deletion vectors"))
+    // partitioned tables refuse
+    val tp = tmpDir("uniform-part") + "/t"
+    DeltaTableWriter.create(rows(1 to 10).withColumn("p", col("id") % 2),
+      tp, partitionBy = Seq("p")): Unit
+    val eP = intercept[IllegalArgumentException](TableLoader.publishIcebergMirror(spark, tp))
+    assert(eP.getMessage.contains("partitioned"))
+    // non-Delta refuses
+    val ti = tmpDir("uniform-ice") + "/t"
+    IcebergTableWriter.create(rows(1 to 5), ti): Unit
+    val eI = intercept[IllegalArgumentException](TableLoader.publishIcebergMirror(spark, ti))
+    assert(eI.getMessage.contains("DELTA"))
+  }
+
   test("openChangeFeed dispatch: CDC feeds across formats; Hudi and plain refuse with directions") {
     import org.apache.spark.sql.functions._
     val batch = rows(3 to 5).withColumn("v", lit(999L)).unionByName(rows(21 to 22))
