@@ -938,7 +938,21 @@ object DeltaTableReader {
     val dir = logDir(tablePath)
     val fs = fsOf(spark, dir)
     val stamped = versions(spark, tablePath).map { v =>
-      v -> fs.getFileStatus(new Path(dir, f"$v%020d.json")).getModificationTime
+      // IN-COMMIT TIMESTAMPS (the inCommitTimestamp writer feature):
+      // when a commit's commitInfo carries `inCommitTimestamp`, THAT
+      // is the commit's time — exact and copy-stable, unlike file
+      // mtimes (a log rsync'd to new storage would otherwise time-
+      // travel to the copy date). File mtime stays the fallback, the
+      // pre-ICT protocol rule.
+      val text = readText(fs, new Path(dir, f"$v%020d.json"))
+      val ict = text.split('\n').filter(_.nonEmpty).iterator.map(mapper.readTree)
+        .collectFirst {
+          case n if n.has("commitInfo") &&
+            n.get("commitInfo").has("inCommitTimestamp") =>
+            n.get("commitInfo").get("inCommitTimestamp").asLong()
+        }
+      v -> ict.getOrElse(
+        fs.getFileStatus(new Path(dir, f"$v%020d.json")).getModificationTime)
     }
     val eligible = stamped.filter(_._2 <= timestampMs).map(_._1)
     if (eligible.isEmpty) throw new IllegalArgumentException(

@@ -126,6 +126,27 @@ class DeltaTableReaderSpec extends SparkSpec {
     assert(eTs.getMessage.contains("no commit at or before"))
   }
 
+  test("IN-COMMIT timestamps beat file mtimes for TIMESTAMP AS OF (copy-stable per ICT)") {
+    val table = tmpDir("delta-ict")
+    writeDataFile(rows(1 to 20), table, "a.parquet")
+    writeDataFile(rows(21 to 50), table, "b.parquet")
+    // commitInfo.inCommitTimestamp says v0 @ t=1000, v1 @ t=5000;
+    // the files' mtimes are TODAY — a mtime-based resolution would
+    // say both commits are in the future and refuse
+    writeCommit(table, 0L, Seq(
+      """{"commitInfo":{"inCommitTimestamp":1000}}""",
+      protocol, meta(Nil, schemaJson), add("a.parquet")))
+    writeCommit(table, 1L, Seq(
+      """{"commitInfo":{"inCommitTimestamp":5000}}""",
+      add("b.parquet")))
+    assert(DeltaTableReader.snapshotAsOfTimestamp(spark, table, 1500L).count() == 20L,
+      "t=1500 resolves v0 off its in-commit timestamp")
+    assert(DeltaTableReader.snapshotAsOfTimestamp(spark, table, 5000L).count() == 50L)
+    val e = intercept[IllegalArgumentException](
+      DeltaTableReader.snapshotAsOfTimestamp(spark, table, 500L))
+    assert(e.getMessage.contains("no commit at or before"))
+  }
+
   test("partitioned table reads as ONE scan (no per-partition union) with typed partition columns") {
     val s = spark
     import s.implicits._
