@@ -2312,6 +2312,39 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(NULL AS DOUBLE), CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin))
 
+  /** #104e Iceberg STATS-BASED FILE SKIPPING (both halves: the writer
+    * records per-field-id `lower_bounds`/`upper_bounds` in each
+    * manifest entry — Iceberg single-value serialization, min/max
+    * read from the parquet FOOTERS, the planning metadata engines
+    * skip on — and the reader's `snapshotSkipping` prunes files whose
+    * recorded range provably misses `[lo, hi]` BEFORE any data I/O;
+    * bound-less files keep conservatively). Range-clustered fixture;
+    * the in-run require proves the file set was cut; the oracle
+    * recomputes the filtered aggregate.
+    */
+  val qIcebergSkipping: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("iceberg-skip") + "/t"
+      val o = t(s, dir, "orders")
+      IcebergTableWriter.create(o.repartitionByRange(8, col("o_orderkey")), table): Unit
+      val hi = 3000.0
+      val full = IcebergTableReader.planFiles(s, table)
+      val pruned = IcebergTableReader.planFilesSkipping(s, table, "o_orderkey", 0.0, hi)
+      require(pruned.data.size < full.data.size,
+        s"stats skipping must cut the file set (${pruned.data.size} of ${full.data.size})")
+      IcebergTableReader.snapshotSkipping(s, table, "o_orderkey", 0.0, hi)
+        .where(col("o_orderkey") <= hi.toLong)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey <= 3000
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #110 UniForm-style DUAL-FORMAT publication
     * ([[graft.sources.TableLoader.publishIcebergMirror]]): Iceberg
     * metadata lands OVER the Delta table's own data files — one copy

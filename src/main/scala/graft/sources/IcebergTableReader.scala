@@ -192,7 +192,9 @@ object IcebergTableReader {
     */
   final case class ManifestEntry(status: Int, snapshotId: Option[Long],
       sequence: Option[Long], filePath: String, content: Int,
-      equalityIds: Seq[Int] = Nil, partition: Map[String, String] = Map.empty)
+      equalityIds: Seq[Int] = Nil, partition: Map[String, String] = Map.empty,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   /** Manifest entries of `manifestPath` (relative-or-absolute),
     * resolved against the table — the snapshot-expiry service's
@@ -222,6 +224,22 @@ object IcebergTableReader {
             }.toMap
           case _ => Map.empty
         }
+      def boundsOf(field: String): Map[Int, Array[Byte]] =
+        if (df.getSchema.getField(field) == null) Map.empty
+        else Option(df.get(field)) match {
+          case Some(l: java.util.List[_]) =>
+            import scala.jdk.CollectionConverters._
+            l.asScala.toSeq.collect { case kv: GenericRecord =>
+              val bytes = kv.get("value") match {
+                case bb: java.nio.ByteBuffer =>
+                  val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+                case arr: Array[Byte] => arr
+                case other => other.toString.getBytes("UTF-8")
+              }
+              kv.get("key").asInstanceOf[Number].intValue() -> bytes
+            }.toMap
+          case _ => Map.empty
+        }
       ManifestEntry(
         status = fieldInt(r, "status", 1),
         snapshotId = fieldLong(r, "snapshot_id"),
@@ -229,7 +247,9 @@ object IcebergTableReader {
         filePath = df.get("file_path").toString,
         content = fieldInt(df, "content", 0),
         equalityIds = eqIds,
-        partition = partition)
+        partition = partition,
+        lowerBounds = boundsOf("lower_bounds"),
+        upperBounds = boundsOf("upper_bounds"))
     }
 
   /** (manifestPath, addedSnapshotId, manifestContent) rows of a
@@ -290,7 +310,8 @@ object IcebergTableReader {
       data: Seq[String],
       positionDeletes: Seq[String],
       equalityDeletes: Seq[EqDelete] = Nil,
-      dataSequences: Map[String, Long] = Map.empty)
+      dataSequences: Map[String, Long] = Map.empty,
+      bounds: Map[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = Map.empty)
 
   def planFiles(spark: SparkSession, tablePath: String): PlanFiles =
     planFilesOf(spark, tablePath, currentSnapshot(spark, tablePath))
@@ -310,13 +331,18 @@ object IcebergTableReader {
     val data = Seq.newBuilder[(String, Long)]
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[EqDelete]
+    val boundsB = Map.newBuilder[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])]
     lazy val idToName = schemaFieldNames(spark, tablePath)
     manifests.foreach { case (mpath, _, mcontent) =>
       manifestEntries(spark, resolve(tablePath, mpath)).foreach { e =>
         if (e.status != 2) { // 2 = deleted entry
           (mcontent, e.content) match {
             case (0, 0) =>
-              if (pruner(e.partition)) data += ((e.filePath, e.sequence.getOrElse(0L)))
+              if (pruner(e.partition)) {
+                data += ((e.filePath, e.sequence.getOrElse(0L)))
+                if (e.lowerBounds.nonEmpty || e.upperBounds.nonEmpty)
+                  boundsB += (e.filePath -> ((e.lowerBounds, e.upperBounds)))
+              }
             case (1, 1) => posDeletes += e.filePath
             case (1, 2) =>
               val names = e.equalityIds.map(id => idToName.getOrElse(id,
@@ -339,8 +365,79 @@ object IcebergTableReader {
     }
     val dataFiles = data.result().distinct
     PlanFiles(dataFiles.map(_._1), posDeletes.result().distinct,
-      eqDeletes.result().distinct, dataFiles.toMap)
+      eqDeletes.result().distinct, dataFiles.toMap, boundsB.result())
   }
+
+  /** Field-id → Iceberg type name from the metadata schema — what
+    * decodes manifest bound bytes. */
+  private def schemaFieldTypes(spark: SparkSession, tablePath: String): Map[Int, String] = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
+    val schemaNode = {
+      val schemas = meta.get("schemas")
+      if (schemas != null && schemas.isArray && !schemas.isEmpty) schemas.get(0)
+      else meta.get("schema")
+    }
+    if (schemaNode == null) Map.empty
+    else {
+      val b = Map.newBuilder[Int, String]
+      val fields = schemaNode.get("fields")
+      if (fields != null && fields.isArray) fields.forEach { f =>
+        if (f.get("type") != null && f.get("type").isTextual)
+          b += (f.get("id").asInt() -> f.get("type").asText())
+      }
+      b.result()
+    }
+  }
+
+  /** Iceberg single-value DEserialization for the numeric bound
+    * types the skipping compare handles; None = not comparable
+    * (readers keep the file conservatively). */
+  private def decodeBound(tpe: String, bytes: Array[Byte]): Option[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tpe match {
+      case "int" if bytes.length >= 4 => Some(bb.getInt.toDouble)
+      case "long" if bytes.length >= 8 => Some(bb.getLong.toDouble)
+      case "double" if bytes.length >= 8 => Some(bb.getDouble)
+      case _ => None
+    }
+  }
+
+  /** [[planFiles]] with STATS-BASED FILE SKIPPING (Iceberg's own
+    * planning move: manifests carry per-field lower/upper bounds, and
+    * a file whose recorded range provably misses `[lo, hi]` on
+    * `column` never reaches the scan). Bound-less files and
+    * non-numeric bound types are conservatively KEPT — skipping
+    * prunes I/O, never semantics. Metadata-only, before any data I/O.
+    */
+  def planFilesSkipping(spark: SparkSession, tablePath: String,
+      column: String, lo: Double, hi: Double): PlanFiles = {
+    val plan = planFiles(spark, tablePath)
+    val nameToId = schemaFieldNames(spark, tablePath).map(_.swap)
+    val fid = nameToId.getOrElse(column, throw new IllegalArgumentException(
+      s"$tablePath: skipping column $column is not a declared table column"))
+    val types = schemaFieldTypes(spark, tablePath)
+    val tpe = types.getOrElse(fid, "")
+    val kept = plan.data.filter { f =>
+      plan.bounds.get(f) match {
+        case None => true
+        case Some((lower, upper)) =>
+          val mn = lower.get(fid).flatMap(decodeBound(tpe, _))
+          val mx = upper.get(fid).flatMap(decodeBound(tpe, _))
+          // keep unless the recorded range PROVABLY misses [lo, hi]
+          !(mn.exists(_ > hi) || mx.exists(_ < lo))
+      }
+    }
+    plan.copy(data = kept)
+  }
+
+  /** Snapshot read over the skipping-pruned file set — deletes still
+    * applied (position deletes name pruned-away files harmlessly;
+    * the anti joins are |delete rows|-bounded either way).
+    */
+  def snapshotSkipping(spark: SparkSession, tablePath: String,
+      column: String, lo: Double, hi: Double): DataFrame =
+    readPlan(spark, tablePath, planFilesSkipping(spark, tablePath, column, lo, hi))
 
   /** Live data files of the current snapshot. Refuses when the
     * snapshot carries row-level deletes — callers of the bare file

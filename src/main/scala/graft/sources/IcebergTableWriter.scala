@@ -54,7 +54,8 @@ object IcebergTableWriter {
     * equality-delete manifests with the spec's `equality_ids` list.
     */
   private def entrySchemaFor(partitionBy: Seq[String],
-      withEqualityIds: Boolean = false): Schema = {
+      withEqualityIds: Boolean = false,
+      withBounds: Boolean = false): Schema = {
     val partField =
       if (partitionBy.isEmpty) ""
       else {
@@ -67,6 +68,13 @@ object IcebergTableWriter {
       if (!withEqualityIds) ""
       else """,{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],""" +
         """"default":null}"""
+    val kvArray = """{"type":"array","items":{"type":"record","name":"%s",""" +
+      """"fields":[{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}"""
+    val boundsField =
+      if (!withBounds) ""
+      else s""",{"name":"lower_bounds","type":["null",${kvArray.format("k126")}],""" +
+        s""""default":null},{"name":"upper_bounds","type":["null",${kvArray.format("k127")}],""" +
+        s""""default":null}"""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int"},
@@ -76,7 +84,7 @@ object IcebergTableWriter {
          |  {"name":"content","type":"int","default":0},
          |  {"name":"file_path","type":"string"},
          |  {"name":"file_format","type":"string","default":"PARQUET"},
-         |  {"name":"record_count","type":"long","default":0}$partField$eqField]}}]}"""
+         |  {"name":"record_count","type":"long","default":0}$partField$eqField$boundsField]}}]}"""
         .stripMargin)
   }
 
@@ -89,11 +97,73 @@ object IcebergTableWriter {
     try records.foreach(w.append) finally w.close()
   }
 
-  /** One landed data file: relative path, footer record count, and
-    * identity-partition values (null value = null partition).
+  /** One landed data file: relative path, footer record count,
+    * identity-partition values (null value = null partition), and
+    * per-field-id column bounds (Iceberg single-value-serialized
+    * min/max from the parquet footers — the spec's
+    * lower_bounds/upper_bounds, what engines file-skip on).
     */
   private final case class Landed(rel: String, count: Long,
-      partition: Map[String, Option[String]])
+      partition: Map[String, Option[String]],
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+
+  /** Iceberg single-value serialization (spec Appendix D) for the
+    * bound types this writer records: int → 4-byte LE, long/double →
+    * 8-byte LE, string → UTF-8 bytes. Other types record no bounds
+    * (readers keep their files conservatively).
+    */
+  private def serializeBound(v: Any): Option[Array[Byte]] = v match {
+    case i: java.lang.Integer =>
+      Some(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array())
+    case l: java.lang.Long =>
+      Some(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array())
+    case d: java.lang.Double =>
+      Some(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(d).array())
+    case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
+    case _ => None
+  }
+
+  /** Column min/max per FIELD ID from a landed file's footer row
+    * groups. Field ids follow this writer's schema convention
+    * (position + 1 over the table columns). Columns whose stats are
+    * absent in ANY row group record no bounds (conservative).
+    */
+  private def footerBounds(footer: org.apache.parquet.hadoop.ParquetFileReader,
+      fieldIdOf: Map[String, Int]): (Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    import scala.jdk.CollectionConverters._
+    val lower = scala.collection.mutable.Map.empty[Int, Any]
+    val upper = scala.collection.mutable.Map.empty[Int, Any]
+    val dropped = scala.collection.mutable.Set.empty[Int]
+    footer.getFooter.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.foreach { cc =>
+        val path = cc.getPath.toDotString
+        fieldIdOf.get(path).filterNot(dropped.contains).foreach { fid =>
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) {
+            dropped += fid; lower.remove(fid); upper.remove(fid): Unit
+          } else {
+            val mn = st.genericGetMin; val mx = st.genericGetMax
+            def lt(a: Any, b: Any): Boolean = (a, b) match {
+              case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+              case (x: java.lang.Long, y: java.lang.Long) => x < y
+              case (x: java.lang.Double, y: java.lang.Double) => x < y
+              case (x: org.apache.parquet.io.api.Binary,
+                  y: org.apache.parquet.io.api.Binary) => x.compareTo(y) < 0
+              case _ => false
+            }
+            lower(fid) = lower.get(fid).filter(lt(_, mn)).getOrElse(mn)
+            upper(fid) = upper.get(fid).filter(v => lt(mx, v)).getOrElse(mx)
+          }
+        }
+      }
+    }
+    (lower.toMap.flatMap { case (k, v) => serializeBound(v).map(k -> _) },
+      upper.toMap.flatMap { case (k, v) => serializeBound(v).map(k -> _) })
+  }
 
   private def decodeHive(raw: String): Option[String] = {
     val v = java.net.URLDecoder.decode(raw.replace("+", "%2B"), "UTF-8")
@@ -108,6 +178,10 @@ object IcebergTableWriter {
   private def writeDataFiles(df: DataFrame, tablePath: String,
       partitionBy: Seq[String]): Seq[Landed] = {
     val spark = df.sparkSession
+    // field ids = position + 1 over the written columns — the same
+    // convention schemasJson declares, so bounds resolve at read time
+    val fieldIds: Map[String, Int] =
+      df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
@@ -136,8 +210,11 @@ object IcebergTableWriter {
             s"$tablePath: failed to land data file $rel")
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dst, conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val n = try r.getRecordCount finally r.close()
-          landed += Landed(rel, n, values)
+          val (n, lo, hi) = try {
+            val b = footerBounds(r, fieldIds)
+            (r.getRecordCount, b._1, b._2)
+          } finally r.close()
+          landed += Landed(rel, n, values, lo, hi)
         }
       }
     walk(stage, Map.empty)
@@ -153,11 +230,28 @@ object IcebergTableWriter {
       partitionBy: Seq[String], content: Int = 0,
       equalityIds: Seq[Int] = Nil): String = {
     val rel = s"metadata/m-$snapshotId-${java.util.UUID.randomUUID()}.avro"
-    val entrySchema = entrySchemaFor(partitionBy, withEqualityIds = equalityIds.nonEmpty)
+    val withBounds = files.exists(f => f.lowerBounds.nonEmpty || f.upperBounds.nonEmpty)
+    val entrySchema = entrySchemaFor(partitionBy,
+      withEqualityIds = equalityIds.nonEmpty, withBounds = withBounds)
     val dfSchema = entrySchema.getField("data_file").schema()
+    def kvRecords(fieldName: String, m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
+      val arrSchema = dfSchema.getField(fieldName).schema().getTypes.get(1)
+      val itemSchema = arrSchema.getElementType
+      val out = new java.util.ArrayList[GenericRecord](m.size)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val r = new GenericData.Record(itemSchema)
+        r.put("key", k); r.put("value", java.nio.ByteBuffer.wrap(v))
+        out.add(r)
+      }
+      out
+    }
     val records = files.map { f =>
       val dfr = new GenericData.Record(dfSchema)
       dfr.put("content", content); dfr.put("file_path", f.rel)
+      if (withBounds && (f.lowerBounds.nonEmpty || f.upperBounds.nonEmpty)) {
+        dfr.put("lower_bounds", kvRecords("lower_bounds", f.lowerBounds))
+        dfr.put("upper_bounds", kvRecords("upper_bounds", f.upperBounds))
+      }
       dfr.put("file_format", "PARQUET"); dfr.put("record_count", f.count)
       if (equalityIds.nonEmpty) {
         import scala.jdk.CollectionConverters._

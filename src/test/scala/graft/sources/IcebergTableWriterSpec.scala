@@ -109,6 +109,33 @@ class IcebergTableWriterSpec extends SparkSpec {
     assert(e2.getMessage.contains("no live rows"))
   }
 
+  test("stats-based skipping: manifest bounds cut the file set; non-numeric and boundless stay") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("iwr-skip") + "/t"
+    val df = (1 to 400).map(i => (i.toLong, s"g${i % 3}", i * 2L)).toDF("id", "grp", "v")
+    IcebergTableWriter.create(df.repartitionByRange(8, col("id")), table): Unit
+    val plan = IcebergTableReader.planFiles(spark, table)
+    assert(plan.bounds.nonEmpty, "the writer must record manifest bounds")
+    // a narrow range provably cuts the file set
+    val pruned = IcebergTableReader.planFilesSkipping(spark, table, "id", 0.0, 40.0)
+    assert(pruned.data.size < plan.data.size,
+      s"skipping must cut files (${pruned.data.size} of ${plan.data.size})")
+    // pruning is conservative: the kept set still covers the range exactly
+    val got = IcebergTableReader.snapshotSkipping(spark, table, "id", 0.0, 40.0)
+      .where(col("id") <= 40L)
+    assert(got.count() == 40L)
+    assert(got.agg(sum("v")).head().getLong(0) == (1 to 40).map(_ * 2L).sum)
+    // a string column decodes no numeric bounds — every file kept
+    val strPruned = IcebergTableReader.planFilesSkipping(spark, table, "grp", 0.0, 1.0)
+    assert(strPruned.data.size == plan.data.size,
+      "non-numeric bound types must keep files conservatively")
+    // an undeclared column refuses
+    val e = intercept[IllegalArgumentException](
+      IcebergTableReader.planFilesSkipping(spark, table, "nope", 0.0, 1.0))
+    assert(e.getMessage.contains("not a declared"))
+  }
+
   test("partitioned create/append: values ride the manifests, pruning skips files, columns stay in data") {
     import org.apache.spark.sql.functions._
     val table = tmpDir("iwr-part") + "/t"
