@@ -2345,6 +2345,61 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey <= 3000
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #106d Delta RESTORE ([[graft.sources.DeltaTableWriter.restore]]):
+    * one commit re-points the table to a past version — removes for
+    * files active now but not then, re-adds (original partition
+    * values and deletion vectors verbatim) for files active then but
+    * not now — while HISTORY stays (the restore is a new version;
+    * pre-restore states still time-travel, in-run require). The
+    * fixture upserts then restores past the upsert; the oracle is the
+    * pre-upsert base.
+    */
+  val qDeltaRestore: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-restore") + "/t"
+      val (base, batch) = upsertFixture(s, dir)
+      DeltaTableWriter.create(base, table): Unit                       // v0
+      DeltaTableWriter.upsert(batch, table, Seq("o_orderkey")): Unit   // v1
+      DeltaTableWriter.restore(s, table, 0L): Unit                     // v2
+      require(DeltaTableReader.snapshotAsOf(s, table, 1L)
+        .where(col("o_orderkey") % 5 === 0).limit(1).count() == 1L,
+        "the pre-restore state must still time-travel")
+      DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #104f Iceberg TAGS ([[graft.sources.IcebergTableWriter.setRef]] +
+    * `snapshotAsOfRef`): a named ref pins a snapshot for time travel
+    * by NAME through the same `openAsOf` token slot, refs survive
+    * later commits verbatim while `main` advances, and expiry refuses
+    * while a tag pins an expiring snapshot. The tagged read must
+    * serve the pre-upsert cut exactly.
+    */
+  val qIcebergTag: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableWriter, TableLoader}
+      val table = scratch("iceberg-tag") + "/t"
+      val (base, batch) = upsertFixture(s, dir)
+      val s1 = IcebergTableWriter.create(base, table)
+      IcebergTableWriter.setRef(s, table, "baseline", s1)
+      IcebergTableWriter.upsert(batch, table, Seq("o_orderkey")): Unit
+      TableLoader.openAsOf(s, table, "baseline")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #110 UniForm-style DUAL-FORMAT publication
     * ([[graft.sources.TableLoader.publishIcebergMirror]]): Iceberg
     * metadata lands OVER the Delta table's own data files — one copy

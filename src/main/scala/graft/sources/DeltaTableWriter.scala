@@ -689,6 +689,72 @@ object DeltaTableWriter {
     } finally aligned.unpersist()
   }
 
+  /** RESTORE the table to `version` — Delta's own RESTORE shape: ONE
+    * commit whose `remove` actions drop every file active now but not
+    * then and whose `add` actions re-activate every file active then
+    * but not now (original partition values and deletion vectors
+    * re-attached verbatim), all `dataChange=true`. History is
+    * preserved — the restore is a NEW version on top, so time travel
+    * to the pre-restore state still works and incremental/CDC readers
+    * refuse across it rather than silently double-reading (their
+    * spec-locked contract). Restoring to a version whose DATA FILES
+    * were since VACUUMED refuses loudly before committing anything
+    * (DV sidecars are re-attached by descriptor; a vacuumed sidecar
+    * surfaces at scan, the reader's own loud path). A no-op restore
+    * (already at that state) refuses — nothing to commit. Returns the
+    * committed version.
+    */
+  def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
+    val now = DeltaTableReader.snapshotState(spark, tablePath)
+    refuseWriterUnsupported(now, tablePath)
+    val then0 = DeltaTableReader.snapshotState(spark, tablePath, asOf = Some(version))
+    val nowBy = now.active.map(f => f.path -> f).toMap
+    val thenBy = then0.active.map(f => f.path -> f).toMap
+    val toRemove = now.active.filterNot(f => thenBy.contains(f.path))
+    // a file active in both but with a DIFFERENT deletion vector must
+    // re-add with the old descriptor (remove+add, the DV re-attach)
+    val toReAdd = then0.active.filter { f =>
+      nowBy.get(f.path) match {
+        case None => true
+        case Some(cur) => cur.dv.map(_.pathOrInlineDv) != f.dv.map(_.pathOrInlineDv)
+      }
+    }
+    if (toRemove.isEmpty && toReAdd.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: already at the state of version $version — nothing to restore")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    toReAdd.foreach { f =>
+      val p = new Path(tablePath, decodePathPublic(f.path))
+      if (!fs.exists(p)) throw new IllegalStateException(
+        s"$tablePath: restore to version $version needs ${f.path}, which was vacuumed " +
+          "away — the restore cannot be served; refusing before committing anything")
+    }
+    val nowMs = System.currentTimeMillis()
+    def pvJson(pv: Map[String, String]): String =
+      now.partitionColumns.map { c =>
+        pv.get(c) match {
+          case Some(v) => s"${jsonStr(c)}:${jsonStr(v)}"
+          case None => s"${jsonStr(c)}:null"
+        }
+      }.mkString(",")
+    val lines =
+      toRemove.map(f =>
+        s"""{"remove":{"path":${jsonStr(f.path)},"deletionTimestamp":$nowMs,""" +
+          s""""dataChange":true}}""") ++
+      toReAdd.map { f =>
+        val st = fs.getFileStatus(new Path(tablePath, decodePathPublic(f.path)))
+        val dvJson = f.dv.map(d => s""","deletionVector":${DeltaDv.descriptorJson(d)}""")
+          .getOrElse("")
+        val rm = nowBy.get(f.path).map(_ =>
+          s"""{"remove":{"path":${jsonStr(f.path)},"deletionTimestamp":$nowMs,""" +
+            s""""dataChange":true}}""").toSeq
+        rm :+ (s"""{"add":{"path":${jsonStr(f.path)},""" +
+          s""""partitionValues":{${pvJson(f.partitionValues)}},""" +
+          s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+          s""""dataChange":true$dvJson}}""")
+      }.flatten
+    commit(spark, tablePath, now.version + 1, lines)
+  }
+
   def append(df: DataFrame, tablePath: String,
       transaction: Option[(String, Long)] = None,
       checkpointInterval: Int = DefaultCheckpointInterval): Long = {

@@ -482,6 +482,38 @@ object IcebergTableReader {
     * own resolution rule. A timestamp before the first snapshot
     * refuses.
     */
+  /** Named refs from the metadata's `refs` map — Iceberg branches and
+    * tags: name → (snapshot id, "branch" | "tag"). Empty when the
+    * table declares none (pre-refs metadata).
+    */
+  def refs(spark: SparkSession, tablePath: String): Map[String, (Long, String)] = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
+    val node = meta.get("refs")
+    if (node == null || !node.isObject) Map.empty
+    else {
+      val b = Map.newBuilder[String, (Long, String)]
+      node.fields().forEachRemaining { e =>
+        val sid = Option(e.getValue.get("snapshot-id")).map(_.asLong())
+        val tpe = Option(e.getValue.get("type")).map(_.asText()).getOrElse("branch")
+        sid.foreach(id => b += (e.getKey -> ((id, tpe))))
+      }
+      b.result()
+    }
+  }
+
+  /** Read the snapshot a named ref (branch or tag) points at —
+    * `VERSION AS OF 'name'`, Iceberg's ref-based time travel. Unknown
+    * names refuse with the declared ref list.
+    */
+  def snapshotAsOfRef(spark: SparkSession, tablePath: String, name: String): DataFrame = {
+    val all = refs(spark, tablePath)
+    val (sid, _) = all.getOrElse(name, throw new IllegalArgumentException(
+      s"$tablePath: no ref named '$name' (declared: " +
+        s"${if (all.isEmpty) "none" else all.keys.toSeq.sorted.mkString(", ")})"))
+    snapshotAsOf(spark, tablePath, sid)
+  }
+
   def snapshotAsOfTimestamp(spark: SparkSession, tablePath: String,
       timestampMs: Long): DataFrame = {
     val (snaps, _) = snapshotLog(spark, tablePath)

@@ -445,10 +445,21 @@ object IcebergTableWriter {
         snapshotJson(newId, parentId, seq, listRel, System.currentTimeMillis(), operation,
           extraSummary))
         .mkString(",")
+      // refs carry forward VERBATIM (tags keep pointing at their
+      // snapshots); the main branch advances to the new snapshot —
+      // Iceberg's own ref semantics
+      val prevRefs = if (exists) IcebergTableReader.refs(spark, tablePath)
+        else Map.empty[String, (Long, String)]
+      val refsJson = (prevRefs + ("main" -> ((newId, "branch"))))
+        .toSeq.sortBy(_._1)
+        .map { case (n, (id, t)) =>
+          val nq = n.replace("\\", "\\\\").replace("\"", "\\\"")
+          s""""$nq":{"snapshot-id":$id,"type":"$t"}"""
+        }.mkString(",")
       val metaJson =
         s"""{"format-version":2,"table-uuid":"graft","location":"$tablePath",""" +
           s"""${schemasJson(schema)},${specJson(schema, partitionBy)},""" +
-          s""""last-sequence-number":$seq,""" +
+          s""""last-sequence-number":$seq,"refs":{$refsJson},""" +
           s""""current-snapshot-id":$newId,"snapshots":[$snapsJson]}"""
       val vNew = prevVersion + 1
       val metaPath = new Path(tablePath, s"metadata/v$vNew.metadata.json")
@@ -559,6 +570,52 @@ object IcebergTableWriter {
     * ids refuse time travel afterwards ("not in the metadata log") —
     * the reader's documented contract. Returns the expired ids.
     */
+  /** Create or move a named REF (tag or branch) to `snapshotId` —
+    * Iceberg's branch/tag machinery: a metadata-only commit (vN+1
+    * carries the same snapshots with the refs map updated, under the
+    * usual CAS). Tags pin snapshots for time travel by NAME
+    * ([[IcebergTableReader.snapshotAsOfRef]]) and gate expiry. Ids
+    * not in the snapshot log refuse.
+    */
+  def setRef(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      name: String, snapshotId: Long, refType: String = "tag"): Unit = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be 'tag' or 'branch', got $refType")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val (snaps, _) = IcebergTableReader.snapshotLog(spark, tablePath)
+    require(snaps.exists(_.id == snapshotId),
+      s"$tablePath: snapshot $snapshotId is not in the metadata log — a ref cannot " +
+        "point outside history")
+    val version = IcebergTableReader.currentMetadataVersion(spark, tablePath)
+    val metaPath = new Path(tablePath, s"metadata/v$version.metadata.json")
+    val in = fs.open(metaPath)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(text)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val refsNode =
+      if (root.has("refs") && root.get("refs").isObject)
+        root.get("refs").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else { val n = m.createObjectNode(); root.replace("refs", n); n }
+    val entry = m.createObjectNode()
+    entry.put("snapshot-id", snapshotId): Unit
+    entry.put("type", refType): Unit
+    refsNode.replace(name, entry): Unit
+    val vNew = version + 1
+    val newMeta = new Path(tablePath, s"metadata/v$vNew.metadata.json")
+    val created = try {
+      val out = fs.create(newMeta, false)
+      try out.write((m.writeValueAsString(root) + "\n").getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+    if (!created) throw new IllegalStateException(
+      s"$tablePath: metadata v$vNew already taken — re-run setRef after the racer's commit")
+    val hint = fs.create(new Path(tablePath, "metadata/version-hint.text"), true)
+    try hint.write(s"$vNew\n".getBytes("UTF-8")) finally hint.close()
+  }
+
   def expireSnapshots(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the current snapshot")
@@ -570,6 +627,14 @@ object IcebergTableWriter {
     require(retained.exists(_.id == currentId),
       s"$tablePath: the current snapshot must be inside the retention window")
     val expired = snaps.dropRight(keepLast)
+    // a TAGGED (or branched) snapshot cannot expire — refs pin
+    // history, Iceberg's own retention rule
+    val pinned = IcebergTableReader.refs(spark, tablePath)
+      .filter { case (n, (id, _)) => n != "main" && expired.exists(_.id == id) }
+    require(pinned.isEmpty,
+      s"$tablePath: refs ${pinned.keys.toSeq.sorted.mkString(", ")} pin snapshot(s) " +
+        s"${pinned.values.map(_._1).toSeq.distinct.sorted.mkString(", ")} inside the " +
+        "expiry window — drop the refs first or widen retention")
     def inventory(ss: Seq[IcebergTableReader.SnapshotInfo])
         : (Set[String], Set[String], Set[String]) = { // (lists, manifests, files)
       val lists = ss.map(_.manifestList).toSet

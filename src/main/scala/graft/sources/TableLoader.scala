@@ -179,7 +179,10 @@ object TableLoader {
       case HudiFormat     => HudiTableReader.snapshotAsOf(spark, path, token)
       case IcebergFormat  => ts match {
         case Some(t) => IcebergTableReader.snapshotAsOfTimestamp(spark, path, t)
-        case None => IcebergTableReader.snapshotAsOf(spark, path, token.toLong)
+        case None if token.forall(_.isDigit) =>
+          IcebergTableReader.snapshotAsOf(spark, path, token.toLong)
+        // a non-numeric token is a NAMED REF (branch/tag)
+        case None => IcebergTableReader.snapshotAsOfRef(spark, path, token)
       }
       case PlainParquet   => throw new IllegalArgumentException(
         s"$path is a plain parquet directory — no commit log to time-travel")

@@ -188,6 +188,60 @@ class ForeignUpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("delta: RESTORE re-points to a past version in one commit; history and refusals hold") {
+    val table = tmpDir("drestore") + "/t"
+    DeltaTableWriter.create(df(1 to 30), table): Unit                      // v0
+    DeltaTableWriter.append(df(31 to 50), table): Unit                     // v1
+    DeltaTableWriter.delete(spark, table, col("id") % 10 === 0): Unit      // v2 (DV)
+    assert(DeltaTableReader.snapshot(spark, table).count() == 45L)
+    // restore to v1: the DV commit unwinds (files re-add WITHOUT vectors)
+    val v3 = DeltaTableWriter.restore(spark, table, 1L)
+    assert(v3 == 3L)
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.count() == 50L, "the restore must resurrect the DV-masked rows")
+    // restore to v0: the appended file drops
+    DeltaTableWriter.restore(spark, table, 0L): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 30L)
+    // history preserved: the pre-restore states still time-travel
+    assert(DeltaTableReader.snapshotAsOf(spark, table, 2L).count() == 45L)
+    assert(DeltaTableReader.snapshotAsOf(spark, table, 3L).count() == 50L)
+    // no-op restore refuses
+    val e = intercept[IllegalArgumentException](DeltaTableWriter.restore(spark, table, 0L))
+    assert(e.getMessage.contains("nothing to restore"))
+    // incremental consumers refuse across the restore (rewrite contract)
+    val e2 = intercept[IllegalStateException](
+      DeltaTableReader.incrementalSince(spark, table, 2L))
+    assert(e2.getMessage.contains("removes data files"))
+  }
+
+  test("iceberg: tags pin snapshots — time travel by name, expiry refuses, refs survive commits") {
+    val table = tmpDir("irefs") + "/t"
+    val s1 = IcebergTableWriter.create(df(1 to 20), table)
+    IcebergTableWriter.setRef(spark, table, "v1.0", s1)
+    IcebergTableWriter.append(df(21 to 40), table): Unit
+    IcebergTableWriter.upsert(df(5 to 6, _ => 9L), table, Seq("id")): Unit
+    // the tag still reads the pinned snapshot, by NAME
+    val tagged = IcebergTableReader.snapshotAsOfRef(spark, table, "v1.0")
+    assert(tagged.count() == 20L)
+    assert(tagged.where(col("id") === 5L).head().getAs[Long]("v") == 10L,
+      "the tag must serve the PRE-upsert state")
+    // refs carried forward verbatim across commits; main advanced
+    val refs = IcebergTableReader.refs(spark, table)
+    assert(refs("v1.0")._1 == s1 && refs("v1.0")._2 == "tag")
+    assert(refs("main")._1 == IcebergTableReader.snapshotLog(spark, table)._2)
+    // expiry refuses while the tag pins an expiring snapshot
+    val e = intercept[IllegalArgumentException](
+      IcebergTableWriter.expireSnapshots(spark, table, keepLast = 1))
+    assert(e.getMessage.contains("pin"))
+    // unknown refs and out-of-history ids refuse
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTableReader.snapshotAsOfRef(spark, table, "nope"))
+    assert(e2.getMessage.contains("no ref named"))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergTableWriter.setRef(spark, table, "x", 999L))
+    assert(e3.getMessage.contains("not in the metadata log"))
+  }
+
   // ---------------------------------------------------------------- Iceberg
 
   test("iceberg: upsert = equality-delete + data files in ONE snapshot; older rows masked, batch survives") {
