@@ -39,6 +39,13 @@ object DeltaTableWriter {
   /** Max CAS retries when racing another writer for a version slot. */
   val MaxCommitAttempts: Int = 20
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def readText(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   /** Writer features an append-only commit CAN honor without extra
     * behavior: appendOnly is exactly what this writer does;
     * timestampNtz/variantType are type-level (the appended files
@@ -51,7 +58,7 @@ object DeltaTableWriter {
     * corrupt the table for other engines.
     */
   val SupportedWriterFeatures: Set[String] =
-    Set("appendOnly", "timestampNtz", "deletionVectors", "variantType")
+    Set("appendOnly", "timestampNtz", "deletionVectors", "variantType", "inCommitTimestamp")
 
   /** Refuse an append the table's protocol or metadata makes unsafe.
     * Mirrors the reader's refuseReaderFeatures contract on the write
@@ -255,13 +262,39 @@ object DeltaTableWriter {
     * atomic-rename CAS; returns the version that won.
     */
   private def commit(spark: SparkSession, tablePath: String, fromVersion: Long,
-      lines: Seq[String]): Long = {
+      lines: Seq[String], ictNeeded: Boolean = false): Long = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
-    val out = fs.create(tmp, true)
-    try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8"))) finally out.close()
+    // IN-COMMIT TIMESTAMPS: when the table declares the feature,
+    // every commit's FIRST action must be a commitInfo carrying a
+    // MONOTONIC inCommitTimestamp (> the previous commit's) — read
+    // the predecessor's stamp per candidate version (a lost CAS race
+    // moves the predecessor)
+    def prevIct(v: Long): Option[Long] = {
+      val p = new Path(dir, f"${v - 1}%020d.json")
+      if (v <= 0 || !fs.exists(p)) None
+      else readText(fs, p).split('\n').filter(_.nonEmpty).iterator.map(mapper.readTree)
+        .collectFirst {
+          case n if n.has("commitInfo") && n.get("commitInfo").has("inCommitTimestamp") =>
+            n.get("commitInfo").get("inCommitTimestamp").asLong()
+        }
+    }
+    def writeTmp(forVersion: Long): Path = {
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
+      val head =
+        if (!ictNeeded) Nil
+        else {
+          val ict = math.max(System.currentTimeMillis(),
+            prevIct(forVersion).map(_ + 1L).getOrElse(Long.MinValue))
+          Seq(s"""{"commitInfo":{"inCommitTimestamp":$ict}}""")
+        }
+      val out = fs.create(tmp, true)
+      try (head ++ lines).foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+      finally out.close()
+      tmp
+    }
+    var tmp = writeTmp(fromVersion)
     // FileContext.rename with Options.Rename.NONE is the real CAS:
     // it fails (FileAlreadyExistsException) when the destination
     // exists, on HDFS AND local filesystems — FileSystem.rename on
@@ -272,6 +305,11 @@ object DeltaTableWriter {
     try {
       var v = fromVersion
       while (v < fromVersion + MaxCommitAttempts) {
+        if (ictNeeded && v > fromVersion) {
+          // re-stamp against the NEW predecessor after a lost race
+          if (fs.exists(tmp)) { fs.delete(tmp, false): Unit }
+          tmp = writeTmp(v)
+        }
         val dst = new Path(dir, f"$v%020d.json")
         if (!fs.exists(dst)) { // cheap pre-check; the rename is the CAS
           try {
@@ -288,6 +326,12 @@ object DeltaTableWriter {
         s"$tablePath: lost the commit race $MaxCommitAttempts times from version $fromVersion")
     } finally if (fs.exists(tmp)) { fs.delete(tmp, false); () }
   }
+
+  /** True when the table's protocol or configuration obliges every
+    * commit to carry an inCommitTimestamp. */
+  private def ictNeededOf(state: DeltaTableReader.Snapshot): Boolean =
+    state.protocol.exists(_.writerFeatures.contains("inCommitTimestamp")) ||
+      state.configuration.get("delta.enableInCommitTimestamps").contains("true")
 
   /** Create a NEW Delta table at `tablePath` from `df` — version 0
     * carries protocol, metaData (schema + partition columns) and the
@@ -480,7 +524,8 @@ object DeltaTableWriter {
           s""""dataChange":false}}""") ++
       files.map { case (rel, size, mtime, st) =>
         addLine(rel, size, mtime, state.partitionColumns, st, dataChange = false) }
-    commit(spark, tablePath, state.version + 1, lines)
+    commit(spark, tablePath, state.version + 1, lines,
+      ictNeeded = ictNeededOf(state))
   }
 
   /** VACUUM: physically delete data files TOMBSTONED (removed with
@@ -570,7 +615,8 @@ object DeltaTableWriter {
         "driver-side bitmaps")
     if (matched.isEmpty) throw new IllegalArgumentException(
       s"$tablePath: predicate matched no live rows — nothing to delete")
-    commit(spark, tablePath, state.version + 1, dvMaskLines(spark, tablePath, state, matched))
+    commit(spark, tablePath, state.version + 1,
+      dvMaskLines(spark, tablePath, state, matched), ictNeeded = ictNeededOf(state))
   }
 
   /** The commit lines that mask `matched` (file, position) rows via
@@ -683,7 +729,8 @@ object DeltaTableWriter {
       val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
       val v = commit(spark, tablePath, state.version + 1,
         dvLines ++ files.map { case (rel, size, mtime, st) =>
-          addLine(rel, size, mtime, state.partitionColumns, st) })
+          addLine(rel, size, mtime, state.partitionColumns, st) },
+        ictNeeded = ictNeededOf(state))
       maybeCheckpoint(spark, tablePath, v, checkpointInterval)
       v
     } finally aligned.unpersist()
@@ -752,7 +799,8 @@ object DeltaTableWriter {
           s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
           s""""dataChange":true$dvJson}}""")
       }.flatten
-    commit(spark, tablePath, now.version + 1, lines)
+    commit(spark, tablePath, now.version + 1, lines,
+      ictNeeded = ictNeededOf(now))
   }
 
   def append(df: DataFrame, tablePath: String,
@@ -774,7 +822,8 @@ object DeltaTableWriter {
     val v = commit(spark, tablePath, state.version + 1,
       transaction.map(txnLine).toSeq ++
         files.map { case (rel, size, mtime, st) =>
-          addLine(rel, size, mtime, state.partitionColumns, st) })
+          addLine(rel, size, mtime, state.partitionColumns, st) },
+      ictNeeded = ictNeededOf(state))
     maybeCheckpoint(spark, tablePath, v, checkpointInterval)
     v
   }

@@ -126,6 +126,38 @@ class DeltaTableReaderSpec extends SparkSpec {
     assert(eTs.getMessage.contains("no commit at or before"))
   }
 
+  test("ICT WRITER: every commit to an inCommitTimestamp table carries a monotone stamp") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("delta-ict-writer") + "/t"
+    DeltaTableWriter.create(rows(1 to 20), table): Unit
+    // an external engine enables the feature on the existing table
+    val w = new java.io.PrintWriter(
+      new java.io.File(s"$table/_delta_log", f"${1L}%020d.json"), "UTF-8")
+    try {
+      w.println("""{"commitInfo":{"inCommitTimestamp":1000}}""")
+      w.println("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["inCommitTimestamp"]}}""")
+    } finally w.close()
+    // appends no longer refuse: each commit carries a MONOTONE stamp
+    DeltaTableWriter.append(rows(21 to 30), table): Unit
+    DeltaTableWriter.upsert(rows(5 to 6).withColumn("v", lit(7L)), table, Seq("id")): Unit
+    def ictOf(v: Long): Long = {
+      val text = scala.io.Source.fromFile(
+        new java.io.File(s"$table/_delta_log", f"$v%020d.json")).mkString
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      text.split('\n').filter(_.nonEmpty).map(m.readTree)
+        .collectFirst { case n if n.has("commitInfo") =>
+          n.get("commitInfo").get("inCommitTimestamp").asLong() }.get
+    }
+    assert(ictOf(2L) > 1000L, "the first writer commit must stamp past the enablement")
+    assert(ictOf(3L) > ictOf(2L), "stamps must be strictly monotone")
+    assert(DeltaTableReader.snapshot(spark, table).count() == 30L)
+    // TIMESTAMP AS OF between the enablement and the append serves v1
+    assert(DeltaTableReader.snapshotAsOfTimestamp(spark, table, ictOf(2L) - 1L)
+      .count() == 20L)
+  }
+
   test("IN-COMMIT timestamps beat file mtimes for TIMESTAMP AS OF (copy-stable per ICT)") {
     val table = tmpDir("delta-ict")
     writeDataFile(rows(1 to 20), table, "a.parquet")
