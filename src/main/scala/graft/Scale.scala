@@ -1389,7 +1389,8 @@ object Scale {
       "q_delta_upsert", "q_hudi_upsert", "q_iceberg_upsert",
       "q_mirror_pipeline", "q_iceberg_cdc", "q_delta_colmap_id",
       "q_stream_iceberg_sink", "q_stream_hudi_sink",
-      "q_delta_v2_checkpoint", "q_uniform_mirror", "q_iceberg_skipping")
+      "q_delta_v2_checkpoint", "q_uniform_mirror", "q_iceberg_skipping",
+      "q_delta_restore", "q_iceberg_tag")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))

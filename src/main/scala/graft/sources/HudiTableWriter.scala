@@ -486,7 +486,8 @@ object HudiTableWriter {
     * declares MERGE_ON_READ + the record keys the log merge needs.
     */
   def createMor(df: DataFrame, tablePath: String, tableName: String = "graft_table",
-      recordKeys: Seq[String] = Nil, precombineField: Option[String] = None): String = {
+      recordKeys: Seq[String] = Nil, precombineField: Option[String] = None,
+      partitionBy: Seq[String] = Nil): String = {
     require(recordKeys.nonEmpty,
       "a MOR table needs record keys — the log merge has no identity without them")
     val spark = df.sparkSession
@@ -496,10 +497,13 @@ object HudiTableWriter {
       s"$tablePath is already a Hudi table — use append/updateLog")
     recordKeys.foreach(k => require(df.columns.contains(k),
       s"record-key field $k is not in the DataFrame"))
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition field $c is not in the DataFrame"))
     fs.mkdirs(dir)
     writeProperties(spark, tablePath, tableName, recordKeys, precombineField,
-      tableType = "MERGE_ON_READ")
-    insertCommit(df, tablePath, recordKeys, kind = "deltacommit")
+      tableType = "MERGE_ON_READ", partitionBy = partitionBy)
+    insertCommit(df, tablePath, recordKeys, kind = "deltacommit",
+      partitionBy = partitionBy)
   }
 
   /** Route rows carrying `_g_key` to their file groups via the BASE
@@ -539,9 +543,14 @@ object HudiTableWriter {
     * instant (log names embed it) and the next log version.
     */
   private def logMetaOf(groups: Seq[HudiTableReader.GroupSlices],
-      fallbackInstant: String): Map[String, (String, Int)] =
-    groups.map(g =>
-      g.fileId -> (g.base.map(_.instant).getOrElse(fallbackInstant), g.logs.size + 1)).toMap
+      fallbackInstant: String): Map[String, (String, Int, String)] =
+    groups.map { g =>
+      // a group's logs live NEXT TO its base — in the partition dir
+      val partition = g.base
+        .map(_.path.split('/').dropRight(1).mkString("/")).getOrElse("")
+      g.fileId -> ((g.base.map(_.instant).getOrElse(fallbackInstant),
+        g.logs.size + 1, partition))
+    }.toMap
 
   /** Publish a `.deltacommit` naming the log files written. The
     * exclusive create is the instant-uniqueness CAS; a lost race
@@ -551,16 +560,21 @@ object HudiTableWriter {
   private def publishDeltacommit(spark: SparkSession, tablePath: String, instant: String,
       stats: Seq[(String, String, Long)]): Unit = { // (fileId, relPath, n)
     val fs = hoodieDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statsJson = stats.map { case (fid, rel, n) =>
-      s"""{"fileId":"$fid","path":"$rel","numWrites":$n,"numUpdateWrites":$n,""" +
-        s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
-        s""""prevCommit":"$instant"}"""
+    val byPart = stats.groupBy { case (_, rel, _) =>
+      rel.split('/').dropRight(1).mkString("/") }
+    val statsJson = byPart.map { case (part, ws) =>
+      val inner = ws.map { case (fid, rel, n) =>
+        s"""{"fileId":"$fid","path":"$rel","numWrites":$n,"numUpdateWrites":$n,""" +
+          s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
+          s""""prevCommit":"$instant"}"""
+      }.mkString(",")
+      s""""$part":[$inner]"""
     }.mkString(",")
     val p = new Path(hoodieDir(tablePath), s"$instant.deltacommit")
     val created = try {
       val out = fs.create(p, false)
       try out.write(
-        (s"""{"partitionToWriteStats":{"":[$statsJson]},"operationType":"UPSERT"}""" + "\n")
+        (s"""{"partitionToWriteStats":{$statsJson},"operationType":"UPSERT"}""" + "\n")
           .getBytes("UTF-8"))
       finally out.close()
       true
@@ -628,7 +642,7 @@ object HudiTableWriter {
     * bounded by |groups touched|.
     */
   private def writeLogFiles(routed: DataFrame, tablePath: String, instant: String,
-      schemaJson: String, avroJson: String, meta: Map[String, (String, Int)],
+      schemaJson: String, avroJson: String, meta: Map[String, (String, Int, String)],
       isDelete: Boolean): Seq[(String, String, Long)] = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = routed.sparkSession
@@ -657,8 +671,9 @@ object HudiTableWriter {
           byFid.getOrElseUpdate(fid, scala.collection.mutable.ArrayBuffer.empty) += payload
         }
         byFid.iterator.map { case (fid, payloads) =>
-          val (baseInstant, ver) = bcMeta.value(fid)
-          val rel = HudiLog.logFileName(fid, baseInstant, ver)
+          val (baseInstant, ver, partition) = bcMeta.value(fid)
+          val name = HudiLog.logFileName(fid, baseInstant, ver)
+          val rel = if (partition.isEmpty) name else s"$partition/$name"
           val block: HudiLog.Block =
             if (isDelete) HudiLog.DeleteBlock(instant, payloads.toSeq.map(_.asInstanceOf[String]))
             else HudiLog.DataBlock(instant, avroJson,
@@ -807,7 +822,11 @@ object HudiTableWriter {
     // task, so exactly one file per group directory
     merged.repartition(col("_g_fid")).write.partitionBy("_g_fid").parquet(stage.toString)
     val stats = dirty.map { g =>
-      val rel = s"${g.fileId}_0-0-0_$instant.parquet"
+      val partition = g.base
+        .map(_.path.split('/').dropRight(1).mkString("/")).getOrElse("")
+      val name = s"${g.fileId}_0-0-0_$instant.parquet"
+      val rel = if (partition.isEmpty) name else s"$partition/$name"
+      fs.mkdirs(new Path(tablePath, rel).getParent)
       val dirPath = new Path(stage, s"_g_fid=${g.fileId}")
       if (fs.exists(dirPath)) {
         val part = fs.listStatus(dirPath).map(_.getPath)
@@ -832,16 +851,20 @@ object HudiTableWriter {
       (g.fileId, rel)
     }
     fs.delete(stage, true)
-    val statsJson = stats.map { case (fid, rel) =>
-      s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +
-        s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
-        s""""prevCommit":"null"}"""
+    val statsJson = stats.groupBy { case (_, rel) =>
+      rel.split('/').dropRight(1).mkString("/") }.map { case (part, ws) =>
+      val inner = ws.map { case (fid, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +
+          s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
+          s""""prevCommit":"null"}"""
+      }.mkString(",")
+      s""""$part":[$inner]"""
     }.mkString(",")
     val p = new Path(hoodieDir(tablePath), s"$instant.commit")
     val created = try {
       val out = fs.create(p, false)
       try out.write(
-        (s"""{"partitionToWriteStats":{"":[$statsJson]},"operationType":"COMPACT"}""" + "\n")
+        (s"""{"partitionToWriteStats":{$statsJson},"operationType":"COMPACT"}""" + "\n")
           .getBytes("UTF-8"))
       finally out.close()
       true

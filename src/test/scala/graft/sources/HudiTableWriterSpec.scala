@@ -197,6 +197,50 @@ class HudiTableWriterSpec extends SparkSpec {
       "the as-of cut must show id 7 before the POST-compaction update")
   }
 
+  test("PARTITIONED MOR: logs land beside their partition's base; stats key by partition; compact keeps the layout") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("hwr-mor-part") + "/t"
+    val base = Seq((1L, "us", 10L), (2L, "us", 20L), (3L, "eu", 30L), (4L, "eu", 40L))
+      .toDF("id", "region", "v")
+    HudiTableWriter.createMor(base, table, recordKeys = Seq("id"),
+      partitionBy = Seq("region")): Unit
+    // base files live under hive dirs
+    assert(new java.io.File(s"$table/region=us").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    // update one key per partition; the LOG files must land IN the dirs
+    HudiTableWriter.updateLog(
+      Seq((1L, "us", 11L), (3L, "eu", 33L)).toDF("id", "region", "v"), table): Unit
+    assert(new java.io.File(s"$table/region=us").listFiles()
+      .exists(_.getName.contains(".log.")),
+      "a group's log files must land beside its base, in the partition dir")
+    assert(new java.io.File(s"$table/region=eu").listFiles()
+      .exists(_.getName.contains(".log.")))
+    // the deltacommit's stats key BY PARTITION
+    val dc = new java.io.File(s"$table/.hoodie").listFiles()
+      .filter(_.getName.endsWith(".deltacommit")).map(f =>
+        scala.io.Source.fromFile(f).mkString).mkString
+    assert(dc.contains(""""region=us":[""") && dc.contains(""""region=eu":["""))
+    // the real-time view merges per partition
+    val rt = HudiTableReader.snapshot(spark, table)
+    assert(rt.count() == 4L)
+    assert(rt.where(col("id") === 1L).head().getAs[Long]("v") == 11L)
+    assert(rt.where(col("id") === 3L).head().getAs[Long]("v") == 33L)
+    // compaction lands the new bases back under their partition dirs
+    HudiTableWriter.compact(spark, table): Unit
+    val ro = HudiTableReader.readOptimized(spark, table)
+    assert(ro.count() == 4L && ro.where(col("id") === 1L).head().getAs[Long]("v") == 11L)
+    // the dirty group's NEW slice (latest instant in its name) landed
+    // in the partition dir, next to the untouched bases
+    val usBases = new java.io.File(s"$table/region=us").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    val instants = usBases.map(_.split('_').last.stripSuffix(".parquet")).distinct.sorted
+    assert(instants.length == 2 &&
+      usBases.count(_.endsWith(s"_${instants.last}.parquet")) == 1,
+      s"compaction must land exactly the dirty group's new slice in the partition dir " +
+        s"(saw ${usBases.mkString(", ")})")
+  }
+
   test("MOR incremental: touched groups only, stamp-filtered, tombstones absent") {
     val s = spark
     import s.implicits._
