@@ -2249,6 +2249,33 @@ trait ReferenceQueries extends QueryBase {
     },
     oracle = Some(upsertMergeOracle))
 
+  /** #107e Hudi MOR UPSERT ([[graft.sources.HudiTableWriter.upsert]]
+    * on a MERGE_ON_READ table — the format's own upsert shape): the
+    * batch splits by key existence into Avro LOG BLOCKS appended to
+    * matched file groups and NEW base groups for unseen keys, both
+    * under ONE deltacommit, nothing rewritten; the real-time view
+    * serves the merge immediately (in-run require: no pre-existing
+    * base file changed).
+    */
+  val qHudiMorUpsert: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-mor-upsert") + "/t"
+      val (base, batch) = upsertFixture(s, dir)
+      HudiTableWriter.createMor(base, table, tableName = "orders_mor",
+        recordKeys = Seq("o_orderkey")): Unit
+      def bases() = new java.io.File(table).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      val before = bases()
+      HudiTableWriter.upsert(batch, table): Unit
+      require(before.subsetOf(bases()),
+        "a MOR upsert must not rewrite or remove any base file")
+      HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(upsertMergeOracle))
+
   /** #109d Iceberg UPSERT writer
     * ([[graft.sources.IcebergTableWriter.upsert]], the Flink-CDC
     * shape): the batch's keys land as ONE content=2 equality-delete

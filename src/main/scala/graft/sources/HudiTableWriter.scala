@@ -321,8 +321,9 @@ object HudiTableWriter {
     * hoodie.index.type=SIMPLE semantics. When the table declares a
     * precombine field, in-batch duplicates per key resolve
     * latest-wins on it; otherwise the batch must be unique on the
-    * keys (loudly required). MOR tables refuse — their upsert is the
-    * log-append path ([[updateLog]]).
+    * keys (loudly required). MOR tables dispatch to [[morUpsert]] —
+    * the format's OWN upsert shape: log blocks for matched keys, new
+    * base groups for unseen keys, one deltacommit, nothing rewritten.
     *
     * Scale shape: one scan of the CURRENT base files (the COW
     * contract — an upsert rewrites matched groups), one shuffle of
@@ -337,8 +338,6 @@ object HudiTableWriter {
     require(keys.nonEmpty,
       s"$tablePath: upsert routes by record key — the table declares none " +
         "(hoodie.table.recordkey.fields)")
-    require(!HudiTableReader.isMor(spark, tablePath),
-      s"$tablePath is MERGE_ON_READ — its upsert is the log-append path (updateLog)")
     val partitionBy = declaredPartitionFields(spark, tablePath)
     val precombine = tableProperties(spark, tablePath).get("hoodie.table.precombine.field")
     val existing = HudiTableReader.snapshot(spark, tablePath)
@@ -365,6 +364,11 @@ object HudiTableWriter {
             "be ambiguous; pre-combine the batch first")
         df
     }
+    // MERGE_ON_READ: the upsert is MOR's OWN write shape — one
+    // deltacommit carrying log blocks for matched keys and new base
+    // files for unseen keys (no base rewritten)
+    if (HudiTableReader.isMor(spark, tablePath))
+      return morUpsert(deduped, tablePath, keys, partitionBy)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val instant = instantNow(0L)
     val slices = HudiTableReader.activeSlices(spark, tablePath)
@@ -506,12 +510,52 @@ object HudiTableWriter {
       partitionBy = partitionBy)
   }
 
+  /** MOR upsert: matched keys land as Avro log blocks appended to
+    * their file groups, unseen keys as NEW base-file groups — BOTH
+    * under ONE `.deltacommit` (Hudi's own MOR upsert shape; nothing
+    * is rewritten). The real-time view serves the merge immediately;
+    * compaction folds later. Scale shape: one base-key scan +
+    * broadcast group map to split the batch, one log shuffle bounded
+    * by |touched groups|, one staged write for inserts.
+    */
+  private def morUpsert(deduped: DataFrame, tablePath: String, keys: Seq[String],
+      partitionBy: Seq[String]): String = {
+    val spark = deduped.sparkSession
+    val groups = HudiTableReader.morGroups(spark, tablePath)
+    val instant = instantNow(0L)
+    val stampedDf = stamped(deduped, instant, keys, partitionBy)
+    val recSchema = stampedDf.schema
+    val avroJson = HudiLog.avroSchemaOf(recSchema).toString
+    val routed = routeByKey(spark, tablePath,
+      stampedDf.withColumn("_g_key", col("_hoodie_record_key")), groups,
+      allowMissing = true)
+    try {
+      val updates = routed.where(col("_g_fid").isNotNull)
+        .select(recSchema.fieldNames.map(col).toIndexedSeq :+ col("_g_fid"): _*)
+      val inserts = routed.where(col("_g_fid").isNull)
+        .select(recSchema.fieldNames.map(col).toIndexedSeq: _*)
+      val meta = logMetaOf(groups, instant)
+      val logStats =
+        if (updates.isEmpty) Nil
+        else writeLogFiles(updates, tablePath, instant, recSchema.json, avroJson,
+          meta, isDelete = false)
+      val insertFiles =
+        if (inserts.isEmpty) Nil
+        else landNewGroups(inserts, tablePath, instant, partitionBy)
+      if (logStats.isEmpty && insertFiles.isEmpty) throw new IllegalArgumentException(
+        s"$tablePath: empty upsert batch — nothing to write")
+      publishDeltacommit(spark, tablePath, instant, logStats, insertFiles)
+      instant
+    } finally routed.unpersist()
+  }
+
   /** Route rows carrying `_g_key` to their file groups via the BASE
     * files' record keys (one scan + a broadcast file→group map), or
     * refuse loudly on keys no base file holds.
     */
   private def routeByKey(spark: SparkSession, tablePath: String, keyed: DataFrame,
-      groups: Seq[HudiTableReader.GroupSlices]): DataFrame = {
+      groups: Seq[HudiTableReader.GroupSlices],
+      allowMissing: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val withBase = groups.filter(_.base.isDefined)
     require(withBase.nonEmpty, s"$tablePath: no base files to route log records against")
@@ -529,7 +573,7 @@ object HudiTableWriter {
     // the log write — recomputing it would scan the base keys twice
     val routed = keyed.join(baseKeys, Seq("_g_key"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val missing = routed.where(col("_g_fid").isNull).count()
+    val missing = if (allowMissing) 0L else routed.where(col("_g_fid").isNull).count()
     if (missing > 0) {
       routed.unpersist()
       throw new IllegalArgumentException(
@@ -558,17 +602,23 @@ object HudiTableWriter {
     * retry could double-apply them).
     */
   private def publishDeltacommit(spark: SparkSession, tablePath: String, instant: String,
-      stats: Seq[(String, String, Long)]): Unit = { // (fileId, relPath, n)
+      stats: Seq[(String, String, Long)], // (fileId, relPath, n) — log writes
+      insertFiles: Seq[(String, String, String)] = Nil): Unit = { // (partition, fileId, rel)
     val fs = hoodieDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val byPart = stats.groupBy { case (_, rel, _) =>
-      rel.split('/').dropRight(1).mkString("/") }
-    val statsJson = byPart.map { case (part, ws) =>
-      val inner = ws.map { case (fid, rel, n) =>
+    val logEntries = stats.map { case (fid, rel, n) =>
+      (rel.split('/').dropRight(1).mkString("/"),
         s"""{"fileId":"$fid","path":"$rel","numWrites":$n,"numUpdateWrites":$n,""" +
           s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
-          s""""prevCommit":"$instant"}"""
-      }.mkString(",")
-      s""""$part":[$inner]"""
+          s""""prevCommit":"$instant"}""")
+    }
+    val insertEntries = insertFiles.map { case (part, fid, rel) =>
+      (part,
+        s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +
+          s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
+          s""""prevCommit":"null"}""")
+    }
+    val statsJson = (logEntries ++ insertEntries).groupBy(_._1).map { case (part, ws) =>
+      s""""$part":[${ws.map(_._2).mkString(",")}]"""
     }.mkString(",")
     val p = new Path(hoodieDir(tablePath), s"$instant.deltacommit")
     val created = try {
@@ -598,7 +648,7 @@ object HudiTableWriter {
       s"$tablePath is COPY_ON_WRITE — log appends are MOR machinery; use append()")
     val groups = HudiTableReader.morGroups(spark, tablePath)
     val instant = instantNow(0L)
-    val stampedDf = stamped(df, instant, keys)
+    val stampedDf = stamped(df, instant, keys, declaredPartitionFields(spark, tablePath))
     val recSchema = stampedDf.schema
     val avroJson = HudiLog.avroSchemaOf(recSchema).toString
     val routedBase = routeByKey(spark, tablePath,

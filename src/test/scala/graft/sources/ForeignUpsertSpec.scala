@@ -108,14 +108,39 @@ class ForeignUpsertSpec extends SparkSpec {
       .getAs[Long]("v") == 33L)
   }
 
-  test("hudi: refusals — MOR tables, schema drift, keyless tables") {
+  test("hudi MOR upsert: ONE deltacommit — log blocks for matched keys, new groups for unseen") {
+    val table = tmpDir("hup-mor") + "/t"
+    HudiTableWriter.createMor(df(1 to 20), table, recordKeys = Seq("id")): Unit
+    val before = new java.io.File(s"$table/.hoodie").listFiles()
+      .count(_.getName.endsWith(".deltacommit"))
+    // batch: updates 5..8, inserts 21..25 — the MOR shape: no base rewritten
+    val baseFiles = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    HudiTableWriter.upsert(df(5 to 8, _ * 100L).union(df(21 to 25)), table): Unit
+    assert(new java.io.File(s"$table/.hoodie").listFiles()
+      .count(_.getName.endsWith(".deltacommit")) == before + 1,
+      "the whole merge must be ONE deltacommit")
+    assert(baseFiles.subsetOf(new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet),
+      "no pre-existing base file is rewritten — updates ride the log")
+    assert(new java.io.File(table).listFiles().exists(_.getName.contains(".log.")),
+      "matched keys must land as log files")
+    val rt = HudiTableReader.snapshot(spark, table)
+    assert(rt.count() == 25L)
+    assert(rt.where(col("id") === 6L).head().getAs[Long]("v") == 600L)
+    assert(rt.where(col("id") === 23L).head().getAs[Long]("v") == 46L)
+    assert(rt.where(col("id") === 3L).head().getAs[Long]("v") == 6L)
+    // compaction folds; the dispatch works through TableLoader too
+    HudiTableWriter.compact(spark, table): Unit
+    assert(HudiTableReader.readOptimized(spark, table).count() == 25L)
+    TableLoader.upsert(df(6 to 6, _ => 7L), table, Seq("id")): Unit
+    assert(HudiTableReader.snapshot(spark, table)
+      .where(col("id") === 6L).head().getAs[Long]("v") == 7L)
+  }
+
+  test("hudi: refusals — schema drift, keyless tables") {
     val s = spark
     import s.implicits._
-    val mor = tmpDir("hup-mor") + "/t"
-    HudiTableWriter.createMor(df(1 to 10), mor, recordKeys = Seq("id")): Unit
-    val e1 = intercept[IllegalArgumentException](HudiTableWriter.upsert(df(1 to 2), mor))
-    assert(e1.getMessage.contains("MERGE_ON_READ"))
-
     val cow = tmpDir("hup-drift") + "/t"
     HudiTableWriter.create(df(1 to 10), cow, recordKeys = Seq("id")): Unit
     val e2 = intercept[IllegalArgumentException](
