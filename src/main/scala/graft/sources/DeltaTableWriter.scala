@@ -582,11 +582,12 @@ object DeltaTableWriter {
       writeCheckpoint(spark, tablePath): Unit
     }
 
-  /** Driver bound on rows deleted per [[delete]] call — the matched
-    * (file, position) pairs materialize on the driver to build the
-    * per-file bitmaps (the same shape Delta's own DV writer has). At
-    * 16 bytes a pair this is ~64 MB of heap; a bigger delete should
-    * rewrite files through the versioned-table machinery instead.
+  /** Crossover between the DRIVER and the DISTRIBUTED vector build:
+    * matches at or under this land as one driver-built sidecar (16
+    * bytes a pair ≈ 64 MB of heap, the cheap path); bigger matches
+    * shuffle the positions to per-file tasks that each write their
+    * own sidecar ([[dvMaskLinesDistributed]]) — positions never reach
+    * the driver, so deletes/merges scale to any table size.
     */
   val MaxDeleteRowsDriver: Int = 4 * 1000 * 1000
 
@@ -602,21 +603,28 @@ object DeltaTableWriter {
     * committed version.
     */
   def delete(spark: SparkSession, tablePath: String,
-      predicate: org.apache.spark.sql.Column): Long = {
+      predicate: org.apache.spark.sql.Column,
+      maxDriverRows: Int = MaxDeleteRowsDriver): Long = {
     val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
     refuseWriterUnsupported(state, tablePath)
-    val matched = keyed.where(predicate)
+    val matchedDf = keyed.where(predicate)
       .select(org.apache.spark.sql.functions.col("_g_file"),
         org.apache.spark.sql.functions.col("_g_pos"))
-      .limit(MaxDeleteRowsDriver + 1).collect()
-    if (matched.length > MaxDeleteRowsDriver) throw new IllegalStateException(
-      s"$tablePath: predicate matches more than $MaxDeleteRowsDriver rows — a delete " +
-        "this large should rewrite files (versioned-table machinery), not build " +
-        "driver-side bitmaps")
-    if (matched.isEmpty) throw new IllegalArgumentException(
-      s"$tablePath: predicate matched no live rows — nothing to delete")
-    commit(spark, tablePath, state.version + 1,
-      dvMaskLines(spark, tablePath, state, matched), ictNeeded = ictNeededOf(state))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = matchedDf.limit(maxDriverRows + 1).collect()
+      if (probe.isEmpty) throw new IllegalArgumentException(
+        s"$tablePath: predicate matched no live rows — nothing to delete")
+      // small matches build bitmaps on the driver (one sidecar for all
+      // files); past the bound the build DISTRIBUTES — positions never
+      // reach the driver ([[dvMaskLinesDistributed]])
+      val lines =
+        if (probe.length <= maxDriverRows)
+          dvMaskLines(spark, tablePath, state, probe)
+        else dvMaskLinesDistributed(spark, tablePath, state, matchedDf)
+      commit(spark, tablePath, state.version + 1, lines,
+        ictNeeded = ictNeededOf(state))
+    } finally matchedDf.unpersist()
   }
 
   /** The commit lines that mask `matched` (file, position) rows via
@@ -631,13 +639,8 @@ object DeltaTableWriter {
       matched: Array[org.apache.spark.sql.Row]): Seq[String] = {
     val byFile = matched.groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(_.getLong(1)).toIndexedSeq }
-    val byNorm = state.active.map { f =>
-      val p0 = decodePathPublic(f.path)
-      val absP = if (p0.startsWith("/") || p0.contains("://")) p0 else s"$tablePath/$p0"
-      ScanPaths.normalizeDriver(absP) -> f
-    }.toMap
+    val byNorm = normActive(state, tablePath)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(tablePath).getFileSystem(conf)
     val affected = byFile.toSeq.sortBy(_._1).map { case (nf, newPos) =>
       val fa = byNorm.getOrElse(nf, throw new IllegalStateException(
         s"$tablePath: matched file $nf is not in the active set — racing writer?"))
@@ -645,6 +648,82 @@ object DeltaTableWriter {
       (fa, (old ++ newPos).distinct.sorted)
     }
     val descriptors = DeltaDv.writeSidecar(conf, tablePath, affected.map(_._2))
+    dvActionLines(spark, tablePath, state, affected.map(_._1).zip(descriptors))
+  }
+
+  private def normActive(state: DeltaTableReader.Snapshot,
+      tablePath: String): Map[String, DeltaTableReader.FileAction] =
+    state.active.map { f =>
+      val p0 = decodePathPublic(f.path)
+      val absP = if (p0.startsWith("/") || p0.contains("://")) p0 else s"$tablePath/$p0"
+      ScanPaths.normalizeDriver(absP) -> f
+    }.toMap
+
+  /** DISTRIBUTED DV build — the path past [[MaxDeleteRowsDriver]]:
+    * matched (`_g_file`, `_g_pos`) rows shuffle to per-file tasks;
+    * each task merges its files' OLD vectors (decoded on the
+    * executor) with the new positions and writes ONE sidecar per
+    * task. The driver receives only |affected files| descriptors —
+    * never a position. Bounded by |deletes| on the wire, |files| on
+    * the driver, at any table size.
+    */
+  private def dvMaskLinesDistributed(spark: SparkSession, tablePath: String,
+      state: DeltaTableReader.Snapshot, matched: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val byNorm = normActive(state, tablePath)
+    val bcDv = spark.sparkContext.broadcast(
+      byNorm.map { case (n, f) => n -> f.dv })
+    val bcConf = spark.sparkContext.broadcast(
+      new DeltaDv.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val table = tablePath
+    val outSchema = StructType(Seq(
+      StructField("file", StringType), StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType), StructField("offset", LongType),
+      StructField("sizeInBytes", IntegerType), StructField("cardinality", LongType)))
+    val descs = matched.select(col("_g_file"), col("_g_pos"))
+      .repartition(col("_g_file"))
+      .mapPartitions { it =>
+        val byFile = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+        it.foreach { r =>
+          byFile.getOrElseUpdate(r.getString(0),
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+        }
+        if (byFile.isEmpty) Iterator.empty
+        else {
+          val conf = bcConf.value.value
+          val files = byFile.keys.toIndexedSeq
+          val vectors = files.map { f =>
+            val oldDv = bcDv.value.getOrElse(f, throw new IllegalStateException(
+              s"$table: matched file $f is not in the active set — racing writer?"))
+            val old = oldDv.map(d => DeltaDv.positionsOf(conf, table, d).toSeq).getOrElse(Nil)
+            (old ++ byFile(f)).distinct.sorted
+          }
+          val ds = DeltaDv.writeSidecar(conf, table, vectors)
+          files.iterator.zip(ds.iterator).map { case (f, d) =>
+            org.apache.spark.sql.Row(f, d.storageType, d.pathOrInlineDv,
+              d.offset, d.sizeInBytes, d.cardinality)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .collect()
+      .map(r => r.getString(0) -> DeltaDv.Descriptor(r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4), r.getLong(5)))
+      .toIndexedSeq
+    if (descs.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: predicate matched no live rows — nothing to delete")
+    dvActionLines(spark, tablePath, state,
+      descs.sortBy(_._1).map { case (nf, d) => byNorm(nf) -> d })
+  }
+
+  /** Commit lines for per-file fresh vectors: protocol upgrade when
+    * needed + remove/re-add with the new descriptors. */
+  private def dvActionLines(spark: SparkSession, tablePath: String,
+      state: DeltaTableReader.Snapshot,
+      perFile: Seq[(DeltaTableReader.FileAction, DeltaDv.Descriptor)]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
     val p = state.protocol.getOrElse(DeltaTableReader.Protocol(1, 2, Nil, Nil))
     val protoLine =
       if (p.minReaderVersion >= 3 && p.readerFeatures.contains("deletionVectors")) None
@@ -662,7 +741,7 @@ object DeltaTableWriter {
           case None => s"${jsonStr(c)}:null"
         }
       }.mkString(",")
-    protoLine.toSeq ++ affected.zip(descriptors).flatMap { case ((fa, _), d) =>
+    protoLine.toSeq ++ perFile.flatMap { case (fa, d) =>
       val st = fs.getFileStatus(new Path(tablePath, decodePathPublic(fa.path)))
       Seq(
         s"""{"remove":{"path":${jsonStr(fa.path)},"deletionTimestamp":$now,""" +
@@ -691,7 +770,8 @@ object DeltaTableWriter {
     * Returns the committed version.
     */
   def upsert(df: DataFrame, tablePath: String, keys: Seq[String],
-      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+      checkpointInterval: Int = DefaultCheckpointInterval,
+      maxDriverRows: Int = MaxDeleteRowsDriver): Long = {
     val spark = df.sparkSession
     require(keys.nonEmpty, s"$tablePath: upsert needs at least one key column")
     val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
@@ -716,16 +796,17 @@ object DeltaTableWriter {
       require(nRows == nKeys,
         s"$tablePath: upsert batch carries ${nRows - nKeys} duplicate key row(s) — the " +
           "replacement row per key would be ambiguous; pre-combine the batch first")
-      val matched = keyed
+      val matchedDf = keyed
         .join(broadcast(batchKeys.distinct()), keys, "left_semi")
         .select(col("_g_file"), col("_g_pos"))
-        .limit(MaxDeleteRowsDriver + 1).collect()
-      if (matched.length > MaxDeleteRowsDriver) throw new IllegalStateException(
-        s"$tablePath: upsert matches more than $MaxDeleteRowsDriver live rows — a merge " +
-          "this large should rewrite files, not build driver-side bitmaps")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probe = matchedDf.limit(maxDriverRows + 1).collect()
       val dvLines =
-        if (matched.isEmpty) Nil
-        else dvMaskLines(spark, tablePath, state, matched)
+        if (probe.isEmpty) Nil
+        else if (probe.length <= maxDriverRows)
+          dvMaskLines(spark, tablePath, state, probe)
+        else dvMaskLinesDistributed(spark, tablePath, state, matchedDf)
+      matchedDf.unpersist(): Unit
       val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
       val v = commit(spark, tablePath, state.version + 1,
         dvLines ++ files.map { case (rel, size, mtime, st) =>

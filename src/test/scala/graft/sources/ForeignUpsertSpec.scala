@@ -202,6 +202,31 @@ class ForeignUpsertSpec extends SparkSpec {
       "the folded feed must reproduce the post-upsert snapshot")
   }
 
+  test("delta: the DISTRIBUTED DV build past the driver bound matches the driver build exactly") {
+    // same table, same operations — one side forced through the
+    // distributed per-file-task sidecar build (maxDriverRows = 0)
+    val a = tmpDir("dvd-driver") + "/t"
+    val b = tmpDir("dvd-dist") + "/t"
+    Seq(a, b).foreach(t => DeltaTableWriter.create(df(1 to 200), t): Unit)
+    DeltaTableWriter.delete(spark, a, col("id") % 3 === 0): Unit
+    DeltaTableWriter.delete(spark, b, col("id") % 3 === 0, maxDriverRows = 0): Unit
+    // second delete MERGES with the first's vectors on both paths
+    DeltaTableWriter.delete(spark, a, col("id") % 7 === 0): Unit
+    DeltaTableWriter.delete(spark, b, col("id") % 7 === 0, maxDriverRows = 0): Unit
+    val sa = DeltaTableReader.snapshot(spark, a).select("id", "key", "v")
+    val sb = DeltaTableReader.snapshot(spark, b).select("id", "key", "v")
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty,
+      "driver and distributed DV builds must serve identical snapshots")
+    assert(sb.count() == (1 to 200).count(i => i % 3 != 0 && i % 7 != 0).toLong)
+    // upsert through the distributed path too
+    DeltaTableWriter.upsert(df(10 to 20, _ => 5L), b, Seq("id"), maxDriverRows = 0): Unit
+    val after = DeltaTableReader.snapshot(spark, b)
+    assert(after.where(col("id") === 11L).head().getAs[Long]("v") == 5L)
+    assert(after.count() == sb.count() +
+      (10 to 20).count(i => i % 3 == 0 || i % 7 == 0).toLong,
+      "masked keys in the batch come back as fresh rows; live ones replace")
+  }
+
   test("delta: unmatched batch degrades to pure append; duplicate batch keys refuse") {
     val table = tmpDir("dup-append") + "/t"
     DeltaTableWriter.create(df(1 to 20), table): Unit
