@@ -27,12 +27,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * atomic rename need a coordination layer there too; stated, not
   * hidden).
   *
-  * Append-only by design: `create` lays down version 0
-  * (protocol/metaData/adds) and `append` adds data files in later
-  * versions. Updates/deletes/rewrites are the versioned-table
-  * machinery's job ([[UpsertWriter]]); this writer exists so graft
-  * pipelines can HAND TABLES TO OTHER ENGINES, and appends are the
-  * interop-safe subset every Delta reader consumes identically.
+  * Beyond appends: [[delete]] masks rows with deletion vectors (no
+  * file rewrite; driver-built sidecars for small matches, DISTRIBUTED
+  * per-file-task builds past the bound), [[upsert]] is a key-matched
+  * merge in ONE atomic commit (DV-mask + append), [[restore]]
+  * re-points to a past version with history preserved, [[compact]] /
+  * [[vacuum]] / [[writeCheckpoint]] are the table services, and every
+  * commit to an inCommitTimestamp table carries a monotone stamp.
+  * This writer exists so graft pipelines can HAND TABLES TO OTHER
+  * ENGINES — each operation lands exactly the protocol shape external
+  * readers consume.
   */
 object DeltaTableWriter {
 

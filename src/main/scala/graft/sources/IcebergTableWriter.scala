@@ -33,10 +33,15 @@ import org.apache.spark.sql.DataFrame
   *
   * Scale shape: the data write is distributed; manifest/metadata
   * writes are driver metadata bounded by |files this commit| and
-  * |snapshots|. Append-only by design: updates/deletes are the
-  * versioned-table machinery's job; appends are the subset every
-  * Iceberg reader — snapshot, incremental, time travel — consumes
-  * identically.
+  * |snapshots|. Beyond appends: [[delete]] writes v2 position-delete
+  * files (distributed, no driver bitmaps), [[upsert]] is the
+  * Flink-CDC shape (equality-delete + data files in ONE snapshot,
+  * O(batch) — never scans the table), [[setRef]] pins branches/tags,
+  * [[rewriteDataFiles]] / [[expireSnapshots]] are the table services
+  * (expiry refuses past a pinning ref), and
+  * [[publishMetadataOnly]] lands UniForm-style metadata over foreign
+  * data files. Manifests carry footer-true record counts AND
+  * per-field bounds — the stats readers file-skip on.
   */
 object IcebergTableWriter {
 
