@@ -2249,6 +2249,50 @@ trait ReferenceQueries extends QueryBase {
     },
     oracle = Some(upsertMergeOracle))
 
+  /** #106e Delta CDF WRITER (the enableChangeDataFeed obligation:
+    * updates/deletes on a CDF table MUST land explicit `_change_data`
+    * files — this upsert writes update pre/post images + inserts as
+    * cdc actions in the SAME commit, and the reader serves them
+    * VERBATIM, skipping reconstruction). The oracle recomputes every
+    * image class from the fixture predicates.
+    */
+  val qDeltaCdfWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-cdf-write") + "/t"
+      val (base, batch) = upsertFixture(s, dir)
+      DeltaTableWriter.create(base, table): Unit
+      // an external engine enables CDF on the existing table (v1)
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+      writeDeltaCommit(table, 1L, Seq(
+        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${q.writeValueAsString(base.schema.json)},""" +
+          s""""partitionColumns":[],""" +
+          s""""configuration":{"delta.enableChangeDataFeed":"true"},""" +
+          s""""createdTime":1700000000000}}"""))
+      DeltaTableWriter.upsert(batch, table, Seq("o_orderkey")): Unit
+      require(new java.io.File(s"$table/_change_data").listFiles()
+        .exists(_.getName.endsWith(".parquet")), "cdc files must land")
+      DeltaTableReader.changeFeedSince(s, table, sinceVersion = 1L)
+        .groupBy(col("_change_type"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT 'update_preimage' AS _change_type, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'update_postimage', o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice + 100000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'insert', o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice + 100000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 = 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #107e Hudi MOR UPSERT ([[graft.sources.HudiTableWriter.upsert]]
     * on a MERGE_ON_READ table — the format's own upsert shape): the
     * batch splits by key existence into Avro LOG BLOCKS appended to

@@ -337,6 +337,49 @@ object DeltaTableWriter {
     state.protocol.exists(_.writerFeatures.contains("inCommitTimestamp")) ||
       state.configuration.get("delta.enableInCommitTimestamps").contains("true")
 
+  /** True when delta.enableChangeDataFeed obliges data-modifying
+    * commits to carry explicit change-data (cdc) files. */
+  private def cdfEnabledOf(state: DeltaTableReader.Snapshot): Boolean =
+    state.configuration.get("delta.enableChangeDataFeed").contains("true")
+
+  /** Land `rows` (already tagged `_change_type`) as `_change_data/`
+    * parquet and return the commit's `cdc` action lines — the
+    * protocol's CHANGE DATA FILES, which CDF-enabled tables REQUIRE
+    * on updates/deletes (readers then serve them VERBATIM and skip
+    * reconstruction). dataChange=false per spec (the change data
+    * describes the commit, it is not table data). Distributed write;
+    * |cdc files| driver metadata. Partitioned tables refuse upstream.
+    */
+  private def writeCdcFiles(rows: DataFrame, tablePath: String): Seq[String] = {
+    val spark = rows.sparkSession
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(tablePath, s".graft-cdc-${java.util.UUID.randomUUID()}")
+    rows.write.parquet(stage.toString)
+    val lines = Seq.newBuilder[String]
+    fs.listStatus(stage).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+      val rel = s"_change_data/cdc-${java.util.UUID.randomUUID()}.parquet"
+      val dst = new Path(tablePath, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
+        s"$tablePath: failed to land change-data file $rel")
+      lines += (s"""{"cdc":{"path":${jsonStr(rel)},"partitionValues":{},""" +
+        s""""size":${fs.getFileStatus(dst).getLen},"dataChange":false}}""")
+    }
+    fs.delete(stage, true)
+    lines.result()
+  }
+
+  /** CDF obligations this writer can meet hold only for UNPARTITIONED
+    * tables (change-data files of partitioned tables must partition
+    * alike — not implemented); refuse rather than land a
+    * protocol-violating commit. */
+  private def refuseCdfPartitioned(state: DeltaTableReader.Snapshot,
+      tablePath: String, op: String): Unit =
+    if (state.partitionColumns.nonEmpty) throw new IllegalStateException(
+      s"$tablePath: delta.enableChangeDataFeed=true on a PARTITIONED table — this " +
+        s"writer cannot land partitioned change-data files for $op; refusing rather " +
+        "than committing without the cdc files the protocol requires")
+
   /** Create a NEW Delta table at `tablePath` from `df` — version 0
     * carries protocol, metaData (schema + partition columns) and the
     * adds. Refuses an existing table (append to those).
@@ -626,7 +669,17 @@ object DeltaTableWriter {
         if (probe.length <= maxDriverRows)
           dvMaskLines(spark, tablePath, state, probe)
         else dvMaskLinesDistributed(spark, tablePath, state, matchedDf)
-      commit(spark, tablePath, state.version + 1, lines,
+      // CDF obligation: a delete on an enableChangeDataFeed table
+      // must land its pre-images as explicit change-data files
+      val cdcLines =
+        if (!cdfEnabledOf(state)) Nil
+        else {
+          refuseCdfPartitioned(state, tablePath, "delete")
+          writeCdcFiles(keyed.where(predicate).drop("_g_file", "_g_pos")
+            .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")),
+            tablePath)
+        }
+      commit(spark, tablePath, state.version + 1, cdcLines ++ lines,
         ictNeeded = ictNeededOf(state))
     } finally matchedDf.unpersist()
   }
@@ -810,10 +863,28 @@ object DeltaTableWriter {
         else if (probe.length <= maxDriverRows)
           dvMaskLines(spark, tablePath, state, probe)
         else dvMaskLinesDistributed(spark, tablePath, state, matchedDf)
+      // CDF obligation: an upsert on an enableChangeDataFeed table
+      // lands update pre/post images + inserts as change-data files
+      // (readers serve them VERBATIM for this commit)
+      val cdcLines =
+        if (!cdfEnabledOf(state)) Nil
+        else {
+          refuseCdfPartitioned(state, tablePath, "upsert")
+          val tableKeys = keyed.select(keys.map(col): _*)
+          val litCt = org.apache.spark.sql.functions.lit _
+          val pre = keyed.join(broadcast(batchKeys.distinct()), keys, "left_semi")
+            .drop("_g_file", "_g_pos")
+            .withColumn("_change_type", litCt("update_preimage"))
+          val post = aligned.join(tableKeys, keys, "left_semi")
+            .withColumn("_change_type", litCt("update_postimage"))
+          val ins = aligned.join(tableKeys, keys, "left_anti")
+            .withColumn("_change_type", litCt("insert"))
+          writeCdcFiles(pre.unionByName(post).unionByName(ins), tablePath)
+        }
       matchedDf.unpersist(): Unit
       val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
       val v = commit(spark, tablePath, state.version + 1,
-        dvLines ++ files.map { case (rel, size, mtime, st) =>
+        cdcLines ++ dvLines ++ files.map { case (rel, size, mtime, st) =>
           addLine(rel, size, mtime, state.partitionColumns, st) },
         ictNeeded = ictNeededOf(state))
       maybeCheckpoint(spark, tablePath, v, checkpointInterval)
@@ -839,6 +910,10 @@ object DeltaTableWriter {
   def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
     val now = DeltaTableReader.snapshotState(spark, tablePath)
     refuseWriterUnsupported(now, tablePath)
+    if (cdfEnabledOf(now)) throw new IllegalStateException(
+      s"$tablePath: delta.enableChangeDataFeed=true — a restore's change images " +
+        "(every resurrected and re-dropped row) are not implemented; refusing rather " +
+        "than committing without the cdc files the protocol requires")
     val then0 = DeltaTableReader.snapshotState(spark, tablePath, asOf = Some(version))
     val nowBy = now.active.map(f => f.path -> f).toMap
     val thenBy = then0.active.map(f => f.path -> f).toMap

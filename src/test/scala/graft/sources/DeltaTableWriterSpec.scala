@@ -121,6 +121,45 @@ class DeltaTableWriterSpec extends SparkSpec {
   private def jsonQ(s: String): String =
     new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
 
+  test("CDF obligation: upserts/deletes on enableChangeDataFeed tables land explicit cdc files") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("dwr-cdf") + "/t"
+    DeltaTableWriter.create(df(1 to 30), table): Unit
+    // an external engine enables CDF on the existing table
+    val schemaStr = df(1 to 1).schema.json
+    rawCommit(table, 1L, Seq(
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonQ(schemaStr)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""))
+    // upsert: updates 5..8, inserts 31..33 — cdc files must land
+    val s = spark
+    import s.implicits._
+    val batch = (5 to 8).map(i => (i.toLong, "upd", 999L))
+      .union((31 to 33).map(i => (i.toLong, s"g${i % 4}", i * 2L))).toDF("id", "grp", "v")
+    DeltaTableWriter.upsert(batch, table, Seq("id")): Unit
+    assert(new java.io.File(s"$table/_change_data").listFiles()
+      .exists(_.getName.endsWith(".parquet")), "cdc files must land under _change_data/")
+    // the feed serves the commit's cdc files VERBATIM — pre/post/insert images
+    val feed = DeltaTableReader.changeFeedSince(spark, table, 1L)
+    assert(feed.where(col("_change_type") === "update_preimage").count() == 4L)
+    assert(feed.where(col("_change_type") === "update_preimage" && col("id") === 5L)
+      .head().getAs[Long]("v") == 10L, "pre-image carries the OLD value")
+    assert(feed.where(col("_change_type") === "update_postimage").count() == 4L)
+    assert(feed.where(col("_change_type") === "update_postimage" && col("id") === 5L)
+      .head().getAs[Long]("v") == 999L)
+    assert(feed.where(col("_change_type") === "insert").count() == 3L)
+    // delete: pre-images in cdc
+    DeltaTableWriter.delete(spark, table, col("id") === 2L): Unit
+    val feed2 = DeltaTableReader.changeFeedSince(spark, table, 2L)
+    val del = feed2.where(col("_change_type") === "delete")
+    assert(del.count() == 1L && del.head().getAs[Long]("v") == 4L)
+    // the snapshot itself is unaffected by cdc files (dataChange=false)
+    assert(DeltaTableReader.snapshot(spark, table).count() == 32L)
+    // restore on a CDF table refuses (its change images are not implemented)
+    val e = intercept[IllegalStateException](DeltaTableWriter.restore(spark, table, 0L))
+    assert(e.getMessage.contains("cdc files"))
+  }
+
   test("append refuses writer obligations it cannot honor — loudly, never corruptingly") {
     // feature protocol with an unsupported writer feature
     val table = tmpDir("dwr-wfeat") + "/t"
