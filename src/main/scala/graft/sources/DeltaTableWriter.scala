@@ -347,38 +347,57 @@ object DeltaTableWriter {
     * protocol's CHANGE DATA FILES, which CDF-enabled tables REQUIRE
     * on updates/deletes (readers then serve them VERBATIM and skip
     * reconstruction). dataChange=false per spec (the change data
-    * describes the commit, it is not table data). Distributed write;
-    * |cdc files| driver metadata. Partitioned tables refuse upstream.
+    * describes the commit, it is not table data). Partitioned tables
+    * partition their change data ALIKE: hive dirs under
+    * `_change_data/`, values on the cdc action, columns kept in the
+    * rows (the reader's partition-join restores them — same machinery
+    * as data adds). Distributed write; |cdc files| driver metadata.
     */
-  private def writeCdcFiles(rows: DataFrame, tablePath: String): Seq[String] = {
+  private def writeCdcFiles(rows: DataFrame, tablePath: String,
+      partitionColumns: Seq[String] = Nil): Seq[String] = {
     val spark = rows.sparkSession
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(tablePath, s".graft-cdc-${java.util.UUID.randomUUID()}")
-    rows.write.parquet(stage.toString)
+    // data-file convention: partition columns move OUT of the rows
+    // and into the hive dirs / the cdc action's partitionValues
+    val staged = partitionColumns.foldLeft(rows)((acc, c) =>
+      acc.withColumn(s"_p_$c", org.apache.spark.sql.functions.col(c)).drop(c))
+    val writer =
+      if (partitionColumns.isEmpty) staged.write
+      else staged.write.partitionBy(partitionColumns.map(c => s"_p_$c"): _*)
+    writer.parquet(stage.toString)
     val lines = Seq.newBuilder[String]
-    fs.listStatus(stage).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
-      val rel = s"_change_data/cdc-${java.util.UUID.randomUUID()}.parquet"
-      val dst = new Path(tablePath, rel)
-      fs.mkdirs(dst.getParent)
-      if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
-        s"$tablePath: failed to land change-data file $rel")
-      lines += (s"""{"cdc":{"path":${jsonStr(rel)},"partitionValues":{},""" +
-        s""""size":${fs.getFileStatus(dst).getLen},"dataChange":false}}""")
-    }
+    def walk(dir: Path, segs: Seq[String]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val next =
+            if (name.startsWith("_p_") && name.contains('=')) segs :+ name.substring(3)
+            else segs
+          walk(st.getPath, next)
+        } else if (name.endsWith(".parquet")) {
+          val dirPart = if (segs.isEmpty) "" else segs.mkString("", "/", "/")
+          val rel = s"_change_data/${dirPart}cdc-${java.util.UUID.randomUUID()}.parquet"
+          val dst = new Path(tablePath, rel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
+            s"$tablePath: failed to land change-data file $rel")
+          val values = segs.flatMap(partitionValueOf).toMap
+          val pvJson = partitionColumns.map { c =>
+            values.get(c).flatten match {
+              case Some(v) => s"${jsonStr(c)}:${jsonStr(v)}"
+              case None => s"${jsonStr(c)}:null"
+            }
+          }.mkString(",")
+          lines += (s"""{"cdc":{"path":${jsonStr(encodePath(rel))},""" +
+            s""""partitionValues":{$pvJson},""" +
+            s""""size":${fs.getFileStatus(dst).getLen},"dataChange":false}}""")
+        }
+      }
+    walk(stage, Nil)
     fs.delete(stage, true)
     lines.result()
   }
-
-  /** CDF obligations this writer can meet hold only for UNPARTITIONED
-    * tables (change-data files of partitioned tables must partition
-    * alike — not implemented); refuse rather than land a
-    * protocol-violating commit. */
-  private def refuseCdfPartitioned(state: DeltaTableReader.Snapshot,
-      tablePath: String, op: String): Unit =
-    if (state.partitionColumns.nonEmpty) throw new IllegalStateException(
-      s"$tablePath: delta.enableChangeDataFeed=true on a PARTITIONED table — this " +
-        s"writer cannot land partitioned change-data files for $op; refusing rather " +
-        "than committing without the cdc files the protocol requires")
 
   /** Create a NEW Delta table at `tablePath` from `df` — version 0
     * carries protocol, metaData (schema + partition columns) and the
@@ -673,12 +692,9 @@ object DeltaTableWriter {
       // must land its pre-images as explicit change-data files
       val cdcLines =
         if (!cdfEnabledOf(state)) Nil
-        else {
-          refuseCdfPartitioned(state, tablePath, "delete")
-          writeCdcFiles(keyed.where(predicate).drop("_g_file", "_g_pos")
-            .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")),
-            tablePath)
-        }
+        else writeCdcFiles(keyed.where(predicate).drop("_g_file", "_g_pos")
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")),
+          tablePath, state.partitionColumns)
       commit(spark, tablePath, state.version + 1, cdcLines ++ lines,
         ictNeeded = ictNeededOf(state))
     } finally matchedDf.unpersist()
@@ -869,7 +885,6 @@ object DeltaTableWriter {
       val cdcLines =
         if (!cdfEnabledOf(state)) Nil
         else {
-          refuseCdfPartitioned(state, tablePath, "upsert")
           val tableKeys = keyed.select(keys.map(col): _*)
           val litCt = org.apache.spark.sql.functions.lit _
           val pre = keyed.join(broadcast(batchKeys.distinct()), keys, "left_semi")
@@ -879,7 +894,8 @@ object DeltaTableWriter {
             .withColumn("_change_type", litCt("update_postimage"))
           val ins = aligned.join(tableKeys, keys, "left_anti")
             .withColumn("_change_type", litCt("insert"))
-          writeCdcFiles(pre.unionByName(post).unionByName(ins), tablePath)
+          writeCdcFiles(pre.unionByName(post).unionByName(ins), tablePath,
+            state.partitionColumns)
         }
       matchedDf.unpersist(): Unit
       val files = writeDataFiles(aligned, tablePath, state.partitionColumns)

@@ -158,6 +158,27 @@ class DeltaTableWriterSpec extends SparkSpec {
     // restore on a CDF table refuses (its change images are not implemented)
     val e = intercept[IllegalStateException](DeltaTableWriter.restore(spark, table, 0L))
     assert(e.getMessage.contains("cdc files"))
+
+    // PARTITIONED CDF: change data partitions alike — hive dirs under
+    // _change_data/, values on the cdc action, columns restored by the
+    // reader's partition join
+    val tp = tmpDir("dwr-cdf-part") + "/t"
+    DeltaTableWriter.create(df(1 to 20), tp, partitionBy = Seq("grp")): Unit
+    rawCommit(tp, 1L, Seq(
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonQ(schemaStr)},"partitionColumns":["grp"],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}"""))
+    DeltaTableWriter.upsert(
+      (5 to 6).map(i => (i.toLong, s"g${i % 4}", 777L)).toDF("id", "grp", "v"),
+      tp, Seq("id")): Unit
+    val cdcDirs = new java.io.File(s"$tp/_change_data").listFiles()
+    assert(cdcDirs.exists(d => d.isDirectory && d.getName.startsWith("grp=")),
+      "partitioned change data must land under hive dirs")
+    val pFeed = DeltaTableReader.changeFeedSince(spark, tp, 1L)
+    assert(pFeed.where(col("_change_type") === "update_postimage").count() == 2L)
+    assert(pFeed.where(col("_change_type") === "update_postimage" && col("id") === 5L)
+      .head().getAs[String]("grp") == "g1",
+      "the partition column must restore from the cdc action's values")
   }
 
   test("append refuses writer obligations it cannot honor — loudly, never corruptingly") {
