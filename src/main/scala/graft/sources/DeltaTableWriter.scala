@@ -634,7 +634,27 @@ object DeltaTableWriter {
       val f = new Path(tablePath, rel)
       if (fs.exists(f)) { fs.delete(f, false): Unit }
     }
-    doomed
+    // change-data files are never tombstoned (their cdc actions are
+    // dataChange=false one-shots), so without this they accumulate
+    // forever — Delta's own vacuum reclaims them past retention too,
+    // aged by modification time (the cdc action carries no timestamp)
+    val cdcDir = new Path(tablePath, "_change_data")
+    val doomedCdc =
+      if (!fs.exists(cdcDir)) Nil
+      else {
+        val b = Seq.newBuilder[String]
+        def walk(d: Path, prefix: String): Unit =
+          fs.listStatus(d).foreach { st =>
+            if (st.isDirectory) walk(st.getPath, s"$prefix${st.getPath.getName}/")
+            else if (st.getModificationTime <= horizon) {
+              fs.delete(st.getPath, false): Unit
+              b += s"_change_data/$prefix${st.getPath.getName}"
+            }
+          }
+        walk(cdcDir, "")
+        b.result().sorted
+      }
+    doomed ++ doomedCdc
   }
 
   /** `add.path` decode, shared with the reader's resolution rule. */

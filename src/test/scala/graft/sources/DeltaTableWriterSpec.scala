@@ -179,6 +179,17 @@ class DeltaTableWriterSpec extends SparkSpec {
     assert(pFeed.where(col("_change_type") === "update_postimage" && col("id") === 5L)
       .head().getAs[String]("grp") == "g1",
       "the partition column must restore from the cdc action's values")
+
+    // vacuum reclaims change-data files past retention (they are
+    // never tombstoned — without this they accumulate forever)
+    val vacuumed = DeltaTableWriter.vacuum(spark, table, retentionMs = 0L,
+      nowMs = System.currentTimeMillis() + 60000L)
+    assert(vacuumed.exists(_.startsWith("_change_data/")),
+      s"vacuum must reclaim expired cdc files, got: ${vacuumed.mkString(", ")}")
+    assert(!new java.io.File(s"$table/_change_data").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    assert(DeltaTableReader.snapshot(spark, table).count() == 32L,
+      "the snapshot never depended on the cdc files")
   }
 
   test("append refuses writer obligations it cannot honor — loudly, never corruptingly") {
