@@ -324,6 +324,27 @@ class ForeignUpsertSpec extends SparkSpec {
     assert(e2.getMessage.contains("duplicate"))
   }
 
+  test("iceberg: upsert on a PARTITIONED table — batch rows land partitioned, eq-delete applies across partitions") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("iup-part") + "/t"
+    val base = (1 to 30).map(i => (i.toLong, s"p${i % 3}", i * 2L)).toDF("id", "part", "v")
+    IcebergTableWriter.create(base, table, partitionBy = Seq("part")): Unit
+    // update ids 4..6 (any partition) + insert 31..32
+    val batch = ((4 to 6).map(i => (i.toLong, s"p${i % 3}", 555L)) ++
+      (31 to 32).map(i => (i.toLong, s"p${i % 3}", i * 2L))).toDF("id", "part", "v")
+    IcebergTableWriter.upsert(batch, table, Seq("id")): Unit
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.count() == 32L)
+    assert(snap.where(col("id") === 5L).head().getAs[Long]("v") == 555L)
+    assert(snap.where(col("id") === 7L).head().getAs[Long]("v") == 14L)
+    // the batch's data files landed with manifest partition values —
+    // pruning still cuts the file set
+    val pruned = IcebergTableReader.planFilesPruned(spark, table,
+      pv => pv.get("part").contains("p1"))
+    assert(pruned.data.size < IcebergTableReader.planFiles(spark, table).data.size)
+  }
+
   test("iceberg: repeated upserts stack; each batch's rows survive its own delete") {
     val table = tmpDir("iup-stack") + "/t"
     IcebergTableWriter.create(df(1 to 10), table): Unit
