@@ -2320,6 +2320,41 @@ trait ReferenceQueries extends QueryBase {
     },
     oracle = Some(upsertMergeOracle))
 
+  /** #103i Hudi MOR CDC-grade incremental
+    * ([[graft.sources.HudiTableReader.changeFeedSince]]): log DATA
+    * blocks and freshly-stamped base writes serve `upsert`
+    * post-images, log DELETE blocks serve `delete` KEY-IMAGES —
+    * the delete fidelity a MOR timeline actually has (COW refuses
+    * toward the post-image pull). Compaction is silent. The oracle
+    * recomputes both legs from the fixture predicates.
+    */
+  val qHudiCdc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-cdc") + "/t"
+      val o = t(s, dir, "orders")
+      val base = o.filter(col("o_orderkey") % 7 =!= 0)
+      val c1 = HudiTableWriter.createMor(base, table, tableName = "orders_cdc",
+        recordKeys = Seq("o_orderkey"))
+      HudiTableWriter.updateLog(
+        base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100000.0), table): Unit
+      HudiTableWriter.deleteLog(
+        base.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"), table): Unit
+      HudiTableWriter.compact(s, table): Unit // must contribute NOTHING
+      HudiTableReader.changeFeedSince(s, table, c1)
+        .groupBy(col("_change_type"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT 'upsert' AS _change_type, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice + 100000.0 AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'delete', CAST(NULL AS VARCHAR), count(*), CAST(NULL AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0""".stripMargin))
+
   /** #109d Iceberg UPSERT writer
     * ([[graft.sources.IcebergTableWriter.upsert]], the Flink-CDC
     * shape): the batch's keys land as ONE content=2 equality-delete

@@ -140,21 +140,25 @@ object TableLoader {
     * tables serve pre/post images keyed by their declared record
     * keys; Delta serves the protocol's CDF (explicit cdc actions
     * verbatim, DV diffs reconstructed); Iceberg serves inserts +
-    * position-delete pre-images + equality-delete key-images. Hudi
-    * REFUSES toward [[openIncremental]]: a COW timeline's incremental
-    * pull is already upsert-exact (post-images by stamp) but carries
-    * no delete images, and serving a feed that silently lacks deletes
-    * would be wrong in exactly the case a CDC consumer exists for.
+    * position-delete pre-images + equality-delete key-images; Hudi
+    * MOR serves upsert post-images + DELETE KEY-IMAGES from the log's
+    * tombstone blocks. Hudi COW refuses toward [[openIncremental]]:
+    * its timeline carries no delete images at all, and serving a feed
+    * that silently lacks deletes would be wrong in exactly the case a
+    * CDC consumer exists for.
     */
   def openChangeFeed(spark: SparkSession, path: String, since: String): DataFrame =
     detectFormat(spark, path) match {
       case GraftVersioned => openIncremental(spark, path, since) // already CDC-grade
       case DeltaFormat    => DeltaTableReader.changeFeedSince(spark, path, since.toLong)
       case IcebergFormat  => IcebergTableReader.changeFeedSince(spark, path, since.toLong)
+      case HudiFormat if HudiTableReader.isMor(spark, path) =>
+        // MOR delete blocks ARE delete images (key tombstones) — the
+        // feed serves upsert post-images + delete key-images
+        HudiTableReader.changeFeedSince(spark, path, since)
       case HudiFormat     => throw new IllegalArgumentException(
-        s"$path: Hudi timelines carry no delete images for a CDC feed — use " +
-          "openIncremental for the upsert-exact post-image pull, or read the MOR " +
-          "log directly")
+        s"$path: a Hudi COW timeline carries no delete images for a CDC feed — use " +
+          "openIncremental for the upsert-exact post-image pull")
       case PlainParquet   => throw new IllegalArgumentException(
         s"$path is a plain parquet directory — no commit log to read a change feed from")
     }

@@ -267,6 +267,64 @@ class HudiTableWriterSpec extends SparkSpec {
     assert(incAll.count() == 99L) // 100 minus the tombstoned id 7
   }
 
+  test("MOR change feed: upsert post-images + delete key-images; compaction silent; the fold reproduces realtime") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("hwr-mor-cdc") + "/t"
+    val c1 = HudiTableWriter.createMor(df(1 to 20).coalesce(1), table,
+      recordKeys = Seq("id"))
+    HudiTableWriter.updateLog(
+      Seq((3L, "k3b", 333L), (4L, "k4b", 444L)).toDF("id", "key", "v"), table): Unit
+    HudiTableWriter.deleteLog(Seq(Tuple1(7L)).toDF("id"), table): Unit
+    HudiTableWriter.upsert(
+      Seq((5L, "k5b", 555L), (21L, "k21", 42L)).toDF("id", "key", "v"), table): Unit
+    HudiTableWriter.compact(spark, table): Unit
+    val feed = HudiTableReader.changeFeedSince(spark, table, c1)
+    feed.cache()
+    // upserts: 2 log updates + morUpsert's 1 update + 1 insert
+    assert(feed.where(col("_change_type") === "upsert").count() == 4L)
+    assert(feed.where(col("_change_type") === "upsert" && col("id") === 3L)
+      .head().getAs[Long]("v") == 333L)
+    // deletes: key-image only
+    val del = feed.where(col("_change_type") === "delete")
+    assert(del.count() == 1L)
+    assert(del.head().getAs[String]("_hoodie_record_key") == "id:7")
+    assert(del.head().getAs[java.lang.Long]("v") == null,
+      "a tombstone names a key, not a row")
+    // compaction contributed NOTHING (no logical change)
+    val instants = feed.select("_commit_instant").distinct().count()
+    assert(instants == 3L, s"3 data-changing instants expected, got $instants")
+    // THE property: folding the feed (per instant: delete-by-key,
+    // then upsert-by-key) onto the bootstrap reproduces realtime
+    var mirror = HudiTableReader.realtimeAsOf(spark, table, c1)
+      .select("_hoodie_record_key", "id", "key", "v")
+    feed.select("_commit_instant").distinct().collect().map(_.getString(0)).sorted
+      .foreach { i =>
+        val dels = feed.where(col("_commit_instant") === i &&
+          col("_change_type") === "delete").select("_hoodie_record_key")
+        val ups = feed.where(col("_commit_instant") === i &&
+          col("_change_type") === "upsert")
+          .select("_hoodie_record_key", "id", "key", "v")
+        mirror = mirror
+          .join(dels, Seq("_hoodie_record_key"), "left_anti")
+          .join(ups.select("_hoodie_record_key"), Seq("_hoodie_record_key"), "left_anti")
+          .unionByName(ups)
+          .localCheckpoint()
+      }
+    val now = HudiTableReader.snapshot(spark, table)
+      .select("_hoodie_record_key", "id", "key", "v")
+    assert(mirror.exceptAll(now).isEmpty && now.exceptAll(mirror).isEmpty,
+      "the folded feed must reproduce the head real-time view")
+    feed.unpersist()
+    // COW tables refuse toward the post-image pull; the dispatch serves MOR
+    val cow = tmpDir("hwr-cdc-cow") + "/t"
+    HudiTableWriter.create(df(1 to 5), cow, recordKeys = Seq("id")): Unit
+    val e = intercept[IllegalArgumentException](
+      TableLoader.openChangeFeed(spark, cow, "0"))
+    assert(e.getMessage.contains("openIncremental"))
+    assert(TableLoader.openChangeFeed(spark, table, c1).count() == feed.count())
+  }
+
   test("MOR guardrails: COW tables refuse log ops; unknown keys refuse routing") {
     val s = spark
     import s.implicits._
