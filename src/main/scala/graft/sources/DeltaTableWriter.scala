@@ -946,10 +946,6 @@ object DeltaTableWriter {
   def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
     val now = DeltaTableReader.snapshotState(spark, tablePath)
     refuseWriterUnsupported(now, tablePath)
-    if (cdfEnabledOf(now)) throw new IllegalStateException(
-      s"$tablePath: delta.enableChangeDataFeed=true — a restore's change images " +
-        "(every resurrected and re-dropped row) are not implemented; refusing rather " +
-        "than committing without the cdc files the protocol requires")
     val then0 = DeltaTableReader.snapshotState(spark, tablePath, asOf = Some(version))
     val nowBy = now.active.map(f => f.path -> f).toMap
     val thenBy = then0.active.map(f => f.path -> f).toMap
@@ -995,7 +991,22 @@ object DeltaTableWriter {
           s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
           s""""dataChange":true$dvJson}}""")
       }.flatten
-    commit(spark, tablePath, now.version + 1, lines,
+    // CDF obligation: a restore's change images are the TWO-SNAPSHOT
+    // diff — rows only in the target come back as inserts, rows only
+    // in the current state go out as deletes. O(both snapshots), the
+    // honest cost of restoring a CDF table (restores are rare; the
+    // protocol still requires the images).
+    val cdcLines =
+      if (!cdfEnabledOf(now)) Nil
+      else {
+        val litCt = org.apache.spark.sql.functions.lit _
+        val cur = DeltaTableReader.snapshot(spark, tablePath)
+        val tgt = DeltaTableReader.snapshotAsOf(spark, tablePath, version)
+        val ins = tgt.exceptAll(cur).withColumn("_change_type", litCt("insert"))
+        val del = cur.exceptAll(tgt).withColumn("_change_type", litCt("delete"))
+        writeCdcFiles(ins.unionByName(del), tablePath, now.partitionColumns)
+      }
+    commit(spark, tablePath, now.version + 1, cdcLines ++ lines,
       ictNeeded = ictNeededOf(now))
   }
 

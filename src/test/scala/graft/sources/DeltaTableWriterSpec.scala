@@ -155,9 +155,16 @@ class DeltaTableWriterSpec extends SparkSpec {
     assert(del.count() == 1L && del.head().getAs[Long]("v") == 4L)
     // the snapshot itself is unaffected by cdc files (dataChange=false)
     assert(DeltaTableReader.snapshot(spark, table).count() == 32L)
-    // restore on a CDF table refuses (its change images are not implemented)
-    val e = intercept[IllegalStateException](DeltaTableWriter.restore(spark, table, 0L))
-    assert(e.getMessage.contains("cdc files"))
+    // restore on a CDF table lands its change images: the two-snapshot
+    // diff — resurrected rows as inserts, re-dropped rows as deletes
+    val preRestore = DeltaTableReader.latestVersion(spark, table)
+    DeltaTableWriter.restore(spark, table, 0L): Unit
+    val rFeed = DeltaTableReader.changeFeedSince(spark, table, preRestore)
+    assert(rFeed.where(col("_change_type") === "insert").count() == 5L,
+      "v0-only rows (the pre-upsert 5..8 and deleted 2) come back as inserts")
+    assert(rFeed.where(col("_change_type") === "delete").count() == 7L,
+      "current-only rows (updated 5..8 and appended 31..33) go out as deletes")
+    assert(DeltaTableReader.snapshot(spark, table).count() == 30L)
 
     // PARTITIONED CDF: change data partitions alike — hive dirs under
     // _change_data/, values on the cdc action, columns restored by the
@@ -188,7 +195,7 @@ class DeltaTableWriterSpec extends SparkSpec {
       s"vacuum must reclaim expired cdc files, got: ${vacuumed.mkString(", ")}")
     assert(!new java.io.File(s"$table/_change_data").listFiles()
       .exists(_.getName.endsWith(".parquet")))
-    assert(DeltaTableReader.snapshot(spark, table).count() == 32L,
+    assert(DeltaTableReader.snapshot(spark, table).count() == 30L,
       "the snapshot never depended on the cdc files")
   }
 
