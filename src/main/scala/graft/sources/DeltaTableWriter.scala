@@ -244,11 +244,17 @@ object DeltaTableWriter {
             if (minVals.exists(_.isInstanceOf[java.lang.Boolean])) {
               mins(name) = stats.map(_.genericGetMin.toString).min
               maxs(name) = stats.map(_.genericGetMax.toString).max
+            } else if (allIntegral) {
+              // Long arithmetic end-to-end: a Double round-trip loses
+              // precision past 2^53 and a rounded-down max would make
+              // skipping prune files that DO contain matching rows
+              mins(name) = minVals.map(_.toString.toLong).min.toString
+              maxs(name) = stats.map(_.genericGetMax.toString.toLong).max.toString
             } else {
               val minN = minVals.map(_.toString.toDouble).min
               val maxN = stats.map(_.genericGetMax.toString.toDouble).max
-              mins(name) = if (allIntegral) minN.toLong.toString else minN.toString
-              maxs(name) = if (allIntegral) maxN.toLong.toString else maxN.toString
+              mins(name) = minN.toString
+              maxs(name) = maxN.toString
             }
           }
           nulls(name) = stats.map(_.getNumNulls).sum
@@ -264,9 +270,20 @@ object DeltaTableWriter {
 
   /** Publish `lines` as the next commit ≥ `fromVersion` with an
     * atomic-rename CAS; returns the version that won.
+    *
+    * `rebaseSafe = false` marks commits whose action lines were
+    * COMPUTED AGAINST the `fromVersion - 1` snapshot (delete, upsert,
+    * restore, compact, create): a lost CAS means a concurrent writer
+    * landed a commit we did not see, and re-landing our stale
+    * remove/re-add lines at the next version would clobber it (e.g.
+    * resurrect rows it deleted via a DV on the same file). Those
+    * commits FAIL LOUDLY on a lost race — callers re-read the
+    * snapshot and rebuild. Pure appends (`rebaseSafe = true`) carry
+    * only new files and safely bump to the next free version.
     */
   private def commit(spark: SparkSession, tablePath: String, fromVersion: Long,
-      lines: Seq[String], ictNeeded: Boolean = false): Long = {
+      lines: Seq[String], ictNeeded: Boolean = false,
+      rebaseSafe: Boolean = true): Long = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
@@ -308,7 +325,8 @@ object DeltaTableWriter {
       dir.toUri, spark.sparkContext.hadoopConfiguration)
     try {
       var v = fromVersion
-      while (v < fromVersion + MaxCommitAttempts) {
+      val maxV = if (rebaseSafe) fromVersion + MaxCommitAttempts else fromVersion + 1
+      while (v < maxV) {
         if (ictNeeded && v > fromVersion) {
           // re-stamp against the NEW predecessor after a lost race
           if (fs.exists(tmp)) { fs.delete(tmp, false): Unit }
@@ -326,6 +344,10 @@ object DeltaTableWriter {
         }
         v += 1
       }
+      if (!rebaseSafe) throw new java.util.ConcurrentModificationException(
+        s"$tablePath: version $fromVersion was taken by a concurrent writer and this " +
+          "commit's remove/re-add lines were computed against the now-stale snapshot " +
+          s"${fromVersion - 1} — re-read the table and retry the operation")
       throw new IllegalStateException(
         s"$tablePath: lost the commit race $MaxCommitAttempts times from version $fromVersion")
     } finally if (fs.exists(tmp)) { fs.delete(tmp, false); () }
@@ -442,7 +464,8 @@ object DeltaTableWriter {
     commit(spark, tablePath, 0L,
       protocol +: metaData +: (transaction.map(txnLine).toSeq ++
         files.map { case (rel, size, mtime, st) =>
-          addLine(rel, size, mtime, partitionBy, st) }))
+          addLine(rel, size, mtime, partitionBy, st) }),
+      rebaseSafe = false)
   }
 
   /** Append `df` to an existing table as a new commit; partitioning
@@ -591,7 +614,7 @@ object DeltaTableWriter {
       files.map { case (rel, size, mtime, st) =>
         addLine(rel, size, mtime, state.partitionColumns, st, dataChange = false) }
     commit(spark, tablePath, state.version + 1, lines,
-      ictNeeded = ictNeededOf(state))
+      ictNeeded = ictNeededOf(state), rebaseSafe = false)
   }
 
   /** VACUUM: physically delete data files TOMBSTONED (removed with
@@ -677,6 +700,16 @@ object DeltaTableWriter {
     */
   val MaxDeleteRowsDriver: Int = 4 * 1000 * 1000
 
+  /** Crossover between BROADCASTING the upsert batch's key set into
+    * the table-side semi join and a plain SHUFFLE semi join: at or
+    * under this many distinct keys the broadcast (typically tens of
+    * MB) wins — one hash probe per scan task, zero table shuffle;
+    * past it (backfill-scale merges) broadcasting would approach
+    * Spark's 8 GiB hard cap, so the join degrades gracefully to a
+    * shuffle instead of failing outright.
+    */
+  val MaxBroadcastUpsertKeys: Long = 4L * 1000 * 1000
+
   /** Row-level DELETE on an external Delta table WITHOUT rewriting
     * data files: rows matching `predicate` (evaluated on exactly the
     * live rows a reader serves — existing vectors already applied)
@@ -698,15 +731,19 @@ object DeltaTableWriter {
         org.apache.spark.sql.functions.col("_g_pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val probe = matchedDf.limit(maxDriverRows + 1).collect()
-      if (probe.isEmpty) throw new IllegalArgumentException(
+      // the driver-vs-distributed split is decided by a DISTRIBUTED
+      // count — rows only come to the driver once known to fit (a
+      // collect()-then-measure probe would itself hold maxDriverRows
+      // full Rows of heap before the decision)
+      val nMatched = matchedDf.limit(maxDriverRows + 1).count()
+      if (nMatched == 0) throw new IllegalArgumentException(
         s"$tablePath: predicate matched no live rows — nothing to delete")
       // small matches build bitmaps on the driver (one sidecar for all
       // files); past the bound the build DISTRIBUTES — positions never
       // reach the driver ([[dvMaskLinesDistributed]])
       val lines =
-        if (probe.length <= maxDriverRows)
-          dvMaskLines(spark, tablePath, state, probe)
+        if (nMatched <= maxDriverRows)
+          dvMaskLines(spark, tablePath, state, matchedDf.collect())
         else dvMaskLinesDistributed(spark, tablePath, state, matchedDf)
       // CDF obligation: a delete on an enableChangeDataFeed table
       // must land its pre-images as explicit change-data files
@@ -716,7 +753,7 @@ object DeltaTableWriter {
           .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")),
           tablePath, state.partitionColumns)
       commit(spark, tablePath, state.version + 1, cdcLines ++ lines,
-        ictNeeded = ictNeededOf(state))
+        ictNeeded = ictNeededOf(state), rebaseSafe = false)
     } finally matchedDf.unpersist()
   }
 
@@ -885,19 +922,31 @@ object DeltaTableWriter {
     try {
       val batchKeys = aligned.select(keys.map(col): _*)
       val nRows = aligned.count()
-      val nKeys = batchKeys.distinct().count()
+      val distinctKeys = batchKeys.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nKeys = distinctKeys.count()
       require(nRows == nKeys,
         s"$tablePath: upsert batch carries ${nRows - nKeys} duplicate key row(s) — the " +
           "replacement row per key would be ambiguous; pre-combine the batch first")
-      val matchedDf = keyed
-        .join(broadcast(batchKeys.distinct()), keys, "left_semi")
+      // SIZE-GATED key join: CDC-sized batches broadcast the key set
+      // (one scan-side hash probe, no shuffle of the table); a
+      // backfill-sized batch past the gate would blow Spark's 8 GiB
+      // broadcast cap, so it degrades to a shuffle semi join instead
+      // of failing outright
+      val smallBatch = nKeys <= MaxBroadcastUpsertKeys
+      def semiAgainstBatch(left: DataFrame): DataFrame =
+        if (smallBatch) left.join(broadcast(distinctKeys), keys, "left_semi")
+        else left.join(distinctKeys, keys, "left_semi")
+      val matchedDf = semiAgainstBatch(keyed)
         .select(col("_g_file"), col("_g_pos"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val probe = matchedDf.limit(maxDriverRows + 1).collect()
+      // driver-vs-distributed DV split decided by a DISTRIBUTED count;
+      // rows reach the driver only once known to fit
+      val nMatched = matchedDf.limit(maxDriverRows + 1).count()
       val dvLines =
-        if (probe.isEmpty) Nil
-        else if (probe.length <= maxDriverRows)
-          dvMaskLines(spark, tablePath, state, probe)
+        if (nMatched == 0) Nil
+        else if (nMatched <= maxDriverRows)
+          dvMaskLines(spark, tablePath, state, matchedDf.collect())
         else dvMaskLinesDistributed(spark, tablePath, state, matchedDf)
       // CDF obligation: an upsert on an enableChangeDataFeed table
       // lands update pre/post images + inserts as change-data files
@@ -907,7 +956,7 @@ object DeltaTableWriter {
         else {
           val tableKeys = keyed.select(keys.map(col): _*)
           val litCt = org.apache.spark.sql.functions.lit _
-          val pre = keyed.join(broadcast(batchKeys.distinct()), keys, "left_semi")
+          val pre = semiAgainstBatch(keyed)
             .drop("_g_file", "_g_pos")
             .withColumn("_change_type", litCt("update_preimage"))
           val post = aligned.join(tableKeys, keys, "left_semi")
@@ -918,11 +967,12 @@ object DeltaTableWriter {
             state.partitionColumns)
         }
       matchedDf.unpersist(): Unit
+      distinctKeys.unpersist(): Unit
       val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
       val v = commit(spark, tablePath, state.version + 1,
         cdcLines ++ dvLines ++ files.map { case (rel, size, mtime, st) =>
           addLine(rel, size, mtime, state.partitionColumns, st) },
-        ictNeeded = ictNeededOf(state))
+        ictNeeded = ictNeededOf(state), rebaseSafe = false)
       maybeCheckpoint(spark, tablePath, v, checkpointInterval)
       v
     } finally aligned.unpersist()
@@ -1007,7 +1057,7 @@ object DeltaTableWriter {
         writeCdcFiles(ins.unionByName(del), tablePath, now.partitionColumns)
       }
     commit(spark, tablePath, now.version + 1, cdcLines ++ lines,
-      ictNeeded = ictNeededOf(now))
+      ictNeeded = ictNeededOf(now), rebaseSafe = false)
   }
 
   def append(df: DataFrame, tablePath: String,

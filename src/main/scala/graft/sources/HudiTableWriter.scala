@@ -38,6 +38,15 @@ object HudiTableWriter {
 
   val MaxCommitAttempts: Int = 20
 
+  /** Crossover between BROADCASTING the upsert batch's key set into
+    * the carried-rows anti join and a plain SHUFFLE anti join — same
+    * gate as [[DeltaTableWriter.MaxBroadcastUpsertKeys]]: CDC-sized
+    * batches broadcast (zero base-row shuffle); a backfill-scale key
+    * set past the gate degrades to a shuffle join rather than hitting
+    * Spark's 8 GiB broadcast hard cap.
+    */
+  val MaxBroadcastUpsertKeys: Long = 4L * 1000 * 1000
+
   private def hoodieDir(tablePath: String): Path = new Path(tablePath, ".hoodie")
 
   private def instantNow(offsetMs: Long): String =
@@ -393,19 +402,29 @@ object HudiTableWriter {
     val tagged = batchStamped.join(keyFid, joinCols, "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // one distributed count (also warms the cache): the batch is
+      // key-unique post-combine, so this is the batch-key cardinality
+      // that decides broadcast-vs-shuffle for the carried-rows join
+      val nBatchKeys = tagged.count()
       val updates = tagged.where(col("_g_fid").isNotNull)
       val inserts = tagged.where(col("_g_fid").isNull).drop("_g_fid")
       // per-touched-group update counts — |groups| driver metadata
       val updCounts = updates.groupBy(col("_g_fid")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val updateStats = Seq.newBuilder[(String, String, String, Long, Long)]
+      val updateStats = Seq.newBuilder[(String, String, String, Long, Long, Long)]
       if (updCounts.nonEmpty) {
         val updFidDf = spark.createDataFrame(
           updCounts.keys.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
           StructType(Seq(StructField("_g_fid", StringType))))
         val batchKeys = deduped.select(joinCols.map(col): _*)
+        // SIZE-GATED anti join: CDC-sized batches broadcast their key
+        // set (no shuffle of the carried base rows); past the gate a
+        // backfill-scale batch would blow the 8 GiB broadcast cap, so
+        // it degrades to a shuffle anti join instead of failing
         val carried = base.join(broadcast(updFidDf), Seq("_g_fid"))
-          .join(broadcast(batchKeys), joinCols, "left_anti")
+          .join(if (nBatchKeys <= MaxBroadcastUpsertKeys) broadcast(batchKeys)
+                else batchKeys,
+            joinCols, "left_anti")
         val newSlices = carried.select(sliceCols.map(col) :+ col("_g_fid"): _*)
           .unionByName(updates.select(sliceCols.map(col) :+ col("_g_fid"): _*))
         // one rewritten base file per touched group: each fid lives in
@@ -414,7 +433,12 @@ object HudiTableWriter {
         val stage = new Path(tablePath, s".graft-upsert-${java.util.UUID.randomUUID()}")
         newSlices.repartition(col("_g_fid")).write.partitionBy("_g_fid")
           .parquet(stage.toString)
-        fs.listStatus(stage).filter(_.isDirectory).foreach { d =>
+        // land + footer-count in PARALLEL: one rename + one footer
+        // read per touched group is metadata-level work, but serially
+        // it is O(|touched groups|) driver round-trips — thousands of
+        // groups would mean minutes of driver wall-time
+        import scala.collection.parallel.CollectionConverters._
+        val landed = fs.listStatus(stage).filter(_.isDirectory).toSeq.par.map { d =>
           val name = d.getPath.getName
           require(name.startsWith("_g_fid="), s"$tablePath: unexpected stage dir $name")
           val fid = name.substring("_g_fid=".length)
@@ -436,17 +460,18 @@ object HudiTableWriter {
             spark.sparkContext.hadoopConfiguration)
           val pr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           val n = try pr.getRecordCount finally pr.close()
-          updateStats += ((partition, fid, rel, n, updCounts(fid)))
-        }
+          (partition, fid, rel, n, updCounts(fid), fs.getFileStatus(dst).getLen)
+        }.seq
+        updateStats ++= landed
         fs.delete(stage, true)
       }
       val insertFiles = landNewGroups(inserts.select(sliceCols.map(col): _*),
         tablePath, instant, partitionBy)
       val allStats =
-        updateStats.result().map { case (part, fid, rel, n, nUpd) =>
+        updateStats.result().map { case (part, fid, rel, n, nUpd, len) =>
           (part, s"""{"fileId":"$fid","path":"$rel","numWrites":$n,""" +
             s""""numUpdateWrites":$nUpd,""" +
-            s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
+            s""""totalWriteBytes":$len,""" +
             s""""prevCommit":"${sliceByFid(fid).instant}"}""")
         } ++ insertFiles.map { case (part, fid, rel) =>
           (part, s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +

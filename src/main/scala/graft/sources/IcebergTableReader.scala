@@ -140,22 +140,30 @@ object IcebergTableReader {
     * the current schema (`schemas` + `current-schema-id`, or the
     * legacy single `schema`).
     */
+  /** The CURRENT schema node: `schemas[current-schema-id]` (falling
+    * back to the first entry, then the legacy v1 `schema` field) —
+    * shared by name AND type resolution so bound decoding reads at
+    * the same width the names resolve against after evolution.
+    */
+  private def currentSchemaNode(
+      meta: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode = {
+    val schemas = meta.get("schemas")
+    if (schemas != null && schemas.isArray) {
+      val currentId = Option(meta.get("current-schema-id")).map(_.asInt())
+      var pick: com.fasterxml.jackson.databind.JsonNode = null
+      schemas.forEach { s =>
+        if (pick == null ||
+          currentId.exists(id => Option(s.get("schema-id")).exists(_.asInt() == id)))
+          pick = s
+      }
+      pick
+    } else meta.get("schema")
+  }
+
   private[sources] def schemaFieldNames(spark: SparkSession, tablePath: String): Map[Int, String] = {
     val fs = fsOf(spark, new Path(tablePath))
     val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
-    val schemaNode = {
-      val schemas = meta.get("schemas")
-      if (schemas != null && schemas.isArray) {
-        val currentId = Option(meta.get("current-schema-id")).map(_.asInt())
-        var pick: com.fasterxml.jackson.databind.JsonNode = null
-        schemas.forEach { s =>
-          if (pick == null ||
-            currentId.exists(id => Option(s.get("schema-id")).exists(_.asInt() == id)))
-            pick = s
-        }
-        pick
-      } else meta.get("schema")
-    }
+    val schemaNode = currentSchemaNode(meta)
     if (schemaNode == null) Map.empty
     else {
       val b = Map.newBuilder[Int, String]
@@ -328,7 +336,7 @@ object IcebergTableReader {
   private def planFilesOf(spark: SparkSession, tablePath: String,
       snap: SnapshotInfo, pruner: Map[String, String] => Boolean = _ => true): PlanFiles = {
     val manifests = manifestsOf(spark, resolve(tablePath, snap.manifestList))
-    val data = Seq.newBuilder[(String, Long)]
+    val data = Seq.newBuilder[(String, Option[Long])]
     val posDeletes = Seq.newBuilder[String]
     val eqDeletes = Seq.newBuilder[EqDelete]
     val boundsB = Map.newBuilder[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])]
@@ -339,7 +347,7 @@ object IcebergTableReader {
           (mcontent, e.content) match {
             case (0, 0) =>
               if (pruner(e.partition)) {
-                data += ((e.filePath, e.sequence.getOrElse(0L)))
+                data += ((e.filePath, e.sequence))
                 if (e.lowerBounds.nonEmpty || e.upperBounds.nonEmpty)
                   boundsB += (e.filePath -> ((e.lowerBounds, e.upperBounds)))
               }
@@ -364,8 +372,20 @@ object IcebergTableReader {
       }
     }
     val dataFiles = data.result().distinct
+    val eqs = eqDeletes.result().distinct
+    // the spec's sequence-number INHERITANCE form (null on the entry,
+    // inherited from the manifest header) is not resolved here; with
+    // equality deletes in play a defaulted sequence would mis-scope
+    // them (a post-delete data file treated as strictly older silently
+    // LOSES matching rows) — refuse, mirroring the eq-delete-side
+    // refusal above
+    if (eqs.nonEmpty) dataFiles.collectFirst { case (p, None) => p }.foreach { p =>
+      throw new IllegalStateException(
+        s"$tablePath: data file $p carries no sequence number (manifest-inherited form) " +
+          "while equality deletes exist — their scope over this file is undefined; refusing")
+    }
     PlanFiles(dataFiles.map(_._1), posDeletes.result().distinct,
-      eqDeletes.result().distinct, dataFiles.toMap, boundsB.result())
+      eqs, dataFiles.collect { case (p, Some(s)) => p -> s }.toMap, boundsB.result())
   }
 
   /** Field-id → Iceberg type name from the metadata schema — what
@@ -373,11 +393,7 @@ object IcebergTableReader {
   private def schemaFieldTypes(spark: SparkSession, tablePath: String): Map[Int, String] = {
     val fs = fsOf(spark, new Path(tablePath))
     val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
-    val schemaNode = {
-      val schemas = meta.get("schemas")
-      if (schemas != null && schemas.isArray && !schemas.isEmpty) schemas.get(0)
-      else meta.get("schema")
-    }
+    val schemaNode = currentSchemaNode(meta)
     if (schemaNode == null) Map.empty
     else {
       val b = Map.newBuilder[Int, String]
