@@ -901,7 +901,8 @@ object DeltaTableWriter {
     */
   def upsert(df: DataFrame, tablePath: String, keys: Seq[String],
       checkpointInterval: Int = DefaultCheckpointInterval,
-      maxDriverRows: Int = MaxDeleteRowsDriver): Long = {
+      maxDriverRows: Int = MaxDeleteRowsDriver,
+      maxBroadcastKeys: Long = MaxBroadcastUpsertKeys): Long = {
     val spark = df.sparkSession
     require(keys.nonEmpty, s"$tablePath: upsert needs at least one key column")
     val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
@@ -933,7 +934,7 @@ object DeltaTableWriter {
       // backfill-sized batch past the gate would blow Spark's 8 GiB
       // broadcast cap, so it degrades to a shuffle semi join instead
       // of failing outright
-      val smallBatch = nKeys <= MaxBroadcastUpsertKeys
+      val smallBatch = nKeys <= maxBroadcastKeys
       def semiAgainstBatch(left: DataFrame): DataFrame =
         if (smallBatch) left.join(broadcast(distinctKeys), keys, "left_semi")
         else left.join(distinctKeys, keys, "left_semi")

@@ -341,7 +341,8 @@ object HudiTableWriter {
     * |touched groups| commit metadata, never row data. Returns the
     * commit instant. Single-writer: a lost instant race throws.
     */
-  def upsert(df: DataFrame, tablePath: String): String = {
+  def upsert(df: DataFrame, tablePath: String,
+      maxBroadcastKeys: Long = MaxBroadcastUpsertKeys): String = {
     val spark = df.sparkSession
     val keys = declaredRecordKeys(spark, tablePath)
     require(keys.nonEmpty,
@@ -422,7 +423,7 @@ object HudiTableWriter {
         // backfill-scale batch would blow the 8 GiB broadcast cap, so
         // it degrades to a shuffle anti join instead of failing
         val carried = base.join(broadcast(updFidDf), Seq("_g_fid"))
-          .join(if (nBatchKeys <= MaxBroadcastUpsertKeys) broadcast(batchKeys)
+          .join(if (nBatchKeys <= maxBroadcastKeys) broadcast(batchKeys)
                 else batchKeys,
             joinCols, "left_anti")
         val newSlices = carried.select(sliceCols.map(col) :+ col("_g_fid"): _*)

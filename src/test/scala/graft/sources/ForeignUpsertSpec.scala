@@ -345,6 +345,30 @@ class ForeignUpsertSpec extends SparkSpec {
     assert(pruned.data.size < IcebergTableReader.planFiles(spark, table).data.size)
   }
 
+  test("broadcast gate: past-the-gate upserts degrade to a shuffle join, identical results") {
+    // maxBroadcastKeys = 0 forces the large-batch (shuffle semi/anti
+    // join) path that a backfill-scale merge takes when broadcasting
+    // the key set would blow Spark's 8 GiB cap — the lock is that the
+    // path EXISTS and lands the same table a broadcast merge would
+    val dTable = tmpDir("gate-delta") + "/t"
+    DeltaTableWriter.create(df(1 to 60), dTable): Unit
+    DeltaTableWriter.upsert(df(10 to 20, _ * 100L).union(df(61 to 70)), dTable,
+      Seq("id"), maxBroadcastKeys = 0L): Unit
+    val dSnap = DeltaTableReader.snapshot(spark, dTable)
+    assert(dSnap.count() == 70L)
+    assert(dSnap.where(col("id") === 15L).head().getAs[Long]("v") == 1500L)
+    assert(dSnap.where(col("id") === 5L).head().getAs[Long]("v") == 10L)
+
+    val hTable = tmpDir("gate-hudi") + "/t"
+    HudiTableWriter.create(df(1 to 60), hTable, recordKeys = Seq("id")): Unit
+    HudiTableWriter.upsert(df(10 to 20, _ * 100L).union(df(61 to 70)), hTable,
+      maxBroadcastKeys = 0L): Unit
+    val hSnap = HudiTableReader.snapshot(spark, hTable)
+    assert(hSnap.count() == 70L)
+    assert(hSnap.where(col("id") === 15L).head().getAs[Long]("v") == 1500L)
+    assert(hSnap.where(col("id") === 5L).head().getAs[Long]("v") == 10L)
+  }
+
   test("iceberg: repeated upserts stack; each batch's rows survive its own delete") {
     val table = tmpDir("iup-stack") + "/t"
     IcebergTableWriter.create(df(1 to 10), table): Unit
