@@ -104,6 +104,54 @@ object GraftHash {
     out
   }
 
+  /** murmur3_x86_32 (public domain, Austin Appleby) over `bytes`
+    * with seed 0 — the exact hash Iceberg's bucket partition
+    * transform requires (iceberg.apache.org spec, Appendix B):
+    * 4-byte little-endian blocks, standard tail, standard final mix.
+    * Verified against the spec's published vectors in
+    * IcebergTransformsSpec.
+    */
+  def murmur3x86(bytes: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0
+    val n4 = bytes.length & ~3
+    var i = 0
+    while (i < n4) {
+      var k = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    val tail = bytes.length & 3
+    if (tail >= 3) k ^= (bytes(n4 + 2) & 0xff) << 16
+    if (tail >= 2) k ^= (bytes(n4 + 1) & 0xff) << 8
+    if (tail >= 1) {
+      k ^= bytes(n4) & 0xff
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k
+    }
+    h ^= bytes.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+
+  /** Iceberg bucket hash of an int/long/date/timestamp value: the
+    * spec widens ints and dates to longs and hashes the 8-byte
+    * LITTLE-ENDIAN form (so int 34 and long 34 bucket identically).
+    */
+  def icebergHashLong(v: Long): Int = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    murmur3x86(b)
+  }
+
+  /** Iceberg bucket hash of string (UTF-8) / binary payloads. */
+  def icebergHashBytes(bytes: Array[Byte]): Int = murmur3x86(bytes)
+
   /** Content-defined chunking (CDC) of a binary payload — the
     * storage-dedup primitive (restic/borg/LBFS family): a chunk
     * boundary falls after byte i wherever the FNV-1a64 of the last
@@ -248,6 +296,49 @@ case class CdcChunks(child: Expression, w: Int, div: Int) extends UnaryExpressio
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** iceberg_hash32(value) -> int — the Iceberg bucket-transform hash
+  * (murmur3_x86_32 of the spec's single-value serialization): ints
+  * and dates widen to 8-byte LE longs, timestamps hash their
+  * microseconds, strings their UTF-8 bytes, binary verbatim. The
+  * bucket itself is `(hash & Int.MaxValue) % N` composed outside.
+  */
+case class IcebergHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case IntegerType | LongType | DateType | TimestampType | TimestampNTZType |
+          StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"iceberg_hash32 supports int/long/date/timestamp/string/binary, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case IntegerType | DateType => GraftHash.icebergHashLong(v.asInstanceOf[Int].toLong)
+    case LongType | TimestampType | TimestampNTZType =>
+      GraftHash.icebergHashLong(v.asInstanceOf[Long])
+    case StringType => GraftHash.icebergHashBytes(v.asInstanceOf[UTF8String].getBytes)
+    case BinaryType => GraftHash.icebergHashBytes(v.asInstanceOf[Array[Byte]])
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case IntegerType | DateType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.icebergHashLong((long) $c)")
+      case LongType | TimestampType | TimestampNTZType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.icebergHashLong($c)")
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.icebergHashBytes($c.getBytes())")
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.icebergHashBytes($c)")
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** hashed_shingles(array<string>, n) -> sorted distinct array<long> */
 case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -268,4 +359,11 @@ object HashFunctions {
   def cdcChunks(payload: Column, w: Int, div: Int): Column =
     toColumn(CdcChunks(toExpr(payload), w, div))
   def hashedShingles(words: Column, n: Int): Column = toColumn(HashedShingles(toExpr(words), n))
+  def icebergHash32(c: Column): Column = toColumn(IcebergHash32(toExpr(c)))
+
+  /** Iceberg bucket partition value: `(hash & Int.MaxValue) % n`. */
+  def icebergBucket(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    (icebergHash32(c).bitwiseAND(lit(Integer.MAX_VALUE)) % lit(n)).cast(IntegerType)
+  }
 }

@@ -1339,6 +1339,62 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'pruned'
         |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority""".stripMargin))
 
+  /** #109e Iceberg PARTITION-TRANSFORM writer + inverse prune
+    * ([[graft.sources.IcebergTransforms]]): a `days(o_orderdate)`-
+    * partitioned table — the shape most PRODUCTION Iceberg tables
+    * take — created and appended with the spec's `day` transform in
+    * `partition-specs` and transformed values on every manifest
+    * entry, then range-pruned through the transform's INVERSE
+    * (`transformPruner`: day range from the timestamp bounds).
+    * The file-set cut is require-proven in-run before any data I/O;
+    * the pruned leg carries the residual filter (the cut is
+    * file-level), and the oracle recomputes both legs. Bucket and
+    * truncate transforms (spec-vector-locked murmur3 hash included)
+    * are spec-gated in IcebergTransformsSpec.
+    */
+  val qIcebergTransformWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("ice-transform-write") + "/t"
+      // two quarters of orders: enough distinct days for a real
+      // per-day layout, bounded file count at any SF
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      IcebergTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        partitionBy = Seq("days(o_orderdate)")): Unit
+      IcebergTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val lo = java.sql.Timestamp.valueOf("1995-02-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1995-03-31 23:59:59")
+      val pruner = IcebergTableReader.transformPruner(s, table, "o_orderdate", lo, hi)
+      val allFiles = IcebergTableReader.planFiles(s, table).data.size
+      val prunedFiles = IcebergTableReader.planFilesPruned(s, table, pruner).data.size
+      require(prunedFiles > 0 && prunedFiles < allFiles,
+        s"day-transform pruning must cut the file set ($prunedFiles of $allFiles)")
+      val full = IcebergTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("all"))
+      val pruned = IcebergTableReader.snapshotPruned(s, table, pruner)
+        .where(col("o_orderdate").between(lit(lo), lit(hi)))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("pruned"))
+      full.unionByName(pruned)
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  'all' AS slice
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'pruned'
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1995-02-01'
+        |  AND TIMESTAMP '1995-03-31 23:59:59'
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #109c Iceberg POSITION-DELETE writer
     * ([[graft.sources.IcebergTableWriter.delete]] — the third leg of
     * the row-level-delete writer triad beside Delta DV deletes and

@@ -493,6 +493,34 @@ object IcebergTableReader {
       pruner: Map[String, String] => Boolean): DataFrame =
     readPlan(spark, tablePath, planFilesPruned(spark, tablePath, pruner))
 
+  /** The partition-spec fields the current metadata declares —
+    * transforms included ([[IcebergTransforms]]); what the
+    * TRANSFORM-AWARE pruning below resolves against.
+    */
+  def partitionSpecFields(spark: SparkSession,
+      tablePath: String): Seq[IcebergTransforms.PartitionField] =
+    IcebergTableWriter.declaredPartitionFields(spark, tablePath)
+
+  /** Pruner for `column BETWEEN lo AND hi` THROUGH the table's
+    * declared partition transforms — the inverse half of transform
+    * partitioning: a `days(ts)`-partitioned table cuts to the day
+    * range, `bucket(N, id)` cuts on equality (lo == hi), fields on
+    * other columns keep everything. Conservative by construction
+    * (unprunable shapes keep the file).
+    */
+  def transformPruner(spark: SparkSession, tablePath: String, column: String,
+      lo: Any, hi: Any): Map[String, String] => Boolean =
+    IcebergTransforms.prunerFor(partitionSpecFields(spark, tablePath), column, lo, hi)
+
+  /** Snapshot read pruned by a SOURCE-column range through the
+    * declared transforms — rows still need the residual filter (the
+    * cut is file-level, e.g. a whole day for a timestamp range);
+    * metadata-only before any data I/O, Iceberg's own planning move.
+    */
+  def snapshotPrunedRange(spark: SparkSession, tablePath: String, column: String,
+      lo: Any, hi: Any): DataFrame =
+    snapshotPruned(spark, tablePath, transformPruner(spark, tablePath, column, lo, hi))
+
   /** TIMESTAMP AS OF: the latest snapshot whose `timestamp-ms` is at
     * or before `timestampMs` — pure snapshot-log metadata, Iceberg's
     * own resolution rule. A timestamp before the first snapshot

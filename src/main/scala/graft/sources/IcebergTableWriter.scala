@@ -6,6 +6,8 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
+import IcebergTransforms.PartitionField
+
 /** APPEND-ONLY writer for Apache Iceberg v2 tables readable by
   * external engines — the third leg of the writer-side interop
   * surface beside [[DeltaTableWriter]] and [[HudiTableWriter]],
@@ -58,14 +60,19 @@ object IcebergTableWriter {
     * with a `partition` record of the table's identity fields, and
     * equality-delete manifests with the spec's `equality_ids` list.
     */
-  private def entrySchemaFor(partitionBy: Seq[String],
+  private def entrySchemaFor(pfields: Seq[PartitionField],
       withEqualityIds: Boolean = false,
       withBounds: Boolean = false): Schema = {
     val partField =
-      if (partitionBy.isEmpty) ""
+      if (pfields.isEmpty) ""
       else {
-        val fields = partitionBy.map(c =>
-          s"""{"name":"$c","type":["null","string"],"default":null}""").mkString(",")
+        // int-resulting transforms (bucket, year/month/day/hour) type
+        // their partition values as the spec's int; identity/truncate
+        // keep the writer's string convention
+        val fields = pfields.map { f =>
+          val t = if (IcebergTransforms.intResult(f.transform)) "int" else "string"
+          s"""{"name":"${f.resultName}","type":["null","$t"],"default":null}"""
+        }.mkString(",")
         s""",{"name":"partition","type":["null",{"type":"record","name":"r102",""" +
           s""""fields":[$fields]}],"default":null}"""
       }
@@ -181,7 +188,7 @@ object IcebergTableWriter {
     * manifest while the originals ride the data.
     */
   private def writeDataFiles(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String]): Seq[Landed] = {
+      pfields: Seq[PartitionField]): Seq[Landed] = {
     val spark = df.sparkSession
     // field ids = position + 1 over the written columns — the same
     // convention schemasJson declares, so bounds resolve at read time
@@ -190,11 +197,15 @@ object IcebergTableWriter {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
-    val staged = partitionBy.foldLeft(df)((acc, c) =>
-      acc.withColumn(s"_p_$c", org.apache.spark.sql.functions.col(c)))
+    // each partition value is DERIVED through its transform (identity
+    // passes the column through); source columns stay IN the data
+    // files, the duplicated _p_ columns only steer the hive staging
+    val staged = pfields.foldLeft(df)((acc, f) =>
+      acc.withColumn(s"_p_${f.resultName}",
+        IcebergTransforms.column(f, df.schema(f.sourceCol).dataType)))
     val writer =
-      if (partitionBy.isEmpty) staged.write
-      else staged.write.partitionBy(partitionBy.map(c => s"_p_$c"): _*)
+      if (pfields.isEmpty) staged.write
+      else staged.write.partitionBy(pfields.map(f => s"_p_${f.resultName}"): _*)
     writer.parquet(stage.toString)
     val landed = Seq.newBuilder[Landed]
     def walk(dir: Path, values: Map[String, Option[String]]): Unit =
@@ -232,11 +243,11 @@ object IcebergTableWriter {
 
   private def manifestOf(conf: org.apache.hadoop.conf.Configuration, tablePath: String,
       snapshotId: Long, sequence: Long, files: Seq[Landed],
-      partitionBy: Seq[String], content: Int = 0,
+      pfields: Seq[PartitionField], content: Int = 0,
       equalityIds: Seq[Int] = Nil): String = {
     val rel = s"metadata/m-$snapshotId-${java.util.UUID.randomUUID()}.avro"
     val withBounds = files.exists(f => f.lowerBounds.nonEmpty || f.upperBounds.nonEmpty)
-    val entrySchema = entrySchemaFor(partitionBy,
+    val entrySchema = entrySchemaFor(pfields,
       withEqualityIds = equalityIds.nonEmpty, withBounds = withBounds)
     val dfSchema = entrySchema.getField("data_file").schema()
     def kvRecords(fieldName: String, m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
@@ -262,10 +273,17 @@ object IcebergTableWriter {
         import scala.jdk.CollectionConverters._
         dfr.put("equality_ids", equalityIds.map(Integer.valueOf).asJava)
       }
-      if (partitionBy.nonEmpty) {
+      if (pfields.nonEmpty) {
         val pType = dfSchema.getField("partition").schema().getTypes.get(1)
         val p = new GenericData.Record(pType)
-        partitionBy.foreach(c => p.put(c, f.partition.getOrElse(c, None).orNull))
+        pfields.foreach { pf =>
+          val raw = f.partition.getOrElse(pf.resultName, None)
+          val v: AnyRef =
+            if (IcebergTransforms.intResult(pf.transform))
+              raw.map(x => Integer.valueOf(x.trim.toInt)).orNull
+            else raw.orNull
+          p.put(pf.resultName, v)
+        }
         dfr.put("partition", p)
       }
       val r = new GenericData.Record(entrySchema)
@@ -322,18 +340,24 @@ object IcebergTableWriter {
   }
 
   private def specJson(schema: org.apache.spark.sql.types.StructType,
-      partitionBy: Seq[String]): String = {
-    val fields = partitionBy.zipWithIndex.map { case (c, i) =>
-      val sourceId = schema.fieldNames.indexOf(c) + 1
-      s"""{"name":"$c","transform":"identity","source-id":$sourceId,""" +
+      pfields: Seq[PartitionField]): String = {
+    val fields = pfields.zipWithIndex.map { case (f, i) =>
+      val sourceId = schema.fieldNames.indexOf(f.sourceCol) + 1
+      s"""{"name":"${f.resultName}","transform":""" +
+        s""""${IcebergTransforms.specString(f.transform)}","source-id":$sourceId,""" +
         s""""field-id":${1000 + i}}"""
     }.mkString(",")
     s""""partition-specs":[{"spec-id":0,"fields":[$fields]}],"default-spec-id":0"""
   }
 
-  /** The identity-partition columns the CURRENT metadata declares. */
-  private[sources] def declaredPartitionBy(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String): Seq[String] = {
+  /** The partition-spec fields the CURRENT metadata declares —
+    * transforms parsed from the spec's own strings (`identity`,
+    * `bucket[N]`, `truncate[W]`, `year`/`month`/`day`/`hour`; an
+    * unknown transform like `void` refuses loudly), source columns
+    * resolved by source-id against the current schema.
+    */
+  private[sources] def declaredPartitionFields(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Seq[PartitionField] = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(tablePath, "metadata")
     if (!fs.exists(metaDir)) return Nil
@@ -349,27 +373,35 @@ object IcebergTableWriter {
     val specs = node.get("partition-specs")
     if (specs == null || !specs.isArray || specs.isEmpty) Nil
     else {
-      val b = Seq.newBuilder[String]
+      lazy val idToName = IcebergTableReader.schemaFieldNames(spark, tablePath)
+      val b = Seq.newBuilder[PartitionField]
       val fields = specs.get(0).get("fields")
       if (fields != null && fields.isArray) fields.forEach { f =>
-        val transform = Option(f.get("transform")).map(_.asText()).getOrElse("identity")
-        if (transform != "identity") throw new IllegalStateException(
-          s"$tablePath: partition transform '$transform' — this writer appends only to " +
-            "identity-partitioned tables; refusing")
-        b += f.get("name").asText()
+        val transform = IcebergTransforms.parseSpecString(
+          Option(f.get("transform")).map(_.asText()).getOrElse("identity"))
+        val name = f.get("name").asText()
+        val source = Option(f.get("source-id")).map(_.asInt())
+          .flatMap(idToName.get)
+          .getOrElse(name) // legacy specs without source-id: identity naming
+        b += PartitionField(name, source, transform)
       }
       b.result()
     }
   }
 
+  /** The declared partition RESULT names (compat view). */
+  private[sources] def declaredPartitionBy(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Seq[String] =
+    declaredPartitionFields(spark, tablePath).map(_.resultName)
+
   /** One commit: new manifest + manifest list (previous manifests
     * reused) + vN metadata under the exclusive-create CAS. Returns
     * the new snapshot id.
     */
-  private def commit(df: DataFrame, tablePath: String, partitionBy: Seq[String],
+  private def commit(df: DataFrame, tablePath: String, pfields: Seq[PartitionField],
       extraSummary: Map[String, String] = Map.empty): Long = {
-    val files = writeDataFiles(df, tablePath, partitionBy)
-    commitSnapshot(df.sparkSession, tablePath, df.schema, partitionBy, files,
+    val files = writeDataFiles(df, tablePath, pfields)
+    commitSnapshot(df.sparkSession, tablePath, df.schema, pfields, files,
       content = 0, operation = "append", extraSummary = extraSummary)
   }
 
@@ -380,11 +412,11 @@ object IcebergTableWriter {
     * readers silently cross a delete snapshot.
     */
   private def commitSnapshot(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      schema: org.apache.spark.sql.types.StructType, partitionBy: Seq[String],
+      schema: org.apache.spark.sql.types.StructType, pfields: Seq[PartitionField],
       files: Seq[Landed], content: Int, operation: String,
       reuseManifests: Boolean = true,
       extraSummary: Map[String, String] = Map.empty): Long =
-    commitSnapshotGroups(spark, tablePath, schema, partitionBy,
+    commitSnapshotGroups(spark, tablePath, schema, pfields,
       Seq(ManifestGroup(files, content)), operation, reuseManifests, extraSummary)
 
   /** One new manifest's worth of files: `entryContent` is the spec's
@@ -401,7 +433,7 @@ object IcebergTableWriter {
     */
   private def commitSnapshotGroups(spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
-      schema: org.apache.spark.sql.types.StructType, partitionBy: Seq[String],
+      schema: org.apache.spark.sql.types.StructType, pfields: Seq[PartitionField],
       groups: Seq[ManifestGroup], operation: String,
       reuseManifests: Boolean = true,
       extraSummary: Map[String, String] = Map.empty): Long = {
@@ -430,7 +462,7 @@ object IcebergTableWriter {
         }
       val newId = parentId.getOrElse(0L) + 1L
       val newManifests = groups.map { g =>
-        val rel = manifestOf(conf, tablePath, newId, seq, g.files, partitionBy,
+        val rel = manifestOf(conf, tablePath, newId, seq, g.files, pfields,
           g.entryContent, g.equalityIds)
         // manifest-LIST content: 0 = data manifest, 1 = deletes
         // manifest (position AND equality entries both live under 1)
@@ -463,7 +495,7 @@ object IcebergTableWriter {
         }.mkString(",")
       val metaJson =
         s"""{"format-version":2,"table-uuid":"graft","location":"$tablePath",""" +
-          s"""${schemasJson(schema)},${specJson(schema, partitionBy)},""" +
+          s"""${schemasJson(schema)},${specJson(schema, pfields)},""" +
           s""""last-sequence-number":$seq,"refs":{$refsJson},""" +
           s""""current-snapshot-id":$newId,"snapshots":[$snapsJson]}"""
       val vNew = prevVersion + 1
@@ -496,9 +528,13 @@ object IcebergTableWriter {
     if (fs.exists(metaDir) &&
         fs.listStatus(metaDir).exists(_.getPath.getName.endsWith(".metadata.json")))
       throw new IllegalArgumentException(s"$tablePath is already an Iceberg table — use append")
-    partitionBy.foreach(c => require(df.columns.contains(c),
-      s"partition column $c is not in the DataFrame"))
-    commit(df, tablePath, partitionBy, extraSummary = txnSummary(transaction))
+    // each entry is a transform spec: a bare column = identity;
+    // bucket(N, c) / truncate(W, c) / years|months|days|hours(c) are
+    // the spec's partition transforms
+    val pfields = partitionBy.map(IcebergTransforms.parse)
+    pfields.foreach(f => require(df.columns.contains(f.sourceCol),
+      s"partition source column ${f.sourceCol} is not in the DataFrame"))
+    commit(df, tablePath, pfields, extraSummary = txnSummary(transaction))
   }
 
   /** Append `df` as a new snapshot on the parent chain; columns must
@@ -511,9 +547,9 @@ object IcebergTableWriter {
     require(df.columns.toSet == existing.columns.toSet,
       s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table columns " +
         s"${existing.columns.sorted.mkString(",")} — appends must match the existing schema")
-    val partitionBy = declaredPartitionBy(df.sparkSession, tablePath)
+    val pfields = declaredPartitionFields(df.sparkSession, tablePath)
     commit(df.select(existing.columns.map(org.apache.spark.sql.functions.col): _*),
-      tablePath, partitionBy, extraSummary = txnSummary(transaction))
+      tablePath, pfields, extraSummary = txnSummary(transaction))
   }
 
   /** Snapshot-summary keys carrying a streaming sink's (appId,
@@ -558,9 +594,9 @@ object IcebergTableWriter {
       targetFiles: Int): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val snap = IcebergTableReader.snapshot(spark, tablePath) // deletes applied
-    val partitionBy = declaredPartitionBy(spark, tablePath)
-    val files = writeDataFiles(snap.repartition(targetFiles), tablePath, partitionBy)
-    commitSnapshot(spark, tablePath, snap.schema, partitionBy, files,
+    val pfields = declaredPartitionFields(spark, tablePath)
+    val files = writeDataFiles(snap.repartition(targetFiles), tablePath, pfields)
+    commitSnapshot(spark, tablePath, snap.schema, pfields, files,
       content = 0, operation = "replace", reuseManifests = false)
   }
 
@@ -750,7 +786,7 @@ object IcebergTableWriter {
     val (rel, n) = landSmallParquet(spark, tablePath, deletes, "position-delete",
       emptyMsg = Some("predicate matched no live rows — nothing to delete"))
     val schema = IcebergTableReader.snapshot(spark, tablePath).schema
-    commitSnapshot(spark, tablePath, schema, declaredPartitionBy(spark, tablePath),
+    commitSnapshot(spark, tablePath, schema, declaredPartitionFields(spark, tablePath),
       Seq(Landed(rel, n, Map.empty)), content = 1, operation = "delete")
   }
 
@@ -855,11 +891,11 @@ object IcebergTableWriter {
           "replacement row per key would be ambiguous; pre-combine the batch first")
       val (delRel, delCount) = landSmallParquet(spark, tablePath,
         aligned.select(keys.map(col): _*), "equality-delete")
-      val partitionBy = declaredPartitionBy(spark, tablePath)
-      val files = writeDataFiles(aligned, tablePath, partitionBy)
+      val pfields = declaredPartitionFields(spark, tablePath)
+      val files = writeDataFiles(aligned, tablePath, pfields)
       val schema = org.apache.spark.sql.types.StructType(
         aligned.schema.fields)
-      commitSnapshotGroups(spark, tablePath, schema, partitionBy,
+      commitSnapshotGroups(spark, tablePath, schema, pfields,
         Seq(ManifestGroup(files, entryContent = 0),
           ManifestGroup(Seq(Landed(delRel, delCount, Map.empty)),
             entryContent = 2, equalityIds = eqIds)),
