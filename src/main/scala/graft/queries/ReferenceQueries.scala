@@ -1547,6 +1547,58 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'incremental'
         |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority""".stripMargin))
 
+  /** #103j Hudi ARCHIVED-TIMELINE read
+    * ([[graft.sources.HudiTableWriter.archiveTimeline]] +
+    * [[graft.sources.HudiTableReader.archivedEntries]]): the archival
+    * service rotates all but the newest instants into
+    * `.hoodie/archived` (Hudi-log-container archive files — the same
+    * PUBLIC codec as MOR logs), after which the CREATE commit's file
+    * groups are reachable ONLY through the archive; the reader
+    * replays archived instants under the active timeline, so the
+    * snapshot, the incremental pull from an ARCHIVED checkpoint and
+    * point-in-time reads all stay exact. In-run require: the active
+    * listing really rotated (the archived instants' meta files are
+    * gone). The oracle recomputes both slices.
+    */
+  val qHudiArchived: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-archived") + "/t"
+      val o = t(s, dir, "orders")
+      val c1 = HudiTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        tableName = "orders_arch", recordKeys = Seq("o_orderkey"))
+      HudiTableWriter.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table,
+        recordKeys = Seq("o_orderkey"))
+      val archived = HudiTableWriter.archiveTimeline(s, table, keepLast = 1)
+      require(archived == 1, s"the create instant must archive, got $archived")
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(table, s".hoodie/$c1.commit")),
+        "the archived instant's active meta file must be gone")
+      require(fs.exists(new org.apache.hadoop.fs.Path(table, ".hoodie/archived")),
+        "the archive directory must exist")
+      val full = HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("snapshot"))
+      val pulled = HudiTableReader.incrementalSince(s, table, c1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("incremental"))
+      full.unionByName(pulled)
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  'snapshot' AS slice
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'incremental'
+        |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority""".stripMargin))
+
   /** #107c PARTITIONED Hudi COW writer
     * ([[graft.sources.HudiTableWriter.create]] with
     * `hoodie.table.partition.fields` — the reference's own job writes

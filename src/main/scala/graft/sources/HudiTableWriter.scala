@@ -877,6 +877,73 @@ object HudiTableWriter {
     deleted
   }
 
+  /** TIMELINE ARCHIVAL (Hudi's own archival service move): rotate all
+    * completed instants except the newest `keepLast` out of the
+    * active `.hoodie` listing into `.hoodie/archived/` — what keeps
+    * the active listing O(recent commits) on long-running tables
+    * (the reference's own tables would cross the archival horizon in
+    * weeks, template.py:304). The archive file is the PUBLIC Hudi
+    * log-file container ([[HudiLog]] — same codec as MOR logs, how
+    * Hudi's own service writes archives) holding one Avro data block
+    * of (commitTime, actionType, metadata) entries;
+    * [[HudiTableReader.archivedEntries]] replays them UNDER the
+    * active timeline, so every read keeps seeing file groups written
+    * only by archived instants. Crash-safe ordering: the archive
+    * lands BEFORE active meta files are removed (a crash in between
+    * leaves an instant in both places; the reader serves the active
+    * copy and dedupes). Returns the number of instants archived.
+    */
+  def archiveTimeline(spark: SparkSession, tablePath: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "keepLast must be >= 1 — the timeline head stays active")
+    val dir = hoodieDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.contains(".requested") || n.contains(".inflight"))
+    val completed = names.collect {
+      case n if n.endsWith(".replacecommit") => (n.stripSuffix(".replacecommit"), "replacecommit")
+      case n if n.endsWith(".deltacommit") => (n.stripSuffix(".deltacommit"), "deltacommit")
+      case n if n.endsWith(".commit") => (n.stripSuffix(".commit"), "commit")
+    }.sortBy(_._1).toIndexedSeq
+    val toArchive = completed.dropRight(keepLast)
+    if (toArchive.isEmpty) return 0
+    val schemaJson =
+      """{"type":"record","name":"archived_instant","fields":[""" +
+        """{"name":"commitTime","type":"string"},""" +
+        """{"name":"actionType","type":"string"},""" +
+        """{"name":"metadata","type":"string"}]}"""
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val writer = new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](schema)
+    val records = toArchive.map { case (instant, kind) =>
+      val p = new Path(dir, s"$instant.$kind")
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("commitTime", instant); r.put("actionType", kind); r.put("metadata", text)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+      writer.write(r, enc); enc.flush()
+      bos.toByteArray
+    }
+    val archDir = new Path(dir, "archived")
+    fs.mkdirs(archDir)
+    val seqNo = fs.listStatus(archDir)
+      .count(_.getPath.getName.startsWith(".commits_.archive.")) + 1
+    HudiLog.write(spark.sparkContext.hadoopConfiguration,
+      new Path(archDir, s".commits_.archive.$seqNo").toString,
+      Seq(HudiLog.DataBlock(toArchive.last._1, schemaJson, records)))
+    // only after the archive is durable do the active copies go
+    toArchive.foreach { case (instant, kind) =>
+      fs.delete(new Path(dir, s"$instant.$kind"), false): Unit
+      Seq(s"$instant.$kind.requested", s"$instant.$kind.inflight",
+        s"$instant.requested", s"$instant.inflight").foreach { leftover =>
+        val p = new Path(dir, leftover)
+        if (fs.exists(p)) { fs.delete(p, false): Unit }
+      }
+    }
+    toArchive.size
+  }
+
   /** COMPACTION: fold every file group's pending logs into a new base
     * file under an ordinary `.commit` — after it, the read-optimized
     * view equals the real-time view again. One distributed merge job
