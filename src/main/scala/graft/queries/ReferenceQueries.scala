@@ -1339,6 +1339,40 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'pruned'
         |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority""".stripMargin))
 
+  /** #106f Delta ADDITIVE SCHEMA EVOLUTION on append
+    * ([[graft.sources.DeltaTableWriter]] evolveSchemaIfNeeded): the
+    * table is created WITHOUT o_orderpriority; the second append
+    * carries it, committing an updated metaData whose schemaString
+    * appends the column as nullable — per PROTOCOL.md's evolution
+    * rules — and the reader scans with the DECLARED schema, so
+    * pre-evolution rows null-fill deterministically (footer inference
+    * would depend on which file Spark samples). The rollup keys on
+    * the evolved column with nulls made visible; the oracle recreates
+    * the null pattern from the key parity. Type changes and dropped
+    * columns keep refusing (SchemaEvolutionSpec).
+    */
+  val qDeltaSchemaEvolve: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-evolve") + "/t"
+      val o = t(s, dir, "orders")
+      DeltaTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0).drop("o_orderpriority"), table): Unit
+      DeltaTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val state = DeltaTableReader.snapshotState(s, table)
+      require(state.schemaJson.exists(_.contains("o_orderpriority")),
+        "the evolved metaData must declare the new column")
+      DeltaTableReader.snapshot(s, table)
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)")).as("priority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT coalesce(CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END,
+        |                '(pre-evolution)') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin))
+
   /** #109e Iceberg PARTITION-TRANSFORM writer + inverse prune
     * ([[graft.sources.IcebergTransforms]]): a `days(o_orderdate)`-
     * partitioned table — the shape most PRODUCTION Iceberg tables

@@ -755,7 +755,8 @@ object DeltaTableReader {
       schemaJson: Option[String],
       keepPositions: Option[DataFrame] = None,
       keepKeys: Boolean = false,
-      configuration: Map[String, String] = Map.empty): DataFrame = {
+      configuration: Map[String, String] = Map.empty,
+      changeData: Boolean = false): DataFrame = {
     if (files.isEmpty)
       throw new IllegalArgumentException(s"$tablePath: snapshot has no active data files")
     val absOf: FileAction => String = f => abs(tablePath, f.path)
@@ -770,7 +771,31 @@ object DeltaTableReader {
           spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         spark.read.schema(fieldIdSchemaOf(schemaJson, partitionColumns, tablePath))
           .parquet(files.map(absOf): _*)
-      case _ => spark.read.parquet(files.map(absOf): _*)
+      case Some("name") => spark.read.parquet(files.map(absOf): _*)
+      case _ =>
+        // scan with the DECLARED schema (minus partition columns —
+        // they live in the log, not the files): after an additive
+        // schema evolution, files written earlier lack the new column
+        // and must null-fill; footer inference would make the scanned
+        // schema depend on which file Spark samples
+        schemaJson
+          .flatMap(js => scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+          .collect { case st: org.apache.spark.sql.types.StructType =>
+            // change-data files carry the table schema PLUS the
+            // protocol's _change_type column
+            val extra =
+              if (changeData) Seq(org.apache.spark.sql.types.StructField(
+                "_change_type", org.apache.spark.sql.types.StringType, nullable = true))
+              else Nil
+            org.apache.spark.sql.types.StructType(
+              st.fields.filterNot(f => partitionColumns.contains(f.name))
+                .map(_.copy(nullable = true)) ++ extra)
+          } match {
+          case Some(st) if st.nonEmpty =>
+            spark.read.schema(st).parquet(files.map(absOf): _*)
+          case _ => spark.read.parquet(files.map(absOf): _*)
+        }
     }
     // columnMapping name mode: the scan returns PHYSICAL column names;
     // everything downstream keys on logical names, so translate the
@@ -1072,7 +1097,7 @@ object DeltaTableReader {
         // would double-count every changed row)
         val cdcDf = readFiles(spark, tablePath, cdc,
           endState.partitionColumns, endState.schemaJson,
-          configuration = endState.configuration)
+          configuration = endState.configuration, changeData = true)
         require(cdcDf.columns.contains("_change_type"),
           s"$tablePath: commit $v's cdc files carry no _change_type column — corrupt " +
             "change data; refusing")

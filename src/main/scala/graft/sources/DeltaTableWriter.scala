@@ -907,18 +907,11 @@ object DeltaTableWriter {
     require(keys.nonEmpty, s"$tablePath: upsert needs at least one key column")
     val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
     refuseWriterUnsupported(state, tablePath)
-    val tableCols = state.schemaJson
-      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
-      .collect { case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq }
-      .getOrElse(throw new IllegalStateException(
-        s"$tablePath: table metadata carries no parseable schemaString"))
-    require(df.columns.toSet == tableCols.toSet,
-      s"$tablePath: upsert columns ${df.columns.sorted.mkString(",")} != table schema " +
-        s"${tableCols.sorted.mkString(",")} — the batch must match the declared schema")
-    keys.foreach(k => require(tableCols.contains(k),
+    val (cols, metaLines) = evolveSchemaIfNeeded(state, tablePath, df)
+    keys.foreach(k => require(cols.contains(k),
       s"$tablePath: upsert key $k is not a table column"))
     import org.apache.spark.sql.functions.{broadcast, col}
-    val aligned = df.select(tableCols.map(col): _*)
+    val aligned = df.select(cols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val batchKeys = aligned.select(keys.map(col): _*)
@@ -964,14 +957,16 @@ object DeltaTableWriter {
             .withColumn("_change_type", litCt("update_postimage"))
           val ins = aligned.join(tableKeys, keys, "left_anti")
             .withColumn("_change_type", litCt("insert"))
-          writeCdcFiles(pre.unionByName(post).unionByName(ins), tablePath,
-            state.partitionColumns)
+          writeCdcFiles(
+            pre.unionByName(post, allowMissingColumns = true)
+              .unionByName(ins, allowMissingColumns = true),
+            tablePath, state.partitionColumns)
         }
       matchedDf.unpersist(): Unit
       distinctKeys.unpersist(): Unit
       val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
       val v = commit(spark, tablePath, state.version + 1,
-        cdcLines ++ dvLines ++ files.map { case (rel, size, mtime, st) =>
+        metaLines ++ cdcLines ++ dvLines ++ files.map { case (rel, size, mtime, st) =>
           addLine(rel, size, mtime, state.partitionColumns, st) },
         ictNeeded = ictNeededOf(state), rebaseSafe = false)
       maybeCheckpoint(spark, tablePath, v, checkpointInterval)
@@ -1067,22 +1062,62 @@ object DeltaTableWriter {
     val spark = df.sparkSession
     val state = DeltaTableReader.snapshotState(spark, tablePath)
     refuseWriterUnsupported(state, tablePath)
-    val tableCols = state.schemaJson
-      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
-      .collect { case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq }
-      .getOrElse(throw new IllegalStateException(
-        s"$tablePath: table metadata carries no parseable schemaString"))
-    require(df.columns.toSet == tableCols.toSet,
-      s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table schema " +
-        s"${tableCols.sorted.mkString(",")} — appends must match the declared schema")
-    val aligned = df.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
+    val (cols, metaLines) = evolveSchemaIfNeeded(state, tablePath, df)
+    val aligned = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
     val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
     val v = commit(spark, tablePath, state.version + 1,
-      transaction.map(txnLine).toSeq ++
+      metaLines ++ transaction.map(txnLine).toSeq ++
         files.map { case (rel, size, mtime, st) =>
           addLine(rel, size, mtime, state.partitionColumns, st) },
       ictNeeded = ictNeededOf(state))
     maybeCheckpoint(spark, tablePath, v, checkpointInterval)
     v
+  }
+
+  /** Additive schema evolution per PROTOCOL.md (Schema Evolution):
+    * a batch carrying every declared column plus NEW ones commits an
+    * updated `metaData` whose schemaString appends the new columns as
+    * NULLABLE fields — files written before the evolution simply lack
+    * them and readers null-fill (the reader scans with the declared
+    * schema). Missing columns and TYPE CHANGES on existing columns
+    * refuse loudly (those are rewrite-grade migrations, not metadata
+    * commits). Returns (column order for the write, metaData action
+    * lines — empty when nothing evolves).
+    */
+  private def evolveSchemaIfNeeded(state: DeltaTableReader.Snapshot,
+      tablePath: String, df: DataFrame): (Seq[String], Seq[String]) = {
+    val declared = state.schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case st: org.apache.spark.sql.types.StructType => st }
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: table metadata carries no parseable schemaString"))
+    val tableCols = declared.fieldNames.toSeq
+    val missing = tableCols.toSet -- df.columns.toSet
+    require(missing.isEmpty,
+      s"$tablePath: batch columns ${df.columns.sorted.mkString(",")} lack declared " +
+        s"column(s) ${missing.toSeq.sorted.mkString(",")} — writes must carry the full " +
+        "declared schema (additive evolution only adds columns)")
+    tableCols.foreach { c =>
+      require(df.schema(c).dataType == declared(c).dataType,
+        s"$tablePath: schema evolution cannot change column $c from " +
+          s"${declared(c).dataType.simpleString} to ${df.schema(c).dataType.simpleString} " +
+          "— only NEW nullable columns may be added")
+    }
+    val extras = df.columns.filterNot(tableCols.contains).toSeq
+    if (extras.isEmpty) return (tableCols, Nil)
+    val widened = org.apache.spark.sql.types.StructType(
+      declared.fields ++ extras.map(c =>
+        org.apache.spark.sql.types.StructField(c, df.schema(c).dataType, nullable = true)))
+    val confJson = state.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")
+    val metaLine =
+      s"""{"metaData":{"id":${jsonStr(state.metaDataId.getOrElse(
+        java.util.UUID.randomUUID().toString))},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonStr(widened.json)},""" +
+        s""""partitionColumns":[${state.partitionColumns.map(jsonStr).mkString(",")}],""" +
+        s""""configuration":{$confJson},""" +
+        s""""createdTime":${state.createdTime.getOrElse(System.currentTimeMillis())}}}"""
+    (tableCols ++ extras, Seq(metaLine))
   }
 }

@@ -581,10 +581,67 @@ object IcebergTableReader {
     readPlan(spark, tablePath, planFilesOf(spark, tablePath, snap))
   }
 
+  /** Spark type for an Iceberg primitive type name — the subset the
+    * declared-schema scan handles. None = fall back to footer
+    * inference (decimals excluded deliberately: the writer's metadata
+    * collapses precisions, and a mismatched explicit decimal breaks
+    * the scan where inference succeeds).
+    */
+  private def sparkTypeOf(t: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    t match {
+      case "long" => Some(LongType)
+      case "int" => Some(IntegerType)
+      case "double" => Some(DoubleType)
+      case "float" => Some(FloatType)
+      case "boolean" => Some(BooleanType)
+      case "string" => Some(StringType)
+      case "binary" => Some(BinaryType)
+      case "date" => Some(DateType)
+      case "timestamptz" => Some(TimestampType)
+      case "timestamp" => Some(TimestampNTZType)
+      case _ => None
+    }
+  }
+
+  /** The CURRENT schema as a Spark StructType (fields in schema
+    * order, all nullable), when every declared type maps — what lets
+    * the scan NULL-FILL columns added by schema evolution in files
+    * written before it (footer inference would make the scanned
+    * schema depend on which file Spark samples).
+    */
+  private def declaredSparkSchema(spark: SparkSession,
+      tablePath: String): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
+    val schemaNode = currentSchemaNode(meta)
+    if (schemaNode == null) return None
+    val fields = schemaNode.get("fields")
+    if (fields == null || !fields.isArray) return None
+    val b = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    var ok = true
+    fields.forEach { f =>
+      val tNode = f.get("type")
+      if (tNode == null || !tNode.isTextual) ok = false
+      else sparkTypeOf(tNode.asText()) match {
+        case Some(dt) =>
+          b += org.apache.spark.sql.types.StructField(f.get("name").asText(), dt,
+            nullable = true)
+        case None => ok = false
+      }
+    }
+    val st = b.result()
+    if (ok && st.nonEmpty) Some(org.apache.spark.sql.types.StructType(st)) else None
+  }
+
   private def readPlan(spark: SparkSession, tablePath: String, plan: PlanFiles): DataFrame = {
     if (plan.data.isEmpty) throw new IllegalArgumentException(
       s"$tablePath: current snapshot has no live data files")
-    val base = spark.read.parquet(plan.data.map(resolve(tablePath, _)): _*)
+    val base = declaredSparkSchema(spark, tablePath) match {
+      case Some(st) =>
+        spark.read.schema(st).parquet(plan.data.map(resolve(tablePath, _)): _*)
+      case None => spark.read.parquet(plan.data.map(resolve(tablePath, _)): _*)
+    }
     if (plan.positionDeletes.isEmpty && plan.equalityDeletes.isEmpty) return base
     // the scan's metadata columns attach ONCE, on the scan relation
     // itself (they do not resolve through later projections)

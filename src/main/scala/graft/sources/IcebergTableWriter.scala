@@ -190,10 +190,10 @@ object IcebergTableWriter {
   private def writeDataFiles(df: DataFrame, tablePath: String,
       pfields: Seq[PartitionField]): Seq[Landed] = {
     val spark = df.sparkSession
-    // field ids = position + 1 over the written columns — the same
-    // convention schemasJson declares, so bounds resolve at read time
-    val fieldIds: Map[String, Int] =
-      df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    // field ids must match what the metadata commit will declare —
+    // existing columns keep their current ids, new ones take fresh
+    // ids — so bounds resolve at read time even after evolution
+    val fieldIds: Map[String, Int] = plannedFieldIds(spark, tablePath, df.schema)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
@@ -339,10 +339,122 @@ object IcebergTableWriter {
       s""""current-schema-id":0"""
   }
 
-  private def specJson(schema: org.apache.spark.sql.types.StructType,
+  /** The existing metadata's schema machinery: every schema node
+    * verbatim (JSON text), the current schema's (id, name) fields in
+    * order with their raw field JSON, and the global max field/schema
+    * ids — what additive evolution appends against.
+    */
+  private final case class SchemaState(schemaNodesJson: Seq[String], currentSchemaId: Int,
+      fields: Seq[(Int, String, String)], maxFieldId: Int, maxSchemaId: Int) {
+    def nameToId: Map[String, Int] = fields.map(f => f._2 -> f._1).toMap
+  }
+
+  private def schemaStateOf(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Option[SchemaState] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return None
+    val in = fs.open(hint)
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    val metaPath = new Path(tablePath, s"metadata/v$v.metadata.json")
+    if (!fs.exists(metaPath)) return None
+    val in2 = fs.open(metaPath)
+    val text = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString finally in2.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val schemas = node.get("schemas")
+    if (schemas == null || !schemas.isArray || schemas.isEmpty) return None
+    val currentId = Option(node.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    var cur: com.fasterxml.jackson.databind.JsonNode = null
+    var maxSid = 0
+    var maxFid = 0
+    val nodes = Seq.newBuilder[String]
+    schemas.forEach { sn =>
+      nodes += sn.toString
+      val sid = Option(sn.get("schema-id")).map(_.asInt()).getOrElse(0)
+      if (sid > maxSid) maxSid = sid
+      if (sid == currentId || cur == null) cur = sn
+      val fs0 = sn.get("fields")
+      if (fs0 != null && fs0.isArray) fs0.forEach { f =>
+        val id = f.get("id").asInt(); if (id > maxFid) maxFid = id
+      }
+    }
+    val fields = Seq.newBuilder[(Int, String, String)]
+    val cf = cur.get("fields")
+    if (cf != null && cf.isArray) cf.forEach { f =>
+      fields += ((f.get("id").asInt(), f.get("name").asText(), f.toString))
+    }
+    Some(SchemaState(nodes.result(), currentId, fields.result(), maxFid, maxSid))
+  }
+
+  /** Field ids the commit writing `schema` will declare: existing
+    * columns keep their CURRENT ids verbatim, new columns take fresh
+    * ids past the global max (the spec's evolution rule); a fresh
+    * table numbers by position. Shared by the data write (bounds key
+    * on these ids) and the metadata commit — the two must agree.
+    */
+  private def plannedFieldIds(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      schema: org.apache.spark.sql.types.StructType): Map[String, Int] =
+    schemaStateOf(spark, tablePath) match {
+      case None =>
+        schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+      case Some(st) =>
+        var nid = st.maxFieldId
+        val existing = st.nameToId
+        schema.fieldNames.map { n =>
+          existing.get(n) match {
+            case Some(id) => n -> id
+            case None => nid += 1; n -> nid
+          }
+        }.toMap
+    }
+
+  /** The `schemas` + `current-schema-id` metadata fragment for a
+    * commit writing `schema`, plus the name→field-id map it declares.
+    * Unchanged column sets carry the existing schemas VERBATIM; an
+    * additive superset appends a NEW schema node (existing field
+    * nodes verbatim, new nullable fields with fresh ids) and bumps
+    * current-schema-id — iceberg.apache.org spec "Schema Evolution".
+    * A batch MISSING declared columns throws (drops are rewrite-grade
+    * migrations, not metadata commits).
+    */
+  private def schemasBlockFor(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      exists: Boolean,
+      schema: org.apache.spark.sql.types.StructType): (String, Map[String, Int]) = {
+    def fresh = (schemasJson(schema),
+      schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap)
+    if (!exists) return fresh
+    schemaStateOf(spark, tablePath) match {
+      case None => fresh
+      case Some(st) =>
+        val curNames = st.fields.map(_._2)
+        if (schema.fieldNames.toSet == curNames.toSet)
+          (s""""schemas":[${st.schemaNodesJson.mkString(",")}],""" +
+            s""""current-schema-id":${st.currentSchemaId}""", st.nameToId)
+        else {
+          val missing = curNames.toSet -- schema.fieldNames.toSet
+          if (missing.nonEmpty) throw new IllegalStateException(
+            s"$tablePath: commit schema lacks declared column(s) " +
+              s"${missing.toSeq.sorted.mkString(",")} — additive evolution only")
+          val ids = plannedFieldIds(spark, tablePath, schema)
+          val extras = schema.fields.filterNot(f => curNames.contains(f.name))
+          val newFieldsJson = st.fields.map(_._3) ++ extras.map { f =>
+            s"""{"id":${ids(f.name)},"name":"${f.name}","required":false,""" +
+              s""""type":"${icebergTypeOf(f.dataType)}"}"""
+          }
+          val newSid = st.maxSchemaId + 1
+          val newNode = s"""{"schema-id":$newSid,"type":"struct",""" +
+            s""""fields":[${newFieldsJson.mkString(",")}]}"""
+          (s""""schemas":[${(st.schemaNodesJson :+ newNode).mkString(",")}],""" +
+            s""""current-schema-id":$newSid""", ids)
+        }
+    }
+  }
+
+  private def specJson(idOf: Map[String, Int],
       pfields: Seq[PartitionField]): String = {
     val fields = pfields.zipWithIndex.map { case (f, i) =>
-      val sourceId = schema.fieldNames.indexOf(f.sourceCol) + 1
+      val sourceId = idOf.getOrElse(f.sourceCol, throw new IllegalStateException(
+        s"partition source column ${f.sourceCol} is not in the commit schema"))
       s"""{"name":"${f.resultName}","transform":""" +
         s""""${IcebergTransforms.specString(f.transform)}","source-id":$sourceId,""" +
         s""""field-id":${1000 + i}}"""
@@ -493,9 +605,10 @@ object IcebergTableWriter {
           val nq = n.replace("\\", "\\\\").replace("\"", "\\\"")
           s""""$nq":{"snapshot-id":$id,"type":"$t"}"""
         }.mkString(",")
+      val (schemasPart, fieldIdOf) = schemasBlockFor(spark, tablePath, exists, schema)
       val metaJson =
         s"""{"format-version":2,"table-uuid":"graft","location":"$tablePath",""" +
-          s"""${schemasJson(schema)},${specJson(schema, pfields)},""" +
+          s"""$schemasPart,${specJson(fieldIdOf, pfields)},""" +
           s""""last-sequence-number":$seq,"refs":{$refsJson},""" +
           s""""current-snapshot-id":$newId,"snapshots":[$snapsJson]}"""
       val vNew = prevVersion + 1
@@ -544,11 +657,24 @@ object IcebergTableWriter {
   def append(df: DataFrame, tablePath: String,
       transaction: Option[(String, Long)] = None): Long = {
     val existing = IcebergTableReader.snapshot(df.sparkSession, tablePath)
-    require(df.columns.toSet == existing.columns.toSet,
-      s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table columns " +
-        s"${existing.columns.sorted.mkString(",")} — appends must match the existing schema")
+    val missing = existing.columns.toSet -- df.columns.toSet
+    require(missing.isEmpty,
+      s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} lack declared " +
+        s"column(s) ${missing.toSeq.sorted.mkString(",")} — writes must carry the full " +
+        "declared schema (additive evolution only adds columns)")
+    // additive evolution: NEW columns append to the schema (a new
+    // schemas node + bumped current-schema-id land in the same
+    // commit); existing columns must keep their types
+    val extras = df.columns.filterNot(existing.columns.contains).toSeq
+    existing.columns.foreach { c =>
+      require(df.schema(c).dataType == existing.schema(c).dataType,
+        s"$tablePath: schema evolution cannot change column $c from " +
+          s"${existing.schema(c).dataType.simpleString} to " +
+          s"${df.schema(c).dataType.simpleString} — only NEW nullable columns may be added")
+    }
     val pfields = declaredPartitionFields(df.sparkSession, tablePath)
-    commit(df.select(existing.columns.map(org.apache.spark.sql.functions.col): _*),
+    commit(df.select((existing.columns.toSeq ++ extras)
+        .map(org.apache.spark.sql.functions.col): _*),
       tablePath, pfields, extraSummary = txnSummary(transaction))
   }
 
@@ -868,10 +994,13 @@ object IcebergTableWriter {
     require(keys.nonEmpty, s"$tablePath: upsert needs at least one equality-key column")
     val idToName = IcebergTableReader.schemaFieldNames(spark, tablePath)
     val nameToId = idToName.map(_.swap)
-    val tableCols = idToName.toSeq.sortBy(_._1).map(_._2)
-    require(df.columns.toSet == tableCols.toSet,
-      s"$tablePath: upsert columns ${df.columns.sorted.mkString(",")} != table schema " +
-        s"${tableCols.sorted.mkString(",")} — the batch must match the declared schema")
+    val tableCols0 = idToName.toSeq.sortBy(_._1).map(_._2)
+    val missingCols = tableCols0.toSet -- df.columns.toSet
+    require(missingCols.isEmpty,
+      s"$tablePath: upsert columns ${df.columns.sorted.mkString(",")} lack declared " +
+        s"column(s) ${missingCols.toSeq.sorted.mkString(",")} — writes must carry the " +
+        "full declared schema (additive evolution only adds columns)")
+    val tableCols = tableCols0 ++ df.columns.filterNot(tableCols0.contains)
     val eqIds = keys.map(k => nameToId.getOrElse(k, throw new IllegalArgumentException(
       s"$tablePath: upsert key $k is not a declared table column")))
     val plan = IcebergTableReader.planFiles(spark, tablePath)

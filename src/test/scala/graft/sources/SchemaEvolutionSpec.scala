@@ -1,0 +1,141 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Additive schema evolution on the FOREIGN writers: a batch carrying
+  * new columns commits updated metadata (Delta: new schemaString;
+  * Iceberg: appended schemas node + bumped current-schema-id with
+  * ids preserved), old files null-fill at read, and everything else
+  * — missing columns, type changes — keeps refusing loudly per both
+  * public specs' evolution rules.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private def df(r: Range) = {
+    val s = spark
+    import s.implicits._
+    r.map(i => (i.toLong, s"g${i % 4}", i * 2L)).toDF("id", "grp", "v")
+  }
+
+  private def dfWide(r: Range) = {
+    val s = spark
+    import s.implicits._
+    r.map(i => (i.toLong, s"g${i % 4}", i * 2L, s"tag$i")).toDF("id", "grp", "v", "tag")
+  }
+
+  // ------------------------------------------------------------ Delta
+
+  test("delta append: new nullable column evolves the schema; old rows null-fill") {
+    val table = tmpDir("sev-delta") + "/t"
+    DeltaTableWriter.create(df(1 to 40), table): Unit
+    DeltaTableWriter.append(dfWide(41 to 60), table): Unit
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.columns.toSet == Set("id", "grp", "v", "tag"))
+    assert(snap.count() == 60L)
+    assert(snap.where(col("id") === 5L).head().getAs[String]("tag") == null,
+      "pre-evolution rows must null-fill the new column")
+    assert(snap.where(col("id") === 50L).head().getAs[String]("tag") == "tag50")
+    // the declared schemaString now carries the column as nullable
+    val state = DeltaTableReader.snapshotState(spark, table)
+    assert(state.schemaJson.exists(_.contains("\"tag\"")))
+    // further appends at the WIDENED schema are plain appends
+    DeltaTableWriter.append(dfWide(61 to 70), table): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 70L)
+    // refusals: a batch missing a declared column, and a type change
+    val s = spark
+    import s.implicits._
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTableWriter.append(Seq((1L, "x")).toDF("id", "grp"), table))
+    assert(e1.getMessage.contains("schema"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaTableWriter.append(
+        Seq((1L, "x", "not-a-long", "t")).toDF("id", "grp", "v", "tag"), table))
+    assert(e2.getMessage.contains("cannot change column"))
+  }
+
+  test("delta upsert: evolution composes with the DV merge and the CDF obligation") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("sev-delta-up") + "/t"
+    DeltaTableWriter.create(df(1 to 30), table): Unit
+    // enable CDF via a fresh metaData commit (as an external engine
+    // flipping the table property would)
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(df(1 to 1).schema.json)
+    java.nio.file.Files.write(
+      new java.io.File(s"$table/_delta_log", f"${1L}%020d.json").toPath,
+      (s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$schemaStr,"partitionColumns":[],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""" +
+        "\n").getBytes("UTF-8"))
+    val batch = Seq((5L, "g1", 500L, "hot"), (31L, "g3", 62L, "new"))
+      .toDF("id", "grp", "v", "tag")
+    DeltaTableWriter.upsert(batch, table, Seq("id")): Unit
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.count() == 31L)
+    assert(snap.where($"id" === 5L).head().getAs[Long]("v") == 500L)
+    assert(snap.where($"id" === 5L).head().getAs[String]("tag") == "hot")
+    assert(snap.where($"id" === 6L).head().getAs[String]("tag") == null)
+    // the CDF feed serves the evolved commit's explicit change data
+    val feed = DeltaTableReader.changeFeedSince(spark, table, 0L)
+    val types = feed.select("_change_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types.contains("update_preimage") && types.contains("insert"))
+  }
+
+  // ---------------------------------------------------------- Iceberg
+
+  test("iceberg append: schemas node appends with preserved ids; old rows null-fill") {
+    val table = tmpDir("sev-ice") + "/t"
+    IcebergTableWriter.create(df(1 to 40), table, partitionBy = Seq("grp")): Unit
+    val idsBefore = IcebergTableReader.schemaFieldNames(spark, table)
+    IcebergTableWriter.append(dfWide(41 to 60), table): Unit
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.columns.toSet == Set("id", "grp", "v", "tag"))
+    assert(snap.count() == 60L)
+    assert(snap.where(col("id") === 5L).head().getAs[String]("tag") == null)
+    assert(snap.where(col("id") === 50L).head().getAs[String]("tag") == "tag50")
+    // existing field ids preserved verbatim; the new column got a
+    // fresh id past the old max
+    val idsAfter = IcebergTableReader.schemaFieldNames(spark, table)
+    idsBefore.foreach { case (id, n) => assert(idsAfter.get(id).contains(n)) }
+    val tagId = idsAfter.collectFirst { case (id, "tag") => id }.get
+    assert(tagId > idsBefore.keys.max)
+    // partition pruning still resolves through the evolved schema
+    val all = IcebergTableReader.planFiles(spark, table).data.size
+    val pruned = IcebergTableReader.planFilesPruned(spark, table,
+      pv => pv.get("grp").contains("g1"))
+    assert(pruned.data.nonEmpty && pruned.data.size < all)
+    // refusals: missing column, type change
+    val s = spark
+    import s.implicits._
+    val e1 = intercept[IllegalArgumentException](
+      IcebergTableWriter.append(Seq((1L, "x")).toDF("id", "grp"), table))
+    assert(e1.getMessage.contains("additive"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTableWriter.append(
+        Seq((1L, "x", "nope", "t")).toDF("id", "grp", "v", "tag"), table))
+    assert(e2.getMessage.contains("cannot change column"))
+  }
+
+  test("iceberg upsert after evolution: equality deletes keep their field ids") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("sev-ice-up") + "/t"
+    IcebergTableWriter.create(df(1 to 20), table): Unit
+    // the evolving batch IS the upsert: replaces id 5, inserts id 21
+    val batch = Seq((5L, "g1", 555L, "hot"), (21L, "g1", 42L, "new"))
+      .toDF("id", "grp", "v", "tag")
+    IcebergTableWriter.upsert(batch, table, Seq("id")): Unit
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.count() == 21L)
+    assert(snap.where($"id" === 5L).head().getAs[Long]("v") == 555L)
+    assert(snap.where($"id" === 5L).head().getAs[String]("tag") == "hot")
+    assert(snap.where($"id" === 7L).head().getAs[String]("tag") == null)
+    // a second (non-evolving) upsert at the wide schema stacks
+    IcebergTableWriter.upsert(
+      Seq((7L, "g3", 70L, "later")).toDF("id", "grp", "v", "tag"), table, Seq("id")): Unit
+    assert(IcebergTableReader.snapshot(spark, table)
+      .where($"id" === 7L).head().getAs[Long]("v") == 70L)
+  }
+}
