@@ -1633,6 +1633,50 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'incremental'
         |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority""".stripMargin))
 
+  /** #103k Hudi CDC `_cdc` images — write AND serve
+    * ([[graft.sources.HudiTableWriter]] writeCdcImages +
+    * [[graft.sources.HudiTableReader.changeFeedSince]] precedence):
+    * a `hoodie.table.cdc.enabled` COW table's upsert lands this
+    * instant's pre/post/insert images under `.hoodie/cdc/<instant>/`
+    * (distributed parquet — the RFC-51 before/after obligation), and
+    * the change feed serves them VERBATIM — pre-images included,
+    * which no COW reconstruction can recover (the exact analog of
+    * the Delta CDF precedence, 106e). Both legs oracled: the feed's
+    * per-change-type rollup recomputes from the key parities, the
+    * pre-images carrying ORIGINAL values and the post-images the
+    * update's.
+    */
+  val qHudiCdcWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-cdc-write") + "/t"
+      val o = t(s, dir, "orders")
+      val c1 = HudiTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        tableName = "orders_cdc", recordKeys = Seq("o_orderkey"), cdcEnabled = true)
+      val updates = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_orderpriority", lit("X-CDC"))
+      val inserts = o.filter(pmod(col("o_orderkey"), lit(2)) === 1 &&
+        pmod(col("o_orderkey"), lit(9)) === 0)
+      HudiTableWriter.upsert(updates.unionByName(inserts), table): Unit
+      val feed = HudiTableReader.changeFeedSince(s, table, c1)
+      feed.groupBy(col("_change_type"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT 'update_preimage' AS _change_type, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'update_postimage', 'X-CDC', count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT 'insert', o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 9 = 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #107c PARTITIONED Hudi COW writer
     * ([[graft.sources.HudiTableWriter.create]] with
     * `hoodie.table.partition.fields` — the reference's own job writes

@@ -49,6 +49,25 @@ object HudiTableWriter {
 
   private def hoodieDir(tablePath: String): Path = new Path(tablePath, ".hoodie")
 
+  /** True when hoodie.properties obliges data-changing writes to land
+    * CDC images (hoodie.table.cdc.enabled — Hudi's RFC-51 table
+    * property). */
+  private[sources] def cdcEnabledOf(spark: SparkSession, tablePath: String): Boolean =
+    tableProperties(spark, tablePath).get("hoodie.table.cdc.enabled").contains("true")
+
+  /** Land one instant's CDC images — full rows (meta columns
+    * included) tagged `_change_type` (update_preimage /
+    * update_postimage / insert / delete) — as DISTRIBUTED parquet
+    * under `.hoodie/cdc/<instant>/`. The feed serves them VERBATIM
+    * with precedence over post-image reconstruction (the Delta CDF
+    * analog; Hudi's own cdc supplemental logging carries the same
+    * before/after images). Readers only consult cdc dirs of
+    * COMPLETED instants, so landing before the commit meta file is
+    * crash-safe.
+    */
+  private def writeCdcImages(rows: DataFrame, tablePath: String, instant: String): Unit =
+    rows.write.parquet(new Path(hoodieDir(tablePath), s"cdc/$instant").toString)
+
   private def instantNow(offsetMs: Long): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
       .withZone(java.time.ZoneOffset.UTC)
@@ -56,7 +75,8 @@ object HudiTableWriter {
 
   private def writeProperties(spark: SparkSession, tablePath: String, name: String,
       recordKeys: Seq[String], precombineField: Option[String],
-      tableType: String = "COPY_ON_WRITE", partitionBy: Seq[String] = Nil): Unit = {
+      tableType: String = "COPY_ON_WRITE", partitionBy: Seq[String] = Nil,
+      cdcEnabled: Boolean = false): Unit = {
     val p = new Path(hoodieDir(tablePath), "hoodie.properties")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
@@ -74,11 +94,12 @@ object HudiTableWriter {
       val partitionLine =
         if (partitionBy.isEmpty) ""
         else s"hoodie.table.partition.fields=${partitionBy.mkString(",")}\n"
+      val cdcLine = if (cdcEnabled) "hoodie.table.cdc.enabled=true\n" else ""
       val out = fs.create(p, false)
       try out.write(
         (s"hoodie.table.name=$name\n" +
           s"hoodie.table.type=$tableType\n" +
-          "hoodie.table.version=5\n" + keyLines + precombineLine + partitionLine)
+          "hoodie.table.version=5\n" + keyLines + precombineLine + partitionLine + cdcLine)
           .getBytes("UTF-8"))
       finally out.close()
     }
@@ -228,7 +249,8 @@ object HudiTableWriter {
   def create(df: DataFrame, tablePath: String, tableName: String = "graft_table",
       recordKeys: Seq[String] = Nil, precombineField: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      extraMetadata: Map[String, String] = Map.empty): String = {
+      extraMetadata: Map[String, String] = Map.empty,
+      cdcEnabled: Boolean = false): String = {
     val spark = df.sparkSession
     val dir = hoodieDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -240,7 +262,7 @@ object HudiTableWriter {
       s"partition field $c is not in the DataFrame"))
     fs.mkdirs(dir)
     writeProperties(spark, tablePath, tableName, recordKeys, precombineField,
-      partitionBy = partitionBy)
+      partitionBy = partitionBy, cdcEnabled = cdcEnabled)
     insertCommit(df, tablePath, recordKeys, partitionBy = partitionBy,
       extraMetadata = extraMetadata)
   }
@@ -409,6 +431,23 @@ object HudiTableWriter {
       val nBatchKeys = tagged.count()
       val updates = tagged.where(col("_g_fid").isNotNull)
       val inserts = tagged.where(col("_g_fid").isNull).drop("_g_fid")
+      // hoodie.table.cdc.enabled obligation: land this instant's
+      // pre/post images BEFORE any data file moves (the base scan
+      // below still sees the pre-write state) — one distributed
+      // parquet write under .hoodie/cdc/<instant>/
+      if (cdcEnabledOf(spark, tablePath)) {
+        val batchKeySet = deduped.select(joinCols.map(col): _*)
+        val pre = base
+          .join(if (nBatchKeys <= maxBroadcastKeys) broadcast(batchKeySet) else batchKeySet,
+            joinCols, "left_semi")
+          .select(sliceCols.map(col): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = updates.select(sliceCols.map(col): _*)
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = inserts.select(sliceCols.map(col): _*)
+          .withColumn("_change_type", lit("insert"))
+        writeCdcImages(pre.unionByName(post).unionByName(ins), tablePath, instant)
+      }
       // per-touched-group update counts — |groups| driver metadata
       val updCounts = updates.groupBy(col("_g_fid")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -517,7 +556,7 @@ object HudiTableWriter {
     */
   def createMor(df: DataFrame, tablePath: String, tableName: String = "graft_table",
       recordKeys: Seq[String] = Nil, precombineField: Option[String] = None,
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil, cdcEnabled: Boolean = false): String = {
     require(recordKeys.nonEmpty,
       "a MOR table needs record keys — the log merge has no identity without them")
     val spark = df.sparkSession
@@ -531,7 +570,7 @@ object HudiTableWriter {
       s"partition field $c is not in the DataFrame"))
     fs.mkdirs(dir)
     writeProperties(spark, tablePath, tableName, recordKeys, precombineField,
-      tableType = "MERGE_ON_READ", partitionBy = partitionBy)
+      tableType = "MERGE_ON_READ", partitionBy = partitionBy, cdcEnabled = cdcEnabled)
     insertCommit(df, tablePath, recordKeys, kind = "deltacommit",
       partitionBy = partitionBy)
   }
@@ -560,6 +599,22 @@ object HudiTableWriter {
         .select(recSchema.fieldNames.map(col).toIndexedSeq :+ col("_g_fid"): _*)
       val inserts = routed.where(col("_g_fid").isNull)
         .select(recSchema.fieldNames.map(col).toIndexedSeq: _*)
+      // cdc obligation: pre-images come from the CURRENT real-time
+      // view (one key-matched scan — the extra read Hudi's own cdc
+      // supplemental logging pays too), landed BEFORE any log file
+      // appends so the scan still sees the pre-write state
+      if (cdcEnabledOf(spark, tablePath)) {
+        val rt = HudiTableReader.snapshot(spark, tablePath)
+        val batchKeys = stampedDf.select(col("_hoodie_record_key")).distinct()
+        val pre = rt
+          .join(broadcast(batchKeys), Seq("_hoodie_record_key"), "left_semi")
+          .select(recSchema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = updates.drop("_g_fid")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = inserts.withColumn("_change_type", lit("insert"))
+        writeCdcImages(pre.unionByName(post).unionByName(ins), tablePath, instant)
+      }
       val meta = logMetaOf(groups, instant)
       val logStats =
         if (updates.isEmpty) Nil
@@ -703,6 +758,16 @@ object HudiTableWriter {
     val keyed = df.withColumn("_g_key",
       concat_ws(",", keys.map(k => concat(lit(s"$k:"), col(k).cast("string"))): _*))
       .select("_g_key")
+    // cdc obligation: a delete's image is the row it removes — the
+    // PRE-image from the current real-time view, landed before any
+    // tombstone block appends
+    if (cdcEnabledOf(spark, tablePath)) {
+      val rt = HudiTableReader.snapshot(spark, tablePath)
+      val del = rt.join(broadcast(keyed.withColumnRenamed("_g_key", "_hoodie_record_key")),
+          Seq("_hoodie_record_key"), "left_semi")
+        .withColumn("_change_type", lit("delete"))
+      writeCdcImages(del, tablePath, instant)
+    }
     val routedBase = routeByKey(spark, tablePath, keyed, groups)
     val routed = routedBase.select("_g_key", "_g_fid")
     val meta = logMetaOf(groups, instant)
