@@ -840,9 +840,7 @@ object HudiTableWriter {
     */
   def cluster(spark: SparkSession, tablePath: String, targetGroups: Int): String = {
     require(targetGroups >= 1, "targetGroups must be >= 1")
-    require(declaredPartitionFields(spark, tablePath).isEmpty,
-      s"$tablePath: per-partition clustering is not implemented — this service " +
-        "re-buckets the table globally; refusing on partitioned tables")
+    val partitionBy = declaredPartitionFields(spark, tablePath)
     val groups = HudiTableReader.morGroups(spark, tablePath)
     require(groups.forall(_.logs.isEmpty),
       s"$tablePath: file groups carry pending log files — compact before clustering")
@@ -850,33 +848,75 @@ object HudiTableWriter {
     require(slices.nonEmpty, s"$tablePath: nothing to cluster")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val instant = instantNow(0L)
-    // stamps preserved: read the slices AS THEY ARE and re-bucket
-    val rows = spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
-      .repartition(targetGroups)
+    // stamps preserved: read the slices AS THEY ARE and re-bucket —
+    // PER PARTITION on partitioned tables (Hudi's own clustering
+    // plans per partition): a (partition, bucket) shuffle key gives
+    // at most targetGroups files per partition dir, one shuffle total
+    val raw = spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
     val stage = new Path(tablePath, s".graft-cluster-${java.util.UUID.randomUUID()}")
-    rows.write.parquet(stage.toString)
-    val writes = Seq.newBuilder[(String, String)]
-    fs.listStatus(stage).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
-      val fileId = java.util.UUID.randomUUID().toString
-      val rel = s"${fileId}_0-0-0_$instant.parquet"
-      if (!fs.rename(st.getPath, new Path(tablePath, rel)))
-        throw new IllegalStateException(s"$tablePath: failed to land clustered file $rel")
-      writes += ((fileId, rel))
+    if (partitionBy.isEmpty) {
+      raw.repartition(targetGroups).write.parquet(stage.toString)
+    } else {
+      val bucketCol =
+        if (raw.columns.contains("_hoodie_record_key"))
+          pmod(xxhash64(col("_hoodie_record_key")), lit(targetGroups))
+        else pmod(xxhash64(raw.columns.map(col).toIndexedSeq: _*), lit(targetGroups))
+      val bucketed = partitionBy.foldLeft(raw.withColumn("_g_bucket", bucketCol))(
+        (acc, c) => acc.withColumn(s"_p_$c", col(c)))
+      bucketed
+        .repartition((partitionBy.map(c => col(s"_p_$c")) :+ col("_g_bucket")): _*)
+        .drop("_g_bucket")
+        .write.partitionBy(partitionBy.map(c => s"_p_$c"): _*)
+        .parquet(stage.toString)
     }
+    // land staged files under their partition dirs with fresh fileIds
+    val writes = Seq.newBuilder[(String, String, String)] // (partition, fileId, rel)
+    def walk(dir: Path, partSegs: Seq[String]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val segs =
+            if (name.startsWith("_p_") && name.contains('='))
+              partSegs :+ name.substring(3)
+            else partSegs
+          walk(st.getPath, segs)
+        } else if (name.endsWith(".parquet")) {
+          val partition = partSegs.mkString("/")
+          val fileId = java.util.UUID.randomUUID().toString
+          val rel =
+            if (partition.isEmpty) s"${fileId}_0-0-0_$instant.parquet"
+            else s"$partition/${fileId}_0-0-0_$instant.parquet"
+          val dst = new Path(tablePath, rel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(st.getPath, dst))
+            throw new IllegalStateException(s"$tablePath: failed to land clustered file $rel")
+          writes += ((partition, fileId, rel))
+        }
+      }
+    walk(stage, Nil)
     fs.delete(stage, true)
     val files = writes.result()
-    val stats = files.map { case (fid, rel) =>
-      s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +
-        s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
-        s""""prevCommit":"null"}"""
+    require(files.nonEmpty, s"$tablePath: clustering staged no files")
+    val statsByPartition = files.groupBy(_._1).map { case (part, ws) =>
+      val stats = ws.map { case (_, fid, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +
+          s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
+          s""""prevCommit":"null"}"""
+      }.mkString(",")
+      s""""$part":[$stats]"""
     }.mkString(",")
-    val replaced = groups.map(g => s""""${g.fileId}"""").mkString(",")
+    // replaced groups keyed by THEIR partition (the reader drops by
+    // id; Hudi's own meta keys the replacement per partition)
+    val replacedByPartition = groups.groupBy(_.base.map(_.partition).getOrElse(""))
+      .map { case (part, gs) =>
+        s""""$part":[${gs.map(g => s""""${g.fileId}"""").mkString(",")}]"""
+      }.mkString(",")
     val p = new Path(hoodieDir(tablePath), s"$instant.replacecommit")
     val created = try {
       val out = fs.create(p, false)
       try out.write(
-        (s"""{"partitionToWriteStats":{"":[$stats]},""" +
-          s""""partitionToReplaceFileIds":{"":[$replaced]},""" +
+        (s"""{"partitionToWriteStats":{$statsByPartition},""" +
+          s""""partitionToReplaceFileIds":{$replacedByPartition},""" +
           s""""operationType":"CLUSTER"}""" + "\n").getBytes("UTF-8"))
       finally out.close()
       true

@@ -130,6 +130,37 @@ class ForeignTableServicesSpec extends SparkSpec {
     assert(HudiTableReader.snapshot(spark, table).count() == 80L)
   }
 
+  test("Hudi clustering on a PARTITIONED table: per-partition re-bucket, stamps preserved") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("svc-cluster-hp") + "/t"
+    def pdf(r: Range) = r.map(i => (i.toLong, s"p${i % 3}", i * 2L)).toDF("id", "part", "v")
+    val c1 = HudiTableWriter.create(pdf(1 to 60).repartition(4), table,
+      recordKeys = Seq("id"), partitionBy = Seq("part"))
+    HudiTableWriter.append(pdf(61 to 90).repartition(4), table): Unit
+    val before = HudiTableReader.activeSlices(spark, table)
+    assert(before.size > 6, s"fixture needs many small groups, got ${before.size}")
+    HudiTableWriter.cluster(spark, table, targetGroups = 2): Unit
+    val after = HudiTableReader.activeSlices(spark, table)
+    // per-partition cut: every partition dir holds at most
+    // targetGroups groups, and the total shrank
+    val byPart = after.groupBy(_.partition).map { case (p, ss) => p -> ss.size }
+    assert(byPart.keySet == Set("part=p0", "part=p1", "part=p2"), s"got ${byPart.keySet}")
+    assert(byPart.values.forall(_ <= 2), s"per-partition groups must be <= 2: $byPart")
+    assert(after.size < before.size)
+    // rows, values and STAMPS all preserved
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 90L)
+    assert(snap.where(col("id") === 7L).head().getAs[Long]("v") == 14L)
+    assert(snap.select("_hoodie_commit_time").distinct().count() == 2L)
+    // incremental exact across the clustering
+    val inc = HudiTableReader.incrementalSince(spark, table, c1)
+    assert(inc.count() == 30L)
+    // partition pruning still serves from the clustered layout
+    val p1 = snap.where(col("part") === "p1")
+    assert(p1.count() == 30L)
+  }
+
   test("Iceberg rewrite: replace snapshot with a fresh manifest; deletes materialize; expiry reclaims") {
     val table = tmpDir("svc-rewrite-i") + "/t"
     IcebergTableWriter.create(df(1 to 60).repartition(5), table): Unit
