@@ -490,8 +490,19 @@ object DeltaTableWriter {
     */
   val CheckpointPartRows: Int = 100000
 
+  /** Active-file count above which the checkpoint lands in the
+    * protocol's V2 form — a `<v>.checkpoint.<uuid>.parquet` MANIFEST
+    * (checkpointMetadata/sidecar/protocol/metaData/txn actions) plus
+    * `_sidecars/<uuid>.parquet` files carrying the add set — the
+    * modern layout v2Checkpoint-requiring readers expect. Classic
+    * single-file/multi-part checkpoints stay the default below it
+    * (universally readable).
+    */
+  val V2CheckpointFileThreshold: Int = 100000
+
   def writeCheckpoint(spark: SparkSession, tablePath: String,
-      partRows: Int = CheckpointPartRows): Long = {
+      partRows: Int = CheckpointPartRows,
+      v2Threshold: Int = V2CheckpointFileThreshold): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val state = DeltaTableReader.snapshotState(spark, tablePath)
@@ -557,14 +568,9 @@ object DeltaTableWriter {
       if (proto.writerFeatures.nonEmpty) proto.writerFeatures else null))
     import scala.jdk.CollectionConverters._
     val dir = logDir(tablePath)
-    val allRows = Seq(protoRow, metaRow) ++ txnRows ++ addRows
-    val slices: Seq[Seq[Row]] =
-      if (allRows.size <= partRows) Seq(allRows)
-      else allRows.grouped(partRows).toSeq
-    val n = slices.size
-    def landPart(rows0: Seq[Row], dst: Path): Unit = {
+    def landPart(rows0: Seq[Row], sch: StructType, dst: Path): Unit = {
       val stage = new Path(tablePath, s".graft-ckpt-${java.util.UUID.randomUUID()}")
-      spark.createDataFrame(rows0.asJava, schema).coalesce(1).write.parquet(stage.toString)
+      spark.createDataFrame(rows0.asJava, sch).coalesce(1).write.parquet(stage.toString)
       val part = fs.listStatus(stage).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(
@@ -574,13 +580,49 @@ object DeltaTableWriter {
         s"$tablePath: failed to land checkpoint $dst")
       fs.delete(stage, true): Unit
     }
-    if (n == 1)
-      landPart(slices.head, new Path(dir, f"${state.version}%020d.checkpoint.parquet"))
-    else slices.zipWithIndex.foreach { case (rows0, i) =>
-      landPart(rows0,
-        new Path(dir, f"${state.version}%020d.checkpoint.${i + 1}%010d.$n%010d.parquet"))
+    val allRows = Seq(protoRow, metaRow) ++ txnRows ++ addRows
+    if (addRows.size > v2Threshold) {
+      // V2 checkpoint: the manifest carries the metadata actions plus
+      // `sidecar` pointers; the add set rides `_sidecars/` parquet
+      // files (partRows-sized), exactly the layout the v2 read path
+      // is locked against — checkpointMetadata.version must match
+      val manifestSchema = StructType(schema.fields.toIndexedSeq ++ Seq(
+        StructField("checkpointMetadata", StructType(Seq(
+          StructField("version", LongType)))),
+        StructField("sidecar", StructType(Seq(
+          StructField("path", StringType),
+          StructField("sizeInBytes", LongType))))))
+      def mrow(r: Row): Row = Row(r.get(0), r.get(1), r.get(2), r.get(3), null, null)
+      val sidecarDir = new Path(dir, "_sidecars")
+      fs.mkdirs(sidecarDir)
+      val sidecarRows = addRows.grouped(math.max(1, partRows)).map { rows0 =>
+        val nm = s"${java.util.UUID.randomUUID()}.parquet"
+        landPart(rows0, schema, new Path(sidecarDir, nm))
+        val len = fs.getFileStatus(new Path(sidecarDir, nm)).getLen
+        Row(null, null, null, null, null, Row(nm, len))
+      }.toIndexedSeq
+      val manifestRows =
+        Row(null, null, null, null, Row(state.version), null) +:
+          (Seq(protoRow, metaRow) ++ txnRows).map(mrow) ++: sidecarRows
+      landPart(manifestRows, manifestSchema,
+        new Path(dir,
+          f"${state.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
+    } else {
+      val slices: Seq[Seq[Row]] =
+        if (allRows.size <= partRows) Seq(allRows)
+        else allRows.grouped(partRows).toSeq
+      val n = slices.size
+      if (n == 1)
+        landPart(slices.head, schema,
+          new Path(dir, f"${state.version}%020d.checkpoint.parquet"))
+      else slices.zipWithIndex.foreach { case (rows0, i) =>
+        landPart(rows0, schema,
+          new Path(dir, f"${state.version}%020d.checkpoint.${i + 1}%010d.$n%010d.parquet"))
+      }
     }
-    val partsField = if (n == 1) "" else s""","parts":$n"""
+    val partsField =
+      if (addRows.size > v2Threshold || allRows.size <= partRows) ""
+      else s""","parts":${(allRows.size + partRows - 1) / partRows}"""
     val out = fs.create(new Path(dir, "_last_checkpoint"), true)
     try out.write(
       s"""{"version":${state.version},"size":${allRows.size}$partsField}\n"""

@@ -400,4 +400,46 @@ class DeltaTableWriterSpec extends SparkSpec {
     assert(v == 2L, "the CAS must skip the occupied slot, not overwrite it")
     assert(DeltaTableReader.snapshot(spark, table).count() == 20L)
   }
+
+  test("V2 checkpoint WRITE: uuid manifest + _sidecars add set; survives log cleanup; version mismatch refuses") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("dwr-v2ckpt") + "/t"
+    DeltaTableWriter.create(df(1 to 40).repartition(4), table): Unit
+    DeltaTableWriter.append(df(41 to 60).repartition(2), table): Unit
+    // v2Threshold=0 forces the V2 layout; partRows=3 shards sidecars
+    DeltaTableWriter.writeCheckpoint(spark, table, partRows = 3, v2Threshold = 0): Unit
+    val logDir = new java.io.File(s"$table/_delta_log")
+    val manifest = logDir.listFiles().map(_.getName)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+    assert(manifest.length == 1 && manifest.head.split("\\.").length > 3,
+      s"expected one uuid-form manifest, got ${manifest.mkString(",")}")
+    val sidecars = new java.io.File(logDir, "_sidecars").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(sidecars.length >= 2, s"partRows=3 over 6 files must shard, got ${sidecars.length}")
+    // the v2 READ path serves it: clean all JSON commits below the
+    // checkpoint and the snapshot must reconstruct from manifest+sidecars
+    logDir.listFiles().filter(f => f.getName.endsWith(".json"))
+      .foreach(f => assert(f.delete()))
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.count() == 60L)
+    assert(snap.where(col("id") === 50L).head().getAs[Long]("v") == 100L)
+    // appends continue on top of the checkpointed state
+    DeltaTableWriter.append(df(61 to 70), table): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 70L)
+    // version-mismatch refusal: _last_checkpoint pointing at a
+    // different version than checkpointMetadata declares
+    val lc = new java.io.File(logDir, "_last_checkpoint")
+    java.nio.file.Files.write(lc.toPath, """{"version":0,"size":1}""".getBytes("UTF-8"))
+    // the hadoop local fs keeps a crc — drop it so the rewrite reads
+    val crc = new java.io.File(logDir, "._last_checkpoint.crc")
+    if (crc.exists()) assert(crc.delete())
+    // rename the manifest to version 0 so discovery finds it under the lie
+    val man = logDir.listFiles().find(n => n.getName.contains(".checkpoint.") &&
+      n.getName.endsWith(".parquet")).get
+    val lied = new java.io.File(logDir,
+      f"${0L}%020d" + man.getName.substring(20))
+    assert(man.renameTo(lied))
+    val e = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, table))
+    assert(e.getMessage.contains("inconsistent checkpoint"))
+  }
 }
