@@ -982,6 +982,55 @@ object HudiTableWriter {
     deleted
   }
 
+  /** FILES INDEX (the graft form of Hudi's metadata-table `files`
+    * partition): publish the CURRENT per-file-group state — base
+    * slice + pending logs per group — as ONE parquet snapshot at
+    * `.hoodie/metadata/files/<headInstant>.parquet`. Readers start
+    * head-of-timeline planning FROM it and replay only the instants
+    * after, so planning cost is O(commits since the index) and the
+    * indexed instants' meta files are never opened — the listing
+    * bottleneck Hudi's metadata table exists to remove at 100× file
+    * counts. Safe by construction: the index names its instant, a
+    * reader ignores any index whose instant is off the timeline, and
+    * everything after it replays exactly. Returns the indexed
+    * instant.
+    */
+  def writeFilesIndex(spark: SparkSession, tablePath: String): String = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val groups = HudiTableReader.morGroups(spark, tablePath)
+    val head = HudiTableReader.latestInstant(spark, tablePath)
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = StructType(Seq(
+      StructField("fileId", StringType),
+      StructField("partition", StringType),
+      StructField("baseInstant", StringType),
+      StructField("basePath", StringType),
+      StructField("logs", ArrayType(StructType(Seq(
+        StructField("instant", StringType), StructField("path", StringType)))))))
+    val rows = groups.map { g =>
+      Row(g.fileId,
+        g.base.map(_.partition).getOrElse(""),
+        g.base.map(_.instant).orNull,
+        g.base.map(_.path).orNull,
+        g.logs.map { case (i, p) => Row(i, p) })
+    }
+    import scala.jdk.CollectionConverters._
+    val dir = new Path(hoodieDir(tablePath), "metadata/files")
+    fs.mkdirs(dir)
+    val stage = new Path(tablePath, s".graft-fidx-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(rows.asJava, schema).coalesce(1).write.parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"$tablePath: files index staged nothing"))
+    val dst = new Path(dir, s"$head.parquet")
+    fs.delete(dst, false)
+    if (!fs.rename(part, dst)) throw new IllegalStateException(
+      s"$tablePath: failed to land files index $dst")
+    fs.delete(stage, true)
+    head
+  }
+
   /** TIMELINE ARCHIVAL (Hudi's own archival service move): rotate all
     * completed instants except the newest `keepLast` out of the
     * active `.hoodie` listing into `.hoodie/archived/` — what keeps
