@@ -938,36 +938,59 @@ object IcebergTableWriter {
       operation = "replace", reuseManifests = false)
   }
 
-  /** Land one SMALL parquet file (a delete file) and return its
-    * relative path + footer row count. Refuses an empty frame.
+  /** Rows per delete file: small delete sets land as one file (the
+    * common CDC shape); a backfill-scale upsert's key set SHARDS past
+    * this so no single task serializes it (the spec allows several
+    * delete files per snapshot).
     */
-  private def landSmallParquet(spark: org.apache.spark.sql.SparkSession,
+  val MaxDeleteFileRows: Long = 4L * 1000 * 1000
+
+  /** Land delete-file parquet and return (relative path, footer row
+    * count) per landed shard. One coalesced file at or under
+    * `maxRows` expected rows; sharded `repartition` write past it.
+    * Refuses an empty frame.
+    */
+  private def landDeleteShards(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, df: DataFrame, what: String,
-      emptyMsg: Option[String] = None): (String, Long) = {
+      emptyMsg: Option[String] = None,
+      expectedRows: Option[Long] = None,
+      maxRows: Long = MaxDeleteFileRows): Seq[(String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     val stage = new Path(tablePath, s".graft-del-${java.util.UUID.randomUUID()}")
-    df.coalesce(1).write.parquet(stage.toString)
-    val part = fs.listStatus(stage).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"$tablePath: $what stage wrote nothing"))
-    val rel = s"data/del-${java.util.UUID.randomUUID()}.parquet"
-    fs.mkdirs(new Path(tablePath, rel).getParent)
-    if (!fs.rename(part, new Path(tablePath, rel))) throw new IllegalStateException(
-      s"$tablePath: failed to land $what file $rel")
+    val shards = expectedRows.map(r => ((r + maxRows - 1) / maxRows).toInt).getOrElse(1)
+    val staged = if (shards <= 1) df.coalesce(1) else df.repartition(shards)
+    staged.write.parquet(stage.toString)
+    val parts = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    if (parts.isEmpty) throw new IllegalStateException(
+      s"$tablePath: $what stage wrote nothing")
+    import scala.collection.parallel.CollectionConverters._
+    val landed = parts.toIndexedSeq.par.map { part =>
+      val rel = s"data/del-${java.util.UUID.randomUUID()}.parquet"
+      fs.mkdirs(new Path(tablePath, rel).getParent)
+      if (!fs.rename(part, new Path(tablePath, rel))) throw new IllegalStateException(
+        s"$tablePath: failed to land $what file $rel")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(tablePath, rel), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try r.getRecordCount finally r.close()
+      (rel, n)
+    }.seq
     fs.delete(stage, true)
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new Path(tablePath, rel), conf)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    val n = try r.getRecordCount finally r.close()
-    if (n == 0L) {
-      fs.delete(new Path(tablePath, rel), false)
-      throw new IllegalArgumentException(
-        s"$tablePath: " + emptyMsg.getOrElse(s"empty $what batch — nothing to write"))
-    }
-    (rel, n)
+    val nonEmpty = landed.filter(_._2 > 0L)
+    landed.filter(_._2 == 0L)
+      .foreach { case (rel, _) => fs.delete(new Path(tablePath, rel), false): Unit }
+    if (nonEmpty.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: " + emptyMsg.getOrElse(s"empty $what batch — nothing to write"))
+    nonEmpty
   }
+
+  /** [[landDeleteShards]] for the single-file callers. */
+  private def landSmallParquet(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, df: DataFrame, what: String,
+      emptyMsg: Option[String] = None): (String, Long) =
+    landDeleteShards(spark, tablePath, df, what, emptyMsg).head
 
   /** UPSERT (merge) into an external Iceberg v2 table via EQUALITY
     * DELETES — the Flink-CDC write shape: the batch's key values land
@@ -988,7 +1011,8 @@ object IcebergTableWriter {
     * reader applies one key shape per scan, spec-locked). Returns the
     * new snapshot id.
     */
-  def upsert(df: DataFrame, tablePath: String, keys: Seq[String]): Long = {
+  def upsert(df: DataFrame, tablePath: String, keys: Seq[String],
+      maxDeleteFileRows: Long = MaxDeleteFileRows): Long = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     require(keys.nonEmpty, s"$tablePath: upsert needs at least one equality-key column")
@@ -1018,15 +1042,16 @@ object IcebergTableWriter {
       require(nRows == nKeys,
         s"$tablePath: upsert batch carries ${nRows - nKeys} duplicate key row(s) — the " +
           "replacement row per key would be ambiguous; pre-combine the batch first")
-      val (delRel, delCount) = landSmallParquet(spark, tablePath,
-        aligned.select(keys.map(col): _*), "equality-delete")
+      val delShards = landDeleteShards(spark, tablePath,
+        aligned.select(keys.map(col): _*), "equality-delete",
+        expectedRows = Some(nRows), maxRows = maxDeleteFileRows)
       val pfields = declaredPartitionFields(spark, tablePath)
       val files = writeDataFiles(aligned, tablePath, pfields)
       val schema = org.apache.spark.sql.types.StructType(
         aligned.schema.fields)
       commitSnapshotGroups(spark, tablePath, schema, pfields,
         Seq(ManifestGroup(files, entryContent = 0),
-          ManifestGroup(Seq(Landed(delRel, delCount, Map.empty)),
+          ManifestGroup(delShards.map { case (rel, n) => Landed(rel, n, Map.empty) },
             entryContent = 2, equalityIds = eqIds)),
         operation = "overwrite")
     } finally aligned.unpersist()

@@ -369,6 +369,21 @@ class ForeignUpsertSpec extends SparkSpec {
     assert(hSnap.where(col("id") === 5L).head().getAs[Long]("v") == 10L)
   }
 
+  test("iceberg: a backfill-scale key set SHARDS its equality-delete files") {
+    val table = tmpDir("iup-shard") + "/t"
+    IcebergTableWriter.create(df(1 to 40), table): Unit
+    // maxDeleteFileRows=8 forces sharding of the 20-key delete set
+    IcebergTableWriter.upsert(df(11 to 30, _ * 10L), table, Seq("id"),
+      maxDeleteFileRows = 8L): Unit
+    val plan = IcebergTableReader.planFiles(spark, table)
+    assert(plan.equalityDeletes.size >= 2,
+      s"20 keys over maxRows=8 must shard, got ${plan.equalityDeletes.size} delete files")
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.count() == 40L)
+    assert(snap.where(col("id") === 15L).head().getAs[Long]("v") == 150L)
+    assert(snap.where(col("id") === 5L).head().getAs[Long]("v") == 10L)
+  }
+
   test("iceberg: repeated upserts stack; each batch's rows survive its own delete") {
     val table = tmpDir("iup-stack") + "/t"
     IcebergTableWriter.create(df(1 to 10), table): Unit
