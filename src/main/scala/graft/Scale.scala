@@ -1390,7 +1390,11 @@ object Scale {
       "q_mirror_pipeline", "q_iceberg_cdc", "q_delta_colmap_id",
       "q_stream_iceberg_sink", "q_stream_hudi_sink",
       "q_delta_v2_checkpoint", "q_uniform_mirror", "q_iceberg_skipping",
-      "q_delta_restore", "q_iceberg_tag", "q_hudi_mor_upsert", "q_delta_cdf_write", "q_hudi_cdc")
+      "q_delta_restore", "q_iceberg_tag", "q_hudi_mor_upsert", "q_delta_cdf_write", "q_hudi_cdc",
+      // round-16 additions: transform partitioning, archived-timeline
+      // read, additive evolution, cdc-image write+serve
+      "q_iceberg_transform_write", "q_hudi_archived", "q_delta_schema_evolve",
+      "q_hudi_cdc_write")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))

@@ -253,16 +253,18 @@ class HudiTableReaderSpec extends SparkSpec {
     val e0 = intercept[IllegalArgumentException](
       HudiTableReader.incrementalSince(spark, table, "20240102090000"))
     assert(e0.getMessage.contains("no commits after"))
-    // an archived timeline refuses everything: file groups written by
-    // archived instants are invisible to active-commit replay
+    // archived timelines REPLAY under the active listing now
+    // (HudiArchiveSpec): an empty archive artifact contributes no
+    // instants and reads keep serving; a CORRUPT one refuses loudly
+    // via the log codec rather than silently missing file groups
     val dir = new java.io.File(table, ".hoodie/archived")
     dir.mkdirs()
-    new java.io.File(dir, "commits_.archive.1_1-0-1").createNewFile()
-    val e1 = intercept[IllegalStateException](HudiTableReader.snapshot(spark, table))
-    assert(e1.getMessage.contains("archived"))
-    val e2 = intercept[IllegalStateException](
-      HudiTableReader.incrementalSince(spark, table, "20240101090000"))
-    assert(e2.getMessage.contains("archived"))
+    new java.io.File(dir, ".commits_.archive.1").createNewFile()
+    assert(HudiTableReader.snapshot(spark, table).count() == 40L)
+    java.nio.file.Files.write(
+      new java.io.File(dir, ".commits_.archive.1").toPath,
+      "not a hudi log".getBytes("UTF-8"))
+    intercept[Exception](HudiTableReader.snapshot(spark, table).count())
   }
 
   test("partitioned layout: commit paths under partition dirs resolve; schema rides the data files") {
