@@ -207,7 +207,10 @@ object IcebergTableWriter {
       if (pfields.isEmpty) staged.write
       else staged.write.partitionBy(pfields.map(f => s"_p_${f.resultName}"): _*)
     writer.parquet(stage.toString)
-    val landed = Seq.newBuilder[Landed]
+    // collect staged parts first, then land + footer-read them in
+    // PARALLEL — serially this is O(|files|) driver round-trips, and
+    // a days()-partitioned append stages one file per day
+    val staged0 = Seq.newBuilder[(Path, Map[String, Option[String]])]
     def walk(dir: Path, values: Map[String, Option[String]]): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -218,24 +221,25 @@ object IcebergTableWriter {
               values + (name.substring(3, i) -> decodeHive(name.substring(i + 1)))
             else values
           walk(st.getPath, v)
-        } else if (name.endsWith(".parquet")) {
-          val rel = s"data/${java.util.UUID.randomUUID()}.parquet"
-          val dst = new Path(tablePath, rel)
-          fs.mkdirs(dst.getParent)
-          if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
-            s"$tablePath: failed to land data file $rel")
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dst, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val (n, lo, hi) = try {
-            val b = footerBounds(r, fieldIds)
-            (r.getRecordCount, b._1, b._2)
-          } finally r.close()
-          landed += Landed(rel, n, values, lo, hi)
-        }
+        } else if (name.endsWith(".parquet")) staged0 += ((st.getPath, values))
       }
     walk(stage, Map.empty)
+    import scala.collection.parallel.CollectionConverters._
+    val files = staged0.result().par.map { case (src, values) =>
+      val rel = s"data/${java.util.UUID.randomUUID()}.parquet"
+      val dst = new Path(tablePath, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst)) throw new IllegalStateException(
+        s"$tablePath: failed to land data file $rel")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dst, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val (n, lo, hi) = try {
+        val b = footerBounds(r, fieldIds)
+        (r.getRecordCount, b._1, b._2)
+      } finally r.close()
+      Landed(rel, n, values, lo, hi)
+    }.seq
     fs.delete(stage, true)
-    val files = landed.result()
     if (files.isEmpty) throw new IllegalArgumentException(
       s"$tablePath: the DataFrame wrote no data files (empty input?)")
     files
