@@ -205,7 +205,14 @@ object IcebergTableWriter {
         IcebergTransforms.column(f, df.schema(f.sourceCol).dataType)))
     val writer =
       if (pfields.isEmpty) staged.write
-      else staged.write.partitionBy(pfields.map(f => s"_p_${f.resultName}"): _*)
+      // co-locate each partition value into ONE task before the hive
+      // staging: without this every task writes a file for every
+      // value it holds — task×|values| small files, superlinear file
+      // counts on days()/bucket() layouts (one shuffle buys one file
+      // per partition value per commit, the 100 TB-sane shape)
+      else staged.repartition(pfields.map(f =>
+          org.apache.spark.sql.functions.col(s"_p_${f.resultName}")): _*)
+        .write.partitionBy(pfields.map(f => s"_p_${f.resultName}"): _*)
     writer.parquet(stage.toString)
     // collect staged parts first, then land + footer-read them in
     // PARALLEL — serially this is O(|files|) driver round-trips, and

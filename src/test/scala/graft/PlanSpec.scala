@@ -29,6 +29,32 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("declared-schema scans keep parquet pushdown (Delta and Iceberg readers)") {
+    // the schema-evolution reader change requests an explicit schema;
+    // the lock: predicates still reach the parquet scan as
+    // PushedFilters — a scan that lost pushdown would read every row
+    // of every file at 100 TB
+    val s = spark
+    import s.implicits._
+    val dt = tmpDir("plan-declscan-d") + "/t"
+    graft.sources.DeltaTableWriter.create(
+      (1 to 500).map(i => (i.toLong, s"g${i % 4}", i * 2L)).toDF("id", "grp", "v"), dt): Unit
+    val dScan = graft.sources.DeltaTableReader.snapshot(spark, dt)
+      .where($"id" === 7L)
+    val dLeaves = dScan.queryExecution.executedPlan.collectLeaves()
+      .map(_.treeString).mkString("\n")
+    assert(dLeaves.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"), dLeaves)
+
+    val it = tmpDir("plan-declscan-i") + "/t"
+    graft.sources.IcebergTableWriter.create(
+      (1 to 500).map(i => (i.toLong, s"g${i % 4}", i * 2L)).toDF("id", "grp", "v"), it): Unit
+    val iScan = graft.sources.IcebergTableReader.snapshot(spark, it)
+      .where($"id" === 7L)
+    val iLeaves = iScan.queryExecution.executedPlan.collectLeaves()
+      .map(_.treeString).mkString("\n")
+    assert(iLeaves.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"), iLeaves)
+  }
+
   test("star join (q5): every dimension joins broadcast, never sort-merge") {
     val p = plan(Queries.q5StarJoin.run(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"))
