@@ -2095,6 +2095,71 @@ trait ReferenceQueries extends QueryBase {
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #106g Delta columnMapping=name APPEND (the write the UniForm /
+    * renamed-column world actually needs: every converted table is
+    * column-mapped, and a blind appender must land PHYSICAL column
+    * names — delta.io PROTOCOL.md Column Mapping). The fixture is the
+    * q_delta_colmap external shape (physical `col-k*` names sharing
+    * no substring with the logical schema); graft appends the odd
+    * half under LOGICAL names, the writer renames to the declared
+    * physical names, and the round-trip serves the logical rollup —
+    * any physical-name leak or mis-mapping fails the hash. Evolution
+    * and data-modifying ops on mapped tables keep refusing
+    * (SchemaEvolutionSpec).
+    */
+  val qDeltaColmapWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("delta-colmap-write")
+      val table = root + "/t"
+      new java.io.File(table).mkdirs()
+      val o = t(s, dir, "orders")
+      val phys = Seq(
+        "o_orderkey" -> "col-k1", "o_custkey" -> "col-k2", "o_orderstatus" -> "col-k3",
+        "o_totalprice" -> "col-k4", "o_orderdate" -> "col-k5", "o_orderpriority" -> "col-k6")
+      def physical(df: DataFrame) =
+        df.select(phys.map { case (l, p) => col(l).as(p) }: _*)
+      writeDeltaDataFile(physical(o.filter(pmod(col("o_orderkey"), lit(2)) === 0)),
+        table, "part-a.parquet")
+      val schema = {
+        import org.apache.spark.sql.types._
+        StructType(phys.zipWithIndex.map { case ((l, p), i) =>
+          StructField(l, o.schema(l).dataType, nullable = true,
+            new MetadataBuilder()
+              .putLong("delta.columnMapping.id", i + 1L)
+              .putString("delta.columnMapping.physicalName", p)
+              .build())
+        }).json
+      }
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+      writeDeltaCommit(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${q.writeValueAsString(schema)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"6"},"createdTime":1700000000000}}""",
+        deltaAdd("part-a.parquet")))
+      // the graft append arrives under LOGICAL names
+      graft.sources.DeltaTableWriter.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      // the appended files must carry PHYSICAL names on disk
+      val appended = new java.io.File(table).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.getName != "part-a.parquet")
+      require(appended.nonEmpty, "the append landed no data files")
+      appended.foreach { f =>
+        val cols = s.read.parquet(f.toString).columns.toSet
+        require(cols == phys.map(_._2).toSet,
+          s"appended file must carry PHYSICAL names, got ${cols.mkString(",")}")
+      }
+      graft.sources.DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #102g External Delta table with columnMapping=id (UniForm /
     * converted-table shape): resolution is by parquet FIELD ID, the
     * mode's actual rule — the fixture's data files carry column

@@ -69,11 +69,20 @@ object DeltaTableWriter {
     * side: loud refusal beats a silently-corrupting commit.
     */
   private def refuseWriterUnsupported(state: DeltaTableReader.Snapshot,
-      tablePath: String): Unit = {
+      tablePath: String, allowNameMapping: Boolean = false): Unit = {
     state.configuration.get("delta.columnMapping.mode").filter(_ != "none").foreach { m =>
-      throw new IllegalStateException(
-        s"$tablePath: delta.columnMapping.mode=$m — appended data files must carry " +
-          "PHYSICAL column names, which this writer does not produce; refusing")
+      // `name` mode appends ARE supported (the append renames its
+      // columns to the declared physical names, which is all the mode
+      // obliges a blind appender to do); `id` mode additionally
+      // requires parquet FIELD IDS in the data files, which this
+      // writer does not stamp — and every data-modifying operation
+      // (delete/upsert/restore/compact) would have to rebuild its
+      // remove/re-add bookkeeping in physical terms, so only appends
+      // opt in
+      if (!(allowNameMapping && m == "name"))
+        throw new IllegalStateException(
+          s"$tablePath: delta.columnMapping.mode=$m — this operation cannot honor the " +
+            "mode's physical-name/field-id obligations on written files; refusing")
     }
     val constraints = state.configuration.keys.filter(_.startsWith("delta.constraints."))
     if (constraints.nonEmpty) throw new IllegalStateException(
@@ -84,13 +93,22 @@ object DeltaTableWriter {
         s"$tablePath: table schema declares column invariants (delta.invariants) — " +
           "this writer does not enforce them on appended rows; refusing")
     state.protocol.foreach { p =>
-      if (p.minWriterVersion > 2 && p.minWriterVersion != 7)
-        throw new IllegalStateException(
+      if (p.minWriterVersion > 2 && p.minWriterVersion != 7) {
+        // legacy writer 5 = column mapping (cumulative with 3/4 whose
+        // obligations — CHECK constraints, invariants — are checked
+        // above; generated columns refuse here): a name-mode append
+        // that renames to physical columns honors everything v5 adds
+        val nameModeOk = allowNameMapping && p.minWriterVersion == 5 &&
+          !state.schemaJson.exists(_.contains("delta.generationExpression"))
+        if (!nameModeOk) throw new IllegalStateException(
           s"$tablePath: protocol minWriterVersion=${p.minWriterVersion} bundles legacy " +
             "writer obligations (CHECK constraints / generated columns / column mapping / " +
             "identity columns) this writer does not implement; refusing")
+      }
       if (p.minWriterVersion == 7) {
-        val unsupported = p.writerFeatures.toSet -- SupportedWriterFeatures
+        val unsupported = p.writerFeatures.toSet --
+          (if (allowNameMapping) SupportedWriterFeatures + "columnMapping"
+           else SupportedWriterFeatures)
         if (unsupported.nonEmpty) throw new IllegalStateException(
           s"$tablePath: protocol requires writer features ${unsupported.mkString(", ")} — " +
             "this writer cannot honor them; refusing")
@@ -1103,7 +1121,38 @@ object DeltaTableWriter {
       checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     val spark = df.sparkSession
     val state = DeltaTableReader.snapshotState(spark, tablePath)
-    refuseWriterUnsupported(state, tablePath)
+    refuseWriterUnsupported(state, tablePath, allowNameMapping = true)
+    val nameMapped =
+      state.configuration.get("delta.columnMapping.mode").contains("name")
+    if (nameMapped) {
+      // columnMapping=name append: the batch arrives under LOGICAL
+      // names; data files must carry the declared PHYSICAL names and
+      // add.partitionValues key on them (PROTOCOL.md). Additive
+      // evolution refuses here — a new column needs a fresh physical
+      // name + delta.columnMapping.id + maxColumnId bump, which this
+      // writer does not mint.
+      val physOf = DeltaTableReader.columnMappingOf(state.schemaJson, tablePath)
+      val logicalCols = state.schemaJson
+        .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+        .collect { case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq }
+        .getOrElse(throw new IllegalStateException(
+          s"$tablePath: table metadata carries no parseable schemaString"))
+      require(df.columns.toSet == logicalCols.toSet,
+        s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table schema " +
+          s"${logicalCols.sorted.mkString(",")} — column-mapped appends must match the " +
+          "declared schema exactly (no evolution)")
+      val physical = df.select(logicalCols.map(c =>
+        org.apache.spark.sql.functions.col(c).as(physOf.getOrElse(c, c))): _*)
+      val physPartCols = state.partitionColumns.map(c => physOf.getOrElse(c, c))
+      val files = writeDataFiles(physical, tablePath, physPartCols)
+      val v = commit(spark, tablePath, state.version + 1,
+        transaction.map(txnLine).toSeq ++
+          files.map { case (rel, size, mtime, st) =>
+            addLine(rel, size, mtime, physPartCols, st) },
+        ictNeeded = ictNeededOf(state))
+      maybeCheckpoint(spark, tablePath, v, checkpointInterval)
+      return v
+    }
     val (cols, metaLines) = evolveSchemaIfNeeded(state, tablePath, df)
     val aligned = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
     val files = writeDataFiles(aligned, tablePath, state.partitionColumns)

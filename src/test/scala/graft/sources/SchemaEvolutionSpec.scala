@@ -138,4 +138,69 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(IcebergTableReader.snapshot(spark, table)
       .where($"id" === 7L).head().getAs[Long]("v") == 70L)
   }
+
+  // ------------------------------------- columnMapping=name appends
+
+  test("delta columnMapping=name APPEND: physical names in the files, logical round-trip") {
+    import org.apache.spark.sql.types._
+    val table = tmpDir("sev-cmap") + "/t"
+    new java.io.File(s"$table/_delta_log").mkdirs()
+    // a name-mapped table as an external engine lands it: physical
+    // parquet names, mapping in the schemaString metadata
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", 1L)
+        .putString("delta.columnMapping.physicalName", "col-aaa").build()),
+      StructField("grp", StringType, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", 2L)
+        .putString("delta.columnMapping.physicalName", "col-bbb").build()),
+      StructField("v", LongType, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", 3L)
+        .putString("delta.columnMapping.physicalName", "col-ccc").build()))).json
+    val sq = new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schema)
+    val stage = tmpDir("sev-cmap-stage") + "/out"
+    df(1 to 20).select(col("id").as("col-aaa"), col("grp").as("col-bbb"),
+      col("v").as("col-ccc")).coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dataRel = "part-0.parquet"
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(table, dataRel).toPath)
+    val size = new java.io.File(table, dataRel).length()
+    java.nio.file.Files.write(
+      new java.io.File(s"$table/_delta_log", f"${0L}%020d.json").toPath,
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":$sq,"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"3"},"createdTime":0}}""",
+        s"""{"add":{"path":"$dataRel","partitionValues":{},"size":$size,""" +
+          s""""modificationTime":0,"dataChange":true}}""").mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    assert(DeltaTableReader.snapshot(spark, table).count() == 20L)
+    // the graft append arrives under LOGICAL names
+    DeltaTableWriter.append(df(21 to 35), table): Unit
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.columns.toSeq == Seq("id", "grp", "v"))
+    assert(snap.count() == 35L)
+    assert(snap.where(col("id") === 30L).head().getAs[Long]("v") == 60L)
+    // the appended data FILES carry the physical names (protocol
+    // obligation — another engine's name-mode reader depends on it)
+    val appended = new java.io.File(table).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.getName != dataRel)
+    assert(appended.nonEmpty)
+    appended.foreach { f =>
+      val cols = spark.read.parquet(f.toString).columns.toSet
+      assert(cols == Set("col-aaa", "col-bbb", "col-ccc"),
+        s"appended file must carry PHYSICAL names, got $cols")
+    }
+    // evolution and data-modifying ops keep refusing on mapped tables
+    val e1 = intercept[IllegalArgumentException](
+      DeltaTableWriter.append(dfWide(1 to 2), table))
+    assert(e1.getMessage.contains("no evolution"))
+    val e2 = intercept[IllegalStateException](
+      DeltaTableWriter.upsert(df(1 to 2), table, Seq("id")))
+    assert(e2.getMessage.contains("columnMapping"))
+  }
 }
