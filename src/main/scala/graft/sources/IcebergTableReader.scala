@@ -610,6 +610,29 @@ object IcebergTableReader {
     * written before it (footer inference would make the scanned
     * schema depend on which file Spark samples).
     */
+  /** True when the schema HISTORY maps any field id to more than one
+    * name — the table renamed a column at some point, and data files
+    * written before the rename carry the OLD parquet name: a
+    * name-keyed scan would silently null-fill the renamed column for
+    * those files. Field-id resolution (the spec's actual rule) is
+    * the only safe read then.
+    */
+  private def hasRenamedColumns(meta: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    val schemas = meta.get("schemas")
+    if (schemas == null || !schemas.isArray) return false
+    val seen = scala.collection.mutable.Map.empty[Int, String]
+    var renamed = false
+    schemas.forEach { sn =>
+      val fs0 = sn.get("fields")
+      if (fs0 != null && fs0.isArray) fs0.forEach { f =>
+        val id = f.get("id").asInt(); val n = f.get("name").asText()
+        if (seen.getOrElse(id, n) != n) renamed = true
+        seen(id) = n
+      }
+    }
+    renamed
+  }
+
   private def declaredSparkSchema(spark: SparkSession,
       tablePath: String): Option[org.apache.spark.sql.types.StructType] = {
     val fs = fsOf(spark, new Path(tablePath))
@@ -618,6 +641,14 @@ object IcebergTableReader {
     if (schemaNode == null) return None
     val fields = schemaNode.get("fields")
     if (fields == null || !fields.isArray) return None
+    // renamed tables resolve columns by FIELD ID (the spec's rule —
+    // engines stamp parquet field ids); the requested schema carries
+    // parquet.field.id metadata and the session flag turns id
+    // matching on, exactly the Delta columnMapping=id machinery
+    val byId = hasRenamedColumns(meta)
+    if (byId && spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
+        .forall(_ != "true"))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val b = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     var ok = true
     fields.forEach { f =>
@@ -625,8 +656,12 @@ object IcebergTableReader {
       if (tNode == null || !tNode.isTextual) ok = false
       else sparkTypeOf(tNode.asText()) match {
         case Some(dt) =>
+          val md =
+            if (!byId) org.apache.spark.sql.types.Metadata.empty
+            else new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", f.get("id").asLong()).build()
           b += org.apache.spark.sql.types.StructField(f.get("name").asText(), dt,
-            nullable = true)
+            nullable = true, md)
         case None => ok = false
       }
     }

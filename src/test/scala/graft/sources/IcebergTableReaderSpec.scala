@@ -427,4 +427,57 @@ class IcebergTableReaderSpec extends SparkSpec {
       IcebergTableReader.snapshotAsOfTimestamp(spark, table, 1600000000000L))
     assert(e.getMessage.contains("no snapshot"))
   }
+
+  test("renamed columns resolve by FIELD ID: pre-rename files serve the renamed column") {
+    import org.apache.spark.sql.types._
+    val table = tmpDir("ice-rename")
+    // files carry parquet FIELD IDS (real engines stamp them); the
+    // pre-rename file's column is NAMED 'grp', the post-rename one
+    // 'category' — both field id 2
+    def withIds(df: org.apache.spark.sql.DataFrame) = {
+      val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
+      }
+      spark.createDataFrame(df.rdd, StructType(fields))
+    }
+    writeDataFile(withIds(rows(1 to 30)), table, "data/pre.parquet")
+    val s = spark
+    import s.implicits._
+    val post = (31 to 40).map(i => (i.toLong, s"g${i % 3}", i * 2L))
+      .toDF("id", "category", "v")
+    writeDataFile(withIds(post), table, "data/post.parquet")
+    writeAvro(s"$table/metadata/m1.avro", manifestEntrySchema, Seq(
+      manifestRec(1, 1L, "data/pre.parquet"),
+      manifestRec(1, 1L, "data/post.parquet")))
+    writeAvro(s"$table/metadata/snap-1.avro", manifestListSchema,
+      Seq(listRec("metadata/m1.avro", 1L)))
+    val dir = new java.io.File(table, "metadata")
+    val w = new java.io.PrintWriter(new java.io.File(dir, "v1.metadata.json"), "UTF-8")
+    try w.println(
+      s"""{"format-version":2,"table-uuid":"fixture","location":"$table",""" +
+        s""""schemas":[""" +
+        s"""{"schema-id":0,"type":"struct","fields":[""" +
+        s"""{"id":1,"name":"id","required":false,"type":"long"},""" +
+        s"""{"id":2,"name":"grp","required":false,"type":"string"},""" +
+        s"""{"id":3,"name":"v","required":false,"type":"long"}]},""" +
+        s"""{"schema-id":1,"type":"struct","fields":[""" +
+        s"""{"id":1,"name":"id","required":false,"type":"long"},""" +
+        s"""{"id":2,"name":"category","required":false,"type":"string"},""" +
+        s"""{"id":3,"name":"v","required":false,"type":"long"}]}],""" +
+        s""""current-schema-id":1,""" +
+        s""""current-snapshot-id":1,"snapshots":[""" +
+        s"""{"snapshot-id":1,"timestamp-ms":1700000000000,""" +
+        s""""summary":{"operation":"append"},"manifest-list":"metadata/snap-1.avro"}]}""")
+    finally w.close()
+    val h = new java.io.PrintWriter(new java.io.File(dir, "version-hint.text"), "UTF-8")
+    try h.println("1") finally h.close()
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.columns.toSeq == Seq("id", "category", "v"),
+      "callers see the CURRENT schema's names")
+    assert(snap.count() == 40L)
+    assert(snap.where(col("category").isNull).count() == 0L,
+      "pre-rename files must serve the renamed column BY FIELD ID, not null-fill it")
+    assert(snap.where(col("id") === 5L).head().getAs[String]("category") == "g2")
+    assert(snap.where(col("id") === 31L).head().getAs[String]("category") == "g1")
+  }
 }
