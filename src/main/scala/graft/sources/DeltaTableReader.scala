@@ -723,6 +723,24 @@ object DeltaTableReader {
     * DataFrame — decode runs ON EXECUTORS (sidecar reads through a
     * broadcast Hadoop conf), the driver never holds the positions.
     */
+  /** The DV-diff/file-scan building blocks, shared with the WRITER's
+    * restore CDF legs (the change images of a restore are exactly
+    * file-set and DV-position diffs — never a whole-snapshot
+    * exceptAll). */
+  private[sources] def dvKeyOf(tablePath: String, f: FileAction): String =
+    normalizeDriverPath(abs(tablePath, f.path))
+
+  private[sources] def dvPositionsOf(spark: SparkSession, tablePath: String,
+      dvFiles: Seq[(String, DeltaDv.Descriptor)]): DataFrame =
+    dvPositions(spark, tablePath, dvFiles)
+
+  private[sources] def readFileActions(spark: SparkSession, tablePath: String,
+      files: Seq[FileAction], partitionColumns: Seq[String], schemaJson: Option[String],
+      configuration: Map[String, String],
+      keepPositions: Option[DataFrame] = None): DataFrame =
+    readFiles(spark, tablePath, files, partitionColumns, schemaJson,
+      keepPositions = keepPositions, configuration = configuration)
+
   private def dvPositions(
       spark: SparkSession,
       tablePath: String,

@@ -1097,20 +1097,63 @@ object DeltaTableWriter {
           s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
           s""""dataChange":true$dvJson}}""")
       }.flatten
-    // CDF obligation: a restore's change images are the TWO-SNAPSHOT
-    // diff — rows only in the target come back as inserts, rows only
-    // in the current state go out as deletes. O(both snapshots), the
-    // honest cost of restoring a CDF table (restores are rare; the
-    // protocol still requires the images).
+    // CDF obligation: a restore's change images are FILE-SET and
+    // DV-POSITION diffs — never a whole-snapshot exceptAll:
+    //  - files dropped by the restore serve their live rows as
+    //    deletes; files re-activated serve theirs (old DV applied)
+    //    as inserts;
+    //  - files active on both sides with a DIFFERENT vector diff at
+    //    the POSITION level (executor-decoded, |DV|-sized): positions
+    //    masked now but not then resurrect as inserts, the reverse
+    //    go out as deletes.
+    // Cost is O(changed files + DV sizes), not O(snapshots).
     val cdcLines =
       if (!cdfEnabledOf(now)) Nil
       else {
         val litCt = org.apache.spark.sql.functions.lit _
-        val cur = DeltaTableReader.snapshot(spark, tablePath)
-        val tgt = DeltaTableReader.snapshotAsOf(spark, tablePath, version)
-        val ins = tgt.exceptAll(cur).withColumn("_change_type", litCt("insert"))
-        val del = cur.exceptAll(tgt).withColumn("_change_type", litCt("delete"))
-        writeCdcFiles(ins.unionByName(del), tablePath, now.partitionColumns)
+        val legs = Seq.newBuilder[DataFrame]
+        def scan(files: Seq[DeltaTableReader.FileAction],
+            keep: Option[DataFrame] = None): DataFrame =
+          DeltaTableReader.readFileActions(spark, tablePath, files,
+            now.partitionColumns, now.schemaJson, now.configuration, keep)
+        if (toRemove.nonEmpty)
+          legs += scan(toRemove).withColumn("_change_type", litCt("delete"))
+        val addedBack = then0.active.filterNot(f => nowBy.contains(f.path))
+        if (addedBack.nonEmpty)
+          legs += scan(addedBack).withColumn("_change_type", litCt("insert"))
+        val dvChanged = then0.active.filter(f => nowBy.get(f.path).exists(cur =>
+          cur.dv.map(_.pathOrInlineDv) != f.dv.map(_.pathOrInlineDv)))
+        if (dvChanged.nonEmpty) {
+          val key: DeltaTableReader.FileAction => String =
+            DeltaTableReader.dvKeyOf(tablePath, _)
+          val thenDvs = dvChanged.flatMap(f => f.dv.map(d => (key(f), d)))
+          val nowDvs = dvChanged.flatMap(f => nowBy(f.path).dv.map(d => (key(f), d)))
+          val stripped = dvChanged.map(_.copy(dv = None))
+          def posOf(dvs: Seq[(String, DeltaDv.Descriptor)]): Option[DataFrame] =
+            if (dvs.isEmpty) None
+            else Some(DeltaTableReader.dvPositionsOf(spark, tablePath, dvs))
+          (posOf(nowDvs), posOf(thenDvs)) match {
+            case (None, None) => ()
+            case (pn, pt) =>
+              val resurrect = (pn, pt) match {
+                case (Some(n0), Some(t0)) => Some(n0.join(t0, Seq("_g_file", "_g_pos"), "left_anti"))
+                case (Some(n0), None) => Some(n0)
+                case (None, _) => None
+              }
+              val killed = (pn, pt) match {
+                case (Some(n0), Some(t0)) => Some(t0.join(n0, Seq("_g_file", "_g_pos"), "left_anti"))
+                case (None, Some(t0)) => Some(t0)
+                case (_, None) => None
+              }
+              resurrect.foreach(r =>
+                legs += scan(stripped, Some(r)).withColumn("_change_type", litCt("insert")))
+              killed.foreach(k =>
+                legs += scan(stripped, Some(k)).withColumn("_change_type", litCt("delete")))
+          }
+        }
+        val parts = legs.result()
+        if (parts.isEmpty) Nil
+        else writeCdcFiles(parts.reduce(_.unionByName(_)), tablePath, now.partitionColumns)
       }
     commit(spark, tablePath, now.version + 1, cdcLines ++ lines,
       ictNeeded = ictNeededOf(now), rebaseSafe = false)

@@ -209,12 +209,20 @@ class DeltaTableWriterSpec extends SparkSpec {
         """"writerFeatures":["deletionVectors","rowTracking"]}}"""))
     val e = intercept[IllegalStateException](DeltaTableWriter.append(df(11 to 20), table))
     assert(e.getMessage.contains("rowTracking"))
-    // legacy bundled writer versions (3..6) refuse
+    // legacy bundled writer versions refuse — except 5 (column
+    // mapping), whose obligations an append honors once the CHECK/
+    // generated-column/invariant guards pass (columnMapping=name
+    // appends are supported; SchemaEvolutionSpec)
     val t2 = tmpDir("dwr-wlegacy") + "/t"
     DeltaTableWriter.create(df(1 to 10), t2): Unit
-    rawCommit(t2, 1L, Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}"""))
+    rawCommit(t2, 1L, Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}"""))
     val e2 = intercept[IllegalStateException](DeltaTableWriter.append(df(11 to 20), t2))
     assert(e2.getMessage.contains("minWriterVersion"))
+    val t2b = tmpDir("dwr-w5ok") + "/t"
+    DeltaTableWriter.create(df(1 to 10), t2b): Unit
+    rawCommit(t2b, 1L, Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}"""))
+    DeltaTableWriter.append(df(11 to 20), t2b): Unit
+    assert(DeltaTableReader.snapshot(spark, t2b).count() == 20L)
     // CHECK constraints in the configuration refuse even at version 2
     val t3 = tmpDir("dwr-wconstraint") + "/t"
     DeltaTableWriter.create(df(1 to 10), t3): Unit
