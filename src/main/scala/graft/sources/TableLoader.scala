@@ -154,11 +154,16 @@ object TableLoader {
       case IcebergFormat  => IcebergTableReader.changeFeedSince(spark, path, since.toLong)
       case HudiFormat if HudiTableReader.isMor(spark, path) =>
         // MOR delete blocks ARE delete images (key tombstones) — the
-        // feed serves upsert post-images + delete key-images
+        // feed serves upsert post-images + delete key-images, with
+        // hoodie.table.cdc.enabled images (pre/post) taking precedence
+        HudiTableReader.changeFeedSince(spark, path, since)
+      case HudiFormat if HudiTableWriter.cdcEnabledOf(spark, path) =>
+        // a cdc-enabled COW table's feed is its landed images
         HudiTableReader.changeFeedSince(spark, path, since)
       case HudiFormat     => throw new IllegalArgumentException(
         s"$path: a Hudi COW timeline carries no delete images for a CDC feed — use " +
-          "openIncremental for the upsert-exact post-image pull")
+          "openIncremental for the upsert-exact post-image pull, or enable " +
+          "hoodie.table.cdc.enabled to land pre/post images")
       case PlainParquet   => throw new IllegalArgumentException(
         s"$path is a plain parquet directory — no commit log to read a change feed from")
     }
