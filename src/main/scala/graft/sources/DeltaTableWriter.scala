@@ -62,7 +62,8 @@ object DeltaTableWriter {
     * corrupt the table for other engines.
     */
   val SupportedWriterFeatures: Set[String] =
-    Set("appendOnly", "timestampNtz", "deletionVectors", "variantType", "inCommitTimestamp")
+    Set("appendOnly", "timestampNtz", "deletionVectors", "variantType",
+      "inCommitTimestamp", "v2Checkpoint")
 
   /** Refuse an append the table's protocol or metadata makes unsafe.
     * Mirrors the reader's refuseReaderFeatures contract on the write
@@ -521,6 +522,8 @@ object DeltaTableWriter {
   def writeCheckpoint(spark: SparkSession, tablePath: String,
       partRows: Int = CheckpointPartRows,
       v2Threshold: Int = V2CheckpointFileThreshold): Long = {
+    // declared up front so the threshold choice below can also honor
+    // a protocol that REQUIRES the v2 layout
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val state = DeltaTableReader.snapshotState(spark, tablePath)
@@ -599,7 +602,11 @@ object DeltaTableWriter {
       fs.delete(stage, true): Unit
     }
     val allRows = Seq(protoRow, metaRow) ++ txnRows ++ addRows
-    if (addRows.size > v2Threshold) {
+    // a protocol declaring the v2Checkpoint feature expects its
+    // checkpoints in the v2 layout regardless of size
+    val wantsV2 = state.protocol.exists(p =>
+      p.readerFeatures.contains("v2Checkpoint") || p.writerFeatures.contains("v2Checkpoint"))
+    if (wantsV2 || addRows.size > v2Threshold) {
       // V2 checkpoint: the manifest carries the metadata actions plus
       // `sidecar` pointers; the add set rides `_sidecars/` parquet
       // files (partRows-sized), exactly the layout the v2 read path
@@ -639,7 +646,7 @@ object DeltaTableWriter {
       }
     }
     val partsField =
-      if (addRows.size > v2Threshold || allRows.size <= partRows) ""
+      if (wantsV2 || addRows.size > v2Threshold || allRows.size <= partRows) ""
       else s""","parts":${(allRows.size + partRows - 1) / partRows}"""
     val out = fs.create(new Path(dir, "_last_checkpoint"), true)
     try out.write(

@@ -449,5 +449,18 @@ class DeltaTableWriterSpec extends SparkSpec {
     assert(man.renameTo(lied))
     val e = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, table))
     assert(e.getMessage.contains("inconsistent checkpoint"))
+    // a protocol DECLARING v2Checkpoint gets the v2 layout at any size
+    val t2 = tmpDir("dwr-v2feat") + "/t"
+    DeltaTableWriter.create(df(1 to 10), t2): Unit
+    rawCommit(t2, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint","appendOnly"]}}"""))
+    DeltaTableWriter.append(df(11 to 20), t2): Unit
+    DeltaTableWriter.writeCheckpoint(spark, t2): Unit
+    val man2 = new java.io.File(s"$t2/_delta_log").listFiles().map(_.getName)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+    assert(man2.length == 1 && man2.head.split("\\.").length > 3,
+      s"v2Checkpoint-feature table must land the uuid manifest, got ${man2.mkString(",")}")
+    assert(DeltaTableReader.snapshot(spark, t2).count() == 20L)
   }
 }
