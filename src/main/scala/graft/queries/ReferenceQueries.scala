@@ -1633,6 +1633,53 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'incremental'
         |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority""".stripMargin))
 
+  /** #103m Hudi STATS-BASED FILE SKIPPING (the third leg of the
+    * skipping triad beside Delta add.stats (102f) and Iceberg
+    * manifest bounds (104e)): `writeColStatsIndex` publishes the
+    * metadata-table `col_stats` analog — per-file min/max from ONE
+    * distributed scan — and `snapshotSkipping` prunes files whose
+    * recorded range provably misses the asked interval, keeping
+    * unindexed files conservatively. The table is range-clustered on
+    * the skip key so files carry disjoint ranges (the layout that
+    * makes skipping real); the file-set cut is require-proven in-run
+    * and the pruned+residual leg recomputes against the full rollup.
+    */
+  val qHudiSkipping: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-skipping") + "/t"
+      val o = t(s, dir, "orders")
+      HudiTableWriter.create(o.repartitionByRange(8, col("o_orderkey")), table,
+        tableName = "orders_skip", recordKeys = Seq("o_orderkey")): Unit
+      HudiTableWriter.writeColStatsIndex(s, table,
+        Seq("o_orderkey", "o_totalprice")): Unit
+      val all = HudiTableReader.activeSlices(s, table).size
+      val lo = 1000.0; val hi = 3000.0
+      val skipped = HudiTableReader.snapshotSkipping(s, table, "o_orderkey", lo, hi)
+      require(skipped.inputFiles.length > 0 && skipped.inputFiles.length < all,
+        s"stats skipping must cut the file set (${skipped.inputFiles.length} of $all)")
+      val pruned = skipped
+        .where(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("skipped"))
+      val full = HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("all"))
+      full.unionByName(pruned)
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  'all' AS slice
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'skipped'
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #103k Hudi CDC `_cdc` images — write AND serve
     * ([[graft.sources.HudiTableWriter]] writeCdcImages +
     * [[graft.sources.HudiTableReader.changeFeedSince]] precedence):

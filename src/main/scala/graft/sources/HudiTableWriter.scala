@@ -1031,6 +1031,57 @@ object HudiTableWriter {
     head
   }
 
+  /** COLUMN-STATS INDEX (the metadata-table `col_stats` partition —
+    * the third leg of the stats-based file-skipping triad beside
+    * Delta add.stats and Iceberg manifest bounds): per ACTIVE base
+    * file, min/max of `columns`, computed in ONE distributed scan
+    * (groupBy on the scan's file path — stats never transit the
+    * driver row-wise) and published as parquet at
+    * `.hoodie/metadata/col_stats/<headInstant>.parquet`.
+    * [[HudiTableReader.snapshotSkipping]] prunes files whose recorded
+    * range provably misses the asked interval; files written AFTER
+    * the index (or absent from it) are conservatively KEPT — skipping
+    * cuts I/O, never semantics. COW only (a MOR group's log rows are
+    * invisible to base-file stats — refused loudly). Returns the
+    * indexed instant.
+    */
+  def writeColStatsIndex(spark: SparkSession, tablePath: String,
+      columns: Seq[String]): String = {
+    require(columns.nonEmpty, "writeColStatsIndex needs at least one column")
+    require(!HudiTableReader.isMor(spark, tablePath),
+      s"$tablePath: col-stats skipping is COW machinery — a MOR group's log rows are " +
+        "invisible to base-file stats; compact first")
+    val slices = HudiTableReader.activeSlices(spark, tablePath)
+    val head = HudiTableReader.latestInstant(spark, tablePath)
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.functions.{col => c, max => mx, min => mn}
+    val absToRel = slices.map(s0 =>
+      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}") -> s0.path).toMap
+    val scan = spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
+      .withColumn("_g_file", ScanPaths.normalizeScan(c("_metadata.file_path")))
+    columns.foreach(cn => require(scan.columns.contains(cn),
+      s"$tablePath: col-stats column $cn is not a table column"))
+    val aggs = columns.flatMap(cn =>
+      Seq(mn(c(cn)).as(s"min_$cn"), mx(c(cn)).as(s"max_$cn")))
+    val stats = scan.groupBy(c("_g_file")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("_g_file",
+        org.apache.spark.sql.functions.udf((p: String) => absToRel.getOrElse(p, p))
+          .apply(c("_g_file")))
+    val dir = new Path(hoodieDir(tablePath), "metadata/col_stats")
+    fs.mkdirs(dir)
+    val stage = new Path(tablePath, s".graft-cstats-${java.util.UUID.randomUUID()}")
+    stats.coalesce(1).write.parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"$tablePath: col-stats staged nothing"))
+    val dst = new Path(dir, s"$head.parquet")
+    fs.delete(dst, false)
+    if (!fs.rename(part, dst)) throw new IllegalStateException(
+      s"$tablePath: failed to land col-stats index $dst")
+    fs.delete(stage, true)
+    head
+  }
+
   /** TIMELINE ARCHIVAL (Hudi's own archival service move): rotate all
     * completed instants except the newest `keepLast` out of the
     * active `.hoodie` listing into `.hoodie/archived/` — what keeps

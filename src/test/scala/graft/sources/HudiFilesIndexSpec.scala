@@ -77,4 +77,38 @@ class HudiFilesIndexSpec extends SparkSpec {
     // planning falls back to the full replay and stays correct
     assert(HudiTableReader.snapshot(spark, table).count() == 10L)
   }
+
+  test("col-stats skipping: provable misses prune, unindexed files keep, MOR refuses") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("hcs-skip") + "/t"
+    // range-clustered layout: 4 files with disjoint id ranges
+    HudiTableWriter.create(
+      df(1 to 400).repartitionByRange(4, col("id")), table, recordKeys = Seq("id")): Unit
+    HudiTableWriter.writeColStatsIndex(spark, table, Seq("id", "v")): Unit
+    val all = HudiTableReader.activeSlices(spark, table).size
+    assert(all == 4)
+    val skipped = HudiTableReader.snapshotSkipping(spark, table, "id", 50.0, 120.0)
+    assert(skipped.inputFiles.length < all,
+      s"disjoint ranges must prune (${skipped.inputFiles.length} of $all)")
+    assert(skipped.where(col("id").between(50, 120)).count() == 71L)
+    // files appended AFTER the index are conservatively kept
+    HudiTableWriter.append(df(401 to 410), table): Unit
+    val after = HudiTableReader.snapshotSkipping(spark, table, "id", 405.0, 406.0)
+    assert(after.where(col("id").between(405, 406)).count() == 2L,
+      "post-index files must be KEPT, not skipped")
+    // a provably-empty interval keeps only the UNINDEXED post-append
+    // files (conservative), and the residual filter yields zero rows
+    val allNow = HudiTableReader.activeSlices(spark, table).size
+    val empty = HudiTableReader.snapshotSkipping(spark, table, "id", 1e9, 2e9)
+    assert(empty.inputFiles.length == allNow - 4,
+      s"exactly the 4 indexed files must prune (kept ${empty.inputFiles.length} of $allNow)")
+    assert(empty.where(col("id") >= 1e9).count() == 0L)
+    // MOR tables refuse the index build
+    val mor = tmpDir("hcs-mor") + "/t"
+    HudiTableWriter.createMor(df(1 to 10), mor, recordKeys = Seq("id")): Unit
+    val e = intercept[IllegalArgumentException](
+      HudiTableWriter.writeColStatsIndex(spark, mor, Seq("id")))
+    assert(e.getMessage.contains("MOR") || e.getMessage.contains("compact"))
+  }
 }
