@@ -1373,6 +1373,43 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1""".stripMargin))
 
+  /** #103n Hudi ADDITIVE SCHEMA EVOLUTION
+    * ([[graft.sources.HudiTableWriter]] evolutionOf +
+    * [[graft.sources.HudiTableReader]] declaredDataSchema): the COW
+    * table is created WITHOUT o_orderpriority; the evolving append
+    * carries it, committing Hudi's own `extraMetadata.schema` Avro
+    * authority, and every later read scans with the DECLARED schema —
+    * pre-evolution base files null-fill deterministically (footer
+    * inference would depend on which file Spark samples). An evolving
+    * UPSERT then patches a key slice, proving carried rows null-fill
+    * while keeping their stamps (HudiSchemaEvolutionSpec); here the
+    * rollup keys on the evolved column with nulls made visible, and
+    * the oracle recreates the null pattern from the key parity.
+    * Drops/type changes/MOR keep refusing (spec-gated).
+    */
+  val qHudiSchemaEvolve: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-evolve") + "/t"
+      val o = t(s, dir, "orders")
+      HudiTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0).drop("o_orderpriority"), table,
+        recordKeys = Seq("o_orderkey")): Unit
+      HudiTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      require(HudiTableReader.declaredDataSchema(s, table)
+          .exists(_.fieldNames.contains("o_orderpriority")),
+        "the evolution commit must declare the new column")
+      HudiTableReader.snapshot(s, table)
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)")).as("priority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT coalesce(CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END,
+        |                '(pre-evolution)') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin))
+
   /** #109e Iceberg PARTITION-TRANSFORM writer + inverse prune
     * ([[graft.sources.IcebergTransforms]]): a `days(o_orderdate)`-
     * partitioned table — the shape most PRODUCTION Iceberg tables

@@ -284,17 +284,53 @@ object HudiTableWriter {
         s"declares hoodie.table.recordkey.fields=${declared.mkString(",")} — the table " +
         "property wins; drop the argument or fix the expectation")
     val existing = HudiTableReader.snapshot(spark, tablePath)
-    val dataCols = existing.columns.filterNot(_.startsWith("_hoodie_")).toSet
-    require(df.columns.toSet == dataCols,
-      s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table columns " +
-        s"${dataCols.toSeq.sorted.mkString(",")} — appends must match the existing schema")
+    val evolved = evolutionOf(df, tablePath, existing)
     // MOR inserts land under deltacommits (Hudi's MOR write path —
     // an ordinary commit on a MOR timeline means compaction); the
     // partitioning comes from the TABLE's declaration, like the keys
     val kind = if (HudiTableReader.isMor(spark, tablePath)) "deltacommit" else "commit"
     insertCommit(df, tablePath, declared, kind,
       partitionBy = declaredPartitionFields(spark, tablePath),
-      extraMetadata = extraMetadata)
+      extraMetadata = extraMetadata ++ evolved.map("schema" -> _))
+  }
+
+  /** ADDITIVE SCHEMA EVOLUTION gate for a write batch against the
+    * table's current columns: an exact match returns None (no
+    * evolution); a batch that ADDS columns (and drops/retypes none)
+    * returns the evolved schema's commit-metadata Avro JSON — the
+    * `schema` key Hudi's own commits carry and
+    * [[HudiTableReader.declaredDataSchema]] resolves, making old
+    * files null-fill the new columns deterministically. Dropped
+    * columns and TYPE CHANGES refuse loudly (rewrite-grade
+    * migrations, not metadata commits); MOR tables refuse — log
+    * blocks pin their write-time schema, so evolution there is a
+    * compact-first migration.
+    */
+  private def evolutionOf(df: DataFrame, tablePath: String,
+      existing: DataFrame): Option[String] = {
+    val spark = df.sparkSession
+    val dataFields = existing.schema.fields.filterNot(_.name.startsWith("_hoodie_"))
+    val dataCols = dataFields.map(_.name).toSet
+    val missing = dataCols -- df.columns
+    require(missing.isEmpty,
+      s"$tablePath: batch drops table column(s) ${missing.toSeq.sorted.mkString(",")} — " +
+        "evolution is ADDITIVE only; write the full column set")
+    val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    dataFields.foreach { f =>
+      require(batchTypes(f.name) == f.dataType,
+        s"$tablePath: column ${f.name} arrives as ${batchTypes(f.name)} but the table " +
+          s"declares ${f.dataType} — type changes are rewrite-grade migrations; refusing")
+    }
+    if (df.columns.toSet == dataCols) return None
+    require(!HudiTableReader.isMor(spark, tablePath),
+      s"$tablePath is MERGE-ON-READ — its log blocks pin their write-time schema, so " +
+        "additive evolution needs a compaction first; refusing")
+    // evolved order: existing data columns verbatim, new ones after,
+    // in batch order — what every later declared-schema scan serves
+    val newFields = df.schema.fields.filterNot(f => dataCols.contains(f.name))
+    val evolvedSchema = org.apache.spark.sql.types.StructType(
+      dataFields.toIndexedSeq ++ newFields)
+    Some(HudiSchema.toAvroJson(evolvedSchema))
   }
 
   /** Commit-metadata keys carrying a streaming sink's (appId,
@@ -374,9 +410,10 @@ object HudiTableWriter {
     val precombine = tableProperties(spark, tablePath).get("hoodie.table.precombine.field")
     val existing = HudiTableReader.snapshot(spark, tablePath)
     val dataCols = existing.columns.filterNot(_.startsWith("_hoodie_")).toSeq
-    require(df.columns.toSet == dataCols.toSet,
-      s"$tablePath: upsert columns ${df.columns.sorted.mkString(",")} != table columns " +
-        s"${dataCols.sorted.mkString(",")} — the batch must match the existing schema")
+    // additive evolution: a batch ADDING columns commits the evolved
+    // schema; carried rows null-fill below. Drops/retypes/MOR refuse.
+    val evolvedJson = evolutionOf(df, tablePath, existing)
+    val newFields = df.schema.fields.filterNot(f => dataCols.contains(f.name)).toSeq
     // in-batch combine: latest-wins on the declared precombine field,
     // or loudly require key-uniqueness when the table declares none
     val deduped = precombine match {
@@ -413,11 +450,22 @@ object HudiTableWriter {
       ScanPaths.normalizeDriver(s"$tablePath/${s.path}"), s.fileId))
     val fidDf = spark.createDataFrame(fidRows.asJava, StructType(Seq(
       StructField("_g_file", StringType), StructField("_g_fid", StringType))))
-    val base = spark.read.parquet(slices.map(s => s"$tablePath/${s.path}"): _*)
+    // a previously-evolved table scans with its DECLARED schema (old
+    // base files null-fill), exactly as the reader does
+    val baseRead = HudiTableReader.scanSchemaOf(spark, tablePath) match {
+      case Some(declared) => spark.read.schema(declared)
+      case None => spark.read
+    }
+    val base = baseRead.parquet(slices.map(s => s"$tablePath/${s.path}"): _*)
       .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
       .join(broadcast(fidDf), Seq("_g_file"))
       .drop("_g_file")
     val sliceCols = base.columns.filterNot(_ == "_g_fid").toSeq
+    // evolved output: the base columns verbatim, new batch columns
+    // after; base-sourced rows take deterministic nulls there
+    val outCols = sliceCols ++ newFields.map(_.name)
+    def nullFillNew(d: DataFrame): DataFrame =
+      newFields.foldLeft(d)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
     // partition-scoped key: record keys + partition values together
     val joinCols = (partitionBy ++ keys).distinct
     val keyFid = base.select(joinCols.map(col) :+ col("_g_fid"): _*)
@@ -437,14 +485,14 @@ object HudiTableWriter {
       // parquet write under .hoodie/cdc/<instant>/
       if (cdcEnabledOf(spark, tablePath)) {
         val batchKeySet = deduped.select(joinCols.map(col): _*)
-        val pre = base
+        val pre = nullFillNew(base
           .join(if (nBatchKeys <= maxBroadcastKeys) broadcast(batchKeySet) else batchKeySet,
-            joinCols, "left_semi")
-          .select(sliceCols.map(col): _*)
+            joinCols, "left_semi"))
+          .select(outCols.map(col): _*)
           .withColumn("_change_type", lit("update_preimage"))
-        val post = updates.select(sliceCols.map(col): _*)
+        val post = updates.select(outCols.map(col): _*)
           .withColumn("_change_type", lit("update_postimage"))
-        val ins = inserts.select(sliceCols.map(col): _*)
+        val ins = inserts.select(outCols.map(col): _*)
           .withColumn("_change_type", lit("insert"))
         writeCdcImages(pre.unionByName(post).unionByName(ins), tablePath, instant)
       }
@@ -465,8 +513,8 @@ object HudiTableWriter {
           .join(if (nBatchKeys <= maxBroadcastKeys) broadcast(batchKeys)
                 else batchKeys,
             joinCols, "left_anti")
-        val newSlices = carried.select(sliceCols.map(col) :+ col("_g_fid"): _*)
-          .unionByName(updates.select(sliceCols.map(col) :+ col("_g_fid"): _*))
+        val newSlices = nullFillNew(carried).select(outCols.map(col) :+ col("_g_fid"): _*)
+          .unionByName(updates.select(outCols.map(col) :+ col("_g_fid"): _*))
         // one rewritten base file per touched group: each fid lives in
         // exactly one task after the repartition, partitionBy splits
         // the task's rows into one file per fid dir
@@ -505,7 +553,7 @@ object HudiTableWriter {
         updateStats ++= landed
         fs.delete(stage, true)
       }
-      val insertFiles = landNewGroups(inserts.select(sliceCols.map(col): _*),
+      val insertFiles = landNewGroups(inserts.select(outCols.map(col): _*),
         tablePath, instant, partitionBy)
       val allStats =
         updateStats.result().map { case (part, fid, rel, n, nUpd, len) =>
@@ -527,7 +575,8 @@ object HudiTableWriter {
       val created = try {
         val out = fs.create(commitPath, false)
         try out.write(
-          (s"""{"partitionToWriteStats":{$statsJson},"operationType":"UPSERT"}""" + "\n")
+          (s"""{"partitionToWriteStats":{$statsJson},"operationType":"UPSERT"""" +
+            extraMetadataJson(evolvedJson.map("schema" -> _).toMap) + "}\n")
             .getBytes("UTF-8"))
         finally out.close()
         true

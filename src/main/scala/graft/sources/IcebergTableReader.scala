@@ -260,25 +260,31 @@ object IcebergTableReader {
         upperBounds = boundsOf("upper_bounds"))
     }
 
-  /** (manifestPath, addedSnapshotId, manifestContent) rows of a
-    * snapshot's manifest list. v1 lists carry no content field (all
-    * data manifests).
+  /** (manifestPath, addedSnapshotId, manifestContent, listSequence)
+    * rows of a snapshot's manifest list. v1 lists carry no content
+    * field (all data manifests) and no sequence_number; v2 lists'
+    * sequence_number is the INHERITANCE source for entries whose own
+    * sequence_number is null (spec "Sequence Number Inheritance").
     */
-  private def manifestsOf(spark: SparkSession, manifestList: String): Seq[(String, Option[Long], Int)] =
+  private def manifestsOf(spark: SparkSession,
+      manifestList: String): Seq[(String, Option[Long], Int, Option[Long])] =
     readAvro(spark, manifestList).map { r =>
       (r.get("manifest_path").toString,
         fieldLong(r, "added_snapshot_id"),
-        fieldInt(r, "content", 0))
+        fieldInt(r, "content", 0),
+        fieldLong(r, "sequence_number"))
     }
 
   /** The current snapshot's manifest-list rows as (manifestPath,
-    * addedSnapshotId, content) — exposed for the writer's
-    * manifest-reuse commits.
+    * addedSnapshotId, content, listSequence) — exposed for the
+    * writer's manifest-reuse commits, which must carry each reused
+    * manifest's ORIGINAL list sequence forward verbatim (entries in
+    * inheritance form resolve against it).
     */
   private[sources] def manifestListEntries(spark: SparkSession, tablePath: String,
-      manifestList: String): Seq[(String, Long, Int)] =
-    manifestsOf(spark, resolve(tablePath, manifestList)).map { case (p, added, content) =>
-      (p, added.getOrElse(0L), content)
+      manifestList: String): Seq[(String, Long, Int, Option[Long])] =
+    manifestsOf(spark, resolve(tablePath, manifestList)).map {
+      case (p, added, content, listSeq) => (p, added.getOrElse(0L), content, listSeq)
     }
 
   /** Numeric version of the current metadata file (hint value when
@@ -341,8 +347,17 @@ object IcebergTableReader {
     val eqDeletes = Seq.newBuilder[EqDelete]
     val boundsB = Map.newBuilder[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])]
     lazy val idToName = schemaFieldNames(spark, tablePath)
-    manifests.foreach { case (mpath, _, mcontent) =>
-      manifestEntries(spark, resolve(tablePath, mpath)).foreach { e =>
+    manifests.foreach { case (mpath, _, mcontent, mseq) =>
+      manifestEntries(spark, resolve(tablePath, mpath)).foreach { e0 =>
+        // SEQUENCE-NUMBER INHERITANCE (spec): an ADDED entry (status=1)
+        // with null sequence_number inherits the manifest's own
+        // sequence_number from the MANIFEST LIST — the form real
+        // engines' writers produce. EXISTING entries (status=0) must
+        // carry theirs explicitly (they predate the manifest).
+        val e =
+          if (e0.sequence.isEmpty && e0.status == 1 && mseq.isDefined)
+            e0.copy(sequence = mseq)
+          else e0
         if (e.status != 2) { // 2 = deleted entry
           (mcontent, e.content) match {
             case (0, 0) =>
@@ -373,16 +388,17 @@ object IcebergTableReader {
     }
     val dataFiles = data.result().distinct
     val eqs = eqDeletes.result().distinct
-    // the spec's sequence-number INHERITANCE form (null on the entry,
-    // inherited from the manifest header) is not resolved here; with
-    // equality deletes in play a defaulted sequence would mis-scope
-    // them (a post-delete data file treated as strictly older silently
-    // LOSES matching rows) — refuse, mirroring the eq-delete-side
-    // refusal above
+    // inheritance resolved above (ADDED entries take the manifest
+    // list's sequence_number); an entry STILL without one here means
+    // the list itself carries none (v1 list / spec-violating writer) —
+    // with equality deletes in play a defaulted sequence would
+    // mis-scope them (a post-delete data file treated as strictly
+    // older silently LOSES matching rows), so refuse loudly
     if (eqs.nonEmpty) dataFiles.collectFirst { case (p, None) => p }.foreach { p =>
       throw new IllegalStateException(
-        s"$tablePath: data file $p carries no sequence number (manifest-inherited form) " +
-          "while equality deletes exist — their scope over this file is undefined; refusing")
+        s"$tablePath: data file $p carries no sequence number (and its manifest-list " +
+          "entry offers none to inherit) while equality deletes exist — their scope " +
+          "over this file is undefined; refusing")
     }
     PlanFiles(dataFiles.map(_._1), posDeletes.result().distinct,
       eqs, dataFiles.collect { case (p, Some(s)) => p -> s }.toMap, boundsB.result())
@@ -748,8 +764,8 @@ object IcebergTableReader {
     // added BY that snapshot, entries with status=added
     val perSnapshot = range.sortBy(_.id).map { s =>
       val added = manifestsOf(spark, resolve(tablePath, s.manifestList))
-        .filter { case (_, addedBy, _) => addedBy.contains(s.id) }
-        .flatMap { case (mpath, _, mcontent) =>
+        .filter { case (_, addedBy, _, _) => addedBy.contains(s.id) }
+        .flatMap { case (mpath, _, mcontent, _) =>
           if (mcontent != 0) throw new IllegalStateException(
             s"$tablePath: delete manifest in append snapshot ${s.id} — refusing")
           manifestEntries(spark, resolve(tablePath, mpath))
@@ -830,8 +846,8 @@ object IcebergTableReader {
     range.foreach { s =>
       if (s.operation != "replace") {
         val added = manifestsOf(spark, resolve(tablePath, s.manifestList))
-          .filter { case (_, addedBy, _) => addedBy.contains(s.id) }
-          .flatMap { case (mpath, _, _) =>
+          .filter { case (_, addedBy, _, _) => addedBy.contains(s.id) }
+          .flatMap { case (mpath, _, _, _) =>
             manifestEntries(spark, resolve(tablePath, mpath)).filter(_.status == 1)
           }
         val dataFiles = added.filter(_.content == 0).map(_.filePath).distinct

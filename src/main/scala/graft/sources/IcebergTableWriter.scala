@@ -54,7 +54,9 @@ object IcebergTableWriter {
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long","default":0},
       |{"name":"added_snapshot_id","type":["null","long"],"default":null},
-      |{"name":"content","type":"int","default":0}]}""".stripMargin)
+      |{"name":"content","type":"int","default":0},
+      |{"name":"sequence_number","type":["null","long"],"default":null}]}"""
+      .stripMargin)
 
   /** Manifest-entry schema; partitioned tables extend `data_file`
     * with a `partition` record of the table's identity fields, and
@@ -569,7 +571,8 @@ object IcebergTableWriter {
         fs.listStatus(new Path(tablePath, "metadata"))
           .exists(_.getPath.getName.endsWith(".metadata.json"))
       val (prevSnapsJson, prevManifests, prevVersion, parentId, seq) =
-        if (!exists) (Seq.empty[String], Seq.empty[(String, Long, Int)], 0L, None, 1L)
+        if (!exists)
+          (Seq.empty[String], Seq.empty[(String, Long, Int, Option[Long])], 0L, None, 1L)
         else {
           val (snaps, currentId) = IcebergTableReader.snapshotLog(spark, tablePath)
           val current = snaps.find(_.id == currentId).get
@@ -589,15 +592,20 @@ object IcebergTableWriter {
           g.entryContent, g.equalityIds)
         // manifest-LIST content: 0 = data manifest, 1 = deletes
         // manifest (position AND equality entries both live under 1)
-        (rel, newId, if (g.entryContent == 0) 0 else 1)
+        (rel, newId, if (g.entryContent == 0) 0 else 1, Option(seq))
       }
       val listRel = s"metadata/snap-$newId-${java.util.UUID.randomUUID()}.avro"
       val baseManifests = if (reuseManifests) prevManifests else Nil
+      // reused manifests keep their ORIGINAL list sequence_number
+      // verbatim — entries in the spec's inheritance form (null
+      // sequence on ADDED rows) resolve against it, so re-stamping
+      // would silently re-scope an external writer's deletes
       val listRecords = (baseManifests ++ newManifests)
-        .map { case (mp, addedBy, content) =>
+        .map { case (mp, addedBy, content, mseq) =>
           val r = new GenericData.Record(listSchema)
           r.put("manifest_path", mp); r.put("manifest_length", 0L)
           r.put("added_snapshot_id", addedBy); r.put("content", content)
+          mseq.foreach(s0 => r.put("sequence_number", java.lang.Long.valueOf(s0)))
           r
         }
       writeAvro(conf, new Path(tablePath, listRel), listSchema, listRecords)
@@ -820,7 +828,7 @@ object IcebergTableWriter {
       val files = scala.collection.mutable.Set.empty[String]
       ss.foreach { s0 =>
         IcebergTableReader.manifestListEntries(spark, tablePath, s0.manifestList)
-          .foreach { case (mp, _, _) =>
+          .foreach { case (mp, _, _, _) =>
             manifests += mp
             IcebergTableReader.manifestEntriesPublic(spark, tablePath, mp)
               .filter(_.status != 2)

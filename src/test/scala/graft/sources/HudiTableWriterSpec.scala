@@ -36,12 +36,12 @@ class HudiTableWriterSpec extends SparkSpec {
     // format-agnostic incremental dispatch takes the same instant token
     assert(TableLoader.openIncremental(spark, table, c1).count() == 30L)
 
-    // a drifted column set refuses
+    // a batch DROPPING a column refuses (evolution is additive only)
     val s = spark
     import s.implicits._
     val e = intercept[IllegalArgumentException](
       HudiTableWriter.append(Seq((1L, "x")).toDF("id", "key"), table))
-    assert(e.getMessage.contains("columns"))
+    assert(e.getMessage.contains("ADDITIVE"))
     // create on an existing table refuses
     val e2 = intercept[IllegalArgumentException](HudiTableWriter.create(df(1 to 5), table))
     assert(e2.getMessage.contains("already"))

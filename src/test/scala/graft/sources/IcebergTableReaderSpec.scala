@@ -343,6 +343,91 @@ class IcebergTableReaderSpec extends SparkSpec {
     assert(eAf.getMessage.contains("row-level delete"))
   }
 
+  // the spec's INHERITANCE form: ADDED entries carry NULL
+  // sequence_number and resolve it from the manifest list's — what
+  // real engines' writers actually produce
+  private val seqListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long","default":0},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+      |{"name":"content","type":"int","default":0},
+      |{"name":"sequence_number","type":["null","long"],"default":null}]}"""
+      .stripMargin)
+
+  private def seqListRec(manifestPath: String, addedBy: Long, seq: Long,
+      content: Int = 0): GenericRecord = {
+    val r = new GenericData.Record(seqListSchema)
+    r.put("manifest_path", manifestPath)
+    r.put("manifest_length", 1024L)
+    r.put("added_snapshot_id", addedBy)
+    r.put("content", content)
+    r.put("sequence_number", seq)
+    r
+  }
+
+  private def v2RecNullSeq(status: Int, snapshotId: Long, filePath: String,
+      content: Int = 0, eqIds: Seq[Int] = Nil): GenericRecord = {
+    val df = new GenericData.Record(v2EntrySchema.getField("data_file").schema())
+    df.put("content", content); df.put("file_path", filePath)
+    df.put("file_format", "PARQUET"); df.put("record_count", 1L)
+    if (eqIds.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      df.put("equality_ids", eqIds.map(Int.box).asJava)
+    }
+    val r = new GenericData.Record(v2EntrySchema)
+    r.put("status", status); r.put("snapshot_id", snapshotId)
+    r.put("data_file", df) // sequence_number stays null → inherited
+    r
+  }
+
+  test("sequence-number INHERITANCE: null entry sequences resolve from the manifest list; a list without one refuses under equality deletes") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("ice-seq-inherit")
+    writeDataFile(rows(1 to 50), table, "data/f1.parquet")   // list seq 1
+    writeDataFile(rows(51 to 70), table, "data/f2.parquet")  // list seq 3
+    val eqStage = new java.io.File(tmpDir("ice-eqi-stage"))
+    Seq("g1").toDF("grp").coalesce(1).write.mode("overwrite").parquet(eqStage.toString)
+    val src = eqStage.listFiles().find(_.getName.endsWith(".parquet")).get
+    new java.io.File(s"$table/data").mkdirs()
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(s"$table/data", "eq1.parquet").toPath): Unit
+    // every ENTRY carries a null sequence_number — scoping is entirely
+    // manifest-list-inherited, the shape external writers land
+    writeAvro(s"$table/metadata/m1.avro", v2EntrySchema,
+      Seq(v2RecNullSeq(1, 1L, "data/f1.parquet")))
+    writeAvro(s"$table/metadata/me.avro", v2EntrySchema,
+      Seq(v2RecNullSeq(1, 2L, "data/eq1.parquet", content = 2, eqIds = Seq(2))))
+    writeAvro(s"$table/metadata/m2.avro", v2EntrySchema,
+      Seq(v2RecNullSeq(1, 3L, "data/f2.parquet")))
+    writeAvro(s"$table/metadata/snap-3.avro", seqListSchema, Seq(
+      seqListRec("metadata/m1.avro", 1L, 1L),
+      seqListRec("metadata/me.avro", 2L, 2L, content = 1),
+      seqListRec("metadata/m2.avro", 3L, 3L)))
+    writeMetadataWithSchema(table, 3, 3L, Seq(
+      (1L, None, "append", "metadata/snap-3.avro", 1700000000000L),
+      (2L, Some(1L), "overwrite", "metadata/snap-3.avro", 1700000001000L),
+      (3L, Some(2L), "append", "metadata/snap-3.avro", 1700000002000L)))
+    val snap = IcebergTableReader.snapshot(spark, table)
+    // identical semantics to the explicit-sequence fixture: f1 (seq 1
+    // < delete seq 2) loses its g1 rows, f2 (seq 3) keeps ALL rows
+    assert(snap.count() == 50L - 17L + 20L)
+    assert(snap.where(col("grp") === "g1" && col("id") <= 50L).count() == 0L,
+      "older data files must lose their matching rows")
+    assert(snap.where(col("grp") === "g1" && col("id") > 50L).count() == 7L,
+      "a file whose INHERITED sequence postdates the delete keeps matching rows")
+    // same table, but the manifest list offers no sequence either →
+    // the delete's scope is undefined; the read must refuse, not guess
+    writeAvro(s"$table/metadata/snap-3.avro", manifestListSchema, Seq(
+      listRec("metadata/m1.avro", 1L),
+      listRec("metadata/me.avro", 2L, content = 1),
+      listRec("metadata/m2.avro", 3L)))
+    val e = intercept[IllegalStateException](IcebergTableReader.snapshot(spark, table))
+    assert(e.getMessage.contains("sequence number"),
+      s"unresolvable sequence under equality deletes must refuse, got: ${e.getMessage}")
+  }
+
   test("changeFeedSince: appends→inserts, upserts→inserts+key-deletes, position deletes→pre-images, replace silent; the fold reproduces the snapshot") {
     import org.apache.spark.sql.DataFrame
     val table = tmpDir("ice-cdc") + "/t"

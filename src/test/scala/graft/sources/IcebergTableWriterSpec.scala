@@ -54,6 +54,10 @@ class IcebergTableWriterSpec extends SparkSpec {
     val manifests = IcebergTableReader.manifestListEntries(spark, table, current.manifestList)
     assert(manifests.size >= 2, "the append's list must REUSE the create's manifest")
     assert(manifests.map(_._2).distinct.sorted == Seq(1L, 2L))
+    // list rows carry sequence_number (the inheritance source); the
+    // REUSED manifest keeps its original sequence, not the append's
+    assert(manifests.map(_._4).sortBy(_.getOrElse(0L)) == Seq(Some(1L), Some(2L)),
+      "manifest-list sequence numbers: reused verbatim, new = commit sequence")
     // a racing writer already holds v3: the CAS bumps to v4
     val w = new java.io.PrintWriter(
       new java.io.File(s"$table/metadata", "v3.metadata.json"), "UTF-8")
