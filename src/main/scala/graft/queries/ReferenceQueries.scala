@@ -1500,6 +1500,47 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #109f Iceberg v3 DELETION-VECTOR writer + read
+    * ([[graft.sources.IcebergTableWriter.deleteDv]] +
+    * [[graft.sources.IcebergPuffin]]): row deletes as per-file puffin
+    * DV blobs — the v3 spec's shape, byte-compatible with Delta's
+    * sidecar framing — committed as a content=1 deletes manifest with
+    * `referenced_data_file`/`content_offset`/`content_size_in_bytes`
+    * refs and format-version floored at 3. The second delete proves
+    * the SUPERSEDE rule: each new DV folds in the file's prior
+    * deletes and the old DV entries rewrite out, leaving exactly one
+    * live DV per data file (require-proven in-run, as is
+    * no-data-file-rewritten). Blobs decode on executors at read; the
+    * oracle recomputes the post-delete state.
+    */
+  val qIcebergDvWrite: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("ice-dv-write") + "/t"
+      val o = t(s, dir, "orders")
+      IcebergTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table): Unit
+      IcebergTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val before = IcebergTableReader.planFiles(s, table).data.toSet
+      IcebergTableWriter.deleteDv(s, table, pmod(col("o_orderkey"), lit(7)) === 0): Unit
+      IcebergTableWriter.deleteDv(s, table, pmod(col("o_orderkey"), lit(11)) === 0): Unit
+      val plan = IcebergTableReader.planFiles(s, table)
+      require(plan.data.toSet == before,
+        "a deletion-vector delete must not rewrite or drop any data file")
+      require(plan.deletionVectors.nonEmpty &&
+          plan.deletionVectors.map(_.referencedDataFile).distinct.size ==
+            plan.deletionVectors.size,
+        "supersede rule: exactly one live DV per data file")
+      IcebergTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #109 Iceberg table WRITER round-trip
     * ([[graft.sources.IcebergTableWriter]] — the third leg of the
     * writer-side interop surface): create + append land spec-true v2

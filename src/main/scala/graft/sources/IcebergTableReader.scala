@@ -202,7 +202,11 @@ object IcebergTableReader {
       sequence: Option[Long], filePath: String, content: Int,
       equalityIds: Seq[Int] = Nil, partition: Map[String, String] = Map.empty,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None,
+      recordCount: Option[Long] = None)
 
   /** Manifest entries of `manifestPath` (relative-or-absolute),
     * resolved against the table — the snapshot-expiry service's
@@ -248,6 +252,12 @@ object IcebergTableReader {
             }.toMap
           case _ => Map.empty
         }
+      def dfStr(name: String): Option[String] =
+        if (df.getSchema.getField(name) == null) None
+        else Option(df.get(name)).map(_.toString)
+      def dfLong(name: String): Option[Long] =
+        if (df.getSchema.getField(name) == null) None
+        else Option(df.get(name)).map(_.asInstanceOf[Number].longValue())
       ManifestEntry(
         status = fieldInt(r, "status", 1),
         snapshotId = fieldLong(r, "snapshot_id"),
@@ -257,7 +267,13 @@ object IcebergTableReader {
         equalityIds = eqIds,
         partition = partition,
         lowerBounds = boundsOf("lower_bounds"),
-        upperBounds = boundsOf("upper_bounds"))
+        upperBounds = boundsOf("upper_bounds"),
+        // v3 DELETION VECTORS: a content=1 entry whose file is a
+        // puffin blob, not a parquet position-delete file
+        referencedDataFile = dfStr("referenced_data_file"),
+        contentOffset = dfLong("content_offset"),
+        contentSize = dfLong("content_size_in_bytes"),
+        recordCount = dfLong("record_count"))
     }
 
   /** (manifestPath, addedSnapshotId, manifestContent, listSequence)
@@ -303,6 +319,19 @@ object IcebergTableReader {
     }
   }
 
+  /** The current metadata's declared `format-version` (2 when the
+    * field is absent — v1 tables read fine under v2 rules here). */
+  private[sources] def currentFormatVersion(spark: SparkSession, tablePath: String): Int = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
+    Option(meta.get("format-version")).map(_.asInt()).getOrElse(2)
+  }
+
+  /** Expand the plan's deletion vectors for the WRITER's live-row
+    * computation — same executor-side decode as the read path. */
+  private[sources] def dvPositionsOf(spark: SparkSession, tablePath: String,
+      dvs: Seq[DvRef]): DataFrame = dvPositionsDf(spark, tablePath, dvs)
+
   private def currentSnapshot(spark: SparkSession, tablePath: String): SnapshotInfo = {
     val (snaps, currentId) = snapshotLog(spark, tablePath)
     snaps.find(_.id == currentId).getOrElse(throw new IllegalArgumentException(
@@ -320,12 +349,19 @@ object IcebergTableReader {
     * POSITION-DELETE files, and EQUALITY-delete files — all applied
     * by [[snapshot]].
     */
+  /** One v3 DELETION VECTOR: the puffin blob location and the single
+    * data file it masks (spec: exactly one DV per data file).
+    */
+  final case class DvRef(puffinPath: String, offset: Long, length: Long,
+      referencedDataFile: String)
+
   final case class PlanFiles(
       data: Seq[String],
       positionDeletes: Seq[String],
       equalityDeletes: Seq[EqDelete] = Nil,
       dataSequences: Map[String, Long] = Map.empty,
-      bounds: Map[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = Map.empty)
+      bounds: Map[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = Map.empty,
+      deletionVectors: Seq[DvRef] = Nil)
 
   def planFiles(spark: SparkSession, tablePath: String): PlanFiles =
     planFilesOf(spark, tablePath, currentSnapshot(spark, tablePath))
@@ -344,6 +380,7 @@ object IcebergTableReader {
     val manifests = manifestsOf(spark, resolve(tablePath, snap.manifestList))
     val data = Seq.newBuilder[(String, Option[Long])]
     val posDeletes = Seq.newBuilder[String]
+    val dvRefs = Seq.newBuilder[DvRef]
     val eqDeletes = Seq.newBuilder[EqDelete]
     val boundsB = Map.newBuilder[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])]
     lazy val idToName = schemaFieldNames(spark, tablePath)
@@ -366,7 +403,19 @@ object IcebergTableReader {
                 if (e.lowerBounds.nonEmpty || e.upperBounds.nonEmpty)
                   boundsB += (e.filePath -> ((e.lowerBounds, e.upperBounds)))
               }
-            case (1, 1) => posDeletes += e.filePath
+            case (1, 1) =>
+              // v3 DELETION VECTOR (a puffin blob masking ONE data
+              // file) vs v2 position-delete parquet: the spec keys on
+              // the content_offset/referenced_data_file fields
+              (e.contentOffset, e.contentSize, e.referencedDataFile) match {
+                case (Some(off), Some(sz), Some(ref)) =>
+                  dvRefs += DvRef(e.filePath, off, sz, ref)
+                case (None, None, _) => posDeletes += e.filePath
+                case _ => throw new IllegalStateException(
+                  s"$tablePath: delete entry ${e.filePath} carries a PARTIAL deletion-" +
+                    "vector reference (offset/size/referenced file must all be present); " +
+                    "refusing")
+              }
             case (1, 2) =>
               val names = e.equalityIds.map(id => idToName.getOrElse(id,
                 throw new IllegalStateException(
@@ -401,7 +450,8 @@ object IcebergTableReader {
           "over this file is undefined; refusing")
     }
     PlanFiles(dataFiles.map(_._1), posDeletes.result().distinct,
-      eqs, dataFiles.collect { case (p, Some(s)) => p -> s }.toMap, boundsB.result())
+      eqs, dataFiles.collect { case (p, Some(s)) => p -> s }.toMap, boundsB.result(),
+      dvRefs.result().distinct)
   }
 
   /** Field-id → Iceberg type name from the metadata schema — what
@@ -478,7 +528,8 @@ object IcebergTableReader {
     */
   def activeFiles(spark: SparkSession, tablePath: String): Seq[String] = {
     val plan = planFiles(spark, tablePath)
-    if (plan.positionDeletes.nonEmpty || plan.equalityDeletes.nonEmpty)
+    if (plan.positionDeletes.nonEmpty || plan.equalityDeletes.nonEmpty ||
+        plan.deletionVectors.nonEmpty)
       throw new IllegalStateException(
         s"$tablePath: the current snapshot carries row-level delete files — the bare " +
           "file list would over-return deleted rows; read through snapshot() instead")
@@ -685,6 +736,27 @@ object IcebergTableReader {
     if (ok && st.nonEmpty) Some(org.apache.spark.sql.types.StructType(st)) else None
   }
 
+  /** Expand v3 deletion vectors into a (`_g_file`, `_g_pos`) frame —
+    * decoded on executors from a broadcast Hadoop conf; the driver
+    * holds only the |DVs| blob descriptors.
+    */
+  private def dvPositionsDf(spark: SparkSession, tablePath: String,
+      dvs: Seq[DvRef]): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val bcConf = spark.sparkContext.broadcast(
+      new DeltaDv.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val tasks = dvs.map(d => (
+      ScanPaths.normalizeDriver(resolve(tablePath, d.referencedDataFile)),
+      resolve(tablePath, d.puffinPath), d.offset, d.length))
+    spark.createDataset(tasks)(Encoders.product[(String, String, Long, Long)])
+      .repartition(math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { case (file, puffin, off, len) =>
+        IcebergPuffin.readDvPositions(bcConf.value.value, puffin, off, len)
+          .iterator.map(p => (file, p))
+      }(Encoders.product[(String, Long)])
+      .toDF("_g_file", "_g_pos")
+  }
+
   private def readPlan(spark: SparkSession, tablePath: String, plan: PlanFiles): DataFrame = {
     if (plan.data.isEmpty) throw new IllegalArgumentException(
       s"$tablePath: current snapshot has no live data files")
@@ -693,13 +765,14 @@ object IcebergTableReader {
         spark.read.schema(st).parquet(plan.data.map(resolve(tablePath, _)): _*)
       case None => spark.read.parquet(plan.data.map(resolve(tablePath, _)): _*)
     }
-    if (plan.positionDeletes.isEmpty && plan.equalityDeletes.isEmpty) return base
+    if (plan.positionDeletes.isEmpty && plan.equalityDeletes.isEmpty &&
+      plan.deletionVectors.isEmpty) return base
     // the scan's metadata columns attach ONCE, on the scan relation
     // itself (they do not resolve through later projections)
     val keyed0 = base
       .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
       .withColumn("_g_pos", col("_metadata.row_index"))
-    val afterPos =
+    val afterParquetPos =
       if (plan.positionDeletes.isEmpty) keyed0
       else {
         val dels = spark.read.parquet(plan.positionDeletes.map(resolve(tablePath, _)): _*)
@@ -708,6 +781,17 @@ object IcebergTableReader {
             col("pos").cast("long").as("_g_pos"))
         keyed0.join(dels, Seq("_g_file", "_g_pos"), "left_anti")
       }
+    // v3 DELETION VECTORS: each puffin blob masks one data file; the
+    // blobs expand to (file, pos) ON EXECUTORS (|DVs| is metadata-
+    // bounded; position sets never ride the driver) and subtract with
+    // the same anti join. Applying DVs AND any surviving v2 position
+    // deletes is always correct: the spec makes every new DV a
+    // superset of the file's previous deletes, so the union is the DV.
+    val afterPos =
+      if (plan.deletionVectors.isEmpty) afterParquetPos
+      else afterParquetPos.join(
+        dvPositionsDf(spark, tablePath, plan.deletionVectors), Seq("_g_file", "_g_pos"),
+        "left_anti")
     if (plan.equalityDeletes.isEmpty) afterPos.select(base.columns.map(col): _*)
     else {
       // EQUALITY deletes (content=2, the Flink-CDC shape): a delete
@@ -852,6 +936,15 @@ object IcebergTableReader {
           }
         val dataFiles = added.filter(_.content == 0).map(_.filePath).distinct
         val eqFiles = added.filter(_.content == 2)
+        // v3 deletion vectors in the range: serving their pre-images
+        // needs the POSITION DIFF vs the file's previous DV (a new DV
+        // is a superset) — not implemented; refuse rather than serve
+        // the whole vector as if it were this snapshot's delta
+        added.find(e => e.content == 1 && e.contentOffset.isDefined).foreach { e =>
+          throw new IllegalStateException(
+            s"$tablePath: snapshot ${s.id} adds deletion vector ${e.filePath} — the " +
+              "change feed cannot yet diff puffin DVs; read the snapshot instead")
+        }
         val posFiles = added.filter(_.content == 1).map(_.filePath).distinct
         if (dataFiles.nonEmpty)
           pieces += spark.read.parquet(dataFiles.map(resolve(tablePath, _)): _*)

@@ -254,6 +254,56 @@ object IcebergTableWriter {
     files
   }
 
+  /** One v3 DELETION-VECTOR manifest row: the puffin file, the blob
+    * location inside it, the single data file it masks, and the
+    * snapshot/sequence stamps (explicit — graft never relies on
+    * list-inheritance for its own entries).
+    */
+  private[sources] final case class DvManifestRow(puffinRel: String,
+      referencedDataFile: String, offset: Long, size: Long, cardinality: Long,
+      snapshotId: Long, sequence: Long)
+
+  private val dvEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string","default":"PUFFIN"},
+      |  {"name":"record_count","type":"long","default":0},
+      |  {"name":"referenced_data_file","type":["null","string"],"default":null},
+      |  {"name":"content_offset","type":["null","long"],"default":null},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}]}}]}"""
+      .stripMargin)
+
+  /** Write a deletes manifest of v3 DV entries (content=1, PUFFIN
+    * file format, blob refs per the spec); returns the manifest's
+    * table-relative path. Used for new DV commits AND for rewriting a
+    * prior DV manifest minus its superseded entries.
+    */
+  private def writeDvManifest(conf: org.apache.hadoop.conf.Configuration,
+      tablePath: String, rows: Seq[DvManifestRow]): String = {
+    require(rows.nonEmpty, s"$tablePath: a DV manifest needs at least one entry")
+    val rel = s"metadata/m-${rows.head.snapshotId}-${java.util.UUID.randomUUID()}.avro"
+    val dfSchema = dvEntrySchema.getField("data_file").schema()
+    val records = rows.map { r0 =>
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 1); dfr.put("file_path", r0.puffinRel)
+      dfr.put("file_format", "PUFFIN"); dfr.put("record_count", r0.cardinality)
+      dfr.put("referenced_data_file", r0.referencedDataFile)
+      dfr.put("content_offset", java.lang.Long.valueOf(r0.offset))
+      dfr.put("content_size_in_bytes", java.lang.Long.valueOf(r0.size))
+      val r = new GenericData.Record(dvEntrySchema)
+      r.put("status", 1); r.put("snapshot_id", r0.snapshotId)
+      r.put("sequence_number", r0.sequence); r.put("data_file", dfr)
+      r
+    }
+    writeAvro(conf, new Path(tablePath, rel), dvEntrySchema, records)
+    rel
+  }
+
   private def manifestOf(conf: org.apache.hadoop.conf.Configuration, tablePath: String,
       snapshotId: Long, sequence: Long, files: Seq[Landed],
       pfields: Seq[PartitionField], content: Int = 0,
@@ -561,7 +611,15 @@ object IcebergTableWriter {
       schema: org.apache.spark.sql.types.StructType, pfields: Seq[PartitionField],
       groups: Seq[ManifestGroup], operation: String,
       reuseManifests: Boolean = true,
-      extraSummary: Map[String, String] = Map.empty): Long = {
+      extraSummary: Map[String, String] = Map.empty,
+      // v3 hooks: DV commits build per-attempt manifests (they embed
+      // the attempt's snapshot/sequence ids), rewrite reused
+      // manifests (supersede: one DV per data file), and floor the
+      // metadata's format-version at 3
+      minFormatVersion: Int = 2,
+      extraManifests: (Long, Long) => Seq[(String, Int)] = (_, _) => Nil,
+      transformBase: Seq[(String, Long, Int, Option[Long])] =>
+        Seq[(String, Long, Int, Option[Long])] = identity): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     var attempt = 0
@@ -593,9 +651,11 @@ object IcebergTableWriter {
         // manifest-LIST content: 0 = data manifest, 1 = deletes
         // manifest (position AND equality entries both live under 1)
         (rel, newId, if (g.entryContent == 0) 0 else 1, Option(seq))
+      } ++ extraManifests(newId, seq).map { case (rel, content) =>
+        (rel, newId, content, Option(seq))
       }
       val listRel = s"metadata/snap-$newId-${java.util.UUID.randomUUID()}.avro"
-      val baseManifests = if (reuseManifests) prevManifests else Nil
+      val baseManifests = transformBase(if (reuseManifests) prevManifests else Nil)
       // reused manifests keep their ORIGINAL list sequence_number
       // verbatim — entries in the spec's inheritance form (null
       // sequence on ADDED rows) resolve against it, so re-stamping
@@ -625,8 +685,12 @@ object IcebergTableWriter {
           s""""$nq":{"snapshot-id":$id,"type":"$t"}"""
         }.mkString(",")
       val (schemasPart, fieldIdOf) = schemasBlockFor(spark, tablePath, exists, schema)
+      // the format-version never regresses: once a table carries v3
+      // artifacts (deletion vectors) every later commit keeps v3
+      val formatVersion = math.max(minFormatVersion,
+        if (exists) IcebergTableReader.currentFormatVersion(spark, tablePath) else 2)
       val metaJson =
-        s"""{"format-version":2,"table-uuid":"graft","location":"$tablePath",""" +
+        s"""{"format-version":$formatVersion,"table-uuid":"graft","location":"$tablePath",""" +
           s"""$schemasPart,${specJson(fieldIdOf, pfields)},""" +
           s""""last-sequence-number":$seq,"refs":{$refsJson},""" +
           s""""current-snapshot-id":$newId,"snapshots":[$snapsJson]}"""
@@ -933,6 +997,137 @@ object IcebergTableWriter {
     val schema = IcebergTableReader.snapshot(spark, tablePath).schema
     commitSnapshot(spark, tablePath, schema, declaredPartitionFields(spark, tablePath),
       Seq(Landed(rel, n, Map.empty)), content = 1, operation = "delete")
+  }
+
+  /** Driver-side cap on the COMPRESSED deletion-vector bytes a
+    * [[deleteDv]] commit assembles into its puffin file (the blobs
+    * are roaring-compressed on executors; only those bytes ride the
+    * driver). Past it, rewrite the files instead of vectorizing. */
+  val MaxDvBytesDriver: Long = 256L << 20
+
+  /** Row-level delete via v3 DELETION VECTORS (iceberg.apache.org
+    * spec v3 "Deletion Vectors"): matched live rows become per-file
+    * puffin blobs — the portable 64-bit roaring bitmap in Delta's
+    * sidecar framing, which the spec adopted byte-for-byte — landed
+    * as ONE puffin file and committed as a content=1 deletes manifest
+    * whose entries carry `referenced_data_file`/`content_offset`/
+    * `content_size_in_bytes`. Per the spec's supersede rule each new
+    * DV folds in ALL prior deletes of its file (existing DVs and v2
+    * position-delete rows included), and prior DV entries for the
+    * re-vectored files are REWRITTEN OUT of their manifests (one DV
+    * per data file). The commit floors `format-version` at 3. The
+    * position computation and bitmap build are distributed; the
+    * driver holds |touched files| compressed blobs, loudly bounded.
+    * Equality-delete tables refuse (composed semantics), matching
+    * [[delete]]. Returns the new snapshot id.
+    */
+  def deleteDv(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Encoders
+    val plan = IcebergTableReader.planFiles(spark, tablePath)
+    require(plan.equalityDeletes.isEmpty,
+      s"$tablePath: table carries equality-delete files — deletion-vectoring on top of " +
+        "them would need composed delete semantics this writer does not implement; refusing")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def resolveAbs(rel: String): String =
+      if (rel.contains("://") || rel.startsWith("/")) rel else s"$tablePath/$rel"
+    // live rows = data minus every existing delete shape
+    val keyed0 = spark.read.parquet(plan.data.map(resolveAbs): _*)
+      .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
+      .withColumn("_g_pos", col("_metadata.row_index").cast("long"))
+    val priorDels: Option[org.apache.spark.sql.DataFrame] = {
+      val pos =
+        if (plan.positionDeletes.isEmpty) None
+        else Some(spark.read.parquet(plan.positionDeletes.map(resolveAbs): _*)
+          .select(ScanPaths.normalizeMetaColumn(col("file_path"), tablePath).as("_g_file"),
+            col("pos").cast("long").as("_g_pos")))
+      val dv =
+        if (plan.deletionVectors.isEmpty) None
+        else Some(IcebergTableReader.dvPositionsOf(spark, tablePath, plan.deletionVectors))
+      (pos, dv) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }
+    }
+    val keyed = priorDels match {
+      case Some(d) => keyed0.join(d, Seq("_g_file", "_g_pos"), "left_anti")
+      case None => keyed0
+    }
+    val matched = keyed.where(predicate).select(col("_g_file"), col("_g_pos"))
+    // SUPERSEDE: the new DV for a touched file carries every prior
+    // delete of that file too, so readers may serve the DV alone
+    val touched = matched.select("_g_file").distinct()
+    val folded = priorDels match {
+      case Some(d) => matched.unionByName(d.join(touched, Seq("_g_file"), "left_semi"))
+      case None => matched
+    }
+    // per-file portable bitmaps, built and compressed ON EXECUTORS
+    val blobs = folded
+      .groupByKey(_.getString(0))(Encoders.STRING)
+      .mapGroups { (f, it) =>
+        val positions = it.map(_.getLong(1)).toArray.distinct.sorted
+        (f, DeltaDv.serializePositions(positions.toIndexedSeq), positions.length.toLong)
+      }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
+      .collect()
+    if (blobs.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: predicate matched no live rows — nothing to delete")
+    val totalBytes = blobs.map(_._2.length.toLong).sum
+    require(totalBytes <= MaxDvBytesDriver,
+      s"$tablePath: deletion vectors compress to $totalBytes bytes (> $MaxDvBytesDriver) " +
+        "— a delete this large should rewrite its files, not vectorize them; refusing")
+    // normalized scan path → the manifest-recorded relative path (the
+    // form referenced_data_file must take so readers re-resolve it)
+    val relByNorm = plan.data
+      .map(rel => ScanPaths.normalizeDriver(resolveAbs(rel)) -> rel).toMap
+    val blobRels = blobs.map { case (norm, bytes, n) =>
+      (relByNorm.getOrElse(norm, throw new IllegalStateException(
+        s"$tablePath: matched file $norm is not in the plan — racing writer?")),
+        bytes, n)
+    }
+    val supersededNorm: Set[String] = blobs.map(_._1).toSet
+    val schema = IcebergTableReader.snapshot(spark, tablePath).schema
+    commitSnapshotGroups(spark, tablePath, schema,
+      declaredPartitionFields(spark, tablePath), groups = Nil, operation = "delete",
+      minFormatVersion = 3,
+      extraManifests = (newId, seq) => {
+        val puffinRel = s"data/dv-$newId-${java.util.UUID.randomUUID()}.puffin"
+        val refs = IcebergPuffin.writeFile(conf, new Path(tablePath, puffinRel),
+          blobRels.toIndexedSeq.map { case (rel, bytes, n) =>
+            IcebergPuffin.DvBlob(rel, bytes, n, newId, seq)
+          })
+        val rows = refs.map(r => DvManifestRow(puffinRel, r.referencedDataFile,
+          r.offset, r.length, r.cardinality, newId, seq))
+        Seq((writeDvManifest(conf, tablePath, rows), 1))
+      },
+      transformBase = base => base.flatMap { case m @ (mp, addedBy, content, mseq) =>
+        if (content != 1) Some(m)
+        else {
+          val entries = IcebergTableReader.manifestEntriesPublic(spark, tablePath, mp)
+          val (dvE, otherE) = entries.partition(_.contentOffset.isDefined)
+          if (dvE.isEmpty) Some(m) // v2 position-delete manifest: keep
+          else {
+            require(otherE.isEmpty,
+              s"$tablePath: manifest $mp mixes DV and non-DV delete entries; refusing")
+            val kept = dvE.filterNot(e => e.referencedDataFile.exists(r =>
+              supersededNorm.contains(ScanPaths.normalizeDriver(resolveAbs(r)))))
+            if (kept.size == dvE.size) Some(m)
+            else if (kept.isEmpty) None // every DV superseded: drop the manifest
+            else {
+              // rewrite minus the superseded entries; stamps resolve
+              // to explicit values (list inheritance folded in)
+              val rows = kept.map { e =>
+                DvManifestRow(e.filePath, e.referencedDataFile.get, e.contentOffset.get,
+                  e.contentSize.get, e.recordCount.getOrElse(0L),
+                  e.snapshotId.getOrElse(addedBy),
+                  e.sequence.orElse(mseq).getOrElse(throw new IllegalStateException(
+                    s"$tablePath: DV entry ${e.filePath} has no resolvable sequence")))
+              }
+              Some((writeDvManifest(conf, tablePath, rows), addedBy, 1, mseq))
+            }
+          }
+        }
+      })
   }
 
   /** Publish Iceberg metadata OVER existing parquet files — NO data
