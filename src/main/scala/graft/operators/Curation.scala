@@ -285,4 +285,78 @@ object Curation {
       .withColumn("pack_off", expr(s"_start % $budget"))
       .drop("_start")
   }
+
+  /** BUDGET-BOUNDED corpus selection: rank rows by (`scoreCol` DESC,
+    * `keyCol` ASC — the tiebreak makes the kept SET engine-exact) and
+    * keep the maximal prefix whose cumulative `sizeCol` fills
+    * `budget`; the row that CROSSES the boundary is included (the
+    * "fill the token budget, last doc may overflow" rule:
+    * running − size < budget). Semantically one global window — but a
+    * global sort of the corpus is exactly what cannot run at 100 TB,
+    * so this executes the TWO-PHASE cutoff instead: (1) one
+    * `groupBy(score)` histogram, |distinct scores|-bounded on the
+    * driver behind a loud probe; (2) the driver walks the histogram
+    * to the single crossing score — every better score is kept
+    * WHOLESALE with no sort at all, and only the one boundary
+    * score-class pays a window, sized by that class, not the corpus.
+    * Degenerate scoring (one giant class) still answers, it just
+    * sorts that class; the fix is a finer score, and the histogram
+    * probe names the class size so the caller can see it.
+    */
+  def selectUnderBudget(
+      df: DataFrame,
+      scoreCol: String,
+      sizeCol: String,
+      keyCol: String,
+      budget: Long,
+      maxDriverScores: Int = 4000000): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val sz = col(sizeCol).cast("long")
+    val hist = df.groupBy(col(scoreCol).as("_g_score"))
+      .agg(sum(sz).as("_g_bytes"), count(lit(1)).as("_g_rows"))
+    val nScores = hist.limit(maxDriverScores + 1).count()
+    require(nScores <= maxDriverScores,
+      s"selectUnderBudget: > $maxDriverScores distinct $scoreCol values — the histogram " +
+        "no longer fits the driver; coarsen the score (bucket it) first")
+    // the histogram rows, best score first (driver metadata)
+    val rows = hist.collect().map(r =>
+      (r.get(0), r.getLong(1), r.getLong(2))).sortBy { case (s, _, _) =>
+      s match {
+        case n: Number => -n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"selectUnderBudget needs a numeric $scoreCol, got ${other.getClass}")
+      }
+    }
+    var cum = 0L
+    var boundary: Option[(Any, Long)] = None // (score, remaining budget at its start)
+    val fullScores = Seq.newBuilder[Any]
+    rows.iterator.takeWhile(_ => cum < budget).foreach { case (s, bytes, _) =>
+      if (cum + bytes <= budget) { fullScores += s; cum += bytes }
+      else { boundary = Some((s, budget - cum)); cum += bytes }
+    }
+    val fullSet = fullScores.result()
+    // kept wholesale: scores strictly better than the crossing one —
+    // no sort, no window, a plain filter (monotone: the crossing
+    // happens once)
+    val fullThreshold: Option[Any] = boundary.map(_._1).orElse(fullSet.lastOption)
+    val full = fullThreshold match {
+      case None => df.limit(0)
+      case Some(t) =>
+        if (boundary.isDefined) df.filter(col(scoreCol) > lit(t))
+        else df.filter(col(scoreCol) >= lit(t))
+    }
+    boundary match {
+      case None => full
+      case Some((s0, remaining)) =>
+        import org.apache.spark.sql.expressions.Window
+        // one score-class sorts — bounded by the class, not the corpus
+        val w = Window.orderBy(col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val edge = df.filter(col(scoreCol) === lit(s0))
+          .withColumn("_g_cum", sum(sz).over(w))
+          .filter(col("_g_cum") - sz < lit(remaining))
+          .drop("_g_cum")
+        full.unionByName(edge)
+    }
+  }
 }

@@ -370,6 +370,39 @@ trait LlmRetrievalQueries extends LlmCurationQueries {
         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_off
         |FROM c""".stripMargin))
 
+  /** #84 BUDGET-BOUNDED corpus selection
+    * ([[graft.operators.Curation.selectUnderBudget]]): keep the
+    * best-scored documents until a global token/char budget fills —
+    * the "select the top of the corpus up to N tokens" step every
+    * fixed-budget training run needs. Semantically ONE global window
+    * (rank by score DESC, key ASC; keep while running − size <
+    * budget, crossing row included) — but the implementation never
+    * sorts the corpus: one score histogram, a driver walk to the
+    * single crossing score-class, a plain filter for every better
+    * class, and a window over just the boundary class. The oracle IS
+    * the single global window, so the kept SET (not just its size) is
+    * pinned cross-engine; here budget = total chars ÷ 4, scored by
+    * doc length.
+    */
+  val qBudgetSelect: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(sum(col("n_chars"))).head().getLong(0)
+      graft.operators.Curation.selectUnderBudget(
+        docs, scoreCol = "n_chars", sizeCol = "n_chars", keyCol = "doc_id",
+        budget = total / 4)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+    oracle = Some(
+      """WITH b AS (SELECT sum(n_chars) // 4 AS budget FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM ranked, b WHERE cum - n_chars < budget"""
+        .stripMargin))
+
   /** #46b Whole-document bin packing (first-fit decreasing): docs
     * never split across packs — attention-boundary-safe batching.
     * The placement rule is sequential per shard, but DETERMINISTIC

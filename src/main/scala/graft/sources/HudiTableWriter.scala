@@ -1067,6 +1067,16 @@ object HudiTableWriter {
     import scala.jdk.CollectionConverters._
     val dir = new Path(hoodieDir(tablePath), "metadata/files")
     fs.mkdirs(dir)
+    // SCHEMA SIDECAR: the index also snapshots the commit-metadata
+    // schema authority as of its instant, so post-index reads resolve
+    // evolution without re-opening pre-index metas (the listing-free
+    // planning contract covers schema resolution too). Landed BEFORE
+    // the parquet — an index without its sidecar falls back to the
+    // full walk, never to a wrong schema.
+    val sidecarBody = HudiTableReader.declaredDataSchema(spark, tablePath)
+      .map(HudiSchema.toAvroJson(_)).getOrElse("none")
+    val sidecar = fs.create(new Path(dir, s"$head.schema"), true)
+    try sidecar.write((sidecarBody + "\n").getBytes("UTF-8")) finally sidecar.close()
     val stage = new Path(tablePath, s".graft-fidx-${java.util.UUID.randomUUID()}")
     spark.createDataFrame(rows.asJava, schema).coalesce(1).write.parquet(stage.toString)
     val part = fs.listStatus(stage).map(_.getPath)

@@ -193,6 +193,40 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("selectUnderBudget: two-phase cutoff ≡ the global window; exact-fit, oversized-budget, histogram-bound edges") {
+    val s = spark
+    import s.implicits._
+    // sizes engineered so the cutoff crosses INSIDE a score class
+    val rows = (1 to 100).map(i => (i.toLong, (i % 10).toLong + 1L))
+    val df = rows.toDF("id", "sz")
+    def naive(budget: Long): Set[Long] = {
+      // the single-sequence semantic, computed locally
+      var cum = 0L
+      rows.sortBy { case (id, szv) => (-szv, id) }.flatMap { case (id, szv) =>
+        val keep = cum < budget; cum += szv; if (keep) Some(id) else None
+      }.toSet
+    }
+    Seq(1L, 17L, 100L, 273L, 550L, 551L, 10000L).foreach { budget =>
+      val got = graft.operators.Curation
+        .selectUnderBudget(df, "sz", "sz", "id", budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == naive(budget), s"budget=$budget: $got != ${naive(budget)}")
+    }
+    // total = 550: an exact-fit budget keeps everything, none over
+    assert(graft.operators.Curation.selectUnderBudget(df, "sz", "sz", "id", 550L)
+      .count() == 100L)
+    // the histogram bound refuses loudly instead of melting the driver
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Curation.selectUnderBudget(df, "id", "sz", "id", 10L,
+        maxDriverScores = 5))
+    assert(e.getMessage.contains("distinct"))
+    // non-numeric scores refuse
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Curation.selectUnderBudget(
+        df.withColumn("s2", col("id").cast("string")), "s2", "sz", "id", 10L))
+    assert(e2.getMessage.contains("numeric"))
+  }
+
   test("cube emits all four grouping sets over the rollup's three") {
     val cube = graft.Queries.qCube.run(spark, sfDir)
     val rollup = graft.Queries.qRollup.run(spark, sfDir)

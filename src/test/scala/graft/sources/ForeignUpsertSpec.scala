@@ -145,7 +145,7 @@ class ForeignUpsertSpec extends SparkSpec {
     HudiTableWriter.create(df(1 to 10), cow, recordKeys = Seq("id")): Unit
     val e2 = intercept[IllegalArgumentException](
       HudiTableWriter.upsert(Seq((1L, "x")).toDF("id", "key"), cow))
-    assert(e2.getMessage.contains("columns"))
+    assert(e2.getMessage.contains("ADDITIVE"), e2.getMessage)
 
     val keyless = tmpDir("hup-keyless") + "/t"
     HudiTableWriter.create(df(1 to 10), keyless): Unit
