@@ -936,16 +936,56 @@ object IcebergTableReader {
           }
         val dataFiles = added.filter(_.content == 0).map(_.filePath).distinct
         val eqFiles = added.filter(_.content == 2)
-        // v3 deletion vectors in the range: serving their pre-images
-        // needs the POSITION DIFF vs the file's previous DV (a new DV
-        // is a superset) — not implemented; refuse rather than serve
-        // the whole vector as if it were this snapshot's delta
-        added.find(e => e.content == 1 && e.contentOffset.isDefined).foreach { e =>
-          throw new IllegalStateException(
-            s"$tablePath: snapshot ${s.id} adds deletion vector ${e.filePath} — the " +
-              "change feed cannot yet diff puffin DVs; read the snapshot instead")
+        // v3 DELETION VECTORS: a new DV is a SUPERSET of the file's
+        // previous deletes (spec supersede rule), so this snapshot's
+        // delta is the POSITION DIFF vs the parent snapshot's deletes
+        // — exactly the Delta CDF DV-diff shape. Pre-images scan only
+        // the TARGETED files at the diffed positions.
+        val dvAdded = added.filter(e => e.content == 1 && e.contentOffset.isDefined)
+        if (dvAdded.nonEmpty) {
+          val parent = s.parentId.getOrElse(throw new IllegalStateException(
+            s"$tablePath: snapshot ${s.id} adds deletion vectors but has no parent — " +
+              "their pre-images are undefined; refusing"))
+          val (allSnaps, _) = snapshotLog(spark, tablePath)
+          val parentSnap = allSnaps.find(_.id == parent).getOrElse(
+            throw new IllegalStateException(
+              s"$tablePath: parent snapshot $parent missing from the log"))
+          val prevPlan = planFilesOf(spark, tablePath, parentSnap)
+          val newDvs = dvAdded.map(e => DvRef(e.filePath, e.contentOffset.get,
+            e.contentSize.get, e.referencedDataFile.getOrElse(
+              throw new IllegalStateException(
+                s"$tablePath: DV ${e.filePath} names no referenced data file; refusing"))))
+          val newPos = dvPositionsDf(spark, tablePath, newDvs)
+          val prevDv =
+            if (prevPlan.deletionVectors.isEmpty) None
+            else Some(dvPositionsDf(spark, tablePath, prevPlan.deletionVectors))
+          val prevParquet =
+            if (prevPlan.positionDeletes.isEmpty) None
+            else Some(spark.read
+              .parquet(prevPlan.positionDeletes.map(resolve(tablePath, _)): _*)
+              .select(
+                ScanPaths.normalizeMetaColumn(col("file_path"), tablePath).as("_g_file"),
+                col("pos").cast("long").as("_g_pos")))
+          val prevDels = (prevDv, prevParquet) match {
+            case (Some(a), Some(b)) => Some(a.unionByName(b))
+            case (a, b) => a.orElse(b)
+          }
+          val delta = prevDels match {
+            case Some(d) => newPos.join(d, Seq("_g_file", "_g_pos"), "left_anti")
+            case None => newPos
+          }
+          val targeted = newDvs.map(_.referencedDataFile).distinct
+          val rows = spark.read.parquet(targeted.map(resolve(tablePath, _)): _*)
+            .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
+            .withColumn("_g_pos", col("_metadata.row_index").cast("long"))
+            .join(delta, Seq("_g_file", "_g_pos"), "left_semi")
+            .drop("_g_file", "_g_pos")
+          pieces += rows
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_snapshot_id", lit(s.id))
         }
-        val posFiles = added.filter(_.content == 1).map(_.filePath).distinct
+        val posFiles = added.filter(e => e.content == 1 && e.contentOffset.isEmpty)
+          .map(_.filePath).distinct
         if (dataFiles.nonEmpty)
           pieces += spark.read.parquet(dataFiles.map(resolve(tablePath, _)): _*)
             .withColumn("_change_type", lit("insert"))

@@ -99,14 +99,34 @@ class IcebergDvSpec extends SparkSpec {
     assert(pos.nonEmpty)
   }
 
-  test("refusals: corrupt blob CRC, change feed over a DV snapshot, empty match") {
+  test("change feed diffs DVs: each snapshot serves ONLY its newly-deleted pre-images; the fold reproduces the snapshot") {
+    val table = tmpDir("dv-feed") + "/t"
+    val s1 = IcebergTableWriter.create(df(1 to 60), table)
+    IcebergTableWriter.deleteDv(spark, table, col("id") % 6 === 0): Unit  // s2: 10 rows
+    IcebergTableWriter.deleteDv(spark, table, col("id") % 10 === 0): Unit // s3: 4 NEW rows
+    val feed = IcebergTableReader.changeFeedSince(spark, table, s1)
+    feed.cache()
+    val d2 = feed.where(col("_snapshot_id") === s1 + 1)
+    assert(d2.count() == 10L &&
+      d2.where(col("_change_type") =!= "delete").count() == 0L)
+    // s3's delta excludes the already-deleted %6 rows (30 and 60)
+    val d3 = feed.where(col("_snapshot_id") === s1 + 2)
+    assert(d3.select("id").collect().map(_.getLong(0)).toSet == Set(10L, 20L, 40L, 50L),
+      "the diff must exclude positions the previous DV already deleted")
+    assert(d3.where(col("v").isNull).count() == 0L, "pre-images carry the full row")
+    // fold: bootstrap minus all fed deletes == current snapshot
+    val mirror = IcebergTableReader.snapshotAsOf(spark, table, s1)
+      .select("id", "grp", "v")
+      .join(feed.select("id"), Seq("id"), "left_anti")
+    val now = IcebergTableReader.snapshot(spark, table).select("id", "grp", "v")
+    assert(mirror.exceptAll(now).isEmpty && now.exceptAll(mirror).isEmpty)
+    feed.unpersist()
+  }
+
+  test("refusals: corrupt blob CRC, empty match") {
     val table = tmpDir("dv-refuse") + "/t"
-    val s1 = IcebergTableWriter.create(df(1 to 40), table)
+    IcebergTableWriter.create(df(1 to 40), table): Unit
     IcebergTableWriter.deleteDv(spark, table, col("id") <= 4): Unit
-    // the change feed cannot yet diff DVs — loud refusal
-    val e1 = intercept[IllegalStateException](
-      IcebergTableReader.changeFeedSince(spark, table, s1))
-    assert(e1.getMessage.contains("deletion vector"), e1.getMessage)
     // an empty match refuses rather than committing an empty snapshot
     val e2 = intercept[IllegalArgumentException](
       IcebergTableWriter.deleteDv(spark, table, col("id") === -1L))
