@@ -1410,6 +1410,51 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1""".stripMargin))
 
+  /** #103p Hudi RECORD-LEVEL INDEX point lookup
+    * ([[graft.sources.HudiTableWriter.writeRecordIndex]] +
+    * [[graft.sources.HudiTableReader.pointLookup]]): the
+    * metadata-table `record_index` partition maps record key → file
+    * group from one distributed scan (key-range-clustered parquet so
+    * the lookup's IN-filter prunes index files by footer bounds);
+    * the lookup scans ONLY the matched groups plus groups touched
+    * after the index instant (where new/updated keys live) —
+    * require-proven in-run by the scan's input-file cut. Keys are
+    * derived per orderkey-mod-class min/max so pre- AND post-index
+    * keys are exercised at every SF; the oracle recomputes the same
+    * key set in SQL.
+    */
+  val qHudiRecordIndex: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-ridx") + "/t"
+      // 4 file groups per commit (the lookup's cut needs a real
+      // multi-group layout at every SF)
+      val o = t(s, dir, "orders").repartition(4, col("o_orderkey"))
+      HudiTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(4)) === 0), table,
+        recordKeys = Seq("o_orderkey")): Unit
+      HudiTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(4)) === 1), table): Unit
+      HudiTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(4)) === 2), table): Unit
+      HudiTableWriter.writeRecordIndex(s, table): Unit
+      // a post-index commit: its keys resolve through the touched set
+      HudiTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(4)) === 3), table): Unit
+      val keys = o.groupBy(pmod(col("o_orderkey"), lit(4)).as("m"))
+        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        .collect().flatMap(r => Seq(r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toSeq
+      val looked = HudiTableReader.pointLookup(s, table, keys)
+      require(looked.inputFiles.length <
+          HudiTableReader.snapshot(s, table).inputFiles.length,
+        "the record index must cut the lookup's file set below the full snapshot's")
+      looked.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").as("price"))
+    },
+    oracle = Some(
+      """SELECT o_orderkey, o_orderpriority, o_totalprice AS price FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT min(o_orderkey) FROM orders GROUP BY o_orderkey % 4
+        |  UNION ALL
+        |  SELECT max(o_orderkey) FROM orders GROUP BY o_orderkey % 4)"""
+        .stripMargin))
+
   /** #109e Iceberg PARTITION-TRANSFORM writer + inverse prune
     * ([[graft.sources.IcebergTransforms]]): a `days(o_orderdate)`-
     * partitioned table — the shape most PRODUCTION Iceberg tables

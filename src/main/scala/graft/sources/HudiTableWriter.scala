@@ -1141,6 +1141,52 @@ object HudiTableWriter {
     head
   }
 
+  /** RECORD-LEVEL INDEX (the metadata-table `record_index` partition
+    * — the third leg beside `files` and `col_stats`): one distributed
+    * scan of the active slices publishes (record key → file group id)
+    * at `.hoodie/metadata/record_index/<headInstant>/` as a
+    * key-range-clustered parquet DIRECTORY (row-per-record — a single
+    * file would serialize the whole key space through one task; the
+    * range clustering is what makes a point lookup's `key IN (…)`
+    * prune to one or two index files via footer min/max).
+    * [[HudiTableReader.pointLookup]] starts from it and adds only the
+    * file groups post-index instants touched. COW only, like
+    * col_stats (a MOR group's log inserts are invisible to base
+    * keys). Returns the indexed instant.
+    */
+  def writeRecordIndex(spark: SparkSession, tablePath: String,
+      indexFiles: Int = 32): String = {
+    require(!HudiTableReader.isMor(spark, tablePath),
+      s"$tablePath: the record index is COW machinery — MOR log rows are invisible " +
+        "to base-file keys; compact first")
+    val keys = declaredRecordKeys(spark, tablePath)
+    require(keys.nonEmpty,
+      s"$tablePath: the record index maps record keys — the table declares none " +
+        "(hoodie.table.recordkey.fields)")
+    val slices = HudiTableReader.activeSlices(spark, tablePath)
+    val head = HudiTableReader.latestInstant(spark, tablePath)
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.functions.{col => c}
+    val absToRel = slices.map(s0 =>
+      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}") -> s0.path).toMap
+    val fidOf = slices.map(s0 => s0.path -> s0.fileId).toMap
+    val relUdf = org.apache.spark.sql.functions.udf((p: String) =>
+      fidOf.getOrElse(absToRel.getOrElse(p, p), null: String))
+    val entries = spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
+      .select(c("_hoodie_record_key").as("key"),
+        relUdf(ScanPaths.normalizeScan(c("_metadata.file_path"))).as("fileId"))
+    val dir = new Path(hoodieDir(tablePath), "metadata/record_index")
+    fs.mkdirs(dir)
+    val stage = new Path(tablePath, s".graft-ridx-${java.util.UUID.randomUUID()}")
+    entries.repartitionByRange(indexFiles, c("key")).sortWithinPartitions(c("key"))
+      .write.parquet(stage.toString)
+    val dst = new Path(dir, head)
+    fs.delete(dst, true)
+    if (!fs.rename(stage, dst)) throw new IllegalStateException(
+      s"$tablePath: failed to land record index $dst")
+    head
+  }
+
   /** TIMELINE ARCHIVAL (Hudi's own archival service move): rotate all
     * completed instants except the newest `keepLast` out of the
     * active `.hoodie` listing into `.hoodie/archived/` — what keeps

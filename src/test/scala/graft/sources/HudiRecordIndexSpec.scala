@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The metadata-table RECORD INDEX (hudi.apache.org `record_index`
+  * partition, graft shape): key → file group published from one
+  * distributed scan; point lookups scan only the matched groups plus
+  * anything touched after the index instant.
+  */
+class HudiRecordIndexSpec extends SparkSpec {
+
+  private def df(r: Range) = {
+    val s = spark
+    import s.implicits._
+    r.map(i => (i.toLong, s"k${i % 5}", i * 2L)).toDF("id", "key", "v")
+  }
+
+  test("pointLookup scans only the key's group; post-index commits resolve via the touched set") {
+    val table = tmpDir("ridx-basic") + "/t"
+    HudiTableWriter.create(df(1 to 30), table, recordKeys = Seq("id")): Unit
+    HudiTableWriter.append(df(31 to 60), table): Unit
+    HudiTableWriter.append(df(61 to 90), table): Unit
+    HudiTableWriter.writeRecordIndex(spark, table): Unit
+    val total = HudiTableReader.snapshot(spark, table).inputFiles.length
+    assert(total >= 3)
+    // a pre-index key: exactly its one group scans
+    val files = HudiTableReader.pointLookupFiles(spark, table, Seq(42L))
+    assert(files.size == 1, s"one group expected, got ${files.map(_.path)}")
+    val row = HudiTableReader.pointLookup(spark, table, Seq(42L))
+    assert(row.count() == 1L && row.head().getAs[Long]("v") == 84L)
+    // multiple keys across groups: still under the full set
+    val multi = HudiTableReader.pointLookup(spark, table, Seq(5L, 45L, 85L))
+    assert(multi.count() == 3L)
+    assert(multi.inputFiles.length < total)
+    // post-index append: the new key lives in a touched group
+    HudiTableWriter.append(df(91 to 100), table): Unit
+    val fresh = HudiTableReader.pointLookup(spark, table, Seq(95L))
+    assert(fresh.count() == 1L)
+    // post-index upsert: the UPDATED value serves (touched group wins)
+    val s = spark
+    import s.implicits._
+    HudiTableWriter.upsert(Seq((42L, "k2", 999L)).toDF("id", "key", "v"), table): Unit
+    val upd = HudiTableReader.pointLookup(spark, table, Seq(42L))
+    assert(upd.count() == 1L && upd.head().getAs[Long]("v") == 999L)
+    // an absent key returns empty without scanning the table
+    val none = HudiTableReader.pointLookup(spark, table, Seq(123456L))
+    assert(none.isEmpty)
+  }
+
+  test("fallback and refusals: no index scans everything correctly; MOR and keyless refuse; key-range clustering prunes index files") {
+    val table = tmpDir("ridx-fallback") + "/t"
+    HudiTableWriter.create(df(1 to 40), table, recordKeys = Seq("id")): Unit
+    // no index yet: the full slice set serves, answer exact
+    val got = HudiTableReader.pointLookup(spark, table, Seq(7L))
+    assert(got.count() == 1L && got.head().getAs[Long]("v") == 14L)
+    // the index directory is a key-range-clustered parquet DIR named
+    // by its instant
+    HudiTableWriter.writeRecordIndex(spark, table, indexFiles = 4): Unit
+    val idxDirs = new java.io.File(s"$table/.hoodie/metadata/record_index").listFiles()
+    assert(idxDirs.length == 1 && idxDirs.head.isDirectory)
+    assert(idxDirs.head.listFiles().count(_.getName.endsWith(".parquet")) > 1,
+      "the index must be a multi-file directory, not one serialized task")
+    // keyless tables refuse
+    val keyless = tmpDir("ridx-keyless") + "/t"
+    HudiTableWriter.create(df(1 to 5), keyless): Unit
+    val e1 = intercept[IllegalArgumentException](
+      HudiTableWriter.writeRecordIndex(spark, keyless))
+    assert(e1.getMessage.contains("record key"))
+    // MOR refuses
+    val mor = tmpDir("ridx-mor") + "/t"
+    HudiTableWriter.createMor(df(1 to 5), mor, recordKeys = Seq("id")): Unit
+    val e2 = intercept[IllegalArgumentException](
+      HudiTableWriter.writeRecordIndex(spark, mor))
+    assert(e2.getMessage.contains("MOR") || e2.getMessage.contains("compact"))
+  }
+}
