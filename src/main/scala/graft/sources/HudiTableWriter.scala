@@ -324,7 +324,8 @@ object HudiTableWriter {
     if (df.columns.toSet == dataCols) return None
     require(!HudiTableReader.isMor(spark, tablePath),
       s"$tablePath is MERGE-ON-READ — its log blocks pin their write-time schema, so " +
-        "additive evolution needs a compaction first; refusing")
+        "additive evolution is not supported on MOR tables; replicate to a COW table " +
+        "to evolve")
     // evolved order: existing data columns verbatim, new ones after,
     // in batch order — what every later declared-schema scan serves
     val newFields = df.schema.fields.filterNot(f => dataCols.contains(f.name))

@@ -84,6 +84,33 @@ class HudiArchiveSpec extends SparkSpec {
     assert(inc.where($"id" === 3L).head().getAs[Long]("v") == 333L)
   }
 
+  test("a table REBUILT at the same path never serves the old table's memoized archive") {
+    // the bench caught this: archives of a rebuilt table collide on
+    // name AND length (fixed-width instants/fileIds), so a
+    // content-blind memo replayed the OLD timeline over the new files
+    val table = tmpDir("harc-rebuild") + "/t"
+    def build(values: Long => Long): Unit = {
+      HudiTableWriter.create(df(1 to 40, values), table, recordKeys = Seq("id")): Unit
+      HudiTableWriter.append(df(41 to 60, values), table): Unit
+      HudiTableWriter.archiveTimeline(spark, table, keepLast = 1): Unit
+    }
+    build(_ * 2L)
+    assert(HudiTableReader.snapshot(spark, table).count() == 60L) // memo primed
+    // wipe and rebuild the SAME path — shape-identical, same archive
+    // file name, same length class
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(table))
+    Thread.sleep(5) // a same-millisecond rebuild is not the claim here
+    build(_ * 3L)
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 60L)
+    assert(snap.where(col("id") === 5L).head().getAs[Long]("v") == 15L,
+      "the rebuilt table's rows must serve — not the old memoized timeline's")
+  }
+
   test("corrupt archive file refuses loudly; crash-window duplicate instants dedupe") {
     val table = tmpDir("harc-corrupt") + "/t"
     HudiTableWriter.create(df(1 to 10), table, recordKeys = Seq("id")): Unit
