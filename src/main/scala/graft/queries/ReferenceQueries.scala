@@ -1586,6 +1586,35 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #109g Iceberg column RENAME
+    * ([[graft.sources.IcebergTableWriter.renameColumn]]): a pure
+    * metadata commit — a new `schemas` node with every FIELD ID
+    * preserved and one name swapped, no snapshot, no data move — and
+    * the reader serves pre-rename files under the NEW name through
+    * parquet field-id resolution (the writer stamps ids on every
+    * landed file for exactly this). The post-rename upsert proves
+    * equality deletes bind to ids across the rename. In-run require:
+    * the snapshot's columns carry the new name only.
+    */
+  val qIcebergRename: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("ice-rename") + "/t"
+      val o = t(s, dir, "orders")
+      IcebergTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table): Unit
+      IcebergTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      IcebergTableWriter.renameColumn(s, table, "o_totalprice", "price")
+      val snap = IcebergTableReader.snapshot(s, table)
+      require(snap.columns.contains("price") && !snap.columns.contains("o_totalprice"),
+        "the renamed schema must serve")
+      snap.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("price")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
   /** #109 Iceberg table WRITER round-trip
     * ([[graft.sources.IcebergTableWriter]] — the third leg of the
     * writer-side interop surface): create + append land spec-true v2
@@ -2323,6 +2352,59 @@ trait ReferenceQueries extends QueryBase {
       graft.sources.DeltaTableReader.snapshot(s, table)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
+  /** #106h Delta column RENAME
+    * ([[graft.sources.DeltaTableWriter.renameColumn]]): ONE metaData
+    * commit on a COLUMN-MAPPED table — the schemaString's logical
+    * name changes, the physical name (what the data files carry)
+    * stays, so every existing file keeps serving under the new name;
+    * unmapped tables refuse (their files bind to logical names — a
+    * rename there is a rewrite). The fixture is the q_delta_colmap
+    * external shape: physical parquet names, mapping in the
+    * schemaString metadata. In-run require: the renamed schema
+    * serves, the original name is gone.
+    */
+  val qDeltaRename: QueryDef = QueryDef(
+    run = (s, dir) => {
+      val root = scratch("delta-rename")
+      val table = root + "/t"
+      new java.io.File(table).mkdirs()
+      val o = t(s, dir, "orders")
+      val phys = Seq(
+        "o_orderkey" -> "col-r1", "o_custkey" -> "col-r2", "o_orderstatus" -> "col-r3",
+        "o_totalprice" -> "col-r4", "o_orderdate" -> "col-r5", "o_orderpriority" -> "col-r6")
+      writeDeltaDataFile(o.select(phys.map { case (l, p) => col(l).as(p) }: _*),
+        table, "part-a.parquet")
+      val schema = {
+        import org.apache.spark.sql.types._
+        StructType(phys.zipWithIndex.map { case ((l, p), i) =>
+          StructField(l, o.schema(l).dataType, nullable = true,
+            new MetadataBuilder()
+              .putLong("delta.columnMapping.id", i + 1L)
+              .putString("delta.columnMapping.physicalName", p)
+              .build())
+        }).json
+      }
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+      writeDeltaCommit(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${q.writeValueAsString(schema)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"6"},"createdTime":1700000000000}}""",
+        deltaAdd("part-a.parquet")))
+      graft.sources.DeltaTableWriter.renameColumn(s, table, "o_totalprice", "price"): Unit
+      val snap = graft.sources.DeltaTableReader.snapshot(s, table)
+      require(snap.columns.contains("price") && !snap.columns.contains("o_totalprice"),
+        "the renamed logical schema must serve")
+      snap.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("price")).as("revenue"))
     },
     oracle = Some(
       """SELECT o_orderpriority, count(*) AS n,

@@ -1261,4 +1261,49 @@ object DeltaTableWriter {
         s""""createdTime":${state.createdTime.getOrElse(System.currentTimeMillis())}}}"""
     (tableCols ++ extras, Seq(metaLine))
   }
+
+  /** RENAME a column — ONE metaData commit, no data move, on
+    * COLUMN-MAPPED tables only (PROTOCOL.md Column Mapping: the
+    * physical name in the data files stays, only the LOGICAL name in
+    * the schemaString changes, so every existing file keeps serving).
+    * Unmapped tables refuse: their files bind to logical names, and a
+    * rename there is a table rewrite, not a metadata commit.
+    * Partition columns rename in the metaData's partitionColumns too
+    * (they are logical names). Returns the committed version.
+    */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Long = {
+    require(from != to, "rename to the same name is a no-op — refusing to commit one")
+    val state = DeltaTableReader.snapshotState(spark, tablePath)
+    val mode = state.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "name" || mode == "id",
+      s"$tablePath: delta.columnMapping.mode=$mode — a rename without column mapping " +
+        "would have to rewrite every data file (they bind to logical names); refusing")
+    val declared = state.schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case st: org.apache.spark.sql.types.StructType => st }
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: table metadata carries no parseable schemaString"))
+    require(declared.fieldNames.contains(from),
+      s"$tablePath: no column named $from to rename")
+    require(!declared.fieldNames.contains(to),
+      s"$tablePath: column $to already exists — rename would collide")
+    // the field's METADATA (delta.columnMapping.physicalName + id)
+    // carries over verbatim — that is the whole point of the mode
+    val renamed = org.apache.spark.sql.types.StructType(declared.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val partCols = state.partitionColumns.map(c => if (c == from) to else c)
+    val confJson = state.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")
+    val metaLine =
+      s"""{"metaData":{"id":${jsonStr(state.metaDataId.getOrElse(
+        java.util.UUID.randomUUID().toString))},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonStr(renamed.json)},""" +
+        s""""partitionColumns":[${partCols.map(jsonStr).mkString(",")}],""" +
+        s""""configuration":{$confJson},""" +
+        s""""createdTime":${state.createdTime.getOrElse(System.currentTimeMillis())}}}"""
+    commit(spark, tablePath, state.version + 1, Seq(metaLine),
+      ictNeeded = ictNeededOf(state), rebaseSafe = false)
+  }
 }

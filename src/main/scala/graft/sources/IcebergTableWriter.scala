@@ -199,10 +199,22 @@ object IcebergTableWriter {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
+    // stamp PARQUET FIELD IDS into the landed files (what real
+    // engines do): columns bind to ids, so a later RENAME is a pure
+    // metadata commit and the reader's id resolution serves old files
+    // under the new name
+    if (spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+        .forall(_ != "true"))
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val withIds = df.select(df.columns.toIndexedSeq.map { c =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", fieldIds(c).toLong).build()
+      org.apache.spark.sql.functions.col(c).as(c, md)
+    }: _*)
     // each partition value is DERIVED through its transform (identity
     // passes the column through); source columns stay IN the data
     // files, the duplicated _p_ columns only steer the hive staging
-    val staged = pfields.foldLeft(df)((acc, f) =>
+    val staged = pfields.foldLeft(withIds)((acc, f) =>
       acc.withColumn(s"_p_${f.resultName}",
         IcebergTransforms.column(f, df.schema(f.sourceCol).dataType)))
     val writer =
@@ -511,6 +523,93 @@ object IcebergTableWriter {
             s""""current-schema-id":$newSid""", ids)
         }
     }
+  }
+
+  /** RENAME a column — a METADATA-ONLY commit, no snapshot, no data
+    * move (iceberg.apache.org spec Schema Evolution: names may change
+    * freely because data files bind to FIELD IDS): a new `schemas`
+    * node appends with every field id preserved verbatim and only the
+    * one name swapped, current-schema-id bumps, everything else in
+    * the metadata (snapshots, refs, specs, sequence numbers) carries
+    * over UNTOUCHED via a parse-mutate-rewrite of the current
+    * metadata JSON. Reads then serve the NEW name over old parquet
+    * files through the reader's field-id resolution; partition specs
+    * and equality deletes keep working (they bind to ids, not names).
+    */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      from: String, to: String): Unit = {
+    require(from != to, "rename to the same name is a no-op — refusing to commit one")
+    val st = schemaStateOf(spark, tablePath).getOrElse(throw new IllegalArgumentException(
+      s"$tablePath is not an Iceberg table (no metadata)"))
+    val names = st.fields.map(_._2)
+    require(names.contains(from), s"$tablePath: no column named $from to rename")
+    require(!names.contains(to),
+      s"$tablePath: column $to already exists — rename would collide")
+    // post-rename reads resolve by PARQUET FIELD ID; a live data file
+    // without ids would silently serve NULLs under the new name —
+    // check every live footer (parallel driver metadata) and refuse
+    val renamedId = st.fields.find(_._2 == from).get._1
+    val plan = IcebergTableReader.planFiles(spark, tablePath)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def resolveAbs(rel: String): String =
+      if (rel.contains("://") || rel.startsWith("/")) rel else s"$tablePath/$rel"
+    import scala.collection.parallel.CollectionConverters._
+    val idless = plan.data.par.filter { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(resolveAbs(rel)), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        !r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .exists(f => f.getId != null && f.getId.intValue() == renamedId)
+      } finally r.close()
+    }.seq
+    require(idless.isEmpty,
+      s"$tablePath: ${idless.size} live data file(s) carry no parquet field id for " +
+        s"column $from (e.g. ${idless.head}) — a rename would silently null it on " +
+        "those files; rewrite them first (rewriteDataFiles)")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val newSid = st.maxSchemaId + 1
+    val renamedFields = st.fields.map { case (id, name, raw) =>
+      if (name != from) raw
+      else {
+        val f = mapper.readTree(raw).asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+        f.put("name", to)
+        f.toString
+      }
+    }
+    val newNode = s"""{"schema-id":$newSid,"type":"struct",""" +
+      s""""fields":[${renamedFields.mkString(",")}]}"""
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val v = IcebergTableReader.currentMetadataVersion(spark, tablePath)
+      val metaPath = new Path(tablePath, s"metadata/v$v.metadata.json")
+      val in = fs.open(metaPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val root = mapper.readTree(text).asInstanceOf[
+        com.fasterxml.jackson.databind.node.ObjectNode]
+      val schemas = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+      schemas.add(mapper.readTree(newNode))
+      root.put("current-schema-id", newSid)
+      val vNew = v + 1
+      val dst = new Path(tablePath, s"metadata/v$vNew.metadata.json")
+      val created = try {
+        val out = fs.create(dst, false) // exclusive-create CAS
+        try out.write((root.toString + "\n").getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+      if (created) {
+        val hint = fs.create(new Path(tablePath, "metadata/version-hint.text"), true)
+        try hint.write(s"$vNew\n".getBytes("UTF-8")) finally hint.close()
+        return
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"$tablePath: lost the metadata CAS $MaxCommitAttempts times")
   }
 
   private def specJson(idOf: Map[String, Int],

@@ -202,5 +202,33 @@ class SchemaEvolutionSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException](
       DeltaTableWriter.upsert(df(1 to 2), table, Seq("id")))
     assert(e2.getMessage.contains("columnMapping"))
+
+    // RENAME is the op column mapping exists for: one metaData
+    // commit, physical names untouched, every file keeps serving
+    DeltaTableWriter.renameColumn(spark, table, "v", "value"): Unit
+    val renamed = DeltaTableReader.snapshot(spark, table)
+    assert(renamed.columns.toSeq == Seq("id", "grp", "value"))
+    assert(renamed.count() == 35L)
+    assert(renamed.where(col("id") === 30L).head().getAs[Long]("value") == 60L,
+      "pre-rename files must serve under the new logical name")
+    // appends after the rename arrive under the NEW logical name
+    val s2 = spark
+    import s2.implicits._
+    DeltaTableWriter.append(
+      (36 to 40).map(i => (i.toLong, s"g${i % 3}", i * 2L)).toDF("id", "grp", "value"),
+      table): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 40L)
+    // rename refusals: collision, unknown, unmapped table
+    val e3 = intercept[IllegalArgumentException](
+      DeltaTableWriter.renameColumn(spark, table, "value", "grp"))
+    assert(e3.getMessage.contains("collide"))
+    val e4 = intercept[IllegalArgumentException](
+      DeltaTableWriter.renameColumn(spark, table, "nope", "x"))
+    assert(e4.getMessage.contains("no column"))
+    val plain = tmpDir("sev-cmap-plain") + "/t"
+    DeltaTableWriter.create(df(1 to 5), plain): Unit
+    val e5 = intercept[IllegalArgumentException](
+      DeltaTableWriter.renameColumn(spark, plain, "v", "value"))
+    assert(e5.getMessage.contains("columnMapping"), e5.getMessage)
   }
 }
