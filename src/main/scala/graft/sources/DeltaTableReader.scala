@@ -822,7 +822,13 @@ object DeltaTableReader {
     // names under column mapping, per PROTOCOL.md)
     val physOf = columnMappingOf(schemaJson, tablePath)
     val logOf = physOf.map(_.swap)
-    val dataCols = base.columns.toIndexedSeq.map(c => logOf.getOrElse(c, c))
+    // NAME mode: a physical column the schemaString no longer maps is
+    // a DROPPED column — the files keep its bytes, readers must stop
+    // projecting it (serving it under its physical name would leak)
+    val isNameMode = configuration.get("delta.columnMapping.mode").contains("name")
+    val dataCols =
+      if (isNameMode) base.columns.toIndexedSeq.flatMap(c => logOf.get(c))
+      else base.columns.toIndexedSeq.map(c => logOf.getOrElse(c, c))
     val physKeyOf: String => String = c => physOf.getOrElse(c, c)
 
     val dvFiles = files.collect {

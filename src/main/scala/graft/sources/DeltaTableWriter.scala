@@ -1306,4 +1306,44 @@ object DeltaTableWriter {
     commit(spark, tablePath, state.version + 1, Seq(metaLine),
       ictNeeded = ictNeededOf(state), rebaseSafe = false)
   }
+
+  /** DROP a column — ONE metaData commit on a COLUMN-MAPPED table
+    * (PROTOCOL.md Column Mapping: the physical column stays in the
+    * data files, the schemaString stops declaring it, so readers stop
+    * projecting it and no file rewrites). Partition columns refuse
+    * (the log's partitionValues key on them); unmapped tables refuse
+    * like [[renameColumn]]. Returns the committed version.
+    */
+  def dropColumn(spark: SparkSession, tablePath: String, column: String): Long = {
+    val state = DeltaTableReader.snapshotState(spark, tablePath)
+    val mode = state.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "name" || mode == "id",
+      s"$tablePath: delta.columnMapping.mode=$mode — a drop without column mapping " +
+        "would have to rewrite every data file; refusing")
+    val declared = state.schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case st: org.apache.spark.sql.types.StructType => st }
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: table metadata carries no parseable schemaString"))
+    require(declared.fieldNames.contains(column),
+      s"$tablePath: no column named $column to drop")
+    require(declared.fields.length > 1, s"$tablePath: cannot drop the only column")
+    require(!state.partitionColumns.contains(column),
+      s"$tablePath: $column is a partition column — the log's partitionValues key on " +
+        "it; repartition the table instead of dropping")
+    val reduced = org.apache.spark.sql.types.StructType(
+      declared.fields.filterNot(_.name == column))
+    val confJson = state.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")
+    val metaLine =
+      s"""{"metaData":{"id":${jsonStr(state.metaDataId.getOrElse(
+        java.util.UUID.randomUUID().toString))},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonStr(reduced.json)},""" +
+        s""""partitionColumns":[${state.partitionColumns.map(jsonStr).mkString(",")}],""" +
+        s""""configuration":{$confJson},""" +
+        s""""createdTime":${state.createdTime.getOrElse(System.currentTimeMillis())}}}"""
+    commit(spark, tablePath, state.version + 1, Seq(metaLine),
+      ictNeeded = ictNeededOf(state), rebaseSafe = false)
+  }
 }

@@ -677,27 +677,31 @@ object IcebergTableReader {
     * written before it (footer inference would make the scanned
     * schema depend on which file Spark samples).
     */
-  /** True when the schema HISTORY maps any field id to more than one
-    * name — the table renamed a column at some point, and data files
-    * written before the rename carry the OLD parquet name: a
-    * name-keyed scan would silently null-fill the renamed column for
-    * those files. Field-id resolution (the spec's actual rule) is
-    * the only safe read then.
+  /** True when the schema HISTORY diverges ids from names — either a
+    * field id mapped to more than one name (a RENAME: pre-rename
+    * files carry the old parquet name) or a name mapped to more than
+    * one id (a DROP + RE-ADD: old files carry a SAME-NAMED column
+    * whose bytes belong to the dropped field and must NOT leak into
+    * the new one). Either way a name-keyed scan is wrong and field-id
+    * resolution (the spec's actual rule) is the only safe read.
     */
   private def hasRenamedColumns(meta: com.fasterxml.jackson.databind.JsonNode): Boolean = {
     val schemas = meta.get("schemas")
     if (schemas == null || !schemas.isArray) return false
-    val seen = scala.collection.mutable.Map.empty[Int, String]
-    var renamed = false
+    val seenById = scala.collection.mutable.Map.empty[Int, String]
+    val seenByName = scala.collection.mutable.Map.empty[String, Int]
+    var diverged = false
     schemas.forEach { sn =>
       val fs0 = sn.get("fields")
       if (fs0 != null && fs0.isArray) fs0.forEach { f =>
         val id = f.get("id").asInt(); val n = f.get("name").asText()
-        if (seen.getOrElse(id, n) != n) renamed = true
-        seen(id) = n
+        if (seenById.getOrElse(id, n) != n) diverged = true
+        if (seenByName.getOrElse(n, id) != id) diverged = true
+        seenById(id) = n
+        seenByName(n) = id
       }
     }
-    renamed
+    diverged
   }
 
   private def declaredSparkSchema(spark: SparkSession,

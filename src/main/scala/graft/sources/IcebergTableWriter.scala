@@ -512,6 +512,26 @@ object IcebergTableWriter {
               s"${missing.toSeq.sorted.mkString(",")} — additive evolution only")
           val ids = plannedFieldIds(spark, tablePath, schema)
           val extras = schema.fields.filterNot(f => curNames.contains(f.name))
+          // RE-ADDING a name a PAST schema used (drop + re-add) makes
+          // reads id-resolved — old files carry a same-named column
+          // whose bytes belong to the dropped field; any live file
+          // WITHOUT parquet field ids would then null out entirely
+          val historyNames = {
+            val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            st.schemaNodesJson.flatMap { sj =>
+              val fs0 = m.readTree(sj).get("fields")
+              if (fs0 == null || !fs0.isArray) Nil
+              else {
+                val b = Seq.newBuilder[String]
+                fs0.forEach(f => b += f.get("name").asText())
+                b.result()
+              }
+            }.toSet
+          }
+          val reused = extras.map(_.name).filter(n =>
+            historyNames.contains(n) && !curNames.contains(n))
+          if (reused.nonEmpty) requireLiveFieldIds(spark, tablePath,
+            s"re-adding previously-dropped column(s) ${reused.mkString(",")}")
           val newFieldsJson = st.fields.map(_._3) ++ extras.map { f =>
             s"""{"id":${ids(f.name)},"name":"${f.name}","required":false,""" +
               s""""type":"${icebergTypeOf(f.dataType)}"}"""
@@ -579,8 +599,79 @@ object IcebergTableWriter {
         f.toString
       }
     }
-    val newNode = s"""{"schema-id":$newSid,"type":"struct",""" +
-      s""""fields":[${renamedFields.mkString(",")}]}"""
+    commitSchemaNode(spark, tablePath,
+      s"""{"schema-id":$newSid,"type":"struct",""" +
+        s""""fields":[${renamedFields.mkString(",")}]}""", newSid)
+  }
+
+  /** DROP a column — like [[renameColumn]] a METADATA-ONLY commit
+    * (iceberg.apache.org spec Schema Evolution): a new `schemas` node
+    * appends WITHOUT the field, every other field id preserved,
+    * current-schema-id bumps; data files keep the bytes, readers
+    * simply stop projecting them, and the field id is never reused
+    * (later additive evolution allocates past the global max, which
+    * the dropped id still counts toward). Refuses dropping a
+    * partition-spec SOURCE column or a column live equality-delete
+    * files key on — both bind to the id and would break scoping.
+    */
+  def dropColumn(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      column: String): Unit = {
+    val st = schemaStateOf(spark, tablePath).getOrElse(throw new IllegalArgumentException(
+      s"$tablePath is not an Iceberg table (no metadata)"))
+    val names = st.fields.map(_._2)
+    require(names.contains(column), s"$tablePath: no column named $column to drop")
+    require(names.size > 1, s"$tablePath: cannot drop the only column")
+    val droppedId = st.fields.find(_._2 == column).get._1
+    declaredPartitionFields(spark, tablePath).foreach(pf =>
+      require(pf.sourceCol != column,
+        s"$tablePath: column $column is a partition-spec source — dropping it would " +
+          "orphan the spec; refusing"))
+    val plan = IcebergTableReader.planFiles(spark, tablePath)
+    plan.equalityDeletes.foreach(eq =>
+      require(!eq.equalityColumns.contains(column),
+        s"$tablePath: live equality-delete file ${eq.path} keys on $column — dropping " +
+          "it would break delete scoping; compact the deletes away first"))
+    val keptFields = st.fields.collect { case (id, name, raw) if id != droppedId => raw }
+    commitSchemaNode(spark, tablePath,
+      s"""{"schema-id":${st.maxSchemaId + 1},"type":"struct",""" +
+        s""""fields":[${keptFields.mkString(",")}]}""", st.maxSchemaId + 1)
+  }
+
+  /** Refuse unless EVERY live data file stamps parquet field ids on
+    * ALL its fields — the precondition for any evolution that makes
+    * reads id-resolved (rename, drop + re-add); a file without ids
+    * would silently serve nulls. Parallel footer check, driver
+    * metadata, |live files|-bounded.
+    */
+  private def requireLiveFieldIds(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, context: String): Unit = {
+    val plan = IcebergTableReader.planFiles(spark, tablePath)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def resolveAbs(rel: String): String =
+      if (rel.contains("://") || rel.startsWith("/")) rel else s"$tablePath/$rel"
+    import scala.collection.parallel.CollectionConverters._
+    val idless = plan.data.par.filter { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(resolveAbs(rel)), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala.exists(_.getId == null)
+      } finally r.close()
+    }.seq
+    require(idless.isEmpty,
+      s"$tablePath: $context needs field-id resolution, but ${idless.size} live data " +
+        s"file(s) carry no parquet field ids (e.g. ${idless.headOption.getOrElse("")}) — " +
+        "they would silently serve nulls; rewrite them first (rewriteDataFiles)")
+  }
+
+  /** Append a new current schema node to the metadata — the shared
+    * CAS tail of the metadata-only evolution ops (rename, drop):
+    * parse-mutate-rewrite so snapshots/refs/specs/sequence numbers
+    * carry over untouched. */
+  private def commitSchemaNode(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, newNode: String, newSid: Int): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {

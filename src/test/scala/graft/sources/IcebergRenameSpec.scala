@@ -45,6 +45,40 @@ class IcebergRenameSpec extends SparkSpec {
       "equality deletes bind to field ids — the upsert must land across the rename")
   }
 
+  test("drop is metadata-only: readers stop projecting, files untouched, ids never reused") {
+    val table = tmpDir("irn-drop") + "/t"
+    IcebergTableWriter.create(df(1 to 30), table): Unit
+    val filesBefore = IcebergTableReader.planFiles(spark, table).data.toSet
+    IcebergTableWriter.dropColumn(spark, table, "grp")
+    assert(IcebergTableReader.planFiles(spark, table).data.toSet == filesBefore,
+      "a drop must not touch data files")
+    val snap = IcebergTableReader.snapshot(spark, table)
+    assert(snap.columns.toSeq == Seq("id", "v"))
+    assert(snap.count() == 30L)
+    // a LATER additive evolution must not reuse the dropped field id
+    val s = spark
+    import s.implicits._
+    IcebergTableWriter.append(
+      (31 to 35).map(i => (i.toLong, i * 2L, s"t$i")).toDF("id", "v", "tag"), table): Unit
+    val after = IcebergTableReader.snapshot(spark, table)
+    assert(after.columns.toSeq == Seq("id", "v", "tag") && after.count() == 35L)
+    assert(after.where(col("id") <= 30L && col("tag").isNull).count() == 30L)
+    // the resurrected NAME would be a new field id, never the old one
+    // (old files' grp bytes must NOT leak into a re-added grp column)
+    IcebergTableWriter.dropColumn(spark, table, "tag")
+    IcebergTableWriter.append(
+      (36 to 40).map(i => (i.toLong, i * 2L, s"G$i")).toDF("id", "v", "grp"), table): Unit
+    val re = IcebergTableReader.snapshot(spark, table)
+    assert(re.where(col("id") <= 30L && col("grp").isNotNull).count() == 0L,
+      "a re-added name is a NEW field — old files' bytes must not leak into it")
+    // dropping a partition source or the only column refuses
+    val pt = tmpDir("irn-drop-part") + "/t"
+    IcebergTableWriter.create(df(1 to 10), pt, partitionBy = Seq("grp")): Unit
+    val e1 = intercept[IllegalArgumentException](
+      IcebergTableWriter.dropColumn(spark, pt, "grp"))
+    assert(e1.getMessage.contains("partition-spec source"))
+  }
+
   test("refusals: unknown column, collision, no-op, and id-less live files") {
     val table = tmpDir("irn-refuse") + "/t"
     IcebergTableWriter.create(df(1 to 10), table): Unit

@@ -230,5 +230,21 @@ class SchemaEvolutionSpec extends SparkSpec {
     val e5 = intercept[IllegalArgumentException](
       DeltaTableWriter.renameColumn(spark, plain, "v", "value"))
     assert(e5.getMessage.contains("columnMapping"), e5.getMessage)
+
+    // DROP: the physical column stays in the files, readers stop
+    // projecting it — one metaData commit, zero data I/O
+    val dataFilesBefore = new java.io.File(table).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    DeltaTableWriter.dropColumn(spark, table, "grp"): Unit
+    val dropped = DeltaTableReader.snapshot(spark, table)
+    assert(dropped.columns.toSeq == Seq("id", "value"))
+    assert(dropped.count() == 40L)
+    assert(new java.io.File(table).listFiles()
+      .count(_.getName.endsWith(".parquet")) == dataFilesBefore,
+      "a drop must not rewrite or add data files")
+    // unmapped drop refuses like unmapped rename
+    val e6 = intercept[IllegalArgumentException](
+      DeltaTableWriter.dropColumn(spark, plain, "grp"))
+    assert(e6.getMessage.contains("columnMapping"), e6.getMessage)
   }
 }
