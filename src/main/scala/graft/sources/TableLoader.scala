@@ -96,6 +96,34 @@ object TableLoader {
     case PlainParquet   => spark.read.parquet(path)
   }
 
+  /** Format-agnostic column RENAME — a metadata commit on the
+    * formats whose files decouple from logical names (Iceberg field
+    * ids; Delta column mapping). Formats where files BIND to names
+    * (Hudi, graft versioned, plain parquet) refuse loudly: there a
+    * rename is a table rewrite, and pretending otherwise would
+    * null-fill the column.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Unit =
+    detectFormat(spark, path) match {
+      case DeltaFormat => DeltaTableWriter.renameColumn(spark, path, from, to): Unit
+      case IcebergFormat => IcebergTableWriter.renameColumn(spark, path, from, to)
+      case f => throw new IllegalArgumentException(
+        s"$path ($f): data files bind to column NAMES in this layout — a rename is a " +
+          "table rewrite, not a metadata commit; refusing")
+    }
+
+  /** Format-agnostic column DROP — same dispatch rule as
+    * [[renameColumn]]: metadata-only where the format supports it,
+    * loud refusal where the files bind to names. */
+  def dropColumn(spark: SparkSession, path: String, column: String): Unit =
+    detectFormat(spark, path) match {
+      case DeltaFormat => DeltaTableWriter.dropColumn(spark, path, column): Unit
+      case IcebergFormat => IcebergTableWriter.dropColumn(spark, path, column)
+      case f => throw new IllegalArgumentException(
+        s"$path ($f): data files bind to column NAMES in this layout — a drop is a " +
+          "table rewrite, not a metadata commit; refusing")
+    }
+
   /** Format-agnostic INCREMENTAL read since a format-native
     * checkpoint token (Delta/Iceberg: a version / snapshot id number;
     * Hudi: an instant time string; graft versioned tables: a version

@@ -53,6 +53,21 @@ class PlanSpec extends SparkSpec {
     val iLeaves = iScan.queryExecution.executedPlan.collectLeaves()
       .map(_.treeString).mkString("\n")
     assert(iLeaves.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"), iLeaves)
+
+    // Hudi: the EVOLVED table's declared-schema scan (commit-metadata
+    // authority) must keep pushdown too
+    val ht = tmpDir("plan-declscan-h") + "/t"
+    graft.sources.HudiTableWriter.create(
+      (1 to 300).map(i => (i.toLong, s"g${i % 4}", i * 2L)).toDF("id", "grp", "v"), ht,
+      recordKeys = Seq("id")): Unit
+    graft.sources.HudiTableWriter.append(
+      (301 to 400).map(i => (i.toLong, s"g${i % 4}", i * 2L, "late"))
+        .toDF("id", "grp", "v", "tag"), ht): Unit
+    val hScan = graft.sources.HudiTableReader.snapshot(spark, ht)
+      .where($"id" === 7L)
+    val hLeaves = hScan.queryExecution.executedPlan.collectLeaves()
+      .map(_.treeString).mkString("\n")
+    assert(hLeaves.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"), hLeaves)
   }
 
   test("star join (q5): every dimension joins broadcast, never sort-merge") {

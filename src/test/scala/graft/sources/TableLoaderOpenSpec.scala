@@ -275,4 +275,31 @@ class TableLoaderOpenSpec extends SparkSpec {
     val eP = intercept[IllegalArgumentException](TableLoader.openChangeFeed(spark, p, "0"))
     assert(eP.getMessage.contains("change feed"))
   }
+
+  test("rename/drop dispatch: metadata commits on Delta and Iceberg; name-bound layouts refuse") {
+    import org.apache.spark.sql.functions._
+    // Delta needs column mapping for metadata renames — the dispatch
+    // passes the writer's own refusal through for unmapped tables
+    val d = tmpDir("rn-delta") + "/t"
+    DeltaTableWriter.create(rows(1 to 10), d): Unit
+    val eD = intercept[IllegalArgumentException](
+      TableLoader.renameColumn(spark, d, "v", "value"))
+    assert(eD.getMessage.contains("columnMapping"))
+    // Iceberg renames + drops through the one-call dispatch
+    val i = tmpDir("rn-ice") + "/t"
+    IcebergTableWriter.create(rows(1 to 10).withColumn("x", lit(1L)), i): Unit
+    TableLoader.renameColumn(spark, i, "v", "value")
+    assert(TableLoader.open(spark, i).columns.toSeq == Seq("id", "value", "x"))
+    TableLoader.dropColumn(spark, i, "x")
+    assert(TableLoader.open(spark, i).columns.toSeq == Seq("id", "value"))
+    // name-bound layouts refuse with the rewrite direction
+    val h = tmpDir("rn-hudi") + "/t"
+    HudiTableWriter.create(rows(1 to 10), h): Unit
+    val eH = intercept[IllegalArgumentException](
+      TableLoader.renameColumn(spark, h, "v", "value"))
+    assert(eH.getMessage.contains("bind to column NAMES"))
+    val eH2 = intercept[IllegalArgumentException](
+      TableLoader.dropColumn(spark, h, "v"))
+    assert(eH2.getMessage.contains("bind to column NAMES"))
+  }
 }
