@@ -46,15 +46,22 @@ object HudiSchema {
   }
 
   /** Parse a commit's `extraMetadata.schema` Avro JSON back to the
-    * Spark schema readers scan with. Unknown/nested Avro shapes
-    * refuse loudly — a silently-mistyped column would make the
-    * declared-schema scan read garbage. */
+    * Spark schema readers scan with. Covers the shapes real Hudi
+    * writers stamp — flat primitives, fixed/bytes decimals, nested
+    * records, arrays, maps, enums, millis/micros timestamps; a
+    * genuinely unmappable type still refuses loudly — a
+    * silently-mistyped column would make the declared-schema scan
+    * read garbage. */
   def fromAvroJson(json: String): StructType = {
     val avro = new Schema.Parser().parse(json)
     require(avro.getType == Schema.Type.RECORD,
       s"commit schema must be an Avro record, got ${avro.getType}")
+    structTypeOf(avro)
+  }
+
+  private def structTypeOf(record: Schema): StructType = {
     import scala.jdk.CollectionConverters._
-    StructType(avro.getFields.asScala.toSeq.map { f =>
+    StructType(record.getFields.asScala.toSeq.map { f =>
       StructField(f.name(), sparkTypeOf(unwrapNullable(f.schema()), f.name()),
         nullable = true)
     })
@@ -87,6 +94,24 @@ object HudiSchema {
       case (Schema.Type.BYTES, d: LogicalTypes.Decimal) =>
         DecimalType(d.getPrecision, d.getScale)
       case (Schema.Type.BYTES, null) => BinaryType
+      // real-world Hudi writers stamp decimals as FIXED (the Avro
+      // default for parquet-backed decimals) and nest structs freely
+      case (Schema.Type.FIXED, d: LogicalTypes.Decimal) =>
+        DecimalType(d.getPrecision, d.getScale)
+      case (Schema.Type.FIXED, null) => BinaryType
+      case (Schema.Type.LONG, l) if l != null && l.getName == "timestamp-millis" =>
+        TimestampType
+      case (Schema.Type.LONG, l) if l != null && l.getName == "local-timestamp-millis" =>
+        TimestampNTZType
+      case (Schema.Type.ENUM, _) => StringType
+      case (Schema.Type.RECORD, _) => structTypeOf(s)
+      case (Schema.Type.ARRAY, _) =>
+        ArrayType(sparkTypeOf(unwrapNullable(s.getElementType), s"$colName.element"),
+          containsNull = true)
+      case (Schema.Type.MAP, _) =>
+        MapType(StringType,
+          sparkTypeOf(unwrapNullable(s.getValueType), s"$colName.value"),
+          valueContainsNull = true)
       case (t, l) => throw new IllegalArgumentException(
         s"column $colName: commit-schema Avro type $t (logical $l) has no Spark " +
           "mapping in this reader; refusing")

@@ -453,7 +453,8 @@ object HudiTableWriter {
       StructField("_g_file", StringType), StructField("_g_fid", StringType))))
     // a previously-evolved table scans with its DECLARED schema (old
     // base files null-fill), exactly as the reader does
-    val baseRead = HudiTableReader.scanSchemaOf(spark, tablePath) match {
+    val baseRead = HudiTableReader.scanSchemaOf(spark, tablePath,
+        Some(s"$tablePath/${slices.maxBy(_.instant).path}")) match {
       case Some(declared) => spark.read.schema(declared)
       case None => spark.read
     }

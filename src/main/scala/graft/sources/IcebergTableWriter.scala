@@ -203,9 +203,8 @@ object IcebergTableWriter {
     // engines do): columns bind to ids, so a later RENAME is a pure
     // metadata commit and the reader's id resolution serves old files
     // under the new name
-    if (spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
-        .forall(_ != "true"))
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val fieldIdConfKey = "spark.sql.parquet.fieldId.write.enabled"
+    val priorFieldIdConf = spark.conf.getOption(fieldIdConfKey)
     val withIds = df.select(df.columns.toIndexedSeq.map { c =>
       val md = new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("parquet.field.id", fieldIds(c).toLong).build()
@@ -227,7 +226,15 @@ object IcebergTableWriter {
       else staged.repartition(pfields.map(f =>
           org.apache.spark.sql.functions.col(s"_p_${f.resultName}")): _*)
         .write.partitionBy(pfields.map(f => s"_p_${f.resultName}"): _*)
-    writer.parquet(stage.toString)
+    // the field-id stamping config is a SESSION setting — scope it to
+    // this write and restore the caller's value, so later parquet
+    // writes in the same session aren't silently id-stamped
+    spark.conf.set(fieldIdConfKey, "true")
+    try writer.parquet(stage.toString)
+    finally priorFieldIdConf match {
+      case Some(v) => spark.conf.set(fieldIdConfKey, v)
+      case None    => spark.conf.unset(fieldIdConfKey)
+    }
     // collect staged parts first, then land + footer-read them in
     // PARALLEL — serially this is O(|files|) driver round-trips, and
     // a days()-partitioned append stages one file per day
