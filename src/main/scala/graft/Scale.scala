@@ -1396,7 +1396,12 @@ object Scale {
       "q_iceberg_transform_write", "q_hudi_archived", "q_delta_schema_evolve",
       "q_hudi_cdc_write", "q_hudi_skipping", "q_delta_colmap_write",
       "q_hudi_schema_evolve", "q_iceberg_dv_write", "q_budget_select",
-      "q_hudi_record_index", "q_iceberg_rename", "q_delta_rename")
+      "q_hudi_record_index", "q_iceberg_rename", "q_delta_rename",
+      // round-17 additions: incremental metadata-index maintenance
+      // (refresh cost must stay flat in table size — the refreshes
+      // scan only touched groups / new files by require-proven
+      // contract)
+      "q_hudi_ridx_inc", "q_hudi_cstats_inc")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))

@@ -1455,6 +1455,111 @@ trait ReferenceQueries extends QueryBase {
         |  SELECT max(o_orderkey) FROM orders GROUP BY o_orderkey % 4)"""
         .stripMargin))
 
+  /** #103q INCREMENTAL record-index maintenance
+    * ([[graft.sources.HudiTableWriter.refreshRecordIndex]] — hudi
+    * .apache.org metadata-table semantics: indexes fold per commit,
+    * never by rescanning the table). Three post-index commits (two
+    * appends + an upsert) each fold into the index as a DELTA
+    * generation re-enumerating ONLY their touched file groups — the
+    * refresh require-proves its scan stayed inside the touched set —
+    * and the lookup resolves newest-generation-wins: the upserted
+    * price serves, new keys resolve, the file cut survives.
+    */
+  val qHudiRecordIndexInc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-ridx-inc") + "/t"
+      val o = t(s, dir, "orders").repartition(4, col("o_orderkey"))
+      val keyRows = o.groupBy(pmod(col("o_orderkey"), lit(4)).as("m"))
+        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        .collect()
+      val minKeys = keyRows.map(_.getAs[Long]("lo")).toSeq.distinct
+      val allKeys = (minKeys ++ keyRows.map(_.getAs[Long]("hi"))).distinct
+      HudiTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(4)) === 0), table,
+        recordKeys = Seq("o_orderkey")): Unit
+      HudiTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(4)) === 1), table): Unit
+      HudiTableWriter.writeRecordIndex(s, table): Unit
+      // three incremental folds — appends, then an upsert repricing
+      // the per-group minimum keys to CAST(o_orderkey AS DOUBLE)
+      HudiTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(4)) === 2), table): Unit
+      HudiTableWriter.refreshRecordIndex(s, table): Unit
+      HudiTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(4)) === 3), table): Unit
+      HudiTableWriter.refreshRecordIndex(s, table): Unit
+      HudiTableWriter.upsert(
+        o.filter(col("o_orderkey").isin(minKeys: _*))
+          .withColumn("o_totalprice", col("o_orderkey").cast("double")), table): Unit
+      HudiTableWriter.refreshRecordIndex(s, table): Unit
+      val deltas = new org.apache.hadoop.fs.Path(s"$table/.hoodie/metadata/record_index")
+      val fs = deltas.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.listStatus(deltas).count(_.getPath.getName.endsWith(".delta")) == 3,
+        "three refreshes must land three delta generations")
+      val looked = HudiTableReader.pointLookup(s, table, allKeys)
+      require(looked.inputFiles.length <
+          HudiTableReader.snapshot(s, table).inputFiles.length,
+        "the incrementally-maintained index must keep cutting the lookup's file set")
+      looked.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").as("price"))
+    },
+    oracle = Some(
+      """WITH mins AS (SELECT min(o_orderkey) AS k FROM orders GROUP BY o_orderkey % 4),
+        |maxs AS (SELECT max(o_orderkey) AS k FROM orders GROUP BY o_orderkey % 4)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey IN (SELECT k FROM mins)
+        |       THEN CAST(o_orderkey AS DOUBLE) ELSE o_totalprice END AS price
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT k FROM mins UNION SELECT k FROM maxs)"""
+        .stripMargin))
+
+  /** #103r INCREMENTAL col-stats maintenance
+    * ([[graft.sources.HudiTableWriter.refreshColStatsIndex]]): data
+    * files are immutable, so a refresh carries existing per-file
+    * stats forward verbatim and scans ONLY files absent from the
+    * newest index (require-proven in the refresh itself) — O(new
+    * files), flat in table size. Skipping through the refreshed
+    * index still cuts the file set and stays exact.
+    */
+  val qHudiColStatsInc: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-cstats-inc") + "/t"
+      val o = t(s, dir, "orders")
+      HudiTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .repartitionByRange(6, col("o_orderkey")),
+        table, tableName = "orders_cstats", recordKeys = Seq("o_orderkey")): Unit
+      HudiTableWriter.writeColStatsIndex(s, table,
+        Seq("o_orderkey", "o_totalprice")): Unit
+      HudiTableWriter.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .repartitionByRange(6, col("o_orderkey")), table): Unit
+      HudiTableWriter.refreshColStatsIndex(s, table): Unit
+      val all = HudiTableReader.activeSlices(s, table).size
+      val lo = 1000.0; val hi = 3000.0
+      val skipped = HudiTableReader.snapshotSkipping(s, table, "o_orderkey", lo, hi)
+      require(skipped.inputFiles.length > 0 && skipped.inputFiles.length < all,
+        s"refreshed stats must cut the file set (${skipped.inputFiles.length} of $all)")
+      val pruned = skipped
+        .where(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("skipped"))
+      val full = HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("all"))
+      full.unionByName(pruned)
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  'all' AS slice
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'skipped'
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #109e Iceberg PARTITION-TRANSFORM writer + inverse prune
     * ([[graft.sources.IcebergTransforms]]): a `days(o_orderdate)`-
     * partitioned table — the shape most PRODUCTION Iceberg tables

@@ -1019,12 +1019,29 @@ object HudiTableReader {
     val fs = fsOf(spark, dir)
     val timeline = instants(spark, tablePath)
     val onTimeline = timeline.map(_._1).toSet
-    val usable =
-      if (!fs.exists(dir)) Nil
+    val gens =
+      if (!fs.exists(dir)) Array.empty[String]
       else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(onTimeline.contains).toSeq
-    if (usable.isEmpty) return slices
-    val pick = usable.max
+    val fulls = gens.filter(g => !g.endsWith(".delta") && onTimeline.contains(g))
+    if (fulls.isEmpty) return slices
+    val base = fulls.max
+    // DELTA generations after the base ([[HudiTableWriter
+    // .refreshRecordIndex]]): each re-enumerates the groups its
+    // commits touched and names them in a `_covered` sidecar. A delta
+    // missing its sidecar is incomplete — it AND everything after it
+    // are ignored (the touched-set fallback below covers their
+    // instants exactly as if the refresh never ran).
+    val deltaInstants = gens.filter(_.endsWith(".delta"))
+      .map(_.stripSuffix(".delta"))
+      .filter(i => onTimeline.contains(i) && i > base).sorted.toIndexedSeq
+    val coveredBy: IndexedSeq[(String, Set[String])] = deltaInstants
+      .takeWhile(i => fs.exists(new Path(dir, s"$i.delta/_covered")))
+      .map { i =>
+        val cov = readText(fs, new Path(dir, s"$i.delta/_covered"))
+          .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+        (i, cov)
+      }
+    val pick = (base +: coveredBy.map(_._1)).max
     // the index stores `_hoodie_record_key` VERBATIM. Graft stamps
     // Hudi's `field:value` form, but real SimpleKeyGenerator
     // single-key tables stamp the RAW value — probing only one form
@@ -1033,13 +1050,26 @@ object HudiTableReader {
     // harmless (pointLookup's final key filter is exact), a missed
     // group is wrong.
     val keyStrings = keyValues.flatMap(v => Seq(s"${declared.head}:$v", s"$v"))
-    // the index is key-range-clustered, so the IN-filter prunes to a
-    // couple of index files via footer bounds; |keys| rows come back
-    val fids = spark.read.parquet(new Path(dir, pick).toString)
-      .where(col("key").isin(keyStrings: _*))
-      .select("fileId").distinct().collect().map(_.getString(0)).toSet
-    // groups written after the index: new keys, rewritten groups,
-    // clustering targets — all candidates on top of the index's answer
+    // every generation is key-range-clustered, so each IN-filter
+    // prunes to a couple of files via footer bounds; |keys| rows per
+    // generation come back — newest binding per key wins, and a
+    // binding is DEAD once a newer delta re-enumerated its group
+    // without re-asserting it (deleted or moved key)
+    val genPaths = (new Path(dir, base).toString, base) +:
+      coveredBy.map { case (i, _) => (new Path(dir, s"$i.delta").toString, i) }
+    val cand = genPaths.map { case (p, gen) =>
+      spark.read.parquet(p)
+        .where(col("key").isin(keyStrings: _*))
+        .select(col("key"), col("fileId"), lit(gen).as("gen"))
+    }.reduce(_.unionByName(_)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val fids = cand.groupBy(_._1).values.map(_.maxBy(_._3)).collect {
+      case (_, fid, gen)
+        if !coveredBy.exists { case (i, cov) => i > gen && cov.contains(fid) } => fid
+    }.toSet
+    // groups written after the index head: new keys, rewritten
+    // groups, clustering targets — all candidates on top of the
+    // index's answer
     val touched = timeline.filter(_._1 > pick).flatMap { case (i, k) =>
       writesOf(fs, tablePath, i, k).map(_.fileId)
     }.toSet

@@ -1114,8 +1114,31 @@ object HudiTableWriter {
         "invisible to base-file stats; compact first")
     val slices = HudiTableReader.activeSlices(spark, tablePath)
     val head = HudiTableReader.latestInstant(spark, tablePath)
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = colStatsOf(spark, tablePath, slices, columns)
+    landColStats(spark, tablePath, stats, head)
+    head
+  }
+
+  /** Per-file min/max of `columns` over `slices`, in ONE distributed
+    * scan (groupBy on the scan's file path — stats never transit the
+    * driver row-wise). Empty slices produce an empty, schema-correct
+    * frame without any scan job. */
+  private def colStatsOf(spark: SparkSession, tablePath: String,
+      slices: Seq[HudiTableReader.SliceWrite], columns: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col => c, max => mx, min => mn}
+    require(slices.nonEmpty || columns.nonEmpty, "colStatsOf needs columns")
+    if (slices.isEmpty) {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      // min/max types are unknown with no file to scan; stats land as
+      // strings only when there is genuinely nothing to record —
+      // callers union by NAME against a typed existing index, and an
+      // EMPTY frame contributes no rows of any type
+      val fields = StructField("_g_file", StringType) +: columns.flatMap(cn =>
+        Seq(StructField(s"min_$cn", StringType), StructField(s"max_$cn", StringType)))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(fields))
+    }
     val absToRel = slices.map(s0 =>
       ScanPaths.normalizeDriver(s"$tablePath/${s0.path}") -> s0.path).toMap
     val scan = spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
@@ -1124,10 +1147,15 @@ object HudiTableWriter {
       s"$tablePath: col-stats column $cn is not a table column"))
     val aggs = columns.flatMap(cn =>
       Seq(mn(c(cn)).as(s"min_$cn"), mx(c(cn)).as(s"max_$cn")))
-    val stats = scan.groupBy(c("_g_file")).agg(aggs.head, aggs.tail: _*)
+    scan.groupBy(c("_g_file")).agg(aggs.head, aggs.tail: _*)
       .withColumn("_g_file",
         org.apache.spark.sql.functions.udf((p: String) => absToRel.getOrElse(p, p))
           .apply(c("_g_file")))
+  }
+
+  private def landColStats(spark: SparkSession, tablePath: String,
+      stats: DataFrame, head: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(hoodieDir(tablePath), "metadata/col_stats")
     fs.mkdirs(dir)
     val stage = new Path(tablePath, s".graft-cstats-${java.util.UUID.randomUUID()}")
@@ -1140,6 +1168,59 @@ object HudiTableWriter {
     if (!fs.rename(part, dst)) throw new IllegalStateException(
       s"$tablePath: failed to land col-stats index $dst")
     fs.delete(stage, true)
+  }
+
+  /** INCREMENTAL col-stats maintenance (hudi.apache.org: the metadata
+    * table maintains its indexes PER COMMIT, never by rescanning the
+    * table). Data files are immutable, so existing per-file stats
+    * carry forward verbatim: the refresh scans ONLY files absent from
+    * the newest index (require-proven in-run against the scan's
+    * inputFiles), drops entries for files no longer active, and lands
+    * the union at the head instant — O(new files) data I/O +
+    * O(|files|) metadata, flat in table size. The indexed column set
+    * comes from the existing index's own schema. No usable index →
+    * refuses (the column choice belongs to [[writeColStatsIndex]]).
+    * Returns the indexed head instant.
+    */
+  def refreshColStatsIndex(spark: SparkSession, tablePath: String): String = {
+    require(!HudiTableReader.isMor(spark, tablePath),
+      s"$tablePath: col-stats skipping is COW machinery; compact first")
+    val dir = new Path(hoodieDir(tablePath), "metadata/col_stats")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onTimeline = HudiTableReader.instants(spark, tablePath).map(_._1).toSet
+    val usable =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+        .filter(onTimeline.contains).toSeq
+    require(usable.nonEmpty,
+      s"$tablePath: no col-stats index on the timeline to refresh — writeColStatsIndex first")
+    val pick = usable.max
+    val head = HudiTableReader.latestInstant(spark, tablePath)
+    if (head == pick) return pick
+    val old = spark.read.parquet(new Path(dir, s"$pick.parquet").toString)
+    val columns = old.columns.toIndexedSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    val slices = HudiTableReader.activeSlices(spark, tablePath)
+    // the old index's file list is |files|-bounded driver metadata —
+    // the same budget activeSlices itself already spends
+    val known = old.select("_g_file").collect().map(_.getString(0)).toSet
+    val currentPaths = slices.map(_.path).toSet
+    val fresh = slices.filterNot(s0 => known.contains(s0.path))
+    val freshStats = colStatsOf(spark, tablePath, fresh, columns)
+    // the incremental contract: the refresh may read the NEW files
+    // and nothing else — at 100 TB a full rescan is the cost the
+    // index exists to remove
+    val allowed = fresh.map(s0 =>
+      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}")).toSet
+    val scanned = freshStats.inputFiles.map(ScanPaths.normalizeDriver).toSet
+    require(scanned.subsetOf(allowed),
+      s"$tablePath: col-stats refresh escaped the new-file set — " +
+        s"scanned ${(scanned -- allowed).take(3).mkString(",")}")
+    import org.apache.spark.sql.functions.{col => c}
+    val keep = old.where(c("_g_file").isInCollection(currentPaths))
+    val merged = if (fresh.isEmpty) keep else keep.unionByName(freshStats)
+    landColStats(spark, tablePath, merged, head)
     head
   }
 
@@ -1169,14 +1250,7 @@ object HudiTableWriter {
     val head = HudiTableReader.latestInstant(spark, tablePath)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     import org.apache.spark.sql.functions.{col => c}
-    val absToRel = slices.map(s0 =>
-      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}") -> s0.path).toMap
-    val fidOf = slices.map(s0 => s0.path -> s0.fileId).toMap
-    val relUdf = org.apache.spark.sql.functions.udf((p: String) =>
-      fidOf.getOrElse(absToRel.getOrElse(p, p), null: String))
-    val entries = spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
-      .select(c("_hoodie_record_key").as("key"),
-        relUdf(ScanPaths.normalizeScan(c("_metadata.file_path"))).as("fileId"))
+    val entries = recordEntriesOf(spark, tablePath, slices)
     val dir = new Path(hoodieDir(tablePath), "metadata/record_index")
     fs.mkdirs(dir)
     val stage = new Path(tablePath, s".graft-ridx-${java.util.UUID.randomUUID()}")
@@ -1186,6 +1260,112 @@ object HudiTableWriter {
     fs.delete(dst, true)
     if (!fs.rename(stage, dst)) throw new IllegalStateException(
       s"$tablePath: failed to land record index $dst")
+    // a full rebuild SUPERSEDES every older generation: deltas whose
+    // instant precedes the new base are dead weight, and deltas AT
+    // the same instant would double-serve — clear the chain
+    fs.listStatus(dir).map(_.getPath).filter { p =>
+      val n = p.getName
+      n.endsWith(".delta") && n.stripSuffix(".delta") <= head
+    }.foreach(p => fs.delete(p, true): Unit)
+    head
+  }
+
+  /** (record key → file group id) over `slices`' base files, one
+    * distributed scan. Empty slices produce an empty, schema-correct
+    * frame without any scan job. */
+  private def recordEntriesOf(spark: SparkSession, tablePath: String,
+      slices: Seq[HudiTableReader.SliceWrite]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    if (slices.isEmpty) {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("key", StringType), StructField("fileId", StringType))))
+    }
+    val absToRel = slices.map(s0 =>
+      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}") -> s0.path).toMap
+    val fidOf = slices.map(s0 => s0.path -> s0.fileId).toMap
+    val relUdf = org.apache.spark.sql.functions.udf((p: String) =>
+      fidOf.getOrElse(absToRel.getOrElse(p, p), null: String))
+    spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
+      .select(c("_hoodie_record_key").as("key"),
+        relUdf(ScanPaths.normalizeScan(c("_metadata.file_path"))).as("fileId"))
+  }
+
+  /** INCREMENTAL record-index maintenance (hudi.apache.org: the
+    * metadata table maintains its indexes PER COMMIT — a full rebuild
+    * is the O(table) scan the index exists to avoid). Folds every
+    * commit after the newest indexed instant into the index as ONE
+    * delta generation at `metadata/record_index/<head>.delta/`:
+    * (key → fileId) re-enumerated for exactly the file groups those
+    * commits touched — plus groups a clustering REPLACED — with a
+    * `_covered` sidecar naming them. A reader treats a covered
+    * group's older bindings as dead, so deleted keys never resurrect
+    * and moved keys resolve to their new group (the mover's commit
+    * wrote that group, so the same delta carries the new binding).
+    * The refresh scans ONLY the touched groups' current slices,
+    * require-proven in-run against the scan's inputFiles: O(commits
+    * since the index), flat in table size. Crash-safe: the sidecar
+    * lands inside the staged directory BEFORE the atomic rename, so
+    * a visible delta is always complete. After `maxDeltas`
+    * generations the refresh COMPACTS — one [[writeRecordIndex]]
+    * rebuild resets the chain (the base+delta+compact lifecycle of
+    * MOR itself, applied to the index). Returns the indexed instant.
+    */
+  def refreshRecordIndex(spark: SparkSession, tablePath: String,
+      maxDeltas: Int = 16): String = {
+    require(!HudiTableReader.isMor(spark, tablePath),
+      s"$tablePath: the record index is COW machinery — MOR log rows are invisible " +
+        "to base-file keys; compact first")
+    val dir = new Path(hoodieDir(tablePath), "metadata/record_index")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val timeline = HudiTableReader.instants(spark, tablePath)
+    val onTimeline = timeline.map(_._1).toSet
+    val gens =
+      if (!fs.exists(dir)) Array.empty[String]
+      else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+    val fulls = gens.filter(g => !g.endsWith(".delta") && onTimeline.contains(g))
+    // nothing to fold into, or a chain long enough that lookups pay
+    // |deltas| probes: (re)build the base
+    if (fulls.isEmpty) return writeRecordIndex(spark, tablePath)
+    val base = fulls.max
+    val deltas = gens.filter(_.endsWith(".delta")).map(_.stripSuffix(".delta"))
+      .filter(i => onTimeline.contains(i) && i > base).sorted.toIndexedSeq
+    if (deltas.size >= maxDeltas) return writeRecordIndex(spark, tablePath)
+    val idxHead = (base +: deltas).max
+    val newer = timeline.filter(_._1 > idxHead)
+    if (newer.isEmpty) return idxHead
+    val head = newer.map(_._1).max
+    val covered: Set[String] = newer.flatMap { case (i, k) =>
+      HudiTableReader.writesOf(fs, tablePath, i, k).map(_.fileId) ++
+        (if (k == "replacecommit") HudiTableReader.replacedIdsOf(fs, tablePath, i)
+         else Set.empty[String])
+    }.toSet
+    val slices = HudiTableReader.activeSlices(spark, tablePath)
+      .filter(s0 => covered.contains(s0.fileId))
+    val entries = recordEntriesOf(spark, tablePath, slices)
+    // the incremental contract: the refresh reads the TOUCHED groups
+    // and nothing else
+    val allowed = slices.map(s0 =>
+      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}")).toSet
+    val scanned = entries.inputFiles.map(ScanPaths.normalizeDriver).toSet
+    require(scanned.subsetOf(allowed),
+      s"$tablePath: record-index refresh escaped the touched-group set — " +
+        s"scanned ${(scanned -- allowed).take(3).mkString(",")}")
+    import org.apache.spark.sql.functions.{col => c}
+    val stage = new Path(tablePath, s".graft-ridxd-${java.util.UUID.randomUUID()}")
+    // deltas are commit-sized: a handful of range-clustered files keep
+    // the lookup's IN-filter footer pruning without tiny-file litter
+    entries.repartitionByRange(math.min(8, math.max(1, slices.size)), c("key"))
+      .sortWithinPartitions(c("key"))
+      .write.parquet(stage.toString)
+    val sidecar = fs.create(new Path(stage, "_covered"), true)
+    try sidecar.write((covered.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally sidecar.close()
+    val dst = new Path(dir, s"$head.delta")
+    fs.delete(dst, true)
+    if (!fs.rename(stage, dst)) throw new IllegalStateException(
+      s"$tablePath: failed to land record-index delta $dst")
     head
   }
 
