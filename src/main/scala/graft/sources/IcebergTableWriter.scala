@@ -1152,6 +1152,12 @@ object IcebergTableWriter {
   def delete(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
+    // the v3 spec FORBIDS position-delete files: once the table's
+    // format-version reached 3 (a deleteDv ran), route row deletes
+    // through the DV writer instead of landing a shape external v3
+    // readers must reject
+    if (IcebergTableReader.currentFormatVersion(spark, tablePath) >= 3)
+      return deleteDv(spark, tablePath, predicate)
     val plan = IcebergTableReader.planFiles(spark, tablePath)
     require(plan.equalityDeletes.isEmpty,
       s"$tablePath: table carries equality-delete files — position-deleting on top of " +
@@ -1212,7 +1218,12 @@ object IcebergTableWriter {
     * DV folds in ALL prior deletes of its file (existing DVs and v2
     * position-delete rows included), and prior DV entries for the
     * re-vectored files are REWRITTEN OUT of their manifests (one DV
-    * per data file). The commit floors `format-version` at 3. The
+    * per data file). Because v3 FORBIDS position-delete files, the
+    * commit also re-vectorizes every file still carrying v2
+    * position-delete rows and drops their manifests — the committed
+    * table is v3-legal throughout, and [[delete]] auto-vectorizes
+    * once the format-version is 3 so no later commit regresses it.
+    * The commit floors `format-version` at 3. The
     * position computation and bitmap build are distributed; the
     * driver holds |touched files| compressed blobs, loudly bounded.
     * Equality-delete tables refuse (composed semantics), matching
@@ -1233,28 +1244,35 @@ object IcebergTableWriter {
     val keyed0 = spark.read.parquet(plan.data.map(resolveAbs): _*)
       .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
       .withColumn("_g_pos", col("_metadata.row_index").cast("long"))
-    val priorDels: Option[org.apache.spark.sql.DataFrame] = {
-      val pos =
-        if (plan.positionDeletes.isEmpty) None
-        else Some(spark.read.parquet(plan.positionDeletes.map(resolveAbs): _*)
-          .select(ScanPaths.normalizeMetaColumn(col("file_path"), tablePath).as("_g_file"),
-            col("pos").cast("long").as("_g_pos")))
-      val dv =
-        if (plan.deletionVectors.isEmpty) None
-        else Some(IcebergTableReader.dvPositionsOf(spark, tablePath, plan.deletionVectors))
-      (pos, dv) match {
-        case (Some(a), Some(b)) => Some(a.unionByName(b))
-        case (a, b) => a.orElse(b)
-      }
+    val posPrior: Option[org.apache.spark.sql.DataFrame] =
+      if (plan.positionDeletes.isEmpty) None
+      else Some(spark.read.parquet(plan.positionDeletes.map(resolveAbs): _*)
+        .select(ScanPaths.normalizeMetaColumn(col("file_path"), tablePath).as("_g_file"),
+          col("pos").cast("long").as("_g_pos")))
+    val dvPrior: Option[org.apache.spark.sql.DataFrame] =
+      if (plan.deletionVectors.isEmpty) None
+      else Some(IcebergTableReader.dvPositionsOf(spark, tablePath, plan.deletionVectors))
+    val priorDels: Option[org.apache.spark.sql.DataFrame] = (posPrior, dvPrior) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
     }
     val keyed = priorDels match {
       case Some(d) => keyed0.join(d, Seq("_g_file", "_g_pos"), "left_anti")
       case None => keyed0
     }
     val matched = keyed.where(predicate).select(col("_g_file"), col("_g_pos"))
-    // SUPERSEDE: the new DV for a touched file carries every prior
-    // delete of that file too, so readers may serve the DV alone
-    val touched = matched.select("_g_file").distinct()
+    if (matched.limit(1).isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: predicate matched no live rows — nothing to delete")
+    // SUPERSEDE, spec-complete: the new DV for a touched file carries
+    // every prior delete of that file — AND, because the v3 spec
+    // FORBIDS position-delete files outright, every file still
+    // carrying v2 position-delete rows re-vectorizes in this same
+    // commit (their manifests drop below; untouched files' existing
+    // DV entries stay in place, they are already v3-legal)
+    val touched = (posPrior match {
+      case Some(p) => matched.select("_g_file").unionByName(p.select("_g_file"))
+      case None => matched.select("_g_file")
+    }).distinct()
     val folded = priorDels match {
       case Some(d) => matched.unionByName(d.join(touched, Seq("_g_file"), "left_semi"))
       case None => matched
@@ -1267,8 +1285,8 @@ object IcebergTableWriter {
         (f, DeltaDv.serializePositions(positions.toIndexedSeq), positions.length.toLong)
       }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
       .collect()
-    if (blobs.isEmpty) throw new IllegalArgumentException(
-      s"$tablePath: predicate matched no live rows — nothing to delete")
+    require(blobs.nonEmpty,
+      s"$tablePath: matched rows vanished between probe and fold — racing writer?")
     val totalBytes = blobs.map(_._2.length.toLong).sum
     require(totalBytes <= MaxDvBytesDriver,
       s"$tablePath: deletion vectors compress to $totalBytes bytes (> $MaxDvBytesDriver) " +
@@ -1302,7 +1320,11 @@ object IcebergTableWriter {
         else {
           val entries = IcebergTableReader.manifestEntriesPublic(spark, tablePath, mp)
           val (dvE, otherE) = entries.partition(_.contentOffset.isDefined)
-          if (dvE.isEmpty) Some(m) // v2 position-delete manifest: keep
+          // v2 position-delete manifest: DROP — every one of its rows
+          // was folded into this commit's DVs (the v3 spec forbids
+          // position-delete files; keeping it would hand external v3
+          // readers a shape they must reject)
+          if (dvE.isEmpty) None
           else {
             require(otherE.isEmpty,
               s"$tablePath: manifest $mp mixes DV and non-DV delete entries; refusing")

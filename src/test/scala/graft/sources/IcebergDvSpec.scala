@@ -81,22 +81,38 @@ class IcebergDvSpec extends SparkSpec {
     }
   }
 
-  test("v2 position deletes and v3 DVs coexist: both apply; a DV touching the file folds the parquet positions in") {
+  test("the first DV commit vectorizes EVERY v2 position delete — the committed table is v3-legal throughout") {
     val table = tmpDir("dv-coexist") + "/t"
+    // two disjoint data-file sets so the v2 delete and the DV delete
+    // touch DIFFERENT files — the untouched files' v2 rows must fold
+    // too (the v3 spec forbids position-delete files outright)
     IcebergTableWriter.create(df(1 to 80), table): Unit
+    IcebergTableWriter.append(df(81 to 160), table): Unit
     IcebergTableWriter.delete(spark, table, col("id") % 5 === 0): Unit // v2 parquet
-    IcebergTableWriter.deleteDv(spark, table, col("id") % 8 === 0): Unit // v3 puffin
+    IcebergTableWriter.deleteDv(spark, table,
+      col("id") % 8 === 0 && col("id") > 80): Unit // v3 puffin, second batch only
     val plan = IcebergTableReader.planFiles(spark, table)
-    assert(plan.positionDeletes.nonEmpty && plan.deletionVectors.nonEmpty,
-      "both delete shapes live during migration")
+    assert(plan.positionDeletes.isEmpty,
+      "v3 forbids position-delete files — the DV commit must fold and drop them ALL")
+    assert(plan.deletionVectors.nonEmpty)
     val snap = IcebergTableReader.snapshot(spark, table)
-    assert(snap.count() == (1 to 80).count(i => i % 5 != 0 && i % 8 != 0).toLong)
-    // the DV superseded the parquet positions for its files: decoding
-    // any DV yields the %5 positions of that file too
+    assert(snap.count() ==
+      (1 to 160).count(i => i % 5 != 0 && !(i % 8 == 0 && i > 80)).toLong)
+    assert(snap.where(col("id") % 5 === 0).count() == 0L,
+      "folded v2 deletes must still apply through their DVs")
+    // decoding any DV yields positions (the %5 rows of its file)
     val anyDv = plan.deletionVectors.head
     val pos = IcebergPuffin.readDvPositions(conf,
       s"$table/${anyDv.puffinPath}", anyDv.offset, anyDv.length)
     assert(pos.nonEmpty)
+    // delete() on the now-v3 table AUTO-VECTORIZES — no v2 shape can
+    // ever land again
+    assert(IcebergTableReader.currentFormatVersion(spark, table) == 3)
+    IcebergTableWriter.delete(spark, table, col("id") === 3L): Unit
+    val plan2 = IcebergTableReader.planFiles(spark, table)
+    assert(plan2.positionDeletes.isEmpty,
+      "delete() on a v3 table must route through the DV writer")
+    assert(IcebergTableReader.snapshot(spark, table).where(col("id") === 3L).isEmpty)
   }
 
   test("change feed diffs DVs: each snapshot serves ONLY its newly-deleted pre-images; the fold reproduces the snapshot") {
