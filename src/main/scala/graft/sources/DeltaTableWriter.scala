@@ -293,19 +293,52 @@ object DeltaTableWriter {
     * `rebaseSafe = false` marks commits whose action lines were
     * COMPUTED AGAINST the `fromVersion - 1` snapshot (delete, upsert,
     * restore, compact, create): a lost CAS means a concurrent writer
-    * landed a commit we did not see, and re-landing our stale
-    * remove/re-add lines at the next version would clobber it (e.g.
-    * resurrect rows it deleted via a DV on the same file). Those
-    * commits FAIL LOUDLY on a lost race — callers re-read the
-    * snapshot and rebuild. Pure appends (`rebaseSafe = true`) carry
-    * only new files and safely bump to the next free version.
+    * landed a commit we did not see, and blindly re-landing our stale
+    * remove/re-add lines at the next version could clobber it (e.g.
+    * resurrect rows it deleted via a DV on the same file).
+    *
+    * `rebaseDisjoint = true` adds Delta's OPTIMISTIC-CONCURRENCY
+    * check for those commits (delta.io PROTOCOL.md, ConflictChecker
+    * semantics under WriteSerializable): on a lost CAS the WINNING
+    * commit is read back, and when it carries no metaData/protocol
+    * change and its file set is DISJOINT from every file this commit
+    * removes or DV-re-adds, the same action lines stay valid against
+    * the new snapshot and the commit retries at the next version — a
+    * concurrent blind append and a delete/upsert on different files
+    * BOTH land. Overlap (or a concurrent schema/protocol change)
+    * still fails loudly — callers re-read and rebuild. Pure appends
+    * (`rebaseSafe = true`) carry only new files and always bump.
+    * Whole-table re-pointings (restore) and metadata commits
+    * (rename/drop/create) keep `rebaseDisjoint = false`: their intent
+    * covers the WHOLE table state, so any concurrent commit
+    * invalidates them regardless of file overlap.
     */
-  private def commit(spark: SparkSession, tablePath: String, fromVersion: Long,
+  private[sources] def commit(spark: SparkSession, tablePath: String, fromVersion: Long,
       lines: Seq[String], ictNeeded: Boolean = false,
-      rebaseSafe: Boolean = true): Long = {
+      rebaseSafe: Boolean = true, rebaseDisjoint: Boolean = false): Long = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
+    // every file this commit removes (a DV update re-adds the same
+    // path it removes, so removes ARE the touched-file set) — the
+    // lines a concurrent commit can invalidate
+    lazy val ourRemoves: Set[String] =
+      lines.iterator.map(mapper.readTree).flatMap(n =>
+        Option(n.get("remove")).map(r => decodePathPublic(r.get("path").asText()))).toSet
+    // can our stale lines legally rebase OVER the commit that won
+    // version v? yes iff it changed no metadata/protocol and touched
+    // none of the files we remove
+    def winnerDisjoint(v: Long): Boolean = {
+      val p = new Path(dir, f"$v%020d.json")
+      if (!fs.exists(p)) return false
+      val nodes = readText(fs, p).split('\n').filter(_.nonEmpty).map(mapper.readTree)
+      if (nodes.exists(n => n.has("metaData") || n.has("protocol"))) return false
+      val touched = nodes.iterator.flatMap { n =>
+        Option(n.get("add")).map(a => decodePathPublic(a.get("path").asText())) ++
+          Option(n.get("remove")).map(r => decodePathPublic(r.get("path").asText()))
+      }.toSet
+      touched.intersect(ourRemoves).isEmpty
+    }
     // IN-COMMIT TIMESTAMPS: when the table declares the feature,
     // every commit's FIRST action must be a commitInfo carrying a
     // MONOTONIC inCommitTimestamp (> the previous commit's) — read
@@ -344,7 +377,9 @@ object DeltaTableWriter {
       dir.toUri, spark.sparkContext.hadoopConfiguration)
     try {
       var v = fromVersion
-      val maxV = if (rebaseSafe) fromVersion + MaxCommitAttempts else fromVersion + 1
+      val maxV =
+        if (rebaseSafe || rebaseDisjoint) fromVersion + MaxCommitAttempts
+        else fromVersion + 1
       while (v < maxV) {
         if (ictNeeded && v > fromVersion) {
           // re-stamp against the NEW predecessor after a lost race
@@ -361,12 +396,16 @@ object DeltaTableWriter {
             case _: java.nio.file.FileAlreadyExistsException => // local-FS flavor
           }
         }
+        // version v went to a concurrent writer: stale-snapshot lines
+        // may only rebase over a DISJOINT winner
+        if (!rebaseSafe && !(rebaseDisjoint && winnerDisjoint(v)))
+          throw new java.util.ConcurrentModificationException(
+            s"$tablePath: version $v was taken by a concurrent writer whose commit " +
+              "conflicts with this one (overlapping files or a metadata/protocol " +
+              "change) and these remove/re-add lines were computed against snapshot " +
+              s"${fromVersion - 1} — re-read the table and retry the operation")
         v += 1
       }
-      if (!rebaseSafe) throw new java.util.ConcurrentModificationException(
-        s"$tablePath: version $fromVersion was taken by a concurrent writer and this " +
-          "commit's remove/re-add lines were computed against the now-stale snapshot " +
-          s"${fromVersion - 1} — re-read the table and retry the operation")
       throw new IllegalStateException(
         s"$tablePath: lost the commit race $MaxCommitAttempts times from version $fromVersion")
     } finally if (fs.exists(tmp)) { fs.delete(tmp, false); () }
@@ -681,7 +720,7 @@ object DeltaTableWriter {
       files.map { case (rel, size, mtime, st) =>
         addLine(rel, size, mtime, state.partitionColumns, st, dataChange = false) }
     commit(spark, tablePath, state.version + 1, lines,
-      ictNeeded = ictNeededOf(state), rebaseSafe = false)
+      ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true)
   }
 
   /** VACUUM: physically delete data files TOMBSTONED (removed with
@@ -820,7 +859,7 @@ object DeltaTableWriter {
           .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")),
           tablePath, state.partitionColumns)
       commit(spark, tablePath, state.version + 1, cdcLines ++ lines,
-        ictNeeded = ictNeededOf(state), rebaseSafe = false)
+        ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true)
     } finally matchedDf.unpersist()
   }
 
@@ -1035,7 +1074,7 @@ object DeltaTableWriter {
       val v = commit(spark, tablePath, state.version + 1,
         metaLines ++ cdcLines ++ dvLines ++ files.map { case (rel, size, mtime, st) =>
           addLine(rel, size, mtime, state.partitionColumns, st) },
-        ictNeeded = ictNeededOf(state), rebaseSafe = false)
+        ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true)
       maybeCheckpoint(spark, tablePath, v, checkpointInterval)
       v
     } finally aligned.unpersist()
