@@ -2442,25 +2442,38 @@ trait ReferenceQueries extends QueryBase {
           s""""configuration":{"delta.columnMapping.mode":"name",""" +
           s""""delta.columnMapping.maxColumnId":"6"},"createdTime":1700000000000}}""",
         deltaAdd("part-a.parquet")))
-      // the graft append arrives under LOGICAL names
+      // the graft append arrives under LOGICAL names — and EVOLVES the
+      // mapped table: o_flag is new, so the writer must mint it a
+      // fresh physical name + field id and bump maxColumnId in the
+      // same commit (the protocol's rule for mapped tables)
       graft.sources.DeltaTableWriter.append(
-        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .withColumn("o_flag", lit(1L)), table): Unit
       // the appended files must carry PHYSICAL names on disk
       val appended = new java.io.File(table).listFiles()
         .filter(f => f.getName.endsWith(".parquet") && f.getName != "part-a.parquet")
       require(appended.nonEmpty, "the append landed no data files")
       appended.foreach { f =>
         val cols = s.read.parquet(f.toString).columns.toSet
-        require(cols == phys.map(_._2).toSet,
-          s"appended file must carry PHYSICAL names, got ${cols.mkString(",")}")
+        require(phys.map(_._2).toSet.subsetOf(cols) && !cols.contains("o_flag") &&
+            cols.size == phys.size + 1,
+          s"appended file must carry PHYSICAL names (minted one for o_flag too), " +
+            s"got ${cols.mkString(",")}")
       }
-      graft.sources.DeltaTableReader.snapshot(s, table)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      val evolvedState = graft.sources.DeltaTableReader.snapshotState(s, table)
+      require(evolvedState.configuration.get("delta.columnMapping.maxColumnId")
+          .contains("7"),
+        "mapped evolution must bump delta.columnMapping.maxColumnId")
+      val snap = graft.sources.DeltaTableReader.snapshot(s, table)
+      require(snap.columns.contains("o_flag"), "the evolved logical column must serve")
+      snap.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"),
+          count(col("o_flag")).as("flagged"))
     },
     oracle = Some(
       """SELECT o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS flagged
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin))
 
@@ -2541,8 +2554,6 @@ trait ReferenceQueries extends QueryBase {
           col(c).as(s"q$i", fid(i + 1L)) }: _*)
       writeDeltaDataFile(decoyed(o.filter(pmod(col("o_orderkey"), lit(2)) === 0)),
         table, "part-a.parquet")
-      writeDeltaDataFile(decoyed(o.filter(pmod(col("o_orderkey"), lit(2)) === 1)),
-        table, "part-b.parquet")
       val schema = {
         import org.apache.spark.sql.types._
         StructType(logical.zipWithIndex.map { case (c, i) =>
@@ -2560,7 +2571,22 @@ trait ReferenceQueries extends QueryBase {
           s""""schemaString":${q.writeValueAsString(schema)},"partitionColumns":[],""" +
           s""""configuration":{"delta.columnMapping.mode":"id",""" +
           s""""delta.columnMapping.maxColumnId":"6"},"createdTime":1700000000000}}""",
-        deltaAdd("part-a.parquet"), deltaAdd("part-b.parquet")))
+        deltaAdd("part-a.parquet")))
+      // the odd half arrives through graft's APPEND under logical
+      // names: the writer renames to the declared physical names AND
+      // stamps parquet field ids — the id-mode reader then resolves
+      // fixture and appended files alike by FIELD ID
+      graft.sources.DeltaTableWriter.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1).select(logical.map(col): _*),
+        table): Unit
+      val appended = new java.io.File(table).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.getName != "part-a.parquet")
+      require(appended.nonEmpty, "the id-mode append landed no data files")
+      appended.foreach { f =>
+        val cols = s.read.parquet(f.toString).columns.toSet
+        require(cols == logical.indices.map(i => s"col-decoy-$i").toSet,
+          s"appended file must carry PHYSICAL names, got ${cols.mkString(",")}")
+      }
       graft.sources.DeltaTableReader.snapshot(s, table)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))

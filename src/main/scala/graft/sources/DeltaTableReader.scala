@@ -789,7 +789,28 @@ object DeltaTableReader {
           spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         spark.read.schema(fieldIdSchemaOf(schemaJson, partitionColumns, tablePath))
           .parquet(files.map(absOf): _*)
-      case Some("name") => spark.read.parquet(files.map(absOf): _*)
+      case Some("name") =>
+        // request the PHYSICAL schema from the declared schemaString:
+        // footer inference samples ONE file, so a table evolved after
+        // some files landed would serve or drop the new column
+        // depending on which file Spark sampled — the declared scan
+        // null-fills deterministically (dropped columns are naturally
+        // excluded: the schemaString no longer names them)
+        val physSchema = schemaJson
+          .flatMap(js => scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+          .collect { case st: org.apache.spark.sql.types.StructType =>
+            val physOfDecl = columnMappingOf(schemaJson, tablePath)
+            org.apache.spark.sql.types.StructType(
+              st.fields.filterNot(f => partitionColumns.contains(f.name)).map(f =>
+                org.apache.spark.sql.types.StructField(
+                  physOfDecl.getOrElse(f.name, f.name), f.dataType, nullable = true)))
+          }
+        physSchema match {
+          case Some(st) if st.nonEmpty =>
+            spark.read.schema(st).parquet(files.map(absOf): _*)
+          case _ => spark.read.parquet(files.map(absOf): _*)
+        }
       case _ =>
         // scan with the DECLARED schema (minus partition columns —
         // they live in the log, not the files): after an additive

@@ -70,17 +70,16 @@ object DeltaTableWriter {
     * side: loud refusal beats a silently-corrupting commit.
     */
   private def refuseWriterUnsupported(state: DeltaTableReader.Snapshot,
-      tablePath: String, allowNameMapping: Boolean = false): Unit = {
+      tablePath: String, allowColumnMapping: Boolean = false): Unit = {
     state.configuration.get("delta.columnMapping.mode").filter(_ != "none").foreach { m =>
-      // `name` mode appends ARE supported (the append renames its
-      // columns to the declared physical names, which is all the mode
-      // obliges a blind appender to do); `id` mode additionally
-      // requires parquet FIELD IDS in the data files, which this
-      // writer does not stamp — and every data-modifying operation
-      // (delete/upsert/restore/compact) would have to rebuild its
-      // remove/re-add bookkeeping in physical terms, so only appends
-      // opt in
-      if (!(allowNameMapping && m == "name"))
+      // mapped appends ARE supported in BOTH modes: the append
+      // renames its columns to the declared physical names and stamps
+      // parquet field ids from delta.columnMapping.id (all `id` mode
+      // additionally requires of a blind appender). Every other
+      // data-modifying operation (delete/upsert/restore/compact)
+      // would have to rebuild its remove/re-add bookkeeping in
+      // physical terms, so only appends opt in
+      if (!(allowColumnMapping && (m == "name" || m == "id")))
         throw new IllegalStateException(
           s"$tablePath: delta.columnMapping.mode=$m — this operation cannot honor the " +
             "mode's physical-name/field-id obligations on written files; refusing")
@@ -99,7 +98,7 @@ object DeltaTableWriter {
         // obligations — CHECK constraints, invariants — are checked
         // above; generated columns refuse here): a name-mode append
         // that renames to physical columns honors everything v5 adds
-        val nameModeOk = allowNameMapping && p.minWriterVersion == 5 &&
+        val nameModeOk = allowColumnMapping && p.minWriterVersion == 5 &&
           !state.schemaJson.exists(_.contains("delta.generationExpression"))
         if (!nameModeOk) throw new IllegalStateException(
           s"$tablePath: protocol minWriterVersion=${p.minWriterVersion} bundles legacy " +
@@ -108,7 +107,7 @@ object DeltaTableWriter {
       }
       if (p.minWriterVersion == 7) {
         val unsupported = p.writerFeatures.toSet --
-          (if (allowNameMapping) SupportedWriterFeatures + "columnMapping"
+          (if (allowColumnMapping) SupportedWriterFeatures + "columnMapping"
            else SupportedWriterFeatures)
         if (unsupported.nonEmpty) throw new IllegalStateException(
           s"$tablePath: protocol requires writer features ${unsupported.mkString(", ")} — " +
@@ -179,13 +178,26 @@ object DeltaTableWriter {
     * paths + sizes + mtimes of the landed files.
     */
   private def writeDataFiles(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String]): Seq[(String, Long, Long, Option[String])] = {
+      partitionBy: Seq[String],
+      stampFieldIds: Boolean = false): Seq[(String, Long, Long, Option[String])] = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     val stage = new Path(tablePath, s".graft-stage-${java.util.UUID.randomUUID()}")
     val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
-    writer.parquet(stage.toString)
+    if (stampFieldIds) {
+      // column-mapped tables: the landed parquet must carry field ids
+      // (the columns' `parquet.field.id` metadata). Session-scoped
+      // config, saved and restored — later writes must not inherit it
+      val key = "spark.sql.parquet.fieldId.write.enabled"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try writer.parquet(stage.toString)
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    } else writer.parquet(stage.toString)
     val landed = Seq.newBuilder[(String, Long, Long, Option[String])]
     def walk(dir: Path, relPrefix: String): Unit =
       fs.listStatus(dir).foreach { st =>
@@ -1210,32 +1222,85 @@ object DeltaTableWriter {
       checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     val spark = df.sparkSession
     val state = DeltaTableReader.snapshotState(spark, tablePath)
-    refuseWriterUnsupported(state, tablePath, allowNameMapping = true)
-    val nameMapped =
-      state.configuration.get("delta.columnMapping.mode").contains("name")
-    if (nameMapped) {
-      // columnMapping=name append: the batch arrives under LOGICAL
-      // names; data files must carry the declared PHYSICAL names and
-      // add.partitionValues key on them (PROTOCOL.md). Additive
-      // evolution refuses here — a new column needs a fresh physical
-      // name + delta.columnMapping.id + maxColumnId bump, which this
-      // writer does not mint.
-      val physOf = DeltaTableReader.columnMappingOf(state.schemaJson, tablePath)
-      val logicalCols = state.schemaJson
+    refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
+    val mappingMode = state.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (mappingMode == "name" || mappingMode == "id") {
+      // COLUMN-MAPPED append (PROTOCOL.md Column Mapping): the batch
+      // arrives under LOGICAL names; data files must carry the
+      // declared PHYSICAL names, parquet FIELD IDS from each column's
+      // delta.columnMapping.id (what `id` mode resolves by — UniForm/
+      // converted tables are id-mode), and add.partitionValues keyed
+      // physically. ADDITIVE EVOLUTION mints each new column a fresh
+      // physical name + field id and bumps maxColumnId in the same
+      // commit (the protocol's rule for mapped tables).
+      val declared = state.schemaJson
         .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
-        .collect { case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq }
+        .collect { case st: org.apache.spark.sql.types.StructType => st }
         .getOrElse(throw new IllegalStateException(
           s"$tablePath: table metadata carries no parseable schemaString"))
-      require(df.columns.toSet == logicalCols.toSet,
-        s"$tablePath: appended columns ${df.columns.sorted.mkString(",")} != table schema " +
-          s"${logicalCols.sorted.mkString(",")} — column-mapped appends must match the " +
-          "declared schema exactly (no evolution)")
-      val physical = df.select(logicalCols.map(c =>
-        org.apache.spark.sql.functions.col(c).as(physOf.getOrElse(c, c))): _*)
+      val physOf0 = DeltaTableReader.columnMappingOf(state.schemaJson, tablePath)
+      val IdKey = "delta.columnMapping.id"
+      val PhysKey = "delta.columnMapping.physicalName"
+      val idOf0: Map[String, Long] = declared.fields.collect {
+        case f if f.metadata.contains(IdKey) => f.name -> f.metadata.getLong(IdKey)
+      }.toMap
+      val logicalCols = declared.fieldNames.toSeq
+      val missing = logicalCols.toSet -- df.columns.toSet
+      require(missing.isEmpty,
+        s"$tablePath: batch columns ${df.columns.sorted.mkString(",")} lack declared " +
+          s"column(s) ${missing.toSeq.sorted.mkString(",")} — writes must carry the full " +
+          "declared schema (additive evolution only adds columns)")
+      logicalCols.foreach { c =>
+        require(df.schema(c).dataType == declared(c).dataType,
+          s"$tablePath: schema evolution cannot change column $c from " +
+            s"${declared(c).dataType.simpleString} to ${df.schema(c).dataType.simpleString}")
+      }
+      val extras = df.columns.filterNot(logicalCols.contains).toSeq
+      val maxId = (state.configuration.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong) ++ idOf0.values).foldLeft(0L)(math.max)
+      val minted = extras.zipWithIndex.map { case (c, i) =>
+        val id = maxId + i + 1
+        (c, id, s"col-${java.util.UUID.randomUUID()}")
+      }
+      val metaLines =
+        if (extras.isEmpty) Nil
+        else {
+          val newFields = minted.map { case (c, id, phys) =>
+            org.apache.spark.sql.types.StructField(c, df.schema(c).dataType,
+              nullable = true,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong(IdKey, id).putString(PhysKey, phys).build())
+          }
+          val widened = org.apache.spark.sql.types.StructType(declared.fields ++ newFields)
+          val conf = state.configuration +
+            ("delta.columnMapping.maxColumnId" -> (maxId + extras.size).toString)
+          Seq(metaLineOf(state, widened, conf))
+        }
+      val physOf = physOf0 ++ minted.map { case (c, _, phys) => c -> phys }
+      val idOf = idOf0 ++ minted.map { case (c, id, _) => c -> id }
+      val outCols = logicalCols ++ extras
+      // field ids are an ID-mode obligation (the mode resolves by
+      // them). NAME mode deliberately lands id-less files: its reader
+      // resolves by physical name over footer-inferred schemas, and a
+      // table MIXING id-carrying and id-less files breaks any engine
+      // whose field-id read flag is on
+      val stampIds = mappingMode == "id"
+      val physical = df.select(outCols.map { c =>
+        val md = idOf.get(c) match {
+          case Some(id) if stampIds => new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id).build()
+          case None if mappingMode == "id" =>
+            throw new IllegalStateException(s"$tablePath: column $c carries no " +
+              "delta.columnMapping.id — an id-mode append cannot stamp its field id; refusing")
+          case _ => org.apache.spark.sql.types.Metadata.empty
+        }
+        org.apache.spark.sql.functions.col(c).as(physOf.getOrElse(c, c), md)
+      }: _*)
       val physPartCols = state.partitionColumns.map(c => physOf.getOrElse(c, c))
-      val files = writeDataFiles(physical, tablePath, physPartCols)
+      val files = writeDataFiles(physical, tablePath, physPartCols,
+        stampFieldIds = stampIds)
       val v = commit(spark, tablePath, state.version + 1,
-        transaction.map(txnLine).toSeq ++
+        metaLines ++ transaction.map(txnLine).toSeq ++
           files.map { case (rel, size, mtime, st) =>
             addLine(rel, size, mtime, physPartCols, st) },
         ictNeeded = ictNeededOf(state))
@@ -1288,17 +1353,24 @@ object DeltaTableWriter {
     val widened = org.apache.spark.sql.types.StructType(
       declared.fields ++ extras.map(c =>
         org.apache.spark.sql.types.StructField(c, df.schema(c).dataType, nullable = true)))
-    val confJson = state.configuration.toSeq.sortBy(_._1)
+    (tableCols ++ extras, Seq(metaLineOf(state, widened, state.configuration)))
+  }
+
+  /** One `metaData` action line: the snapshot's identity/partitioning
+    * with a replacement schema and configuration (the evolution /
+    * rename / drop commit shape). */
+  private def metaLineOf(state: DeltaTableReader.Snapshot,
+      schema: org.apache.spark.sql.types.StructType,
+      configuration: Map[String, String]): String = {
+    val confJson = configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")
-    val metaLine =
-      s"""{"metaData":{"id":${jsonStr(state.metaDataId.getOrElse(
-        java.util.UUID.randomUUID().toString))},""" +
-        s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${jsonStr(widened.json)},""" +
-        s""""partitionColumns":[${state.partitionColumns.map(jsonStr).mkString(",")}],""" +
-        s""""configuration":{$confJson},""" +
-        s""""createdTime":${state.createdTime.getOrElse(System.currentTimeMillis())}}}"""
-    (tableCols ++ extras, Seq(metaLine))
+    s"""{"metaData":{"id":${jsonStr(state.metaDataId.getOrElse(
+      java.util.UUID.randomUUID().toString))},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jsonStr(schema.json)},""" +
+      s""""partitionColumns":[${state.partitionColumns.map(jsonStr).mkString(",")}],""" +
+      s""""configuration":{$confJson},""" +
+      s""""createdTime":${state.createdTime.getOrElse(System.currentTimeMillis())}}}"""
   }
 
   /** RENAME a column — ONE metaData commit, no data move, on

@@ -195,10 +195,9 @@ class SchemaEvolutionSpec extends SparkSpec {
       assert(cols == Set("col-aaa", "col-bbb", "col-ccc"),
         s"appended file must carry PHYSICAL names, got $cols")
     }
-    // evolution and data-modifying ops keep refusing on mapped tables
-    val e1 = intercept[IllegalArgumentException](
-      DeltaTableWriter.append(dfWide(1 to 2), table))
-    assert(e1.getMessage.contains("no evolution"))
+    // data-modifying ops keep refusing on mapped tables (appends and
+    // additive evolution — exercised at the end — are the mapped
+    // writes graft supports)
     val e2 = intercept[IllegalStateException](
       DeltaTableWriter.upsert(df(1 to 2), table, Seq("id")))
     assert(e2.getMessage.contains("columnMapping"))
@@ -246,5 +245,25 @@ class SchemaEvolutionSpec extends SparkSpec {
     val e6 = intercept[IllegalArgumentException](
       DeltaTableWriter.dropColumn(spark, plain, "grp"))
     assert(e6.getMessage.contains("columnMapping"), e6.getMessage)
+
+    // ADDITIVE EVOLUTION on the mapped table: the new column mints a
+    // fresh physical name + field id and bumps maxColumnId in the
+    // same commit (the protocol's rule — a logical-named landing
+    // would break name-mode resolution for every other engine)
+    DeltaTableWriter.append(
+      (41 to 45).map(i => (i.toLong, i * 2L, s"t$i")).toDF("id", "value", "tag"),
+      table): Unit
+    val evolved = DeltaTableReader.snapshot(spark, table)
+    assert(evolved.columns.toSeq == Seq("id", "value", "tag"))
+    assert(evolved.count() == 45L)
+    assert(evolved.where(col("id") === 43L).head().getAs[String]("tag") == "t43")
+    assert(evolved.where(col("id") === 10L).select("tag").head().isNullAt(0),
+      "pre-evolution files must null-fill the minted column")
+    val stEvolved = DeltaTableReader.snapshotState(spark, table)
+    assert(stEvolved.configuration.get("delta.columnMapping.maxColumnId").contains("4"))
+    val newest = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).maxBy(_.lastModified())
+    assert(!spark.read.parquet(newest.toString).columns.contains("tag"),
+      "the evolved column must land under a MINTED physical name")
   }
 }
