@@ -1560,6 +1560,94 @@ trait ReferenceQueries extends QueryBase {
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
         |GROUP BY o_orderpriority""".stripMargin))
 
+  // ---- NESTED columns across the three format adapters: struct,
+  // array, and map columns round-trip through each format's own
+  // writer and reader (snapshot AND incremental), flattened back to
+  // the DuckDB-checkable rollup. Mapped/evolved/renamed INNER fields
+  // keep refusing — this is the plain-path coverage real tables need.
+  private def nestedOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_orderkey"),
+      struct(col("o_custkey").as("ck"), col("o_orderstatus").as("st")).as("cust"),
+      array(col("o_totalprice")).as("prices"),
+      map(lit("k"), col("o_totalprice")).as("attrs"),
+      col("o_orderpriority").as("prio"))
+  }
+
+  private def nestedRollup(snap: DataFrame): DataFrame =
+    snap.groupBy(col("cust.st").as("st"))
+      .agg(count(lit(1)).as("n"),
+        dsum(element_at(col("prices"), 1)).as("rev"),
+        dsum(col("attrs").getItem("k")).as("mrev"),
+        max(col("cust.ck")).as("ckmax"))
+
+  private val nestedOracle: String =
+    """SELECT o_orderstatus AS st, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS mrev,
+      |  max(o_custkey) AS ckmax
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** #111 Delta NESTED columns (plain path): struct/array/map columns
+    * land through graft's create+append and serve through the
+    * declared-schema snapshot scan; the incremental read carries the
+    * nested shape too. */
+  val qDeltaNested: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-nested") + "/t"
+      val n = nestedOrders(s, dir)
+      val v0 = DeltaTableWriter.create(n.filter(pmod(col("o_orderkey"), lit(2)) === 0), table)
+      DeltaTableWriter.append(n.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val inc = DeltaTableReader.incrementalSince(s, table, v0)
+      require(inc.schema("cust").dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+        "the incremental read must serve the nested shape")
+      require(inc.where(pmod(col("o_orderkey"), lit(2)) === 0).isEmpty,
+        "the incremental read must carry only the appended half")
+      nestedRollup(DeltaTableReader.snapshot(s, table))
+    },
+    oracle = Some(nestedOracle))
+
+  /** #111b Iceberg NESTED columns (plain path): the metadata
+    * `schemas` node carries the spec's nested object types with
+    * unique inner field ids; the declared-schema scan maps them back
+    * and null-fill stays deterministic. */
+  val qIcebergNested: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("iceberg-nested") + "/t"
+      val n = nestedOrders(s, dir)
+      val s0 = IcebergTableWriter.create(n.filter(pmod(col("o_orderkey"), lit(2)) === 0), table)
+      IcebergTableWriter.append(n.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val inc = IcebergTableReader.incrementalSince(s, table, s0)
+      require(inc.schema("cust").dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+        "the incremental read must serve the nested shape")
+      require(inc.where(pmod(col("o_orderkey"), lit(2)) === 0).isEmpty,
+        "the incremental read must carry only the appended half")
+      nestedRollup(IcebergTableReader.snapshot(s, table))
+    },
+    oracle = Some(nestedOracle))
+
+  /** #111c Hudi NESTED columns (plain path): nested payload columns
+    * ride the COW create/append/incremental machinery untouched (the
+    * record key stays scalar); the snapshot flattens back exactly. */
+  val qHudiNested: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-nested") + "/t"
+      val n = nestedOrders(s, dir)
+      val i0 = HudiTableWriter.create(n.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        recordKeys = Seq("o_orderkey"))
+      HudiTableWriter.append(n.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val inc = HudiTableReader.incrementalSince(s, table, i0)
+      require(inc.schema("cust").dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+        "the incremental read must serve the nested shape")
+      require(inc.where(pmod(col("o_orderkey"), lit(2)) === 0).isEmpty,
+        "the incremental read must carry only the appended half")
+      nestedRollup(HudiTableReader.snapshot(s, table))
+    },
+    oracle = Some(nestedOracle))
+
   /** #109e Iceberg PARTITION-TRANSFORM writer + inverse prune
     * ([[graft.sources.IcebergTransforms]]): a `days(o_orderdate)`-
     * partitioned table — the shape most PRODUCTION Iceberg tables

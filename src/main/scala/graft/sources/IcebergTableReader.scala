@@ -720,12 +720,51 @@ object IcebergTableReader {
     if (byId && spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
         .forall(_ != "true"))
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // recursive type mapping: primitives by name, nested struct/list/
+    // map through the spec's object form. Nested columns resolve by
+    // NAME — a rename-affected table (byId) keeps its inner fields
+    // un-id-stamped in graft-landed files, so nested there falls back
+    // rather than mis-resolving
+    def typeOfNode(tNode: com.fasterxml.jackson.databind.JsonNode)
+        : Option[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      if (tNode == null) None
+      else if (tNode.isTextual) sparkTypeOf(tNode.asText())
+      else if (!tNode.isObject) None
+      else Option(tNode.get("type")).map(_.asText()).flatMap {
+        case "struct" =>
+          val fns = tNode.get("fields")
+          if (fns == null || !fns.isArray) None
+          else {
+            val inner = Seq.newBuilder[StructField]
+            var innerOk = true
+            fns.forEach { f =>
+              typeOfNode(f.get("type")) match {
+                case Some(dt) =>
+                  inner += StructField(f.get("name").asText(), dt, nullable = true)
+                case None => innerOk = false
+              }
+            }
+            val got = inner.result()
+            if (innerOk && got.nonEmpty) Some(StructType(got)) else None
+          }
+        case "list" =>
+          typeOfNode(tNode.get("element")).map(ArrayType(_, containsNull = true))
+        case "map" =>
+          for {
+            k <- typeOfNode(tNode.get("key"))
+            v <- typeOfNode(tNode.get("value"))
+          } yield MapType(k, v, valueContainsNull = true)
+        case _ => None
+      }
+    }
     val b = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     var ok = true
     fields.forEach { f =>
       val tNode = f.get("type")
-      if (tNode == null || !tNode.isTextual) ok = false
-      else sparkTypeOf(tNode.asText()) match {
+      val nested = tNode != null && !tNode.isTextual
+      if (byId && nested) ok = false // inner ids un-stamped: no id resolution
+      else typeOfNode(tNode) match {
         case Some(dt) =>
           val md =
             if (!byId) org.apache.spark.sql.types.Metadata.empty

@@ -412,10 +412,48 @@ object IcebergTableWriter {
     }
   }
 
+  /** Iceberg type JSON for a Spark type — a quoted primitive name, or
+    * the spec's nested object form (struct fields / list element /
+    * map key+value each carry their own UNIQUE field id, minted from
+    * `nextId`). Inner ids live only in the metadata; graft stamps
+    * parquet field ids on TOP-LEVEL columns (what its readers
+    * resolve), and nested columns read by name.
+    */
+  private def icebergTypeJson(dt: org.apache.spark.sql.types.DataType,
+      nextId: () => Int): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType =>
+        val fs = st.fields.map { f =>
+          val id = nextId()
+          s"""{"id":$id,"name":"${f.name}","required":false,""" +
+            s""""type":${icebergTypeJson(f.dataType, nextId)}}"""
+        }.mkString(",")
+        s"""{"type":"struct","fields":[$fs]}"""
+      case at: ArrayType =>
+        val eid = nextId()
+        s"""{"type":"list","element-id":$eid,""" +
+          s""""element":${icebergTypeJson(at.elementType, nextId)},""" +
+          s""""element-required":false}"""
+      case mt: MapType =>
+        val kid = nextId()
+        val kJson = icebergTypeJson(mt.keyType, nextId)
+        val vid = nextId()
+        s"""{"type":"map","key-id":$kid,"key":$kJson,""" +
+          s""""value-id":$vid,"value":${icebergTypeJson(mt.valueType, nextId)},""" +
+          s""""value-required":false}"""
+      case other => "\"" + icebergTypeOf(other) + "\""
+    }
+  }
+
   private def schemasJson(schema: org.apache.spark.sql.types.StructType): String = {
+    // top-level ids 1..n (what landed files stamp); nested inner ids
+    // mint AFTER them so every field id in the schema is unique
+    var innerId = schema.fields.length
+    val nextId = () => { innerId += 1; innerId }
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${i + 1},"name":"${f.name}","required":false,""" +
-        s""""type":"${icebergTypeOf(f.dataType)}"}"""
+        s""""type":${icebergTypeJson(f.dataType, nextId)}}"""
     }.mkString(",")
     s""""schemas":[{"schema-id":0,"type":"struct","fields":[$fields]}],""" +
       s""""current-schema-id":0"""
@@ -455,10 +493,21 @@ object IcebergTableWriter {
       val sid = Option(sn.get("schema-id")).map(_.asInt()).getOrElse(0)
       if (sid > maxSid) maxSid = sid
       if (sid == currentId || cur == null) cur = sn
-      val fs0 = sn.get("fields")
-      if (fs0 != null && fs0.isArray) fs0.forEach { f =>
-        val id = f.get("id").asInt(); if (id > maxFid) maxFid = id
+      // every field id counts toward the max — INNER ids too (struct
+      // fields / list element-id / map key-id+value-id ride nested
+      // type objects), or evolution would mint a colliding id
+      def walkIds(x: com.fasterxml.jackson.databind.JsonNode): Unit = {
+        if (x.isObject) x.fields().forEachRemaining { e =>
+          val k = e.getKey
+          if ((k == "id" || k == "element-id" || k == "key-id" || k == "value-id") &&
+              e.getValue.isNumber) {
+            val id = e.getValue.asInt(); if (id > maxFid) maxFid = id
+          }
+          walkIds(e.getValue)
+        }
+        else if (x.isArray) x.forEach(walkIds(_))
       }
+      walkIds(sn)
     }
     val fields = Seq.newBuilder[(Int, String, String)]
     val cf = cur.get("fields")
