@@ -2960,6 +2960,9 @@ trait ReferenceQueries extends QueryBase {
       val (base, batch) = upsertFixture(s, dir)
       val c1 = HudiTableWriter.create(base, table, tableName = "orders_up",
         recordKeys = Seq("o_orderkey"))
+      // the metadata-table bloom_filters partition: the upsert's
+      // key-matching scan consults it to skip provably-absent groups
+      HudiTableWriter.writeBloomIndex(s, table): Unit
       HudiTableWriter.upsert(batch, table): Unit
       val pulled = HudiTableReader.incrementalSince(s, table, c1).count()
       val nBatch = batch.count()

@@ -441,7 +441,20 @@ object HudiTableWriter {
       return morUpsert(deduped, tablePath, keys, partitionBy)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val instant = instantNow(0L)
-    val slices = HudiTableReader.activeSlices(spark, tablePath)
+    // BLOOM-INDEX PRUNE: groups whose per-file filter proves every
+    // batch key absent never join the key-matching scan (they can
+    // only carry — untouched groups don't rewrite). Probe BOTH key
+    // forms: graft's `field:value` stamp and the raw single-key form
+    // real SimpleKeyGenerator tables carry — a bucket superset only
+    // widens the scan, never misses an update.
+    val graftKeyProbe = deduped.select(concat_ws(",",
+      keys.map(k => concat(lit(s"$k:"), col(k).cast("string"))): _*).as("_g_probe"))
+    val probes =
+      if (keys.size == 1)
+        graftKeyProbe.unionAll(deduped.select(col(keys.head).cast("string").as("_g_probe")))
+      else graftKeyProbe
+    val slices = bloomPruneSlices(spark, tablePath,
+      HudiTableReader.activeSlices(spark, tablePath), probes)
     val sliceByFid = slices.map(s => s.fileId -> s).toMap
     // base rows with their file-group id, via the one metadata column
     // scan + a broadcast path→fid map (bounded by |file groups|)
@@ -1222,6 +1235,155 @@ object HudiTableWriter {
     val merged = if (fresh.isEmpty) keep else keep.unionByName(freshStats)
     landColStats(spark, tablePath, merged, head)
     head
+  }
+
+  /** BLOOM-FILTER INDEX (the metadata-table `bloom_filters`
+    * partition — the fourth standard Hudi metadata partition beside
+    * `files`/`col_stats`/`record_index`, the UPSERT-PROBE
+    * accelerator): one k=1 Bloom filter per active base file over its
+    * `_hoodie_record_key` values — `xxhash64(key) pmod m`, stored as
+    * the sorted array of set bucket positions (bounded at m ints per
+    * file, exact enough to re-derive cross-engine) — published at
+    * `.hoodie/metadata/bloom_filters/<headInstant>.parquet` from ONE
+    * distributed scan whose per-file collect_set partial combines
+    * map-side. [[upsert]] consults it to skip file groups PROVABLY
+    * holding none of the batch's keys (false positives cost extra
+    * scan, never correctness; files absent from the index are
+    * conservatively kept). COW only, like its sibling partitions.
+    * Returns the indexed instant.
+    */
+  def writeBloomIndex(spark: SparkSession, tablePath: String,
+      m: Int = 1 << 16): String = {
+    require(m >= 2, s"m must be >= 2, got $m")
+    require(!HudiTableReader.isMor(spark, tablePath),
+      s"$tablePath: the bloom index is COW machinery — MOR log rows are invisible " +
+        "to base-file keys; compact first")
+    require(declaredRecordKeys(spark, tablePath).nonEmpty,
+      s"$tablePath: the bloom index filters record keys — the table declares none")
+    val slices = HudiTableReader.activeSlices(spark, tablePath)
+    val head = HudiTableReader.latestInstant(spark, tablePath)
+    landBloomIndex(spark, tablePath, bloomRowsOf(spark, tablePath, slices, m), head)
+    head
+  }
+
+  /** INCREMENTAL bloom-index maintenance: per-file filters over
+    * immutable files carry forward verbatim; the refresh scans ONLY
+    * files absent from the newest index (require-proven), drops dead
+    * entries, keeps the existing `m`. No index → refuses. Returns the
+    * indexed head instant.
+    */
+  def refreshBloomIndex(spark: SparkSession, tablePath: String): String = {
+    require(!HudiTableReader.isMor(spark, tablePath),
+      s"$tablePath: the bloom index is COW machinery; compact first")
+    val dir = new Path(hoodieDir(tablePath), "metadata/bloom_filters")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onTimeline = HudiTableReader.instants(spark, tablePath).map(_._1).toSet
+    val usable =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+        .filter(onTimeline.contains).toSeq
+    require(usable.nonEmpty,
+      s"$tablePath: no bloom index on the timeline to refresh — writeBloomIndex first")
+    val pick = usable.max
+    val head = HudiTableReader.latestInstant(spark, tablePath)
+    if (head == pick) return pick
+    val old = spark.read.parquet(new Path(dir, s"$pick.parquet").toString)
+    val mIdx = old.select("m").limit(1).collect()
+      .headOption.map(_.getLong(0).toInt).getOrElse(1 << 16)
+    val slices = HudiTableReader.activeSlices(spark, tablePath)
+    val known = old.select("_g_file").collect().map(_.getString(0)).toSet
+    val currentPaths = slices.map(_.path).toSet
+    val fresh = slices.filterNot(s0 => known.contains(s0.path))
+    val freshRows = bloomRowsOf(spark, tablePath, fresh, mIdx)
+    val allowed = fresh.map(s0 =>
+      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}")).toSet
+    val scanned = freshRows.inputFiles.map(ScanPaths.normalizeDriver).toSet
+    require(scanned.subsetOf(allowed),
+      s"$tablePath: bloom-index refresh escaped the new-file set")
+    import org.apache.spark.sql.functions.{col => c}
+    val keep = old.where(c("_g_file").isInCollection(currentPaths))
+    val merged = if (fresh.isEmpty) keep else keep.unionByName(freshRows)
+    landBloomIndex(spark, tablePath, merged, head)
+    head
+  }
+
+  private def bloomRowsOf(spark: SparkSession, tablePath: String,
+      slices: Seq[HudiTableReader.SliceWrite], m: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, _}
+    if (slices.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("_g_file", StringType),
+          StructField("bits", ArrayType(LongType, containsNull = false)),
+          StructField("m", LongType))))
+    }
+    val absToRel = slices.map(s0 =>
+      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}") -> s0.path).toMap
+    val relUdf = udf((p: String) => absToRel.getOrElse(p, p))
+    spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
+      .select(c("_hoodie_record_key").as("_g_key"),
+        ScanPaths.normalizeScan(c("_metadata.file_path")).as("_g_file"))
+      .groupBy(c("_g_file"))
+      .agg(sort_array(collect_set(
+        pmod(xxhash64(c("_g_key")), lit(m.toLong)))).as("bits"))
+      .withColumn("m", lit(m.toLong))
+      .withColumn("_g_file", relUdf(c("_g_file")))
+  }
+
+  private def landBloomIndex(spark: SparkSession, tablePath: String,
+      rows: DataFrame, head: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(hoodieDir(tablePath), "metadata/bloom_filters")
+    fs.mkdirs(dir)
+    val stage = new Path(tablePath, s".graft-bloom-${java.util.UUID.randomUUID()}")
+    rows.coalesce(1).write.parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"$tablePath: bloom index staged nothing"))
+    val dst = new Path(dir, s"$head.parquet")
+    fs.delete(dst, false)
+    if (!fs.rename(part, dst)) throw new IllegalStateException(
+      s"$tablePath: failed to land bloom index $dst")
+    fs.delete(stage, true)
+  }
+
+  /** The slices an UPSERT's key-matching scan must read, through the
+    * newest usable bloom index: groups whose filter proves every
+    * batch key absent drop out (their rows can only be carried, and
+    * untouched groups never rewrite); files absent from the index —
+    * or an index off the timeline — keep conservatively. `probes` is
+    * one string column `_g_probe` of candidate `_hoodie_record_key`
+    * forms (callers pass BOTH the `field:value` and raw single-key
+    * forms — a superset of buckets can only widen the scan, never
+    * miss an update). All-pruned returns one schema-keeping slice.
+    */
+  private[sources] def bloomPruneSlices(spark: SparkSession, tablePath: String,
+      slices: Seq[HudiTableReader.SliceWrite],
+      probes: DataFrame): Seq[HudiTableReader.SliceWrite] = {
+    import org.apache.spark.sql.functions.{col => c, _}
+    val dir = new Path(hoodieDir(tablePath), "metadata/bloom_filters")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return slices
+    val onTimeline = HudiTableReader.instants(spark, tablePath).map(_._1).toSet
+    val usable = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+      .filter(onTimeline.contains).toSeq
+    if (usable.isEmpty) return slices
+    val idx = spark.read.parquet(new Path(dir, s"${usable.max}.parquet").toString)
+    val mRow = idx.select("m").limit(1).collect().headOption
+    if (mRow.isEmpty) return slices
+    val mIdx = mRow.get.getLong(0)
+    // the probe BUCKET set is bounded by m, not by batch size
+    val probeBuckets = probes
+      .select(pmod(xxhash64(c("_g_probe")), lit(mIdx)).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val verdicts = idx.select(c("_g_file"),
+        arrays_overlap(c("bits"), typedLit(probeBuckets)).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val kept = slices.filter(s0 => verdicts.getOrElse(s0.path, true))
+    if (kept.nonEmpty) kept else slices.take(1)
   }
 
   /** RECORD-LEVEL INDEX (the metadata-table `record_index` partition
