@@ -1510,6 +1510,50 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey IN (SELECT k FROM mins UNION SELECT k FROM maxs)"""
         .stripMargin))
 
+  /** #103t MOR record index, LOG-AWARE build PRE-COMPACTION
+    * ([[graft.sources.HudiTableWriter.writeRecordIndex]] on a MOR
+    * table): dirty groups resolve through the realtime merge — log
+    * upserts index at their current values, no compact-first
+    * migration — and the lookup serves the merged view of ONLY the
+    * matched groups (base-file cut require-proven in-run).
+    */
+  val qHudiRecordIndexMor: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-ridx-mor") + "/t"
+      val o = t(s, dir, "orders").repartition(4, col("o_orderkey"))
+      val keyRows = o.groupBy(pmod(col("o_orderkey"), lit(4)).as("m"))
+        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        .collect()
+      val minKeys = keyRows.map(_.getAs[Long]("lo")).toSeq.distinct
+      val allKeys = (minKeys ++ keyRows.map(_.getAs[Long]("hi"))).distinct
+      HudiTableWriter.createMor(o.filter(pmod(col("o_orderkey"), lit(4)) === 0), table,
+        recordKeys = Seq("o_orderkey")): Unit
+      (1 to 3).foreach(m => HudiTableWriter.upsert(
+        o.filter(pmod(col("o_orderkey"), lit(4)) === m), table): Unit)
+      // reprice the per-group minimum keys: EXISTING keys, so the
+      // change rides LOG BLOCKS — the table stays uncompacted
+      HudiTableWriter.upsert(
+        o.filter(col("o_orderkey").isin(minKeys: _*))
+          .withColumn("o_totalprice", col("o_orderkey").cast("double")), table): Unit
+      HudiTableWriter.writeRecordIndex(s, table): Unit
+      val looked = HudiTableReader.pointLookup(s, table, allKeys)
+      require(looked.inputFiles.length <
+          HudiTableReader.snapshot(s, table).inputFiles.length,
+        "the MOR record index must cut the lookup's base-file set")
+      looked.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").as("price"))
+    },
+    oracle = Some(
+      """WITH mins AS (SELECT min(o_orderkey) AS k FROM orders GROUP BY o_orderkey % 4),
+        |maxs AS (SELECT max(o_orderkey) AS k FROM orders GROUP BY o_orderkey % 4)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey IN (SELECT k FROM mins)
+        |       THEN CAST(o_orderkey AS DOUBLE) ELSE o_totalprice END AS price
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT k FROM mins UNION SELECT k FROM maxs)"""
+        .stripMargin))
+
   /** #103r INCREMENTAL col-stats maintenance
     * ([[graft.sources.HudiTableWriter.refreshColStatsIndex]]): data
     * files are immutable, so a refresh carries existing per-file

@@ -1006,6 +1006,22 @@ object HudiTableReader {
     */
   def pointLookupFiles(spark: SparkSession, tablePath: String,
       keyValues: Seq[Any], maxKeys: Int = 100000): Seq[SliceWrite] = {
+    val declared = pointLookupKey(spark, tablePath, keyValues, maxKeys)
+    val slices = activeSlices(spark, tablePath) // COW-only path
+    recordIndexFids(spark, tablePath, keyValues, declared) match {
+      case None => slices
+      case Some((fids, touched)) =>
+        val candidate = slices.filter(s0 =>
+          fids.contains(s0.fileId) || touched.contains(s0.fileId))
+        if (candidate.nonEmpty) candidate
+        // no group can hold the keys: scan ONE file with an always-
+        // false pushdown just to keep the schema (footers, not rows)
+        else slices.take(1)
+    }
+  }
+
+  private def pointLookupKey(spark: SparkSession, tablePath: String,
+      keyValues: Seq[Any], maxKeys: Int): String = {
     require(keyValues.nonEmpty && keyValues.size <= maxKeys,
       s"$tablePath: point lookup takes 1..$maxKeys keys, got ${keyValues.size}")
     val declared = HudiTableWriter.tableProperties(spark, tablePath)
@@ -1014,16 +1030,26 @@ object HudiTableReader {
     require(declared.size == 1,
       s"$tablePath: point lookup needs exactly one declared record key, " +
         s"got ${declared.mkString(",")}")
-    val slices = activeSlices(spark, tablePath) // COW-only path
+    declared.head
+  }
+
+  /** (matched file-group ids, post-index touched ids) through the
+    * newest usable record-index generation chain — None when no
+    * usable base generation exists (callers fall back to the full
+    * set). Works on COW and MOR timelines alike (deltacommits count
+    * as touches).
+    */
+  private def recordIndexFids(spark: SparkSession, tablePath: String,
+      keyValues: Seq[Any], declaredKey: String): Option[(Set[String], Set[String])] = {
     val dir = new Path(hoodieDir(tablePath), "metadata/record_index")
     val fs = fsOf(spark, dir)
-    val timeline = instants(spark, tablePath)
+    val timeline = timelineInstants(spark, tablePath, allowMor = true)
     val onTimeline = timeline.map(_._1).toSet
     val gens =
       if (!fs.exists(dir)) Array.empty[String]
       else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
     val fulls = gens.filter(g => !g.endsWith(".delta") && onTimeline.contains(g))
-    if (fulls.isEmpty) return slices
+    if (fulls.isEmpty) return None
     val base = fulls.max
     // DELTA generations after the base ([[HudiTableWriter
     // .refreshRecordIndex]]): each re-enumerates the groups its
@@ -1049,7 +1075,7 @@ object HudiTableReader {
     // rows for keys that exist. Probe BOTH: a candidate superset is
     // harmless (pointLookup's final key filter is exact), a missed
     // group is wrong.
-    val keyStrings = keyValues.flatMap(v => Seq(s"${declared.head}:$v", s"$v"))
+    val keyStrings = keyValues.flatMap(v => Seq(s"$declaredKey:$v", s"$v"))
     // every generation is key-range-clustered, so each IN-filter
     // prunes to a couple of files via footer bounds; |keys| rows per
     // generation come back — newest binding per key wins, and a
@@ -1073,24 +1099,33 @@ object HudiTableReader {
     val touched = timeline.filter(_._1 > pick).flatMap { case (i, k) =>
       writesOf(fs, tablePath, i, k).map(_.fileId)
     }.toSet
-    val candidate = slices.filter(s0 =>
-      fids.contains(s0.fileId) || touched.contains(s0.fileId))
-    if (candidate.nonEmpty) candidate
-    // no group can hold the keys: scan ONE file with an always-false
-    // pushdown just to keep the schema (reads footers, not rows)
-    else slices.take(1)
+    Some((fids, touched))
   }
 
   /** Point lookup THROUGH the record index: scan only the matched +
-    * post-index-touched file groups, then the exact key filter. */
+    * post-index-touched file groups, then the exact key filter. MOR
+    * tables serve the REAL-TIME merge of the matched groups only
+    * (log-aware builds index log inserts; tombstoned keys dropped at
+    * build never resurrect). */
   def pointLookup(spark: SparkSession, tablePath: String,
       keyValues: Seq[Any], maxKeys: Int = 100000): DataFrame = {
-    val declared = HudiTableWriter.tableProperties(spark, tablePath)
-      .get("hoodie.table.recordkey.fields")
-      .map(_.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    if (isMor(spark, tablePath)) {
+      val declared = pointLookupKey(spark, tablePath, keyValues, maxKeys)
+      val groups = morGroups(spark, tablePath)
+      val use = recordIndexFids(spark, tablePath, keyValues, declared) match {
+        case None => groups
+        case Some((fids, touched)) =>
+          val cand = groups.filter(g =>
+            fids.contains(g.fileId) || touched.contains(g.fileId))
+          if (cand.nonEmpty) cand else groups.take(1)
+      }
+      return realtimeOf(spark, tablePath, use)
+        .where(col(declared).isin(keyValues: _*))
+    }
+    val declared = pointLookupKey(spark, tablePath, keyValues, maxKeys)
     val files = pointLookupFiles(spark, tablePath, keyValues, maxKeys)
     readPaths(spark, tablePath, files)
-      .where(col(declared.head).isin(keyValues: _*))
+      .where(col(declared).isin(keyValues: _*))
   }
 
   def snapshotSkipping(spark: SparkSession, tablePath: String,

@@ -1395,24 +1395,27 @@ object HudiTableWriter {
     * range clustering is what makes a point lookup's `key IN (…)`
     * prune to one or two index files via footer min/max).
     * [[HudiTableReader.pointLookup]] starts from it and adds only the
-    * file groups post-index instants touched. COW only, like
-    * col_stats (a MOR group's log inserts are invisible to base
-    * keys). Returns the indexed instant.
+    * file groups post-index instants touched. MOR tables build
+    * LOG-AWARE: dirty groups resolve through the realtime merge (log
+    * inserts index, tombstones drop) with the group id threaded — no
+    * compact-first migration. Returns the indexed instant.
     */
   def writeRecordIndex(spark: SparkSession, tablePath: String,
       indexFiles: Int = 32): String = {
-    require(!HudiTableReader.isMor(spark, tablePath),
-      s"$tablePath: the record index is COW machinery — MOR log rows are invisible " +
-        "to base-file keys; compact first")
     val keys = declaredRecordKeys(spark, tablePath)
     require(keys.nonEmpty,
       s"$tablePath: the record index maps record keys — the table declares none " +
         "(hoodie.table.recordkey.fields)")
-    val slices = HudiTableReader.activeSlices(spark, tablePath)
     val head = HudiTableReader.latestInstant(spark, tablePath)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     import org.apache.spark.sql.functions.{col => c}
-    val entries = recordEntriesOf(spark, tablePath, slices)
+    // MOR builds LOG-AWARE: the realtime merge already resolves each
+    // group's live keys (log inserts visible, tombstones dropped) and
+    // threads the group id through — no compact-first migration
+    val entries =
+      if (HudiTableReader.isMor(spark, tablePath))
+        morRecordEntriesOf(spark, tablePath, HudiTableReader.morGroups(spark, tablePath))
+      else recordEntriesOf(spark, tablePath, HudiTableReader.activeSlices(spark, tablePath))
     val dir = new Path(hoodieDir(tablePath), "metadata/record_index")
     fs.mkdirs(dir)
     val stage = new Path(tablePath, s".graft-ridx-${java.util.UUID.randomUUID()}")
@@ -1430,6 +1433,28 @@ object HudiTableWriter {
       n.endsWith(".delta") && n.stripSuffix(".delta") <= head
     }.foreach(p => fs.delete(p, true): Unit)
     head
+  }
+
+  /** (record key → file group id) over MOR `groups`, LOG-AWARE:
+    * log-free groups scan their base like COW; dirty groups resolve
+    * through the realtime merge with the group id threaded — log
+    * inserts index, tombstoned keys drop. The shuffle is bounded by
+    * the DIRTY groups' bytes. */
+  private def morRecordEntriesOf(spark: SparkSession, tablePath: String,
+      groups: Seq[HudiTableReader.GroupSlices]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val clean = groups.filter(_.logs.isEmpty).flatMap(_.base)
+    val dirty = groups.filter(_.logs.nonEmpty)
+    val cleanE = recordEntriesOf(spark, tablePath, clean)
+    if (dirty.isEmpty) return cleanE
+    val schema = HudiTableReader.morSchema(spark, tablePath, groups)
+    require(schema.fieldNames.contains("_hoodie_record_key"),
+      s"$tablePath: base/log schema carries no _hoodie_record_key — the log merge " +
+        "has no record identity to index on")
+    val dirtyE = HudiTableReader
+      .mergeDirtyGroups(spark, tablePath, dirty, schema, keepFileId = true)
+      .select(c("_hoodie_record_key").as("key"), c("_g_fid").as("fileId"))
+    if (clean.isEmpty) dirtyE else cleanE.unionByName(dirtyE)
   }
 
   /** (record key → file group id) over `slices`' base files, one
@@ -1476,12 +1501,10 @@ object HudiTableWriter {
     */
   def refreshRecordIndex(spark: SparkSession, tablePath: String,
       maxDeltas: Int = 16): String = {
-    require(!HudiTableReader.isMor(spark, tablePath),
-      s"$tablePath: the record index is COW machinery — MOR log rows are invisible " +
-        "to base-file keys; compact first")
+    val mor = HudiTableReader.isMor(spark, tablePath)
     val dir = new Path(hoodieDir(tablePath), "metadata/record_index")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val timeline = HudiTableReader.instants(spark, tablePath)
+    val timeline = HudiTableReader.timelineInstants(spark, tablePath, allowMor = true)
     val onTimeline = timeline.map(_._1).toSet
     val gens =
       if (!fs.exists(dir)) Array.empty[String]
@@ -1503,13 +1526,28 @@ object HudiTableWriter {
         (if (k == "replacecommit") HudiTableReader.replacedIdsOf(fs, tablePath, i)
          else Set.empty[String])
     }.toSet
-    val slices = HudiTableReader.activeSlices(spark, tablePath)
-      .filter(s0 => covered.contains(s0.fileId))
-    val entries = recordEntriesOf(spark, tablePath, slices)
+    // the fold re-enumerates ONLY the touched groups — on MOR through
+    // the log-aware realtime merge of those groups (a deltacommit's
+    // log append makes its whole group's binding set current again)
+    val (entries, allowed, nCovered) =
+      if (mor) {
+        val groups = HudiTableReader.morGroups(spark, tablePath)
+          .filter(g => covered.contains(g.fileId))
+        (morRecordEntriesOf(spark, tablePath, groups),
+          groups.flatMap(_.base).map(b =>
+            ScanPaths.normalizeDriver(s"$tablePath/${b.path}")).toSet,
+          groups.size)
+      } else {
+        val slices = HudiTableReader.activeSlices(spark, tablePath)
+          .filter(s0 => covered.contains(s0.fileId))
+        (recordEntriesOf(spark, tablePath, slices),
+          slices.map(s0 =>
+            ScanPaths.normalizeDriver(s"$tablePath/${s0.path}")).toSet,
+          slices.size)
+      }
     // the incremental contract: the refresh reads the TOUCHED groups
-    // and nothing else
-    val allowed = slices.map(s0 =>
-      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}")).toSet
+    // and nothing else (MOR log blocks decode inside tasks; the plan's
+    // inputFiles are the touched groups' base files)
     val scanned = entries.inputFiles.map(ScanPaths.normalizeDriver).toSet
     require(scanned.subsetOf(allowed),
       s"$tablePath: record-index refresh escaped the touched-group set — " +
@@ -1518,7 +1556,7 @@ object HudiTableWriter {
     val stage = new Path(tablePath, s".graft-ridxd-${java.util.UUID.randomUUID()}")
     // deltas are commit-sized: a handful of range-clustered files keep
     // the lookup's IN-filter footer pruning without tiny-file litter
-    entries.repartitionByRange(math.min(8, math.max(1, slices.size)), c("key"))
+    entries.repartitionByRange(math.min(8, math.max(1, nCovered)), c("key"))
       .sortWithinPartitions(c("key"))
       .write.parquet(stage.toString)
     val sidecar = fs.create(new Path(stage, "_covered"), true)

@@ -67,11 +67,41 @@ class HudiRecordIndexSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](
       HudiTableWriter.writeRecordIndex(spark, keyless))
     assert(e1.getMessage.contains("record key"))
-    // MOR refuses
-    val mor = tmpDir("ridx-mor") + "/t"
-    HudiTableWriter.createMor(df(1 to 5), mor, recordKeys = Seq("id")): Unit
-    val e2 = intercept[IllegalArgumentException](
-      HudiTableWriter.writeRecordIndex(spark, mor))
-    assert(e2.getMessage.contains("MOR") || e2.getMessage.contains("compact"))
+  }
+
+  test("MOR log-aware build pre-compaction: log upserts index, tombstones drop, lookups prune to matched groups") {
+    val table = tmpDir("ridx-mor") + "/t"
+    val s = spark
+    import s.implicits._
+    // three groups via createMor + base-appending upserts of NEW keys
+    HudiTableWriter.createMor(df(1 to 40), table, recordKeys = Seq("id")): Unit
+    HudiTableWriter.upsert(df(41 to 80), table): Unit   // new keys → new base group(s)
+    // log upserts: an UPDATE rides a log block; a DELETE tombstones
+    HudiTableWriter.upsert(Seq((13L, "k3", 777L)).toDF("id", "key", "v"), table): Unit
+    HudiTableWriter.deleteLog(Seq((20L, "k0", 40L)).toDF("id", "key", "v"), table): Unit
+    // the index builds PRE-COMPACTION, folding log blocks in
+    HudiTableWriter.writeRecordIndex(spark, table): Unit
+    // log-updated value serves through the lookup
+    val upd = HudiTableReader.pointLookup(spark, table, Seq(13L))
+    assert(upd.count() == 1L && upd.head().getAs[Long]("v") == 777L,
+      "the log upsert's value must serve through the index")
+    // tombstoned key never resurrects
+    assert(HudiTableReader.pointLookup(spark, table, Seq(20L)).isEmpty,
+      "a log-deleted key must not resurrect via a stale base binding")
+    // pruning: one key reads fewer base files than the realtime view
+    val full = HudiTableReader.snapshot(spark, table).inputFiles.length
+    val one = HudiTableReader.pointLookup(spark, table, Seq(55L))
+    assert(one.count() == 1L && one.head().getAs[Long]("v") == 110L)
+    assert(one.inputFiles.length < full,
+      s"MOR lookup must cut the base-file set (${one.inputFiles.length} of $full)")
+    // a post-index log upsert resolves through the touched set, and
+    // the refresh folds it in as a delta
+    HudiTableWriter.upsert(Seq((13L, "k3", 999L)).toDF("id", "key", "v"), table): Unit
+    assert(HudiTableReader.pointLookup(spark, table, Seq(13L))
+      .head().getAs[Long]("v") == 999L)
+    HudiTableWriter.refreshRecordIndex(spark, table): Unit
+    assert(HudiTableReader.pointLookup(spark, table, Seq(13L))
+      .head().getAs[Long]("v") == 999L)
+    assert(HudiTableReader.pointLookup(spark, table, Seq(20L)).isEmpty)
   }
 }
