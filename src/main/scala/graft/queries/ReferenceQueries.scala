@@ -1632,6 +1632,61 @@ trait ReferenceQueries extends QueryBase {
       |  max(o_custkey) AS ckmax
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** #103u MOR col-stats, GROUP-GRAINED and LOG-AWARE
+    * ([[graft.sources.HudiTableWriter.writeColStatsIndex]] on an
+    * uncompacted MOR table): dirty groups' ranges come from the
+    * realtime merge — a log-block reprice WIDENS its group's range,
+    * so the band that only the repriced value hits keeps exactly that
+    * group (pruning on base-file stats would lose the row). The kept
+    * groups serve through the realtime merge; the cut is
+    * require-proven in-run.
+    */
+  val qHudiColStatsMor: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-cstats-mor") + "/t"
+      val o = t(s, dir, "orders").repartitionByRange(6, col("o_orderkey"))
+      HudiTableWriter.createMor(o, table, tableName = "orders_cstats_mor",
+        recordKeys = Seq("o_orderkey")): Unit
+      val minKey = o.agg(min(col("o_orderkey"))).head().getLong(0)
+      // EXISTING key → the reprice rides a LOG BLOCK, uncompacted
+      HudiTableWriter.upsert(
+        o.filter(col("o_orderkey") === minKey)
+          .withColumn("o_totalprice", lit(9999999.5)), table): Unit
+      HudiTableWriter.writeColStatsIndex(s, table, Seq("o_totalprice")): Unit
+      val all = HudiTableReader.snapshot(s, table).inputFiles.length
+      val skipped = HudiTableReader.snapshotSkipping(s, table,
+        "o_totalprice", 9000000.0, 10000000.0)
+      require(skipped.inputFiles.length > 0 && skipped.inputFiles.length < all,
+        s"log-aware group stats must cut the base-file set " +
+          s"(${skipped.inputFiles.length} of $all)")
+      val pruned = skipped
+        .where(col("o_totalprice") >= 9000000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("skipped"))
+      val full = HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("slice", lit("all"))
+      full.unionByName(pruned)
+    },
+    oracle = Some(
+      """WITH repriced AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |         THEN 9999999.5 ELSE o_totalprice END AS price
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  'all' AS slice
+        |FROM repriced GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, count(*),
+        |  CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE), 'skipped'
+        |FROM repriced WHERE price >= 9000000
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #111 Delta NESTED columns (plain path): struct/array/map columns
     * land through graft's create+append and serve through the
     * declared-schema snapshot scan; the incremental read carries the

@@ -1130,7 +1130,9 @@ object HudiTableReader {
 
   def snapshotSkipping(spark: SparkSession, tablePath: String,
       column: String, lo: Double, hi: Double): DataFrame = {
-    val slices = activeSlices(spark, tablePath) // COW-only path
+    if (isMor(spark, tablePath))
+      return morSnapshotSkipping(spark, tablePath, column, lo, hi)
+    val slices = activeSlices(spark, tablePath) // COW path
     val dir = new Path(hoodieDir(tablePath), "metadata/col_stats")
     val fs = fsOf(spark, dir)
     val kept =
@@ -1166,6 +1168,56 @@ object HudiTableReader {
       s"$tablePath: every file provably misses [$lo, $hi] on $column — empty result " +
         "(read the snapshot if you wanted the unfiltered table)")
     readPaths(spark, tablePath, kept)
+  }
+
+  /** MOR skipping: the prune unit is the file GROUP (the index rows
+    * key `_g_file` by group id — [[HudiTableWriter.writeColStatsIndex]]'s
+    * log-aware build), and the kept groups serve through the REAL-TIME
+    * merge. Groups with ANY activity after the index instant keep
+    * conservatively — their indexed range is stale (a log block may
+    * have widened it), and pruning on stale stats would lose rows.
+    */
+  private def morSnapshotSkipping(spark: SparkSession, tablePath: String,
+      column: String, lo: Double, hi: Double): DataFrame = {
+    val groups = morGroups(spark, tablePath)
+    val dir = new Path(hoodieDir(tablePath), "metadata/col_stats")
+    val fs = fsOf(spark, dir)
+    val kept =
+      if (!fs.exists(dir)) groups
+      else {
+        val onTimeline = timelineInstants(spark, tablePath, allowMor = true).map(_._1).toSet
+        val usable = fs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+          .filter(onTimeline.contains)
+        if (usable.isEmpty) groups
+        else {
+          val pick = usable.max
+          val idx = spark.read.parquet(new Path(dir, s"$pick.parquet").toString)
+          val mnC = s"min_$column"; val mxC = s"max_$column"
+          if (!idx.columns.contains(mnC)) groups
+          else {
+            def num(v: Any): Option[Double] = v match {
+              case n: java.lang.Number => Some(n.doubleValue())
+              case _ => None
+            }
+            val misses = idx.select("_g_file", mnC, mxC).collect().flatMap { r =>
+              val out = for {
+                mn <- Option(r.get(1)).flatMap(num)
+                mx <- Option(r.get(2)).flatMap(num)
+              } yield mn > hi || mx < lo
+              out.filter(identity).map(_ => r.getString(0))
+            }.toSet
+            groups.filter { g =>
+              val newest = (g.base.map(_.instant) ++ g.logs.map(_._1)).max
+              newest > pick || !misses.contains(g.fileId)
+            }
+          }
+        }
+      }
+    if (kept.isEmpty) throw new IllegalArgumentException(
+      s"$tablePath: every group provably misses [$lo, $hi] on $column — empty result " +
+        "(read the snapshot if you wanted the unfiltered table)")
+    realtimeOf(spark, tablePath, kept)
   }
 
   /** The skipping plan's file count — what specs and queries prove

@@ -1122,14 +1122,48 @@ object HudiTableWriter {
   def writeColStatsIndex(spark: SparkSession, tablePath: String,
       columns: Seq[String]): String = {
     require(columns.nonEmpty, "writeColStatsIndex needs at least one column")
-    require(!HudiTableReader.isMor(spark, tablePath),
-      s"$tablePath: col-stats skipping is COW machinery — a MOR group's log rows are " +
-        "invisible to base-file stats; compact first")
-    val slices = HudiTableReader.activeSlices(spark, tablePath)
     val head = HudiTableReader.latestInstant(spark, tablePath)
-    val stats = colStatsOf(spark, tablePath, slices, columns)
+    // MOR builds GROUP-GRAINED and LOG-AWARE: per-file stats would be
+    // blind to log rows, so dirty groups' ranges come from the
+    // realtime merge and the prune unit is the file GROUP (rows key
+    // `_g_file` by the group id; the reader's MOR branch matches)
+    val stats =
+      if (HudiTableReader.isMor(spark, tablePath))
+        morColStatsOf(spark, tablePath,
+          HudiTableReader.morGroups(spark, tablePath), columns)
+      else colStatsOf(spark, tablePath,
+        HudiTableReader.activeSlices(spark, tablePath), columns)
     landColStats(spark, tablePath, stats, head)
     head
+  }
+
+  /** Per-GROUP min/max over MOR `groups`, log-aware: log-free groups
+    * scan their base; dirty groups aggregate the realtime merge.
+    * Rows key `_g_file` by the GROUP id. */
+  private def morColStatsOf(spark: SparkSession, tablePath: String,
+      groups: Seq[HudiTableReader.GroupSlices], columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, max => mx, min => mn}
+    val clean = groups.filter(_.logs.isEmpty)
+    val dirty = groups.filter(_.logs.nonEmpty)
+    val cleanStats = {
+      val slices = clean.flatMap(_.base)
+      val perFile = colStatsOf(spark, tablePath, slices, columns)
+      val fidOf = clean.flatMap(g => g.base.map(b => b.path -> g.fileId)).toMap
+      perFile.withColumn("_g_file",
+        org.apache.spark.sql.functions.udf((p: String) => fidOf.getOrElse(p, p))
+          .apply(c("_g_file")))
+    }
+    if (dirty.isEmpty) return cleanStats
+    val schema = HudiTableReader.morSchema(spark, tablePath, groups)
+    columns.foreach(cn => require(schema.fieldNames.contains(cn),
+      s"$tablePath: col-stats column $cn is not a table column"))
+    val aggs = columns.flatMap(cn =>
+      Seq(mn(c(cn)).as(s"min_$cn"), mx(c(cn)).as(s"max_$cn")))
+    val dirtyStats = HudiTableReader
+      .mergeDirtyGroups(spark, tablePath, dirty, schema, keepFileId = true)
+      .groupBy(c("_g_fid").as("_g_file"))
+      .agg(aggs.head, aggs.tail: _*)
+    if (clean.isEmpty) dirtyStats else cleanStats.unionByName(dirtyStats)
   }
 
   /** Per-file min/max of `columns` over `slices`, in ONE distributed
@@ -1196,11 +1230,11 @@ object HudiTableWriter {
     * Returns the indexed head instant.
     */
   def refreshColStatsIndex(spark: SparkSession, tablePath: String): String = {
-    require(!HudiTableReader.isMor(spark, tablePath),
-      s"$tablePath: col-stats skipping is COW machinery; compact first")
+    val mor = HudiTableReader.isMor(spark, tablePath)
     val dir = new Path(hoodieDir(tablePath), "metadata/col_stats")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val onTimeline = HudiTableReader.instants(spark, tablePath).map(_._1).toSet
+    val onTimeline = HudiTableReader
+      .timelineInstants(spark, tablePath, allowMor = true).map(_._1).toSet
     val usable =
       if (!fs.exists(dir)) Nil
       else fs.listStatus(dir).map(_.getPath.getName)
@@ -1214,25 +1248,44 @@ object HudiTableWriter {
     val old = spark.read.parquet(new Path(dir, s"$pick.parquet").toString)
     val columns = old.columns.toIndexedSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-    val slices = HudiTableReader.activeSlices(spark, tablePath)
-    // the old index's file list is |files|-bounded driver metadata —
-    // the same budget activeSlices itself already spends
+    // the old index's entry list is metadata-bounded driver work —
+    // the same budget the slice/group listing itself already spends
     val known = old.select("_g_file").collect().map(_.getString(0)).toSet
-    val currentPaths = slices.map(_.path).toSet
-    val fresh = slices.filterNot(s0 => known.contains(s0.path))
-    val freshStats = colStatsOf(spark, tablePath, fresh, columns)
-    // the incremental contract: the refresh may read the NEW files
-    // and nothing else — at 100 TB a full rescan is the cost the
-    // index exists to remove
-    val allowed = fresh.map(s0 =>
-      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}")).toSet
+    import org.apache.spark.sql.functions.{col => c}
+    val (freshStats, allowed, current, freshKeys) =
+      if (mor) {
+        // a group with ANY activity after the index instant recomputes
+        // through the log-aware merge; untouched groups carry forward
+        val groups = HudiTableReader.morGroups(spark, tablePath)
+        val fresh = groups.filter { g =>
+          val newest = (g.base.map(_.instant) ++ g.logs.map(_._1)).max
+          !known.contains(g.fileId) || newest > pick
+        }
+        (morColStatsOf(spark, tablePath, fresh, columns),
+          fresh.flatMap(_.base).map(b =>
+            ScanPaths.normalizeDriver(s"$tablePath/${b.path}")).toSet,
+          groups.map(_.fileId).toSet,
+          fresh.map(_.fileId).toSet)
+      } else {
+        val slices = HudiTableReader.activeSlices(spark, tablePath)
+        val fresh = slices.filterNot(s0 => known.contains(s0.path))
+        (colStatsOf(spark, tablePath, fresh, columns),
+          fresh.map(s0 =>
+            ScanPaths.normalizeDriver(s"$tablePath/${s0.path}")).toSet,
+          slices.map(_.path).toSet,
+          fresh.map(_.path).toSet)
+      }
+    // the incremental contract: the refresh may read the NEW (or, on
+    // MOR, the post-index-touched) files and nothing else — at 100 TB
+    // a full rescan is the cost the index exists to remove
     val scanned = freshStats.inputFiles.map(ScanPaths.normalizeDriver).toSet
     require(scanned.subsetOf(allowed),
-      s"$tablePath: col-stats refresh escaped the new-file set — " +
+      s"$tablePath: col-stats refresh escaped the increment — " +
         s"scanned ${(scanned -- allowed).take(3).mkString(",")}")
-    import org.apache.spark.sql.functions.{col => c}
-    val keep = old.where(c("_g_file").isInCollection(currentPaths))
-    val merged = if (fresh.isEmpty) keep else keep.unionByName(freshStats)
+    val carried = current -- freshKeys
+    val keep = if (carried.isEmpty) old.limit(0)
+      else old.where(c("_g_file").isInCollection(carried))
+    val merged = if (freshKeys.isEmpty) keep else keep.unionByName(freshStats)
     landColStats(spark, tablePath, merged, head)
     head
   }

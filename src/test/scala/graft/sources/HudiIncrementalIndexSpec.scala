@@ -142,4 +142,35 @@ class HudiIncrementalIndexSpec extends SparkSpec {
     assert(HudiTableWriter.refreshColStatsIndex(spark, table) ==
       HudiTableReader.latestInstant(spark, table))
   }
+
+  test("MOR col-stats: log-aware group stats, stale-group keep, refresh recomputes only touched groups") {
+    val table = tmpDir("cstats-mor") + "/t"
+    val s = spark
+    import s.implicits._
+    val mk = (r: Range) => r.map(i => (i.toLong, i * 10L)).toDF("id", "m")
+      .repartitionByRange(3, col("id"))
+    HudiTableWriter.createMor(mk(1 to 90), table, recordKeys = Seq("id")): Unit
+    // a LOG upsert widens one group's range far beyond its base
+    HudiTableWriter.upsert(Seq((5L, 777777L)).toDF("id", "m"), table): Unit
+    HudiTableWriter.writeColStatsIndex(spark, table, Seq("m")): Unit
+    // the band only the log value hits keeps exactly that group
+    val all = HudiTableReader.snapshot(spark, table).inputFiles.length
+    val hot = HudiTableReader.snapshotSkipping(spark, table, "m", 700000.0, 800000.0)
+    assert(hot.inputFiles.length < all,
+      s"group stats must cut the base-file set (${hot.inputFiles.length} of $all)")
+    assert(hot.where(col("m") === 777777L).count() == 1L,
+      "the log-widened group must survive the prune")
+    // post-index log activity: the group's stats are STALE — it must
+    // keep conservatively even when its indexed range misses
+    HudiTableWriter.upsert(Seq((50L, 888888L)).toDF("id", "m"), table): Unit
+    val hot2 = HudiTableReader.snapshotSkipping(spark, table, "m", 880000.0, 890000.0)
+    assert(hot2.where(col("m") === 888888L).count() == 1L,
+      "a post-index log write must not be pruned on stale stats")
+    // the refresh recomputes ONLY the touched group (require-proven
+    // inside), and the new range then serves through the index
+    HudiTableWriter.refreshColStatsIndex(spark, table): Unit
+    val hot3 = HudiTableReader.snapshotSkipping(spark, table, "m", 880000.0, 890000.0)
+    assert(hot3.inputFiles.length < all)
+    assert(hot3.where(col("m") === 888888L).count() == 1L)
+  }
 }
