@@ -1410,6 +1410,38 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1""".stripMargin))
 
+  /** #103v MOR ADDITIVE SCHEMA EVOLUTION (completes 103n for the
+    * second table type — no compact-first migration): the evolving
+    * write is a MOR UPSERT whose updates ride LOG BLOCKS at the wide
+    * schema, the deltacommit stamps the commit-schema authority, and
+    * the realtime merge null-fills the new column for old bases AND
+    * pre-evolution log rows (the Avro decode drops to null on fields
+    * a block's writer never knew).
+    */
+  val qHudiSchemaEvolveMor: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-evolve-mor") + "/t"
+      val o = t(s, dir, "orders")
+      HudiTableWriter.createMor(o.drop("o_orderpriority"), table,
+        recordKeys = Seq("o_orderkey")): Unit
+      // the odd half EVOLVES through a log upsert of EXISTING keys:
+      // wide rows ride log blocks, the table stays uncompacted
+      HudiTableWriter.upsert(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      require(HudiTableReader.declaredDataSchema(s, table)
+          .exists(_.fieldNames.contains("o_orderpriority")),
+        "the evolving deltacommit must declare the new column")
+      HudiTableReader.snapshot(s, table)
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)")).as("priority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT coalesce(CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END,
+        |                '(pre-evolution)') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin))
+
   /** #103p Hudi RECORD-LEVEL INDEX point lookup
     * ([[graft.sources.HudiTableWriter.writeRecordIndex]] +
     * [[graft.sources.HudiTableReader.pointLookup]]): the

@@ -591,11 +591,15 @@ object HudiTableReader {
     import org.apache.spark.sql.expressions.Window
     val cols = schema.fieldNames.toIndexedSeq
     val basePaths = dirty.flatMap(_.base).map(b => s"$tablePath/${b.path}")
+    // base files scan with the EXPLICIT merge schema: after additive
+    // evolution old files null-fill the new columns (bare inference
+    // would fail the select on whichever old file Spark sampled)
+    def baseScan = spark.read.schema(schema).parquet(basePaths: _*)
     val tagged =
       if (!keepFileId) {
         val logs = logRows(spark, tablePath, dirty, schema, withFid = false)
         if (basePaths.isEmpty) logs
-        else spark.read.parquet(basePaths: _*)
+        else baseScan
           .withColumn("_g_ord", lit(0L)).withColumn("_g_del", lit(false))
           .select((cols :+ "_g_ord" :+ "_g_del").map(col): _*)
           .unionByName(logs)
@@ -615,7 +619,7 @@ object HudiTableReader {
                 org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("_g_fid",
                 org.apache.spark.sql.types.StringType))))
-          spark.read.parquet(basePaths: _*)
+          baseScan
             .withColumn("_g_file", ScanPaths.normalizeScan(col("_metadata.file_path")))
             .join(broadcast(fidDf), Seq("_g_file"), "left")
             .drop("_g_file")
@@ -638,9 +642,18 @@ object HudiTableReader {
     */
   private[sources] def morSchema(spark: SparkSession, tablePath: String,
       groups: Seq[GroupSlices]): org.apache.spark.sql.types.StructType = {
-    val basePaths = groups.flatMap(_.base).map(b => s"$tablePath/${b.path}")
-    if (basePaths.nonEmpty) spark.read.parquet(basePaths: _*).schema
-    else {
+    val bases = groups.flatMap(_.base)
+    val basePaths = bases.map(b => s"$tablePath/${b.path}")
+    if (basePaths.nonEmpty) {
+      // an EVOLVED table resolves the declared commit-schema authority
+      // (old bases and old log blocks null-fill the added columns);
+      // never-evolved tables keep exact footer inference
+      scanSchemaOf(spark, tablePath,
+          Some(s"$tablePath/${bases.maxBy(_.instant).path}")) match {
+        case Some(declared) => declared
+        case None => spark.read.parquet(basePaths: _*).schema
+      }
+    } else {
       val firstLog = groups.flatMap(g => g.logs.headOption.map(l => s"$tablePath/${l._2}"))
         .headOption.getOrElse(throw new IllegalArgumentException(
           s"$tablePath: MOR table has neither base files nor log files"))

@@ -302,13 +302,13 @@ object HudiTableWriter {
     * [[HudiTableReader.declaredDataSchema]] resolves, making old
     * files null-fill the new columns deterministically. Dropped
     * columns and TYPE CHANGES refuse loudly (rewrite-grade
-    * migrations, not metadata commits); MOR tables refuse — log
-    * blocks pin their write-time schema, so evolution there is a
-    * compact-first migration.
+    * migrations, not metadata commits). MOR tables evolve too: log
+    * blocks name their write-time schema and the realtime decode
+    * null-fills fields a block's writer never knew, so the declared
+    * authority serves old bases, old logs and new writes alike.
     */
   private def evolutionOf(df: DataFrame, tablePath: String,
       existing: DataFrame): Option[String] = {
-    val spark = df.sparkSession
     val dataFields = existing.schema.fields.filterNot(_.name.startsWith("_hoodie_"))
     val dataCols = dataFields.map(_.name).toSet
     val missing = dataCols -- df.columns
@@ -322,10 +322,6 @@ object HudiTableWriter {
           s"declares ${f.dataType} — type changes are rewrite-grade migrations; refusing")
     }
     if (df.columns.toSet == dataCols) return None
-    require(!HudiTableReader.isMor(spark, tablePath),
-      s"$tablePath is MERGE-ON-READ — its log blocks pin their write-time schema, so " +
-        "additive evolution is not supported on MOR tables; replicate to a COW table " +
-        "to evolve")
     // evolved order: existing data columns verbatim, new ones after,
     // in batch order — what every later declared-schema scan serves
     val newFields = df.schema.fields.filterNot(f => dataCols.contains(f.name))
@@ -438,7 +434,7 @@ object HudiTableWriter {
     // deltacommit carrying log blocks for matched keys and new base
     // files for unseen keys (no base rewritten)
     if (HudiTableReader.isMor(spark, tablePath))
-      return morUpsert(deduped, tablePath, keys, partitionBy)
+      return morUpsert(deduped, tablePath, keys, partitionBy, evolvedJson)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val instant = instantNow(0L)
     // BLOOM-INDEX PRUNE: groups whose per-file filter proves every
@@ -648,7 +644,7 @@ object HudiTableWriter {
     * by |touched groups|, one staged write for inserts.
     */
   private def morUpsert(deduped: DataFrame, tablePath: String, keys: Seq[String],
-      partitionBy: Seq[String]): String = {
+      partitionBy: Seq[String], evolvedJson: Option[String] = None): String = {
     val spark = deduped.sparkSession
     val groups = HudiTableReader.morGroups(spark, tablePath)
     val instant = instantNow(0L)
@@ -668,7 +664,12 @@ object HudiTableWriter {
       // supplemental logging pays too), landed BEFORE any log file
       // appends so the scan still sees the pre-write state
       if (cdcEnabledOf(spark, tablePath)) {
-        val rt = HudiTableReader.snapshot(spark, tablePath)
+        val rt0 = HudiTableReader.snapshot(spark, tablePath)
+        // an EVOLVING batch is wider than the pre-write view: the
+        // pre-images null-fill the columns this very commit adds
+        val rt = recSchema.fields.filterNot(f => rt0.columns.contains(f.name))
+          .foldLeft(rt0)((acc, f) =>
+            acc.withColumn(f.name, lit(null).cast(f.dataType)))
         val batchKeys = stampedDf.select(col("_hoodie_record_key")).distinct()
         val pre = rt
           .join(broadcast(batchKeys), Seq("_hoodie_record_key"), "left_semi")
@@ -689,7 +690,8 @@ object HudiTableWriter {
         else landNewGroups(inserts, tablePath, instant, partitionBy)
       if (logStats.isEmpty && insertFiles.isEmpty) throw new IllegalArgumentException(
         s"$tablePath: empty upsert batch — nothing to write")
-      publishDeltacommit(spark, tablePath, instant, logStats, insertFiles)
+      publishDeltacommit(spark, tablePath, instant, logStats, insertFiles,
+        extraMetadata = evolvedJson.map("schema" -> _).toMap)
       instant
     } finally routed.unpersist()
   }
@@ -748,7 +750,8 @@ object HudiTableWriter {
     */
   private def publishDeltacommit(spark: SparkSession, tablePath: String, instant: String,
       stats: Seq[(String, String, Long)], // (fileId, relPath, n) — log writes
-      insertFiles: Seq[(String, String, String)] = Nil): Unit = { // (partition, fileId, rel)
+      insertFiles: Seq[(String, String, String)] = Nil, // (partition, fileId, rel)
+      extraMetadata: Map[String, String] = Map.empty): Unit = {
     val fs = hoodieDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logEntries = stats.map { case (fid, rel, n) =>
       (rel.split('/').dropRight(1).mkString("/"),
@@ -769,7 +772,8 @@ object HudiTableWriter {
     val created = try {
       val out = fs.create(p, false)
       try out.write(
-        (s"""{"partitionToWriteStats":{$statsJson},"operationType":"UPSERT"}""" + "\n")
+        (s"""{"partitionToWriteStats":{$statsJson},"operationType":"UPSERT"""" +
+          extraMetadataJson(extraMetadata) + "}\n")
           .getBytes("UTF-8"))
       finally out.close()
       true

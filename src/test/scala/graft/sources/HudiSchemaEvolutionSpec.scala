@@ -75,7 +75,7 @@ class HudiSchemaEvolutionSpec extends SparkSpec {
     assert(after.count() == 50L)
   }
 
-  test("refusals: dropped column, type change, MOR evolution") {
+  test("refusals: dropped column, type change") {
     val s = spark
     import s.implicits._
     val cow = tmpDir("hse-refuse-cow") + "/t"
@@ -90,15 +90,35 @@ class HudiSchemaEvolutionSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       HudiTableWriter.upsert(Seq((1L, "x")).toDF("id", "key"), cow))
     assert(e3.getMessage.contains("ADDITIVE"), e3.getMessage)
-    // MOR: additive evolution refuses (log blocks pin their schema)
-    val mor = tmpDir("hse-refuse-mor") + "/t"
+  }
+
+  test("MOR additive evolution: log upserts carry the wide schema, old bases and logs null-fill") {
+    val s = spark
+    import s.implicits._
+    val mor = tmpDir("hse-mor-evolve") + "/t"
     HudiTableWriter.createMor(df(1 to 10), mor, recordKeys = Seq("id")): Unit
-    val e4 = intercept[IllegalArgumentException](
-      HudiTableWriter.append(dfTagged(11 to 12, "x"), mor))
-    assert(e4.getMessage.contains("MERGE-ON-READ"), e4.getMessage)
-    val e5 = intercept[IllegalArgumentException](
-      HudiTableWriter.upsert(dfTagged(1 to 2, "x"), mor))
-    assert(e5.getMessage.contains("MERGE-ON-READ"), e5.getMessage)
+    // a pre-evolution LOG upsert at the narrow schema
+    HudiTableWriter.upsert(Seq((3L, "k3", 333L)).toDF("id", "key", "v"), mor): Unit
+    // the EVOLVING upsert: updates ride log blocks at the wide schema,
+    // the deltacommit stamps the schema authority
+    HudiTableWriter.upsert(dfTagged(1 to 2, "hot"), mor): Unit
+    val snap = HudiTableReader.snapshot(spark, mor)
+    assert(snap.columns.contains("tag"))
+    assert(snap.count() == 10L)
+    assert(snap.where(col("id") === 1L).head().getAs[String]("tag") == "hot")
+    assert(snap.where(col("id") === 1L).head().getAs[Long]("v") == 2L,
+      "the evolving upsert's own values must serve")
+    // pre-evolution rows — base AND earlier log blocks — null-fill
+    assert(snap.where(col("id") === 5L).select("tag").head().isNullAt(0))
+    assert(snap.where(col("id") === 3L).select("tag").head().isNullAt(0),
+      "a pre-evolution LOG row must null-fill the new column")
+    assert(snap.where(col("id") === 3L).head().getAs[Long]("v") == 333L,
+      "the pre-evolution log value still wins its key")
+    // an evolving APPEND (new keys) on MOR lands the wide schema too
+    HudiTableWriter.append(dfTagged(11 to 12, "new"), mor): Unit
+    val after = HudiTableReader.snapshot(spark, mor)
+    assert(after.count() == 12L)
+    assert(after.where(col("id") === 11L).head().getAs[String]("tag") == "new")
   }
 
   test("HudiSchema round-trips every supported type; unsupported shapes refuse") {
