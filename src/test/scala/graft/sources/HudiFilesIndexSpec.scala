@@ -104,11 +104,11 @@ class HudiFilesIndexSpec extends SparkSpec {
     assert(empty.inputFiles.length == allNow - 4,
       s"exactly the 4 indexed files must prune (kept ${empty.inputFiles.length} of $allNow)")
     assert(empty.where(col("id") >= 1e9).count() == 0L)
-    // MOR tables refuse the index build
+    // MOR tables build GROUP-GRAINED and LOG-AWARE (the compact-first
+    // refusal is lifted — HudiIncrementalIndexSpec covers the depth)
     val mor = tmpDir("hcs-mor") + "/t"
     HudiTableWriter.createMor(df(1 to 10), mor, recordKeys = Seq("id")): Unit
-    val e = intercept[IllegalArgumentException](
-      HudiTableWriter.writeColStatsIndex(spark, mor, Seq("id")))
-    assert(e.getMessage.contains("MOR") || e.getMessage.contains("compact"))
+    HudiTableWriter.writeColStatsIndex(spark, mor, Seq("id")): Unit
+    assert(HudiTableReader.snapshotSkipping(spark, mor, "id", 1.0, 10.0).count() == 10L)
   }
 }
