@@ -1400,8 +1400,14 @@ object Scale {
       // round-17 additions: incremental metadata-index maintenance
       // (refresh cost must stay flat in table size — the refreshes
       // scan only touched groups / new files by require-proven
-      // contract)
-      "q_hudi_ridx_inc", "q_hudi_cstats_inc")
+      // contract), the MOR metadata lift (log-aware record index,
+      // group-grained col-stats, schema evolution), nested columns
+      // across the adapters, mapped-Delta writes, bloom-accelerated
+      // upserts
+      "q_hudi_ridx_inc", "q_hudi_cstats_inc",
+      "q_hudi_ridx_mor", "q_hudi_cstats_mor", "q_hudi_schema_evolve_mor",
+      "q_delta_nested", "q_iceberg_nested", "q_hudi_nested",
+      "q_delta_colmap_write", "q_delta_colmap_id")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))

@@ -720,17 +720,19 @@ object DeltaTableWriter {
   def compact(spark: SparkSession, tablePath: String, targetFiles: Int): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val state = DeltaTableReader.snapshotState(spark, tablePath)
-    refuseWriterUnsupported(state, tablePath)
+    refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
     val snap = DeltaTableReader.snapshot(spark, tablePath)
-    val files = writeDataFiles(snap.repartition(targetFiles), tablePath,
-      state.partitionColumns)
+    val (physical, physPartCols, stampIds) =
+      mappedWriteProjection(state, tablePath, snap.repartition(targetFiles))
+    val files = writeDataFiles(physical, tablePath, physPartCols,
+      stampFieldIds = stampIds)
     val now = System.currentTimeMillis()
     val lines =
       state.active.map(f =>
         s"""{"remove":{"path":${jsonStr(f.path)},"deletionTimestamp":$now,""" +
           s""""dataChange":false}}""") ++
       files.map { case (rel, size, mtime, st) =>
-        addLine(rel, size, mtime, state.partitionColumns, st, dataChange = false) }
+        addLine(rel, size, mtime, physPartCols, st, dataChange = false) }
     commit(spark, tablePath, state.version + 1, lines,
       ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true)
   }
@@ -843,7 +845,16 @@ object DeltaTableWriter {
       predicate: org.apache.spark.sql.Column,
       maxDriverRows: Int = MaxDeleteRowsDriver): Long = {
     val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
-    refuseWriterUnsupported(state, tablePath)
+    refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
+    // DV deletes are PATH-level bookkeeping — mapped tables work: the
+    // read resolves logical names, the remove/re-add lines re-emit
+    // each file's own (physical-keyed) partitionValues. The CDF
+    // obligation is the exception: change-data files on mapped tables
+    // must carry physical names, a shape this writer does not land
+    require(!(cdfEnabledOf(state) && isMapped(state)),
+      s"$tablePath: delta.enableChangeDataFeed on a column-mapped table — change-data " +
+        "files there must carry physical column names, which this writer does not land; " +
+        "refusing")
     val matchedDf = keyed.where(predicate)
       .select(org.apache.spark.sql.functions.col("_g_file"),
         org.apache.spark.sql.functions.col("_g_pos"))
@@ -965,6 +976,49 @@ object DeltaTableWriter {
       descs.sortBy(_._1).map { case (nf, d) => byNorm(nf) -> d })
   }
 
+  /** Physical WRITE projection for a column-mapped table, exact
+    * column set (evolution lives in [[append]]'s mapped branch):
+    * logical → declared physical names, parquet field ids stamped in
+    * `id` mode. Unmapped tables pass through. Returns (physical df,
+    * physical partition columns, stampFieldIds).
+    */
+  private def mappedWriteProjection(state: DeltaTableReader.Snapshot,
+      tablePath: String, df: DataFrame): (DataFrame, Seq[String], Boolean) = {
+    val mode = state.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (mode != "name" && mode != "id") return (df, state.partitionColumns, false)
+    val declared = state.schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case st: org.apache.spark.sql.types.StructType => st }
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: table metadata carries no parseable schemaString"))
+    val physOf = DeltaTableReader.columnMappingOf(state.schemaJson, tablePath)
+    val IdKey = "delta.columnMapping.id"
+    val idOf = declared.fields.collect {
+      case f if f.metadata.contains(IdKey) => f.name -> f.metadata.getLong(IdKey)
+    }.toMap
+    val logicalCols = declared.fieldNames.toSeq
+    require(df.columns.toSet == logicalCols.toSet,
+      s"$tablePath: written columns ${df.columns.sorted.mkString(",")} != declared " +
+        s"${logicalCols.sorted.mkString(",")} — mapped writes outside append carry the " +
+        "exact declared set (evolve through append first)")
+    val stampIds = mode == "id"
+    val physical = df.select(logicalCols.map { c =>
+      val md = idOf.get(c) match {
+        case Some(id) if stampIds => new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", id).build()
+        case None if stampIds =>
+          throw new IllegalStateException(s"$tablePath: column $c carries no " +
+            "delta.columnMapping.id — an id-mode write cannot stamp its field id; refusing")
+        case _ => org.apache.spark.sql.types.Metadata.empty
+      }
+      org.apache.spark.sql.functions.col(c).as(physOf.getOrElse(c, c), md)
+    }: _*)
+    (physical, state.partitionColumns.map(c => physOf.getOrElse(c, c)), stampIds)
+  }
+
+  private def isMapped(state: DeltaTableReader.Snapshot): Boolean =
+    state.configuration.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id")
+
   /** Commit lines for per-file fresh vectors: protocol upgrade when
     * needed + remove/re-add with the new descriptors. */
   private def dvActionLines(spark: SparkSession, tablePath: String,
@@ -982,12 +1036,12 @@ object DeltaTableWriter {
           s""""readerFeatures":[$rf],"writerFeatures":[$wf]}}"""
       }
     val now = System.currentTimeMillis()
+    // re-add the file's OWN partitionValues verbatim: on column-mapped
+    // tables the keys are PHYSICAL names, and re-keying by the logical
+    // partitionColumns would null them out
     def pvJson(pv: Map[String, String]): String =
-      state.partitionColumns.map { c =>
-        pv.get(c) match {
-          case Some(v) => s"${jsonStr(c)}:${jsonStr(v)}"
-          case None => s"${jsonStr(c)}:null"
-        }
+      pv.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
       }.mkString(",")
     protoLine.toSeq ++ perFile.flatMap { case (fa, d) =>
       val st = fs.getFileStatus(new Path(tablePath, decodePathPublic(fa.path)))
@@ -1024,8 +1078,27 @@ object DeltaTableWriter {
     val spark = df.sparkSession
     require(keys.nonEmpty, s"$tablePath: upsert needs at least one key column")
     val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
-    refuseWriterUnsupported(state, tablePath)
-    val (cols, metaLines) = evolveSchemaIfNeeded(state, tablePath, df)
+    refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
+    require(!(cdfEnabledOf(state) && isMapped(state)),
+      s"$tablePath: delta.enableChangeDataFeed on a column-mapped table — change-data " +
+        "files there must carry physical column names, which this writer does not land; " +
+        "refusing")
+    // mapped upserts carry the exact declared set (mappedWriteProjection
+    // requires it below); evolution on mapped tables lives in append
+    val (cols, metaLines) =
+      if (isMapped(state)) {
+        val declared = state.schemaJson
+          .flatMap(js => scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+          .collect { case st: org.apache.spark.sql.types.StructType =>
+            st.fieldNames.toSeq }
+          .getOrElse(throw new IllegalStateException(
+            s"$tablePath: table metadata carries no parseable schemaString"))
+        require(df.columns.toSet == declared.toSet,
+          s"$tablePath: mapped upsert columns ${df.columns.sorted.mkString(",")} != " +
+            s"declared ${declared.sorted.mkString(",")} — evolve through append first")
+        (declared, Nil)
+      } else evolveSchemaIfNeeded(state, tablePath, df)
     keys.foreach(k => require(cols.contains(k),
       s"$tablePath: upsert key $k is not a table column"))
     import org.apache.spark.sql.functions.{broadcast, col}
@@ -1082,10 +1155,13 @@ object DeltaTableWriter {
         }
       matchedDf.unpersist(): Unit
       distinctKeys.unpersist(): Unit
-      val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
+      val (physical, physPartCols, stampIds) =
+        mappedWriteProjection(state, tablePath, aligned)
+      val files = writeDataFiles(physical, tablePath, physPartCols,
+        stampFieldIds = stampIds)
       val v = commit(spark, tablePath, state.version + 1,
         metaLines ++ cdcLines ++ dvLines ++ files.map { case (rel, size, mtime, st) =>
-          addLine(rel, size, mtime, state.partitionColumns, st) },
+          addLine(rel, size, mtime, physPartCols, st) },
         ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true)
       maybeCheckpoint(spark, tablePath, v, checkpointInterval)
       v

@@ -1,0 +1,166 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Data-modifying writes on COLUMN-MAPPED Delta tables (delta.io
+  * PROTOCOL.md Column Mapping) — the UniForm/converted-table world:
+  * DV deletes are path-level bookkeeping (re-add lines re-emit each
+  * file's own physical-keyed partitionValues), upserts land new files
+  * under physical names (+ field ids in id mode), compaction rewrites
+  * through the same projection. CDF on mapped tables refuses (the
+  * change-data files would need physical names this writer does not
+  * land).
+  */
+class DeltaMappedWriteSpec extends SparkSpec {
+
+  import org.apache.spark.sql.types._
+
+  private def df(r: Range) = {
+    val s = spark
+    import s.implicits._
+    r.map(i => (i.toLong, s"g${i % 3}", i * 2L)).toDF("id", "grp", "v").coalesce(1)
+  }
+
+  /** An externally-shaped mapped table: physical parquet names,
+    * mapping metadata in the schemaString. */
+  private def mkMapped(table: String, mode: String): Unit = {
+    new java.io.File(s"$table/_delta_log").mkdirs()
+    val phys = Seq("id" -> "col-m1", "grp" -> "col-m2", "v" -> "col-m3")
+    val stage = tmpDir("dmw-stage") + "/out"
+    df(1 to 40).select(phys.map { case (l, p) => col(l).as(p) }: _*)
+      .write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(table, "part-a.parquet").toPath)
+    val schema = StructType(phys.zipWithIndex.map { case ((l, p), i) =>
+      StructField(l, if (l == "grp") StringType else LongType, nullable = true,
+        new MetadataBuilder()
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", p).build())
+    }).json
+    val sq = new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schema)
+    val size = new java.io.File(table, "part-a.parquet").length()
+    java.nio.file.Files.write(
+      new java.io.File(s"$table/_delta_log", f"${0L}%020d.json").toPath,
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"dmw","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":$sq,"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"$mode",""" +
+          s""""delta.columnMapping.maxColumnId":"3"},"createdTime":0}}""",
+        s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":$size,""" +
+          s""""modificationTime":0,"dataChange":true}}""").mkString("\n") + "\n")
+        .getBytes("UTF-8")): Unit
+  }
+
+  test("name mode: DV delete masks rows without rewrite; upsert merges; compact rewrites physically") {
+    val table = tmpDir("dmw-name") + "/t"
+    mkMapped(table, "name")
+    val s = spark
+    import s.implicits._
+    // DV delete through the logical predicate
+    DeltaTableWriter.delete(spark, table, col("id") <= 5): Unit
+    val afterDel = DeltaTableReader.snapshot(spark, table)
+    assert(afterDel.count() == 35L && afterDel.where(col("id") <= 5).isEmpty)
+    assert(DeltaTableReader.snapshotState(spark, table).active
+      .exists(_.dv.isDefined), "the delete must land as a DV, not a rewrite")
+    // upsert: matched key replaced, new key inserted, files physical
+    DeltaTableWriter.upsert(
+      Seq((10L, "g1", 999L), (100L, "g0", 7L)).toDF("id", "grp", "v"),
+      table, keys = Seq("id")): Unit
+    val afterUp = DeltaTableReader.snapshot(spark, table)
+    assert(afterUp.count() == 36L)
+    assert(afterUp.where(col("id") === 10L).head().getAs[Long]("v") == 999L)
+    assert(afterUp.where(col("id") === 100L).count() == 1L)
+    val dataFiles = new java.io.File(table).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.getName != "part-a.parquet")
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      val cols = spark.read.parquet(f.toString).columns.toSet
+      assert(cols == Set("col-m1", "col-m2", "col-m3"),
+        s"mapped writes must land PHYSICAL names, got ${cols.mkString(",")}")
+    }
+    // compaction rewrites the live view through the same projection
+    DeltaTableWriter.compact(spark, table, targetFiles = 1): Unit
+    val afterCompact = DeltaTableReader.snapshot(spark, table)
+    assert(afterCompact.count() == 36L)
+    assert(afterCompact.where(col("id") === 10L).head().getAs[Long]("v") == 999L)
+    assert(afterCompact.where(col("id") <= 5).isEmpty,
+      "compaction must fold the DV masks in, not resurrect deleted rows")
+    // a wide upsert refuses (mapped evolution lives in append)
+    val e = intercept[IllegalArgumentException](
+      DeltaTableWriter.upsert(Seq((1L, "g0", 1L, "x")).toDF("id", "grp", "v", "t"),
+        table, keys = Seq("id")))
+    assert(e.getMessage.contains("evolve through append"))
+  }
+
+  test("id mode: delete + upsert resolve by field id; upserted files carry stamped ids") {
+    val table = tmpDir("dmw-id") + "/t"
+    mkMapped(table, "id")
+    val s = spark
+    import s.implicits._
+    // the fixture file has NO field ids — id-mode reads of it refuse?
+    // no: mkMapped's fixture file carries physical names matching the
+    // declared physicalName metadata, but id mode resolves by FIELD
+    // ID. Stamp a fresh id-carrying base through graft's own append
+    // first, then delete/upsert against the mixed table is NOT the
+    // shape under test — rebuild id-pure instead.
+    deleteRecursively(new java.io.File(table))
+    new java.io.File(s"$table/_delta_log").mkdirs()
+    // an id-pure table: created empty-shaped by one graft append over
+    // a hand-written metaData commit
+    val phys = Seq("id" -> "col-m1", "grp" -> "col-m2", "v" -> "col-m3")
+    val schema = StructType(phys.zipWithIndex.map { case ((l, p), i) =>
+      StructField(l, if (l == "grp") StringType else LongType, nullable = true,
+        new MetadataBuilder()
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", p).build())
+    }).json
+    val sq = new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schema)
+    java.nio.file.Files.write(
+      new java.io.File(s"$table/_delta_log", f"${0L}%020d.json").toPath,
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"dmw-id","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":$sq,"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"id",""" +
+          s""""delta.columnMapping.maxColumnId":"3"},"createdTime":0}}""").mkString("\n") + "\n")
+        .getBytes("UTF-8")): Unit
+    DeltaTableWriter.append(df(1 to 40), table): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 40L)
+    DeltaTableWriter.delete(spark, table, col("id") % 10 === 0): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 36L)
+    DeltaTableWriter.upsert(Seq((7L, "g1", 7000L)).toDF("id", "grp", "v"),
+      table, keys = Seq("id")): Unit
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.count() == 36L)
+    assert(snap.where(col("id") === 7L).head().getAs[Long]("v") == 7000L)
+  }
+
+  test("CDF on a mapped table refuses delete/upsert loudly") {
+    val table = tmpDir("dmw-cdf") + "/t"
+    mkMapped(table, "name")
+    // flip CDF on via a metaData commit
+    val st = DeltaTableReader.snapshotState(spark, table)
+    val conf = st.configuration + ("delta.enableChangeDataFeed" -> "true")
+    val confJson = conf.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString(",")
+    val sq = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(st.schemaJson.get)
+    java.nio.file.Files.write(
+      new java.io.File(s"$table/_delta_log", f"${1L}%020d.json").toPath,
+      (s"""{"metaData":{"id":"dmw","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$sq,"partitionColumns":[],""" +
+        s""""configuration":{$confJson},"createdTime":0}}""" + "\n").getBytes("UTF-8")): Unit
+    val e = intercept[IllegalArgumentException](
+      DeltaTableWriter.delete(spark, table, col("id") <= 5))
+    assert(e.getMessage.contains("change-data"), e.getMessage)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

@@ -195,12 +195,10 @@ class SchemaEvolutionSpec extends SparkSpec {
       assert(cols == Set("col-aaa", "col-bbb", "col-ccc"),
         s"appended file must carry PHYSICAL names, got $cols")
     }
-    // data-modifying ops keep refusing on mapped tables (appends and
-    // additive evolution — exercised at the end — are the mapped
-    // writes graft supports)
-    val e2 = intercept[IllegalStateException](
-      DeltaTableWriter.upsert(df(1 to 2), table, Seq("id")))
-    assert(e2.getMessage.contains("columnMapping"))
+    // data-modifying ops WORK on mapped tables now (DeltaMappedWrite
+    // Spec covers the depth): an exact-schema upsert merges in place
+    DeltaTableWriter.upsert(df(1 to 2), table, Seq("id")): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 35L)
 
     // RENAME is the op column mapping exists for: one metaData
     // commit, physical names untouched, every file keeps serving
