@@ -836,9 +836,11 @@ object IcebergTableWriter {
       schema: org.apache.spark.sql.types.StructType, pfields: Seq[PartitionField],
       files: Seq[Landed], content: Int, operation: String,
       reuseManifests: Boolean = true,
-      extraSummary: Map[String, String] = Map.empty): Long =
+      extraSummary: Map[String, String] = Map.empty,
+      plannedAgainst: Option[Long] = None): Long =
     commitSnapshotGroups(spark, tablePath, schema, pfields,
-      Seq(ManifestGroup(files, content)), operation, reuseManifests, extraSummary)
+      Seq(ManifestGroup(files, content)), operation, reuseManifests, extraSummary,
+      plannedAgainst = plannedAgainst)
 
   /** One new manifest's worth of files: `entryContent` is the spec's
     * data_file.content (0=data, 1=position deletes, 2=equality
@@ -852,7 +854,7 @@ object IcebergTableWriter {
     * equality-delete manifest, same sequence number, so the delete
     * scopes to strictly-older files and the new rows survive).
     */
-  private def commitSnapshotGroups(spark: org.apache.spark.sql.SparkSession,
+  private[sources] def commitSnapshotGroups(spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
       schema: org.apache.spark.sql.types.StructType, pfields: Seq[PartitionField],
       groups: Seq[ManifestGroup], operation: String,
@@ -865,10 +867,20 @@ object IcebergTableWriter {
       minFormatVersion: Int = 2,
       extraManifests: (Long, Long) => Seq[(String, Int)] = (_, _) => Nil,
       transformBase: Seq[(String, Long, Int, Option[Long])] =>
-        Seq[(String, Long, Int, Option[Long])] = identity): Long = {
+        Seq[(String, Long, Int, Option[Long])] = identity,
+      plannedAgainst: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     var attempt = 0
+    // the snapshot this commit was PLANNED against (captured on the
+    // first attempt): a lost CAS re-reads and rebases, but commits
+    // whose content was computed from the planned state — deletes,
+    // rewrites, overwrites — may only rebase over interleaved
+    // APPENDS (Iceberg's own OCC validation: appends never conflict;
+    // anything else may have removed or re-deleted the rows this
+    // commit's manifests were computed from)
+    var plannedParent: Option[Option[Long]] =
+      plannedAgainst.map(id => Some(id): Option[Long])
     while (attempt < MaxCommitAttempts) {
       // re-read the current state each attempt (CAS loser rebases)
       val exists = fs.exists(new Path(tablePath, "metadata")) &&
@@ -880,6 +892,19 @@ object IcebergTableWriter {
         else {
           val (snaps, currentId) = IcebergTableReader.snapshotLog(spark, tablePath)
           val current = snaps.find(_.id == currentId).get
+          plannedParent match {
+            case None => plannedParent = Some(Some(currentId))
+            case Some(planned) if operation != "append" =>
+              val base = planned.getOrElse(0L)
+              val conflicting = snaps.filter(s => s.id > base)
+                .filterNot(_.operation == "append")
+              if (conflicting.nonEmpty) throw new java.util.ConcurrentModificationException(
+                s"$tablePath: a concurrent ${conflicting.head.operation} snapshot " +
+                  s"${conflicting.head.id} landed after this $operation was planned " +
+                  s"against snapshot $base — its manifests may be stale; re-read the " +
+                  "table and retry the operation")
+            case _ => ()
+          }
           val manifests = IcebergTableReader.manifestListEntries(spark, tablePath,
             current.manifestList)
           val version = IcebergTableReader.currentMetadataVersion(spark, tablePath)
@@ -890,6 +915,7 @@ object IcebergTableWriter {
               s.timestampMs, s.operation, s.summary)),
             manifests, version, Some(currentId), currentId + 1L)
         }
+      if (plannedParent.isEmpty) plannedParent = Some(parentId)
       val newId = parentId.getOrElse(0L) + 1L
       val newManifests = groups.map { g =>
         val rel = manifestOf(conf, tablePath, newId, seq, g.files, pfields,
@@ -1207,6 +1233,9 @@ object IcebergTableWriter {
     // readers must reject
     if (IcebergTableReader.currentFormatVersion(spark, tablePath) >= 3)
       return deleteDv(spark, tablePath, predicate)
+    // the snapshot this delete is computed against — a racing
+    // non-append between here and the commit CAS must refuse
+    val plannedId = IcebergTableReader.snapshotLog(spark, tablePath)._2
     val plan = IcebergTableReader.planFiles(spark, tablePath)
     require(plan.equalityDeletes.isEmpty,
       s"$tablePath: table carries equality-delete files — position-deleting on top of " +
@@ -1248,7 +1277,8 @@ object IcebergTableWriter {
       emptyMsg = Some("predicate matched no live rows — nothing to delete"))
     val schema = IcebergTableReader.snapshot(spark, tablePath).schema
     commitSnapshot(spark, tablePath, schema, declaredPartitionFields(spark, tablePath),
-      Seq(Landed(rel, n, Map.empty)), content = 1, operation = "delete")
+      Seq(Landed(rel, n, Map.empty)), content = 1, operation = "delete",
+      plannedAgainst = Some(plannedId))
   }
 
   /** Driver-side cap on the COMPRESSED deletion-vector bytes a
@@ -1282,6 +1312,7 @@ object IcebergTableWriter {
       predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Encoders
+    val plannedId = IcebergTableReader.snapshotLog(spark, tablePath)._2
     val plan = IcebergTableReader.planFiles(spark, tablePath)
     require(plan.equalityDeletes.isEmpty,
       s"$tablePath: table carries equality-delete files — deletion-vectoring on top of " +
@@ -1353,6 +1384,7 @@ object IcebergTableWriter {
     val schema = IcebergTableReader.snapshot(spark, tablePath).schema
     commitSnapshotGroups(spark, tablePath, schema,
       declaredPartitionFields(spark, tablePath), groups = Nil, operation = "delete",
+      plannedAgainst = Some(plannedId),
       minFormatVersion = 3,
       extraManifests = (newId, seq) => {
         val puffinRel = s"data/dv-$newId-${java.util.UUID.randomUUID()}.puffin"
