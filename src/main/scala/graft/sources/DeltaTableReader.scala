@@ -258,40 +258,72 @@ object DeltaTableReader {
     })
   }
 
-  /** logical → physical column names from the metaData schemaString's
-    * `delta.columnMapping.physicalName` field metadata (columnMapping
-    * `name` mode). Empty when the table carries no mapping. NESTED
-    * physical names refuse loudly — renaming inner struct fields
-    * needs a projection this reader does not build, and silently
-    * serving the physical inner names would hand callers the wrong
-    * schema.
+  private[sources] val PhysNameKey = "delta.columnMapping.physicalName"
+
+  /** logical → physical TOP-LEVEL column names from the metaData
+    * schemaString's `delta.columnMapping.physicalName` field metadata
+    * (columnMapping `name` mode). Empty when the table carries no
+    * mapping. NESTED physical names resolve through the TYPE system
+    * instead: scans request [[physInnerType]] shapes and project back
+    * with a positional struct cast to [[logicalCleanType]].
     */
-  private[sources] def columnMappingOf(schemaJson: Option[String], tablePath: String): Map[String, String] = {
-    val PhysKey = "delta.columnMapping.physicalName"
+  private[sources] def columnMappingOf(schemaJson: Option[String], tablePath: String): Map[String, String] =
     schemaJson
       .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
       .collect { case st: StructType => st } match {
       case None => Map.empty
       case Some(st) =>
-        def hasNestedPhys(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-          case s: StructType =>
-            s.fields.exists(f => f.metadata.contains(PhysKey) || hasNestedPhys(f.dataType))
-          case a: org.apache.spark.sql.types.ArrayType => hasNestedPhys(a.elementType)
-          case m: org.apache.spark.sql.types.MapType =>
-            hasNestedPhys(m.keyType) || hasNestedPhys(m.valueType)
-          case _ => false
-        }
-        st.fields.foreach { f =>
-          if (hasNestedPhys(f.dataType)) throw new IllegalStateException(
-            s"$tablePath: column ${f.name} carries NESTED columnMapping physical names — " +
-              "renaming inner struct fields is not implemented; refusing rather than " +
-              "serving the physical inner schema")
-        }
         st.fields.collect {
-          case f if f.metadata.contains(PhysKey) => f.name -> f.metadata.getString(PhysKey)
+          case f if f.metadata.contains(PhysNameKey) =>
+            f.name -> f.metadata.getString(PhysNameKey)
         }.toMap
     }
-  }
+
+  /** True when `dt` carries mapped INNER fields anywhere. */
+  private[sources] def hasNestedMapping(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case s: StructType =>
+        s.fields.exists(f => f.metadata.contains(PhysNameKey) || hasNestedMapping(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasNestedMapping(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasNestedMapping(m.keyType) || hasNestedMapping(m.valueType)
+      case _ => false
+    }
+
+  /** `dt` with every INNER struct field renamed to its declared
+    * physical name (recursive, metadata dropped) — the shape mapped
+    * data files physically carry inside nested columns. */
+  private[sources] def physInnerType(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val n = if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+          else f.name
+        StructField(n, physInnerType(f.dataType), nullable = true)
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        org.apache.spark.sql.types.ArrayType(physInnerType(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        org.apache.spark.sql.types.MapType(m.keyType, physInnerType(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+
+  /** `dt` with LOGICAL names at every level and metadata stripped —
+    * the positional-cast target that renames a physically-named
+    * nested value back to its declared shape. */
+  private[sources] def logicalCleanType(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, logicalCleanType(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        org.apache.spark.sql.types.ArrayType(logicalCleanType(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        org.apache.spark.sql.types.MapType(m.keyType, logicalCleanType(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
 
   /** Committed log versions present as JSON files, ascending. */
   def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
@@ -801,10 +833,13 @@ object DeltaTableReader {
             org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
           .collect { case st: org.apache.spark.sql.types.StructType =>
             val physOfDecl = columnMappingOf(schemaJson, tablePath)
+            // inner fields request their PHYSICAL names too (the
+            // files' shape); the final projection casts them back
             org.apache.spark.sql.types.StructType(
               st.fields.filterNot(f => partitionColumns.contains(f.name)).map(f =>
                 org.apache.spark.sql.types.StructField(
-                  physOfDecl.getOrElse(f.name, f.name), f.dataType, nullable = true)))
+                  physOfDecl.getOrElse(f.name, f.name), physInnerType(f.dataType),
+                  nullable = true)))
           }
         physSchema match {
           case Some(st) if st.nonEmpty =>
@@ -916,11 +951,22 @@ object DeltaTableReader {
     // final projection translates physical data columns back to their
     // logical names (NAME mode only — id-mode scans already returned
     // logical names via field-ID matching); partition columns were
-    // attached logically already
+    // attached logically already. A column with mapped INNER fields
+    // additionally casts to the logical nested shape — the positional
+    // struct cast is the rename (applied ONLY where needed, so plain
+    // columns keep their pushdown-friendly bare references)
     val isIdMode = configuration.get("delta.columnMapping.mode").contains("id")
+    val declaredTypeOf: Map[String, org.apache.spark.sql.types.DataType] = schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case st: StructType => st.fields.map(f => f.name -> f.dataType).toMap }
+      .getOrElse(Map.empty)
     val projected = ordered.map { c =>
       val phys = physKeyOf(c)
-      if (phys != c && !partitionColumns.contains(c) && !isIdMode) col(phys).as(c)
+      val nestedMapped = !isIdMode && !partitionColumns.contains(c) &&
+        declaredTypeOf.get(c).exists(hasNestedMapping)
+      if (nestedMapped)
+        col(phys).cast(logicalCleanType(declaredTypeOf(c))).as(c)
+      else if (phys != c && !partitionColumns.contains(c) && !isIdMode) col(phys).as(c)
       else col(c)
     }
     val finalProjection =

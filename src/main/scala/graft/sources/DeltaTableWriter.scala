@@ -1011,7 +1011,12 @@ object DeltaTableWriter {
             "delta.columnMapping.id — an id-mode write cannot stamp its field id; refusing")
         case _ => org.apache.spark.sql.types.Metadata.empty
       }
-      org.apache.spark.sql.functions.col(c).as(physOf.getOrElse(c, c), md)
+      val base =
+        if (DeltaTableReader.hasNestedMapping(declared(c).dataType))
+          org.apache.spark.sql.functions.col(c)
+            .cast(DeltaTableReader.physInnerType(declared(c).dataType))
+        else org.apache.spark.sql.functions.col(c)
+      base.as(physOf.getOrElse(c, c), md)
     }: _*)
     (physical, state.partitionColumns.map(c => physOf.getOrElse(c, c)), stampIds)
   }
@@ -1370,7 +1375,15 @@ object DeltaTableWriter {
               "delta.columnMapping.id — an id-mode append cannot stamp its field id; refusing")
           case _ => org.apache.spark.sql.types.Metadata.empty
         }
-        org.apache.spark.sql.functions.col(c).as(physOf.getOrElse(c, c), md)
+        // mapped INNER fields land under their physical names too —
+        // the positional struct cast is the rename
+        val base =
+          if (declared.fieldNames.contains(c) &&
+              DeltaTableReader.hasNestedMapping(declared(c).dataType))
+            org.apache.spark.sql.functions.col(c)
+              .cast(DeltaTableReader.physInnerType(declared(c).dataType))
+          else org.apache.spark.sql.functions.col(c)
+        base.as(physOf.getOrElse(c, c), md)
       }: _*)
       val physPartCols = state.partitionColumns.map(c => physOf.getOrElse(c, c))
       val files = writeDataFiles(physical, tablePath, physPartCols,

@@ -462,10 +462,13 @@ class DeltaTableReaderSpec extends SparkSpec {
     assert(r.getString(1) == "g1" && r.getLong(2) == 8L)
     // time travel and column order survive the mapping too
     assert(DeltaTableReader.snapshotAsOf(spark, table, 0L).columns.toSeq == Seq("id", "grp", "v"))
-    // NESTED physical names refuse loudly — a silent physical inner
-    // schema is the wrong schema
+    // NESTED physical names resolve through the TYPE system: the scan
+    // requests the physical inner shape and a positional struct cast
+    // renames it back to the declared logical fields
     val t2 = tmpDir("delta-cmap-nested")
-    writeDataFile(rows(1 to 5), t2, "f.parquet")
+    writeDataFile(
+      rows(1 to 5).select(struct(col("id").as("col-x")).as("col-s")),
+      t2, "f.parquet")
     val nested =
       """{"type":"struct","fields":[{"name":"s","type":{"type":"struct","fields":[""" +
         """{"name":"a","type":"long","nullable":true,"metadata":""" +
@@ -476,8 +479,12 @@ class DeltaTableReaderSpec extends SparkSpec {
         s""""schemaString":${jsonQ(nested)},"partitionColumns":[],""" +
         s""""configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
       add("f.parquet")))
-    val e = intercept[IllegalStateException](DeltaTableReader.snapshot(spark, t2))
-    assert(e.getMessage.contains("NESTED"))
+    val snapN = DeltaTableReader.snapshot(spark, t2)
+    assert(snapN.columns.toSeq == Seq("s"), "the LOGICAL top-level name must serve")
+    assert(snapN.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("a"), "the LOGICAL inner name must serve")
+    assert(snapN.select(sum(col("s.a"))).head().getLong(0) == 15L,
+      "the physical inner bytes must resolve into the logical field")
   }
 
   test("V2 checkpoints: uuid-named manifests (parquet AND json) with sidecar file actions; refusals hold") {
