@@ -330,6 +330,33 @@ object HudiTableWriter {
     Some(HudiSchema.toAvroJson(evolvedSchema))
   }
 
+  /** OPTIMISTIC-CONCURRENCY validation for a COW upsert about to
+    * publish: instants that landed after `plannedHead` (the head the
+    * upsert's slices were read at) are safe iff they touched NONE of
+    * `ourFids` and none is a clustering replacecommit (which rewires
+    * groups wholesale). An overlap means this commit's rewritten
+    * slices were computed from a now-stale snapshot — publishing
+    * would silently clobber the winner, so it refuses loudly instead
+    * (Hudi itself requires a lock provider for full multi-writer; the
+    * residual check-to-create window is that provider's job).
+    */
+  private[sources] def validateNoConcurrentOverlap(spark: SparkSession, tablePath: String,
+      plannedHead: String, ourFids: Set[String]): Unit = {
+    val fs = hoodieDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val interleaved = HudiTableReader
+      .timelineInstants(spark, tablePath, allowMor = false)
+      .filter(_._1 > plannedHead)
+    interleaved.find { case (i, k) =>
+      k == "replacecommit" ||
+        HudiTableReader.writesOf(fs, tablePath, i, k)
+          .exists(w => ourFids.contains(w.fileId))
+    }.foreach { case (i, k) =>
+      throw new java.util.ConcurrentModificationException(
+        s"$tablePath: concurrent $k at instant $i touched file groups this upsert " +
+          s"rewrote from the now-stale snapshot $plannedHead — re-read and retry")
+    }
+  }
+
   /** Commit-metadata keys carrying a streaming sink's (appId,
     * batchId) watermark — Hudi's own deltastreamer pattern (the
     * checkpoint rides the commit's `extraMetadata`, atomic with the
@@ -451,6 +478,9 @@ object HudiTableWriter {
       else graftKeyProbe
     val slices = bloomPruneSlices(spark, tablePath,
       HudiTableReader.activeSlices(spark, tablePath), probes)
+    // the timeline head this upsert is PLANNED against — commits that
+    // land while we compute are validated before publish
+    val plannedHead = HudiTableReader.latestInstant(spark, tablePath)
     val sliceByFid = slices.map(s => s.fileId -> s).toMap
     // base rows with their file-group id, via the one metadata column
     // scan + a broadcast path→fid map (bounded by |file groups|)
@@ -582,6 +612,15 @@ object HudiTableWriter {
       val statsJson = allStats.groupBy(_._1).map { case (part, ws) =>
         s""""$part":[${ws.map(_._2).mkString(",")}]"""
       }.mkString(",")
+      // OPTIMISTIC CONCURRENCY: commits that landed while this upsert
+      // computed may have rewritten the very groups whose slices fed
+      // the carried-rows merge. A DISJOINT interleave (appends, or
+      // upserts of other groups) is safe — untouched groups never
+      // move; an overlap or a clustering replacecommit would be
+      // silently clobbered, so it refuses loudly. The staged slices
+      // stay as uncommitted debris — invisible to readers, vacuumed
+      // later (the timeline is the source of truth).
+      validateNoConcurrentOverlap(spark, tablePath, plannedHead, updCounts.keySet)
       val commitPath = new Path(hoodieDir(tablePath), s"$instant.commit")
       val created = try {
         val out = fs.create(commitPath, false)
@@ -594,7 +633,7 @@ object HudiTableWriter {
       } catch { case _: java.io.IOException => false }
       if (!created) throw new IllegalStateException(
         s"$tablePath: instant $instant already committed by another writer — upserts are " +
-          "single-writer; the landed files must be rolled back manually")
+          "single-writer per instant; the landed files must be rolled back manually")
       instant
     } finally tagged.unpersist()
   }
