@@ -1719,6 +1719,45 @@ trait ReferenceQueries extends QueryBase {
         |FROM repriced WHERE price >= 9000000
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #104j Iceberg METADATA TABLES (iceberg.apache.org "Inspecting
+    * tables" — the `SELECT * FROM tbl.files/.snapshots/...` surface):
+    * each table is driver metadata, ZERO data I/O; the oracle checks
+    * the stable facts — live data-file record counts sum to the
+    * table's rows, delete-file record counts to the deleted rows,
+    * the snapshot log carries exactly the operations committed, and
+    * `main` is the one branch ref.
+    */
+  val qIcebergMetaTables: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("iceberg-meta") + "/t"
+      val o = t(s, dir, "orders")
+      IcebergTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table): Unit
+      IcebergTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      IcebergTableWriter.delete(s, table, pmod(col("o_orderkey"), lit(10)) === 0): Unit
+      val files = IcebergTableReader.metadataTable(s, table, "files")
+      val snaps = IcebergTableReader.metadataTable(s, table, "snapshots")
+      val refsT = IcebergTableReader.metadataTable(s, table, "refs")
+      val facts =
+        files.groupBy(concat(lit("rows_content_"), col("content")).as("fact"))
+          .agg(sum(col("record_count")).as("value"))
+        .unionByName(snaps
+          .groupBy(concat(lit("snapshots_"), col("operation")).as("fact"))
+          .agg(count(lit(1)).as("value")))
+        .unionByName(refsT.where(col("name") === "main")
+          .agg(count(lit(1)).as("value"))
+          .withColumn("fact", lit("refs_main"))
+          .select("fact", "value"))
+      facts
+    },
+    oracle = Some(
+      """SELECT 'rows_content_0' AS fact, count(*)::BIGINT AS value FROM orders
+        |UNION ALL
+        |SELECT 'rows_content_1', count(*) FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL SELECT 'snapshots_append', 2
+        |UNION ALL SELECT 'snapshots_delete', 1
+        |UNION ALL SELECT 'refs_main', 1""".stripMargin))
+
   /** #111 Delta NESTED columns (plain path): struct/array/map columns
     * land through graft's create+append and serve through the
     * declared-schema snapshot scan; the incremental read carries the

@@ -597,6 +597,88 @@ object IcebergTableReader {
     * tags: name → (snapshot id, "branch" | "tag"). Empty when the
     * table declares none (pre-refs metadata).
     */
+  /** Iceberg METADATA TABLES — the `SELECT * FROM tbl.snapshots` /
+    * `.files` / `.manifests` / `.refs` / `.history` inspection
+    * surface every engine exposes (iceberg.apache.org "Inspecting
+    * tables"): each is a DataFrame built from metadata graft already
+    * parses — |snapshots|, |manifests| or |entries| rows of driver
+    * metadata, ZERO data I/O (the files table reads manifest avro,
+    * never the parquet it lists).
+    */
+  def metadataTable(spark: SparkSession, tablePath: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    def mk(rows: Seq[Row], schema: StructType) =
+      spark.createDataFrame(rows.asJava, schema)
+    lazy val (snaps, currentId) = snapshotLog(spark, tablePath)
+    name match {
+      case "snapshots" =>
+        mk(snaps.map(s => Row(new java.sql.Timestamp(s.timestampMs), s.id,
+            s.parentId.map(java.lang.Long.valueOf).orNull, s.operation,
+            resolve(tablePath, s.manifestList))),
+          StructType(Seq(
+            StructField("committed_at", TimestampType),
+            StructField("snapshot_id", LongType),
+            StructField("parent_id", LongType),
+            StructField("operation", StringType),
+            StructField("manifest_list", StringType))))
+      case "history" =>
+        // is_current_ancestor = on the parent chain of the CURRENT
+        // snapshot (rolled-back branches show false)
+        val byId = snaps.map(s => s.id -> s).toMap
+        val ancestors = Iterator.iterate(byId.get(currentId))(
+            _.flatMap(s => s.parentId.flatMap(byId.get)))
+          .takeWhile(_.isDefined).flatten.map(_.id).toSet
+        mk(snaps.map(s => Row(new java.sql.Timestamp(s.timestampMs), s.id,
+            s.parentId.map(java.lang.Long.valueOf).orNull, ancestors.contains(s.id))),
+          StructType(Seq(
+            StructField("made_current_at", TimestampType),
+            StructField("snapshot_id", LongType),
+            StructField("parent_id", LongType),
+            StructField("is_current_ancestor", BooleanType))))
+      case "refs" =>
+        mk(refs(spark, tablePath).toSeq.sortBy(_._1).map { case (n, (id, t)) =>
+            Row(n, t, id) },
+          StructType(Seq(
+            StructField("name", StringType),
+            StructField("type", StringType),
+            StructField("snapshot_id", LongType))))
+      case "manifests" =>
+        val current = snaps.find(_.id == currentId).getOrElse(
+          throw new IllegalArgumentException(s"$tablePath: no current snapshot"))
+        mk(manifestListEntries(spark, tablePath, current.manifestList)
+            .map { case (p, added, content, seq) =>
+              Row(resolve(tablePath, p), content, added,
+                seq.map(java.lang.Long.valueOf).orNull) },
+          StructType(Seq(
+            StructField("path", StringType),
+            StructField("content", IntegerType),
+            StructField("added_snapshot_id", LongType),
+            StructField("sequence_number", LongType))))
+      case "files" =>
+        val current = snaps.find(_.id == currentId).getOrElse(
+          throw new IllegalArgumentException(s"$tablePath: no current snapshot"))
+        val rows = manifestListEntries(spark, tablePath, current.manifestList)
+          .flatMap { case (mp, _, content, _) =>
+            manifestEntriesPublic(spark, tablePath, mp)
+              .filter(_.status != 2) // deleted entries are not live
+              .map(e => Row(content, resolve(tablePath, e.filePath),
+                e.recordCount.map(java.lang.Long.valueOf).orNull,
+                e.partition))
+          }
+        mk(rows,
+          StructType(Seq(
+            StructField("content", IntegerType),
+            StructField("file_path", StringType),
+            StructField("record_count", LongType),
+            StructField("partition", MapType(StringType, StringType)))))
+      case other => throw new IllegalArgumentException(
+        s"$tablePath: unknown metadata table '$other' — one of " +
+          "snapshots/history/refs/manifests/files")
+    }
+  }
+
   def refs(spark: SparkSession, tablePath: String): Map[String, (Long, String)] = {
     val fs = fsOf(spark, new Path(tablePath))
     val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
