@@ -1758,6 +1758,31 @@ trait ReferenceQueries extends QueryBase {
         |UNION ALL SELECT 'snapshots_delete', 1
         |UNION ALL SELECT 'refs_main', 1""".stripMargin))
 
+  /** #103x Hudi TIMELINE inspection view
+    * ([[graft.sources.HudiTableReader.timelineView]] — Hudi's own
+    * `show commits` surface): one row per completed instant from the
+    * commit metas graft already parses, zero data I/O; the oracle
+    * checks the stable facts — per-operation instant census and the
+    * row counts each operation committed.
+    */
+  val qHudiTimeline: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-timeline") + "/t"
+      val o = t(s, dir, "orders")
+      HudiTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        recordKeys = Seq("o_orderkey")): Unit
+      HudiTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val tl = HudiTableReader.timelineView(s, table)
+      require(tl.inputFiles.isEmpty, "the timeline view must read no data files")
+      tl.groupBy(col("action"), col("operation"))
+        .agg(count(lit(1)).as("n_instants"), sum(col("num_writes")).as("rows_written"))
+    },
+    oracle = Some(
+      """SELECT 'commit' AS action, 'INSERT' AS operation, 2::BIGINT AS n_instants,
+        |       count(*)::BIGINT AS rows_written
+        |FROM orders""".stripMargin))
+
   /** #111 Delta NESTED columns (plain path): struct/array/map columns
     * land through graft's create+append and serve through the
     * declared-schema snapshot scan; the incremental read carries the

@@ -429,6 +429,41 @@ object HudiTableReader {
     }
   }
 
+  /** The TIMELINE as a DataFrame (Hudi's own `show commits`
+    * inspection surface): one row per completed instant — instant,
+    * action kind, operation type, per-commit write/update row counts
+    * and bytes summed from partitionToWriteStats. Driver metadata
+    * (|instants| rows + their meta JSONs, already-parsed machinery),
+    * ZERO data I/O.
+    */
+  def timelineView(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val fs = fsOf(spark, hoodieDir(tablePath))
+    val rows = timelineInstants(spark, tablePath, allowMor = true).map { case (i, k) =>
+      val node = mapper.readTree(instantMetaText(fs, tablePath, i, k))
+      val op = Option(node.get("operationType")).map(_.asText()).getOrElse("UNKNOWN")
+      var writes = 0L; var updates = 0L; var bytes = 0L
+      val stats = node.get("partitionToWriteStats")
+      if (stats != null && stats.isObject) stats.fields().forEachRemaining { e =>
+        e.getValue.forEach { w =>
+          writes += Option(w.get("numWrites")).map(_.asLong()).getOrElse(0L)
+          updates += Option(w.get("numUpdateWrites")).map(_.asLong()).getOrElse(0L)
+          bytes += Option(w.get("totalWriteBytes")).map(_.asLong()).getOrElse(0L)
+        }
+      }
+      Row(i, k, op, writes, updates, bytes)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("instant", StringType),
+      StructField("action", StringType),
+      StructField("operation", StringType),
+      StructField("num_writes", LongType),
+      StructField("num_update_writes", LongType),
+      StructField("total_write_bytes", LongType))))
+  }
+
   /** True when the timeline or hoodie.properties mark the table
     * MERGE-ON-READ (metadata listing only, no data I/O).
     */

@@ -198,6 +198,15 @@ object HudiTableWriter {
     * them — with the sink's `extraMetadata` when given. Returns the
     * commit instant.
     */
+  /** Footer record count of one landed base file — the per-file
+    * `numWrites` real Hudi write stats carry. */
+  private def footerRowCount(spark: SparkSession, tablePath: String, rel: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(tablePath, rel), spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   private def insertCommit(df: DataFrame, tablePath: String,
       recordKeys: Seq[String], kind: String = "commit",
       partitionBy: Seq[String] = Nil,
@@ -211,14 +220,21 @@ object HudiTableWriter {
       val files = landNewGroups(toWrite, tablePath, instant, partitionBy)
       if (files.isEmpty) throw new IllegalArgumentException(
         s"$tablePath: the DataFrame wrote no data files (empty input?)")
-      val statsByPartition = files.groupBy(_._1).map { case (part, ws) =>
-        val stats = ws.map { case (_, fid, path) =>
-          s"""{"fileId":"$fid","path":"$path","numWrites":1,"numUpdateWrites":0,""" +
-            s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, path)).getLen},""" +
-            s""""prevCommit":"null"}"""
+      // real per-file row counts from the footers (what Hudi's own
+      // write stats carry) — |files| parallel metadata reads
+      val statsByPartition = {
+        import scala.collection.parallel.CollectionConverters._
+        files.par.map { case (part, fid, path) =>
+          (part,
+            s"""{"fileId":"$fid","path":"$path",""" +
+              s""""numWrites":${footerRowCount(spark, tablePath, path)},""" +
+              s""""numUpdateWrites":0,""" +
+              s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, path)).getLen},""" +
+              s""""prevCommit":"null"}""")
+        }.seq.groupBy(_._1).map { case (part, ws) =>
+          s""""$part":[${ws.map(_._2).mkString(",")}]"""
         }.mkString(",")
-        s""""$part":[$stats]"""
-      }.mkString(",")
+      }
       val commitPath = new Path(hoodieDir(tablePath), s"$instant.$kind")
       fs.mkdirs(hoodieDir(tablePath))
       // exclusive create = the instant-uniqueness CAS; a same-instant
@@ -603,7 +619,9 @@ object HudiTableWriter {
             s""""totalWriteBytes":$len,""" +
             s""""prevCommit":"${sliceByFid(fid).instant}"}""")
         } ++ insertFiles.map { case (part, fid, rel) =>
-          (part, s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +
+          (part, s"""{"fileId":"$fid","path":"$rel",""" +
+            s""""numWrites":${footerRowCount(spark, tablePath, rel)},""" +
+            s""""numUpdateWrites":0,""" +
             s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
             s""""prevCommit":"null"}""")
         }
@@ -800,7 +818,9 @@ object HudiTableWriter {
     }
     val insertEntries = insertFiles.map { case (part, fid, rel) =>
       (part,
-        s"""{"fileId":"$fid","path":"$rel","numWrites":1,"numUpdateWrites":0,""" +
+        s"""{"fileId":"$fid","path":"$rel",""" +
+          s""""numWrites":${footerRowCount(spark, tablePath, rel)},""" +
+          s""""numUpdateWrites":0,""" +
           s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
           s""""prevCommit":"null"}""")
     }
