@@ -1783,6 +1783,38 @@ trait ReferenceQueries extends QueryBase {
         |       count(*)::BIGINT AS rows_written
         |FROM orders""".stripMargin))
 
+  /** #102j Delta DESCRIBE HISTORY view
+    * ([[graft.sources.DeltaTableReader.historyView]]): one row per
+    * log version with the action census — zero data I/O; the oracle
+    * checks the stable facts: a create, an append, and a DV delete
+    * leave exactly their action shapes behind.
+    */
+  val qDeltaHistory: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-history") + "/t"
+      val o = t(s, dir, "orders")
+      DeltaTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .coalesce(1), table): Unit
+      DeltaTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .coalesce(1), table): Unit
+      DeltaTableWriter.delete(s, table, pmod(col("o_orderkey"), lit(10)) === 0): Unit
+      val h = DeltaTableReader.historyView(s, table)
+      require(h.inputFiles.isEmpty, "the history view must read no data files")
+      h.select(col("version"), col("num_added_files").as("adds"),
+        col("num_removed_files").as("removes"),
+        col("metadata_changed").as("meta"), col("protocol_changed").as("proto"))
+    },
+    oracle = Some(
+      // v0 create: 1 coalesced add + metaData + protocol; v1 append:
+      // 1 add; v2 DV delete: only the EVEN half matches %10=0, so ONE
+      // file re-adds with its vector (remove+add) + the one-time DV
+      // protocol upgrade
+      """SELECT 0::BIGINT AS version, 1::BIGINT AS adds, 0::BIGINT AS removes,
+        |       true AS meta, true AS proto
+        |UNION ALL SELECT 1, 1, 0, false, false
+        |UNION ALL SELECT 2, 1, 1, false, true""".stripMargin))
+
   /** #111 Delta NESTED columns (plain path): struct/array/map columns
     * land through graft's create+append and serve through the
     * declared-schema snapshot scan; the incremental read carries the

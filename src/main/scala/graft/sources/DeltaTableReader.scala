@@ -325,6 +325,55 @@ object DeltaTableReader {
       case other => other
     }
 
+  /** DESCRIBE HISTORY for an external Delta table: one row per JSON
+    * log version — action census (adds/removes/cdc), dataChange and
+    * metadata/protocol flags, the commitInfo timestamp when the
+    * commit carries one (ICT tables always do). Driver metadata
+    * (|versions| commit JSONs), ZERO data I/O. Checkpointed-away
+    * versions are absent — like Delta's own history after log
+    * cleanup.
+    */
+  def historyView(spark: SparkSession, tablePath: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val dir = logDir(tablePath)
+    val fs = fsOf(spark, dir)
+    val rows = versions(spark, tablePath).map { v =>
+      val nodes = readText(fs, new Path(dir, f"$v%020d.json"))
+        .split('\n').filter(_.nonEmpty).map(mapper.readTree)
+      var adds = 0L; var removes = 0L; var cdc = 0L
+      var dataChange = false; var meta = false; var proto = false
+      var ict: Option[Long] = None
+      nodes.foreach { n =>
+        if (n.has("add")) {
+          adds += 1
+          if (Option(n.get("add").get("dataChange")).exists(_.asBoolean())) dataChange = true
+        }
+        if (n.has("remove")) {
+          removes += 1
+          if (Option(n.get("remove").get("dataChange")).exists(_.asBoolean())) dataChange = true
+        }
+        if (n.has("cdc")) cdc += 1
+        if (n.has("metaData")) meta = true
+        if (n.has("protocol")) proto = true
+        if (n.has("commitInfo") && n.get("commitInfo").has("inCommitTimestamp"))
+          ict = Some(n.get("commitInfo").get("inCommitTimestamp").asLong())
+      }
+      Row(v, ict.map(java.lang.Long.valueOf).orNull, adds, removes, cdc,
+        dataChange, meta, proto)
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType),
+      StructField("in_commit_timestamp", LongType),
+      StructField("num_added_files", LongType),
+      StructField("num_removed_files", LongType),
+      StructField("num_cdc_files", LongType),
+      StructField("data_change", BooleanType),
+      StructField("metadata_changed", BooleanType),
+      StructField("protocol_changed", BooleanType))))
+  }
+
   /** Committed log versions present as JSON files, ascending. */
   def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
     val dir = logDir(tablePath)
