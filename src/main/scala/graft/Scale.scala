@@ -1407,7 +1407,9 @@ object Scale {
       "q_hudi_ridx_inc", "q_hudi_cstats_inc",
       "q_hudi_ridx_mor", "q_hudi_cstats_mor", "q_hudi_schema_evolve_mor",
       "q_delta_nested", "q_iceberg_nested", "q_hudi_nested",
-      "q_delta_colmap_write", "q_delta_colmap_id")
+      "q_delta_colmap_write", "q_delta_colmap_id",
+      // inspection views: metadata-only by require — the rows prove it
+      "q_iceberg_meta", "q_hudi_timeline", "q_delta_history")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))

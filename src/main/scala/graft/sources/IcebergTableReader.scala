@@ -673,9 +673,27 @@ object IcebergTableReader {
             StructField("file_path", StringType),
             StructField("record_count", LongType),
             StructField("partition", MapType(StringType, StringType)))))
+      case "partitions" =>
+        val current = snaps.find(_.id == currentId).getOrElse(
+          throw new IllegalArgumentException(s"$tablePath: no current snapshot"))
+        val agg = scala.collection.mutable.LinkedHashMap
+          .empty[Map[String, String], (Long, Long)]
+        manifestListEntries(spark, tablePath, current.manifestList)
+          .filter(_._3 == 0).foreach { case (mp, _, _, _) =>
+            manifestEntriesPublic(spark, tablePath, mp)
+              .filter(e => e.status != 2 && e.content == 0).foreach { e =>
+                val (rc, fc) = agg.getOrElse(e.partition, (0L, 0L))
+                agg(e.partition) = (rc + e.recordCount.getOrElse(0L), fc + 1L)
+              }
+          }
+        mk(agg.toSeq.map { case (pv, (rc, fc)) => Row(pv, rc, fc) },
+          StructType(Seq(
+            StructField("partition", MapType(StringType, StringType)),
+            StructField("record_count", LongType),
+            StructField("file_count", LongType))))
       case other => throw new IllegalArgumentException(
         s"$tablePath: unknown metadata table '$other' — one of " +
-          "snapshots/history/refs/manifests/files")
+          "snapshots/history/refs/manifests/files/partitions")
     }
   }
 

@@ -70,6 +70,55 @@ class PlanSpec extends SparkSpec {
     assert(hLeaves.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"), hLeaves)
   }
 
+  test("mapped Delta reads keep pushdown on flat columns — only nested-mapped columns pay the rename cast") {
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("plan-mapped") + "/t"
+    new java.io.File(s"$table/_delta_log").mkdirs()
+    val stage = tmpDir("plan-mapped-stage") + "/out"
+    (1 to 300).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+      .select($"id".as("col-m1"),
+        org.apache.spark.sql.functions.struct($"v".as("col-x")).as("col-s"))
+      .coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, new java.io.File(table, "part-a.parquet").toPath): Unit
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", 1L)
+        .putString("delta.columnMapping.physicalName", "col-m1").build()),
+      StructField("s", StructType(Seq(
+        StructField("a", LongType, nullable = true, new MetadataBuilder()
+          .putLong("delta.columnMapping.id", 3L)
+          .putString("delta.columnMapping.physicalName", "col-x").build()))),
+        nullable = true, new MetadataBuilder()
+          .putLong("delta.columnMapping.id", 2L)
+          .putString("delta.columnMapping.physicalName", "col-s").build()))).json
+    val sq = new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schema)
+    val size = new java.io.File(table, "part-a.parquet").length()
+    java.nio.file.Files.write(
+      new java.io.File(s"$table/_delta_log", f"${0L}%020d.json").toPath,
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"pm","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":$sq,"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"3"},"createdTime":0}}""",
+        s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":$size,""" +
+          s""""modificationTime":0,"dataChange":true}}""").mkString("\n") + "\n")
+        .getBytes("UTF-8")): Unit
+    // a flat-column predicate must reach the parquet scan under the
+    // PHYSICAL name — the nested rename cast applies ONLY to col-s
+    val scan = graft.sources.DeltaTableReader.snapshot(spark, table)
+      .where($"id" === 7L)
+    val leaves = scan.queryExecution.executedPlan.collectLeaves()
+      .map(_.treeString).mkString("\n")
+    assert(leaves.contains("PushedFilters: [IsNotNull(`col-m1`), EqualTo(`col-m1`,7)]"),
+      leaves)
+    assert(scan.count() == 1L && scan.head().getAs[org.apache.spark.sql.Row]("s")
+      .getAs[Long]("a") == 14L)
+  }
+
   test("star join (q5): every dimension joins broadcast, never sort-merge") {
     val p = plan(Queries.q5StarJoin.run(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"))

@@ -55,4 +55,18 @@ class IcebergMetaTablesSpec extends SparkSpec {
       IcebergTableReader.metadataTable(spark, table, "nope"))
     assert(e.getMessage.contains("unknown metadata table"))
   }
+
+  test("the partitions table aggregates live data entries per partition value") {
+    val table = tmpDir("imeta-parts") + "/t"
+    val s = spark
+    import s.implicits._
+    IcebergTableWriter.create(df(1 to 60), table, partitionBy = Seq("grp")): Unit
+    val parts = IcebergTableReader.metadataTable(spark, table, "partitions")
+    assert(parts.count() == 3L, "one row per identity-partition value")
+    assert(parts.agg(sum(col("record_count"))).head().getLong(0) == 60L)
+    val g0 = parts.where(element_at(col("partition"), "grp") === "g0").head()
+    assert(g0.getAs[Long]("record_count") == 20L)
+    assert(g0.getAs[Long]("file_count") >= 1L)
+    assert(parts.inputFiles.isEmpty, "partitions is metadata only")
+  }
 }
