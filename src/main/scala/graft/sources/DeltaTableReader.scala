@@ -861,6 +861,9 @@ object DeltaTableReader {
     val absOf: FileAction => String = f => abs(tablePath, f.path)
     val base = configuration.get("delta.columnMapping.mode") match {
       case Some("id") =>
+        if (changeData) throw new IllegalStateException(
+          s"$tablePath: id-mode change-data reads are not implemented — the cdc files' " +
+            "_change_type column has no field id to resolve by; refusing")
         // field-ID matching needs the session flag; it only changes
         // scans whose REQUESTED schema carries parquet.field.id
         // metadata (this one), so enabling it is benign and must
@@ -883,12 +886,18 @@ object DeltaTableReader {
           .collect { case st: org.apache.spark.sql.types.StructType =>
             val physOfDecl = columnMappingOf(schemaJson, tablePath)
             // inner fields request their PHYSICAL names too (the
-            // files' shape); the final projection casts them back
+            // files' shape); the final projection casts them back.
+            // Change-data files additionally carry the protocol's
+            // UNMAPPED `_change_type` column
+            val extra =
+              if (changeData) Seq(org.apache.spark.sql.types.StructField(
+                "_change_type", org.apache.spark.sql.types.StringType, nullable = true))
+              else Nil
             org.apache.spark.sql.types.StructType(
               st.fields.filterNot(f => partitionColumns.contains(f.name)).map(f =>
                 org.apache.spark.sql.types.StructField(
                   physOfDecl.getOrElse(f.name, f.name), physInnerType(f.dataType),
-                  nullable = true)))
+                  nullable = true)) ++ extra)
           }
         physSchema match {
           case Some(st) if st.nonEmpty =>
@@ -932,7 +941,10 @@ object DeltaTableReader {
     // projecting it (serving it under its physical name would leak)
     val isNameMode = configuration.get("delta.columnMapping.mode").contains("name")
     val dataCols =
-      if (isNameMode) base.columns.toIndexedSeq.flatMap(c => logOf.get(c))
+      if (isNameMode) base.columns.toIndexedSeq.flatMap(c =>
+        // `_change_type` is the protocol's own UNMAPPED column on
+        // change-data files — it rides through the translation
+        logOf.get(c).orElse(if (changeData && c == "_change_type") Some(c) else None))
       else base.columns.toIndexedSeq.map(c => logOf.getOrElse(c, c))
     val physKeyOf: String => String = c => physOf.getOrElse(c, c)
 

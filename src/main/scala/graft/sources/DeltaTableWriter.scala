@@ -848,13 +848,14 @@ object DeltaTableWriter {
     refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
     // DV deletes are PATH-level bookkeeping — mapped tables work: the
     // read resolves logical names, the remove/re-add lines re-emit
-    // each file's own (physical-keyed) partitionValues. The CDF
-    // obligation is the exception: change-data files on mapped tables
-    // must carry physical names, a shape this writer does not land
-    require(!(cdfEnabledOf(state) && isMapped(state)),
-      s"$tablePath: delta.enableChangeDataFeed on a column-mapped table — change-data " +
-        "files there must carry physical column names, which this writer does not land; " +
-        "refusing")
+    // each file's own (physical-keyed) partitionValues; CDF change
+    // data lands under physical names via mappedCdcProjection. Only
+    // the id-mode + CDF combination refuses (change-data files there
+    // would need inner field-id resolution on read)
+    require(!(cdfEnabledOf(state) &&
+        state.configuration.get("delta.columnMapping.mode").contains("id")),
+      s"$tablePath: delta.enableChangeDataFeed on an id-mode table — id-resolved " +
+        "change-data files are not implemented; refusing")
     val matchedDf = keyed.where(predicate)
       .select(org.apache.spark.sql.functions.col("_g_file"),
         org.apache.spark.sql.functions.col("_g_pos"))
@@ -878,9 +879,12 @@ object DeltaTableWriter {
       // must land its pre-images as explicit change-data files
       val cdcLines =
         if (!cdfEnabledOf(state)) Nil
-        else writeCdcFiles(keyed.where(predicate).drop("_g_file", "_g_pos")
-          .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")),
-          tablePath, state.partitionColumns)
+        else {
+          val (cdcRows, cdcParts) = mappedCdcProjection(state, tablePath,
+            keyed.where(predicate).drop("_g_file", "_g_pos")
+              .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")))
+          writeCdcFiles(cdcRows, tablePath, cdcParts)
+        }
       commit(spark, tablePath, state.version + 1, cdcLines ++ lines,
         ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true)
     } finally matchedDf.unpersist()
@@ -1024,6 +1028,31 @@ object DeltaTableWriter {
   private def isMapped(state: DeltaTableReader.Snapshot): Boolean =
     state.configuration.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id")
 
+  /** Physical projection for CHANGE-DATA rows on a name-mapped table:
+    * data columns rename (inner fields cast) to physical, the
+    * protocol's `_change_type` rides through untouched. Unmapped
+    * tables pass through. Returns (physical rows, physical partition
+    * columns). */
+  private def mappedCdcProjection(state: DeltaTableReader.Snapshot,
+      tablePath: String, rows: DataFrame): (DataFrame, Seq[String]) = {
+    if (!isMapped(state)) return (rows, state.partitionColumns)
+    val declared = state.schemaJson
+      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
+      .collect { case st: org.apache.spark.sql.types.StructType => st }
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: table metadata carries no parseable schemaString"))
+    val physOf = DeltaTableReader.columnMappingOf(state.schemaJson, tablePath)
+    val physical = rows.select(declared.fieldNames.toIndexedSeq.map { c =>
+      val base =
+        if (DeltaTableReader.hasNestedMapping(declared(c).dataType))
+          org.apache.spark.sql.functions.col(c)
+            .cast(DeltaTableReader.physInnerType(declared(c).dataType))
+        else org.apache.spark.sql.functions.col(c)
+      base.as(physOf.getOrElse(c, c))
+    } :+ org.apache.spark.sql.functions.col("_change_type"): _*)
+    (physical, state.partitionColumns.map(c => physOf.getOrElse(c, c)))
+  }
+
   /** Commit lines for per-file fresh vectors: protocol upgrade when
     * needed + remove/re-add with the new descriptors. */
   private def dvActionLines(spark: SparkSession, tablePath: String,
@@ -1084,10 +1113,10 @@ object DeltaTableWriter {
     require(keys.nonEmpty, s"$tablePath: upsert needs at least one key column")
     val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
     refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
-    require(!(cdfEnabledOf(state) && isMapped(state)),
-      s"$tablePath: delta.enableChangeDataFeed on a column-mapped table — change-data " +
-        "files there must carry physical column names, which this writer does not land; " +
-        "refusing")
+    require(!(cdfEnabledOf(state) &&
+        state.configuration.get("delta.columnMapping.mode").contains("id")),
+      s"$tablePath: delta.enableChangeDataFeed on an id-mode table — id-resolved " +
+        "change-data files are not implemented; refusing")
     // mapped upserts carry the exact declared set (mappedWriteProjection
     // requires it below); evolution on mapped tables lives in append
     val (cols, metaLines) =
@@ -1153,10 +1182,10 @@ object DeltaTableWriter {
             .withColumn("_change_type", litCt("update_postimage"))
           val ins = aligned.join(tableKeys, keys, "left_anti")
             .withColumn("_change_type", litCt("insert"))
-          writeCdcFiles(
+          val (cdcRows, cdcParts) = mappedCdcProjection(state, tablePath,
             pre.unionByName(post, allowMissingColumns = true)
-              .unionByName(ins, allowMissingColumns = true),
-            tablePath, state.partitionColumns)
+              .unionByName(ins, allowMissingColumns = true))
+          writeCdcFiles(cdcRows, tablePath, cdcParts)
         }
       matchedDf.unpersist(): Unit
       distinctKeys.unpersist(): Unit

@@ -139,7 +139,7 @@ class DeltaMappedWriteSpec extends SparkSpec {
     assert(snap.where(col("id") === 7L).head().getAs[Long]("v") == 7000L)
   }
 
-  test("CDF on a mapped table refuses delete/upsert loudly") {
+  test("CDF on a NAME-mapped table: change data lands physically, the feed serves logically") {
     val table = tmpDir("dmw-cdf") + "/t"
     mkMapped(table, "name")
     // flip CDF on via a metaData commit
@@ -154,9 +154,40 @@ class DeltaMappedWriteSpec extends SparkSpec {
       (s"""{"metaData":{"id":"dmw","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":$sq,"partitionColumns":[],""" +
         s""""configuration":{$confJson},"createdTime":0}}""" + "\n").getBytes("UTF-8")): Unit
+    DeltaTableWriter.delete(spark, table, col("id") <= 5): Unit
+    // the landed change-data files carry PHYSICAL names + _change_type
+    val cdcDir = new java.io.File(s"$table/_change_data")
+    val cdcFiles = Option(cdcDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(cdcFiles.nonEmpty, "the CDF obligation must land change-data files")
+    cdcFiles.foreach { f =>
+      val cols = spark.read.parquet(f.toString).columns.toSet
+      assert(cols == Set("col-m1", "col-m2", "col-m3", "_change_type"),
+        s"change data must carry PHYSICAL names, got ${cols.mkString(",")}")
+    }
+    // the feed serves the images under LOGICAL names
+    val feed = DeltaTableReader.changeFeedSince(spark, table, 1L)
+    assert(feed.columns.contains("id") && feed.columns.contains("_change_type"))
+    assert(feed.where(col("_change_type") === "delete").count() == 5L)
+    assert(feed.where(col("_change_type") === "delete")
+      .agg(max(col("id"))).head().getLong(0) == 5L)
+    // an id-mode CDF table still refuses
+    val idTable = tmpDir("dmw-cdf-id") + "/t"
+    mkMapped(idTable, "id")
+    val st2 = DeltaTableReader.snapshotState(spark, idTable)
+    val conf2 = st2.configuration + ("delta.enableChangeDataFeed" -> "true")
+    val confJson2 = conf2.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString(",")
+    val sq2 = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(st2.schemaJson.get)
+    java.nio.file.Files.write(
+      new java.io.File(s"$idTable/_delta_log", f"${1L}%020d.json").toPath,
+      (s"""{"metaData":{"id":"dmw-id","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$sq2,"partitionColumns":[],""" +
+        s""""configuration":{$confJson2},"createdTime":0}}""" + "\n").getBytes("UTF-8")): Unit
     val e = intercept[IllegalArgumentException](
-      DeltaTableWriter.delete(spark, table, col("id") <= 5))
-    assert(e.getMessage.contains("change-data"), e.getMessage)
+      DeltaTableWriter.delete(spark, idTable, col("id") <= 5))
+    assert(e.getMessage.contains("id-mode"), e.getMessage)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
