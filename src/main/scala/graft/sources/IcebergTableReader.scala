@@ -616,13 +616,14 @@ object IcebergTableReader {
       case "snapshots" =>
         mk(snaps.map(s => Row(new java.sql.Timestamp(s.timestampMs), s.id,
             s.parentId.map(java.lang.Long.valueOf).orNull, s.operation,
-            resolve(tablePath, s.manifestList))),
+            resolve(tablePath, s.manifestList), s.summary)),
           StructType(Seq(
             StructField("committed_at", TimestampType),
             StructField("snapshot_id", LongType),
             StructField("parent_id", LongType),
             StructField("operation", StringType),
-            StructField("manifest_list", StringType))))
+            StructField("manifest_list", StringType),
+            StructField("summary", MapType(StringType, StringType)))))
       case "history" =>
         // is_current_ancestor = on the parent chain of the CURRENT
         // snapshot (rolled-back branches show false)

@@ -941,9 +941,16 @@ object IcebergTableWriter {
           r
         }
       writeAvro(conf, new Path(tablePath, listRel), listSchema, listRecords)
+      // the STANDARD summary fields real engines stamp and external
+      // tools read — added-* from this commit's own data groups
+      // (driver-known footer counts, no extra I/O)
+      val dataGroups = groups.filter(_.entryContent == 0)
+      val stdSummary = Map(
+        "added-data-files" -> dataGroups.map(_.files.size).sum.toString,
+        "added-records" -> dataGroups.flatMap(_.files).map(_.count).sum.toString)
       val snapsJson = (prevSnapsJson :+
         snapshotJson(newId, parentId, seq, listRel, System.currentTimeMillis(), operation,
-          extraSummary))
+          stdSummary ++ extraSummary))
         .mkString(",")
       // refs carry forward VERBATIM (tags keep pointing at their
       // snapshots); the main branch advances to the new snapshot —

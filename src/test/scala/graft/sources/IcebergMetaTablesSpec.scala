@@ -26,6 +26,12 @@ class IcebergMetaTablesSpec extends SparkSpec {
     assert(snaps.count() == 3L)
     assert(snaps.select("operation").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("append", "append", "delete"))
+    // the standard summary fields real engines stamp
+    val create = snaps.orderBy(col("snapshot_id")).head()
+    val summary = create.getAs[Map[String, String]]("summary")
+    assert(summary.get("added-records").contains("40"),
+      s"the create snapshot must summarize its added records, got $summary")
+    assert(summary.get("added-data-files").exists(_.toInt >= 1))
 
     val history = IcebergTableReader.metadataTable(spark, table, "history")
     assert(history.count() == 3L)
