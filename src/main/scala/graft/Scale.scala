@@ -1404,10 +1404,11 @@ object Scale {
       // group-grained col-stats, schema evolution), nested columns
       // across the adapters, mapped-Delta writes, bloom-accelerated
       // upserts
+      // (q_delta_colmap_write / q_delta_colmap_id already rehearse in
+      // the common block above — not repeated here)
       "q_hudi_ridx_inc", "q_hudi_cstats_inc",
       "q_hudi_ridx_mor", "q_hudi_cstats_mor", "q_hudi_schema_evolve_mor",
       "q_delta_nested", "q_iceberg_nested", "q_hudi_nested",
-      "q_delta_colmap_write", "q_delta_colmap_id",
       // inspection views: metadata-only by require — the rows prove it
       "q_iceberg_meta", "q_hudi_timeline", "q_delta_history")
       .foreach { name =>

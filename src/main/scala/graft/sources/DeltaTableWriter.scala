@@ -324,10 +324,28 @@ object DeltaTableWriter {
     * (rename/drop/create) keep `rebaseDisjoint = false`: their intent
     * covers the WHOLE table state, so any concurrent commit
     * invalidates them regardless of file overlap.
+    *
+    * `opInfo = Some((operation, isBlindAppend))` stamps a commitInfo
+    * head line (Delta's own operation marker — PROTOCOL.md Commit
+    * Provenance Information). The marker is what lets a RACING
+    * transactional writer classify this commit: file-set disjointness
+    * alone cannot distinguish a blind append from an insert-only
+    * MERGE, and only the former is rebase-transparent to key-keyed
+    * writers.
+    *
+    * `winnerMustBeBlind = true` (upsert/MERGE commits): a lost CAS may
+    * only rebase over a winner that IS a blind append — add-only,
+    * dataChange, no metaData/protocol, and commitInfo.isBlindAppend
+    * affirmatively true. Delta's ConflictChecker exempts exactly blind
+    * appends from a MERGE's read-conflict check; an add-only winner
+    * that was itself an upsert may have inserted this batch's keys, so
+    * rebasing would double them — absent or false marker refuses.
     */
   private[sources] def commit(spark: SparkSession, tablePath: String, fromVersion: Long,
       lines: Seq[String], ictNeeded: Boolean = false,
-      rebaseSafe: Boolean = true, rebaseDisjoint: Boolean = false): Long = {
+      rebaseSafe: Boolean = true, rebaseDisjoint: Boolean = false,
+      opInfo: Option[(String, Boolean)] = None,
+      winnerMustBeBlind: Boolean = false): Long = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
@@ -345,6 +363,19 @@ object DeltaTableWriter {
       if (!fs.exists(p)) return false
       val nodes = readText(fs, p).split('\n').filter(_.nonEmpty).map(mapper.readTree)
       if (nodes.exists(n => n.has("metaData") || n.has("protocol"))) return false
+      if (winnerMustBeBlind) {
+        // key-keyed commits rebase ONLY over affirmed blind appends:
+        // a remove action, a missing commitInfo marker, or
+        // isBlindAppend=false all mean the winner may have read (or
+        // keyed on) table state this commit's lines were computed
+        // without — refuse and let the caller re-read
+        if (nodes.exists(_.has("remove"))) return false
+        val blindAffirmed = nodes.exists { n =>
+          n.has("commitInfo") && n.get("commitInfo").has("isBlindAppend") &&
+            n.get("commitInfo").get("isBlindAppend").asBoolean()
+        }
+        if (!blindAffirmed) return false
+      }
       val touched = nodes.iterator.flatMap { n =>
         Option(n.get("add")).map(a => decodePathPublic(a.get("path").asText())) ++
           Option(n.get("remove")).map(r => decodePathPublic(r.get("path").asText()))
@@ -367,12 +398,23 @@ object DeltaTableWriter {
     }
     def writeTmp(forVersion: Long): Path = {
       val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
+      // ONE commitInfo head line carrying whichever provenance fields
+      // apply: the monotonic ICT (feature obligation) and/or the
+      // operation marker racing writers classify this commit by
       val head =
-        if (!ictNeeded) Nil
+        if (!ictNeeded && opInfo.isEmpty) Nil
         else {
-          val ict = math.max(System.currentTimeMillis(),
-            prevIct(forVersion).map(_ + 1L).getOrElse(Long.MinValue))
-          Seq(s"""{"commitInfo":{"inCommitTimestamp":$ict}}""")
+          val fields = Seq.newBuilder[String]
+          if (ictNeeded) {
+            val ict = math.max(System.currentTimeMillis(),
+              prevIct(forVersion).map(_ + 1L).getOrElse(Long.MinValue))
+            fields += s""""inCommitTimestamp":$ict"""
+          }
+          opInfo.foreach { case (op, blind) =>
+            fields += s""""operation":${jsonStr(op)}"""
+            fields += s""""isBlindAppend":$blind"""
+          }
+          Seq(s"""{"commitInfo":{${fields.result().mkString(",")}}}""")
         }
       val out = fs.create(tmp, true)
       try (head ++ lines).foreach(l => out.write((l + "\n").getBytes("UTF-8")))
@@ -734,7 +776,8 @@ object DeltaTableWriter {
       files.map { case (rel, size, mtime, st) =>
         addLine(rel, size, mtime, physPartCols, st, dataChange = false) }
     commit(spark, tablePath, state.version + 1, lines,
-      ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true)
+      ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true,
+      opInfo = Some(("OPTIMIZE", false)))
   }
 
   /** VACUUM: physically delete data files TOMBSTONED (removed with
@@ -886,7 +929,8 @@ object DeltaTableWriter {
           writeCdcFiles(cdcRows, tablePath, cdcParts)
         }
       commit(spark, tablePath, state.version + 1, cdcLines ++ lines,
-        ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true)
+        ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true,
+        opInfo = Some(("DELETE", false)))
     } finally matchedDf.unpersist()
   }
 
@@ -1196,7 +1240,8 @@ object DeltaTableWriter {
       val v = commit(spark, tablePath, state.version + 1,
         metaLines ++ cdcLines ++ dvLines ++ files.map { case (rel, size, mtime, st) =>
           addLine(rel, size, mtime, physPartCols, st) },
-        ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true)
+        ictNeeded = ictNeededOf(state), rebaseSafe = false, rebaseDisjoint = true,
+        opInfo = Some(("MERGE", false)), winnerMustBeBlind = true)
       maybeCheckpoint(spark, tablePath, v, checkpointInterval)
       v
     } finally aligned.unpersist()
@@ -1324,7 +1369,8 @@ object DeltaTableWriter {
         else writeCdcFiles(parts.reduce(_.unionByName(_)), tablePath, now.partitionColumns)
       }
     commit(spark, tablePath, now.version + 1, cdcLines ++ lines,
-      ictNeeded = ictNeededOf(now), rebaseSafe = false)
+      ictNeeded = ictNeededOf(now), rebaseSafe = false,
+      opInfo = Some(("RESTORE", false)))
   }
 
   def append(df: DataFrame, tablePath: String,
@@ -1417,22 +1463,32 @@ object DeltaTableWriter {
       val physPartCols = state.partitionColumns.map(c => physOf.getOrElse(c, c))
       val files = writeDataFiles(physical, tablePath, physPartCols,
         stampFieldIds = stampIds)
+      // an append CARRYING a metaData line (schema evolution) was
+      // computed from this snapshot's schema/maxColumnId — a lost CAS
+      // must not blindly re-land it over a concurrent evolution (last
+      // metaData would win and colliding column ids could be minted),
+      // so it rebases only over metaData-free disjoint winners
       val v = commit(spark, tablePath, state.version + 1,
         metaLines ++ transaction.map(txnLine).toSeq ++
           files.map { case (rel, size, mtime, st) =>
             addLine(rel, size, mtime, physPartCols, st) },
-        ictNeeded = ictNeededOf(state))
+        ictNeeded = ictNeededOf(state),
+        rebaseSafe = metaLines.isEmpty, rebaseDisjoint = metaLines.nonEmpty,
+        opInfo = Some(("WRITE", metaLines.isEmpty)))
       maybeCheckpoint(spark, tablePath, v, checkpointInterval)
       return v
     }
     val (cols, metaLines) = evolveSchemaIfNeeded(state, tablePath, df)
     val aligned = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
     val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
+    // same evolution-rebase rule as the mapped branch above
     val v = commit(spark, tablePath, state.version + 1,
       metaLines ++ transaction.map(txnLine).toSeq ++
         files.map { case (rel, size, mtime, st) =>
           addLine(rel, size, mtime, state.partitionColumns, st) },
-      ictNeeded = ictNeededOf(state))
+      ictNeeded = ictNeededOf(state),
+      rebaseSafe = metaLines.isEmpty, rebaseDisjoint = metaLines.nonEmpty,
+      opInfo = Some(("WRITE", metaLines.isEmpty)))
     maybeCheckpoint(spark, tablePath, v, checkpointInterval)
     v
   }

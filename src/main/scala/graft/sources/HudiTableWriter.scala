@@ -492,11 +492,13 @@ object HudiTableWriter {
       if (keys.size == 1)
         graftKeyProbe.unionAll(deduped.select(col(keys.head).cast("string").as("_g_probe")))
       else graftKeyProbe
+    // the timeline head this upsert is PLANNED against — captured
+    // BEFORE the slice listing so every instant that lands after
+    // planning (including between head-read and listing) falls on the
+    // `> plannedHead` side of the publish-time overlap validation
+    val plannedHead = HudiTableReader.latestInstant(spark, tablePath)
     val slices = bloomPruneSlices(spark, tablePath,
       HudiTableReader.activeSlices(spark, tablePath), probes)
-    // the timeline head this upsert is PLANNED against — commits that
-    // land while we compute are validated before publish
-    val plannedHead = HudiTableReader.latestInstant(spark, tablePath)
     val sliceByFid = slices.map(s => s.fileId -> s).toMap
     // base rows with their file-group id, via the one metadata column
     // scan + a broadcast path→fid map (bounded by |file groups|)

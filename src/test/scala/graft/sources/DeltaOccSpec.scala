@@ -120,4 +120,114 @@ class DeltaOccSpec extends SparkSpec {
       "the upsert's effect must survive the rebased delete")
     assert(snap.where(col("id") > 40L).isEmpty || snap.count() < 80L)
   }
+
+  // --- operation markers + winnerMustBeBlind (the MERGE rebase gate) ---
+
+  private def commitInfoOf(table: String, v: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/_delta_log", f"$v%020d.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split('\n').find(_.contains("\"commitInfo\""))
+  }
+
+  test("appends stamp isBlindAppend=true; upserts stamp MERGE/isBlindAppend=false") {
+    val table = tmpDir("occ-marker") + "/t"
+    val s = spark
+    import s.implicits._
+    DeltaTableWriter.create(df(1 to 40), table): Unit
+    val vA = DeltaTableWriter.append(df(41 to 80), table)
+    val ciA = commitInfoOf(table, vA)
+    assert(ciA.exists(_.contains(""""isBlindAppend":true""")), s"append commitInfo: $ciA")
+    val vM = DeltaTableWriter.upsert(Seq((1L, "g1", 7L)).toDF("id", "grp", "v"),
+      table, keys = Seq("id"))
+    val ciM = commitInfoOf(table, vM)
+    assert(ciM.exists(_.contains(""""operation":"MERGE"""")), s"upsert commitInfo: $ciM")
+    assert(ciM.exists(_.contains(""""isBlindAppend":false""")))
+  }
+
+  test("a stale MERGE rebases over an AFFIRMED blind-append winner only") {
+    val table = tmpDir("occ-blind") + "/t"
+    DeltaTableWriter.create(df(1 to 40), table): Unit
+    val staleState = DeltaTableReader.snapshotState(spark, table)
+    // winner: a graft append — add-only AND marked isBlindAppend=true
+    DeltaTableWriter.append(df(41 to 80), table): Unit
+    // loser: an insert-only merge's lines (adds only) computed at v0
+    val addLines = Seq(
+      """{"add":{"path":"merge-ins.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":1,"dataChange":true}}""")
+    val won = DeltaTableWriter.commit(spark, table, staleState.version + 1, addLines,
+      rebaseSafe = false, rebaseDisjoint = true,
+      opInfo = Some(("MERGE", false)), winnerMustBeBlind = true)
+    assert(won == staleState.version + 2)
+  }
+
+  test("a stale MERGE REFUSES over an add-only winner that was ITSELF a merge") {
+    // two racing upserts both inserting the same ABSENT key produce
+    // add-only, file-disjoint commits — rebasing the loser would land
+    // the key twice; the winner's isBlindAppend=false marker is what
+    // refuses it (file-set disjointness alone cannot)
+    val table = tmpDir("occ-mergewin") + "/t"
+    val s = spark
+    import s.implicits._
+    DeltaTableWriter.create(df(1 to 40), table): Unit
+    val staleState = DeltaTableReader.snapshotState(spark, table)
+    // winner: a real upsert inserting key 999 (insert-only → add-only)
+    DeltaTableWriter.upsert(Seq((999L, "g9", 1L)).toDF("id", "grp", "v"),
+      table, keys = Seq("id")): Unit
+    val addLines = Seq(
+      """{"add":{"path":"merge-dup.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":1,"dataChange":true}}""")
+    val e = intercept[java.util.ConcurrentModificationException](
+      DeltaTableWriter.commit(spark, table, staleState.version + 1, addLines,
+        rebaseSafe = false, rebaseDisjoint = true,
+        opInfo = Some(("MERGE", false)), winnerMustBeBlind = true))
+    assert(e.getMessage.contains("conflicts"))
+  }
+
+  test("an UNMARKED add-only winner refuses a MERGE rebase (no affirmation, no rebase)") {
+    val table = tmpDir("occ-unmarked") + "/t"
+    DeltaTableWriter.create(df(1 to 40), table): Unit
+    val staleState = DeltaTableReader.snapshotState(spark, table)
+    // winner: raw add-only lines with NO commitInfo — could be a
+    // foreign writer's insert-only merge; ambiguity refuses
+    DeltaTableWriter.commit(spark, table, staleState.version + 1, Seq(
+      """{"add":{"path":"foreign.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":1,"dataChange":true}}""")): Unit
+    val addLines = Seq(
+      """{"add":{"path":"merge-x.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":1,"dataChange":true}}""")
+    val e = intercept[java.util.ConcurrentModificationException](
+      DeltaTableWriter.commit(spark, table, staleState.version + 1, addLines,
+        rebaseSafe = false, rebaseDisjoint = true,
+        opInfo = Some(("MERGE", false)), winnerMustBeBlind = true))
+    assert(e.getMessage.contains("conflicts"))
+  }
+
+  test("an evolution-carrying append REFUSES a lost race against another evolution") {
+    val table = tmpDir("occ-evo") + "/t"
+    val s = spark
+    import s.implicits._
+    DeltaTableWriter.create(df(1 to 40), table): Unit
+    val staleState = DeltaTableReader.snapshotState(spark, table)
+    // winner: a concurrent evolution (metaData-bearing commit)
+    DeltaTableWriter.commit(spark, table, staleState.version + 1,
+      Seq("""{"metaData":{"id":"occ-evo","format":{"provider":"parquet",""" +
+        """"options":{}},"schemaString":"{}","partitionColumns":[],""" +
+        """"configuration":{}}}""")): Unit
+    // loser: an append whose metaData was computed from the stale
+    // snapshot — the append path's rebaseDisjoint refuses on the
+    // winner's metaData line instead of silently re-landing ours
+    val metaPlusAdd = Seq(
+      """{"metaData":{"id":"stale-evo","format":{"provider":"parquet",""" +
+        """"options":{}},"schemaString":"{}","partitionColumns":[],""" +
+        """"configuration":{}}}""",
+      """{"add":{"path":"evo.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":1,"dataChange":true}}""")
+    val e = intercept[java.util.ConcurrentModificationException](
+      DeltaTableWriter.commit(spark, table, staleState.version + 1, metaPlusAdd,
+        rebaseSafe = false, rebaseDisjoint = true,
+        opInfo = Some(("WRITE", false))))
+    assert(e.getMessage.contains("conflicts"))
+  }
 }
