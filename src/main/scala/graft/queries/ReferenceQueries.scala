@@ -2095,11 +2095,17 @@ trait ReferenceQueries extends QueryBase {
     * from the checkpoint snapshot to the current one, appends only —
     * manifests ADDED by in-range snapshots, status=added entries,
     * tagged `_snapshot_id`; the reused m1 manifest is correctly
-    * excluded by its added_snapshot_id.
+    * excluded by its added_snapshot_id. A mid-range
+    * `rewriteDataFiles` (a `replace` snapshot — every production
+    * table compacts) is SKIPPED by the pull, not refused: the result
+    * is hash-identical to the pre-compaction pull.
     */
   val qIcebergIncremental: QueryDef = QueryDef(
     run = (s, dir) => {
       val table = buildIcebergFixture(s, dir, scratch("ice-inc"))
+      // compact AFTER the checkpoint: the consumer's next pull must
+      // serve snapshot 2's appended rows and ignore the rewrite
+      graft.sources.IcebergTableWriter.rewriteDataFiles(s, table, targetFiles = 1): Unit
       graft.sources.IcebergTableReader.incrementalSince(s, table, 1L)
         .groupBy(col("_snapshot_id"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))

@@ -975,22 +975,29 @@ object IcebergTableReader {
 
   /** Incremental read: rows ADDED by snapshots after `sinceSnapshotId`
     * on the current snapshot's parent chain, tagged `_snapshot_id`.
-    * Every snapshot in the range must be an APPEND — overwrite /
-    * delete / replace operations refuse loudly. A checkpoint id not
-    * on the chain refuses too (the table was rewritten under the
-    * consumer).
+    * `replace` snapshots in the range (compaction / clustering
+    * rewrites) are SKIPPED — Iceberg's own incremental-append scan
+    * semantics: a replace adds no logical rows, and every production
+    * table compacts, so a checkpointed consumer must survive one.
+    * `overwrite` / `delete` snapshots still refuse loudly — they
+    * change rows an append-scoped pull cannot represent. A checkpoint
+    * id not on the chain refuses too (the table was rewritten under
+    * the consumer). A range that turns out to be all-replace returns
+    * the EMPTY frame in the table's shape: the consumer's checkpoint
+    * still advances.
     */
   def incrementalSince(spark: SparkSession, tablePath: String, sinceSnapshotId: Long): DataFrame = {
     val range = chainSince(spark, tablePath, sinceSnapshotId)
-    range.find(_.operation != "append").foreach { s =>
+    range.find(s => s.operation != "append" && s.operation != "replace").foreach { s =>
       throw new IllegalStateException(
         s"$tablePath: snapshot ${s.id} is '${s.operation}', not an append — " +
           "an append-scoped incremental read cannot represent it (read the snapshot instead)")
     }
-    val rangeIds = range.map(_.id).toSet
+    val appends = range.filter(_.operation == "append")
+    val rangeIds = appends.map(_.id).toSet
     // added files per snapshot: each snapshot's manifest list, manifests
     // added BY that snapshot, entries with status=added
-    val perSnapshot = range.sortBy(_.id).map { s =>
+    val perSnapshot = appends.sortBy(_.id).map { s =>
       val added = manifestsOf(spark, resolve(tablePath, s.manifestList))
         .filter { case (_, addedBy, _, _) => addedBy.contains(s.id) }
         .flatMap { case (mpath, _, mcontent, _) =>
@@ -1002,8 +1009,16 @@ object IcebergTableReader {
         }.distinct
       (s.id, added)
     }.filter(_._2.nonEmpty)
-    if (perSnapshot.isEmpty) throw new IllegalArgumentException(
-      s"$tablePath: snapshots after $sinceSnapshotId added no data files")
+    if (perSnapshot.isEmpty) {
+      // nothing but rewrites (or empty appends) landed since the
+      // checkpoint: an empty pull, NOT an error — shaped like the
+      // table so downstream unions/schemas keep working
+      if (range.exists(_.operation == "replace"))
+        return snapshot(spark, tablePath).where(lit(false))
+          .withColumn("_snapshot_id", lit(null).cast("long"))
+      throw new IllegalArgumentException(
+        s"$tablePath: snapshots after $sinceSnapshotId added no data files")
+    }
     perSnapshot.map { case (id, files) =>
       spark.read.parquet(files.map(resolve(tablePath, _)): _*)
         .withColumn("_snapshot_id", lit(id))

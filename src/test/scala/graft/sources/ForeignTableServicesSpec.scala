@@ -174,10 +174,12 @@ class ForeignTableServicesSpec extends SparkSpec {
     val snap = IcebergTableReader.snapshot(spark, table)
     assert(snap.count() == 50L)
     assert(snap.agg(min("id")).head().getLong(0) == 11L)
-    // incremental refuses across the replace snapshot
+    // incremental still refuses across the DELETE snapshot in the
+    // range (rows changed, an append-scoped pull can't express it) —
+    // the replace alone would be skipped, the delete is what refuses
     val e = intercept[IllegalStateException](
       IcebergTableReader.incrementalSince(spark, table, 1L))
-    assert(e.getMessage.contains("not an append"))
+    assert(e.getMessage.contains("not an append") && e.getMessage.contains("'delete'"))
     // expiry after the rewrite reclaims the superseded data + delete files
     val dataDirBefore = new java.io.File(s"$table/data").listFiles().length
     IcebergTableWriter.expireSnapshots(spark, table, keepLast = 1): Unit
@@ -185,6 +187,31 @@ class ForeignTableServicesSpec extends SparkSpec {
     assert(dataDirAfter < dataDirBefore,
       s"expiry must reclaim unreferenced files ($dataDirBefore -> $dataDirAfter)")
     assert(IcebergTableReader.snapshot(spark, table).count() == 50L)
+  }
+
+  test("Iceberg incremental SKIPS replace snapshots: a compacting table keeps its consumers") {
+    val table = tmpDir("svc-inc-replace") + "/t"
+    val s1 = IcebergTableWriter.create(df(1 to 30).repartition(3), table)
+    // consumer checkpoints at s1; the table then appends AND compacts
+    val s2 = IcebergTableWriter.append(df(31 to 50).repartition(2), table)
+    IcebergTableWriter.rewriteDataFiles(spark, table, targetFiles = 1): Unit
+    // the pull across [append, replace] serves EXACTLY the appended
+    // rows — the rewrite adds no logical rows and must not refuse
+    val inc = IcebergTableReader.incrementalSince(spark, table, s1)
+    assert(inc.count() == 20L)
+    assert(inc.agg(min(col("id")), max(col("id"))).head() ==
+      org.apache.spark.sql.Row(31L, 50L))
+    assert(inc.select("_snapshot_id").distinct().head().getLong(0) == s2)
+    // a replace-ONLY range is an EMPTY pull in the table's shape, not
+    // an error: the consumer's checkpoint advances past the rewrite
+    val empty = IcebergTableReader.incrementalSince(spark, table, s2)
+    assert(empty.isEmpty)
+    assert(empty.columns.contains("_snapshot_id") && empty.columns.contains("id"))
+    // an overwrite-class snapshot in range still refuses
+    IcebergTableWriter.delete(spark, table, col("id") <= 5L): Unit
+    val e = intercept[IllegalStateException](
+      IcebergTableReader.incrementalSince(spark, table, s2))
+    assert(e.getMessage.contains("not an append"))
   }
 
   test("Iceberg snapshot expiry: metadata trims, expired-only files leave, shared files stay") {
