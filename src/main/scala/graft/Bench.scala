@@ -54,12 +54,31 @@ object Bench {
     // it — minutes-apart reps almost never do.
     val names = selected.keys.toSeq
     val timesByName = collection.mutable.Map(names.map(_ -> List.empty[Double]): _*)
-    for (_ <- 1 to reps; name <- names) {
-      val fn = selected(name)
-      val t0 = System.nanoTime()
-      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
-      timesByName(name) = t :: timesByName(name)
+    // UNTIMED hygiene barrier after heavy queries (and at pass
+    // boundaries): the r17 driver run showed broad +30-100% mid-suite
+    // interference (total_mean 666s vs min-sum 462s; three queries
+    // ≥2× in ALL passes) that a quiesced tree-vs-tree A/B could not
+    // reproduce (≤1.18×) — residue from the heavy lifecycle fixtures
+    // sharing the JVM (leaked persisted blocks, cache manager
+    // entries, GC debt), not plan regressions. Dropping that residue
+    // OUTSIDE the timer keeps each query's measurement clean without
+    // touching what is measured.
+    def hygiene(): Unit = try {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    } catch { case _: Throwable => () }
+    val HeavySec = 2.5
+    for (_ <- 1 to reps) {
+      for (name <- names) {
+        val fn = selected(name)
+        val t0 = System.nanoTime()
+        val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
+        timesByName(name) = t :: timesByName(name)
+        if (t < 0 || t > HeavySec) hygiene()
+      }
+      hygiene()
     }
     val results = names.map { name =>
       val ok = timesByName(name).filter(_ >= 0)

@@ -2617,7 +2617,17 @@ trait ReferenceQueries extends QueryBase {
       require(skipped.inputFiles.length < full.inputFiles.length,
         s"stats skipping must cut the file set " +
           s"(${skipped.inputFiles.length} of ${full.inputFiles.length})")
-      skipped.where(col("o_orderkey") <= hi.toLong)
+      // stats must SURVIVE the checkpoint (PROTOCOL.md: add.stats ride
+      // the checkpoint schema): after writeCheckpoint + log cleanup
+      // the checkpoint is the only copy, and skipping must still cut
+      // the same file set — degrade-to-keep-all here is a 100×-scale
+      // full-scan regression
+      DeltaTableWriter.writeCheckpoint(s, table): Unit
+      val ckptSkipped = DeltaTableReader.snapshotSkipping(s, table, "o_orderkey", 0.0, hi)
+      require(ckptSkipped.inputFiles.length == skipped.inputFiles.length,
+        s"add.stats must survive the checkpoint: pre ${skipped.inputFiles.length} vs " +
+          s"post ${ckptSkipped.inputFiles.length} of ${full.inputFiles.length}")
+      ckptSkipped.where(col("o_orderkey") <= hi.toLong)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
     },

@@ -75,7 +75,8 @@ object DeltaTableReader {
       path: String,
       partitionValues: Map[String, String],
       dataChange: Boolean,
-      dv: Option[DeltaDv.Descriptor] = None)
+      dv: Option[DeltaDv.Descriptor] = None,
+      stats: Option[String] = None)
 
   /** The table's protocol action, preserved verbatim so writers can
     * refuse features they cannot honor and checkpoints can carry the
@@ -185,7 +186,8 @@ object DeltaTableReader {
     path = node.get("path").asText(),
     partitionValues = partValuesOf(node),
     dataChange = Option(node.get("dataChange")).forall(_.asBoolean(true)),
-    dv = dvOf(node))
+    dv = dvOf(node),
+    stats = Option(node.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty))
 
   /** Refusals a scan-based reader owes the caller: column mapping
     * renames physical parquet columns (scanning returns the wrong
@@ -616,7 +618,8 @@ object DeltaTableReader {
         adds.foreach { a =>
           val dv = if (a.dvJson == null || a.dvJson.isEmpty) None
             else dvOf(mapper.readTree(s"""{"deletionVector":${a.dvJson}}"""))
-          active(a.path) = FileAction(a.path, a.partitionValues, dataChange = true, dv = dv)
+          active(a.path) = FileAction(a.path, a.partitionValues, dataChange = true, dv = dv,
+            stats = if (a.stats == null || a.stats.isEmpty) None else Some(a.stats))
         }
       }
       // a checkpoint's remove actions are expired tombstones — files

@@ -586,14 +586,16 @@ object DeltaTableWriter {
     * reader's problem forever after).
     */
   /** Write `<v>%020d.checkpoint.parquet` + `_last_checkpoint` for the
-    * CURRENT snapshot: the active add set (deletion vectors
-    * preserved), the metaData/protocol actions, and every appId's txn
-    * watermark — everything a reader needs when older JSON commits
-    * are cleaned. Driver work is bounded by the (already-bounded)
-    * active add set. Per-file `stats` are NOT carried into the
-    * checkpoint (they never transit the driver by design); after
-    * cleanup, stats-based skipping degrades to conservatively keeping
-    * every checkpointed file — correct, just unpruned.
+    * CURRENT snapshot: the active add set (deletion vectors AND
+    * per-file `stats` preserved — PROTOCOL.md's checkpoint schema
+    * carries add.stats, and after log cleanup the checkpoint is the
+    * only copy, so dropping them would kill stats-based file skipping
+    * forever after), the metaData/protocol actions, and every appId's
+    * txn watermark — everything a reader needs when older JSON
+    * commits are cleaned. Driver work is bounded by the
+    * (already-bounded) active add set; the stats strings add
+    * O(|files| × ~stats bytes), the same bound the checkpoint READER
+    * already pays when it collects surviving adds.
     */
   /** Rows per checkpoint PART: above this, the checkpoint lands in
     * the protocol's MULTI-PART form `<v>.checkpoint.<i>.<n>.parquet`
@@ -634,7 +636,8 @@ object DeltaTableWriter {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType), StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("deletionVector", dvType)))),
+        StructField("deletionVector", dvType),
+        StructField("stats", StringType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -655,7 +658,12 @@ object DeltaTableWriter {
       val st = fs.getFileStatus(new Path(tablePath, decodePathPublic(f.path)))
       val dv = f.dv.map(d =>
         Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull
-      row(add = Row(f.path, f.partitionValues, st.getLen, st.getModificationTime, true, dv))
+      // add.stats ride into the checkpoint VERBATIM (PROTOCOL.md's
+      // checkpoint schema carries them) — after log cleanup the
+      // checkpoint is the only copy, and dropping them would silently
+      // turn stats-based file skipping into keep-everything scans
+      row(add = Row(f.path, f.partitionValues, st.getLen, st.getModificationTime, true, dv,
+        f.stats.orNull))
     }
     val txnRows = txns.toSeq.sorted.map { case (app, v) => row(txn = Row(app, v)) }
     // the table's ORIGINAL protocol and metaData, verbatim — after log

@@ -362,14 +362,18 @@ class DeltaTableWriterSpec extends SparkSpec {
     // a column with no stats keeps everything (conservative)
     val noStats = DeltaTableReader.snapshotSkipping(spark, table, "nope", 0.0, 1.0)
     assert(noStats.count() == 1000L)
-    // after checkpoint + log cleanup, skipping degrades to keep-all —
-    // correct, just unpruned
+    // add.stats SURVIVE checkpoint + log cleanup (PROTOCOL.md's
+    // checkpoint schema carries them): the same narrow range keeps
+    // pruning the same file subset when the checkpoint is the only
+    // copy of the log
     DeltaTableWriter.writeCheckpoint(spark, table): Unit
     new java.io.File(s"$table/_delta_log").listFiles()
       .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
     val postCkpt = DeltaTableReader.snapshotSkipping(spark, table, "id", 100.0, 120.0)
     assert(postCkpt.where(col("id").between(100L, 120L)).count() == 21L)
-    assert(postCkpt.count() == 1000L)
+    assert(postCkpt.inputFiles.length == skipped.inputFiles.length,
+      s"checkpointed stats must prune like the JSON log did " +
+        s"(${postCkpt.inputFiles.length} vs ${skipped.inputFiles.length})")
   }
 
   test("multi-part checkpoints: parts land per protocol, replay reads them as one") {
@@ -431,6 +435,14 @@ class DeltaTableWriterSpec extends SparkSpec {
     val snap = DeltaTableReader.snapshot(spark, table)
     assert(snap.count() == 60L)
     assert(snap.where(col("id") === 50L).head().getAs[Long]("v") == 100L)
+    // add.stats SURVIVE the v2 sidecar path: with the JSON commits
+    // gone, skipping on id must still cut the file set (stats come
+    // from the sidecar adds, nowhere else)
+    val skipped = DeltaTableReader.snapshotSkipping(spark, table, "id", 1.0, 10.0)
+    assert(skipped.inputFiles.length < snap.inputFiles.length,
+      s"v2-checkpointed stats must keep pruning " +
+        s"(${skipped.inputFiles.length} of ${snap.inputFiles.length})")
+    assert(skipped.where(col("id") <= 10L).count() == 10L)
     // appends continue on top of the checkpointed state
     DeltaTableWriter.append(df(61 to 70), table): Unit
     assert(DeltaTableReader.snapshot(spark, table).count() == 70L)
