@@ -3241,25 +3241,60 @@ trait ReferenceQueries extends QueryBase {
       DeltaTableWriter.upsert(batch, table, Seq("o_orderkey")): Unit
       require(new java.io.File(s"$table/_change_data").listFiles()
         .exists(_.getName.endsWith(".parquet")), "cdc files must land")
-      DeltaTableReader.changeFeedSince(s, table, sinceVersion = 1L)
+      val plainFeed = DeltaTableReader.changeFeedSince(s, table, sinceVersion = 1L)
         .groupBy(col("_change_type"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("mode", lit("plain"))
+      // the ID-MODE leg: same feed on a columnMapping=id table — data
+      // columns in the cdc files resolve by stamped field id,
+      // `_change_type` by name (a metadata column outside the table
+      // schema per PROTOCOL.md). The table is built id-pure: metaData
+      // commit first, data through graft's id-stamping append.
+      val idTable = scratch("delta-cdf-write-id") + "/t"
+      new java.io.File(s"$idTable/_delta_log").mkdirs()
+      val mappedSchema = org.apache.spark.sql.types.StructType(
+        base.schema.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(nullable = true,
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("delta.columnMapping.id", i + 1L)
+              .putString("delta.columnMapping.physicalName", s"p_${i + 1}").build())
+        })
+      writeDeltaCommit(idTable, 0L, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"fixture-id","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${q.writeValueAsString(mappedSchema.json)},""" +
+          s""""partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"id",""" +
+          s""""delta.columnMapping.maxColumnId":"${base.schema.size}",""" +
+          s""""delta.enableChangeDataFeed":"true"},""" +
+          s""""createdTime":1700000000000}}"""))
+      graft.sources.DeltaTableWriter.append(base, idTable): Unit
+      DeltaTableWriter.upsert(batch, idTable, Seq("o_orderkey")): Unit
+      val idFeed = DeltaTableReader.changeFeedSince(s, idTable, sinceVersion = 1L)
+        .groupBy(col("_change_type"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("mode", lit("id"))
+      plainFeed.unionByName(idFeed)
     },
     oracle = Some(
-      """SELECT 'update_preimage' AS _change_type, o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
-        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
-        |GROUP BY o_orderpriority
+      """WITH feed AS (
+        |  SELECT 'update_preimage' AS _change_type, o_orderpriority, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_orderpriority, count(*),
+        |    CAST(sum(CAST(o_totalprice + 100000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'insert', o_orderpriority, count(*),
+        |    CAST(sum(CAST(o_totalprice + 100000.0 AS DECIMAL(28,6))) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 = 0
+        |  GROUP BY o_orderpriority)
+        |SELECT *, 'plain' AS mode FROM feed
         |UNION ALL
-        |SELECT 'update_postimage', o_orderpriority, count(*),
-        |  CAST(sum(CAST(o_totalprice + 100000.0 AS DECIMAL(28,6))) AS DOUBLE)
-        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
-        |GROUP BY o_orderpriority
-        |UNION ALL
-        |SELECT 'insert', o_orderpriority, count(*),
-        |  CAST(sum(CAST(o_totalprice + 100000.0 AS DECIMAL(28,6))) AS DOUBLE)
-        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 = 0
-        |GROUP BY o_orderpriority""".stripMargin))
+        |SELECT *, 'id' AS mode FROM feed""".stripMargin))
 
   /** #107e Hudi MOR UPSERT ([[graft.sources.HudiTableWriter.upsert]]
     * on a MERGE_ON_READ table — the format's own upsert shape): the

@@ -864,9 +864,6 @@ object DeltaTableReader {
     val absOf: FileAction => String = f => abs(tablePath, f.path)
     val base = configuration.get("delta.columnMapping.mode") match {
       case Some("id") =>
-        if (changeData) throw new IllegalStateException(
-          s"$tablePath: id-mode change-data reads are not implemented — the cdc files' " +
-            "_change_type column has no field id to resolve by; refusing")
         // field-ID matching needs the session flag; it only changes
         // scans whose REQUESTED schema carries parquet.field.id
         // metadata (this one), so enabling it is benign and must
@@ -874,8 +871,18 @@ object DeltaTableReader {
         if (spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
             .forall(_ != "true"))
           spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        spark.read.schema(fieldIdSchemaOf(schemaJson, partitionColumns, tablePath))
-          .parquet(files.map(absOf): _*)
+        val idSchema = fieldIdSchemaOf(schemaJson, partitionColumns, tablePath)
+        // change-data files: `_change_type` is a METADATA column
+        // OUTSIDE the table schema (PROTOCOL.md, Change Data Files) —
+        // it carries no field id by design and resolves by NAME
+        // (Spark's field-id matcher falls back to name matching for
+        // requested fields without an id), while the data columns
+        // keep resolving by id
+        val reqSchema =
+          if (changeData) StructType(idSchema.fields :+ StructField(
+            "_change_type", org.apache.spark.sql.types.StringType, nullable = true))
+          else idSchema
+        spark.read.schema(reqSchema).parquet(files.map(absOf): _*)
       case Some("name") =>
         // request the PHYSICAL schema from the declared schemaString:
         // footer inference samples ONE file, so a table evolved after

@@ -499,7 +499,19 @@ object DeltaTableWriter {
     val writer =
       if (partitionColumns.isEmpty) staged.write
       else staged.write.partitionBy(partitionColumns.map(c => s"_p_$c"): _*)
-    writer.parquet(stage.toString)
+    // id-mode change data: the projection stamped parquet.field.id on
+    // the data columns; the landed files must carry them (same
+    // save/restore discipline as writeDataFiles)
+    if (rows.schema.fields.exists(_.metadata.contains("parquet.field.id"))) {
+      val key = "spark.sql.parquet.fieldId.write.enabled"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try writer.parquet(stage.toString)
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    } else writer.parquet(stage.toString)
     val lines = Seq.newBuilder[String]
     def walk(dir: Path, segs: Seq[String]): Unit =
       fs.listStatus(dir).foreach { st =>
@@ -900,13 +912,9 @@ object DeltaTableWriter {
     // DV deletes are PATH-level bookkeeping — mapped tables work: the
     // read resolves logical names, the remove/re-add lines re-emit
     // each file's own (physical-keyed) partitionValues; CDF change
-    // data lands under physical names via mappedCdcProjection. Only
-    // the id-mode + CDF combination refuses (change-data files there
-    // would need inner field-id resolution on read)
-    require(!(cdfEnabledOf(state) &&
-        state.configuration.get("delta.columnMapping.mode").contains("id")),
-      s"$tablePath: delta.enableChangeDataFeed on an id-mode table — id-resolved " +
-        "change-data files are not implemented; refusing")
+    // data lands under physical names via mappedCdcProjection (id
+    // mode additionally stamps field ids on the cdc data columns —
+    // `_change_type` stays id-less and name-resolved per PROTOCOL.md)
     val matchedDf = keyed.where(predicate)
       .select(org.apache.spark.sql.functions.col("_g_file"),
         org.apache.spark.sql.functions.col("_g_pos"))
@@ -1080,11 +1088,14 @@ object DeltaTableWriter {
   private def isMapped(state: DeltaTableReader.Snapshot): Boolean =
     state.configuration.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id")
 
-  /** Physical projection for CHANGE-DATA rows on a name-mapped table:
-    * data columns rename (inner fields cast) to physical, the
-    * protocol's `_change_type` rides through untouched. Unmapped
-    * tables pass through. Returns (physical rows, physical partition
-    * columns). */
+  /** Physical projection for CHANGE-DATA rows on a column-mapped
+    * table: data columns rename (inner fields cast) to physical —
+    * id mode additionally stamps their `parquet.field.id` so the
+    * landed cdc files resolve by id like data files do — while the
+    * protocol's `_change_type` rides through untouched and ID-LESS
+    * (it is a metadata column outside the table schema; readers
+    * resolve it by name). Unmapped tables pass through. Returns
+    * (physical rows, physical partition columns). */
   private def mappedCdcProjection(state: DeltaTableReader.Snapshot,
       tablePath: String, rows: DataFrame): (DataFrame, Seq[String]) = {
     if (!isMapped(state)) return (rows, state.partitionColumns)
@@ -1094,13 +1105,24 @@ object DeltaTableWriter {
       .getOrElse(throw new IllegalStateException(
         s"$tablePath: table metadata carries no parseable schemaString"))
     val physOf = DeltaTableReader.columnMappingOf(state.schemaJson, tablePath)
+    val IdKey = "delta.columnMapping.id"
+    val stampIds = state.configuration.get("delta.columnMapping.mode").contains("id")
     val physical = rows.select(declared.fieldNames.toIndexedSeq.map { c =>
+      val md = declared(c).metadata match {
+        case m if stampIds && m.contains(IdKey) =>
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", m.getLong(IdKey)).build()
+        case _ if stampIds =>
+          throw new IllegalStateException(s"$tablePath: column $c carries no " +
+            "delta.columnMapping.id — id-mode change data cannot stamp its field id; refusing")
+        case _ => org.apache.spark.sql.types.Metadata.empty
+      }
       val base =
         if (DeltaTableReader.hasNestedMapping(declared(c).dataType))
           org.apache.spark.sql.functions.col(c)
             .cast(DeltaTableReader.physInnerType(declared(c).dataType))
         else org.apache.spark.sql.functions.col(c)
-      base.as(physOf.getOrElse(c, c))
+      base.as(physOf.getOrElse(c, c), md)
     } :+ org.apache.spark.sql.functions.col("_change_type"): _*)
     (physical, state.partitionColumns.map(c => physOf.getOrElse(c, c)))
   }
@@ -1165,10 +1187,6 @@ object DeltaTableWriter {
     require(keys.nonEmpty, s"$tablePath: upsert needs at least one key column")
     val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
     refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
-    require(!(cdfEnabledOf(state) &&
-        state.configuration.get("delta.columnMapping.mode").contains("id")),
-      s"$tablePath: delta.enableChangeDataFeed on an id-mode table — id-resolved " +
-        "change-data files are not implemented; refusing")
     // mapped upserts carry the exact declared set (mappedWriteProjection
     // requires it below); evolution on mapped tables lives in append
     val (cols, metaLines) =

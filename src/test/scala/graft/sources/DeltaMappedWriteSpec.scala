@@ -171,23 +171,59 @@ class DeltaMappedWriteSpec extends SparkSpec {
     assert(feed.where(col("_change_type") === "delete").count() == 5L)
     assert(feed.where(col("_change_type") === "delete")
       .agg(max(col("id"))).head().getLong(0) == 5L)
-    // an id-mode CDF table still refuses
+    // id-mode CDF: change data lands with FIELD IDS on the data
+    // columns (`_change_type` id-less — a metadata column outside the
+    // schema, name-resolved) and the feed serves logical names. The
+    // table is built ID-PURE (graft append stamps the ids) — the
+    // shape under test is id-mode resolution, not mixed files.
     val idTable = tmpDir("dmw-cdf-id") + "/t"
-    mkMapped(idTable, "id")
-    val st2 = DeltaTableReader.snapshotState(spark, idTable)
-    val conf2 = st2.configuration + ("delta.enableChangeDataFeed" -> "true")
-    val confJson2 = conf2.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString(",")
-    val sq2 = new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsString(st2.schemaJson.get)
+    new java.io.File(s"$idTable/_delta_log").mkdirs()
+    val phys2 = Seq("id" -> "col-m1", "grp" -> "col-m2", "v" -> "col-m3")
+    val schema2 = StructType(phys2.zipWithIndex.map { case ((l, p), i) =>
+      StructField(l, if (l == "grp") StringType else LongType, nullable = true,
+        new MetadataBuilder()
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", p).build())
+    }).json
+    val sq2 = new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schema2)
     java.nio.file.Files.write(
-      new java.io.File(s"$idTable/_delta_log", f"${1L}%020d.json").toPath,
-      (s"""{"metaData":{"id":"dmw-id","format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":$sq2,"partitionColumns":[],""" +
-        s""""configuration":{$confJson2},"createdTime":0}}""" + "\n").getBytes("UTF-8")): Unit
-    val e = intercept[IllegalArgumentException](
-      DeltaTableWriter.delete(spark, idTable, col("id") <= 5))
-    assert(e.getMessage.contains("id-mode"), e.getMessage)
+      new java.io.File(s"$idTable/_delta_log", f"${0L}%020d.json").toPath,
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"dmw-cdf-id","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":$sq2,"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"id",""" +
+          s""""delta.columnMapping.maxColumnId":"3",""" +
+          s""""delta.enableChangeDataFeed":"true"},"createdTime":0}}""").mkString("\n") + "\n")
+        .getBytes("UTF-8")): Unit
+    DeltaTableWriter.append(df(1 to 40), idTable): Unit
+    DeltaTableWriter.delete(spark, idTable, col("id") <= 5): Unit
+    val cdcDir2 = new java.io.File(s"$idTable/_change_data")
+    val cdcFiles2 = Option(cdcDir2.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(cdcFiles2.nonEmpty, "the id-mode CDF obligation must land change-data files")
+    cdcFiles2.foreach { f =>
+      // physical names in the file, field ids on the data columns
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        spark.sparkContext.hadoopConfiguration,
+        new org.apache.hadoop.fs.Path(f.toString))
+      val fields = footer.getFileMetaData.getSchema.getFields
+      import scala.jdk.CollectionConverters._
+      val byName = fields.asScala.map(t => t.getName -> Option(t.getId)).toMap
+      assert(byName.keySet == Set("col-m1", "col-m2", "col-m3", "_change_type"),
+        s"id-mode change data must carry physical names, got ${byName.keySet}")
+      assert(byName("col-m1").exists(_.intValue() == 1) &&
+        byName("col-m2").exists(_.intValue() == 2) &&
+        byName("col-m3").exists(_.intValue() == 3),
+        s"data columns must carry their field ids, got $byName")
+      assert(byName("_change_type").isEmpty,
+        "_change_type is a metadata column outside the schema — no field id")
+    }
+    val idFeed = DeltaTableReader.changeFeedSince(spark, idTable, 1L)
+    assert(idFeed.columns.contains("id") && idFeed.columns.contains("_change_type"))
+    assert(idFeed.where(col("_change_type") === "delete").count() == 5L)
+    assert(idFeed.where(col("_change_type") === "delete")
+      .agg(max(col("id"))).head().getLong(0) == 5L)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
