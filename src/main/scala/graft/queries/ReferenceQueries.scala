@@ -2072,6 +2072,42 @@ trait ReferenceQueries extends QueryBase {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 'incremental'
         |FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority""".stripMargin))
 
+  /** #104j Iceberg TYPE PROMOTION as schema evolution (the spec's
+    * "Valid type promotions": int→long, float→double, decimal
+    * precision widening — METADATA-ONLY: a new schemas node with the
+    * field ids verbatim and the primitive widened; files written
+    * before it keep their narrow physical type and the
+    * declared-schema scan widens them). The fixture creates the table
+    * with o_orderkey as INT, appends the other half as LONG — the
+    * promotion commit — and the snapshot serves BOTH halves as long;
+    * the oracle recomputes from the source table.
+    */
+  val qIcebergPromote: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("ice-promote") + "/t"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      IcebergTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey").cast("int")), table): Unit
+      IcebergTableWriter.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val snap = IcebergTableReader.snapshot(s, table)
+      require(snap.schema("o_orderkey").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "the promotion must widen the declared schema to long")
+      snap.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #104 External Iceberg table SNAPSHOT read
     * ([[graft.sources.IcebergTableReader]]): version-hint → metadata
     * JSON → the current snapshot's Avro manifest list → live data

@@ -127,7 +127,15 @@ object DeltaTableReader {
     */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "timestampNtz", "variantType", "columnMapping",
-      "v2Checkpoint")
+      "v2Checkpoint",
+      // typeWidening (delta.io PROTOCOL.md): files written before a
+      // type-widening evolution keep their narrow physical type and
+      // readers widen at scan. This reader always scans with the
+      // DECLARED schemaString, and Spark 4's vectorized parquet
+      // reader performs the spec's widening conversions (int→long,
+      // float→double, decimal precision growth) — so declaring the
+      // feature is honored, not just tolerated.
+      "typeWidening", "typeWidening-preview")
 
   /** Cap on add entries pulled to the driver per snapshot resolution.
     * At ~100 bytes a row this is ~100 MB of driver heap — the

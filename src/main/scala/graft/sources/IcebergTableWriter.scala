@@ -548,6 +548,65 @@ object IcebergTableWriter {
     * A batch MISSING declared columns throws (drops are rewrite-grade
     * migrations, not metadata commits).
     */
+  /** The spec's legal TYPE PROMOTIONS (iceberg.apache.org spec,
+    * Schema Evolution — "Valid type promotions"): int→long,
+    * float→double, decimal(P,S)→decimal(P',S) with P'>P. These are
+    * METADATA-ONLY: old files keep their narrow physical type and
+    * readers widen at scan (Spark 4's vectorized parquet reader
+    * performs exactly these widening conversions). Everything else is
+    * a rewrite-grade migration and keeps refusing.
+    */
+  private[sources] def legalPromotion(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) => t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** Promotion on the metadata's OWN primitive type strings. */
+  private def legalJsonPromotion(decl: String, tgt: String): Boolean = {
+    val Dec = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    (decl, tgt) match {
+      case ("int", "long") => true
+      case ("float", "double") => true
+      case (Dec(p1, s1), Dec(p2, s2)) => s1 == s2 && p2.toInt > p1.toInt
+      case _ => false
+    }
+  }
+
+  /** Existing field nodes with any LEGAL type promotions toward
+    * `schema` applied (field ids and names verbatim, only the
+    * primitive type string swaps); non-promotion differences stay
+    * verbatim — the append-level Spark-type check is the guard
+    * against illegal changes, and exotic round-trip mismatches
+    * (uuid↔string, timestamptz) must not churn schema nodes.
+    */
+  private def promotedFieldNodes(st: SchemaState,
+      schema: org.apache.spark.sql.types.StructType): (Seq[String], Boolean) = {
+    var any = false
+    val nodes = st.fields.map { case (id, name, raw) =>
+      val tgt = schema.find(_.name == name).flatMap(f =>
+        scala.util.Try(icebergTypeOf(f.dataType)).toOption)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(raw)
+      val declT = Option(node.get("type")).filter(_.isTextual).map(_.asText())
+      (declT, tgt) match {
+        case (Some(d), Some(t)) if d.replace(" ", "") != t.replace(" ", "") &&
+            legalJsonPromotion(d.replace(" ", ""), t.replace(" ", "")) =>
+          any = true
+          val obj = node.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          obj.put("type", t): Unit
+          obj.toString
+        case _ => raw
+      }
+    }
+    (nodes, any)
+  }
+
   private def schemasBlockFor(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       exists: Boolean,
       schema: org.apache.spark.sql.types.StructType): (String, Map[String, Int]) = {
@@ -558,10 +617,22 @@ object IcebergTableWriter {
       case None => fresh
       case Some(st) =>
         val curNames = st.fields.map(_._2)
-        if (schema.fieldNames.toSet == curNames.toSet)
-          (s""""schemas":[${st.schemaNodesJson.mkString(",")}],""" +
-            s""""current-schema-id":${st.currentSchemaId}""", st.nameToId)
-        else {
+        if (schema.fieldNames.toSet == curNames.toSet) {
+          val (promotedNodes, promotedAny) = promotedFieldNodes(st, schema)
+          if (!promotedAny)
+            (s""""schemas":[${st.schemaNodesJson.mkString(",")}],""" +
+              s""""current-schema-id":${st.currentSchemaId}""", st.nameToId)
+          else {
+            // a legal promotion is SCHEMA EVOLUTION: a new schemas
+            // node with every field id/name verbatim and only the
+            // promoted primitive widened, current-schema-id bumps
+            val newSid = st.maxSchemaId + 1
+            val newNode = s"""{"schema-id":$newSid,"type":"struct",""" +
+              s""""fields":[${promotedNodes.mkString(",")}]}"""
+            (s""""schemas":[${(st.schemaNodesJson :+ newNode).mkString(",")}],""" +
+              s""""current-schema-id":$newSid""", st.nameToId)
+          }
+        } else {
           val missing = curNames.toSet -- schema.fieldNames.toSet
           if (missing.nonEmpty) throw new IllegalStateException(
             s"$tablePath: commit schema lacks declared column(s) " +
@@ -588,7 +659,9 @@ object IcebergTableWriter {
             historyNames.contains(n) && !curNames.contains(n))
           if (reused.nonEmpty) requireLiveFieldIds(spark, tablePath,
             s"re-adding previously-dropped column(s) ${reused.mkString(",")}")
-          val newFieldsJson = st.fields.map(_._3) ++ extras.map { f =>
+          // existing fields carry over with any legal promotions
+          // applied (extras + promotion may ride one commit)
+          val newFieldsJson = promotedFieldNodes(st, schema)._1 ++ extras.map { f =>
             s"""{"id":${ids(f.name)},"name":"${f.name}","required":false,""" +
               s""""type":"${icebergTypeOf(f.dataType)}"}"""
           }
@@ -1026,13 +1099,19 @@ object IcebergTableWriter {
         "declared schema (additive evolution only adds columns)")
     // additive evolution: NEW columns append to the schema (a new
     // schemas node + bumped current-schema-id land in the same
-    // commit); existing columns must keep their types
+    // commit); existing columns keep their types OR take one of the
+    // spec's legal promotions (int→long, float→double, decimal
+    // precision widening at the same scale) — metadata-only, old
+    // files widen at scan; anything else refuses
     val extras = df.columns.filterNot(existing.columns.contains).toSeq
     existing.columns.foreach { c =>
-      require(df.schema(c).dataType == existing.schema(c).dataType,
+      val from = existing.schema(c).dataType
+      val to = df.schema(c).dataType
+      require(to == from || legalPromotion(from, to),
         s"$tablePath: schema evolution cannot change column $c from " +
-          s"${existing.schema(c).dataType.simpleString} to " +
-          s"${df.schema(c).dataType.simpleString} — only NEW nullable columns may be added")
+          s"${from.simpleString} to ${to.simpleString} — only NEW nullable columns " +
+          "and the spec's legal promotions (int→long, float→double, decimal " +
+          "precision widening) are metadata commits; other changes are rewrites")
     }
     val pfields = declaredPartitionFields(df.sparkSession, tablePath)
     commit(df.select((existing.columns.toSeq ++ extras)
