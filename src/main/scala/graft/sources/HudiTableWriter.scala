@@ -1576,25 +1576,33 @@ object HudiTableWriter {
   }
 
   /** (record key → file group id) over `slices`' base files, one
-    * distributed scan. Empty slices produce an empty, schema-correct
-    * frame without any scan job. */
-  private def recordEntriesOf(spark: SparkSession, tablePath: String,
+    * distributed scan. The file→fileId mapping attaches via a
+    * BROADCAST join of a (path, fileId) frame against
+    * `_metadata.file_path` — |file groups|-bounded like the old
+    * driver-map UDF, but the scan stays inside whole-stage codegen
+    * (a Scala UDF on the hot path would break it for every record
+    * scanned). Empty slices produce an empty, schema-correct frame
+    * without any scan job. */
+  private[sources] def recordEntriesOf(spark: SparkSession, tablePath: String,
       slices: Seq[HudiTableReader.SliceWrite]): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c}
+    import org.apache.spark.sql.functions.{col => c, broadcast}
     if (slices.isEmpty) {
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField("key", StringType), StructField("fileId", StringType))))
     }
-    val absToRel = slices.map(s0 =>
-      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}") -> s0.path).toMap
-    val fidOf = slices.map(s0 => s0.path -> s0.fileId).toMap
-    val relUdf = org.apache.spark.sql.functions.udf((p: String) =>
-      fidOf.getOrElse(absToRel.getOrElse(p, p), null: String))
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val fidRows = slices.map(s0 => org.apache.spark.sql.Row(
+      ScanPaths.normalizeDriver(s"$tablePath/${s0.path}"), s0.fileId))
+    val fidDf = spark.createDataFrame(fidRows.asJava, StructType(Seq(
+      StructField("_g_file", StringType), StructField("fileId", StringType))))
     spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
       .select(c("_hoodie_record_key").as("key"),
-        relUdf(ScanPaths.normalizeScan(c("_metadata.file_path"))).as("fileId"))
+        ScanPaths.normalizeScan(c("_metadata.file_path")).as("_g_file"))
+      .join(broadcast(fidDf), Seq("_g_file"), "left")
+      .select(c("key"), c("fileId"))
   }
 
   /** INCREMENTAL record-index maintenance (hudi.apache.org: the

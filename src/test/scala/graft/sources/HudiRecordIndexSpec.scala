@@ -104,4 +104,25 @@ class HudiRecordIndexSpec extends SparkSpec {
       .head().getAs[Long]("v") == 999L)
     assert(HudiTableReader.pointLookup(spark, table, Seq(20L)).isEmpty)
   }
+
+  test("PLAN-LOCK: the index build scan stays vectorized — broadcast file→fileId join, no UDF node") {
+    val table = tmpDir("ridx-plan") + "/t"
+    HudiTableWriter.create(df(1 to 30).repartition(3), table, recordKeys = Seq("id")): Unit
+    val entries = HudiTableWriter.recordEntriesOf(spark, table,
+      HudiTableReader.activeSlices(spark, table))
+    // semantics first (also finalizes the AQE plan so codegen spans
+    // are visible in the executed tree): every record binds its group
+    val rows = entries.collect()
+    assert(rows.length == 30 && rows.forall(_.getString(1) != null))
+    val planStr = entries.queryExecution.executedPlan.toString
+    assert(!planStr.contains("UDF") && !planStr.contains("BatchEvalPython"),
+      s"the build scan must not break codegen with a UDF:\n$planStr")
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"the file→fileId map must attach as a broadcast join:\n$planStr")
+    // `*(n)` is the executed plan's whole-stage-codegen marker — the
+    // join and the scan-side projections must carry it
+    assert(planStr.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("*(")),
+      s"the scan must stay inside whole-stage codegen:\n$planStr")
+  }
 }
