@@ -250,19 +250,23 @@ object DeltaTableReader {
       .collect { case s: StructType => s }
       .getOrElse(throw new IllegalStateException(
         s"$tablePath: columnMapping id mode needs a parseable schemaString"))
+    // NESTED resolution in id mode: TOP-LEVEL columns resolve by
+    // field id (authoritative — names are decoys); INNER fields
+    // resolve by their RECORDED PHYSICAL NAMES (the protocol records
+    // delta.columnMapping.physicalName for every field in either
+    // mode), requested via [[physInnerType]] with NO inner ids — the
+    // final projection casts the struct back to the logical nested
+    // shape positionally, exactly the name-mode machinery. Inner ids
+    // deliberately do NOT ride the request: Spark's nested schema
+    // pruning rebuilds pruned inner structs WITHOUT field metadata,
+    // so an inner-id request silently nulls any query that selects a
+    // nested field (probed on this Spark); physical inner NAMES
+    // survive pruning.
     StructType(st.fields.filterNot(f => partitionColumns.contains(f.name)).map { f =>
       if (!f.metadata.contains(IdKey)) throw new IllegalStateException(
         s"$tablePath: column ${f.name} carries no delta.columnMapping.id — id-mode " +
           "field matching is undefined for it; refusing")
-      f.dataType match {
-        case _: StructType | _: org.apache.spark.sql.types.ArrayType |
-            _: org.apache.spark.sql.types.MapType =>
-          throw new IllegalStateException(
-            s"$tablePath: column ${f.name} is a nested type — id-mode matching of inner " +
-              "fields is not implemented; refusing rather than mis-resolving")
-        case _ => ()
-      }
-      StructField(f.name, f.dataType, nullable = true,
+      StructField(f.name, physInnerType(f.dataType), nullable = true,
         new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build())
     })
@@ -1041,10 +1045,16 @@ object DeltaTableReader {
       .getOrElse(Map.empty)
     val projected = ordered.map { c =>
       val phys = physKeyOf(c)
-      val nestedMapped = !isIdMode && !partitionColumns.contains(c) &&
+      val nestedMapped = !partitionColumns.contains(c) &&
         declaredTypeOf.get(c).exists(hasNestedMapping)
-      if (nestedMapped)
-        col(phys).cast(logicalCleanType(declaredTypeOf(c))).as(c)
+      if (nestedMapped) {
+        // BOTH modes scanned the physical inner shape; the positional
+        // struct cast is the inner rename. In id mode the TOP name is
+        // already logical (field-id matching served it); name mode
+        // translates it here too.
+        val src = if (isIdMode) col(c) else col(phys)
+        src.cast(logicalCleanType(declaredTypeOf(c))).as(c)
+      }
       else if (phys != c && !partitionColumns.contains(c) && !isIdMode) col(phys).as(c)
       else col(c)
     }

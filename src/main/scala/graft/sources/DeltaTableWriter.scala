@@ -1066,6 +1066,16 @@ object DeltaTableWriter {
         s"${logicalCols.sorted.mkString(",")} — mapped writes outside append carry the " +
         "exact declared set (evolve through append first)")
     val stampIds = mode == "id"
+    // id-mode NESTED refusal (write side): the projection stamps
+    // field ids through top-level Column metadata only — inner struct
+    // ids cannot ride it, and landing id-less inner fields would make
+    // the files unreadable to the id-mode reader's nested resolution
+    if (stampIds) declared.fields.foreach { f =>
+      if (DeltaTableReader.hasNestedMapping(f.dataType)) throw new IllegalStateException(
+        s"$tablePath: column ${f.name} carries nested mapped fields — an id-mode write " +
+          "cannot stamp inner parquet field ids; refusing rather than landing files " +
+          "the id-mode reader cannot resolve")
+    }
     val physical = df.select(logicalCols.map { c =>
       val md = idOf.get(c) match {
         case Some(id) if stampIds => new org.apache.spark.sql.types.MetadataBuilder()
@@ -1467,6 +1477,13 @@ object DeltaTableWriter {
       // table MIXING id-carrying and id-less files breaks any engine
       // whose field-id read flag is on
       val stampIds = mappingMode == "id"
+      // id-mode NESTED refusal (same contract as mappedWriteProjection)
+      if (stampIds) declared.fields.foreach { f =>
+        if (DeltaTableReader.hasNestedMapping(f.dataType)) throw new IllegalStateException(
+          s"$tablePath: column ${f.name} carries nested mapped fields — an id-mode " +
+            "append cannot stamp inner parquet field ids; refusing rather than landing " +
+            "files the id-mode reader cannot resolve")
+      }
       val physical = df.select(outCols.map { c =>
         val md = idOf.get(c) match {
           case Some(id) if stampIds => new org.apache.spark.sql.types.MetadataBuilder()

@@ -226,6 +226,69 @@ class DeltaMappedWriteSpec extends SparkSpec {
       .agg(max(col("id"))).head().getLong(0) == 5L)
   }
 
+  test("id mode: NESTED mapped fields resolve by INNER field ids; id-mode nested writes refuse") {
+    // a converted table's files carry parquet field ids at EVERY
+    // struct level; the id-mode read requests the logical nested
+    // shape with inner parquet.field.id stamped from the inner
+    // delta.columnMapping.id metadata and Spark's field-id matcher
+    // recurses — physical names never consulted
+    val table = tmpDir("dmw-nested-id") + "/t"
+    new java.io.File(s"$table/_delta_log").mkdirs()
+    def meta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    def pqMeta(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    // the FILE's physical shape: phys names + ids at both levels
+    val fileSchema = StructType(Seq(
+      StructField("p_top", StructType(Seq(
+        StructField("p_name", StringType, nullable = true, pqMeta(2)),
+        StructField("p_score", LongType, nullable = true, pqMeta(3)))),
+        nullable = true, pqMeta(1)),
+      StructField("p_k", LongType, nullable = true, pqMeta(4))))
+    import scala.jdk.CollectionConverters._
+    val rows = (1 to 10).map(i =>
+      org.apache.spark.sql.Row(org.apache.spark.sql.Row(s"n$i", i * 10L), i.toLong))
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    spark.conf.set(key, "true")
+    val stage = tmpDir("dmw-nested-stage") + "/out"
+    try spark.createDataFrame(rows.asJava, fileSchema).coalesce(1).write.parquet(stage)
+    finally spark.conf.unset(key)
+    val part = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, new java.io.File(table, "part-n.parquet").toPath)
+    // the LOG's logical shape: logical names, same ids, inner mapping
+    val declared = StructType(Seq(
+      StructField("cust", StructType(Seq(
+        StructField("name", StringType, nullable = true, meta(2, "p_name")),
+        StructField("score", LongType, nullable = true, meta(3, "p_score")))),
+        nullable = true, meta(1, "p_top")),
+      StructField("k", LongType, nullable = true, meta(4, "p_k"))))
+    val sq = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(declared.json)
+    val size = new java.io.File(table, "part-n.parquet").length()
+    java.nio.file.Files.write(
+      new java.io.File(s"$table/_delta_log", f"${0L}%020d.json").toPath,
+      (Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"dmw-nested","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":$sq,"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"id",""" +
+          s""""delta.columnMapping.maxColumnId":"4"},"createdTime":0}}""",
+        s"""{"add":{"path":"part-n.parquet","partitionValues":{},"size":$size,""" +
+          s""""modificationTime":0,"dataChange":true}}""").mkString("\n") + "\n")
+        .getBytes("UTF-8")): Unit
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.columns.toSet == Set("cust", "k"))
+    assert(snap.schema("cust").dataType.isInstanceOf[StructType])
+    assert(snap.count() == 10L)
+    assert(snap.where(col("k") === 3L).select(col("cust.name")).head().getString(0) == "n3")
+    assert(snap.agg(sum(col("cust.score"))).head().getLong(0) == 550L)
+    // the WRITE side refuses: inner ids cannot ride top-level Column
+    // metadata, and id-less inner fields would be unreadable above
+    val e = intercept[IllegalStateException](DeltaTableWriter.upsert(
+      snap.limit(1), table, keys = Seq("k")))
+    assert(e.getMessage.contains("nested mapped fields"), e.getMessage)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
