@@ -129,10 +129,14 @@ object Bench {
     // iceberg 0.9/0.7, stream_mv_cdc 5.6), and the machine-confounded
     // r12→r13 pair q_compact (1.17) / q_bloom_index (0.94) joins for
     // a driver-comparable re-measure.
+    // Round 18: the three r17 in-suite >=2x movers join (proven
+    // suite interference by quiesced A/B — SCALE.md r18; min+mean in
+    // the artifact is what shows the hygiene barrier worked).
     val watch = Seq("q_mor_read", "q_mor_ro", "q_partial_update", "q_stream_dedup",
       "q_inc_agg_cdc", "q_delta_snapshot", "q_delta_incremental", "q_hudi_snapshot",
       "q_hudi_incremental", "q_iceberg_snapshot", "q_iceberg_incremental",
-      "q_stream_mv_cdc", "q_compact", "q_bloom_index")
+      "q_stream_mv_cdc", "q_compact", "q_bloom_index",
+      "text_bm25", "q_stream_neardup", "text_perplexity_inc")
       .filter(results.contains)
       .map(n => s""""$n":[${r3(results(n))},${r3(means(n))}]""")
       .mkString("{", ",", "}")

@@ -1417,6 +1417,38 @@ object Scale {
         }
       }
 
+    // round-18: the Hudi bloom-filter index tradeoff DECOMPOSED (r17
+    // verdict: "the maintenance write should be measured separately
+    // from the probe win"). Three units on identical COW tables:
+    // the upsert WITHOUT the index (every group joins the
+    // key-matching scan), the index MAINTENANCE write alone, and the
+    // same upsert WITH the index present (provably-absent groups
+    // prune before any I/O). The tradeoff is visible per-SF: at sf0.1
+    // the build costs more than it saves; at sf1 the probe win pays.
+    if (wanted("q_hudi_bloom_split")) {
+      import graft.sources.HudiTableWriter
+      def cowTable(o: DataFrame, dir: String): String = {
+        HudiTableWriter.create(o.repartition(16), dir,
+          tableName = "orders_bloom", recordKeys = Seq("o_orderkey")); dir
+      }
+      def batch(o: DataFrame): DataFrame =
+        o.filter(col("o_orderkey") % 997 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      val n01 = cowTable(ord01, scaleScratch("hbloom-noidx-01"))
+      val n1 = cowTable(ord1, scaleScratch("hbloom-noidx-1"))
+      rehearseUnit("q_hudi_upsert_noidx") {
+        { HudiTableWriter.upsert(batch(ord01), n01); () }
+      } { { HudiTableWriter.upsert(batch(ord1), n1); () } }
+      val i01 = cowTable(ord01, scaleScratch("hbloom-idx-01"))
+      val i1 = cowTable(ord1, scaleScratch("hbloom-idx-1"))
+      rehearseUnit("q_hudi_bloom_maint") {
+        { HudiTableWriter.writeBloomIndex(spark, i01); () }
+      } { { HudiTableWriter.writeBloomIndex(spark, i1); () } }
+      rehearseUnit("q_hudi_upsert_idx") {
+        { HudiTableWriter.upsert(batch(ord01), i01); () }
+      } { { HudiTableWriter.upsert(batch(ord1), i1); () } }
+    }
+
     println("SCALE_DONE " + out.result().mkString("[", ",", "]"))
     spark.stop()
   }

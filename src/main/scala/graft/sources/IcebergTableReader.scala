@@ -751,10 +751,10 @@ object IcebergTableReader {
 
   /** Spark type for an Iceberg primitive type name — the subset the
     * declared-schema scan handles. None = fall back to footer
-    * inference (decimals excluded deliberately: the writer's metadata
-    * collapses precisions, and a mismatched explicit decimal breaks
-    * the scan where inference succeeds).
+    * inference. Decimals parse their declared precision/scale (the
+    * spec's `decimal(P, S)` form, space optional).
     */
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private def sparkTypeOf(t: String): Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     t match {
@@ -768,6 +768,7 @@ object IcebergTableReader {
       case "date" => Some(DateType)
       case "timestamptz" => Some(TimestampType)
       case "timestamp" => Some(TimestampNTZType)
+      case DecimalRe(p, s) => Some(DecimalType(p.toInt, s.toInt))
       case _ => None
     }
   }

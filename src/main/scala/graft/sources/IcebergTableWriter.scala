@@ -157,7 +157,14 @@ object IcebergTableWriter {
         val path = cc.getPath.toDotString
         fieldIdOf.get(path).filterNot(dropped.contains).foreach { fid =>
           val st = cc.getStatistics
-          if (st == null || st.isEmpty || !st.hasNonNullValue) {
+          // DECIMAL columns record no bounds: their footer stats come
+          // back as raw unscaled ints or binaries whose serialization
+          // does not match the spec's decimal single-value form — a
+          // mis-serialized bound could make an external engine
+          // mis-prune; bound-less is conservatively correct everywhere
+          val isDecimal = cc.getPrimitiveType.getLogicalTypeAnnotation
+            .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          if (isDecimal || st == null || st.isEmpty || !st.hasNonNullValue) {
             dropped += fid; lower.remove(fid); upper.remove(fid): Unit
           } else {
             val mn = st.genericGetMin; val mx = st.genericGetMax
@@ -406,7 +413,12 @@ object IcebergTableWriter {
       case DateType => "date"
       case TimestampType => "timestamptz"
       case TimestampNTZType => "timestamp"
-      case _: DecimalType => "decimal(38,18)"
+      // faithful precision/scale (iceberg spec primitive form; the
+      // java library's own toString shape) — collapsing to a fixed
+      // decimal(38,18) would lie to every engine reading the metadata
+      // and break the declared-schema scan against the files' real
+      // physical type
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
       case other => throw new IllegalArgumentException(
         s"Spark type $other has no Iceberg metadata mapping in this writer; refusing")
     }

@@ -135,7 +135,7 @@ class IcebergTableReaderSpec extends SparkSpec {
     assert(eTT.getMessage.contains("not in the metadata log"))
   }
 
-  test("compaction (deleted entries in a replace snapshot) serves the snapshot; incremental refuses over it") {
+  test("compaction (deleted entries in a replace snapshot) serves the snapshot; incremental SKIPS it") {
     val table = tmpDir("ice-replace")
     writeDataFile(rows(1 to 80), table, "data/f1.parquet")
     writeDataFile(rows(81 to 120), table, "data/f2.parquet")
@@ -156,9 +156,13 @@ class IcebergTableReaderSpec extends SparkSpec {
       (2L, Some(1L), "replace", "metadata/snap-2.avro")))
     assert(IcebergTableReader.snapshot(spark, table).count() == 120L,
       "deleted entries must drop; the rewritten file serves the snapshot")
-    val e = intercept[IllegalStateException](
-      IcebergTableReader.incrementalSince(spark, table, 1L))
-    assert(e.getMessage.contains("not an append"))
+    // a replace adds no logical rows: the incremental pull SKIPS it
+    // (Iceberg's own incremental-append semantics — a compacting
+    // table must keep its checkpointed consumers) and a replace-only
+    // range is the EMPTY pull, not an error
+    val inc = IcebergTableReader.incrementalSince(spark, table, 1L)
+    assert(inc.isEmpty)
+    assert(inc.columns.contains("_snapshot_id"))
   }
 
   test("without version-hint.text the NUMERICALLY highest metadata wins (v10 beats v9)") {
