@@ -1163,12 +1163,17 @@ object DeltaTableWriter {
       }.mkString(",")
     protoLine.toSeq ++ perFile.flatMap { case (fa, d) =>
       val st = fs.getFileStatus(new Path(tablePath, decodePathPublic(fa.path)))
+      // the re-add CARRIES the file's stats verbatim: a DV only masks
+      // rows, so the recorded min/max stay conservative-valid and
+      // skipping keeps pruning DV-deleted files (dropping them here
+      // would silently turn every deleted-from file into keep-always)
+      val statsJson = fa.stats.map(s0 => s""","stats":${jsonStr(s0)}""").getOrElse("")
       Seq(
         s"""{"remove":{"path":${jsonStr(fa.path)},"deletionTimestamp":$now,""" +
           s""""dataChange":true}}""",
         s"""{"add":{"path":${jsonStr(fa.path)},"partitionValues":{${pvJson(fa.partitionValues)}},""" +
           s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-          s""""dataChange":true,"deletionVector":${DeltaDv.descriptorJson(d)}}}""")
+          s""""dataChange":true,"deletionVector":${DeltaDv.descriptorJson(d)}$statsJson}}""")
     }
   }
 
@@ -1338,13 +1343,16 @@ object DeltaTableWriter {
         val st = fs.getFileStatus(new Path(tablePath, decodePathPublic(f.path)))
         val dvJson = f.dv.map(d => s""","deletionVector":${DeltaDv.descriptorJson(d)}""")
           .getOrElse("")
+        // re-activated files keep their stats — a restore re-points,
+        // it never rewrites bytes, so the recorded ranges still hold
+        val statsJson = f.stats.map(s0 => s""","stats":${jsonStr(s0)}""").getOrElse("")
         val rm = nowBy.get(f.path).map(_ =>
           s"""{"remove":{"path":${jsonStr(f.path)},"deletionTimestamp":$nowMs,""" +
             s""""dataChange":true}}""").toSeq
         rm :+ (s"""{"add":{"path":${jsonStr(f.path)},""" +
           s""""partitionValues":{${pvJson(f.partitionValues)}},""" +
           s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-          s""""dataChange":true$dvJson}}""")
+          s""""dataChange":true$dvJson$statsJson}}""")
       }.flatten
     // CDF obligation: a restore's change images are FILE-SET and
     // DV-POSITION diffs — never a whole-snapshot exceptAll:

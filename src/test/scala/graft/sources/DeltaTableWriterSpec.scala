@@ -362,6 +362,15 @@ class DeltaTableWriterSpec extends SparkSpec {
     // a column with no stats keeps everything (conservative)
     val noStats = DeltaTableReader.snapshotSkipping(spark, table, "nope", 0.0, 1.0)
     assert(noStats.count() == 1000L)
+    // stats SURVIVE a DV delete: the re-add carries them verbatim (a
+    // DV only masks rows — recorded ranges stay conservative-valid),
+    // so skipping keeps pruning deleted-from files
+    DeltaTableWriter.delete(spark, table, col("id") === 110L): Unit
+    val afterDv = DeltaTableReader.snapshotSkipping(spark, table, "id", 100.0, 120.0)
+    assert(afterDv.inputFiles.length == skipped.inputFiles.length,
+      s"DV re-adds must keep stats (${afterDv.inputFiles.length} vs " +
+        s"${skipped.inputFiles.length})")
+    assert(afterDv.where(col("id").between(100L, 120L)).count() == 20L)
     // add.stats SURVIVE checkpoint + log cleanup (PROTOCOL.md's
     // checkpoint schema carries them): the same narrow range keeps
     // pruning the same file subset when the checkpoint is the only
@@ -370,7 +379,7 @@ class DeltaTableWriterSpec extends SparkSpec {
     new java.io.File(s"$table/_delta_log").listFiles()
       .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
     val postCkpt = DeltaTableReader.snapshotSkipping(spark, table, "id", 100.0, 120.0)
-    assert(postCkpt.where(col("id").between(100L, 120L)).count() == 21L)
+    assert(postCkpt.where(col("id").between(100L, 120L)).count() == 20L)
     assert(postCkpt.inputFiles.length == skipped.inputFiles.length,
       s"checkpointed stats must prune like the JSON log did " +
         s"(${postCkpt.inputFiles.length} vs ${skipped.inputFiles.length})")
