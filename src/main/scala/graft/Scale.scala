@@ -1410,7 +1410,11 @@ object Scale {
       "q_hudi_ridx_mor", "q_hudi_cstats_mor", "q_hudi_schema_evolve_mor",
       "q_delta_nested", "q_iceberg_nested", "q_hudi_nested",
       // inspection views: metadata-only by require — the rows prove it
-      "q_iceberg_meta", "q_hudi_timeline", "q_delta_history")
+      "q_iceberg_meta", "q_hudi_timeline", "q_delta_history",
+      // round-18: type promotion (int-created half + long-appended
+      // half served widened — the scan-side widening cost is what the
+      // ratio shows)
+      "q_iceberg_promote")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))

@@ -992,7 +992,9 @@ object IcebergTableReader {
     range.find(s => s.operation != "append" && s.operation != "replace").foreach { s =>
       throw new IllegalStateException(
         s"$tablePath: snapshot ${s.id} is '${s.operation}', not an append — " +
-          "an append-scoped incremental read cannot represent it (read the snapshot instead)")
+          "an append-scoped incremental read cannot represent it; use " +
+          "changeFeedSince (CDC-grade: overwrite/delete snapshots become " +
+          "insert/delete images) or read the snapshot")
     }
     val appends = range.filter(_.operation == "append")
     val rangeIds = appends.map(_.id).toSet
