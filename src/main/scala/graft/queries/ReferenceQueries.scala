@@ -3161,6 +3161,10 @@ trait ReferenceQueries extends QueryBase {
   val qDeltaIncremental: QueryDef = QueryDef(
     run = (s, dir) => {
       val table = buildDeltaFixture(s, dir, scratch("delta-inc"))
+      // a mid-range COMPACTION (dataChange=false remove+re-add — the
+      // OPTIMIZE shape every production table runs) must be invisible
+      // to the checkpointed consumer: the pull is hash-identical
+      graft.sources.DeltaTableWriter.compact(s, table, targetFiles = 1): Unit
       graft.sources.DeltaTableReader.incrementalSince(s, table, sinceVersion = 1L)
         .groupBy(col("_commit_version"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
