@@ -138,10 +138,14 @@ object DeltaTableReader {
       "typeWidening", "typeWidening-preview")
 
   /** Cap on add entries pulled to the driver per snapshot resolution.
-    * At ~100 bytes a row this is ~100 MB of driver heap — the
-    * documented envelope. Larger tables must pass a partition pruner
-    * (the same prune-first contract Delta's own reader meets with its
-    * distributed file index).
+    * Each retained FileAction now CARRIES its `stats` string (so
+    * checkpoints and DV re-adds can re-emit it verbatim): the heap
+    * envelope is ~(100 bytes + stats bytes) per row — ~100 MB at the
+    * cap for stat-less rows, a few GB worst-case for very wide
+    * schemas whose stats run 1-5 KB per file. Wide tables near the
+    * cap should pass a partition pruner (the same prune-first
+    * contract Delta's own reader meets with its distributed file
+    * index) or lower the cap to their heap budget.
     */
   val MaxDriverFileActions: Int = 1000000
 

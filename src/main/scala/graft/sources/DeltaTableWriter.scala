@@ -1066,16 +1066,7 @@ object DeltaTableWriter {
         s"${logicalCols.sorted.mkString(",")} — mapped writes outside append carry the " +
         "exact declared set (evolve through append first)")
     val stampIds = mode == "id"
-    // id-mode NESTED refusal (write side): the projection stamps
-    // field ids through top-level Column metadata only — inner struct
-    // ids cannot ride it, and landing id-less inner fields would make
-    // the files unreadable to the id-mode reader's nested resolution
-    if (stampIds) declared.fields.foreach { f =>
-      if (DeltaTableReader.hasNestedMapping(f.dataType)) throw new IllegalStateException(
-        s"$tablePath: column ${f.name} carries nested mapped fields — an id-mode write " +
-          "cannot stamp inner parquet field ids; refusing rather than landing files " +
-          "the id-mode reader cannot resolve")
-    }
+    if (stampIds) refuseIdModeNested(declared, tablePath, "write")
     val physical = df.select(logicalCols.map { c =>
       val md = idOf.get(c) match {
         case Some(id) if stampIds => new org.apache.spark.sql.types.MetadataBuilder()
@@ -1098,6 +1089,20 @@ object DeltaTableWriter {
   private def isMapped(state: DeltaTableReader.Snapshot): Boolean =
     state.configuration.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id")
 
+  /** id-mode NESTED refusal, shared by every write projection: ids
+    * stamp through top-level Column metadata only — inner struct ids
+    * cannot ride it, and landing id-less inner fields would make the
+    * files unreadable to spec-compliant id-mode readers.
+    */
+  private def refuseIdModeNested(declared: org.apache.spark.sql.types.StructType,
+      tablePath: String, what: String): Unit =
+    declared.fields.foreach { f =>
+      if (DeltaTableReader.hasNestedMapping(f.dataType)) throw new IllegalStateException(
+        s"$tablePath: column ${f.name} carries nested mapped fields — an id-mode $what " +
+          "cannot stamp inner parquet field ids; refusing rather than landing files " +
+          "the id-mode reader cannot resolve")
+    }
+
   /** Physical projection for CHANGE-DATA rows on a column-mapped
     * table: data columns rename (inner fields cast) to physical —
     * id mode additionally stamps their `parquet.field.id` so the
@@ -1117,6 +1122,9 @@ object DeltaTableWriter {
     val physOf = DeltaTableReader.columnMappingOf(state.schemaJson, tablePath)
     val IdKey = "delta.columnMapping.id"
     val stampIds = state.configuration.get("delta.columnMapping.mode").contains("id")
+    // same contract as the data-file writes: id-mode change data must
+    // be spec-true at every level, and inner ids cannot be stamped
+    if (stampIds) refuseIdModeNested(declared, tablePath, "change-data write")
     val physical = rows.select(declared.fieldNames.toIndexedSeq.map { c =>
       val md = declared(c).metadata match {
         case m if stampIds && m.contains(IdKey) =>
@@ -1485,13 +1493,7 @@ object DeltaTableWriter {
       // table MIXING id-carrying and id-less files breaks any engine
       // whose field-id read flag is on
       val stampIds = mappingMode == "id"
-      // id-mode NESTED refusal (same contract as mappedWriteProjection)
-      if (stampIds) declared.fields.foreach { f =>
-        if (DeltaTableReader.hasNestedMapping(f.dataType)) throw new IllegalStateException(
-          s"$tablePath: column ${f.name} carries nested mapped fields — an id-mode " +
-            "append cannot stamp inner parquet field ids; refusing rather than landing " +
-            "files the id-mode reader cannot resolve")
-      }
+      if (stampIds) refuseIdModeNested(declared, tablePath, "append")
       val physical = df.select(outCols.map { c =>
         val md = idOf.get(c) match {
           case Some(id) if stampIds => new org.apache.spark.sql.types.MetadataBuilder()

@@ -754,7 +754,10 @@ object IcebergTableReader {
     * inference. Decimals parse their declared precision/scale (the
     * spec's `decimal(P, S)` form, space optional).
     */
-  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  /** The spec's `decimal(P, S)` primitive form (space optional) —
+    * shared with the writer's promotion check so the two sides can
+    * never drift on what parses as a decimal. */
+  private[sources] val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private def sparkTypeOf(t: String): Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     t match {
@@ -1022,8 +1025,17 @@ object IcebergTableReader {
       throw new IllegalArgumentException(
         s"$tablePath: snapshots after $sinceSnapshotId added no data files")
     }
+    // scan with the CURRENT declared schema (same rule as snapshot):
+    // files written before a schema evolution null-fill new columns,
+    // and files written before a TYPE PROMOTION widen at scan — a
+    // footer-inferred pull would serve the narrow physical type and
+    // type-wobble across pulls as the consumer's checkpoint advances
+    val reader = declaredSparkSchema(spark, tablePath) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
     perSnapshot.map { case (id, files) =>
-      spark.read.parquet(files.map(resolve(tablePath, _)): _*)
+      reader.parquet(files.map(resolve(tablePath, _)): _*)
         .withColumn("_snapshot_id", lit(id))
     }.reduce(_ unionByName _)
   }

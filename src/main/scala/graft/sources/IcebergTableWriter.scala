@@ -579,9 +579,10 @@ object IcebergTableWriter {
     }
   }
 
-  /** Promotion on the metadata's OWN primitive type strings. */
+  /** Promotion on the metadata's OWN primitive type strings (decimal
+    * grammar shared with the reader — [[IcebergTableReader.DecimalRe]]). */
   private def legalJsonPromotion(decl: String, tgt: String): Boolean = {
-    val Dec = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    val Dec = IcebergTableReader.DecimalRe
     (decl, tgt) match {
       case ("int", "long") => true
       case ("float", "double") => true
@@ -600,10 +601,10 @@ object IcebergTableWriter {
   private def promotedFieldNodes(st: SchemaState,
       schema: org.apache.spark.sql.types.StructType): (Seq[String], Boolean) = {
     var any = false
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val nodes = st.fields.map { case (id, name, raw) =>
       val tgt = schema.find(_.name == name).flatMap(f =>
         scala.util.Try(icebergTypeOf(f.dataType)).toOption)
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = mapper.readTree(raw)
       val declT = Option(node.get("type")).filter(_.isTextual).map(_.asText())
       (declT, tgt) match {
