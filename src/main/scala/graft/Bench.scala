@@ -112,8 +112,9 @@ object Bench {
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${names.size},"reps":$reps,"queries":$fullQs,"total_mean":${r3(totalMean)},"queries_mean":$fullMeans,"sf":"$sfDir"}"""
     // subset runs (local iteration) must never clobber the committed
     // full-suite artifact — a 4-query smoke overwriting the 231-query
-    // snapshot silently rewrites SURVEY's source of truth
-    if (subset.isEmpty)
+    // snapshot silently rewrites SURVEY's source of truth. Same for
+    // off-SF runs: an sf0.001 smoke is not the sf0.1 record.
+    if (subset.isEmpty && sfDir.contains("sf0.1"))
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
