@@ -289,4 +289,45 @@ object Sampling {
         row_number().over(Window.partitionBy(col(shardCol)).orderBy(col("_h"), col(keyCol))))
       .drop("_h")
   }
+
+  /** Deterministic WEIGHTED priority sample: the k rows per group
+    * with the smallest `hash(key)/weight` priority — heavier rows get
+    * proportionally smaller priorities, so they are proportionally
+    * more likely to make the cut, with ZERO randomness: re-running
+    * regenerates the identical sample on any engine. The priority is
+    * the multiplicative integer hash [[reproducibleStratified]] uses
+    * divided by the weight — IEEE division is exactly rounded, so the
+    * DOUBLE priorities (and the sample) are bit-identical across
+    * engines, which exponential keys (true Efraimidis-Spirakis,
+    * `-ln(u)/w`) cannot promise: `ln` is not correctly rounded and a
+    * one-ulp disagreement flips an ordering. Stated tradeoff: this is
+    * PRIORITY sampling with weight-scaled uniform priorities, not
+    * E-S-exact inclusion probabilities — the right trade when the
+    * sample must be reproducible engine-to-engine. Rows with
+    * non-positive weight are EXCLUDED by contract (weightless rows
+    * can never be sampled); ties break on the key, deterministically.
+    *
+    * Scale: one shuffle on `groupCol` for the window — the same shape
+    * as [[capPerGroup]]; the priority itself is a map-side projection.
+    * `keyCol` must be integral (hash strings first).
+    */
+  def weightedPriorityPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      rankCol: String = "pri_rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val m = 2147483648L // 2^31
+    val h = pmod(pmod(col(keyCol), lit(m)) * lit(2654435761L), lit(m))
+    df.filter(col(weightCol) > 0)
+      .withColumn("_g_pri", h.cast("double") / col(weightCol).cast("double"))
+      .withColumn(rankCol,
+        row_number().over(
+          Window.partitionBy(col(groupCol)).orderBy(col("_g_pri"), col(keyCol))))
+      .filter(col(rankCol) <= k)
+      .drop("_g_pri")
+  }
 }

@@ -241,6 +241,29 @@ trait LlmRetrievalQueries extends LlmCurationQueries {
         |             THEN CAST(round(0.25 * 2147483648) AS BIGINT)
         |             ELSE 2147483648 END""".stripMargin))
 
+  /** #41e Deterministic WEIGHTED priority sample per language: the 40
+    * docs per lang with the smallest hash(doc_id)/n_chars priority —
+    * longer documents proportionally likelier, zero randomness, and
+    * the oracle regenerates the IDENTICAL sample (integer hash +
+    * IEEE-exact division only — see Sampling.weightedPriorityPerGroup
+    * for why exponential keys can't cross engines).
+    */
+  val qWeightedSample: QueryDef = QueryDef(
+    run = (s, dir) =>
+      graft.operators.Sampling.weightedPriorityPerGroup(
+        t(s, dir, "documents"), groupCol = "lang", keyCol = "doc_id",
+        weightCol = "n_chars", k = 40)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("pri_rank")),
+    oracle = Some(
+      """SELECT doc_id, lang, n_chars, pri_rank FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST(((doc_id % 2147483648) * 2654435761) % 2147483648 AS DOUBLE)
+        |        / n_chars,
+        |      doc_id) AS pri_rank
+        |  FROM documents WHERE n_chars > 0
+        |) WHERE pri_rank <= 40""".stripMargin))
+
   /** #43c Deterministic negative sampling: 3 pseudo-random contrast
     * partners per document from a fixed integer schedule — the oracle
     * regenerates the identical (doc_id, j, neg_id) triples, so the

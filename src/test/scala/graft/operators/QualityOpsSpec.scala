@@ -164,6 +164,34 @@ class QualityOpsSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("weightedPriorityPerGroup: weight-sensitive, deterministic, non-positive weights excluded") {
+    val s = spark
+    import s.implicits._
+    // two weight classes in one group: heavy rows (w=1000) vs light
+    // (w=1) — with k = 1/4 of the rows, the heavy half must dominate
+    val rows = (1L to 400L).map(i => ("g", i, if (i % 2 == 0) 1000L else 1L))
+    val df = rows.toDF("grp", "id", "w")
+    val picked = Sampling.weightedPriorityPerGroup(df, "grp", "id", "w", k = 100)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(picked.length == 100)
+    val heavy = picked.count(_._2 == 1000L)
+    assert(heavy > 80, s"heavy rows must dominate the weighted sample, got $heavy/100")
+    // deterministic: identical sample on re-run
+    val again = Sampling.weightedPriorityPerGroup(df, "grp", "id", "w", k = 100)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(picked.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // per-group k and dense ranks
+    val multi = Sampling.weightedPriorityPerGroup(
+      (1L to 100L).map(i => (s"g${i % 2}", i, i)).toDF("grp", "id", "w"),
+      "grp", "id", "w", k = 10)
+    assert(multi.groupBy("grp").count().collect().forall(_.getLong(1) == 10L))
+    // zero/negative weights can never be sampled
+    val withDead = df.union(Seq(("g", 1000L, 0L), ("g", 1001L, -5L)).toDF("grp", "id", "w"))
+    val alive = Sampling.weightedPriorityPerGroup(withDead, "grp", "id", "w", k = 500)
+    assert(alive.where(col("id") >= 1000L).isEmpty)
+    assert(alive.count() == 400L)
+  }
+
   test("negativeSamples: k per anchor, in-range, deterministic, shuffle-free") {
     val docs = graft.sources.TableLoader.table(spark, sfDir, "documents").select("doc_id")
     val n = docs.count()
