@@ -114,7 +114,7 @@ object Bench {
     // full-suite artifact — a 4-query smoke overwriting the 231-query
     // snapshot silently rewrites SURVEY's source of truth. Same for
     // off-SF runs: an sf0.001 smoke is not the sf0.1 record.
-    if (subset.isEmpty && sfDir.contains("sf0.1"))
+    if (subset.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }

@@ -319,6 +319,14 @@ object Sampling {
       k: Int,
       rankCol: String = "pri_rank"): DataFrame = {
     require(k > 0, "k must be positive")
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"weightedPriorityPerGroup: keyCol '$keyCol' must be integral (got $other) — " +
+          "the documented priority is an integer multiplicative hash; hash string keys " +
+          "first (e.g. xxhash64) so the sample stays engine-reproducible")
+    }
     import org.apache.spark.sql.expressions.Window
     val m = 2147483648L // 2^31
     val h = pmod(pmod(col(keyCol), lit(m)) * lit(2654435761L), lit(m))

@@ -2108,6 +2108,55 @@ trait ReferenceQueries extends QueryBase {
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #104j (Delta leg) typeWidening WRITE side (delta.io PROTOCOL.md
+    * Type Widening): the table is created with o_orderkey as INT on a
+    * legacy protocol; appending the other half as LONG is the
+    * widening commit — metaData re-declares the column long WITH a
+    * `delta.typeChanges` entry (the feature's writer obligation), the
+    * protocol upgrades to declare typeWidening, and the snapshot
+    * serves BOTH halves widened (old int32 files through the
+    * declared-schema scan's conversion). In-run requires pin the
+    * bookkeeping; the oracle recomputes from the source table.
+    */
+  val qDeltaPromote: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-promote") + "/t"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      DeltaTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey").cast("int")), table): Unit
+      DeltaTableWriter.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      val state = DeltaTableReader.snapshotState(s, table)
+      val declared = org.apache.spark.sql.types.DataType
+        .fromJson(state.schemaJson.get)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(declared("o_orderkey").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "the widening must re-declare o_orderkey as long")
+      require(declared("o_orderkey").metadata.contains("delta.typeChanges") &&
+        declared("o_orderkey").metadata.getMetadataArray("delta.typeChanges")
+          .exists(m => m.getString("fromType") == "integer" &&
+            m.getString("toType") == "long"),
+        "the widening must record its delta.typeChanges entry")
+      require(state.protocol.exists(p =>
+        p.readerFeatures.contains("typeWidening") &&
+          p.writerFeatures.contains("typeWidening")),
+        "the widening must upgrade the protocol to declare typeWidening")
+      DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #104 External Iceberg table SNAPSHOT read
     * ([[graft.sources.IcebergTableReader]]): version-hint → metadata
     * JSON → the current snapshot's Avro manifest list → live data

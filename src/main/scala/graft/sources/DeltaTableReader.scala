@@ -138,14 +138,15 @@ object DeltaTableReader {
       "typeWidening", "typeWidening-preview")
 
   /** Cap on add entries pulled to the driver per snapshot resolution.
-    * Each retained FileAction now CARRIES its `stats` string (so
-    * checkpoints and DV re-adds can re-emit it verbatim): the heap
-    * envelope is ~(100 bytes + stats bytes) per row — ~100 MB at the
-    * cap for stat-less rows, a few GB worst-case for very wide
-    * schemas whose stats run 1-5 KB per file. Wide tables near the
-    * cap should pass a partition pruner (the same prune-first
-    * contract Delta's own reader meets with its distributed file
-    * index) or lower the cap to their heap budget.
+    * FileActions retain their `stats` string ONLY when the caller
+    * asks (`withStats = true` — checkpoint write, DV re-add, restore,
+    * which must re-emit stats verbatim): the default envelope is
+    * ~100 bytes per row (~100 MB at the cap); stats-carrying
+    * resolutions grow to (100 bytes + stats bytes) per row — a few GB
+    * worst-case for very wide schemas whose stats run 1-5 KB per
+    * file. Wide tables near the cap should pass a partition pruner
+    * (the same prune-first contract Delta's own reader meets with its
+    * distributed file index) or lower the cap to their heap budget.
     */
   val MaxDriverFileActions: Int = 1000000
 
@@ -421,7 +422,8 @@ object DeltaTableReader {
       partitionPruner: Map[String, String] => Boolean = _ => true,
       maxDriverFiles: Int = MaxDriverFileActions,
       asOf: Option[Long] = None,
-      statsPruner: Option[String => Boolean] = None): Snapshot = {
+      statsPruner: Option[String => Boolean] = None,
+      withStats: Boolean = false): Snapshot = {
     val dir = logDir(tablePath)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) throw new IllegalArgumentException(
@@ -612,8 +614,12 @@ object DeltaTableReader {
         // the surviving (path, partitionValues, dv, stats) tuples,
         // bounded — the stats string never reaches the driver for
         // files the pruners reject
+        // the stats string rides off the executors only when retained
+        // (withStats) or needed for the distributed prune filter —
+        // otherwise the collect carries ~100-byte rows regardless of
+        // how wide the table's stats are
         val statsCol =
-          if (addFields.contains("stats"))
+          if (addFields.contains("stats") && (withStats || statsPruner.isDefined))
             coalesce(col("add.stats"), lit("")).as("stats")
           else lit("").as("stats")
         val adds = addRows
@@ -635,7 +641,8 @@ object DeltaTableReader {
           val dv = if (a.dvJson == null || a.dvJson.isEmpty) None
             else dvOf(mapper.readTree(s"""{"deletionVector":${a.dvJson}}"""))
           active(a.path) = FileAction(a.path, a.partitionValues, dataChange = true, dv = dv,
-            stats = if (a.stats == null || a.stats.isEmpty) None else Some(a.stats))
+            stats = if (!withStats || a.stats == null || a.stats.isEmpty) None
+              else Some(a.stats))
         }
       }
       // a checkpoint's remove actions are expired tombstones — files
@@ -668,7 +675,8 @@ object DeltaTableReader {
         val node = mapper.readTree(line)
         refuseUnsupported(node, tablePath)
         if (node.has("add")) {
-          val a = fileActionOf(node.get("add"))
+          val a0 = fileActionOf(node.get("add"))
+          val a = if (withStats) a0 else a0.copy(stats = None)
           val statsOk = statsPruner.forall { p =>
             val st = node.get("add").get("stats")
             st == null || st.isNull || p(st.asText())
@@ -1075,7 +1083,9 @@ object DeltaTableReader {
     */
   private[sources] def snapshotWithKeys(spark: SparkSession,
       tablePath: String): (Snapshot, DataFrame) = {
-    val s = snapshotState(spark, tablePath)
+    // DV delete/upsert re-adds must re-emit each file's stats
+    // verbatim, so this resolution carries them
+    val s = snapshotState(spark, tablePath, withStats = true)
     (s, readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson,
       keepKeys = true, configuration = s.configuration))
   }

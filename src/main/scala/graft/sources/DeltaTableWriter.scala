@@ -63,7 +63,12 @@ object DeltaTableWriter {
     */
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "timestampNtz", "deletionVectors", "variantType",
-      "inCommitTimestamp", "v2Checkpoint")
+      "inCommitTimestamp", "v2Checkpoint",
+      // typeWidening's writer obligation — recording every widening in
+      // the field's delta.typeChanges metadata — is implemented in
+      // [[evolveSchemaIfNeeded]]; the -preview variant stays refused
+      // (its entries carry a different shape: tableVersion bookkeeping)
+      "typeWidening")
 
   /** Refuse an append the table's protocol or metadata makes unsafe.
     * Mirrors the reader's refuseReaderFeatures contract on the write
@@ -633,7 +638,7 @@ object DeltaTableWriter {
     // a protocol that REQUIRES the v2 layout
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val state = DeltaTableReader.snapshotState(spark, tablePath)
+    val state = DeltaTableReader.snapshotState(spark, tablePath, withStats = true)
     val txns = DeltaTableReader.transactionWatermarks(spark, tablePath)
     val fs = logDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dvType = StructType(Seq(
@@ -1312,9 +1317,10 @@ object DeltaTableWriter {
     * committed version.
     */
   def restore(spark: SparkSession, tablePath: String, version: Long): Long = {
-    val now = DeltaTableReader.snapshotState(spark, tablePath)
+    val now = DeltaTableReader.snapshotState(spark, tablePath, withStats = true)
     refuseWriterUnsupported(now, tablePath)
-    val then0 = DeltaTableReader.snapshotState(spark, tablePath, asOf = Some(version))
+    val then0 = DeltaTableReader.snapshotState(spark, tablePath, asOf = Some(version),
+      withStats = true)
     val nowBy = now.active.map(f => f.path -> f).toMap
     val thenBy = then0.active.map(f => f.path -> f).toMap
     val toRemove = now.active.filterNot(f => thenBy.contains(f.path))
@@ -1546,21 +1552,69 @@ object DeltaTableWriter {
     v
   }
 
-  /** Additive schema evolution per PROTOCOL.md (Schema Evolution):
-    * a batch carrying every declared column plus NEW ones commits an
-    * updated `metaData` whose schemaString appends the new columns as
-    * NULLABLE fields — files written before the evolution simply lack
-    * them and readers null-fill (the reader scans with the declared
-    * schema). Missing columns and TYPE CHANGES on existing columns
-    * refuse loudly (those are rewrite-grade migrations, not metadata
-    * commits). Returns (column order for the write, metaData action
-    * lines — empty when nothing evolves).
+  /** delta.io PROTOCOL.md primitive type names (the schema-JSON
+    * grammar, also what `delta.typeChanges` entries record). */
+  private def deltaTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => "byte"
+      case ShortType => "short"
+      case IntegerType => "integer"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case other => other.typeName
+    }
+  }
+
+  /** PROTOCOL.md Type Widening "Supported Type Changes", restricted
+    * to the conversions the declared-schema parquet scan actually
+    * serves (Spark 4's vectorized reader — the same set the Iceberg
+    * adapter admits as promotions, plus the integral upcast chain):
+    * byte→short→int→long, float→double, decimal precision growth at
+    * the SAME scale. The spec also allows scale growth (k1 ≥ k2 ≥ 0)
+    * and int→double/decimal, but those need value REWRITING at scan
+    * time that the vectorized reader does not perform — admitting
+    * them would widen the metadata while old files silently misread,
+    * so they stay refused.
+    */
+  private[sources] def legalWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** Additive schema evolution per PROTOCOL.md (Schema Evolution +
+    * Type Widening): a batch carrying every declared column plus NEW
+    * ones commits an updated `metaData` whose schemaString appends
+    * the new columns as NULLABLE fields — files written before the
+    * evolution simply lack them and readers null-fill (the reader
+    * scans with the declared schema). A batch carrying a LEGALLY
+    * WIDER type for an existing column ([[legalWidening]]) widens the
+    * declared type in the same metaData commit, records the change in
+    * the field's `delta.typeChanges` metadata (the typeWidening
+    * writer obligation), and upgrades the protocol to declare the
+    * feature when absent — old narrow files keep serving through the
+    * declared-schema scan's widening conversions. Missing columns and
+    * any OTHER type change refuse loudly (those are rewrite-grade
+    * migrations, not metadata commits). Returns (column order for the
+    * write, action lines — empty when nothing evolves).
     */
   private def evolveSchemaIfNeeded(state: DeltaTableReader.Snapshot,
       tablePath: String, df: DataFrame): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types._
     val declared = state.schemaJson
-      .flatMap(js => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js)).toOption)
-      .collect { case st: org.apache.spark.sql.types.StructType => st }
+      .flatMap(js => scala.util.Try(DataType.fromJson(js)).toOption)
+      .collect { case st: StructType => st }
       .getOrElse(throw new IllegalStateException(
         s"$tablePath: table metadata carries no parseable schemaString"))
     val tableCols = declared.fieldNames.toSeq
@@ -1569,18 +1623,58 @@ object DeltaTableWriter {
       s"$tablePath: batch columns ${df.columns.sorted.mkString(",")} lack declared " +
         s"column(s) ${missing.toSeq.sorted.mkString(",")} — writes must carry the full " +
         "declared schema (additive evolution only adds columns)")
-    tableCols.foreach { c =>
-      require(df.schema(c).dataType == declared(c).dataType,
+    val widenings: Seq[(String, DataType, DataType)] = tableCols.flatMap { c =>
+      val from = declared(c).dataType
+      val to = df.schema(c).dataType
+      if (to == from) None
+      else if (legalWidening(from, to)) Some((c, from, to))
+      else throw new IllegalArgumentException(
         s"$tablePath: schema evolution cannot change column $c from " +
-          s"${declared(c).dataType.simpleString} to ${df.schema(c).dataType.simpleString} " +
-          "— only NEW nullable columns may be added")
+          s"${from.simpleString} to ${to.simpleString} — only NEW nullable columns " +
+          "and typeWidening's legal widenings (byte→short→int→long, float→double, " +
+          "decimal precision growth at the same scale) are metadata commits; " +
+          "other changes are rewrites")
     }
     val extras = df.columns.filterNot(tableCols.contains).toSeq
-    if (extras.isEmpty) return (tableCols, Nil)
-    val widened = org.apache.spark.sql.types.StructType(
-      declared.fields ++ extras.map(c =>
-        org.apache.spark.sql.types.StructField(c, df.schema(c).dataType, nullable = true)))
-    (tableCols ++ extras, Seq(metaLineOf(state, widened, state.configuration)))
+    if (extras.isEmpty && widenings.isEmpty) return (tableCols, Nil)
+    val widenBy = widenings.map(w => w._1 -> w).toMap
+    val evolvedFields = declared.fields.map { f =>
+      widenBy.get(f.name) match {
+        case Some((_, from, to)) =>
+          // every widening APPENDS a delta.typeChanges entry — the
+          // full chain stays recorded so engines can validate any
+          // old file's physical type against it
+          val prior: Seq[Metadata] =
+            if (f.metadata.contains("delta.typeChanges"))
+              f.metadata.getMetadataArray("delta.typeChanges").toSeq
+            else Nil
+          val entry = new MetadataBuilder()
+            .putString("fromType", deltaTypeName(from))
+            .putString("toType", deltaTypeName(to)).build()
+          val md = new MetadataBuilder().withMetadata(f.metadata)
+            .putMetadataArray("delta.typeChanges", (prior :+ entry).toArray).build()
+          StructField(f.name, to, f.nullable, md)
+        case None => f
+      }
+    } ++ extras.map(c => StructField(c, df.schema(c).dataType, nullable = true))
+    val widened = StructType(evolvedFields)
+    // a widening is gated by the typeWidening table feature — declare
+    // it in the same commit when absent (same upgrade shape as the DV
+    // writer: existing features preserved, the new one appended)
+    val protoLine: Option[String] =
+      if (widenings.isEmpty) None
+      else {
+        val p = state.protocol.getOrElse(DeltaTableReader.Protocol(1, 2, Nil, Nil))
+        if (p.minReaderVersion >= 3 && p.readerFeatures.contains("typeWidening")) None
+        else Some {
+          val rf = (p.readerFeatures :+ "typeWidening").distinct.map(jsonStr).mkString(",")
+          val wf = (p.writerFeatures :+ "typeWidening").distinct.map(jsonStr).mkString(",")
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            s""""readerFeatures":[$rf],"writerFeatures":[$wf]}}"""
+        }
+      }
+    (tableCols ++ extras,
+      protoLine.toSeq :+ metaLineOf(state, widened, state.configuration))
   }
 
   /** One `metaData` action line: the snapshot's identity/partitioning

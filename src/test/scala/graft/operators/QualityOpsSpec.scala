@@ -190,6 +190,14 @@ class QualityOpsSpec extends SparkSpec {
     val alive = Sampling.weightedPriorityPerGroup(withDead, "grp", "id", "w", k = 500)
     assert(alive.where(col("id") >= 1000L).isEmpty)
     assert(alive.count() == 400L)
+    // non-integral keys refuse loudly — pmod would silently coerce a
+    // string/decimal key and the priorities would diverge from the
+    // documented integer hash (and any oracle)
+    val strKeyed = df.withColumn("sid", col("id").cast("string"))
+    val err = intercept[IllegalArgumentException] {
+      Sampling.weightedPriorityPerGroup(strKeyed, "grp", "sid", "w", k = 10)
+    }
+    assert(err.getMessage.contains("integral"))
   }
 
   test("negativeSamples: k per anchor, in-range, deterministic, shuffle-free") {

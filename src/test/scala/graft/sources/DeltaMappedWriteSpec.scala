@@ -226,12 +226,15 @@ class DeltaMappedWriteSpec extends SparkSpec {
       .agg(max(col("id"))).head().getLong(0) == 5L)
   }
 
-  test("id mode: NESTED mapped fields resolve by INNER field ids; id-mode nested writes refuse") {
+  test("id mode: NESTED mapped fields resolve by inner PHYSICAL NAMES; id-mode nested writes refuse") {
     // a converted table's files carry parquet field ids at EVERY
-    // struct level; the id-mode read requests the logical nested
-    // shape with inner parquet.field.id stamped from the inner
-    // delta.columnMapping.id metadata and Spark's field-id matcher
-    // recurses — physical names never consulted
+    // struct level; the id-mode read resolves the TOP level by field
+    // id (authoritative) but inner fields by their recorded
+    // delta.columnMapping.physicalName — inner ids deliberately do
+    // NOT ride the request because Spark's nested schema pruning
+    // rebuilds pruned inner structs WITHOUT field metadata, which
+    // would silently null any nested-field select
+    // (SparkPruningCanarySpec pins this premise)
     val table = tmpDir("dmw-nested-id") + "/t"
     new java.io.File(s"$table/_delta_log").mkdirs()
     def meta(id: Long, phys: String) = new MetadataBuilder()

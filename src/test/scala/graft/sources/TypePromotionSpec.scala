@@ -167,11 +167,73 @@ class TypePromotionSpec extends SparkSpec {
     assert(snap.schema("score").dataType == DoubleType)
     assert(snap.count() == 20L)
     assert(snap.agg(sum(col("id"))).head().getLong(0) == 210L)
-    // the WRITE side keeps refusing: typeWidening is a writer feature
-    // whose obligations (typeChanges bookkeeping on the schema) this
-    // writer does not implement — reading is honored, writing defers
-    val e = intercept[IllegalStateException](
-      DeltaTableWriter.append(longDf(21 to 30), table))
-    assert(e.getMessage.contains("typeWidening"))
+    // the WRITE side honors the feature too: an append to the
+    // externally-widened table lands wide files beside the narrow ones
+    DeltaTableWriter.append(longDf(21 to 30), table): Unit
+    val both = DeltaTableReader.snapshot(spark, table)
+    assert(both.count() == 30L)
+    assert(both.agg(sum(col("id"))).head().getLong(0) == 465L)
+  }
+
+  test("Delta: the WRITER widens via append — typeChanges recorded, protocol upgraded, narrow files keep serving") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("promo-delta-w") + "/t"
+    // v0: int/float table on a LEGACY 1/2 protocol
+    DeltaTableWriter.create(intDf(1 to 20), table): Unit
+    // the widening append: same columns, long/double — a metadata
+    // commit plus the wide data files, NOT a refusal
+    DeltaTableWriter.append(longDf(21 to 30), table): Unit
+    val snap = DeltaTableReader.snapshot(spark, table)
+    assert(snap.schema("id").dataType == LongType)
+    assert(snap.schema("score").dataType == DoubleType)
+    assert(snap.count() == 30L)
+    assert(snap.agg(sum(col("id"))).head().getLong(0) == 465L)
+    // pre-widening rows (physically int32/float) serve widened
+    assert(snap.where(col("id") === 7L).head().getAs[Double]("score") == 3.5d)
+    // the commit recorded its obligations: protocol declares
+    // typeWidening in BOTH feature lists, and each widened field
+    // carries a delta.typeChanges entry with the exact from/to names
+    val state = DeltaTableReader.snapshotState(spark, table)
+    val p = state.protocol.get
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(p.readerFeatures.contains("typeWidening"))
+    assert(p.writerFeatures.contains("typeWidening"))
+    val declared = DataType.fromJson(state.schemaJson.get).asInstanceOf[StructType]
+    def changes(c: String) =
+      declared(c).metadata.getMetadataArray("delta.typeChanges").toSeq
+    assert(changes("id").map(m =>
+      (m.getString("fromType"), m.getString("toType"))) == Seq(("integer", "long")))
+    assert(changes("score").map(m =>
+      (m.getString("fromType"), m.getString("toType"))) == Seq(("float", "double")))
+    assert(!declared("grp").metadata.contains("delta.typeChanges"))
+    // a SECOND append at the wide type is feature-gate clean (the
+    // upgraded protocol round-trips through the writer's own gate)
+    DeltaTableWriter.append(longDf(31 to 35), table): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 35L)
+    // decimal precision growth at the same scale widens; scale change
+    // and narrowing keep refusing
+    val dt = tmpDir("promo-delta-dec") + "/t"
+    val narrow = Seq((1L, BigDecimal("12.34")), (2L, BigDecimal("56.78")))
+      .toDF("id", "amt").select(col("id"), col("amt").cast(DecimalType(10, 2)).as("amt"))
+    DeltaTableWriter.create(narrow, dt): Unit
+    val wide = Seq((3L, BigDecimal("99999999.99")))
+      .toDF("id", "amt").select(col("id"), col("amt").cast(DecimalType(18, 2)).as("amt"))
+    DeltaTableWriter.append(wide, dt): Unit
+    val dsnap = DeltaTableReader.snapshot(spark, dt)
+    assert(dsnap.schema("amt").dataType == DecimalType(18, 2))
+    assert(dsnap.where(col("id") === 1L).head().getDecimal(1).toPlainString == "12.34")
+    val reScaled = Seq((4L, BigDecimal("1.234")))
+      .toDF("id", "amt").select(col("id"), col("amt").cast(DecimalType(18, 3)).as("amt"))
+    val e = intercept[IllegalArgumentException](DeltaTableWriter.append(reScaled, dt))
+    assert(e.getMessage.contains("widening"))
+    val narrowed = Seq((5L, BigDecimal("1.23")))
+      .toDF("id", "amt").select(col("id"), col("amt").cast(DecimalType(8, 2)).as("amt"))
+    val e2 = intercept[IllegalArgumentException](DeltaTableWriter.append(narrowed, dt))
+    assert(e2.getMessage.contains("widening"))
+    // string→long stays a rewrite-grade refusal
+    val bad = Seq((6L, "x")).toDF("id", "amt")
+    val e3 = intercept[IllegalArgumentException](DeltaTableWriter.append(bad, dt))
+    assert(e3.getMessage.contains("cannot change column"))
   }
 }
