@@ -328,6 +328,44 @@ object DeltaTableReader {
       case other => other
     }
 
+  /** [[physInnerType]] PLUS `parquet.field.id` on every inner struct
+    * field from its recorded `delta.columnMapping.id` — the
+    * fully-annotated cast target id-mode WRITES stamp landed files
+    * with, so the files are spec-true (ids at every nesting level)
+    * for external id-mode engines. READS keep requesting the id-LESS
+    * [[physInnerType]] shape (see [[fieldIdSchemaOf]] — Spark's
+    * nested pruning drops inner metadata, so inner ids on the request
+    * would null nested selects; on the WRITE side there is no pruning
+    * and the ids ride into the parquet footer). An inner mapped field
+    * LACKING an id refuses: landing id-less inner fields would make
+    * the file unreadable to spec-compliant id-mode readers.
+    */
+  private[sources] def physInnerTypeWithIds(
+      dt: org.apache.spark.sql.types.DataType,
+      tablePath: String): org.apache.spark.sql.types.DataType = {
+    val IdKey = "delta.columnMapping.id"
+    dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val n = if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+          else f.name
+        if (!f.metadata.contains(IdKey)) throw new IllegalStateException(
+          s"$tablePath: nested field ${f.name} carries no delta.columnMapping.id — " +
+            "an id-mode write cannot stamp its inner parquet field id; refusing " +
+            "rather than landing files id-mode readers cannot resolve")
+        StructField(n, physInnerTypeWithIds(f.dataType, tablePath), nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build())
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        org.apache.spark.sql.types.ArrayType(
+          physInnerTypeWithIds(a.elementType, tablePath), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        org.apache.spark.sql.types.MapType(m.keyType,
+          physInnerTypeWithIds(m.valueType, tablePath), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   /** `dt` with LOGICAL names at every level and metadata stripped —
     * the positional-cast target that renames a physically-named
     * nested value back to its declared shape. */

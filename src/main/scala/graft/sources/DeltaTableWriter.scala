@@ -1071,7 +1071,6 @@ object DeltaTableWriter {
         s"${logicalCols.sorted.mkString(",")} — mapped writes outside append carry the " +
         "exact declared set (evolve through append first)")
     val stampIds = mode == "id"
-    if (stampIds) refuseIdModeNested(declared, tablePath, "write")
     val physical = df.select(logicalCols.map { c =>
       val md = idOf.get(c) match {
         case Some(id) if stampIds => new org.apache.spark.sql.types.MetadataBuilder()
@@ -1081,10 +1080,14 @@ object DeltaTableWriter {
             "delta.columnMapping.id — an id-mode write cannot stamp its field id; refusing")
         case _ => org.apache.spark.sql.types.Metadata.empty
       }
+      // mapped INNER fields land under physical names; id mode
+      // additionally stamps inner parquet field ids through the
+      // fully-annotated cast target
       val base =
         if (DeltaTableReader.hasNestedMapping(declared(c).dataType))
-          org.apache.spark.sql.functions.col(c)
-            .cast(DeltaTableReader.physInnerType(declared(c).dataType))
+          org.apache.spark.sql.functions.col(c).cast(
+            if (stampIds) DeltaTableReader.physInnerTypeWithIds(declared(c).dataType, tablePath)
+            else DeltaTableReader.physInnerType(declared(c).dataType))
         else org.apache.spark.sql.functions.col(c)
       base.as(physOf.getOrElse(c, c), md)
     }: _*)
@@ -1093,20 +1096,6 @@ object DeltaTableWriter {
 
   private def isMapped(state: DeltaTableReader.Snapshot): Boolean =
     state.configuration.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id")
-
-  /** id-mode NESTED refusal, shared by every write projection: ids
-    * stamp through top-level Column metadata only — inner struct ids
-    * cannot ride it, and landing id-less inner fields would make the
-    * files unreadable to spec-compliant id-mode readers.
-    */
-  private def refuseIdModeNested(declared: org.apache.spark.sql.types.StructType,
-      tablePath: String, what: String): Unit =
-    declared.fields.foreach { f =>
-      if (DeltaTableReader.hasNestedMapping(f.dataType)) throw new IllegalStateException(
-        s"$tablePath: column ${f.name} carries nested mapped fields — an id-mode $what " +
-          "cannot stamp inner parquet field ids; refusing rather than landing files " +
-          "the id-mode reader cannot resolve")
-    }
 
   /** Physical projection for CHANGE-DATA rows on a column-mapped
     * table: data columns rename (inner fields cast) to physical —
@@ -1127,9 +1116,6 @@ object DeltaTableWriter {
     val physOf = DeltaTableReader.columnMappingOf(state.schemaJson, tablePath)
     val IdKey = "delta.columnMapping.id"
     val stampIds = state.configuration.get("delta.columnMapping.mode").contains("id")
-    // same contract as the data-file writes: id-mode change data must
-    // be spec-true at every level, and inner ids cannot be stamped
-    if (stampIds) refuseIdModeNested(declared, tablePath, "change-data write")
     val physical = rows.select(declared.fieldNames.toIndexedSeq.map { c =>
       val md = declared(c).metadata match {
         case m if stampIds && m.contains(IdKey) =>
@@ -1140,10 +1126,14 @@ object DeltaTableWriter {
             "delta.columnMapping.id — id-mode change data cannot stamp its field id; refusing")
         case _ => org.apache.spark.sql.types.Metadata.empty
       }
+      // same contract as the data-file writes: id-mode change data is
+      // spec-true at every level — inner ids stamp via the annotated
+      // cast target
       val base =
         if (DeltaTableReader.hasNestedMapping(declared(c).dataType))
-          org.apache.spark.sql.functions.col(c)
-            .cast(DeltaTableReader.physInnerType(declared(c).dataType))
+          org.apache.spark.sql.functions.col(c).cast(
+            if (stampIds) DeltaTableReader.physInnerTypeWithIds(declared(c).dataType, tablePath)
+            else DeltaTableReader.physInnerType(declared(c).dataType))
         else org.apache.spark.sql.functions.col(c)
       base.as(physOf.getOrElse(c, c), md)
     } :+ org.apache.spark.sql.functions.col("_change_type"): _*)
@@ -1499,7 +1489,6 @@ object DeltaTableWriter {
       // table MIXING id-carrying and id-less files breaks any engine
       // whose field-id read flag is on
       val stampIds = mappingMode == "id"
-      if (stampIds) refuseIdModeNested(declared, tablePath, "append")
       val physical = df.select(outCols.map { c =>
         val md = idOf.get(c) match {
           case Some(id) if stampIds => new org.apache.spark.sql.types.MetadataBuilder()
@@ -1510,12 +1499,14 @@ object DeltaTableWriter {
           case _ => org.apache.spark.sql.types.Metadata.empty
         }
         // mapped INNER fields land under their physical names too —
-        // the positional struct cast is the rename
+        // the positional struct cast is the rename; id mode's cast
+        // target additionally carries inner parquet field ids
         val base =
           if (declared.fieldNames.contains(c) &&
               DeltaTableReader.hasNestedMapping(declared(c).dataType))
-            org.apache.spark.sql.functions.col(c)
-              .cast(DeltaTableReader.physInnerType(declared(c).dataType))
+            org.apache.spark.sql.functions.col(c).cast(
+              if (stampIds) DeltaTableReader.physInnerTypeWithIds(declared(c).dataType, tablePath)
+              else DeltaTableReader.physInnerType(declared(c).dataType))
           else org.apache.spark.sql.functions.col(c)
         base.as(physOf.getOrElse(c, c), md)
       }: _*)

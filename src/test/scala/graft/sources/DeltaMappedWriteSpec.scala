@@ -226,7 +226,7 @@ class DeltaMappedWriteSpec extends SparkSpec {
       .agg(max(col("id"))).head().getLong(0) == 5L)
   }
 
-  test("id mode: NESTED mapped fields resolve by inner PHYSICAL NAMES; id-mode nested writes refuse") {
+  test("id mode: NESTED mapped fields resolve by inner PHYSICAL NAMES; id-mode nested WRITES stamp inner ids") {
     // a converted table's files carry parquet field ids at EVERY
     // struct level; the id-mode read resolves the TOP level by field
     // id (authoritative) but inner fields by their recorded
@@ -285,11 +285,36 @@ class DeltaMappedWriteSpec extends SparkSpec {
     assert(snap.count() == 10L)
     assert(snap.where(col("k") === 3L).select(col("cust.name")).head().getString(0) == "n3")
     assert(snap.agg(sum(col("cust.score"))).head().getLong(0) == 550L)
-    // the WRITE side refuses: inner ids cannot ride top-level Column
-    // metadata, and id-less inner fields would be unreadable above
-    val e = intercept[IllegalStateException](DeltaTableWriter.upsert(
-      snap.limit(1), table, keys = Seq("k")))
-    assert(e.getMessage.contains("nested mapped fields"), e.getMessage)
+    // the WRITE side lands spec-true nested files: the upsert's data
+    // file carries physical names AND parquet field ids at EVERY
+    // struct level (the fully-annotated cast target +
+    // fieldId.write.enabled), so external id-mode engines resolve it
+    val s2 = spark
+    import s2.implicits._
+    val batch = Seq((("nX", 999L), 3L)).toDF("cust", "k")
+      .select(col("cust").cast(snap.schema("cust").dataType).as("cust"), col("k"))
+    DeltaTableWriter.upsert(batch, table, keys = Seq("k")): Unit
+    val after = DeltaTableReader.snapshot(spark, table)
+    assert(after.count() == 10L)
+    assert(after.where(col("k") === 3L).select(col("cust.score")).head().getLong(0) == 999L)
+    assert(after.where(col("k") === 3L).select(col("cust.name")).head().getString(0) == "nX")
+    // footer proof on the landed file: inner fields carry their ids
+    val landed = new java.io.File(table).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.getName != "part-n.parquet")
+    assert(landed.nonEmpty, "the upsert must land a new data file")
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(landed.head.getAbsolutePath))
+    val msgType = footer.getFileMetaData.getSchema
+    val top = msgType.getFields.asScala.map(t => t.getName -> Option(t.getId)).toMap
+    assert(top("p_top").map(_.intValue()).contains(1), s"top-level id must stamp: $top")
+    assert(top("p_k").map(_.intValue()).contains(4), s"top-level id must stamp: $top")
+    val innerFields = msgType.getType(Seq("p_top"): _*).asGroupType().getFields.asScala
+      .map(t => t.getName -> Option(t.getId)).toMap
+    assert(innerFields("p_name").map(_.intValue()).contains(2),
+      s"INNER field ids must stamp (physical names + ids at every level): $innerFields")
+    assert(innerFields("p_score").map(_.intValue()).contains(3),
+      s"INNER field ids must stamp: $innerFields")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
