@@ -1241,13 +1241,13 @@ object DeltaTableReader {
         refuseUnsupported(node, tablePath)
         if (node.has("remove") &&
             Option(node.get("remove").get("dataChange")).forall(_.asBoolean(true)))
-          throw new IllegalStateException(
+          throw new AppendScopedRangeException(
             s"$tablePath: commit $v removes data files — not an append; " +
               s"incremental read since $sinceVersion cannot represent rewrites/deletes " +
               "(read the snapshot instead, or consume a CDC feed)")
         if (node.has("add")) {
           val a = fileActionOf(node.get("add"))
-          if (a.dv.isDefined) throw new IllegalStateException(
+          if (a.dv.isDefined) throw new AppendScopedRangeException(
             s"$tablePath: commit $v attaches a deletion vector to ${a.path} — a row " +
               s"delete, not an append; incremental read since $sinceVersion cannot " +
               "represent it (read the snapshot instead, or consume a CDC feed)")

@@ -993,7 +993,7 @@ object IcebergTableReader {
   def incrementalSince(spark: SparkSession, tablePath: String, sinceSnapshotId: Long): DataFrame = {
     val range = chainSince(spark, tablePath, sinceSnapshotId)
     range.find(s => s.operation != "append" && s.operation != "replace").foreach { s =>
-      throw new IllegalStateException(
+      throw new AppendScopedRangeException(
         s"$tablePath: snapshot ${s.id} is '${s.operation}', not an append — " +
           "an append-scoped incremental read cannot represent it; use " +
           "changeFeedSince (CDC-grade: overwrite/delete snapshots become " +

@@ -250,6 +250,18 @@ object TableLoader {
     * rows past the returned token; they re-deliver next pull —
     * the documented at-least-once duplicates, same as
     * [[IncrementalReader.pull]].
+    *
+    * A range containing ROW-CHANGING commits (a mid-range
+    * overwrite/delete — every production table eventually commits
+    * one) makes the append-scoped pull refuse with
+    * [[AppendScopedRangeException]]; the consumer AUTO-FOLLOWS that
+    * refusal to the CDC-grade [[openChangeFeed]] instead of dying.
+    * The increment then carries a `_change_type` column — the
+    * explicit marker downstream uses to apply deletes/updates rather
+    * than blind-appending (which would be wrong across an overwrite
+    * no matter what this method returned). Formats with no CDC feed
+    * to fall back to (Hudi COW without cdc.enabled) keep the loud
+    * refusal.
     */
   def pullIncremental(spark: SparkSession, path: String, tableName: String,
       store: CheckpointStore): Option[(DataFrame, String)] = {
@@ -257,7 +269,14 @@ object TableLoader {
     store.read(tableName) match {
       case None => Some((open(spark, path), head))
       case Some(cp) if cp.lastProcessedCommit == head => None
-      case Some(cp) => Some((openIncremental(spark, path, cp.lastProcessedCommit), head))
+      case Some(cp) =>
+        val inc =
+          try openIncremental(spark, path, cp.lastProcessedCommit)
+          catch {
+            case _: AppendScopedRangeException =>
+              openChangeFeed(spark, path, cp.lastProcessedCommit)
+          }
+        Some((inc, head))
     }
   }
 

@@ -118,6 +118,70 @@ class TableLoaderOpenSpec extends SparkSpec {
     assert(TableLoader.pullIncremental(spark, h, "orders_h", store).isEmpty)
   }
 
+  test("checkpointed consumer SURVIVES a mid-range overwrite: the pull auto-follows the refusal to the CDC feed") {
+    import org.apache.spark.sql.DataFrame
+    val store = new CheckpointStore(tmpDir("cc-ow-store"),
+      spark.sparkContext.hadoopConfiguration)
+
+    // Iceberg leg: after the checkpoint, an append AND an upsert (an
+    // `overwrite` snapshot — equality deletes) land; the append-scoped
+    // pull cannot represent the range, and instead of dying the
+    // consumer receives the CDC-grade feed, marked by _change_type
+    val t = tmpDir("cc-ow-ice") + "/t"
+    IcebergTableWriter.create(rows(1 to 30), t): Unit
+    val Some((boot, tok1)) = TableLoader.pullIncremental(spark, t, "ow_ice", store): @unchecked
+    assert(boot.count() == 30L)
+    TableLoader.commitToken(t, "ow_ice", store, tok1)
+    IcebergTableWriter.append(rows(31 to 40), t): Unit
+    IcebergTableWriter.upsert(rows(5 to 8).withColumn("v", lit(999L)), t, Seq("id")): Unit
+    val Some((inc, tok2)) = TableLoader.pullIncremental(spark, t, "ow_ice", store): @unchecked
+    assert(inc.columns.contains("_change_type"),
+      "the overwrite-containing range must arrive CDC-shaped")
+    // folding the feed onto the consumer's mirror reproduces the live
+    // snapshot — the correctness a blind append could never give
+    var mirror: DataFrame = TableLoader.openAsOf(spark, t, tok1).select("id", "v")
+    inc.select("_snapshot_id").distinct().collect().map(_.getLong(0)).sorted.foreach { sid =>
+      val dels = inc.where(col("_snapshot_id") === sid && col("_change_type") === "delete")
+      val ins = inc.where(col("_snapshot_id") === sid && col("_change_type") === "insert")
+        .select("id", "v")
+      mirror =
+        (if (dels.isEmpty) mirror
+         else if (dels.where(col("v").isNull).count() == dels.count())
+           mirror.join(dels.select("id"), Seq("id"), "left_anti") // key-images
+         else mirror.join(dels.select("id", "v"), Seq("id", "v"), "left_anti"))
+          .unionByName(ins)
+    }
+    val live = TableLoader.open(spark, t).select("id", "v")
+    assert(mirror.exceptAll(live).isEmpty && live.exceptAll(mirror).isEmpty,
+      "folding the fallback feed must reproduce the live snapshot")
+    TableLoader.commitToken(t, "ow_ice", store, tok2)
+    assert(TableLoader.pullIncremental(spark, t, "ow_ice", store).isEmpty)
+
+    // Delta leg: a mid-range DV delete triggers the same fallback;
+    // delete images are FULL pre-images there, so the fold is by row
+    val d = tmpDir("cc-ow-delta") + "/t"
+    DeltaTableWriter.create(rows(1 to 20), d): Unit
+    val Some((_, dtok1)) = TableLoader.pullIncremental(spark, d, "ow_delta", store): @unchecked
+    TableLoader.commitToken(d, "ow_delta", store, dtok1)
+    DeltaTableWriter.append(rows(21 to 25), d): Unit
+    DeltaTableWriter.delete(spark, d, col("id") <= 3L): Unit
+    val Some((dinc, dtok2)) = TableLoader.pullIncremental(spark, d, "ow_delta", store): @unchecked
+    assert(dinc.columns.contains("_change_type"))
+    var dm: DataFrame = TableLoader.openAsOf(spark, d, dtok1).select("id", "v")
+    dinc.select("_commit_version").distinct().collect().map(_.getLong(0)).sorted.foreach { v =>
+      val dels = dinc.where(col("_commit_version") === v && col("_change_type") === "delete")
+        .select("id", "v")
+      val ins = dinc.where(col("_commit_version") === v && col("_change_type") === "insert")
+        .select("id", "v")
+      dm = dm.join(dels, Seq("id", "v"), "left_anti").unionByName(ins)
+    }
+    val dlive = TableLoader.open(spark, d).select("id", "v")
+    assert(dm.exceptAll(dlive).isEmpty && dlive.exceptAll(dm).isEmpty)
+    assert(dlive.count() == 22L) // 25 - 3 deleted
+    TableLoader.commitToken(d, "ow_delta", store, dtok2)
+    assert(TableLoader.pullIncremental(spark, d, "ow_delta", store).isEmpty)
+  }
+
   test("openAsOf: one token, any format's time travel") {
     // graft versioned: version 1 before the second upsert
     val g = tmpDir("asof-graft")
