@@ -1214,9 +1214,7 @@ object HudiTableWriter {
       val slices = clean.flatMap(_.base)
       val perFile = colStatsOf(spark, tablePath, slices, columns)
       val fidOf = clean.flatMap(g => g.base.map(b => b.path -> g.fileId)).toMap
-      perFile.withColumn("_g_file",
-        org.apache.spark.sql.functions.udf((p: String) => fidOf.getOrElse(p, p))
-          .apply(c("_g_file")))
+      remapFileCol(spark, perFile, fidOf, "_g_file")
     }
     if (dirty.isEmpty) return cleanStats
     val schema = HudiTableReader.morSchema(spark, tablePath, groups)
@@ -1229,6 +1227,26 @@ object HudiTableWriter {
       .groupBy(c("_g_fid").as("_g_file"))
       .agg(aggs.head, aggs.tail: _*)
     if (clean.isEmpty) dirtyStats else cleanStats.unionByName(dirtyStats)
+  }
+
+  /** Replace `colName` string values through a driver-known
+    * (|files|-bounded) mapping via a BROADCAST join — the uniform
+    * post-aggregate path-remapping shape ([[recordEntriesOf]] set the
+    * pattern for the hot path; these frames are |files|-row, but the
+    * join keeps the plan UDF-free and codegen-clean everywhere).
+    * Unmatched values pass through unchanged. */
+  private def remapFileCol(spark: SparkSession, df: DataFrame,
+      mapping: Map[String, String], colName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, broadcast, coalesce}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    if (mapping.isEmpty) return df
+    val rows = mapping.toSeq.map { case (k, v) => org.apache.spark.sql.Row(k, v) }
+    val mapDf = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("_g_map_from", StringType), StructField("_g_map_to", StringType))))
+    df.join(broadcast(mapDf), df(colName) === mapDf("_g_map_from"), "left")
+      .withColumn(colName, coalesce(c("_g_map_to"), c(colName)))
+      .drop("_g_map_from", "_g_map_to")
   }
 
   /** Per-file min/max of `columns` over `slices`, in ONE distributed
@@ -1259,10 +1277,9 @@ object HudiTableWriter {
       s"$tablePath: col-stats column $cn is not a table column"))
     val aggs = columns.flatMap(cn =>
       Seq(mn(c(cn)).as(s"min_$cn"), mx(c(cn)).as(s"max_$cn")))
-    scan.groupBy(c("_g_file")).agg(aggs.head, aggs.tail: _*)
-      .withColumn("_g_file",
-        org.apache.spark.sql.functions.udf((p: String) => absToRel.getOrElse(p, p))
-          .apply(c("_g_file")))
+    remapFileCol(spark,
+      scan.groupBy(c("_g_file")).agg(aggs.head, aggs.tail: _*),
+      absToRel, "_g_file")
   }
 
   private def landColStats(spark: SparkSession, tablePath: String,
@@ -1439,15 +1456,15 @@ object HudiTableWriter {
     }
     val absToRel = slices.map(s0 =>
       ScanPaths.normalizeDriver(s"$tablePath/${s0.path}") -> s0.path).toMap
-    val relUdf = udf((p: String) => absToRel.getOrElse(p, p))
-    spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
-      .select(c("_hoodie_record_key").as("_g_key"),
-        ScanPaths.normalizeScan(c("_metadata.file_path")).as("_g_file"))
-      .groupBy(c("_g_file"))
-      .agg(sort_array(collect_set(
-        pmod(xxhash64(c("_g_key")), lit(m.toLong)))).as("bits"))
-      .withColumn("m", lit(m.toLong))
-      .withColumn("_g_file", relUdf(c("_g_file")))
+    remapFileCol(spark,
+      spark.read.parquet(slices.map(s0 => s"$tablePath/${s0.path}"): _*)
+        .select(c("_hoodie_record_key").as("_g_key"),
+          ScanPaths.normalizeScan(c("_metadata.file_path")).as("_g_file"))
+        .groupBy(c("_g_file"))
+        .agg(sort_array(collect_set(
+          pmod(xxhash64(c("_g_key")), lit(m.toLong)))).as("bits"))
+        .withColumn("m", lit(m.toLong)),
+      absToRel, "_g_file")
   }
 
   private def landBloomIndex(spark: SparkSession, tablePath: String,
