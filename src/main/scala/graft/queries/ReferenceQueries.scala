@@ -778,6 +778,42 @@ trait ReferenceQueries extends QueryBase {
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #103y REAL Hudi METADATA TABLE interop
+    * ([[graft.sources.HudiMetadataTable]] + [[graft.sources.HudiHFile]]):
+    * the `files` partition publishes as an HFile base file in the
+    * public HBase v3 format and planning STARTS from it — production
+    * Hudi tables (metadata default-on since 0.11) carry exactly this
+    * index, and the listing cut is its reason to exist on object
+    * storage. In-run proof: every pre-index commit meta is corrupted
+    * after the publish, so a plan that replayed (or listed through)
+    * them would throw — serving the exact aggregate is the witness
+    * that the listing came from the metadata table alone.
+    */
+  val qHudiMetadataTable: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{HudiMetadataTable, HudiTableReader, HudiTableWriter}
+      val table = scratch("hudi-mdt") + "/t"
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      HudiTableWriter.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0).repartition(3),
+        table, recordKeys = Seq("o_orderkey")): Unit
+      HudiTableWriter.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      HudiMetadataTable.writeFilesPartition(s, table): Unit
+      new java.io.File(s"$table/.hoodie").listFiles()
+        .filter(_.getName.endsWith(".commit"))
+        .foreach(f => java.nio.file.Files.write(f.toPath, "x".getBytes("UTF-8")))
+      HudiTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** Build an external MERGE-ON-READ Hudi fixture: hoodie.properties
     * declares MERGE_ON_READ; commit c1 writes base files g1 (%3=0)
     * and g2 (%3=1); deltacommit dc2 lands updates for g1 in a LOG

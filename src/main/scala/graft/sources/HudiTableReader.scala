@@ -270,7 +270,9 @@ object HudiTableReader {
     val fs = fsOf(spark, hoodieDir(tablePath))
     val timeline = instants(spark, tablePath)
     val indexed =
-      if (upTo.isDefined) None else filesIndexState(spark, tablePath, timeline)
+      if (upTo.isDefined) None
+      else filesIndexState(spark, tablePath, timeline)
+        .orElse(externalFilesIndexState(spark, tablePath, timeline))
     val latest = scala.collection.mutable.LinkedHashMap.empty[String, SliceWrite]
     indexed.foreach(_._2.foreach(g => g.base.foreach(b => latest(g.fileId) = b)))
     val from = indexed.map(_._1)
@@ -310,11 +312,18 @@ object HudiTableReader {
     // every commit JSON on every scan
     val memoKey = (tablePath, timeline.lastOption.map(_._1).getOrElse(""), timeline.size)
     schemaMemo.computeIfAbsent(memoKey, { _ =>
-      def schemaKeyOf(instant: String, kind: String): Option[String] = {
-        val node = mapper.readTree(instantMetaText(fs, tablePath, instant, kind))
-        Option(node.get("extraMetadata")).flatMap(em => Option(em.get("schema")))
-          .map(_.asText())
-      }
+      def schemaKeyOf(instant: String, kind: String): Option[String] =
+        // the walk is an ACCELERATION-ONLY authority (divergence
+        // detection; None → footer inference): a meta that cannot be
+        // read stamps nothing rather than killing the scan — planning
+        // correctness never passes through here, and with an external
+        // metadata-table index the pre-index metas are legitimately
+        // archivable/unreadable while the table stays fully servable
+        scala.util.Try {
+          val node = mapper.readTree(instantMetaText(fs, tablePath, instant, kind))
+          Option(node.get("extraMetadata")).flatMap(em => Option(em.get("schema")))
+            .map(_.asText())
+        }.toOption.flatten
       // the FILES INDEX sidecar snapshots the authority as of the
       // index instant — only post-index metas open (the same O(delta)
       // planning contract the index gives file listing); an index
@@ -517,21 +526,50 @@ object HudiTableReader {
     Some((pick, groups))
   }
 
+  /** A REAL Hudi metadata table's `files` partition as a planning
+    * start point — the external-table analog of [[filesIndexState]]
+    * (hudi.apache.org: metadata table default-ON since 0.11, HFile
+    * base files, [[HudiMetadataTable]]): file-group state derives
+    * from the newest on-timeline `files` HFile's listing, then
+    * file groups REPLACED by replacecommits at or before the index
+    * instant drop (the listing keeps replaced files on disk until the
+    * cleaner runs — real Hudi's view filters them through the active
+    * timeline exactly like this, O(|replacecommits|) meta reads).
+    * Unreadable/absent metadata degrades to None: the index
+    * accelerates planning, it never gates a read.
+    */
+  private[sources] def externalFilesIndexState(spark: SparkSession, tablePath: String,
+      timeline: Seq[(String, String)]): Option[(String, Seq[GroupSlices])] = {
+    val fs = fsOf(spark, hoodieDir(tablePath))
+    HudiMetadataTable.filesListing(spark, tablePath, timeline.map(_._1).toSet)
+      .map { case (instant, listing) =>
+        val groups = HudiMetadataTable.groupSlices(listing)
+        val replaced = timeline
+          .filter { case (i, k) => k == "replacecommit" && i <= instant }
+          .flatMap { case (i, _) => replacedIdsOf(fs, tablePath, i) }.toSet
+        (instant,
+          if (replaced.isEmpty) groups else groups.filterNot(g => replaced.contains(g.fileId)))
+      }
+  }
+
   /** Replay the FULL timeline (commits, deltacommits, replacecommits)
     * into per-file-group state: a parquet write repoints the group's
     * base and CLEARS its pending logs (an ordinary commit, a MOR
     * compaction, or a deltacommit's first base file); a log-file write
     * appends to the group's pending logs; a clustering replacecommit
     * drops its replaced groups. Head-of-timeline plans (upTo = None)
-    * START from the newest files index when one exists and replay
-    * only the instants after it.
+    * START from the newest files index when one exists — graft's
+    * parquet index first, a REAL Hudi metadata table's `files` HFile
+    * otherwise — and replay only the instants after it.
     */
   private[sources] def morGroups(spark: SparkSession, tablePath: String,
       upTo: Option[String] = None): Seq[GroupSlices] = {
     val fs = fsOf(spark, hoodieDir(tablePath))
     val timeline = timelineInstants(spark, tablePath, allowMor = true)
     val indexed =
-      if (upTo.isDefined) None else filesIndexState(spark, tablePath, timeline)
+      if (upTo.isDefined) None
+      else filesIndexState(spark, tablePath, timeline)
+        .orElse(externalFilesIndexState(spark, tablePath, timeline))
     val state = scala.collection.mutable.LinkedHashMap.empty[String, GroupSlices]
     indexed.foreach(_._2.foreach(g => state(g.fileId) = g))
     val from = indexed.map(_._1)

@@ -1,0 +1,196 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** REAL Hudi metadata-table interop: [[HudiHFile]] (the HFile v3
+  * codec, from the HBase book's "HFile format" appendix + the public
+  * HFile.proto) and [[HudiMetadataTable]] (the `files` partition's
+  * HoodieMetadataRecord listing, hudi.apache.org tech specs). The
+  * planning proof mirrors HudiFilesIndexSpec: with an
+  * externally-shaped `files` HFile present, the snapshot's listing
+  * comes FROM the metadata table — pre-index commit metas are
+  * corrupted and must never be opened — and post-index commits
+  * replay on top. Structural constants are pinned against the
+  * published layout so the writer/reader pair cannot drift together
+  * silently.
+  */
+class HudiHFileSpec extends SparkSpec {
+
+  private def df(r: Range, v: Long => Long = _ * 2L) = {
+    val s = spark
+    import s.implicits._
+    r.map(i => (i.toLong, s"k$i", v(i.toLong))).toDF("id", "key", "v")
+  }
+
+  /** Minimal public HoodieMetadataRecord shape (key/type/
+    * filesystemMetadata) — what the `files` partition carries. */
+  private val MetaAvsc =
+    """{"type":"record","name":"HoodieMetadataRecord","namespace":"org.apache.hudi.avro.model","fields":[
+      |{"name":"key","type":"string"},
+      |{"name":"type","type":"int"},
+      |{"name":"filesystemMetadata","type":["null",{"type":"map","values":
+      |  {"type":"record","name":"HoodieMetadataFileInfo","fields":[
+      |    {"name":"size","type":"long"},{"name":"isDeleted","type":"boolean"}]}}],
+      | "default":null}]}""".stripMargin
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  /** Hand-build the metadata table's `files` partition from the DATA
+    * table's actual directory state — the externally-shaped fixture
+    * (an HFile named like a Hudi base file, records per partition,
+    * schema riding file info). `dropFiles` simulates cleaner state:
+    * those names land with isDeleted=true.
+    */
+  private def buildFilesHFile(table: String, instant: String,
+      dropFiles: Set[String] = Set.empty): Unit = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val schema = new org.apache.avro.Schema.Parser().parse(MetaAvsc)
+    val fiSchema = schema.getField("filesystemMetadata").schema()
+      .getTypes.get(1).getValueType
+    def fileInfo(size: Long, deleted: Boolean): GenericData.Record = {
+      val r = new GenericData.Record(fiSchema)
+      r.put("size", size); r.put("isDeleted", deleted); r
+    }
+    def record(key: String, tpe: Int, files: Seq[(String, Long)]): (String, Array[Byte]) = {
+      val r = new GenericData.Record(schema)
+      r.put("key", key); r.put("type", tpe)
+      val m = new java.util.HashMap[String, GenericData.Record]()
+      files.foreach { case (n, sz) => m.put(n, fileInfo(sz, dropFiles.contains(n))) }
+      r.put("filesystemMetadata", m)
+      val bos = new java.io.ByteArrayOutputStream()
+      val e = EncoderFactory.get().binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](schema).write(r, e)
+      e.flush()
+      (key, bos.toByteArray)
+    }
+    def filesIn(dir: java.io.File): Seq[(String, Long)] =
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.endsWith(".crc") &&
+          (f.getName.endsWith(".parquet") || f.getName.contains(".log.")))
+        .map(f => f.getName -> f.length()).toSeq.sortBy(_._1)
+    val root = new java.io.File(table)
+    val parts: Seq[(String, Seq[(String, Long)])] = {
+      val rootFiles = filesIn(root)
+      val sub = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(d => d.isDirectory && d.getName != ".hoodie" && !d.getName.startsWith("."))
+        .map(d => d.getName -> filesIn(d)).filter(_._2.nonEmpty).toSeq.sortBy(_._1)
+      (if (rootFiles.nonEmpty) Seq(HudiMetadataTable.NonPartitionedKey -> rootFiles)
+       else Nil) ++ sub
+    }
+    val cells = (parts.map { case (p, fs0) => record(p, 2, fs0) } :+
+      record(HudiMetadataTable.AllPartitionsKey, 1, parts.map(_._1 -> 0L)))
+      .sortBy(_._1)
+    val dir = new org.apache.hadoop.fs.Path(s"$table/.hoodie/metadata/files")
+    HudiHFile.write(conf, new org.apache.hadoop.fs.Path(dir,
+      s"files-0000_0-0-0_$instant.hfile"), cells,
+      Map(HudiHFile.SchemaKey -> MetaAvsc.getBytes("UTF-8")), blockRows = 2)
+  }
+
+  test("HFile v3 codec: roundtrip + the published structural constants") {
+    val p = new org.apache.hadoop.fs.Path(tmpDir("hfile-rt"), "t.hfile")
+    val cells = (1 to 5).map(i => (f"key$i%03d", s"value-$i".getBytes("UTF-8")))
+    HudiHFile.write(conf, p, cells, Map("schema" -> "s".getBytes("UTF-8")), blockRows = 2)
+    val (info, back) = HudiHFile.read(conf, p)
+    assert(new String(info("schema"), "UTF-8") == "s")
+    assert(back.map(_._1) == cells.map(_._1))
+    assert(back.map(c => new String(c._2, "UTF-8")) == cells.map(c => new String(c._2, "UTF-8")))
+    // structural pins (HBase book appendix "HFile format", HFile.proto):
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p); try in.readFully(0, bytes) finally in.close()
+    // data block magic opens the file
+    assert(new String(bytes, 0, 8, "UTF-8") == "DATABLK*")
+    // fixed 4096-byte v3 trailer: magic, then PBUF protobuf
+    assert(new String(bytes, len - 4096, 8, "UTF-8") == "TRABLK\"$")
+    assert(new String(bytes, len - 4096 + 8, 4, "UTF-8") == "PBUF")
+    // final int = (minor << 24) | major = 3
+    assert(java.nio.ByteBuffer.wrap(bytes, len - 4, 4).getInt == 3)
+    // trailer decodes: 3 data blocks (5 cells / 2 per block), 5 cells
+    val t = HudiHFile.readTrailer(bytes, "pin")
+    assert(t.dataIndexCount == 3 && t.entryCount == 5L && t.numDataIndexLevels == 1)
+    assert(t.firstDataBlockOffset == 0L && t.compressionCodec == 2) // NONE ordinal
+    // 33-byte v2+ block header: onDiskSizeWithoutHeader at +8 equals
+    // uncompressedSizeWithoutHeader at +12 for an uncompressed,
+    // checksum-free block
+    assert(java.nio.ByteBuffer.wrap(bytes, 8, 4).getInt ==
+      java.nio.ByteBuffer.wrap(bytes, 12, 4).getInt)
+  }
+
+  test("COW: the snapshot's listing comes FROM the metadata table — pre-index metas never open") {
+    val table = tmpDir("mdt-cow") + "/t"
+    HudiTableWriter.create(df(1 to 40).repartition(3), table, recordKeys = Seq("id")): Unit
+    val c2 = HudiTableWriter.append(df(41 to 60), table)
+    val replayFiles = HudiTableReader.snapshot(spark, table).inputFiles.sorted.toSeq
+    buildFilesHFile(table, c2)
+    // plan parity first: indexed plan == replay plan
+    val indexedFiles = HudiTableReader.snapshot(spark, table).inputFiles.sorted.toSeq
+    assert(indexedFiles == replayFiles, "metadata-table plan must equal the replay plan")
+    // THE proof: corrupt every pre-index commit meta — planning that
+    // opened any of them would throw, so serving the exact rows is
+    // the no-listing/no-replay witness
+    val hoodie = new java.io.File(s"$table/.hoodie")
+    hoodie.listFiles().filter(_.getName.endsWith(".commit"))
+      .foreach(f => java.nio.file.Files.write(f.toPath, "garbage".getBytes("UTF-8")))
+    val snap = HudiTableReader.snapshot(spark, table)
+    assert(snap.count() == 60L)
+    assert(snap.where(col("id") === 50L).head().getAs[Long]("v") == 100L)
+    assert(snap.agg(sum(col("v"))).head().getLong(0) == (1 to 60).map(_ * 2L).sum)
+    // a post-index commit replays incrementally on top (its meta is intact)
+    HudiTableWriter.append(df(61 to 70), table): Unit
+    assert(HudiTableReader.snapshot(spark, table).count() == 70L)
+  }
+
+  test("isDeleted entries are filtered out of the listing (cleaner state)") {
+    val table = tmpDir("mdt-del") + "/t"
+    HudiTableWriter.create(df(1 to 10), table, recordKeys = Seq("id")): Unit
+    val c2 = HudiTableWriter.append(df(11 to 20), table)
+    val victim = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(s"_$c2.parquet")).map(_.getName).head
+    buildFilesHFile(table, c2, dropFiles = Set(victim))
+    val listing = HudiMetadataTable.filesListing(spark, table,
+      HudiTableReader.instants(spark, table).map(_._1).toSet)
+    assert(listing.isDefined)
+    val files = listing.get._2.values.flatten.map(_._1).toSet
+    assert(!files.contains(victim), "a deleted entry must not list")
+    assert(files.exists(_.endsWith(".parquet")))
+  }
+
+  test("MOR: log files ride the metadata listing; realtime merge serves without pre-index metas") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("mdt-mor") + "/t"
+    HudiTableWriter.createMor(df(1 to 20), table, recordKeys = Seq("id")): Unit
+    val d2 = HudiTableWriter.updateLog(Seq((3L, "k3", 333L)).toDF("id", "key", "v"), table)
+    buildFilesHFile(table, d2)
+    new java.io.File(s"$table/.hoodie").listFiles()
+      .filter(_.getName.endsWith(".deltacommit"))
+      .foreach(f => java.nio.file.Files.write(f.toPath, "garbage".getBytes("UTF-8")))
+    val rt = HudiTableReader.snapshot(spark, table)
+    assert(rt.count() == 20L)
+    assert(rt.where(col("id") === 3L).head().getAs[Long]("v") == 333L,
+      "the log upsert must serve through the metadata-table plan")
+  }
+
+  test("off-timeline HFile is ignored; unreadable HFile degrades to replay") {
+    val table = tmpDir("mdt-stale") + "/t"
+    HudiTableWriter.create(df(1 to 10), table, recordKeys = Seq("id")): Unit
+    // an instant the timeline never committed: a leftover — ignored
+    buildFilesHFile(table, "99999999999999")
+    assert(HudiMetadataTable.filesListing(spark, table,
+      HudiTableReader.instants(spark, table).map(_._1).toSet).isEmpty)
+    assert(HudiTableReader.snapshot(spark, table).count() == 10L)
+    // garbage bytes under a valid on-timeline name: filesListing
+    // degrades to None (the index accelerates, never gates)
+    val head = HudiTableReader.instants(spark, table).map(_._1).max
+    val bad = new java.io.File(s"$table/.hoodie/metadata/files/files-0000_0-0-0_$head.hfile")
+    bad.getParentFile.mkdirs()
+    java.nio.file.Files.write(bad.toPath,
+      Array.fill[Byte](8192)(42)): Unit
+    assert(HudiMetadataTable.filesListing(spark, table,
+      HudiTableReader.instants(spark, table).map(_._1).toSet).isEmpty)
+    assert(HudiTableReader.snapshot(spark, table).count() == 10L)
+  }
+}
