@@ -82,7 +82,7 @@ object HudiHFile {
   // types FileTrailerProto/FileInfoProto use)
   // ----------------------------------------------------------------
 
-  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+  private[sources] def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
@@ -127,7 +127,7 @@ object HudiHFile {
   // Hadoop WritableUtils vint (root-index key lengths, memstore TS)
   // ----------------------------------------------------------------
 
-  private def writeHadoopVLong(out: DataOutputStream, v: Long): Unit = {
+  private[sources] def writeHadoopVLong(out: DataOutputStream, v: Long): Unit = {
     if (v >= -112 && v <= 127) { out.writeByte(v.toInt); return }
     var len = -112
     var value = v
@@ -140,7 +140,7 @@ object HudiHFile {
     while (idx >= 0) { out.writeByte(((value >> (8 * idx)) & 0xFF).toInt); idx -= 1 }
   }
 
-  private def readHadoopVLong(bytes: Array[Byte], pos0: Int): (Long, Int) = {
+  private[sources] def readHadoopVLong(bytes: Array[Byte], pos0: Int): (Long, Int) = {
     val first = bytes(pos0)
     if (first >= -112) return (first.toLong, pos0 + 1)
     val negative = first < -120

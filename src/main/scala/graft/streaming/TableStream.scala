@@ -134,26 +134,32 @@ object TableStream {
       .option("checkpointLocation", s"${mirrorPath}_mv_ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (applied.add(batchId)) {
+          // the batch frame is consumed 3+ times (upsert leg, delete
+          // leg, the MV fold's retract+recompute legs) — pinned once
+          // so each consumer reads memory, not the feed parquet again
           val b = batch.toDF()
-          val ups = b.filter(col("change_type").isin("insert", "update_postimage"))
-            .drop("change_type")
-          val dels = b.filter(col("change_type") === "delete")
-            .select(recordKeys.map(col): _*)
-          // the mirror commit FIRST: refreshFromChanges' contract is
-          // that the base already reflects the feed
-          graft.sources.UpsertWriter.applyChanges(
-            spark, mirrorPath, ups, dels, recordKeys, precombine)
-          val live = graft.sources.UpsertWriter.latestVersion(spark, mirrorPath).get
-          dRef.get() match {
-            case null =>
-              dRef.set(graft.plans.MaterializedViews.define(
-                spark, live, groupCols, aggCols, mvPath))
-            case d =>
-              val folded = graft.plans.MaterializedViews.refreshFromChanges(
-                spark, d.copy(physicalPath = live), b)
-              graft.plans.MaterializedViews.deregister(d.basePath) // old snapshot's key
-              dRef.set(graft.plans.MaterializedViews.registerFor(folded, live))
-          }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val ups = b.filter(col("change_type").isin("insert", "update_postimage"))
+              .drop("change_type")
+            val dels = b.filter(col("change_type") === "delete")
+              .select(recordKeys.map(col): _*)
+            // the mirror commit FIRST: refreshFromChanges' contract is
+            // that the base already reflects the feed
+            graft.sources.UpsertWriter.applyChanges(
+              spark, mirrorPath, ups, dels, recordKeys, precombine)
+            val live = graft.sources.UpsertWriter.latestVersion(spark, mirrorPath).get
+            dRef.get() match {
+              case null =>
+                dRef.set(graft.plans.MaterializedViews.define(
+                  spark, live, groupCols, aggCols, mvPath))
+              case d =>
+                val folded = graft.plans.MaterializedViews.refreshFromChanges(
+                  spark, d.copy(physicalPath = live), b)
+                graft.plans.MaterializedViews.deregister(d.basePath) // old snapshot's key
+                dRef.set(graft.plans.MaterializedViews.registerFor(folded, live))
+            }
+          } finally b.unpersist(): Unit
         }
         ()
       }
