@@ -18,7 +18,7 @@ import org.apache.hadoop.fs.Path
   */
 object IcebergPuffin {
 
-  private val Magic = Array[Byte]('P', 'F', 'A', '1')
+  private[sources] val Magic = Array[Byte]('P', 'F', 'A', '1')
 
   /** One deletion vector to publish: the data file it masks, the
     * PRE-SERIALIZED portable bitmap (magic+bitmaps — built on
