@@ -178,6 +178,64 @@ object HudiMetadataTable {
     head
   }
 
+  /** One (file, column) range from the metadata table's
+    * `column_stats` partition. min/max are None for non-numeric
+    * wrapper types (string/bytes/etc.) — pruning on them is skipped
+    * conservatively. */
+  final case class ColStat(fileName: String, column: String,
+      min: Option[Double], max: Option[Double])
+
+  /** External `column_stats` partition (hudi.apache.org metadata
+    * table): per-(file, column) min/max from the newest usable base
+    * HFile. Records are HoodieMetadataRecords whose
+    * `ColumnStatsMetadata` field carries fileName / columnName /
+    * minValue / maxValue — min/max as the spec's typed WRAPPER
+    * records (IntWrapper, LongWrapper, …), decoded generically by
+    * their single `value` field; non-numeric wrappers yield None.
+    * isDeleted entries drop. Same degradation contract as
+    * [[filesListing]]: anything unreadable → None, the reader keeps
+    * its unpruned path.
+    */
+  def colStatsListing(spark: SparkSession, tablePath: String,
+      timelineInstants: Set[String]): Option[(String, Seq[ColStat])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(new Path(tablePath, ".hoodie"), "metadata/column_stats")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return None
+    val hfiles = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName).flatMap {
+      case n @ BaseRe(_, _, instant, "hfile") => Some((instant, n))
+      case _ => None
+    }
+    val usable = hfiles.filter { case (i, _) => timelineInstants.contains(i) }
+    if (usable.isEmpty) return None
+    val (instant, name) = usable.maxBy(_._1)
+    val parsed = scala.util.Try {
+      val (info, cells) = HudiHFile.read(conf, new Path(dir, name))
+      val schemaBytes = info.getOrElse(HudiHFile.SchemaKey, throw new IllegalStateException(
+        s"$tablePath: column_stats HFile $name carries no schema file-info entry"))
+      val schema = new Schema.Parser().parse(new String(schemaBytes, UTF_8))
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      def num(v: AnyRef): Option[Double] = v match {
+        case null => None
+        case w: GenericRecord => Option(w.get("value")).flatMap {
+          case n: java.lang.Number => Some(n.doubleValue())
+          case _ => None // string/bytes/decimal-bytes wrappers — no numeric prune
+        }
+        case _ => None
+      }
+      cells.flatMap { case (_, value) =>
+        val rec = reader.read(null, DecoderFactory.get().binaryDecoder(value, null))
+        Option(rec.get("ColumnStatsMetadata")).map(_.asInstanceOf[GenericRecord]).flatMap { cs =>
+          val deleted = Option(cs.get("isDeleted")).exists(_.asInstanceOf[Boolean])
+          if (deleted) None
+          else Some(ColStat(cs.get("fileName").toString, cs.get("columnName").toString,
+            num(cs.get("minValue")), num(cs.get("maxValue"))))
+        }
+      }
+    }
+    parsed.toOption.map(stats => (instant, stats))
+  }
+
   /** File-group state from a `files` listing — the same derivation
     * real Hudi's file-system view performs on its listing: base files
     * group by fileId with the NEWEST instant winning the slice; log

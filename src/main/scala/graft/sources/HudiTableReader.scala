@@ -1221,14 +1221,29 @@ object HudiTableReader {
     val slices = activeSlices(spark, tablePath) // COW path
     val dir = new Path(hoodieDir(tablePath), "metadata/col_stats")
     val fs = fsOf(spark, dir)
+    // a REAL Hudi metadata table's column_stats partition prunes when
+    // graft's own parquet index is absent — file-name-keyed ranges,
+    // provable misses drop, files absent from the index (post-index
+    // writes, non-indexed columns) keep conservatively
+    def externalPrune(ss: Seq[SliceWrite]): Seq[SliceWrite] =
+      HudiMetadataTable.colStatsListing(spark, tablePath,
+        instants(spark, tablePath).map(_._1).toSet) match {
+        case None => ss
+        case Some((_, stats)) =>
+          val misses = stats.filter(_.column == column).flatMap(cs =>
+            for { mn <- cs.min; mx <- cs.max if mn > hi || mx < lo }
+              yield cs.fileName).toSet
+          ss.filterNot(s0 =>
+            misses.contains(s0.path.substring(s0.path.lastIndexOf('/') + 1)))
+      }
     val kept =
-      if (!fs.exists(dir)) slices
+      if (!fs.exists(dir)) externalPrune(slices)
       else {
         val timeline = instants(spark, tablePath).map(_._1).toSet
         val usable = fs.listStatus(dir).map(_.getPath.getName)
           .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
           .filter(timeline.contains)
-        if (usable.isEmpty) slices
+        if (usable.isEmpty) externalPrune(slices)
         else {
           val idx = spark.read.parquet(new Path(dir, s"${usable.max}.parquet").toString)
           val mnC = s"min_$column"; val mxC = s"max_$column"

@@ -174,6 +174,79 @@ class HudiHFileSpec extends SparkSpec {
       "the log upsert must serve through the metadata-table plan")
   }
 
+  test("column_stats partition: an external table's OWN stats prune the COW scan") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val table = tmpDir("mdt-cstats") + "/t"
+    // two range-disjoint halves land in separate commits → separate files
+    HudiTableWriter.create(df(1 to 40), table, recordKeys = Seq("id")): Unit
+    val c2 = HudiTableWriter.append(df(1000 to 1040), table)
+    // per-file actual min/max of v, from the files themselves
+    val dataFiles = new java.io.File(table).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+    val stats = dataFiles.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("v")), max(col("v"))).head()
+      (f.getName, r.getLong(0), r.getLong(1))
+    }
+    // the public wrapper-union shape (HoodieMetadataColumnStats)
+    val avsc =
+      """{"type":"record","name":"HoodieMetadataRecord","namespace":"org.apache.hudi.avro.model","fields":[
+        |{"name":"key","type":"string"},
+        |{"name":"type","type":"int"},
+        |{"name":"ColumnStatsMetadata","type":["null",
+        |  {"type":"record","name":"HoodieMetadataColumnStats","fields":[
+        |    {"name":"fileName","type":"string"},
+        |    {"name":"columnName","type":"string"},
+        |    {"name":"minValue","type":["null",
+        |      {"type":"record","name":"LongWrapper","fields":[{"name":"value","type":"long"}]},
+        |      {"type":"record","name":"StringWrapper","fields":[{"name":"value","type":"string"}]}],
+        |     "default":null},
+        |    {"name":"maxValue","type":["null","LongWrapper","StringWrapper"],"default":null},
+        |    {"name":"valueCount","type":["null","long"],"default":null},
+        |    {"name":"isDeleted","type":"boolean"}]}],"default":null}]}""".stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(avsc)
+    val csSchema = schema.getField("ColumnStatsMetadata").schema().getTypes.get(1)
+    val longW = csSchema.getField("minValue").schema().getTypes.get(1)
+    val strW = csSchema.getField("minValue").schema().getTypes.get(2)
+    def wrapL(v: Long) = { val w = new GenericData.Record(longW); w.put("value", v); w }
+    def wrapS(v: String) = { val w = new GenericData.Record(strW); w.put("value", v); w }
+    def cell(key: String, fileName: String, column: String,
+        mn: AnyRef, mx: AnyRef): (String, Array[Byte]) = {
+      val cs = new GenericData.Record(csSchema)
+      cs.put("fileName", fileName); cs.put("columnName", column)
+      cs.put("minValue", mn); cs.put("maxValue", mx)
+      cs.put("valueCount", 40L); cs.put("isDeleted", false)
+      val r = new GenericData.Record(schema)
+      r.put("key", key); r.put("type", 3); r.put("ColumnStatsMetadata", cs)
+      val bos = new java.io.ByteArrayOutputStream()
+      val e = EncoderFactory.get().binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](schema).write(r, e)
+      e.flush()
+      (key, bos.toByteArray)
+    }
+    val cells = (stats.zipWithIndex.map { case ((name, mn, mx), i) =>
+      cell(f"k$i%03d", name, "v", wrapL(mn), wrapL(mx))
+    } :+ cell("k999", stats.head._1, "key", wrapS("k1"), wrapS("k999")))
+      .sortBy(_._1)
+    val dir = new org.apache.hadoop.fs.Path(s"$table/.hoodie/metadata/column_stats")
+    HudiHFile.write(conf, new org.apache.hadoop.fs.Path(dir,
+      s"col-stats-0000_0-0-0_$c2.hfile"), cells,
+      Map(HudiHFile.SchemaKey -> avsc.getBytes("UTF-8")))
+    // the low band keeps only the low half's files
+    val full = HudiTableReader.snapshot(spark, table)
+    val pruned = HudiTableReader.snapshotSkipping(spark, table, "v", 0.0, 100.0)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      "the external column_stats index must cut the file set")
+    assert(pruned.where(col("v") <= 100L).count() == 40L)
+    // parity: pruned(band) ∪ residual ≡ full
+    val high = HudiTableReader.snapshotSkipping(spark, table, "v", 1000.0, 5000.0)
+    assert(pruned.count() + high.count() == full.count())
+    // string-wrapped columns never prune (non-numeric → conservative)
+    assert(HudiTableReader.snapshotSkipping(spark, table, "key", 0.0, 1.0)
+      .count() == full.count())
+  }
+
   test("off-timeline HFile is ignored; unreadable HFile degrades to replay") {
     val table = tmpDir("mdt-stale") + "/t"
     HudiTableWriter.create(df(1 to 10), table, recordKeys = Seq("id")): Unit
