@@ -233,30 +233,7 @@ object HudiHFile {
 
     // file info: PBUF + varint-delimited FileInfoProto of bytes pairs
     val fi = parseBlock(bytes, t.fileInfoOffset.toInt, FileInfoMagic, path.toString)
-    require(PbMagic.indices.forall(i => fi(i) == PbMagic(i)),
-      s"$path: file-info block is not protobuf-serialized")
-    val fir = new PbReader(fi, PbMagic.length, fi.length)
-    val fiLen = fir.varint().toInt
-    val fiEnd = fir.pos + fiLen
-    val info = Map.newBuilder[String, Array[Byte]]
-    while (fir.pos < fiEnd) {
-      val tag = fir.varint()
-      if ((tag >> 3).toInt == 1 && (tag & 7) == 2) {
-        val entry = fir.bytesField()
-        val er = new PbReader(entry, 0, entry.length)
-        var k: Array[Byte] = null; var v: Array[Byte] = null
-        while (er.hasMore) {
-          val etag = er.varint()
-          (etag >> 3).toInt match {
-            case 1 => k = er.bytesField()
-            case 2 => v = er.bytesField()
-            case _ => er.skip((etag & 7).toInt)
-          }
-        }
-        if (k != null && v != null) info += (new String(k, UTF_8) -> v)
-      } else fir.skip((tag & 7).toInt)
-    }
-    val infoMap = info.result()
+    val infoMap = parseFileInfo(fi, path.toString)
     val hasMvcc = infoMap.contains(MaxMemstoreTsKey)
 
     // root index → data blocks → cells
@@ -284,6 +261,131 @@ object HudiHFile {
       i += 1
     }
     (infoMap, cells.result())
+  }
+
+  /** File-info map alone, via positioned reads of the trailer and the
+    * FILEINF2 block — no data block is touched. */
+  def readFileInfo(conf: Configuration, path: Path): Map[String, Array[Byte]] = {
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    require(len > TrailerSize, s"$path: shorter than an HFile v3 trailer")
+    val in = fs.open(path)
+    try {
+      val tail = new Array[Byte](TrailerSize + 8)
+      in.readFully(len - tail.length, tail)
+      val t = readTrailer(tail, path.toString)
+      val fiRaw = new Array[Byte]((len - TrailerSize - t.fileInfoOffset).toInt)
+      in.readFully(t.fileInfoOffset, fiRaw)
+      val fi = parseBlock(fiRaw, 0, FileInfoMagic, path.toString)
+      parseFileInfo(fi, path.toString)
+    } finally in.close()
+  }
+
+  private def parseFileInfo(fi: Array[Byte], what: String): Map[String, Array[Byte]] = {
+    require(PbMagic.indices.forall(i => fi(i) == PbMagic(i)),
+      s"$what: file-info block is not protobuf-serialized")
+    val fir = new PbReader(fi, PbMagic.length, fi.length)
+    val fiLen = fir.varint().toInt
+    val fiEnd = fir.pos + fiLen
+    val info = Map.newBuilder[String, Array[Byte]]
+    while (fir.pos < fiEnd) {
+      val tag = fir.varint()
+      if ((tag >> 3).toInt == 1 && (tag & 7) == 2) {
+        val entry = fir.bytesField()
+        val er = new PbReader(entry, 0, entry.length)
+        var k: Array[Byte] = null; var v: Array[Byte] = null
+        while (er.hasMore) {
+          val etag = er.varint()
+          (etag >> 3).toInt match {
+            case 1 => k = er.bytesField()
+            case 2 => v = er.bytesField()
+            case _ => er.skip((etag & 7).toInt)
+          }
+        }
+        if (k != null && v != null) info += (new String(k, UTF_8) -> v)
+      } else fir.skip((tag & 7).toInt)
+    }
+    info.result()
+  }
+
+  /** SEEKING point read: only the trailer, the load-on-open section,
+    * and the data blocks whose ROOT-INDEX KEY RANGE may hold a
+    * requested key are read (positioned reads — the whole-file bound
+    * of [[read]] never applies). This is what makes a point lookup
+    * against a big record-index HFile O(|keys| blocks), the access
+    * pattern the format's root index exists for. Returns the
+    * requested cells that exist, in file order.
+    */
+  def readKeysSeek(conf: Configuration, path: Path,
+      keys: Set[String]): Seq[(String, Array[Byte])] = {
+    if (keys.isEmpty) return Nil
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    require(len > TrailerSize, s"$path: shorter than an HFile v3 trailer")
+    val in = fs.open(path)
+    try {
+      def readRange(off: Long, n: Int): Array[Byte] = {
+        val buf = new Array[Byte](n)
+        in.readFully(off, buf)
+        buf
+      }
+      val tail = readRange(len - TrailerSize - 8, TrailerSize + 8)
+      val t = readTrailer(tail, path.toString)
+      require(t.compressionCodec == CompressionNone && t.numDataIndexLevels <= 1,
+        s"$path: compressed or multi-level HFile — seek reader serves the plain layout only")
+      // file info decides whether cells carry memstore timestamps
+      val fiRaw = readRange(t.fileInfoOffset, (len - TrailerSize - t.fileInfoOffset).toInt)
+      val fi = parseBlock(fiRaw, 0, FileInfoMagic, path.toString)
+      val hasMvcc = {
+        // a cheap scan for the announcing key's bytes inside the
+        // FileInfoProto — full parse lives in [[read]]
+        val needle = MaxMemstoreTsKey.getBytes(UTF_8)
+        fi.toSeq.indexOfSlice(needle.toSeq) >= 0
+      }
+      // root data index: [loadOnOpen, fileInfo)
+      val idxRaw = readRange(t.loadOnOpenDataOffset,
+        (t.fileInfoOffset - t.loadOnOpenDataOffset).toInt)
+      val idx = parseBlock(idxRaw, 0, RootIndexMagic, path.toString)
+      var p = 0
+      val entries = Seq.newBuilder[(Long, Int, String)] // offset, onDiskWithHeader, firstRow
+      var i = 0
+      while (i < t.dataIndexCount) {
+        val off = beLong(idx, p); p += 8
+        val onDisk = beInt(idx, p); p += 4
+        val (klen, p2) = readHadoopVLong(idx, p)
+        val keyBytes = java.util.Arrays.copyOfRange(idx, p2, p2 + klen.toInt)
+        p = p2 + klen.toInt
+        val rowLen = ((keyBytes(0) & 0xFF) << 8) | (keyBytes(1) & 0xFF)
+        entries += ((off, onDisk, new String(keyBytes, 2, rowLen, UTF_8)))
+        i += 1
+      }
+      val index = entries.result()
+      // block b covers [firstRow(b), firstRow(b+1)) — a key maps to
+      // the LAST block whose firstRow <= key
+      val wanted = scala.collection.mutable.SortedSet.empty[Int]
+      keys.foreach { k =>
+        val at = index.lastIndexWhere(_._3 <= k)
+        if (at >= 0) wanted += at
+      }
+      val cells = Seq.newBuilder[(String, Array[Byte])]
+      wanted.foreach { b =>
+        val (off, onDisk, _) = index(b)
+        val data = parseBlock(readRange(off, onDisk), 0, DataBlockMagic, path.toString)
+        var q = 0
+        while (q < data.length) {
+          val keyLen = beInt(data, q)
+          val valLen = beInt(data, q + 4)
+          val rowLen = beShort(data, q + 8)
+          val row = new String(data, q + 10, rowLen, UTF_8)
+          if (keys.contains(row))
+            cells += (row -> java.util.Arrays.copyOfRange(
+              data, q + 8 + keyLen, q + 8 + keyLen + valLen))
+          q += 8 + keyLen + valLen
+          if (hasMvcc) { val (_, q2) = readHadoopVLong(data, q); q = q2 }
+        }
+      }
+      cells.result()
+    } finally in.close()
   }
 
   /** Decode one block at `off`: verify its magic, return the

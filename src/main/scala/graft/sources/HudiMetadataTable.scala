@@ -236,6 +236,78 @@ object HudiMetadataTable {
     parsed.toOption.map(stats => (instant, stats))
   }
 
+  /** Reconstruct a file-group id from a HoodieRecordIndexInfo — the
+    * public encoding (HoodieTableMetadataUtil): encoding 0 packs a
+    * UUID in two longs plus a `-<fileIndex>` suffix; encoding 1
+    * carries the raw fileId string. */
+  private[sources] def fileIdOf(info: GenericRecord): Option[String] = {
+    val enc = Option(info.get("fileIdEncoding")).map(_.asInstanceOf[Int]).getOrElse(0)
+    if (enc == 1) Option(info.get("fileId")).map(_.toString)
+    else for {
+      hi <- Option(info.get("fileIdHighBits")).map(_.asInstanceOf[Long])
+      lo <- Option(info.get("fileIdLowBits")).map(_.asInstanceOf[Long])
+    } yield {
+      val idx = Option(info.get("fileIndex")).map(_.asInstanceOf[Int]).getOrElse(-1)
+      val uuid = new java.util.UUID(hi, lo).toString
+      if (idx >= 0) s"$uuid-$idx" else uuid
+    }
+  }
+
+  /** External `record_index` partition point probe: for each
+    * requested key string, the file-group id its record lives in —
+    * the newest usable base HFile per index shard is SEEKED
+    * ([[HudiHFile.readKeysSeek]] — only the blocks whose root-index
+    * range can hold a key are read), so the probe is O(|keys| blocks)
+    * however big the index is. Returns (oldest shard instant, key →
+    * fileId) or None (no metadata record index / unreadable —
+    * callers keep their fallback).
+    */
+  def recordIndexProbe(spark: SparkSession, tablePath: String,
+      timelineInstants: Set[String],
+      keyStrings: Seq[String]): Option[(String, Map[String, String])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(new Path(tablePath, ".hoodie"), "metadata/record_index")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return None
+    val hfiles = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName).flatMap {
+      case n @ BaseRe(fileId, _, instant, "hfile") => Some((fileId, instant, n))
+      case _ => None
+    }
+    // newest usable base per SHARD (real record indexes hash keys
+    // across several file groups); every shard is probed — a key
+    // lives in exactly one, and a miss elsewhere costs one root-index
+    // read
+    val shards = hfiles.filter { case (_, i, _) => timelineInstants.contains(i) }
+      .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }.toSeq
+    if (shards.isEmpty) return None
+    val out = scala.util.Try {
+      val bindings = scala.collection.mutable.Map.empty[String, String]
+      shards.foreach { case (_, _, name) =>
+        val p = new Path(dir, name)
+        val cells = HudiHFile.readKeysSeek(conf, p, keyStrings.toSet)
+        if (cells.nonEmpty) {
+          // the writer schema rides file info — one bounded read per
+          // shard WITH hits; miss-only shards cost just the seek
+          val schemaBytes = HudiHFile.readFileInfo(conf, p)
+            .getOrElse(HudiHFile.SchemaKey,
+              throw new IllegalStateException(s"$tablePath: record_index HFile $name " +
+                "carries no schema file-info entry"))
+          val schema = new Schema.Parser().parse(new String(schemaBytes, UTF_8))
+          val reader = new GenericDatumReader[GenericRecord](schema)
+          cells.foreach { case (key, value) =>
+            val rec = reader.read(null, DecoderFactory.get().binaryDecoder(value, null))
+            Option(rec.get("recordIndexMetadata"))
+              .map(_.asInstanceOf[GenericRecord])
+              .flatMap(fileIdOf)
+              .foreach(fid => bindings(key) = fid)
+          }
+        }
+      }
+      bindings.toMap
+    }
+    out.toOption.map(b => (shards.map(_._2).min, b))
+  }
+
   /** File-group state from a `files` listing — the same derivation
     * real Hudi's file-system view performs on its listing: base files
     * group by fileId with the NEWEST instant winning the slice; log

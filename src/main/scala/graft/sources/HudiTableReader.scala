@@ -1135,7 +1135,20 @@ object HudiTableReader {
       if (!fs.exists(dir)) Array.empty[String]
       else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
     val fulls = gens.filter(g => !g.endsWith(".delta") && onTimeline.contains(g))
-    if (fulls.isEmpty) return None
+    if (fulls.isEmpty) {
+      // no graft parquet generations: a REAL Hudi metadata table's
+      // record_index (HFile shards) answers instead — seeked, not
+      // scanned ([[HudiMetadataTable.recordIndexProbe]]), with the
+      // same matched+post-index-touched contract
+      val keyStrings = keyValues.flatMap(v => Seq(s"$declaredKey:$v", s"$v"))
+      return HudiMetadataTable.recordIndexProbe(spark, tablePath, onTimeline, keyStrings)
+        .map { case (idxInstant, bindings) =>
+          val touched = timeline.filter(_._1 > idxInstant).flatMap { case (i, k) =>
+            writesOf(fs, tablePath, i, k).map(_.fileId)
+          }.toSet
+          (bindings.values.toSet, touched)
+        }
+    }
     val base = fulls.max
     // DELTA generations after the base ([[HudiTableWriter
     // .refreshRecordIndex]]): each re-enumerates the groups its

@@ -247,6 +247,94 @@ class HudiHFileSpec extends SparkSpec {
       .count() == full.count())
   }
 
+  test("readKeysSeek: block-pruned point reads agree with the full scan") {
+    val p = new org.apache.hadoop.fs.Path(tmpDir("hfile-seek"), "t.hfile")
+    val cells = (1 to 9).map(i => (f"key$i%03d", s"v$i".getBytes("UTF-8")))
+    HudiHFile.write(conf, p, cells, Map("schema" -> "s".getBytes("UTF-8")), blockRows = 2)
+    // hits across first/middle/last blocks; misses below the first
+    // key, between keys, and past the last
+    val asked = Set("key001", "key005", "key009", "aaa", "key004x", "zzz")
+    val got = HudiHFile.readKeysSeek(conf, p, asked)
+    assert(got.map(_._1).sorted == Seq("key001", "key005", "key009"))
+    assert(got.map(c => (c._1, new String(c._2, "UTF-8"))).toMap ==
+      Map("key001" -> "v1", "key005" -> "v5", "key009" -> "v9"))
+    // equivalence: every key individually matches the full read
+    val full = HudiHFile.read(conf, p)._2.toMap
+    cells.foreach { case (k, _) =>
+      val one = HudiHFile.readKeysSeek(conf, p, Set(k))
+      assert(one.size == 1 && one.head._2.toSeq == full(k).toSeq)
+    }
+    assert(HudiHFile.readKeysSeek(conf, p, Set.empty).isEmpty)
+  }
+
+  test("record_index partition: pointLookup seeks an external table's OWN index; fileId encodings decode") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    // encoding 0: UUID halves + fileIndex suffix (the public packing)
+    val riAvsc =
+      """{"type":"record","name":"HoodieMetadataRecord","namespace":"org.apache.hudi.avro.model","fields":[
+        |{"name":"key","type":"string"},
+        |{"name":"type","type":"int"},
+        |{"name":"recordIndexMetadata","type":["null",
+        |  {"type":"record","name":"HoodieRecordIndexInfo","fields":[
+        |    {"name":"partitionName","type":["null","string"],"default":null},
+        |    {"name":"fileIdHighBits","type":"long","default":0},
+        |    {"name":"fileIdLowBits","type":"long","default":0},
+        |    {"name":"fileIndex","type":"int","default":-1},
+        |    {"name":"fileId","type":["null","string"],"default":null},
+        |    {"name":"instantTime","type":"long","default":0},
+        |    {"name":"fileIdEncoding","type":"int","default":0}]}],"default":null}]}""".stripMargin
+    val riSchema = new org.apache.avro.Schema.Parser().parse(riAvsc)
+    val infoSchema = riSchema.getField("recordIndexMetadata").schema().getTypes.get(1)
+    val uuid = java.util.UUID.fromString("01234567-89ab-cdef-0123-456789abcdef")
+    val enc0 = new GenericData.Record(infoSchema)
+    enc0.put("fileIdHighBits", uuid.getMostSignificantBits)
+    enc0.put("fileIdLowBits", uuid.getLeastSignificantBits)
+    enc0.put("fileIndex", 3); enc0.put("fileIdEncoding", 0)
+    assert(HudiMetadataTable.fileIdOf(enc0).contains(s"$uuid-3"))
+    val enc1 = new GenericData.Record(infoSchema)
+    enc1.put("fileId", "g7"); enc1.put("fileIdEncoding", 1)
+    assert(HudiMetadataTable.fileIdOf(enc1).contains("g7"))
+
+    // integration: a 3-group COW table, index built from its actual
+    // key→group bindings (encoding 1), probed through pointLookup
+    val table = tmpDir("mdt-ridx") + "/t"
+    HudiTableWriter.create(df(1 to 60).repartition(3), table, recordKeys = Seq("id")): Unit
+    val head = HudiTableReader.instants(spark, table).map(_._1).max
+    val bindings = HudiTableReader.snapshot(spark, table)
+      .select(col("_hoodie_record_key"),
+        element_at(split(input_file_name(), "/"), -1).as("f"))
+      .collect().map(r => (r.getString(0), r.getString(1).split("_")(0)))
+    def cell(key: String, fid: String): (String, Array[Byte]) = {
+      val info = new GenericData.Record(infoSchema)
+      info.put("fileId", fid); info.put("fileIdEncoding", 1)
+      // GenericDatumWriter does not apply schema defaults — every
+      // non-nullable field must be set
+      info.put("fileIdHighBits", 0L); info.put("fileIdLowBits", 0L)
+      info.put("fileIndex", -1); info.put("instantTime", 0L)
+      val r = new GenericData.Record(riSchema)
+      r.put("key", key); r.put("type", 5); r.put("recordIndexMetadata", info)
+      val bos = new java.io.ByteArrayOutputStream()
+      val e = EncoderFactory.get().binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](riSchema).write(r, e)
+      e.flush()
+      (key, bos.toByteArray)
+    }
+    val cells = bindings.map { case (k, fid) => cell(k, fid) }.toSeq.sortBy(_._1)
+    val dir = new org.apache.hadoop.fs.Path(s"$table/.hoodie/metadata/record_index")
+    HudiHFile.write(conf, new org.apache.hadoop.fs.Path(dir,
+      s"record-index-0000_0-0-0_$head.hfile"), cells,
+      Map(HudiHFile.SchemaKey -> riAvsc.getBytes("UTF-8")), blockRows = 8)
+    val full = HudiTableReader.snapshot(spark, table)
+    val hit = HudiTableReader.pointLookup(spark, table, Seq(7L))
+    assert(hit.count() == 1L)
+    assert(hit.head().getAs[Long]("v") == 14L)
+    assert(hit.inputFiles.length < full.inputFiles.length,
+      "the external record index must cut the scanned file set")
+    // absent key: no group claims it → schema-keeping empty
+    assert(HudiTableReader.pointLookup(spark, table, Seq(9999L)).isEmpty)
+  }
+
   test("off-timeline HFile is ignored; unreadable HFile degrades to replay") {
     val table = tmpDir("mdt-stale") + "/t"
     HudiTableWriter.create(df(1 to 10), table, recordKeys = Seq("id")): Unit
