@@ -75,7 +75,8 @@ object HudiHFile {
       numDataIndexLevels: Int,
       firstDataBlockOffset: Long,
       lastDataBlockOffset: Long,
-      compressionCodec: Int)
+      compressionCodec: Int,
+      trailerSize: Int)
 
   // ----------------------------------------------------------------
   // Protobuf wire helpers (varint + length-delimited — the two wire
@@ -213,7 +214,7 @@ object HudiHFile {
       }
     }
     Trailer(fileInfoOffset, loadOnOpen, dataIndexCount, entryCount, levels,
-      firstData, lastData, codec)
+      firstData, lastData, codec, tSize)
   }
 
   /** (file-info map, cells) of an HFile, whole-file read. Cells are
@@ -271,10 +272,10 @@ object HudiHFile {
     require(len > TrailerSize, s"$path: shorter than an HFile v3 trailer")
     val in = fs.open(path)
     try {
-      val tail = new Array[Byte](TrailerSize + 8)
+      val tail = new Array[Byte](math.min(len, TrailerSize + 8L).toInt)
       in.readFully(len - tail.length, tail)
       val t = readTrailer(tail, path.toString)
-      val fiRaw = new Array[Byte]((len - TrailerSize - t.fileInfoOffset).toInt)
+      val fiRaw = new Array[Byte]((len - t.trailerSize - t.fileInfoOffset).toInt)
       in.readFully(t.fileInfoOffset, fiRaw)
       val fi = parseBlock(fiRaw, 0, FileInfoMagic, path.toString)
       parseFileInfo(fi, path.toString)
@@ -329,12 +330,13 @@ object HudiHFile {
         in.readFully(off, buf)
         buf
       }
-      val tail = readRange(len - TrailerSize - 8, TrailerSize + 8)
+      val tailLen = math.min(len, TrailerSize + 8L).toInt
+      val tail = readRange(len - tailLen, tailLen)
       val t = readTrailer(tail, path.toString)
       require(t.compressionCodec == CompressionNone && t.numDataIndexLevels <= 1,
         s"$path: compressed or multi-level HFile — seek reader serves the plain layout only")
       // file info decides whether cells carry memstore timestamps
-      val fiRaw = readRange(t.fileInfoOffset, (len - TrailerSize - t.fileInfoOffset).toInt)
+      val fiRaw = readRange(t.fileInfoOffset, (len - t.trailerSize - t.fileInfoOffset).toInt)
       val fi = parseBlock(fiRaw, 0, FileInfoMagic, path.toString)
       val hasMvcc = {
         // a cheap scan for the announcing key's bytes inside the

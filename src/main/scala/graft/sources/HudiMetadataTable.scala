@@ -66,42 +66,52 @@ object HudiMetadataTable {
     if (!fs.exists(dir)) return None
     val names = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
     val hfiles = names.flatMap {
-      case n @ BaseRe(_, _, instant, "hfile") => Some((instant, n))
+      case n @ BaseRe(fileId, _, instant, "hfile") => Some((fileId, instant, n))
       case _ => None
     }
-    // newest hfile whose instant the data timeline actually committed
-    // (string order; metadata-internal suffixed instants sort between
-    // their data instant and the next) — an off-timeline index is a
-    // leftover and is ignored, same rule as the graft parquet index
-    val usable = hfiles.filter { case (i, _) => timelineInstants.contains(i) }
-    if (usable.isEmpty) return None
-    val (instant, name) = usable.maxBy(_._1)
+    // per SHARD (file group — big tables hash partitions across
+    // several), the newest hfile whose instant the data timeline
+    // actually committed (string order; metadata-internal suffixed
+    // instants sort between their data instant and the next).
+    // Off-timeline indexes are leftovers and are ignored, same rule
+    // as the graft parquet index. EVERY shard must read — a partition
+    // whose record lives in a dropped shard would silently vanish
+    // from the listing, so one unreadable shard degrades the whole
+    // answer to replay.
+    val shards = hfiles.filter { case (_, i, _) => timelineInstants.contains(i) }
+      .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }.toSeq.sortBy(_._3)
+    if (shards.isEmpty) return None
+    // the index point is the OLDEST shard instant: replaying the data
+    // timeline after it re-covers anything a newer shard knew
+    val instant = shards.map(_._2).min
     val parsed = scala.util.Try {
-      val (info, cells) = HudiHFile.read(conf, new Path(dir, name))
-      val schemaBytes = info.getOrElse(HudiHFile.SchemaKey, throw new IllegalStateException(
-        s"$tablePath: metadata HFile $name carries no '${HudiHFile.SchemaKey}' file-info " +
-          "entry — cannot decode its records"))
-      val schema = new Schema.Parser().parse(new String(schemaBytes, UTF_8))
-      val reader = new GenericDatumReader[GenericRecord](schema)
-      val listing = Map.newBuilder[String, Seq[(String, Long)]]
-      cells.foreach { case (key, value) =>
-        if (key != AllPartitionsKey) {
-          val rec = reader.read(null, DecoderFactory.get().binaryDecoder(value, null))
-          val fsMeta = rec.get("filesystemMetadata")
-          if (fsMeta != null) {
-            val m = fsMeta.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
-            val files = Seq.newBuilder[(String, Long)]
-            m.forEach { (fname, fi) =>
-              val r = fi.asInstanceOf[GenericRecord]
-              val deleted = Option(r.get("isDeleted")).exists(_.asInstanceOf[Boolean])
-              if (!deleted)
-                files += ((fname.toString, r.get("size").asInstanceOf[Long]))
+      val listing = scala.collection.mutable.Map.empty[String, Seq[(String, Long)]]
+      shards.foreach { case (_, _, name) =>
+        val (info, cells) = HudiHFile.read(conf, new Path(dir, name))
+        val schemaBytes = info.getOrElse(HudiHFile.SchemaKey, throw new IllegalStateException(
+          s"$tablePath: metadata HFile $name carries no '${HudiHFile.SchemaKey}' file-info " +
+            "entry — cannot decode its records"))
+        val schema = new Schema.Parser().parse(new String(schemaBytes, UTF_8))
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        cells.foreach { case (key, value) =>
+          if (key != AllPartitionsKey) {
+            val rec = reader.read(null, DecoderFactory.get().binaryDecoder(value, null))
+            val fsMeta = rec.get("filesystemMetadata")
+            if (fsMeta != null) {
+              val m = fsMeta.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+              val files = Seq.newBuilder[(String, Long)]
+              m.forEach { (fname, fi) =>
+                val r = fi.asInstanceOf[GenericRecord]
+                val deleted = Option(r.get("isDeleted")).exists(_.asInstanceOf[Boolean])
+                if (!deleted)
+                  files += ((fname.toString, r.get("size").asInstanceOf[Long]))
+              }
+              listing += (key -> (listing.getOrElse(key, Nil) ++ files.result()))
             }
-            listing += (key -> files.result())
           }
         }
       }
-      listing.result()
+      listing.toMap
     }
     // a malformed/unsupported HFile must degrade to replay, loudly in
     // the logs but never failing the read — the index accelerates
@@ -203,18 +213,17 @@ object HudiMetadataTable {
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return None
     val hfiles = fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName).flatMap {
-      case n @ BaseRe(_, _, instant, "hfile") => Some((instant, n))
+      case n @ BaseRe(fileId, _, instant, "hfile") => Some((fileId, instant, n))
       case _ => None
     }
-    val usable = hfiles.filter { case (i, _) => timelineInstants.contains(i) }
-    if (usable.isEmpty) return None
-    val (instant, name) = usable.maxBy(_._1)
+    // newest usable hfile per shard, ALL shards read (stats key by
+    // immutable file NAMES, so a stale or partial shard set is only
+    // ever conservative — fewer files pruned, never a wrong prune)
+    val shards = hfiles.filter { case (_, i, _) => timelineInstants.contains(i) }
+      .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }.toSeq.sortBy(_._3)
+    if (shards.isEmpty) return None
+    val instant = shards.map(_._2).min
     val parsed = scala.util.Try {
-      val (info, cells) = HudiHFile.read(conf, new Path(dir, name))
-      val schemaBytes = info.getOrElse(HudiHFile.SchemaKey, throw new IllegalStateException(
-        s"$tablePath: column_stats HFile $name carries no schema file-info entry"))
-      val schema = new Schema.Parser().parse(new String(schemaBytes, UTF_8))
-      val reader = new GenericDatumReader[GenericRecord](schema)
       def num(v: AnyRef): Option[Double] = v match {
         case null => None
         case w: GenericRecord => Option(w.get("value")).flatMap {
@@ -223,13 +232,20 @@ object HudiMetadataTable {
         }
         case _ => None
       }
-      cells.flatMap { case (_, value) =>
-        val rec = reader.read(null, DecoderFactory.get().binaryDecoder(value, null))
-        Option(rec.get("ColumnStatsMetadata")).map(_.asInstanceOf[GenericRecord]).flatMap { cs =>
-          val deleted = Option(cs.get("isDeleted")).exists(_.asInstanceOf[Boolean])
-          if (deleted) None
-          else Some(ColStat(cs.get("fileName").toString, cs.get("columnName").toString,
-            num(cs.get("minValue")), num(cs.get("maxValue"))))
+      shards.flatMap { case (_, _, name) =>
+        val (info, cells) = HudiHFile.read(conf, new Path(dir, name))
+        val schemaBytes = info.getOrElse(HudiHFile.SchemaKey, throw new IllegalStateException(
+          s"$tablePath: column_stats HFile $name carries no schema file-info entry"))
+        val schema = new Schema.Parser().parse(new String(schemaBytes, UTF_8))
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        cells.flatMap { case (_, value) =>
+          val rec = reader.read(null, DecoderFactory.get().binaryDecoder(value, null))
+          Option(rec.get("ColumnStatsMetadata")).map(_.asInstanceOf[GenericRecord]).flatMap { cs =>
+            val deleted = Option(cs.get("isDeleted")).exists(_.asInstanceOf[Boolean])
+            if (deleted) None
+            else Some(ColStat(cs.get("fileName").toString, cs.get("columnName").toString,
+              num(cs.get("minValue")), num(cs.get("maxValue"))))
+          }
         }
       }
     }
