@@ -2759,6 +2759,51 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey <= 3000
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #102l Delta CLUSTERED TABLE (PROTOCOL.md Clustered Table +
+    * Domain Metadata — the liquid-clustering surface): `create` with
+    * `clusterBy` range-clusters the data files, declares the
+    * writer-only `clustering`+`domainMetadata` features and records
+    * the columns in the `delta.clustering` metadata domain; `append`
+    * re-clusters each batch (the spec's recommended write), and the
+    * domain rides `writeCheckpoint` verbatim. In-run requires: the
+    * clustered layout provably CUTS the file set under stats
+    * skipping, and after the checkpoint the clustering declaration is
+    * served FROM the checkpoint (the domain's only post-cleanup
+    * copy — the replay tail behind it is empty). The oracle
+    * recomputes the range aggregate.
+    */
+  val qDeltaCluster: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-cluster") + "/t"
+      val o = t(s, dir, "orders")
+      DeltaTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        clusterBy = Seq("o_orderkey")): Unit
+      DeltaTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      require(DeltaTableReader.clusteringColumns(s, table) == Seq(Seq("o_orderkey")),
+        "the delta.clustering domain must declare the clustering column")
+      val hi = 2000.0
+      val skipped = DeltaTableReader.snapshotSkipping(s, table, "o_orderkey", 0.0, hi)
+      val full = DeltaTableReader.snapshot(s, table)
+      require(skipped.inputFiles.length < full.inputFiles.length,
+        s"clustered files must prune under stats skipping " +
+          s"(${skipped.inputFiles.length} of ${full.inputFiles.length})")
+      // checkpoint at head: the replay tail behind it is empty, so the
+      // clustering answer below necessarily comes from the checkpoint
+      DeltaTableWriter.writeCheckpoint(s, table): Unit
+      require(DeltaTableReader.clusteringColumns(s, table) == Seq(Seq("o_orderkey")),
+        "the clustering domain must ride the checkpoint")
+      skipped.where(col("o_orderkey") <= hi.toLong)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey <= 2000
+        |GROUP BY o_orderstatus""".stripMargin))
+
   /** #106b Delta DV-DELETE writer
     * ([[graft.sources.DeltaTableWriter.delete]]): rows are deleted
     * from an external Delta table WITHOUT rewriting data files — the

@@ -97,7 +97,12 @@ object DeltaTableReader {
       protocol: Option[Protocol] = None,
       metaDataId: Option[String] = None,
       configuration: Map[String, String] = Map.empty,
-      createdTime: Option[Long] = None)
+      createdTime: Option[Long] = None,
+      // PROTOCOL.md Domain Metadata: latest non-removed configuration
+      // string per domain (system domains like delta.clustering and
+      // any user domain ride through verbatim; a removed=true action
+      // tombstones its domain out of the snapshot)
+      domainMetadata: Map[String, String] = Map.empty)
 
   /** Checkpoint add row pulled to the driver — path + partition
     * values + DV descriptor JSON only, never the stats/tags payload.
@@ -477,6 +482,7 @@ object DeltaTableReader {
         .filter(cv => asOf.forall(cv <= _))
 
     val active = scala.collection.mutable.LinkedHashMap.empty[String, FileAction]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var partCols: Seq[String] = Nil
     var schemaJson: Option[String] = None
     var protocol: Option[Protocol] = None
@@ -513,6 +519,15 @@ object DeltaTableReader {
         Option(pn.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
         Option(pn.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
         seqOf("readerFeatures"), seqOf("writerFeatures")))
+    }
+    def applyDomainNode(dn: JsonNode): Unit = {
+      val domain = Option(dn.get("domain")).filterNot(_.isNull).map(_.asText())
+        .getOrElse(throw new IllegalStateException(
+          s"$tablePath: domainMetadata action without a domain name"))
+      val removed = Option(dn.get("removed")).exists(n => !n.isNull && n.asBoolean(false))
+      if (removed) domains.remove(domain): Unit
+      else domains(domain) =
+        Option(dn.get("configuration")).filterNot(_.isNull).map(_.asText()).getOrElse("")
     }
 
     ckptVersion.foreach { v =>
@@ -578,6 +593,8 @@ object DeltaTableReader {
               } else if (node.has("metaData")) {
                 applyMetaNode(node.get("metaData"))
                 refuseColumnMapping(configuration.get("delta.columnMapping.mode"), tablePath)
+              } else if (node.has("domainMetadata")) {
+                applyDomainNode(node.get("domainMetadata"))
               } else if (node.has("sidecar")) {
                 sidecars += node.get("sidecar").get("path").asText()
               } else if (node.has("checkpointMetadata")) {
@@ -639,6 +656,26 @@ object DeltaTableReader {
             refuseColumnMapping(configuration.get("delta.columnMapping.mode"), tablePath)
           }
         }
+      }
+      if (cols.contains("domainMetadata")) {
+        // one row per live domain (a checkpoint is a complete snapshot,
+        // so removed domains are simply absent) — |domains| is small by
+        // construction, a driver collect is the right shape
+        rows.select("domainMetadata").where(col("domainMetadata").isNotNull)
+          .collect().foreach { r =>
+            val dm = r.getStruct(0)
+            val names = dm.schema.fieldNames
+            def strOf(f: String): Option[String] = {
+              val i = names.indexOf(f)
+              if (i >= 0 && !dm.isNullAt(i)) Some(dm.getString(i)) else None
+            }
+            val rIdx = names.indexOf("removed")
+            val removed = rIdx >= 0 && !dm.isNullAt(rIdx) && dm.getBoolean(rIdx)
+            strOf("domain").foreach { d =>
+              if (removed) domains.remove(d): Unit
+              else domains(d) = strOf("configuration").getOrElse("")
+            }
+          }
       }
       addRowsOpt.filter(_.columns.contains("add")).foreach { addRows =>
         def addFields: Set[String] = addRows.schema("add").dataType match {
@@ -727,6 +764,8 @@ object DeltaTableReader {
           applyMetaNode(node.get("metaData"))
         } else if (node.has("protocol")) {
           applyProtocolNode(node.get("protocol"))
+        } else if (node.has("domainMetadata")) {
+          applyDomainNode(node.get("domainMetadata"))
         }
       }
       if (active.size > maxDriverFiles) throw new IllegalStateException(
@@ -736,8 +775,37 @@ object DeltaTableReader {
     if (latest < 0) throw new IllegalArgumentException(
       s"$tablePath: empty _delta_log (no checkpoint, no commits)")
     Snapshot(latest, active.values.toIndexedSeq, partCols, schemaJson,
-      protocol, metaId, configuration, createdTime)
+      protocol, metaId, configuration, createdTime, domains.toMap)
   }
+
+  /** Clustering columns a clustered table declares (PROTOCOL.md
+    * Clustered Table: the `delta.clustering` metadata domain's
+    * configuration carries `{"clusteringColumns":[["col"],…]}`, each
+    * inner array a field-name path). Empty for unclustered tables;
+    * a clustering domain whose configuration does not parse refuses
+    * loudly rather than silently reporting "unclustered".
+    */
+  def clusteringColumns(spark: SparkSession, tablePath: String): Seq[Seq[String]] =
+    clusteringColumnsOf(snapshotState(spark, tablePath), tablePath)
+
+  private[sources] def clusteringColumnsOf(state: Snapshot,
+      tablePath: String): Seq[Seq[String]] =
+    state.domainMetadata.get("delta.clustering").map { conf =>
+      val node = try mapper.readTree(conf) catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$tablePath: delta.clustering domain configuration is not valid JSON: $conf", e)
+      }
+      val arr = node.get("clusteringColumns")
+      if (arr == null || !arr.isArray) throw new IllegalStateException(
+        s"$tablePath: delta.clustering domain configuration lacks clusteringColumns: $conf")
+      val b = Seq.newBuilder[Seq[String]]
+      arr.forEach { path =>
+        val p = Seq.newBuilder[String]
+        path.forEach(seg => p += seg.asText())
+        b += p.result()
+      }
+      b.result()
+    }.getOrElse(Nil)
 
   /** Latest committed version number — metadata only (no add-set
     * materialization): max of the advertised checkpoint version and

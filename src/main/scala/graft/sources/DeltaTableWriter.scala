@@ -68,7 +68,16 @@ object DeltaTableWriter {
       // the field's delta.typeChanges metadata — is implemented in
       // [[evolveSchemaIfNeeded]]; the -preview variant stays refused
       // (its entries carry a different shape: tableVersion bookkeeping)
-      "typeWidening")
+      "typeWidening",
+      // domainMetadata's writer obligation is PRESERVATION: live
+      // domains replay through [[DeltaTableReader.snapshotState]] and
+      // ride [[writeCheckpoint]] verbatim (including domains this
+      // writer does not understand — a domain gated by a feature this
+      // writer cannot honor refuses through that feature, not here);
+      // clustering's obligation is advisory (PROTOCOL.md: writers are
+      // not required to cluster on write) and [[append]] exceeds it by
+      // range-clustering batches on the declared columns
+      "domainMetadata", "clustering")
 
   /** Refuse an append the table's protocol or metadata makes unsafe.
     * Mirrors the reader's refuseReaderFeatures contract on the write
@@ -367,7 +376,8 @@ object DeltaTableWriter {
       val p = new Path(dir, f"$v%020d.json")
       if (!fs.exists(p)) return false
       val nodes = readText(fs, p).split('\n').filter(_.nonEmpty).map(mapper.readTree)
-      if (nodes.exists(n => n.has("metaData") || n.has("protocol"))) return false
+      if (nodes.exists(n =>
+        n.has("metaData") || n.has("protocol") || n.has("domainMetadata"))) return false
       if (winnerMustBeBlind) {
         // key-keyed commits rebase ONLY over affirmed blind appends:
         // a remove action, a missing commitInfo marker, or
@@ -559,7 +569,8 @@ object DeltaTableWriter {
       s""""lastUpdated":${System.currentTimeMillis()}}}"""
 
   def create(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
-      transaction: Option[(String, Long)] = None): Long = {
+      transaction: Option[(String, Long)] = None,
+      clusterBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -567,7 +578,12 @@ object DeltaTableWriter {
       s"$tablePath is already a Delta table — use append")
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column $c is not in the DataFrame"))
-    val files = writeDataFiles(df, tablePath, partitionBy)
+    clusterBy.foreach(c => require(df.columns.contains(c),
+      s"clustering column $c is not in the DataFrame"))
+    require(clusterBy.intersect(partitionBy).isEmpty,
+      "a column cannot be both a partition and a clustering column " +
+        s"(${clusterBy.intersect(partitionBy).mkString(",")})")
+    val files = writeDataFiles(clusterFrame(df, clusterBy), tablePath, partitionBy)
     // a TIMESTAMP_NTZ column requires the timestampNtz reader+writer
     // feature per PROTOCOL.md — stamping the legacy 1/2 protocol would
     // land a spec-violating table on the very engines this writer
@@ -579,8 +595,19 @@ object DeltaTableWriter {
       case m: org.apache.spark.sql.types.MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
       case _ => false
     }
+    // a CLUSTERED table declares the clustering + domainMetadata
+    // writer features (PROTOCOL.md Clustered Table — writer-only, so
+    // minReaderVersion stays at what the types need) and records its
+    // columns in the delta.clustering metadata domain
+    val ntz = hasNtz(df.schema)
     val protocol =
-      if (hasNtz(df.schema))
+      if (clusterBy.nonEmpty) {
+        val wf = (if (ntz) Seq("timestampNtz") else Nil) ++
+          Seq("domainMetadata", "clustering")
+        val rf = if (ntz) """"readerFeatures":["timestampNtz"],""" else ""
+        s"""{"protocol":{"minReaderVersion":${if (ntz) 3 else 1},"minWriterVersion":7,""" +
+          rf + s""""writerFeatures":[${wf.map(jsonStr).mkString(",")}]}}"""
+      } else if (ntz)
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
           """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}"""
       else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
@@ -590,12 +617,46 @@ object DeltaTableWriter {
         s""""schemaString":${jsonStr(df.schema.json)},""" +
         s""""partitionColumns":[${partitionBy.map(jsonStr).mkString(",")}],""" +
         s""""configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+    val domainLines =
+      if (clusterBy.isEmpty) Nil
+      else Seq(clusteringDomainLine(clusterBy))
     commit(spark, tablePath, 0L,
-      protocol +: metaData +: (transaction.map(txnLine).toSeq ++
+      protocol +: metaData +: (domainLines ++ transaction.map(txnLine).toSeq ++
         files.map { case (rel, size, mtime, st) =>
           addLine(rel, size, mtime, partitionBy, st) }),
       rebaseSafe = false)
   }
+
+  /** `{"domainMetadata":{"domain":"delta.clustering",…}}` — the
+    * configuration is a JSON STRING per PROTOCOL.md, each clustering
+    * column a single-element name path (top-level columns only here).
+    */
+  private def clusteringDomainLine(clusterBy: Seq[String]): String = {
+    val conf =
+      s"""{"clusteringColumns":[${clusterBy.map(c => s"[${jsonStr(c)}]").mkString(",")}]}"""
+    s"""{"domainMetadata":{"domain":"delta.clustering",""" +
+      s""""configuration":${jsonStr(conf)},"removed":false}}"""
+  }
+
+  /** Range-cluster `df` on `clusterBy` so each landed file covers a
+    * narrow slice of the clustering key space — what makes the
+    * recorded add.stats actually CUT file sets on clustered reads.
+    * One range shuffle (session parallelism), in-partition sort for
+    * tight per-file row-group bounds; no-op when unclustered.
+    */
+  private def clusterFrame(df: DataFrame, clusterBy: Seq[String]): DataFrame =
+    if (clusterBy.isEmpty) df
+    else {
+      val cs = clusterBy.map(org.apache.spark.sql.functions.col)
+      // EXPLICIT partition count: an unsized range shuffle is fair
+      // game for AQE partition coalescing, which would merge the
+      // carefully-ranged slices back into a handful of wide files and
+      // void the clustering (one file spanning the whole key space
+      // prunes nothing). Session parallelism is the file-count target;
+      // at scale, size spark.sql.shuffle.partitions to the table.
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      df.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
+    }
 
   /** Append `df` to an existing table as a new commit; partitioning
     * and column set come from the TABLE's metadata (columns may be in
@@ -668,9 +729,14 @@ object DeltaTableWriter {
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
         StructField("readerFeatures", ArrayType(StringType)),
-        StructField("writerFeatures", ArrayType(StringType)))))))
-    def row(txn: Row = null, add: Row = null, md: Row = null, proto: Row = null) =
-      Row(txn, add, md, proto)
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
+    def row(txn: Row = null, add: Row = null, md: Row = null, proto: Row = null,
+        dm: Row = null) =
+      Row(txn, add, md, proto, dm)
     val addRows = state.active.map { f =>
       val st = fs.getFileStatus(new Path(tablePath, decodePathPublic(f.path)))
       val dv = f.dv.map(d =>
@@ -683,6 +749,14 @@ object DeltaTableWriter {
         f.stats.orNull))
     }
     val txnRows = txns.toSeq.sorted.map { case (app, v) => row(txn = Row(app, v)) }
+    // LIVE metadata domains ride the checkpoint verbatim (a checkpoint
+    // is a complete snapshot — after log cleanup it is the only copy,
+    // and dropping a domain would silently un-cluster a clustered
+    // table for every engine that plans from the domain); removed
+    // domains are simply absent
+    val domainRows = state.domainMetadata.toSeq.sorted.map { case (d, c) =>
+      row(dm = Row(d, c, false))
+    }
     // the table's ORIGINAL protocol and metaData, verbatim — after log
     // cleanup this checkpoint is the only copy, and a fabricated one
     // (wrong id, dropped configuration, missing readerFeatures) makes
@@ -719,7 +793,7 @@ object DeltaTableWriter {
         s"$tablePath: failed to land checkpoint $dst")
       fs.delete(stage, true): Unit
     }
-    val allRows = Seq(protoRow, metaRow) ++ txnRows ++ addRows
+    val allRows = Seq(protoRow, metaRow) ++ domainRows ++ txnRows ++ addRows
     // a protocol declaring the v2Checkpoint feature expects its
     // checkpoints in the v2 layout regardless of size
     val wantsV2 = state.protocol.exists(p =>
@@ -735,18 +809,19 @@ object DeltaTableWriter {
         StructField("sidecar", StructType(Seq(
           StructField("path", StringType),
           StructField("sizeInBytes", LongType))))))
-      def mrow(r: Row): Row = Row(r.get(0), r.get(1), r.get(2), r.get(3), null, null)
+      def mrow(r: Row): Row =
+        Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), null, null)
       val sidecarDir = new Path(dir, "_sidecars")
       fs.mkdirs(sidecarDir)
       val sidecarRows = addRows.grouped(math.max(1, partRows)).map { rows0 =>
         val nm = s"${java.util.UUID.randomUUID()}.parquet"
         landPart(rows0, schema, new Path(sidecarDir, nm))
         val len = fs.getFileStatus(new Path(sidecarDir, nm)).getLen
-        Row(null, null, null, null, null, Row(nm, len))
+        Row(null, null, null, null, null, null, Row(nm, len))
       }.toIndexedSeq
       val manifestRows =
-        Row(null, null, null, null, Row(state.version), null) +:
-          (Seq(protoRow, metaRow) ++ txnRows).map(mrow) ++: sidecarRows
+        Row(null, null, null, null, null, Row(state.version), null) +:
+          (Seq(protoRow, metaRow) ++ domainRows ++ txnRows).map(mrow) ++: sidecarRows
       landPart(manifestRows, manifestSchema,
         new Path(dir,
           f"${state.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
@@ -1421,12 +1496,20 @@ object DeltaTableWriter {
       opInfo = Some(("RESTORE", false)))
   }
 
-  def append(df: DataFrame, tablePath: String,
+  def append(df0: DataFrame, tablePath: String,
       transaction: Option[(String, Long)] = None,
       checkpointInterval: Int = DefaultCheckpointInterval): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val state = DeltaTableReader.snapshotState(spark, tablePath)
     refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
+    // a CLUSTERED table (delta.clustering domain): range-cluster the
+    // batch on the declared columns — PROTOCOL.md makes clustering on
+    // write advisory, so paths this writer cannot shuffle by (nested,
+    // or absent from the batch) fall back to a legal unclustered
+    // append instead of refusing
+    val clusterCols = DeltaTableReader.clusteringColumnsOf(state, tablePath)
+      .collect { case Seq(c) if df0.columns.contains(c) => c }
+    val df = clusterFrame(df0, clusterCols)
     val mappingMode = state.configuration.getOrElse("delta.columnMapping.mode", "none")
     if (mappingMode == "name" || mappingMode == "id") {
       // COLUMN-MAPPED append (PROTOCOL.md Column Mapping): the batch
