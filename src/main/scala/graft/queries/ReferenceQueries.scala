@@ -3624,6 +3624,47 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey <= 3000
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #104o Iceberg SORT ORDERS (spec "Sort Orders" — the table-level
+    * clustering declaration, the Iceberg face of the cross-format
+    * triad beside Delta's delta.clustering domain (102l) and Hudi
+    * clustering (103i)): `create(sortBy=…)` declares the order in
+    * `sort-orders`/`default-sort-order-id`, range-clusters the files,
+    * and stamps each data_file's `sort_order_id`; `append` reads the
+    * DEFAULT order back and re-sorts its batch under the same id.
+    * In-run requires: the declared order round-trips through the
+    * reader, and the sorted layout provably CUTS the file set under
+    * bounds skipping across BOTH generations. The oracle recomputes
+    * the range aggregate.
+    */
+  val qIcebergSorted: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("iceberg-sorted") + "/t"
+      val o = t(s, dir, "orders")
+      IcebergTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        sortBy = Seq("o_orderkey")): Unit
+      IcebergTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      require(IcebergTableReader.sortOrder(s, table) ==
+        Seq(("o_orderkey", "asc", "nulls-first")),
+        "the declared sort order must round-trip through the metadata")
+      val hi = 2500.0
+      val full = IcebergTableReader.planFiles(s, table)
+      val pruned = IcebergTableReader.planFilesSkipping(s, table, "o_orderkey", 0.0, hi)
+      require(pruned.data.size < full.data.size,
+        s"the sorted layout must cut the file set " +
+          s"(${pruned.data.size} of ${full.data.size})")
+      IcebergTableReader.snapshotSkipping(s, table, "o_orderkey", 0.0, hi)
+        .where(col("o_orderkey") <= hi.toLong)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey <= 2500
+        |GROUP BY o_orderstatus""".stripMargin))
+
   /** #106d Delta RESTORE ([[graft.sources.DeltaTableWriter.restore]]):
     * one commit re-points the table to a past version — removes for
     * files active now but not then, re-adds (original partition

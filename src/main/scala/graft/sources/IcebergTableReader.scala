@@ -174,6 +174,38 @@ object IcebergTableReader {
     }
   }
 
+  /** The table's DEFAULT sort order as (column, direction, null-order)
+    * triples (spec "Sort Orders": `sort-orders` +
+    * `default-sort-order-id`; source-ids resolve against the current
+    * schema). Empty for unsorted tables (order 0), tables predating
+    * the field, and non-identity transforms (this writer re-sorts
+    * appends only on identity orders — sorting is advisory).
+    */
+  def sortOrder(spark: SparkSession, tablePath: String): Seq[(String, String, String)] = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
+    val orders = meta.get("sort-orders")
+    if (orders == null || !orders.isArray) return Nil
+    val defaultId = Option(meta.get("default-sort-order-id")).map(_.asInt()).getOrElse(0)
+    var fields: com.fasterxml.jackson.databind.JsonNode = null
+    orders.forEach { o =>
+      if (Option(o.get("order-id")).exists(_.asInt() == defaultId)) fields = o.get("fields")
+    }
+    if (fields == null || !fields.isArray) return Nil
+    val names = schemaFieldNames(spark, tablePath)
+    val b = Seq.newBuilder[(String, String, String)]
+    var resolvable = true
+    fields.forEach { f =>
+      val transform = Option(f.get("transform")).map(_.asText()).getOrElse("identity")
+      val name = Option(f.get("source-id")).map(_.asInt()).flatMap(names.get)
+      if (transform != "identity" || name.isEmpty) resolvable = false
+      else b += ((name.get,
+        Option(f.get("direction")).map(_.asText()).getOrElse("asc"),
+        Option(f.get("null-order")).map(_.asText()).getOrElse("nulls-first")))
+    }
+    if (resolvable) b.result() else Nil
+  }
+
   private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
     val p = new Path(path)
     val in = new FsInput(p, spark.sparkContext.hadoopConfiguration)

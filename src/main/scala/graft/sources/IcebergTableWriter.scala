@@ -64,7 +64,8 @@ object IcebergTableWriter {
     */
   private def entrySchemaFor(pfields: Seq[PartitionField],
       withEqualityIds: Boolean = false,
-      withBounds: Boolean = false): Schema = {
+      withBounds: Boolean = false,
+      withSortOrder: Boolean = false): Schema = {
     val partField =
       if (pfields.isEmpty) ""
       else {
@@ -89,6 +90,11 @@ object IcebergTableWriter {
       else s""",{"name":"lower_bounds","type":["null",${kvArray.format("k126")}],""" +
         s""""default":null},{"name":"upper_bounds","type":["null",${kvArray.format("k127")}],""" +
         s""""default":null}"""
+    // the spec's data_file.sort_order_id (optional int, field 140):
+    // which declared sort order the file's rows were written under
+    val sortField =
+      if (!withSortOrder) ""
+      else """,{"name":"sort_order_id","type":["null","int"],"default":null}"""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int"},
@@ -98,7 +104,7 @@ object IcebergTableWriter {
          |  {"name":"content","type":"int","default":0},
          |  {"name":"file_path","type":"string"},
          |  {"name":"file_format","type":"string","default":"PARQUET"},
-         |  {"name":"record_count","type":"long","default":0}$partField$eqField$boundsField]}}]}"""
+         |  {"name":"record_count","type":"long","default":0}$partField$eqField$boundsField$sortField]}}]}"""
         .stripMargin)
   }
 
@@ -333,11 +339,13 @@ object IcebergTableWriter {
   private def manifestOf(conf: org.apache.hadoop.conf.Configuration, tablePath: String,
       snapshotId: Long, sequence: Long, files: Seq[Landed],
       pfields: Seq[PartitionField], content: Int = 0,
-      equalityIds: Seq[Int] = Nil): String = {
+      equalityIds: Seq[Int] = Nil,
+      sortOrderId: Option[Int] = None): String = {
     val rel = s"metadata/m-$snapshotId-${java.util.UUID.randomUUID()}.avro"
     val withBounds = files.exists(f => f.lowerBounds.nonEmpty || f.upperBounds.nonEmpty)
     val entrySchema = entrySchemaFor(pfields,
-      withEqualityIds = equalityIds.nonEmpty, withBounds = withBounds)
+      withEqualityIds = equalityIds.nonEmpty, withBounds = withBounds,
+      withSortOrder = sortOrderId.nonEmpty)
     val dfSchema = entrySchema.getField("data_file").schema()
     def kvRecords(fieldName: String, m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] = {
       val arrSchema = dfSchema.getField(fieldName).schema().getTypes.get(1)
@@ -358,6 +366,7 @@ object IcebergTableWriter {
         dfr.put("upper_bounds", kvRecords("upper_bounds", f.upperBounds))
       }
       dfr.put("file_format", "PARQUET"); dfr.put("record_count", f.count)
+      sortOrderId.foreach(id => dfr.put("sort_order_id", Integer.valueOf(id)))
       if (equalityIds.nonEmpty) {
         import scala.jdk.CollectionConverters._
         dfr.put("equality_ids", equalityIds.map(Integer.valueOf).asJava)
@@ -528,6 +537,89 @@ object IcebergTableWriter {
     }
     Some(SchemaState(nodes.result(), currentId, fields.result(), maxFid, maxSid))
   }
+
+  /** The current metadata's raw `sort-orders` nodes + the default
+    * order id; None when the table (or the metadata field — older
+    * graft tables) does not exist. Nodes carry through commits
+    * VERBATIM, like schema nodes and refs.
+    */
+  private def sortOrdersStateOf(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Option[(Seq[String], Int)] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return None
+    val in = fs.open(hint)
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    val metaPath = new Path(tablePath, s"metadata/v$v.metadata.json")
+    if (!fs.exists(metaPath)) return None
+    val in2 = fs.open(metaPath)
+    val text = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString finally in2.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val orders = node.get("sort-orders")
+    if (orders == null || !orders.isArray || orders.isEmpty) return None
+    val nodes = Seq.newBuilder[String]
+    orders.forEach(o => nodes += o.toString)
+    Some((nodes.result(),
+      Option(node.get("default-sort-order-id")).map(_.asInt()).getOrElse(0)))
+  }
+
+  /** Resolve a commit's sort-order metadata (iceberg.apache.org spec
+    * "Sort Orders": table metadata declares `sort-orders` +
+    * `default-sort-order-id`; data files record which declared order
+    * they were written under). Existing nodes carry verbatim; a
+    * commit whose files were written sorted by `sortedBy` (identity
+    * asc, nulls-first) reuses the existing order with those exact
+    * fields or appends a fresh node past the max order-id and makes
+    * it the default. Returns (nodes, default-id, id-to-stamp).
+    */
+  private def resolveSortOrders(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, exists: Boolean,
+      schema: org.apache.spark.sql.types.StructType,
+      sortedBy: Seq[String]): (Seq[String], Int, Option[Int]) = {
+    val prior = if (exists) sortOrdersStateOf(spark, tablePath) else None
+    // order-id 0 is the spec's reserved "unsorted" order
+    val baseNodes = prior.map(_._1).getOrElse(Seq("""{"order-id":0,"fields":[]}"""))
+    val baseDefault = prior.map(_._2).getOrElse(0)
+    if (sortedBy.isEmpty) return (baseNodes, baseDefault, None)
+    val ids = plannedFieldIds(spark, tablePath, schema)
+    val wantFields = sortedBy.map { c =>
+      val sid = ids.getOrElse(c, throw new IllegalArgumentException(
+        s"$tablePath: sort column $c is not in the commit schema"))
+      s"""{"transform":"identity","source-id":$sid,"direction":"asc",""" +
+        """"null-order":"nulls-first"}"""
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val wantJson = mapper.readTree(s"[${wantFields.mkString(",")}]")
+    val existing = baseNodes.flatMap { raw =>
+      val n = mapper.readTree(raw)
+      if (n.get("fields") == wantJson)
+        Option(n.get("order-id")).map(_.asInt())
+      else None
+    }.headOption
+    existing match {
+      case Some(id) => (baseNodes, id, Some(id))
+      case None =>
+        val maxId = baseNodes.map(raw =>
+          Option(mapper.readTree(raw).get("order-id")).map(_.asInt()).getOrElse(0)).max
+        val newId = maxId + 1
+        val node =
+          s"""{"order-id":$newId,"fields":[${wantFields.mkString(",")}]}"""
+        (baseNodes :+ node, newId, Some(newId))
+    }
+  }
+
+  /** Range-cluster `df` on `sortBy` with an EXPLICIT partition count
+    * (an unsized range shuffle is fair game for AQE coalescing, which
+    * would merge the slices into key-space-wide files that prune
+    * nothing); in-partition sort keeps per-file bounds tight.
+    */
+  private def sortFrame(df: DataFrame, sortBy: Seq[String]): DataFrame =
+    if (sortBy.isEmpty) df
+    else {
+      val cs = sortBy.map(org.apache.spark.sql.functions.col)
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      df.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
+    }
 
   /** Field ids the commit writing `schema` will declare: existing
     * columns keep their CURRENT ids verbatim, new columns take fresh
@@ -906,10 +998,12 @@ object IcebergTableWriter {
     * the new snapshot id.
     */
   private def commit(df: DataFrame, tablePath: String, pfields: Seq[PartitionField],
-      extraSummary: Map[String, String] = Map.empty): Long = {
-    val files = writeDataFiles(df, tablePath, pfields)
+      extraSummary: Map[String, String] = Map.empty,
+      sortBy: Seq[String] = Nil): Long = {
+    val files = writeDataFiles(sortFrame(df, sortBy), tablePath, pfields)
     commitSnapshot(df.sparkSession, tablePath, df.schema, pfields, files,
-      content = 0, operation = "append", extraSummary = extraSummary)
+      content = 0, operation = "append", extraSummary = extraSummary,
+      sortedBy = sortBy)
   }
 
   /** Publish one snapshot of `files` (content 0 = data, 1 = position
@@ -923,10 +1017,11 @@ object IcebergTableWriter {
       files: Seq[Landed], content: Int, operation: String,
       reuseManifests: Boolean = true,
       extraSummary: Map[String, String] = Map.empty,
-      plannedAgainst: Option[Long] = None): Long =
+      plannedAgainst: Option[Long] = None,
+      sortedBy: Seq[String] = Nil): Long =
     commitSnapshotGroups(spark, tablePath, schema, pfields,
       Seq(ManifestGroup(files, content)), operation, reuseManifests, extraSummary,
-      plannedAgainst = plannedAgainst)
+      plannedAgainst = plannedAgainst, sortedBy = sortedBy)
 
   /** One new manifest's worth of files: `entryContent` is the spec's
     * data_file.content (0=data, 1=position deletes, 2=equality
@@ -954,7 +1049,11 @@ object IcebergTableWriter {
       extraManifests: (Long, Long) => Seq[(String, Int)] = (_, _) => Nil,
       transformBase: Seq[(String, Long, Int, Option[Long])] =>
         Seq[(String, Long, Int, Option[Long])] = identity,
-      plannedAgainst: Option[Long] = None): Long = {
+      plannedAgainst: Option[Long] = None,
+      // columns the content-0 groups' files were WRITTEN sorted by
+      // (identity asc): resolves/mints the declared sort order, makes
+      // it the default, and stamps data_file.sort_order_id
+      sortedBy: Seq[String] = Nil): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
     var attempt = 0
@@ -1003,9 +1102,12 @@ object IcebergTableWriter {
         }
       if (plannedParent.isEmpty) plannedParent = Some(parentId)
       val newId = parentId.getOrElse(0L) + 1L
+      val (sortNodes, defaultSortId, stampSortId) =
+        resolveSortOrders(spark, tablePath, exists, schema, sortedBy)
       val newManifests = groups.map { g =>
         val rel = manifestOf(conf, tablePath, newId, seq, g.files, pfields,
-          g.entryContent, g.equalityIds)
+          g.entryContent, g.equalityIds,
+          sortOrderId = if (g.entryContent == 0) stampSortId else None)
         // manifest-LIST content: 0 = data manifest, 1 = deletes
         // manifest (position AND equality entries both live under 1)
         (rel, newId, if (g.entryContent == 0) 0 else 1, Option(seq))
@@ -1057,6 +1159,8 @@ object IcebergTableWriter {
       val metaJson =
         s"""{"format-version":$formatVersion,"table-uuid":"graft","location":"$tablePath",""" +
           s"""$schemasPart,${specJson(fieldIdOf, pfields)},""" +
+          s""""sort-orders":[${sortNodes.mkString(",")}],""" +
+          s""""default-sort-order-id":$defaultSortId,""" +
           s""""last-sequence-number":$seq,"refs":{$refsJson},""" +
           s""""current-snapshot-id":$newId,"snapshots":[$snapsJson]}"""
       val vNew = prevVersion + 1
@@ -1082,7 +1186,8 @@ object IcebergTableWriter {
     * the first snapshot id.
     */
   def create(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
-      transaction: Option[(String, Long)] = None): Long = {
+      transaction: Option[(String, Long)] = None,
+      sortBy: Seq[String] = Nil): Long = {
     val fs = new Path(tablePath).getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val metaDir = new Path(tablePath, "metadata")
@@ -1095,7 +1200,12 @@ object IcebergTableWriter {
     val pfields = partitionBy.map(IcebergTransforms.parse)
     pfields.foreach(f => require(df.columns.contains(f.sourceCol),
       s"partition source column ${f.sourceCol} is not in the DataFrame"))
-    commit(df, tablePath, pfields, extraSummary = txnSummary(transaction))
+    // a declared SORT ORDER (spec "Sort Orders", identity asc): files
+    // land range-clustered so the recorded bounds actually cut scans
+    sortBy.foreach(c => require(df.columns.contains(c),
+      s"sort column $c is not in the DataFrame"))
+    commit(df, tablePath, pfields, extraSummary = txnSummary(transaction),
+      sortBy = sortBy)
   }
 
   /** Append `df` as a new snapshot on the parent chain; columns must
@@ -1127,9 +1237,20 @@ object IcebergTableWriter {
           "precision widening) are metadata commits; other changes are rewrites")
     }
     val pfields = declaredPartitionFields(df.sparkSession, tablePath)
+    // a table declaring a default SORT ORDER gets its appends written
+    // under it (identity asc orders only — [[IcebergTableReader
+    // .sortOrder]] answers empty otherwise, and an unsorted append to
+    // a sorted table is spec-legal, just unstamped)
+    val order = IcebergTableReader.sortOrder(df.sparkSession, tablePath)
+    val sortBy =
+      if (order.nonEmpty && order.forall { case (c, d, _) =>
+          d == "asc" && df.columns.contains(c) })
+        order.map(_._1)
+      else Nil // partial sorting must not stamp the FULL order's id
     commit(df.select((existing.columns.toSeq ++ extras)
         .map(org.apache.spark.sql.functions.col): _*),
-      tablePath, pfields, extraSummary = txnSummary(transaction))
+      tablePath, pfields, extraSummary = txnSummary(transaction),
+      sortBy = sortBy)
   }
 
   /** Snapshot-summary keys carrying a streaming sink's (appId,
