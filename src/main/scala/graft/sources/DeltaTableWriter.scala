@@ -864,8 +864,21 @@ object DeltaTableWriter {
     val state = DeltaTableReader.snapshotState(spark, tablePath)
     refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
     val snap = DeltaTableReader.snapshot(spark, tablePath)
+    // a CLUSTERED table's OPTIMIZE re-establishes the clustered layout
+    // (Delta's own OPTIMIZE on clusterBy tables): range-repartition on
+    // the declared columns instead of the blind row-count split, so
+    // the rewritten files are prunable again even after unclustered
+    // writers diluted the layout
+    val clusterCols = DeltaTableReader.clusteringColumnsOf(state, tablePath)
+      .collect { case Seq(c) if snap.columns.contains(c) => c }
+    val reshaped =
+      if (clusterCols.isEmpty) snap.repartition(targetFiles)
+      else {
+        val cs = clusterCols.map(org.apache.spark.sql.functions.col)
+        snap.repartitionByRange(targetFiles, cs: _*).sortWithinPartitions(cs: _*)
+      }
     val (physical, physPartCols, stampIds) =
-      mappedWriteProjection(state, tablePath, snap.repartition(targetFiles))
+      mappedWriteProjection(state, tablePath, reshaped)
     val files = writeDataFiles(physical, tablePath, physPartCols,
       stampFieldIds = stampIds)
     val now = System.currentTimeMillis()

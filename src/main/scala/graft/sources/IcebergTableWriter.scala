@@ -1296,9 +1296,27 @@ object IcebergTableWriter {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val snap = IcebergTableReader.snapshot(spark, tablePath) // deletes applied
     val pfields = declaredPartitionFields(spark, tablePath)
-    val files = writeDataFiles(snap.repartition(targetFiles), tablePath, pfields)
+    // a table declaring a default SORT ORDER gets its rewrite written
+    // under it (Iceberg's own rewrite-data-files sorts by the table
+    // order) — the service RESTORES the clustered layout that
+    // unsorted upserts/appends diluted, and the rewritten files stamp
+    // the order id
+    val order = IcebergTableReader.sortOrder(spark, tablePath)
+    val sortBy =
+      if (order.nonEmpty && order.forall { case (c, d, _) =>
+          d == "asc" && snap.columns.contains(c) })
+        order.map(_._1)
+      else Nil
+    val reshaped =
+      if (sortBy.isEmpty) snap.repartition(targetFiles)
+      else {
+        val cs = sortBy.map(org.apache.spark.sql.functions.col)
+        snap.repartitionByRange(targetFiles, cs: _*).sortWithinPartitions(cs: _*)
+      }
+    val files = writeDataFiles(reshaped, tablePath, pfields)
     commitSnapshot(spark, tablePath, snap.schema, pfields, files,
-      content = 0, operation = "replace", reuseManifests = false)
+      content = 0, operation = "replace", reuseManifests = false,
+      sortedBy = sortBy)
   }
 
   /** EXPIRE SNAPSHOTS (Iceberg's own retention service): rewrite the

@@ -162,6 +162,31 @@ class DeltaClusteringSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE re-establishes the clustered layout a hand-landed wide file diluted") {
+    val table = tmpDir("dclu-optimize") + "/t"
+    DeltaTableWriter.create(df(1 to 4000), table, clusterBy = Seq("id")): Unit
+    // an unclustered writer (spec-legal) lands one file spanning the
+    // whole key space: the low slice now includes it
+    val wide = df(1 to 4000).orderBy(rand(7)).coalesce(1)
+    writeDataFile(wide, table, "wide.parquet")
+    val fs = new java.io.File(s"$table/wide.parquet")
+    writeCommit(table, 1L, Seq(
+      s"""{"add":{"path":"wide.parquet","partitionValues":{},"size":${fs.length()},""" +
+        s""""modificationTime":1700000000000,"dataChange":true}}"""))
+    assert(DeltaTableReader.snapshot(spark, table).count() == 8000L)
+    // OPTIMIZE on a clustered table range-reclusters instead of the
+    // blind row-count split — afterwards skipping cuts again
+    DeltaTableWriter.compact(spark, table, targetFiles = 8): Unit
+    val full = DeltaTableReader.snapshot(spark, table)
+    val low = DeltaTableReader.snapshotSkipping(spark, table, "id", 0.0, 100.0)
+    assert(full.inputFiles.length > 1)
+    assert(low.inputFiles.length < full.inputFiles.length,
+      s"post-OPTIMIZE files must prune (${low.inputFiles.length} of " +
+        s"${full.inputFiles.length})")
+    assert(full.count() == 8000L)
+    assert(DeltaTableReader.clusteringColumns(spark, table) == Seq(Seq("id")))
+  }
+
   test("unclustered tables keep the legacy protocol and an empty clustering answer") {
     val table = tmpDir("dclu-plain") + "/t"
     DeltaTableWriter.create(df(1 to 50), table): Unit

@@ -133,6 +133,31 @@ class IcebergSortOrderSpec extends SparkSpec {
     assert(IcebergTableReader.snapshot(spark, sorted).count() == 1000L)
   }
 
+  test("rewriteDataFiles restores the sorted layout an upsert diluted and stamps the order") {
+    val table = tmpDir("isort-rewrite") + "/t"
+    IcebergTableWriter.create(df(1 to 4000), table, sortBy = Seq("id")): Unit
+    // an upsert's data files land UNSORTED (spec-legal advisory) —
+    // its replacement rows span the key space
+    val s = spark
+    import s.implicits._
+    val touched = (1 to 4000 by 40).map(i => (i.toLong, "upd", i * 3L))
+      .toDF("id", "grp", "v")
+    IcebergTableWriter.upsert(touched, table, Seq("id")): Unit
+    // the service rewrite re-sorts under the declared order: files
+    // prune again and carry its id
+    IcebergTableWriter.rewriteDataFiles(spark, table, targetFiles = 8): Unit
+    val full = IcebergTableReader.planFiles(spark, table)
+    val cut = IcebergTableReader.planFilesSkipping(spark, table, "id", 0.0, 100.0)
+    assert(full.data.size > 1)
+    assert(cut.data.size < full.data.size,
+      s"post-rewrite files must prune (${cut.data.size} of ${full.data.size})")
+    val stamps = stampedOrderIds(table)
+    assert(stamps.flatten.nonEmpty && stamps.flatten.forall(_ == 1))
+    assert(IcebergTableReader.snapshot(spark, table).count() == 4000L)
+    assert(IcebergTableReader.snapshot(spark, table)
+      .where(col("grp") === "upd").count() == 100L)
+  }
+
   test("external orders: desc round-trips but is not re-sorted; non-identity answers empty; legacy metadata tolerated") {
     val table = tmpDir("isort-ext") + "/t"
     IcebergTableWriter.create(df(1 to 200), table, sortBy = Seq("id")): Unit
