@@ -2759,6 +2759,43 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey <= 3000
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #102m Delta MINOR LOG COMPACTION (delta-spark's
+    * `<x>.<y>.compacted.json`): the reconciled actions of a commit
+    * span in one file the reader substitutes during replay — replay
+    * cost becomes O(compactions + residual commits). The fixture
+    * builds a 5-commit table (upsert-grade: one commit DV-deletes),
+    * compacts commits 1..3, then DELETES the covered JSONs so the
+    * read below can ONLY be served through the span — the in-run
+    * proof the substitution happens. The oracle recomputes the final
+    * state from the fixture predicates.
+    */
+  val qDeltaLogCompact: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-logcompact") + "/t"
+      val o = t(s, dir, "orders")
+      DeltaTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(4)) === 0), table): Unit
+      DeltaTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(4)) === 1), table): Unit
+      DeltaTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(4)) === 2), table): Unit
+      DeltaTableWriter.delete(s, table, pmod(col("o_orderkey"), lit(7)) === 0): Unit
+      DeltaTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(4)) === 3), table): Unit
+      DeltaTableWriter.compactLog(s, table, 1L, 3L)
+      (1L to 3L).foreach { v =>
+        val f = new java.io.File(s"$table/_delta_log", f"$v%020d.json")
+        require(f.delete(), s"fixture: could not delete commit $v")
+        new java.io.File(s"$table/_delta_log", f".$v%020d.json.crc").delete()
+      }
+      DeltaTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 4 <> 3)
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #102l Delta CLUSTERED TABLE (PROTOCOL.md Clustered Table +
     * Domain Metadata — the liquid-clustering surface): `create` with
     * `clusterBy` range-clusters the data files, declares the

@@ -725,28 +725,75 @@ object DeltaTableReader {
     }
 
     val allVersions0 = versions(spark, tablePath)
+    // LOG-COMPACTION files (`<x>.<y>.compacted.json` — delta-spark's
+    // minor compactions): the RECONCILED actions of commits x..y in
+    // one file; replay substitutes a span for its individual commits,
+    // so post-checkpoint replay cost is O(compactions + residual
+    // commits) instead of O(commits) — and a span still reads after
+    // its covered JSONs are lost
+    val compactedSpans: Seq[(Long, Long)] = fs.listStatus(dir).toIndexedSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("""\d{20}\.\d{20}\.compacted\.json"""))
+      .map { n =>
+        val parts = n.stripSuffix(".compacted.json").split('.')
+        (parts(0).toLong, parts(1).toLong)
+      }
+      .filter { case (x, y) => x <= y }
+      .sorted
     asOf.foreach { v =>
-      val known = allVersions0 ++ ckptVersion
+      val known = allVersions0 ++ ckptVersion ++ compactedSpans.map(_._2)
       if (known.isEmpty || known.max < v) throw new IllegalArgumentException(
         s"$tablePath: VERSION AS OF $v does not exist (latest: " +
           s"${if (known.isEmpty) "none" else known.max.toString})")
     }
     val allVersions = allVersions0.filter(v => asOf.forall(v <= _))
     val tail = allVersions.filter(v => ckptVersion.forall(v > _))
-    // contiguity: silently skipping a cleaned commit would corrupt the
-    // replay — every JSON after the replay base must be present
-    ckptVersion match {
-      case Some(cv) => requireContiguous(tail, cv + 1, tablePath, "post-checkpoint")
-      case None =>
-        if (tail.nonEmpty && tail.head != 0L) throw new IllegalStateException(
-          s"$tablePath: earliest log JSON is version ${tail.head} and no checkpoint exists — " +
-            "the log was cleaned; the snapshot cannot be reconstructed")
-        requireContiguous(tail, 0L, tablePath, "log")
+    val start = ckptVersion.map(_ + 1L).getOrElse(0L)
+    // usable spans: inside the replay window, bounded by asOf; the
+    // LONGEST span starting at each version wins
+    val spanAt: Map[Long, Long] = compactedSpans
+      .filter { case (x, y) => x >= start && asOf.forall(y <= _) }
+      .groupBy(_._1).map { case (x, ys) => x -> ys.map(_._2).max }
+    val present = tail.toSet
+    val target = (present ++ spanAt.values)
+      .foldLeft(ckptVersion.getOrElse(-1L))(math.max)
+    // a pinned version the plan cannot REACH (its commit cleaned, or
+    // only covered by a span extending past it) refuses — serving the
+    // highest reachable state would silently rewrite history
+    asOf.foreach { a =>
+      if (target < a) throw new IllegalStateException(
+        s"$tablePath: VERSION AS OF $a cannot be reconstructed — versions after $target " +
+          "are not contiguous (cleaned, or covered only by a compacted span extending " +
+          s"past $a); refusing rather than silently serving version $target")
+    }
+    // replay plan: contiguity holds when every version from the base
+    // is served by its own JSON or a compacted span — silently
+    // skipping a cleaned commit would corrupt the replay
+    val steps = Seq.newBuilder[(Path, Long)]
+    var v0 = start
+    while (v0 <= target) {
+      spanAt.get(v0) match {
+        case Some(y) =>
+          steps += ((new Path(dir, f"$v0%020d.$y%020d.compacted.json"), y))
+          v0 = y + 1
+        case None if present(v0) =>
+          steps += ((new Path(dir, f"$v0%020d.json"), v0))
+          v0 += 1
+        case None =>
+          val what = ckptVersion match {
+            case Some(cv) => s"post-checkpoint (checkpoint at $cv) versions"
+            case None => "log versions (no checkpoint exists)"
+          }
+          throw new IllegalStateException(
+            s"$tablePath: $what are not contiguous — commit $v0 is missing and no " +
+              "compacted span covers it; the log was cleaned past a commit this read " +
+              "needs; refusing rather than silently skipping it")
+      }
     }
     var latest = ckptVersion.getOrElse(-1L)
-    tail.foreach { v =>
-      latest = v
-      readText(fs, new Path(dir, f"$v%020d.json")).split('\n').filter(_.nonEmpty).foreach { line =>
+    steps.result().foreach { case (p, upto) =>
+      latest = upto
+      readText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         refuseUnsupported(node, tablePath)
         if (node.has("add")) {
@@ -769,7 +816,7 @@ object DeltaTableReader {
         }
       }
       if (active.size > maxDriverFiles) throw new IllegalStateException(
-        s"$tablePath: active file set exceeds $maxDriverFiles after replaying commit $v — " +
+        s"$tablePath: active file set exceeds $maxDriverFiles after replaying commit $upto — " +
           "pass a partitionPruner or raise maxDriverFiles")
     }
     if (latest < 0) throw new IllegalArgumentException(

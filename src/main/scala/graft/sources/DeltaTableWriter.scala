@@ -849,6 +849,71 @@ object DeltaTableWriter {
     state.version
   }
 
+  /** MINOR LOG COMPACTION (delta-spark's `<x>.<y>.compacted.json`):
+    * reconcile the actions of commits x..y into ONE file the reader
+    * substitutes for the span during replay — log-replay cost after a
+    * checkpoint becomes O(compactions + residual commits) instead of
+    * O(commits), without touching the checkpoint cadence. The
+    * reconciliation is the protocol's replay rule applied once:
+    * latest metaData/protocol, latest domainMetadata PER DOMAIN
+    * (removed tombstones included — replay may start from a state
+    * that still carries the domain), latest txn per appId, and the
+    * net file state — an add superseded by a remove becomes a
+    * tombstone, a remove superseded by a re-add (DV updates) drops
+    * out; surviving add/remove lines carry VERBATIM (stats, DVs,
+    * partition values untouched). commitInfo/cdc lines do not ride
+    * (they are per-commit provenance, not state). The original JSONs
+    * stay — compaction accelerates, cleanup remains the checkpoint's
+    * contract. Driver work is O(actions in x..y).
+    */
+  def compactLog(spark: SparkSession, tablePath: String,
+      startVersion: Long, endVersion: Long): Unit = {
+    require(0 <= startVersion && startVersion < endVersion,
+      s"need 0 <= start < end, got $startVersion..$endVersion (a single-commit span " +
+        "compacts nothing)")
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val removes = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var metaLine: Option[String] = None
+    var protoLine: Option[String] = None
+    (startVersion to endVersion).foreach { v =>
+      val p = new Path(dir, f"$v%020d.json")
+      if (!fs.exists(p)) throw new IllegalArgumentException(
+        s"$tablePath: commit $v is missing — a compacted span must cover exactly the " +
+          "commits it replaces")
+      readText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("add")) {
+          val path = node.get("add").get("path").asText()
+          adds(path) = line; removes.remove(path): Unit
+        } else if (node.has("remove")) {
+          val path = node.get("remove").get("path").asText()
+          removes(path) = line; adds.remove(path): Unit
+        } else if (node.has("metaData")) metaLine = Some(line)
+        else if (node.has("protocol")) protoLine = Some(line)
+        else if (node.has("domainMetadata")) {
+          domains(node.get("domainMetadata").get("domain").asText()) = line
+        } else if (node.has("txn")) {
+          txns(node.get("txn").get("appId").asText()) = line
+        }
+        // commitInfo / cdc lines are per-commit provenance — dropped
+      }
+    }
+    val lines = protoLine.toSeq ++ metaLine.toSeq ++ domains.values ++
+      txns.values ++ removes.values ++ adds.values
+    val tmp = new Path(dir, s".tmp-compact-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, true)
+    try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+    finally out.close()
+    val dst = new Path(dir, f"$startVersion%020d.$endVersion%020d.compacted.json")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) throw new IllegalStateException(
+      s"$tablePath: failed to land compacted log file $dst")
+  }
+
   /** COMPACTION (Delta's OPTIMIZE shape): rewrite the active files
     * into `targetFiles` bigger ones under a `dataChange=false`
     * commit — snapshot-invisible to incremental readers and change
