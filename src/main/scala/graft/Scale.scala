@@ -1414,7 +1414,13 @@ object Scale {
       // round-18: type promotion (int-created half + long-appended
       // half served widened — the scan-side widening cost is what the
       // ratio shows)
-      "q_iceberg_promote")
+      "q_iceberg_promote",
+      // round-19: the clustered-layout family — Delta clusterBy +
+      // checkpoint-served domain, Iceberg declared sort order, and
+      // the log-compaction read that must hold replay flat; each
+      // fixture's range shuffle is the dominant cost and scales with
+      // rows, the metadata legs must not
+      "q_delta_cluster", "q_iceberg_sorted", "q_delta_log_compact")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))
