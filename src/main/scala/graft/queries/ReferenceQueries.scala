@@ -2759,6 +2759,46 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey <= 3000
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #102n Delta ROW TRACKING (PROTOCOL.md: fresh `baseRowId` ranges
+    * + `defaultRowCommitVersion` on every add, high watermark in the
+    * `delta.rowTracking` domain, row id = base + physical row index —
+    * stable across DV deletes because vectors mask positions without
+    * moving rows). The fixture makes ids DETERMINISTIC (one
+    * key-sorted file per commit), so DuckDB recomputes every row's id
+    * with window functions: evens land at create (ids 0..n-1, commit
+    * 0), odds append (ids n.., commit 1), then a DV delete masks the
+    * %5 rows — survivors must keep their ORIGINAL ids, per-row exact.
+    */
+  val qDeltaRowIds: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{DeltaTableReader, DeltaTableWriter}
+      val table = scratch("delta-rowids") + "/t"
+      val o = t(s, dir, "orders")
+      def half(m: Int) = o.filter(pmod(col("o_orderkey"), lit(2)) === m)
+        .repartition(1).sortWithinPartitions("o_orderkey")
+      DeltaTableWriter.create(half(0), table, enableRowTracking = true): Unit
+      DeltaTableWriter.append(half(1), table): Unit
+      DeltaTableWriter.delete(s, table, pmod(col("o_orderkey"), lit(5)) === 0): Unit
+      val r = DeltaTableReader.snapshotWithRowIds(s, table)
+      r.select(col("o_orderkey"), col("_row_id").as("row_id"),
+        col("_row_commit_version").as("commit_version"))
+    },
+    oracle = Some(
+      """WITH evens AS (
+        |  SELECT o_orderkey,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+        |         CAST(0 AS BIGINT) AS commit_version
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |odds AS (
+        |  SELECT o_orderkey,
+        |         (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |           + row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+        |         CAST(1 AS BIGINT) AS commit_version
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |au AS (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+        |SELECT o_orderkey, row_id, commit_version
+        |FROM au WHERE o_orderkey % 5 <> 0""".stripMargin))
+
   /** #102m Delta MINOR LOG COMPACTION (delta-spark's
     * `<x>.<y>.compacted.json`): the reconciled actions of a commit
     * span in one file the reader substitutes during replay — replay

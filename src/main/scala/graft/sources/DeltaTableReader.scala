@@ -76,7 +76,13 @@ object DeltaTableReader {
       partitionValues: Map[String, String],
       dataChange: Boolean,
       dv: Option[DeltaDv.Descriptor] = None,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      // PROTOCOL.md Row Tracking: the file's fresh row-id base and
+      // the version that ADDED it — round-tripped verbatim through
+      // DV re-adds, restores, and checkpoints (losing them would
+      // re-identify every row in the file)
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** The table's protocol action, preserved verbatim so writers can
     * refuse features they cannot honor and checkpoints can carry the
@@ -113,7 +119,9 @@ object DeltaTableReader {
       path: String,
       partitionValues: Map[String, String],
       dvJson: String,
-      stats: String)
+      stats: String,
+      baseRowId: Option[Long],
+      defaultRowCommitVersion: Option[Long])
 
   /** One DV-decode task shipped to executors. */
   private[sources] final case class DvTask(
@@ -205,7 +213,10 @@ object DeltaTableReader {
     partitionValues = partValuesOf(node),
     dataChange = Option(node.get("dataChange")).forall(_.asBoolean(true)),
     dv = dvOf(node),
-    stats = Option(node.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty))
+    stats = Option(node.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty),
+    baseRowId = Option(node.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
+    defaultRowCommitVersion =
+      Option(node.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()))
 
   /** Refusals a scan-based reader owes the caller: column mapping
     * renames physical parquet columns (scanning returns the wrong
@@ -697,11 +708,20 @@ object DeltaTableReader {
           if (addFields.contains("stats") && (withStats || statsPruner.isDefined))
             coalesce(col("add.stats"), lit("")).as("stats")
           else lit("").as("stats")
+        val rowIdCol =
+          if (addFields.contains("baseRowId")) col("add.baseRowId")
+          else lit(null).cast(org.apache.spark.sql.types.LongType)
+        val dcvCol =
+          if (addFields.contains("defaultRowCommitVersion"))
+            col("add.defaultRowCommitVersion")
+          else lit(null).cast(org.apache.spark.sql.types.LongType)
         val adds = addRows
           .select(col("add.path").as("path"),
             coalesce(col("add.partitionValues"), map()).as("partitionValues"),
             coalesce(dvCol, lit("")).as("dvJson"),
-            statsCol)
+            statsCol,
+            rowIdCol.as("baseRowId"),
+            dcvCol.as("defaultRowCommitVersion"))
           .where(col("path").isNotNull)
           .as(Encoders.product[CkptAdd])
           .filter((a: CkptAdd) => partitionPruner(a.partitionValues) &&
@@ -717,7 +737,9 @@ object DeltaTableReader {
             else dvOf(mapper.readTree(s"""{"deletionVector":${a.dvJson}}"""))
           active(a.path) = FileAction(a.path, a.partitionValues, dataChange = true, dv = dv,
             stats = if (!withStats || a.stats == null || a.stats.isEmpty) None
-              else Some(a.stats))
+              else Some(a.stats),
+            baseRowId = a.baseRowId,
+            defaultRowCommitVersion = a.defaultRowCommitVersion)
         }
       }
       // a checkpoint's remove actions are expired tombstones — files
@@ -1255,6 +1277,46 @@ object DeltaTableReader {
     val s = snapshotState(spark, tablePath, partitionPruner, maxDriverFiles)
     readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson,
       configuration = s.configuration)
+  }
+
+  /** Snapshot read with ROW TRACKING identity (PROTOCOL.md Row
+    * Tracking): every live row carries `_row_id` (the file's
+    * `baseRowId` + the row's physical index — fresh row ids, stable
+    * across DV deletes because vectors mask positions without moving
+    * rows) and `_row_commit_version` (the file's
+    * `defaultRowCommitVersion` — the commit that added it). Refuses a
+    * table whose protocol does not declare the feature, and refuses
+    * loudly if any active file LACKS the fields (the spec obliges
+    * every add under the feature — a silent null id would
+    * re-identify rows). The per-file map is |files| driver rows,
+    * broadcast; the id arithmetic is codegen'd column math.
+    */
+  def snapshotWithRowIds(spark: SparkSession, tablePath: String): DataFrame = {
+    val (s, keyed) = snapshotWithKeys(spark, tablePath)
+    if (!s.protocol.exists(_.writerFeatures.contains("rowTracking")))
+      throw new IllegalStateException(
+        s"$tablePath: protocol does not declare the rowTracking writer feature — " +
+          "row ids were never assigned; refusing")
+    val missing = s.active.filter(f =>
+      f.baseRowId.isEmpty || f.defaultRowCommitVersion.isEmpty)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$tablePath: ${missing.size} active file(s) lack baseRowId/" +
+        s"defaultRowCommitVersion (e.g. ${missing.head.path}) — the rowTracking " +
+        "feature obliges them on every add; refusing rather than serving null ids")
+    import scala.jdk.CollectionConverters._
+    val rows = s.active.map { f =>
+      org.apache.spark.sql.Row(normalizeDriverPath(abs(tablePath, f.path)),
+        f.baseRowId.get, f.defaultRowCommitVersion.get)
+    }
+    val schema = StructType(Seq(
+      StructField("_g_file", StringType, nullable = false),
+      StructField("_g_base_row_id", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("_g_dcv", org.apache.spark.sql.types.LongType, nullable = false)))
+    val idMap = spark.createDataFrame(rows.asJava, schema)
+    keyed.join(broadcast(idMap), Seq("_g_file"), "left")
+      .withColumn("_row_id", col("_g_base_row_id") + col("_g_pos"))
+      .withColumn("_row_commit_version", col("_g_dcv"))
+      .drop("_g_file", "_g_pos", "_g_base_row_id", "_g_dcv")
   }
 
   /** STATS-BASED FILE SKIPPING: a snapshot read pruned by the add

@@ -77,7 +77,15 @@ object DeltaTableWriter {
       // clustering's obligation is advisory (PROTOCOL.md: writers are
       // not required to cluster on write) and [[append]] exceeds it by
       // range-clustering batches on the declared columns
-      "domainMetadata", "clustering")
+      "domainMetadata", "clustering",
+      // rowTracking's obligations: fresh baseRowId ranges +
+      // defaultRowCommitVersion on every append's adds with the
+      // watermark domain bumped in-commit, verbatim carriage through
+      // DV re-adds/restores/checkpoints — and the ops that REWRITE
+      // rows (compact/upsert) refuse on row-tracked tables because
+      // the materialized-column preservation they would owe is not
+      // implemented
+      "rowTracking")
 
   /** Refuse an append the table's protocol or metadata makes unsafe.
     * Mirrors the reader's refuseReaderFeatures contract on the write
@@ -174,7 +182,8 @@ object DeltaTableWriter {
     */
   private def addLine(rel: String, size: Long, modTime: Long,
       partitionColumns: Seq[String], stats: Option[String] = None,
-      dataChange: Boolean = true): String = {
+      dataChange: Boolean = true,
+      rowId: Option[(Long, Long)] = None): String = {
     val values = rel.split('/').dropRight(1).flatMap(partitionValueOf).toMap
     val pvJson = partitionColumns.map { c =>
       values.get(c).flatten match {
@@ -183,8 +192,12 @@ object DeltaTableWriter {
       }
     }.mkString(",")
     val statsJson = stats.map(st => s""","stats":${jsonStr(st)}""").getOrElse("")
+    // rowTracking: (baseRowId, defaultRowCommitVersion)
+    val rowIdJson = rowId.map { case (b, v) =>
+      s""","baseRowId":$b,"defaultRowCommitVersion":$v""" }.getOrElse("")
     s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":{$pvJson},""" +
-      s""""size":$size,"modificationTime":$modTime,"dataChange":$dataChange$statsJson}}"""
+      s""""size":$size,"modificationTime":$modTime,"dataChange":$dataChange""" +
+      s"""$statsJson$rowIdJson}}"""
   }
 
   /** Stage-write `df` as parquet and move the part files into the
@@ -359,7 +372,11 @@ object DeltaTableWriter {
       lines: Seq[String], ictNeeded: Boolean = false,
       rebaseSafe: Boolean = true, rebaseDisjoint: Boolean = false,
       opInfo: Option[(String, Boolean)] = None,
-      winnerMustBeBlind: Boolean = false): Long = {
+      winnerMustBeBlind: Boolean = false,
+      // VERSION-DEPENDENT action lines (rowTracking's
+      // defaultRowCommitVersion must equal the version that lands):
+      // regenerated per CAS attempt, exactly like the monotonic ICT
+      linesFor: Option[Long => Seq[String]] = None): Long = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
@@ -367,8 +384,9 @@ object DeltaTableWriter {
     // path it removes, so removes ARE the touched-file set) — the
     // lines a concurrent commit can invalidate
     lazy val ourRemoves: Set[String] =
-      lines.iterator.map(mapper.readTree).flatMap(n =>
-        Option(n.get("remove")).map(r => decodePathPublic(r.get("path").asText()))).toSet
+      linesFor.map(_(fromVersion)).getOrElse(lines).iterator.map(mapper.readTree)
+        .flatMap(n =>
+          Option(n.get("remove")).map(r => decodePathPublic(r.get("path").asText()))).toSet
     // can our stale lines legally rebase OVER the commit that won
     // version v? yes iff it changed no metadata/protocol and touched
     // none of the files we remove
@@ -432,7 +450,8 @@ object DeltaTableWriter {
           Seq(s"""{"commitInfo":{${fields.result().mkString(",")}}}""")
         }
       val out = fs.create(tmp, true)
-      try (head ++ lines).foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+      try (head ++ linesFor.map(_(forVersion)).getOrElse(lines))
+        .foreach(l => out.write((l + "\n").getBytes("UTF-8")))
       finally out.close()
       tmp
     }
@@ -450,8 +469,8 @@ object DeltaTableWriter {
         if (rebaseSafe || rebaseDisjoint) fromVersion + MaxCommitAttempts
         else fromVersion + 1
       while (v < maxV) {
-        if (ictNeeded && v > fromVersion) {
-          // re-stamp against the NEW predecessor after a lost race
+        if ((ictNeeded || linesFor.isDefined) && v > fromVersion) {
+          // re-stamp against the NEW predecessor/version after a lost race
           if (fs.exists(tmp)) { fs.delete(tmp, false): Unit }
           tmp = writeTmp(v)
         }
@@ -570,7 +589,8 @@ object DeltaTableWriter {
 
   def create(df: DataFrame, tablePath: String, partitionBy: Seq[String] = Nil,
       transaction: Option[(String, Long)] = None,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil,
+      enableRowTracking: Boolean = false): Long = {
     val spark = df.sparkSession
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -595,37 +615,77 @@ object DeltaTableWriter {
       case m: org.apache.spark.sql.types.MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
       case _ => false
     }
-    // a CLUSTERED table declares the clustering + domainMetadata
-    // writer features (PROTOCOL.md Clustered Table — writer-only, so
-    // minReaderVersion stays at what the types need) and records its
-    // columns in the delta.clustering metadata domain
+    // writer-only features compose: clustering + domainMetadata for a
+    // clustered table, rowTracking + domainMetadata for row ids —
+    // minReaderVersion stays at what the TYPES need (legacy readers
+    // keep working); any feature at all moves the writer to v7
     val ntz = hasNtz(df.schema)
+    val wf = ((if (ntz) Seq("timestampNtz") else Nil) ++
+      (if (clusterBy.nonEmpty) Seq("domainMetadata", "clustering") else Nil) ++
+      (if (enableRowTracking) Seq("domainMetadata", "rowTracking") else Nil)).distinct
     val protocol =
-      if (clusterBy.nonEmpty) {
-        val wf = (if (ntz) Seq("timestampNtz") else Nil) ++
-          Seq("domainMetadata", "clustering")
+      if (wf.nonEmpty) {
         val rf = if (ntz) """"readerFeatures":["timestampNtz"],""" else ""
         s"""{"protocol":{"minReaderVersion":${if (ntz) 3 else 1},"minWriterVersion":7,""" +
           rf + s""""writerFeatures":[${wf.map(jsonStr).mkString(",")}]}}"""
-      } else if (ntz)
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}"""
-      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      } else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val confJson =
+      if (enableRowTracking) """{"delta.enableRowTracking":"true"}""" else "{}"
     val metaData =
       s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":${jsonStr(df.schema.json)},""" +
         s""""partitionColumns":[${partitionBy.map(jsonStr).mkString(",")}],""" +
-        s""""configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+        s""""configuration":$confJson,"createdTime":${System.currentTimeMillis()}}}"""
+    // fresh ROW IDS (PROTOCOL.md Row Tracking): contiguous per-file
+    // ranges from footer row counts; defaultRowCommitVersion is 0 —
+    // a create commits at version 0 or refuses (rebaseSafe=false)
+    var rowIdNext = 0L
+    val rowIds: Map[String, (Long, Long)] =
+      if (!enableRowTracking) Map.empty
+      else files.map { case (rel, _, _, st) =>
+        val n = numRecordsOf(tablePath, rel, st)
+        val b = rowIdNext; rowIdNext += n; rel -> ((b, 0L))
+      }.toMap
     val domainLines =
-      if (clusterBy.isEmpty) Nil
-      else Seq(clusteringDomainLine(clusterBy))
+      (if (clusterBy.isEmpty) Nil else Seq(clusteringDomainLine(clusterBy))) ++
+        (if (!enableRowTracking) Nil
+         else Seq(rowTrackingDomainLine(rowIdNext - 1)))
     commit(spark, tablePath, 0L,
       protocol +: metaData +: (domainLines ++ transaction.map(txnLine).toSeq ++
         files.map { case (rel, size, mtime, st) =>
-          addLine(rel, size, mtime, partitionBy, st) }),
+          addLine(rel, size, mtime, partitionBy, st, rowId = rowIds.get(rel)) }),
       rebaseSafe = false)
   }
+
+  /** `add.stats` numRecords — what row-id assignment sizes each
+    * file's range by; a file without it cannot take row ids. */
+  private def numRecordsOf(tablePath: String, rel: String, st: Option[String]): Long =
+    st.flatMap(s0 => scala.util.Try(
+      mapper.readTree(s0).get("numRecords").asLong()).toOption)
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: cannot assign row ids — footer stats with numRecords missing " +
+          s"for $rel"))
+
+  /** Row-REWRITING operations on a row-tracked table refuse: the spec
+    * obliges them to preserve each row's id through the rewrite via
+    * the materialized row-id/commit-version columns, which this
+    * writer does not implement — a rewrite that silently re-identified
+    * every row would corrupt any downstream keyed on `_row_id`.
+    * DV deletes and restores stay legal (same bytes, ids carry).
+    */
+  private def refuseRowTrackingRewrite(state: DeltaTableReader.Snapshot,
+      tablePath: String, op: String): Unit =
+    if (state.protocol.exists(_.writerFeatures.contains("rowTracking")))
+      throw new IllegalStateException(
+        s"$tablePath: $op on a rowTracking table must preserve row ids through the " +
+          "rewrite (materialized row-id columns), which this writer does not " +
+          "implement; refusing rather than silently re-identifying every row")
+
+  /** The `delta.rowTracking` domain's high-watermark line. */
+  private def rowTrackingDomainLine(highWaterMark: Long): String =
+    s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+      s""""configuration":"{\\"rowIdHighWaterMark\\":$highWaterMark}","removed":false}}"""
 
   /** `{"domainMetadata":{"domain":"delta.clustering",…}}` — the
     * configuration is a JSON STRING per PROTOCOL.md, each clustering
@@ -715,7 +775,9 @@ object DeltaTableWriter {
         StructField("size", LongType), StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
         StructField("deletionVector", dvType),
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -746,7 +808,9 @@ object DeltaTableWriter {
       // checkpoint is the only copy, and dropping them would silently
       // turn stats-based file skipping into keep-everything scans
       row(add = Row(f.path, f.partitionValues, st.getLen, st.getModificationTime, true, dv,
-        f.stats.orNull))
+        f.stats.orNull,
+        f.baseRowId.map(Long.box).orNull,
+        f.defaultRowCommitVersion.map(Long.box).orNull))
     }
     val txnRows = txns.toSeq.sorted.map { case (app, v) => row(txn = Row(app, v)) }
     // LIVE metadata domains ride the checkpoint verbatim (a checkpoint
@@ -928,6 +992,7 @@ object DeltaTableWriter {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val state = DeltaTableReader.snapshotState(spark, tablePath)
     refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
+    refuseRowTrackingRewrite(state, tablePath, "OPTIMIZE")
     val snap = DeltaTableReader.snapshot(spark, tablePath)
     // a CLUSTERED table's OPTIMIZE re-establishes the clustered layout
     // (Delta's own OPTIMIZE on clusterBy tables): range-repartition on
@@ -1324,12 +1389,21 @@ object DeltaTableWriter {
       // skipping keeps pruning DV-deleted files (dropping them here
       // would silently turn every deleted-from file into keep-always)
       val statsJson = fa.stats.map(s0 => s""","stats":${jsonStr(s0)}""").getOrElse("")
+      // rowTracking: the re-add is the SAME file, so its row-id base
+      // and adding commit carry verbatim — the vector masks positions
+      // without moving rows, which is what keeps ids stable
+      val rowIdJson = (fa.baseRowId, fa.defaultRowCommitVersion) match {
+        case (Some(b), Some(v0)) =>
+          s""","baseRowId":$b,"defaultRowCommitVersion":$v0"""
+        case _ => ""
+      }
       Seq(
         s"""{"remove":{"path":${jsonStr(fa.path)},"deletionTimestamp":$now,""" +
           s""""dataChange":true}}""",
         s"""{"add":{"path":${jsonStr(fa.path)},"partitionValues":{${pvJson(fa.partitionValues)}},""" +
           s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-          s""""dataChange":true,"deletionVector":${DeltaDv.descriptorJson(d)}$statsJson}}""")
+          s""""dataChange":true,"deletionVector":${DeltaDv.descriptorJson(d)}""" +
+          s"""$statsJson$rowIdJson}}""")
     }
   }
 
@@ -1358,6 +1432,7 @@ object DeltaTableWriter {
     require(keys.nonEmpty, s"$tablePath: upsert needs at least one key column")
     val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
     refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
+    refuseRowTrackingRewrite(state, tablePath, "upsert")
     // mapped upserts carry the exact declared set (mappedWriteProjection
     // requires it below); evolution on mapped tables lives in append
     val (cols, metaLines) =
@@ -1503,13 +1578,21 @@ object DeltaTableWriter {
         // re-activated files keep their stats — a restore re-points,
         // it never rewrites bytes, so the recorded ranges still hold
         val statsJson = f.stats.map(s0 => s""","stats":${jsonStr(s0)}""").getOrElse("")
+        // rowTracking: a restore re-points at the same bytes — the
+        // re-activated file's row-id base and adding commit restore
+        // verbatim with it
+        val rowIdJson = (f.baseRowId, f.defaultRowCommitVersion) match {
+          case (Some(b), Some(v0)) =>
+            s""","baseRowId":$b,"defaultRowCommitVersion":$v0"""
+          case _ => ""
+        }
         val rm = nowBy.get(f.path).map(_ =>
           s"""{"remove":{"path":${jsonStr(f.path)},"deletionTimestamp":$nowMs,""" +
             s""""dataChange":true}}""").toSeq
         rm :+ (s"""{"add":{"path":${jsonStr(f.path)},""" +
           s""""partitionValues":{${pvJson(f.partitionValues)}},""" +
           s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-          s""""dataChange":true$dvJson$statsJson}}""")
+          s""""dataChange":true$dvJson$statsJson$rowIdJson}}""")
       }.flatten
     // CDF obligation: a restore's change images are FILE-SET and
     // DV-POSITION diffs — never a whole-snapshot exceptAll:
@@ -1588,7 +1671,11 @@ object DeltaTableWriter {
     val clusterCols = DeltaTableReader.clusteringColumnsOf(state, tablePath)
       .collect { case Seq(c) if df0.columns.contains(c) => c }
     val df = clusterFrame(df0, clusterCols)
+    val rowTracked = state.protocol.exists(_.writerFeatures.contains("rowTracking"))
     val mappingMode = state.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (rowTracked && mappingMode != "none") throw new IllegalStateException(
+      s"$tablePath: rowTracking composed with columnMapping=$mappingMode is not " +
+        "implemented by this writer; refusing rather than landing id-less adds")
     if (mappingMode == "name" || mappingMode == "id") {
       // COLUMN-MAPPED append (PROTOCOL.md Column Mapping): the batch
       // arrives under LOGICAL names; data files must carry the
@@ -1692,14 +1779,45 @@ object DeltaTableWriter {
     val (cols, metaLines) = evolveSchemaIfNeeded(state, tablePath, df)
     val aligned = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
     val files = writeDataFiles(aligned, tablePath, state.partitionColumns)
-    // same evolution-rebase rule as the mapped branch above
-    val v = commit(spark, tablePath, state.version + 1,
-      metaLines ++ transaction.map(txnLine).toSeq ++
-        files.map { case (rel, size, mtime, st) =>
-          addLine(rel, size, mtime, state.partitionColumns, st) },
-      ictNeeded = ictNeededOf(state),
-      rebaseSafe = metaLines.isEmpty, rebaseDisjoint = metaLines.nonEmpty,
-      opInfo = Some(("WRITE", metaLines.isEmpty)))
+    val v =
+      if (rowTracked) {
+        // ROW TRACKING (PROTOCOL.md): every add takes a fresh
+        // contiguous baseRowId range past the domain's high watermark,
+        // defaultRowCommitVersion = the version that LANDS (linesFor
+        // regenerates per CAS attempt), and the bumped watermark
+        // domain rides the same commit. Two concurrent row-tracked
+        // appends would mint overlapping ids — the domain-carrying
+        // winner makes the rebase refuse, which is the point.
+        val watermark = state.domainMetadata.get("delta.rowTracking")
+          .flatMap(c => scala.util.Try(
+            mapper.readTree(c).get("rowIdHighWaterMark").asLong()).toOption)
+          .getOrElse(throw new IllegalStateException(
+            s"$tablePath: rowTracking is declared but the delta.rowTracking domain's " +
+              "rowIdHighWaterMark is missing — the table's id state is broken; refusing"))
+        var next = watermark + 1
+        val baseOf = files.map { case (rel, _, _, st) =>
+          val n = numRecordsOf(tablePath, rel, st)
+          val b = next; next += n; rel -> b
+        }.toMap
+        commit(spark, tablePath, state.version + 1, Nil,
+          ictNeeded = ictNeededOf(state),
+          rebaseSafe = false, rebaseDisjoint = true,
+          opInfo = Some(("WRITE", metaLines.isEmpty)),
+          linesFor = Some(ver =>
+            metaLines ++ transaction.map(txnLine).toSeq ++
+              Seq(rowTrackingDomainLine(next - 1)) ++
+              files.map { case (rel, size, mtime, st) =>
+                addLine(rel, size, mtime, state.partitionColumns, st,
+                  rowId = Some((baseOf(rel), ver))) }))
+      } else
+        // same evolution-rebase rule as the mapped branch above
+        commit(spark, tablePath, state.version + 1,
+          metaLines ++ transaction.map(txnLine).toSeq ++
+            files.map { case (rel, size, mtime, st) =>
+              addLine(rel, size, mtime, state.partitionColumns, st) },
+          ictNeeded = ictNeededOf(state),
+          rebaseSafe = metaLines.isEmpty, rebaseDisjoint = metaLines.nonEmpty,
+          opInfo = Some(("WRITE", metaLines.isEmpty)))
     maybeCheckpoint(spark, tablePath, v, checkpointInterval)
     v
   }
