@@ -2779,6 +2779,10 @@ trait ReferenceQueries extends QueryBase {
       DeltaTableWriter.create(half(0), table, enableRowTracking = true): Unit
       DeltaTableWriter.append(half(1), table): Unit
       DeltaTableWriter.delete(s, table, pmod(col("o_orderkey"), lit(5)) === 0): Unit
+      // OPTIMIZE re-files every row; the MATERIALIZED ids must keep
+      // serving the original per-row identity — the oracle below is
+      // unchanged by this rewrite, which is the whole contract
+      DeltaTableWriter.compact(s, table, targetFiles = 4): Unit
       val r = DeltaTableReader.snapshotWithRowIds(s, table)
       r.select(col("o_orderkey"), col("_row_id").as("row_id"),
         col("_row_commit_version").as("commit_version"))

@@ -1057,7 +1057,12 @@ object DeltaTableReader {
       keepPositions: Option[DataFrame] = None,
       keepKeys: Boolean = false,
       configuration: Map[String, String] = Map.empty,
-      changeData: Boolean = false): DataFrame = {
+      changeData: Boolean = false,
+      // physical columns OUTSIDE the table schema to request from the
+      // scan and append to the result (row tracking's materialized
+      // row-id columns live in file bytes but never in schemaString);
+      // files lacking them null-fill. Unmapped tables only.
+      extraScanCols: Seq[StructField] = Nil): DataFrame = {
     if (files.isEmpty)
       throw new IllegalArgumentException(s"$tablePath: snapshot has no active data files")
     val absOf: FileAction => String = f => abs(tablePath, f.path)
@@ -1131,7 +1136,8 @@ object DeltaTableReader {
               else Nil
             org.apache.spark.sql.types.StructType(
               st.fields.filterNot(f => partitionColumns.contains(f.name))
-                .map(_.copy(nullable = true)) ++ extra)
+                .map(_.copy(nullable = true)) ++ extra ++
+                extraScanCols.map(_.copy(nullable = true)))
           } match {
           case Some(st) if st.nonEmpty =>
             spark.read.schema(st).parquet(files.map(absOf): _*)
@@ -1155,6 +1161,7 @@ object DeltaTableReader {
         // change-data files — it rides through the translation
         logOf.get(c).orElse(if (changeData && c == "_change_type") Some(c) else None))
       else base.columns.toIndexedSeq.map(c => logOf.getOrElse(c, c))
+        .filterNot(extraScanCols.map(_.name).contains)
     val physKeyOf: String => String = c => physOf.getOrElse(c, c)
 
     val dvFiles = files.collect {
@@ -1246,7 +1253,8 @@ object DeltaTableReader {
       else col(c)
     }
     val finalProjection =
-      if (keepKeys) projected ++ Seq(col("_g_file"), col("_g_pos")) else projected
+      (if (keepKeys) projected ++ Seq(col("_g_file"), col("_g_pos")) else projected) ++
+        extraScanCols.map(f => col(f.name))
     cleaned.select(finalProjection: _*)
   }
 
@@ -1257,13 +1265,26 @@ object DeltaTableReader {
     * surviving identity pair is what the new vectors mask.
     */
   private[sources] def snapshotWithKeys(spark: SparkSession,
-      tablePath: String): (Snapshot, DataFrame) = {
+      tablePath: String,
+      extraScanCols: Seq[StructField] = Nil): (Snapshot, DataFrame) = {
     // DV delete/upsert re-adds must re-emit each file's stats
     // verbatim, so this resolution carries them
     val s = snapshotState(spark, tablePath, withStats = true)
     (s, readFiles(spark, tablePath, s.active, s.partitionColumns, s.schemaJson,
-      keepKeys = true, configuration = s.configuration))
+      keepKeys = true, configuration = s.configuration,
+      extraScanCols = extraScanCols))
   }
+
+  /** Row tracking's MATERIALIZED column names, when assigned
+    * (PROTOCOL.md: rewritten files preserve each row's id/commit
+    * version in physical columns OUTSIDE the table schema, named in
+    * the table configuration). */
+  private[sources] def materializedRowIdCols(
+      configuration: Map[String, String]): Option[(String, String)] =
+    for {
+      idc <- configuration.get("delta.rowTracking.materializedRowIdColumnName")
+      vc <- configuration.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    } yield (idc, vc)
 
   /** Snapshot read: the latest version's active files as a DataFrame,
     * deletion vectors applied. `partitionPruner` prunes files by
@@ -1292,7 +1313,19 @@ object DeltaTableReader {
     * broadcast; the id arithmetic is codegen'd column math.
     */
   def snapshotWithRowIds(spark: SparkSession, tablePath: String): DataFrame = {
-    val (s, keyed) = snapshotWithKeys(spark, tablePath)
+    // materialized columns (file bytes, outside the schema) take
+    // precedence over base+index — they are how a REWRITE preserved
+    // the original ids; files lacking them null-fill and the base
+    // arithmetic serves
+    val matCols = {
+      val st0 = snapshotState(spark, tablePath)
+      materializedRowIdCols(st0.configuration)
+    }
+    val extraCols = matCols.toSeq.flatMap { case (idc, vc) =>
+      Seq(StructField(idc, org.apache.spark.sql.types.LongType, nullable = true),
+        StructField(vc, org.apache.spark.sql.types.LongType, nullable = true))
+    }
+    val (s, keyed) = snapshotWithKeys(spark, tablePath, extraScanCols = extraCols)
     if (!s.protocol.exists(_.writerFeatures.contains("rowTracking")))
       throw new IllegalStateException(
         s"$tablePath: protocol does not declare the rowTracking writer feature — " +
@@ -1313,10 +1346,19 @@ object DeltaTableReader {
       StructField("_g_base_row_id", org.apache.spark.sql.types.LongType, nullable = false),
       StructField("_g_dcv", org.apache.spark.sql.types.LongType, nullable = false)))
     val idMap = spark.createDataFrame(rows.asJava, schema)
-    keyed.join(broadcast(idMap), Seq("_g_file"), "left")
-      .withColumn("_row_id", col("_g_base_row_id") + col("_g_pos"))
-      .withColumn("_row_commit_version", col("_g_dcv"))
-      .drop("_g_file", "_g_pos", "_g_base_row_id", "_g_dcv")
+    val joined = keyed.join(broadcast(idMap), Seq("_g_file"), "left")
+    val (idExpr, vExpr) = matCols match {
+      case Some((idc, vc)) =>
+        (coalesce(col(idc), col("_g_base_row_id") + col("_g_pos")),
+          coalesce(col(vc), col("_g_dcv")))
+      case None =>
+        (col("_g_base_row_id") + col("_g_pos"), col("_g_dcv"))
+    }
+    joined
+      .withColumn("_row_id", idExpr)
+      .withColumn("_row_commit_version", vExpr)
+      .drop(Seq("_g_file", "_g_pos", "_g_base_row_id", "_g_dcv") ++
+        matCols.toSeq.flatMap { case (a, b) => Seq(a, b) }: _*)
   }
 
   /** STATS-BASED FILE SKIPPING: a snapshot read pruned by the add

@@ -630,7 +630,16 @@ object DeltaTableWriter {
           rf + s""""writerFeatures":[${wf.map(jsonStr).mkString(",")}]}}"""
       } else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     val confJson =
-      if (enableRowTracking) """{"delta.enableRowTracking":"true"}""" else "{}"
+      if (enableRowTracking) {
+        // the MATERIALIZED column names are assigned at enablement
+        // (PROTOCOL.md): rewrites preserve each row's id/commit
+        // version under them, in file bytes outside the table schema
+        val idc = s"_row-id-col-${java.util.UUID.randomUUID()}"
+        val vc = s"_row-commit-version-col-${java.util.UUID.randomUUID()}"
+        s"""{"delta.enableRowTracking":"true",""" +
+          s""""delta.rowTracking.materializedRowIdColumnName":${jsonStr(idc)},""" +
+          s""""delta.rowTracking.materializedRowCommitVersionColumnName":${jsonStr(vc)}}"""
+      } else "{}"
     val metaData =
       s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
@@ -667,20 +676,67 @@ object DeltaTableWriter {
         s"$tablePath: cannot assign row ids — footer stats with numRecords missing " +
           s"for $rel"))
 
-  /** Row-REWRITING operations on a row-tracked table refuse: the spec
-    * obliges them to preserve each row's id through the rewrite via
-    * the materialized row-id/commit-version columns, which this
-    * writer does not implement — a rewrite that silently re-identified
-    * every row would corrupt any downstream keyed on `_row_id`.
-    * DV deletes and restores stay legal (same bytes, ids carry).
+  /** OPTIMIZE on a row-tracked table (PROTOCOL.md Row Tracking,
+    * rewrite obligation): every row's id and commit version are
+    * PRESERVED through the rewrite by MATERIALIZING them into the
+    * configured row-id/commit-version columns — physical columns in
+    * the new files' bytes, outside the table schema, which
+    * [[DeltaTableReader.snapshotWithRowIds]] prefers over the
+    * base+index arithmetic. The new files still take fresh
+    * `baseRowId` ranges (the spec's invariant on every add) and the
+    * watermark bumps, but those ids are shadowed by the materialized
+    * values. Clustered tables re-cluster on the declared columns,
+    * like the untracked OPTIMIZE.
     */
-  private def refuseRowTrackingRewrite(state: DeltaTableReader.Snapshot,
-      tablePath: String, op: String): Unit =
-    if (state.protocol.exists(_.writerFeatures.contains("rowTracking")))
-      throw new IllegalStateException(
-        s"$tablePath: $op on a rowTracking table must preserve row ids through the " +
-          "rewrite (materialized row-id columns), which this writer does not " +
-          "implement; refusing rather than silently re-identifying every row")
+  private def compactRowTracked(spark: SparkSession, tablePath: String,
+      state: DeltaTableReader.Snapshot, targetFiles: Int): Long = {
+    val (idc, vc) = DeltaTableReader.materializedRowIdCols(state.configuration)
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: rowTracking is declared but the materialized row-id column " +
+          "names are not configured — this rewrite cannot preserve ids; refusing"))
+    val withIds = DeltaTableReader.snapshotWithRowIds(spark, tablePath)
+      .withColumnRenamed("_row_id", idc)
+      .withColumnRenamed("_row_commit_version", vc)
+    val clusterCols = DeltaTableReader.clusteringColumnsOf(state, tablePath)
+      .collect { case Seq(c) if withIds.columns.contains(c) => c }
+    val reshaped =
+      if (clusterCols.isEmpty) withIds.repartition(targetFiles)
+      else {
+        val cs = clusterCols.map(org.apache.spark.sql.functions.col)
+        withIds.repartitionByRange(targetFiles, cs: _*).sortWithinPartitions(cs: _*)
+      }
+    val files = writeDataFiles(reshaped, tablePath, state.partitionColumns)
+    var next = rowIdWatermarkOf(state, tablePath) + 1
+    val baseOf = files.map { case (rel, _, _, st) =>
+      val n = numRecordsOf(tablePath, rel, st)
+      val b = next; next += n; rel -> b
+    }.toMap
+    val now = System.currentTimeMillis()
+    commit(spark, tablePath, state.version + 1, Nil,
+      ictNeeded = ictNeededOf(state),
+      rebaseSafe = false, rebaseDisjoint = true,
+      opInfo = Some(("OPTIMIZE", false)),
+      linesFor = Some(ver =>
+        state.active.map(f =>
+          s"""{"remove":{"path":${jsonStr(f.path)},"deletionTimestamp":$now,""" +
+            s""""dataChange":false}}""") ++
+          Seq(rowTrackingDomainLine(next - 1)) ++
+          files.map { case (rel, size, mtime, st) =>
+            addLine(rel, size, mtime, state.partitionColumns, st,
+              dataChange = false, rowId = Some((baseOf(rel), ver))) }))
+  }
+
+  /** The declared high watermark — missing on a feature-declaring
+    * table means the id state is broken (minting blind could
+    * collide); refuse loudly. */
+  private def rowIdWatermarkOf(state: DeltaTableReader.Snapshot,
+      tablePath: String): Long =
+    state.domainMetadata.get("delta.rowTracking")
+      .flatMap(c => scala.util.Try(
+        mapper.readTree(c).get("rowIdHighWaterMark").asLong()).toOption)
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath: rowTracking is declared but the delta.rowTracking domain's " +
+          "rowIdHighWaterMark is missing — the table's id state is broken; refusing"))
 
   /** The `delta.rowTracking` domain's high-watermark line. */
   private def rowTrackingDomainLine(highWaterMark: Long): String =
@@ -992,7 +1048,8 @@ object DeltaTableWriter {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val state = DeltaTableReader.snapshotState(spark, tablePath)
     refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
-    refuseRowTrackingRewrite(state, tablePath, "OPTIMIZE")
+    if (state.protocol.exists(_.writerFeatures.contains("rowTracking")))
+      return compactRowTracked(spark, tablePath, state, targetFiles)
     val snap = DeltaTableReader.snapshot(spark, tablePath)
     // a CLUSTERED table's OPTIMIZE re-establishes the clustered layout
     // (Delta's own OPTIMIZE on clusterBy tables): range-repartition on
@@ -1432,7 +1489,16 @@ object DeltaTableWriter {
     require(keys.nonEmpty, s"$tablePath: upsert needs at least one key column")
     val (state, keyed) = DeltaTableReader.snapshotWithKeys(spark, tablePath)
     refuseWriterUnsupported(state, tablePath, allowColumnMapping = true)
-    refuseRowTrackingRewrite(state, tablePath, "upsert")
+    // an upsert REPLACES matched rows via DV-mask + append — the
+    // replacement row would take a fresh id unless the merge
+    // materialized the old one, a preservation this writer does not
+    // implement (OPTIMIZE does, via [[compactRowTracked]]); refusing
+    // beats silently re-identifying every updated row
+    if (state.protocol.exists(_.writerFeatures.contains("rowTracking")))
+      throw new IllegalStateException(
+        s"$tablePath: upsert on a rowTracking table must preserve updated rows' " +
+          "row ids through the rewrite (materialized columns on the merge), which " +
+          "this writer does not implement; refusing")
     // mapped upserts carry the exact declared set (mappedWriteProjection
     // requires it below); evolution on mapped tables lives in append
     val (cols, metaLines) =
@@ -1788,13 +1854,7 @@ object DeltaTableWriter {
         // domain rides the same commit. Two concurrent row-tracked
         // appends would mint overlapping ids — the domain-carrying
         // winner makes the rebase refuse, which is the point.
-        val watermark = state.domainMetadata.get("delta.rowTracking")
-          .flatMap(c => scala.util.Try(
-            mapper.readTree(c).get("rowIdHighWaterMark").asLong()).toOption)
-          .getOrElse(throw new IllegalStateException(
-            s"$tablePath: rowTracking is declared but the delta.rowTracking domain's " +
-              "rowIdHighWaterMark is missing — the table's id state is broken; refusing"))
-        var next = watermark + 1
+        var next = rowIdWatermarkOf(state, tablePath) + 1
         val baseOf = files.map { case (rel, _, _, st) =>
           val n = numRecordsOf(tablePath, rel, st)
           val b = next; next += n; rel -> b

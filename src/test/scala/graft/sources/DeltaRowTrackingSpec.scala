@@ -86,12 +86,37 @@ class DeltaRowTrackingSpec extends SparkSpec {
       "the watermark survived the checkpoint: fresh ids start at 200")
   }
 
+  test("OPTIMIZE preserves every row's id by materializing it; fresh ids mint past the bumped watermark") {
+    val table = tmpDir("drt-optimize") + "/t"
+    DeltaTableWriter.create(ordered(1 to 100), table, enableRowTracking = true): Unit
+    DeltaTableWriter.append(ordered(101 to 200), table): Unit
+    DeltaTableWriter.delete(spark, table, pmod(col("id"), lit(4)) === 0): Unit
+    val before = idOf(table)
+    DeltaTableWriter.compact(spark, table, targetFiles = 2): Unit
+    assert(DeltaTableReader.snapshot(spark, table).count() == 150L)
+    // the rewrite re-filed every row; ids must be EXACTLY the old ones
+    assert(idOf(table) == before,
+      "OPTIMIZE must serve the MATERIALIZED ids, not the new files' base ranges")
+    // the declared schema is unchanged — a plain snapshot read must
+    // NOT leak the materialized columns
+    assert(DeltaTableReader.snapshot(spark, table).columns.toSeq ==
+      Seq("id", "grp", "v"))
+    // the compacted files took fresh (shadowed) base ranges, so the
+    // next append mints PAST them — never colliding with live ids
+    DeltaTableWriter.append(ordered(201 to 210), table): Unit
+    val afterAppend = idOf(table)
+    val newIds = (201L to 210L).map(afterAppend(_)._1)
+    assert(newIds.toSet.intersect(before.values.map(_._1).toSet).isEmpty,
+      "fresh ids must not collide with materialized ones")
+    assert((newIds.min >= 200L) && newIds.size == 10)
+    // a SECOND optimize re-materializes from the first's columns
+    DeltaTableWriter.compact(spark, table, targetFiles = 1): Unit
+    assert(idOf(table) == afterAppend, "re-materialization is id-exact")
+  }
+
   test("rewrites refuse; reads refuse honest gaps; mapped composition refuses") {
     val table = tmpDir("drt-refuse") + "/t"
     DeltaTableWriter.create(ordered(1 to 50), table, enableRowTracking = true): Unit
-    val e1 = intercept[IllegalStateException](
-      DeltaTableWriter.compact(spark, table, 1))
-    assert(e1.getMessage.contains("row ids"))
     val e2 = intercept[IllegalStateException](
       DeltaTableWriter.upsert(df(1 to 5), table, Seq("id")))
     assert(e2.getMessage.contains("row ids"))
@@ -119,7 +144,8 @@ class DeltaRowTrackingSpec extends SparkSpec {
     // append (minting ids blind could collide)
     val log2 = new java.io.File(s"$broken/_delta_log", f"${0L}%020d.json")
     val src2 = scala.io.Source.fromFile(log2, "UTF-8")
-    val noDomain = try src2.getLines().filterNot(_.contains("delta.rowTracking"))
+    val noDomain = try src2.getLines()
+      .filterNot(_.contains(""""domain":"delta.rowTracking""""))
       .mkString("\n") finally src2.close()
     val w2 = new java.io.PrintWriter(log2, "UTF-8")
     try w2.println(noDomain) finally w2.close()
