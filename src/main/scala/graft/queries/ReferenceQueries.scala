@@ -3705,6 +3705,52 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey <= 3000
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #104p Iceberg PARTITION STATISTICS (spec "Partition Statistics":
+    * a parquet census per stats snapshot — per-partition data/delete
+    * record and file counts, byte totals, last-updated provenance —
+    * registered in metadata's `partition-statistics` and served as a
+    * METADATA-ONLY read instead of a manifest walk). The fixture
+    * builds a partitioned table in two halves plus an equality-delete
+    * upsert (physical data rows GROW — eq-deletes mask, never
+    * remove), writes the census, and requires in-run that it serves
+    * from the registered file and that the delete census is visible;
+    * the oracle recomputes each partition's PHYSICAL row count.
+    */
+  val qIcebergPstats: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("iceberg-pstats") + "/t"
+      val o = t(s, dir, "orders")
+      IcebergTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        partitionBy = Seq("o_orderpriority")): Unit
+      IcebergTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      IcebergTableWriter.upsert(
+        o.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+        table, Seq("o_orderkey")): Unit
+      val rel = IcebergTableWriter.writePartitionStats(s, table)
+      val stats = IcebergTableReader.partitionStats(s, table)
+      require(stats.inputFiles.length == 1 &&
+        stats.inputFiles.head.endsWith(rel.split('/').last),
+        "the census must serve from the one registered statistics file")
+      val census = stats.agg(
+        sum("equality_delete_record_count"), sum("data_file_count"),
+        sum("total_data_file_size_in_bytes")).head()
+      require(census.getLong(0) > 0, "the upsert's equality-delete census must show")
+      require(census.getLong(1) > 0 && census.getLong(2) > 0,
+        "file counts and byte totals must be real")
+      // data census rows only: the unpartitioned delete files census
+      // under a null partition, outside the data grain
+      stats.where(col("data_file_count") > 0)
+        .select(col("partition.o_orderpriority").as("o_orderpriority"),
+          col("data_record_count").as("n_physical"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority,
+        |  count(*) + count(CASE WHEN o_orderkey % 97 = 0 THEN 1 END) AS n_physical
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #104o Iceberg SORT ORDERS (spec "Sort Orders" — the table-level
     * clustering declaration, the Iceberg face of the cross-format
     * triad beside Delta's delta.clustering domain (102l) and Hudi

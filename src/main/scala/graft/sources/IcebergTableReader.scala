@@ -206,6 +206,35 @@ object IcebergTableReader {
     if (resolvable) b.result() else Nil
   }
 
+  /** The CURRENT snapshot's registered PARTITION STATISTICS file as a
+    * DataFrame in the spec's schema (partition struct + per-partition
+    * data/delete census). A metadata-only read — |partitions| rows
+    * from one parquet file, never a manifest walk; refuses when no
+    * stats are registered for the current snapshot (stale stats for
+    * an older snapshot must not silently serve) — run
+    * `IcebergTableWriter.writePartitionStats` first.
+    */
+  def partitionStats(spark: SparkSession, tablePath: String): org.apache.spark.sql.DataFrame = {
+    val fs = fsOf(spark, new Path(tablePath))
+    val meta = mapper.readTree(readText(fs, currentMetadataPath(fs, tablePath)))
+    val currentId = Option(meta.get("current-snapshot-id")).map(_.asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        s"$tablePath: no current snapshot"))
+    val arr = meta.get("partition-statistics")
+    val path = Option(arr).filter(_.isArray).flatMap { a =>
+      var found: Option[String] = None
+      a.forEach { e =>
+        if (Option(e.get("snapshot-id")).exists(_.asLong() == currentId))
+          found = Option(e.get("statistics-path")).map(_.asText())
+      }
+      found
+    }.getOrElse(throw new IllegalStateException(
+      s"$tablePath: no partition statistics registered for snapshot $currentId — " +
+        "run IcebergTableWriter.writePartitionStats (stale stats for an older " +
+        "snapshot never serve silently)"))
+    spark.read.parquet(resolve(tablePath, path))
+  }
+
   private def readAvro(spark: SparkSession, path: String): Seq[GenericRecord] = {
     val p = new Path(path)
     val in = new FsInput(p, spark.sparkContext.hadoopConfiguration)

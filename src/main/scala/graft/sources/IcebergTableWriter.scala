@@ -563,6 +563,29 @@ object IcebergTableWriter {
       Option(node.get("default-sort-order-id")).map(_.asInt()).getOrElse(0)))
   }
 
+  /** The current metadata's raw `partition-statistics` entries —
+    * carried through commits VERBATIM like refs and sort orders
+    * (entries persist until their snapshots expire; dropping them
+    * would orphan every census the moment the table moves on). */
+  private def partitionStatsNodesOf(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Seq[String] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return Nil
+    val in = fs.open(hint)
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    val metaPath = new Path(tablePath, s"metadata/v$v.metadata.json")
+    if (!fs.exists(metaPath)) return Nil
+    val in2 = fs.open(metaPath)
+    val text = try scala.io.Source.fromInputStream(in2, "UTF-8").mkString finally in2.close()
+    val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      .get("partition-statistics")
+    if (arr == null || !arr.isArray) return Nil
+    val b = Seq.newBuilder[String]
+    arr.forEach(e => b += e.toString)
+    b.result()
+  }
+
   /** Resolve a commit's sort-order metadata (iceberg.apache.org spec
     * "Sort Orders": table metadata declares `sort-orders` +
     * `default-sort-order-id`; data files record which declared order
@@ -1156,11 +1179,16 @@ object IcebergTableWriter {
       // artifacts (deletion vectors) every later commit keeps v3
       val formatVersion = math.max(minFormatVersion,
         if (exists) IcebergTableReader.currentFormatVersion(spark, tablePath) else 2)
+      val pstatsNodes = partitionStatsNodesOf(spark, tablePath)
+      val pstatsPart =
+        if (pstatsNodes.isEmpty) ""
+        else s""""partition-statistics":[${pstatsNodes.mkString(",")}],"""
       val metaJson =
         s"""{"format-version":$formatVersion,"table-uuid":"graft","location":"$tablePath",""" +
           s"""$schemasPart,${specJson(fieldIdOf, pfields)},""" +
           s""""sort-orders":[${sortNodes.mkString(",")}],""" +
           s""""default-sort-order-id":$defaultSortId,""" +
+          pstatsPart +
           s""""last-sequence-number":$seq,"refs":{$refsJson},""" +
           s""""current-snapshot-id":$newId,"snapshots":[$snapsJson]}"""
       val vNew = prevVersion + 1
@@ -1374,6 +1402,140 @@ object IcebergTableWriter {
       s"$tablePath: metadata v$vNew already taken — re-run setRef after the racer's commit")
     val hint = fs.create(new Path(tablePath, "metadata/version-hint.text"), true)
     try hint.write(s"$vNew\n".getBytes("UTF-8")) finally hint.close()
+  }
+
+  /** PARTITION STATISTICS (iceberg.apache.org spec "Partition
+    * Statistics"): one parquet file per stats snapshot with the
+    * spec's per-partition census — data/delete record and file
+    * counts, byte totals, last-updated provenance — registered in
+    * table metadata's `partition-statistics` list. Planning-grade
+    * numbers engines read INSTEAD of walking manifests: the census
+    * here is computed once from the current snapshot's manifests
+    * (driver work O(|entries|), the same bound planning already
+    * pays) and served thereafter as a plain metadata read however
+    * large the table grows. DV entries (content=1 with a referenced
+    * file) count as position deletes, their record_count being the
+    * vector cardinality per spec. Unpartitioned tables refuse — the
+    * census has no grain. Returns the landed statistics path.
+    */
+  def writePartitionStats(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): String = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val pfields = declaredPartitionFields(spark, tablePath)
+    require(pfields.nonEmpty,
+      s"$tablePath: partition statistics need a partitioned table")
+    val (snaps, currentId) = IcebergTableReader.snapshotLog(spark, tablePath)
+    val current = snaps.find(_.id == currentId).getOrElse(
+      throw new IllegalStateException(s"$tablePath: current snapshot missing"))
+    val manifests = IcebergTableReader.manifestListEntries(spark, tablePath,
+      current.manifestList)
+    final case class Census(var drc: Long = 0L, var dfc: Int = 0, var bytes: Long = 0L,
+      var pdrc: Long = 0L, var pdfc: Int = 0, var edrc: Long = 0L, var edfc: Int = 0,
+      var lastSnap: Long = 0L)
+    val byPartition = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Census]
+    manifests.foreach { case (mp, _, _, _) =>
+      IcebergTableReader.manifestEntriesPublic(spark, tablePath, mp)
+        .filter(_.status != 2).foreach { e =>
+          val key = pfields.map(pf => e.partition.getOrElse(pf.resultName, null))
+          val c = byPartition.getOrElseUpdate(key, Census())
+          val abs = if (e.filePath.startsWith("/")) new Path(e.filePath)
+            else new Path(tablePath, e.filePath)
+          val size = fs.getFileStatus(abs).getLen
+          val n = e.recordCount.getOrElse(throw new IllegalStateException(
+            s"$tablePath: manifest entry ${e.filePath} records no record_count — " +
+              "the census would be a guess; refusing"))
+          e.content match {
+            case 0 => c.drc += n; c.dfc += 1; c.bytes += size
+            case 1 => c.pdrc += n; c.pdfc += 1
+            case 2 => c.edrc += n; c.edfc += 1
+            case other => throw new IllegalStateException(
+              s"$tablePath: unknown manifest content $other for ${e.filePath}")
+          }
+          e.snapshotId.foreach(sid => if (sid > c.lastSnap) c.lastSnap = sid)
+        }
+    }
+    val partType = StructType(pfields.map { pf =>
+      StructField(pf.resultName,
+        if (IcebergTransforms.intResult(pf.transform)) IntegerType else StringType,
+        nullable = true)
+    })
+    val schema = StructType(Seq(
+      StructField("partition", partType, nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("data_record_count", LongType, nullable = false),
+      StructField("data_file_count", IntegerType, nullable = false),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false),
+      StructField("position_delete_record_count", LongType, nullable = false),
+      StructField("position_delete_file_count", IntegerType, nullable = false),
+      StructField("equality_delete_record_count", LongType, nullable = false),
+      StructField("equality_delete_file_count", IntegerType, nullable = false),
+      StructField("last_updated_at", LongType, nullable = false),
+      StructField("last_updated_snapshot_id", LongType, nullable = false)))
+    val now = System.currentTimeMillis()
+    val rows = byPartition.toSeq.map { case (key, c) =>
+      val pvals = pfields.zip(key).map { case (pf, raw) =>
+        if (raw == null) null
+        else if (IcebergTransforms.intResult(pf.transform)) Integer.valueOf(raw.trim.toInt)
+        else raw
+      }
+      Row(Row(pvals: _*), 0, c.drc, c.dfc, c.bytes, c.pdrc, c.pdfc, c.edrc, c.edfc,
+        now, if (c.lastSnap > 0) c.lastSnap else currentId)
+    }
+    import scala.jdk.CollectionConverters._
+    val rel = s"metadata/partition-stats-$currentId-${java.util.UUID.randomUUID()}.parquet"
+    val stage = new Path(tablePath, s".graft-pstats-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(rows.asJava, schema).coalesce(1).write.parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"$tablePath: stats stage wrote nothing"))
+    val dst = new Path(tablePath, rel)
+    fs.mkdirs(dst.getParent)
+    fs.delete(dst, false)
+    if (!fs.rename(part, dst)) throw new IllegalStateException(
+      s"$tablePath: failed to land partition statistics at $rel")
+    fs.delete(stage, true)
+    val len = fs.getFileStatus(dst).getLen
+    // register under the usual metadata CAS; an entry for the SAME
+    // snapshot replaces (a re-run refreshes, never duplicates)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val v = IcebergTableReader.currentMetadataVersion(spark, tablePath)
+      val metaPath = new Path(tablePath, s"metadata/v$v.metadata.json")
+      val in = fs.open(metaPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val root = m.readTree(text)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val arr = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+        "partition-statistics")
+      var i = 0
+      while (i < arr.size()) {
+        if (Option(arr.get(i).get("snapshot-id")).exists(_.asLong() == currentId))
+          { arr.remove(i): Unit } else i += 1
+      }
+      val entry = m.createObjectNode()
+      entry.put("snapshot-id", currentId)
+      entry.put("statistics-path", rel)
+      entry.put("file-size-in-bytes", len)
+      arr.add(entry)
+      val dstMeta = new Path(tablePath, s"metadata/v${v + 1}.metadata.json")
+      val created = try {
+        val out = fs.create(dstMeta, false) // exclusive-create CAS
+        try out.write((root.toString + "\n").getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+      if (created) {
+        val hint = fs.create(new Path(tablePath, "metadata/version-hint.text"), true)
+        try hint.write(s"${v + 1}\n".getBytes("UTF-8")) finally hint.close()
+        return rel
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"$tablePath: lost the metadata CAS $MaxCommitAttempts times registering stats")
   }
 
   def expireSnapshots(spark: org.apache.spark.sql.SparkSession, tablePath: String,
