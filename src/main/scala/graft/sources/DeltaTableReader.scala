@@ -954,6 +954,22 @@ object DeltaTableReader {
         }
       }
     }
+    // COMPACTED log files carry each span's latest txn per appId —
+    // fold them too, unconditionally: when a span's covered JSONs are
+    // lost the span is the ONLY copy (silently dropping a watermark
+    // would make an idempotent sink replay batches), and when the
+    // singles exist the max-fold makes the extra read a no-op
+    fs.listStatus(dir).toIndexedSeq.map(_.getPath)
+      .filter(_.getName.matches("""\d{20}\.\d{20}\.compacted\.json"""))
+      .foreach { p =>
+        readText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("txn")) {
+            val t = node.get("txn")
+            consider(t.get("appId").asText(), t.get("version").asLong())
+          }
+        }
+      }
     best.toMap
   }
 

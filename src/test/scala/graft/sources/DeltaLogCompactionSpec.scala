@@ -85,6 +85,26 @@ class DeltaLogCompactionSpec extends SparkSpec {
     assert(active.size == 2, s"only the OPTIMIZE output survives: $active")
   }
 
+  test("txn watermarks survive through a span after the singles are lost") {
+    val table = tmpDir("dlc-txn") + "/t"
+    DeltaTableWriter.create(df(1 to 50), table,
+      transaction = Some(("sink-app", 7L))): Unit
+    DeltaTableWriter.append(df(51 to 100), table,
+      transaction = Some(("sink-app", 8L))): Unit // v1
+    DeltaTableWriter.append(df(101 to 150), table,
+      transaction = Some(("sink-app", 9L))): Unit // v2
+    DeltaTableWriter.append(df(151 to 200), table): Unit // v3
+    assert(DeltaTableReader.lastTransactionVersion(spark, table, "sink-app")
+      .contains(9L))
+    DeltaTableWriter.compactLog(spark, table, 1L, 3L)
+    (1L to 3L).foreach(deleteCommit(table, _))
+    // the span is now the only copy of v1/v2's txn actions — a
+    // dropped watermark would make the sink REPLAY batches 8 and 9
+    assert(DeltaTableReader.lastTransactionVersion(spark, table, "sink-app")
+      .contains(9L),
+      "the compacted span must keep serving the app's watermark")
+  }
+
   test("span selection: longest wins, pre-checkpoint spans ignored, singles preferred only when no span") {
     val table = tmpDir("dlc-select") + "/t"
     DeltaTableWriter.create(df(1 to 50), table): Unit
