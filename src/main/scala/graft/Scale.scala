@@ -1420,7 +1420,11 @@ object Scale {
       // the log-compaction read that must hold replay flat; each
       // fixture's range shuffle is the dominant cost and scales with
       // rows, the metadata legs must not
-      "q_delta_cluster", "q_iceberg_sorted", "q_delta_log_compact")
+      "q_delta_cluster", "q_iceberg_sorted", "q_delta_log_compact",
+      // row tracking's id arithmetic is column math over a broadcast
+      // |files| map (scales with rows only through the scan); the
+      // partition-stats census is O(manifest entries) driver work
+      "q_delta_rowids", "q_iceberg_pstats")
       .foreach { name =>
         rehearseUnit(name) { noop(Queries.all(name).run(spark, sfDir)) } {
           noop(Queries.all(name).run(spark, outRoot))
