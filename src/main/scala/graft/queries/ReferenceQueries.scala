@@ -3705,6 +3705,66 @@ trait ReferenceQueries extends QueryBase {
         |WHERE o_orderkey <= 3000
         |GROUP BY o_orderpriority""".stripMargin))
 
+  /** #104q Iceberg REMOVE ORPHAN FILES (Iceberg's maintenance
+    * procedure: delete files in the table directory that no retained
+    * snapshot or metadata references — crashed staging, failed-CAS
+    * leftovers — older than a grace period that protects concurrent
+    * in-flight writes). The fixture plants three orphan shapes (a
+    * stray copy of a data file, an abandoned stage dir, a stray avro
+    * under metadata/), runs the removal with the horizon past them,
+    * and requires in-run that every plant is gone, every referenced
+    * file survives (including DV puffins — the table reads
+    * identically), and the aggregate matches the oracle.
+    */
+  val qIcebergOrphans: QueryDef = QueryDef(
+    run = (s, dir) => {
+      import graft.sources.{IcebergTableReader, IcebergTableWriter}
+      val table = scratch("iceberg-orphans") + "/t"
+      val o = t(s, dir, "orders")
+      IcebergTableWriter.create(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), table): Unit
+      IcebergTableWriter.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), table): Unit
+      IcebergTableWriter.deleteDv(s, table, pmod(col("o_orderkey"), lit(9)) === 0): Unit
+      // plant the orphan shapes
+      def findParquet(d: java.io.File): Option[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName).collectFirst {
+          case f if f.isFile && f.getName.endsWith(".parquet") &&
+            !f.getPath.contains("/metadata/") => f
+        }.orElse(Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName != "metadata")
+          .sortBy(_.getName).iterator.flatMap(findParquet).nextOption())
+      val dataFile = findParquet(new java.io.File(table))
+        .getOrElse(throw new IllegalStateException("fixture: no data file found"))
+      java.nio.file.Files.copy(dataFile.toPath,
+        new java.io.File(table, "orphan-copy.parquet").toPath): Unit
+      val stage = new java.io.File(table, ".graft-stage-dead")
+      stage.mkdirs()
+      java.nio.file.Files.copy(dataFile.toPath,
+        new java.io.File(stage, "part-dead.parquet").toPath): Unit
+      val strayAvro = new java.io.File(s"$table/metadata", "m-stray.avro")
+      java.nio.file.Files.write(strayAvro.toPath, Array[Byte](79, 98, 106, 1)): Unit
+      val before = IcebergTableReader.snapshot(s, table).count()
+      val deleted = IcebergTableWriter.removeOrphanFiles(s, table, graceMs = 0L,
+        nowMs = System.currentTimeMillis() + 60000L)
+      require(deleted.exists(_.endsWith("orphan-copy.parquet")) &&
+        deleted.exists(_.contains(".graft-stage-dead/")) &&
+        deleted.exists(_.endsWith("m-stray.avro")),
+        s"every planted orphan must delete: $deleted")
+      require(!new java.io.File(table, "orphan-copy.parquet").exists() &&
+        !new java.io.File(stage, "part-dead.parquet").exists() &&
+        !strayAvro.exists(), "orphans must be physically gone")
+      require(IcebergTableReader.snapshot(s, table).count() == before,
+        "referenced files (DV puffins included) must survive the sweep")
+      IcebergTableReader.snapshot(s, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderkey % 9 <> 0
+        |GROUP BY o_orderpriority""".stripMargin))
+
   /** #104p Iceberg PARTITION STATISTICS (spec "Partition Statistics":
     * a parquet census per stats snapshot — per-partition data/delete
     * record and file counts, byte totals, last-updated provenance —

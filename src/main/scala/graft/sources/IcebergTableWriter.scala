@@ -1538,6 +1538,91 @@ object IcebergTableWriter {
       s"$tablePath: lost the metadata CAS $MaxCommitAttempts times registering stats")
   }
 
+  /** REMOVE ORPHAN FILES (Iceberg's own maintenance procedure): walk
+    * the table directory, subtract everything ANY retained snapshot
+    * or the metadata itself references — metadata JSONs and the
+    * version hint, every snapshot's manifest list, every manifest,
+    * every file path those manifests name (any status: a deleted
+    * entry's file may still serve an older snapshot), DV puffins,
+    * registered partition-statistics files — and physically delete
+    * the unreferenced remainder older than `graceMs` (crashed stage
+    * dirs, failed-CAS leftovers). The grace period is what keeps a
+    * CONCURRENT writer's in-flight staging safe: never run with a
+    * grace shorter than the longest write you could be racing.
+    * Driver work is O(|files in table dir| + |manifest entries|);
+    * returns the deleted paths (table-relative).
+    */
+  def removeOrphanFiles(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      graceMs: Long, nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    require(graceMs >= 0, "graceMs must be >= 0")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val rootStr = fs.makeQualified(root).toString.stripSuffix("/")
+    def qualify(p: String): String =
+      if (p.startsWith("/") || p.contains("://"))
+        fs.makeQualified(new Path(p)).toString
+      else s"$rootStr/$p"
+    val referenced = scala.collection.mutable.Set.empty[String]
+    // the metadata tree itself: every version JSON + the hint (expiry
+    // owns metadata retention, not orphan removal)
+    val metaDir = new Path(root, "metadata")
+    fs.listStatus(metaDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".metadata.json") || n == "version-hint.text")
+        referenced += fs.makeQualified(st.getPath).toString
+    }
+    val (snaps, _) = IcebergTableReader.snapshotLog(spark, tablePath)
+    snaps.foreach { s0 =>
+      referenced += qualify(s0.manifestList)
+      IcebergTableReader.manifestListEntries(spark, tablePath, s0.manifestList)
+        .foreach { case (mp, _, _, _) =>
+          referenced += qualify(mp)
+          IcebergTableReader.manifestEntriesPublic(spark, tablePath, mp)
+            .foreach(e => referenced += qualify(e.filePath))
+        }
+    }
+    // registered statistics files
+    val metaNode = new com.fasterxml.jackson.databind.ObjectMapper().readTree {
+      val v = IcebergTableReader.currentMetadataVersion(spark, tablePath)
+      val in = fs.open(new Path(root, s"metadata/v$v.metadata.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    Option(metaNode.get("partition-statistics")).filter(_.isArray).foreach(_.forEach { e =>
+      Option(e.get("statistics-path")).foreach(p => referenced += qualify(p.asText()))
+    })
+    val horizon = nowMs - graceMs
+    val deleted = Seq.newBuilder[String]
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else {
+        val q = fs.makeQualified(st.getPath).toString
+        // a checksum sidecar lives and dies with its base file
+        val name = st.getPath.getName
+        val effective =
+          if (name.startsWith(".") && name.endsWith(".crc"))
+            fs.makeQualified(new Path(st.getPath.getParent,
+              name.stripPrefix(".").stripSuffix(".crc"))).toString
+          else q
+        if (!referenced.contains(effective) && st.getModificationTime < horizon) {
+          if (fs.delete(st.getPath, false))
+            deleted += q.stripPrefix(rootStr + "/")
+        }
+      }
+    }
+    walk(root)
+    // sweep directories the deletions emptied (crashed stage dirs)
+    def sweepEmpty(dir: Path): Boolean = {
+      val children = fs.listStatus(dir)
+      val keep = children.filterNot(st => st.isDirectory && sweepEmpty(st.getPath))
+      if (dir != root && keep.isEmpty && fs.makeQualified(dir).toString != rootStr) {
+        fs.delete(dir, false)
+      } else false
+    }
+    sweepEmpty(root): Unit
+    deleted.result()
+  }
+
   def expireSnapshots(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must retain at least the current snapshot")

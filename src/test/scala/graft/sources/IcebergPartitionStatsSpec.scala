@@ -60,6 +60,32 @@ class IcebergPartitionStatsSpec extends SparkSpec {
     assert(arr2.size() == 1 && arr2.get(0).get("statistics-path").asText() == rel2)
   }
 
+  test("orphan removal: grace shields fresh files; referenced files and stats survive any horizon") {
+    val table = tmpDir("ipstats-orphan") + "/t"
+    IcebergTableWriter.create(df(1 to 400), table, partitionBy = Seq("grp")): Unit
+    IcebergTableWriter.deleteDv(spark, table, pmod(col("id"), lit(7)) === 0): Unit
+    val statsRel = IcebergTableWriter.writePartitionStats(spark, table)
+    val orphan = new java.io.File(table, "stray.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](80, 65, 82, 49)): Unit
+    // a LONG grace: the fresh orphan survives (it could be a racing
+    // writer's in-flight file)
+    assert(IcebergTableWriter.removeOrphanFiles(spark, table, graceMs = 3600000L).isEmpty)
+    assert(orphan.exists())
+    // horizon past everything: the orphan goes, every referenced
+    // file — data, puffin DVs, the registered stats parquet — stays
+    val before = IcebergTableReader.snapshot(spark, table).count()
+    val deleted = IcebergTableWriter.removeOrphanFiles(spark, table, graceMs = 0L,
+      nowMs = System.currentTimeMillis() + 60000L)
+    assert(deleted == Seq("stray.parquet"), s"only the orphan: $deleted")
+    assert(IcebergTableReader.snapshot(spark, table).count() == before)
+    assert(new java.io.File(s"$table/$statsRel").exists(),
+      "the registered partition-statistics file is referenced, not an orphan")
+    // 4 data partitions + the unpartitioned DV entries' null-grain row
+    val census = IcebergTableReader.partitionStats(spark, table)
+    assert(census.count() == 5L)
+    assert(census.where(col("data_file_count") > 0).count() == 4L)
+  }
+
   test("stale stats refuse; a fresh census for the new snapshot serves; unpartitioned refuses") {
     val table = tmpDir("ipstats-stale") + "/t"
     IcebergTableWriter.create(df(1 to 100), table, partitionBy = Seq("grp")): Unit
