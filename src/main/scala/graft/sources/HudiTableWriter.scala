@@ -465,8 +465,12 @@ object HudiTableWriter {
         df.withColumn("_g_rn", row_number().over(w))
           .where(col("_g_rn") === 1).drop("_g_rn")
       case None =>
-        val nRows = df.count()
-        val nKeys = df.select(keys.map(col): _*).distinct().count()
+        // one aggregation job for both cardinalities (was count() +
+        // distinct().count() — two full-scan jobs for one require)
+        val card = df.agg(count(lit(1)).as("n"),
+          count_distinct(struct(keys.map(col): _*)).as("k")).head()
+        val nRows = card.getLong(0)
+        val nKeys = card.getLong(1)
         require(nRows == nKeys,
           s"$tablePath: upsert batch carries ${nRows - nKeys} duplicate key row(s) and " +
             "the table declares no precombine field — the replacement row per key would " +
@@ -532,10 +536,15 @@ object HudiTableWriter {
     val tagged = batchStamped.join(keyFid, joinCols, "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one distributed count (also warms the cache): the batch is
-      // key-unique post-combine, so this is the batch-key cardinality
-      // that decides broadcast-vs-shuffle for the carried-rows join
-      val nBatchKeys = tagged.count()
+      // ONE grouped count (also warms the cache) answers both the
+      // batch-key cardinality (broadcast-vs-shuffle decision for the
+      // carried-rows join) and the per-touched-group update counts —
+      // was two jobs: tagged.count() + updates.groupBy.count. Null
+      // fid = insert rows; |groups|+1 rows of driver metadata.
+      val fidCounts = tagged.groupBy(col("_g_fid")).count().collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getString(0))) -> r.getLong(1))
+        .toMap
+      val nBatchKeys = fidCounts.values.sum
       val updates = tagged.where(col("_g_fid").isNotNull)
       val inserts = tagged.where(col("_g_fid").isNull).drop("_g_fid")
       // hoodie.table.cdc.enabled obligation: land this instant's
@@ -555,9 +564,9 @@ object HudiTableWriter {
           .withColumn("_change_type", lit("insert"))
         writeCdcImages(pre.unionByName(post).unionByName(ins), tablePath, instant)
       }
-      // per-touched-group update counts — |groups| driver metadata
-      val updCounts = updates.groupBy(col("_g_fid")).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // per-touched-group update counts — |groups| driver metadata,
+      // already in hand from the grouped count above
+      val updCounts = fidCounts.collect { case (Some(fid), n) => fid -> n }
       val updateStats = Seq.newBuilder[(String, String, String, Long, Long, Long)]
       if (updCounts.nonEmpty) {
         val updFidDf = spark.createDataFrame(
@@ -614,19 +623,22 @@ object HudiTableWriter {
       }
       val insertFiles = landNewGroups(inserts.select(outCols.map(col): _*),
         tablePath, instant, partitionBy)
-      val allStats =
+      val allStats = {
+        import scala.collection.parallel.CollectionConverters._
         updateStats.result().map { case (part, fid, rel, n, nUpd, len) =>
           (part, s"""{"fileId":"$fid","path":"$rel","numWrites":$n,""" +
             s""""numUpdateWrites":$nUpd,""" +
             s""""totalWriteBytes":$len,""" +
             s""""prevCommit":"${sliceByFid(fid).instant}"}""")
-        } ++ insertFiles.map { case (part, fid, rel) =>
+        } ++ insertFiles.par.map { case (part, fid, rel) =>
+          // footer + status reads in parallel, as everywhere else
           (part, s"""{"fileId":"$fid","path":"$rel",""" +
             s""""numWrites":${footerRowCount(spark, tablePath, rel)},""" +
             s""""numUpdateWrites":0,""" +
             s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
             s""""prevCommit":"null"}""")
-        }
+        }.seq
+      }
       if (allStats.isEmpty) throw new IllegalArgumentException(
         s"$tablePath: empty upsert batch — nothing to write")
       val statsJson = allStats.groupBy(_._1).map { case (part, ws) =>
@@ -740,12 +752,17 @@ object HudiTableWriter {
         writeCdcImages(pre.unionByName(post).unionByName(ins), tablePath, instant)
       }
       val meta = logMetaOf(groups, instant)
+      // ONE routing-side count materializes the persisted `routed`
+      // and answers both emptiness probes (was updates.isEmpty +
+      // inserts.isEmpty — two executeTake jobs over a cold cache)
+      val routedCounts = routed.groupBy(col("_g_fid").isNull.as("_g_ins"))
+        .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
       val logStats =
-        if (updates.isEmpty) Nil
+        if (routedCounts.getOrElse(false, 0L) == 0L) Nil
         else writeLogFiles(updates, tablePath, instant, recSchema.json, avroJson,
           meta, isDelete = false)
       val insertFiles =
-        if (inserts.isEmpty) Nil
+        if (routedCounts.getOrElse(true, 0L) == 0L) Nil
         else landNewGroups(inserts, tablePath, instant, partitionBy)
       if (logStats.isEmpty && insertFiles.isEmpty) throw new IllegalArgumentException(
         s"$tablePath: empty upsert batch — nothing to write")
@@ -812,20 +829,24 @@ object HudiTableWriter {
       insertFiles: Seq[(String, String, String)] = Nil, // (partition, fileId, rel)
       extraMetadata: Map[String, String] = Map.empty): Unit = {
     val fs = hoodieDir(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val logEntries = stats.map { case (fid, rel, n) =>
+    // per-file stats in PARALLEL (footer + status reads are driver
+    // round-trips — serially O(|files|) wall time, same fix the
+    // staged-landing paths already carry)
+    import scala.collection.parallel.CollectionConverters._
+    val logEntries = stats.par.map { case (fid, rel, n) =>
       (rel.split('/').dropRight(1).mkString("/"),
         s"""{"fileId":"$fid","path":"$rel","numWrites":$n,"numUpdateWrites":$n,""" +
           s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
           s""""prevCommit":"$instant"}""")
-    }
-    val insertEntries = insertFiles.map { case (part, fid, rel) =>
+    }.seq
+    val insertEntries = insertFiles.par.map { case (part, fid, rel) =>
       (part,
         s"""{"fileId":"$fid","path":"$rel",""" +
           s""""numWrites":${footerRowCount(spark, tablePath, rel)},""" +
           s""""numUpdateWrites":0,""" +
           s""""totalWriteBytes":${fs.getFileStatus(new Path(tablePath, rel)).getLen},""" +
           s""""prevCommit":"null"}""")
-    }
+    }.seq
     val statsJson = (logEntries ++ insertEntries).groupBy(_._1).map { case (part, ws) =>
       s""""$part":[${ws.map(_._2).mkString(",")}]"""
     }.mkString(",")
@@ -1554,8 +1575,13 @@ object HudiTableWriter {
     val dir = new Path(hoodieDir(tablePath), "metadata/record_index")
     fs.mkdirs(dir)
     val stage = new Path(tablePath, s".graft-ridx-${java.util.UUID.randomUUID()}")
-    entries.repartitionByRange(indexFiles, c("key")).sortWithinPartitions(c("key"))
+    // persist across the range-partitioner's SAMPLING pass + the
+    // write: without it the entries subtree (on MOR, the realtime
+    // merge of every dirty group) evaluates twice per build
+    entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try entries.repartitionByRange(indexFiles, c("key")).sortWithinPartitions(c("key"))
       .write.parquet(stage.toString)
+    finally entries.unpersist()
     val dst = new Path(dir, head)
     fs.delete(dst, true)
     if (!fs.rename(stage, dst)) throw new IllegalStateException(
@@ -1698,10 +1724,14 @@ object HudiTableWriter {
     import org.apache.spark.sql.functions.{col => c}
     val stage = new Path(tablePath, s".graft-ridxd-${java.util.UUID.randomUUID()}")
     // deltas are commit-sized: a handful of range-clustered files keep
-    // the lookup's IN-filter footer pruning without tiny-file litter
-    entries.repartitionByRange(math.min(8, math.max(1, nCovered)), c("key"))
+    // the lookup's IN-filter footer pruning without tiny-file litter.
+    // persist spans the range sampling + the write (same double-
+    // evaluation hazard as the full build).
+    entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try entries.repartitionByRange(math.min(8, math.max(1, nCovered)), c("key"))
       .sortWithinPartitions(c("key"))
       .write.parquet(stage.toString)
+    finally entries.unpersist()
     val sidecar = fs.create(new Path(stage, "_covered"), true)
     try sidecar.write((covered.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally sidecar.close()

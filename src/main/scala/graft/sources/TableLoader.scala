@@ -22,8 +22,35 @@ object TableLoader {
     * values are micro-aligned, so the narrowing is lossless.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.schema(probedSchema(spark, path)).parquet(path)
     if (name == "events") normalizeNanos(df, "ts") else df
+  }
+
+  /** Footer schema probe, cached per (path, content fingerprint) —
+    * the same design [[graft.streaming.EventStream]] uses for its
+    * stream sources (r9 bench): without it EVERY `table()` call pays
+    * a one-task schema-inference job before the real scan, a fixed
+    * ~40-60 ms tax × ~400 loads per bench pass. One FS listing (no
+    * footer I/O) fingerprints the content, so a rewritten or grown
+    * path re-probes while repeat loads of the same bytes hit the
+    * cache. The schema still always comes from the files' own
+    * footers — this caches METADATA of an unchanged input, never
+    * query results.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def probedSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val statuses = if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st)
+    val fp = statuses
+      .map(s => s"${s.getPath.getName}@${s.getModificationTime}:${s.getLen}")
+      .sorted.mkString(";")
+    schemaCache.computeIfAbsent(s"$path|$fp", _ => spark.read.parquet(path).schema)
   }
 
   /** Convert a raw nanos-since-epoch long column into TIMESTAMP_NTZ.
