@@ -38,6 +38,50 @@ object Profile {
           }
         }
       })
+    // Per-SQL-execution attribution: eagerly-executed write commands
+    // lose their callsite (jobs submitted from the command thread pool
+    // all land on CompletableFuture.java) — a QueryExecutionListener
+    // still sees every execution with its full wall time and the
+    // write's destination path, which names the writer phase.
+    // Stage-level view: task-time sum + launch->done wall per stage
+    // name, catching where inside a multi-stage write the time goes.
+    final case class StageRec(name: String, wallSec: Double, taskSec: Double, tasks: Int)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[StageRec]()
+    if (jobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for (a <- si.submissionTime; b <- si.completionTime)
+            yield (b - a) / 1e3).getOrElse(0.0)
+          val taskSec = si.taskMetrics.executorRunTime / 1e3
+          stageLog.add(StageRec(si.name.takeWhile(_ != '+').trim, wall, taskSec,
+            si.numTasks)): Unit
+        }
+      })
+    final case class ExecRec(sec: Double, what: String)
+    val execLog = new java.util.concurrent.ConcurrentLinkedQueue[ExecRec]()
+    if (jobs) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def describe(qe: org.apache.spark.sql.execution.QueryExecution): String = {
+          val plan = qe.executedPlan
+          val cmd = qe.analyzed match {
+            case c: org.apache.spark.sql.catalyst.plans.logical.Command => c.nodeName
+            case _ => plan.nodeName
+          }
+          val dest = qe.analyzed.collectFirst {
+            case i: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand =>
+              val p = i.outputPath.toString
+              p.split('/').takeRight(3).mkString("/")
+          }
+          cmd + dest.map(" -> " + _).getOrElse("")
+        }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          execLog.add(ExecRec(durationNs / 1e9, s"$funcName ${describe(qe)}")): Unit
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
 
     // Same untimed warm-up as Bench so first-query JIT does not land
     // on the first profiled query.
@@ -59,6 +103,8 @@ object Profile {
       var best = Double.MaxValue
       for (rep <- 1 to reps) {
         jobLog.clear()
+        execLog.clear()
+        stageLog.clear()
         val t0 = System.nanoTime()
         val d = q.run(spark, sfDir)
         val built = (System.nanoTime() - t0) / 1e9
@@ -75,6 +121,23 @@ object Profile {
             println(f"    [jobs] $sec%7.2f s  n=$nj%-3d tasks=$nt%-5d $s")
           }
           println(f"    [jobs] job-sum=${jobLog.toArray(Array.empty[JobRec]).map(_.sec).sum}%7.2f s of $t1%7.2f s")
+          // give async listener events a beat to drain, then print the
+          // per-execution view (wall time incl. driver-side work)
+          Thread.sleep(300)
+          val byExec = execLog.toArray(Array.empty[ExecRec]).groupBy(_.what)
+            .map { case (w, rs) => (w, rs.map(_.sec).sum, rs.length) }
+            .toSeq.sortBy(-_._2)
+          byExec.take(30).foreach { case (w, sec, ne) =>
+            println(f"    [exec] $sec%7.2f s  n=$ne%-3d $w")
+          }
+          println(f"    [exec] exec-sum=${execLog.toArray(Array.empty[ExecRec]).map(_.sec).sum}%7.2f s of $t1%7.2f s")
+          val byStage = stageLog.toArray(Array.empty[StageRec]).groupBy(_.name)
+            .map { case (s, rs) =>
+              (s, rs.map(_.wallSec).sum, rs.map(_.taskSec).sum, rs.length, rs.map(_.tasks).sum) }
+            .toSeq.sortBy(-_._2)
+          byStage.take(20).foreach { case (s, wall, task, ns, nt) =>
+            println(f"    [stage] wall=$wall%7.2f s task-sum=$task%7.2f s  n=$ns%-3d tasks=$nt%-5d $s")
+          }
         }
         if (explain && rep == reps) { println(s"===== $name ====="); d.explain("formatted") }
         hygiene()
